@@ -1,0 +1,613 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Graft, Num}
+import graft.engine.Num._
+
+/** TPC-H-shaped relational suite, adapted to the driver's simplified
+  * star schema (FIXTURES.md: no partsupp; lineitem lacks
+  * shipmode/commitdate/receiptdate; customer lacks phone; nations are
+  * NATION_0..24). Exercises the reference's §2 operator inventory:
+  * hash aggregation partial/final, hash joins (broadcast + shuffled),
+  * semi/anti joins, correlated + scalar subqueries, top-N, HAVING,
+  * conditional aggregation, left joins.
+  *
+  * Query shapes follow the public TPC-H specification (q1..q22);
+  * operator coverage mirrors reference
+  * `core/trino-main/.../operator/` (HashAggregationOperator.java:49,
+  * LookupJoinOperator.java:1, HashSemiJoinOperator.java:1,
+  * TopNOperator.java:1, EnforceSingleRowOperator.java:1).
+  *
+  * Scale notes (100 TB): every query below is a pure declarative plan —
+  * Catalyst broadcasts the dimension side (region/nation/supplier/part
+  * at TPC-H ratios stay tiny relative to lineitem), pushes filters to
+  * the parquet scan, and splits every aggregate into partial/final. No
+  * collect(), no driver-side loops, no single-partition bottlenecks.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.load(s, dir, name)
+
+  private def ts(d: String): Column = to_timestamp(lit(d))
+
+  // ---------------------------------------------------------------- q1
+  /** Pricing summary: full-scan aggregate with 8 aggregates.
+    * Ref: the hand-benchmarked query in
+    * `testing/trino-benchmark/.../HandTpchQuery1.java`. */
+  def q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        xsum(col("l_quantity")).as("sum_qty"),
+        xsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast("double").as("sum_charge"),
+        xavg(col("l_quantity")).as("avg_qty"),
+        xavg(col("l_extendedprice")).as("avg_price"),
+        (sum(factor(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2 (adapted: no partsupp → top-priced orders per segment)
+  /** Top-N with deterministic tie-break (TakeOrderedAndProject). */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q2Sql: String =
+    """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** Shipping priority: 3-way join + agg + top-N on computed measure. */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
+    val line = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
+    broadcast(cust)
+      .join(orders, cust("c_custkey") === orders("o_custkey"))
+      .join(line, orders("o_orderkey") === line("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q4 (adapted: EXISTS predicate on quantity, not commitdate)
+  /** Order priority checking: EXISTS → left-semi join. */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-07-01") && col("o_orderdate") < ts("1996-10-01"))
+    val bigLines = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    orders.join(bigLines, orders("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Local supplier volume: 6-way join, dims broadcast. */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val line = t(s, dir, "lineitem")
+    val supp = t(s, dir, "supplier")
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    cust.join(orders, col("c_custkey") === col("o_custkey"))
+      .join(line, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** Forecasting revenue change: scan + tight filter + global agg.
+    * Ref: `testing/trino-benchmark/.../HandTpchQuery6.java`. */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * factor(col("l_discount"))).cast("double").as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** Volume shipping between two nations: self-joined dim, year extract. */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").select(
+      col("n_nationkey").as("supp_nkey"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").select(
+      col("n_nationkey").as("cust_nkey"), col("n_name").as("cust_nation"))
+    val line = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(ts("1995-01-01"), ts("1996-12-31")))
+    t(s, dir, "supplier")
+      .join(line, col("s_suppkey") === col("l_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("supp_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cust_nkey"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |WHERE s_suppkey = l_suppkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q8 (adapted: market share of NATION_5 suppliers in ASIA)
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+    val nCust = t(s, dir, "nation").select(
+      col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_rkey"))
+    val nSupp = t(s, dir, "nation").select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val vol = revenue(col("l_extendedprice"), col("l_discount"))
+    t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(region), col("cn_rkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_5", vol)).cast("double") /
+            sum(vol).cast("double")).as("mkt_share"))
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))
+      |       FILTER (WHERE n2.n_name = 'NATION_5') AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS mkt_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q9 (adapted: profit proxy = revenue - 0.5*retail*qty)
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").filter(col("p_name").like("%red%"))
+    val amount = revenue(col("l_extendedprice"), col("l_discount")) -
+      money(col("p_retailprice")) * factor(lit(0.5)) * factor(col("l_quantity"))
+    t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+      |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Returned item reporting: top 20 customers by lost revenue. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-10-01") && col("o_orderdate") < ts("1997-01-01"))
+    val line = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    t(s, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(line, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q11 (adapted: supplier value share w/ scalar subquery)
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val line = t(s, dir, "lineitem")
+    val perSupp = line.groupBy(col("l_suppkey"))
+      .agg(sum(money(col("l_extendedprice"))).cast("double").as("value"))
+    val total = line.agg((sum(money(col("l_extendedprice"))).cast("double") * 0.001).as("threshold"))
+    perSupp.join(broadcast(total))
+      .filter(col("value") > col("threshold"))
+      .select(col("l_suppkey"), col("value"))
+  }
+
+  val q11Sql: String =
+    """SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+      |FROM lineitem GROUP BY l_suppkey
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 0.001 FROM lineitem)""".stripMargin
+
+  // ---------------------------------------------------------------- q12 (adapted: linestatus in place of shipmode)
+  /** Conditional aggregation (CASE inside SUM). */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val line = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+    t(s, dir, "orders")
+      .join(line, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        lsum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_line_count"),
+        lsum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate >= o_orderdate
+      |GROUP BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Customer order-count distribution: LEFT OUTER join + nested agg. */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Promotion effect: conditional share of revenue. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val line = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
+    val vol = revenue(col("l_extendedprice"), col("l_discount"))
+    line.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", vol)).cast("double") /
+        sum(vol).cast("double")).as("promo_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT 100.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))
+      |    FILTER (WHERE p_type = 'PROMO') AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Top supplier: derived view + scalar-subquery max (EnforceSingleRow). */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    t(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
+
+  // ---------------------------------------------------------------- q16 (adapted: distinct suppliers per brand/size via lineitem)
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Small-quantity-order revenue: correlated scalar subquery → join on
+    * pre-aggregated per-part averages (the decorrelation Catalyst and the
+    * reference's TransformCorrelatedScalarSubquery both perform).
+    */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val line = t(s, dir, "lineitem")
+    val part = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+    val perPart = line.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg((sum(col("l_quantity")).cast("double") / count(col("l_quantity")) * 0.2).as("avg_qty"))
+    line.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(col("l_quantity") < col("avg_qty"))
+      .agg((sum(money(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#13'
+      |  AND l_quantity < (
+      |    SELECT CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) * 0.2
+      |    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Large volume customers: IN-subquery over HAVING agg. */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val line = t(s, dir, "lineitem")
+    val bigOrders = line.groupBy(col("l_orderkey").as("bo_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+      .select(col("bo_orderkey"))
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(line, col("o_orderkey") === col("l_orderkey"))
+      .join(bigOrders, col("o_orderkey") === col("bo_orderkey"), "left_semi")
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .agg(xsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Discounted revenue: disjunctive join predicates. */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val line = t(s, dir, "lineitem")
+    line.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30)))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ---------------------------------------------------------------- q20 (adapted: semi + anti join combination)
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val line96 = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+    val returned = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 50)
+    val supp = t(s, dir, "supplier")
+    supp
+      .join(line96, supp("s_suppkey") === line96("l_suppkey"), "left_semi")
+      .join(returned, supp("s_suppkey") === returned("l_suppkey"), "left_anti")
+      .select(col("s_name"), col("s_acctbal"))
+  }
+
+  val q20Sql: String =
+    """SELECT s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+      |  AND s_suppkey NOT IN (
+      |    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 50)""".stripMargin
+
+  // ---------------------------------------------------------------- q21 (adapted: multi-line orders, EXISTS + NOT EXISTS w/ non-equi)
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val l1 = t(s, dir, "lineitem").alias("l1")
+    val l2 = t(s, dir, "lineitem").alias("l2")
+    val l3 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R").alias("l3")
+    val orders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    t(s, dir, "supplier")
+      .join(l1, col("s_suppkey") === col("l1.l_suppkey"))
+      .join(orders, col("o_orderkey") === col("l1.l_orderkey"))
+      .join(l2,
+        col("l2.l_orderkey") === col("l1.l_orderkey") &&
+        col("l2.l_suppkey") =!= col("l1.l_suppkey"), "left_semi")
+      .join(l3,
+        col("l3.l_orderkey") === col("l1.l_orderkey") &&
+        col("l3.l_suppkey") =!= col("l1.l_suppkey"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q22 (adapted: nationkey buckets, no phone column)
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(money(col("c_acctbal"))).cast("double") / count(col("c_acctbal"))).as("avg_bal"))
+    val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 7).cast("long").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), xsum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  val q22Sql: String =
+    """SELECT CAST(c_nationkey % 7 AS BIGINT) AS cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- exports
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1 _,
+    "q2_top_orders" -> q2 _,
+    "q3_shipping_priority" -> q3 _,
+    "q4_order_priority" -> q4 _,
+    "q5_local_supplier" -> q5 _,
+    "q6_forecast_revenue" -> q6 _,
+    "q7_volume_shipping" -> q7 _,
+    "q8_market_share" -> q8 _,
+    "q9_profit" -> q9 _,
+    "q10_returned_items" -> q10 _,
+    "q11_supplier_value" -> q11 _,
+    "q12_priority_class" -> q12 _,
+    "q13_cust_distribution" -> q13 _,
+    "q14_promo_effect" -> q14 _,
+    "q15_top_supplier" -> q15 _,
+    "q16_supplier_cnt" -> q16 _,
+    "q17_small_qty" -> q17 _,
+    "q18_large_orders" -> q18 _,
+    "q19_disjunctive" -> q19 _,
+    "q20_semi_anti" -> q20 _,
+    "q21_waiting_supplier" -> q21 _,
+    "q22_acctbal_buckets" -> q22 _)
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_top_orders" -> q2Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q4_order_priority" -> q4Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q7_volume_shipping" -> q7Sql,
+    "q8_market_share" -> q8Sql,
+    "q9_profit" -> q9Sql,
+    "q10_returned_items" -> q10Sql,
+    "q11_supplier_value" -> q11Sql,
+    "q12_priority_class" -> q12Sql,
+    "q13_cust_distribution" -> q13Sql,
+    "q14_promo_effect" -> q14Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q16_supplier_cnt" -> q16Sql,
+    "q17_small_qty" -> q17Sql,
+    "q18_large_orders" -> q18Sql,
+    "q19_disjunctive" -> q19Sql,
+    "q20_semi_anti" -> q20Sql,
+    "q21_waiting_supplier" -> q21Sql,
+    "q22_acctbal_buckets" -> q22Sql)
+}
