@@ -45,9 +45,26 @@ object Graft {
   /** Read one test table. Filters/projections on the result are pushed
     * into the parquet scan by Catalyst (verify via `PushedFilters` in
     * `.explain("formatted")`).
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
+    * by default ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong` maps it to a
+    * bigint of epoch-nanos, and [[events]] derives a micros timestamp.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table with `ts_ns` (exact epoch-nanos, ordering key) and
+    * `ts` (micros-precision timestamp for date/window functions).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
 
   /** Register every test table as a temp view (SQL-surface parity with
     * the reference's catalog.schema.table namespace, flattened).
