@@ -20,10 +20,15 @@ import graft.engine.Num._
   * TopNOperator.java:1, EnforceSingleRowOperator.java:1).
   *
   * Scale notes (100 TB): every query below is a pure declarative plan —
-  * Catalyst broadcasts the dimension side (region/nation/supplier/part
-  * at TPC-H ratios stay tiny relative to lineitem), pushes filters to
-  * the parquet scan, and splits every aggregate into partial/final. No
-  * collect(), no driver-side loops, no single-partition bottlenecks.
+  * Catalyst pushes filters to the parquet scan and splits every
+  * aggregate into partial/final. No collect(), no driver-side loops, no
+  * single-partition bottlenecks. Explicit `broadcast()` hints appear
+  * ONLY on relations whose size is bounded regardless of scale factor:
+  * `region` (5 rows) / `nation` (25 rows) and single-row scalar
+  * aggregates. customer/supplier/part grow linearly with SF, so their
+  * join strategy is left to AQE's runtime size check
+  * (`autoBroadcastJoinThreshold`) — a forced broadcast there would OOM
+  * at cluster scale instead of degrading to a shuffle join.
   */
 object Relational {
 
@@ -68,7 +73,7 @@ object Relational {
   def q2(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val cust = t(s, dir, "customer")
-    orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+    orders.join(cust, orders("o_custkey") === cust("c_custkey"))
       .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
@@ -85,7 +90,7 @@ object Relational {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val orders = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
     val line = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
-    broadcast(cust)
+    cust
       .join(orders, cust("c_custkey") === orders("o_custkey"))
       .join(line, orders("o_orderkey") === line("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -136,7 +141,7 @@ object Relational {
     val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
     cust.join(orders, col("c_custkey") === col("o_custkey"))
       .join(line, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(supp),
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -216,10 +221,10 @@ object Relational {
     val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val vol = revenue(col("l_extendedprice"), col("l_discount"))
     t(s, dir, "lineitem")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
       .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
       .join(broadcast(region), col("cn_rkey") === col("r_regionkey"))
@@ -247,10 +252,10 @@ object Relational {
   def q9(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part").filter(col("p_name").like("%red%"))
     val amount = revenue(col("l_extendedprice"), col("l_discount")) -
-      money(col("p_retailprice")) * factor(lit(0.5)) * factor(col("l_quantity"))
+      money(col("p_retailprice")) * factor(lit(0.5)) * money(col("l_quantity"))
     t(s, dir, "lineitem")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
@@ -260,7 +265,7 @@ object Relational {
   val q9Sql: String =
     """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
-      |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+      |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN orders ON l_orderkey = o_orderkey
@@ -360,7 +365,7 @@ object Relational {
     val line = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
     val vol = revenue(col("l_extendedprice"), col("l_discount"))
-    line.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+    line.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", vol)).cast("double") /
         sum(vol).cast("double")).as("promo_revenue"))
   }
@@ -403,7 +408,7 @@ object Relational {
     val part = t(s, dir, "part")
       .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
     t(s, dir, "lineitem")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -423,8 +428,8 @@ object Relational {
     val line = t(s, dir, "lineitem")
     val part = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
     val perPart = line.groupBy(col("l_partkey").as("agg_partkey"))
-      .agg((sum(col("l_quantity")).cast("double") / count(col("l_quantity")) * 0.2).as("avg_qty"))
-    line.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg((sum(money(col("l_quantity"))).cast("double") / count(col("l_quantity")) * 0.2).as("avg_qty"))
+    line.join(part, col("l_partkey") === col("p_partkey"))
       .join(perPart, col("l_partkey") === col("agg_partkey"))
       .filter(col("l_quantity") < col("avg_qty"))
       .agg((sum(money(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
@@ -435,7 +440,7 @@ object Relational {
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE p_brand = 'Brand#13'
       |  AND l_quantity < (
-      |    SELECT CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) * 0.2
+      |    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) * 0.2
       |    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
 
   // ---------------------------------------------------------------- q18
@@ -443,7 +448,7 @@ object Relational {
   def q18(s: SparkSession, dir: String): DataFrame = {
     val line = t(s, dir, "lineitem")
     val bigOrders = line.groupBy(col("l_orderkey").as("bo_orderkey"))
-      .agg(sum(col("l_quantity")).as("total_qty"))
+      .agg(sum(money(col("l_quantity"))).as("total_qty"))
       .filter(col("total_qty") > 200)
       .select(col("bo_orderkey"))
     t(s, dir, "customer")
@@ -462,7 +467,7 @@ object Relational {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_orderkey IN (
-      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200)
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
@@ -470,7 +475,7 @@ object Relational {
   /** Discounted revenue: disjunctive join predicates. */
   def q19(s: SparkSession, dir: String): DataFrame = {
     val line = t(s, dir, "lineitem")
-    line.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+    line.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
