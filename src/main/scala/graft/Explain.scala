@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan-snapshot harness (SURVEY §5.4 — the light version of the
+  * reference's golden plan tests, `testing/trino-tests/.../tpch/q01.plan
+  * .txt`): dumps `explain("formatted")` for every SparkEntry query so
+  * plan regressions (broadcast vs shuffle flips, lost filter pushdown,
+  * lost WindowGroupLimit) show up in review diffs.
+  *
+  * Usage: runMain graft.Explain [sfDir] [outDir]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "plans"
+    val spark = graft.engine.Graft.session("graft-explain", 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), plan)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[explain] $name failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

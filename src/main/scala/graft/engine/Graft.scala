@@ -46,7 +46,6 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
       // default ([PARQUET_TYPE_ILLEGAL]); map it to epoch-nanos bigint.

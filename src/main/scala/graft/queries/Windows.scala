@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+import graft.engine.Num._
+
+/** Window-function suite: ranking, value functions, aggregates over
+  * ROWS/RANGE frames, top-N-per-group, and a GROUPS-frame rewrite.
+  *
+  * Capability match: reference `operator/WindowOperator.java:70` (963
+  * LoC window operator), the function inventory under
+  * `operator/window/` (RowNumberFunction.java .. NTileFunction.java,
+  * FirstValueFunction.java .. LeadFunction.java,
+  * AggregateWindowFunction.java), frames in `RowsFraming.java` /
+  * `RangeFraming.java` / `GroupsFraming.java`, and the specialized
+  * top-N-per-group executors (`operator/TopNRankingOperator.java:1`,
+  * `RowNumberOperator.java:1`) — the corpus style follows
+  * `testing/trino-testing/.../AbstractTestWindowQueries.java`.
+  *
+  * Determinism discipline (the oracle hash-matches exact values):
+  * every ORDER BY inside a window whose function is order-sensitive
+  * (row_number, ntile, lag/lead, nth_value, ROWS frames) is made TOTAL
+  * with a unique tie-break key; rank/dense_rank/percent_rank/cume_dist
+  * and RANGE frames are tie-insensitive by construction. Sums inside
+  * frames use decimal-exact Num.money so partial order never shows.
+  *
+  * Scale notes (100 TB): a window is one shuffle on partitionBy keys +
+  * per-partition sort — same cost shape as the reference's
+  * WindowOperator PagesIndex. Every query below partitions by a
+  * high-cardinality key (custkey/suppkey/userkey); none uses an
+  * unpartitioned global window except through an aggregated
+  * distinct-key relation that is already tiny (w10's per-date groups).
+  * Top-N-per-group relies on Catalyst's InferWindowGroupLimit so rank
+  * filters prune inside the sort instead of materializing full
+  * partitions (verified by plan snapshot in the test suite).
+  */
+object Windows {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.load(s, dir, name)
+
+  // ------------------------------------------------------- w1 ranking
+  /** row_number / rank / dense_rank per customer.
+    * Ref: operator/window/RowNumberFunction.java, RankFunction.java. */
+  def w1(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byPriceTies = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      // ranks are int32 in Spark but int64 in the oracle engine — widen
+      row_number().over(byPrice).cast("long").as("rn"),
+      rank().over(byPriceTies).cast("long").as("rnk"),
+      dense_rank().over(byPriceTies).cast("long").as("drnk"))
+  }
+
+  val w1Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |  rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+      |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------------ w2 ntile/pct/cume
+  /** ntile + percent_rank + cume_dist per order priority.
+    * Ref: operator/window/NTileFunction.java, PercentRankFunction.java,
+    * CumulativeDistributionFunction.java. */
+  def w2(s: SparkSession, dir: String): DataFrame = {
+    val total = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ties = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"),
+      ntile(4).over(total).cast("long").as("tile"),
+      percent_rank().over(ties).as("pr"),
+      cume_dist().over(ties).as("cd"))
+  }
+
+  val w2Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  ntile(4)       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS tile,
+      |  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pr,
+      |  cume_dist()    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------- w3 lag / lead
+  /** lag/lead with explicit defaults over each customer's order
+    * history. Ref: operator/window/LagFunction.java, LeadFunction.java. */
+  def w3(s: SparkSession, dir: String): DataFrame = {
+    val hist = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1, -1.0).over(hist).as("prev_price"),
+      lead(col("o_totalprice"), 1, -1.0).over(hist).as("next_price"))
+  }
+
+  val w3Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice, 1, -1.0)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  lead(o_totalprice, 1, -1.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------------- w4 IGNORE NULLS
+  /** Value functions with IGNORE NULLS: last non-error measurement
+    * strictly before the current event, and lag-ignore-nulls, per user.
+    * Ref: IGNORE NULLS handling in operator/window/FirstValueFunction
+    * .java / LagFunction.java (ValueWindowFunction SPI). */
+  def w4(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val before = seq.rowsBetween(Window.unboundedPreceding, -1)
+    val nonError = when(col("event_type") =!= "error", col("value"))
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      last(nonError, ignoreNulls = true).over(before).as("prev_ok_value"),
+      lag(nonError, 1, null, ignoreNulls = true).over(seq).as("lag_ok_value"))
+  }
+
+  val w4Sql: String =
+    """SELECT user_id, event_id,
+      |  last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ok_value,
+      |  lag(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY event_id) AS lag_ok_value
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------ w5 running totals
+  /** Running (cumulative) decimal-exact sum + running count per
+    * customer: ROWS UNBOUNDED PRECEDING .. CURRENT ROW.
+    * Ref: operator/window/AggregateWindowFunction.java + RowsFraming. */
+  def w5(s: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(money(col("o_totalprice"))).over(run).cast("double").as("run_spend"),
+      count(lit(1)).over(run).as("run_orders"))
+  }
+
+  val w5Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_orders
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------------ w6 RANGE frame
+  /** Numeric RANGE frame: how many orders (and how much value) sit
+    * within 1000 below the current price, per priority class. RANGE
+    * includes peers → tie-insensitive. Ref: RangeFraming.java. */
+  def w6(s: SparkSession, dir: String): DataFrame = {
+    // Scala Window.rangeBetween only takes Long boundaries; a fractional
+    // range offset needs the SQL window form (same Catalyst plan).
+    val over = "OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice " +
+      "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    t(s, dir, "orders").selectExpr(
+      "o_orderkey", "o_orderpriority",
+      s"count(*) $over AS band_cnt",
+      s"CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) $over AS DOUBLE) AS band_sum")
+  }
+
+  val w6Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS band_cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_sum
+      |FROM orders""".stripMargin
+
+  // -------------------------------------- w7 first/last/nth value fns
+  /** first_value / last_value / nth_value over the full partition
+    * frame (richest/poorest/3rd-richest customer per nation).
+    * Ref: FirstValueFunction.java, LastValueFunction.java,
+    * NthValueFunction.java. */
+  def w7(s: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey"),
+      first(col("c_name")).over(full).as("richest"),
+      last(col("c_name")).over(full).as("poorest"),
+      nth_value(col("c_name"), 3).over(full).as("third"))
+  }
+
+  val w7Sql: String =
+    """SELECT c_custkey, c_nationkey,
+      |  first_value(c_name) OVER w AS richest,
+      |  last_value(c_name)  OVER w AS poorest,
+      |  nth_value(c_name,3) OVER w AS third
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  // --------------------------------------------- w8 top-N per group
+  /** Top-3 orders per customer via rank filter — Catalyst rewrites the
+    * row_number + predicate into WindowGroupLimit so each partition
+    * keeps a bounded heap instead of a full sort (the reference's
+    * specialized `operator/TopNRankingOperator.java:1` /
+    * `GroupedTopNRowNumberBuilder.java`). */
+  def w8(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(byPrice))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  val w8Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) ranked
+      |WHERE rn <= 3""".stripMargin
+
+  // ------------------------------------------- w9 moving aggregates
+  /** Moving sum/min/max/count/avg over a sliding ROWS frame (3
+    * preceding .. current) per supplier shipment history. The moving
+    * avg divides a decimal-exact sum by the frame count so both
+    * engines perform one identical IEEE division. */
+  def w9(s: SparkSession, dir: String): DataFrame = {
+    val slide = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-3, Window.currentRow)
+    t(s, dir, "lineitem").select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      sum(money(col("l_extendedprice"))).over(slide).cast("double").as("mov_sum"),
+      min(col("l_extendedprice")).over(slide).as("mov_min"),
+      max(col("l_extendedprice")).over(slide).as("mov_max"),
+      count(lit(1)).over(slide).as("mov_cnt"),
+      (sum(money(col("l_extendedprice"))).over(slide).cast("double") /
+        count(lit(1)).over(slide)).as("mov_avg"))
+  }
+
+  val w9Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS mov_sum,
+      |  min(l_extendedprice) OVER w AS mov_min,
+      |  max(l_extendedprice) OVER w AS mov_max,
+      |  count(*) OVER w AS mov_cnt,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w AS DOUBLE) / count(*) OVER w AS mov_avg
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ------------------------------------------ w10 GROUPS frame rewrite
+  /** GROUPS frame emulation (SURVEY §7.3 hard item (b)): `sum(x) OVER
+    * (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)` has no
+    * Spark equivalent (and DuckDB 1.0 lacks it too), so both sides use
+    * the canonical rewrite: aggregate per distinct key, window over the
+    * (tiny) distinct-key relation with a ROWS frame, join back. Ref:
+    * `operator/window/GroupsFraming.java`. At 100 TB the distinct-key
+    * relation is |dates| ≈ thousands → broadcast join back, no extra
+    * big-table shuffle beyond the per-key aggregation. */
+  def w10(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val perDay = orders.groupBy(col("o_orderdate").as("d"))
+      .agg(sum(money(col("o_totalprice"))).as("day_sum"))
+    val groupsFrame = Window.orderBy(col("d")).rowsBetween(-1, Window.currentRow)
+    val withPrev = perDay.select(
+      col("d"),
+      sum(col("day_sum")).over(groupsFrame).cast("double").as("grp_sum"))
+    orders.join(broadcast(withPrev), col("o_orderdate") === col("d"))
+      .select(col("o_orderkey"), col("grp_sum"))
+  }
+
+  val w10Sql: String =
+    """WITH g AS (
+      |  SELECT o_orderdate AS d, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS day_sum
+      |  FROM orders GROUP BY o_orderdate),
+      |g2 AS (
+      |  SELECT d, CAST(day_sum + COALESCE(lag(day_sum) OVER (ORDER BY d), 0) AS DOUBLE) AS grp_sum
+      |  FROM g)
+      |SELECT o_orderkey, grp_sum
+      |FROM orders JOIN g2 ON o_orderdate = d""".stripMargin
+
+  // ------------------------------------------------------------- exports
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_ranking" -> w1 _,
+    "w2_ntile_pct" -> w2 _,
+    "w3_lag_lead" -> w3 _,
+    "w4_ignore_nulls" -> w4 _,
+    "w5_running_sum" -> w5 _,
+    "w6_range_frame" -> w6 _,
+    "w7_value_fns" -> w7 _,
+    "w8_topn_per_group" -> w8 _,
+    "w9_moving_agg" -> w9 _,
+    "w10_groups_frame" -> w10 _)
+
+  val oracle: Map[String, String] = Map(
+    "w1_ranking" -> w1Sql,
+    "w2_ntile_pct" -> w2Sql,
+    "w3_lag_lead" -> w3Sql,
+    "w4_ignore_nulls" -> w4Sql,
+    "w5_running_sum" -> w5Sql,
+    "w6_range_frame" -> w6Sql,
+    "w7_value_fns" -> w7Sql,
+    "w8_topn_per_group" -> w8Sql,
+    "w9_moving_agg" -> w9Sql,
+    "w10_groups_frame" -> w10Sql)
+}
