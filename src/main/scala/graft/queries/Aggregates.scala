@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+import graft.engine.Num._
+
+/** Aggregate-function inventory beyond sum/avg/count/min/max: min_by/
+  * max_by, boolean and bitwise aggregates, count_if, statistical
+  * aggregates, approximate (sketch) aggregates with error-bound
+  * verification, ordered array_agg / listagg, and histogram/map_agg.
+  *
+  * Capability match (SURVEY §2.4, reference `operator/aggregation/`):
+  * MinByAggregationFunction.java / MaxByAggregationFunction.java,
+  * BooleanAndAggregation.java / BooleanOrAggregation.java,
+  * BitwiseAndAggregation.java, CountIfAggregation.java,
+  * VarianceAggregation.java / DoubleCorrelationAggregation.java /
+  * DoubleCovarianceAggregation.java / GeometricMeanAggregations.java,
+  * ApproximateCountDistinctAggregation.java (error-bound constants at
+  * :47-48 — we assert the same style of bound, not bit equality, since
+  * sketches are engine-specific), ApproximateLongPercentileAggregations
+  * .java, arrayagg/ArrayAggregationFunction.java + OrderedAccumulator
+  * Factory.java (ordered aggregates), listagg/, histogram/TypedHistogram
+  * .java, MapAggregationFunction.java.
+  *
+  * Determinism discipline: statistical aggregates over doubles are
+  * order-dependent in the low ulps, so cross-engine comparisons use
+  * (a) exact decimal moments (sums of decimal products) pushed through
+  * one identical IEEE formula, and (b) native engine implementations
+  * only under a coarse round(). Sketch outputs are compared via
+  * error-bound predicates (both engines must land within the bound),
+  * mirroring the reference's approx-aggregate test protocol.
+  *
+  * Scale notes (100 TB): every query is a single partial/final hash
+  * aggregation — min_by/bool/bit/count_if/moments all have O(1)
+  * per-group state and map-side combine; collect_list-based ordered
+  * aggregates are bounded here by group size (customers per nation);
+  * the sketches (HLL, KLL) are O(kB) mergeable state — exactly why
+  * they exist at this scale.
+  */
+object Aggregates {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.load(s, dir, name)
+
+  // -------------------------------------------------- ag1 min_by/max_by
+  /** min_by/max_by with a unique ordering key (deterministic), plus
+    * plain string min/max. */
+  def ag1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        min_by(col("c_name"), col("c_custkey")).as("first_customer"),
+        max_by(col("c_name"), col("c_custkey")).as("last_customer"),
+        min(col("c_name")).as("min_name"),
+        max(col("c_name")).as("max_name"),
+        count(lit(1)).as("cnt"))
+
+  val ag1Sql: String =
+    """SELECT c_nationkey,
+      |  min_by(c_name, c_custkey) AS first_customer,
+      |  max_by(c_name, c_custkey) AS last_customer,
+      |  min(c_name) AS min_name,
+      |  max(c_name) AS max_name,
+      |  count(*) AS cnt
+      |FROM customer GROUP BY c_nationkey""".stripMargin
+
+  // ----------------------------------------- ag2 bool/bit aggregates
+  /** bool_and / bool_or / bit_and / bit_or / bit_xor / count_if. */
+  def ag2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_discount") <= 0.1).as("all_small_disc"),
+        bool_or(col("l_quantity") > 49).as("any_huge_qty"),
+        bit_and(col("l_orderkey")).as("keys_and"),
+        bit_or(col("l_orderkey")).as("keys_or"),
+        bit_xor(col("l_orderkey")).as("keys_xor"),
+        count_if(col("l_tax") > 0.05).as("high_tax_cnt"))
+
+  val ag2Sql: String =
+    """SELECT l_returnflag,
+      |  bool_and(l_discount <= 0.1) AS all_small_disc,
+      |  bool_or(l_quantity > 49) AS any_huge_qty,
+      |  bit_and(l_orderkey) AS keys_and,
+      |  bit_or(l_orderkey) AS keys_or,
+      |  bit_xor(l_orderkey) AS keys_xor,
+      |  CAST(count_if(l_tax > 0.05) AS BIGINT) AS high_tax_cnt
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------------- ag3 statistical aggs
+  /** Statistical aggregates two ways: exact decimal moments pushed
+    * through one shared IEEE formula (order-independent — the
+    * distributed-determinism trick), plus the native streaming
+    * implementations under a coarse round() as a sanity cross-check.
+    * Covers var_samp/var_pop/stddev/corr/covar/geometric_mean. */
+  def ag3(s: SparkSession, dir: String): DataFrame = {
+    val q = money(col("l_quantity"))
+    val p = money(col("l_extendedprice"))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("s1"), sum(q * q).as("s2"),
+        sum(p).as("p1"), sum(p * p).as("p2"),
+        sum(q * p).as("sqp"),
+        round(stddev_samp(col("l_quantity")), 4).as("stddev_native"),
+        round(var_pop(col("l_quantity")), 4).as("varpop_native"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_native"))
+      .select(
+        col("l_linestatus"), col("n"),
+        // var_samp = (n*Σx² − (Σx)²) / (n(n−1)) — every operand exact
+        ((col("n") * col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double")) /
+          (col("n") * (col("n") - 1))).as("var_exact"),
+        // covar_pop = (n*Σxy − ΣxΣy) / n²
+        ((col("n") * col("sqp").cast("double") -
+          col("s1").cast("double") * col("p1").cast("double")) /
+          (col("n") * col("n"))).as("covar_exact"),
+        col("stddev_native"), col("varpop_native"), col("corr_native"))
+  }
+
+  val ag3Sql: String =
+    """SELECT l_linestatus, n,
+      |  (n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (n * (n - 1)) AS var_exact,
+      |  (n * CAST(sqp AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(p1 AS DOUBLE)) / (n * n) AS covar_exact,
+      |  stddev_native, varpop_native, corr_native
+      |FROM (
+      |  SELECT l_linestatus, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS s1,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS s2,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS p1,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS p2,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp,
+      |    round(stddev_samp(l_quantity), 4) AS stddev_native,
+      |    round(var_pop(l_quantity), 4) AS varpop_native,
+      |    round(corr(l_quantity, l_extendedprice), 6) AS corr_native
+      |  FROM lineitem GROUP BY l_linestatus) m""".stripMargin
+
+  // ------------------------------------- ag4 approx sketches w/ bounds
+  /** Sketch aggregates verified by error bound, not bit equality
+    * (sketch layouts are engine-specific): approx_count_distinct must
+    * land within 10% of the exact distinct count, approx median within
+    * the exact p25..p75 band. Both engines evaluate their own sketch
+    * against their own exact values → both emit the same booleans.
+    * At 100 TB these sketches are THE scalable path: O(kB) mergeable
+    * state vs an exact distinct's full shuffle. */
+  def ag4(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_cust"),
+        approx_count_distinct(col("o_custkey")).as("apx"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("apx_med"),
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))
+      .select(
+        col("exact_cust"),
+        (abs(col("apx") - col("exact_cust")) <= col("exact_cust") * 0.1).as("cd_within_10pct"),
+        (col("apx_med") >= col("p25") && col("apx_med") <= col("p75")).as("median_in_iqr"))
+
+  val ag4Sql: String =
+    """SELECT exact_cust,
+      |  abs(apx - exact_cust) <= exact_cust * 0.1 AS cd_within_10pct,
+      |  apx_med >= p25 AND apx_med <= p75 AS median_in_iqr
+      |FROM (
+      |  SELECT count(DISTINCT o_custkey) AS exact_cust,
+      |    approx_count_distinct(o_custkey) AS apx,
+      |    approx_quantile(o_totalprice, 0.5) AS apx_med,
+      |    quantile_cont(o_totalprice, 0.25) AS p25,
+      |    quantile_cont(o_totalprice, 0.75) AS p75
+      |  FROM orders) a""".stripMargin
+
+  // ------------------------------------ ag5 ordered array_agg/listagg
+  /** Ordered aggregates: listagg(name ORDER BY name) and
+    * array_agg(name ORDER BY balance,key) — Spark expresses ORDER BY
+    * inside an aggregate as sort_array/array_sort over collected
+    * structs (SURVEY §2.4: OrderedAccumulatorFactory mapping). */
+  def ag5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("c_name")))).as("names_alpha"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("c_acctbal"), col("c_custkey"), col("c_name")))),
+            x => x.getField("c_name"))).as("names_by_balance"))
+
+  val ag5Sql: String =
+    """SELECT c_nationkey,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS names_alpha,
+      |  string_agg(c_name, ',' ORDER BY c_acctbal, c_custkey) AS names_by_balance
+      |FROM customer WHERE c_custkey <= 300
+      |GROUP BY c_nationkey""".stripMargin
+
+  // --------------------------------------------- ag6 histogram/map_agg
+  /** histogram / map_agg equivalence: per-key counts rendered as a
+    * canonical sorted "k:v" string (maps don't have a stable
+    * cross-engine literal form; the composition groupBy→count→
+    * map_from_entries IS Spark's histogram). */
+  def ag6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .select(concat(col("o_orderpriority"), lit(":"), col("c")).as("kv"))
+      .agg(concat_ws(",", array_sort(collect_list(col("kv")))).as("histogram"))
+
+  val ag6Sql: String =
+    """SELECT string_agg(kv, ',' ORDER BY kv) AS histogram FROM (
+      |  SELECT o_orderpriority || ':' || count(*) AS kv
+      |  FROM orders GROUP BY o_orderpriority) h""".stripMargin
+
+  // ------------------------------------------------------------- exports
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ag1_minmax_by" -> ag1 _,
+    "ag2_bool_bit" -> ag2 _,
+    "ag3_stats" -> ag3 _,
+    "ag4_approx_bounds" -> ag4 _,
+    "ag5_ordered_agg" -> ag5 _,
+    "ag6_histogram" -> ag6 _)
+
+  val oracle: Map[String, String] = Map(
+    "ag1_minmax_by" -> ag1Sql,
+    "ag2_bool_bit" -> ag2Sql,
+    "ag3_stats" -> ag3Sql,
+    "ag4_approx_bounds" -> ag4Sql,
+    "ag5_ordered_agg" -> ag5Sql,
+    "ag6_histogram" -> ag6Sql)
+}
