@@ -38,7 +38,7 @@ object Graft {
     */
   def session(appName: String = "graft",
               cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    SparkSession.builder()
+    val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -52,7 +52,12 @@ object Graft {
       // Set once here so load() has no config side effects.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // function registry: native expressions + sketch aggregates
+      // (≈ the reference's SystemFunctionBundle registration)
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
+    graft.functions.GraftFunctions.registerUdfs(spark)
+    spark
   }
 
   /** Read one test table. Filters/projections on the result are pushed

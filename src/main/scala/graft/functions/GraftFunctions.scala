@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's function registry (≈ the reference's
+  * `metadata/SystemFunctionBundle.java:350`, which assembles 460
+  * @ScalarFunction declarations): native Catalyst expressions and
+  * custom aggregates are injected through [[SparkSessionExtensions]]
+  * (Spark's public plugin point), and pure-Scala gap-fill scalars are
+  * registered as session UDFs.
+  *
+  * Native (codegen) expressions — hot-path, stay inside whole-stage
+  * codegen: cosine_similarity, simhash64, qdigest_agg /
+  * value_at_quantile, approx_most_frequent.
+  *
+  * UDF gap-fill (reference file in parens): word_stem
+  * (WordStemFunction.java), lang_id (capability-add for the LLM
+  * pipeline), ngrams (ArrayFunctions ngrams), wilson_interval_lower/
+  * upper (WilsonInterval.java), url_encode/url_decode
+  * (UrlFunctions.java), ip_prefix_contains (IpAddressFunctions.java),
+  * luhn_check (LuhnCheckFunction.java). UDFs don't codegen, so they
+  * are reserved for low-volume columns; anything on the 100 TB hot
+  * path gets a native expression instead.
+  */
+object GraftFunctions {
+
+  // ---------------------------------------------------------- injection
+  def inject(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("qdigest_agg"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "qdigest_agg"),
+      (children: Seq[Expression]) => QuantileSketchAgg(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("value_at_quantile"),
+      new ExpressionInfo(classOf[ValueAtQuantile].getName, "value_at_quantile"),
+      (children: Seq[Expression]) => ValueAtQuantile(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("approx_most_frequent"),
+      new ExpressionInfo(classOf[ApproxMostFrequentAgg].getName, "approx_most_frequent"),
+      (children: Seq[Expression]) => ApproxMostFrequentAgg(children(0), children(1))))
+  }
+
+  // --------------------------------------------------------- UDF layer
+  def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("word_stem", (s: String) => wordStem(s))
+    spark.udf.register("lang_id", (s: String) => langId(s))
+    spark.udf.register("ngrams",
+      (words: Seq[String], n: Int) => ngrams(words, n))
+    spark.udf.register("wilson_interval_lower",
+      (pos: Long, n: Long, z: Double) => wilsonLower(pos, n, z))
+    spark.udf.register("wilson_interval_upper",
+      (pos: Long, n: Long, z: Double) => wilsonUpper(pos, n, z))
+    spark.udf.register("url_encode", (s: String) => urlEncode(s))
+    spark.udf.register("url_decode", (s: String) => urlDecode(s))
+    spark.udf.register("ip_prefix_contains",
+      (cidr: String, ip: String) => ipPrefixContains(cidr, ip))
+    spark.udf.register("luhn_check", (s: String) => luhnCheck(s))
+  }
+
+  // ------------------------------------------------------ implementations
+
+  /** Suffix-stripping stemmer (Porter step-1-style subset; the
+    * reference wraps a full Porter stemmer). */
+  def wordStem(s: String): String = {
+    if (s == null) return null
+    val w = s.toLowerCase
+    if (w.length > 4 && w.endsWith("ies")) w.dropRight(3) + "y"
+    else if (w.length > 5 && w.endsWith("sses")) w.dropRight(2)
+    else if (w.length > 4 && w.endsWith("ing")) w.dropRight(3)
+    else if (w.length > 4 && w.endsWith("edly")) w.dropRight(4)
+    else if (w.length > 3 && w.endsWith("ed")) w.dropRight(2)
+    else if (w.length > 4 && w.endsWith("ly")) w.dropRight(2)
+    else if (w.length > 3 && w.endsWith("es")) w.dropRight(2)
+    else if (w.length > 2 && w.endsWith("s") && !w.endsWith("ss")) w.dropRight(1)
+    else w
+  }
+
+  private val stopProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour"),
+    "es" -> Set("el", "los", "las", "y", "es", "un", "una", "que", "por", "para"))
+
+  /** Heuristic language ID: CJK codepoint share for zh, stop-word
+    * profile votes for the latin-script languages, "und" when no
+    * signal. Deterministic, pure function of the text. */
+  def langId(s: String): String = {
+    if (s == null || s.isEmpty) return "und"
+    val cjk = s.codePoints().toArray.count(cp =>
+      (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf))
+    if (cjk * 5 >= s.length) return "zh"
+    val words = s.toLowerCase.split("\\s+").toSeq
+    val scores = stopProfiles.view.mapValues(p => words.count(p.contains)).toMap
+    val (bestLang, bestScore) = scores.toSeq.sortBy { case (l, c) => (-c, l) }.head
+    if (bestScore == 0) "und" else bestLang
+  }
+
+  /** Word n-grams joined by single spaces (reference: ngrams() in the
+    * array function family). */
+  def ngrams(words: Seq[String], n: Int): Seq[String] =
+    if (words == null || n < 1 || words.length < n) Seq.empty
+    else words.sliding(n).map(_.mkString(" ")).toSeq
+
+  /** Wilson score interval (public formula; reference
+    * `operator/scalar/WilsonInterval.java`). */
+  def wilsonLower(pos: Long, n: Long, z: Double): Double = wilson(pos, n, z, -1)
+  def wilsonUpper(pos: Long, n: Long, z: Double): Double = wilson(pos, n, z, 1)
+
+  private def wilson(pos: Long, n: Long, z: Double, dir: Int): Double = {
+    if (n == 0) return Double.NaN
+    val p = pos.toDouble / n
+    val z2 = z * z
+    val v = (p + z2 / (2 * n) + dir * z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))) /
+      (1 + z2 / n)
+    // clamp: a proportion interval lives in [0,1]; the raw formula can
+    // stray by one ulp at p∈{0,1}
+    math.min(1.0, math.max(0.0, v))
+  }
+
+  /** RFC 3986-style encode (the reference's url_encode keeps spaces as
+    * %20, unlike java's form encoding). */
+  def urlEncode(s: String): String =
+    if (s == null) null
+    else java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  def urlDecode(s: String): String =
+    if (s == null) null
+    else java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
+  /** IPv4 CIDR containment (reference IpAddressFunctions contains). */
+  def ipPrefixContains(cidr: String, ip: String): Boolean = {
+    def toBits(a: String): Long =
+      a.split('.').foldLeft(0L)((acc, o) => (acc << 8) | o.toInt)
+    val Array(base, lenS) = cidr.split('/')
+    val len = lenS.toInt
+    val mask = if (len == 0) 0L else (-1L << (32 - len)) & 0xffffffffL
+    (toBits(base) & mask) == (toBits(ip) & mask)
+  }
+
+  /** Luhn checksum validation (reference LuhnCheckFunction.java). */
+  def luhnCheck(s: String): Boolean = {
+    if (s == null || s.isEmpty || !s.forall(_.isDigit)) return false
+    var sum = 0
+    var alt = false
+    var i = s.length - 1
+    while (i >= 0) {
+      var d = s.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+}
+
+/** Session-extension entry point: usable both programmatically
+  * (`Graft.session` does `.withExtensions(new GraftExtensions)`) and
+  * via `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
+}

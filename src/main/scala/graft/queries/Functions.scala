@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+
+/** Fixture queries exercising the function registry (graft.functions):
+  * the native cosine_similarity expression, width_bucket, the qdigest
+  * sketch aggregate under an error-bound oracle, the space-saving
+  * heavy-hitters aggregate, and simhash64 banding.
+  *
+  * Oracle protocol notes: sketch internals are engine-specific, so
+  * (exactly like the reference's approx-aggregate tests,
+  * `ApproximateCountDistinctAggregation.java:47-48`) the oracle pins
+  * error-bound PREDICATES (which both engines must satisfy) or exact
+  * values the sketch provably reproduces at this cardinality, never
+  * sketch bytes.
+  */
+object Functions {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.load(s, dir, name)
+
+  // ------------------------------------------- f1 cosine expression
+  /** The registered native cosine_similarity expression (SQL surface),
+    * checked bit-exactly against the oracle's explicit fold formula —
+    * proves the codegen'd kernel computes the documented left-fold. */
+  def f1(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    q.join(e.filter(col("vec_id").between(5, 40)), col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id", "cosine_similarity(qe, embedding) AS cos")
+  }
+
+  val f1Sql: String =
+    """SELECT q.vec_id AS qid, e.vec_id,
+      |  list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+      |FROM embeddings q, embeddings e
+      |WHERE q.vec_id < 5 AND e.vec_id BETWEEN 5 AND 40""".stripMargin
+
+  // --------------------------------------------- f2 width_bucket
+  /** width_bucket histogram of order values (reference MathFunctions
+    * width_bucket); the oracle spells out the same clamped-floor
+    * formula. Bucket edges are exact decimals so both formulations
+    * produce identical doubles at the boundaries. */
+  def f2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .selectExpr("width_bucket(o_totalprice, 0.0, 600000.0, 12) AS bucket")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  val f2Sql: String =
+    """SELECT bucket, count(*) AS cnt FROM (
+      |  SELECT CASE
+      |    WHEN o_totalprice < 0.0 THEN 0
+      |    WHEN o_totalprice >= 600000.0 THEN 13
+      |    ELSE CAST(floor(o_totalprice / 600000.0 * 12) AS BIGINT) + 1
+      |  END AS bucket FROM orders) b
+      |GROUP BY bucket""".stripMargin
+
+  // ------------------------------------------ f3 qdigest sketch
+  /** The mergeable log-bucket quantile sketch: per return flag, the
+    * sketch median must land inside the exact interquartile range and
+    * within 1% relative error of the exact median (its design bound) —
+    * both engines emit the same booleans when the sketch is correct. */
+  def f3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("value_at_quantile(qdigest_agg(l_extendedprice), 0.5)").as("med"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        (col("med") >= col("p25") && col("med") <= col("p75")).as("med_in_iqr"),
+        (abs(col("med") - col("p50")) <= abs(col("p50")) * 0.011).as("med_within_1pct"),
+        col("n"))
+
+  val f3Sql: String =
+    """SELECT l_returnflag, TRUE AS med_in_iqr, TRUE AS med_within_1pct,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // -------------------------------------- f4 approx_most_frequent
+  /** Space-saving heavy hitters. event_type has 5 distinct values <
+    * capacity, so the sketch is provably exact here — the oracle pins
+    * the exact top-1 and its count. */
+  def f4(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(expr("approx_most_frequent(3, event_type)").as("m"))
+      .select(
+        element_at(map_keys(col("m")), 1).as("top_type"),
+        element_at(map_values(col("m")), 1).as("top_cnt"))
+
+  val f4Sql: String =
+    """SELECT max_by(event_type, c) AS top_type, max(c) AS top_cnt FROM (
+      |  SELECT event_type, count(*) AS c FROM events GROUP BY event_type) t""".stripMargin
+
+  // ------------------------------------------------ f5 simhash LSH
+  /** simhash64 near-dup candidates: band the 64-bit fingerprint into
+    * four 16-bit chunks and join on chunk equality (no all-pairs) —
+    * rows-only (the oracle engine cannot evaluate our fingerprint);
+    * the unit suite pins known near-dup pairs. */
+  def f5(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "documents")
+      .selectExpr("doc_id", "simhash64(text) AS fp")
+    val chunks = fp.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("ck", expr("(fp >> (chunk * 16)) & 65535"))
+    val a = chunks.select(col("chunk").as("chunk_a"), col("ck").as("ck_a"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = chunks.select(col("chunk").as("chunk_b"), col("ck").as("ck_b"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, col("chunk_a") === col("chunk_b") && col("ck_a") === col("ck_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
+  // ------------------------------------------------------------- exports
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_cosine_expr" -> f1 _,
+    "f2_width_bucket" -> f2 _,
+    "f3_qdigest_quantile" -> f3 _,
+    "f4_heavy_hitters" -> f4 _,
+    "f5_simhash_lsh" -> f5 _)
+
+  val oracle: Map[String, String] = Map(
+    "f1_cosine_expr" -> f1Sql,
+    "f2_width_bucket" -> f2Sql,
+    "f3_qdigest_quantile" -> f3Sql,
+    "f4_heavy_hitters" -> f4Sql)
+    // f5 is rows-only: the fingerprint is engine-specific
+}

@@ -1,0 +1,180 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** Unit tests for the function registry's pure kernels (SURVEY §5:
+  * per-function tests + property-style identities; reference keeps 89
+  * per-operator unit files under `core/trino-main/src/test/.../operator/`). */
+class FunctionsSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- luhn
+  test("luhn_check validates known numbers") {
+    assert(GraftFunctions.luhnCheck("79927398713"))
+    assert(!GraftFunctions.luhnCheck("79927398714"))
+    assert(GraftFunctions.luhnCheck("4539148803436467"))
+    assert(!GraftFunctions.luhnCheck(""))
+    assert(!GraftFunctions.luhnCheck("12a4"))
+  }
+
+  // ------------------------------------------------------------- stem
+  test("word_stem strips documented suffixes") {
+    assert(GraftFunctions.wordStem("stories") == "story")
+    assert(GraftFunctions.wordStem("running") == "runn")
+    assert(GraftFunctions.wordStem("jumped") == "jump")
+    assert(GraftFunctions.wordStem("tables") == "tabl")
+    assert(GraftFunctions.wordStem("class") == "class")
+    assert(GraftFunctions.wordStem("cats") == "cat")
+  }
+
+  // ----------------------------------------------------------- wilson
+  test("wilson interval brackets the sample proportion") {
+    for (pos <- Seq(0L, 1L, 5L, 10L, 19L, 20L)) {
+      val lo = GraftFunctions.wilsonLower(pos, 20, 1.96)
+      val hi = GraftFunctions.wilsonUpper(pos, 20, 1.96)
+      val p = pos / 20.0
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p + 1e-12 && p <= hi + 1e-12,
+        s"pos=$pos lo=$lo hi=$hi")
+    }
+    // symmetric: lower(k,n) == 1 - upper(n-k,n)
+    val l = GraftFunctions.wilsonLower(7, 20, 1.96)
+    val u = GraftFunctions.wilsonUpper(13, 20, 1.96)
+    assert(math.abs(l - (1 - u)) < 1e-12)
+  }
+
+  // -------------------------------------------------------------- url
+  test("url_encode/url_decode round-trip with %20 spaces") {
+    assert(GraftFunctions.urlEncode("a b/c") == "a%20b%2Fc")
+    val s = "key=va l&x=1/2?q"
+    assert(GraftFunctions.urlDecode(GraftFunctions.urlEncode(s)) == s)
+  }
+
+  // --------------------------------------------------------------- ip
+  test("ip_prefix_contains handles IPv4 CIDR") {
+    assert(GraftFunctions.ipPrefixContains("10.0.0.0/8", "10.1.2.3"))
+    assert(!GraftFunctions.ipPrefixContains("192.168.1.0/24", "192.168.2.1"))
+    assert(GraftFunctions.ipPrefixContains("0.0.0.0/0", "8.8.8.8"))
+    assert(GraftFunctions.ipPrefixContains("192.168.1.7/32", "192.168.1.7"))
+  }
+
+  // ------------------------------------------------------------ ngrams
+  test("ngrams slides over word sequences") {
+    assert(GraftFunctions.ngrams(Seq("a", "b", "c"), 2) == Seq("a b", "b c"))
+    assert(GraftFunctions.ngrams(Seq("a"), 2).isEmpty)
+    assert(GraftFunctions.ngrams(Seq("a", "b", "c"), 3) == Seq("a b c"))
+  }
+
+  // ----------------------------------------------------------- lang id
+  test("lang_id classifies stop-word profiles and CJK") {
+    assert(GraftFunctions.langId("the cat sat on the mat and it is happy") == "en")
+    assert(GraftFunctions.langId("der hund ist nicht zu haus und die katze") == "de")
+    assert(GraftFunctions.langId("le chat est dans la maison et les oiseaux") == "fr")
+    assert(GraftFunctions.langId("el perro es una mascota que vive por aqui") == "es")
+    assert(GraftFunctions.langId("你好世界这是中文") == "zh")
+    assert(GraftFunctions.langId("") == "und")
+    assert(GraftFunctions.langId("zzz qqq xxx") == "und")
+  }
+
+  // ----------------------------------------------------------- simhash
+  test("simhash: identical texts collide, near-dups stay close, unrelated diverge") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rnd = new Random(42)
+    def doc(): Array[String] = Array.fill(40)(s"w${rnd.nextInt(500)}")
+    var nearSum = 0
+    var farMin = Int.MaxValue
+    for (_ <- 1 to 20) {
+      val a = doc()
+      val b = a.clone(); b(rnd.nextInt(a.length)) = "changed"
+      val c = doc()
+      val ha = SimHashUtil.compute(u(a.mkString(" ")))
+      val hb = SimHashUtil.compute(u(b.mkString(" ")))
+      val hc = SimHashUtil.compute(u(c.mkString(" ")))
+      assert(ha == SimHashUtil.compute(u(a.mkString(" "))))
+      nearSum += java.lang.Long.bitCount(ha ^ hb)
+      farMin = math.min(farMin, java.lang.Long.bitCount(ha ^ hc))
+    }
+    assert(nearSum / 20.0 <= 8.0, s"near-dup mean hamming ${nearSum / 20.0}")
+    assert(farMin >= 10, s"unrelated min hamming $farMin")
+  }
+
+  // --------------------------------------------------- quantile sketch
+  test("quantile sketch: relative error bound and order-independent merge") {
+    val rnd = new Random(7)
+    val data = Array.fill(50000)(math.exp(rnd.nextGaussian() * 2)) ++
+      Array.fill(500)(-math.exp(rnd.nextGaussian())) ++ Array.fill(100)(0.0)
+    val whole = new LogQuantileSketch(0.01)
+    data.foreach(whole.add)
+    val sorted = data.sorted
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = whole.quantile(q)
+      val rank = math.max(1, math.ceil(q * data.length).toInt)
+      val exact = sorted(rank - 1)
+      assert(math.abs(est - exact) <= math.abs(exact) * 0.011 + 1e-9,
+        s"q=$q est=$est exact=$exact")
+    }
+    // merge determinism: any split/order produces identical bytes
+    val parts = data.grouped(777).toSeq
+    val m1 = new LogQuantileSketch(0.01)
+    parts.foreach { p => val s = new LogQuantileSketch(0.01); p.foreach(s.add); m1.merge(s) }
+    val m2 = new LogQuantileSketch(0.01)
+    parts.reverse.foreach { p => val s = new LogQuantileSketch(0.01); p.foreach(s.add); m2.merge(s) }
+    assert(java.util.Arrays.equals(m1.serialize(), m2.serialize()))
+    assert(java.util.Arrays.equals(m1.serialize(), whole.serialize()))
+    // round-trip
+    val rt = LogQuantileSketch.deserialize(whole.serialize())
+    assert(rt.quantile(0.5) == whole.quantile(0.5) && rt.count == whole.count)
+  }
+
+  // ------------------------------------------------------ space-saving
+  test("space-saving: exact when NDV <= capacity, finds heavy hitter when not") {
+    // exact regime
+    val ss = new SpaceSaving(25)
+    val rnd = new Random(3)
+    val exact = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for (_ <- 1 to 10000) {
+      val k = s"k${rnd.nextInt(20)}"
+      ss.add(k); exact(k) += 1
+    }
+    ss.top(5).foreach { case (k, c) => assert(c == exact(k), s"$k $c != ${exact(k)}") }
+    // approximate regime with a planted heavy hitter
+    val ss2 = new SpaceSaving(25)
+    for (i <- 1 to 20000) {
+      ss2.add(if (i % 3 == 0) "HEAVY" else s"x${rnd.nextInt(5000)}")
+    }
+    assert(ss2.top(1).head._1 == "HEAVY")
+    // overestimate-only guarantee: reported >= true count
+    assert(ss2.top(1).head._2 >= 20000 / 3)
+    // merge keeps the heavy hitter
+    val h1 = new SpaceSaving(25); val h2 = new SpaceSaving(25)
+    for (i <- 1 to 10000) {
+      h1.add(if (i % 3 == 0) "HEAVY" else s"a${rnd.nextInt(2000)}")
+      h2.add(if (i % 3 == 0) "HEAVY" else s"b${rnd.nextInt(2000)}")
+    }
+    h1.merge(h2)
+    assert(h1.top(1).head._1 == "HEAVY")
+  }
+
+  // ----------------------------------------------- cosine kernel parity
+  test("cosine kernel matches naive double fold") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new Random(11)
+    for (_ <- 1 to 50) {
+      val a = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until 64) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      val expected = dot / (math.sqrt(na) * math.sqrt(nb))
+      val got = VectorOps.cosineF(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      assert(got == expected)
+      assert(got >= -1.0000001 && got <= 1.0000001)
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end smoke over the whole SparkEntry surface at sf0.001 (the
+  * driver's t1 scale): every declared query must plan and execute, the
+  * flagship returns rows, and key physical-plan properties hold
+  * (filter pushdown, WindowGroupLimit for top-N-per-group — the plan
+  * checks SURVEY §5.4 calls for). */
+class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Graft.session("graft-test", 4)
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("top-N-per-group plans as WindowGroupLimit") {
+    val plan = graft.queries.Windows.w8(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("q6 pushes filters into the parquet scan") {
+    val plan = graft.queries.Relational.q6(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(2000))
+  }
+
+  test("tablesample stays within binomial bounds") {
+    val n = graft.queries.SetOps.smp1(spark, sfDir).count()
+    val total = graft.engine.Graft.load(spark, sfDir, "orders").count()
+    val expected = total * 0.2
+    val sigma = math.sqrt(total * 0.2 * 0.8)
+    assert(math.abs(n - expected) <= 6 * sigma, s"sampled $n of $total")
+  }
+
+  test("registered SQL functions evaluate") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    val row = spark.sql(
+      """SELECT cosine_similarity(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c,
+        |  simhash64('hello world') AS sh,
+        |  word_stem('stories') AS st,
+        |  lang_id('the cat and the dog in the house') AS lang,
+        |  luhn_check('79927398713') AS luhn,
+        |  wilson_interval_lower(10, 20, 1.96) AS wl
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getString(2) == "story")
+    assert(row.getString(3) == "en")
+    assert(row.getBoolean(4))
+    assert(row.getDouble(5) > 0.27 && row.getDouble(5) < 0.5)
+  }
+
+  test("qdigest SQL median within bound on lineitem") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    val r = spark.sql(
+      """SELECT value_at_quantile(qdigest_agg(l_extendedprice), 0.5) AS med,
+        |  percentile(l_extendedprice, 0.5) AS exact
+        |FROM lineitem""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= r.getDouble(1) * 0.011)
+  }
+}
