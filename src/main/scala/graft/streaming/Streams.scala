@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+import graft.engine.Num._
+
+/** Structured-Streaming surface over the `events` table (SURVEY §2.10).
+  *
+  * The reference is batch-only (Kafka/Kinesis connectors map topics to
+  * static tables — `plugin/trino-kafka/.../KafkaConnector.java`), so
+  * this module is a capability ADD, built on Spark's native streaming
+  * operators: event-time windows (tumbling / sliding / session),
+  * watermarks, and stateful dedup.
+  *
+  * Every transform below is written against a plain DataFrame, so the
+  * SAME code runs in batch mode (verified row-for-row against the
+  * DuckDB oracle via SparkEntry) and in streaming mode
+  * (readStream → transform → writeStream; exercised with MemoryStream
+  * in StreamingSpec). That batch/stream unification is the Spark-first
+  * design: one declarative plan, two execution modes.
+  *
+  * Scale notes (100 TB/day of events): windowed aggregation state is
+  * bounded by watermark horizon × key cardinality; session windows
+  * shuffle once on user_id; dedup keeps one bloom/row per key within
+  * the watermark. No operator below accumulates unbounded state.
+  */
+object Streams {
+
+  /** Events with micros `ts` (see Graft.events). */
+  private def ev(s: SparkSession, dir: String): DataFrame = Graft.events(s, dir)
+
+  // -------------------------------------------- st1 tumbling window
+  /** Tumbling 1-hour event-time window per event type: the canonical
+    * `groupBy(window($"ts", "1 hour"))` aggregation. */
+  def st1(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(money(col("value"))).cast("double").as("val_sum"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"), col("val_sum"))
+
+  val st1Sql: String =
+    """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+
+  // --------------------------------------------- st2 sliding window
+  /** Sliding window (1 hour, 30-minute slide): every event lands in
+    * two overlapping windows. The oracle replays the same assignment
+    * with time_bucket on the 30-minute grid. */
+  def st2(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"), sum(money(col("value"))).cast("double").as("val_sum"))
+      .select(col("window.start").as("w_start"), col("cnt"), col("val_sum"))
+
+  val st2Sql: String =
+    """SELECT w_start, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val_sum
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w_start, value
+      |  FROM events) w
+      |GROUP BY w_start""".stripMargin
+
+  // --------------------------------------------- st3 session window
+  /** Session windows with a 5-minute inactivity gap per user — Spark's
+    * `session_window`; the oracle derives identical sessions with the
+    * gaps-and-islands rewrite (lag + running sum of breaks). */
+  def st3(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(money(col("value"))).cast("double").as("val_sum"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("cnt"), col("val_sum"))
+
+  val st3Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL '5 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT min(ts) AS s_start, max(ts) + INTERVAL '5 minutes' AS s_end,
+      |  user_id, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val_sum
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  // ------------------------------------------------------ st4 dedup
+  /** Stream-dedup census: distinct (user_id, event_type) keys vs total
+    * events — the cardinality a streaming `dropDuplicates` over those
+    * keys would emit (the streaming form itself is exercised in
+    * StreamingSpec; which physical row survives is nondeterministic,
+    * so the batch oracle pins the deterministic census instead). */
+  def st4(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).agg(
+      count(lit(1)).as("total_events"),
+      countDistinct(col("user_id"), col("event_type")).as("distinct_keys"),
+      countDistinct(col("event_id")).as("distinct_ids"))
+
+  val st4Sql: String =
+    """SELECT count(*) AS total_events,
+      |  count(DISTINCT (user_id, event_type)) AS distinct_keys,
+      |  count(DISTINCT event_id) AS distinct_ids
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------- streaming builders
+  /** The same tumbling aggregation as a genuine streaming transform
+    * (watermark + append-mode-compatible window agg): applied to any
+    * streaming DataFrame with (ts, event_type, value). */
+  def tumblingStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+
+  /** Streaming session windows (watermarked). */
+  def sessionStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("s_start"), col("user_id"), col("cnt"))
+
+  /** Streaming dedup on (user_id, event_type) within the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+
+  // ------------------------------------------------------------- exports
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_tumbling_window" -> st1 _,
+    "st2_sliding_window" -> st2 _,
+    "st3_session_window" -> st3 _,
+    "st4_stream_dedup" -> st4 _)
+
+  val oracle: Map[String, String] = Map(
+    "st1_tumbling_window" -> st1Sql,
+    "st2_sliding_window" -> st2Sql,
+    "st3_session_window" -> st3Sql,
+    "st4_stream_dedup" -> st4Sql)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Event fixture for streaming tests (top-level: encoders need a
+  * stable TypeTag). */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming-mode smoke: the same transforms that pass the batch
+  * DuckDB oracle run as genuine Structured Streaming queries over a
+  * MemoryStream, and their final results match the batch run of the
+  * identical plan — Spark's batch/stream unification, exercised. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var sparkSession: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    sparkSession = graft.engine.Graft.session("graft-stream-test", 4)
+    sparkSession.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (sparkSession != null) sparkSession.stop()
+
+  private def mkEvents(): Seq[Ev] = {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    for (i <- 0 until 600) yield Ev(
+      new Timestamp(base + i * 37000L), // 37s apart → spans ~6 hours
+      i % 7, Seq("click", "view", "error")(i % 3), (i % 100) / 4.0)
+  }
+
+  test("tumbling window: streaming result equals batch result") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = mkEvents()
+    val stream = MemoryStream[Ev]
+    stream.addData(data)
+
+    val q = Streams.tumblingStream(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Streams.tumblingStream(data.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("session window: streaming sessions match batch sessions") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = mkEvents()
+    val stream = MemoryStream[Ev]
+    stream.addData(data)
+
+    val q = Streams.sessionStream(stream.toDF())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("session_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Streams.sessionStream(data.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming dedup emits one row per key") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = mkEvents()
+    val stream = MemoryStream[Ev]
+    stream.addData(data)
+
+    val q = Streams.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("dedup_out").count()
+    val expected = data.map(e => (e.user_id, e.event_type)).distinct.size
+    assert(got == expected)
+  }
+}
