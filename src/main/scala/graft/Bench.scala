@@ -36,7 +36,9 @@ object Bench {
           materialize(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }
-        Some(name -> samples.sorted.apply(Runs / 2)) // median
+        val med = samples.sorted.apply(Runs / 2)
+        System.err.println(f"[bench] $name%-28s median=$med%.3fs samples=${samples.map(s => f"$s%.2f").mkString(",")}")
+        Some(name -> med)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

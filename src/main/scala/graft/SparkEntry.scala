@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Aggregates, Functions, Pipeline, Relational, SetOps, Windows}
+import graft.queries.{Aggregates, Functions, Patterns, Pipeline, Relational, Scalars, SetOps, Windows}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ SetOps.queries ++
       Aggregates.queries ++ Pipeline.queries ++ Functions.queries ++
-      Streams.queries
+      Streams.queries ++ Scalars.queries ++ Patterns.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++
       Aggregates.oracle ++ Pipeline.oracle ++ Functions.oracle ++
-      Streams.oracle
+      Streams.oracle ++ Scalars.oracle ++ Patterns.oracle
 }

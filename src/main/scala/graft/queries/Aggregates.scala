@@ -151,8 +151,9 @@ object Aggregates {
         countDistinct(col("o_custkey")).as("exact_cust"),
         approx_count_distinct(col("o_custkey")).as("apx"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("apx_med"),
-        expr("percentile(o_totalprice, 0.25)").as("p25"),
-        expr("percentile(o_totalprice, 0.75)").as("p75"))
+        // one sort-aggregate pass for both exact bounds
+        expr("percentile(o_totalprice, array(0.25, 0.75))[0]").as("p25"),
+        expr("percentile(o_totalprice, array(0.25, 0.75))[1]").as("p75"))
       .select(
         col("exact_cust"),
         (abs(col("apx") - col("exact_cust")) <= col("exact_cust") * 0.1).as("cd_within_10pct"),

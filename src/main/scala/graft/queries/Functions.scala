@@ -73,10 +73,12 @@ object Functions {
       .groupBy(col("l_returnflag"))
       .agg(
         expr("value_at_quantile(qdigest_agg(l_extendedprice), 0.5)").as("med"),
-        expr("percentile(l_extendedprice, 0.25)").as("p25"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        // one sort-aggregate pass for all three exact quantiles
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("med"),
+        col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"),
+        col("n"))
       .select(
         col("l_returnflag"),
         (col("med") >= col("p25") && col("med") <= col("p75")).as("med_in_iqr"),

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+
+/** Scalar-function library coverage (SURVEY §2.9 — the reference's 460
+  * `@ScalarFunction`s in `operator/scalar/`, registered by
+  * `metadata/SystemFunctionBundle.java:350`): date/time
+  * (`DateTimeFunctions.java`), string (`StringFunctions.java`), regex
+  * (`JoniRegexpFunctions.java`/`Re2JRegexpFunctions.java`), math
+  * (`MathFunctions.java`), array + higher-order lambdas
+  * (`ArrayTransformFunction.java`, `ZipWithFunction.java`,
+  * `ArrayReduceFunction.java`), map functions (`MapFromEntries` etc.),
+  * binary/crypto (`VarbinaryFunctions.java`), and conditional/try
+  * (`TryFunction.java`, `AbstractGreatestLeast.java`).
+  *
+  * Cross-engine determinism notes: calendar conventions are aligned
+  * explicitly (Spark weekday() 0=Monday == oracle isodow-1);
+  * transcendentals (exp/ln/trig/cbrt) go through round(·,9) because
+  * libm implementations differ in the last ulps; everything integer,
+  * string, or algebraic is compared exactly. All functions here are
+  * per-row codegen'd builtins — they ride whole-stage codegen and add
+  * zero shuffles at any scale.
+  */
+object Scalars {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.load(s, dir, name)
+
+  // ------------------------------------------------- sc1 date/time
+  def sc1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").selectExpr(
+      "o_orderkey",
+      "CAST(year(o_orderdate) AS BIGINT) AS y",
+      "CAST(quarter(o_orderdate) AS BIGINT) AS q",
+      "CAST(month(o_orderdate) AS BIGINT) AS m",
+      "CAST(day(o_orderdate) AS BIGINT) AS d",
+      "CAST(weekday(o_orderdate) AS BIGINT) AS wd", // 0 = Monday
+      "CAST(weekofyear(o_orderdate) AS BIGINT) AS woy",
+      "CAST(dayofyear(o_orderdate) AS BIGINT) AS doy",
+      "CAST(hour(o_orderdate) AS BIGINT) AS h",
+      "last_day(CAST(o_orderdate AS DATE)) AS month_end",
+      "date_add(CAST(o_orderdate AS DATE), 30) AS plus30",
+      "CAST(datediff(DATE '1998-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_to_98",
+      "date_trunc('month', o_orderdate) AS mstart",
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm') AS fmt",
+      "CAST(unix_timestamp(o_orderdate) AS BIGINT) AS epoch_s")
+
+  val sc1Sql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, quarter(o_orderdate) AS q, month(o_orderdate) AS m,
+      |  day(o_orderdate) AS d,
+      |  isodow(o_orderdate) - 1 AS wd,
+      |  weekofyear(o_orderdate) AS woy,
+      |  dayofyear(o_orderdate) AS doy,
+      |  hour(o_orderdate) AS h,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(o_orderdate AS DATE) + INTERVAL '30 days' AS plus30,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+      |  date_trunc('month', o_orderdate) AS mstart,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M') AS fmt,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders""".stripMargin
+
+  // --------------------------------------------------- sc2 strings
+  def sc2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").selectExpr(
+      "c_custkey",
+      "upper(c_name) AS up", "lower(c_mktsegment) AS lo",
+      "substring(c_name, 1, 8) AS sub",
+      "CAST(length(c_name) AS BIGINT) AS len",
+      "trim('  pad  ') AS trimmed",
+      "ltrim('xx', 'xxabc') AS ltrimmed",
+      "lpad(CAST(c_custkey AS STRING), 8, '0') AS padded",
+      "rpad(c_mktsegment, 12, '.') AS rpadded",
+      "translate(c_name, 'Cus', 'Kaz') AS transd",
+      "repeat('-', 4) AS rep",
+      "reverse(c_mktsegment) AS rev",
+      "split_part(c_name, '#', 2) AS numpart",
+      "CAST(instr(c_name, '#') AS BIGINT) AS hashpos",
+      "concat_ws('|', c_mktsegment, c_name) AS joined",
+      "left(c_name, 4) AS l4", "right(c_name, 3) AS r3",
+      "CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev",
+      "c_name LIKE 'Customer%' AS is_cust",
+      "startswith(c_name, 'Cust') AS sw", "endswith(c_name, '1') AS ew")
+
+  val sc2Sql: String =
+    """SELECT c_custkey,
+      |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+      |  substring(c_name, 1, 8) AS sub,
+      |  length(c_name) AS len,
+      |  trim('  pad  ') AS trimmed,
+      |  ltrim('xxabc', 'x') AS ltrimmed,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      |  rpad(c_mktsegment, 12, '.') AS rpadded,
+      |  translate(c_name, 'Cus', 'Kaz') AS transd,
+      |  repeat('-', 4) AS rep,
+      |  reverse(c_mktsegment) AS rev,
+      |  split_part(c_name, '#', 2) AS numpart,
+      |  strpos(c_name, '#') AS hashpos,
+      |  concat_ws('|', c_mktsegment, c_name) AS joined,
+      |  left(c_name, 4) AS l4, right(c_name, 3) AS r3,
+      |  levenshtein(c_mktsegment, 'BUILDING') AS lev,
+      |  c_name LIKE 'Customer%' AS is_cust,
+      |  starts_with(c_name, 'Cust') AS sw, ends_with(c_name, '1') AS ew
+      |FROM customer""".stripMargin
+
+  // ----------------------------------------------------- sc3 regex
+  def sc3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").selectExpr(
+      "p_partkey",
+      "p_name RLIKE '[aeiou]{2}' AS has_double_vowel",
+      "regexp_extract(p_name, '([a-z]+)', 1) AS first_word",
+      "regexp_replace(p_name, '[aeiou]', '_') AS devoweled",
+      "CAST(size(split(p_name, '[^a-z]+')) AS BIGINT) AS n_chunks",
+      "CAST(size(regexp_extract_all(p_name, '[a-z]+', 0)) AS BIGINT) AS n_words")
+
+  val sc3Sql: String =
+    """SELECT p_partkey,
+      |  regexp_matches(p_name, '[aeiou]{2}') AS has_double_vowel,
+      |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  len(string_split_regex(p_name, '[^a-z]+')) AS n_chunks,
+      |  len(regexp_extract_all(p_name, '[a-z]+')) AS n_words
+      |FROM part""".stripMargin
+
+  // ------------------------------------------------------ sc4 math
+  def sc4(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 1000)
+      .selectExpr(
+        "l_orderkey", "l_linenumber",
+        "abs(l_quantity - 25) AS dist25",
+        "CAST(ceil(l_discount * 100) AS BIGINT) AS disc_ceil",
+        "CAST(floor(l_tax * 100) AS BIGINT) AS tax_floor",
+        "round(l_extendedprice / 1000, 2) AS price_k",
+        "CAST(sign(l_quantity - 25) AS BIGINT) AS sgn",
+        "sqrt(l_quantity) AS rt", // sqrt is IEEE-exact everywhere
+        "round(cbrt(l_quantity), 9) AS crt",
+        "round(exp(l_discount), 9) AS e_disc",
+        "round(ln(l_extendedprice), 9) AS ln_price",
+        "round(log2(l_quantity + 1), 9) AS lg2",
+        "round(log10(l_extendedprice), 9) AS lg10",
+        "round(pow(l_quantity, 1.5), 6) AS qpow",
+        "CAST(pmod(CAST(l_orderkey AS INT), 7) AS BIGINT) AS pm7",
+        "round(sin(l_discount), 9) AS sn",
+        "round(atan2(l_quantity, 10.0), 9) AS at2",
+        "round(degrees(l_discount), 9) AS deg",
+        "CAST(factorial(l_linenumber) AS BIGINT) AS fact")
+
+  val sc4Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_quantity - 25) AS dist25,
+      |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_ceil,
+      |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_floor,
+      |  round(l_extendedprice / 1000, 2) AS price_k,
+      |  CAST(sign(l_quantity - 25) AS BIGINT) AS sgn,
+      |  sqrt(l_quantity) AS rt,
+      |  round(cbrt(l_quantity), 9) AS crt,
+      |  round(exp(l_discount), 9) AS e_disc,
+      |  round(ln(l_extendedprice), 9) AS ln_price,
+      |  round(log2(l_quantity + 1), 9) AS lg2,
+      |  round(log10(l_extendedprice), 9) AS lg10,
+      |  round(pow(l_quantity, 1.5), 6) AS qpow,
+      |  CAST(CAST(l_orderkey AS INTEGER) % 7 AS BIGINT) AS pm7,
+      |  round(sin(l_discount), 9) AS sn,
+      |  round(atan2(l_quantity, 10.0), 9) AS at2,
+      |  round(degrees(l_discount), 9) AS deg,
+      |  CAST(factorial(l_linenumber) AS BIGINT) AS fact
+      |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin
+
+  // ------------------------------------- sc5 arrays + higher-order
+  /** Higher-order lambdas over computed arrays, one row per distinct
+    * array shape (reference ArrayTransformFunction/ZipWithFunction/
+    * ArrayReduceFunction → Spark transform/zip_with/aggregate). */
+  def sc5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_linenumber")).distinct()
+      .selectExpr(
+        "l_linenumber AS n",
+        "sequence(1, l_linenumber) AS arr")
+      .selectExpr(
+        "n",
+        "CAST(aggregate(transform(arr, x -> x * x), 0, (a, x) -> a + x) AS BIGINT) AS sumsq",
+        "CAST(size(filter(arr, x -> x % 2 = 0)) AS BIGINT) AS evens",
+        "exists(arr, x -> x >= 5) AS has_ge5",
+        "forall(arr, x -> x > 0) AS all_pos",
+        "CAST(aggregate(zip_with(arr, reverse(arr), (a, b) -> a * b), 0, (a, x) -> a + x) AS BIGINT) AS zipsum",
+        "CAST(size(flatten(array(arr, arr))) AS BIGINT) AS flat2",
+        "concat_ws(',', transform(slice(sort_array(arr, false), 1, 3), x -> CAST(x AS STRING))) AS top3_desc",
+        "array_contains(arr, 4) AS has4",
+        "CAST(element_at(arr, -1) AS BIGINT) AS last_elem")
+
+  val sc5Sql: String =
+    """SELECT n,
+      |  CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sumsq,
+      |  len(list_filter(arr, x -> x % 2 = 0)) AS evens,
+      |  len(list_filter(arr, x -> x >= 5)) > 0 AS has_ge5,
+      |  len(list_filter(arr, x -> x > 0)) = len(arr) AS all_pos,
+      |  CAST(list_sum(list_transform(list_zip(arr, list_reverse(arr)),
+      |    p -> p[1] * p[2])) AS BIGINT) AS zipsum,
+      |  len(flatten([arr, arr])) AS flat2,
+      |  array_to_string(list_transform(list_reverse_sort(arr)[1:3],
+      |    x -> CAST(x AS VARCHAR)), ',') AS top3_desc,
+      |  list_contains(arr, 4) AS has4,
+      |  arr[-1] AS last_elem
+      |FROM (SELECT DISTINCT l_linenumber AS n, generate_series(1, l_linenumber) AS arr
+      |      FROM lineitem) t""".stripMargin
+
+  // ------------------------------------------------------ sc6 maps
+  /** Map construction/access round-trip rendered canonically (maps
+    * have no stable cross-engine literal form, so the comparison is on
+    * extracted keys/values/cardinality). */
+  def sc6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
+      .selectExpr("map_from_entries(array(struct(o_orderpriority AS k, c AS v))) AS m")
+      .selectExpr(
+        "element_at(map_keys(m), 1) AS k1",
+        "CAST(element_at(map_values(m), 1) AS BIGINT) AS v1",
+        "CAST(cardinality(m) AS BIGINT) AS card",
+        "CAST(element_at(m, element_at(map_keys(m), 1)) AS BIGINT) AS lookup")
+
+  val sc6Sql: String =
+    """SELECT map_keys(m)[1] AS k1,
+      |  CAST(map_values(m)[1] AS BIGINT) AS v1,
+      |  CAST(cardinality(m) AS BIGINT) AS card,
+      |  CAST(m[map_keys(m)[1]][1] AS BIGINT) AS lookup
+      |FROM (
+      |  SELECT map_from_entries([(o_orderpriority, c)]) AS m FROM (
+      |    SELECT o_orderpriority, count(*) AS c FROM orders
+      |    GROUP BY o_orderpriority) g) t""".stripMargin
+
+  // --------------------------------------------- sc7 binary/crypto
+  def sc7(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .selectExpr(
+        "doc_id",
+        "md5(text) AS h_md5",
+        "sha2(text, 256) AS h_sha256",
+        "hex(n_chars) AS len_hex",
+        "base64(encode(substring(text, 1, 9), 'UTF-8')) AS head_b64",
+        "decode(unbase64(base64(encode(substring(text, 1, 9), 'UTF-8'))), 'UTF-8') AS roundtrip",
+        "CAST(bit_count(n_chars) AS BIGINT) AS popcnt")
+
+  val sc7Sql: String =
+    """SELECT doc_id,
+      |  md5(text) AS h_md5,
+      |  sha256(text) AS h_sha256,
+      |  to_hex(n_chars) AS len_hex,
+      |  to_base64(CAST(substring(text, 1, 9) AS BLOB)) AS head_b64,
+      |  CAST(from_base64(to_base64(CAST(substring(text, 1, 9) AS BLOB))) AS VARCHAR) AS roundtrip,
+      |  CAST(bit_count(n_chars) AS BIGINT) AS popcnt
+      |FROM documents WHERE doc_id < 100""".stripMargin
+
+  // ------------------------------------------- sc8 conditional/try
+  /** try_-family error suppression, greatest/least, nullif/coalesce —
+    * reference TryFunction.java / AbstractGreatestLeast.java. */
+  def sc8(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .selectExpr(
+        "l_returnflag",
+        "try_divide(l_extendedprice, l_quantity - l_quantity) AS div0",
+        "try_cast(l_returnflag AS INT) AS badcast",
+        "greatest(l_quantity, l_discount * 100, 10.0) AS g",
+        "least(l_quantity, l_tax * 100) AS l",
+        "nullif(l_linenumber, 1) AS nn",
+        "coalesce(nullif(l_linenumber, 1), -1) AS co")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(col("div0")).as("div0_nonnull"),
+        count(col("badcast")).as("badcast_nonnull"),
+        sum(col("g").cast("decimal(12,2)")).cast("double").as("g_sum"),
+        sum(col("l").cast("decimal(12,2)")).cast("double").as("l_sum"),
+        count(col("nn")).as("nn_cnt"),
+        sum(col("co")).cast("long").as("co_sum"))
+
+  val sc8Sql: String =
+    """SELECT l_returnflag,
+      |  count(CASE WHEN l_quantity - l_quantity <> 0
+      |        THEN l_extendedprice / (l_quantity - l_quantity) END) AS div0_nonnull,
+      |  count(try_cast(l_returnflag AS INTEGER)) AS badcast_nonnull,
+      |  CAST(sum(CAST(greatest(l_quantity, l_discount * 100, 10.0) AS DECIMAL(12,2))) AS DOUBLE) AS g_sum,
+      |  CAST(sum(CAST(least(l_quantity, l_tax * 100) AS DECIMAL(12,2))) AS DOUBLE) AS l_sum,
+      |  count(nullif(l_linenumber, 1)) AS nn_cnt,
+      |  CAST(sum(coalesce(nullif(l_linenumber, 1), -1)) AS BIGINT) AS co_sum
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------- exports
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sc1_datetime" -> sc1 _,
+    "sc2_strings" -> sc2 _,
+    "sc3_regex" -> sc3 _,
+    "sc4_math" -> sc4 _,
+    "sc5_array_hof" -> sc5 _,
+    "sc6_maps" -> sc6 _,
+    "sc7_crypto" -> sc7 _,
+    "sc8_conditional" -> sc8 _)
+
+  val oracle: Map[String, String] = Map(
+    "sc1_datetime" -> sc1Sql,
+    "sc2_strings" -> sc2Sql,
+    "sc3_regex" -> sc3Sql,
+    "sc4_math" -> sc4Sql,
+    "sc5_array_hof" -> sc5Sql,
+    "sc6_maps" -> sc6Sql,
+    "sc7_crypto" -> sc7Sql,
+    "sc8_conditional" -> sc8Sql)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MatchRecognize, MatchRow}
+
+/** Seq fixture row for pattern tests. */
+case class Tick(k: Long, ord: Long, v: Double)
+
+/** Unit semantics for the MATCH_RECOGNIZE operator: quantifier
+  * greediness, alternation preference, bounded repeats, skip modes,
+  * and PREV()-style predicates — mirroring the cases the reference
+  * covers in its matcher tests (`operator/window/matcher/`). */
+class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Graft.session("graft-mr-test", 4)
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def runPat(
+      values: Seq[Double],
+      pattern: String,
+      skipPastLast: Boolean = true): Seq[MatchRow] = {
+    val spk = spark
+    import spk.implicits._
+    val df = values.zipWithIndex.map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") < p.getAs[Double]("v")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val high: (Row, Row) => Boolean = (_, c) => c.getAs[Double]("v") >= 10
+    MatchRecognize(df, "k", "ord", pattern,
+      Map('D' -> down, 'U' -> up, 'H' -> high), skipPastLast)
+      .collect().toSeq.sortBy(_.start_ord)
+  }
+
+  test("pattern parser rejects malformed input") {
+    intercept[IllegalArgumentException](MatchRecognize.parse("D+("))
+    intercept[IllegalArgumentException](MatchRecognize.parse("(DU"))
+    MatchRecognize.parse("(D|U)+ H{2,3}") // parses
+  }
+
+  test("greedy D+U+ consumes maximal runs") {
+    // 5 4 3 6 7 2 8 → DD UU D U  → two V-shapes
+    val ms = runPat(Seq[Double](5, 4, 3, 6, 7, 2, 8), "D+ U+")
+    assert(ms.map(_.classifier) == Seq("DDUU", "DU"))
+    assert(ms.map(m => (m.start_ord, m.end_ord)) == Seq((1L, 4L), (5L, 6L)))
+  }
+
+  test("no match when only falling") {
+    assert(runPat(Seq[Double](5, 4, 3, 2), "D+ U+").isEmpty)
+  }
+
+  test("bounded repeat {2,3} is greedy within bounds") {
+    // H rows: values >= 10
+    val ms = runPat(Seq[Double](11, 12, 13, 14, 1), "H{2,3}")
+    assert(ms.map(_.classifier) == Seq("HHH"))
+    assert(ms.head.start_ord == 0 && ms.head.end_ord == 2)
+  }
+
+  test("exact repeat {2} with skip-past-last tiles the run") {
+    val ms = runPat(Seq[Double](11, 12, 13, 14, 1), "H{2}")
+    assert(ms.map(m => (m.start_ord, m.end_ord)) == Seq((0L, 1L), (2L, 3L)))
+  }
+
+  test("alternation prefers the left branch") {
+    // both H and U match at index 1 (12 > 11 and 12 >= 10)
+    val ms = runPat(Seq[Double](11, 12), "H|U")
+    assert(ms.head.classifier == "H" && ms.head.start_ord == 0)
+  }
+
+  test("optional and star quantifiers") {
+    val ms = runPat(Seq[Double](5, 4, 6), "D? U", skipPastLast = true)
+    assert(ms.map(_.classifier) == Seq("DU"))
+    val ms2 = runPat(Seq[Double](3, 7), "D* U")
+    assert(ms2.map(_.classifier) == Seq("U"))
+  }
+
+  test("skip to next row yields overlapping matches") {
+    val past = runPat(Seq[Double](11, 12, 13), "H H", skipPastLast = true)
+    val next = runPat(Seq[Double](11, 12, 13), "H H", skipPastLast = false)
+    assert(past.size == 1 && next.size == 2)
+  }
+
+  test("partitions are matched independently") {
+    val spk = spark
+    import spk.implicits._
+    val df = Seq(
+      Tick(1, 0, 5), Tick(1, 1, 4), Tick(1, 2, 6),
+      Tick(2, 0, 9), Tick(2, 1, 8), Tick(2, 2, 10)).toDF()
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") < p.getAs[Double]("v")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val ms = MatchRecognize(df, "k", "ord", "D U", Map('D' -> down, 'U' -> up))
+      .collect().toSeq
+    assert(ms.map(_.part_key).sorted == Seq(1L, 2L))
+  }
+}
