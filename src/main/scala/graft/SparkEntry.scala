@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Aggregates, Functions, Patterns, Pipeline, Relational, Scalars, SetOps, Windows}
+import graft.multimodal.Multimodal
+import graft.queries.{Aggregates, Functions, Patterns, Pipeline, Relational, Scalars, SetOps, Sketches, Windows}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ SetOps.queries ++
       Aggregates.queries ++ Pipeline.queries ++ Functions.queries ++
-      Streams.queries ++ Scalars.queries ++ Patterns.queries
+      Streams.queries ++ Scalars.queries ++ Patterns.queries ++
+      Sketches.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++
       Aggregates.oracle ++ Pipeline.oracle ++ Functions.oracle ++
-      Streams.oracle ++ Scalars.oracle ++ Patterns.oracle
+      Streams.oracle ++ Scalars.oracle ++ Patterns.oracle ++
+      Sketches.oracle ++ Multimodal.oracle
 }

@@ -64,7 +64,9 @@ object GraftFunctions {
     spark.udf.register("url_decode", (s: String) => urlDecode(s))
     spark.udf.register("ip_prefix_contains",
       (cidr: String, ip: String) => ipPrefixContains(cidr, ip))
-    spark.udf.register("luhn_check", (s: String) => luhnCheck(s))
+    // NOTE: luhn_check is NOT registered — Spark 4 ships a codegen'd
+    // builtin of the same name/semantics; luhnCheck below stays as the
+    // documented reference implementation (unit-tested).
   }
 
   // ------------------------------------------------------ implementations
