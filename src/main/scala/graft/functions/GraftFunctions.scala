@@ -67,6 +67,7 @@ object GraftFunctions {
     // NOTE: luhn_check is NOT registered — Spark 4 ships a codegen'd
     // builtin of the same name/semantics; luhnCheck below stays as the
     // documented reference implementation (unit-tested).
+    DateTimeCompat.register(spark)
   }
 
   // ------------------------------------------------------ implementations

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""DuckDB comparator for the bench (VERDICT r1: record the comparator
+alongside BENCH): runs every oracle SQL on the same parquet at the same
+SF with the same protocol (1 prewarm + median of 3), prints one JSON
+line. This is the honest single-node baseline the Spark numbers are
+judged against — queries without oracle SQL (engine-specific ops) are
+skipped and listed.
+
+Usage: python3 tools/duck_bench.py [sfdir] [verify_outdir]
+"""
+import json
+import pathlib
+import statistics
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main() -> int:
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    outdir = pathlib.Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.loads((outdir / "oracle_sql.json").read_text())
+    times = {}
+    failed = []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            con.sql(sql).fetchall()  # prewarm
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                samples.append(time.perf_counter() - t0)
+            times[name] = statistics.median(samples)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAILED {name}: {e}", file=sys.stderr)
+            failed.append(name)
+    print(json.dumps({
+        "metric": "duckdb_total", "value": sum(times.values()), "unit": "sec",
+        "queries": times, "failed": failed, "n": 3, "prewarm": 1, "sf": sfdir,
+        "skipped_no_oracle": 0}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
