@@ -257,9 +257,16 @@ object Scalars {
 
   // ------------------------------------------- sc8 conditional/try
   /** try_-family error suppression, greatest/least, nullif/coalesce —
-    * reference TryFunction.java / AbstractGreatestLeast.java. */
+    * reference TryFunction.java / AbstractGreatestLeast.java.
+    * Scope note: try_* evaluates by catching the underlying per-row
+    * exception, so a predicate that fails on EVERY row costs a thrown
+    * JVM exception per row — fine as a semantics fixture on a bounded
+    * slice, but at 100 TB try_ belongs on rarely-failing paths (or
+    * pre-guarded with a cheap filter), never on an always-failing hot
+    * loop. */
   def sc8(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 2000)
       .selectExpr(
         "l_returnflag",
         "try_divide(l_extendedprice, l_quantity - l_quantity) AS div0",
@@ -286,7 +293,7 @@ object Scalars {
       |  CAST(sum(CAST(least(l_quantity, l_tax * 100) AS DECIMAL(12,2))) AS DOUBLE) AS l_sum,
       |  count(nullif(l_linenumber, 1)) AS nn_cnt,
       |  CAST(sum(coalesce(nullif(l_linenumber, 1), -1)) AS BIGINT) AS co_sum
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      |FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

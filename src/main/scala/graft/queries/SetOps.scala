@@ -242,7 +242,11 @@ object SetOps {
   // ------------------------------------------- lim2 FETCH WITH TIES
   /** FETCH FIRST 10 ROWS WITH TIES — expressed as the rank()<=10
     * rewrite (the reference plans it the same way:
-    * `ImplementLimitWithTies.java`). */
+    * `ImplementLimitWithTies.java`). Although the window is global,
+    * Catalyst plans it as partial+final WindowGroupLimit (see
+    * plans/lim2_with_ties.plan.txt): each partition pre-prunes to its
+    * local top-10-with-ties, so the single-partition exchange carries
+    * O(10 × partitions) rows — scale-safe. */
   def lim2(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice").desc)
     t(s, dir, "orders")
