@@ -211,6 +211,75 @@ object Aggregates {
       |  SELECT o_orderpriority || ':' || count(*) AS kv
       |  FROM orders GROUP BY o_orderpriority) h""".stripMargin
 
+  // ---------------------------------------- ag7 regression + moments
+  /** regr_slope / regr_intercept / skewness / kurtosis from exact
+    * decimal raw moments pushed through one shared IEEE formula.
+    * Spark's native skewness/kurtosis are population (g1/g2) while the
+    * oracle engine's are sample-adjusted (G1/G2) — a DEFINITIONAL
+    * mismatch, so both engines compute the population form from the
+    * same exact sums (Σx..Σx⁴ in DECIMAL(4,2)-derived precision, which
+    * keeps x⁴ inside 38 digits). Reference:
+    * DoubleRegressionAggregation.java, CentralMomentsAggregation.java. */
+  def ag7(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(4,2)")
+    val yv = money(col("l_extendedprice"))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sx2"),
+        sum(x * x * x).as("sx3"), sum(x * x * x * x).as("sx4"),
+        sum(yv).as("sy"), sum(x * yv).as("sxy"))
+      .selectExpr(
+        "l_returnflag", "n",
+        // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²); intercept = (Σy − slope·Σx)/n
+        """(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope""",
+        """(CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS intercept""",
+        // central moments from raw: m_k = E[(x−μ)^k]
+        "CAST(sx AS DOUBLE) / n AS mu",
+        "CAST(sx2 AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS m2",
+        """CAST(sx3 AS DOUBLE) / n - 3 * (CAST(sx AS DOUBLE) / n) * (CAST(sx2 AS DOUBLE) / n)
+           + 2 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS m3""",
+        """CAST(sx4 AS DOUBLE) / n - 4 * (CAST(sx AS DOUBLE) / n) * (CAST(sx3 AS DOUBLE) / n)
+           + 6 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * (CAST(sx2 AS DOUBLE) / n)
+           - 3 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS m4""")
+      .selectExpr(
+        "l_returnflag", "n", "slope", "intercept",
+        // sx3/sx4 exceed 2^53 of significand: decimal→double conversion
+        // double-rounds differently across engines → compare under
+        // round(·,9) (values are O(1))
+        "round(m3 / (m2 * sqrt(m2)), 9) AS skew_pop",
+        "round(m4 / (m2 * m2) - 3, 9) AS kurt_pop")
+  }
+
+  val ag7Sql: String =
+    """SELECT l_returnflag, n, slope, intercept,
+      |  round(m3 / (m2 * sqrt(m2)), 9) AS skew_pop,
+      |  round(m4 / (m2 * m2) - 3, 9) AS kurt_pop
+      |FROM (
+      |  SELECT l_returnflag, n,
+      |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      |    (CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS intercept,
+      |    CAST(sx2 AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS m2,
+      |    CAST(sx3 AS DOUBLE) / n - 3 * (CAST(sx AS DOUBLE) / n) * (CAST(sx2 AS DOUBLE) / n)
+      |      + 2 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS m3,
+      |    CAST(sx4 AS DOUBLE) / n - 4 * (CAST(sx AS DOUBLE) / n) * (CAST(sx3 AS DOUBLE) / n)
+      |      + 6 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * (CAST(sx2 AS DOUBLE) / n)
+      |      - 3 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS m4
+      |  FROM (
+      |    SELECT l_returnflag, count(*) AS n,
+      |      sum(CAST(l_quantity AS DECIMAL(4,2))) AS sx,
+      |      sum(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS sx2,
+      |      sum(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS sx3,
+      |      sum(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS sx4,
+      |      sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+      |      sum(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      |    FROM lineitem GROUP BY l_returnflag) raw) m""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ag1_minmax_by" -> ag1 _,
@@ -218,7 +287,8 @@ object Aggregates {
     "ag3_stats" -> ag3 _,
     "ag4_approx_bounds" -> ag4 _,
     "ag5_ordered_agg" -> ag5 _,
-    "ag6_histogram" -> ag6 _)
+    "ag6_histogram" -> ag6 _,
+    "ag7_regression" -> ag7 _)
 
   val oracle: Map[String, String] = Map(
     "ag1_minmax_by" -> ag1Sql,
@@ -226,5 +296,6 @@ object Aggregates {
     "ag3_stats" -> ag3Sql,
     "ag4_approx_bounds" -> ag4Sql,
     "ag5_ordered_agg" -> ag5Sql,
-    "ag6_histogram" -> ag6Sql)
+    "ag6_histogram" -> ag6Sql,
+    "ag7_regression" -> ag7Sql)
 }

@@ -279,6 +279,87 @@ object Pipeline {
       |      FROM events) e
       |GROUP BY event_type""".stripMargin
 
+  // ---------------------------------- p8 LSH-bucketed ANN (scale path)
+  /** Approximate nearest neighbors via sign-random-projection LSH —
+    * the scale path p4's brute force graduates to: 8 pseudo-random
+    * hyperplanes (coefficients derived from md5 so BOTH engines
+    * compute the identical planes — no RNG), each vector hashes to the
+    * 8-bit sign pattern of its projections, and candidates are pairs
+    * sharing the bucket. Exact cosine then ranks candidates per query.
+    *
+    * At 100 TB: bucketing is one narrow projection pass (embedding ×
+    * 8×64 static coefficients), the candidate join keys on the bucket
+    * id (2^k buckets — raise k to shrink buckets), and exact cosine
+    * touches only candidates. The N² pair space never materializes.
+    */
+  def p8(s: SparkSession, dir: String): DataFrame = {
+    def dotd(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val e = t(s, dir, "embeddings")
+    // deterministic "hyperplanes": coef(plane j, dim i) from md5(j:i)
+    val planes = s.range(0, 8).toDF("plane")
+      .crossJoin(s.range(1, 65).toDF("dim"))
+      .selectExpr("plane", "dim",
+        "CAST(CAST(conv(substring(md5(concat(plane, ':', dim)), 1, 8), 16, 10) AS BIGINT) % 1000 - 500 AS DOUBLE) AS coef")
+      .groupBy(col("plane"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("coef")))).as("pc"))
+      .select(col("plane"), transform(col("pc"), x => x.getField("coef")).as("coefs"))
+    // 8-bit sign bucket per vector (planes are 8 rows → broadcast)
+    val bucketed = e.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("embedding"), col("plane"),
+        when(dotd(col("embedding"), col("coefs")) > 0,
+          expr("shiftleft(1, CAST(plane AS INT))")).otherwise(0).as("bit"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(sum(col("bit")).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qb"))
+    val cands = q.join(bucketed,
+      col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+    val scored = cands.select(col("qid"), col("vec_id"),
+      (dotd(col("qe"), col("embedding")) /
+        (sqrt(dotd(col("qe"), col("qe"))) *
+          sqrt(dotd(col("embedding"), col("embedding"))))).as("cos"))
+    val topk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(topk))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("cos"))
+  }
+
+  val p8Sql: String =
+    """WITH planes AS (
+      |  SELECT plane, list(coef ORDER BY dim) AS coefs FROM (
+      |    SELECT p.plane, d.dim,
+      |      CAST(CAST(('0x' || substring(md5(p.plane || ':' || d.dim), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) AS coef
+      |    FROM unnest(generate_series(0, 7)) AS p(plane),
+      |         unnest(generate_series(1, 64)) AS d(dim)) c
+      |  GROUP BY plane),
+      |bucketed AS (
+      |  SELECT vec_id, embedding, CAST(sum(bit) AS BIGINT) AS bucket FROM (
+      |    SELECT e.vec_id, e.embedding,
+      |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+      |             i -> CAST(e.embedding[i] AS DOUBLE) * coefs[i])) > 0
+      |           THEN (1 << CAST(plane AS INTEGER)) ELSE 0 END AS bit
+      |    FROM embeddings e, planes) b
+      |  GROUP BY vec_id, embedding),
+      |q AS (
+      |  SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+      |  FROM bucketed WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qid, b.vec_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+      |  FROM q JOIN bucketed b ON b.bucket = qb AND b.vec_id <> qid)
+      |SELECT qid, vec_id, cos FROM (
+      |  SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored) r
+      |WHERE rn <= 3""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
@@ -287,7 +368,8 @@ object Pipeline {
     "p4_cosine_topk" -> p4 _,
     "p5_text_stats" -> p5 _,
     "p6_token_stats" -> p6 _,
-    "p7_json_props" -> p7 _)
+    "p7_json_props" -> p7 _,
+    "p8_ann_lsh" -> p8 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -296,5 +378,6 @@ object Pipeline {
     "p4_cosine_topk" -> p4Sql,
     "p5_text_stats" -> p5Sql,
     "p6_token_stats" -> p6Sql,
-    "p7_json_props" -> p7Sql)
+    "p7_json_props" -> p7Sql,
+    "p8_ann_lsh" -> p8Sql)
 }

@@ -135,6 +135,25 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  /** Custom keyed state via mapGroupsWithState (SURVEY §2.10: the
+    * arbitrary-stateful-processing surface): running per-user event
+    * count and decimal-free value sum, updated per micro-batch. State
+    * is O(1) per user and lives in the state store — bounded, scales
+    * with key cardinality not event volume. */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        var (c, sum) = state.getOption.getOrElse((0L, 0.0))
+        it.foreach { e => c += 1; sum += e._2 }
+        state.update((c, sum))
+        (uid, c, sum)
+      }.toDF("user_id", "n_events", "value_sum")
+  }
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> st1 _,

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanics proofs: the two plan behaviors that matter most at
+  * cluster scale — shuffle elimination via co-located (bucketed)
+  * storage, and AQE converting a shuffle join to broadcast from
+  * RUNTIME sizes (the reference's CBO DetermineJoinDistributionType,
+  * done adaptively). */
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+  private var tmp: String = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Graft.session("graft-scale-test", 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = Files.createTempDirectory("graft_scale").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = graft.engine.Graft.load(spark, sfDir, "orders")
+    val line = graft.engine.Graft.load(spark, sfDir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/orders_b").saveAsTable("orders_b")
+    line.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/lineitem_b").saveAsTable("lineitem_b")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n${plan.take(2000)}")
+      assert(joined.count() ==
+        orders.join(line, col("o_orderkey") === col("l_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE converts a shuffle join to broadcast from runtime sizes") {
+    val line = graft.engine.Graft.load(spark, sfDir, "lineitem")
+    // filtered side is tiny at runtime but statically sized as the full file
+    val smallOrders = graft.engine.Graft.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+    val joined = line.join(smallOrders, col("l_orderkey") === col("o_orderkey"))
+    joined.write.format("noop").mode("overwrite").save() // execute → AQE finalizes
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"expected AQE broadcast conversion:\n${finalPlan.take(2000)}")
+  }
+}

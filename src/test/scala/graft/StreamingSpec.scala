@@ -75,6 +75,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("mapGroupsWithState accumulates across micro-batches") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = mkEvents()
+    val (b1, b2) = data.splitAt(300)
+    val stream = MemoryStream[Ev]
+
+    val q = Streams.runningUserStats(stream.toDF())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // latest update per user must equal the full-data batch aggregate
+    val latest = spark.table("state_out")
+      .groupBy($"user_id").agg(org.apache.spark.sql.functions.max($"n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = data.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(latest == expected)
+  }
+
   test("streaming dedup emits one row per key") {
     val spark = sparkSession
     import spark.implicits._
