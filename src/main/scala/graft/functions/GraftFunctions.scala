@@ -48,6 +48,8 @@ object GraftFunctions {
       FunctionIdentifier("approx_most_frequent"),
       new ExpressionInfo(classOf[ApproxMostFrequentAgg].getName, "approx_most_frequent"),
       (children: Seq[Expression]) => ApproxMostFrequentAgg(children(0), children(1))))
+    // optimizer extension surface (Rule[LogicalPlan])
+    e.injectOptimizerRule(_ => graft.plans.IdempotentCollectionOps)
   }
 
   // --------------------------------------------------------- UDF layer

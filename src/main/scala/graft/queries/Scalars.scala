@@ -295,6 +295,25 @@ object Scalars {
       |  CAST(sum(coalesce(nullif(l_linenumber, 1), -1)) AS BIGINT) AS co_sum
       |FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_returnflag""".stripMargin
 
+  // ----------------------------------- sc9 registry UDF gap-fill
+  /** The UDF layer of the function registry exercised end-to-end over
+    * documents (word_stem, lang_id, ngrams, wilson intervals,
+    * url_encode round-trip, ip_prefix_contains). These functions have
+    * no oracle-engine equivalents, so this entry is rows-only; each
+    * kernel's exact semantics are pinned by FunctionsSpec. */
+  def sc9(s: SparkSession, dir: String): DataFrame = {
+    graft.engine.Graft.registerAll(s, dir)
+    s.sql(
+      """SELECT doc_id,
+        |  word_stem(split_part(text, ' ', 1)) AS first_stem,
+        |  lang_id(text) AS lang_guess,
+        |  size(ngrams(split(text, ' '), 3)) AS n_3grams,
+        |  wilson_interval_lower(CAST(n_chars % 20 AS BIGINT), 20, 1.96) AS wl,
+        |  url_decode(url_encode(substring(text, 1, 24))) = substring(text, 1, 24) AS url_rt,
+        |  ip_prefix_contains('10.0.0.0/8', concat('10.0.0.', CAST(doc_id % 256 AS STRING))) AS in_net
+        |FROM documents WHERE doc_id < 200""".stripMargin)
+  }
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -304,7 +323,8 @@ object Scalars {
     "sc5_array_hof" -> sc5 _,
     "sc6_maps" -> sc6 _,
     "sc7_crypto" -> sc7 _,
-    "sc8_conditional" -> sc8 _)
+    "sc8_conditional" -> sc8 _,
+    "sc9_registry_udfs" -> sc9 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,

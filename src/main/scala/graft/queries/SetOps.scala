@@ -294,6 +294,74 @@ object SetOps {
   val uid1Sql: String =
     "SELECT TRUE AS ids_unique, count(*) AS cnt FROM orders"
 
+  // ----------------------------------------------- jo1 FULL OUTER join
+  /** FULL OUTER join (reference LookupJoinOperator FULL_OUTER variant;
+    * never exercised by the TPC-H suite): high-value customers vs
+    * high-value suppliers per nation — unmatched rows survive on both
+    * sides with nulls. */
+  def jo1(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 7000.0)
+      .groupBy(col("c_nationkey").as("cn")).agg(count(lit(1)).as("rich_cust"))
+    val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 3000.0)
+      .groupBy(col("s_nationkey").as("sn")).agg(count(lit(1)).as("rich_supp"))
+    c.join(sup, col("cn") === col("sn"), "full_outer")
+      .select(
+        coalesce(col("cn"), col("sn")).as("nationkey"),
+        coalesce(col("rich_cust"), lit(0)).as("rich_cust"),
+        coalesce(col("rich_supp"), lit(0)).as("rich_supp"))
+  }
+
+  val jo1Sql: String =
+    """SELECT coalesce(cn, sn) AS nationkey,
+      |  coalesce(rich_cust, 0) AS rich_cust,
+      |  coalesce(rich_supp, 0) AS rich_supp
+      |FROM (SELECT c_nationkey AS cn, count(*) AS rich_cust
+      |      FROM customer WHERE c_acctbal > 7000.0 GROUP BY c_nationkey) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS sn, count(*) AS rich_supp
+      |      FROM supplier WHERE s_acctbal > 3000.0 GROUP BY s_nationkey) s
+      |  ON cn = sn""".stripMargin
+
+  // ---------------------------------------------- jo2 RIGHT OUTER join
+  /** RIGHT OUTER join: all parts keep a row even with no matching
+    * high-quantity lineitem. */
+  def jo2(s: SparkSession, dir: String): DataFrame = {
+    val bigLines = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+    bigLines.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"), "right_outer")
+      .groupBy(col("p_partkey"))
+      .agg(count(col("l_orderkey")).as("big_line_cnt"))
+  }
+
+  val jo2Sql: String =
+    """SELECT p_partkey, count(l_orderkey) AS big_line_cnt
+      |FROM (SELECT * FROM lineitem WHERE l_quantity >= 48) l
+      |RIGHT OUTER JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_partkey""".stripMargin
+
+  // ------------------------------------- jo3 null-aware NOT IN (anti)
+  /** NOT IN over a subquery producing NULLs — the null-aware anti join
+    * (reference `TransformCorrelatedInPredicateToJoin.java` null
+    * semantics): any NULL in the subquery empties the NOT IN result
+    * for non-matching rows unless three-valued logic says otherwise.
+    * Here the inner side has no NULL keys after its filter, but the
+    * nullable expression forces Catalyst to plan the null-aware
+    * variant. */
+  def jo3(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s
+    import s2.implicits._
+    Graft.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT nullif(o_custkey, -1) FROM orders WHERE o_totalprice > 400000.0)
+        |""".stripMargin)
+  }
+
+  val jo3Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT nullif(o_custkey, -1) FROM orders WHERE o_totalprice > 400000.0)""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set1_union_all" -> set1 _,
@@ -312,7 +380,10 @@ object SetOps {
     "lim2_with_ties" -> lim2 _,
     "lim3_distinct_limit" -> lim3 _,
     "smp1_tablesample" -> smp1 _,
-    "uid1_assign_unique_id" -> uid1 _)
+    "uid1_assign_unique_id" -> uid1 _,
+    "jo1_full_outer" -> jo1 _,
+    "jo2_right_outer" -> jo2 _,
+    "jo3_null_aware_anti" -> jo3 _)
 
   val oracle: Map[String, String] = Map(
     "set1_union_all" -> set1Sql,
@@ -331,5 +402,8 @@ object SetOps {
     "lim2_with_ties" -> lim2Sql,
     "lim3_distinct_limit" -> lim3Sql,
     // smp1 intentionally has no oracle (engine-specific RNG)
-    "uid1_assign_unique_id" -> uid1Sql)
+    "uid1_assign_unique_id" -> uid1Sql,
+    "jo1_full_outer" -> jo1Sql,
+    "jo2_right_outer" -> jo2Sql,
+    "jo3_null_aware_anti" -> jo3Sql)
 }

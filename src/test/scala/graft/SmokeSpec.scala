@@ -79,6 +79,31 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(5) > 0.27 && row.getDouble(5) < 0.5)
   }
 
+  test("idempotent collection ops collapse via the injected optimizer rule") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, SortArray}
+    val plan = spark.sql(
+      "SELECT array_distinct(array_distinct(split(text, ' '))) FROM documents")
+      .queryExecution.optimizedPlan
+    val nDistinct = plan.expressions.map(_.collect { case a: ArrayDistinct => a }.size).sum
+    assert(nDistinct == 1, plan.toString.take(800))
+    val plan2 = spark.sql(
+      "SELECT sort_array(sort_array(split(text, ' '))) FROM documents")
+      .queryExecution.optimizedPlan
+    val nSort = plan2.expressions.map(_.collect { case s: SortArray => s }.size).sum
+    assert(nSort == 1, plan2.toString.take(800))
+  }
+
+  test("parameterized statements (PREPARE/EXECUTE surface)") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    val n = spark.sql(
+      "SELECT count(*) AS c FROM orders WHERE o_totalprice > :minPrice",
+      Map("minPrice" -> 400000.0)).head().getLong(0)
+    val expected = graft.engine.Graft.load(spark, sfDir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000.0).count()
+    assert(n == expected && n > 0)
+  }
+
   test("qdigest SQL median within bound on lineitem") {
     graft.engine.Graft.registerAll(spark, sfDir)
     val r = spark.sql(
