@@ -280,6 +280,29 @@ object Aggregates {
       |      sum(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
       |    FROM lineitem GROUP BY l_returnflag) raw) m""".stripMargin
 
+  // ------------------------------------------------ ag8 checksum agg
+  /** Order-independent table checksum (reference
+    * `ChecksumAggregationFunction.java` — used there to compare result
+    * sets regardless of row order; the same need this engine's own
+    * oracle gate has). Per-row digest = first 12 hex chars of md5 of a
+    * canonical row rendering; the aggregate is a plain sum, so it is
+    * commutative/associative → identical on any partitioning and in
+    * both engines. */
+  def ag8(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .selectExpr(
+        """CAST(conv(substring(md5(concat_ws('|',
+           |  CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+           |  o_orderstatus, o_orderpriority)), 1, 12), 16, 10) AS BIGINT) AS rh""".stripMargin)
+      .agg(sum(col("rh")).cast("long").as("checksum"), count(lit(1)).as("n"))
+
+  val ag8Sql: String =
+    """SELECT CAST(sum(rh) AS BIGINT) AS checksum, count(*) AS n FROM (
+      |  SELECT CAST(('0x' || substring(md5(concat_ws('|',
+      |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      |    o_orderstatus, o_orderpriority)), 1, 12)) AS BIGINT) AS rh
+      |  FROM orders) r""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ag1_minmax_by" -> ag1 _,
@@ -288,7 +311,8 @@ object Aggregates {
     "ag4_approx_bounds" -> ag4 _,
     "ag5_ordered_agg" -> ag5 _,
     "ag6_histogram" -> ag6 _,
-    "ag7_regression" -> ag7 _)
+    "ag7_regression" -> ag7 _,
+    "ag8_checksum" -> ag8 _)
 
   val oracle: Map[String, String] = Map(
     "ag1_minmax_by" -> ag1Sql,
@@ -297,5 +321,6 @@ object Aggregates {
     "ag4_approx_bounds" -> ag4Sql,
     "ag5_ordered_agg" -> ag5Sql,
     "ag6_histogram" -> ag6Sql,
-    "ag7_regression" -> ag7Sql)
+    "ag7_regression" -> ag7Sql,
+    "ag8_checksum" -> ag8Sql)
 }
