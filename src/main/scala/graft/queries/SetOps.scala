@@ -362,6 +362,47 @@ object SetOps {
       |WHERE c_custkey NOT IN (
       |  SELECT nullif(o_custkey, -1) FROM orders WHERE o_totalprice > 400000.0)""".stripMargin
 
+  // ----------------------------------------- nv1 NULL semantics fixture
+  /** Engine-only NULL-semantics corpus over an inline VALUES relation
+    * (the reference's `AbstractTestEngineOnlyQueries` style — both
+    * engines evaluate the IDENTICAL literal table): IGNORE NULLS value
+    * functions, count(*) vs count(col), null-skipping sums, and
+    * three-valued-logic scalar ops. */
+  def nv1(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      """SELECT grp, ord,
+        |  lag(v, 1) IGNORE NULLS OVER w AS lag_ig,
+        |  last_value(v) IGNORE NULLS OVER
+        |    (PARTITION BY grp ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ig,
+        |  count(*) OVER (PARTITION BY grp) AS cnt_all,
+        |  count(v) OVER (PARTITION BY grp) AS cnt_v,
+        |  CAST(sum(v) OVER (PARTITION BY grp) AS BIGINT) AS sum_v,
+        |  coalesce(v, -1) AS co,
+        |  nullif(v, 30) AS ni,
+        |  (v > 20) AS gt20
+        |FROM VALUES
+        |  (1, 1, 10), (1, 2, CAST(NULL AS INT)), (1, 3, 30), (1, 4, CAST(NULL AS INT)),
+        |  (1, 5, 50), (2, 1, CAST(NULL AS INT)), (2, 2, CAST(NULL AS INT)), (2, 3, 7)
+        |  AS t(grp, ord, v)
+        |WINDOW w AS (PARTITION BY grp ORDER BY ord)""".stripMargin)
+
+  val nv1Sql: String =
+    """SELECT grp, ord,
+      |  lag(v, 1 IGNORE NULLS) OVER w AS lag_ig,
+      |  last_value(v IGNORE NULLS) OVER
+      |    (PARTITION BY grp ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ig,
+      |  count(*) OVER (PARTITION BY grp) AS cnt_all,
+      |  count(v) OVER (PARTITION BY grp) AS cnt_v,
+      |  CAST(sum(v) OVER (PARTITION BY grp) AS BIGINT) AS sum_v,
+      |  coalesce(v, -1) AS co,
+      |  nullif(v, 30) AS ni,
+      |  (v > 20) AS gt20
+      |FROM (VALUES
+      |  (1, 1, 10), (1, 2, CAST(NULL AS INT)), (1, 3, 30), (1, 4, CAST(NULL AS INT)),
+      |  (1, 5, 50), (2, 1, CAST(NULL AS INT)), (2, 2, CAST(NULL AS INT)), (2, 3, 7))
+      |  AS t(grp, ord, v)
+      |WINDOW w AS (PARTITION BY grp ORDER BY ord)""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set1_union_all" -> set1 _,
@@ -383,7 +424,8 @@ object SetOps {
     "uid1_assign_unique_id" -> uid1 _,
     "jo1_full_outer" -> jo1 _,
     "jo2_right_outer" -> jo2 _,
-    "jo3_null_aware_anti" -> jo3 _)
+    "jo3_null_aware_anti" -> jo3 _,
+    "nv1_null_semantics" -> nv1 _)
 
   val oracle: Map[String, String] = Map(
     "set1_union_all" -> set1Sql,
@@ -405,5 +447,6 @@ object SetOps {
     "uid1_assign_unique_id" -> uid1Sql,
     "jo1_full_outer" -> jo1Sql,
     "jo2_right_outer" -> jo2Sql,
-    "jo3_null_aware_anti" -> jo3Sql)
+    "jo3_null_aware_anti" -> jo3Sql,
+    "nv1_null_semantics" -> nv1Sql)
 }

@@ -52,6 +52,8 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ms = runPat(Seq[Double](5, 4, 3, 6, 7, 2, 8), "D+ U+")
     assert(ms.map(_.classifier) == Seq("DDUU", "DU"))
     assert(ms.map(m => (m.start_ord, m.end_ord)) == Seq((1L, 4L), (5L, 6L)))
+    // per-variable COUNT measures
+    assert(ms.map(_.var_counts) == Seq("D:2,U:2", "D:1,U:1"))
   }
 
   test("no match when only falling") {
