@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable operator-semantics library (SURVEY §7.1 `ops/`): DataFrame →
+  * DataFrame functions for semantics Spark does not spell natively —
+  * the PTF-style surface of SURVEY §2.8 (reference
+  * `spi/ptf/ConnectorTableFunction.java`: table-in/table-out functions
+  * exposed as API, since Spark has no SQL PTF syntax).
+  *
+  * Each helper stays fully declarative, so Catalyst plans it like
+  * hand-written code: `topNPerGroup`/`limitWithTies` become partial+
+  * final WindowGroupLimit (bounded per-partition heaps — see
+  * plans/w8_topn_per_group.plan.txt), `unnestWithOrdinality` is a
+  * narrow generator with no shuffle.
+  */
+object Ops {
+
+  /** Top-N rows per group by `order` (reference
+    * `TopNRankingOperator.java:1`): appends `rn` (1-based, bigint).
+    * `order` must be total within a group for deterministic output. */
+  def topNPerGroup(df: DataFrame, n: Int, partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .withColumn("rn", col("rn").cast("long"))
+  }
+
+  /** ORDER BY ... FETCH FIRST n ROWS WITH TIES (reference
+    * `ImplementLimitWithTies.java`): keeps every row tying with the
+    * n-th. Catalyst plans the rank filter as WindowGroupLimit, so only
+    * ~n rows per partition reach the final exchange. */
+  def limitWithTies(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    df.withColumn("__rk", rank().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** UNNEST WITH ORDINALITY (reference `UnnestOperator.java:42`):
+    * explodes `arr` into (`posName` 1-based bigint, `colName`). */
+  def unnestWithOrdinality(df: DataFrame, arr: Column,
+      posName: String, colName: String): DataFrame =
+    df.select(df.columns.map(col) :+ posexplode(arr).as(Seq("__pos", colName)): _*)
+      .withColumn(posName, (col("__pos") + 1).cast("long"))
+      .drop("__pos")
+
+  /** GROUPING SETS helper: aggregate the same input at several
+    * grouping-column sets in one pass, tagging rows with grouping_id
+    * (reference `GroupIdOperator.java:1`). */
+  def groupingSetsAgg(df: DataFrame, sets: Seq[Seq[Column]],
+      groupCols: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupingSets(sets, groupCols: _*)
+      .agg(aggs.head, (aggs.tail :+ grouping_id().cast("long").as("gid")): _*)
+}

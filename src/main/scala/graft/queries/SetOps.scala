@@ -160,12 +160,11 @@ object SetOps {
     val joined = t(s, dir, "customer")
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-    joined.groupingSets(
-        Seq(Seq(col("r_name")), Seq(col("n_name"))),
-        col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(money(col("c_acctbal"))).cast("double").as("bal"),
-        grouping_id().cast("long").as("gid"))
+    graft.operators.Ops.groupingSetsAgg(joined,
+      sets = Seq(Seq(col("r_name")), Seq(col("n_name"))),
+      groupCols = Seq(col("r_name"), col("n_name")),
+      aggs = Seq(count(lit(1)).as("cnt"),
+        sum(money(col("c_acctbal"))).cast("double").as("bal")))
   }
 
   val gs3Sql: String =
@@ -195,10 +194,11 @@ object SetOps {
   /** posexplode = UNNEST WITH ORDINALITY: tokens of the first 50
     * documents with their 1-based positions. */
   def un2(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .filter(col("doc_id") < 50)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("token"))
+    graft.operators.Ops.unnestWithOrdinality(
+        t(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"), split(col("text"), " ").as("w")),
+        col("w"), "pos", "token")
+      .select(col("doc_id"), col("pos"), col("token"))
 
   val un2Sql: String =
     """SELECT doc_id,
@@ -247,13 +247,10 @@ object SetOps {
     * plans/lim2_with_ties.plan.txt): each partition pre-prunes to its
     * local top-10-with-ties, so the single-partition exchange carries
     * O(10 × partitions) rows — scale-safe. */
-  def lim2(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").desc)
-    t(s, dir, "orders")
-      .withColumn("rk", rank().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("o_orderkey"), col("o_totalprice"))
-  }
+  def lim2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ops.limitWithTies(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      10, Seq(col("o_totalprice").desc))
 
   val lim2Sql: String =
     """SELECT o_orderkey, o_totalprice FROM (

@@ -207,15 +207,12 @@ object Windows {
     * keeps a bounded heap instead of a full sort (the reference's
     * specialized `operator/TopNRankingOperator.java:1` /
     * `GroupedTopNRowNumberBuilder.java`). */
-  def w8(s: SparkSession, dir: String): DataFrame = {
-    val byPrice = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    t(s, dir, "orders")
-      .withColumn("rn", row_number().over(byPrice))
-      .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        col("rn").cast("long").as("rn"))
-  }
+  def w8(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ops.topNPerGroup(
+        t(s, dir, "orders"), 3,
+        partition = Seq(col("o_custkey")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
 
   val w8Sql: String =
     """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -104,6 +104,19 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == expected && n > 0)
   }
 
+  test("no declared query plans a cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("uuid() generates unique values") {
+    val df = spark.range(1000).selectExpr("uuid() AS u")
+    assert(df.distinct().count() == 1000)
+  }
+
   test("qdigest SQL median within bound on lineitem") {
     graft.engine.Graft.registerAll(spark, sfDir)
     val r = spark.sql(
