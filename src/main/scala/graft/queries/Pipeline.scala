@@ -360,6 +360,49 @@ object Pipeline {
       |  FROM scored) r
       |WHERE rn <= 3""".stripMargin
 
+  // ----------------------------------- p9 end-to-end corpus pipeline
+  /** The operators composed into the actual training-data pipeline:
+    * quality gate (≥20 words) → exact dedup keep-first by content hash
+    * → near-dup removal using the banded MinHash-LSH pairs (p3's
+    * operator, drop-right policy: the higher doc_id of each verified
+    * pair is evicted — a deterministic approximation of
+    * connected-component clustering, which at scale runs as iterative
+    * label propagation over the same pair list) → per-language corpus
+    * census. Every stage is the declarative operator defined above, so
+    * the whole pipeline is one Catalyst plan — no materialization
+    * barriers between stages. */
+  def p9(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quality = docs.filter(size(split(col("text"), " ")) >= 20)
+    val keepFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val exactKept = quality
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") === 1).drop("h", "rn")
+    val nearDupRight = p3(s, dir).select(col("doc_b")).distinct()
+    exactKept
+      .join(nearDupRight, exactKept("doc_id") === col("doc_b"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_chars")).cast("long").as("kept_chars"))
+  }
+
+  val p9Sql: String = {
+    val pairsSub = p3Sql.linesIterator.map("  " + _).mkString("\n")
+    s"""WITH quality AS (
+       |  SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 20),
+       |exact_kept AS (
+       |  SELECT * FROM (
+       |    SELECT q.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM quality q) r
+       |  WHERE rn = 1)
+       |SELECT lang, count(*) AS kept_docs, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM exact_kept
+       |WHERE doc_id NOT IN (SELECT doc_b FROM (
+       |$pairsSub
+       |) pairs)
+       |GROUP BY lang""".stripMargin
+  }
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
@@ -369,7 +412,8 @@ object Pipeline {
     "p5_text_stats" -> p5 _,
     "p6_token_stats" -> p6 _,
     "p7_json_props" -> p7 _,
-    "p8_ann_lsh" -> p8 _)
+    "p8_ann_lsh" -> p8 _,
+    "p9_corpus_pipeline" -> p9 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -379,5 +423,6 @@ object Pipeline {
     "p5_text_stats" -> p5Sql,
     "p6_token_stats" -> p6Sql,
     "p7_json_props" -> p7Sql,
-    "p8_ann_lsh" -> p8Sql)
+    "p8_ann_lsh" -> p8Sql,
+    "p9_corpus_pipeline" -> p9Sql)
 }
