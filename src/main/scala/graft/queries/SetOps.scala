@@ -400,6 +400,31 @@ object SetOps {
       |  AS t(grp, ord, v)
       |WINDOW w AS (PARTITION BY grp ORDER BY ord)""".stripMargin
 
+  // --------------------------------------- nv2 explicit NULL ordering
+  /** NULLS FIRST / NULLS LAST pinned explicitly on both engines —
+    * necessary because the engines' DEFAULTS disagree (Spark ASC =
+    * NULLS FIRST, the oracle engine ASC = NULLS LAST), exactly the
+    * class of silent divergence the reference's engine-only corpus
+    * exists to catch. */
+  def nv2(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      """SELECT ord, v,
+        |  row_number() OVER (ORDER BY v ASC NULLS FIRST, ord) AS rn_nf,
+        |  row_number() OVER (ORDER BY v ASC NULLS LAST, ord) AS rn_nl,
+        |  row_number() OVER (ORDER BY v DESC NULLS FIRST, ord) AS rn_dnf
+        |FROM VALUES (1, 5), (2, CAST(NULL AS INT)), (3, 1), (4, CAST(NULL AS INT)), (5, 9)
+        |  AS t(ord, v)""".stripMargin)
+      .selectExpr("ord", "v", "CAST(rn_nf AS BIGINT) AS rn_nf",
+        "CAST(rn_nl AS BIGINT) AS rn_nl", "CAST(rn_dnf AS BIGINT) AS rn_dnf")
+
+  val nv2Sql: String =
+    """SELECT ord, v,
+      |  row_number() OVER (ORDER BY v ASC NULLS FIRST, ord) AS rn_nf,
+      |  row_number() OVER (ORDER BY v ASC NULLS LAST, ord) AS rn_nl,
+      |  row_number() OVER (ORDER BY v DESC NULLS FIRST, ord) AS rn_dnf
+      |FROM (VALUES (1, 5), (2, CAST(NULL AS INT)), (3, 1), (4, CAST(NULL AS INT)), (5, 9))
+      |  AS t(ord, v)""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set1_union_all" -> set1 _,
@@ -422,7 +447,8 @@ object SetOps {
     "jo1_full_outer" -> jo1 _,
     "jo2_right_outer" -> jo2 _,
     "jo3_null_aware_anti" -> jo3 _,
-    "nv1_null_semantics" -> nv1 _)
+    "nv1_null_semantics" -> nv1 _,
+    "nv2_null_ordering" -> nv2 _)
 
   val oracle: Map[String, String] = Map(
     "set1_union_all" -> set1Sql,
@@ -445,5 +471,6 @@ object SetOps {
     "jo1_full_outer" -> jo1Sql,
     "jo2_right_outer" -> jo2Sql,
     "jo3_null_aware_anti" -> jo3Sql,
-    "nv1_null_semantics" -> nv1Sql)
+    "nv1_null_semantics" -> nv1Sql,
+    "nv2_null_ordering" -> nv2Sql)
 }
