@@ -294,10 +294,13 @@ object Aggregates {
         """CAST(conv(substring(md5(concat_ws('|',
            |  CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
            |  o_orderstatus, o_orderpriority)), 1, 12), 16, 10) AS BIGINT) AS rh""".stripMargin)
-      .agg(sum(col("rh")).cast("long").as("checksum"), count(lit(1)).as("n"))
+      // accumulate in DECIMAL(38,0): a bigint sum of 2^48-scale digests
+      // overflows past ~30k rows; decimal is exact at any row count
+      .agg(sum(col("rh").cast("decimal(38,0)")).cast("string").as("checksum"),
+        count(lit(1)).as("n"))
 
   val ag8Sql: String =
-    """SELECT CAST(sum(rh) AS BIGINT) AS checksum, count(*) AS n FROM (
+    """SELECT CAST(CAST(sum(rh) AS DECIMAL(38,0)) AS VARCHAR) AS checksum, count(*) AS n FROM (
       |  SELECT CAST(('0x' || substring(md5(concat_ws('|',
       |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
       |    o_orderstatus, o_orderpriority)), 1, 12)) AS BIGINT) AS rh

@@ -227,8 +227,12 @@ object Windows {
     * avg divides a decimal-exact sum by the frame count so both
     * engines perform one identical IEEE division. */
   def w9(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture at larger
+    // SFs — the price column joins the tie-break so the order is total
+    // over every column the frame reads
     val slide = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
       .rowsBetween(-3, Window.currentRow)
     t(s, dir, "lineitem").select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -248,7 +252,7 @@ object Windows {
       |  count(*) OVER w AS mov_cnt,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w AS DOUBLE) / count(*) OVER w AS mov_avg
       |FROM lineitem
-      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ------------------------------------------ w10 GROUPS frame rewrite
