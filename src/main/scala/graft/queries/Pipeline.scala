@@ -403,6 +403,32 @@ object Pipeline {
        |GROUP BY lang""".stripMargin
   }
 
+  // ------------------------------------ p10 writer sink in the gate
+  /** Writer sink under the oracle gate (reference
+    * `TableWriterOperator.java:1` / `TableFinishOperator.java:1`): the
+    * curated corpus is WRITTEN to parquet partitioned by lang, read
+    * back, and aggregated — the oracle computes the same aggregate
+    * from the source directly, so a lossy or non-atomic write breaks
+    * the hash match. Partitioned layout is the 100 TB shape: one
+    * directory per lang, append-able, partition-prunable. */
+  def p10(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_sink/p10_${dir.replaceAll("[^a-z0-9.]", "_")}"
+    t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 20)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        countDistinct(md5(col("text"))).as("distinct_texts"))
+  }
+
+  val p10Sql: String =
+    """SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  count(DISTINCT md5(text)) AS distinct_texts
+      |FROM documents WHERE len(string_split(text, ' ')) >= 20
+      |GROUP BY lang""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
@@ -413,7 +439,8 @@ object Pipeline {
     "p6_token_stats" -> p6 _,
     "p7_json_props" -> p7 _,
     "p8_ann_lsh" -> p8 _,
-    "p9_corpus_pipeline" -> p9 _)
+    "p9_corpus_pipeline" -> p9 _,
+    "p10_write_roundtrip" -> p10 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -424,5 +451,6 @@ object Pipeline {
     "p6_token_stats" -> p6Sql,
     "p7_json_props" -> p7Sql,
     "p8_ann_lsh" -> p8Sql,
-    "p9_corpus_pipeline" -> p9Sql)
+    "p9_corpus_pipeline" -> p9Sql,
+    "p10_write_roundtrip" -> p10Sql)
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** ScalaCheck property identities (SURVEY §5: "we add ScalaCheck
+  * generators for expression-level identities" — the reference has no
+  * property testing; this is our addition). Each property runs through
+  * ScalaCheck's own driver; failure messages carry the shrunk
+  * counterexample. */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("luhn: appending the computed check digit always validates") {
+    val digits = Gen.nonEmptyListOf(Gen.choose(0, 9)).map(_.mkString)
+    check("luhn", Prop.forAll(digits) { body =>
+      // find the check digit by trying all ten
+      (0 to 9).exists(d => GraftFunctions.luhnCheck(body + d)) &&
+        (0 to 9).count(d => GraftFunctions.luhnCheck(body + d)) == 1
+    })
+  }
+
+  test("quantile sketch: merge is order-insensitive and bounds hold") {
+    val values = Gen.nonEmptyListOf(Gen.choose(0.01, 1e6))
+    check("sketch-merge", Prop.forAll(values) { vs =>
+      val a = new LogQuantileSketch(0.01)
+      val b = new LogQuantileSketch(0.01)
+      vs.zipWithIndex.foreach { case (v, i) => (if (i % 2 == 0) a else b).add(v) }
+      val ab = new LogQuantileSketch(0.01); ab.merge(a); ab.merge(b)
+      val ba = new LogQuantileSketch(0.01); ba.merge(b); ba.merge(a)
+      val whole = new LogQuantileSketch(0.01); vs.foreach(whole.add)
+      java.util.Arrays.equals(ab.serialize(), ba.serialize()) &&
+        java.util.Arrays.equals(ab.serialize(), whole.serialize())
+    })
+    check("sketch-bound", Prop.forAll(values) { vs =>
+      val sk = new LogQuantileSketch(0.01)
+      vs.foreach(sk.add)
+      val sorted = vs.sorted
+      Seq(0.1, 0.5, 0.9).forall { q =>
+        val rank = math.max(1, math.ceil(q * vs.length).toInt)
+        val exact = sorted(rank - 1)
+        math.abs(sk.quantile(q) - exact) <= math.abs(exact) * 0.011 + 1e-9
+      }
+    })
+  }
+
+  test("space-saving: counts never underestimate") {
+    val keys = Gen.nonEmptyListOf(Gen.choose(0, 30).map(i => s"k$i"))
+    check("space-saving", Prop.forAll(keys) { ks =>
+      val ss = new SpaceSaving(10)
+      ks.foreach(k => ss.add(k))
+      val exact = ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      ss.top(10).forall { case (k, c) => c >= exact.getOrElse(k, 0L) }
+    })
+  }
+
+  test("ngrams: count identity |ngrams(w,n)| == max(0, |w|-n+1)") {
+    val words = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+    val ns = Gen.choose(1, 5)
+    check("ngrams", Prop.forAll(words, ns) { (w, n) =>
+      GraftFunctions.ngrams(w, n).size == math.max(0, w.size - n + 1)
+    })
+  }
+
+  test("simhash: permutation-insensitive under identical token multisets") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val words = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    check("simhash-perm", Prop.forAll(words) { ws =>
+      // simhash sums per-token bit votes → independent of token order
+      SimHashUtil.compute(u(ws.mkString(" "))) ==
+        SimHashUtil.compute(u(ws.reverse.mkString(" ")))
+    })
+  }
+
+  test("wilson: interval is monotone in z and contains the proportion") {
+    val g = for {
+      n <- Gen.choose(1L, 10000L)
+      pos <- Gen.choose(0L, n)
+    } yield (pos, n)
+    check("wilson", Prop.forAll(g) { case (pos, n) =>
+      val l1 = GraftFunctions.wilsonLower(pos, n, 1.0)
+      val l2 = GraftFunctions.wilsonLower(pos, n, 2.0)
+      val u1 = GraftFunctions.wilsonUpper(pos, n, 1.0)
+      val u2 = GraftFunctions.wilsonUpper(pos, n, 2.0)
+      val p = pos.toDouble / n
+      l2 <= l1 + 1e-12 && u1 <= u2 + 1e-12 &&
+        l1 <= p + 1e-12 && p <= u1 + 1e-12
+    })
+  }
+
+  test("dialect translation is idempotent") {
+    import graft.sqlcompat.Dialect
+    val sqls = Gen.oneOf(
+      "SELECT approx_distinct(x) FROM t",
+      "SELECT strpos(a, 'b'), CAST(x AS VARBINARY) FROM t WHERE y LIKE '%strpos%'",
+      "SELECT TRY(a / b), now() FROM t",
+      "SELECT 1")
+    check("dialect-idempotent", Prop.forAll(sqls) { s =>
+      val once = Dialect.translate(s)
+      Dialect.translate(once) == once
+    })
+  }
+}
