@@ -314,6 +314,34 @@ object Scalars {
         |FROM documents WHERE doc_id < 200""".stripMargin)
   }
 
+  // --------------------------------- sc10 epoch/constructor datetime
+  /** Epoch conversions and date/timestamp constructors (reference
+    * DateTimeFunctions from_unixtime/to_unixtime family). */
+  def sc10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .selectExpr("o_orderkey", "CAST(unix_timestamp(o_orderdate) AS BIGINT) AS es")
+      .selectExpr(
+        "o_orderkey",
+        "es",
+        "from_unixtime(es, 'yyyy-MM-dd HH:mm:ss') AS human",
+        "timestamp_seconds(es) AS ts_back",
+        "timestamp_millis(es * 1000) AS ts_ms",
+        "date_from_unix_date(CAST(es DIV 86400 AS INT)) AS d_back",
+        "make_date(2024, CAST(es % 12 AS INT) + 1, 15) AS mk_d",
+        "make_timestamp(2024, 1, 2, 3, 4, CAST(es % 60 AS INT)) AS mk_ts")
+
+  val sc10Sql: String =
+    """SELECT o_orderkey, es,
+      |  strftime(to_timestamp(es), '%Y-%m-%d %H:%M:%S') AS human,
+      |  CAST(to_timestamp(es) AS TIMESTAMP) AS ts_back,
+      |  epoch_ms(es * 1000) AS ts_ms,
+      |  DATE '1970-01-01' + INTERVAL (es // 86400) DAYS AS d_back,
+      |  make_date(2024, CAST(es % 12 AS INT) + 1, 15) AS mk_d,
+      |  make_timestamp(2024, 1, 2, 3, 4, CAST(es % 60 AS INT)) AS mk_ts
+      |FROM (SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS es
+      |      FROM orders WHERE o_orderkey <= 2000) t""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -324,7 +352,8 @@ object Scalars {
     "sc6_maps" -> sc6 _,
     "sc7_crypto" -> sc7 _,
     "sc8_conditional" -> sc8 _,
-    "sc9_registry_udfs" -> sc9 _)
+    "sc9_registry_udfs" -> sc9 _,
+    "sc10_epoch" -> sc10 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -334,5 +363,6 @@ object Scalars {
     "sc5_array_hof" -> sc5Sql,
     "sc6_maps" -> sc6Sql,
     "sc7_crypto" -> sc7Sql,
-    "sc8_conditional" -> sc8Sql)
+    "sc8_conditional" -> sc8Sql,
+    "sc10_epoch" -> sc10Sql)
 }
