@@ -47,6 +47,25 @@ object Ops {
       .withColumn(posName, (col("__pos") + 1).cast("long"))
       .drop("__pos")
 
+  /** Salted equi-join for extreme key skew: rows of the (large,
+    * skewed) `big` side scatter across `nSalts` sub-keys via a
+    * deterministic hash of `saltBy` (any well-distributed column —
+    * typically the primary key), and the `small` side replicates once
+    * per salt, so a single hot key's rows land on `nSalts` tasks
+    * instead of one. Use when one key's row count exceeds what a task
+    * can hold; AQE's skew-join split (enabled in Graft.session)
+    * handles the moderate cases automatically — salting is the manual
+    * escalation for pathological single-key skew, at the price of
+    * replicating the small side `nSalts`×. */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, saltBy: String, nSalts: Int): DataFrame = {
+    val b = big.withColumn("__salt", pmod(hash(col(saltBy)), lit(nSalts)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))
+      .drop("__salt")
+  }
+
   /** GROUPING SETS helper: aggregate the same input at several
     * grouping-column sets in one pass, tagging rows with grouping_id
     * (reference `GroupIdOperator.java:1`). */

@@ -49,6 +49,21 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted join equals the plain join (skew-mitigation identity)") {
+    val line = graft.engine.Graft.load(spark, sfDir, "lineitem")
+    val orders = graft.engine.Graft.load(spark, sfDir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_orderpriority"))
+    val salted = graft.operators.Ops.saltedJoin(
+      line, orders, "l_orderkey", "o_orderkey", "l_linenumber", nSalts = 4)
+    val plain = line.join(orders,
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    assert(salted.count() == plain.count())
+    // same multiset of joined rows, not just the same count
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("AQE converts a shuffle join to broadcast from runtime sizes") {
     val line = graft.engine.Graft.load(spark, sfDir, "lineitem")
     // filtered side is tiny at runtime but statically sized as the full file
