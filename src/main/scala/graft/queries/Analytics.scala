@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+import graft.engine.Num._
+
+/** Composite analytics: multi-operator shapes a reference user runs
+  * daily — windowed time-series deltas over aggregates, and
+  * co-occurrence (market-basket) mining. Each composes operators
+  * already covered individually (joins, decimal-exact aggregation,
+  * window lag, self-join pair expansion) into one plan.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.load(s, dir, name)
+
+  // ------------------------------------------- x1 year-over-year
+  /** Year-over-year revenue growth per nation: aggregate → window lag
+    * over the (tiny) nation×year relation → exact-decimal delta, one
+    * IEEE division for the growth rate. Scale: the window runs over
+    * |nations|×|years| rows — the big table only feeds the first
+    * aggregation. */
+  def x1(s: SparkSession, dir: String): DataFrame = {
+    val yearly = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    yearly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("n_name"), col("yr"),
+        col("rev").cast("double").as("revenue"),
+        ((col("rev") - col("prev")).cast("double") / col("prev").cast("double"))
+          .as("yoy_growth"))
+  }
+
+  val x1Sql: String =
+    """WITH yearly AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, year(o_orderdate))
+      |SELECT n_name, yr, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rev - lag(rev) OVER w AS DOUBLE) / CAST(lag(rev) OVER w AS DOUBLE) AS yoy_growth
+      |FROM yearly
+      |WINDOW w AS (PARTITION BY n_name ORDER BY yr)""".stripMargin
+
+  // --------------------------------------------- x2 market basket
+  /** Part co-occurrence mining: pairs of parts appearing in the same
+    * order at least 3 times. The pair space is generated per order
+    * (self-join on the order key with a < guard) — output is bounded
+    * by Σ lines(order)², never |lineitem|², and at 100 TB the
+    * heavy-hitter pairs come out of one partial/final count. */
+  def x2(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa")).distinct()
+    val b = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")).distinct()
+    a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("together"))
+      .filter(col("together") >= 3)
+  }
+
+  val x2Sql: String =
+    """SELECT a.pa, b.pb, count(*) AS together
+      |FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pa FROM lineitem) a
+      |JOIN (SELECT DISTINCT l_orderkey AS ok2, l_partkey AS pb FROM lineitem) b
+      |  ON a.ok = b.ok2 AND a.pa < b.pb
+      |GROUP BY a.pa, b.pb
+      |HAVING count(*) >= 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_yoy_growth" -> x1 _,
+    "x2_market_basket" -> x2 _)
+
+  val oracle: Map[String, String] = Map(
+    "x1_yoy_growth" -> x1Sql,
+    "x2_market_basket" -> x2Sql)
+}
