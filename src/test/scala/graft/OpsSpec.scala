@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ops
+
+/** Row fixture for operator-helper tests. */
+case class KV(g: Int, k: Int, v: Double)
+
+/** Hand-computed semantics for the Ops operator library. */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Graft.session("graft-ops-test", 4)
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def fixture() = {
+    val spk = spark
+    import spk.implicits._
+    Seq(KV(1, 1, 10), KV(1, 2, 30), KV(1, 3, 30), KV(1, 4, 20),
+      KV(2, 1, 5), KV(2, 2, 5)).toDF()
+  }
+
+  test("topNPerGroup keeps exactly n per group with deterministic ranks") {
+    val out = Ops.topNPerGroup(fixture(), 2,
+        partition = Seq(col("g")), order = Seq(col("v").desc, col("k")))
+      .select("g", "k", "rn").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    // g=1: v desc → k=2 (30), k=3 (30, tie broken by k), g=2: k=1,k=2 (ties)
+    assert(out == Set((1, 2, 1L), (1, 3, 2L), (2, 1, 1L), (2, 2, 2L)))
+  }
+
+  test("limitWithTies keeps peers of the boundary row") {
+    val out = Ops.limitWithTies(fixture(), 2, Seq(col("v").desc))
+      .select("k", "v").collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    // top-2 by v desc are the two 30s; WITH TIES adds nothing further
+    assert(out == Set((2, 30.0), (3, 30.0)))
+    val out3 = Ops.limitWithTies(fixture(), 3, Seq(col("v").desc))
+      .select("v").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(out3 == Seq(20.0, 30.0, 30.0))
+  }
+
+  test("unnestWithOrdinality yields 1-based positions") {
+    val spk = spark
+    import spk.implicits._
+    val df = Seq((1, Seq("a", "b", "c"))).toDF("id", "arr")
+    val out = Ops.unnestWithOrdinality(df, col("arr"), "pos", "tok")
+      .select("id", "pos", "tok").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "c")))
+  }
+
+  test("groupingSetsAgg tags levels with grouping_id") {
+    val spk = spark
+    import spk.implicits._
+    val df = Seq(("x", "p", 1), ("x", "q", 1), ("y", "p", 1)).toDF("a", "b", "n")
+    val out = Ops.groupingSetsAgg(df,
+        sets = Seq(Seq(col("a")), Seq(col("b"))),
+        groupCols = Seq(col("a"), col("b")),
+        aggs = Seq(org.apache.spark.sql.functions.count(col("n")).as("cnt")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // gid 1 = b aggregated away (per-a), gid 2 = a aggregated away (per-b)
+    assert(out == Set(
+      ("x", null, 2L, 1L), ("y", null, 1L, 1L),
+      (null, "p", 2L, 2L), (null, "q", 1L, 2L)))
+  }
+}
