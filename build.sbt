@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE JSON line from sbt stdout; the default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which breaks `json.loads`. StdoutOutput passes the child's
+// stdout/stderr through undecorated.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

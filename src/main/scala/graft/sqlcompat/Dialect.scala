@@ -13,14 +13,17 @@ package graft.sqlcompat
   */
 object Dialect {
 
-  /** function / keyword renames (reference name → Spark name). */
+  /** Simple function renames (reference name → Spark name): same arity
+    * and argument order on both sides, so a plain name rewrite is safe.
+    * Anything needing argument surgery lives in the call-translation
+    * pass below; reference functions with no sound Spark mapping (e.g.
+    * numeric `truncate`) are deliberately absent and pass through
+    * untouched so Spark reports them as unresolved. */
   private val renames: Seq[(String, String)] = Seq(
     "approx_distinct" -> "approx_count_distinct",
     "approx_percentile" -> "percentile_approx",
     "strpos" -> "instr",
     "codepoint" -> "ascii",
-    "from_utf8" -> "decode",
-    "to_utf8" -> "encode",
     "json_extract_scalar" -> "get_json_object",
     "json_array_length" -> "json_array_length", // same
     "arbitrary" -> "any_value",
@@ -28,13 +31,8 @@ object Dialect {
     "array_join" -> "array_join", // same
     "cardinality" -> "cardinality", // same
     "log" -> "log", // same signature (base, x)
-    "truncate" -> "trunc",
-    "nan" -> "double('NaN')",
-    "infinity" -> "double('Infinity')",
     "is_nan" -> "isnan",
-    "bitwise_and" -> "(&)", // handled below as operator note
     "regexp_like" -> "regexp_like", // same in Spark 3.2+
-    "date_diff" -> "date_diff", // arg order differs — see translateCall
     "now" -> "current_timestamp",
     "format_datetime" -> "format_datetime") // our Joda-compat UDF
 
@@ -72,12 +70,57 @@ object Dialect {
     }
     parts += ((sb.toString, inStr))
 
+    // Cross-segment pass: reference datetime calls whose FIRST argument
+    // is a quoted unit literal — date_diff('day', a, b) → end-start in
+    // units ≡ Spark timestampdiff(DAY, a, b); date_add('day', n, ts) ≡
+    // timestampadd(DAY, n, ts). The unit literal is its own segment, so
+    // this must run before the per-segment renames.
+    val unitFns = Map("date_diff" -> "timestampdiff", "date_add" -> "timestampadd")
+    val units = Set("millisecond", "second", "minute", "hour",
+      "day", "week", "month", "quarter", "year")
+    val callRe = "(?i)\\b(date_diff|date_add)(\\s*\\(\\s*)$".r
+    var j = 0
+    while (j + 1 < parts.length) {
+      val (seg, isLit) = parts(j)
+      val (lit, nextIsLit) = parts(j + 1)
+      if (!isLit && nextIsLit && lit.length > 2) {
+        val unit = lit.substring(1, lit.length - 1).toLowerCase
+        callRe.findFirstMatchIn(seg).foreach { m =>
+          if (units(unit)) {
+            parts(j) = (seg.substring(0, m.start) + unitFns(m.group(1).toLowerCase) +
+              m.group(2), false)
+            parts(j + 1) = (unit.toUpperCase, false) // bare unit identifier
+          }
+        }
+      }
+      j += 1
+    }
+
     parts.map {
       case (seg, true) => seg // literal — untouched
       case (seg, false) =>
         var out = seg
         for ((from, to) <- renames if from != to)
           out = out.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
+        // zero-arg constants: consume the parens entirely
+        out = out.replaceAll("(?i)\\bnan\\s*\\(\\s*\\)", "double('NaN')")
+        out = out.replaceAll("(?i)\\binfinity\\s*\\(\\s*\\)", "double('Infinity')")
+        // utf8 codecs: Spark's decode/encode require an explicit charset.
+        // Conservative single-argument form (no nested parens/literals);
+        // anything else passes through untouched.
+        out = out.replaceAll(
+          "(?i)\\bfrom_utf8\\s*\\(([^()']*)\\)", "decode($1, 'UTF-8')")
+        out = out.replaceAll(
+          "(?i)\\bto_utf8\\s*\\(([^()']*)\\)", "encode($1, 'UTF-8')")
+        // bitwise scalar fns → Spark's infix operators
+        out = out.replaceAll(
+          "(?i)\\bbitwise_and\\s*\\(([^(),']+),([^()']+)\\)", "($1 & $2)")
+        out = out.replaceAll(
+          "(?i)\\bbitwise_or\\s*\\(([^(),']+),([^()']+)\\)", "($1 | $2)")
+        out = out.replaceAll(
+          "(?i)\\bbitwise_xor\\s*\\(([^(),']+),([^()']+)\\)", "($1 ^ $2)")
+        out = out.replaceAll(
+          "(?i)\\bbitwise_not\\s*\\(([^()']+)\\)", "~($1)")
         for ((from, to) <- typeRenames if from != to) {
           out = out.replaceAll(s"(?i)\\bAS\\s+$from\\b", s"AS $to")
           out = out.replaceAll(s"(?i)\\b$from\\s*'", s"$to '") // typed literals

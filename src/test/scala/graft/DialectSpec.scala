@@ -39,6 +39,51 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECTtry_divide(a,b)FROMt")
   }
 
+  test("zero-arg constants consume their parens") {
+    assert(Dialect.translate("SELECT nan(), INFINITY()") ==
+      "SELECT double('NaN'), double('Infinity')")
+    assert(spark.sql(Dialect.translate("SELECT is_nan(nan()) AS b")).head().getBoolean(0))
+  }
+
+  test("utf8 codecs gain the required charset argument") {
+    assert(Dialect.translate("SELECT from_utf8(b), to_utf8(s) FROM t") ==
+      "SELECT decode(b, 'UTF-8'), encode(s, 'UTF-8') FROM t")
+    // nested calls are deliberately untouched (conservative form only)
+    val r = spark.sql(Dialect.translate("SELECT from_utf8(b) AS s FROM " +
+      "(SELECT to_utf8(c_name) AS b FROM customer WHERE c_custkey = 1)"))
+      .head().getString(0)
+    assert(r.nonEmpty)
+  }
+
+  test("bitwise scalar functions become infix operators") {
+    assert(Dialect.translate("SELECT bitwise_and(a,b), bitwise_or(a,b)") ==
+      "SELECT (a & b), (a | b)")
+    val row = spark.sql(Dialect.translate(
+      "SELECT bitwise_and(12, 10) AS a, bitwise_or(12, 10) AS o, " +
+        "bitwise_xor(12, 10) AS x, bitwise_not(0) AS n")).head()
+    assert(row.getInt(0) == 8 && row.getInt(1) == 14 &&
+      row.getInt(2) == 6 && row.getInt(3) == -1)
+  }
+
+  test("numeric truncate has no Spark mapping and passes through") {
+    assert(Dialect.translate("SELECT truncate(x) FROM t") ==
+      "SELECT truncate(x) FROM t")
+  }
+
+  test("date_diff/date_add unit-literal calls translate to timestampdiff/add") {
+    assert(Dialect.translate("SELECT date_diff('day', a, b) FROM t") ==
+      "SELECT timestampdiff(DAY, a, b) FROM t")
+    assert(Dialect.translate("SELECT date_add('hour', 2, ts) FROM t") ==
+      "SELECT timestampadd(HOUR, 2, ts) FROM t")
+    // Spark-native 2-arg date_add is left untouched
+    assert(Dialect.translate("SELECT date_add(d, 1) FROM t") ==
+      "SELECT date_add(d, 1) FROM t")
+    // reference semantics: date_diff(unit, a, b) = b - a in units
+    val d = spark.sql(Dialect.translate(
+      "SELECT date_diff('day', DATE'1995-01-01', DATE'1995-03-02') AS d")).head().getLong(0)
+    assert(d == 60L)
+  }
+
   test("translated reference-dialect queries execute correctly") {
     val q1 = Dialect.translate(
       "SELECT approx_distinct(o_custkey) AS ad FROM orders")

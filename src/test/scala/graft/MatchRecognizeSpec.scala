@@ -44,6 +44,10 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pattern parser rejects malformed input") {
     intercept[IllegalArgumentException](MatchRecognize.parse("D+("))
     intercept[IllegalArgumentException](MatchRecognize.parse("(DU"))
+    // unterminated quantifiers must fail fast, not scan unboundedly
+    intercept[IllegalArgumentException](MatchRecognize.parse("A{3"))
+    intercept[IllegalArgumentException](MatchRecognize.parse("A{3,"))
+    intercept[NumberFormatException](MatchRecognize.parse("A{"))
     MatchRecognize.parse("(D|U)+ H{2,3}") // parses
   }
 

@@ -27,6 +27,11 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.loads((outdir / "oracle_sql.json").read_text())
+    # The full query surface is whatever Verify materialized; queries
+    # without oracle SQL (engine-specific output) are skipped here and
+    # must be excluded from any Spark-vs-DuckDB total comparison.
+    all_queries = sorted(p.name for p in outdir.iterdir() if p.is_dir())
+    skipped = [q for q in all_queries if q not in oracle]
     times = {}
     failed = []
     for name in sorted(oracle):
@@ -45,7 +50,8 @@ def main() -> int:
     print(json.dumps({
         "metric": "duckdb_total", "value": sum(times.values()), "unit": "sec",
         "queries": times, "failed": failed, "n": 3, "prewarm": 1, "sf": sfdir,
-        "skipped_no_oracle": 0}))
+        "skipped_no_oracle": len(skipped), "skipped": skipped,
+        "common_set": sorted(times)}))
     return 0
 
 
