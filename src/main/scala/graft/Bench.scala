@@ -46,11 +46,34 @@ object Bench {
           None
       }
     }
-    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of output, so the
+    // JSON line must stay well under that or it is truncated and the
+    // round's perf numbers are unparseable (this happened in r2/r3:
+    // 97 queries x full-precision doubles ~= 4 KB). Emit the 22 TPC-H
+    // headline queries plus the composite pipelines individually, and
+    // roll the rest up into per-family subtotals; full per-query detail
+    // is on stderr above.
+    def r3(v: Double): String = f"$v%.3f"
+    val composites = Set("p9_corpus_pipeline", "x1_yoy_growth", "x2_market_basket")
+    val headline = timed.filter { case (k, _) =>
+      k.matches("q\\d+_.*") || composites(k)
+    }
+    val family = "^([a-z]+).*".r
+    val groups = timed
+      .filterNot { case (k, _) => k.matches("q\\d+_.*") || composites(k) }
+      .groupBy { case (k, _) => k match { case family(p) => p } }
+      .toSeq.sortBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2).sum }
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n":$Runs,"prewarm":1,"sf":"$sfDir"}""")
+    var line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline)},"groups":${obj(groups)},"failed":$fs,"nq":${timed.size},"n":$Runs,"prewarm":1,"sf":"$sfDir"}"""
+    if (line.length > 1800) // hard guard: never overflow the tail window
+      line =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline.sortBy(-_._2).take(10))},"failed":$fs,"nq":${timed.size},"n":$Runs,"prewarm":1,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -48,6 +48,10 @@ object GraftFunctions {
       FunctionIdentifier("approx_most_frequent"),
       new ExpressionInfo(classOf[ApproxMostFrequentAgg].getName, "approx_most_frequent"),
       (children: Seq[Expression]) => ApproxMostFrequentAgg(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_date_add"),
+      new ExpressionInfo(classOf[TrinoDateAdd].getName, "graft_date_add"),
+      (children: Seq[Expression]) => TrinoDateAdd(children(0), children(1), children(2))))
     // optimizer extension surface (Rule[LogicalPlan])
     e.injectOptimizerRule(_ => graft.plans.IdempotentCollectionOps)
   }

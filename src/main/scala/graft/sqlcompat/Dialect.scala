@@ -72,12 +72,16 @@ object Dialect {
 
     // Cross-segment pass: reference datetime calls whose FIRST argument
     // is a quoted unit literal — date_diff('day', a, b) → end-start in
-    // units ≡ Spark timestampdiff(DAY, a, b); date_add('day', n, ts) ≡
-    // timestampadd(DAY, n, ts). The unit literal is its own segment, so
-    // this must run before the per-segment renames.
-    val unitFns = Map("date_diff" -> "timestampdiff", "date_add" -> "timestampadd")
+    // units ≡ Spark timestampdiff(DAY, a, b). date_add('hour', n, ts) ≡
+    // timestampadd(HOUR, n, ts) for sub-day units; day-or-coarser units
+    // route to our graft_date_add expression instead, because the
+    // reference returns DATE for DATE inputs while Spark's timestampadd
+    // always widens to TIMESTAMP (graft_date_add preserves the input
+    // type — functions/TrinoDateAdd.scala). The unit literal is its own
+    // segment, so this must run before the per-segment renames.
     val units = Set("millisecond", "second", "minute", "hour",
       "day", "week", "month", "quarter", "year")
+    val dayOrCoarser = Set("day", "week", "month", "quarter", "year")
     val callRe = "(?i)\\b(date_diff|date_add)(\\s*\\(\\s*)$".r
     var j = 0
     while (j + 1 < parts.length) {
@@ -86,10 +90,17 @@ object Dialect {
       if (!isLit && nextIsLit && lit.length > 2) {
         val unit = lit.substring(1, lit.length - 1).toLowerCase
         callRe.findFirstMatchIn(seg).foreach { m =>
+          val fn = m.group(1).toLowerCase
           if (units(unit)) {
-            parts(j) = (seg.substring(0, m.start) + unitFns(m.group(1).toLowerCase) +
-              m.group(2), false)
-            parts(j + 1) = (unit.toUpperCase, false) // bare unit identifier
+            if (fn == "date_add" && dayOrCoarser(unit)) {
+              // keep the unit as a string literal; graft_date_add takes it
+              parts(j) = (seg.substring(0, m.start) + "graft_date_add" +
+                m.group(2), false)
+            } else {
+              val to = if (fn == "date_diff") "timestampdiff" else "timestampadd"
+              parts(j) = (seg.substring(0, m.start) + to + m.group(2), false)
+              parts(j + 1) = (unit.toUpperCase, false) // bare unit identifier
+            }
           }
         }
       }
@@ -106,21 +117,24 @@ object Dialect {
         out = out.replaceAll("(?i)\\bnan\\s*\\(\\s*\\)", "double('NaN')")
         out = out.replaceAll("(?i)\\binfinity\\s*\\(\\s*\\)", "double('Infinity')")
         // utf8 codecs: Spark's decode/encode require an explicit charset.
-        // Conservative single-argument form (no nested parens/literals);
-        // anything else passes through untouched.
+        // Conservative single-argument form (no nested parens/literals/
+        // commas — the reference's two-arg from_utf8(x, repl) form passes
+        // through untouched rather than mistranslating).
         out = out.replaceAll(
-          "(?i)\\bfrom_utf8\\s*\\(([^()']*)\\)", "decode($1, 'UTF-8')")
+          "(?i)\\bfrom_utf8\\s*\\(([^(),']*)\\)", "decode($1, 'UTF-8')")
         out = out.replaceAll(
-          "(?i)\\bto_utf8\\s*\\(([^()']*)\\)", "encode($1, 'UTF-8')")
-        // bitwise scalar fns → Spark's infix operators
+          "(?i)\\bto_utf8\\s*\\(([^(),']*)\\)", "encode($1, 'UTF-8')")
+        // bitwise scalar fns → Spark's infix operators; operand groups
+        // exclude commas so a malformed extra-arg call passes through
+        // for Spark to reject instead of silently dropping arguments
         out = out.replaceAll(
-          "(?i)\\bbitwise_and\\s*\\(([^(),']+),([^()']+)\\)", "($1 & $2)")
+          "(?i)\\bbitwise_and\\s*\\(([^(),']+),([^(),']+)\\)", "($1 & $2)")
         out = out.replaceAll(
-          "(?i)\\bbitwise_or\\s*\\(([^(),']+),([^()']+)\\)", "($1 | $2)")
+          "(?i)\\bbitwise_or\\s*\\(([^(),']+),([^(),']+)\\)", "($1 | $2)")
         out = out.replaceAll(
-          "(?i)\\bbitwise_xor\\s*\\(([^(),']+),([^()']+)\\)", "($1 ^ $2)")
+          "(?i)\\bbitwise_xor\\s*\\(([^(),']+),([^(),']+)\\)", "($1 ^ $2)")
         out = out.replaceAll(
-          "(?i)\\bbitwise_not\\s*\\(([^()']+)\\)", "~($1)")
+          "(?i)\\bbitwise_not\\s*\\(([^(),']+)\\)", "~($1)")
         for ((from, to) <- typeRenames if from != to) {
           out = out.replaceAll(s"(?i)\\bAS\\s+$from\\b", s"AS $to")
           out = out.replaceAll(s"(?i)\\b$from\\s*'", s"$to '") // typed literals

@@ -48,6 +48,9 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("utf8 codecs gain the required charset argument") {
     assert(Dialect.translate("SELECT from_utf8(b), to_utf8(s) FROM t") ==
       "SELECT decode(b, 'UTF-8'), encode(s, 'UTF-8') FROM t")
+    // the reference's two-arg replacement form passes through untouched
+    assert(Dialect.translate("SELECT from_utf8(b, r) FROM t") ==
+      "SELECT from_utf8(b, r) FROM t")
     // nested calls are deliberately untouched (conservative form only)
     val r = spark.sql(Dialect.translate("SELECT from_utf8(b) AS s FROM " +
       "(SELECT to_utf8(c_name) AS b FROM customer WHERE c_custkey = 1)"))
@@ -58,6 +61,11 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("bitwise scalar functions become infix operators") {
     assert(Dialect.translate("SELECT bitwise_and(a,b), bitwise_or(a,b)") ==
       "SELECT (a & b), (a | b)")
+    // malformed extra-arg calls pass through for Spark to reject
+    assert(Dialect.translate("SELECT bitwise_and(a, b, c)") ==
+      "SELECT bitwise_and(a, b, c)")
+    assert(Dialect.translate("SELECT bitwise_not(a, b)") ==
+      "SELECT bitwise_not(a, b)")
     val row = spark.sql(Dialect.translate(
       "SELECT bitwise_and(12, 10) AS a, bitwise_or(12, 10) AS o, " +
         "bitwise_xor(12, 10) AS x, bitwise_not(0) AS n")).head()
@@ -75,6 +83,9 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT timestampdiff(DAY, a, b) FROM t")
     assert(Dialect.translate("SELECT date_add('hour', 2, ts) FROM t") ==
       "SELECT timestampadd(HOUR, 2, ts) FROM t")
+    // day-or-coarser units go through the type-preserving expression
+    assert(Dialect.translate("SELECT date_add('day', 2, d) FROM t") ==
+      "SELECT graft_date_add('day', 2, d) FROM t")
     // Spark-native 2-arg date_add is left untouched
     assert(Dialect.translate("SELECT date_add(d, 1) FROM t") ==
       "SELECT date_add(d, 1) FROM t")
@@ -82,6 +93,24 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = spark.sql(Dialect.translate(
       "SELECT date_diff('day', DATE'1995-01-01', DATE'1995-03-02') AS d")).head().getLong(0)
     assert(d == 60L)
+  }
+
+  test("date_add preserves the input type (reference returns DATE for DATE)") {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val df = spark.sql(Dialect.translate(
+      "SELECT date_add('day', 60, DATE'1995-01-01') AS d, " +
+        "date_add('month', 2, DATE'1995-01-31') AS m, " +
+        "date_add('year', -1, DATE'1996-02-29') AS y, " +
+        "date_add('week', 3, TIMESTAMP'1995-01-01 12:34:56') AS ts"))
+    assert(df.schema("d").dataType == DateType)
+    assert(df.schema("m").dataType == DateType)
+    assert(df.schema("y").dataType == DateType)
+    assert(df.schema("ts").dataType == TimestampType)
+    val row = df.head()
+    assert(row.getDate(0).toString == "1995-03-02")
+    assert(row.getDate(1).toString == "1995-03-31") // end-of-month clamp
+    assert(row.getDate(2).toString == "1995-02-28") // leap-day clamp
+    assert(row.getTimestamp(3).toString.startsWith("1995-01-22 12:34:56"))
   }
 
   test("translated reference-dialect queries execute correctly") {
