@@ -21,6 +21,36 @@ case class MatchRow(
     n_rows: Long,
     var_counts: String)
 
+/** ONE ROW PER MATCH with numeric MEASURES over a value column — all
+  * evaluated with FINAL semantics (the reference's default for ONE ROW
+  * PER MATCH): FIRST(value), LAST(value), MIN, MAX over the matched
+  * rows. */
+case class MatchMeasures(
+    part_key: Long,
+    match_no: Long,
+    start_ord: Long,
+    end_ord: Long,
+    n_rows: Long,
+    first_val: Double,
+    last_val: Double,
+    min_val: Double,
+    max_val: Double)
+
+/** ALL ROWS PER MATCH row detail, carrying both RUNNING and FINAL
+  * evaluations of the same measures (reference `sql/planner/
+  * rowpattern/` RUNNING vs FINAL): running_cnt ≡ RUNNING COUNT(*),
+  * running_max ≡ RUNNING MAX(value) — the prefix up to and including
+  * this row — while final_cnt / final_last see the whole match. */
+case class MatchDetail(
+    part_key: Long,
+    match_no: Long,
+    ord: Long,
+    classifier: String,
+    running_cnt: Long,
+    final_cnt: Long,
+    running_max: Double,
+    final_last: Double)
+
 /** Row-pattern recognition (MATCH_RECOGNIZE) — the reference's hardest
   * engine feature (grammar `SqlBase.g4:360-399`, NFA matcher
   * `operator/window/matcher/Matcher.java:28`, IR in
@@ -137,25 +167,20 @@ object MatchRecognize {
     }
   }
 
-  /** Run MATCH_RECOGNIZE over `df`.
-    *
-    * @param partCol  numeric partition key column
-    * @param orderCol numeric ordering column (total order per key)
-    * @param pattern  pattern over single-char variables, e.g. "D+ U+"
-    * @param define   per-variable predicate over (prevRowOrNull, row)
-    * @param skipPastLastRow AFTER MATCH SKIP PAST LAST ROW (true) or
-    *                        TO NEXT ROW (false)
+  /** Generic matching engine: shuffle on the partition key, local
+    * sort, stream key groups through the automaton, and hand each
+    * match (key, match_no, group rows, start index, classifier chars)
+    * to `emit` — one row per match, or several for ALL ROWS PER MATCH.
     */
-  def apply(
+  private def runEngine[T](
       df: DataFrame,
       partCol: String,
       orderCol: String,
       pattern: String,
       define: Map[Char, (Row, Row) => Boolean],
-      skipPastLastRow: Boolean = true): Dataset[MatchRow] = {
-
-    val spark = df.sparkSession
-    import spark.implicits._
+      skipPastLastRow: Boolean)(
+      emit: (Long, Long, collection.IndexedSeq[Row], Int, Array[Char], Row => Long) => Seq[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
 
     val pat = parse(pattern)
     val vars = define // serialized into the task closure
@@ -163,14 +188,14 @@ object MatchRecognize {
     df.repartition(col(partCol))
       .sortWithinPartitions(col(partCol), col(orderCol))
       .mapPartitions { it =>
-        new Iterator[MatchRow] {
+        new Iterator[T] {
           private val rows = it.buffered
-          private val out = mutable.Queue[MatchRow]()
+          private val out = mutable.Queue[T]()
 
           private def keyOf(r: Row): Long =
             r.getAs[Number](r.fieldIndex(partCol)).longValue()
-          private def ordOf(r: Row): Long =
-            r.getAs[Number](r.fieldIndex(orderCol)).longValue()
+          private val ordOf: Row => Long =
+            r => r.getAs[Number](r.fieldIndex(orderCol)).longValue()
 
           private def matchKeyGroup(): Unit = {
             if (!rows.hasNext) return
@@ -189,11 +214,7 @@ object MatchRecognize {
               val m = matchFrom(pat, i, n, classify)
               if (m != null && m.length > 0) {
                 matchNo += 1
-                val counts = m.groupBy(identity).toSeq.sortBy(_._1)
-                  .map { case (v, cs) => s"$v:${cs.length}" }.mkString(",")
-                out.enqueue(MatchRow(key, matchNo, ordOf(buf(i)),
-                  ordOf(buf(i + m.length - 1)), new String(m), m.length.toLong,
-                  counts))
+                emit(key, matchNo, buf, i, m, ordOf).foreach(out.enqueue(_))
                 i = if (skipPastLastRow) i + m.length else i + 1
               } else i += 1
             }
@@ -203,8 +224,86 @@ object MatchRecognize {
             while (out.isEmpty && rows.hasNext) matchKeyGroup()
             out.nonEmpty
           }
-          override def next(): MatchRow = out.dequeue()
+          override def next(): T = out.dequeue()
         }
       }
+  }
+
+  /** Run MATCH_RECOGNIZE over `df` (ONE ROW PER MATCH, built-in
+    * measures — see [[MatchRow]]).
+    *
+    * @param partCol  numeric partition key column
+    * @param orderCol numeric ordering column (total order per key)
+    * @param pattern  pattern over single-char variables, e.g. "D+ U+"
+    * @param define   per-variable predicate over (prevRowOrNull, row)
+    * @param skipPastLastRow AFTER MATCH SKIP PAST LAST ROW (true) or
+    *                        TO NEXT ROW (false)
+    */
+  def apply(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[Char, (Row, Row) => Boolean],
+      skipPastLastRow: Boolean = true): Dataset[MatchRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    runEngine(df, partCol, orderCol, pattern, define, skipPastLastRow) {
+      (key, matchNo, buf, i, m, ordOf) =>
+        val counts = m.groupBy(identity).toSeq.sortBy(_._1)
+          .map { case (v, cs) => s"$v:${cs.length}" }.mkString(",")
+        Seq(MatchRow(key, matchNo, ordOf(buf(i)), ordOf(buf(i + m.length - 1)),
+          new String(m), m.length.toLong, counts))
+    }
+  }
+
+  /** ONE ROW PER MATCH with FINAL-semantics numeric measures over
+    * `valueCol`: FIRST/LAST/MIN/MAX of the matched rows' values. */
+  def measures(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[Char, (Row, Row) => Boolean],
+      valueCol: String,
+      skipPastLastRow: Boolean = true): Dataset[MatchMeasures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    runEngine(df, partCol, orderCol, pattern, define, skipPastLastRow) {
+      (key, matchNo, buf, i, m, ordOf) =>
+        val vals = (i until i + m.length)
+          .map(j => buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())
+        Seq(MatchMeasures(key, matchNo, ordOf(buf(i)), ordOf(buf(i + m.length - 1)),
+          m.length.toLong, vals.head, vals.last, vals.min, vals.max))
+    }
+  }
+
+  /** ALL ROWS PER MATCH: one output row per matched input row, with
+    * RUNNING measures (prefix up to this row) and FINAL measures
+    * (whole match) side by side — the reference's RUNNING/FINAL
+    * distinction made observable. Unmatched rows are excluded (the
+    * reference's ALL ROWS PER MATCH OMIT EMPTY MATCHES default). */
+  def allRows(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[Char, (Row, Row) => Boolean],
+      valueCol: String,
+      skipPastLastRow: Boolean = true): Dataset[MatchDetail] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    runEngine(df, partCol, orderCol, pattern, define, skipPastLastRow) {
+      (key, matchNo, buf, i, m, ordOf) =>
+        val vals = (i until i + m.length)
+          .map(j => buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())
+        val finalLast = vals.last
+        var runMax = Double.NegativeInfinity
+        (0 until m.length).map { k =>
+          runMax = math.max(runMax, vals(k))
+          MatchDetail(key, matchNo, ordOf(buf(i + k)), m(k).toString,
+            (k + 1).toLong, m.length.toLong, runMax, finalLast)
+        }
+    }
   }
 }

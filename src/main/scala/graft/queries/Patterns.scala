@@ -46,9 +46,91 @@ object Patterns {
       |FROM v GROUP BY user_id
       |HAVING sum(valley) > 0""".stripMargin
 
+  /** mr2: ONE ROW PER MATCH with FINAL measures — maximal rising runs
+    * (pattern `U{2,}`, U: value > PREV(value)) per user, reporting
+    * FIRST/LAST/MAX(value) and the run's gain. The oracle rebuilds the
+    * same maximal runs relationally: a run id from the cumulative
+    * count of non-rising rows, then per-run aggregates (arg_min/
+    * arg_max by event_id ≡ FIRST/LAST). Greedy leftmost + SKIP PAST
+    * LAST ROW makes matches exactly the maximal runs, so the two
+    * shapes agree row-for-row. gain = one IEEE subtraction of stored
+    * doubles, min/max are exact picks — deterministic cross-engine. */
+  def mr2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
+    MatchRecognize.measures(ev, "user_id", "event_id", "U{2,}", Map('U' -> up), "value")
+      .select(col("part_key").as("user_id"),
+        col("start_ord"), col("end_ord"),
+        col("n_rows").as("n_steps"),
+        col("first_val"), col("last_val"), col("max_val").as("peak"),
+        (col("last_val") - col("first_val")).as("gain"))
+  }
+
+  val mr2Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS isu
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |r AS (
+      |  SELECT user_id, event_id, value, isu,
+      |    CAST(sum(1 - isu) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM d)
+      |SELECT user_id,
+      |  min(event_id) AS start_ord, max(event_id) AS end_ord,
+      |  count(*) AS n_steps,
+      |  arg_min(value, event_id) AS first_val,
+      |  arg_max(value, event_id) AS last_val,
+      |  max(value) AS peak,
+      |  arg_max(value, event_id) - arg_min(value, event_id) AS gain
+      |FROM r WHERE isu = 1
+      |GROUP BY user_id, run_id
+      |HAVING count(*) >= 2""".stripMargin
+
+  /** mr3: ALL ROWS PER MATCH over the same rising runs, with RUNNING
+    * COUNT(*)/MAX(value) and FINAL COUNT(*)/LAST(value) side by side —
+    * the RUNNING/FINAL semantics split as observable output. Oracle:
+    * per-run window functions (running = ORDER BY frame, final =
+    * whole-partition frame) over the relational run reconstruction. */
+  def mr3(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
+    MatchRecognize.allRows(ev, "user_id", "event_id", "U{2,}", Map('U' -> up), "value")
+      .select(col("part_key").as("user_id"), col("ord"), col("classifier"),
+        col("running_cnt"), col("final_cnt"), col("running_max"), col("final_last"))
+  }
+
+  val mr3Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS isu
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |r AS (
+      |  SELECT user_id, event_id, value, isu,
+      |    CAST(sum(1 - isu) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM d)
+      |SELECT user_id, event_id AS ord, 'U' AS classifier,
+      |  row_number() OVER pr AS running_cnt,
+      |  count(*) OVER pw AS final_cnt,
+      |  max(value) OVER (pr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max,
+      |  last_value(value) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_last
+      |FROM r WHERE isu = 1
+      |WINDOW pr AS (PARTITION BY user_id, run_id ORDER BY event_id),
+      |       pw AS (PARTITION BY user_id, run_id)
+      |QUALIFY count(*) OVER pw >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mr1_match_recognize" -> mr1 _)
+    "mr1_match_recognize" -> mr1 _,
+    "mr2_measures" -> mr2 _,
+    "mr3_all_rows" -> mr3 _)
 
   val oracle: Map[String, String] = Map(
-    "mr1_match_recognize" -> mr1Sql)
+    "mr1_match_recognize" -> mr1Sql,
+    "mr2_measures" -> mr2Sql,
+    "mr3_all_rows" -> mr3Sql)
 }

@@ -403,6 +403,94 @@ object Pipeline {
        |GROUP BY lang""".stripMargin
   }
 
+  // ------------------------------------------- p11 IVF-style ANN
+  /** Approximate nearest neighbors via an IVF (inverted-file) coarse
+    * quantizer — the third point on the ANN cost/recall curve after
+    * p4's brute force and p8's LSH buckets: K=8 centroid vectors are
+    * picked deterministically (smallest md5(vec_id) — a seedless
+    * pseudorandom sample both engines compute identically; a real
+    * deployment would run sampled k-means|| here), every vector is
+    * assigned to its nearest centroid's cell, and a query probes only
+    * its nprobe=2 nearest cells before exact-cosine ranking.
+    *
+    * At 100 TB: K grows to ~sqrt(N) cells and the corpus is written
+    * bucketed/partitioned BY CELL, so a probe reads nprobe/K of the
+    * data (partition pruning does the cell selection); the centroid
+    * table stays broadcast-size, the assignment pass is one narrow
+    * projection scan, and the N^2 pair space never materializes.
+    * Recall tuning = raise nprobe, at linear probe cost. */
+  def p11(s: SparkSession, dir: String): DataFrame = {
+    def dotd(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def cosc(x: Column, y: Column): Column =
+      dotd(x, y) / (sqrt(dotd(x, x)) * sqrt(dotd(y, y)))
+    val e = t(s, dir, "embeddings")
+    val cents = e
+      .select(md5(col("vec_id").cast("string")).as("r"), col("embedding").as("ce"))
+      .orderBy(col("r")).limit(8)
+      .select(row_number().over(Window.orderBy(col("r"))).as("cent_id"), col("ce"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosc(col("embedding"), col("ce")).as("ccos"))
+    val nearestCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val cells = assign.withColumn("rn", row_number().over(nearestCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val probes = assign.filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(nearestCell))
+      .filter(col("rn") <= 2) // nprobe = 2
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cent_id").as("pcell"))
+    val scored = probes
+      .join(cells, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosc(col("qe"), col("embedding")).as("cos"))
+    val topk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(topk))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("cos"))
+  }
+
+  val p11Sql: String =
+    """WITH cents AS (
+      |  SELECT row_number() OVER (ORDER BY r) AS cent_id, ce FROM (
+      |    SELECT md5(CAST(vec_id AS VARCHAR)) AS r, embedding AS ce
+      |    FROM embeddings ORDER BY r LIMIT 8) c),
+      |assign AS (
+      |  SELECT e.vec_id, e.embedding, c.cent_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))))) AS ccos
+      |  FROM embeddings e, cents c),
+      |cells AS (
+      |  SELECT vec_id, embedding, cent_id AS cell FROM (
+      |    SELECT vec_id, embedding, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+      |    FROM assign) a WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, embedding AS qe, cent_id AS pcell FROM (
+      |    SELECT vec_id, embedding, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+      |    FROM assign WHERE vec_id < 10) p WHERE rn <= 2),
+      |scored AS (
+      |  SELECT qid, c.vec_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+      |  FROM probes JOIN cells c ON c.cell = pcell AND c.vec_id <> qid)
+      |SELECT qid, vec_id, cos FROM (
+      |  SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored) r
+      |WHERE rn <= 3""".stripMargin
+
   // ------------------------------------ p10 writer sink in the gate
   /** Writer sink under the oracle gate (reference
     * `TableWriterOperator.java:1` / `TableFinishOperator.java:1`): the
@@ -440,7 +528,8 @@ object Pipeline {
     "p7_json_props" -> p7 _,
     "p8_ann_lsh" -> p8 _,
     "p9_corpus_pipeline" -> p9 _,
-    "p10_write_roundtrip" -> p10 _)
+    "p10_write_roundtrip" -> p10 _,
+    "p11_ann_ivf" -> p11 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -452,5 +541,6 @@ object Pipeline {
     "p7_json_props" -> p7Sql,
     "p8_ann_lsh" -> p8Sql,
     "p9_corpus_pipeline" -> p9Sql,
-    "p10_write_roundtrip" -> p10Sql)
+    "p10_write_roundtrip" -> p10Sql,
+    "p11_ann_ivf" -> p11Sql)
 }

@@ -95,6 +95,41 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(past.size == 1 && next.size == 2)
   }
 
+  test("measures: FINAL first/last/min/max over the matched rows") {
+    val spk = spark
+    import spk.implicits._
+    // 5 3 4 7 6 → U-run is rows 2,3 (4,7); row 0-1 fall, row 4 falls
+    val df = Seq[Double](5, 3, 4, 7, 6).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val ms = MatchRecognize.measures(df, "k", "ord", "U{2,}", Map('U' -> up), "v")
+      .collect().toSeq
+    assert(ms.size == 1)
+    val m = ms.head
+    assert(m.start_ord == 2 && m.end_ord == 3 && m.n_rows == 2)
+    assert(m.first_val == 4.0 && m.last_val == 7.0)
+    assert(m.min_val == 4.0 && m.max_val == 7.0)
+  }
+
+  test("allRows: RUNNING measures grow per row, FINAL stays constant") {
+    val spk = spark
+    import spk.implicits._
+    // rising run 1 5 3 9 is not monotone; use 1 5 7 6: U-run rows 1,2
+    val df = Seq[Double](1, 5, 7, 6).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val rows = MatchRecognize.allRows(df, "k", "ord", "U{2,}", Map('U' -> up), "v")
+      .collect().toSeq.sortBy(_.ord)
+    assert(rows.map(_.ord) == Seq(1L, 2L))
+    assert(rows.map(_.running_cnt) == Seq(1L, 2L)) // RUNNING COUNT(*)
+    assert(rows.map(_.final_cnt) == Seq(2L, 2L)) // FINAL COUNT(*)
+    assert(rows.map(_.running_max) == Seq(5.0, 7.0)) // RUNNING MAX(v)
+    assert(rows.map(_.final_last) == Seq(7.0, 7.0)) // FINAL LAST(v)
+    assert(rows.forall(_.classifier == "U"))
+  }
+
   test("partitions are matched independently") {
     val spk = spark
     import spk.implicits._
