@@ -73,4 +73,44 @@ object Ops {
       groupCols: Seq[Column], aggs: Seq[Column]): DataFrame =
     df.groupingSets(sets, groupCols: _*)
       .agg(aggs.head, (aggs.tail :+ grouping_id().cast("long").as("gid")): _*)
+
+  /** Backward AS-OF join: each left row picks the single right row
+    * with the greatest `ts` at-or-before the left row's `ts` within
+    * the same `key` (LEFT OUTER — unmatched left rows keep null
+    * payload). The classic event-to-most-recent-context operator the
+    * reference's dialect lacks natively (DuckDB spells it ASOF JOIN —
+    * the oracle uses exactly that).
+    *
+    * Spark-first plan, built for 100 TB event streams: tag the two
+    * inputs, `unionByName` them, ONE shuffle on the key, ONE local
+    * sort on (ts, side), then `last(payload, ignoreNulls)` over a
+    * running ROWS frame carries the most recent right payload forward
+    * into each left row. No per-key array build, no range cross
+    * product, no binary-search UDF — a streaming window frame that
+    * spills like any sort. Right rows sort BEFORE left rows at equal
+    * ts, so an exactly-simultaneous right row is visible (`>=`
+    * semantics).
+    *
+    * The right side must be unique per (key, ts) — pre-dedupe it, or
+    * the carried payload is nondeterministic (same contract as the
+    * oracle engine's ASOF).
+    *
+    * @param rightPayload right-side column names to carry; must not
+    *                     clash with left column names
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val taggedL = left.withColumn("__side", lit(1))
+    val taggedR = right
+      .select((Seq(col(key), col(ts)) ++ rightPayload.map(col)): _*)
+      .withColumn("__side", lit(0))
+    val u = taggedL.unionByName(taggedR, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u.select(
+      (left.columns.map(col) :+ col("__side")) ++
+        rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    carried.filter(col("__side") === 1).drop("__side")
+  }
 }

@@ -427,6 +427,43 @@ object Scalars {
       |  round(1 - power(1 - x, 6) - 6 * x * power(1 - x, 5), 9) AS beta9
       |FROM u""".stripMargin
 
+  // ------------------------------------------- sc13 full JSON family
+  /** The JSON function family beyond p7's get_json_object (reference
+    * `JsonFunctions.java` 461 LoC + JSON casts): construction
+    * (to_json ≡ json_format), path extraction with array subscripts,
+    * json_array_length, full typed parse-back (from_json ≡ CAST(json
+    * AS row)), missing-path null semantics, and schema inference
+    * (schema_of_json). The documents are BUILT from source columns so
+    * both engines serialize the identical compact JSON and the oracle
+    * can also read expected values straight from the source. */
+  def sc13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      .withColumn("doc", to_json(struct(
+        col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+        array(col("c_custkey") % 10, col("c_custkey") % 7).as("vals"))))
+      .selectExpr(
+        "c_custkey",
+        "doc",
+        "CAST(get_json_object(doc, '$.vals[1]') AS BIGINT) AS v1",
+        "CAST(json_array_length(get_json_object(doc, '$.vals')) AS BIGINT) AS alen",
+        "from_json(doc, 'id BIGINT, seg STRING, vals ARRAY<BIGINT>').seg AS rt_seg",
+        "CAST(from_json(doc, 'id BIGINT, seg STRING, vals ARRAY<BIGINT>').vals[0] AS BIGINT) AS rt_v0",
+        "get_json_object(doc, '$.missing') IS NULL AS no_missing")
+
+  val sc13Sql: String =
+    """WITH d AS (
+      |  SELECT c_custkey,
+      |    to_json(struct_pack(id := c_custkey, seg := c_mktsegment,
+      |      vals := [c_custkey % 10, c_custkey % 7])) AS doc
+      |  FROM customer WHERE c_custkey <= 500)
+      |SELECT c_custkey, CAST(doc AS VARCHAR) AS doc,
+      |  CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS v1,
+      |  CAST(json_array_length(doc, '$.vals') AS BIGINT) AS alen,
+      |  json_extract_string(doc, '$.seg') AS rt_seg,
+      |  CAST(json_extract(doc, '$.vals[0]') AS BIGINT) AS rt_v0,
+      |  json_extract(doc, '$.missing') IS NULL AS no_missing
+      |FROM d""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -440,7 +477,8 @@ object Scalars {
     "sc9_registry_udfs" -> sc9 _,
     "sc10_epoch" -> sc10 _,
     "sc11_strdist" -> sc11 _,
-    "sc12_sizes_dists" -> sc12 _)
+    "sc12_sizes_dists" -> sc12 _,
+    "sc13_json_family" -> sc13 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -453,5 +491,6 @@ object Scalars {
     "sc8_conditional" -> sc8Sql,
     "sc10_epoch" -> sc10Sql,
     "sc11_strdist" -> sc11Sql,
-    "sc12_sizes_dists" -> sc12Sql)
+    "sc12_sizes_dists" -> sc12Sql,
+    "sc13_json_family" -> sc13Sql)
 }

@@ -110,6 +110,39 @@ object Streams {
       |  count(DISTINCT event_id) AS distinct_ids
       |FROM events""".stripMargin
 
+  // ------------------------------------------ st5 stream-stream join
+  /** Stream-stream interval join: every click matched to the same
+    * user's purchases within the following hour — the canonical
+    * two-stream correlation (Structured Streaming plans this with
+    * per-side watermark state; the time-range predicate is what
+    * BOUNDS that state, so it's not an optimization hint but the
+    * operator's memory contract at 100 TB/day). Batch semantics are
+    * identical to the equi+range join the oracle runs; the streaming
+    * form of the same code is exercised in StreamingSpec. */
+  def st5(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+        col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("c_event"), col("p_event"),
+        col("p_value"), col("c_ts"), col("p_ts"))
+  }
+
+  val st5Sql: String =
+    """SELECT c.user_id, c.event_id AS c_event, p.event_id AS p_event,
+      |  p.value AS p_value, c.ts AS c_ts, p.ts AS p_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
+
   // ---------------------------------------------- streaming builders
   /** The same tumbling aggregation as a genuine streaming transform
     * (watermark + append-mode-compatible window agg): applied to any
@@ -135,6 +168,19 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  /** st5's interval join as a genuine two-stream join: watermarks on
+    * BOTH sides plus the two-sided time-range predicate are what let
+    * Structured Streaming evict join state — clicks older than the
+    * watermark minus the join window can never match a future
+    * purchase, so state stays bounded by (watermark + 1h) of traffic
+    * per side regardless of total stream length. */
+  def intervalJoinStreams(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("c_ts", "10 minutes")
+      .join(purchases.withWatermark("p_ts", "10 minutes"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("c_event"), col("p_event"),
+        col("p_value"), col("c_ts"), col("p_ts"))
+
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.10: the
     * arbitrary-stateful-processing surface): running per-user event
     * count and decimal-free value sum, updated per micro-batch. State
@@ -159,11 +205,13 @@ object Streams {
     "st1_tumbling_window" -> st1 _,
     "st2_sliding_window" -> st2 _,
     "st3_session_window" -> st3 _,
-    "st4_stream_dedup" -> st4 _)
+    "st4_stream_dedup" -> st4 _,
+    "st5_stream_join" -> st5 _)
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window" -> st2Sql,
     "st3_session_window" -> st3Sql,
-    "st4_stream_dedup" -> st4Sql)
+    "st4_stream_dedup" -> st4Sql,
+    "st5_stream_join" -> st5Sql)
 }

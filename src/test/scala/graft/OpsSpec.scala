@@ -72,4 +72,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("x", null, 2L, 1L), ("y", null, 1L, 1L),
       (null, "p", 2L, 2L), (null, "q", 1L, 2L)))
   }
+
+  test("asOfJoin picks the most recent right row at-or-before each left ts") {
+    val spk = spark
+    import spk.implicits._
+    // left: ts 5, 10, 15 on key 1; ts 3 on key 2 (no right rows at all)
+    val left = Seq((1L, 5L, "l1"), (1L, 10L, "l2"), (1L, 15L, "l3"),
+      (2L, 3L, "l4")).toDF("k", "ts", "tag")
+    // right on key 1: ts 4 (before all), ts 10 (simultaneous with l2)
+    val right = Seq((1L, 4L, 100.0), (1L, 10L, 200.0)).toDF("k", "ts", "pv")
+    val out = Ops.asOfJoin(left, right, "k", "ts", Seq("pv"))
+      .select("tag", "pv").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out("l1") == 100.0) // ts 5 -> right ts 4
+    assert(out("l2") == 200.0) // simultaneous right row IS visible (>=)
+    assert(out("l3") == 200.0) // carried forward
+    assert(out("l4") == null) // no right row for key 2 -> left outer null
+  }
 }

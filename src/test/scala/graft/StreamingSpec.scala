@@ -13,6 +13,10 @@ import graft.streaming.Streams
   * stable TypeTag). */
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** Two-stream join fixtures (top-level for stable encoders). */
+case class ClickEv(c_user: Long, c_event: Long, c_ts: Timestamp)
+case class PurchEv(p_user: Long, p_event: Long, p_value: Double, p_ts: Timestamp)
+
 /** Streaming-mode smoke: the same transforms that pass the batch
   * DuckDB oracle run as genuine Structured Streaming queries over a
   * MemoryStream, and their final results match the batch run of the
@@ -115,5 +119,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = spark.table("dedup_out").count()
     val expected = data.map(e => (e.user_id, e.event_type)).distinct.size
     assert(got == expected)
+  }
+
+  test("stream-stream interval join: streaming result equals batch result") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val clicks = for (i <- 0 until 120) yield
+      ClickEv(i % 5, 1000L + i, new Timestamp(base + i * 61000L))
+    val purchases = for (i <- 0 until 120) yield
+      PurchEv(i % 5, 2000L + i, i / 2.0, new Timestamp(base + i * 67000L + 30000L))
+
+    val cs = MemoryStream[ClickEv]
+    val ps = MemoryStream[PurchEv]
+    cs.addData(clicks)
+    ps.addData(purchases)
+    val q = Streams.intervalJoinStreams(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("sjoin_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.table("sjoin_out").collect().map(key).toSet
+    val batch = Streams.intervalJoinStreams(clicks.toDF(), purchases.toDF())
+      .collect().map(key).toSet
+    assert(streamed == batch && batch.nonEmpty)
   }
 }
