@@ -91,6 +91,8 @@ object GraftFunctions {
       (m: Double, sd: Double, p: Double) => StatFunctions.inverseNormalCdf(m, sd, p))
     spark.udf.register("beta_cdf",
       (a: Double, b: Double, x: Double) => StatFunctions.betaCdf(a, b, x))
+    spark.udf.register("inverse_beta_cdf",
+      (a: Double, b: Double, p: Double) => StatFunctions.inverseBetaCdf(a, b, p))
     DateTimeCompat.register(spark)
   }
 

@@ -159,4 +159,31 @@ object StatFunctions {
   /** The reference's beta_cdf(alpha, beta, value). */
   def betaCdf(alpha: Double, beta: Double, x: Double): Double =
     betai(alpha, beta, x)
+
+  /** The reference's inverse_beta_cdf(alpha, beta, p): Newton on the
+    * regularized incomplete beta with bisection safeguarding. */
+  def inverseBetaCdf(alpha: Double, beta: Double, p: Double): Double = {
+    require(alpha > 0 && beta > 0, "alpha and beta must be > 0")
+    require(p >= 0 && p <= 1, "p must be in [0, 1]")
+    if (p == 0) return 0.0
+    if (p == 1) return 1.0
+    val lnB = gammln(alpha) + gammln(beta) - gammln(alpha + beta)
+    var lo = 0.0
+    var hi = 1.0
+    var x = alpha / (alpha + beta) // mean as the starting point
+    var i = 0
+    var done = false
+    while (i < 100 && !done) {
+      val f = betai(alpha, beta, x) - p
+      if (f > 0) hi = x else lo = x
+      val pdf = math.exp((alpha - 1) * math.log(x) +
+        (beta - 1) * math.log(1 - x) - lnB)
+      var nx = if (pdf > 1e-300) x - f / pdf else Double.NaN
+      if (nx.isNaN || nx <= lo || nx >= hi) nx = (lo + hi) / 2
+      done = math.abs(nx - x) < 1e-15
+      x = nx
+      i += 1
+    }
+    x
+  }
 }

@@ -150,7 +150,9 @@ object Aggregates {
       .agg(
         countDistinct(col("o_custkey")).as("exact_cust"),
         approx_count_distinct(col("o_custkey")).as("apx"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("apx_med"),
+        // accuracy 2000 ≈ 0.05% rank error — orders of magnitude inside
+        // the IQR bound below, at a fraction of the 10000-bucket cost
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(2000)).as("apx_med"),
         // one sort-aggregate pass for both exact bounds
         expr("percentile(o_totalprice, array(0.25, 0.75))[0]").as("p25"),
         expr("percentile(o_totalprice, array(0.25, 0.75))[1]").as("p75"))

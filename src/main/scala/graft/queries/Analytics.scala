@@ -78,11 +78,58 @@ object Analytics {
       |GROUP BY a.pa, b.pb
       |HAVING count(*) >= 3""".stripMargin
 
+  /** x3: conversion-funnel analysis over the event stream — first
+    * view → first click at-or-after it → first purchase at-or-after
+    * that, per user, rolled up to stage counts and total
+    * view-to-purchase latency. The staged min-after-min structure is
+    * the standard funnel shape (each stage is an aggregate-then-join,
+    * all equi-joins on user_id — one partitioning reused end to end,
+    * no window over the raw stream needed). Latency sums exact
+    * integer microseconds, so the cross-engine hash is stable. */
+  def x3(s: SparkSession, dir: String): DataFrame = {
+    val e = Graft.events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), "user_id")
+      .where(col("e.ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("e.ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), "user_id")
+      .where(col("e.ts") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("e.ts")).as("p_ts"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(
+        count(col("v_ts")).as("n_viewed"),
+        count(col("c_ts")).as("n_clicked"),
+        count(col("p_ts")).as("n_purchased"),
+        sum(unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+          .cast("long").as("total_latency_us"))
+  }
+
+  val x3Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id)
+      |SELECT count(v.v_ts) AS n_viewed, count(c.c_ts) AS n_clicked,
+      |  count(p.p_ts) AS n_purchased,
+      |  CAST(sum(epoch_us(p.p_ts) - epoch_us(v.v_ts)) AS BIGINT) AS total_latency_us
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_yoy_growth" -> x1 _,
-    "x2_market_basket" -> x2 _)
+    "x2_market_basket" -> x2 _,
+    "x3_funnel" -> x3 _)
 
   val oracle: Map[String, String] = Map(
     "x1_yoy_growth" -> x1Sql,
-    "x2_market_basket" -> x2Sql)
+    "x2_market_basket" -> x2Sql,
+    "x3_funnel" -> x3Sql)
 }

@@ -234,6 +234,21 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](StatFunctions.inverseNormalCdf(0, 1, 0))
   }
 
+  test("inverse_beta_cdf inverts beta_cdf across the parameter space") {
+    for {
+      (a, b) <- Seq((2.0, 5.0), (0.5, 0.5), (1.0, 1.0), (10.0, 3.0))
+      p <- Seq(0.01, 0.2, 0.5, 0.8, 0.99)
+    } {
+      val x = StatFunctions.inverseBetaCdf(a, b, p)
+      assert(math.abs(StatFunctions.betaCdf(a, b, x) - p) < 1e-10,
+        s"a=$a b=$b p=$p x=$x")
+    }
+    assert(StatFunctions.inverseBetaCdf(2, 5, 0) == 0.0)
+    assert(StatFunctions.inverseBetaCdf(2, 5, 1) == 1.0)
+    // uniform distribution: identity
+    assert(math.abs(StatFunctions.inverseBetaCdf(1, 1, 0.37) - 0.37) < 1e-12)
+  }
+
   test("beta_cdf matches the closed form for integer parameters") {
     // I_x(2,5) = 1 - (1-x)^6 - 6x(1-x)^5
     for (x <- Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 1.0)) {
