@@ -45,6 +45,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ValueAtQuantile].getName, "value_at_quantile"),
       (children: Seq[Expression]) => ValueAtQuantile(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("quantile_at_value"),
+      new ExpressionInfo(classOf[QuantileAtValue].getName, "quantile_at_value"),
+      (children: Seq[Expression]) => QuantileAtValue(children(0), children(1))))
+    e.injectFunction((
       FunctionIdentifier("approx_most_frequent"),
       new ExpressionInfo(classOf[ApproxMostFrequentAgg].getName, "approx_most_frequent"),
       (children: Seq[Expression]) => ApproxMostFrequentAgg(children(0), children(1))))

@@ -73,6 +73,19 @@ final class LogQuantileSketch(val alpha: Double) {
     Double.NaN
   }
 
+  /** Rank fraction of value v (inverse of [[quantile]], reference
+    * QuantileDigestFunctions quantile_at_value): share of ingested
+    * values whose bucket representative is <= v. */
+  def rankOf(v: Double): Double = {
+    val n = count
+    if (n == 0) return Double.NaN
+    var seen = 0L
+    for ((k, c) <- neg) if (-repOf(k) <= v) seen += c
+    if (0.0 <= v) seen += zeros
+    for ((k, c) <- pos) if (repOf(k) <= v) seen += c
+    seen.toDouble / n
+  }
+
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -174,4 +187,23 @@ case class ValueAtQuantile(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "value_at_quantile"
+}
+
+/** `quantile_at_value(qdigest_binary, x) -> rank fraction` (reference
+  * QuantileDigestFunctions.quantile_at_value — the inverse of
+  * value_at_quantile). */
+case class QuantileAtValue(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(sketch: Any, v: Any): Any =
+    LogQuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+      .rankOf(QuantileSketchAgg.toDouble(v))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantileAtValue =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "quantile_at_value"
 }

@@ -72,22 +72,26 @@ object Functions {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("value_at_quantile(qdigest_agg(l_extendedprice), 0.5)").as("med"),
+        expr("qdigest_agg(l_extendedprice)").as("sk"),
         // one sort-aggregate pass for all three exact quantiles
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
         count(lit(1)).as("n"))
-      .select(col("l_returnflag"), col("med"),
+      .select(col("l_returnflag"),
+        expr("value_at_quantile(sk, 0.5)").as("med"),
+        // inverse query: rank fraction of the exact median in the sketch
+        expr("quantile_at_value(sk, ps[1])").as("rank_med"),
         col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"),
         col("n"))
       .select(
         col("l_returnflag"),
         (col("med") >= col("p25") && col("med") <= col("p75")).as("med_in_iqr"),
         (abs(col("med") - col("p50")) <= abs(col("p50")) * 0.011).as("med_within_1pct"),
+        (abs(col("rank_med") - 0.5) <= 0.05).as("rank_near_half"),
         col("n"))
 
   val f3Sql: String =
     """SELECT l_returnflag, TRUE AS med_in_iqr, TRUE AS med_within_1pct,
-      |  count(*) AS n
+      |  TRUE AS rank_near_half, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // -------------------------------------- f4 approx_most_frequent

@@ -44,9 +44,45 @@ object Temporal {
       |SELECT l.event_id, l.user_id, l.ts, r.p_event, r.p_value, r.p_ts
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  /** rj1: pure theta (band) join — parts priced into hand-authored,
+    * non-uniform price tiers via `lo <= p < hi` inequality predicates
+    * only (no equi key at all; reference nested-loop join path,
+    * `NestedLoopJoinOperator.java`). Spark plans this as a
+    * BroadcastNestedLoopJoin with the 4-row tier relation broadcast —
+    * the ONLY sound shape for a band join whose probe side scales:
+    * the fact table never shuffles, each partition scans the
+    * broadcast band list. (A growing band table would instead call
+    * for interval partitioning — bucket the fact rows by coarse
+    * range, equi-join on the bucket, residual-filter the bounds.) */
+  def rj1(s: SparkSession, dir: String): DataFrame = {
+    val tiers = s.createDataFrame(Seq(
+      ("budget", 0.0, 1200.0),
+      ("mid", 1200.0, 1500.0),
+      ("premium", 1500.0, 1800.0),
+      ("luxury", 1800.0, 10000.0))).toDF("tier", "lo", "hi")
+    Graft.load(s, dir, "part")
+      .join(broadcast(tiers),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_parts"),
+        graft.engine.Num.xsum(col("p_retailprice")).as("tier_value"))
+  }
+
+  val rj1Sql: String =
+    """SELECT tier, count(*) AS n_parts,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS tier_value
+      |FROM part
+      |JOIN (VALUES ('budget', 0.0, 1200.0), ('mid', 1200.0, 1500.0),
+      |             ('premium', 1500.0, 1800.0), ('luxury', 1800.0, 10000.0))
+      |  AS t(tier, lo, hi)
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY tier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ao1_asof_join" -> ao1 _)
+    "ao1_asof_join" -> ao1 _,
+    "rj1_band_join" -> rj1 _)
 
   val oracle: Map[String, String] = Map(
-    "ao1_asof_join" -> ao1Sql)
+    "ao1_asof_join" -> ao1Sql,
+    "rj1_band_join" -> rj1Sql)
 }

@@ -26,6 +26,10 @@ object Dialect {
     "split_to_map" -> "str_to_map", // same (text, entryDelim, kvDelim) order
     "codepoint" -> "ascii",
     "json_extract_scalar" -> "get_json_object",
+    "json_extract" -> "get_json_object", // same (json, jsonpath) order
+    "bitwise_left_shift" -> "shiftleft",
+    "bitwise_right_shift" -> "shiftrightunsigned", // reference shift is logical
+    "bitwise_right_shift_arithmetic" -> "shiftright",
     "json_array_length" -> "json_array_length", // same
     "arbitrary" -> "any_value",
     "listagg" -> "listagg", // Spark 4 native

@@ -73,6 +73,24 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       row.getInt(2) == 6 && row.getInt(3) == -1)
   }
 
+  test("bitwise shifts and json_extract map to Spark names") {
+    assert(Dialect.translate("SELECT bitwise_left_shift(a, 2)") ==
+      "SELECT shiftleft(a, 2)")
+    assert(Dialect.translate("SELECT bitwise_right_shift(a, 2)") ==
+      "SELECT shiftrightunsigned(a, 2)")
+    assert(Dialect.translate("SELECT bitwise_right_shift_arithmetic(a, 2)") ==
+      "SELECT shiftright(a, 2)")
+    assert(Dialect.translate("SELECT json_extract(j, '$.k')") ==
+      "SELECT get_json_object(j, '$.k')")
+    // longer names are not clobbered by their prefixes
+    assert(Dialect.translate("SELECT json_extract_scalar(j, '$.k')") ==
+      "SELECT get_json_object(j, '$.k')")
+    val row = spark.sql(Dialect.translate(
+      "SELECT bitwise_left_shift(3, 2) AS l, bitwise_right_shift(-8, 1) AS r, " +
+        "bitwise_right_shift_arithmetic(-8, 1) AS ra")).head()
+    assert(row.getInt(0) == 12 && row.getInt(1) == 2147483644 && row.getInt(2) == -4)
+  }
+
   test("numeric truncate has no Spark mapping and passes through") {
     assert(Dialect.translate("SELECT truncate(x) FROM t") ==
       "SELECT truncate(x) FROM t")

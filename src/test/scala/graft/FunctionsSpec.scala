@@ -157,6 +157,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(h1.top(1).head._1 == "HEAVY")
   }
 
+  test("quantile_at_value inverts value_at_quantile within sketch error") {
+    val sk = new LogQuantileSketch(0.01)
+    val rnd = new Random(7)
+    for (_ <- 1 to 20000) sk.add(math.exp(rnd.nextGaussian())) // lognormal
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val v = sk.quantile(q)
+      val r = sk.rankOf(v)
+      assert(math.abs(r - q) < 0.05, s"q=$q v=$v rank=$r")
+    }
+    assert(sk.rankOf(Double.MaxValue) == 1.0)
+    assert(sk.rankOf(0.0) == 0.0) // all samples are positive
+  }
+
   // ------------------------------------------- string distance / unicode
   test("hamming_distance counts differing positions; requires equal length") {
     assert(GraftFunctions.hammingDistance("karolin", "kathrin") == 3L)
