@@ -102,21 +102,9 @@ object GraftFunctions {
 
   // ------------------------------------------------------ implementations
 
-  /** Suffix-stripping stemmer (Porter step-1-style subset; the
-    * reference wraps a full Porter stemmer). */
-  def wordStem(s: String): String = {
-    if (s == null) return null
-    val w = s.toLowerCase
-    if (w.length > 4 && w.endsWith("ies")) w.dropRight(3) + "y"
-    else if (w.length > 5 && w.endsWith("sses")) w.dropRight(2)
-    else if (w.length > 4 && w.endsWith("ing")) w.dropRight(3)
-    else if (w.length > 4 && w.endsWith("edly")) w.dropRight(4)
-    else if (w.length > 3 && w.endsWith("ed")) w.dropRight(2)
-    else if (w.length > 4 && w.endsWith("ly")) w.dropRight(2)
-    else if (w.length > 3 && w.endsWith("es")) w.dropRight(2)
-    else if (w.length > 2 && w.endsWith("s") && !w.endsWith("ss")) w.dropRight(1)
-    else w
-  }
+  /** Full Porter stemmer (reference WordStemFunction wraps the same
+    * published algorithm) — see [[PorterStemmer]]. */
+  def wordStem(s: String): String = PorterStemmer.stem(s)
 
   private val stopProfiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),

@@ -73,6 +73,19 @@ case class MatchDetail(
   */
 object MatchRecognize {
 
+  /** AFTER MATCH SKIP modes (reference `SqlBase.g4` skipTo clause):
+    * where the scan resumes after an emitted match. TO FIRST/LAST(v)
+    * resume AT the first/last row the variable matched — the
+    * reference errors when that would be the match's first row
+    * (infinite loop), and so do we. */
+  sealed trait SkipMode
+  object SkipMode {
+    case object PastLastRow extends SkipMode
+    case object ToNextRow extends SkipMode
+    final case class ToFirst(v: Char) extends SkipMode
+    final case class ToLast(v: Char) extends SkipMode
+  }
+
   // ------------------------------------------------------ pattern AST
   sealed trait Pat
   private case class Lit(c: Char) extends Pat
@@ -178,7 +191,7 @@ object MatchRecognize {
       orderCol: String,
       pattern: String,
       define: Map[Char, (Row, Row) => Boolean],
-      skipPastLastRow: Boolean)(
+      skip: SkipMode)(
       emit: (Long, Long, collection.IndexedSeq[Row], Int, Array[Char], Row => Long) => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
 
@@ -215,7 +228,20 @@ object MatchRecognize {
               if (m != null && m.length > 0) {
                 matchNo += 1
                 emit(key, matchNo, buf, i, m, ordOf).foreach(out.enqueue(_))
-                i = if (skipPastLastRow) i + m.length else i + 1
+                i = skip match {
+                  case SkipMode.PastLastRow => i + m.length
+                  case SkipMode.ToNextRow => i + 1
+                  case SkipMode.ToFirst(v) =>
+                    val idx = m.indexOf(v)
+                    require(idx > 0, s"AFTER MATCH SKIP TO FIRST($v): " +
+                      "variable absent from match or maps to its first row")
+                    i + idx
+                  case SkipMode.ToLast(v) =>
+                    val idx = m.lastIndexOf(v)
+                    require(idx > 0, s"AFTER MATCH SKIP TO LAST($v): " +
+                      "variable absent from match or maps to its first row")
+                    i + idx
+                }
               } else i += 1
             }
           }
@@ -245,10 +271,21 @@ object MatchRecognize {
       orderCol: String,
       pattern: String,
       define: Map[Char, (Row, Row) => Boolean],
-      skipPastLastRow: Boolean = true): Dataset[MatchRow] = {
+      skipPastLastRow: Boolean = true): Dataset[MatchRow] =
+    withSkip(df, partCol, orderCol, pattern, define,
+      if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow)
+
+  /** As [[apply]] but with the full AFTER MATCH SKIP mode surface. */
+  def withSkip(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[Char, (Row, Row) => Boolean],
+      skip: SkipMode): Dataset[MatchRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    runEngine(df, partCol, orderCol, pattern, define, skipPastLastRow) {
+    runEngine(df, partCol, orderCol, pattern, define, skip) {
       (key, matchNo, buf, i, m, ordOf) =>
         val counts = m.groupBy(identity).toSeq.sortBy(_._1)
           .map { case (v, cs) => s"$v:${cs.length}" }.mkString(",")
@@ -269,7 +306,8 @@ object MatchRecognize {
       skipPastLastRow: Boolean = true): Dataset[MatchMeasures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    runEngine(df, partCol, orderCol, pattern, define, skipPastLastRow) {
+    runEngine(df, partCol, orderCol, pattern, define,
+      if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow) {
       (key, matchNo, buf, i, m, ordOf) =>
         val vals = (i until i + m.length)
           .map(j => buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())
@@ -293,7 +331,8 @@ object MatchRecognize {
       skipPastLastRow: Boolean = true): Dataset[MatchDetail] = {
     val spark = df.sparkSession
     import spark.implicits._
-    runEngine(df, partCol, orderCol, pattern, define, skipPastLastRow) {
+    runEngine(df, partCol, orderCol, pattern, define,
+      if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow) {
       (key, matchNo, buf, i, m, ordOf) =>
         val vals = (i until i + m.length)
           .map(j => buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())

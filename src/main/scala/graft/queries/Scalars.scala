@@ -399,7 +399,10 @@ object Scalars {
           === encode(col("c_name"), "UTF-8")).as("b32_rt"),
         (abs(call_udf("inverse_normal_cdf", lit(0.0), lit(1.0),
           call_udf("normal_cdf", lit(0.0), lit(1.0), z)) - z) < 1e-8).as("ncdf_rt"),
-        round(call_udf("beta_cdf", lit(2.0), lit(5.0), x), 9).as("beta9"))
+        round(call_udf("beta_cdf", lit(2.0), lit(5.0), x), 9).as("beta9"),
+        // printf-style format (reference FormatFunction): %.2f is
+        // rounding-free here because acctbal carries exactly 2 dp
+        format_string("%.2f|%05d", col("c_acctbal"), col("c_custkey")).as("fmt"))
   }
 
   val sc12Sql: String =
@@ -410,7 +413,8 @@ object Scalars {
       |    ((c_custkey % 700000) % 86400) // 3600 AS h,
       |    ((c_custkey % 700000) % 3600) // 60 AS m,
       |    (c_custkey % 700000) % 60 AS sec,
-      |    (c_custkey % 10) / 10.0 AS x
+      |    (c_custkey % 10) / 10.0 AS x,
+      |    c_acctbal
       |  FROM customer WHERE c_custkey <= 500)
       |SELECT c_custkey,
       |  CAST((c_custkey % 100) * 1024 AS BIGINT) AS kb_bytes,
@@ -424,7 +428,8 @@ object Scalars {
       |  ), ''), '0 seconds') AS dur,
       |  TRUE AS b32_rt,
       |  TRUE AS ncdf_rt,
-      |  round(1 - power(1 - x, 6) - 6 * x * power(1 - x, 5), 9) AS beta9
+      |  round(1 - power(1 - x, 6) - 6 * x * power(1 - x, 5), 9) AS beta9,
+      |  printf('%.2f|%05d', c_acctbal, c_custkey) AS fmt
       |FROM u""".stripMargin
 
   // ------------------------------------------- sc13 full JSON family

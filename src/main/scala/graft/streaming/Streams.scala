@@ -143,6 +143,31 @@ object Streams {
       |  ON c.user_id = p.user_id
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
 
+  // ------------------------------------------ st6 stream-static join
+  /** Stream-static enrichment join: the event stream joined to the
+    * static customer dimension (user_id is a customer key in the
+    * fixture's id space). In streaming mode this is stateLESS — the
+    * static side is re-planned per micro-batch (broadcast when small,
+    * shuffled otherwise) and no watermark state accrues; the batch
+    * plan here is the identical equi-join the oracle runs. */
+  def st6(s: SparkSession, dir: String): DataFrame = {
+    val cust = Graft.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ev(s, dir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        // floor, not int-cast: Spark's double->int truncates while the
+        // oracle engine's rounds — floor agrees everywhere
+        graft.engine.Num.lsum(floor(col("value")).cast("long")).as("vsum"))
+  }
+
+  val st6Sql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS vsum
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type""".stripMargin
+
   // ---------------------------------------------- streaming builders
   /** The same tumbling aggregation as a genuine streaming transform
     * (watermark + append-mode-compatible window agg): applied to any
@@ -206,12 +231,14 @@ object Streams {
     "st2_sliding_window" -> st2 _,
     "st3_session_window" -> st3 _,
     "st4_stream_dedup" -> st4 _,
-    "st5_stream_join" -> st5 _)
+    "st5_stream_join" -> st5 _,
+    "st6_stream_static" -> st6 _)
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window" -> st2Sql,
     "st3_session_window" -> st3Sql,
     "st4_stream_dedup" -> st4Sql,
-    "st5_stream_join" -> st5Sql)
+    "st5_stream_join" -> st5Sql,
+    "st6_stream_static" -> st6Sql)
 }

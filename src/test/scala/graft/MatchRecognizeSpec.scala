@@ -130,6 +130,29 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.classifier == "U"))
   }
 
+  test("AFTER MATCH SKIP modes: past-last vs to-next vs to-last(var)") {
+    import graft.operators.MatchRecognize.SkipMode
+    val spk = spark
+    import spk.implicits._
+    // 5 high rows; pattern H{3}
+    val df = Seq[Double](11, 12, 13, 14, 15).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val high: (Row, Row) => Boolean = (_, c) => c.getAs[Double]("v") >= 10
+    def count(skip: SkipMode): Int =
+      MatchRecognize.withSkip(df, "k", "ord", "H{3}", Map('H' -> high), skip)
+        .collect().length
+    assert(count(SkipMode.PastLastRow) == 1) // (0-2); rows 3-4 too short
+    assert(count(SkipMode.ToNextRow) == 3) // starts 0, 1, 2
+    assert(count(SkipMode.ToLast('H')) == 2) // (0-2) then resume AT row 2: (2-4)
+    // skipping to the first row of the match would loop forever -> error
+    val e = intercept[org.apache.spark.SparkException] {
+      MatchRecognize.withSkip(df, "k", "ord", "H{3}",
+        Map('H' -> high), SkipMode.ToFirst('H')).collect()
+    }
+    assert(e.getMessage.contains("SKIP TO FIRST") ||
+      e.getCause.getMessage.contains("SKIP TO FIRST"))
+  }
+
   test("partitions are matched independently") {
     val spk = spark
     import spk.implicits._

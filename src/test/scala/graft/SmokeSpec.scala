@@ -73,7 +73,7 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  wilson_interval_lower(10, 20, 1.96) AS wl
         |""".stripMargin).head()
     assert(row.getDouble(0) == 1.0)
-    assert(row.getString(2) == "story")
+    assert(row.getString(2) == "stori") // full Porter: stories -> stori
     assert(row.getString(3) == "en")
     assert(row.getBoolean(4))
     assert(row.getDouble(5) > 0.27 && row.getDouble(5) < 0.5)
