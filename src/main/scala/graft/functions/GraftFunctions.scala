@@ -53,6 +53,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ApproxMostFrequentAgg].getName, "approx_most_frequent"),
       (children: Seq[Expression]) => ApproxMostFrequentAgg(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("kmv_set_digest"),
+      new ExpressionInfo(classOf[KmvDigestAgg].getName, "kmv_set_digest"),
+      (children: Seq[Expression]) => KmvDigestAgg(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("jaccard_index"),
+      new ExpressionInfo(classOf[JaccardIndex].getName, "jaccard_index"),
+      (children: Seq[Expression]) => JaccardIndex(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("intersection_cardinality"),
+      new ExpressionInfo(classOf[IntersectionCardinality].getName, "intersection_cardinality"),
+      (children: Seq[Expression]) => IntersectionCardinality(children(0), children(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_date_add"),
       new ExpressionInfo(classOf[TrinoDateAdd].getName, "graft_date_add"),
       (children: Seq[Expression]) => TrinoDateAdd(children(0), children(1), children(2))))

@@ -48,9 +48,56 @@ object Sketches {
       |  TRUE AS merge_in_bound
       |FROM lineitem""".stripMargin
 
+  /** sk1: SetDigest-style approximate set operations (reference
+    * `type/setdigest/SetDigest.java`: make_set_digest +
+    * jaccard_index + intersection_cardinality). Per-event-type KMV
+    * digests of the user-id sets, then sketch-estimated jaccard and
+    * intersection of click-users vs purchase-users checked against
+    * the exact values (flag-aggregation per user). With k=2048 the
+    * sketch is in its exact regime at sf0.01 and a ~2% estimator at
+    * larger SFs — the bound covers both. */
+  def sk1(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+    val d = ev.groupBy(col("event_type"))
+      .agg(expr("kmv_set_digest(user_id)").as("d"))
+    val a = d.filter(col("event_type") === "click").select(col("d").as("da"))
+    val b = d.filter(col("event_type") === "purchase").select(col("d").as("db"))
+    val exact = ev
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      .agg(
+        sum(col("c") * col("p")).cast("long").as("exact_inter"),
+        count(lit(1)).as("exact_union"))
+    a.crossJoin(b).crossJoin(exact)
+      .select(
+        col("exact_inter"), col("exact_union"),
+        (abs(expr("jaccard_index(da, db)") -
+          col("exact_inter").cast("double") / col("exact_union")) <= 0.05)
+          .as("j_in_bound"),
+        (abs(expr("intersection_cardinality(da, db)") - col("exact_inter")) <=
+          greatest(col("exact_inter") * 0.15, lit(5.0))).as("ic_in_bound"))
+  }
+
+  val sk1Sql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY user_id)
+      |SELECT CAST(sum(c * p) AS BIGINT) AS exact_inter,
+      |  count(*) AS exact_union,
+      |  TRUE AS j_in_bound, TRUE AS ic_in_bound
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hll1_sketch_merge" -> hll1 _)
+    "hll1_sketch_merge" -> hll1 _,
+    "sk1_set_digest" -> sk1 _)
 
   val oracle: Map[String, String] = Map(
-    "hll1_sketch_merge" -> hll1Sql)
+    "hll1_sketch_merge" -> hll1Sql,
+    "sk1_set_digest" -> sk1Sql)
 }

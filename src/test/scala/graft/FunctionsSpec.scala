@@ -183,6 +183,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.rankOf(0.0) == 0.0) // all samples are positive
   }
 
+  test("KMV set digest: exact regime, estimator bounds, merge determinism") {
+    // exact regime: sets smaller than k
+    val a = new KmvDigest(KmvDigest.DefaultK)
+    val b = new KmvDigest(KmvDigest.DefaultK)
+    (1L to 100L).foreach(a.add)
+    (51L to 150L).foreach(b.add) // |A∩B|=50, |A∪B|=150
+    assert(a.estimate() == 100.0)
+    assert(KmvDigest.jaccard(a, b) == 50.0 / 150.0)
+    assert(math.abs(KmvDigest.intersectionCardinality(a, b) - 50.0) < 1e-9)
+
+    // estimator regime: 20k distinct through a k=256 sketch
+    val big = new KmvDigest(256)
+    (1L to 20000L).foreach(big.add)
+    assert(math.abs(big.estimate() - 20000) < 20000 * 0.25,
+      s"estimate=${big.estimate()}")
+
+    // merge is order-independent: same set, different partitionings
+    val m1 = new KmvDigest(64); val m2 = new KmvDigest(64)
+    val p1 = new KmvDigest(64); val p2 = new KmvDigest(64)
+    (1L to 5000L).foreach(v => (if (v % 2 == 0) m1 else m2).add(v))
+    (1L to 5000L).foreach(v => (if (v % 3 == 0) p1 else p2).add(v))
+    m1.merge(m2); p2.merge(p1)
+    assert(m1.serialize().toSeq == p2.serialize().toSeq)
+  }
+
   // ------------------------------------------- string distance / unicode
   test("hamming_distance counts differing positions; requires equal length") {
     assert(GraftFunctions.hammingDistance("karolin", "kathrin") == 3L)
