@@ -145,9 +145,11 @@ object Dialect {
           out = out.replaceAll(s"(?i)\\b$from\\s*'", s"$to '") // typed literals
         }
         // TRY(expr) → try_(...) has no direct generic form; map the
-        // common arithmetic case TRY(a / b) → try_divide(a, b)
+        // common arithmetic case TRY(a / b) → try_divide(a, b). The
+        // denominator may be a single parenthesized group.
         out = out.replaceAll(
-          "(?i)\\bTRY\\s*\\(\\s*([^()/,]+)/([^()]+)\\)", "try_divide($1,$2)")
+          "(?i)\\bTRY\\s*\\(\\s*([^()/,]+)/\\s*(\\([^()]*\\)|[^(),]+)\\s*\\)",
+          "try_divide($1,$2)")
         out
     }.mkString
   }

@@ -75,4 +75,16 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(finalPlan.contains("BroadcastHashJoin"),
       s"expected AQE broadcast conversion:\n${finalPlan.take(2000)}")
   }
+
+  test("minhash shuffles signatures, not shingles (map-side combine)") {
+    // The LSH near-dup operator's only pre-join aggregation must show
+    // partial_min (map-side combine): each partition reduces to
+    // docs x 8 digests BEFORE the exchange, so the shuffle volume is
+    // signatures -- independent of shingle count. Losing this (e.g. a
+    // non-decomposable rewrite) would shuffle the shingle stream.
+    val plan = graft.queries.Pipeline.p3(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"expected partial_min map-side combine in:\n${plan.take(1500)}")
+  }
 }
