@@ -93,7 +93,10 @@ object MatchRecognize {
   private case class Alt(a: Pat, b: Pat) extends Pat
   private case class Rep(a: Pat, min: Int, max: Int) extends Pat // max = -1 → ∞
 
-  /** Recursive-descent parser for the pattern subset. */
+  /** Recursive-descent parser for the pattern subset. `PERMUTE(A, B)`
+    * (reference `SqlBase.g4` patternPermutation) expands to the
+    * alternation of all orderings in lexicographic preference — the
+    * standard semantics; capped at 5 variables (120 branches). */
   def parse(s: String): Pat = {
     val in = s.replaceAll("\\s+", "")
     var pos = 0
@@ -102,7 +105,27 @@ object MatchRecognize {
       require(peek == c, s"expected '$c' at $pos in '$in'")
       pos += 1
     }
+    def permute(): Pat = {
+      pos += 7 // consume "PERMUTE"
+      expect('(')
+      val vars = scala.collection.mutable.ArrayBuffer[Char]()
+      while (peek != ')' && peek != '\u0000') {
+        if (peek == ',') pos += 1
+        else {
+          require(peek.isLetter, s"PERMUTE takes plain variables, got '$peek' at $pos")
+          vars += peek
+          pos += 1
+        }
+      }
+      expect(')')
+      require(vars.nonEmpty && vars.length <= 5,
+        s"PERMUTE supports 1..5 variables, got ${vars.length}")
+      vars.permutations
+        .map(perm => perm.map(Lit(_): Pat).reduceLeft(Cat))
+        .reduceLeft(Alt)
+    }
     def atom(): Pat = peek match {
+      case 'P' if in.startsWith("PERMUTE(", pos) => quant(permute())
       case '(' => expect('('); val p = alt(); expect(')'); quant(p)
       case c if c.isLetter => pos += 1; quant(Lit(c))
       case other => throw new IllegalArgumentException(s"unexpected '$other' at $pos in '$in'")

@@ -74,6 +74,28 @@ object Ops {
     df.groupingSets(sets, groupCols: _*)
       .agg(aggs.head, (aggs.tail :+ grouping_id().cast("long").as("gid")): _*)
 
+  /** Interval-partitioned band join: the theta join `lo <= v < hi`
+    * rewritten as an equi-join on coarse value buckets plus a
+    * residual filter — the scale path for when the BAND table also
+    * grows (a broadcast nested-loop join, the plan rj1 demonstrates,
+    * stops being viable): each fact row maps to exactly ONE bucket of
+    * width w, each band explodes to the buckets it overlaps, and the
+    * join becomes a plain shuffled equi-join both sides co-partition
+    * on. A band spanning k buckets replicates k times — pick w near
+    * the typical band width so replication stays O(1). */
+  def intervalBandJoin(fact: DataFrame, bands: DataFrame, valueCol: String,
+      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    val f = fact.withColumn("__bkt",
+      floor(col(valueCol) / bucketWidth).cast("long"))
+    val b = bands.withColumn("__bkt",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    f.join(b, f("__bkt") === b("__bkt") &&
+        col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bkt")
+  }
+
   /** Backward AS-OF join: each left row picks the single right row
     * with the greatest `ts` at-or-before the left row's `ts` within
     * the same `key` (LEFT OUTER — unmatched left rows keep null

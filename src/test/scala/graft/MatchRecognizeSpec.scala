@@ -130,6 +130,19 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.classifier == "U"))
   }
 
+  test("PERMUTE matches variables in any order, preferring the listed one") {
+    // 11 then 5: H fits row 0, D fits row 1 -> only the HD ordering works
+    val ms = runPat(Seq[Double](11, 5), "PERMUTE(D, H)")
+    assert(ms.map(_.classifier) == Seq("HD"))
+    // both orderings feasible -> lexicographic preference takes the listed order
+    val ms2 = runPat(Seq[Double](11, 12), "PERMUTE(H, U)")
+    assert(ms2.head.classifier == "HU")
+    // quantified PERMUTE group parses
+    MatchRecognize.parse("PERMUTE(A, B)+ C")
+    intercept[IllegalArgumentException](MatchRecognize.parse("PERMUTE(A, B, C, D, E, F)"))
+    intercept[IllegalArgumentException](MatchRecognize.parse("PERMUTE()"))
+  }
+
   test("AFTER MATCH SKIP modes: past-last vs to-next vs to-last(var)") {
     import graft.operators.MatchRecognize.SkipMode
     val spk = spark

@@ -90,4 +90,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("l3") == 200.0) // carried forward
     assert(out("l4") == null) // no right row for key 2 -> left outer null
   }
+
+  test("intervalBandJoin equals the naive theta join") {
+    import org.apache.spark.sql.functions.{col, floor => _}
+    val fact = spark.range(0, 1000).toDF("id")
+      .withColumn("v", (col("id") * 7 % 100).cast("double"))
+    val spk = spark
+    import spk.implicits._
+    val bands = Seq(("a", 0.0, 30.0), ("b", 30.0, 55.0), ("c", 55.0, 100.0))
+      .toDF("tier", "lo", "hi")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaBuckets = Ops.intervalBandJoin(fact, bands, "v", "lo", "hi", 10.0)
+    val naive = fact.join(bands, col("v") >= col("lo") && col("v") < col("hi"))
+    assert(keys(viaBuckets) == keys(naive))
+    assert(viaBuckets.count() == 1000) // bands cover [0,100) exactly once
+  }
 }
