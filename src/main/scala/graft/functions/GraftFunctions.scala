@@ -109,6 +109,7 @@ object GraftFunctions {
       (a: Double, b: Double, x: Double) => StatFunctions.betaCdf(a, b, x))
     spark.udf.register("inverse_beta_cdf",
       (a: Double, b: Double, p: Double) => StatFunctions.inverseBetaCdf(a, b, p))
+    spark.udf.register("json_size", (j: String, path: String) => jsonSize(j, path))
     DateTimeCompat.register(spark)
   }
 
@@ -291,6 +292,31 @@ object GraftFunctions {
       }
     }
     out.toArray
+  }
+
+  /** json_size(json, path): number of keys of the object / elements
+    * of the array at `path`, 0 for scalars, null for missing paths
+    * (reference JsonFunctions.json_size). Path is the same restricted
+    * `$.a.b[i]` dialect get_json_object accepts; parsing via jackson
+    * (on the Spark classpath). */
+  def jsonSize(j: String, path: String): java.lang.Long = {
+    if (j == null || path == null) return null
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var node: com.fasterxml.jackson.databind.JsonNode =
+      try mapper.readTree(j)
+      catch { case _: Exception => return null }
+    require(path.startsWith("$"), s"json path must start with '$$': $path")
+    val steps = "\\.([A-Za-z0-9_]+)|\\[(\\d+)\\]".r
+      .findAllMatchIn(path.substring(1)).toSeq
+    for (m <- steps) {
+      if (node == null) return null
+      node =
+        if (m.group(1) != null) node.get(m.group(1))
+        else node.get(m.group(2).toInt)
+    }
+    if (node == null) null
+    else if (node.isContainerNode) node.size().toLong
+    else 0L
   }
 
   /** Luhn checksum validation (reference LuhnCheckFunction.java). */

@@ -453,7 +453,9 @@ object Scalars {
         "CAST(json_array_length(get_json_object(doc, '$.vals')) AS BIGINT) AS alen",
         "from_json(doc, 'id BIGINT, seg STRING, vals ARRAY<BIGINT>').seg AS rt_seg",
         "CAST(from_json(doc, 'id BIGINT, seg STRING, vals ARRAY<BIGINT>').vals[0] AS BIGINT) AS rt_v0",
-        "get_json_object(doc, '$.missing') IS NULL AS no_missing")
+        "get_json_object(doc, '$.missing') IS NULL AS no_missing",
+        "json_size(doc, '$') AS obj_size",
+        "json_size(doc, '$.vals') AS arr_size")
 
   val sc13Sql: String =
     """WITH d AS (
@@ -466,7 +468,9 @@ object Scalars {
       |  CAST(json_array_length(doc, '$.vals') AS BIGINT) AS alen,
       |  json_extract_string(doc, '$.seg') AS rt_seg,
       |  CAST(json_extract(doc, '$.vals[0]') AS BIGINT) AS rt_v0,
-      |  json_extract(doc, '$.missing') IS NULL AS no_missing
+      |  json_extract(doc, '$.missing') IS NULL AS no_missing,
+      |  CAST(len(json_keys(doc)) AS BIGINT) AS obj_size,
+      |  CAST(json_array_length(doc, '$.vals') AS BIGINT) AS arr_size
       |FROM d""".stripMargin
 
   // ------------------------------------------------------------- exports

@@ -231,6 +231,17 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GraftFunctions.combinations(Seq("a"), 6))
   }
 
+  test("json_size counts object keys and array elements at a path") {
+    val j = """{"a": {"x": 1, "y": 2}, "b": [1, 2, 3], "c": 7}"""
+    assert(GraftFunctions.jsonSize(j, "$") == 3L)
+    assert(GraftFunctions.jsonSize(j, "$.a") == 2L)
+    assert(GraftFunctions.jsonSize(j, "$.b") == 3L)
+    assert(GraftFunctions.jsonSize(j, "$.c") == 0L) // scalar
+    assert(GraftFunctions.jsonSize(j, "$.missing") == null)
+    assert(GraftFunctions.jsonSize(j, "$.b[0]") == 0L)
+    assert(GraftFunctions.jsonSize("not json", "$") == null)
+  }
+
   // ------------------------------------------------- data size / duration
   test("parse_data_size uses binary units with half-up rounding") {
     assert(GraftFunctions.parseDataSize("2.3MB") == 2411725L) // reference doc example
