@@ -53,6 +53,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ApproxMostFrequentAgg].getName, "approx_most_frequent"),
       (children: Seq[Expression]) => ApproxMostFrequentAgg(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("numeric_histogram"),
+      new ExpressionInfo(classOf[NumericHistogramAgg].getName, "numeric_histogram"),
+      (children: Seq[Expression]) => NumericHistogramAgg(children(0), children(1))))
+    e.injectFunction((
       FunctionIdentifier("kmv_set_digest"),
       new ExpressionInfo(classOf[KmvDigestAgg].getName, "kmv_set_digest"),
       (children: Seq[Expression]) => KmvDigestAgg(children.head)))

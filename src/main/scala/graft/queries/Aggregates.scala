@@ -309,7 +309,31 @@ object Aggregates {
       |  FROM orders) r""".stripMargin
 
   // ------------------------------------------------------------- exports
+  // ----------------------------------- ag9 streaming numeric histogram
+  /** numeric_histogram(buckets, v) — the Ben-Haim & Tom-Tov streaming
+    * histogram (reference NumericHistogramAggregation.java) as a
+    * custom TypedImperativeAggregate. l_quantity has 50 distinct
+    * values < 64 buckets, so the sketch is in its EXACT regime at any
+    * SF: each centroid is a true value count, and the oracle pins the
+    * full histogram against a plain GROUP BY — rendered as canonical
+    * comma-joined strings so both engines serialize identically. */
+  def ag9(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(expr("numeric_histogram(64, l_quantity)").as("h"))
+      .select(
+        concat_ws(",", expr("transform(map_keys(h), x -> CAST(x AS STRING))")).as("qs"),
+        concat_ws(",", expr("transform(map_values(h), x -> CAST(x AS STRING))")).as("cs"))
+
+  val ag9Sql: String =
+    """SELECT
+      |  array_to_string(list_transform(list(q ORDER BY q), x -> CAST(x AS VARCHAR)), ',') AS qs,
+      |  array_to_string(list_transform(list(c ORDER BY q), x -> CAST(x AS VARCHAR)), ',') AS cs
+      |FROM (
+      |  SELECT l_quantity AS q, CAST(count(*) AS DOUBLE) AS c
+      |  FROM lineitem GROUP BY l_quantity) t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ag9_numeric_histogram" -> ag9 _,
     "ag1_minmax_by" -> ag1 _,
     "ag2_bool_bit" -> ag2 _,
     "ag3_stats" -> ag3 _,
@@ -320,6 +344,7 @@ object Aggregates {
     "ag8_checksum" -> ag8 _)
 
   val oracle: Map[String, String] = Map(
+    "ag9_numeric_histogram" -> ag9Sql,
     "ag1_minmax_by" -> ag1Sql,
     "ag2_bool_bit" -> ag2Sql,
     "ag3_stats" -> ag3Sql,

@@ -183,6 +183,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.rankOf(0.0) == 0.0) // all samples are positive
   }
 
+  test("numeric histogram: exact regime, weight conservation, bucket bound") {
+    // exact regime: distinct values fit in the buckets
+    val h = new NumericHistogram(16)
+    for (v <- Seq(1.0, 2.0, 2.0, 5.0, 5.0, 5.0)) h.add(v)
+    assert(h.values.toSeq == Seq(1.0, 2.0, 5.0))
+    assert(h.weights.toSeq == Seq(1.0, 2.0, 3.0))
+
+    // overflow regime: bucket bound holds, total weight is conserved,
+    // the weighted mean survives centroid merging
+    val big = new NumericHistogram(32)
+    val rnd = new Random(13)
+    val xs = Seq.fill(10000)(rnd.nextDouble() * 100)
+    xs.foreach(big.add(_))
+    assert(big.size <= 32)
+    assert(math.abs(big.totalWeight - 10000) < 1e-6)
+    val approxMean =
+      big.values.zip(big.weights).map { case (v, w) => v * w }.sum / big.totalWeight
+    assert(math.abs(approxMean - xs.sum / xs.size) < 0.5)
+
+    // merge conserves weight across partitionings
+    val a = new NumericHistogram(32); val b = new NumericHistogram(32)
+    xs.zipWithIndex.foreach { case (v, i) => (if (i % 2 == 0) a else b).add(v) }
+    a.merge(b)
+    assert(a.size <= 32 && math.abs(a.totalWeight - 10000) < 1e-6)
+  }
+
   test("KMV set digest: exact regime, estimator bounds, merge determinism") {
     // exact regime: sets smaller than k
     val a = new KmvDigest(KmvDigest.DefaultK)
