@@ -27,8 +27,15 @@ object Bench {
     val spark = graft.engine.Graft.session("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
+    // Local-iteration aid (driver passes no args): an optional regex
+    // restricts the run to matching query names, so a single query can
+    // be profiled in a fresh session (isolated from suite-position
+    // effects like catalog/GC accumulation in the shared bench JVM).
+    val only = args.headOption.map(_.r)
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.pattern.matcher(name).matches()) }
+      .flatMap { case (name, fn) =>
       try {
         materialize(fn(spark, sfDir)) // prewarm (plan + JVM + shuffle warm)
         val samples = (1 to Runs).map { _ =>
@@ -53,7 +60,10 @@ object Bench {
     // headline queries plus the composite pipelines individually, and
     // roll the rest up into per-family subtotals; full per-query detail
     // is on stderr above.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: under comma-decimal default locales (de_DE etc.) the
+    // f-interpolator would emit "1,234" and break the JSON contract.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val composites = Set("p9_corpus_pipeline", "x1_yoy_growth", "x2_market_basket")
     val headline = timed.filter { case (k, _) =>
       k.matches("q\\d+_.*") || composites(k)

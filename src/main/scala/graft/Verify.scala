@@ -4,13 +4,24 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Local-iteration aid (driver passes 2 args): an optional regex
+    // restricts the dump to matching query names for fast targeted
+    // oracle checks. oracle_sql.json is filtered to match so
+    // tools/local_oracle.py only replays the selected queries.
+    val only = args.lift(2).map(_.r)
+    def keep(name: String): Boolean =
+      only.forall(_.pattern.matcher(name).matches())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.engine.Graft.session("graft-verify", cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
+      // repartition(1) (not coalesce) keeps the single-file write behind
+      // an exchange, so the query itself still runs at full parallelism;
+      // coalesce(1) propagated up the plan and single-threaded every
+      // verify query's final stage.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -29,7 +40,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

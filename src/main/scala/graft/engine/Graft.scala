@@ -46,6 +46,14 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // TypedImperativeAggregates (collect_set, the sketch family) run in
+      // ObjectHashAggregateExec, whose default hash-map capacity is only
+      // 128 groups before degrading to sort-based aggregation — far too
+      // conservative for small per-group buffers (a per-order part set,
+      // a 2 KB sketch). 64Ki groups × KB-scale buffers stays well inside
+      // a task's memory at any scale (keys per task are bounded by task
+      // input size), and giant-buffer aggregations still fall back.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
       // default ([PARQUET_TYPE_ILLEGAL]); map it to epoch-nanos bigint.

@@ -55,16 +55,23 @@ object Analytics {
 
   // --------------------------------------------- x2 market basket
   /** Part co-occurrence mining: pairs of parts appearing in the same
-    * order at least 3 times. The pair space is generated per order
-    * (self-join on the order key with a < guard) — output is bounded
-    * by Σ lines(order)², never |lineitem|², and at 100 TB the
+    * order at least 3 times. Rewritten round 5 from the
+    * distinct→self-join shape (two lineitem scans + three shuffles) to
+    * per-order set collection + in-order pair expansion: ONE scan, one
+    * shuffle on the order key (map-side partial collect_set), pair
+    * generation entirely within each order's array, then one
+    * partial/final count on (pa, pb). Pair space is still bounded by
+    * Σ lines(order)² — an order's line count is bounded (7 in TPC-H),
+    * so the per-key array never grows with scale factor, and the
     * heavy-hitter pairs come out of one partial/final count. */
   def x2(s: SparkSession, dir: String): DataFrame = {
-    val a = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa")).distinct()
-    val b = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")).distinct()
-    a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(expr(
+        "flatten(transform(parts, x -> transform(filter(parts, y -> y > x), " +
+          "y -> named_struct('pa', x, 'pb', y))))")).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("together"))
       .filter(col("together") >= 3)
@@ -81,25 +88,34 @@ object Analytics {
   /** x3: conversion-funnel analysis over the event stream — first
     * view → first click at-or-after it → first purchase at-or-after
     * that, per user, rolled up to stage counts and total
-    * view-to-purchase latency. The staged min-after-min structure is
-    * the standard funnel shape (each stage is an aggregate-then-join,
-    * all equi-joins on user_id — one partitioning reused end to end,
-    * no window over the raw stream needed). Latency sums exact
-    * integer microseconds, so the cross-engine hash is stable. */
+    * view-to-purchase latency. Rewritten round 5 from three
+    * aggregate-then-join stages (three events scans, ~8 stage
+    * round-trips) to ONE scan and one exchange: three chained
+    * per-user window minima (each stage's conditional min references
+    * the previous stage's output; all three windows share the
+    * user_id partitioning, so Spark sorts once and runs the passes
+    * back-to-back in one stage), then a per-user collapse that reuses
+    * the same partitioning (no extra shuffle) and a single-row final
+    * aggregate. WindowExec's spillable row buffer bounds memory per
+    * user at scale. Users with no view yield all-null stages and drop
+    * out of every count, matching the original v-anchored join shape.
+    * Latency sums exact integer microseconds, so the cross-engine
+    * hash is stable. */
   def x3(s: SparkSession, dir: String): DataFrame = {
-    val e = Graft.events(s, dir)
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-    val c = e.filter(col("event_type") === "click").as("e")
-      .join(v.as("v"), "user_id")
-      .where(col("e.ts") >= col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("e.ts")).as("c_ts"))
-    val p = e.filter(col("event_type") === "purchase").as("e")
-      .join(c.as("c"), "user_id")
-      .where(col("e.ts") >= col("c_ts"))
-      .groupBy(col("user_id")).agg(min(col("e.ts")).as("p_ts"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+    val w = Window.partitionBy(col("user_id"))
+    Graft.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") >= col("v_ts"),
+          col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
+        min(col("p_ts")).as("p_ts"))
       .agg(
         count(col("v_ts")).as("n_viewed"),
         count(col("c_ts")).as("n_clicked"),
