@@ -119,8 +119,12 @@ object GraftFunctions {
 
   // ------------------------------------------------------ implementations
 
-  /** Full Porter stemmer (reference WordStemFunction wraps the same
-    * published algorithm) — see [[PorterStemmer]]. */
+  /** Porter stemmer, original 1980 rules — see [[PorterStemmer]].
+    * The reference's WordStemFunction wraps Snowball's EnglishStemmer
+    * (Porter2), whose rules diverge on some words (e.g. Porter2 stems
+    * "faithfulness"→"faith" where Porter1 yields "faithful"), and also
+    * accepts a language argument; this implementation is English-only
+    * Porter1, documented as such. */
   def wordStem(s: String): String = PorterStemmer.stem(s)
 
   private val stopProfiles: Map[String, Set[String]] = Map(
@@ -194,14 +198,17 @@ object GraftFunctions {
 
   /** Positions at which two equal-length strings differ (reference
     * StringFunctions hamming_distance; BMP text — counts UTF-16 units,
-    * identical to codepoint counting for the fixture corpus). */
-  def hammingDistance(a: String, b: String): Long = {
-    if (a == null || b == null) return -1L // nulls propagate via UDF null-handling
+    * identical to codepoint counting for the fixture corpus). Boxed
+    * return: Spark passes NULL string args through to the UDF, and a
+    * primitive Long return would make the column non-nullable — the
+    * boxed null is what propagates NULL to the result. */
+  def hammingDistance(a: String, b: String): java.lang.Long = {
+    if (a == null || b == null) return null
     require(a.length == b.length, "the input strings must have the same length")
     var n = 0L
     var i = 0
     while (i < a.length) { if (a.charAt(i) != b.charAt(i)) n += 1; i += 1 }
-    n
+    Long.box(n)
   }
 
   /** n-element subsequences in index order (reference ArrayFunctions
@@ -221,9 +228,10 @@ object GraftFunctions {
     "TB" -> 4, "PB" -> 5, "EB" -> 6).toMap
 
   /** '2.3MB' → 2411725 bytes (reference DataSizeFunctions
-    * parse_data_size: binary units, round half up). */
-  def parseDataSize(s: String): Long = {
-    if (s == null) return -1L
+    * parse_data_size: binary units, round half up). Boxed return so a
+    * NULL input yields NULL (see [[hammingDistance]]). */
+  def parseDataSize(s: String): java.lang.Long = {
+    if (s == null) return null
     val m = "^(\\d+(?:\\.\\d+)?)\\s*([A-Za-z]+)$".r.findFirstMatchIn(s.trim)
       .getOrElse(throw new IllegalArgumentException(s"Invalid data size: '$s'"))
     val pow = sizeUnits.getOrElse(m.group(2),

@@ -108,11 +108,24 @@ object KmvDigest {
 
   /** Bottom-k MinHash jaccard: among the k smallest hashes of A∪B,
     * the fraction present in both sketches. Exact when both sets fit
-    * below k. */
+    * below k.
+    *
+    * The scan is truncated at min(kth(A), kth(B)) over the SATURATED
+    * sketches (the standard bottom-k estimator): a saturated sketch
+    * has evicted everything above its k-th smallest hash, so a union
+    * hash beyond that bound cannot be classified as present/absent in
+    * it — counting such hashes as "not shared" biased jaccard (and
+    * intersection_cardinality) downward for asymmetric set sizes. An
+    * unsaturated sketch retains its entire set and imposes no bound. */
   def jaccard(a: KmvDigest, b: KmvDigest): Double = {
     val k = math.min(a.k, b.k)
-    val ha = a.hashes
+    val ha = a.hashes // ascending by unsigned value; last = k-th smallest
     val hb = b.hashes
+    var bound = -1L // unsigned max: no truncation until a saturated sketch lowers it
+    if (a.size >= a.k && ha.nonEmpty &&
+      java.lang.Long.compareUnsigned(ha.last, bound) < 0) bound = ha.last
+    if (b.size >= b.k && hb.nonEmpty &&
+      java.lang.Long.compareUnsigned(hb.last, bound) < 0) bound = hb.last
     val union = new java.util.TreeSet[java.lang.Long](
       (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compareUnsigned(x, y))
     ha.foreach(union.add(_))
@@ -122,10 +135,15 @@ object KmvDigest {
     var inBoth = 0
     var seen = 0
     val it = union.iterator()
-    while (it.hasNext && seen < k) {
+    var more = it.hasNext
+    while (more && seen < k) {
       val h = it.next().longValue()
-      if (sa.contains(h) && sb.contains(h)) inBoth += 1
-      seen += 1
+      if (java.lang.Long.compareUnsigned(h, bound) > 0) more = false
+      else {
+        if (sa.contains(h) && sb.contains(h)) inBoth += 1
+        seen += 1
+        more = it.hasNext
+      }
     }
     if (seen == 0) 0.0 else inBoth.toDouble / seen
   }

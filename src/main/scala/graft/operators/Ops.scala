@@ -105,13 +105,20 @@ object Ops {
     *
     * Spark-first plan, built for 100 TB event streams: tag the two
     * inputs, `unionByName` them, ONE shuffle on the key, ONE local
-    * sort on (ts, side), then `last(payload, ignoreNulls)` over a
+    * sort on (ts, side), then `last(struct, ignoreNulls)` over a
     * running ROWS frame carries the most recent right payload forward
     * into each left row. No per-key array build, no range cross
     * product, no binary-search UDF — a streaming window frame that
     * spills like any sort. Right rows sort BEFORE left rows at equal
     * ts, so an exactly-simultaneous right row is visible (`>=`
     * semantics).
+    *
+    * The whole right payload travels as ONE struct (null on left
+    * rows), so a right row whose payload contains NULLs still carries
+    * atomically — per-column carry would mix columns across right
+    * rows whenever one column is null. Unmatched left rows expand the
+    * null struct to all-null payload columns, preserving LEFT OUTER
+    * semantics.
     *
     * The right side must be unique per (key, ts) — pre-dedupe it, or
     * the carried payload is nondeterministic (same contract as the
@@ -124,15 +131,17 @@ object Ops {
       rightPayload: Seq[String]): DataFrame = {
     val taggedL = left.withColumn("__side", lit(1))
     val taggedR = right
-      .select((Seq(col(key), col(ts)) ++ rightPayload.map(col)): _*)
+      .select(col(key), col(ts), struct(rightPayload.map(col): _*).as("__pl"))
       .withColumn("__side", lit(0))
     val u = taggedL.unionByName(taggedR, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = u.select(
-      (left.columns.map(col) :+ col("__side")) ++
-        rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.filter(col("__side") === 1).drop("__side")
+      (left.columns.map(col) :+ col("__side")) :+
+        last(col("__pl"), ignoreNulls = true).over(w).as("__pl"): _*)
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightPayload.map(c => col("__pl")(c).as(c)): _*)
   }
 }

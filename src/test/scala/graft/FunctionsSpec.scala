@@ -234,11 +234,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m1.serialize().toSeq == p2.serialize().toSeq)
   }
 
+  test("KMV jaccard estimates asymmetric set sizes (bounded scan, subset case)") {
+    // small A (unsaturated) ⊂ big B (saturated): the estimator must
+    // classify only hashes below the saturated sketch's k-th smallest
+    // (the bottom-k bound) — true jaccard = |A|/|B| = 200/2000 = 0.1,
+    // expected shared-hash count under the bound ≈ 26 so the estimate
+    // is stable.
+    val a = new KmvDigest(256)
+    val b = new KmvDigest(256)
+    (1L to 200L).foreach(a.add)
+    (1L to 2000L).foreach(b.add)
+    val j = KmvDigest.jaccard(a, b)
+    assert(math.abs(j - 0.1) < 0.06, s"jaccard=$j, want ~0.1")
+  }
+
   // ------------------------------------------- string distance / unicode
   test("hamming_distance counts differing positions; requires equal length") {
     assert(GraftFunctions.hammingDistance("karolin", "kathrin") == 3L)
     assert(GraftFunctions.hammingDistance("abc", "abc") == 0L)
     intercept[IllegalArgumentException](GraftFunctions.hammingDistance("ab", "abc"))
+    assert(GraftFunctions.hammingDistance(null, "abc") == null)
+    assert(GraftFunctions.parseDataSize(null) == null)
   }
 
   test("normalize composes and decomposes unicode forms") {

@@ -91,6 +91,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("l4") == null) // no right row for key 2 -> left outer null
   }
 
+  test("asOfJoin carries a right row's payload atomically when a column is null") {
+    val spk = spark
+    import spk.implicits._
+    val left = Seq((1L, 10L, "l1")).toDF("k", "ts", "tag")
+    // most recent right row (ts 8) has pv = null: true ASOF yields null,
+    // NOT the older row's 100.0 (per-column carry mixed rows here)
+    val right = Seq((1L, 4L, Some(100.0), "old"), (1L, 8L, None, "new"))
+      .toDF("k", "ts", "pv", "src")
+    val r = Ops.asOfJoin(left, right, "k", "ts", Seq("pv", "src"))
+      .select("pv", "src").collect().head
+    assert(r.isNullAt(0), "null payload column must come from the matched row")
+    assert(r.getString(1) == "new")
+  }
+
   test("intervalBandJoin equals the naive theta join") {
     import org.apache.spark.sql.functions.{col, floor => _}
     val fact = spark.range(0, 1000).toDF("id")
