@@ -114,6 +114,12 @@ object GraftFunctions {
     spark.udf.register("inverse_beta_cdf",
       (a: Double, b: Double, p: Double) => StatFunctions.inverseBetaCdf(a, b, p))
     spark.udf.register("json_size", (j: String, path: String) => jsonSize(j, path))
+    spark.udf.register("json_exists",
+      (j: String, path: String) => jsonExists(j, path))
+    spark.udf.register("json_value",
+      (j: String, path: String) => jsonValue(j, path))
+    spark.udf.register("json_query",
+      (j: String, path: String) => jsonQuery(j, path))
     DateTimeCompat.register(spark)
   }
 
@@ -306,29 +312,74 @@ object GraftFunctions {
     out.toArray
   }
 
-  /** json_size(json, path): number of keys of the object / elements
-    * of the array at `path`, 0 for scalars, null for missing paths
-    * (reference JsonFunctions.json_size). Path is the same restricted
-    * `$.a.b[i]` dialect get_json_object accepts; parsing via jackson
-    * (on the Spark classpath). */
-  def jsonSize(j: String, path: String): java.lang.Long = {
-    if (j == null || path == null) return null
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // readTree is thread-safe; one shared mapper avoids per-row allocation
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Resolve the node at `path`, or null when the document is invalid
+    * or the path is absent. Path is the restricted `$.a.b[i]` dialect
+    * get_json_object accepts, optionally prefixed with the SQL/JSON
+    * `lax ` / `strict ` mode word (accepted and ignored — navigation
+    * of this dialect subset is mode-independent). */
+  private def jsonNode(j: String, path: String): com.fasterxml.jackson.databind.JsonNode = {
+    val p = path.trim.replaceFirst("(?i)^(lax|strict)\\s+", "")
+    require(p.startsWith("$"), s"json path must start with '$$': $path")
     var node: com.fasterxml.jackson.databind.JsonNode =
-      try mapper.readTree(j)
+      try jsonMapper.readTree(j)
       catch { case _: Exception => return null }
-    require(path.startsWith("$"), s"json path must start with '$$': $path")
     val steps = "\\.([A-Za-z0-9_]+)|\\[(\\d+)\\]".r
-      .findAllMatchIn(path.substring(1)).toSeq
+      .findAllMatchIn(p.substring(1)).toSeq
     for (m <- steps) {
       if (node == null) return null
       node =
         if (m.group(1) != null) node.get(m.group(1))
         else node.get(m.group(2).toInt)
     }
+    node
+  }
+
+  /** json_size(json, path): number of keys of the object / elements
+    * of the array at `path`, 0 for scalars, null for missing paths
+    * (reference JsonFunctions.json_size). */
+  def jsonSize(j: String, path: String): java.lang.Long = {
+    if (j == null || path == null) return null
+    val node = jsonNode(j, path)
     if (node == null) null
     else if (node.isContainerNode) node.size().toLong
     else 0L
+  }
+
+  /** SQL/JSON 2016 `json_exists` (reference
+    * `operator/scalar/json/JsonExistsFunction.java`, grammar
+    * `SqlBase.g4:540-563`): true when the path resolves to ANY value,
+    * including a JSON null. */
+  def jsonExists(j: String, path: String): java.lang.Boolean = {
+    if (j == null || path == null) return null
+    Boolean.box(jsonNode(j, path) != null)
+  }
+
+  /** SQL/JSON 2016 `json_value` (reference JsonValueFunction.java):
+    * the SCALAR at the path as text; NULL for a missing path, a JSON
+    * null, or a container (the default NULL ON EMPTY / NULL ON ERROR
+    * behavior — containers are an error for json_value). RETURNING
+    * types are handled by the dialect layer as an outer CAST. */
+  def jsonValue(j: String, path: String): String = {
+    if (j == null || path == null) return null
+    val node = jsonNode(j, path)
+    if (node == null || node.isNull || node.isContainerNode) null
+    else node.asText()
+  }
+
+  /** SQL/JSON 2016 `json_query` (reference JsonQueryFunction.java):
+    * the JSON TEXT at the path — containers in compact form, strings
+    * kept JSON-quoted. NULL for a missing path (NULL ON EMPTY) and
+    * for a JSON null (diverges from a pedantic reading of the
+    * standard, which would render `null`; matches the common
+    * json_extract behavior the oracle pins). */
+  def jsonQuery(j: String, path: String): String = {
+    if (j == null || path == null) return null
+    val node = jsonNode(j, path)
+    if (node == null || node.isNull) null
+    else node.toString
   }
 
   /** Luhn checksum validation (reference LuhnCheckFunction.java). */

@@ -473,6 +473,58 @@ object Scalars {
       |  CAST(json_array_length(doc, '$.vals') AS BIGINT) AS arr_size
       |FROM d""".stripMargin
 
+  // ------------------------------------------- sc14 SQL/JSON 2016
+  /** The standard-SQL JSON accessors a migrating reference user writes
+    * (reference `operator/scalar/json/JsonExistsFunction.java` /
+    * JsonValueFunction.java / JsonQueryFunction.java, grammar
+    * `SqlBase.g4:540-563`): json_exists incl. the JSON-null-present
+    * case, json_value's scalar-only contract (containers → NULL),
+    * json_query's JSON-text rendering, and `lax` path-mode prefixes.
+    * Docs are BUILT from source columns (ignoreNullFields=false so a
+    * NULL source field serializes as a JSON null on both engines, like
+    * DuckDB's struct_pack). The RETURNING-clause dialect rewrite is
+    * unit-tested in DialectSpec. */
+  def sc14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      .withColumn("doc", to_json(struct(
+        col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+        array(col("c_custkey") % 10, col("c_custkey") % 7).as("vals"),
+        when(col("c_acctbal") < 0, lit("neg")).as("nn")),
+        Map("ignoreNullFields" -> "false")))
+      .selectExpr(
+        "c_custkey",
+        "json_exists(doc, 'lax $.seg') AS je_seg",
+        "json_exists(doc, '$.nn') AS je_nn",
+        "json_exists(doc, '$.missing') AS je_missing",
+        "json_value(doc, 'lax $.seg') AS jv_seg",
+        "json_value(doc, '$.nn') AS jv_nn",
+        "json_value(doc, '$.vals') AS jv_vals",
+        "CAST(json_value(doc, '$.vals[0]') AS BIGINT) AS jv_v0",
+        "json_query(doc, 'lax $.vals') AS jq_vals",
+        "json_query(doc, '$.seg') AS jq_seg",
+        "json_query(doc, '$.missing') AS jq_missing")
+
+  val sc14Sql: String =
+    """WITH d AS (
+      |  SELECT c_custkey,
+      |    to_json(struct_pack(id := c_custkey, seg := c_mktsegment,
+      |      vals := [c_custkey % 10, c_custkey % 7],
+      |      nn := CASE WHEN c_acctbal < 0 THEN 'neg' END)) AS doc
+      |  FROM customer WHERE c_custkey <= 500)
+      |SELECT c_custkey,
+      |  json_type(doc, '$.seg') IS NOT NULL AS je_seg,
+      |  json_type(doc, '$.nn') IS NOT NULL AS je_nn,
+      |  json_type(doc, '$.missing') IS NOT NULL AS je_missing,
+      |  json_extract_string(doc, '$.seg') AS jv_seg,
+      |  json_extract_string(doc, '$.nn') AS jv_nn,
+      |  CASE WHEN json_type(doc, '$.vals') IN ('OBJECT', 'ARRAY') THEN NULL
+      |       ELSE json_extract_string(doc, '$.vals') END AS jv_vals,
+      |  CAST(json_extract(doc, '$.vals[0]') AS BIGINT) AS jv_v0,
+      |  CAST(json_extract(doc, '$.vals') AS VARCHAR) AS jq_vals,
+      |  CAST(json_extract(doc, '$.seg') AS VARCHAR) AS jq_seg,
+      |  CAST(json_extract(doc, '$.missing') AS VARCHAR) AS jq_missing
+      |FROM d""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -487,7 +539,8 @@ object Scalars {
     "sc10_epoch" -> sc10 _,
     "sc11_strdist" -> sc11 _,
     "sc12_sizes_dists" -> sc12 _,
-    "sc13_json_family" -> sc13 _)
+    "sc13_json_family" -> sc13 _,
+    "sc14_sql_json" -> sc14 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -501,5 +554,6 @@ object Scalars {
     "sc10_epoch" -> sc10Sql,
     "sc11_strdist" -> sc11Sql,
     "sc12_sizes_dists" -> sc12Sql,
-    "sc13_json_family" -> sc13Sql)
+    "sc13_json_family" -> sc13Sql,
+    "sc14_sql_json" -> sc14Sql)
 }

@@ -112,6 +112,40 @@ object Dialect {
       j += 1
     }
 
+    // SQL/JSON 2016 RETURNING clause (grammar `SqlBase.g4:540-563`):
+    // json_value(x, 'path' RETURNING t) → CAST(json_value(x, 'path')
+    // AS t); the per-segment type-rename pass below then maps reference
+    // type spellings (varchar→string …). Only the simple
+    // trailing-RETURNING form is handled; ON EMPTY / ON ERROR clauses
+    // pass through for Spark to reject loudly rather than mistranslate.
+    val jsonFnRe = "(?i)\\b(json_value|json_query)(\\s*\\(\\s*[^()]*)$".r
+    val returningRe = "(?i)^\\s*RETURNING\\s+([A-Za-z0-9_]+(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)\\s*\\)".r
+    var m = 2
+    while (m < parts.length) {
+      val (after, afterIsLit) = parts(m)
+      if (!afterIsLit && parts(m - 1)._2) {
+        returningRe.findFirstMatchIn(after).foreach { rm =>
+          // walk back to the segment holding the still-open
+          // json_value(/json_query( call; intervening segments must be
+          // string literals (the json/path arguments) or paren-free
+          // glue (", ") so the parens we bracket are really this call's
+          var j = m - 1
+          while (j >= 0 && (parts(j)._2 ||
+            (!parts(j)._1.contains("(") && !parts(j)._1.contains(")") &&
+              jsonFnRe.findFirstMatchIn(parts(j)._1).isEmpty))) j -= 1
+          if (j >= 0 && !parts(j)._2) {
+            jsonFnRe.findFirstMatchIn(parts(j)._1).foreach { fm =>
+              parts(j) = (parts(j)._1.substring(0, fm.start) + "CAST(" +
+                fm.group(1).toLowerCase + fm.group(2), false)
+              parts(m) = (") AS " + rm.group(1) + ")" +
+                after.substring(rm.end), false)
+            }
+          }
+        }
+      }
+      m += 1
+    }
+
     parts.map {
       case (seg, true) => seg // literal — untouched
       case (seg, false) =>

@@ -131,6 +131,46 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getTimestamp(3).toString.startsWith("1995-01-22 12:34:56"))
   }
 
+  test("SQL/JSON 2016 RETURNING clause becomes an outer CAST") {
+    assert(Dialect.translate(
+      "SELECT json_value(doc, 'lax $.a' RETURNING BIGINT) FROM t")
+      == "SELECT CAST(json_value(doc, 'lax $.a') AS BIGINT) FROM t")
+    // reference type spellings are renamed inside the generated CAST
+    assert(Dialect.translate(
+      "SELECT json_value(doc, '$.a' RETURNING varchar) FROM t")
+      == "SELECT CAST(json_value(doc, '$.a') AS string) FROM t")
+    assert(Dialect.translate(
+      "SELECT json_value(doc, '$.a' RETURNING DECIMAL(10,2)) FROM t")
+      == "SELECT CAST(json_value(doc, '$.a') AS DECIMAL(10,2)) FROM t")
+    // no RETURNING → untouched
+    assert(Dialect.translate("SELECT json_value(doc, '$.a') FROM t")
+      == "SELECT json_value(doc, '$.a') FROM t")
+    // ON EMPTY / ON ERROR clauses deliberately pass through (Spark
+    // rejects them loudly rather than silently mistranslating)
+    assert(Dialect.translate(
+      "SELECT json_value(doc, '$.a' DEFAULT 0 ON EMPTY) FROM t")
+      == "SELECT json_value(doc, '$.a' DEFAULT 0 ON EMPTY) FROM t")
+  }
+
+  test("SQL/JSON functions execute end to end") {
+    val df = spark.sql(Dialect.translate(
+      "SELECT json_exists('{\"a\":{\"b\":null}}', 'lax $.a.b') AS e1, " +
+        "json_exists('{\"a\":1}', '$.a.b') AS e2, " +
+        "json_value('{\"a\":{\"b\":\"x\"}}', '$.a.b' RETURNING varchar) AS v1, " +
+        "json_value('{\"a\":[1,2]}', '$.a') AS v2, " +
+        "json_value('{\"n\":42}', 'strict $.n' RETURNING BIGINT) AS v3, " +
+        "json_query('{\"a\":[1,{\"c\":2}]}', '$.a') AS q1, " +
+        "json_query('{\"a\":\"s\"}', '$.a') AS q2"))
+    val r = df.head()
+    assert(r.getBoolean(0)) // JSON null at path still EXISTS
+    assert(!r.getBoolean(1))
+    assert(r.getString(2) == "x")
+    assert(r.isNullAt(3)) // container → NULL for json_value
+    assert(r.getLong(4) == 42L)
+    assert(r.getString(5) == "[1,{\"c\":2}]")
+    assert(r.getString(6) == "\"s\"") // json_query keeps JSON quoting
+  }
+
   test("translated reference-dialect queries execute correctly") {
     val q1 = Dialect.translate(
       "SELECT approx_distinct(o_custkey) AS ad FROM orders")
