@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, ExpressionInfo, If, Literal, ParseUrl, RegExpExtract}
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** The engine's function registry (≈ the reference's
   * `metadata/SystemFunctionBundle.java:350`, which assembles 460
@@ -72,6 +73,39 @@ object GraftFunctions {
       FunctionIdentifier("graft_date_add"),
       new ExpressionInfo(classOf[TrinoDateAdd].getName, "graft_date_add"),
       (children: Seq[Expression]) => TrinoDateAdd(children(0), children(1), children(2))))
+    // url_extract_* family (reference `operator/scalar/UrlFunctions.java`):
+    // pure compositions over Catalyst's codegen'd ParseUrl — no UDFs on
+    // this path. failOnError=false matches the reference's NULL-on-
+    // invalid-URL contract (ANSI mode would otherwise throw).
+    def urlPart(name: String, part: String): Unit =
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[ParseUrl].getName, name),
+        (children: Seq[Expression]) =>
+          ParseUrl(Seq(children.head, Literal(part)), failOnError = false)))
+    urlPart("url_extract_protocol", "PROTOCOL")
+    urlPart("url_extract_host", "HOST")
+    urlPart("url_extract_path", "PATH")
+    urlPart("url_extract_query", "QUERY")
+    urlPart("url_extract_fragment", "REF")
+    e.injectFunction((
+      FunctionIdentifier("url_extract_port"),
+      new ExpressionInfo(classOf[ParseUrl].getName, "url_extract_port"),
+      (children: Seq[Expression]) => {
+        // AUTHORITY is host[:port]; an absent port yields the empty
+        // match which maps to NULL (reference returns NULL, not 0)
+        val port = RegExpExtract(
+          ParseUrl(Seq(children.head, Literal("AUTHORITY")), failOnError = false),
+          Literal(":([0-9]+)$"), Literal(1))
+        Cast(If(EqualTo(port, Literal("")), Literal(null, StringType), port),
+          LongType)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("url_extract_parameter"),
+      new ExpressionInfo(classOf[ParseUrl].getName, "url_extract_parameter"),
+      (children: Seq[Expression]) =>
+        ParseUrl(Seq(children(0), Literal("QUERY"), children(1)),
+          failOnError = false)))
     // optimizer extension surface (Rule[LogicalPlan])
     e.injectOptimizerRule(_ => graft.plans.IdempotentCollectionOps)
   }

@@ -525,6 +525,44 @@ object Scalars {
       |  CAST(json_extract(doc, '$.missing') AS VARCHAR) AS jq_missing
       |FROM d""".stripMargin
 
+  // ------------------------------------------- sc15 url_extract family
+  /** url_extract_protocol/host/port/path/query/fragment/parameter
+    * (reference `operator/scalar/UrlFunctions.java`) — injected as
+    * compositions over Catalyst's codegen'd ParseUrl. URLs are BUILT
+    * from source columns, so the oracle pins ground truth recomputed
+    * from the same columns rather than a second regex engine; absent
+    * port/fragment exercise the NULL contract. */
+  def sc15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+      .withColumn("u", concat(
+        lit("https://api.example.com"),
+        when(col("c_custkey") % 3 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/cust/"), col("c_custkey"),
+        lit("?seg="), col("c_mktsegment"), lit("&n="), col("c_nationkey"),
+        when(col("c_custkey") % 2 === 0, lit("#top")).otherwise(lit(""))))
+      .selectExpr(
+        "c_custkey",
+        "url_extract_protocol(u) AS proto",
+        "url_extract_host(u) AS host",
+        "url_extract_port(u) AS port",
+        "url_extract_path(u) AS path",
+        "url_extract_query(u) AS qry",
+        "url_extract_fragment(u) AS frag",
+        "url_extract_parameter(u, 'seg') AS seg",
+        "CAST(url_extract_parameter(u, 'n') AS BIGINT) AS nkey")
+
+  val sc15Sql: String =
+    """SELECT c_custkey,
+      |  'https' AS proto,
+      |  'api.example.com' AS host,
+      |  CASE WHEN c_custkey % 3 = 0 THEN CAST(8443 AS BIGINT) END AS port,
+      |  '/cust/' || c_custkey AS path,
+      |  'seg=' || c_mktsegment || '&n=' || c_nationkey AS qry,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'top' END AS frag,
+      |  c_mktsegment AS seg,
+      |  CAST(c_nationkey AS BIGINT) AS nkey
+      |FROM customer WHERE c_custkey <= 1000""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -540,7 +578,8 @@ object Scalars {
     "sc11_strdist" -> sc11 _,
     "sc12_sizes_dists" -> sc12 _,
     "sc13_json_family" -> sc13 _,
-    "sc14_sql_json" -> sc14 _)
+    "sc14_sql_json" -> sc14 _,
+    "sc15_url_extract" -> sc15 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -555,5 +594,6 @@ object Scalars {
     "sc11_strdist" -> sc11Sql,
     "sc12_sizes_dists" -> sc12Sql,
     "sc13_json_family" -> sc13Sql,
-    "sc14_sql_json" -> sc14Sql)
+    "sc14_sql_json" -> sc14Sql,
+    "sc15_url_extract" -> sc15Sql)
 }

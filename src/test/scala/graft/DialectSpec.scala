@@ -171,6 +171,22 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(6) == "\"s\"") // json_query keeps JSON quoting
   }
 
+  test("url_extract family matches the reference's null contracts") {
+    val r = spark.sql(
+      "SELECT url_extract_protocol(u) p, url_extract_host(u) h, " +
+        "url_extract_port(u) pt, url_extract_path(u) pa, " +
+        "url_extract_query(u) q, url_extract_fragment(u) f, " +
+        "url_extract_parameter(u, 'k') k1, url_extract_parameter(u, 'zz') kz " +
+        "FROM VALUES ('http://example.com:8080/a/b?k=v&x=1#frag'), " +
+        "('https://plain.org/only') AS t(u)").collect()
+    assert(r(0).getString(0) == "http" && r(0).getString(1) == "example.com")
+    assert(r(0).getLong(2) == 8080L && r(0).getString(3) == "/a/b")
+    assert(r(0).getString(4) == "k=v&x=1" && r(0).getString(5) == "frag")
+    assert(r(0).getString(6) == "v" && r(0).isNullAt(7)) // absent param → NULL
+    assert(r(1).getString(0) == "https" && r(1).isNullAt(2)) // no port → NULL
+    assert(r(1).isNullAt(4) && r(1).isNullAt(5)) // no query/fragment → NULL
+  }
+
   test("translated reference-dialect queries execute correctly") {
     val q1 = Dialect.translate(
       "SELECT approx_distinct(o_custkey) AS ad FROM orders")
