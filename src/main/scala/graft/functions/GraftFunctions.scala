@@ -50,6 +50,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[QuantileAtValue].getName, "quantile_at_value"),
       (children: Seq[Expression]) => QuantileAtValue(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("tdigest_agg"),
+      new ExpressionInfo(classOf[TDigestAgg].getName, "tdigest_agg"),
+      (children: Seq[Expression]) => TDigestAgg(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("trimmed_mean"),
+      new ExpressionInfo(classOf[TrimmedMean].getName, "trimmed_mean"),
+      (children: Seq[Expression]) =>
+        TrimmedMean(children(0), children(1), children(2))))
+    e.injectFunction((
       FunctionIdentifier("approx_most_frequent"),
       new ExpressionInfo(classOf[ApproxMostFrequentAgg].getName, "approx_most_frequent"),
       (children: Seq[Expression]) => ApproxMostFrequentAgg(children(0), children(1))))

@@ -172,15 +172,20 @@ object QuantileSketchAgg {
 }
 
 /** `value_at_quantile(binary, double) -> double` — query a serialized
-  * sketch (reference: `scalar/QuantileDigestFunctions.java`). */
+  * sketch (reference: `scalar/QuantileDigestFunctions.java` and
+  * `scalar/TDigestFunctions.java`; the reference overloads on the
+  * sketch's SQL type, here dispatch is on the serialization tag). */
 case class ValueAtQuantile(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
 
-  override protected def nullSafeEval(sketch: Any, q: Any): Any =
-    LogQuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
-      .quantile(QuantileSketchAgg.toDouble(q))
+  override protected def nullSafeEval(sketch: Any, q: Any): Any = {
+    val bytes = sketch.asInstanceOf[Array[Byte]]
+    val qq = QuantileSketchAgg.toDouble(q)
+    if (TDigest.isTDigest(bytes)) TDigest.deserialize(bytes).quantile(qq)
+    else LogQuantileSketch.deserialize(bytes).quantile(qq)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ValueAtQuantile =

@@ -1,0 +1,277 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+
+/** Merging t-digest (Dunning & Ertl's published algorithm) — the
+  * engine's analogue of the reference's distinct TDigest type
+  * (`operator/aggregation/TDigestAggregationFunction.java`, scalars in
+  * `operator/scalar/TDigestFunctions.java` incl. trimmed_mean),
+  * complementing the log-bucket [[LogQuantileSketch]] which keeps the
+  * qdigest role: the t-digest's error is bounded in RANK (tightest at
+  * the tails, scale-free in value), the log-bucket sketch's in relative
+  * VALUE — the same split of error profiles the reference offers.
+  *
+  * Centroids are (mean, weight) pairs merged greedily under the k1
+  * scale function k(q) = δ/2π·asin(2q−1), which caps a centroid's
+  * weight share near the tails at O(q(1−q)/δ) — so extreme quantiles
+  * stay sharp. State is O(δ) regardless of row count; merge
+  * re-compresses, so at 100 TB each task carries a few KB of
+  * centroids and partial aggregation does the heavy lifting. Unlike
+  * the count-bucket sketches the result depends (within the rank
+  * bound) on merge order, so the oracle gate pins error-bound
+  * BOOLEANS, not raw values (the established sketch protocol).
+  */
+final class TDigest(val compression: Double) {
+
+  private val bufCap = 512
+  private var cMeans = new Array[Double](0) // sorted by mean after compress
+  private var cWeights = new Array[Double](0)
+  private var nC = 0
+  private val bMeans = new Array[Double](bufCap)
+  private val bWeights = new Array[Double](bufCap)
+  private var nB = 0
+  var min: Double = Double.PositiveInfinity
+  var max: Double = Double.NegativeInfinity
+
+  private def kFn(q: Double): Double =
+    compression / (2 * math.Pi) * math.asin(2 * math.min(1.0, math.max(0.0, q)) - 1)
+
+  private def kInv(k: Double): Double =
+    (math.sin(math.min(compression / 4, math.max(-compression / 4, k)) *
+      2 * math.Pi / compression) + 1) / 2
+
+  def add(v: Double, w: Double = 1.0): Unit = {
+    if (nB == bufCap) compress()
+    bMeans(nB) = v
+    bWeights(nB) = w
+    nB += 1
+    if (v < min) min = v
+    if (v > max) max = v
+  }
+
+  def merge(o: TDigest): Unit = {
+    o.compress()
+    var i = 0
+    while (i < o.nC) { add(o.cMeans(i), o.cWeights(i)); i += 1 }
+    min = math.min(min, o.min)
+    max = math.max(max, o.max)
+  }
+
+  def totalWeight: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < nC) { s += cWeights(i); i += 1 }
+    i = 0
+    while (i < nB) { s += bWeights(i); i += 1 }
+    s
+  }
+
+  def centroidCount: Int = { compress(); nC }
+
+  /** Greedy merge of buffered points + existing centroids under the
+    * k1 size bound (one pass over the sorted sequence). */
+  def compress(): Unit = {
+    if (nB == 0) return
+    val m = nC + nB
+    val pts = new Array[(Double, Double)](m)
+    var i = 0
+    while (i < nC) { pts(i) = (cMeans(i), cWeights(i)); i += 1 }
+    var j = 0
+    while (j < nB) { pts(nC + j) = (bMeans(j), bWeights(j)); j += 1 }
+    val sorted = pts.sortBy(_._1)
+    val w = sorted.map(_._2).sum
+    val outM = new Array[Double](m)
+    val outW = new Array[Double](m)
+    var nOut = 0
+    var curMean = sorted(0)._1
+    var curW = sorted(0)._2
+    var wSoFar = 0.0
+    var limit = w * kInv(kFn(0.0) + 1.0)
+    i = 1
+    while (i < m) {
+      val (mi, wi) = sorted(i)
+      if (wSoFar + curW + wi <= limit) {
+        curMean += (mi - curMean) * wi / (curW + wi)
+        curW += wi
+      } else {
+        outM(nOut) = curMean
+        outW(nOut) = curW
+        nOut += 1
+        wSoFar += curW
+        limit = w * kInv(kFn(wSoFar / w) + 1.0)
+        curMean = mi
+        curW = wi
+      }
+      i += 1
+    }
+    outM(nOut) = curMean
+    outW(nOut) = curW
+    nOut += 1
+    cMeans = java.util.Arrays.copyOf(outM, nOut)
+    cWeights = java.util.Arrays.copyOf(outW, nOut)
+    nC = nOut
+    nB = 0
+  }
+
+  /** Value at rank-quantile q: linear interpolation between centroid
+    * centers, anchored at the observed min/max at the extremes. */
+  def quantile(q: Double): Double = {
+    compress()
+    if (nC == 0) return Double.NaN
+    if (nC == 1) return cMeans(0)
+    val w = totalWeight
+    val target = math.min(1.0, math.max(0.0, q)) * w
+    val firstHalf = cWeights(0) / 2
+    if (target <= firstHalf)
+      return min + (if (firstHalf <= 0) 0.0 else target / firstHalf) * (cMeans(0) - min)
+    var cum = 0.0
+    var i = 0
+    while (i < nC - 1) {
+      val center = cum + cWeights(i) / 2
+      val nextCenter = cum + cWeights(i) + cWeights(i + 1) / 2
+      if (target <= nextCenter) {
+        if (target <= center || nextCenter == center) return cMeans(i)
+        val t = (target - center) / (nextCenter - center)
+        return cMeans(i) + t * (cMeans(i + 1) - cMeans(i))
+      }
+      cum += cWeights(i)
+      i += 1
+    }
+    val lastCenter = cum + cWeights(nC - 1) / 2
+    val span = w - lastCenter
+    if (span <= 0) max
+    else cMeans(nC - 1) +
+      math.min(1.0, (target - lastCenter) / span) * (max - cMeans(nC - 1))
+  }
+
+  /** Mean of the values between rank-quantiles lo and hi (reference
+    * TDigestFunctions.trimmed_mean): centroids contribute the weight
+    * share of their rank span overlapping [lo, hi]. */
+  def trimmedMean(lo: Double, hi: Double): Double = {
+    compress()
+    if (nC == 0 || hi <= lo) return Double.NaN
+    val w = totalWeight
+    val loW = lo * w
+    val hiW = hi * w
+    var cum = 0.0
+    var s = 0.0
+    var ws = 0.0
+    var i = 0
+    while (i < nC) {
+      val overlap = math.min(cum + cWeights(i), hiW) - math.max(cum, loW)
+      if (overlap > 0) { s += cMeans(i) * overlap; ws += overlap }
+      cum += cWeights(i)
+      i += 1
+    }
+    if (ws <= 0) Double.NaN else s / ws
+  }
+
+  def serialize(): Array[Byte] = {
+    compress()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(TDigest.Magic)
+    out.writeDouble(compression)
+    out.writeDouble(min)
+    out.writeDouble(max)
+    out.writeInt(nC)
+    var i = 0
+    while (i < nC) { out.writeDouble(cMeans(i)); out.writeDouble(cWeights(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object TDigest {
+  /** Serialization tag so value_at_quantile can dispatch between the
+    * two sketch types from the bytes alone (the reference overloads
+    * the scalar on the sketch's SQL type; we have one BINARY type). */
+  val Magic: Int = 0x54444731 // "TDG1"
+  val DefaultCompression = 200.0
+
+  def isTDigest(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      ((bytes(0) & 0xff) << 24 | (bytes(1) & 0xff) << 16 |
+        (bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) == Magic
+
+  def deserialize(bytes: Array[Byte]): TDigest = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "not a t-digest")
+    val d = new TDigest(in.readDouble())
+    val mn = in.readDouble()
+    val mx = in.readDouble()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val m = in.readDouble()
+      val w = in.readDouble()
+      d.add(m, w)
+      i += 1
+    }
+    // add() folded centroid means into min/max; restore the true ones
+    d.min = mn
+    d.max = mx
+    d
+  }
+}
+
+/** `tdigest_agg(double) -> binary` — mergeable centroid sketch. */
+case class TDigestAgg(
+    child: Expression,
+    compression: Double = TDigest.DefaultCompression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TDigest] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(b: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) b.add(QuantileSketchAgg.toDouble(v))
+    b
+  }
+
+  override def merge(b: TDigest, o: TDigest): TDigest = { b.merge(o); b }
+
+  override def eval(b: TDigest): Any = b.serialize()
+  override def serialize(b: TDigest): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest =
+    TDigest.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): TDigestAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TDigestAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TDigestAgg = copy(child = c.head)
+
+  override def prettyName: String = "tdigest_agg"
+}
+
+/** `trimmed_mean(tdigest_binary, lo, hi) -> double` (reference
+  * TDigestFunctions.trimmed_mean). */
+case class TrimmedMean(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(sketch: Any, lo: Any, hi: Any): Any =
+    TDigest.deserialize(sketch.asInstanceOf[Array[Byte]])
+      .trimmedMean(QuantileSketchAgg.toDouble(lo), QuantileSketchAgg.toDouble(hi))
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): TrimmedMean =
+    copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "trimmed_mean"
+}

@@ -133,17 +133,63 @@ object Functions {
   }
 
   // ------------------------------------------------------------- exports
+  // ------------------------------------------ f6 t-digest sketch
+  /** The centroid t-digest (distinct from f3's log-bucket qdigest,
+    * mirroring the reference's separate TDigest type): per return
+    * flag, sketch quantiles must sit within rank-error-derived bands
+    * of the exact percentiles, quantiles must be monotone, and
+    * trimmed_mean(0.25, 0.75) must match the EXACT mean of the
+    * interquartile values (second aggregation pass over lineitem,
+    * broadcast of the 3-row bounds) within 1.5%. Booleans per the
+    * sketch oracle protocol. */
+  def f6(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(expr("tdigest_agg(l_extendedprice)").as("td"),
+        expr("percentile(l_extendedprice, array(0.01, 0.25, 0.5, 0.75, 0.99))")
+          .as("ps"),
+        count(lit(1)).as("n"))
+    val exact = li
+      .join(broadcast(agg.select(col("l_returnflag").as("rf"),
+        col("ps")(1).as("lo"), col("ps")(3).as("hi"))),
+        col("l_returnflag") === col("rf"))
+      .filter(col("l_extendedprice") >= col("lo") &&
+        col("l_extendedprice") <= col("hi"))
+      .groupBy(col("l_returnflag")).agg(avg(col("l_extendedprice")).as("tm_exact"))
+    agg.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        (abs(expr("value_at_quantile(td, 0.5)") - col("ps")(2))
+          <= (col("ps")(3) - col("ps")(1)) * 0.02).as("med_close"),
+        (abs(expr("value_at_quantile(td, 0.01)") - col("ps")(0))
+          <= (col("ps")(4) - col("ps")(0)) * 0.02).as("p01_close"),
+        (abs(expr("value_at_quantile(td, 0.99)") - col("ps")(4))
+          <= (col("ps")(4) - col("ps")(0)) * 0.02).as("p99_close"),
+        (expr("value_at_quantile(td, 0.25)") <= expr("value_at_quantile(td, 0.5)")
+          && expr("value_at_quantile(td, 0.5)")
+          <= expr("value_at_quantile(td, 0.75)")).as("mono"),
+        (abs(expr("trimmed_mean(td, 0.25, 0.75)") - col("tm_exact"))
+          <= col("tm_exact") * 0.015).as("tm_close"),
+        col("n"))
+  }
+
+  val f6Sql: String =
+    """SELECT l_returnflag, TRUE AS med_close, TRUE AS p01_close,
+      |  TRUE AS p99_close, TRUE AS mono, TRUE AS tm_close, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_cosine_expr" -> f1 _,
     "f2_width_bucket" -> f2 _,
     "f3_qdigest_quantile" -> f3 _,
     "f4_heavy_hitters" -> f4 _,
-    "f5_simhash_lsh" -> f5 _)
+    "f5_simhash_lsh" -> f5 _,
+    "f6_tdigest" -> f6 _)
 
   val oracle: Map[String, String] = Map(
     "f1_cosine_expr" -> f1Sql,
     "f2_width_bucket" -> f2Sql,
     "f3_qdigest_quantile" -> f3Sql,
-    "f4_heavy_hitters" -> f4Sql)
+    "f4_heavy_hitters" -> f4Sql,
+    "f6_tdigest" -> f6Sql)
     // f5 is rows-only: the fingerprint is engine-specific
 }

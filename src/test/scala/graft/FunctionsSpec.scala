@@ -209,6 +209,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.size <= 32 && math.abs(a.totalWeight - 10000) < 1e-6)
   }
 
+  test("t-digest: rank-accurate quantiles, trimmed mean, mergeable, compact") {
+    val n = 50000
+    // deterministic pseudo-shuffled uniform values (LCG over a prime)
+    val xs = Array.tabulate(n)(i => ((i.toLong * 48271) % 100003).toDouble)
+    val td = new TDigest(200)
+    xs.foreach(td.add(_))
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+      val est = td.quantile(q)
+      val rank = xs.count(_ <= est).toDouble / n
+      assert(math.abs(rank - q) < 0.01, s"q=$q est=$est rank=$rank")
+    }
+    // trimmed mean vs the exact middle-half mean
+    val exact = xs.sorted.slice(n / 4, 3 * n / 4).sum / (n / 2)
+    val tm = td.trimmedMean(0.25, 0.75)
+    assert(math.abs(tm - exact) <= exact * 0.01, s"tm=$tm exact=$exact")
+    // 4-way partitioned build + merge stays within the same rank bound
+    val parts = (0 until 4).map { p =>
+      val d = new TDigest(200)
+      var i = p
+      while (i < n) { d.add(xs(i)); i += 4 }
+      d
+    }
+    val m = new TDigest(200)
+    parts.foreach(m.merge)
+    val estM = m.quantile(0.5)
+    assert(math.abs(xs.count(_ <= estM).toDouble / n - 0.5) < 0.01)
+    // serialization round-trips; state is O(compression), not O(n)
+    val rt = TDigest.deserialize(td.serialize())
+    assert(rt.quantile(0.5) == td.quantile(0.5))
+    assert(rt.trimmedMean(0.1, 0.9) == td.trimmedMean(0.1, 0.9))
+    assert(td.centroidCount < 500, s"centroids=${td.centroidCount}")
+    // tagged dispatch: t-digest bytes are recognized, qdigest bytes not
+    assert(TDigest.isTDigest(td.serialize()))
+    val lq = new LogQuantileSketch(0.01); lq.add(1.0)
+    assert(!TDigest.isTDigest(lq.serialize()))
+  }
+
   test("KMV set digest: exact regime, estimator bounds, merge determinism") {
     // exact regime: sets smaller than k
     val a = new KmvDigest(KmvDigest.DefaultK)
