@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Graft
+import graft.engine.Num.xsum
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * / `events` — the beyond-reference capability area (BASELINE.json
@@ -524,6 +525,38 @@ object Pipeline {
       |FROM documents WHERE len(string_split(text, ' ')) >= 20
       |GROUP BY lang""".stripMargin
 
+  // ------------------------------------ p12 dynamic partition pruning
+  /** Dynamic partition pruning over a partitioned fact (reference
+    * capability: `operator/DynamicFilterSourceOperator.java:1` — the
+    * runtime dynamic-filtering path): the textbook star shape — the
+    * fact side is a customer copy partitioned by c_nationkey, the
+    * dimension is nation under a selective literal predicate
+    * (n_regionkey = 2, 5 of 25 nations), joined on the partition
+    * column. The broadcast join lets Spark inject a
+    * DynamicPruningSubquery into the fact scan's PartitionFilters, so
+    * the 20 non-qualifying nation partitions are never read — Spark
+    * cannot know the qualifying nations statically, only the runtime
+    * filter can. At 100 TB this is the difference between scanning
+    * one region's shard and scanning the fact table. ScaleSpec
+    * asserts `dynamicpruning` in this plan. */
+  def p12(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_sink/p12_${dir.replaceAll("[^a-z0-9.]", "_")}"
+    t(s, dir, "customer")
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(out)
+    val fact = s.read.parquet(out)
+    val dim = broadcast(t(s, dir, "nation").filter(col("n_regionkey") === 2))
+    fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("custs"), xsum(col("c_acctbal")).as("bal"))
+  }
+
+  val p12Sql: String =
+    """SELECT n_name, count(*) AS custs,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_regionkey = 2
+      |GROUP BY n_name""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
@@ -536,7 +569,8 @@ object Pipeline {
     "p8_ann_lsh" -> p8 _,
     "p9_corpus_pipeline" -> p9 _,
     "p10_write_roundtrip" -> p10 _,
-    "p11_ann_ivf" -> p11 _)
+    "p11_ann_ivf" -> p11 _,
+    "p12_dpp" -> p12 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -549,5 +583,6 @@ object Pipeline {
     "p8_ann_lsh" -> p8Sql,
     "p9_corpus_pipeline" -> p9Sql,
     "p10_write_roundtrip" -> p10Sql,
-    "p11_ann_ivf" -> p11Sql)
+    "p11_ann_ivf" -> p11Sql,
+    "p12_dpp" -> p12Sql)
 }

@@ -49,6 +49,14 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("p12 plan prunes fact partitions dynamically (DPP subquery on lang)") {
+    val df = graft.queries.Pipeline.queries("p12_dpp")(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(physical.contains("dynamicpruning"),
+      s"expected a DynamicPruningSubquery in the fact scan's partition filters:\n$physical")
+    assert(df.count() >= 1) // at least the dominant language survives
+  }
+
   test("salted join equals the plain join (skew-mitigation identity)") {
     val line = graft.engine.Graft.load(spark, sfDir, "lineitem")
     val orders = graft.engine.Graft.load(spark, sfDir, "orders")
