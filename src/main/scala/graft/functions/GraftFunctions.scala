@@ -67,6 +67,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NumericHistogramAgg].getName, "numeric_histogram"),
       (children: Seq[Expression]) => NumericHistogramAgg(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("map_union"),
+      new ExpressionInfo(classOf[MapUnionAgg].getName, "map_union"),
+      (children: Seq[Expression]) => MapUnionAgg(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("multimap_agg"),
+      new ExpressionInfo(classOf[MultimapAgg].getName, "multimap_agg"),
+      (children: Seq[Expression]) => MultimapAgg(children(0), children(1))))
+    e.injectFunction((
       FunctionIdentifier("kmv_set_digest"),
       new ExpressionInfo(classOf[KmvDigestAgg].getName, "kmv_set_digest"),
       (children: Seq[Expression]) => KmvDigestAgg(children.head)))

@@ -1,0 +1,200 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+
+/** Map-typed aggregates (reference `operator/aggregation/
+  * MapUnionAggregation.java` and `operator/aggregation/multimapagg/`):
+  * `map_union(map<K,V>) -> map<K,V>` unions row maps keeping the FIRST
+  * value seen for a duplicate key (the reference keeps an arbitrary
+  * one — callers needing determinism make the value a function of the
+  * key, as the oracle query does), and `multimap_agg(K, V) ->
+  * map<K, array<V>>` groups all values under their key.
+  *
+  * Buffers hold Catalyst values keyed in a LinkedHashMap; spill
+  * serialization projects each (key, value) entry through an
+  * UnsafeProjection, so any atomic/nested type Spark can shuffle can
+  * also be aggregated. Per-group state is O(distinct keys) /
+  * O(values), with map-side partial aggregation — the same contract
+  * as collect_set. */
+abstract class MapAggBase[B] extends TypedImperativeAggregate[B] {
+
+  protected def keyType: DataType
+  protected def valueType: DataType
+
+  @transient private lazy val proj =
+    UnsafeProjection.create(Array(keyType, valueType))
+
+  protected def writeEntries(pairs: Iterator[(Any, Any)], n: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(n)
+    val scratch = new Array[Any](2)
+    val row = new GenericInternalRow(scratch)
+    pairs.foreach { case (k, v) =>
+      scratch(0) = k
+      scratch(1) = v
+      val u = proj(row)
+      out.writeInt(u.getSizeInBytes)
+      out.write(u.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  protected def readEntries(bytes: Array[Byte]): Iterator[(Any, Any)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    Iterator.range(0, n).map { _ =>
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      val row = new UnsafeRow(2)
+      row.pointTo(buf, len)
+      (InternalRow.copyValue(row.get(0, keyType)),
+        InternalRow.copyValue(row.get(1, valueType)))
+    }
+  }
+}
+
+/** `map_union(map<K,V>) -> map<K,V>` — first value wins per key. */
+case class MapUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends MapAggBase[mutable.LinkedHashMap[Any, Any]] {
+
+  private lazy val mapType = child.dataType.asInstanceOf[MapType]
+  override protected def keyType: DataType = mapType.keyType
+  override protected def valueType: DataType = mapType.valueType
+
+  override def dataType: DataType = mapType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): mutable.LinkedHashMap[Any, Any] =
+    mutable.LinkedHashMap.empty
+
+  override def update(b: mutable.LinkedHashMap[Any, Any],
+      input: InternalRow): mutable.LinkedHashMap[Any, Any] = {
+    child.eval(input) match {
+      case m: MapData =>
+        val ks = m.keyArray()
+        val vs = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          val k = InternalRow.copyValue(ks.get(i, keyType))
+          if (!b.contains(k))
+            b.update(k, InternalRow.copyValue(vs.get(i, valueType)))
+          i += 1
+        }
+      case _ =>
+    }
+    b
+  }
+
+  override def merge(b: mutable.LinkedHashMap[Any, Any],
+      o: mutable.LinkedHashMap[Any, Any]): mutable.LinkedHashMap[Any, Any] = {
+    o.foreach { case (k, v) => if (!b.contains(k)) b.update(k, v) }
+    b
+  }
+
+  override def eval(b: mutable.LinkedHashMap[Any, Any]): Any =
+    new ArrayBasedMapData(
+      new GenericArrayData(b.keysIterator.toArray),
+      new GenericArrayData(b.valuesIterator.toArray))
+
+  override def serialize(b: mutable.LinkedHashMap[Any, Any]): Array[Byte] =
+    writeEntries(b.iterator, b.size)
+  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Any] = {
+    val b = createAggregationBuffer()
+    readEntries(bytes).foreach { case (k, v) => b.update(k, v) }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): MapUnionAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MapUnionAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MapUnionAgg = copy(child = c.head)
+
+  override def prettyName: String = "map_union"
+}
+
+/** `multimap_agg(K, V) -> map<K, array<V>>`; value order within a key
+  * follows encounter order, so it is partitioning-dependent — sort in
+  * the query when determinism matters (the reference's multimap_agg
+  * has the same contract). */
+case class MultimapAgg(
+    key: Expression,
+    value: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends MapAggBase[mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]]] {
+
+  override protected def keyType: DataType = key.dataType
+  override protected def valueType: DataType = value.dataType
+
+  override def dataType: DataType =
+    MapType(keyType, ArrayType(valueType, value.nullable), valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(key, value)
+
+  override def createAggregationBuffer(): mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]] =
+    mutable.LinkedHashMap.empty
+
+  override def update(b: mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]],
+      input: InternalRow): mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]] = {
+    val k = key.eval(input)
+    if (k != null) { // map keys cannot be null (same as the reference)
+      val copied = InternalRow.copyValue(k)
+      b.getOrElseUpdate(copied, mutable.ArrayBuffer.empty) +=
+        InternalRow.copyValue(value.eval(input))
+    }
+    b
+  }
+
+  override def merge(b: mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]],
+      o: mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]]): mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]] = {
+    o.foreach { case (k, vs) =>
+      b.getOrElseUpdate(k, mutable.ArrayBuffer.empty) ++= vs
+    }
+    b
+  }
+
+  override def eval(b: mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]]): Any =
+    new ArrayBasedMapData(
+      new GenericArrayData(b.keysIterator.toArray),
+      new GenericArrayData(
+        b.valuesIterator.map(vs => new GenericArrayData(vs.toArray)).toArray))
+
+  override def serialize(b: mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]]): Array[Byte] =
+    writeEntries(
+      b.iterator.flatMap { case (k, vs) => vs.iterator.map(v => (k, v)) },
+      b.valuesIterator.map(_.size).sum)
+  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]] = {
+    val b = createAggregationBuffer()
+    readEntries(bytes).foreach { case (k, v) =>
+      b.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += v
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): MultimapAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MultimapAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MultimapAgg =
+    copy(key = c(0), value = c(1))
+
+  override def prettyName: String = "multimap_agg"
+}

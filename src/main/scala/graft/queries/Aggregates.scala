@@ -332,7 +332,53 @@ object Aggregates {
       |  SELECT l_quantity AS q, CAST(count(*) AS DOUBLE) AS c
       |  FROM lineitem GROUP BY l_quantity) t""".stripMargin
 
+  // ------------------------------- ag10 map_union / multimap / reduce
+  /** The map-typed aggregate family plus the generic reduction
+    * (reference MapUnionAggregation.java, multimapagg/,
+    * ReduceAggregationFunction.java): per-row singleton maps union
+    * into one map (values are a pure function of the key, so
+    * first-wins is conflict-free and deterministic), multimap_agg
+    * groups order keys under their priority (sorted at render for a
+    * stable hash), and reduce_agg folds exact integer sum/max through
+    * user closures. One aggregation pass for the maps + one for the
+    * per-key reductions, joined on the 5-row priority set. */
+  def ag10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val longEnc = Encoders.scalaLong
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"))
+      .withColumn("m", map(col("prio"), length(col("prio")).cast("long")))
+    val maps = o
+      .agg(expr("map_union(m)").as("u"),
+        expr("multimap_agg(prio, o_orderkey)").as("mm"))
+      .select(explode(map_entries(col("u"))).as("e"), col("mm"))
+      .select(col("e.key").as("prio"), col("e.value").as("plen"),
+        array_sort(element_at(col("mm"), col("e.key"))).as("oklist"))
+      .select(col("prio"), col("plen"),
+        size(col("oklist")).cast("long").as("n_oks"),
+        concat_ws(",", expr("transform(oklist, x -> CAST(x AS STRING))"))
+          .as("oks"))
+    val red = o.groupBy(col("prio"))
+      .agg(
+        graft.functions.ReduceAgg.reduceAgg[Long, Long](
+          0L, _ + _, _ + _)(col("o_orderkey")).as("rsum"),
+        graft.functions.ReduceAgg.reduceAgg[Long, Long](
+          Long.MinValue, math.max, math.max)(col("o_orderkey")).as("rmax"))
+    maps.join(red, "prio")
+  }
+
+  val ag10Sql: String =
+    """SELECT o_orderpriority AS prio,
+      |  CAST(len(o_orderpriority) AS BIGINT) AS plen,
+      |  count(*) AS n_oks,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS oks,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS rsum,
+      |  CAST(max(o_orderkey) AS BIGINT) AS rmax
+      |FROM orders WHERE o_orderkey <= 2000
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ag10_map_reduce_agg" -> ag10 _,
     "ag9_numeric_histogram" -> ag9 _,
     "ag1_minmax_by" -> ag1 _,
     "ag2_bool_bit" -> ag2 _,
@@ -344,6 +390,7 @@ object Aggregates {
     "ag8_checksum" -> ag8 _)
 
   val oracle: Map[String, String] = Map(
+    "ag10_map_reduce_agg" -> ag10Sql,
     "ag9_numeric_histogram" -> ag9Sql,
     "ag1_minmax_by" -> ag1Sql,
     "ag2_bool_bit" -> ag2Sql,

@@ -25,6 +25,24 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("map_union and multimap_agg aggregate across partitions") {
+    import org.apache.spark.sql.functions._
+    val spk = spark
+    import spk.implicits._
+    val df = Seq(("a", 1L), ("b", 2L), ("a", 3L), ("c", 4L), ("a", 5L))
+      .toDF("k", "v").repartition(7)
+    val r = df.withColumn("m", map(col("k"), lit(1L)))
+      .agg(expr("map_union(m)").as("u"), expr("multimap_agg(k, v)").as("mm"))
+      .selectExpr(
+        "array_sort(map_keys(u)) AS uk",
+        "array_sort(mm['a']) AS va",
+        "array_sort(mm['c']) AS vc")
+      .head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[Long](1) == Seq(1L, 3L, 5L))
+    assert(r.getSeq[Long](2) == Seq(4L))
+  }
+
   test("every declared query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
