@@ -296,21 +296,47 @@ object Scalars {
       |FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_returnflag""".stripMargin
 
   // ----------------------------------- sc9 registry UDF gap-fill
-  /** The UDF layer of the function registry exercised end-to-end over
-    * documents (word_stem, lang_id, ngrams, wilson intervals,
-    * url_encode round-trip, ip_prefix_contains). These functions have
-    * no oracle-engine equivalents, so this entry is rows-only; each
-    * kernel's exact semantics are pinned by FunctionsSpec. */
-  def sc9(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic half of the UDF registry, under the full hash
+    * gate: ngrams counting, the Wilson interval (the oracle spells the
+    * IDENTICAL arithmetic — same operation order, literal z² product —
+    * so the IEEE doubles match bit-for-bit; sqrt is exact), the
+    * url_encode/url_decode round-trip, and ip_prefix_contains with a
+    * provably-contained address. */
+  def sc9a(s: SparkSession, dir: String): DataFrame = {
+    graft.engine.Graft.registerAll(s, dir)
+    s.sql(
+      """SELECT doc_id,
+        |  CAST(size(ngrams(split(text, ' '), 3)) AS BIGINT) AS n_3grams,
+        |  wilson_interval_lower(CAST(n_chars % 20 AS BIGINT), 20, 1.96) AS wl,
+        |  url_decode(url_encode(substring(text, 1, 24))) = substring(text, 1, 24) AS url_rt,
+        |  ip_prefix_contains('10.0.0.0/8', concat('10.0.0.', CAST(doc_id % 256 AS STRING))) AS in_net
+        |FROM documents WHERE doc_id < 200""".stripMargin)
+  }
+
+  val sc9aSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(n_chars % 20 AS DOUBLE) / 20 AS p,
+      |    CAST(1.96 AS DOUBLE) AS z
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT) - 2, 0) AS n_3grams,
+      |  LEAST(1.0, GREATEST(0.0,
+      |    (p + (z*z) / 40 - z * sqrt(p * (1 - p) / 20
+      |       + (z*z) / (4.0 * 20 * 20))) / (1 + (z*z) / 20))) AS wl,
+      |  TRUE AS url_rt,
+      |  TRUE AS in_net
+      |FROM d""".stripMargin
+
+  /** The engine-specific remainder (Porter1 stems, heuristic lang-id):
+    * rows-only by design; exact kernel semantics are pinned by
+    * FunctionsSpec. */
+  def sc9b(s: SparkSession, dir: String): DataFrame = {
     graft.engine.Graft.registerAll(s, dir)
     s.sql(
       """SELECT doc_id,
         |  word_stem(split_part(text, ' ', 1)) AS first_stem,
-        |  lang_id(text) AS lang_guess,
-        |  size(ngrams(split(text, ' '), 3)) AS n_3grams,
-        |  wilson_interval_lower(CAST(n_chars % 20 AS BIGINT), 20, 1.96) AS wl,
-        |  url_decode(url_encode(substring(text, 1, 24))) = substring(text, 1, 24) AS url_rt,
-        |  ip_prefix_contains('10.0.0.0/8', concat('10.0.0.', CAST(doc_id % 256 AS STRING))) AS in_net
+        |  lang_id(text) AS lang_guess
         |FROM documents WHERE doc_id < 200""".stripMargin)
   }
 
@@ -573,7 +599,8 @@ object Scalars {
     "sc6_maps" -> sc6 _,
     "sc7_crypto" -> sc7 _,
     "sc8_conditional" -> sc8 _,
-    "sc9_registry_udfs" -> sc9 _,
+    "sc9a_registry_udfs" -> sc9a _,
+    "sc9b_registry_engine" -> sc9b _,
     "sc10_epoch" -> sc10 _,
     "sc11_strdist" -> sc11 _,
     "sc12_sizes_dists" -> sc12 _,
@@ -590,6 +617,8 @@ object Scalars {
     "sc6_maps" -> sc6Sql,
     "sc7_crypto" -> sc7Sql,
     "sc8_conditional" -> sc8Sql,
+    "sc9a_registry_udfs" -> sc9aSql,
+    // sc9b is rows-only: stems and lang-id are engine-specific
     "sc10_epoch" -> sc10Sql,
     "sc11_strdist" -> sc11Sql,
     "sc12_sizes_dists" -> sc12Sql,
