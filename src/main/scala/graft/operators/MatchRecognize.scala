@@ -73,6 +73,15 @@ case class MatchDetail(
   */
 object MatchRecognize {
 
+  /** Cap on rows buffered for ONE partition key (the engine's per-key
+    * working set, ≈ the reference's per-partition PagesIndex). The
+    * buffer has no spill path, so a single pathological key (one user
+    * with 10⁸ events) would otherwise OOM the task silently; 10M rows
+    * of small Rows is comfortably inside an executor's task memory
+    * while catching runaway keys. Mutable so a caller with bigger
+    * executors can raise it. */
+  @volatile var MaxRowsPerKey: Int = 10_000_000
+
   /** AFTER MATCH SKIP modes (reference `SqlBase.g4` skipTo clause):
     * where the scan resumes after an emitted match. TO FIRST/LAST(v)
     * resume AT the first/last row the variable matched — the
@@ -220,6 +229,9 @@ object MatchRecognize {
 
     val pat = parse(pattern)
     val vars = define // serialized into the task closure
+    // capture driver-side so a configured cap ships with the closure
+    // (executor JVMs would otherwise see their own default)
+    val maxRowsPerKey = MatchRecognize.MaxRowsPerKey
 
     df.repartition(col(partCol))
       .sortWithinPartitions(col(partCol), col(orderCol))
@@ -237,7 +249,19 @@ object MatchRecognize {
             if (!rows.hasNext) return
             val key = keyOf(rows.head)
             val buf = mutable.ArrayBuffer[Row]()
-            while (rows.hasNext && keyOf(rows.head) == key) buf += rows.next()
+            while (rows.hasNext && keyOf(rows.head) == key) {
+              buf += rows.next()
+              // The per-key working set is the same PagesIndex shape the
+              // reference buffers, but has no spill path — fail loudly
+              // with a remedy instead of OOMing the executor on a
+              // pathological key.
+              if (buf.length > maxRowsPerKey)
+                throw new IllegalStateException(
+                  s"MATCH_RECOGNIZE: partition key $key exceeds " +
+                    s"$maxRowsPerKey buffered rows; " +
+                    "pre-filter or sub-partition the input (e.g. bound the " +
+                    "time range per key), or raise MatchRecognize.MaxRowsPerKey")
+            }
             val n = buf.length
             def classify(i: Int, v: Char): Boolean = {
               val f = vars.getOrElse(v,

@@ -41,6 +41,24 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq.sortBy(_.start_ord)
   }
 
+  test("per-key buffer cap fails loudly with a remedy, not an OOM") {
+    val saved = MatchRecognize.MaxRowsPerKey
+    try {
+      MatchRecognize.MaxRowsPerKey = 4
+      val e = intercept[org.apache.spark.SparkException] {
+        runPat(Seq[Double](5, 4, 3, 6, 7, 2, 8), "D+ U+")
+      }
+      val msg = e.getCause match {
+        case c: IllegalStateException => c.getMessage
+        case _ => e.getMessage
+      }
+      assert(msg.contains("exceeds 4 buffered rows"))
+      assert(msg.contains("sub-partition"))
+    } finally MatchRecognize.MaxRowsPerKey = saved
+    // and with the cap restored the same input matches normally
+    assert(runPat(Seq[Double](5, 4, 3, 6, 7, 2, 8), "D+ U+").nonEmpty)
+  }
+
   test("pattern parser rejects malformed input") {
     intercept[IllegalArgumentException](MatchRecognize.parse("D+("))
     intercept[IllegalArgumentException](MatchRecognize.parse("(DU"))
