@@ -51,18 +51,41 @@ case class MatchDetail(
     running_max: Double,
     final_last: Double)
 
+/** Per-(match, variable) navigation measures — the reference's
+  * FIRST(V.col, n) / LAST(V.col, n) logical navigation
+  * (`sql/planner/rowpattern/LogicalIndexNavigation.java`): one output
+  * row per pattern variable that matched ≥1 row in the match.
+  * first_val/last_val are offset 0 (≡ FIRST(V.value) / LAST(V.value));
+  * first_off/last_off are at the requested logical offset n — null
+  * when the variable matched ≤ n rows, the reference's out-of-range
+  * semantics. */
+case class MatchVarMeasures(
+    part_key: Long,
+    match_no: Long,
+    start_ord: Long,
+    end_ord: Long,
+    var_name: String,
+    var_rows: Long,
+    first_val: Double,
+    last_val: Double,
+    first_off: Option[Double],
+    last_off: Option[Double])
+
 /** Row-pattern recognition (MATCH_RECOGNIZE) — the reference's hardest
   * engine feature (grammar `SqlBase.g4:360-399`, NFA matcher
   * `operator/window/matcher/Matcher.java:28`, IR in
   * `sql/planner/rowpattern/`), re-expressed Spark-first as a
   * partition-local pattern automaton over sorted row streams.
   *
-  * Supported subset: single-character pattern variables with
-  * concatenation, alternation `|`, grouping `(...)`, quantifiers
+  * Supported subset: multi-character pattern variables (identifiers,
+  * whitespace-separated as in the SQL grammar: `DOWN UP` is the
+  * concatenation of two variables, `DU` is one variable named "DU")
+  * with concatenation, alternation `|`, grouping `(...)`, quantifiers
   * `* + ? {m} {m,n}` (greedy, leftmost preference — the reference's
   * semantics), DEFINE predicates over (previous row, current row)
-  * (covers the common PREV(x) comparisons), and AFTER MATCH SKIP PAST
-  * LAST ROW / SKIP TO NEXT ROW.
+  * (covers the common PREV(x) comparisons), FIRST/LAST(V.col, n)
+  * navigation measures (see [[MatchVarMeasures]]), and AFTER MATCH
+  * SKIP PAST LAST ROW / TO NEXT ROW / TO FIRST/LAST(V).
   *
   * Execution shape (100 TB): `repartition(partition key)` +
   * `sortWithinPartitions(key, order)` + `mapPartitions` — one shuffle,
@@ -91,40 +114,59 @@ object MatchRecognize {
   object SkipMode {
     case object PastLastRow extends SkipMode
     case object ToNextRow extends SkipMode
-    final case class ToFirst(v: Char) extends SkipMode
-    final case class ToLast(v: Char) extends SkipMode
+    final case class ToFirst(v: String) extends SkipMode
+    final case class ToLast(v: String) extends SkipMode
   }
 
   // ------------------------------------------------------ pattern AST
   sealed trait Pat
-  private case class Lit(c: Char) extends Pat
+  private case class Lit(v: String) extends Pat
   private case class Cat(a: Pat, b: Pat) extends Pat
   private case class Alt(a: Pat, b: Pat) extends Pat
   private case class Rep(a: Pat, min: Int, max: Int) extends Pat // max = -1 → ∞
 
-  /** Recursive-descent parser for the pattern subset. `PERMUTE(A, B)`
+  /** Recursive-descent parser for the pattern subset. Variables are
+    * identifiers (`[A-Za-z][A-Za-z0-9_]*`) and whitespace separates
+    * tokens, as in the reference grammar — so `DOWN UP` concatenates
+    * two variables while `DOWNUP` names one. `PERMUTE(A, B)`
     * (reference `SqlBase.g4` patternPermutation) expands to the
     * alternation of all orderings in lexicographic preference — the
     * standard semantics; capped at 5 variables (120 branches). */
   def parse(s: String): Pat = {
-    val in = s.replaceAll("\\s+", "")
+    val in = s
     var pos = 0
-    def peek: Char = if (pos < in.length) in.charAt(pos) else '\u0000'
+    def skipWs(): Unit =
+      while (pos < in.length && in.charAt(pos).isWhitespace) pos += 1
+    def peek: Char = {
+      skipWs()
+      if (pos < in.length) in.charAt(pos) else '\u0000'
+    }
     def expect(c: Char): Unit = {
       require(peek == c, s"expected '$c' at $pos in '$in'")
       pos += 1
     }
+    def number(): Int = {
+      skipWs()
+      val start = pos
+      while (pos < in.length && in.charAt(pos).isDigit) pos += 1
+      in.substring(start, pos).toInt
+    }
+    def ident(): String = {
+      skipWs()
+      require(pos < in.length && in.charAt(pos).isLetter,
+        s"expected identifier at $pos in '$in'")
+      val start = pos
+      pos += 1
+      while (pos < in.length &&
+        (in.charAt(pos).isLetterOrDigit || in.charAt(pos) == '_')) pos += 1
+      in.substring(start, pos)
+    }
     def permute(): Pat = {
-      pos += 7 // consume "PERMUTE"
       expect('(')
-      val vars = scala.collection.mutable.ArrayBuffer[Char]()
+      val vars = scala.collection.mutable.ArrayBuffer[String]()
       while (peek != ')' && peek != '\u0000') {
         if (peek == ',') pos += 1
-        else {
-          require(peek.isLetter, s"PERMUTE takes plain variables, got '$peek' at $pos")
-          vars += peek
-          pos += 1
-        }
+        else vars += ident()
       }
       expect(')')
       require(vars.nonEmpty && vars.length <= 5,
@@ -134,9 +176,11 @@ object MatchRecognize {
         .reduceLeft(Alt)
     }
     def atom(): Pat = peek match {
-      case 'P' if in.startsWith("PERMUTE(", pos) => quant(permute())
       case '(' => expect('('); val p = alt(); expect(')'); quant(p)
-      case c if c.isLetter => pos += 1; quant(Lit(c))
+      case c if c.isLetter =>
+        val name = ident()
+        if (name == "PERMUTE" && peek == '(') quant(permute())
+        else quant(Lit(name))
       case other => throw new IllegalArgumentException(s"unexpected '$other' at $pos in '$in'")
     }
     def quant(p: Pat): Pat = peek match {
@@ -145,14 +189,10 @@ object MatchRecognize {
       case '?' => pos += 1; Rep(p, 0, 1)
       case '{' =>
         expect('{')
-        val start = pos
-        while (pos < in.length && peek != '}' && peek != ',') pos += 1
-        val m = in.substring(start, pos).toInt
+        val m = number()
         val n = if (peek == ',') {
           expect(',')
-          val s2 = pos
-          while (pos < in.length && peek != '}') pos += 1
-          if (pos == s2) -1 else in.substring(s2, pos).toInt
+          if (peek == '}') -1 else number()
         } else m
         expect('}')
         Rep(p, m, n)
@@ -169,6 +209,7 @@ object MatchRecognize {
       p
     }
     val r = alt()
+    skipWs()
     require(pos == in.length, s"trailing input at $pos in '$in'")
     r
   }
@@ -176,25 +217,25 @@ object MatchRecognize {
   // -------------------------------------------------------- matcher
   /** Greedy leftmost backtracking match of `pat` against rows starting
     * at `start`. `classify(i, v)` tests whether row i matches pattern
-    * variable v. Returns the classifier chars per consumed row of the
-    * longest-preferred match, or null. */
+    * variable v. Returns the classifier variable names per consumed
+    * row of the longest-preferred match, or null. */
   private def matchFrom(
       pat: Pat,
       start: Int,
       n: Int,
-      classify: (Int, Char) => Boolean): Array[Char] = {
+      classify: (Int, String) => Boolean): Array[String] = {
 
     // continuation-passing backtracking; greedy = try "more" first
-    def go(p: Pat, i: Int, acc: List[Char], k: (Int, List[Char]) => Option[List[Char]])
-        : Option[List[Char]] = p match {
-      case Lit(c) =>
-        if (i < n && classify(i, c)) k(i + 1, c :: acc) else None
+    def go(p: Pat, i: Int, acc: List[String], k: (Int, List[String]) => Option[List[String]])
+        : Option[List[String]] = p match {
+      case Lit(v) =>
+        if (i < n && classify(i, v)) k(i + 1, v :: acc) else None
       case Cat(a, b) =>
         go(a, i, acc, (i2, acc2) => go(b, i2, acc2, k))
       case Alt(a, b) =>
         go(a, i, acc, k).orElse(go(b, i, acc, k))
       case Rep(a, min, max) =>
-        def rep(i2: Int, acc2: List[Char], done: Int): Option[List[Char]] = {
+        def rep(i2: Int, acc2: List[String], done: Int): Option[List[String]] = {
           val more =
             if (max < 0 || done < max)
               go(a, i2, acc2, (i3, acc3) =>
@@ -214,7 +255,7 @@ object MatchRecognize {
 
   /** Generic matching engine: shuffle on the partition key, local
     * sort, stream key groups through the automaton, and hand each
-    * match (key, match_no, group rows, start index, classifier chars)
+    * match (key, match_no, group rows, start index, classifier names)
     * to `emit` — one row per match, or several for ALL ROWS PER MATCH.
     */
   private def runEngine[T](
@@ -222,9 +263,9 @@ object MatchRecognize {
       partCol: String,
       orderCol: String,
       pattern: String,
-      define: Map[Char, (Row, Row) => Boolean],
+      define: Map[String, (Row, Row) => Boolean],
       skip: SkipMode)(
-      emit: (Long, Long, collection.IndexedSeq[Row], Int, Array[Char], Row => Long) => Seq[T])(
+      emit: (Long, Long, collection.IndexedSeq[Row], Int, Array[String], Row => Long) => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
 
     val pat = parse(pattern)
@@ -263,7 +304,7 @@ object MatchRecognize {
                     "time range per key), or raise MatchRecognize.MaxRowsPerKey")
             }
             val n = buf.length
-            def classify(i: Int, v: Char): Boolean = {
+            def classify(i: Int, v: String): Boolean = {
               val f = vars.getOrElse(v,
                 throw new IllegalArgumentException(s"undefined pattern variable '$v'"))
               f(if (i > 0) buf(i - 1) else null, buf(i))
@@ -307,7 +348,7 @@ object MatchRecognize {
     *
     * @param partCol  numeric partition key column
     * @param orderCol numeric ordering column (total order per key)
-    * @param pattern  pattern over single-char variables, e.g. "D+ U+"
+    * @param pattern  pattern over identifier variables, e.g. "D+ U+"
     * @param define   per-variable predicate over (prevRowOrNull, row)
     * @param skipPastLastRow AFTER MATCH SKIP PAST LAST ROW (true) or
     *                        TO NEXT ROW (false)
@@ -317,7 +358,7 @@ object MatchRecognize {
       partCol: String,
       orderCol: String,
       pattern: String,
-      define: Map[Char, (Row, Row) => Boolean],
+      define: Map[String, (Row, Row) => Boolean],
       skipPastLastRow: Boolean = true): Dataset[MatchRow] =
     withSkip(df, partCol, orderCol, pattern, define,
       if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow)
@@ -328,7 +369,7 @@ object MatchRecognize {
       partCol: String,
       orderCol: String,
       pattern: String,
-      define: Map[Char, (Row, Row) => Boolean],
+      define: Map[String, (Row, Row) => Boolean],
       skip: SkipMode): Dataset[MatchRow] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -337,7 +378,7 @@ object MatchRecognize {
         val counts = m.groupBy(identity).toSeq.sortBy(_._1)
           .map { case (v, cs) => s"$v:${cs.length}" }.mkString(",")
         Seq(MatchRow(key, matchNo, ordOf(buf(i)), ordOf(buf(i + m.length - 1)),
-          new String(m), m.length.toLong, counts))
+          m.mkString, m.length.toLong, counts))
     }
   }
 
@@ -348,7 +389,7 @@ object MatchRecognize {
       partCol: String,
       orderCol: String,
       pattern: String,
-      define: Map[Char, (Row, Row) => Boolean],
+      define: Map[String, (Row, Row) => Boolean],
       valueCol: String,
       skipPastLastRow: Boolean = true): Dataset[MatchMeasures] = {
     val spark = df.sparkSession
@@ -363,6 +404,43 @@ object MatchRecognize {
     }
   }
 
+  /** ONE ROW PER MATCH **per pattern variable** with logical
+    * navigation measures: FIRST(V.value) / LAST(V.value) and their
+    * offset-n forms FIRST(V.value, n) / LAST(V.value, n) — the
+    * reference's LogicalIndexNavigation. The offset counts rows mapped
+    * to V within the match (not physical rows); out-of-range offsets
+    * yield null, as in the reference. Variables that matched zero rows
+    * emit nothing (there is no row to navigate to). */
+  def varMeasures(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[String, (Row, Row) => Boolean],
+      valueCol: String,
+      offset: Int,
+      skipPastLastRow: Boolean = true): Dataset[MatchVarMeasures] = {
+    require(offset >= 0, s"navigation offset must be >= 0, got $offset")
+    val spark = df.sparkSession
+    import spark.implicits._
+    runEngine(df, partCol, orderCol, pattern, define,
+      if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow) {
+      (key, matchNo, buf, i, m, ordOf) =>
+        val startOrd = ordOf(buf(i))
+        val endOrd = ordOf(buf(i + m.length - 1))
+        m.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, idxs) =>
+          // idxs preserve match order: the variable's rows in sequence
+          val vals = idxs.map { case (_, k) =>
+            buf(i + k).getAs[Number](buf(i + k).fieldIndex(valueCol)).doubleValue()
+          }
+          MatchVarMeasures(key, matchNo, startOrd, endOrd, v, vals.length.toLong,
+            vals.head, vals.last,
+            if (offset < vals.length) Some(vals(offset)) else None,
+            if (offset < vals.length) Some(vals(vals.length - 1 - offset)) else None)
+        }
+    }
+  }
+
   /** ALL ROWS PER MATCH: one output row per matched input row, with
     * RUNNING measures (prefix up to this row) and FINAL measures
     * (whole match) side by side — the reference's RUNNING/FINAL
@@ -373,7 +451,7 @@ object MatchRecognize {
       partCol: String,
       orderCol: String,
       pattern: String,
-      define: Map[Char, (Row, Row) => Boolean],
+      define: Map[String, (Row, Row) => Boolean],
       valueCol: String,
       skipPastLastRow: Boolean = true): Dataset[MatchDetail] = {
     val spark = df.sparkSession
@@ -387,7 +465,7 @@ object MatchRecognize {
         var runMax = Double.NegativeInfinity
         (0 until m.length).map { k =>
           runMax = math.max(runMax, vals(k))
-          MatchDetail(key, matchNo, ordOf(buf(i + k)), m(k).toString,
+          MatchDetail(key, matchNo, ordOf(buf(i + k)), m(k),
             (k + 1).toLong, m.length.toLong, runMax, finalLast)
         }
     }

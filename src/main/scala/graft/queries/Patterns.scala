@@ -24,7 +24,7 @@ object Patterns {
       (p, c) => p != null && c.getAs[Double]("value") < p.getAs[Double]("value")
     val up: (Row, Row) => Boolean =
       (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
-    MatchRecognize(ev, "user_id", "event_id", "D+ U+", Map('D' -> down, 'U' -> up))
+    MatchRecognize(ev, "user_id", "event_id", "D+ U+", Map("D" -> down, "U" -> up))
       .groupBy(col("part_key").as("user_id"))
       .agg(count(lit(1)).as("n_matches"))
   }
@@ -60,7 +60,7 @@ object Patterns {
       col("user_id"), col("event_id"), col("value"))
     val up: (Row, Row) => Boolean =
       (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
-    MatchRecognize.measures(ev, "user_id", "event_id", "U{2,}", Map('U' -> up), "value")
+    MatchRecognize.measures(ev, "user_id", "event_id", "U{2,}", Map("U" -> up), "value")
       .select(col("part_key").as("user_id"),
         col("start_ord"), col("end_ord"),
         col("n_rows").as("n_steps"),
@@ -99,7 +99,7 @@ object Patterns {
       col("user_id"), col("event_id"), col("value"))
     val up: (Row, Row) => Boolean =
       (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
-    MatchRecognize.allRows(ev, "user_id", "event_id", "U{2,}", Map('U' -> up), "value")
+    MatchRecognize.allRows(ev, "user_id", "event_id", "U{2,}", Map("U" -> up), "value")
       .select(col("part_key").as("user_id"), col("ord"), col("classifier"),
         col("running_cnt"), col("final_cnt"), col("running_max"), col("final_last"))
   }
@@ -124,13 +124,83 @@ object Patterns {
       |       pw AS (PARTITION BY user_id, run_id)
       |QUALIFY count(*) OVER pw >= 2""".stripMargin
 
+  /** mr4: multi-character pattern variables + FIRST/LAST(V.value, n)
+    * logical navigation (reference `sql/planner/rowpattern/
+    * LogicalIndexNavigation.java`) — V-shapes as `DOWN+ UP+`, one
+    * output row per (match, variable) with offset-0 and offset-1
+    * first/last values (offset past the variable's rows → null).
+    * Oracle: greedy leftmost + SKIP PAST LAST ROW makes each match
+    * exactly a maximal falling run plus the adjacent maximal rising
+    * run, so DuckDB rebuilds matches from direction-run ids and
+    * navigates with 1-based/negative list indexing (out-of-range →
+    * NULL, the same semantics). Values are exact picks of stored
+    * doubles — deterministic cross-engine. */
+  def mr4(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") < p.getAs[Double]("value")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
+    MatchRecognize.varMeasures(ev, "user_id", "event_id", "DOWN+ UP+",
+      Map("DOWN" -> down, "UP" -> up), "value", offset = 1)
+      .select(col("part_key").as("user_id"), col("match_no"),
+        col("start_ord"), col("end_ord"), col("var_name"), col("var_rows"),
+        col("first_val"), col("last_val"), col("first_off"), col("last_off"))
+  }
+
+  val mr4Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value < lag(value) OVER w THEN 'DOWN'
+      |         WHEN value > lag(value) OVER w THEN 'UP'
+      |         ELSE 'FLAT' END AS dir
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |r AS (
+      |  SELECT user_id, event_id, value, dir,
+      |    CAST(sum(CASE WHEN dir = lag(dir) OVER (PARTITION BY user_id ORDER BY event_id)
+      |                  THEN 0 ELSE 1 END)
+      |         OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM d),
+      |runs AS (
+      |  SELECT user_id, run_id, any_value(dir) AS dir,
+      |    min(event_id) AS s, max(event_id) AS e,
+      |    count(*) AS n,
+      |    list(value ORDER BY event_id) AS vals
+      |  FROM r GROUP BY user_id, run_id),
+      |seq AS (
+      |  SELECT user_id, dir, s, e, n, vals,
+      |    lead(dir) OVER u AS nx_dir, lead(e) OVER u AS nx_e,
+      |    lead(n) OVER u AS nx_n, lead(vals) OVER u AS nx_vals
+      |  FROM runs WINDOW u AS (PARTITION BY user_id ORDER BY s)),
+      |m AS (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY s) AS BIGINT) AS match_no,
+      |    s AS start_ord, nx_e AS end_ord,
+      |    n AS down_rows, vals AS down_vals, nx_n AS up_rows, nx_vals AS up_vals
+      |  FROM seq WHERE dir = 'DOWN' AND nx_dir = 'UP')
+      |SELECT user_id, match_no, start_ord, end_ord, 'DOWN' AS var_name,
+      |  CAST(down_rows AS BIGINT) AS var_rows,
+      |  down_vals[1] AS first_val, down_vals[-1] AS last_val,
+      |  down_vals[2] AS first_off, down_vals[-2] AS last_off
+      |FROM m
+      |UNION ALL
+      |SELECT user_id, match_no, start_ord, end_ord, 'UP' AS var_name,
+      |  CAST(up_rows AS BIGINT) AS var_rows,
+      |  up_vals[1] AS first_val, up_vals[-1] AS last_val,
+      |  up_vals[2] AS first_off, up_vals[-2] AS last_off
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr1_match_recognize" -> mr1 _,
     "mr2_measures" -> mr2 _,
-    "mr3_all_rows" -> mr3 _)
+    "mr3_all_rows" -> mr3 _,
+    "mr4_var_navigation" -> mr4 _)
 
   val oracle: Map[String, String] = Map(
     "mr1_match_recognize" -> mr1Sql,
     "mr2_measures" -> mr2Sql,
-    "mr3_all_rows" -> mr3Sql)
+    "mr3_all_rows" -> mr3Sql,
+    "mr4_var_navigation" -> mr4Sql)
 }

@@ -37,7 +37,7 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
     val high: (Row, Row) => Boolean = (_, c) => c.getAs[Double]("v") >= 10
     MatchRecognize(df, "k", "ord", pattern,
-      Map('D' -> down, 'U' -> up, 'H' -> high), skipPastLast)
+      Map("D" -> down, "U" -> up, "H" -> high), skipPastLast)
       .collect().toSeq.sortBy(_.start_ord)
   }
 
@@ -121,7 +121,7 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
     val up: (Row, Row) => Boolean =
       (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
-    val ms = MatchRecognize.measures(df, "k", "ord", "U{2,}", Map('U' -> up), "v")
+    val ms = MatchRecognize.measures(df, "k", "ord", "U{2,}", Map("U" -> up), "v")
       .collect().toSeq
     assert(ms.size == 1)
     val m = ms.head
@@ -138,7 +138,7 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
     val up: (Row, Row) => Boolean =
       (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
-    val rows = MatchRecognize.allRows(df, "k", "ord", "U{2,}", Map('U' -> up), "v")
+    val rows = MatchRecognize.allRows(df, "k", "ord", "U{2,}", Map("U" -> up), "v")
       .collect().toSeq.sortBy(_.ord)
     assert(rows.map(_.ord) == Seq(1L, 2L))
     assert(rows.map(_.running_cnt) == Seq(1L, 2L)) // RUNNING COUNT(*)
@@ -170,18 +170,70 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
     val high: (Row, Row) => Boolean = (_, c) => c.getAs[Double]("v") >= 10
     def count(skip: SkipMode): Int =
-      MatchRecognize.withSkip(df, "k", "ord", "H{3}", Map('H' -> high), skip)
+      MatchRecognize.withSkip(df, "k", "ord", "H{3}", Map("H" -> high), skip)
         .collect().length
     assert(count(SkipMode.PastLastRow) == 1) // (0-2); rows 3-4 too short
     assert(count(SkipMode.ToNextRow) == 3) // starts 0, 1, 2
-    assert(count(SkipMode.ToLast('H')) == 2) // (0-2) then resume AT row 2: (2-4)
+    assert(count(SkipMode.ToLast("H")) == 2) // (0-2) then resume AT row 2: (2-4)
     // skipping to the first row of the match would loop forever -> error
     val e = intercept[org.apache.spark.SparkException] {
       MatchRecognize.withSkip(df, "k", "ord", "H{3}",
-        Map('H' -> high), SkipMode.ToFirst('H')).collect()
+        Map("H" -> high), SkipMode.ToFirst("H")).collect()
     }
     assert(e.getMessage.contains("SKIP TO FIRST") ||
       e.getCause.getMessage.contains("SKIP TO FIRST"))
+  }
+
+  test("multi-character variables: whitespace separates, adjacency names one var") {
+    val spk = spark
+    import spk.implicits._
+    val df = Seq[Double](5, 4, 3, 6, 7).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") < p.getAs[Double]("v")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val ms = MatchRecognize(df, "k", "ord", "DOWN+ UP+",
+      Map("DOWN" -> down, "UP" -> up)).collect().toSeq
+    assert(ms.size == 1)
+    assert(ms.head.var_counts == "DOWN:2,UP:2")
+    // "DOWNUP" (no whitespace) is ONE variable named DOWNUP — undefined here
+    val e = intercept[org.apache.spark.SparkException] {
+      MatchRecognize(df, "k", "ord", "DOWNUP",
+        Map("DOWN" -> down, "UP" -> up)).collect()
+    }
+    assert(e.getMessage.contains("DOWNUP") || e.getCause.getMessage.contains("DOWNUP"))
+    // quantifiers and grouping compose with identifiers
+    MatchRecognize.parse("(DOWN | UP){2,3} FLAT_ROW?")
+  }
+
+  test("varMeasures: FIRST/LAST(V.value, n) with out-of-range null") {
+    val spk = spark
+    import spk.implicits._
+    // 9 7 4 6 8 2 5 → DOWN rows 1,2 (7,4), UP rows 3,4 (6,8); then DOWN row 5 (2), UP row 6 (5)
+    val df = Seq[Double](9, 7, 4, 6, 8, 2, 5).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") < p.getAs[Double]("v")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val rows = MatchRecognize.varMeasures(df, "k", "ord", "DOWN+ UP+",
+      Map("DOWN" -> down, "UP" -> up), "v", offset = 1)
+      .collect().toSeq.sortBy(r => (r.match_no, r.var_name))
+    assert(rows.map(r => (r.match_no, r.var_name, r.var_rows)) ==
+      Seq((1L, "DOWN", 2L), (1L, "UP", 2L), (2L, "DOWN", 1L), (2L, "UP", 1L)))
+    val m1d = rows(0)
+    assert(m1d.first_val == 7.0 && m1d.last_val == 4.0)
+    assert(m1d.first_off.contains(4.0) && m1d.last_off.contains(7.0)) // offset 1
+    val m1u = rows(1)
+    assert(m1u.first_val == 6.0 && m1u.last_val == 8.0)
+    assert(m1u.first_off.contains(8.0) && m1u.last_off.contains(6.0))
+    // single-row variables: offset 1 is out of range → null
+    assert(rows(2).first_off.isEmpty && rows(2).last_off.isEmpty)
+    assert(rows(3).first_off.isEmpty && rows(3).last_off.isEmpty)
+    // whole-match bounds are carried on every variable row
+    assert(rows(0).start_ord == 1 && rows(0).end_ord == 4)
+    assert(rows(2).start_ord == 5 && rows(2).end_ord == 6)
   }
 
   test("partitions are matched independently") {
@@ -194,7 +246,7 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       (p, c) => p != null && c.getAs[Double]("v") < p.getAs[Double]("v")
     val up: (Row, Row) => Boolean =
       (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
-    val ms = MatchRecognize(df, "k", "ord", "D U", Map('D' -> down, 'U' -> up))
+    val ms = MatchRecognize(df, "k", "ord", "D U", Map("D" -> down, "U" -> up))
       .collect().toSeq
     assert(ms.map(_.part_key).sorted == Seq(1L, 2L))
   }
