@@ -29,6 +29,23 @@ abstract class MapAggBase[B] extends TypedImperativeAggregate[B] {
   protected def keyType: DataType
   protected def valueType: DataType
 
+  /** SQL map-key equality for floating-point keys (matching Spark's own
+    * NormalizeFloatingNumbers treatment): -0.0 and 0.0 are the same
+    * key, and all NaN bit patterns collapse to one canonical NaN —
+    * JVM boxed equals would otherwise treat -0.0 as distinct from 0.0
+    * and non-canonical NaNs as distinct keys. */
+  protected final def normKey(k: Any): Any = k match {
+    case d: java.lang.Double =>
+      if (d.doubleValue() == 0.0) java.lang.Double.valueOf(0.0)
+      else if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+      else d
+    case f: java.lang.Float =>
+      if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+      else if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+      else f
+    case other => other
+  }
+
   @transient private lazy val proj =
     UnsafeProjection.create(Array(keyType, valueType))
 
@@ -90,7 +107,7 @@ case class MapUnionAgg(
         val vs = m.valueArray()
         var i = 0
         while (i < m.numElements()) {
-          val k = InternalRow.copyValue(ks.get(i, keyType))
+          val k = normKey(InternalRow.copyValue(ks.get(i, keyType)))
           if (!b.contains(k))
             b.update(k, InternalRow.copyValue(vs.get(i, valueType)))
           i += 1
@@ -155,7 +172,7 @@ case class MultimapAgg(
       input: InternalRow): mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]] = {
     val k = key.eval(input)
     if (k != null) { // map keys cannot be null (same as the reference)
-      val copied = InternalRow.copyValue(k)
+      val copied = normKey(InternalRow.copyValue(k))
       b.getOrElseUpdate(copied, mutable.ArrayBuffer.empty) +=
         InternalRow.copyValue(value.eval(input))
     }

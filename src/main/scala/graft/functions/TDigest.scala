@@ -124,9 +124,19 @@ final class TDigest(val compression: Double) {
   def quantile(q: Double): Double = {
     compress()
     if (nC == 0) return Double.NaN
-    if (nC == 1) return cMeans(0)
     val w = totalWeight
     val target = math.min(1.0, math.max(0.0, q)) * w
+    if (nC == 1) {
+      // Interpolate through min / centroid mean / max, as the
+      // multi-centroid tails do, so quantile(0)=min and quantile(1)=max
+      // even when every value landed in one centroid.
+      val half = w / 2
+      return if (target <= half)
+        min + (if (half <= 0) 0.0 else target / half) * (cMeans(0) - min)
+      else
+        cMeans(0) + (if (w - half <= 0) 0.0
+          else (target - half) / (w - half)) * (max - cMeans(0))
+    }
     val firstHalf = cWeights(0) / 2
     if (target <= firstHalf)
       return min + (if (firstHalf <= 0) 0.0 else target / firstHalf) * (cMeans(0) - min)

@@ -157,12 +157,15 @@ object Patterns {
       |         ELSE 'FLAT' END AS dir
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |c AS (
+      |  SELECT user_id, event_id, value, dir,
+      |    CASE WHEN dir = lag(dir) OVER (PARTITION BY user_id ORDER BY event_id)
+      |         THEN 0 ELSE 1 END AS chg
+      |  FROM d),
       |r AS (
       |  SELECT user_id, event_id, value, dir,
-      |    CAST(sum(CASE WHEN dir = lag(dir) OVER (PARTITION BY user_id ORDER BY event_id)
-      |                  THEN 0 ELSE 1 END)
-      |         OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
-      |  FROM d),
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM c),
       |runs AS (
       |  SELECT user_id, run_id, any_value(dir) AS dir,
       |    min(event_id) AS s, max(event_id) AS e,

@@ -246,6 +246,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!TDigest.isTDigest(lq.serialize()))
   }
 
+  test("t-digest: single-centroid quantiles anchor at observed min/max") {
+    // compression=2 makes the k1 weight limit equal the total weight,
+    // so every point greedily merges into ONE centroid — the smallest
+    // state the sketch can hold. Extreme quantiles must still return
+    // the recorded bounds, not the collapsed mean.
+    val td = new TDigest(2)
+    (0 to 100).foreach(v => td.add(v.toDouble))
+    assert(td.centroidCount == 1)
+    assert(td.quantile(0.0) == 0.0)
+    assert(td.quantile(1.0) == 100.0)
+    assert(td.quantile(0.5) == 50.0) // centroid mean at the median
+    val q25 = td.quantile(0.25)
+    assert(q25 > 0.0 && q25 < 50.0, s"q25=$q25")
+  }
+
   test("KMV set digest: exact regime, estimator bounds, merge determinism") {
     // exact regime: sets smaller than k
     val a = new KmvDigest(KmvDigest.DefaultK)

@@ -43,6 +43,22 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[Long](2) == Seq(4L))
   }
 
+  test("map aggregates use SQL key equality for floating-point keys") {
+    import org.apache.spark.sql.functions._
+    val spk = spark
+    import spk.implicits._
+    // -0.0 and 0.0 are one SQL map key; JVM boxed equals would split them.
+    val df = Seq((0.0, 1L), (-0.0, 2L), (1.5, 3L)).toDF("k", "v").repartition(3)
+    val r = df.withColumn("m", map(col("k"), col("v")))
+      .agg(expr("multimap_agg(k, v)").as("mm"), expr("map_union(m)").as("u"))
+      .selectExpr("cardinality(mm) AS nmm", "cardinality(u) AS nu",
+        "array_sort(mm[0.0d]) AS zeros")
+      .head()
+    assert(r.getInt(0) == 2, s"multimap keys=${r.getInt(0)}")
+    assert(r.getInt(1) == 2, s"map_union keys=${r.getInt(1)}")
+    assert(r.getSeq[Long](2) == Seq(1L, 2L))
+  }
+
   test("every declared query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
