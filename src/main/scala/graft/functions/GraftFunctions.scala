@@ -123,6 +123,11 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         ParseUrl(Seq(children(0), Literal("QUERY"), children(1)),
           failOnError = false)))
+    e.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (children: Seq[Expression]) =>
+        RollingFingerprint(children(0), children(1), children(2))))
     // optimizer extension surface (Rule[LogicalPlan])
     e.injectOptimizerRule(_ => graft.plans.IdempotentCollectionOps)
   }
