@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `rolling_fingerprint(text, k, top)` — document fingerprinting via a
@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingFingerprint(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
-  override def inputTypes: Seq[AbstractDataType] =
+  override def inputTypes: Seq[DataType] =
     Seq(StringType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rolling_fingerprint"
