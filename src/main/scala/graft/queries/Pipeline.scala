@@ -36,6 +36,19 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.load(s, dir, name)
 
+  /** Fingerprint of a source table's files (mtime ^ size, xor-folded),
+    * for keying derived-fixture sink paths: if the testdata is
+    * regenerated in place, the tag changes and the stale fixture is
+    * never read. */
+  private def srcTag(dir: String, name: String): String = {
+    val root = new java.io.File(s"$dir/$name.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().filter(_.isFile).toSeq else Seq(root)
+    val sig = files.map(f => f.lastModified() ^ (f.length() * 1000003L))
+      .foldLeft(0L)(_ ^ _)
+    java.lang.Long.toHexString(sig)
+  }
+
   // -------------------------------------------------- p1 exact dedup
   /** Exact-dedup census: total docs, distinct texts by content hash,
     * and distinct bag-of-words fingerprints (md5 of the sorted
@@ -540,10 +553,12 @@ object Pipeline {
     * one region's shard and scanning the fact table. ScaleSpec
     * asserts `dynamicpruning` in this plan. */
   def p12(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_sink/p12_${dir.replaceAll("[^a-z0-9.]", "_")}"
+    val out = s"/tmp/graft_sink/p12_${dir.replaceAll("[^a-z0-9.]", "_")}_${srcTag(dir, "customer")}"
     // The fixture write is setup, not the operator under test (that's
     // the DPP join below) — do it once per sf dir so repeated bench
     // iterations time the pruned scan + join, not a parquet rewrite.
+    // The srcTag in the path fingerprints the source files (mtime+size),
+    // so regenerating /root/testdata in place can't serve stale parquet.
     if (!new java.io.File(out, "_SUCCESS").exists())
       t(s, dir, "customer")
         .write.mode("overwrite").partitionBy("c_nationkey").parquet(out)
@@ -561,6 +576,50 @@ object Pipeline {
       |WHERE n_regionkey = 2
       |GROUP BY n_name""".stripMargin
 
+  // ---------------------------- p13 winnowing fingerprint candidates
+  /** Dedup-candidate buckets from [[graft.functions.RollingFingerprint]]
+    * (winnowing-style bottom-k of Rabin-Karp k-gram hashes, k=8 top=4):
+    * docs sharing any fingerprint land in the same bucket, so candidate
+    * generation is an equi-join-shaped shuffle on the 8-byte fingerprint
+    * — the N² pair space never materializes, the same scale shape as
+    * p3's MinHash-LSH but content-defined. The oracle reproduces the
+    * exact hash values with list_reduce integer folds (every
+    * intermediate < 2^63), gating the expression end-to-end. Text is
+    * canonicalized to [a-z0-9 ] first so Spark's UTF-16 code units and
+    * the oracle's code points agree by construction. */
+  def p13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", "").as("s"))
+      .select(col("doc_id"), explode(expr("rolling_fingerprint(s, 8, 4)")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("docs"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      .filter(col("docs") >= 2)
+
+  val p13Sql: String =
+    """WITH cleaned AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS s
+      |  FROM documents
+      |),
+      |gram AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_transform(range(p, p+8), j -> CAST(unicode(substr(s, CAST(j AS INT), 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * 257 + c) % 1000000007
+      |    ) AS fp
+      |  FROM cleaned, LATERAL (SELECT unnest(range(1, CAST(len(s) AS BIGINT) - 8 + 2)) AS p) AS ps
+      |  WHERE len(s) >= 8
+      |),
+      |bottomk AS (
+      |  SELECT doc_id, fp FROM (
+      |    SELECT doc_id, fp, row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rn
+      |    FROM (SELECT DISTINCT doc_id, fp FROM gram)
+      |  ) WHERE rn <= 4
+      |)
+      |SELECT fp, count(*) AS docs, min(doc_id) AS lo, max(doc_id) AS hi
+      |FROM bottomk GROUP BY fp HAVING count(*) >= 2""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
@@ -574,7 +633,8 @@ object Pipeline {
     "p9_corpus_pipeline" -> p9 _,
     "p10_write_roundtrip" -> p10 _,
     "p11_ann_ivf" -> p11 _,
-    "p12_dpp" -> p12 _)
+    "p12_dpp" -> p12 _,
+    "p13_fingerprint_buckets" -> p13 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -588,5 +648,6 @@ object Pipeline {
     "p9_corpus_pipeline" -> p9Sql,
     "p10_write_roundtrip" -> p10Sql,
     "p11_ann_ivf" -> p11Sql,
-    "p12_dpp" -> p12Sql)
+    "p12_dpp" -> p12Sql,
+    "p13_fingerprint_buckets" -> p13Sql)
 }

@@ -436,4 +436,40 @@ class FunctionsSpec extends AnyFunSuite {
       assert(got >= -1.0000001 && got <= 1.0000001)
     }
   }
+
+  // ---------------------------------------------- rolling fingerprint
+  private def rfp(s: String, k: Int, top: Int): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    RollingFingerprint(Literal(s), Literal(k), Literal(top))
+      .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+  }
+
+  test("rolling_fingerprint: known vectors, dedup, n<k empty, top-k truncation") {
+    assert(rfp("ab", 3, 4).isEmpty) // text shorter than k
+    // all three "aa" grams collide: (97*257+97) % P = 25026, kept once
+    assert(rfp("aaaa", 2, 8) == Seq(25026L))
+    // first value is the closed-form Horner fold of "abc":
+    // ((97*257+98)*257+99) % 1000000007 = 6432038; 8 grams, top-4 kept
+    assert(rfp("abcdefghij", 3, 4) ==
+      Seq(6432038L, 6498345L, 6564652L, 6630959L))
+    // oracle cross-checked vector (same values DuckDB's list_reduce fold
+    // produces — the p13 gate relies on this equality)
+    assert(rfp("graft engine rolling hash", 8, 4) ==
+      Seq(28773149L, 116035191L, 130847215L, 149745308L))
+    assertThrows[IllegalArgumentException](rfp("abc", 0, 4))
+    assertThrows[IllegalArgumentException](rfp("abc", 2, 0))
+  }
+
+  test("rolling_fingerprint: rolling recurrence equals naive per-gram fold") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 10) {
+      val n = 20 + rnd.nextInt(300)
+      val s = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+      val naive = s.sliding(5)
+        .map(_.foldLeft(0L)((a, c) => (a * 257 + c) % 1000000007L))
+        .toSeq.distinct.sorted.take(6)
+      assert(rfp(s, 5, 6) == naive, s"trial $trial")
+    }
+  }
 }
