@@ -21,7 +21,15 @@ object Explain {
       try {
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), plan)
+        // Expression/plan ids are session-global counters, so adding one
+        // query shifts every later snapshot — normalize them away so a
+        // plan diff only shows STRUCTURAL change (join strategy flips,
+        // lost pushdown), which is what the snapshots exist to catch.
+        val stable = plan
+          .replaceAll("#\\d+", "#N")
+          .replaceAll("plan_id=\\d+", "plan_id=N")
+          .replaceAll("(?i)(subquery|cte|scalar-subquery)#N, \\[id=#N\\]", "$1#N")
+        Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), stable)
       } catch {
         case e: Throwable =>
           System.err.println(s"[explain] $name failed: ${e.getMessage}")
