@@ -24,12 +24,21 @@ object Analytics {
     * |nations|×|years| rows — the big table only feeds the first
     * aggregation. */
   def x1(s: SparkSession, dir: String): DataFrame = {
-    val yearly = t(s, dir, "lineitem")
+    // Pre-aggregate revenue per order BEFORE the join chain (an
+    // eager-aggregation rewrite Catalyst doesn't do itself): lineitem's
+    // ~4 lines/order collapse map-side (lineitem parquet is laid out by
+    // order), so the join and the final aggregate see |orders| rows,
+    // not |lineitem|. Decimal sums are associative, so sum-of-order-sums
+    // is hash-identical to the flat sum.
+    val ordRev = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("orev"))
+    val yearly = ordRev
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
-      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .agg(sum(col("orev")).as("rev"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
     yearly
       .withColumn("prev", lag(col("rev"), 1).over(w))
@@ -67,14 +76,22 @@ object Analytics {
   def x2(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("parts"))
+      .agg(array_distinct(sort_array(collect_list(col("l_partkey")))).as("parts"))
+      // sorted array → pairs by index slice: element i pairs with every
+      // later element, so pa < pb by construction and the inner filter's
+      // per-element O(n) comparison scan disappears. The pair is packed
+      // into ONE long (partkeys < 2^32) so the wide pair shuffle — whose
+      // keys are mostly unique, so partial agg can't shrink it — moves
+      // 8-byte keys and hashes a single column.
       .select(explode(expr(
-        "flatten(transform(parts, x -> transform(filter(parts, y -> y > x), " +
-          "y -> named_struct('pa', x, 'pb', y))))")).as("pr"))
-      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-      .groupBy(col("pa"), col("pb"))
+        "flatten(transform(parts, (x, i) -> transform(" +
+          "slice(parts, i + 2, size(parts) - i - 1), " +
+          "y -> x * 4294967296L + y)))")).as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("together"))
       .filter(col("together") >= 3)
+      .select(shiftright(col("pk"), 32).as("pa"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("pb"), col("together"))
   }
 
   val x2Sql: String =
