@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Map-typed aggregates (reference `operator/aggregation/
   * MapUnionAggregation.java` and `operator/aggregation/multimapagg/`):
@@ -29,21 +29,71 @@ abstract class MapAggBase[B] extends TypedImperativeAggregate[B] {
   protected def keyType: DataType
   protected def valueType: DataType
 
-  /** SQL map-key equality for floating-point keys (matching Spark's own
-    * NormalizeFloatingNumbers treatment): -0.0 and 0.0 are the same
-    * key, and all NaN bit patterns collapse to one canonical NaN —
-    * JVM boxed equals would otherwise treat -0.0 as distinct from 0.0
-    * and non-canonical NaNs as distinct keys. */
+  /** SQL map-key equality (matching Spark's own NormalizeFloatingNumbers
+    * treatment), at ANY nesting depth: -0.0 and 0.0 are the same key and
+    * all NaN bit patterns collapse to one canonical NaN, including float
+    * fields inside struct/array keys. Nested keys are additionally
+    * re-projected to canonical UnsafeRow bytes, because Catalyst row
+    * representations (UnsafeRow from a scan vs GenericInternalRow from
+    * named_struct) do not share equals/hashCode — byte-canonical keys
+    * make the LinkedHashMap's equality representation-independent. */
   protected final def normKey(k: Any): Any = k match {
-    case d: java.lang.Double =>
-      if (d.doubleValue() == 0.0) java.lang.Double.valueOf(0.0)
-      else if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
-      else d
-    case f: java.lang.Float =>
-      if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
-      else if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
-      else f
+    case null => null
+    case d: java.lang.Double => normDouble(d)
+    case f: java.lang.Float  => normFloat(f)
+    case _ if keyIsNested    =>
+      keyRow(0) = normFloats(k, keyType)
+      // copy() materializes the projection's reused buffer; get slices
+      // the key back out as an UnsafeRow/UnsafeArrayData over canonical
+      // bytes, so equal keys are byte-equal regardless of origin.
+      InternalRow.copyValue(keyProj(keyRowHolder).copy().get(0, keyType))
     case other => other
+  }
+
+  private def normDouble(d: java.lang.Double): java.lang.Double =
+    if (d.doubleValue() == 0.0) java.lang.Double.valueOf(0.0)
+    else if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+    else d
+
+  private def normFloat(f: java.lang.Float): java.lang.Float =
+    if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+    else if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+    else f
+
+  @transient private lazy val keyIsNested: Boolean = keyType match {
+    case _: StructType | _: ArrayType | _: MapType => true
+    case _ => false
+  }
+  @transient private lazy val keyProj = UnsafeProjection.create(Array(keyType))
+  @transient private lazy val keyRow = new Array[Any](1)
+  @transient private lazy val keyRowHolder = new GenericInternalRow(keyRow)
+
+  /** Recursive float canonicalization over Catalyst values. */
+  private def normFloats(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (d: java.lang.Double, _) => normDouble(d)
+    case (f: java.lang.Float, _) => normFloat(f)
+    case (r: InternalRow, st: StructType) =>
+      val out = new Array[Any](st.length)
+      var i = 0
+      while (i < st.length) {
+        out(i) = normFloats(r.get(i, st(i).dataType), st(i).dataType); i += 1
+      }
+      new GenericInternalRow(out)
+    case (a: org.apache.spark.sql.catalyst.util.ArrayData, at: ArrayType) =>
+      val out = new Array[Any](a.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) = normFloats(a.get(i, at.elementType), at.elementType); i += 1
+      }
+      new GenericArrayData(out)
+    case (m: MapData, mt: MapType) =>
+      new ArrayBasedMapData(
+        normFloats(m.keyArray(), ArrayType(mt.keyType))
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        normFloats(m.valueArray(), ArrayType(mt.valueType))
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    case _ => v
   }
 
   @transient private lazy val proj =

@@ -59,6 +59,31 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[Long](2) == Seq(1L, 2L))
   }
 
+  test("map aggregates canonicalize NESTED keys (struct/array, float fields)") {
+    import org.apache.spark.sql.functions._
+    val spk = spark
+    import spk.implicits._
+    // Struct keys mixing -0.0/0.0 and NaN variants in a nested field,
+    // built via named_struct (GenericInternalRow) — byte-pattern or
+    // row-representation equality would split all of these.
+    val df = Seq((0.0, "x", 1L), (-0.0, "x", 2L),
+        (Double.NaN, "y", 3L), (Double.NaN, "y", 4L), (1.5, "x", 5L))
+      .toDF("d", "s", "v").repartition(5)
+    val r = df
+      .withColumn("k", expr("named_struct('d', d, 's', s)"))
+      .withColumn("ka", expr("array(d, 0.25d)"))
+      .agg(expr("multimap_agg(k, v)").as("mk"), expr("multimap_agg(ka, v)").as("ma"))
+      .selectExpr(
+        "cardinality(mk) AS nk", "cardinality(ma) AS na",
+        "array_sort(mk[named_struct('d', 0.0d, 's', 'x')]) AS zeros",
+        "array_sort(ma[array(cast('NaN' AS DOUBLE), 0.25d)]) AS nans")
+      .head()
+    assert(r.getInt(0) == 3, s"struct keys=${r.getInt(0)}")
+    assert(r.getInt(1) == 3, s"array keys=${r.getInt(1)}")
+    assert(r.getSeq[Long](2) == Seq(1L, 2L))
+    assert(r.getSeq[Long](3) == Seq(3L, 4L))
+  }
+
   test("every declared query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

@@ -147,4 +147,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(key).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("interval join: late rows past the watermark are dropped, state evicted") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000L)
+
+    val cs = MemoryStream[ClickEv]
+    val ps = MemoryStream[PurchEv]
+    val q = Streams.intervalJoinStreams(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: one matching click/purchase pair at t0. Watermark after
+      // this batch is max event time - 10 min ≈ t0 - 9 min.
+      cs.addData(ClickEv(1L, 100L, ts(0)))
+      ps.addData(PurchEv(1L, 200L, 9.99, ts(60)))
+      q.processAllAvailable()
+      assert(spark.table("wm_out").count() == 1)
+
+      // batch 2: advance BOTH sides 3 h (global watermark is the min
+      // across sources) → watermark becomes ≈ t0 + 2 h 50 min, far past
+      // the pair's state-retention bound (c_ts + 1 h join interval).
+      // The advancer pair also matches, adding one output row.
+      cs.addData(ClickEv(2L, 101L, ts(3 * 3600)))
+      ps.addData(PurchEv(2L, 201L, 1.0, ts(3 * 3600 + 5)))
+      q.processAllAvailable()
+      assert(spark.table("wm_out").count() == 2)
+
+      // batch 3: a purchase 30 s after t0 that WOULD match click 100 —
+      // it is now hours behind the watermark and must be dropped before
+      // the join, producing no output and touching no state.
+      ps.addData(PurchEv(1L, 202L, 5.0, ts(30)))
+      q.processAllAvailable()
+      assert(spark.table("wm_out").count() == 2)
+
+      val stateProgs = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      // the late purchase was dropped by the watermark filter…
+      assert(stateProgs.map(_.numRowsDroppedByWatermark).sum >= 1)
+      // …and batch 1's rows were physically removed from the join state
+      assert(stateProgs.map(_.numRowsRemoved).sum >= 2)
+      // only the advancer pair remains in state (one row per side)
+      assert(stateProgs.last.numRowsTotal == 2)
+    } finally q.stop()
+  }
 }
