@@ -28,6 +28,9 @@ object Explain {
         val stable = plan
           .replaceAll("#\\d+", "#N")
           .replaceAll("plan_id=\\d+", "plan_id=N")
+          // JVM lambda identities (class counter + metaspace address +
+          // identity hash) change every run for closure-based aggregates
+          .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda@N")
           .replaceAll("(?i)(subquery|cte|scalar-subquery)#N, \\[id=#N\\]", "$1#N")
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), stable)
       } catch {

@@ -81,11 +81,14 @@ case class MatchVarMeasures(
   * whitespace-separated as in the SQL grammar: `DOWN UP` is the
   * concatenation of two variables, `DU` is one variable named "DU")
   * with concatenation, alternation `|`, grouping `(...)`, quantifiers
-  * `* + ? {m} {m,n}` (greedy, leftmost preference — the reference's
-  * semantics), DEFINE predicates over (previous row, current row)
-  * (covers the common PREV(x) comparisons), FIRST/LAST(V.col, n)
-  * navigation measures (see [[MatchVarMeasures]]), and AFTER MATCH
-  * SKIP PAST LAST ROW / TO NEXT ROW / TO FIRST/LAST(V).
+  * `* + ? {m} {m,n}` greedy and reluctant (`*?` `+?` `??` `{m,n}?`;
+  * leftmost preference — the reference's semantics), DEFINE predicates
+  * over a [[MatchCtx]] with full navigation — physical PREV(n)/NEXT(n)
+  * and running FIRST/LAST over variables or SUBSET unions (the simple
+  * (prev, row) form remains for the common PREV(x) comparison),
+  * FIRST/LAST(V.col, n) navigation measures (see [[MatchVarMeasures]]),
+  * SUBSET declarations, and AFTER MATCH SKIP PAST LAST ROW / TO NEXT
+  * ROW / TO FIRST/LAST(V-or-subset).
   *
   * Execution shape (100 TB): `repartition(partition key)` +
   * `sortWithinPartitions(key, order)` + `mapPartitions` — one shuffle,
@@ -118,12 +121,58 @@ object MatchRecognize {
     final case class ToLast(v: String) extends SkipMode
   }
 
+  /** Evaluation context for DEFINE predicates (the reference's
+    * row-pattern navigation surface, `sql/planner/rowpattern/`): the
+    * current row, PHYSICAL navigation `prev(n)`/`next(n)` over the key
+    * group (SQL's PREV/NEXT semantics — physical rows, not
+    * variable-mapped ones, and they may cross the match's start), and
+    * RUNNING logical navigation `first(v)`/`last(v)` over the rows the
+    * current match attempt has provisionally mapped — the current row
+    * counts as mapped to the variable under test, per the standard.
+    * `v` may be a pattern variable or a SUBSET union name. */
+  final class MatchCtx private[MatchRecognize] (
+      rows: collection.IndexedSeq[Row],
+      val i: Int,
+      val start: Int,
+      labelsRev: List[String], // labels of rows start..i-1, most recent first
+      currentVar: String,
+      subsets: Map[String, Set[String]]) {
+    def row: Row = rows(i)
+    def prev(n: Int = 1): Row = if (i - n >= 0) rows(i - n) else null
+    def next(n: Int = 1): Row = if (i + n < rows.length) rows(i + n) else null
+    private def hit(label: String, v: String): Boolean =
+      label == v || subsets.getOrElse(v, Set.empty).contains(label)
+    def last(v: String): Row = {
+      if (hit(currentVar, v)) return rows(i)
+      var j = i - 1
+      var l = labelsRev
+      while (l.nonEmpty) {
+        if (hit(l.head, v)) return rows(j)
+        j -= 1; l = l.tail
+      }
+      null
+    }
+    def first(v: String): Row = {
+      var j = i - 1
+      var found = -1
+      var l = labelsRev
+      while (l.nonEmpty) {
+        if (hit(l.head, v)) found = j
+        j -= 1; l = l.tail
+      }
+      if (found >= 0) rows(found)
+      else if (hit(currentVar, v)) rows(i)
+      else null
+    }
+  }
+
   // ------------------------------------------------------ pattern AST
   sealed trait Pat
   private case class Lit(v: String) extends Pat
   private case class Cat(a: Pat, b: Pat) extends Pat
   private case class Alt(a: Pat, b: Pat) extends Pat
-  private case class Rep(a: Pat, min: Int, max: Int) extends Pat // max = -1 → ∞
+  // max = -1 → ∞; greedy=false → reluctant (`*?` `+?` `??` `{m,n}?`)
+  private case class Rep(a: Pat, min: Int, max: Int, greedy: Boolean = true) extends Pat
 
   /** Recursive-descent parser for the pattern subset. Variables are
     * identifiers (`[A-Za-z][A-Za-z0-9_]*`) and whitespace separates
@@ -183,10 +232,14 @@ object MatchRecognize {
         else quant(Lit(name))
       case other => throw new IllegalArgumentException(s"unexpected '$other' at $pos in '$in'")
     }
+    // a trailing '?' after any quantifier makes it reluctant (matches
+    // as FEW repetitions as possible; reference SqlBase.g4 patternQuantifier)
+    def reluctant(r: Rep): Pat =
+      if (peek == '?') { pos += 1; r.copy(greedy = false) } else r
     def quant(p: Pat): Pat = peek match {
-      case '*' => pos += 1; Rep(p, 0, -1)
-      case '+' => pos += 1; Rep(p, 1, -1)
-      case '?' => pos += 1; Rep(p, 0, 1)
+      case '*' => pos += 1; reluctant(Rep(p, 0, -1))
+      case '+' => pos += 1; reluctant(Rep(p, 1, -1))
+      case '?' => pos += 1; reluctant(Rep(p, 0, 1))
       case '{' =>
         expect('{')
         val m = number()
@@ -195,7 +248,7 @@ object MatchRecognize {
           if (peek == '}') -1 else number()
         } else m
         expect('}')
-        Rep(p, m, n)
+        reluctant(Rep(p, m, n))
       case _ => p
     }
     def cat(): Pat = {
@@ -223,26 +276,30 @@ object MatchRecognize {
       pat: Pat,
       start: Int,
       n: Int,
-      classify: (Int, String) => Boolean): Array[String] = {
+      classify: (Int, String, List[String]) => Boolean): Array[String] = {
 
-    // continuation-passing backtracking; greedy = try "more" first
+    // continuation-passing backtracking; greedy = try "more" first,
+    // reluctant = try "stop" first. classify receives the labels the
+    // attempt has assigned so far (rows start..i-1, most recent first)
+    // so DEFINE predicates can navigate the running match.
     def go(p: Pat, i: Int, acc: List[String], k: (Int, List[String]) => Option[List[String]])
         : Option[List[String]] = p match {
       case Lit(v) =>
-        if (i < n && classify(i, v)) k(i + 1, v :: acc) else None
+        if (i < n && classify(i, v, acc)) k(i + 1, v :: acc) else None
       case Cat(a, b) =>
         go(a, i, acc, (i2, acc2) => go(b, i2, acc2, k))
       case Alt(a, b) =>
         go(a, i, acc, k).orElse(go(b, i, acc, k))
-      case Rep(a, min, max) =>
+      case Rep(a, min, max, greedy) =>
         def rep(i2: Int, acc2: List[String], done: Int): Option[List[String]] = {
-          val more =
+          def more =
             if (max < 0 || done < max)
               go(a, i2, acc2, (i3, acc3) =>
                 if (i3 == i2) None // zero-width guard
                 else rep(i3, acc3, done + 1))
             else None
-          more.orElse(if (done >= min) k(i2, acc2) else None)
+          def stop = if (done >= min) k(i2, acc2) else None
+          if (greedy) more.orElse(stop) else stop.orElse(more)
         }
         rep(i, acc, 0)
     }
@@ -258,18 +315,26 @@ object MatchRecognize {
     * match (key, match_no, group rows, start index, classifier names)
     * to `emit` — one row per match, or several for ALL ROWS PER MATCH.
     */
+  /** Adapt the simple (prevRowOrNull, row) DEFINE form to the context
+    * form — the common PREV(x) comparison as a physical 1-back. */
+  private def wrapDefine(define: Map[String, (Row, Row) => Boolean])
+      : Map[String, MatchCtx => Boolean] =
+    define.map { case (v, f) => v -> ((ctx: MatchCtx) => f(ctx.prev(1), ctx.row)) }
+
   private def runEngine[T](
       df: DataFrame,
       partCol: String,
       orderCol: String,
       pattern: String,
-      define: Map[String, (Row, Row) => Boolean],
-      skip: SkipMode)(
+      define: Map[String, MatchCtx => Boolean],
+      skip: SkipMode,
+      subsets: Map[String, Set[String]] = Map.empty)(
       emit: (Long, Long, collection.IndexedSeq[Row], Int, Array[String], Row => Long) => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
 
     val pat = parse(pattern)
     val vars = define // serialized into the task closure
+    val subs = subsets
     // capture driver-side so a configured cap ships with the closure
     // (executor JVMs would otherwise see their own default)
     val maxRowsPerKey = MatchRecognize.MaxRowsPerKey
@@ -304,14 +369,20 @@ object MatchRecognize {
                     "time range per key), or raise MatchRecognize.MaxRowsPerKey")
             }
             val n = buf.length
-            def classify(i: Int, v: String): Boolean = {
-              val f = vars.getOrElse(v,
-                throw new IllegalArgumentException(s"undefined pattern variable '$v'"))
-              f(if (i > 0) buf(i - 1) else null, buf(i))
-            }
+            // label-match that resolves SUBSET union names (reference
+            // SqlBase.g4 subsetDefinition): a skip/navigation target may
+            // be a variable or a union of variables
+            def labelHit(label: String, v: String): Boolean =
+              label == v || subs.getOrElse(v, Set.empty).contains(label)
             var i = 0
             var matchNo = 0L
             while (i < n) {
+              val startIdx = i
+              def classify(j: Int, v: String, accRev: List[String]): Boolean = {
+                val f = vars.getOrElse(v,
+                  throw new IllegalArgumentException(s"undefined pattern variable '$v'"))
+                f(new MatchCtx(buf, j, startIdx, accRev, v, subs))
+              }
               val m = matchFrom(pat, i, n, classify)
               if (m != null && m.length > 0) {
                 matchNo += 1
@@ -320,12 +391,12 @@ object MatchRecognize {
                   case SkipMode.PastLastRow => i + m.length
                   case SkipMode.ToNextRow => i + 1
                   case SkipMode.ToFirst(v) =>
-                    val idx = m.indexOf(v)
+                    val idx = m.indexWhere(labelHit(_, v))
                     require(idx > 0, s"AFTER MATCH SKIP TO FIRST($v): " +
                       "variable absent from match or maps to its first row")
                     i + idx
                   case SkipMode.ToLast(v) =>
-                    val idx = m.lastIndexOf(v)
+                    val idx = m.lastIndexWhere(labelHit(_, v))
                     require(idx > 0, s"AFTER MATCH SKIP TO LAST($v): " +
                       "variable absent from match or maps to its first row")
                     i + idx
@@ -373,7 +444,7 @@ object MatchRecognize {
       skip: SkipMode): Dataset[MatchRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    runEngine(df, partCol, orderCol, pattern, define, skip) {
+    runEngine(df, partCol, orderCol, pattern, wrapDefine(define), skip) {
       (key, matchNo, buf, i, m, ordOf) =>
         val counts = m.groupBy(identity).toSeq.sortBy(_._1)
           .map { case (v, cs) => s"$v:${cs.length}" }.mkString(",")
@@ -394,8 +465,33 @@ object MatchRecognize {
       skipPastLastRow: Boolean = true): Dataset[MatchMeasures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    runEngine(df, partCol, orderCol, pattern, define,
+    runEngine(df, partCol, orderCol, pattern, wrapDefine(define),
       if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow) {
+      (key, matchNo, buf, i, m, ordOf) =>
+        val vals = (i until i + m.length)
+          .map(j => buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())
+        Seq(MatchMeasures(key, matchNo, ordOf(buf(i)), ordOf(buf(i + m.length - 1)),
+          m.length.toLong, vals.head, vals.last, vals.min, vals.max))
+    }
+  }
+
+  /** As [[measures]] but with context-form DEFINE predicates — full
+    * navigation (PREV/NEXT n, running FIRST/LAST over variables or
+    * SUBSET unions) — plus SUBSET declarations and any [[SkipMode]].
+    * This is the widest engine surface; the simpler entry points all
+    * lower onto it. */
+  def measuresCtx(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[String, MatchCtx => Boolean],
+      valueCol: String,
+      skip: SkipMode = SkipMode.PastLastRow,
+      subsets: Map[String, Set[String]] = Map.empty): Dataset[MatchMeasures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    runEngine(df, partCol, orderCol, pattern, define, skip, subsets) {
       (key, matchNo, buf, i, m, ordOf) =>
         val vals = (i until i + m.length)
           .map(j => buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())
@@ -423,7 +519,7 @@ object MatchRecognize {
     require(offset >= 0, s"navigation offset must be >= 0, got $offset")
     val spark = df.sparkSession
     import spark.implicits._
-    runEngine(df, partCol, orderCol, pattern, define,
+    runEngine(df, partCol, orderCol, pattern, wrapDefine(define),
       if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow) {
       (key, matchNo, buf, i, m, ordOf) =>
         val startOrd = ordOf(buf(i))
@@ -456,7 +552,7 @@ object MatchRecognize {
       skipPastLastRow: Boolean = true): Dataset[MatchDetail] = {
     val spark = df.sparkSession
     import spark.implicits._
-    runEngine(df, partCol, orderCol, pattern, define,
+    runEngine(df, partCol, orderCol, pattern, wrapDefine(define),
       if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow) {
       (key, matchNo, buf, i, m, ordOf) =>
         val vals = (i until i + m.length)

@@ -195,15 +195,87 @@ object Patterns {
       |  up_vals[2] AS first_off, up_vals[-2] AS last_off
       |FROM m""".stripMargin
 
+  /** mr5: reluctant quantifier + DEFINE-side navigation. Pattern
+    * `D+? U` (reluctant: the fewest falls before the FIRST viable U)
+    * where U needs BOTH a one-back rise and a two-back rise —
+    * `PREV(value, 2)` physical navigation inside DEFINE (reference
+    * `sql/planner/rowpattern/LogicalIndexNavigation.java` /
+    * `Matcher.java:28`; reluctant quantifiers per `SqlBase.g4`
+    * patternQuantifier). Under leftmost matching the reluctant prefix
+    * consumes exactly the maximal fall run, and U is the run's first
+    * successor iff it rises above rows 1 and 2 back — so the oracle
+    * rebuilds matches from direction-run ids with a lag(value, 2)
+    * carried per row, no sequential state needed. */
+  def mr5(s: SparkSession, dir: String): DataFrame = {
+    import MatchRecognize.MatchCtx
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    def v(r: Row): Double = r.getAs[Double]("value")
+    val down: MatchCtx => Boolean =
+      ctx => ctx.prev(1) != null && v(ctx.row) < v(ctx.prev(1))
+    val up2: MatchCtx => Boolean =
+      ctx => ctx.prev(1) != null && v(ctx.row) > v(ctx.prev(1)) &&
+        ctx.prev(2) != null && v(ctx.row) > v(ctx.prev(2))
+    MatchRecognize.measuresCtx(ev, "user_id", "event_id", "D+? U",
+      Map("D" -> down, "U" -> up2), "value")
+      .select(col("part_key").as("user_id"), col("match_no"),
+        col("start_ord"), col("end_ord"), col("n_rows"),
+        col("first_val"), col("last_val"), col("min_val"), col("max_val"))
+  }
+
+  val mr5Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    lag(value, 2) OVER w AS l2,
+      |    CASE WHEN value < lag(value) OVER w THEN 'DOWN'
+      |         WHEN value > lag(value) OVER w THEN 'UP'
+      |         ELSE 'FLAT' END AS dir
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |c AS (
+      |  SELECT *, CASE WHEN dir = lag(dir) OVER (PARTITION BY user_id ORDER BY event_id)
+      |       THEN 0 ELSE 1 END AS chg
+      |  FROM d),
+      |r AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM c),
+      |runs AS (
+      |  SELECT user_id, run_id, any_value(dir) AS dir,
+      |    min(event_id) AS s, count(*) AS n,
+      |    list(value ORDER BY event_id) AS vals,
+      |    list(event_id ORDER BY event_id) AS ids,
+      |    list(l2 ORDER BY event_id) AS l2s
+      |  FROM r GROUP BY user_id, run_id),
+      |seq AS (
+      |  SELECT user_id, dir, s, n, vals,
+      |    lead(dir) OVER u AS nx_dir, lead(vals) OVER u AS nx_vals,
+      |    lead(ids) OVER u AS nx_ids, lead(l2s) OVER u AS nx_l2s
+      |  FROM runs WINDOW u AS (PARTITION BY user_id ORDER BY s)),
+      |m AS (
+      |  SELECT user_id, s AS start_ord, nx_ids[1] AS end_ord,
+      |    CAST(n + 1 AS BIGINT) AS n_rows,
+      |    vals[1] AS first_val, nx_vals[1] AS last_val,
+      |    least(list_min(vals), nx_vals[1]) AS min_val,
+      |    greatest(vals[1], nx_vals[1]) AS max_val
+      |  FROM seq
+      |  WHERE dir = 'DOWN' AND nx_dir = 'UP'
+      |    AND nx_l2s[1] IS NOT NULL AND nx_vals[1] > nx_l2s[1])
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_ord) AS BIGINT) AS match_no,
+      |  start_ord, end_ord, n_rows, first_val, last_val, min_val, max_val
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr1_match_recognize" -> mr1 _,
     "mr2_measures" -> mr2 _,
     "mr3_all_rows" -> mr3 _,
-    "mr4_var_navigation" -> mr4 _)
+    "mr4_var_navigation" -> mr4 _,
+    "mr5_reluctant_nav" -> mr5 _)
 
   val oracle: Map[String, String] = Map(
     "mr1_match_recognize" -> mr1Sql,
     "mr2_measures" -> mr2Sql,
     "mr3_all_rows" -> mr3Sql,
-    "mr4_var_navigation" -> mr4Sql)
+    "mr4_var_navigation" -> mr4Sql,
+    "mr5_reluctant_nav" -> mr5Sql)
 }

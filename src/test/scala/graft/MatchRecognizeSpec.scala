@@ -250,4 +250,86 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq
     assert(ms.map(_.part_key).sorted == Seq(1L, 2L))
   }
+
+  test("reluctant +? stops at the FIRST viable continuation, greedy at the last") {
+    val spk = spark
+    import spk.implicits._
+    val df = Seq[Double](5, 4, 6, 7).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val any: (Row, Row) => Boolean = (_, _) => true
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val defs = Map("A" -> any, "U" -> up)
+    // greedy: A+ backtracks from the end → U is the LAST rise (ord 3)
+    val g = MatchRecognize(df, "k", "ord", "A+ U", defs).collect().toSeq
+    assert(g.map(m => (m.start_ord, m.end_ord, m.n_rows)) == Seq((0L, 3L, 4L)))
+    // reluctant: A+? takes the FEWEST A rows → U is the FIRST rise (ord 2)
+    val r = MatchRecognize(df, "k", "ord", "A+? U", defs).collect().toSeq
+    assert(r.map(m => (m.start_ord, m.end_ord, m.n_rows)) == Seq((0L, 2L, 3L)))
+  }
+
+  test("ctx DEFINE: physical PREV(n)/NEXT navigation") {
+    val spk = spark
+    import spk.implicits._
+    import MatchRecognize.MatchCtx
+    val df = Seq[Double](1, 2, 3, 4, 1, 1).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    def v(r: Row): Double = if (r == null) Double.NaN else r.getAs[Double]("v")
+    // X: two-back rise (PREV(v, 2) comparison), null-rejecting
+    val x: MatchCtx => Boolean =
+      ctx => ctx.prev(2) != null && v(ctx.row) > v(ctx.prev(2))
+    val xs = MatchRecognize.measuresCtx(df, "k", "ord", "X{2,}", Map("X" -> x), "v")
+      .collect().toSeq
+    assert(xs.map(m => (m.start_ord, m.end_ord, m.n_rows)) == Seq((2L, 3L, 2L)))
+    // Y: the NEXT row falls below the current one (lookahead)
+    val y: MatchCtx => Boolean =
+      ctx => ctx.next(1) != null && v(ctx.next(1)) < v(ctx.row)
+    val ys = MatchRecognize.measuresCtx(df, "k", "ord", "Y", Map("Y" -> y), "v")
+      .collect().toSeq.sortBy(_.start_ord)
+    assert(ys.map(_.start_ord) == Seq(3L)) // only 4 → 1 falls
+  }
+
+  test("ctx DEFINE: running FIRST/LAST over a SUBSET union") {
+    val spk = spark
+    import spk.implicits._
+    import MatchRecognize.MatchCtx
+    val df = Seq[Double](10, 9, 8, 11).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    def v(r: Row): Double = if (r == null) Double.NaN else r.getAs[Double]("v")
+    val down: MatchCtx => Boolean =
+      ctx => ctx.prev(1) != null && v(ctx.row) < v(ctx.prev(1))
+    // R: recovery ABOVE the match's first mapped row (via subset W) and
+    // above the last D row — running FIRST/LAST navigation in DEFINE
+    val rec: MatchCtx => Boolean = ctx =>
+      ctx.first("W") != null && v(ctx.row) > v(ctx.first("W")) &&
+        ctx.last("D") != null && v(ctx.row) > v(ctx.last("D"))
+    val ms = MatchRecognize.measuresCtx(df, "k", "ord", "D+ R",
+      Map("D" -> down, "R" -> rec), "v",
+      subsets = Map("W" -> Set("D", "R"))).collect().toSeq
+    // match = falls at ord 1,2 then 11 > first(W)=9 and > last(D)=8
+    assert(ms.map(m => (m.start_ord, m.end_ord, m.n_rows, m.first_val, m.last_val))
+      == Seq((1L, 3L, 3L, 9.0, 11.0)))
+  }
+
+  test("AFTER MATCH SKIP TO LAST resolves SUBSET union names") {
+    val spk = spark
+    import spk.implicits._
+    import MatchRecognize.MatchCtx
+    val df = Seq[Double](5, 4, 6, 5, 7).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    def v(r: Row): Double = if (r == null) Double.NaN else r.getAs[Double]("v")
+    val down: MatchCtx => Boolean =
+      ctx => ctx.prev(1) != null && v(ctx.row) < v(ctx.prev(1))
+    val up: MatchCtx => Boolean =
+      ctx => ctx.prev(1) != null && v(ctx.row) > v(ctx.prev(1))
+    val defs = Map("D" -> down, "U" -> up)
+    def run(skip: MatchRecognize.SkipMode) =
+      MatchRecognize.measuresCtx(df, "k", "ord", "D U", defs, "v",
+        skip = skip, subsets = Map("W" -> Set("D", "U")))
+        .collect().toSeq.sortBy(_.start_ord).map(m => (m.start_ord, m.end_ord))
+    // W's last row IS U's last row, so both skips resume identically
+    assert(run(MatchRecognize.SkipMode.ToLast("W")) ==
+      run(MatchRecognize.SkipMode.ToLast("U")))
+    assert(run(MatchRecognize.SkipMode.ToLast("W")) == Seq((1L, 2L), (3L, 4L)))
+  }
 }
