@@ -513,19 +513,32 @@ object Relational {
 
   // ---------------------------------------------------------------- q21 (adapted: multi-line orders, EXISTS + NOT EXISTS w/ non-equi)
   def q21(s: SparkSession, dir: String): DataFrame = {
-    val l1 = t(s, dir, "lineitem").alias("l1")
-    val l2 = t(s, dir, "lineitem").alias("l2")
-    val l3 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R").alias("l3")
+    // The EXISTS / NOT EXISTS pair is decided per (order, supplier), so
+    // instead of two more passes over lineitem (semi + anti self-joins —
+    // three scans and three shuffles of the big table), aggregate a
+    // per-order supplier census ONCE and join it back: EXISTS(other
+    // supplier) ⇔ n_supp >= 2; NOT EXISTS(other supplier with R) ⇔ the
+    // order's R-suppliers are none or exactly l1's. At scale this ships
+    // one narrow (orderkey, 3 cols) relation instead of re-shuffling
+    // lineitem twice; the (orderkey, suppkey) pre-level collapses
+    // duplicate lines map-side before the wide rollup.
+    val li = t(s, dir, "lineitem")
+    val perSupp = li
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+    val ordStats = perSupp.groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("has_r")).as("nr_supp"),
+        max(when(col("has_r") === 1, col("sk"))).as("r_supp"))
     val orders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
     t(s, dir, "supplier")
-      .join(l1, col("s_suppkey") === col("l1.l_suppkey"))
-      .join(orders, col("o_orderkey") === col("l1.l_orderkey"))
-      .join(l2,
-        col("l2.l_orderkey") === col("l1.l_orderkey") &&
-        col("l2.l_suppkey") =!= col("l1.l_suppkey"), "left_semi")
-      .join(l3,
-        col("l3.l_orderkey") === col("l1.l_orderkey") &&
-        col("l3.l_suppkey") =!= col("l1.l_suppkey"), "left_anti")
+      .join(li.select(col("l_suppkey"), col("l_orderkey")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(orders, col("o_orderkey") === col("l_orderkey"))
+      .join(ordStats, col("ok") === col("l_orderkey"))
+      .filter(col("n_supp") >= 2 &&
+        (col("nr_supp") === 0 ||
+          (col("nr_supp") === 1 && col("r_supp") === col("l_suppkey"))))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
