@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g (not 8g): the bench runs 121 queries x 4 executions in ONE JVM;
+  // at 8g the accumulated heap state turned sketch/stream queries into
+  // GC-spike lotteries (hll1 samples 8.15/5.14/1.68 s in-suite vs a
+  // 1.47 s isolated median). 24g measured -7% on the full sf0.1 suite
+  // and removed the spikes; the machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

