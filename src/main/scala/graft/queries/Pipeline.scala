@@ -538,6 +538,46 @@ object Pipeline {
       |FROM documents WHERE len(string_split(text, ' ')) >= 20
       |GROUP BY lang""".stripMargin
 
+  // ------------------------------ p15 orc/csv/json format round-trip
+  /** Non-parquet format coverage under the oracle gate (SURVEY §2.1
+    * "other formats" — reference `lib/trino-orc`,
+    * `lib/trino-hive-formats`): customer key columns are written to
+    * ORC, JSON-lines, and CSV sinks, read back through each reader
+    * with the original schema, and aggregated per format. Lossless
+    * round-trips make the three rows identical, which is exactly what
+    * the oracle asserts by computing the same aggregate once from the
+    * source-of-truth parquet and fanning it across the format labels —
+    * a corrupted write, a reader type drift, or a dropped row in ANY
+    * of the three formats breaks the hash. Only exactly-representable
+    * types cross the text formats (bigint + string), so the compare
+    * is bit-exact by construction. */
+  def p15(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+        col("c_mktsegment"))
+    val base = s"/tmp/graft_sink/p15_${dir.replaceAll("[^a-z0-9.]", "_")}_${srcTag(dir, "customer")}"
+    Seq("orc", "json", "csv").map { fmt =>
+      val path = s"$base/$fmt"
+      src.write.format(fmt).option("header", "true").mode("overwrite").save(path)
+      s.read.format(fmt).option("header", "true").schema(src.schema).load(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).cast("long").as("key_sum"),
+          countDistinct(md5(concat_ws("|", col("c_name"), col("c_mktsegment"))))
+            .as("distinct_rows"),
+          sum(col("c_nationkey")).cast("long").as("nation_sum"))
+        .withColumn("fmt", lit(fmt))
+    }.reduce(_ unionAll _)
+  }
+
+  val p15Sql: String =
+    """WITH agg AS (
+      |  SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |    count(DISTINCT md5(c_name || '|' || c_mktsegment)) AS distinct_rows,
+      |    CAST(sum(c_nationkey) AS BIGINT) AS nation_sum
+      |  FROM customer)
+      |SELECT f.fmt, a.n_rows, a.key_sum, a.distinct_rows, a.nation_sum
+      |FROM (VALUES ('orc'), ('json'), ('csv')) AS f(fmt) CROSS JOIN agg a""".stripMargin
+
   // ------------------------------------ p12 dynamic partition pruning
   /** Dynamic partition pruning over a partitioned fact (reference
     * capability: `operator/DynamicFilterSourceOperator.java:1` — the
@@ -711,7 +751,8 @@ object Pipeline {
     "p11_ann_ivf" -> p11 _,
     "p12_dpp" -> p12 _,
     "p13_fingerprint_buckets" -> p13 _,
-    "p14_embedding_neardup" -> p14 _)
+    "p14_embedding_neardup" -> p14 _,
+    "p15_format_roundtrip" -> p15 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -727,5 +768,6 @@ object Pipeline {
     "p11_ann_ivf" -> p11Sql,
     "p12_dpp" -> p12Sql,
     "p13_fingerprint_buckets" -> p13Sql,
-    "p14_embedding_neardup" -> p14Sql)
+    "p14_embedding_neardup" -> p14Sql,
+    "p15_format_roundtrip" -> p15Sql)
 }
