@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.engine.Graft
 import graft.engine.Num._
 
+/** Accumulating per-user session state for [[Streams.sessionizeStream]]
+  * (top-level: encoders need a stable TypeTag). */
+case class SessionAcc(startMs: Long, lastMs: Long, cnt: Long)
+
+/** Closed session emitted by [[Streams.sessionizeStream]]. */
+case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,
+    s_end: java.sql.Timestamp, cnt: Long)
+
 /** Structured-Streaming surface over the `events` table (SURVEY §2.10).
   *
   * The reference is batch-only (Kafka/Kinesis connectors map topics to
@@ -223,6 +231,52 @@ object Streams {
         state.update((c, sum))
         (uid, c, sum)
       }.toDF("user_id", "n_events", "value_sum")
+  }
+
+  /** Session close-out via flatMapGroupsWithState + EventTimeTimeout —
+    * the arbitrary-stateful surface st3's declarative session_window
+    * can't express: emit a session record the moment the watermark
+    * proves it over (last event + gap < watermark), not at query end.
+    * State per user is one (start, last, cnt) triple; the event-time
+    * timeout is re-armed to last+gap on every update, so state is
+    * dropped deterministically as the watermark passes — bounded by
+    * live-session cardinality at 100 TB/day, independent of history.
+    * Splits that happen INSIDE one micro-batch are emitted inline;
+    * cross-batch closes ride the timeout path. */
+  def sessionizeStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapMs = 5 * 60 * 1000L
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (uid, it, state) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+            new java.sql.Timestamp(s.lastMs), s.cnt))
+        } else {
+          val times = it.map(_._2.getTime).toArray.sorted
+          var acc = state.getOption.getOrElse(SessionAcc(times.head, times.head, 0L))
+          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+          times.foreach { ts =>
+            if (acc.cnt > 0 && ts - acc.lastMs > gapMs) {
+              closed += ClosedSession(uid, new java.sql.Timestamp(acc.startMs),
+                new java.sql.Timestamp(acc.lastMs), acc.cnt)
+              acc = SessionAcc(ts, ts, 1L)
+            } else {
+              acc = SessionAcc(math.min(acc.startMs, ts),
+                math.max(acc.lastMs, ts), acc.cnt + 1)
+            }
+          }
+          state.update(acc)
+          state.setTimeoutTimestamp(acc.lastMs + gapMs)
+          closed.iterator
+        }
+      }.toDF()
   }
 
   // ------------------------------------------------------------- exports

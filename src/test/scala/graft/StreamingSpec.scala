@@ -103,6 +103,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest == expected)
   }
 
+  test("flatMapGroupsWithState closes sessions on event-time timeout") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(ms: Long, uid: Long) = Ev(new Timestamp(ms), uid, "view", 1.0)
+    val stream = MemoryStream[Ev]
+    val q = graft.streaming.Streams.sessionizeStream(stream.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // u1: 2-event session; u2: 1-event session; u3: splits INSIDE the
+      // batch (second event 20 min later -> first session closes inline)
+      stream.addData(Seq(ev(t0, 1), ev(t0 + 60000, 1), ev(t0, 2),
+        ev(t0, 3), ev(t0 + 20 * 60000, 3)))
+      q.processAllAvailable()
+      // advance the watermark past every first-wave timeout (+30 min
+      // event -> watermark 10:20 after this batch commits)...
+      stream.addData(Seq(ev(t0 + 30 * 60000, 99)))
+      q.processAllAvailable()
+      // ...and one more batch so the timeouts actually fire
+      stream.addData(Seq(ev(t0 + 31 * 60000, 99)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sessions_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    val expected = Set(
+      (1L, t0, t0 + 60000, 2L),             // timeout-closed
+      (2L, t0, t0, 1L),                     // timeout-closed
+      (3L, t0, t0, 1L))                     // closed inline by in-batch split
+    assert(got == expected)
+    // u3's second session and u99 are still live -> NOT emitted
+    assert(!got.exists(s => s._1 == 99L || (s._1 == 3L && s._2 > t0)))
+  }
+
   test("streaming dedup emits one row per key") {
     val spark = sparkSession
     import spark.implicits._
