@@ -57,6 +57,20 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() >= 1) // at least the dominant language survives
   }
 
+  test("p14 candidate join is an equi-join on (band, value), never a cartesian") {
+    val df = graft.queries.Pipeline.queries("p14_embedding_neardup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the vector-vector candidate join must key on the LSH bucket: a
+    // SortMergeJoin/ShuffledHashJoin with band+bv join keys. The only
+    // acceptable nested-loop joins are the broadcast 32-row planes frame.
+    assert(plan.contains("band"), plan.take(1500))
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    val cartesian = "CartesianProduct".r.findAllIn(plan).size
+    assert(cartesian == 0, s"cartesian product in p14 plan:\n${plan.take(2000)}")
+    // planes crossJoins appear once per branch (a, b); nothing else may
+    assert(nested <= 4, s"unexpected nested-loop joins ($nested):\n${plan.take(2000)}")
+  }
+
   test("salted join equals the plain join (skew-mitigation identity)") {
     val line = graft.engine.Graft.load(spark, sfDir, "lineitem")
     val orders = graft.engine.Graft.load(spark, sfDir, "orders")
