@@ -154,6 +154,11 @@ object GraftFunctions {
       (a: String, b: String) => hammingDistance(a, b))
     spark.udf.register("combinations",
       (a: Seq[String], n: Int) => combinations(a, n))
+    spark.udf.register("contains_sequence",
+      (a: Seq[String], b: Seq[String]) => containsSequence(a, b))
+    spark.udf.register("split_to_multimap",
+      (s: String, ed: String, kd: String) => splitToMultimap(s, ed, kd))
+    spark.udf.register("format_number", (v: Long) => formatNumber(v))
     spark.udf.register("parse_data_size", (s: String) => parseDataSize(s))
     spark.udf.register("human_readable_seconds",
       (d: Double) => humanReadableSeconds(d))
@@ -292,6 +297,55 @@ object GraftFunctions {
   /** '2.3MB' → 2411725 bytes (reference DataSizeFunctions
     * parse_data_size: binary units, round half up). Boxed return so a
     * NULL input yields NULL (see [[hammingDistance]]). */
+  /** contains_sequence (reference `operator/scalar/ArrayContainsSequence
+    * .java`): true iff `seq` occurs in `arr` as a CONTIGUOUS
+    * subsequence (an empty sequence is always contained). */
+  def containsSequence(arr: Seq[String], seq: Seq[String]): java.lang.Boolean = {
+    if (arr == null || seq == null) return null
+    seq.isEmpty ||
+      (0 to arr.length - seq.length).exists(i => arr.slice(i, i + seq.length) == seq)
+  }
+
+  /** split_to_multimap (reference `operator/scalar/
+    * SplitToMultimapFunction.java`): split `s` on `entryDelim`, each
+    * entry on the FIRST `kvDelim`, keeping every value per key in
+    * encounter order (unlike split_to_map, which requires unique
+    * keys). */
+  def splitToMultimap(s: String, entryDelim: String,
+      kvDelim: String): Map[String, Seq[String]] = {
+    if (s == null || entryDelim == null || kvDelim == null) return null
+    if (s.isEmpty) return Map.empty
+    val pairs = s.split(java.util.regex.Pattern.quote(entryDelim), -1).toSeq.map { e =>
+      val i = e.indexOf(kvDelim)
+      require(i >= 0, s"entry '$e' has no key-value delimiter '$kvDelim'")
+      (e.substring(0, i), e.substring(i + kvDelim.length))
+    }
+    // groupBy loses encounter order of KEYS; rebuild it explicitly so
+    // the map iterates deterministically (matters for to_json output)
+    val grouped = pairs.groupBy(_._1)
+    pairs.map(_._1).distinct.map(k => k -> grouped(k).map(_._2)).toMap
+  }
+
+  /** format_number (reference `operator/scalar/FormatNumberFunction
+    * .java`): humanize with K/M/B/T/Q unit suffixes, HALF_UP-rounded
+    * to ≤3 significant digits. Quirks mirrored from the reference:
+    * the digit-count choice tests `value < 10`, not |value| (so every
+    * negative gets the 2-decimal format), and 999_950..999_999 round
+    * to "1000K", not "1M". Shadows Spark's 2-arg comma-grouping
+    * builtin of the same name — the reference dialect's 1-arg form
+    * wins in our registry (same policy as url_decode). */
+  def formatNumber(value: Long): String = {
+    var fractional = value.toDouble
+    var unit = ""
+    for (u <- Seq("K", "M", "B", "T", "Q"))
+      if (fractional >= 1000 || fractional <= -1000) { fractional /= 1000; unit = u }
+    val scale = if (fractional < 10) 2 else if (fractional < 100) 1 else 0
+    val bd = java.math.BigDecimal.valueOf(fractional)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros()
+    (if (bd.signum() == 0) "0" else bd.toPlainString) + unit
+  }
+
   def parseDataSize(s: String): java.lang.Long = {
     if (s == null) return null
     val m = "^(\\d+(?:\\.\\d+)?)\\s*([A-Za-z]+)$".r.findFirstMatchIn(s.trim)

@@ -305,28 +305,53 @@ object Scalars {
   def sc9a(s: SparkSession, dir: String): DataFrame = {
     graft.engine.Graft.registerAll(s, dir)
     s.sql(
-      """SELECT doc_id,
-        |  CAST(size(ngrams(split(text, ' '), 3)) AS BIGINT) AS n_3grams,
+      """WITH m AS (
+        |  SELECT doc_id, text, n_chars, split(text, ' ') AS w,
+        |    split_to_multimap(concat('a=', CAST(doc_id % 3 AS STRING), ';b=',
+        |      CAST(doc_id % 5 AS STRING), ';a=', CAST(doc_id % 7 AS STRING)),
+        |      ';', '=') AS mm
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CAST(size(ngrams(w, 3)) AS BIGINT) AS n_3grams,
         |  wilson_interval_lower(CAST(n_chars % 20 AS BIGINT), 20, 1.96) AS wl,
         |  url_decode(url_encode(substring(text, 1, 24))) = substring(text, 1, 24) AS url_rt,
-        |  ip_prefix_contains('10.0.0.0/8', concat('10.0.0.', CAST(doc_id % 256 AS STRING))) AS in_net
-        |FROM documents WHERE doc_id < 200""".stripMargin)
+        |  ip_prefix_contains('10.0.0.0/8', concat('10.0.0.', CAST(doc_id % 256 AS STRING))) AS in_net,
+        |  contains_sequence(w, slice(w, 3, 2)) AS has_run,
+        |  contains_sequence(w, reverse(slice(w, 3, 2))) AS has_rev,
+        |  format_number(CAST(doc_id AS BIGINT) * 1236) AS fmt,
+        |  array_join(transform(array_sort(map_keys(mm)),
+        |    k -> concat(k, ':', array_join(mm[k], ','))), '|') AS mmap
+        |FROM m""".stripMargin)
   }
 
   val sc9aSql: String =
     """WITH d AS (
-      |  SELECT doc_id, text,
+      |  SELECT doc_id, text, string_split(text, ' ') AS w,
       |    CAST(n_chars % 20 AS DOUBLE) / 20 AS p,
-      |    CAST(1.96 AS DOUBLE) AS z
-      |  FROM documents WHERE doc_id < 200)
+      |    CAST(1.96 AS DOUBLE) AS z,
+      |    CAST(doc_id AS BIGINT) * 1236 AS v
+      |  FROM documents WHERE doc_id < 200),
+      |d2 AS (
+      |  SELECT *, w[3:4] AS q, list_reverse(w[3:4]) AS q2, v / 1000.0 AS f
+      |  FROM d)
       |SELECT doc_id,
-      |  GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT) - 2, 0) AS n_3grams,
+      |  GREATEST(CAST(len(w) AS BIGINT) - 2, 0) AS n_3grams,
       |  LEAST(1.0, GREATEST(0.0,
       |    (p + (z*z) / 40 - z * sqrt(p * (1 - p) / 20
       |       + (z*z) / (4.0 * 20 * 20))) / (1 + (z*z) / 20))) AS wl,
       |  TRUE AS url_rt,
-      |  TRUE AS in_net
-      |FROM d""".stripMargin
+      |  TRUE AS in_net,
+      |  len(list_filter(generate_series(1, len(w) - len(q) + 1),
+      |    i -> w[i:i+len(q)-1] = q)) > 0 AS has_run,
+      |  len(list_filter(generate_series(1, len(w) - len(q2) + 1),
+      |    i -> w[i:i+len(q2)-1] = q2)) > 0 AS has_rev,
+      |  CASE WHEN v < 1000 THEN CAST(v AS VARCHAR)
+      |       WHEN f < 10 THEN rtrim(rtrim(CAST(round(f, 2) AS VARCHAR), '0'), '.') || 'K'
+      |       WHEN f < 100 THEN rtrim(rtrim(CAST(round(f, 1) AS VARCHAR), '0'), '.') || 'K'
+      |       ELSE CAST(CAST(round(f, 0) AS BIGINT) AS VARCHAR) || 'K' END AS fmt,
+      |  'a:' || CAST(doc_id % 3 AS VARCHAR) || ',' || CAST(doc_id % 7 AS VARCHAR)
+      |    || '|b:' || CAST(doc_id % 5 AS VARCHAR) AS mmap
+      |FROM d2""".stripMargin
 
   /** The engine-specific remainder (Porter1 stems, heuristic lang-id):
     * rows-only by design; exact kernel semantics are pinned by

@@ -337,6 +337,44 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------- data size / duration
+  test("contains_sequence finds contiguous runs only") {
+    import graft.functions.GraftFunctions.containsSequence
+    val arr = Seq("a", "b", "c", "b", "c", "d")
+    assert(containsSequence(arr, Seq("b", "c", "d")) == true)
+    assert(containsSequence(arr, Seq("a", "b", "c")) == true)
+    assert(containsSequence(arr, Seq("a", "c")) == false) // subsequence, not a run
+    assert(containsSequence(arr, Seq.empty) == true)
+    assert(containsSequence(arr, arr) == true)
+    assert(containsSequence(arr, arr :+ "e") == false)
+    assert(containsSequence(null, Seq("a")) == null)
+  }
+
+  test("split_to_multimap keeps duplicate keys in encounter order") {
+    import graft.functions.GraftFunctions.splitToMultimap
+    assert(splitToMultimap("a=1;b=2;a=3", ";", "=") ==
+      Map("a" -> Seq("1", "3"), "b" -> Seq("2")))
+    // only the FIRST kv delimiter splits; the rest stays in the value
+    assert(splitToMultimap("k=v=w", ";", "=") == Map("k" -> Seq("v=w")))
+    assert(splitToMultimap("", ";", "=") == Map.empty)
+    intercept[IllegalArgumentException](splitToMultimap("novalue", ";", "="))
+  }
+
+  test("format_number humanizes with reference quirks") {
+    import graft.functions.GraftFunctions.formatNumber
+    assert(formatNumber(0) == "0")
+    assert(formatNumber(123) == "123")
+    assert(formatNumber(1234) == "1.23K")
+    assert(formatNumber(12345) == "12.3K")
+    assert(formatNumber(123456) == "123K")
+    assert(formatNumber(1000000) == "1M")
+    assert(formatNumber(12345678901L) == "12.3B")
+    // quirk: 999999/1000 = 999.999 -> "#" rounds to 1000K, not 1M
+    assert(formatNumber(999999) == "1000K")
+    // quirk: value<10 test is not abs(), negatives get 2 decimals
+    assert(formatNumber(-12345) == "-12.35K")
+    assert(formatNumber(-5) == "-5")
+  }
+
   test("parse_data_size uses binary units with half-up rounding") {
     assert(GraftFunctions.parseDataSize("2.3MB") == 2411725L) // reference doc example
     assert(GraftFunctions.parseDataSize("0B") == 0L)
