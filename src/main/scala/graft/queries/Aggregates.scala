@@ -45,7 +45,13 @@ object Aggregates {
 
   // -------------------------------------------------- ag1 min_by/max_by
   /** min_by/max_by with a unique ordering key (deterministic), plus
-    * plain string min/max. */
+    * plain string min/max, plus the reference's N-variants
+    * `min_by(x, y, n)` / `max_by(x, y, n)` (reference
+    * `operator/aggregation/minmaxbyn/`) composed as
+    * sort-once-slice-twice over one collect_list — a single
+    * ObjectHashAggregate buffer per group, bounded by group size (at
+    * scale the N-variant would cap the buffer with a per-group
+    * bounded heap; group sizes here are catalog-bounded). */
   def ag1(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .groupBy(col("c_nationkey"))
@@ -54,7 +60,15 @@ object Aggregates {
         max_by(col("c_name"), col("c_custkey")).as("last_customer"),
         min(col("c_name")).as("min_name"),
         max(col("c_name")).as("max_name"),
-        count(lit(1)).as("cnt"))
+        count(lit(1)).as("cnt"),
+        array_sort(collect_list(struct(col("c_custkey"), col("c_name"))))
+          .as("srt"))
+      .select(col("c_nationkey"), col("first_customer"), col("last_customer"),
+        col("min_name"), col("max_name"), col("cnt"),
+        concat_ws(",", expr("transform(slice(srt, 1, 3), s -> s.c_name)"))
+          .as("first3"),
+        concat_ws(",", expr("transform(slice(reverse(srt), 1, 3), s -> s.c_name)"))
+          .as("last3"))
 
   val ag1Sql: String =
     """SELECT c_nationkey,
@@ -62,7 +76,9 @@ object Aggregates {
       |  max_by(c_name, c_custkey) AS last_customer,
       |  min(c_name) AS min_name,
       |  max(c_name) AS max_name,
-      |  count(*) AS cnt
+      |  count(*) AS cnt,
+      |  array_to_string((list(c_name ORDER BY c_custkey))[1:3], ',') AS first3,
+      |  array_to_string((list(c_name ORDER BY c_custkey DESC))[1:3], ',') AS last3
       |FROM customer GROUP BY c_nationkey""".stripMargin
 
   // ----------------------------------------- ag2 bool/bit aggregates
