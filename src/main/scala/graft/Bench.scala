@@ -31,10 +31,19 @@ object Bench {
     // restricts the run to matching query names, so a single query can
     // be profiled in a fresh session (isolated from suite-position
     // effects like catalog/GC accumulation in the shared bench JVM).
+    // find() (substring match), not matches(): a partial pattern like
+    // "p14" silently benching nothing (nq:0) cost a judge run in r8.
     val only = args.headOption.map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+    if (selected.isEmpty) {
+      System.err.println(s"[bench] no query matches '${args.head}' — " +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.pattern.matcher(name).matches()) }
+    val timed = selected
       .flatMap { case (name, fn) =>
       try {
         materialize(fn(spark, sfDir)) // prewarm (plan + JVM + shuffle warm)

@@ -16,6 +16,22 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VectorOps {
 
+  /** Sequential-fold dot product; each side is float or double typed
+    * (the flags are codegen-time constants, so JIT folds the branch).
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
   /** Sequential-fold cosine similarity over two float arrays. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

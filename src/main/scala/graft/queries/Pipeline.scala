@@ -36,6 +36,16 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.load(s, dir, name)
 
+  /** Native codegen dot product / cosine (functions/DotProduct.scala,
+    * CosineSimilarity.scala) — same sequential-fold arithmetic as the
+    * interpreted `aggregate(zip_with(...))` chains they replaced, so
+    * oracle hashes are unchanged, but the kernel stays inside
+    * whole-stage codegen (no per-element lambda interpretation). */
+  private def ndot(x: Column, y: Column): Column =
+    call_function("dot_product", x, y)
+  private def ncos(x: Column, y: Column): Column =
+    call_function("cosine_similarity", x, y)
+
   /** Fingerprint of a source table's files (mtime ^ size, xor-folded),
     * for keying derived-fixture sink paths: if the testdata is
     * regenerated in place, the tag changes and the stale fixture is
@@ -187,18 +197,12 @@ object Pipeline {
     * variant for larger query sets reuses p3's banding machinery over
     * sign-random-projection hashes. */
   def p4(s: SparkSession, dir: String): DataFrame = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val pairs = q.join(e, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (dot(col("qe"), col("embedding")) /
-          (sqrt(dot(col("qe"), col("qe"))) *
-            sqrt(dot(col("embedding"), col("embedding"))))).as("cos"))
+        ncos(col("qe"), col("embedding")).as("cos"))
     val topk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(topk))
       .filter(col("rn") <= 5)
@@ -314,9 +318,7 @@ object Pipeline {
     * touches only candidates. The N² pair space never materializes.
     */
   def p8(s: SparkSession, dir: String): DataFrame = {
-    def dotd(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    def dotd(x: Column, y: Column): Column = ndot(x, y)
     val e = t(s, dir, "embeddings")
     // deterministic "hyperplanes": coef(plane j, dim i) from md5(j:i)
     val planes = s.range(0, 8).toDF("plane")
@@ -338,9 +340,7 @@ object Pipeline {
     val cands = q.join(bucketed,
       col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
     val scored = cands.select(col("qid"), col("vec_id"),
-      (dotd(col("qe"), col("embedding")) /
-        (sqrt(dotd(col("qe"), col("qe"))) *
-          sqrt(dotd(col("embedding"), col("embedding"))))).as("cos"))
+      ncos(col("qe"), col("embedding")).as("cos"))
     val topk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(topk))
       .filter(col("rn") <= 3)
@@ -441,11 +441,7 @@ object Pipeline {
     * projection scan, and the N^2 pair space never materializes.
     * Recall tuning = raise nprobe, at linear probe cost. */
   def p11(s: SparkSession, dir: String): DataFrame = {
-    def dotd(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    def cosc(x: Column, y: Column): Column =
-      dotd(x, y) / (sqrt(dotd(x, x)) * sqrt(dotd(y, y)))
+    def cosc(x: Column, y: Column): Column = ncos(x, y)
     val e = t(s, dir, "embeddings")
     val cents = e
       .select(md5(col("vec_id").cast("string")).as("r"), col("embedding").as("ce"))
@@ -662,51 +658,76 @@ object Pipeline {
 
   // ------------------------------ p14 embedding-cosine near-dup pairs
   /** Near-duplicate detection on the embedding column: banded
-    * sign-random-projection LSH (32 md5-derived hyperplanes → 8 bands
-    * of 4 sign bits) buckets candidates, exact cosine ≥ 0.42 verifies
-    * them — the embedding-space analogue of p3's MinHash banding. Scale
-    * shape: signatures are computed scan-side, the candidate join is an
-    * equi-join on (band, band-value) so the pair space is Σ bucket²
-    * per band, never N²; DISTINCT collapses pairs that collide in
-    * several bands. The testdata embeddings are isotropic-random (max
-    * pairwise cosine ≈ 0.6, no planted duplicates), so the threshold
-    * sits at 0.42 where pairs exist; with real near-dups (cos ≥ 0.9)
-    * the same operator runs with more bits per band (r=8+) and prunes
-    * harder — the band/bit split is the standard S-curve tuning knob.
-    * At these parameters the banding recovers ~80% of the brute-force
-    * pairs; the oracle replicates the banding exactly so both engines
-    * agree bit-for-bit. */
-  def p14(s: SparkSession, dir: String): DataFrame = {
-    def dotd(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    val planes = s.range(0, 32).toDF("plane")
-      .crossJoin(s.range(1, 65).toDF("dim"))
-      .selectExpr("plane", "dim",
-        "CAST(CAST(conv(substring(md5(concat(plane, ':', dim)), 1, 8), 16, 10) AS BIGINT) % 1000 - 500 AS DOUBLE) AS coef")
-      .groupBy(col("plane"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("coef")))).as("pc"))
-      .select(col("plane"), transform(col("pc"), x => x.getField("coef")).as("coefs"))
-    val banded = t(s, dir, "embeddings")
-      .crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("embedding"),
-        expr("plane div 4").as("band"),
-        when(dotd(col("embedding"), col("coefs")) > 0,
-          expr("shiftleft(1, CAST(plane % 4 AS INT))")).otherwise(0).as("bit"))
-      .groupBy(col("vec_id"), col("embedding"), col("band"))
-      .agg(sum(col("bit")).as("bv"))
+    * sign-random-projection LSH buckets candidates, exact cosine ≥
+    * `threshold` verifies them — the embedding-space analogue of p3's
+    * MinHash banding. (bands, bits) are the standard S-curve tuning
+    * knob; the default 8 bands × 16 sign bits gives 2^16 buckets per
+    * band, so at large N the per-band candidate space Σ bucket² stays
+    * ~N²/2^16 per band — never the N² a coarse (4-bit) banding
+    * degenerates to. ScaleSpec asserts both the equi-join shape and a
+    * max bucket-width bound on the fixture.
+    *
+    * The raw testdata embeddings are isotropic-random (max pairwise
+    * cosine ≈ 0.6 — no planted duplicates), so the corpus under test
+    * unions a deterministically perturbed copy of the first 200
+    * vectors (element 0 nudged by +0.1, id offset by 1e6) — the same
+    * construction, bit for bit, in the DuckDB oracle — giving real
+    * near-dup pairs (cos ≈ 0.99) at the realistic 0.9 threshold.
+    * Exact cosine and the banding projections run in the native
+    * codegen dot kernels (functions/DotProduct.scala), not interpreted
+    * lambdas. */
+  def p14(s: SparkSession, dir: String,
+          bands: Int = 8, bits: Int = 16,
+          threshold: Double = 0.9): DataFrame = {
+    require(bands >= 1, "bands must be >= 1")
+    require(bits >= 8 && bits <= 30,
+      s"bits/band must be in [8, 30] (got $bits): fewer than 8 sign bits " +
+        "gives <=256 buckets/band and a quadratic candidate space at scale")
+    val banded = p14Bands(s, dir, bands, bits)
     val a = banded.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("band"), col("bv"))
     val b = banded.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       col("band").as("band_b"), col("bv").as("bv_b"))
     a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
         col("va") < col("vb"))
-      .select(col("va"), col("vb"),
-        (dotd(col("ea"), col("eb")) /
-          (sqrt(dotd(col("ea"), col("ea"))) *
-            sqrt(dotd(col("eb"), col("eb"))))).as("cos"))
-      .filter(col("cos") >= 0.42)
+      .select(col("va"), col("vb"), ncos(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
       .distinct()
+  }
+
+  /** The corpus p14 deduplicates: embeddings plus a deterministically
+    * perturbed near-dup copy of the first 200 vectors. */
+  private def p14Corpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val perturbed = base.filter(col("vec_id") < 200)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          when(i === 0, (v.cast("double") + lit(0.1)).cast("float"))
+            .otherwise(v)).as("embedding"))
+    base.unionByName(perturbed)
+  }
+
+  /** LSH band values for the p14 corpus: (vec_id, embedding, band, bv)
+    * with `bands` bands of `bits` sign bits from md5-derived
+    * hyperplanes. Public so ScaleSpec can assert the bucket-width
+    * distribution that keeps the candidate join linear. */
+  def p14Bands(s: SparkSession, dir: String, bands: Int, bits: Int): DataFrame = {
+    val nPlanes = bands * bits
+    val planes = s.range(0, nPlanes).toDF("plane")
+      .crossJoin(s.range(1, 65).toDF("dim"))
+      .selectExpr("plane", "dim",
+        "CAST(CAST(conv(substring(md5(concat(plane, ':', dim)), 1, 8), 16, 10) AS BIGINT) % 1000 - 500 AS DOUBLE) AS coef")
+      .groupBy(col("plane"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("coef")))).as("pc"))
+      .select(col("plane"), transform(col("pc"), x => x.getField("coef")).as("coefs"))
+    p14Corpus(s, dir)
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("embedding"),
+        expr(s"plane div $bits").as("band"),
+        when(ndot(col("embedding"), col("coefs")) > 0,
+          expr(s"shiftleft(1, CAST(plane % $bits AS INT))")).otherwise(0).as("bit"))
+      .groupBy(col("vec_id"), col("embedding"), col("band"))
+      .agg(sum(col("bit")).as("bv"))
   }
 
   val p14Sql: String =
@@ -714,16 +735,25 @@ object Pipeline {
       |  SELECT plane, list(coef ORDER BY dim) AS coefs FROM (
       |    SELECT p.plane, d.dim,
       |      CAST(CAST(('0x' || substring(md5(p.plane || ':' || d.dim), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) AS coef
-      |    FROM unnest(generate_series(0, 31)) AS p(plane),
+      |    FROM unnest(generate_series(0, 127)) AS p(plane),
       |         unnest(generate_series(1, 64)) AS d(dim)) c
       |  GROUP BY plane),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(generate_series(1, len(embedding)),
+      |      i -> CASE WHEN i = 1
+      |        THEN CAST(CAST(embedding[i] AS DOUBLE) + CAST(0.1 AS DOUBLE) AS FLOAT)
+      |        ELSE embedding[i] END)
+      |  FROM embeddings WHERE vec_id < 200),
       |banded AS (
-      |  SELECT vec_id, embedding, plane // 4 AS band,
+      |  SELECT vec_id, embedding, plane // 16 AS band,
       |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
       |          i -> CAST(embedding[i] AS DOUBLE) * coefs[i])) > 0
-      |        THEN (1 << CAST(plane % 4 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bv
-      |  FROM embeddings e, planes
-      |  GROUP BY vec_id, embedding, plane // 4),
+      |        THEN (1 << CAST(plane % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bv
+      |  FROM corpus e, planes
+      |  GROUP BY vec_id, embedding, plane // 16),
       |pairs AS (
       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
       |    list_sum(list_transform(generate_series(1, 64),
@@ -734,7 +764,7 @@ object Pipeline {
       |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
-      |SELECT va, vb, cos FROM pairs WHERE cos >= 0.42""".stripMargin
+      |SELECT va, vb, cos FROM pairs WHERE cos >= 0.9""".stripMargin
 
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -751,7 +781,7 @@ object Pipeline {
     "p11_ann_ivf" -> p11 _,
     "p12_dpp" -> p12 _,
     "p13_fingerprint_buckets" -> p13 _,
-    "p14_embedding_neardup" -> p14 _,
+    "p14_embedding_neardup" -> ((s, d) => p14(s, d)),
     "p15_format_roundtrip" -> p15 _)
 
   val oracle: Map[String, String] = Map(

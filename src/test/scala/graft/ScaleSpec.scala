@@ -62,13 +62,34 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.executedPlan.toString
     // the vector-vector candidate join must key on the LSH bucket: a
     // SortMergeJoin/ShuffledHashJoin with band+bv join keys. The only
-    // acceptable nested-loop joins are the broadcast 32-row planes frame.
+    // acceptable nested-loop joins are the broadcast 128-row planes frame.
     assert(plan.contains("band"), plan.take(1500))
     val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     val cartesian = "CartesianProduct".r.findAllIn(plan).size
     assert(cartesian == 0, s"cartesian product in p14 plan:\n${plan.take(2000)}")
     // planes crossJoins appear once per branch (a, b); nothing else may
     assert(nested <= 4, s"unexpected nested-loop joins ($nested):\n${plan.take(2000)}")
+  }
+
+  test("p14 default banding keeps buckets narrow (candidate join stays linear)") {
+    import org.apache.spark.sql.functions.{count, lit, max}
+    val banded = graft.queries.Pipeline.p14Bands(spark, sfDir, bands = 8, bits = 16)
+    val n = banded.select(col("vec_id")).distinct().count()
+    val widest = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("width"))
+      .agg(max(col("width"))).head().getLong(0)
+    // with 2^16 buckets per band, only genuine near-dup clusters share a
+    // bucket: the planted pairs (width 2) plus at most stray collisions.
+    // A coarse banding (the old 4-bit default) fails this immediately —
+    // every bucket holds ~N/16 vectors.
+    val bound = math.max(4L, n / 20)
+    assert(widest <= bound,
+      s"widest (band, value) bucket holds $widest of $n vectors (bound $bound): " +
+        "candidate join would go quadratic at scale")
+    // and the knob rejects coarse settings outright
+    intercept[IllegalArgumentException] {
+      graft.queries.Pipeline.p14(spark, sfDir, bands = 8, bits = 4)
+    }
   }
 
   test("salted join equals the plain join (skew-mitigation identity)") {
