@@ -79,6 +79,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MultimapAgg].getName, "multimap_agg"),
       (children: Seq[Expression]) => MultimapAgg(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("min_by_n"),
+      new ExpressionInfo(classOf[MinByN].getName, "min_by_n"),
+      (children: Seq[Expression]) =>
+        MinByN(children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier("max_by_n"),
+      new ExpressionInfo(classOf[MaxByN].getName, "max_by_n"),
+      (children: Seq[Expression]) =>
+        MaxByN(children(0), children(1), children(2))))
+    e.injectFunction((
       FunctionIdentifier("kmv_set_digest"),
       new ExpressionInfo(classOf[KmvDigestAgg].getName, "kmv_set_digest"),
       (children: Seq[Expression]) => KmvDigestAgg(children.head)))

@@ -47,11 +47,11 @@ object Aggregates {
   /** min_by/max_by with a unique ordering key (deterministic), plus
     * plain string min/max, plus the reference's N-variants
     * `min_by(x, y, n)` / `max_by(x, y, n)` (reference
-    * `operator/aggregation/minmaxbyn/`) composed as
-    * sort-once-slice-twice over one collect_list — a single
-    * ObjectHashAggregate buffer per group, bounded by group size (at
-    * scale the N-variant would cap the buffer with a per-group
-    * bounded heap; group sizes here are catalog-bounded). */
+    * `operator/aggregation/minmaxbyn/`) as the bounded-heap
+    * TypedImperativeAggregates `min_by_n`/`max_by_n`
+    * (functions/MinMaxByN.scala) — O(n) state per group regardless of
+    * group size, unlike the collect_list composition this replaced,
+    * whose buffer grew linearly with the group. */
   def ag1(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .groupBy(col("c_nationkey"))
@@ -61,14 +61,14 @@ object Aggregates {
         min(col("c_name")).as("min_name"),
         max(col("c_name")).as("max_name"),
         count(lit(1)).as("cnt"),
-        array_sort(collect_list(struct(col("c_custkey"), col("c_name"))))
-          .as("srt"))
+        call_function("min_by_n", col("c_name"), col("c_custkey"), lit(3))
+          .as("firsts"),
+        call_function("max_by_n", col("c_name"), col("c_custkey"), lit(3))
+          .as("lasts"))
       .select(col("c_nationkey"), col("first_customer"), col("last_customer"),
         col("min_name"), col("max_name"), col("cnt"),
-        concat_ws(",", expr("transform(slice(srt, 1, 3), s -> s.c_name)"))
-          .as("first3"),
-        concat_ws(",", expr("transform(slice(reverse(srt), 1, 3), s -> s.c_name)"))
-          .as("last3"))
+        concat_ws(",", col("firsts")).as("first3"),
+        concat_ws(",", col("lasts")).as("last3"))
 
   val ag1Sql: String =
     """SELECT c_nationkey,

@@ -121,4 +121,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(viaBuckets) == keys(naive))
     assert(viaBuckets.count() == 1000) // bands cover [0,100) exactly once
   }
+
+  test("min_by_n/max_by_n bounded heap matches sort-slice on a skewed group") {
+    import org.apache.spark.sql.functions.{call_function, concat, lit}
+    val spk = spark
+    import spk.implicits._
+    // skew: group 1 holds 50k rows (the shape that made the collect_list
+    // composition a multi-GB buffer at scale), group 2 holds 3; 8
+    // partitions force the partial/merge path through the heap
+    val df = spark.range(0, 50000)
+      .select(lit(1).as("g"), col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+      .unionByName(Seq((2, 7L, "a"), (2, 3L, "b"), (2, 9L, "c"))
+        .toDF("g", "k", "v"))
+      .repartition(8)
+    val out = df.groupBy("g")
+      .agg(call_function("min_by_n", col("v"), col("k"), lit(5)).as("lo"),
+        call_function("max_by_n", col("v"), col("k"), lit(5)).as("hi"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[String](1), r.getSeq[String](2))))
+      .toMap
+    assert(out(1)._1 == Seq("v0", "v1", "v2", "v3", "v4"))
+    assert(out(1)._2 == Seq("v49999", "v49998", "v49997", "v49996", "v49995"))
+    // n larger than the group returns the whole group, still ordered
+    assert(out(2)._1 == Seq("b", "a", "c"))
+    assert(out(2)._2 == Seq("c", "a", "b"))
+    // null ordering keys are ignored (reference contract)
+    val viaSql = spark.sql(
+      "SELECT min_by_n(x, y, 2) FROM VALUES ('a', 2), ('b', CAST(NULL AS INT)), ('c', 1) AS t(x, y)")
+      .head().getSeq[String](0)
+    assert(viaSql == Seq("c", "a"))
+  }
 }
