@@ -20,14 +20,17 @@ case class AssetFeatures(asset_id: Long, dim: Int, features: Array[Float])
   * frame-sample / feature-extract run as partition-local batch
   * functions over the binary payloads.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio
-  * codecs, so `stubDecode` derives a deterministic fake feature vector
-  * from the bytes (clearly marked below). Everything around it — the
-  * binary schema, the per-partition batch execution (decoder state
-  * initialized once per partition, exactly how a real codec amortizes
-  * model/codec load), the frame-window explosion, and the
-  * deterministic byte math — is real, tested Spark plumbing that a
-  * real decoder drops into.
+  * Container-level decode (format/width/height from PNG/JPEG/GIF
+  * headers) is REAL — the native `media_probe` expression
+  * (functions/MediaProbe.scala), hash-gated by mm2. Only the deep
+  * FEATURE-EXTRACTION step is a stub: this container has no
+  * image/audio codec libraries, so `stubDecode` derives a
+  * deterministic fake feature vector from the bytes (clearly marked
+  * below). Everything around it — the binary schema, the per-partition
+  * batch execution (decoder state initialized once per partition,
+  * exactly how a real codec amortizes model/codec load), the
+  * frame-window explosion, and the deterministic byte math — is real,
+  * tested Spark plumbing that a real decoder drops into.
   *
   * Scale notes (100 TB of media): payloads never shuffle — every
   * operator below is a narrow map/flatMap over the scan; only the
@@ -128,21 +131,62 @@ object Multimodal {
       |  md5(substring(text, 1, 64)) AS first_frame_md5
       |FROM documents""".stripMargin
 
-  /** Feature extraction (stub decode → rows-only; determinism and
-    * shape are pinned by MultimodalSpec). */
+  /** Real (non-stubbed) image decode at the container level: each
+    * document is rendered as a PNG, JPEG, or GIF payload (cycling on
+    * doc_id % 3) whose header carries doc_id-derived dimensions, built
+    * byte-for-byte with Catalyst binary concat — and the native
+    * `media_probe` expression (functions/MediaProbe.scala) parses the
+    * format and dimensions BACK out of the raw bytes (big-endian IHDR
+    * for PNG, a JPEG marker-segment scan to SOF0, little-endian
+    * logical-screen for GIF). The oracle recomputes the expected
+    * dimensions relationally, so a parser that misreads any offset or
+    * endianness hash-fails. Payload bytes never leave the scan
+    * projection — only the 3-field probe struct flows downstream. */
   def mm2(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    extractFeatures(assets(s, dir))
-      .map(f => (f.asset_id, f.dim.toLong,
-        math.sqrt(f.features.map(x => x.toDouble * x).sum)))
-      .toDF("asset_id", "dim", "feature_norm")
+    val d = Graft.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 800 + 16).as("w"),
+        (col("doc_id") * 7 % 600 + 12).as("h"))
+    def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    def be16(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
+    def le16(c: org.apache.spark.sql.Column) =
+      unhex(concat(lpad(hex(c.bitwiseAND(255)), 2, "0"),
+        lpad(hex(shiftright(c.cast("int"), 8)), 2, "0")))
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      be32(col("w")), be32(col("h")),
+      unhex(lit("0806000000" + "1F15C489")))
+    val jpeg = concat(
+      unhex(lit("FFD8" + "FFE00010" + "4A46494600010100000100010000" +
+        "FFC00011" + "08")),
+      be16(col("h")), be16(col("w")),
+      unhex(lit("03012200021101031101")))
+    val gif = concat(
+      unhex(lit("474946383961")), le16(col("w")), le16(col("h")),
+      unhex(lit("F7000000")))
+    val content = when(col("doc_id") % 3 === 0, png)
+      .when(col("doc_id") % 3 === 1, jpeg)
+      .otherwise(gif)
+    d.select(col("doc_id").as("asset_id"),
+        call_function("media_probe", content).as("m"))
+      .select(col("asset_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"))
   }
+
+  val mm2Sql: String =
+    """SELECT doc_id AS asset_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+      |  CAST(doc_id % 800 + 16 AS INT) AS width,
+      |  CAST(doc_id * 7 % 600 + 12 AS INT) AS height
+      |FROM documents""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_frame_sample" -> mm1 _,
-    "mm2_decode_features" -> mm2 _)
+    "mm2_media_probe" -> mm2 _)
 
   val oracle: Map[String, String] = Map(
-    "mm1_frame_sample" -> mm1Sql)
-    // mm2 is rows-only: the decode step is stubbed (no codecs in env)
+    "mm1_frame_sample" -> mm1Sql,
+    "mm2_media_probe" -> mm2Sql)
 }
