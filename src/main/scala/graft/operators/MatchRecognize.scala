@@ -71,6 +71,25 @@ case class MatchVarMeasures(
     first_off: Option[Double],
     last_off: Option[Double])
 
+/** Per-(match, variable) AGGREGATE measures — the reference's
+  * arbitrary aggregates over a variable's row set in MEASURES
+  * (`sql/planner/rowpattern/` aggregate value pointers, e.g.
+  * `sum(A.totalprice)`), evaluated with FINAL semantics (the ONE ROW
+  * PER MATCH default). One row per pattern variable that matched ≥ 1
+  * row, plus one universal row (var_name = "*") aggregating over ALL
+  * matched rows — the unqualified `sum(value)` form. */
+case class MatchAggRow(
+    part_key: Long,
+    match_no: Long,
+    start_ord: Long,
+    end_ord: Long,
+    var_name: String,
+    var_rows: Long,
+    sum_val: Double,
+    avg_val: Double,
+    min_val: Double,
+    max_val: Double)
+
 /** Row-pattern recognition (MATCH_RECOGNIZE) — the reference's hardest
   * engine feature (grammar `SqlBase.g4:360-399`, NFA matcher
   * `operator/window/matcher/Matcher.java:28`, IR in
@@ -534,6 +553,51 @@ object MatchRecognize {
             if (offset < vals.length) Some(vals(offset)) else None,
             if (offset < vals.length) Some(vals(vals.length - 1 - offset)) else None)
         }
+    }
+  }
+
+  /** Aggregates in MEASURES over variable row sets (reference
+    * `sql/planner/rowpattern/` aggregations): per match, COUNT/SUM/
+    * AVG/MIN/MAX of `valueCol` for each pattern variable's rows and
+    * for the universal row set (var_name "*" ≡ the unqualified
+    * `sum(value)`), all FINAL semantics — ONE ROW PER MATCH evaluates
+    * every measure at the last match row, where RUNNING ≡ FINAL
+    * (the RUNNING distinction is observable in [[allRows]]).
+    *
+    * Determinism contract: values are fixed-point with ≤ `scale`
+    * decimal places (the fixture convention, see engine/Num.scala), so
+    * SUM accumulates exact scaled longs — order-independent across
+    * partitionings and engines — and AVG is the summed double divided
+    * by the count in one IEEE division, mirroring the oracle's
+    * `CAST(sum(CAST(v AS DECIMAL)) AS DOUBLE) / n`. */
+  def aggMeasures(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[String, (Row, Row) => Boolean],
+      valueCol: String,
+      scale: Int = 2,
+      skipPastLastRow: Boolean = true): Dataset[MatchAggRow] = {
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got $scale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pow = math.pow(10, scale)
+    runEngine(df, partCol, orderCol, pattern, wrapDefine(define),
+      if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow) {
+      (key, matchNo, buf, i, m, ordOf) =>
+        val startOrd = ordOf(buf(i))
+        val endOrd = ordOf(buf(i + m.length - 1))
+        def aggOf(name: String, idxs: Seq[Int]): MatchAggRow = {
+          val vals = idxs.map(j =>
+            buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())
+          val s = vals.map(v => math.round(v * pow)).sum / pow
+          MatchAggRow(key, matchNo, startOrd, endOrd, name, vals.length.toLong,
+            s, s / vals.length, vals.min, vals.max)
+        }
+        m.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (v, idxs) => aggOf(v, idxs.map(i + _._2)) } :+
+          aggOf("*", i until i + m.length)
     }
   }
 

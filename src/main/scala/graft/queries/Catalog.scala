@@ -68,9 +68,59 @@ object CatalogOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** cat2: SQL-defined abstractions end-to-end — a TEMPORARY VIEW
+    * (reference `SqlBase.g4:92-98` createView; Spark's
+    * `CREATE OR REPLACE TEMPORARY VIEW`) over the orders scan, a CTAS
+    * parquet table (createTableAsSelect) materializing a customer
+    * segment projection, and a query joining the two. The oracle
+    * inlines the view body and the CTAS projection over the raw
+    * tables, so the gate proves view resolution and the CTAS
+    * round-trip are lossless. Catalyst inlines temp views at analysis
+    * time — filters/pruning push through them like any subquery, so a
+    * view costs nothing at 100 TB; the CTAS table is a real parquet
+    * relation with its own stats. */
+  def cat2(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Graft.load(s, dir, "orders").createOrReplaceTempView(s"orders_src_$key")
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW v_big_orders_$key AS
+         |SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+         |FROM orders_src_$key WHERE o_totalprice > 150000.0""".stripMargin)
+    val seg = s"cust_seg_$key"
+    if (!s.catalog.tableExists(seg)) {
+      val loc = new java.io.File(s"/tmp/graft_warehouse/$key/cust_seg")
+      if (loc.exists()) { // leftover files from a previous session's CTAS
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+      Graft.load(s, dir, "customer").createOrReplaceTempView(s"customer_src_$key")
+      s.sql(
+        s"""CREATE TABLE $seg USING PARQUET LOCATION '${loc.getAbsolutePath}'
+           |AS SELECT c_custkey, c_mktsegment FROM customer_src_$key""".stripMargin)
+    }
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  CAST(sum(price) AS DOUBLE) AS big_revenue
+         |FROM v_big_orders_$key v JOIN $seg c ON v.o_custkey = c.c_custkey
+         |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  val cat2Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS big_revenue
+      |FROM (SELECT o_custkey, o_totalprice FROM orders
+      |      WHERE o_totalprice > 150000.0) v
+      |JOIN customer c ON v.o_custkey = c.c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cat1_colocated_join" -> cat1 _)
+    "cat1_colocated_join" -> cat1 _,
+    "cat2_view_ctas" -> cat2 _)
 
   val oracle: Map[String, String] = Map(
-    "cat1_colocated_join" -> cat1Sql)
+    "cat1_colocated_join" -> cat1Sql,
+    "cat2_view_ctas" -> cat2Sql)
 }

@@ -265,17 +265,94 @@ object Patterns {
       |  start_ord, end_ord, n_rows, first_val, last_val, min_val, max_val
       |FROM m""".stripMargin
 
+  /** mr6: aggregates in MEASURES over variable row sets (reference
+    * `sql/planner/rowpattern/` aggregate value pointers — e.g.
+    * `MEASURES sum(D.value), avg(U.value), sum(value)`): V-shapes as
+    * `D+ U+`, one output row per (match, variable) plus the universal
+    * `*` row (unqualified aggregate over the whole match), each with
+    * FINAL COUNT/SUM/AVG/MIN/MAX of value. Determinism: values are
+    * 2-dp fixed-point, summed exactly (scaled longs engine-side,
+    * DECIMAL(12,2) oracle-side), AVG is one IEEE division of the
+    * exact sum by the count — see MatchRecognize.aggMeasures. Oracle:
+    * the mr4 run-id rebuild, with per-run decimal sums/min/max merged
+    * per match (the `*` row merges the two runs' exact partials). */
+  def mr6(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") < p.getAs[Double]("value")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
+    MatchRecognize.aggMeasures(ev, "user_id", "event_id", "D+ U+",
+      Map("D" -> down, "U" -> up), "value")
+      .select(col("part_key").as("user_id"), col("match_no"),
+        col("start_ord"), col("end_ord"), col("var_name"), col("var_rows"),
+        col("sum_val"), col("avg_val"), col("min_val"), col("max_val"))
+  }
+
+  val mr6Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value < lag(value) OVER w THEN 'D'
+      |         WHEN value > lag(value) OVER w THEN 'U'
+      |         ELSE 'F' END AS dir
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |c AS (
+      |  SELECT *, CASE WHEN dir = lag(dir) OVER (PARTITION BY user_id ORDER BY event_id)
+      |       THEN 0 ELSE 1 END AS chg
+      |  FROM d),
+      |r AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM c),
+      |runs AS (
+      |  SELECT user_id, run_id, any_value(dir) AS dir,
+      |    min(event_id) AS s, max(event_id) AS e, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(12,2))) AS sm,
+      |    min(value) AS mn, max(value) AS mx
+      |  FROM r GROUP BY user_id, run_id),
+      |seq AS (
+      |  SELECT user_id, dir, s, e, n, sm, mn, mx,
+      |    lead(dir) OVER u AS nx_dir, lead(e) OVER u AS nx_e,
+      |    lead(n) OVER u AS nx_n, lead(sm) OVER u AS nx_sm,
+      |    lead(mn) OVER u AS nx_mn, lead(mx) OVER u AS nx_mx
+      |  FROM runs WINDOW u AS (PARTITION BY user_id ORDER BY s)),
+      |m AS (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY s) AS BIGINT) AS match_no,
+      |    s AS start_ord, nx_e AS end_ord,
+      |    n AS d_n, sm AS d_sm, mn AS d_mn, mx AS d_mx,
+      |    nx_n AS u_n, nx_sm AS u_sm, nx_mn AS u_mn, nx_mx AS u_mx
+      |  FROM seq WHERE dir = 'D' AND nx_dir = 'U')
+      |SELECT user_id, match_no, start_ord, end_ord, 'D' AS var_name,
+      |  CAST(d_n AS BIGINT) AS var_rows, CAST(d_sm AS DOUBLE) AS sum_val,
+      |  CAST(d_sm AS DOUBLE) / d_n AS avg_val, d_mn AS min_val, d_mx AS max_val
+      |FROM m
+      |UNION ALL
+      |SELECT user_id, match_no, start_ord, end_ord, 'U',
+      |  CAST(u_n AS BIGINT), CAST(u_sm AS DOUBLE),
+      |  CAST(u_sm AS DOUBLE) / u_n, u_mn, u_mx
+      |FROM m
+      |UNION ALL
+      |SELECT user_id, match_no, start_ord, end_ord, '*',
+      |  CAST(d_n + u_n AS BIGINT), CAST(d_sm + u_sm AS DOUBLE),
+      |  CAST(d_sm + u_sm AS DOUBLE) / (d_n + u_n),
+      |  least(d_mn, u_mn), greatest(d_mx, u_mx)
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr1_match_recognize" -> mr1 _,
     "mr2_measures" -> mr2 _,
     "mr3_all_rows" -> mr3 _,
     "mr4_var_navigation" -> mr4 _,
-    "mr5_reluctant_nav" -> mr5 _)
+    "mr5_reluctant_nav" -> mr5 _,
+    "mr6_agg_measures" -> mr6 _)
 
   val oracle: Map[String, String] = Map(
     "mr1_match_recognize" -> mr1Sql,
     "mr2_measures" -> mr2Sql,
     "mr3_all_rows" -> mr3Sql,
     "mr4_var_navigation" -> mr4Sql,
-    "mr5_reluctant_nav" -> mr5Sql)
+    "mr5_reluctant_nav" -> mr5Sql,
+    "mr6_agg_measures" -> mr6Sql)
 }

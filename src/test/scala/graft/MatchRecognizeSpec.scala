@@ -332,4 +332,42 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       run(MatchRecognize.SkipMode.ToLast("U")))
     assert(run(MatchRecognize.SkipMode.ToLast("W")) == Seq((1L, 2L), (3L, 4L)))
   }
+
+  test("aggMeasures: per-variable and universal FINAL aggregates") {
+    val spk = spark
+    import spk.implicits._
+    // series 10, 8, 5, 7, 9, 9: one V-shape D+ U+ = rows 1-4
+    // (values 8, 5 falling; 7, 9 rising); the trailing flat 9 is out
+    val df = Seq(10.0, 8.0, 5.0, 7.0, 9.0, 9.0).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") < p.getAs[Double]("v")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val rows = MatchRecognize.aggMeasures(df, "k", "ord", "D+ U+",
+        Map("D" -> down, "U" -> up), "v")
+      .collect().toSeq.sortBy(_.var_name)
+      .map(r => (r.var_name, r.var_rows, r.sum_val, r.avg_val, r.min_val,
+        r.max_val, r.start_ord, r.end_ord))
+    assert(rows == Seq(
+      ("*", 4L, 29.0, 7.25, 5.0, 9.0, 1L, 4L),
+      ("D", 2L, 13.0, 6.5, 5.0, 8.0, 1L, 4L),
+      ("U", 2L, 16.0, 8.0, 7.0, 9.0, 1L, 4L)))
+  }
+
+  test("aggMeasures sum is exact for 2-dp values regardless of order") {
+    val spk = spark
+    import spk.implicits._
+    // 0.1 + 0.2 famously != 0.3 in IEEE; the scaled-long sum is exact
+    val df = Seq(1.0, 0.1, 0.2, 0.3).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") < p.getAs[Double]("v")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val star = MatchRecognize.aggMeasures(df, "k", "ord", "D U+",
+        Map("D" -> down, "U" -> up), "v")
+      .collect().filter(_.var_name == "*").head
+    assert(star.var_rows == 3L && star.sum_val == 0.6) // not 0.6000000000000001
+  }
 }
