@@ -31,10 +31,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g (not 8g): the bench runs 121 queries x 4 executions in ONE JVM;
-  // at 8g the accumulated heap state turned sketch/stream queries into
-  // GC-spike lotteries (hll1 samples 8.15/5.14/1.68 s in-suite vs a
-  // 1.47 s isolated median). 24g measured -7% on the full sf0.1 suite
-  // and removed the spikes; the machine has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Driver heap: SPARK_DRIVER_MEM wins; otherwise 1/4 of physical RAM
+  // clamped to [2g, 24g]. The bench runs 120+ queries x 4 executions in
+  // ONE JVM; below ~24g the accumulated heap state turned sketch/stream
+  // queries into GC-spike lotteries (hll1 samples 8.15/5.14/1.68 s
+  // in-suite vs a 1.47 s isolated median), so the 128 GiB bench machine
+  // derives 24g — while a small dev/CI host derives a heap it can
+  // actually start rather than failing on a hard-coded 24g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val total =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean].getTotalMemorySize
+      catch { case _: Throwable => 32L << 30 }
+    s"${math.max(2L, math.min(24L, (total >> 30) / 4))}g"
+  })}",
 )

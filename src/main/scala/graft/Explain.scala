@@ -32,8 +32,11 @@ object Explain {
           // identity hash) change every run for closure-based aggregates
           .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda@N")
           // lambda variable names carry a session-global counter too
-          // (lambda x_32#N): registering one more query shifts them all
-          .replaceAll("\\b(lambda\\s+)?([A-Za-z]\\w*)_\\d+#N", "$1$2_N#N")
+          // (lambda x_32#N): registering one more query shifts them all.
+          // The 'lambda ' prefix is REQUIRED: an optional prefix would
+          // also rewrite genuinely distinct user columns like a_1#N and
+          // a_2#N to the same a_N#N, masking real plan differences.
+          .replaceAll("\\b(lambda\\s+)([A-Za-z]\\w*)_\\d+#N", "$1$2_N#N")
           .replaceAll("(?i)(subquery|cte|scalar-subquery)#N, \\[id=#N\\]", "$1#N")
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), stable)
       } catch {

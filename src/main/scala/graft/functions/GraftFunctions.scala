@@ -326,17 +326,30 @@ object GraftFunctions {
 
   /** split_to_multimap (reference `operator/scalar/
     * SplitToMultimapFunction.java`): split `s` on `entryDelim`, each
-    * entry on the FIRST `kvDelim`, keeping every value per key in
-    * encounter order (unlike split_to_map, which requires unique
-    * keys). */
+    * entry on `kvDelim`, keeping every value per key in encounter
+    * order (unlike split_to_map, which requires unique keys).
+    * Reference contracts mirrored exactly: the key-value delimiter
+    * must appear EXACTLY once per entry
+    * (SplitToMultimapFunction.java:84-86 throws on 'k=v=w'), a single
+    * trailing entry delimiter is tolerated ('a=1;' → {a:[1]} — the
+    * scan stops at string end), delimiters must be non-empty and
+    * distinct. */
   def splitToMultimap(s: String, entryDelim: String,
       kvDelim: String): Map[String, Seq[String]] = {
     if (s == null || entryDelim == null || kvDelim == null) return null
+    require(entryDelim.nonEmpty, "entryDelimiter is empty")
+    require(kvDelim.nonEmpty, "keyValueDelimiter is empty")
+    require(entryDelim != kvDelim,
+      "entryDelimiter and keyValueDelimiter must not be the same")
     if (s.isEmpty) return Map.empty
-    val pairs = s.split(java.util.regex.Pattern.quote(entryDelim), -1).toSeq.map { e =>
-      val i = e.indexOf(kvDelim)
-      require(i >= 0, s"entry '$e' has no key-value delimiter '$kvDelim'")
-      (e.substring(0, i), e.substring(i + kvDelim.length))
+    val raw = s.split(java.util.regex.Pattern.quote(entryDelim), -1)
+    val entries = // trailing delimiter: no empty last entry materializes
+      if (raw.last.isEmpty) raw.init.toSeq else raw.toSeq
+    val pairs = entries.map { e =>
+      val parts = e.split(java.util.regex.Pattern.quote(kvDelim), -1)
+      require(parts.length == 2,
+        s"Key-value delimiter must appear exactly once in each entry. Bad input: '$e'")
+      (parts(0), parts(1))
     }
     // groupBy loses encounter order of KEYS; rebuild it explicitly so
     // the map iterates deterministically (matters for to_json output)
@@ -345,23 +358,28 @@ object GraftFunctions {
   }
 
   /** format_number (reference `operator/scalar/FormatNumberFunction
-    * .java`): humanize with K/M/B/T/Q unit suffixes, HALF_UP-rounded
-    * to ≤3 significant digits. Quirks mirrored from the reference:
-    * the digit-count choice tests `value < 10`, not |value| (so every
-    * negative gets the 2-decimal format), and 999_950..999_999 round
-    * to "1000K", not "1M". Shadows Spark's 2-arg comma-grouping
-    * builtin of the same name — the reference dialect's 1-arg form
-    * wins in our registry (same policy as url_decode). */
+    * .java`): humanize with K/M/B/T/Q unit suffixes via
+    * DecimalFormat("#.##"/"#.#"/"#") with HALF_UP — exactly the
+    * reference's formatter, which rounds on the EXACT binary double
+    * (so 12350 → "12.3K" because 12350/1000 is really 12.34999…, and
+    * 1005 → "1K" because 1.005 is really 1.00499…; a shortest-decimal
+    * BigDecimal.valueOf round would give 12.4K/1.01K — wrong). Other
+    * quirks mirrored: the digit-count choice tests `value < 10`, not
+    * |value| (so every negative gets the 2-decimal format), and
+    * 999_950..999_999 round to "1000K", not "1M". Shadows Spark's
+    * 2-arg comma-grouping builtin of the same name — the reference
+    * dialect's 1-arg form wins in our registry (same policy as
+    * url_decode). */
   def formatNumber(value: Long): String = {
     var fractional = value.toDouble
     var unit = ""
     for (u <- Seq("K", "M", "B", "T", "Q"))
       if (fractional >= 1000 || fractional <= -1000) { fractional /= 1000; unit = u }
-    val scale = if (fractional < 10) 2 else if (fractional < 100) 1 else 0
-    val bd = java.math.BigDecimal.valueOf(fractional)
-      .setScale(scale, java.math.RoundingMode.HALF_UP)
-      .stripTrailingZeros()
-    (if (bd.signum() == 0) "0" else bd.toPlainString) + unit
+    val pattern = if (fractional < 10) "#.##" else if (fractional < 100) "#.#" else "#"
+    val df = new java.text.DecimalFormat(pattern,
+      java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
+    df.setRoundingMode(java.math.RoundingMode.HALF_UP)
+    df.format(fractional) + unit
   }
 
   def parseDataSize(s: String): java.lang.Long = {

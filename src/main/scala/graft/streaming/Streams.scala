@@ -259,22 +259,37 @@ object Streams {
           Iterator(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
             new java.sql.Timestamp(s.lastMs), s.cnt))
         } else {
-          val times = it.map(_._2.getTime).toArray.sorted
-          var acc = state.getOption.getOrElse(SessionAcc(times.head, times.head, 0L))
-          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
-          times.foreach { ts =>
-            if (acc.cnt > 0 && ts - acc.lastMs > gapMs) {
-              closed += ClosedSession(uid, new java.sql.Timestamp(acc.startMs),
-                new java.sql.Timestamp(acc.lastMs), acc.cnt)
-              acc = SessionAcc(ts, ts, 1L)
-            } else {
-              acc = SessionAcc(math.min(acc.startMs, ts),
-                math.max(acc.lastMs, ts), acc.cnt + 1)
-            }
+          // Re-sessionize state + batch together as an interval sweep:
+          // the stored session is an interval whose INTERNAL member
+          // gaps are all <= gap (invariant), batch events are points;
+          // sorted by start, adjacent items merge iff their gap is
+          // <= gapMs. This keeps the gap invariant for out-of-order
+          // events too (watermark 10 min > gap 5 min, so a late event
+          // can precede the open session): an event within the span or
+          // within gap of a boundary merges (invariant preserved —
+          // interior points only shrink member gaps); an event more
+          // than gap BEFORE the session start becomes its own earlier
+          // session instead of illegally stretching startMs backwards.
+          // All but the latest merged session close now (same
+          // emit-eagerly choice the in-batch split path always made);
+          // the latest stays open awaiting the watermark.
+          val batch = it.map(_._2.getTime).toArray.sorted
+            .map(t => SessionAcc(t, t, 1L))
+          val all = (state.getOption.toSeq ++ batch).sortBy(a => (a.startMs, a.lastMs))
+          val merged = scala.collection.mutable.ListBuffer[SessionAcc]()
+          all.foreach { s =>
+            if (merged.nonEmpty && s.startMs - merged.last.lastMs <= gapMs) {
+              val p = merged.remove(merged.size - 1)
+              merged += SessionAcc(math.min(p.startMs, s.startMs),
+                math.max(p.lastMs, s.lastMs), p.cnt + s.cnt)
+            } else merged += s
           }
-          state.update(acc)
-          state.setTimeoutTimestamp(acc.lastMs + gapMs)
-          closed.iterator
+          val open = merged.remove(merged.size - 1)
+          state.update(open)
+          state.setTimeoutTimestamp(open.lastMs + gapMs)
+          merged.iterator.map(s => ClosedSession(uid,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+            s.cnt))
         }
       }.toDF()
   }

@@ -353,10 +353,17 @@ class FunctionsSpec extends AnyFunSuite {
     import graft.functions.GraftFunctions.splitToMultimap
     assert(splitToMultimap("a=1;b=2;a=3", ";", "=") ==
       Map("a" -> Seq("1", "3"), "b" -> Seq("2")))
-    // only the FIRST kv delimiter splits; the rest stays in the value
-    assert(splitToMultimap("k=v=w", ";", "=") == Map("k" -> Seq("v=w")))
+    // reference throws when the kv delimiter appears more than once in
+    // an entry (SplitToMultimapFunction.java:84-86)
+    intercept[IllegalArgumentException](splitToMultimap("k=v=w", ";", "="))
+    // a single trailing entry delimiter is tolerated
+    assert(splitToMultimap("a=1;", ";", "=") == Map("a" -> Seq("1")))
     assert(splitToMultimap("", ";", "=") == Map.empty)
     intercept[IllegalArgumentException](splitToMultimap("novalue", ";", "="))
+    // delimiter validation: non-empty and distinct
+    intercept[IllegalArgumentException](splitToMultimap("a=1", "", "="))
+    intercept[IllegalArgumentException](splitToMultimap("a=1", ";", ""))
+    intercept[IllegalArgumentException](splitToMultimap("a=1", "=", "="))
   }
 
   test("format_number humanizes with reference quirks") {
@@ -373,6 +380,11 @@ class FunctionsSpec extends AnyFunSuite {
     // quirk: value<10 test is not abs(), negatives get 2 decimals
     assert(formatNumber(-12345) == "-12.35K")
     assert(formatNumber(-5) == "-5")
+    // tie-adjacent inputs: DecimalFormat HALF_UP rounds on the EXACT
+    // binary value (12.35 is stored as 12.34999..., 1.005 as 1.00499...)
+    // — a shortest-decimal-repr round would give 12.4K / 1.01K
+    assert(formatNumber(12350) == "12.3K")
+    assert(formatNumber(1005) == "1K")
   }
 
   test("parse_data_size uses binary units with half-up rounding") {

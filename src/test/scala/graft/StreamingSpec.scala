@@ -141,6 +141,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(s => s._1 == 99L || (s._1 == 3L && s._2 > t0)))
   }
 
+  test("sessionize keeps the gap invariant for out-of-order events") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(ms: Long, uid: Long) = Ev(new Timestamp(ms), uid, "view", 1.0)
+    val min = 60000L
+    val stream = MemoryStream[Ev]
+    val q = graft.streaming.Streams.sessionizeStream(stream.toDF())
+      .writeStream.format("memory").queryName("late_sessions_out")
+      .outputMode("append").start()
+    try {
+      // open sessions: u5 and u6 each at t0+8min
+      stream.addData(Seq(ev(t0 + 8 * min, 5), ev(t0 + 8 * min, 6)))
+      q.processAllAvailable()
+      // late arrivals (watermark is t0-2min, both survive it):
+      // u5 at t0 is MORE than the 5-min gap before its session start —
+      // it must become its own earlier session, not stretch startMs
+      // back across an 8-minute hole; u6 at t0+5min is within gap of
+      // the start and must merge, extending the session backwards
+      stream.addData(Seq(ev(t0, 5), ev(t0 + 5 * min, 6)))
+      q.processAllAvailable()
+      // push the watermark past every timeout, then fire them
+      stream.addData(Seq(ev(t0 + 40 * min, 99)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(t0 + 41 * min, 99)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("late_sessions_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(got.contains((5L, t0, t0, 1L)), s"late singleton session: $got")
+    assert(got.contains((5L, t0 + 8 * min, t0 + 8 * min, 1L)),
+      s"original u5 session must be untouched: $got")
+    assert(got.contains((6L, t0 + 5 * min, t0 + 8 * min, 2L)),
+      s"u6 must merge backwards within gap: $got")
+    // no emitted session may span an internal hole wider than the gap
+    // with only its 2 members at the boundaries
+    assert(!got.exists(s => s._4 == 2 && s._3 - s._2 > 5 * min), got.toString)
+  }
+
   test("streaming dedup emits one row per key") {
     val spark = sparkSession
     import spark.implicits._
