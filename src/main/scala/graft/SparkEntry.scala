@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Aggregates, Analytics, CatalogOps, DialectQueries, Functions, Patterns, Pipeline, Relational, Scalars, SetOps, Sketches, Temporal, Windows}
+import graft.queries.{Aggregates, Analytics, CatalogOps, Decimals, DialectQueries, Functions, Patterns, Pipeline, Relational, Scalars, SetOps, Sketches, Temporal, Windows}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,8 @@ object SparkEntry {
       Aggregates.queries ++ Pipeline.queries ++ Functions.queries ++
       Streams.queries ++ Scalars.queries ++ Patterns.queries ++
       Sketches.queries ++ Multimodal.queries ++ Analytics.queries ++
-      CatalogOps.queries ++ Temporal.queries ++ DialectQueries.queries
+      CatalogOps.queries ++ Temporal.queries ++ DialectQueries.queries ++
+      Decimals.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       Aggregates.oracle ++ Pipeline.oracle ++ Functions.oracle ++
       Streams.oracle ++ Scalars.oracle ++ Patterns.oracle ++
       Sketches.oracle ++ Multimodal.oracle ++ Analytics.oracle ++
-      CatalogOps.oracle ++ Temporal.oracle ++ DialectQueries.oracle
+      CatalogOps.oracle ++ Temporal.oracle ++ DialectQueries.oracle ++
+      Decimals.oracle
 }

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.Graft
+
+/** Decimal-first semantics end-to-end (reference: money is
+  * DecimalType ≤ 38 digits throughout — `spi/type/Decimals.java:45`,
+  * `operator/aggregation/DecimalSumAggregation.java`,
+  * `type/DecimalCasts.java`, division-scale rules in
+  * `type/DecimalOperators.java`): the testdata measures land as
+  * doubles (TESTDATA.md), so these queries FIRST cast them to a
+  * decimal-typed shadow schema — lossless for the 2-dp fixture data —
+  * and then keep every aggregate, product, and quotient in DecimalType
+  * through to decimal-typed OUTPUT columns, which the driver's
+  * schema_match verifies against DuckDB's DECIMAL results.
+  *
+  * Cross-engine typing contract: Spark and DuckDB WIDEN decimals
+  * differently (Spark sum(DECIMAL(12,2)) → (22,2), DuckDB → (38,2);
+  * products/quotients differ more), so every aggregate/derived column
+  * is explicitly cast to a pinned target type on BOTH sides — the
+  * same discipline a real multi-engine pipeline needs. Sums and
+  * products are exact at any row order (the decimal point of using
+  * them at 100 TB); the division result is pinned to scale 6 with
+  * both engines' intermediates far wider than the target.
+  */
+object Decimals {
+
+  /** lineitem re-typed as the reference's decimal-first schema. */
+  private def li(s: SparkSession, dir: String): DataFrame =
+    Graft.load(s, dir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast(DecimalType(12, 2)).as("qty"),
+      col("l_extendedprice").cast(DecimalType(12, 2)).as("price"),
+      col("l_discount").cast(DecimalType(4, 2)).as("disc"),
+      col("l_tax").cast(DecimalType(4, 2)).as("tax"))
+
+  // ------------------------------------------- dc1 decimal sum/min/max
+  /** Decimal aggregation with decimal-typed outputs: exact sums (any
+    * row order, any partitioning — DecimalSumAggregation semantics)
+    * and exact min/max picks. */
+  def dc1(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("qty")).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(col("price")).cast(DecimalType(18, 2)).as("sum_price"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        count(lit(1)).as("n"))
+
+  val dc1Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+      |  min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+      |  max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------- dc2 decimal product pipeline
+  /** Decimal products through the revenue/charge chain: (12,2)×(4,2)
+    * per-row products pinned to (18,4) (both engines' native product
+    * types differ: Spark (17,4) vs DuckDB (16,4)), summed exactly,
+    * output (18,4). */
+  def dc2(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(4, 2))
+    li(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum((col("price") * (one - col("disc"))).cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).as("revenue"),
+        sum(((col("price") * (one - col("disc"))).cast(DecimalType(18, 4)) *
+            (one + col("tax"))).cast(DecimalType(22, 6)))
+          .cast(DecimalType(22, 6)).as("charge"))
+  }
+
+  val dc2Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS revenue,
+      |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(22,6)))
+      |    AS DECIMAL(22,6)) AS charge
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // ---------------------------------------- dc3 decimal division scale
+  /** Decimal division with a pinned result scale: average unit price =
+    * exact decimal revenue / exact decimal quantity, both operands cast
+    * to (18,6), quotient pinned to (18,6). Spark divides at scale 25
+    * then HALF_UPs to 6; DuckDB divides with its own wider
+    * intermediate; both intermediates carry far more than 6 correct
+    * digits, so the pinned cast agrees. */
+  def dc3(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("price")).cast(DecimalType(18, 6)).as("sp"),
+        sum(col("qty")).cast(DecimalType(18, 6)).as("sq"))
+      .select(col("l_returnflag"),
+        (col("sp") / col("sq")).cast(DecimalType(18, 6)).as("avg_unit_price"),
+        col("sq").cast(DecimalType(18, 2)).as("sum_qty"))
+
+  val dc3Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) /
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,6))
+      |       AS DECIMAL(18,6)) AS avg_unit_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dc1_decimal_agg" -> dc1 _,
+    "dc2_decimal_product" -> dc2 _,
+    "dc3_decimal_division" -> dc3 _)
+
+  val oracle: Map[String, String] = Map(
+    "dc1_decimal_agg" -> dc1Sql,
+    "dc2_decimal_product" -> dc2Sql,
+    "dc3_decimal_division" -> dc3Sql)
+}
