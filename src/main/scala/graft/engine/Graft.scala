@@ -68,6 +68,21 @@ object Graft {
     spark
   }
 
+  /** Per-session relation cache: `spark.read.parquet` lists files and
+    * reads footers to infer the schema on EVERY call, and the query
+    * builders call load() afresh per query per execution — ~1000
+    * redundant schema inferences across a bench run, a real slice of
+    * the fixed per-query overhead. A real engine caches table metadata
+    * in its catalog (reference: metastore-backed ConnectorMetadata);
+    * this memoizes the analyzed relation per (session, dir, table).
+    * Weak session keys let stopped test sessions GC; the testdata is
+    * read-only by contract (TESTDATA.md), so the cached file listing
+    * cannot go stale. */
+  private val relationCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
   /** Read one test table. Filters/projections on the result are pushed
     * into the parquet scan by Catalyst (verify via `PushedFilters` in
     * `.explain("formatted")`).
@@ -76,7 +91,16 @@ object Graft {
     // Defensive for sessions not built via session() (e.g. test harnesses).
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val perSession = relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        relationCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** The events table with `ts_ns` (exact epoch-nanos, ordering key) and

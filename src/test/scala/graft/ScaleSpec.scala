@@ -130,4 +130,28 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("partial_min"),
       s"expected partial_min map-side combine in:\n${plan.take(1500)}")
   }
+
+  test("decimal sums split partial/final (map-side combine survives DecimalType)") {
+    // DecimalSumAggregation semantics must stay decomposable: a partial
+    // sum per partition, one exchange of (flag, partial) pairs, then a
+    // final merge — NOT a single-stage aggregation shuffling rows.
+    val plan = graft.queries.Decimals.queries("dc1_decimal_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"expected partial_sum map-side combine in:\n${plan.take(1500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange in:\n${plan.take(1500)}")
+  }
+
+  test("MATCH_RECOGNIZE plans one shuffle + local sort, no global sort") {
+    // The pattern engine's scale shape: repartition(part key) +
+    // sortWithinPartitions + mapPartitions. A global Sort (rangepartitioning
+    // exchange) would serialize the 100 TB stream through one ordering.
+    val plan = graft.queries.Patterns.queries("mr6_agg_measures")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort in MATCH_RECOGNIZE plan:\n${plan.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"too many exchanges:\n${plan.take(2000)}")
+  }
 }
