@@ -94,6 +94,39 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("min_by_n/max_by_n: partitioned heap merge == sort-slice, serde-stable") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = for {
+      raw <- Gen.nonEmptyListOf(
+        Gen.zip(Gen.alphaStr.map(_.take(6)), Gen.choose(-1000, 1000)))
+      n <- Gen.choose(1, 8)
+      parts <- Gen.choose(1, 4)
+    } yield (raw.distinctBy(_._2), n, parts) // unique keys → deterministic
+    def run(pairs: List[(String, Int)], n: Int, parts: Int,
+        mk: (BoundReference, BoundReference, Literal) => MinMaxByNBase): Seq[String] = {
+      val agg = mk(BoundReference(0, StringType, nullable = true),
+        BoundReference(1, IntegerType, nullable = false), Literal(n))
+      val bufs = pairs.grouped(math.max(1, pairs.size / parts)).map { g =>
+        val b = agg.createAggregationBuffer()
+        g.foreach { case (v, k) =>
+          agg.update(b, InternalRow(UTF8String.fromString(v), k)) }
+        agg.deserialize(agg.serialize(b)) // partial buffers survive serde
+      }.toSeq
+      agg.eval(bufs.reduce(agg.merge))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.map(_.asInstanceOf[UTF8String].toString).toSeq
+    }
+    check("min_by_n", Prop.forAll(gen) { case (pairs, n, parts) =>
+      run(pairs, n, parts, MinByN(_, _, _)) ==
+        pairs.sortBy(_._2).take(n).map(_._1) &&
+      run(pairs, n, parts, MaxByN(_, _, _)) ==
+        pairs.sortBy(-_._2).take(n).map(_._1)
+    })
+  }
+
   test("dialect translation is idempotent") {
     import graft.sqlcompat.Dialect
     val sqls = Gen.oneOf(
