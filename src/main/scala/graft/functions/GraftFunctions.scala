@@ -79,6 +79,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MultimapAgg].getName, "multimap_agg"),
       (children: Seq[Expression]) => MultimapAgg(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("merge"),
+      new ExpressionInfo(classOf[MergeSketchAgg].getName, "merge"),
+      (children: Seq[Expression]) => MergeSketchAgg(children.head)))
+    e.injectFunction((
       FunctionIdentifier("media_probe"),
       new ExpressionInfo(classOf[MediaProbe].getName, "media_probe"),
       (children: Seq[Expression]) => MediaProbe(children.head)))

@@ -177,19 +177,59 @@ object Functions {
       |  TRUE AS p99_close, TRUE AS mono, TRUE AS tm_close, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ------------------------------------- f7 sketch re-aggregation
+  /** The reference's polymorphic `merge(qdigest/tdigest)` aggregate
+    * (MergeQuantileDigestFunction): level 1 sketches per return flag,
+    * level 2 re-aggregates ONLY the serialized sketches (never
+    * rescanning rows) into global digests of both families, queried
+    * for quantiles against Spark's exact percentiles. The qdigest
+    * bound is the α=1% relative-error guarantee; the t-digest median
+    * must land between the exact 45th and 55th percentiles (rank
+    * error). Booleans per the sketch oracle protocol; n is the
+    * exactly-checked rollup of the group counts. */
+  def f7(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val perGroup = li.groupBy(col("l_returnflag"))
+      .agg(expr("qdigest_agg(l_extendedprice)").as("qd"),
+        expr("tdigest_agg(l_extendedprice)").as("td"),
+        count(lit(1)).as("gn"))
+    val global = perGroup.agg(
+      expr("merge(qd)").as("gq"),
+      expr("merge(td)").as("gt"),
+      sum(col("gn")).as("n"))
+    val exact = li.agg(
+      expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.99))").as("ex"))
+    global.join(exact)
+      .select(
+        (abs(expr("value_at_quantile(gq, 0.5)") - col("ex")(1))
+          <= abs(col("ex")(1)) * 0.011 + lit(1e-9)).as("q_med_in_bound"),
+        (abs(expr("value_at_quantile(gq, 0.99)") - col("ex")(3))
+          <= abs(col("ex")(3)) * 0.011 + lit(1e-9)).as("q_p99_in_bound"),
+        (expr("value_at_quantile(gt, 0.5)").between(col("ex")(0), col("ex")(2)))
+          .as("t_med_in_rank_band"),
+        col("n"))
+  }
+
+  val f7Sql: String =
+    """SELECT TRUE AS q_med_in_bound, TRUE AS q_p99_in_bound,
+      |  TRUE AS t_med_in_rank_band, count(*) AS n
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_cosine_expr" -> f1 _,
     "f2_width_bucket" -> f2 _,
     "f3_qdigest_quantile" -> f3 _,
     "f4_heavy_hitters" -> f4 _,
     "f5_simhash_lsh" -> f5 _,
-    "f6_tdigest" -> f6 _)
+    "f6_tdigest" -> f6 _,
+    "f7_sketch_reagg" -> f7 _)
 
   val oracle: Map[String, String] = Map(
     "f1_cosine_expr" -> f1Sql,
     "f2_width_bucket" -> f2Sql,
     "f3_qdigest_quantile" -> f3Sql,
     "f4_heavy_hitters" -> f4Sql,
-    "f6_tdigest" -> f6Sql)
+    "f6_tdigest" -> f6Sql,
+    "f7_sketch_reagg" -> f7Sql)
     // f5 is rows-only: the fingerprint is engine-specific
 }

@@ -122,6 +122,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaBuckets.count() == 1000) // bands cover [0,100) exactly once
   }
 
+  test("merge re-aggregates serialized sketches; two-level == one-level") {
+    import org.apache.spark.sql.functions.expr
+    val spk = spark
+    import spk.implicits._
+    val df = (1 to 1000).map(i => (i % 7, i.toDouble)).toDF("g", "v")
+    // log-bucket qdigest: counts merge exactly, so re-aggregating the 7
+    // per-group sketches is BIT-IDENTICAL to sketching all rows at once
+    val twoLevel = df.groupBy("g").agg(expr("qdigest_agg(v)").as("sk"))
+      .agg(expr("value_at_quantile(merge(sk), 0.5)")).head().getDouble(0)
+    val oneLevel = df.agg(expr("value_at_quantile(qdigest_agg(v), 0.5)"))
+      .head().getDouble(0)
+    assert(twoLevel == oneLevel)
+    // t-digest merge is order-dependent within rank bounds: the merged
+    // median must still land near the true median 500.5
+    val tTwo = df.groupBy("g").agg(expr("tdigest_agg(v)").as("sk"))
+      .agg(expr("value_at_quantile(merge(sk), 0.5)")).head().getDouble(0)
+    assert(math.abs(tTwo - 500.5) <= 30, s"t-digest merged median $tTwo")
+    // mixing sketch families in one merge is an error, as in the reference
+    val e = intercept[Exception] {
+      df.agg(expr("qdigest_agg(v)").as("q"), expr("tdigest_agg(v)").as("t"))
+        .selectExpr("explode(array(q, t)) AS sk")
+        .agg(expr("merge(sk)")).head()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("min_by_n/max_by_n bounded heap matches sort-slice on a skewed group") {
     import org.apache.spark.sql.functions.{call_function, concat, lit}
     val spk = spark
