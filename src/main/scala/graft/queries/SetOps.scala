@@ -436,8 +436,71 @@ object SetOps {
       |FROM (VALUES (1, 5), (2, CAST(NULL AS INT)), (3, 1), (4, CAST(NULL AS INT)), (5, 9))
       |  AS t(ord, v)""".stripMargin
 
+  // --------------------------------------------- rc1 recursive CTE
+  /** WITH RECURSIVE (reference grammar `SqlBase.g4` namedQuery +
+    * RECURSIVE; Trino supports linear recursion since 352) — Spark 4
+    * plans it as an iterative UnionLoop. Workload: walk every supplier
+    * up a synthetic binary org-chart (parent = suppkey halved) to the
+    * root and roll up population by depth — the transitive-closure
+    * shape (org charts, BOM explosions, graph reachability) that only
+    * recursion expresses in SQL. Each iteration is a distributed step
+    * over the frontier; depth is bounded by log2(|supplier|), so the
+    * loop runs ~log n distributed steps at any scale. */
+  def rc1(s: SparkSession, dir: String): DataFrame = {
+    Graft.load(s, dir, "supplier").createOrReplaceTempView("supplier_rc")
+    s.sql(
+      """WITH RECURSIVE up(start_key, cur, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier_rc
+        |  UNION ALL
+        |  SELECT start_key, cur DIV 2, depth + 1 FROM up WHERE cur > 1
+        |)
+        |SELECT depth AS root_depth, count(*) AS n_suppliers
+        |FROM (SELECT start_key, max(depth) AS depth FROM up GROUP BY start_key)
+        |GROUP BY depth""".stripMargin)
+  }
+
+  val rc1Sql: String =
+    """WITH RECURSIVE up(start_key, cur, depth) AS (
+      |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      |  UNION ALL
+      |  SELECT start_key, cur // 2, depth + 1 FROM up WHERE cur > 1
+      |)
+      |SELECT depth AS root_depth, count(*) AS n_suppliers
+      |FROM (SELECT start_key, max(depth) AS depth FROM up GROUP BY start_key)
+      |GROUP BY depth""".stripMargin
+
+  // ----------------------------------------------- lat1 LATERAL join
+  /** Explicit LATERAL derived table (reference grammar `SqlBase.g4`
+    * LATERAL; planner `CorrelatedJoinNode`): top-2 customers by
+    * balance per nation, the correlated-TOP-N-per-outer-row shape.
+    * Catalyst decorrelates the LATERAL subquery into a join +
+    * per-partition WindowGroupLimit rather than re-executing it per
+    * outer row — the plan a 100 TB run needs (one shuffle on the
+    * correlation key, bounded per-group state). Total order via the
+    * (acctbal DESC, custkey) tie-break so both engines pick identical
+    * rows. */
+  def lat1(s: SparkSession, dir: String): DataFrame = {
+    Graft.load(s, dir, "nation").createOrReplaceTempView("nation_lat")
+    Graft.load(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    s.sql(
+      """SELECT n_name, t.c_custkey, t.c_name, t.c_acctbal
+        |FROM nation_lat, LATERAL (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer_lat
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+  }
+
+  val lat1Sql: String =
+    """SELECT n_name, t.c_custkey, t.c_name, t.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rc1_recursive_cte" -> rc1 _,
+    "lat1_lateral_topn" -> lat1 _,
     "set1_union_all" -> set1 _,
     "set2_union" -> set2 _,
     "set3_intersect" -> set3 _,
@@ -462,6 +525,8 @@ object SetOps {
     "nv2_null_ordering" -> nv2 _)
 
   val oracle: Map[String, String] = Map(
+    "rc1_recursive_cte" -> rc1Sql,
+    "lat1_lateral_topn" -> lat1Sql,
     "set1_union_all" -> set1Sql,
     "set2_union" -> set2Sql,
     "set3_intersect" -> set3Sql,
