@@ -286,8 +286,58 @@ object Windows {
       |SELECT o_orderkey, grp_sum
       |FROM orders JOIN g2 ON o_orderdate = d""".stripMargin
 
+  // -------------------------------------- w11 frame EXCLUDE rewrite
+  /** SQL:2016 window frame exclusion (reference grammar `SqlBase.g4`
+    * frameExtent EXCLUDE CURRENT ROW / GROUP / TIES; Trino implements
+    * all three) — Spark has no EXCLUDE clause, so each mode is
+    * composed from inclusive frames with exact decimal arithmetic:
+    * EXCLUDE CURRENT ROW = running sum − current value (NULL when the
+    * excluded frame is empty, per the standard); EXCLUDE GROUP =
+    * partition total − peer-group sum (peers = equal ORDER BY value),
+    * NULL when every row is a peer; EXCLUDE TIES = total − peers +
+    * current (never empty). The oracle runs DuckDB's NATIVE EXCLUDE
+    * syntax over the identical decimal sums, so the rewrite is proven
+    * equivalent to the real SQL:2016 semantics, not to itself. */
+  def w11(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val all = Window.partitionBy(col("user_id"))
+    val peers = Window.partitionBy(col("user_id"), money(col("value")))
+    val v = money(col("value"))
+    val runSum = sum(v).over(run)
+    val runCnt = count(lit(1)).over(run)
+    val total = sum(v).over(all)
+    val totalCnt = count(lit(1)).over(all)
+    val peerSum = sum(v).over(peers)
+    val peerCnt = count(lit(1)).over(peers)
+    ev.select(col("user_id"), col("event_id"),
+      when(runCnt === 1, lit(null))
+        .otherwise((runSum - v).cast("double")).as("ex_current"),
+      when(totalCnt === peerCnt, lit(null))
+        .otherwise((total - peerSum).cast("double")).as("ex_group"),
+      (total - peerSum + v).cast("double").as("ex_ties"))
+  }
+
+  val w11Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)
+      |    AS DOUBLE) AS ex_current,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(value AS DECIMAL(12,2))
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP)
+      |    AS DOUBLE) AS ex_group,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(value AS DECIMAL(12,2))
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES)
+      |    AS DOUBLE) AS ex_ties
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_frame_exclude" -> w11 _,
     "w1_ranking" -> w1 _,
     "w2_ntile_pct" -> w2 _,
     "w3_lag_lead" -> w3 _,
@@ -300,6 +350,7 @@ object Windows {
     "w10_groups_frame" -> w10 _)
 
   val oracle: Map[String, String] = Map(
+    "w11_frame_exclude" -> w11Sql,
     "w1_ranking" -> w1Sql,
     "w2_ntile_pct" -> w2Sql,
     "w3_lag_lead" -> w3Sql,
