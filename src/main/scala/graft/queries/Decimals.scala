@@ -44,16 +44,16 @@ object Decimals {
     li(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(col("qty")).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(col("price")).cast(DecimalType(18, 2)).as("sum_price"),
+        sum(col("qty")).cast(DecimalType(28, 2)).as("sum_qty"),
+        sum(col("price")).cast(DecimalType(28, 2)).as("sum_price"),
         min(col("price")).as("min_price"),
         max(col("price")).as("max_price"),
         count(lit(1)).as("n"))
 
   val dc1Sql: String =
     """SELECT l_returnflag,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_price,
       |  min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
       |  max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
       |  count(*) AS n
@@ -62,54 +62,56 @@ object Decimals {
   // ------------------------------------- dc2 decimal product pipeline
   /** Decimal products through the revenue/charge chain: (12,2)×(4,2)
     * per-row products pinned to (18,4) (both engines' native product
-    * types differ: Spark (17,4) vs DuckDB (16,4)), summed exactly,
-    * output (18,4). */
+    * types differ: Spark (17,4) vs DuckDB (16,4)), summed exactly;
+    * SUM outputs pinned at (28,4)/(32,6) — wide enough that a 100 TB
+    * rollup (~10^12 rows × 10^5-cent values ≈ 10^17) cannot overflow
+    * the output cast. */
   def dc2(s: SparkSession, dir: String): DataFrame = {
     val one = lit(1).cast(DecimalType(4, 2))
     li(s, dir)
       .groupBy(col("l_linestatus"))
       .agg(
         sum((col("price") * (one - col("disc"))).cast(DecimalType(18, 4)))
-          .cast(DecimalType(18, 4)).as("revenue"),
+          .cast(DecimalType(28, 4)).as("revenue"),
         sum(((col("price") * (one - col("disc"))).cast(DecimalType(18, 4)) *
             (one + col("tax"))).cast(DecimalType(22, 6)))
-          .cast(DecimalType(22, 6)).as("charge"))
+          .cast(DecimalType(32, 6)).as("charge"))
   }
 
   val dc2Sql: String =
     """SELECT l_linestatus,
       |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
-      |    AS DECIMAL(18,4)) AS revenue,
+      |    AS DECIMAL(28,4)) AS revenue,
       |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) *
       |    (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(22,6)))
-      |    AS DECIMAL(22,6)) AS charge
+      |    AS DECIMAL(32,6)) AS charge
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
   // ---------------------------------------- dc3 decimal division scale
   /** Decimal division with a pinned result scale: average unit price =
-    * exact decimal revenue / exact decimal quantity, both operands cast
-    * to (18,6), quotient pinned to (18,6). Spark divides at scale 25
-    * then HALF_UPs to 6; DuckDB divides with its own wider
-    * intermediate; both intermediates carry far more than 6 correct
-    * digits, so the pinned cast agrees. */
+    * exact decimal sum / exact decimal count-weight, operands cast to
+    * (25,6) (overflow-safe at 100 TB sums), quotient pinned to (18,6).
+    * Spark divides at its capped (38,13) intermediate then HALF_UPs to
+    * 6; DuckDB divides with its own wider intermediate; both carry ≥7
+    * guard digits past the target scale, so the pinned cast agrees. */
   def dc3(s: SparkSession, dir: String): DataFrame =
     li(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(col("price")).cast(DecimalType(18, 6)).as("sp"),
-        sum(col("qty")).cast(DecimalType(18, 6)).as("sq"))
+        sum(col("price")).cast(DecimalType(25, 6)).as("sp"),
+        sum(col("qty")).cast(DecimalType(25, 6)).as("sq"))
       .select(col("l_returnflag"),
         (col("sp") / col("sq")).cast(DecimalType(18, 6)).as("avg_unit_price"),
-        col("sq").cast(DecimalType(18, 2)).as("sum_qty"))
+        col("sq").cast(DecimalType(28, 2)).as("sum_qty"))
 
   val dc3Sql: String =
     """SELECT l_returnflag,
-      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) /
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,6))
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(25,6)) /
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(25,6))
       |       AS DECIMAL(18,6)) AS avg_unit_price,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
