@@ -41,9 +41,44 @@ object DialectQueries {
       |  o_orderkey & 255 AS low_bits
       |FROM orders WHERE o_orderkey <= 2000""".stripMargin
 
+  /** Quantified comparison predicates in the reference dialect:
+    * `= ANY (subquery)` and `<> ALL (subquery)` — the two forms
+    * SQL:2016 §8.8 defines as IN / NOT IN, which is exactly how the
+    * dialect layer rewrites them for Spark (null and empty-subquery
+    * semantics identical BY DEFINITION, not approximation). The
+    * oracle runs the ORIGINAL quantified syntax natively in DuckDB,
+    * so the rewrite is proven against a real implementation of the
+    * standard. Customers whose balance equals some balance in a
+    * high-value nation, minus those whose segment differs from all
+    * BUILDING-nation segments. */
+  val dx2Reference: String =
+    """SELECT c_mktsegment, count(*) AS n_matched
+      |FROM customer
+      |WHERE c_acctbal = ANY (
+      |    SELECT c2.c_acctbal FROM customer c2 WHERE c2.c_nationkey < 5)
+      |  AND c_nationkey <> ALL (
+      |    SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  def dx2(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx2Reference))
+  }
+
+  val dx2Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_matched
+      |FROM customer
+      |WHERE c_acctbal = ANY (
+      |    SELECT c2.c_acctbal FROM customer c2 WHERE c2.c_nationkey < 5)
+      |  AND c_nationkey <> ALL (
+      |    SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+      |GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dx1_reference_dialect" -> dx1 _)
+    "dx1_reference_dialect" -> dx1 _,
+    "dx2_quantified_cmp" -> dx2 _)
 
   val oracle: Map[String, String] = Map(
-    "dx1_reference_dialect" -> dx1Sql)
+    "dx1_reference_dialect" -> dx1Sql,
+    "dx2_quantified_cmp" -> dx2Sql)
 }

@@ -184,6 +184,16 @@ object Dialect {
         out = out.replaceAll(
           "(?i)\\bTRY\\s*\\(\\s*([^()/,]+)/\\s*(\\([^()]*\\)|[^(),]+)\\s*\\)",
           "try_divide($1,$2)")
+        // Quantified comparison predicates (reference grammar
+        // `SqlBase.g4` comparisonQuantifier) — Spark has no ANY/ALL
+        // subquery syntax. Only the two forms the SQL standard DEFINES
+        // as IN / NOT IN rewrite (identical null/empty semantics by
+        // definition, SQL:2016 §8.8): `= ANY (…)` / `= SOME (…)` →
+        // `IN (…)`, `<> ALL (…)` → `NOT IN (…)`. Ordering quantifiers
+        // (> ALL etc.) have no null-safe textual rewrite and pass
+        // through for Spark to reject loudly.
+        out = out.replaceAll("(?i)=\\s*(?:ANY|SOME)\\s*\\(", "IN (")
+        out = out.replaceAll("(?i)(?:<>|!=)\\s*ALL\\s*\\(", "NOT IN (")
         out
     }.mkString
   }

@@ -208,4 +208,21 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT format_datetime(o_orderdate, 'YYYY-MM-dd') AS f FROM orders WHERE o_orderkey = 1")
     assert(spark.sql(q5).head().getString(0).matches("\\d{4}-\\d{2}-\\d{2}"))
   }
+
+  test("quantified comparisons rewrite to IN / NOT IN (SQL:2016 8.8)") {
+    assert(Dialect.translate("SELECT * FROM t WHERE x = ANY (SELECT y FROM u)")
+      == "SELECT * FROM t WHERE x IN (SELECT y FROM u)")
+    assert(Dialect.translate("SELECT * FROM t WHERE x = SOME (SELECT y FROM u)")
+      == "SELECT * FROM t WHERE x IN (SELECT y FROM u)")
+    assert(Dialect.translate("SELECT * FROM t WHERE x <> ALL (SELECT y FROM u)")
+      == "SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)")
+    assert(Dialect.translate("SELECT * FROM t WHERE x != ALL (SELECT y FROM u)")
+      == "SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)")
+    // ordering quantifiers have no null-safe rewrite: pass through
+    val passthrough = "SELECT * FROM t WHERE x > ALL (SELECT y FROM u)"
+    assert(Dialect.translate(passthrough) == passthrough)
+    // string literals stay untouched
+    assert(Dialect.translate("SELECT '= ANY (x)' AS s")
+      == "SELECT '= ANY (x)' AS s")
+  }
 }
