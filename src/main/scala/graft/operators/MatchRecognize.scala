@@ -71,6 +71,22 @@ case class MatchVarMeasures(
     first_off: Option[Double],
     last_off: Option[Double])
 
+/** ALL ROWS PER MATCH WITH UNMATCHED ROWS output row (reference
+  * `SqlBase.g4` rowsPerMatch WITH UNMATCHED): every input row appears
+  * exactly once — matched rows carry their match number, classifier,
+  * and RUNNING/FINAL measures; unmatched rows carry nulls for all of
+  * them (the reference's semantics: MATCH_NUMBER() and CLASSIFIER()
+  * are null outside a match). */
+case class MatchRowAll(
+    part_key: Long,
+    ord: Long,
+    match_no: Option[Long],
+    classifier: Option[String],
+    running_cnt: Option[Long],
+    final_cnt: Option[Long],
+    running_max: Option[Double],
+    final_last: Option[Double])
+
 /** Per-(match, variable) AGGREGATE measures — the reference's
   * arbitrary aggregates over a variable's row set in MEASURES
   * (`sql/planner/rowpattern/` aggregate value pointers, e.g.
@@ -347,7 +363,8 @@ object MatchRecognize {
       pattern: String,
       define: Map[String, MatchCtx => Boolean],
       skip: SkipMode,
-      subsets: Map[String, Set[String]] = Map.empty)(
+      subsets: Map[String, Set[String]] = Map.empty,
+      emitUnmatched: (Long, collection.IndexedSeq[Row], Int, Row => Long) => T = null)(
       emit: (Long, Long, collection.IndexedSeq[Row], Int, Array[String], Row => Long) => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
 
@@ -395,6 +412,9 @@ object MatchRecognize {
               label == v || subs.getOrElse(v, Set.empty).contains(label)
             var i = 0
             var matchNo = 0L
+            // WITH UNMATCHED ROWS: track which rows belong to ANY match
+            val covered =
+              if (emitUnmatched != null) new Array[Boolean](n) else null
             while (i < n) {
               val startIdx = i
               def classify(j: Int, v: String, accRev: List[String]): Boolean = {
@@ -406,6 +426,8 @@ object MatchRecognize {
               if (m != null && m.length > 0) {
                 matchNo += 1
                 emit(key, matchNo, buf, i, m, ordOf).foreach(out.enqueue(_))
+                if (covered != null)
+                  java.util.Arrays.fill(covered, i, i + m.length, true)
                 i = skip match {
                   case SkipMode.PastLastRow => i + m.length
                   case SkipMode.ToNextRow => i + 1
@@ -421,6 +443,13 @@ object MatchRecognize {
                     i + idx
                 }
               } else i += 1
+            }
+            if (covered != null) {
+              var j = 0
+              while (j < n) {
+                if (!covered(j)) out.enqueue(emitUnmatched(key, buf, j, ordOf))
+                j += 1
+              }
             }
           }
 
@@ -552,6 +581,43 @@ object MatchRecognize {
             vals.head, vals.last,
             if (offset < vals.length) Some(vals(offset)) else None,
             if (offset < vals.length) Some(vals(vals.length - 1 - offset)) else None)
+        }
+    }
+  }
+
+  /** ALL ROWS PER MATCH WITH UNMATCHED ROWS (reference `SqlBase.g4`
+    * rowsPerMatch WITH UNMATCHED; planner emits null MATCH_NUMBER/
+    * CLASSIFIER/measures for unmatched rows): every input row appears
+    * exactly once — matched rows carry match_no, classifier, and the
+    * RUNNING/FINAL measures of [[allRows]]; rows in no match carry
+    * nulls. A row is unmatched iff it belongs to NO match under the
+    * given skip mode (coverage is tracked across overlapping matches,
+    * so the definition holds for SKIP TO NEXT ROW too). */
+  def allRowsWithUnmatched(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[String, (Row, Row) => Boolean],
+      valueCol: String,
+      skipPastLastRow: Boolean = true): Dataset[MatchRowAll] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    runEngine(df, partCol, orderCol, pattern, wrapDefine(define),
+      if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow,
+      emitUnmatched = (key: Long, buf: collection.IndexedSeq[Row], j: Int,
+          ordOf: Row => Long) =>
+        MatchRowAll(key, ordOf(buf(j)), None, None, None, None, None, None)) {
+      (key, matchNo, buf, i, m, ordOf) =>
+        val vals = (i until i + m.length)
+          .map(j => buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())
+        val finalLast = vals.last
+        var runMax = Double.NegativeInfinity
+        (0 until m.length).map { k =>
+          runMax = math.max(runMax, vals(k))
+          MatchRowAll(key, ordOf(buf(i + k)), Some(matchNo), Some(m(k)),
+            Some((k + 1).toLong), Some(m.length.toLong),
+            Some(runMax), Some(finalLast))
         }
     }
   }

@@ -340,7 +340,61 @@ object Patterns {
       |  least(d_mn, u_mn), greatest(d_mx, u_mx)
       |FROM m""".stripMargin
 
+  /** mr7: ALL ROWS PER MATCH WITH UNMATCHED ROWS (reference
+    * `SqlBase.g4` rowsPerMatch WITH UNMATCHED) over mr3's rising runs
+    * `U{2,}`: every event row appears exactly once — matched rows
+    * with match number, classifier, and RUNNING/FINAL measures,
+    * unmatched rows (non-rising rows and length-1 rising runs) with
+    * nulls throughout, the reference's null MATCH_NUMBER/CLASSIFIER
+    * contract. Oracle: mr3's run-id rebuild for the matched side,
+    * UNION ALL the complement with NULL-typed columns. */
+  def mr7(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
+    MatchRecognize.allRowsWithUnmatched(ev, "user_id", "event_id", "U{2,}",
+      Map("U" -> up), "value")
+      .select(col("part_key").as("user_id"), col("ord"), col("match_no"),
+        col("classifier"), col("running_cnt"), col("final_cnt"),
+        col("running_max"), col("final_last"))
+  }
+
+  val mr7Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS isu
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(1 - isu) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM d),
+      |r2 AS (
+      |  SELECT *, sum(isu) OVER (PARTITION BY user_id, run_id) AS urows
+      |  FROM r),
+      |m AS (
+      |  SELECT user_id, event_id, value, run_id,
+      |    row_number() OVER pr AS rcnt,
+      |    count(*) OVER pw AS rlen,
+      |    max(value) OVER (pr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax,
+      |    last_value(value) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rlast
+      |  FROM r2 WHERE isu = 1 AND urows >= 2
+      |  WINDOW pr AS (PARTITION BY user_id, run_id ORDER BY event_id),
+      |         pw AS (PARTITION BY user_id, run_id))
+      |SELECT user_id, event_id AS ord,
+      |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY run_id) AS BIGINT) AS match_no,
+      |  'U' AS classifier,
+      |  CAST(rcnt AS BIGINT) AS running_cnt, CAST(rlen AS BIGINT) AS final_cnt,
+      |  rmax AS running_max, rlast AS final_last
+      |FROM m
+      |UNION ALL
+      |SELECT user_id, event_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      |FROM r2 WHERE NOT (isu = 1 AND urows >= 2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr7_unmatched_rows" -> mr7 _,
     "mr1_match_recognize" -> mr1 _,
     "mr2_measures" -> mr2 _,
     "mr3_all_rows" -> mr3 _,
@@ -349,6 +403,7 @@ object Patterns {
     "mr6_agg_measures" -> mr6 _)
 
   val oracle: Map[String, String] = Map(
+    "mr7_unmatched_rows" -> mr7Sql,
     "mr1_match_recognize" -> mr1Sql,
     "mr2_measures" -> mr2Sql,
     "mr3_all_rows" -> mr3Sql,

@@ -333,6 +333,31 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(MatchRecognize.SkipMode.ToLast("W")) == Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("allRowsWithUnmatched: every row once, nulls outside matches") {
+    val spk = spark
+    import spk.implicits._
+    // series 5, 6, 7, 3, 4, 2: matches U{2,} at rows 1-2 (6,7) and a
+    // single rise at row 4 (4) that is too short — rows 0, 3, 4, 5 unmatched
+    val df = Seq(5.0, 6.0, 7.0, 3.0, 4.0, 2.0).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val rows = MatchRecognize.allRowsWithUnmatched(df, "k", "ord", "U{2,}",
+        Map("U" -> up), "v")
+      .collect().toSeq.sortBy(_.ord)
+    assert(rows.map(_.ord) == Seq(0L, 1L, 2L, 3L, 4L, 5L)) // each row once
+    assert(rows.filter(_.match_no.isDefined).map(_.ord) == Seq(1L, 2L))
+    val matched = rows.filter(_.match_no.isDefined)
+    assert(matched.forall(_.match_no.contains(1L)))
+    assert(matched.map(_.running_cnt.get) == Seq(1L, 2L))
+    assert(matched.map(_.running_max.get) == Seq(6.0, 7.0))
+    assert(matched.forall(_.final_last.contains(7.0)))
+    val unmatched = rows.filter(_.match_no.isEmpty)
+    assert(unmatched.map(_.ord) == Seq(0L, 3L, 4L, 5L))
+    assert(unmatched.forall(r => r.classifier.isEmpty && r.running_cnt.isEmpty &&
+      r.final_cnt.isEmpty && r.running_max.isEmpty && r.final_last.isEmpty))
+  }
+
   test("aggMeasures: per-variable and universal FINAL aggregates") {
     val spk = spark
     import spk.implicits._
