@@ -71,6 +71,21 @@ case class MatchVarMeasures(
     first_off: Option[Double],
     last_off: Option[Double])
 
+/** ONE ROW PER MATCH output row under SHOW EMPTY MATCHES (reference
+  * `SqlBase.g4` emptyMatchHandling SHOW EMPTY MATCHES — the ONE ROW
+  * PER MATCH default): a pattern that can match zero rows (e.g. `D*`)
+  * produces an EMPTY match at every position where no row is
+  * consumed. Empty matches get a real MATCH_NUMBER, a null
+  * classifier, zero rows, and anchor at the row where matching was
+  * attempted; the scan resumes at the next row. The engine's default
+  * elsewhere is OMIT EMPTY MATCHES (empty matches dropped). */
+case class EmptyableMatchRow(
+    part_key: Long,
+    match_no: Long,
+    anchor_ord: Long,
+    n_rows: Long,
+    classifier: Option[String])
+
 /** ALL ROWS PER MATCH WITH UNMATCHED ROWS output row (reference
   * `SqlBase.g4` rowsPerMatch WITH UNMATCHED): every input row appears
   * exactly once — matched rows carry their match number, classifier,
@@ -364,7 +379,8 @@ object MatchRecognize {
       define: Map[String, MatchCtx => Boolean],
       skip: SkipMode,
       subsets: Map[String, Set[String]] = Map.empty,
-      emitUnmatched: (Long, collection.IndexedSeq[Row], Int, Row => Long) => T = null)(
+      emitUnmatched: (Long, collection.IndexedSeq[Row], Int, Row => Long) => T = null,
+      emitEmpty: (Long, Long, collection.IndexedSeq[Row], Int, Row => Long) => T = null)(
       emit: (Long, Long, collection.IndexedSeq[Row], Int, Array[String], Row => Long) => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
 
@@ -442,6 +458,12 @@ object MatchRecognize {
                       "variable absent from match or maps to its first row")
                     i + idx
                 }
+              } else if (m != null && emitEmpty != null) {
+                // empty match (pattern consumed zero rows): SHOW EMPTY
+                // MATCHES numbers it and resumes at the next row
+                matchNo += 1
+                out.enqueue(emitEmpty(key, matchNo, buf, i, ordOf))
+                i += 1
               } else i += 1
             }
             if (covered != null) {
@@ -582,6 +604,32 @@ object MatchRecognize {
             if (offset < vals.length) Some(vals(offset)) else None,
             if (offset < vals.length) Some(vals(vals.length - 1 - offset)) else None)
         }
+    }
+  }
+
+  /** ONE ROW PER MATCH with SHOW EMPTY MATCHES (reference `SqlBase.g4`
+    * emptyMatchHandling; the default for ONE ROW PER MATCH in the
+    * standard): patterns that can match zero rows yield an empty match
+    * — numbered, null-classified, zero-row — at each position where no
+    * row is consumed, and the scan resumes at the next row. Non-empty
+    * matches carry the concatenated classifier sequence. The engine's
+    * other entry points implement OMIT EMPTY MATCHES. */
+  def matchesShowEmpty(
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[String, (Row, Row) => Boolean]): Dataset[EmptyableMatchRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    runEngine(df, partCol, orderCol, pattern, wrapDefine(define),
+      SkipMode.PastLastRow,
+      emitEmpty = (key: Long, matchNo: Long, buf: collection.IndexedSeq[Row],
+          i: Int, ordOf: Row => Long) =>
+        EmptyableMatchRow(key, matchNo, ordOf(buf(i)), 0L, None)) {
+      (key, matchNo, buf, i, m, ordOf) =>
+        Seq(EmptyableMatchRow(key, matchNo, ordOf(buf(i)), m.length.toLong,
+          Some(m.mkString)))
     }
   }
 

@@ -393,7 +393,57 @@ object Patterns {
       |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
       |FROM r2 WHERE NOT (isu = 1 AND urows >= 2)""".stripMargin
 
+  /** mr8: SHOW EMPTY MATCHES (reference `SqlBase.g4`
+    * emptyMatchHandling, the ONE ROW PER MATCH default) with the
+    * zero-width-capable pattern `D*`: every maximal falling run is one
+    * match (classifier = the concatenated 'D' sequence), and every
+    * other row anchors an EMPTY match — numbered, null classifier,
+    * zero rows. Oracle: falling runs from direction run-ids (one
+    * anchor at each run start, repeat('D', len) classifier) UNION ALL
+    * each non-falling row as an empty anchor, renumbered in anchor
+    * order — exactly the scan the engine performs. */
+  def mr8(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") < p.getAs[Double]("value")
+    MatchRecognize.matchesShowEmpty(ev, "user_id", "event_id", "D*",
+      Map("D" -> down))
+      .select(col("part_key").as("user_id"), col("match_no"),
+        col("anchor_ord"), col("n_rows"), col("classifier"))
+  }
+
+  val mr8Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN value < lag(value) OVER w THEN 'D' ELSE 'O' END AS dir
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |c AS (
+      |  SELECT *, CASE WHEN dir = lag(dir) OVER (PARTITION BY user_id ORDER BY event_id)
+      |       THEN 0 ELSE 1 END AS chg
+      |  FROM d),
+      |r AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM c),
+      |runs AS (
+      |  SELECT user_id, run_id, any_value(dir) AS dir,
+      |    min(event_id) AS s, count(*) AS len
+      |  FROM r GROUP BY user_id, run_id),
+      |anchors AS (
+      |  SELECT user_id, s AS anchor_ord, len AS n_rows,
+      |    repeat('D', CAST(len AS INT)) AS classifier
+      |  FROM runs WHERE dir = 'D'
+      |  UNION ALL
+      |  SELECT user_id, event_id, 0, CAST(NULL AS VARCHAR)
+      |  FROM r WHERE dir <> 'D')
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY anchor_ord) AS BIGINT) AS match_no,
+      |  anchor_ord, CAST(n_rows AS BIGINT) AS n_rows, classifier
+      |FROM anchors""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr8_empty_matches" -> mr8 _,
     "mr7_unmatched_rows" -> mr7 _,
     "mr1_match_recognize" -> mr1 _,
     "mr2_measures" -> mr2 _,
@@ -403,6 +453,7 @@ object Patterns {
     "mr6_agg_measures" -> mr6 _)
 
   val oracle: Map[String, String] = Map(
+    "mr8_empty_matches" -> mr8Sql,
     "mr7_unmatched_rows" -> mr7Sql,
     "mr1_match_recognize" -> mr1Sql,
     "mr2_measures" -> mr2Sql,

@@ -358,6 +358,25 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.final_cnt.isEmpty && r.running_max.isEmpty && r.final_last.isEmpty))
   }
 
+  test("matchesShowEmpty: zero-width pattern emits numbered empty matches") {
+    val spk = spark
+    import spk.implicits._
+    // 5, 4, 3, 6, 2 → empty at 0, 'DD' at 1-2, empty at 3, 'D' at 4
+    val df = Seq(5.0, 4.0, 3.0, 6.0, 2.0).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") < p.getAs[Double]("v")
+    val rows = MatchRecognize.matchesShowEmpty(df, "k", "ord", "D*",
+        Map("D" -> down))
+      .collect().toSeq.sortBy(_.match_no)
+      .map(r => (r.match_no, r.anchor_ord, r.n_rows, r.classifier))
+    assert(rows == Seq(
+      (1L, 0L, 0L, None),
+      (2L, 1L, 2L, Some("DD")),
+      (3L, 3L, 0L, None),
+      (4L, 4L, 1L, Some("D"))))
+  }
+
   test("aggMeasures: per-variable and universal FINAL aggregates") {
     val spk = spark
     import spk.implicits._
