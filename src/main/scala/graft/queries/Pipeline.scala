@@ -766,6 +766,150 @@ object Pipeline {
       |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
       |SELECT va, vb, cos FROM pairs WHERE cos >= 0.9""".stripMargin
 
+  // ---------------------------------------------- p16 language ID
+  /** Character-n-gram language identification: each language has a
+    * small weighted gram profile; a document's score per language is
+    * Σ occurrences(gram) × weight (occurrences counted via the
+    * length-delta of a replace-all — exact integers, identical in both
+    * engines), and the prediction is the argmax with a fixed
+    * lexicographic tie-break (the CASE chain encodes it identically on
+    * both sides). This is the standard Cavnar–Trenkle n-gram-profile
+    * scheme reduced to a fixed profile table; real profiles are just a
+    * bigger literal map, the plan shape is unchanged.
+    *
+    * At 100 TB this is a pure scan-side map (string kernels inside
+    * whole-stage codegen, no UDF) followed by one small rollup on
+    * (label, prediction) — the confusion-matrix aggregate; nothing but
+    * 2-string keys and two longs ever shuffle. (The synthetic corpus
+    * draws from one shared vocabulary, so the matrix is dense — the
+    * operator, not the accuracy, is what's under test.) */
+  private val langProfiles: Seq[(String, Seq[(String, Int)])] = Seq(
+    "de" -> Seq("der" -> 4, "batch" -> 2, "merge" -> 1),
+    "en" -> Seq("the " -> 3, "value" -> 2, "row" -> 1),
+    "es" -> Seq("data" -> 3, "agg" -> 2, "sort" -> 1),
+    "fr" -> Seq("le " -> 3, "query" -> 2, "join" -> 1))
+
+  def p16(s: SparkSession, dir: String): DataFrame = {
+    def occurrences(gram: String): Column =
+      length(col("text")) - length(call_function("replace", col("text"), lit(gram)))
+    val scoreCols = langProfiles.map { case (lang, grams) =>
+      grams.map { case (g, w) => occurrences(g) * lit(w) }
+        .reduce(_ + _).as(s"s_$lang")
+    }
+    val Seq(sDe, sEn, sEs, sFr) =
+      Seq("s_de", "s_en", "s_es", "s_fr").map(col)
+    t(s, dir, "documents")
+      .select(col("lang") +: scoreCols: _*)
+      .select(col("lang"),
+        when(sDe >= sEn && sDe >= sEs && sDe >= sFr, "de")
+          .when(sEn >= sEs && sEn >= sFr, "en")
+          .when(sEs >= sFr, "es")
+          .otherwise("fr").as("pred_lang"),
+        greatest(sDe, sEn, sEs, sFr).as("best"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("best")).cast("long").as("sum_score"))
+  }
+
+  val p16Sql: String = {
+    def occ(g: String) = s"(length(text) - length(replace(text, '$g', '')))"
+    def score(grams: Seq[(String, Int)]) =
+      grams.map { case (g, w) => s"${occ(g)} * $w" }.mkString(" + ")
+    val profs = langProfiles.toMap
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    ${score(profs("de"))} AS s_de,
+       |    ${score(profs("en"))} AS s_en,
+       |    ${score(profs("es"))} AS s_es,
+       |    ${score(profs("fr"))} AS s_fr
+       |  FROM documents)
+       |SELECT lang, pred_lang, count(*) AS n_docs, CAST(sum(best) AS BIGINT) AS sum_score
+       |FROM (
+       |  SELECT lang,
+       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END AS pred_lang,
+       |    greatest(s_de, s_en, s_es, s_fr) AS best
+       |  FROM scored)
+       |GROUP BY lang, pred_lang""".stripMargin
+  }
+
+  // ------------------------------------ p17 n-gram Jaccard near-dup
+  /** Near-duplicate detection by exact n-gram Jaccard over an inverted
+    * index — the third dedup family next to MinHash (p3, probabilistic)
+    * and winnowing fingerprints (p13, content-defined): word-bigram
+    * sets, restricted to *discriminative* grams (document frequency ≤
+    * 2% of the corpus — the standard stop-gram/prefix-filter move),
+    * pair generation by self-join on the gram inverted index, exact
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|), rolled up into a pair-count
+    * histogram by Jaccard decile.
+    *
+    * Scale design: the df cap is what keeps this linear — a gram kept
+    * by `df ≤ 0.02·N` contributes ≤ (0.02·N)² pairs, and in a real
+    * corpus rare-gram df is O(1), so pair generation is O(Σ df²) ≈
+    * O(corpus) instead of the N² of all-pairs. The df threshold is
+    * corpus-relative (one broadcast scalar), so the same query is
+    * meaningful at sf0.01 and at 100 TB. Raw text never shuffles —
+    * only (doc_id, gram) index entries; the final histogram is
+    * ~10 rows. Division is a single IEEE op, bit-identical across
+    * engines (see the module Determinism note). */
+  def p17(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(
+          when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+            .otherwise(array()))).as("gram"))
+    val nDocs = grams.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= lit(0.02) * col("n_docs"))
+      .select(col("gram"))
+    val kept = grams.join(broadcast(rare), "gram")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = kept.select(col("doc_id").as("da"), col("gram"))
+      .join(kept.select(col("doc_id").as("db"), col("gram")), "gram")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("j"))
+      .groupBy(floor(col("j") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("j")).as("max_j"),
+        min(col("da")).as("first_da"))
+  }
+
+  val p17Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] AS gram
+      |  FROM words, LATERAL (SELECT unnest(range(1, CAST(len(w) AS BIGINT))) AS i) t
+      |),
+      |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM grams),
+      |kept AS (
+      |  SELECT doc_id, gram FROM grams
+      |  WHERE gram IN (SELECT gram FROM grams GROUP BY gram
+      |                 HAVING count(*) <= 0.02 * (SELECT n_docs FROM stats))
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |),
+      |jac AS (
+      |  SELECT da, db, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+      |  FROM shared JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      |)
+      |SELECT CAST(floor(j * 10) AS BIGINT) AS bucket, count(*) AS n_pairs,
+      |  max(j) AS max_j, min(da) AS first_da
+      |FROM jac GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
@@ -782,7 +926,9 @@ object Pipeline {
     "p12_dpp" -> p12 _,
     "p13_fingerprint_buckets" -> p13 _,
     "p14_embedding_neardup" -> ((s, d) => p14(s, d)),
-    "p15_format_roundtrip" -> p15 _)
+    "p15_format_roundtrip" -> p15 _,
+    "p16_langid" -> p16 _,
+    "p17_ngram_jaccard" -> p17 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -799,5 +945,7 @@ object Pipeline {
     "p12_dpp" -> p12Sql,
     "p13_fingerprint_buckets" -> p13Sql,
     "p14_embedding_neardup" -> p14Sql,
-    "p15_format_roundtrip" -> p15Sql)
+    "p15_format_roundtrip" -> p15Sql,
+    "p16_langid" -> p16Sql,
+    "p17_ngram_jaccard" -> p17Sql)
 }

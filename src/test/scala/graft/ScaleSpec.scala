@@ -92,6 +92,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p16 langid covers the corpus and predicts only profiled languages") {
+    import org.apache.spark.sql.functions.sum
+    val df = graft.queries.Pipeline.queries("p16_langid")(spark, sfDir).cache()
+    val total = df.agg(sum(col("n_docs"))).head().getLong(0)
+    val corpus = graft.engine.Graft.load(spark, sfDir, "documents").count()
+    assert(total == corpus, s"confusion matrix covers $total of $corpus docs")
+    val preds = df.select(col("pred_lang")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("de", "en", "es", "fr")), s"stray predictions: $preds")
+    df.unpersist()
+  }
+
+  test("p17 pair generation is an inverted-index equi-join, never a cartesian") {
+    val df = graft.queries.Pipeline.queries("p17_ngram_jaccard")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the doc-doc candidate join must key on the gram; the only
+    // nested-loop join allowed is the broadcast 1-row n_docs scalar.
+    assert("CartesianProduct".r.findAllIn(plan).isEmpty,
+      s"cartesian product in p17 plan:\n${plan.take(2000)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "expected near-dup pairs on the fixture")
+    rows.foreach { r =>
+      val bucket = r.getLong(r.fieldIndex("bucket"))
+      val maxJ = r.getDouble(r.fieldIndex("max_j"))
+      assert(bucket >= 0 && bucket <= 10, s"jaccard decile out of range: $bucket")
+      assert(maxJ <= 1.0 + 1e-12 && maxJ * 10 >= bucket,
+        s"max_j $maxJ inconsistent with bucket $bucket")
+    }
+  }
+
   test("salted join equals the plain join (skew-mitigation identity)") {
     val line = graft.engine.Graft.load(spark, sfDir, "lineitem")
     val orders = graft.engine.Graft.load(spark, sfDir, "orders")
