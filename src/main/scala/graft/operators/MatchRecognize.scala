@@ -190,8 +190,10 @@ object MatchRecognize {
     def row: Row = rows(i)
     def prev(n: Int = 1): Row = if (i - n >= 0) rows(i - n) else null
     def next(n: Int = 1): Row = if (i + n < rows.length) rows(i + n) else null
-    private def hit(label: String, v: String): Boolean =
+    private def hit(label0: String, v: String): Boolean = {
+      val label = MatchRecognize.realLabel(label0) // exclusion marks are invisible here
       label == v || subsets.getOrElse(v, Set.empty).contains(label)
+    }
     def last(v: String): Row = {
       if (hit(currentVar, v)) return rows(i)
       var j = i - 1
@@ -223,6 +225,30 @@ object MatchRecognize {
   private case class Alt(a: Pat, b: Pat) extends Pat
   // max = -1 → ∞; greedy=false → reluctant (`*?` `+?` `??` `{m,n}?`)
   private case class Rep(a: Pat, min: Int, max: Int, greedy: Boolean = true) extends Pat
+  // pattern exclusion `{- p -}` (SQL:2016; reference SqlBase.g4
+  // patternPrimary): rows matched inside participate in matching,
+  // DEFINE navigation, and measures, but are omitted from ALL ROWS
+  // PER MATCH output. Eliminated at parse time: every Lit inside is
+  // rewritten to an exclusion-MARKED label ("-" + name — identifiers
+  // can't start with '-', so marks are unambiguous) and the engine
+  // strips the mark everywhere except row emission.
+  private case class Excl(a: Pat) extends Pat
+
+  /** Real variable name of a (possibly exclusion-marked) label. */
+  def realLabel(l: String): String =
+    if (l.nonEmpty && l.charAt(0) == '-') l.substring(1) else l
+
+  /** Was this row matched inside a `{- ... -}` exclusion? */
+  def isExcluded(l: String): Boolean = l.nonEmpty && l.charAt(0) == '-'
+
+  /** Rewrite Excl nodes into marked literals (see [[Excl]]). */
+  private def markExclusions(p: Pat, in: Boolean = false): Pat = p match {
+    case Lit(v) => if (in) Lit("-" + v) else p
+    case Cat(a, b) => Cat(markExclusions(a, in), markExclusions(b, in))
+    case Alt(a, b) => Alt(markExclusions(a, in), markExclusions(b, in))
+    case r: Rep => r.copy(a = markExclusions(r.a, in))
+    case Excl(a) => markExclusions(a, in = true)
+  }
 
   /** Recursive-descent parser for the pattern subset. Variables are
     * identifiers (`[A-Za-z][A-Za-z0-9_]*`) and whitespace separates
@@ -274,8 +300,20 @@ object MatchRecognize {
         .map(perm => perm.map(Lit(_): Pat).reduceLeft(Cat))
         .reduceLeft(Alt)
     }
+    // '{' opens an exclusion only when immediately followed by '-'
+    // ("{-" is one token in the reference grammar); otherwise it is a
+    // {m,n} quantifier.
+    def exclStart: Boolean =
+      peek == '{' && pos + 1 < in.length && in.charAt(pos + 1) == '-'
     def atom(): Pat = peek match {
       case '(' => expect('('); val p = alt(); expect(')'); quant(p)
+      case '{' if exclStart =>
+        pos += 2 // "{-"
+        val p = alt()
+        skipWs()
+        require(in.startsWith("-}", pos), s"expected '-}' at $pos in '$in'")
+        pos += 2
+        quant(Excl(p))
       case c if c.isLetter =>
         val name = ident()
         if (name == "PERMUTE" && peek == '(') quant(permute())
@@ -290,7 +328,7 @@ object MatchRecognize {
       case '*' => pos += 1; reluctant(Rep(p, 0, -1))
       case '+' => pos += 1; reluctant(Rep(p, 1, -1))
       case '?' => pos += 1; reluctant(Rep(p, 0, 1))
-      case '{' =>
+      case '{' if !exclStart =>
         expect('{')
         val m = number()
         val n = if (peek == ',') {
@@ -303,7 +341,7 @@ object MatchRecognize {
     }
     def cat(): Pat = {
       var p = atom()
-      while (peek == '(' || peek.isLetter) p = Cat(p, atom())
+      while (peek == '(' || peek.isLetter || exclStart) p = Cat(p, atom())
       p
     }
     def alt(): Pat = {
@@ -314,7 +352,7 @@ object MatchRecognize {
     val r = alt()
     skipWs()
     require(pos == in.length, s"trailing input at $pos in '$in'")
-    r
+    markExclusions(r)
   }
 
   // -------------------------------------------------------- matcher
@@ -335,11 +373,15 @@ object MatchRecognize {
     def go(p: Pat, i: Int, acc: List[String], k: (Int, List[String]) => Option[List[String]])
         : Option[List[String]] = p match {
       case Lit(v) =>
-        if (i < n && classify(i, v, acc)) k(i + 1, v :: acc) else None
+        // DEFINE predicates see the real variable name; the (possibly
+        // exclusion-marked) label is what the match records.
+        if (i < n && classify(i, realLabel(v), acc)) k(i + 1, v :: acc) else None
       case Cat(a, b) =>
         go(a, i, acc, (i2, acc2) => go(b, i2, acc2, k))
       case Alt(a, b) =>
         go(a, i, acc, k).orElse(go(b, i, acc, k))
+      case Excl(a) => // eliminated at parse time; mark-and-match if reached
+        go(markExclusions(a, in = true), i, acc, k)
       case Rep(a, min, max, greedy) =>
         def rep(i2: Int, acc2: List[String], done: Int): Option[List[String]] = {
           def more =
@@ -424,8 +466,10 @@ object MatchRecognize {
             // label-match that resolves SUBSET union names (reference
             // SqlBase.g4 subsetDefinition): a skip/navigation target may
             // be a variable or a union of variables
-            def labelHit(label: String, v: String): Boolean =
+            def labelHit(label0: String, v: String): Boolean = {
+              val label = realLabel(label0)
               label == v || subs.getOrElse(v, Set.empty).contains(label)
+            }
             var i = 0
             var matchNo = 0L
             // WITH UNMATCHED ROWS: track which rows belong to ANY match
@@ -515,7 +559,8 @@ object MatchRecognize {
     val spark = df.sparkSession
     import spark.implicits._
     runEngine(df, partCol, orderCol, pattern, wrapDefine(define), skip) {
-      (key, matchNo, buf, i, m, ordOf) =>
+      (key, matchNo, buf, i, m0, ordOf) =>
+        val m = m0.map(realLabel) // ONE ROW PER MATCH ignores exclusions
         val counts = m.groupBy(identity).toSeq.sortBy(_._1)
           .map { case (v, cs) => s"$v:${cs.length}" }.mkString(",")
         Seq(MatchRow(key, matchNo, ordOf(buf(i)), ordOf(buf(i + m.length - 1)),
@@ -591,7 +636,8 @@ object MatchRecognize {
     import spark.implicits._
     runEngine(df, partCol, orderCol, pattern, wrapDefine(define),
       if (skipPastLastRow) SkipMode.PastLastRow else SkipMode.ToNextRow) {
-      (key, matchNo, buf, i, m, ordOf) =>
+      (key, matchNo, buf, i, m0, ordOf) =>
+        val m = m0.map(realLabel) // measures see excluded rows (SQL:2016)
         val startOrd = ordOf(buf(i))
         val endOrd = ordOf(buf(i + m.length - 1))
         m.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, idxs) =>
@@ -629,7 +675,7 @@ object MatchRecognize {
         EmptyableMatchRow(key, matchNo, ordOf(buf(i)), 0L, None)) {
       (key, matchNo, buf, i, m, ordOf) =>
         Seq(EmptyableMatchRow(key, matchNo, ordOf(buf(i)), m.length.toLong,
-          Some(m.mkString)))
+          Some(m.map(realLabel).mkString)))
     }
   }
 
@@ -661,11 +707,12 @@ object MatchRecognize {
           .map(j => buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())
         val finalLast = vals.last
         var runMax = Double.NegativeInfinity
-        (0 until m.length).map { k =>
-          runMax = math.max(runMax, vals(k))
-          MatchRowAll(key, ordOf(buf(i + k)), Some(matchNo), Some(m(k)),
-            Some((k + 1).toLong), Some(m.length.toLong),
-            Some(runMax), Some(finalLast))
+        (0 until m.length).flatMap { k =>
+          runMax = math.max(runMax, vals(k)) // excluded rows still feed RUNNING
+          if (isExcluded(m(k))) None
+          else Some(MatchRowAll(key, ordOf(buf(i + k)), Some(matchNo),
+            Some(m(k)), Some((k + 1).toLong), Some(m.length.toLong),
+            Some(runMax), Some(finalLast)))
         }
     }
   }
@@ -709,7 +756,7 @@ object MatchRecognize {
           MatchAggRow(key, matchNo, startOrd, endOrd, name, vals.length.toLong,
             s, s / vals.length, vals.min, vals.max)
         }
-        m.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
+        m.zipWithIndex.groupBy(e => realLabel(e._1)).toSeq.sortBy(_._1)
           .map { case (v, idxs) => aggOf(v, idxs.map(i + _._2)) } :+
           aggOf("*", i until i + m.length)
     }
@@ -737,10 +784,11 @@ object MatchRecognize {
           .map(j => buf(j).getAs[Number](buf(j).fieldIndex(valueCol)).doubleValue())
         val finalLast = vals.last
         var runMax = Double.NegativeInfinity
-        (0 until m.length).map { k =>
-          runMax = math.max(runMax, vals(k))
-          MatchDetail(key, matchNo, ordOf(buf(i + k)), m(k),
-            (k + 1).toLong, m.length.toLong, runMax, finalLast)
+        (0 until m.length).flatMap { k =>
+          runMax = math.max(runMax, vals(k)) // excluded rows still feed RUNNING
+          if (isExcluded(m(k))) None
+          else Some(MatchDetail(key, matchNo, ordOf(buf(i + k)), m(k),
+            (k + 1).toLong, m.length.toLong, runMax, finalLast))
         }
     }
   }

@@ -442,7 +442,59 @@ object Patterns {
       |  anchor_ord, CAST(n_rows AS BIGINT) AS n_rows, classifier
       |FROM anchors""".stripMargin
 
+  /** mr9: pattern exclusion `{- ... -}` (SQL:2016; reference
+    * `SqlBase.g4` patternPrimary `'{-' rowPattern '-}'`) under ALL
+    * ROWS PER MATCH: `A {- B+ -} C` over rising runs emits only the
+    * first and last row of each maximal rising run of length ≥ 3 —
+    * the excluded middle rows still participate in matching and in
+    * the RUNNING/FINAL measures (running_cnt at the C row counts the
+    * whole run; running_max spans the excluded rows). Oracle: rising
+    * runs from direction run-ids, keep rows ranked first or last in
+    * runs of length ≥ 3 — rcnt/rmax computed BEFORE the rank filter,
+    * exactly the engine's measure-over-all-rows contract. */
+  def mr9(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
+    MatchRecognize.allRows(ev, "user_id", "event_id", "A {- B+ -} C",
+      Map("A" -> up, "B" -> up, "C" -> up), "value")
+      .select(col("part_key").as("user_id"), col("ord"), col("match_no"),
+        col("classifier"), col("running_cnt"), col("final_cnt"),
+        col("running_max"), col("final_last"))
+  }
+
+  val mr9Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS isu
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(1 - isu) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM d),
+      |r2 AS (
+      |  SELECT *, sum(isu) OVER (PARTITION BY user_id, run_id) AS urows
+      |  FROM r),
+      |m AS (
+      |  SELECT user_id, event_id, value, run_id,
+      |    row_number() OVER pr AS rcnt,
+      |    count(*) OVER pw AS rlen,
+      |    max(value) OVER (pr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax,
+      |    last_value(value) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rlast
+      |  FROM r2 WHERE isu = 1 AND urows >= 3
+      |  WINDOW pr AS (PARTITION BY user_id, run_id ORDER BY event_id),
+      |         pw AS (PARTITION BY user_id, run_id))
+      |SELECT user_id, event_id AS ord,
+      |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY run_id) AS BIGINT) AS match_no,
+      |  CASE WHEN rcnt = 1 THEN 'A' ELSE 'C' END AS classifier,
+      |  CAST(rcnt AS BIGINT) AS running_cnt,
+      |  CAST(rlen AS BIGINT) AS final_cnt,
+      |  rmax AS running_max, rlast AS final_last
+      |FROM m WHERE rcnt = 1 OR rcnt = rlen""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr9_pattern_exclusion" -> mr9 _,
     "mr8_empty_matches" -> mr8 _,
     "mr7_unmatched_rows" -> mr7 _,
     "mr1_match_recognize" -> mr1 _,
@@ -453,6 +505,7 @@ object Patterns {
     "mr6_agg_measures" -> mr6 _)
 
   val oracle: Map[String, String] = Map(
+    "mr9_pattern_exclusion" -> mr9Sql,
     "mr8_empty_matches" -> mr8Sql,
     "mr7_unmatched_rows" -> mr7Sql,
     "mr1_match_recognize" -> mr1Sql,

@@ -111,13 +111,14 @@ object Pipeline {
     * 32-hex-char band hash only collides for near-identical
     * signatures. */
   def p3(s: SparkSession, dir: String): DataFrame = {
+    // shingles in the compiled word_ngrams kernel (one pass, no
+    // interpreted transform/slice lambdas — see WordNGrams.scala);
+    // docs with < 3 words have no 3-gram shingles, mirrored in the
+    // oracle's generate_series(1, len(w) - 2)
     val sh = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         array_distinct(
-          transform(
-            sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
-            i => concat_ws(" ", slice(col("w"), i, lit(3))))).as("shingles"))
+          call_function("word_ngrams", col("text"), lit(3))).as("shingles"))
 
     // All 8 min-hashes as FLAT codegen'd columns: one explode to
     // (doc, shingle) rows, eight md5 projections, one hash-aggregate
@@ -163,7 +164,7 @@ object Pipeline {
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, greatest(len(w) - 2, 1)),
+      |    generate_series(1, len(w) - 2),
       |    i -> array_to_string(w[i:i+2], ' '))) AS shingles
       |  FROM words),
       |mh AS (
@@ -856,23 +857,39 @@ object Pipeline {
     * engines (see the module Determinism note). */
   def p17(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
+    // The bigram extraction is the only pass that touches text, runs
+    // in the compiled word_ngrams kernel (an interpreted
+    // transform/element_at lambda chain here measured ~3 s per pass
+    // over the fixture vs milliseconds compiled — the p14 dot-product
+    // lesson applied to text), and runs exactly TWICE: once to count
+    // document frequencies, once to build the rare-gram inverted
+    // index. Everything downstream (sizes, pair generation, Jaccard)
+    // derives from the index posting lists, whose length the df cap
+    // bounds — the collect_list is applied only to grams already
+    // proven rare, so per-gram state is ≤ 0.02·N ids, never a hot
+    // gram's full posting list. (A naive kept⋈kept self-join
+    // re-evaluates the extraction once per branch — 5 passes and 3×
+    // the wall time.)
     val grams = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(
-          when(size(w) >= 2,
-            transform(sequence(lit(1), size(w) - 1),
-              i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-            .otherwise(array()))).as("gram"))
-    val nDocs = grams.agg(countDistinct(col("doc_id")).as("n_docs"))
+          call_function("word_ngrams", col("text"), lit(2)))).as("gram"))
+    // docs with ≥ 2 words ≡ docs contributing ≥ 1 bigram — computable
+    // without the extraction pass
+    val nDocs = t(s, dir, "documents")
+      .filter(size(w) >= 2).agg(count(lit(1)).as("n_docs"))
     val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= lit(0.02) * col("n_docs"))
       .select(col("gram"))
-    val kept = grams.join(broadcast(rare), "gram")
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = kept.select(col("doc_id").as("da"), col("gram"))
-      .join(kept.select(col("doc_id").as("db"), col("gram")), "gram")
-      .filter(col("da") < col("db"))
+    val index = grams.join(broadcast(rare), "gram")
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val sizes = index.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = index
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
     shared
       .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")

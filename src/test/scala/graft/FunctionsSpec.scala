@@ -511,6 +511,32 @@ class FunctionsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](rfp("abc", 2, 0))
   }
 
+  test("word_ngrams kernel matches split-then-slide semantics") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ng(s: String, n: Int): Seq[String] = {
+      val a = graft.functions.TextOps.wordNGrams(UTF8String.fromString(s), n)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(ng("a b c d", 2) == Seq("a b", "b c", "c d"))
+    assert(ng("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(ng("one", 1) == Seq("one"))
+    assert(ng("one two", 3) == Seq.empty) // fewer words than n
+    // split semantics: empty tokens from doubled spaces are preserved,
+    // exactly like split(text, ' ') / DuckDB string_split
+    assert(ng("a  b", 2) == Seq("a ", " b"))
+    assert(ng("", 1) == Seq("")) // split of "" is [""], one unigram
+    assertThrows[IllegalArgumentException](ng("a b", 0))
+    // property: equals the reference formulation on random word seqs
+    val rnd = new Random(7)
+    for (_ <- 1 to 20) {
+      val words = Seq.fill(2 + rnd.nextInt(40))(
+        Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(26)).toChar).mkString)
+      val n = 1 + rnd.nextInt(4)
+      val expected = words.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      assert(ng(words.mkString(" "), n) == expected)
+    }
+  }
+
   test("rolling_fingerprint: rolling recurrence equals naive per-gram fold") {
     val rnd = new Random(42)
     for (trial <- 1 to 10) {

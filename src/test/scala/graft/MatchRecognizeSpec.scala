@@ -148,6 +148,60 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.classifier == "U"))
   }
 
+  test("pattern exclusion {- -}: rows match but are omitted from ALL ROWS output") {
+    val spk = spark
+    import spk.implicits._
+    // D-run 5 4 3, then U-run 6 7: pattern D {- D+ -} U+ maps row 0 to
+    // the visible D, rows 1-2 to the excluded D+, rows 3-4 to U+
+    val df = Seq[Double](5, 4, 3, 6, 7).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val down: (Row, Row) => Boolean =
+      (p, c) => p == null || c.getAs[Double]("v") < p.getAs[Double]("v")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") > p.getAs[Double]("v")
+    val defs = Map("D" -> down, "U" -> up)
+
+    val all = MatchRecognize.allRows(df, "k", "ord", "D {- D+ -} U+", defs, "v")
+      .collect().toSeq.sortBy(_.ord)
+    // excluded rows 1-2 vanish from the output...
+    assert(all.map(_.ord) == Seq(0L, 3L, 4L))
+    assert(all.map(_.classifier) == Seq("D", "U", "U"))
+    // ...but still participate in RUNNING/FINAL measures: the count is
+    // over all 5 matched rows, and row 3's RUNNING position is 4
+    assert(all.map(_.final_cnt).distinct == Seq(5L))
+    assert(all.map(_.running_cnt) == Seq(1L, 4L, 5L))
+
+    // ONE ROW PER MATCH ignores exclusions entirely: full classifier,
+    // full span, full count
+    val one = MatchRecognize(df, "k", "ord", "D {- D+ -} U+", defs)
+      .collect().toSeq
+    assert(one.map(_.classifier) == Seq("DDDUU"))
+    assert(one.map(_.n_rows) == Seq(5L))
+
+    // exclusion-free equivalent matches the same span (exclusion never
+    // changes WHAT matches, only what ALL ROWS emits)
+    val plain = MatchRecognize(df, "k", "ord", "D D+ U+", defs).collect().toSeq
+    assert(plain.map(_.start_ord) == one.map(_.start_ord))
+    assert(plain.map(_.end_ord) == one.map(_.end_ord))
+  }
+
+  test("pattern exclusion: DEFINE navigation sees excluded rows; {m,n} still parses") {
+    val spk = spark
+    import spk.implicits._
+    val df = Seq[Double](1, 2, 3, 4).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val up: (Row, Row) => Boolean =
+      (p, c) => p == null || c.getAs[Double]("v") > p.getAs[Double]("v")
+    // U{2} quantifier and an exclusion in one pattern: brace
+    // disambiguation ('{' + '-' = exclusion, else quantifier)
+    val all = MatchRecognize.allRows(df, "k", "ord", "{- U{2} -} U+",
+      Map("U" -> up), "v").collect().toSeq.sortBy(_.ord)
+    assert(all.map(_.ord) == Seq(2L, 3L))
+    assert(all.map(_.final_cnt).distinct == Seq(4L))
+    // running max at first visible row includes the excluded prefix
+    assert(all.map(_.running_max) == Seq(3.0, 4.0))
+  }
+
   test("PERMUTE matches variables in any order, preferring the listed one") {
     // 11 then 5: H fits row 0, D fits row 1 -> only the HD ordering works
     val ms = runPat(Seq[Double](11, 5), "PERMUTE(D, H)")
