@@ -24,6 +24,17 @@ import graft.engine.Graft
   * products are exact at any row order (the decimal point of using
   * them at 100 TB); the division result is pinned to scale 6 with
   * both engines' intermediates far wider than the target.
+  *
+  * Output-boundary contract: ALL arithmetic stays decimal (that is
+  * the point of the suite), but the FINAL output columns are cast to
+  * DOUBLE on both engines. Rationale (round-9 driver gate failure):
+  * the gate hashes stringified values, and pyarrow renders a parquet
+  * DECIMAL(28,2) as `Decimal('508966.00')` while the DuckDB oracle
+  * frame materializes float64 `508966.0` — trailing-zero strings
+  * diverge even when values are exactly equal. Every value here is
+  * far below 2^52 in scaled units (sums ≈ 10^10), so the final DOUBLE
+  * cast is lossless (PropertiesSpec pins the 2^52 round-trip bound);
+  * the exactness guarantee is carried by the decimal intermediates.
   */
 object Decimals {
 
@@ -44,18 +55,18 @@ object Decimals {
     li(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(col("qty")).cast(DecimalType(28, 2)).as("sum_qty"),
-        sum(col("price")).cast(DecimalType(28, 2)).as("sum_price"),
-        min(col("price")).as("min_price"),
-        max(col("price")).as("max_price"),
+        sum(col("qty")).cast(DecimalType(28, 2)).cast("double").as("sum_qty"),
+        sum(col("price")).cast(DecimalType(28, 2)).cast("double").as("sum_price"),
+        min(col("price")).cast("double").as("min_price"),
+        max(col("price")).cast("double").as("max_price"),
         count(lit(1)).as("n"))
 
   val dc1Sql: String =
     """SELECT l_returnflag,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_price,
-      |  min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
-      |  max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price,
+      |  CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+      |  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
@@ -72,21 +83,21 @@ object Decimals {
       .groupBy(col("l_linestatus"))
       .agg(
         sum((col("price") * (one - col("disc"))).cast(DecimalType(18, 4)))
-          .cast(DecimalType(28, 4)).as("revenue"),
+          .cast(DecimalType(28, 4)).cast("double").as("revenue"),
         sum(((col("price") * (one - col("disc"))).cast(DecimalType(18, 4)) *
             (one + col("tax"))).cast(DecimalType(22, 6)))
-          .cast(DecimalType(32, 6)).as("charge"))
+          .cast(DecimalType(32, 6)).cast("double").as("charge"))
   }
 
   val dc2Sql: String =
     """SELECT l_linestatus,
-      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
-      |    AS DECIMAL(28,4)) AS revenue,
-      |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) *
       |    (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(22,6)))
-      |    AS DECIMAL(32,6)) AS charge
+      |    AS DECIMAL(32,6)) AS DOUBLE) AS charge
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
   // ---------------------------------------- dc3 decimal division scale
@@ -103,15 +114,16 @@ object Decimals {
         sum(col("price")).cast(DecimalType(25, 6)).as("sp"),
         sum(col("qty")).cast(DecimalType(25, 6)).as("sq"))
       .select(col("l_returnflag"),
-        (col("sp") / col("sq")).cast(DecimalType(18, 6)).as("avg_unit_price"),
-        col("sq").cast(DecimalType(28, 2)).as("sum_qty"))
+        (col("sp") / col("sq")).cast(DecimalType(18, 6)).cast("double")
+          .as("avg_unit_price"),
+        col("sq").cast(DecimalType(28, 2)).cast("double").as("sum_qty"))
 
   val dc3Sql: String =
     """SELECT l_returnflag,
-      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(25,6)) /
+      |  CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(25,6)) /
       |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(25,6))
-      |       AS DECIMAL(18,6)) AS avg_unit_price,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_qty
+      |       AS DECIMAL(18,6)) AS DOUBLE) AS avg_unit_price,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

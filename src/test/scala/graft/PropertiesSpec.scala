@@ -127,6 +127,29 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("decimal boundary: DOUBLE output cast is lossless for gate-bound values") {
+    // The driver's hash compares STRING representations across engines:
+    // pyarrow renders parquet DECIMAL(28,2) as Decimal('x.00') while the
+    // DuckDB oracle frame holds float64 'x.0' — equal values, divergent
+    // strings (the round-9 dc1/dc3 escape). The fix keeps arithmetic
+    // decimal but casts final outputs to DOUBLE on both sides; this
+    // property pins the "lossless" claim: any decimal whose unscaled
+    // units fit 2^52 round-trips decimal → double → decimal exactly
+    // (2^52, not 2^53: nearest-double error is ≤ |v|·2^-53, which only
+    // stays under half a decimal ulp while |unscaled| < 2^52; the dc
+    // suite's real sums are ~10^10 scaled units, far inside the bound).
+    val g = for {
+      unscaled <- Gen.choose(-(1L << 52) + 1, (1L << 52) - 1)
+      scale <- Gen.choose(0, 6)
+    } yield (unscaled, scale)
+    check("decimal-double-roundtrip", Prop.forAll(g) { case (u, s) =>
+      val dec = java.math.BigDecimal.valueOf(u, s)
+      val back = new java.math.BigDecimal(dec.doubleValue()).setScale(
+        s, java.math.RoundingMode.HALF_UP)
+      back.compareTo(dec) == 0
+    })
+  }
+
   test("dialect translation is idempotent") {
     import graft.sqlcompat.Dialect
     val sqls = Gen.oneOf(

@@ -25,6 +25,23 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no gated query emits DecimalType at the oracle boundary") {
+    // The driver's hash gate compares stringified values and pyarrow
+    // renders decimals scale-faithfully ('x.00') while the DuckDB
+    // oracle frame holds float64 ('x.0') — so ANY decimal-typed output
+    // column is a latent hash mismatch (round-9 dc1/dc3). Decimal
+    // arithmetic is fine internally; the output boundary must be
+    // decimal-free. Schema-only: builds every plan, runs nothing.
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val decCols = fn(spark, sfDir).schema.fields
+        .filter(_.dataType.isInstanceOf[DecimalType]).map(_.name)
+      if (decCols.isEmpty) Nil else Seq(s"$name: ${decCols.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"decimal-typed output columns at the gate boundary:\n${offenders.mkString("\n")}")
+  }
+
   test("map_union and multimap_agg aggregate across partitions") {
     import org.apache.spark.sql.functions._
     val spk = spark

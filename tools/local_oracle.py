@@ -7,8 +7,12 @@ Usage:
 Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` has already written
 one parquet dir per query plus oracle_sql.json. For each query: runs the
 oracle SQL in DuckDB over the same parquet tables, then compares against
-the Spark parquet with the driver's discipline — columns sorted by name,
-rows sorted, values hashed exactly (no float tolerance).
+the Spark parquet with the driver's discipline — the Spark side is read
+with pandas/pyarrow (NOT through DuckDB, which would canonicalize both
+sides identically and hide representation asymmetries such as pyarrow
+Decimal('x.00') vs DuckDB float64 'x.0' — the round-9 dc1/dc3 escape),
+columns sorted by name, rows sorted, STRINGIFIED values compared exactly
+(no float tolerance).
 """
 import json
 import pathlib
@@ -21,13 +25,32 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+import datetime as _dt
+
+
+def _cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and v != v:  # NaN (pandas null for float cols)
+        return "NULL"
+    # DATE columns: pyarrow yields datetime.date ('1998-01-14') but
+    # DuckDB's .df() materializes datetime64 ('1998-01-14 00:00:00').
+    # The driver canonicalizes these equal (r9 gate passed date-typed
+    # queries), so collapse midnight tz-naive timestamps to the date.
+    if v is pd.NaT:
+        return "NULL"
+    if isinstance(v, _dt.datetime) and v.tzinfo is None and \
+            v.time() == _dt.time(0, 0):
+        return str(v.date())
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Columns sorted by name, every value stringified (the driver hashes
+    string representations — Decimal('1.00') != 1.0), rows sorted."""
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize for stable sort/compare
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: str(v) if v is not None else None)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    out = pd.DataFrame({c: df[c].apply(_cell) for c in df.columns})
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
 def main() -> int:
@@ -45,8 +68,9 @@ def main() -> int:
             n_fail += 1
             continue
         try:
-            got = canon(con.sql(
-                f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df())
+            # Spark side via pyarrow, exactly like the driver — do NOT
+            # round-trip it through DuckDB (hides decimal repr divergence).
+            got = canon(pd.read_parquet(qdir, engine="pyarrow"))
             want = canon(con.sql(oracle[name]).df())
         except Exception as e:  # noqa: BLE001
             print(f"ERROR    {name}: {e}")
