@@ -46,18 +46,8 @@ object Pipeline {
   private def ncos(x: Column, y: Column): Column =
     call_function("cosine_similarity", x, y)
 
-  /** Fingerprint of a source table's files (mtime ^ size, xor-folded),
-    * for keying derived-fixture sink paths: if the testdata is
-    * regenerated in place, the tag changes and the stale fixture is
-    * never read. */
-  private def srcTag(dir: String, name: String): String = {
-    val root = new java.io.File(s"$dir/$name.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().filter(_.isFile).toSeq else Seq(root)
-    val sig = files.map(f => f.lastModified() ^ (f.length() * 1000003L))
-      .foldLeft(0L)(_ ^ _)
-    java.lang.Long.toHexString(sig)
-  }
+  private def srcTag(dir: String, name: String): String =
+    Graft.srcTag(dir, name)
 
   // -------------------------------------------------- p1 exact dedup
   /** Exact-dedup census: total docs, distinct texts by content hash,
@@ -770,9 +760,12 @@ object Pipeline {
   // ---------------------------------------------- p16 language ID
   /** Character-n-gram language identification: each language has a
     * small weighted gram profile; a document's score per language is
-    * Σ occurrences(gram) × weight (occurrences counted via the
-    * length-delta of a replace-all — exact integers, identical in both
-    * engines), and the prediction is the argmax with a fixed
+    * Σ occurrences(gram) × length(gram) × weight — occurrences are
+    * counted via the length-delta of a replace-all (exact integers,
+    * identical in both engines), which inherently scales each hit by
+    * the gram's length; longer (more distinctive) grams thus count
+    * proportionally more, a deliberate weighting the profile weights
+    * are calibrated against. The prediction is the argmax with a fixed
     * lexicographic tie-break (the CASE chain encodes it identically on
     * both sides). This is the standard Cavnar–Trenkle n-gram-profile
     * scheme reduced to a fixed profile table; real profiles are just a
@@ -846,16 +839,29 @@ object Pipeline {
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|), rolled up into a pair-count
     * histogram by Jaccard decile.
     *
-    * Scale design: the df cap is what keeps this linear — a gram kept
-    * by `df ≤ 0.02·N` contributes ≤ (0.02·N)² pairs, and in a real
-    * corpus rare-gram df is O(1), so pair generation is O(Σ df²) ≈
-    * O(corpus) instead of the N² of all-pairs. The df threshold is
-    * corpus-relative (one broadcast scalar), so the same query is
-    * meaningful at sf0.01 and at 100 TB. Raw text never shuffles —
-    * only (doc_id, gram) index entries; the final histogram is
-    * ~10 rows. Division is a single IEEE op, bit-identical across
-    * engines (see the module Determinism note). */
-  def p17(s: SparkSession, dir: String): DataFrame = {
+    * Scale design: the df cap is what keeps this linear. The cap is
+    * `df ≤ least(0.02·N, RareGramDfCap)` — corpus-relative at small N
+    * (so the query is meaningful on the fixture) but ABSOLUTE at
+    * scale: without the `least`, a gram at the fractional cap owns a
+    * posting list of 2% of the corpus (a 2×10^7-id collect_list array
+    * in ONE group at 10^9 docs) and contributes (0.02·N)² candidate
+    * pairs. With it, per-gram state is ≤ 1000 ids ≈ 8 KB regardless
+    * of corpus size and pair space is O(#grams · K²) — rare-gram df
+    * is O(1) in a real corpus, so in practice O(corpus). Raw text
+    * never shuffles — only (doc_id, gram) index entries; the final
+    * histogram is ~10 rows. Division is a single IEEE op,
+    * bit-identical across engines (see the module Determinism note). */
+  /** Absolute posting-list bound for p17's inverted index: a kept
+    * gram's document frequency never exceeds this, whatever the corpus
+    * size (ScaleSpec asserts it on the materialized index). */
+  val RareGramDfCap = 1000L
+
+  def p17(s: SparkSession, dir: String): DataFrame =
+    p17Histogram(p17Index(s, dir))
+
+  /** The rare-gram inverted index (gram → sorted posting list), split
+    * out so tests can assert the posting-list bound directly. */
+  def p17Index(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
     // The bigram extraction is the only pass that touches text, runs
     // in the compiled word_ngrams kernel (an interpreted
@@ -880,11 +886,14 @@ object Pipeline {
       .filter(size(w) >= 2).agg(count(lit(1)).as("n_docs"))
     val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= lit(0.02) * col("n_docs"))
+      .filter(col("df") <= least(lit(0.02) * col("n_docs"), lit(RareGramDfCap)))
       .select(col("gram"))
-    val index = grams.join(broadcast(rare), "gram")
+    grams.join(broadcast(rare), "gram")
       .groupBy(col("gram"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+  }
+
+  private def p17Histogram(index: DataFrame): DataFrame = {
     val sizes = index.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shared = index
@@ -911,7 +920,7 @@ object Pipeline {
       |kept AS (
       |  SELECT doc_id, gram FROM grams
       |  WHERE gram IN (SELECT gram FROM grams GROUP BY gram
-      |                 HAVING count(*) <= 0.02 * (SELECT n_docs FROM stats))
+      |                 HAVING count(*) <= least(0.02 * (SELECT n_docs FROM stats), 1000))
       |),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
       |shared AS (

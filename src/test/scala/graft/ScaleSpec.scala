@@ -111,6 +111,15 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nested-loop join allowed is the broadcast 1-row n_docs scalar.
     assert("CartesianProduct".r.findAllIn(plan).isEmpty,
       s"cartesian product in p17 plan:\n${plan.take(2000)}")
+    // posting lists are bounded by an ABSOLUTE constant, not just a
+    // corpus fraction: at 10^9 docs a fractional-only cap would let one
+    // gram collect 2×10^7 ids into a single group. Assert the bound on
+    // the materialized index itself.
+    import org.apache.spark.sql.functions.{max, size => asize}
+    val maxDf = graft.queries.Pipeline.p17Index(spark, sfDir)
+      .agg(max(asize(col("ds")))).head().getInt(0)
+    assert(maxDf <= graft.queries.Pipeline.RareGramDfCap,
+      s"posting list of $maxDf ids exceeds the absolute cap")
     val rows = df.collect()
     assert(rows.nonEmpty, "expected near-dup pairs on the fixture")
     rows.foreach { r =>
