@@ -75,13 +75,14 @@ object Graft {
     * the fixed per-query overhead. A real engine caches table metadata
     * in its catalog (reference: metastore-backed ConnectorMetadata);
     * this memoizes the analyzed relation per (session, dir, table).
-    * Weak session keys let stopped test sessions GC; the testdata is
-    * read-only by contract (TESTDATA.md), so the cached file listing
-    * cannot go stale. */
+    * Stopped sessions are purged eagerly on the next load() — weak keys
+    * would not work here because the cached DataFrames strongly
+    * reference their SparkSession, keeping the key reachable. The
+    * testdata is read-only by contract (TESTDATA.md), so the cached
+    * file listing cannot go stale. */
   private val relationCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   /** Read one test table. Filters/projections on the result are pushed
     * into the parquet scan by Catalyst (verify via `PushedFilters` in
@@ -91,16 +92,24 @@ object Graft {
     // Defensive for sessions not built via session() (e.g. test harnesses).
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val perSession = relationCache.synchronized {
-      var m = relationCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        relationCache.put(spark, m)
-      }
-      m
-    }
+    relationCache.keySet.removeIf(s => s.sparkContext.isStopped)
+    val perSession = relationCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
     perSession.computeIfAbsent((dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Fingerprint of a source table's files (mtime ^ size, xor-folded),
+    * for keying derived fixtures (sink paths, CTAS/bucketed catalog
+    * tables): if the testdata is regenerated in place, the tag changes
+    * and the stale derivative is never read. */
+  def srcTag(dir: String, name: String): String = {
+    val root = new java.io.File(s"$dir/$name.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().filter(_.isFile).toSeq else Seq(root)
+    val sig = files.map(f => f.lastModified() ^ (f.length() * 1000003L))
+      .foldLeft(0L)(_ ^ _)
+    java.lang.Long.toHexString(sig)
   }
 
   /** The events table with `ts_ns` (exact epoch-nanos, ordering key) and

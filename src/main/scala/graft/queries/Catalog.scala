@@ -28,7 +28,10 @@ object CatalogOps {
     * orders/lineitem, bucketed AND sorted by the join key. Idempotent:
     * keyed by the sf dir, reused across the bench's repeated runs. */
   private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
-    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // the source fingerprint in the key means regenerated testdata gets
+    // fresh tables instead of silently joining a stale bucketed copy
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + Graft.srcTag(dir, "orders") + Graft.srcTag(dir, "lineitem")
     val oTab = s"orders_bkt_$key"
     val lTab = s"lineitem_bkt_$key"
     val base = s"/tmp/graft_warehouse/$key"
@@ -80,7 +83,10 @@ object CatalogOps {
     * view costs nothing at 100 TB; the CTAS table is a real parquet
     * relation with its own stats. */
   def cat2(s: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // fingerprint the CTAS source like Pipeline's derived fixtures:
+    // regenerated testdata must not hit a stale cust_seg table
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + Graft.srcTag(dir, "customer")
     Graft.load(s, dir, "orders").createOrReplaceTempView(s"orders_src_$key")
     s.sql(
       s"""CREATE OR REPLACE TEMPORARY VIEW v_big_orders_$key AS

@@ -191,8 +191,10 @@ object Dialect {
         // definition, SQL:2016 §8.8): `= ANY (…)` / `= SOME (…)` →
         // `IN (…)`, `<> ALL (…)` → `NOT IN (…)`. Ordering quantifiers
         // (> ALL etc.) have no null-safe textual rewrite and pass
-        // through for Spark to reject loudly.
-        out = out.replaceAll("(?i)=\\s*(?:ANY|SOME)\\s*\\(", "IN (")
+        // through for Spark to reject loudly — including the compound
+        // operators >= <= !=, whose trailing '=' the lookbehind keeps
+        // this rewrite away from (`>= ANY (` must NOT become `>IN (`).
+        out = out.replaceAll("(?i)(?<![<>!])=\\s*(?:ANY|SOME)\\s*\\(", "IN (")
         out = out.replaceAll("(?i)(?:<>|!=)\\s*ALL\\s*\\(", "NOT IN (")
         out
     }.mkString

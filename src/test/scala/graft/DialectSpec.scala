@@ -218,9 +218,17 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)")
     assert(Dialect.translate("SELECT * FROM t WHERE x != ALL (SELECT y FROM u)")
       == "SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)")
-    // ordering quantifiers have no null-safe rewrite: pass through
-    val passthrough = "SELECT * FROM t WHERE x > ALL (SELECT y FROM u)"
-    assert(Dialect.translate(passthrough) == passthrough)
+    // ordering quantifiers have no null-safe rewrite: pass through —
+    // including compound operators whose trailing '=' must not be
+    // eaten by the `= ANY` rewrite (>= ANY would become `>IN (`)
+    for (op <- Seq(">", ">=", "<=")) {
+      val passthrough = s"SELECT * FROM t WHERE x $op ALL (SELECT y FROM u)"
+      assert(Dialect.translate(passthrough) == passthrough)
+    }
+    val geAny = "SELECT * FROM t WHERE x >= ANY (SELECT y FROM u)"
+    assert(Dialect.translate(geAny) == geAny)
+    assert(Dialect.translate("SELECT * FROM t WHERE x <= SOME (SELECT y FROM u)")
+      == "SELECT * FROM t WHERE x <= SOME (SELECT y FROM u)")
     // string literals stay untouched
     assert(Dialect.translate("SELECT '= ANY (x)' AS s")
       == "SELECT '= ANY (x)' AS s")
