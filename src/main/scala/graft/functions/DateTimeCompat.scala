@@ -68,6 +68,66 @@ object DateTimeCompat {
     else f"$h%02d:$m%02d:$s2%02d.${frac}%09d".replaceAll("0+$", "")
   }
 
+  /** Parse a string with a Joda-Time pattern (reference
+    * `DateTimeFunctions.java` parse_datetime) — the inverse of
+    * `format_datetime`, through the same pattern translator. A parsed
+    * zone/offset is honored; otherwise the local datetime is taken as
+    * UTC (the session zone); a bare date parses to midnight. */
+  def parseDatetime(s: String, jodaPattern: String): java.sql.Timestamp = {
+    import java.time._
+    import java.time.temporal.TemporalQuery
+    val f = java.time.format.DateTimeFormatter
+      .ofPattern(translateJodaPattern(jodaPattern))
+    val best = f.parseBest(s,
+      ((t: java.time.temporal.TemporalAccessor) => ZonedDateTime.from(t)):
+        TemporalQuery[AnyRef],
+      ((t: java.time.temporal.TemporalAccessor) => LocalDateTime.from(t)):
+        TemporalQuery[AnyRef],
+      ((t: java.time.temporal.TemporalAccessor) => LocalDate.from(t)):
+        TemporalQuery[AnyRef])
+    val instant = best match {
+      case z: ZonedDateTime => z.toInstant
+      case ldt: LocalDateTime => ldt.toInstant(ZoneOffset.UTC)
+      case ld: LocalDate => ld.atStartOfDay.toInstant(ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(s"unparseable: $other")
+    }
+    java.sql.Timestamp.from(instant)
+  }
+
+  /** ISO-8601 rendering of a timestamp (reference
+    * `DateTimeFunctions.java:199` to_iso8601): seconds always printed,
+    * millis only when non-zero — `2001-08-22T03:04:05[.321]`. */
+  def toIso8601(ts: java.sql.Timestamp): String = {
+    val ldt = java.time.LocalDateTime.ofInstant(
+      ts.toInstant, java.time.ZoneOffset.UTC)
+    val base = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss").format(ldt)
+    val millis = ldt.getNano / 1000000
+    if (millis == 0) base else f"$base.$millis%03d"
+  }
+
+  /** Flexible ISO-8601 timestamp parse (reference
+    * `DateTimeFunctions.java` from_iso8601_timestamp): offset and
+    * fractional seconds optional, bare dates parse to midnight; a
+    * missing offset means the session zone (UTC). */
+  def fromIso8601Timestamp(s: String): java.sql.Timestamp = {
+    import java.time._
+    import java.time.temporal.TemporalQuery
+    val instant =
+      if (s.contains("T")) {
+        java.time.format.DateTimeFormatter.ISO_DATE_TIME.parseBest(s,
+          ((t: java.time.temporal.TemporalAccessor) => ZonedDateTime.from(t)):
+            TemporalQuery[AnyRef],
+          ((t: java.time.temporal.TemporalAccessor) => LocalDateTime.from(t)):
+            TemporalQuery[AnyRef]) match {
+          case z: ZonedDateTime => z.toInstant
+          case l: LocalDateTime => l.toInstant(ZoneOffset.UTC)
+          case other => throw new IllegalArgumentException(s"unparseable: $other")
+        }
+      } else LocalDate.parse(s).atStartOfDay.toInstant(ZoneOffset.UTC)
+    java.sql.Timestamp.from(instant)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("format_datetime",
       (ts: java.sql.Timestamp, jodaPattern: String) => {
@@ -77,6 +137,18 @@ object DateTimeCompat {
           .withZone(java.time.ZoneOffset.UTC)
           .format(ts.toInstant)
       })
+    spark.udf.register("parse_datetime",
+      (s: String, jodaPattern: String) =>
+        if (s == null || jodaPattern == null) null
+        else parseDatetime(s, jodaPattern))
+    spark.udf.register("to_iso8601",
+      (ts: java.sql.Timestamp) => if (ts == null) null else toIso8601(ts))
+    spark.udf.register("from_iso8601_timestamp",
+      (s: String) => if (s == null) null else fromIso8601Timestamp(s))
+    spark.udf.register("from_iso8601_date",
+      (s: String) =>
+        if (s == null) null
+        else java.sql.Date.valueOf(java.time.LocalDate.parse(s)))
     spark.udf.register("time_of_day_nanos",
       (ts: java.sql.Timestamp) =>
         if (ts == null) null.asInstanceOf[java.lang.Long]

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, ExpressionInfo, If, Literal, ParseUrl, RegExpExtract}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, ExpressionInfo, FromUTCTimestamp, If, Literal, ParseUrl, RegExpExtract, ToUTCTimestamp}
 import org.apache.spark.sql.types.{LongType, StringType}
 
 /** The engine's function registry (≈ the reference's
@@ -116,6 +116,23 @@ object GraftFunctions {
       FunctionIdentifier("graft_date_add"),
       new ExpressionInfo(classOf[TrinoDateAdd].getName, "graft_date_add"),
       (children: Seq[Expression]) => TrinoDateAdd(children(0), children(1), children(2))))
+    // at_timezone / with_timezone (reference `scalar/timestamptz/
+    // AtTimeZone.java:30`, `WithTimeZone.java`): Spark's timestamp is
+    // an instant with no carried zone id (SURVEY §1.3 documents the
+    // loss), so the zone-preserving half degrades to the local-clock
+    // shift — at_timezone(ts, tz) renders the instant on tz's wall
+    // clock (≡ from_utc_timestamp under the UTC session), and
+    // with_timezone(ts, tz) reads a wall-clock ts as tz local time and
+    // returns the instant (≡ to_utc_timestamp). Both are Catalyst
+    // codegen expressions, not UDFs.
+    e.injectFunction((
+      FunctionIdentifier("at_timezone"),
+      new ExpressionInfo(classOf[FromUTCTimestamp].getName, "at_timezone"),
+      (children: Seq[Expression]) => FromUTCTimestamp(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("with_timezone"),
+      new ExpressionInfo(classOf[ToUTCTimestamp].getName, "with_timezone"),
+      (children: Seq[Expression]) => ToUTCTimestamp(children(0), children(1))))
     // url_extract_* family (reference `operator/scalar/UrlFunctions.java`):
     // pure compositions over Catalyst's codegen'd ParseUrl — no UDFs on
     // this path. failOnError=false matches the reference's NULL-on-

@@ -233,6 +233,13 @@ object MatchRecognize {
   // can't start with '-', so marks are unambiguous) and the engine
   // strips the mark everywhere except row emission.
   private case class Excl(a: Pat) extends Pat
+  // partition anchors `^` / `$` (reference SqlBase.g4:744-745
+  // partitionStartAnchor / partitionEndAnchor): zero-width assertions
+  // that the match is positioned at the first / one-past-last row of
+  // the partition. Quantifying an anchor is rejected at parse time
+  // (a quantified zero-width assertion matches nothing useful).
+  private case object StartAnchor extends Pat
+  private case object EndAnchor extends Pat
 
   /** Real variable name of a (possibly exclusion-marked) label. */
   def realLabel(l: String): String =
@@ -248,6 +255,7 @@ object MatchRecognize {
     case Alt(a, b) => Alt(markExclusions(a, in), markExclusions(b, in))
     case r: Rep => r.copy(a = markExclusions(r.a, in))
     case Excl(a) => markExclusions(a, in = true)
+    case StartAnchor | EndAnchor => p // zero-width: nothing to mark
   }
 
   /** Recursive-descent parser for the pattern subset. Variables are
@@ -306,6 +314,8 @@ object MatchRecognize {
     def exclStart: Boolean =
       peek == '{' && pos + 1 < in.length && in.charAt(pos + 1) == '-'
     def atom(): Pat = peek match {
+      case '^' => pos += 1; StartAnchor // deliberately un-quantified
+      case '$' => pos += 1; EndAnchor
       case '(' => expect('('); val p = alt(); expect(')'); quant(p)
       case '{' if exclStart =>
         pos += 2 // "{-"
@@ -341,7 +351,8 @@ object MatchRecognize {
     }
     def cat(): Pat = {
       var p = atom()
-      while (peek == '(' || peek.isLetter || exclStart) p = Cat(p, atom())
+      while (peek == '(' || peek.isLetter || exclStart ||
+        peek == '^' || peek == '$') p = Cat(p, atom())
       p
     }
     def alt(): Pat = {
@@ -376,6 +387,8 @@ object MatchRecognize {
         // DEFINE predicates see the real variable name; the (possibly
         // exclusion-marked) label is what the match records.
         if (i < n && classify(i, realLabel(v), acc)) k(i + 1, v :: acc) else None
+      case StartAnchor => if (i == 0) k(i, acc) else None
+      case EndAnchor => if (i == n) k(i, acc) else None
       case Cat(a, b) =>
         go(a, i, acc, (i2, acc2) => go(b, i2, acc2, k))
       case Alt(a, b) =>

@@ -493,7 +493,74 @@ object Patterns {
       |  rmax AS running_max, rlast AS final_last
       |FROM m WHERE rcnt = 1 OR rcnt = rlen""".stripMargin
 
+  /** mr10: partition anchors `^` / `$` (reference `SqlBase.g4:744-745`
+    * partitionStartAnchor / partitionEndAnchor) — the last row-pattern
+    * grammar production. Two anchored matches per user over the event
+    * series: `^ U+` (U: first row or value > PREV(value)) pins a match
+    * to the PARTITION START, yielding exactly the maximal rising
+    * prefix; `D+ $` (D: value < PREV(value)) pins the match end to the
+    * PARTITION END, yielding the maximal falling suffix (absent when
+    * the series doesn't end falling — hence the left join with 0/-1
+    * defaults). Without the anchors the same patterns would match
+    * interior runs; the oracle rebuilds both boundary runs
+    * relationally (prefix = rows before the first non-rising step,
+    * suffix = rows after the last non-falling step). */
+  def mr10(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    val rise: (Row, Row) => Boolean =
+      (p, c) => p == null || c.getAs[Double]("value") > p.getAs[Double]("value")
+    val fall: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") < p.getAs[Double]("value")
+    val pre = MatchRecognize.measures(ev, "user_id", "event_id",
+        "^ U+", Map("U" -> rise), "value")
+      .select(col("part_key").as("user_id"),
+        col("n_rows").as("pre_rows"), col("end_ord").as("pre_end_ord"),
+        col("last_val").as("pre_last"))
+    val suf = MatchRecognize.measures(ev, "user_id", "event_id",
+        "D+ $", Map("D" -> fall), "value")
+      .select(col("part_key").as("user_id"),
+        col("n_rows").as("suf_rows"), col("start_ord").as("suf_start_ord"))
+    pre.join(suf, Seq("user_id"), "left")
+      .select(col("user_id"), col("pre_rows"), col("pre_end_ord"),
+        col("pre_last"),
+        coalesce(col("suf_rows"), lit(0L)).as("suf_rows"),
+        coalesce(col("suf_start_ord"), lit(-1L)).as("suf_start_ord"))
+  }
+
+  val mr10Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER w AS rn,
+      |    CASE WHEN lag(value) OVER w IS NULL THEN 1
+      |         WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS risestep,
+      |    CASE WHEN lag(value) OVER w IS NOT NULL AND value < lag(value) OVER w
+      |         THEN 1 ELSE 0 END AS fallstep
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |pre AS (
+      |  SELECT user_id,
+      |    coalesce(min(CASE WHEN risestep = 0 THEN rn END) - 1, max(rn)) AS pre_rows
+      |  FROM d GROUP BY user_id),
+      |pre2 AS (
+      |  SELECT d.user_id, CAST(pre.pre_rows AS BIGINT) AS pre_rows,
+      |    d.event_id AS pre_end_ord, d.value AS pre_last
+      |  FROM d JOIN pre ON d.user_id = pre.user_id AND d.rn = pre.pre_rows),
+      |fs AS (
+      |  SELECT user_id, max(CASE WHEN fallstep = 0 THEN rn END) AS lastnf,
+      |    max(rn) AS n FROM d GROUP BY user_id),
+      |suf2 AS (
+      |  SELECT d.user_id, CAST(fs.n - fs.lastnf AS BIGINT) AS suf_rows,
+      |    d.event_id AS suf_start_ord
+      |  FROM d JOIN fs ON d.user_id = fs.user_id AND d.rn = fs.lastnf + 1
+      |    AND fs.lastnf < fs.n)
+      |SELECT p.user_id, p.pre_rows, p.pre_end_ord, p.pre_last,
+      |  CAST(coalesce(s.suf_rows, 0) AS BIGINT) AS suf_rows,
+      |  CAST(coalesce(s.suf_start_ord, -1) AS BIGINT) AS suf_start_ord
+      |FROM pre2 p LEFT JOIN suf2 s ON p.user_id = s.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr10_partition_anchors" -> mr10 _,
     "mr9_pattern_exclusion" -> mr9 _,
     "mr8_empty_matches" -> mr8 _,
     "mr7_unmatched_rows" -> mr7 _,
@@ -505,6 +572,7 @@ object Patterns {
     "mr6_agg_measures" -> mr6 _)
 
   val oracle: Map[String, String] = Map(
+    "mr10_partition_anchors" -> mr10Sql,
     "mr9_pattern_exclusion" -> mr9Sql,
     "mr8_empty_matches" -> mr8Sql,
     "mr7_unmatched_rows" -> mr7Sql,

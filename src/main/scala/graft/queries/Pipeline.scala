@@ -53,21 +53,26 @@ object Pipeline {
   /** Exact-dedup census: total docs, distinct texts by content hash,
     * and distinct bag-of-words fingerprints (md5 of the sorted
     * distinct word set — catches word-order permutations that byte
-    * hashing misses). At 100 TB this is one hash-aggregate over the
-    * corpus; the md5 is computed scan-side so only 16-byte digests
-    * shuffle, never the text. */
+    * hashing misses). The bag text is NFC-normalized BEFORE hashing
+    * (reference `StringFunctions.java:817` normalize): visually
+    * identical strings whose accents differ only in composition
+    * (é vs e+U+0301) must land in one dedup bucket — hashing
+    * un-normalized text silently splits them. At 100 TB this is one
+    * hash-aggregate over the corpus; hashes are computed scan-side so
+    * only 16-byte digests shuffle, never the text. */
   def p1(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").agg(
       count(lit(1)).as("n_docs"),
       countDistinct(md5(col("text"))).as("n_distinct_texts"),
       countDistinct(
-        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+        md5(concat_ws(" ", array_sort(array_distinct(
+          split(call_udf("normalize", col("text"), lit("NFC")), " "))))))
         .as("n_distinct_bags"))
 
   val p1Sql: String =
     """SELECT count(*) AS n_docs,
       |  count(DISTINCT md5(text)) AS n_distinct_texts,
-      |  count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_distinct_bags
+      |  count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(nfc_normalize(text), ' '))), ' '))) AS n_distinct_bags
       |FROM documents""".stripMargin
 
   // ----------------------------------------------- p2 dedup keeper

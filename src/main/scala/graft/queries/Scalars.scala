@@ -614,6 +614,96 @@ object Scalars {
       |  CAST(c_nationkey AS BIGINT) AS nkey
       |FROM customer WHERE c_custkey <= 1000""".stripMargin
 
+  // --------------------------- sc16 timezone / ISO-8601 / Joda parse
+  /** Timezone scalar family (reference `scalar/timestamptz/
+    * AtTimeZone.java:30`, `WithTimeZone.java`, grammar `SqlBase.g4:482`
+    * AT TIME ZONE; `DateTimeFunctions.java:199` to_iso8601 /
+    * from_iso8601_* / parse_datetime). The query text is written in
+    * the REFERENCE dialect — `AT TIME ZONE` goes through the
+    * sqlcompat translator — and exercises both conversion directions
+    * (instant → zone wall clock, zone wall clock → instant), the
+    * ISO-8601 format/parse pair, and the Joda-pattern parse that
+    * inverts format_datetime. Zone choice: Asia/Tokyo has had a fixed
+    * +09:00 offset with no DST for the fixture's whole date range, so
+    * the oracle pins ground truth with plain interval arithmetic —
+    * independent of the oracle engine's tzdb (DuckDB needs ICU for
+    * named zones), while the engine side still resolves the zone name
+    * through the real tz machinery. */
+  val sc16Reference: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'Asia/Tokyo' AS tokyo_local,
+      |  at_timezone(CAST(o_orderdate AS TIMESTAMP), 'Asia/Tokyo') AS tokyo_fn,
+      |  with_timezone(CAST(o_orderdate AS TIMESTAMP), 'Asia/Tokyo') AS tokyo_instant,
+      |  to_iso8601(CAST(o_orderdate AS TIMESTAMP)) AS iso,
+      |  from_iso8601_timestamp(to_iso8601(CAST(o_orderdate AS TIMESTAMP))) AS iso_rt,
+      |  from_iso8601_date(substr(to_iso8601(CAST(o_orderdate AS TIMESTAMP)), 1, 10)) AS iso_d,
+      |  parse_datetime(format_datetime(CAST(o_orderdate AS TIMESTAMP), 'YYYY/MM/dd HH:mm:ss'),
+      |                 'YYYY/MM/dd HH:mm:ss') AS joda_rt
+      |FROM orders WHERE o_orderkey <= 2000""".stripMargin
+
+  def sc16(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(graft.sqlcompat.Dialect.translate(sc16Reference))
+  }
+
+  val sc16Sql: String =
+    """SELECT o_orderkey,
+      |  ts + INTERVAL 9 HOUR AS tokyo_local,
+      |  ts + INTERVAL 9 HOUR AS tokyo_fn,
+      |  ts - INTERVAL 9 HOUR AS tokyo_instant,
+      |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+      |  ts AS iso_rt,
+      |  CAST(ts AS DATE) AS iso_d,
+      |  ts AS joda_rt
+      |FROM (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts
+      |      FROM orders WHERE o_orderkey <= 2000) t""".stripMargin
+
+  // ------------------------------------------------- sc17 soundex
+  /** soundex (reference `StringFunctions.java:962`) — Spark ships the
+    * same US-census algorithm as a codegen built-in, so the engine
+    * side is one function call; the oracle engine has no soundex, so
+    * the oracle REIMPLEMENTS the census algorithm in pure SQL (a
+    * list_reduce fold carrying `result|lastCode` state) — verified
+    * char-for-char against the engine on the edge cases: h/w
+    * transparency (Ashcraft→A261), vowel reset (Honeyman→H555),
+    * non-letter reset (`b1b`→B100), first-char-code suppression
+    * (Pfister→P236), non-letter first char returns the input
+    * unchanged. Nation names give 25 distinct inputs including an
+    * embedded space (SAUDI ARABIA). */
+  def sc17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"),
+        expr("soundex(n_name)").as("sx"),
+        expr("soundex(lower(n_name))").as("sx_lower"))
+
+  val sc17Sql: String = {
+    // census soundex as a DuckDB fold; `s` is spliced per input column
+    def sx(col: String): String =
+      s"""CASE WHEN NOT substr(upper($col),1,1) BETWEEN 'A' AND 'Z' THEN $col
+         |ELSE rpad(split_part(list_reduce(
+         |  list_prepend(
+         |    substr(upper($col),1,1) || '|' ||
+         |      translate(substr(upper($col),1,1),
+         |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'),
+         |    list_transform(range(2, length($col) + 1), i ->
+         |      translate(substr(regexp_replace(upper($col), '[^A-Z]', '~', 'g'),
+         |          CAST(i AS INT), 1),
+         |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202'))),
+         |  (acc, c) -> CASE
+         |    WHEN length(split_part(acc,'|',1)) >= 4 THEN acc
+         |    WHEN c = '~' OR c = '0' THEN split_part(acc,'|',1) || '|0'
+         |    WHEN c = '7' THEN acc
+         |    WHEN c <> split_part(acc,'|',2)
+         |      THEN (split_part(acc,'|',1) || c) || '|' || c
+         |    ELSE split_part(acc,'|',1) || '|' || c
+         |  END), '|', 1), 4, '0')
+         |END""".stripMargin
+    s"""SELECT n_nationkey, n_name,
+       |  ${sx("n_name")} AS sx,
+       |  ${sx("lower(n_name)")} AS sx_lower
+       |FROM nation""".stripMargin
+  }
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -631,7 +721,9 @@ object Scalars {
     "sc12_sizes_dists" -> sc12 _,
     "sc13_json_family" -> sc13 _,
     "sc14_sql_json" -> sc14 _,
-    "sc15_url_extract" -> sc15 _)
+    "sc15_url_extract" -> sc15 _,
+    "sc16_timezone" -> sc16 _,
+    "sc17_soundex" -> sc17 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -649,5 +741,7 @@ object Scalars {
     "sc12_sizes_dists" -> sc12Sql,
     "sc13_json_family" -> sc13Sql,
     "sc14_sql_json" -> sc14Sql,
-    "sc15_url_extract" -> sc15Sql)
+    "sc15_url_extract" -> sc15Sql,
+    "sc16_timezone" -> sc16Sql,
+    "sc17_soundex" -> sc17Sql)
 }

@@ -112,6 +112,43 @@ object Dialect {
       j += 1
     }
 
+    // `expr AT TIME ZONE 'zone'` (reference grammar `SqlBase.g4:482`
+    // AT_TIMEZONE): the zone is its own literal segment, so this is a
+    // cross-segment rewrite — from_utc_timestamp(expr, 'zone') renders
+    // the instant on the zone's wall clock (the session zone is UTC);
+    // the zone id itself is not carried (SURVEY §1.3 type-loss note).
+    // The operand may be a bare column/identifier, a function call, or
+    // one parenthesized group.
+    val atTzRe = ("(?i)([A-Za-z_][A-Za-z0-9_.]*\\s*\\([^()]*\\)|" +
+      "[A-Za-z_][A-Za-z0-9_.]*|\\([^()]*\\))\\s+AT\\s+TIME\\s+ZONE\\s*$").r
+    // operand is itself a datetime literal (`TIMESTAMP '…' AT TIME
+    // ZONE '…'`): the operand's literal is its own segment too, so the
+    // AT TIME ZONE keywords sit alone in a segment between two literals
+    val atTzLitRe = "(?i)^\\s*AT\\s+TIME\\s+ZONE\\s*$".r
+    val tsKeywordRe = "(?i)(TIMESTAMP|DATE)\\s*$".r
+    var k = 0
+    while (k + 2 < parts.length) {
+      val (seg, isLit) = parts(k)
+      if (!isLit && parts(k + 1)._2) {
+        atTzRe.findFirstMatchIn(seg).foreach { m =>
+          parts(k) = (seg.substring(0, m.start) +
+            "from_utc_timestamp(" + m.group(1) + ", ", false)
+          val (after, afterLit) = parts(k + 2)
+          parts(k + 2) = (")" + after, afterLit)
+        }
+        if (k >= 2 && parts(k - 1)._2 && atTzLitRe.findFirstIn(seg).isDefined) {
+          tsKeywordRe.findFirstMatchIn(parts(k - 2)._1).foreach { m =>
+            parts(k - 2) = (parts(k - 2)._1.substring(0, m.start) +
+              "from_utc_timestamp(" + m.group(1) + " ", false)
+            parts(k) = (", ", false)
+            val (after, afterLit) = parts(k + 2)
+            parts(k + 2) = (")" + after, afterLit)
+          }
+        }
+      }
+      k += 1
+    }
+
     // SQL/JSON 2016 RETURNING clause (grammar `SqlBase.g4:540-563`):
     // json_value(x, 'path' RETURNING t) → CAST(json_value(x, 'path')
     // AS t); the per-segment type-rename pass below then maps reference

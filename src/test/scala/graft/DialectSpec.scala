@@ -209,6 +209,23 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(q5).head().getString(0).matches("\\d{4}-\\d{2}-\\d{2}"))
   }
 
+  test("AT TIME ZONE rewrites to from_utc_timestamp across the literal segment") {
+    assert(Dialect.translate("SELECT ts AT TIME ZONE 'Asia/Tokyo' AS t FROM e")
+      == "SELECT from_utc_timestamp(ts, 'Asia/Tokyo') AS t FROM e")
+    // function-call operand
+    assert(Dialect.translate(
+      "SELECT CAST(d AS TIMESTAMP) AT TIME ZONE 'UTC' FROM e")
+      == "SELECT from_utc_timestamp(CAST(d AS TIMESTAMP), 'UTC') FROM e")
+    // inside a string literal: untouched
+    assert(Dialect.translate("SELECT 'x AT TIME ZONE y' AS s")
+      == "SELECT 'x AT TIME ZONE y' AS s")
+    // end-to-end through Spark: Tokyo is UTC+9
+    val r = spark.sql(Dialect.translate(
+      "SELECT TIMESTAMP '2024-01-01 00:00:00' AT TIME ZONE 'Asia/Tokyo' AS t"))
+      .head().getTimestamp(0)
+    assert(r.toString.startsWith("2024-01-01 09:00:00"))
+  }
+
   test("quantified comparisons rewrite to IN / NOT IN (SQL:2016 8.8)") {
     assert(Dialect.translate("SELECT * FROM t WHERE x = ANY (SELECT y FROM u)")
       == "SELECT * FROM t WHERE x IN (SELECT y FROM u)")

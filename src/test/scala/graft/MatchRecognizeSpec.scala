@@ -431,6 +431,53 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 4L, 1L, Some("D"))))
   }
 
+  test("partition anchors: ^ pins match start, $ pins match end") {
+    // 12,11,3,15: H (v>=10) holds at rows 0,1,3 — unanchored H+ finds
+    // two runs; ^ H+ keeps only the one starting at the partition's
+    // first row; H+ $ only the one ending at its last row.
+    val vals = Seq[Double](12, 11, 3, 15)
+    assert(runPat(vals, "H+").map(m => (m.start_ord, m.n_rows)) ==
+      Seq((0L, 2L), (3L, 1L)))
+    assert(runPat(vals, "^ H+").map(m => (m.start_ord, m.n_rows)) ==
+      Seq((0L, 2L)))
+    assert(runPat(vals, "H+ $").map(m => (m.start_ord, m.n_rows)) ==
+      Seq((3L, 1L)))
+    // anchored both ends: only a pattern spanning the whole partition
+    assert(runPat(vals, "^ H+ $").isEmpty)
+    assert(runPat(Seq[Double](12, 11, 15), "^ H+ $")
+      .map(m => (m.start_ord, m.n_rows)) == Seq((0L, 3L)))
+    // ^ D+ can never match: D needs a PREV row, the anchor forces row 0
+    assert(runPat(Seq[Double](5, 4, 3), "^ D+").isEmpty)
+  }
+
+  test("partition anchors: anchored empty matches only at the boundary") {
+    val spk = spark
+    import spk.implicits._
+    // 5,6,7: D never matches, so ^ D* yields ONE empty match at row 0 —
+    // not one per row like unanchored D* (matchesShowEmpty contract).
+    val df = Seq(5.0, 6.0, 7.0).zipWithIndex
+      .map { case (v, i) => Tick(1L, i.toLong, v) }.toDF()
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("v") < p.getAs[Double]("v")
+    val anchored = MatchRecognize.matchesShowEmpty(df, "k", "ord", "^ D*",
+        Map("D" -> down))
+      .collect().toSeq.sortBy(_.match_no)
+      .map(r => (r.match_no, r.anchor_ord, r.n_rows))
+    assert(anchored == Seq((1L, 0L, 0L)))
+    val unanchored = MatchRecognize.matchesShowEmpty(df, "k", "ord", "D*",
+        Map("D" -> down)).collect()
+    assert(unanchored.length == 3)
+  }
+
+  test("partition anchors: quantified anchor is rejected at parse time") {
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("^* D")
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("D $+")
+    }
+  }
+
   test("aggMeasures: per-variable and universal FINAL aggregates") {
     val spk = spark
     import spk.implicits._
