@@ -7,10 +7,16 @@ import org.apache.spark.sql.DataFrame
   * Protocol matches BASELINE.md's adopted methodology (prewarm + repeated
   * runs, reference `testing/trino-benchto-benchmarks/.../tpch.yaml`
   * runs=6 prewarm=2, scaled down for round cadence): 1 prewarm + 3 timed
-  * runs per query, median reported. Results are materialized through the
-  * noop sink so the FULL plan executes (a bare `.count()` lets Catalyst
-  * prune every aggregate/projection and benchmarks a cheaper plan than
-  * the one CORRECTNESS validates).
+  * runs per query, median reported. Results are materialized by fully
+  * iterating the query's OWN executed plan: every operator runs and
+  * every output row is produced, with no Catalyst rewrite of the
+  * measured plan (a bare `.count()` would let the optimizer prune every
+  * aggregate/projection and benchmark a cheaper plan than the one
+  * CORRECTNESS validates). This replaced the earlier noop-sink write in
+  * r10: the DataSourceV2 write command re-wrapped the plan and added a
+  * measured 100–240 ms of commit/coordination overhead per run — pure
+  * harness cost, paid by every one of the 140 queries, and the largest
+  * single term of the r9 fixed per-query floor.
   *
   * Failures are loud: a failed query is reported in `"failed"` and the
   * process exits non-zero — a broken query must never lower the total.
@@ -19,7 +25,7 @@ object Bench {
   private val Runs = 3
 
   private def materialize(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -44,6 +44,13 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelism-first coalescing (the default) is measured-correct
+      // here: size-first coalescing (parallelismFirst=false, advisory
+      // 16m) was tried in r10 and REGRESSED the bench 46.4→58.4 s —
+      // sf0.1 shuffles are byte-small but row-heavy, so collapsing to
+      // 1–2 reduce tasks serializes real compute (w +74%, x2 3×). The
+      // per-query floor is analysis/planning latency, not reduce-task
+      // scheduling.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // TypedImperativeAggregates (collect_set, the sketch family) run in

@@ -101,6 +101,10 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         MaxByN(children(0), children(1), children(2))))
     e.injectFunction((
+      FunctionIdentifier("exact_quantiles"),
+      new ExpressionInfo(classOf[ExactQuantiles].getName, "exact_quantiles"),
+      (children: Seq[Expression]) => ExactQuantiles(children(0), children(1))))
+    e.injectFunction((
       FunctionIdentifier("kmv_set_digest"),
       new ExpressionInfo(classOf[KmvDigestAgg].getName, "kmv_set_digest"),
       (children: Seq[Expression]) => KmvDigestAgg(children.head)))

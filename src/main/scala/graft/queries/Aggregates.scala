@@ -170,8 +170,8 @@ object Aggregates {
         // the IQR bound below, at a fraction of the 10000-bucket cost
         percentile_approx(col("o_totalprice"), lit(0.5), lit(2000)).as("apx_med"),
         // one sort-aggregate pass for both exact bounds
-        expr("percentile(o_totalprice, array(0.25, 0.75))[0]").as("p25"),
-        expr("percentile(o_totalprice, array(0.25, 0.75))[1]").as("p75"))
+        expr("exact_quantiles(o_totalprice, array(0.25, 0.75))[0]").as("p25"),
+        expr("exact_quantiles(o_totalprice, array(0.25, 0.75))[1]").as("p75"))
       .select(
         col("exact_cust"),
         (abs(col("apx") - col("exact_cust")) <= col("exact_cust") * 0.1).as("cd_within_10pct"),

@@ -74,7 +74,7 @@ object Functions {
       .agg(
         expr("qdigest_agg(l_extendedprice)").as("sk"),
         // one sort-aggregate pass for all three exact quantiles
-        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
+        expr("exact_quantiles(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
         expr("value_at_quantile(sk, 0.5)").as("med"),
@@ -146,7 +146,7 @@ object Functions {
     val li = t(s, dir, "lineitem")
     val agg = li.groupBy(col("l_returnflag"))
       .agg(expr("tdigest_agg(l_extendedprice)").as("td"),
-        expr("percentile(l_extendedprice, array(0.01, 0.25, 0.5, 0.75, 0.99))")
+        expr("exact_quantiles(l_extendedprice, array(0.01, 0.25, 0.5, 0.75, 0.99))")
           .as("ps"),
         count(lit(1)).as("n"))
     val exact = li
@@ -198,7 +198,7 @@ object Functions {
       expr("merge(td)").as("gt"),
       sum(col("gn")).as("n"))
     val exact = li.agg(
-      expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.99))").as("ex"))
+      expr("exact_quantiles(l_extendedprice, array(0.45, 0.5, 0.55, 0.99))").as("ex"))
     global.join(exact)
       .select(
         (abs(expr("value_at_quantile(gq, 0.5)") - col("ex")(1))

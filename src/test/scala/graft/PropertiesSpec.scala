@@ -127,6 +127,27 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("exact_quantiles buffer: partitioned merge + serde == single-pass sort") {
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+      parts <- Gen.choose(1, 5)
+    } yield (vs, parts)
+    check("exact-quantiles-merge", Prop.forAll(gen) { case (vs, parts) =>
+      val whole = new DoubleBuffer
+      vs.foreach(whole.add)
+      val merged = vs.grouped(math.max(1, vs.size / parts))
+        .map { g =>
+          val b = new DoubleBuffer; g.foreach(b.add)
+          DoubleBuffer.deserialize(b.serialize()) // partials survive serde
+        }
+        .reduce { (a, b) => a.merge(b); a }
+      java.util.Arrays.sort(whole.arr, 0, whole.n)
+      java.util.Arrays.sort(merged.arr, 0, merged.n)
+      merged.n == whole.n &&
+        (0 until whole.n).forall(i => merged.arr(i) == whole.arr(i))
+    })
+  }
+
   test("decimal boundary: DOUBLE output cast is lossless for gate-bound values") {
     // The driver's hash compares STRING representations across engines:
     // pyarrow renders parquet DECIMAL(28,2) as Decimal('x.00') while the

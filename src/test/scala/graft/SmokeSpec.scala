@@ -25,6 +25,23 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("exact_quantiles matches the built-in percentile bit-for-bit") {
+    // exact_quantiles replaces percentile() in the sketch-validation
+    // queries for speed (buffer+sort vs hash-counting); it must keep
+    // the identical interpolation contract, including across partials.
+    import org.apache.spark.sql.functions.expr
+    val li = graft.engine.Graft.load(spark, sfDir, "lineitem").repartition(7)
+    val r = li.agg(
+      expr("exact_quantiles(l_extendedprice, array(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0))").as("eq"),
+      expr("percentile(l_extendedprice, array(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0))").as("p"))
+      .head()
+    assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    // empty input → null, like the built-in
+    val e = li.filter("l_extendedprice < 0").agg(
+      expr("exact_quantiles(l_extendedprice, array(0.5))").as("eq")).head()
+    assert(e.isNullAt(0))
+  }
+
   test("no gated query emits DecimalType at the oracle boundary") {
     // The driver's hash gate compares stringified values and pyarrow
     // renders decimals scale-faithfully ('x.00') while the DuckDB
