@@ -1,0 +1,96 @@
+package graft.engine
+
+import org.apache.spark.sql.graft.PlanExec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-query execution path (≈ the reference's
+  * `DeterminePartitionCount` / session-property machinery,
+  * `core/trino-main/.../DeterminePartitionCount.java`: pick the hash
+  * partition count from the estimated source size instead of a fixed
+  * default, so tiny inputs don't pay full-fan-out scheduling).
+  *
+  * Motivation, measured on local[32]: this scheduler's floor is
+  * ~35 ms per JOB plus ~1-3 ms per TASK. Under AQE every shuffle
+  * stage is its own job round, and every reduce stage fans out to
+  * `spark.sql.shuffle.partitions` tasks — for a query whose entire
+  * input is a few MB that overhead dwarfs the actual work (uid1:
+  * 179 ms exec, of which <5 ms is compute). The fast path applies
+  * exactly when the SOURCE bytes are provably small:
+  *
+  *   - AQE off: one job per action instead of one per stage round.
+  *     AQE's runtime re-planning exists to fix mis-estimated BIG
+  *     shuffles; with a bounded tiny input there is nothing to
+  *     re-estimate.
+  *   - shuffle partitions from input size (not the cores default):
+  *     bytes/1.5MB clamped to [2, 8] — a 2 MB shuffle does not need
+  *     32 reduce tasks.
+  *   - static broadcast threshold raised to the small-input bound:
+  *     with AQE off the planner must pick join sides from static
+  *     estimates; any relation under the gate fits in memory by
+  *     definition, so static broadcasting is always safe here.
+  *   - runtime bloom-filter injection off: the induced subquery job
+  *     costs a job round; pruning a sub-32MB scan saves nothing.
+  *
+  * At cluster scale the gate simply never fires: a 100 TB input is
+  * not below `spark.graft.smallQuery.maxBytes` (default 32 MiB), and
+  * execution keeps the AQE-first configuration. Result equivalence is
+  * not assumed: Verify routes eligible queries through this path, so
+  * the DuckDB hash gate re-proves "same rows" every round.
+  */
+object Adaptive {
+
+  /** Gate: total leaf-relation bytes below this use the fast path. */
+  val MaxBytesKey = "spark.graft.smallQuery.maxBytes"
+  val DefaultMaxBytes: Long = 32L << 20
+
+  /** Sum of the leaf relations' size estimates (for parquet scans this
+    * is the actual file footprint on disk). BigInt-safe: leaf stats
+    * cannot overflow the way join-output estimates can. */
+  def inputBytes(df: DataFrame): BigInt =
+    df.queryExecution.analyzed.collectLeaves()
+      .map(l => l.stats.sizeInBytes)
+      .foldLeft(BigInt(0))(_ + _)
+
+  def isSmall(spark: SparkSession, df: DataFrame): Boolean =
+    inputBytes(df) < BigInt(
+      spark.conf.getOption(MaxBytesKey).map(_.toLong).getOrElse(DefaultMaxBytes))
+
+  /** Partition count for a small query: one reduce task per ~1.5 MB of
+    * source, at least 2 (plan-shape parity with distributed execution:
+    * exchanges stay exchanges), at most 8. */
+  def fastPartitions(bytes: BigInt): Int =
+    math.max(2, math.min(8, ((bytes + (1 << 20)) / (3 << 19)).toInt))
+
+  def fastConfs(bytes: BigInt): Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.shuffle.partitions" -> fastPartitions(bytes).toString,
+    "spark.sql.autoBroadcastJoinThreshold" -> DefaultMaxBytes.toString,
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")
+
+  /** Run `body` with `confs` set, restoring prior values after. */
+  def withConfs[T](spark: SparkSession, confs: Seq[(String, String)])(body: => T): T = {
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Fresh re-plan of `df`'s analyzed plan under the current session
+    * confs (see [[PlanExec]] for why reuse of the Dataset itself would
+    * be wrong). */
+  def replan(spark: SparkSession, df: DataFrame): DataFrame =
+    PlanExec.ofRows(spark, df.queryExecution.analyzed)
+
+  /** Execute `use` on a re-planned `df` under the small-query confs if
+    * the input is provably small, else on `df` as-is. */
+  def maybeFast[T](spark: SparkSession, df: DataFrame)(use: DataFrame => T): T = {
+    val bytes = inputBytes(df)
+    if (bytes < BigInt(spark.conf.getOption(MaxBytesKey).map(_.toLong)
+        .getOrElse(DefaultMaxBytes)))
+      withConfs(spark, fastConfs(bytes))(use(replan(spark, df)))
+    else use(df)
+  }
+}

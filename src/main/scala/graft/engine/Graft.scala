@@ -66,11 +66,26 @@ object Graft {
       // default ([PARQUET_TYPE_ILLEGAL]); map it to epoch-nanos bigint.
       // Set once here so load() has no config side effects.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Static conf, read once at first codegen: the default 100-entry
+      // generated-class cache thrashes across a 141-query suite pass
+      // (each query holds several codegen units), recompiling with
+      // Janino on every revisit. Sized to hold the whole surface.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       // function registry: native expressions + sketch aggregates
       // (≈ the reference's SystemFunctionBundle registration)
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
+    // Session-property overrides (≈ the reference's `SET SESSION x = y`
+    // surface, SystemSessionProperties.java): `SPARK_GRAFT_CONF` holds
+    // `key=value;key=value` pairs applied last, so a driver/operator can
+    // tune one session without a code change. Used by the perf probes.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { s =>
+      s.split(';').iterator.map(_.trim).filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
     graft.functions.GraftFunctions.registerUdfs(spark)
     spark
   }
