@@ -45,10 +45,18 @@ object Adaptive {
 
   /** Sum of the leaf relations' size estimates (for parquet scans this
     * is the actual file footprint on disk). BigInt-safe: leaf stats
-    * cannot overflow the way join-output estimates can. */
+    * cannot overflow the way join-output estimates can.
+    *
+    * Leaves with UNKNOWN size (recursive-CTE self-references, ranges
+    * resolved late) report the `spark.sql.defaultSizeInBytes` sentinel
+    * (Long.MaxValue) and are ignored: they are derived from the other
+    * leaves, which ARE counted — a recursive walk over a 24 KB anchor
+    * is still a small query, while any real 100 TB input enters the sum
+    * through its file relations and keeps the gate shut. */
   def inputBytes(df: DataFrame): BigInt =
     df.queryExecution.analyzed.collectLeaves()
       .map(l => l.stats.sizeInBytes)
+      .filter(_ < BigInt(Long.MaxValue / 2))
       .foldLeft(BigInt(0))(_ + _)
 
   def isSmall(spark: SparkSession, df: DataFrame): Boolean =

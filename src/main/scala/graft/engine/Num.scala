@@ -1,6 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, UnscaledValue}
+import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -32,21 +34,97 @@ object Num {
   def money(c: Column): Column = c.cast(Money)
   def factor(c: Column): Column = c.cast(Factor)
 
+  // ------------------------------------------------- limb-based sums
+  //
+  // Spark backs Decimal with a plain long only up to precision 18; a
+  // SUM over decimal(p<=18, s) gets a result type above 18 and drops to
+  // java.math.BigDecimal accumulation — an allocation plus object
+  // arithmetic PER ROW, easily 5-10x the cost of the scan it sits on
+  // (the reference engine sums decimals in native int128 words,
+  // `spi/type/Int128Math.java`). The JVM analog: split each value's
+  // unscaled long into two "limbs", accumulate each limb as a plain
+  // codegen'd long sum, and reassemble one decimal per GROUP at the
+  // end. Exact for any input order and sign (JVM integer division
+  // truncates toward zero consistently in both limbs).
+  //
+  // Capacity: per row |hi| <= unscaled/10^6 and |lo| < 10^6, so with
+  // 64-bit accumulators a single group holds ~9*10^12 rows of money
+  // values before either limb can wrap — beyond a 100 TB lineitem's
+  // total row count, let alone one group's.
+
+  /** One long limb is 10^6 unscaled units. */
+  private val LimbUnit = 1000000L
+
+  /** The unscaled long behind a <=18-precision decimal column (a
+    * reinterpret, not a computation). */
+  private def unscaled(c: Column): Column =
+    PlanExec.column(UnscaledValue(PlanExec.expression(c)))
+
+  /** Unscaled long view of a <=18-precision decimal column, public for
+    * exact products computed in integer space (e.g. moment sums x^k
+    * whose DECIMAL type would exceed precision 18 but whose unscaled
+    * VALUE fits a long comfortably). Scale bookkeeping is the
+    * caller's. */
+  def unscaledLong(c: Column): Column = unscaled(c)
+
+  /** Limb sums of a long column of unscaled units. */
+  def sumLimbsLong(u: Column): (Column, Column) = {
+    val hi = PlanExec.column(IntegralDivide(
+      PlanExec.expression(u), PlanExec.expression(lit(LimbUnit))))
+    (sum(hi), sum(u % LimbUnit))
+  }
+
+  /** Exact decimal sum of a long column of unscaled units. */
+  def decSumLong(u: Column, scale: Int): Column = {
+    val (hi, lo) = sumLimbsLong(u)
+    limbsToDecimal(hi, lo, scale)
+  }
+
+  /** Two long aggregate columns: sum of high limbs, sum of low limbs.
+    * Both stay primitive through partial/final hash aggregation. */
+  def sumLimbs(c: Column): (Column, Column) = sumLimbsLong(unscaled(c))
+
+  /** Reassemble limb sums into an exact decimal of the given scale. */
+  def limbsToDecimal(hi: Column, lo: Column, scale: Int): Column =
+    ((hi.cast(DecimalType(32, 0)) * lit(LimbUnit) + lo.cast(DecimalType(32, 0)))
+      * lit(java.math.BigDecimal.valueOf(1L, scale)))
+
+  /** Exact decimal sum of a <=18-precision decimal column, via limbs. */
+  def decSum(c: Column, scale: Int): Column = {
+    val (hi, lo) = sumLimbs(c)
+    limbsToDecimal(hi, lo, scale)
+  }
+
+  /** Window-frame variant: the two limb sums run as two primitive long
+    * aggregates inside the same WindowExec pass. */
+  def decSumOver(c: Column, scale: Int,
+                 w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val (hi, lo) = sumLimbs(c)
+    limbsToDecimal(hi.over(w), lo.over(w), scale)
+  }
+
   /** Order-independent sum of a 2-dp double column, returned as double. */
-  def xsum(c: Column): Column = sum(money(c)).cast(DoubleType)
+  def xsum(c: Column): Column = decSum(money(c), 2).cast(DoubleType)
 
   /** Order-independent avg: exact decimal sum / count, both engines do
     * the same single IEEE division.
     */
-  def xavg(c: Column): Column = sum(money(c)).cast(DoubleType) / count(c)
+  def xavg(c: Column): Column =
+    decSum(money(c), 2).cast(DoubleType) / count(c)
 
-  /** l_extendedprice * (1 - l_discount) — exact decimal product. */
+  /** l_extendedprice * (1 - l_discount) — exact decimal product,
+    * precision 17 (long-backed, limb-summable). */
   def revenue(price: Column, discount: Column): Column =
     money(price) * factor(lit(1) - discount)
 
-  /** revenue * (1 + tax) — still exact, stays under 38 digits. */
+  /** revenue * (1 + tax), associated as price * ((1-d)*(1+t)) so the
+    * result stays at precision 18 (long-backed Decimal) instead of the
+    * naive ((p*(1-d))*(1+t)) shape's 22 — same exact value (both are
+    * exact rational products of 2-dp inputs), 5x cheaper to aggregate
+    * because the limb path stays available. */
   def charge(price: Column, discount: Column, tax: Column): Column =
-    revenue(price, discount) * factor(lit(1) + tax)
+    money(price) *
+      (factor(lit(1) - discount) * factor(lit(1) + tax)).cast(DecimalType(5, 4))
 
   /** Integer-valued counts normalized to bigint on both engines
     * (DuckDB SUM(int) yields HUGEINT; Spark yields bigint).

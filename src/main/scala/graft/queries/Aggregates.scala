@@ -111,15 +111,20 @@ object Aggregates {
     * implementations under a coarse round() as a sanity cross-check.
     * Covers var_samp/var_pop/stddev/corr/covar/geometric_mean. */
   def ag3(s: SparkSession, dir: String): DataFrame = {
-    val q = money(col("l_quantity"))
-    val p = money(col("l_extendedprice"))
+    // Moment sums in unscaled-long space (see Num's limb machinery):
+    // uq <= 5e3, up <= 1.1e7 scale-2 units, so every product below
+    // (uq*uq scale 4, up*up scale 4, uq*up scale 4) fits a long per
+    // row with 4+ orders of magnitude to spare, and each sum runs as
+    // two primitive limb accumulators instead of per-row BigDecimal.
+    val uq = unscaledLong(money(col("l_quantity")))
+    val up = unscaledLong(money(col("l_extendedprice")))
     t(s, dir, "lineitem")
       .groupBy(col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        sum(q).as("s1"), sum(q * q).as("s2"),
-        sum(p).as("p1"), sum(p * p).as("p2"),
-        sum(q * p).as("sqp"),
+        decSumLong(uq, 2).as("s1"), decSumLong(uq * uq, 4).as("s2"),
+        decSumLong(up, 2).as("p1"), decSumLong(up * up, 4).as("p2"),
+        decSumLong(uq * up, 4).as("sqp"),
         round(stddev_samp(col("l_quantity")), 4).as("stddev_native"),
         round(var_pop(col("l_quantity")), 4).as("varpop_native"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_native"))
@@ -239,15 +244,21 @@ object Aggregates {
     * keeps x⁴ inside 38 digits). Reference:
     * DoubleRegressionAggregation.java, CentralMomentsAggregation.java. */
   def ag7(s: SparkSession, dir: String): DataFrame = {
-    val x = col("l_quantity").cast("decimal(4,2)")
-    val yv = money(col("l_extendedprice"))
+    // Power sums in unscaled-long space: ux <= 5e3 scale-2 units, so
+    // even ux^4 (scale-8 units) tops out at 6.25e14 per row — far
+    // inside a long — while the DECIMAL type of x^4 would be (19,8),
+    // past Spark's long-backed precision 18 and into per-row
+    // BigDecimal. Each sum is two primitive limb accumulators.
+    val ux = unscaledLong(col("l_quantity").cast("decimal(4,2)"))
+    val uy = unscaledLong(money(col("l_extendedprice")))
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(x * x).as("sx2"),
-        sum(x * x * x).as("sx3"), sum(x * x * x * x).as("sx4"),
-        sum(yv).as("sy"), sum(x * yv).as("sxy"))
+        decSumLong(ux, 2).as("sx"), decSumLong(ux * ux, 4).as("sx2"),
+        decSumLong(ux * ux * ux, 6).as("sx3"),
+        decSumLong(ux * ux * ux * ux, 8).as("sx4"),
+        decSumLong(uy, 2).as("sy"), decSumLong(ux * uy, 4).as("sxy"))
       .selectExpr(
         "l_returnflag", "n",
         // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²); intercept = (Σy − slope·Σx)/n

@@ -30,15 +30,21 @@ object Analytics {
     // order), so the join and the final aggregate see |orders| rows,
     // not |lineitem|. Decimal sums are associative, so sum-of-order-sums
     // is hash-identical to the flat sum.
+    // Limb pair, not a widened decimal: the per-order partial sums ride
+    // through the join chain as two plain longs and re-aggregate as two
+    // primitive long sums — value = hi*10^6 + lo is preserved exactly
+    // at both levels, and no BigDecimal is touched until the final
+    // 175-row assembly.
+    val orl = sumLimbs(revenue(col("l_extendedprice"), col("l_discount")))
     val ordRev = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("orev"))
+      .agg(orl._1.as("orev_hi"), orl._2.as("orev_lo"))
     val yearly = ordRev
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
-      .agg(sum(col("orev")).as("rev"))
+      .agg(limbsToDecimal(sum(col("orev_hi")), sum(col("orev_lo")), 4).as("rev"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
     yearly
       .withColumn("prev", lag(col("rev"), 1).over(w))

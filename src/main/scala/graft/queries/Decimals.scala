@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.Graft
+import graft.engine.Num.{decSum, decSumLong, unscaledLong}
 
 /** Decimal-first semantics end-to-end (reference: money is
   * DecimalType ≤ 38 digits throughout — `spi/type/Decimals.java:45`,
@@ -55,8 +56,8 @@ object Decimals {
     li(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(col("qty")).cast(DecimalType(28, 2)).cast("double").as("sum_qty"),
-        sum(col("price")).cast(DecimalType(28, 2)).cast("double").as("sum_price"),
+        decSum(col("qty"), 2).cast(DecimalType(28, 2)).cast("double").as("sum_qty"),
+        decSum(col("price"), 2).cast(DecimalType(28, 2)).cast("double").as("sum_price"),
         min(col("price")).cast("double").as("min_price"),
         max(col("price")).cast("double").as("max_price"),
         count(lit(1)).as("n"))
@@ -74,19 +75,37 @@ object Decimals {
   /** Decimal products through the revenue/charge chain: (12,2)×(4,2)
     * per-row products pinned to (18,4) (both engines' native product
     * types differ: Spark (17,4) vs DuckDB (16,4)), summed exactly;
-    * SUM outputs pinned at (28,4)/(32,6) — wide enough that a 100 TB
-    * rollup (~10^12 rows × 10^5-cent values ≈ 10^17) cannot overflow
-    * the output cast. */
+    * revenue output pinned at (28,4), charge COARSENED to (28,2)
+    * before the DOUBLE boundary (round-10 advisor finding: charge
+    * sums pass 2^52 in scale-6 units at sf0.1, so a scale-6 DOUBLE
+    * cast would lean on both engines' decimal->double rounding
+    * agreeing bit-for-bit — a true-today, unguaranteed invariant). */
   def dc2(s: SparkSession, dir: String): DataFrame = {
     val one = lit(1).cast(DecimalType(4, 2))
+    val rev = (col("price") * (one - col("disc"))).cast(DecimalType(18, 4))
+    // charge's DECIMAL type would be (22,6) — past long-backed 18 — but
+    // its unscaled VALUE (revenue-scale-4 units x (1+tax)-scale-2
+    // units <= ~1.2e13) fits a long per row, so the product runs in
+    // integer space and the sum in limbs.
+    val uCharge = unscaledLong(rev) * unscaledLong(one + col("tax"))
     li(s, dir)
       .groupBy(col("l_linestatus"))
       .agg(
-        sum((col("price") * (one - col("disc"))).cast(DecimalType(18, 4)))
+        decSum(rev, 4)
           .cast(DecimalType(28, 4)).cast("double").as("revenue"),
-        sum(((col("price") * (one - col("disc"))).cast(DecimalType(18, 4)) *
-            (one + col("tax"))).cast(DecimalType(22, 6)))
-          .cast(DecimalType(32, 6)).cast("double").as("charge"))
+        // Output pinned at (28,2), NOT (32,6): per-group charge sums at
+        // sf0.1 already exceed 2^52 in scale-6 units, where the final
+        // DOUBLE cast would depend on both engines' decimal->double
+        // rounding agreeing bit-for-bit. At scale-2 the scaled units
+        // stay ~1e12, inside the PropertiesSpec-pinned 2^52 lossless
+        // bound at this SF and for orders of magnitude beyond. Both
+        // engines' round() rounds half away from zero on positives
+        // (charge is always > 0), so the coarsening itself is
+        // engine-independent — note it must be an EXPLICIT round():
+        // a bare down-scaling CAST truncates in DuckDB but HALF_UPs
+        // in Spark.
+        round(decSumLong(uCharge, 6).cast(DecimalType(32, 6)), 2)
+          .cast(DecimalType(28, 2)).cast("double").as("charge"))
   }
 
   val dc2Sql: String =
@@ -94,10 +113,10 @@ object Decimals {
       |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
       |    AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
-      |  CAST(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |  CAST(CAST(round(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) *
       |    (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(22,6)))
-      |    AS DECIMAL(32,6)) AS DOUBLE) AS charge
+      |    AS DECIMAL(32,6)), 2) AS DECIMAL(28,2)) AS DOUBLE) AS charge
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
   // ---------------------------------------- dc3 decimal division scale
@@ -111,8 +130,8 @@ object Decimals {
     li(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(col("price")).cast(DecimalType(25, 6)).as("sp"),
-        sum(col("qty")).cast(DecimalType(25, 6)).as("sq"))
+        decSum(col("price"), 2).cast(DecimalType(25, 6)).as("sp"),
+        decSum(col("qty"), 2).cast(DecimalType(25, 6)).as("sq"))
       .select(col("l_returnflag"),
         (col("sp") / col("sq")).cast(DecimalType(18, 6)).cast("double")
           .as("avg_unit_price"),

@@ -135,11 +135,16 @@ object SetOps {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"),
+        // limb pair instead of a decimal: stays primitive-long through
+        // BOTH aggregation levels (limbs are composable — summing
+        // (hi, lo) pairs preserves value = hi*10^6 + lo exactly).
+        sumLimbs(revenue(col("l_extendedprice"), col("l_discount")))._1.as("rev_hi"),
+        sumLimbs(revenue(col("l_extendedprice"), col("l_discount")))._2.as("rev_lo"),
         count(lit(1)).as("n"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("rev")).cast("double").as("revenue"),
+        limbsToDecimal(sum(col("rev_hi")), sum(col("rev_lo")), 4)
+          .cast("double").as("revenue"),
         sum(col("n")).cast("long").as("cnt"),
         grouping_id().cast("long").as("gid"))
 
@@ -175,7 +180,7 @@ object SetOps {
       sets = Seq(Seq(col("r_name")), Seq(col("n_name"))),
       groupCols = Seq(col("r_name"), col("n_name")),
       aggs = Seq(count(lit(1)).as("cnt"),
-        sum(money(col("c_acctbal"))).cast("double").as("bal")))
+        decSum(money(col("c_acctbal")), 2).cast("double").as("bal")))
   }
 
   val gs3Sql: String =

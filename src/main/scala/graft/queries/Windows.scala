@@ -139,7 +139,7 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "orders").select(
       col("o_custkey"), col("o_orderkey"),
-      sum(money(col("o_totalprice"))).over(run).cast("double").as("run_spend"),
+      decSumOver(money(col("o_totalprice")), 2, run).cast("double").as("run_spend"),
       count(lit(1)).over(run).as("run_orders"))
   }
 
@@ -236,11 +236,11 @@ object Windows {
       .rowsBetween(-3, Window.currentRow)
     t(s, dir, "lineitem").select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      sum(money(col("l_extendedprice"))).over(slide).cast("double").as("mov_sum"),
+      decSumOver(money(col("l_extendedprice")), 2, slide).cast("double").as("mov_sum"),
       min(col("l_extendedprice")).over(slide).as("mov_min"),
       max(col("l_extendedprice")).over(slide).as("mov_max"),
       count(lit(1)).over(slide).as("mov_cnt"),
-      (sum(money(col("l_extendedprice"))).over(slide).cast("double") /
+      (decSumOver(money(col("l_extendedprice")), 2, slide).cast("double") /
         count(lit(1)).over(slide)).as("mov_avg"))
   }
 
@@ -267,11 +267,13 @@ object Windows {
   def w10(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val perDay = orders.groupBy(col("o_orderdate").as("d"))
-      .agg(sum(money(col("o_totalprice"))).as("day_sum"))
+      .agg(sumLimbs(money(col("o_totalprice")))._1.as("day_hi"),
+        sumLimbs(money(col("o_totalprice")))._2.as("day_lo"))
     val groupsFrame = Window.orderBy(col("d")).rowsBetween(-1, Window.currentRow)
     val withPrev = perDay.select(
       col("d"),
-      sum(col("day_sum")).over(groupsFrame).cast("double").as("grp_sum"))
+      limbsToDecimal(sum(col("day_hi")).over(groupsFrame),
+        sum(col("day_lo")).over(groupsFrame), 2).cast("double").as("grp_sum"))
     orders.join(broadcast(withPrev), col("o_orderdate") === col("d"))
       .select(col("o_orderkey"), col("grp_sum"))
   }

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Minimal `private[sql]` bridge: re-plan an already-analyzed logical
   * plan in a FRESH QueryExecution.
@@ -22,4 +22,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PlanExec {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Column ↔ catalyst Expression converters, for the few engine
+    * helpers built directly on catalyst nodes Spark exposes no DSL for
+    * (e.g. [[org.apache.spark.sql.catalyst.expressions.UnscaledValue]]
+    * behind graft's limb-based decimal sums). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

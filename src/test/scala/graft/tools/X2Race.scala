@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** VERDICT r10 task #3: measure the relational DISTINCT-self-join
+  * market-basket plan against the shipped collect+explode plan. */
+object X2Race {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.engine.Graft.session("graft-x2-race", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def relational(s: SparkSession): DataFrame = {
+      val d = graft.engine.Graft.load(s, sfDir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+      d.select(col("ok"), col("l_partkey").as("pa"))
+        .join(d.select(col("ok").as("ok2"), col("l_partkey").as("pb")),
+          col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("together"))
+        .filter(col("together") >= 3)
+    }
+
+    def mat(df: DataFrame): Unit =
+      df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+
+    def time(name: String)(f: => DataFrame): Unit = {
+      mat(f); mat(f)
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); mat(f); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"X2|$name%-28s|med=${ts.sorted.apply(2)}%.3f|samples=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+
+    val current = graft.SparkEntry.queries("x2_market_basket")
+    time("current-collect-explode") { current(spark, sfDir) }
+    time("relational-selfjoin") { relational(spark) }
+    // and under the small-query fast path
+    import graft.engine.Adaptive
+    val b = Adaptive.inputBytes(current(spark, sfDir))
+    Adaptive.withConfs(spark, Adaptive.fastConfs(b)) {
+      time("current-fast") { current(spark, sfDir) }
+      time("relational-fast") { relational(spark) }
+    }
+    spark.stop()
+  }
+}
