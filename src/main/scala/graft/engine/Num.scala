@@ -103,14 +103,48 @@ object Num {
     limbsToDecimal(hi.over(w), lo.over(w), scale)
   }
 
+  /** Window-frame exact sum of a 2-dp double column via
+    * [[unscaled2dp]] — no per-row Decimal in the window buffer. */
+  def decSumOver2dp(c: Column,
+                    w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val (hi, lo) = sumLimbsLong(unscaled2dp(c))
+    limbsToDecimal(hi.over(w), lo.over(w), 2)
+  }
+
+  /** Unscaled scale-2 long view of a 2-dp DOUBLE column, without ever
+    * materializing a Decimal: round(x*100) as a long.
+    *
+    * Exactness proof (not a heuristic): the fixture doubles are
+    * nearest-double encodings of 2-dp values v (FIXTURES.md), so
+    * d = v(1+e) with |e| <= 2^-53. Then d*100 differs from the exact
+    * integer m = v*100 by at most m * 2^-51 — for |m| < 2^49 that is
+    * < 0.25, so d*100 can never land on or cross a .5 rounding
+    * boundary and HALF_UP rounding recovers m exactly. This is the
+    * same m the decimal path produces: Cast(double -> DECIMAL(p,2))
+    * is BigDecimal.setScale(2, HALF_UP) on the exact binary value,
+    * which yields v for a nearest-double encoding. Identical output,
+    * none of the per-row BigDecimal allocation of the double->decimal
+    * cast — the dominant per-row cost of a single-task scan stage. */
+  def unscaled2dp(c: Column): Column = round(c * 100).cast(LongType)
+
   /** Order-independent sum of a 2-dp double column, returned as double. */
-  def xsum(c: Column): Column = decSum(money(c), 2).cast(DoubleType)
+  def xsum(c: Column): Column =
+    decSumLong(unscaled2dp(c), 2).cast(DoubleType)
 
   /** Order-independent avg: exact decimal sum / count, both engines do
     * the same single IEEE division.
     */
   def xavg(c: Column): Column =
-    decSum(money(c), 2).cast(DoubleType) / count(c)
+    decSumLong(unscaled2dp(c), 2).cast(DoubleType) / count(c)
+
+  /** Revenue / charge per-row values in unscaled-long space:
+    * price*(1-d) in scale-4 units, price*(1-d)*(1+t) in scale-6 units.
+    * Integer products of exactly-recovered unscaled operands — same
+    * values as the decimal products, zero object allocation. */
+  def revenueU(price: Column, discount: Column): Column =
+    unscaled2dp(price) * (lit(100L) - unscaled2dp(discount))
+  def chargeU(price: Column, discount: Column, tax: Column): Column =
+    revenueU(price, discount) * (lit(100L) + unscaled2dp(tax))
 
   /** l_extendedprice * (1 - l_discount) — exact decimal product,
     * precision 17 (long-backed, limb-summable). */

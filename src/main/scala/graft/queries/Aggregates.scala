@@ -116,8 +116,8 @@ object Aggregates {
     // (uq*uq scale 4, up*up scale 4, uq*up scale 4) fits a long per
     // row with 4+ orders of magnitude to spare, and each sum runs as
     // two primitive limb accumulators instead of per-row BigDecimal.
-    val uq = unscaledLong(money(col("l_quantity")))
-    val up = unscaledLong(money(col("l_extendedprice")))
+    val uq = unscaled2dp(col("l_quantity"))
+    val up = unscaled2dp(col("l_extendedprice"))
     t(s, dir, "lineitem")
       .groupBy(col("l_linestatus"))
       .agg(
@@ -249,8 +249,8 @@ object Aggregates {
     // inside a long — while the DECIMAL type of x^4 would be (19,8),
     // past Spark's long-backed precision 18 and into per-row
     // BigDecimal. Each sum is two primitive limb accumulators.
-    val ux = unscaledLong(col("l_quantity").cast("decimal(4,2)"))
-    val uy = unscaledLong(money(col("l_extendedprice")))
+    val ux = unscaled2dp(col("l_quantity"))
+    val uy = unscaled2dp(col("l_extendedprice"))
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(

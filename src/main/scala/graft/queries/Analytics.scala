@@ -35,7 +35,7 @@ object Analytics {
     // primitive long sums — value = hi*10^6 + lo is preserved exactly
     // at both levels, and no BigDecimal is touched until the final
     // 175-row assembly.
-    val orl = sumLimbs(revenue(col("l_extendedprice"), col("l_discount")))
+    val orl = sumLimbsLong(revenueU(col("l_extendedprice"), col("l_discount")))
     val ordRev = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(orl._1.as("orev_hi"), orl._2.as("orev_lo"))

@@ -48,11 +48,11 @@ object Relational {
       .agg(
         xsum(col("l_quantity")).as("sum_qty"),
         xsum(col("l_extendedprice")).as("sum_base_price"),
-        decSum(revenue(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("sum_disc_price"),
-        decSum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")), 6).cast("double").as("sum_charge"),
+        decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("sum_disc_price"),
+        decSumLong(chargeU(col("l_extendedprice"), col("l_discount"), col("l_tax")), 6).cast("double").as("sum_charge"),
         xavg(col("l_quantity")).as("avg_qty"),
         xavg(col("l_extendedprice")).as("avg_price"),
-        (decSum(factor(col("l_discount")), 2).cast("double") / count(lit(1))).as("avg_disc"),
+        (decSumLong(unscaled2dp(col("l_discount")), 2).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   val q1Sql: String =
@@ -94,7 +94,7 @@ object Relational {
       .join(orders, cust("c_custkey") === orders("o_custkey"))
       .join(line, orders("o_orderkey") === line("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(decSum(revenue(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
+      .agg(decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
@@ -146,7 +146,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(decSum(revenue(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
+      .agg(decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
   }
 
   val q5Sql: String =
@@ -167,7 +167,7 @@ object Relational {
       .filter(
         col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
-      .agg(decSum(money(col("l_extendedprice")) * factor(col("l_discount")), 4).cast("double").as("revenue"))
+      .agg(decSumLong(unscaled2dp(col("l_extendedprice")) * unscaled2dp(col("l_discount")), 4).cast("double").as("revenue"))
 
   val q6Sql: String =
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
@@ -195,7 +195,7 @@ object Relational {
         (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(decSum(revenue(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
+      .agg(decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
 
   }
 
@@ -284,7 +284,7 @@ object Relational {
       .join(line, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(decSum(revenue(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
+      .agg(decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -304,8 +304,8 @@ object Relational {
   def q11(s: SparkSession, dir: String): DataFrame = {
     val line = t(s, dir, "lineitem")
     val perSupp = line.groupBy(col("l_suppkey"))
-      .agg(decSum(money(col("l_extendedprice")), 2).cast("double").as("value"))
-    val total = line.agg((decSum(money(col("l_extendedprice")), 2).cast("double") * 0.001).as("threshold"))
+      .agg(decSumLong(unscaled2dp(col("l_extendedprice")), 2).cast("double").as("value"))
+    val total = line.agg((decSumLong(unscaled2dp(col("l_extendedprice")), 2).cast("double") * 0.001).as("threshold"))
     perSupp.join(broadcast(total))
       .filter(col("value") > col("threshold"))
       .select(col("l_suppkey"), col("value"))
@@ -383,7 +383,7 @@ object Relational {
     val rev = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
       .groupBy(col("l_suppkey").as("supplier_no"))
-      .agg(decSum(revenue(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("total_revenue"))
+      .agg(decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("total_revenue"))
     val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
     t(s, dir, "supplier")
       .join(rev, col("s_suppkey") === col("supplier_no"))
@@ -428,11 +428,11 @@ object Relational {
     val line = t(s, dir, "lineitem")
     val part = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
     val perPart = line.groupBy(col("l_partkey").as("agg_partkey"))
-      .agg((decSum(money(col("l_quantity")), 2).cast("double") / count(col("l_quantity")) * 0.2).as("avg_qty"))
+      .agg((decSumLong(unscaled2dp(col("l_quantity")), 2).cast("double") / count(col("l_quantity")) * 0.2).as("avg_qty"))
     line.join(part, col("l_partkey") === col("p_partkey"))
       .join(perPart, col("l_partkey") === col("agg_partkey"))
       .filter(col("l_quantity") < col("avg_qty"))
-      .agg((decSum(money(col("l_extendedprice")), 2).cast("double") / 7.0).as("avg_yearly"))
+      .agg((decSumLong(unscaled2dp(col("l_extendedprice")), 2).cast("double") / 7.0).as("avg_yearly"))
   }
 
   val q17Sql: String =
@@ -448,7 +448,7 @@ object Relational {
   def q18(s: SparkSession, dir: String): DataFrame = {
     val line = t(s, dir, "lineitem")
     val bigOrders = line.groupBy(col("l_orderkey").as("bo_orderkey"))
-      .agg(decSum(money(col("l_quantity")), 2).as("total_qty"))
+      .agg(decSumLong(unscaled2dp(col("l_quantity")), 2).as("total_qty"))
       .filter(col("total_qty") > 200)
       .select(col("bo_orderkey"))
     t(s, dir, "customer")
@@ -480,7 +480,7 @@ object Relational {
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30)))
-      .agg(decSum(revenue(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
+      .agg(decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("revenue"))
   }
 
   val q19Sql: String =
@@ -560,7 +560,7 @@ object Relational {
   def q22(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
     val avgBal = cust.filter(col("c_acctbal") > 0.0)
-      .agg((decSum(money(col("c_acctbal")), 2).cast("double") / count(col("c_acctbal"))).as("avg_bal"))
+      .agg((decSumLong(unscaled2dp(col("c_acctbal")), 2).cast("double") / count(col("c_acctbal"))).as("avg_bal"))
     val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
     cust
       .join(broadcast(avgBal))

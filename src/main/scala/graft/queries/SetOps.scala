@@ -138,8 +138,8 @@ object SetOps {
         // limb pair instead of a decimal: stays primitive-long through
         // BOTH aggregation levels (limbs are composable — summing
         // (hi, lo) pairs preserves value = hi*10^6 + lo exactly).
-        sumLimbs(revenue(col("l_extendedprice"), col("l_discount")))._1.as("rev_hi"),
-        sumLimbs(revenue(col("l_extendedprice"), col("l_discount")))._2.as("rev_lo"),
+        sumLimbsLong(revenueU(col("l_extendedprice"), col("l_discount")))._1.as("rev_hi"),
+        sumLimbsLong(revenueU(col("l_extendedprice"), col("l_discount")))._2.as("rev_lo"),
         count(lit(1)).as("n"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -180,7 +180,7 @@ object SetOps {
       sets = Seq(Seq(col("r_name")), Seq(col("n_name"))),
       groupCols = Seq(col("r_name"), col("n_name")),
       aggs = Seq(count(lit(1)).as("cnt"),
-        decSum(money(col("c_acctbal")), 2).cast("double").as("bal")))
+        decSumLong(unscaled2dp(col("c_acctbal")), 2).cast("double").as("bal")))
   }
 
   val gs3Sql: String =

@@ -139,7 +139,7 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "orders").select(
       col("o_custkey"), col("o_orderkey"),
-      decSumOver(money(col("o_totalprice")), 2, run).cast("double").as("run_spend"),
+      decSumOver2dp(col("o_totalprice"), run).cast("double").as("run_spend"),
       count(lit(1)).over(run).as("run_orders"))
   }
 
@@ -236,11 +236,11 @@ object Windows {
       .rowsBetween(-3, Window.currentRow)
     t(s, dir, "lineitem").select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      decSumOver(money(col("l_extendedprice")), 2, slide).cast("double").as("mov_sum"),
+      decSumOver2dp(col("l_extendedprice"), slide).cast("double").as("mov_sum"),
       min(col("l_extendedprice")).over(slide).as("mov_min"),
       max(col("l_extendedprice")).over(slide).as("mov_max"),
       count(lit(1)).over(slide).as("mov_cnt"),
-      (decSumOver(money(col("l_extendedprice")), 2, slide).cast("double") /
+      (decSumOver2dp(col("l_extendedprice"), slide).cast("double") /
         count(lit(1)).over(slide)).as("mov_avg"))
   }
 
@@ -267,8 +267,8 @@ object Windows {
   def w10(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     val perDay = orders.groupBy(col("o_orderdate").as("d"))
-      .agg(sumLimbs(money(col("o_totalprice")))._1.as("day_hi"),
-        sumLimbs(money(col("o_totalprice")))._2.as("day_lo"))
+      .agg(sumLimbsLong(unscaled2dp(col("o_totalprice")))._1.as("day_hi"),
+        sumLimbsLong(unscaled2dp(col("o_totalprice")))._2.as("day_lo"))
     val groupsFrame = Window.orderBy(col("d")).rowsBetween(-1, Window.currentRow)
     val withPrev = perDay.select(
       col("d"),

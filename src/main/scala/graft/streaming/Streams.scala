@@ -44,7 +44,7 @@ object Streams {
   def st1(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), decSum(money(col("value")), 2).cast("double").as("val_sum"))
+      .agg(count(lit(1)).as("cnt"), decSumLong(unscaled2dp(col("value")), 2).cast("double").as("val_sum"))
       .select(col("window.start").as("w_start"), col("event_type"), col("cnt"), col("val_sum"))
 
   val st1Sql: String =
@@ -59,7 +59,7 @@ object Streams {
   def st2(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-      .agg(count(lit(1)).as("cnt"), decSum(money(col("value")), 2).cast("double").as("val_sum"))
+      .agg(count(lit(1)).as("cnt"), decSumLong(unscaled2dp(col("value")), 2).cast("double").as("val_sum"))
       .select(col("window.start").as("w_start"), col("cnt"), col("val_sum"))
 
   val st2Sql: String =
@@ -79,7 +79,7 @@ object Streams {
   def st3(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("cnt"), decSum(money(col("value")), 2).cast("double").as("val_sum"))
+      .agg(count(lit(1)).as("cnt"), decSumLong(unscaled2dp(col("value")), 2).cast("double").as("val_sum"))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("cnt"), col("val_sum"))
