@@ -84,8 +84,8 @@ case class ExactQuantiles(
 
   // the quantile list must be a foldable literal (as with the built-in);
   // literal fractions parse as DECIMAL, so coerce per element
-  @transient private lazy val qs: Array[Double] =
-    quantiles.eval(InternalRow.empty) match {
+  @transient private lazy val qs: Array[Double] = {
+    val arr = quantiles.eval(InternalRow.empty) match {
       case a: ArrayData =>
         val et = quantiles.dataType match {
           case ArrayType(t, _) => t
@@ -94,6 +94,15 @@ case class ExactQuantiles(
         a.toObjectArray(et).map(QuantileSketchAgg.toDouble)
       case other => Array(QuantileSketchAgg.toDouble(other))
     }
+    // same contract as the built-in percentile: reject out-of-range
+    // fractions up front (q in (-1,0) would silently extrapolate
+    // below the minimum; q <= -1 would index negatively at eval)
+    arr.foreach { q =>
+      if (q.isNaN || q < 0.0 || q > 1.0) throw new IllegalArgumentException(
+        s"exact_quantiles fraction must be in [0, 1], got $q")
+    }
+    arr
+  }
 
   override def createAggregationBuffer(): DoubleBuffer = new DoubleBuffer
 

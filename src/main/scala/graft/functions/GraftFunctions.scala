@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, ExpressionInfo, FromUTCTimestamp, If, Literal, ParseUrl, RegExpExtract, ToUTCTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression, ExpressionInfo, FromUTCTimestamp, If, LastDay, Literal, ParseUrl, RegExpExtract, ToUTCTimestamp}
 import org.apache.spark.sql.types.{LongType, StringType}
 
 /** The engine's function registry (≈ the reference's
@@ -170,6 +170,21 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         ParseUrl(Seq(children(0), Literal("QUERY"), children(1)),
           failOnError = false)))
+    // duration family (reference `scalar/DateTimeFunctions.java`
+    // to_milliseconds / `ParseDurationFunction`) + last_day_of_month
+    // as a name-alias of Spark's codegen LastDay (same semantics).
+    e.injectFunction((
+      FunctionIdentifier("parse_duration"),
+      new ExpressionInfo(classOf[ParseDuration].getName, "parse_duration"),
+      (children: Seq[Expression]) => ParseDuration(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("to_milliseconds"),
+      new ExpressionInfo(classOf[ToMilliseconds].getName, "to_milliseconds"),
+      (children: Seq[Expression]) => ToMilliseconds(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("last_day_of_month"),
+      new ExpressionInfo(classOf[LastDay].getName, "last_day_of_month"),
+      (children: Seq[Expression]) => LastDay(children.head)))
     e.injectFunction((
       FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
 /** Mutable holder for a sketch of either family — the input column's
   * tag decides which on first non-null row. */
 final class MergedSketch {
-  var sk: AnyRef = null // LogQuantileSketch | TDigest
+  var sk: AnyRef = null // QuantileDigest (double or bigint) | TDigest
 }
 
 /** `merge(binary) -> binary` — re-aggregation of serialized sketches,
@@ -38,6 +38,7 @@ case class MergeSketchAgg(
   private def mergeInto(b: MergedSketch, other: AnyRef): Unit = (b.sk, other) match {
     case (null, _) => b.sk = other
     case (a: LogQuantileSketch, o: LogQuantileSketch) => a.merge(o)
+    case (a: LongExactQuantileSketch, o: LongExactQuantileSketch) => a.mergeDigest(o)
     case (a: TDigest, o: TDigest) => a.merge(o)
     case (a, o) => throw new IllegalArgumentException(
       s"merge: cannot mix sketch families (${a.getClass.getSimpleName} vs " +
@@ -50,7 +51,7 @@ case class MergeSketchAgg(
       case bytes: Array[Byte] =>
         mergeInto(b,
           if (TDigest.isTDigest(bytes)) TDigest.deserialize(bytes)
-          else LogQuantileSketch.deserialize(bytes))
+          else QuantileDigest.deserialize(bytes))
     }
     b
   }
@@ -62,13 +63,13 @@ case class MergeSketchAgg(
 
   override def eval(b: MergedSketch): Any = b.sk match {
     case null => null
-    case s: LogQuantileSketch => s.serialize()
+    case s: QuantileDigest => s.serialize()
     case t: TDigest => t.serialize()
   }
 
   override def serialize(b: MergedSketch): Array[Byte] = b.sk match {
     case null => Array.emptyByteArray
-    case s: LogQuantileSketch => s.serialize()
+    case s: QuantileDigest => s.serialize()
     case t: TDigest => t.serialize()
   }
 
@@ -77,7 +78,7 @@ case class MergeSketchAgg(
     if (bytes.nonEmpty)
       b.sk =
         if (TDigest.isTDigest(bytes)) TDigest.deserialize(bytes)
-        else LogQuantileSketch.deserialize(bytes)
+        else QuantileDigest.deserialize(bytes)
     b
   }
 

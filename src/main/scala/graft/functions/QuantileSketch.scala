@@ -26,7 +26,29 @@ import org.apache.spark.sql.types._
   * row count: at 100 TB each executor carries a few KB and the final
   * merge is one reduce — this is THE distributed percentile design.
   */
-final class LogQuantileSketch(val alpha: Double) {
+/** Common surface of the qdigest family — the reference's qdigest is
+  * PARAMETRIC over bigint/real/double
+  * (`QuantileDigestAggregationFunction.java` binds one implementation
+  * per argument type); here the aggregate picks the implementation
+  * from the child's Catalyst type and the scalars dispatch on the
+  * serialization tag. */
+sealed trait QuantileDigest {
+  def addAny(v: Any): Unit
+  def mergeDigest(o: QuantileDigest): Unit
+  def serialize(): Array[Byte]
+  def quantile(q: Double): Double
+  def rankOf(v: Double): Double
+}
+
+object QuantileDigest {
+  /** Tag-dispatched deserialize across the whole sketch family. */
+  def deserialize(bytes: Array[Byte]): QuantileDigest =
+    if (LongExactQuantileSketch.isLongDigest(bytes))
+      LongExactQuantileSketch.deserialize(bytes)
+    else LogQuantileSketch.deserialize(bytes)
+}
+
+final class LogQuantileSketch(val alpha: Double) extends QuantileDigest {
   val gamma: Double = (1 + alpha) / (1 - alpha)
   private val logGamma = math.log(gamma)
 
@@ -44,6 +66,13 @@ final class LogQuantileSketch(val alpha: Double) {
     if (v > 0) pos.update(bucketOf(v), pos.getOrElse(bucketOf(v), 0L) + 1)
     else if (v < 0) neg.update(bucketOf(-v), neg.getOrElse(bucketOf(-v), 0L) + 1)
     else zeros += 1
+
+  override def addAny(v: Any): Unit = add(QuantileSketchAgg.toDouble(v))
+  override def mergeDigest(o: QuantileDigest): Unit = o match {
+    case s: LogQuantileSketch => merge(s)
+    case other => throw new IllegalArgumentException(
+      s"cannot merge ${other.getClass.getSimpleName} into a double qdigest")
+  }
 
   def merge(o: LogQuantileSketch): Unit = {
     o.pos.foreach { case (k, c) => pos.update(k, pos.getOrElse(k, 0L) + c) }
@@ -118,35 +147,163 @@ object LogQuantileSketch {
   }
 }
 
-/** `qdigest_agg(double) -> binary` — mergeable sketch aggregate. */
+/** Bigint qdigest: exact value→count map while the group's distinct
+  * count stays within `maxExact` (the reference's integer qdigest is
+  * likewise exact until its compression budget forces collapse —
+  * `io.airlift.stats.QuantileDigest` stores exact values at low
+  * cardinality), degrading in place to the log-bucket approximation
+  * past the budget. Quantiles in exact mode are true order
+  * statistics (rank `max(1, ceil(q·n))`, the same step-quantile walk
+  * as the bucket path) and return the ingested integer itself.
+  *
+  * 100 TB note: state is bounded at `maxExact` entries (64 KB) before
+  * degradation and O(log(range)/α) after — mergeable either way, so
+  * the two-level sketch-then-merge pattern holds unchanged. */
+final class LongExactQuantileSketch(val maxExact: Int = LongExactQuantileSketch.DefaultMaxExact)
+    extends QuantileDigest {
+  import LongExactQuantileSketch.Magic
+
+  val counts = new mutable.HashMap[Long, Long]
+  var approx: LogQuantileSketch = null // non-null once degraded
+
+  def add(v: Long): Unit =
+    if (approx != null) approx.add(v.toDouble)
+    else {
+      counts.update(v, counts.getOrElse(v, 0L) + 1)
+      if (counts.size > maxExact) degrade()
+    }
+
+  private def degrade(): Unit = {
+    approx = new LogQuantileSketch(LogQuantileSketch.DefaultAlpha)
+    for ((v, c) <- counts; _ <- 1L to c) approx.add(v.toDouble)
+    counts.clear()
+  }
+
+  override def addAny(v: Any): Unit = add(v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case n: Number => n.longValue()
+  })
+
+  override def mergeDigest(o: QuantileDigest): Unit = o match {
+    case s: LongExactQuantileSketch =>
+      if (s.approx != null) { if (approx == null) degrade(); approx.merge(s.approx) }
+      else if (approx != null) for ((v, c) <- s.counts; _ <- 1L to c) approx.add(v.toDouble)
+      else {
+        s.counts.foreach { case (v, c) => counts.update(v, counts.getOrElse(v, 0L) + c) }
+        if (counts.size > maxExact) degrade()
+      }
+    case other => throw new IllegalArgumentException(
+      s"cannot merge ${other.getClass.getSimpleName} into a bigint qdigest")
+  }
+
+  def count: Long =
+    if (approx != null) approx.count else counts.valuesIterator.sum
+
+  override def quantile(q: Double): Double = {
+    if (approx != null) return math.rint(approx.quantile(q))
+    val n = count
+    if (n == 0) return Double.NaN
+    val rank = math.max(1L, math.ceil(q * n).toLong)
+    var seen = 0L
+    for ((v, c) <- counts.toSeq.sortBy(_._1)) {
+      seen += c
+      if (seen >= rank) return v.toDouble
+    }
+    Double.NaN
+  }
+
+  override def rankOf(v: Double): Double = {
+    if (approx != null) return approx.rankOf(v)
+    val n = count
+    if (n == 0) return Double.NaN
+    var seen = 0L
+    for ((k, c) <- counts) if (k <= v) seen += c
+    seen.toDouble / n
+  }
+
+  override def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(Magic)
+    out.writeBoolean(approx == null)
+    if (approx == null) {
+      out.writeInt(counts.size)
+      counts.toSeq.sortBy(_._1).foreach { case (v, c) =>
+        out.writeLong(v); out.writeLong(c)
+      }
+    } else out.write(approx.serialize())
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object LongExactQuantileSketch {
+  val DefaultMaxExact = 4096
+  val Magic: Int = 0x51444C31 // "QDL1"
+
+  def isLongDigest(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      ((bytes(0) & 0xff) << 24 | (bytes(1) & 0xff) << 16 |
+        (bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) == Magic
+
+  def deserialize(bytes: Array[Byte]): LongExactQuantileSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "not a bigint qdigest")
+    val sk = new LongExactQuantileSketch()
+    if (in.readBoolean()) {
+      val n = in.readInt()
+      var i = 0
+      while (i < n) { sk.counts.update(in.readLong(), in.readLong()); i += 1 }
+    } else {
+      val rest = new Array[Byte](bytes.length - 9)
+      System.arraycopy(bytes, 9, rest, 0, rest.length)
+      sk.approx = LogQuantileSketch.deserialize(rest)
+    }
+    sk
+  }
+}
+
+/** `qdigest_agg(numeric) -> binary` — mergeable sketch aggregate,
+  * parametric like the reference's: integral children get the
+  * exact-at-low-cardinality bigint digest, fractional children the
+  * log-bucket sketch. */
 case class QuantileSketchAgg(
     child: Expression,
     alpha: Double = LogQuantileSketch.DefaultAlpha,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[LogQuantileSketch] {
+    extends TypedImperativeAggregate[QuantileDigest] {
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
 
-  override def createAggregationBuffer(): LogQuantileSketch =
-    new LogQuantileSketch(alpha)
+  private def isIntegral = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
 
-  override def update(b: LogQuantileSketch, input: InternalRow): LogQuantileSketch = {
+  override def createAggregationBuffer(): QuantileDigest =
+    if (isIntegral) new LongExactQuantileSketch()
+    else new LogQuantileSketch(alpha)
+
+  override def update(b: QuantileDigest, input: InternalRow): QuantileDigest = {
     val v = child.eval(input)
-    if (v != null) b.add(QuantileSketchAgg.toDouble(v))
+    if (v != null) b.addAny(v)
     b
   }
 
-  override def merge(b: LogQuantileSketch, o: LogQuantileSketch): LogQuantileSketch = {
-    b.merge(o); b
+  override def merge(b: QuantileDigest, o: QuantileDigest): QuantileDigest = {
+    b.mergeDigest(o); b
   }
 
-  override def eval(b: LogQuantileSketch): Any = b.serialize()
-  override def serialize(b: LogQuantileSketch): Array[Byte] = b.serialize()
-  override def deserialize(bytes: Array[Byte]): LogQuantileSketch =
-    LogQuantileSketch.deserialize(bytes)
+  override def eval(b: QuantileDigest): Any = b.serialize()
+  override def serialize(b: QuantileDigest): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): QuantileDigest =
+    QuantileDigest.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -184,7 +341,7 @@ case class ValueAtQuantile(left: Expression, right: Expression)
     val bytes = sketch.asInstanceOf[Array[Byte]]
     val qq = QuantileSketchAgg.toDouble(q)
     if (TDigest.isTDigest(bytes)) TDigest.deserialize(bytes).quantile(qq)
-    else LogQuantileSketch.deserialize(bytes).quantile(qq)
+    else QuantileDigest.deserialize(bytes).quantile(qq)
   }
 
   override protected def withNewChildrenInternal(
@@ -203,7 +360,7 @@ case class QuantileAtValue(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override protected def nullSafeEval(sketch: Any, v: Any): Any =
-    LogQuantileSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    QuantileDigest.deserialize(sketch.asInstanceOf[Array[Byte]])
       .rankOf(QuantileSketchAgg.toDouble(v))
 
   override protected def withNewChildrenInternal(

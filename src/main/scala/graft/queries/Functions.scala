@@ -215,6 +215,46 @@ object Functions {
       |  TRUE AS t_med_in_rank_band, count(*) AS n
       |FROM lineitem""".stripMargin
 
+  // --------------------------------------- f8 bigint qdigest (typed)
+  /** Parametric qdigest over an INTEGRAL column (reference
+    * `QuantileDigestAggregationFunction.java` binds qdigest(bigint)
+    * as its own type): l_quantity has ≤ 50 distinct integer values,
+    * so the bigint digest never leaves exact mode and its quantiles
+    * are true order statistics — gated as EXACT VALUES against the
+    * oracle's explicit rank walk (rank `max(1, ceil(q·n))`), a
+    * stronger check than f3's error-bound booleans. The two-level
+    * shape (per-(flag,status) sketches merged per flag) additionally
+    * proves the exact map survives `merge()` re-aggregation. */
+  def f8(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("qty", col("l_quantity").cast("long"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("qdigest_agg(qty)").as("sk"), count(lit(1)).as("gn"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("merge(sk)").as("g"), sum(col("gn")).as("n"))
+      .select(col("l_returnflag"),
+        expr("CAST(value_at_quantile(g, 0.25) AS BIGINT)").as("p25"),
+        expr("CAST(value_at_quantile(g, 0.5) AS BIGINT)").as("p50"),
+        expr("CAST(value_at_quantile(g, 0.75) AS BIGINT)").as("p75"),
+        col("n"))
+  }
+
+  val f8Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      |  SELECT l_returnflag, v,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM c)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) THEN v END) AS p25,
+      |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS p50,
+      |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.75 * n) AS BIGINT)) THEN v END) AS p75,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM w GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_cosine_expr" -> f1 _,
     "f2_width_bucket" -> f2 _,
@@ -222,7 +262,8 @@ object Functions {
     "f4_heavy_hitters" -> f4 _,
     "f5_simhash_lsh" -> f5 _,
     "f6_tdigest" -> f6 _,
-    "f7_sketch_reagg" -> f7 _)
+    "f7_sketch_reagg" -> f7 _,
+    "f8_qdigest_bigint" -> f8 _)
 
   val oracle: Map[String, String] = Map(
     "f1_cosine_expr" -> f1Sql,
@@ -230,6 +271,7 @@ object Functions {
     "f3_qdigest_quantile" -> f3Sql,
     "f4_heavy_hitters" -> f4Sql,
     "f6_tdigest" -> f6Sql,
-    "f7_sketch_reagg" -> f7Sql)
+    "f7_sketch_reagg" -> f7Sql,
+    "f8_qdigest_bigint" -> f8Sql)
     // f5 is rows-only: the fingerprint is engine-specific
 }

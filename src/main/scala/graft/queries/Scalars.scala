@@ -704,6 +704,55 @@ object Scalars {
        |FROM nation""".stripMargin
   }
 
+  // -------------------------- sc18 durations / last_day / crc32
+  /** Duration + calendar + checksum stragglers (reference
+    * `scalar/DateTimeFunctions.java` to_milliseconds and
+    * last_day_of_month, `ParseDurationFunction.java`,
+    * `VarbinaryFunctions.java` crc32): `parse_duration` handles every
+    * airlift unit (ms/s/m/h + a fractional case) on ms-exact inputs,
+    * `to_milliseconds` projects an interval born from timestamp
+    * subtraction, `last_day_of_month` is the name-alias of the codegen
+    * LastDay, and crc32 is Spark's builtin over ASCII priorities. The
+    * oracle rebuilds durations with plain ms arithmetic, last_day with
+    * DuckDB's own last_day, and CRC-32 as a pure-SQL reflected
+    * 0xEDB88320 bit fold (validated against zlib).
+    */
+  def sc18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .selectExpr(
+        "o_orderkey",
+        "last_day_of_month(o_orderdate) AS eom",
+        "to_milliseconds(CAST(o_orderdate AS TIMESTAMP) - TIMESTAMP '1992-01-01 00:00:00') AS age_ms",
+        "to_milliseconds(parse_duration((o_orderkey % 900) || 'ms')) AS d_ms",
+        "to_milliseconds(parse_duration((o_orderkey % 48) || 'h')) AS d_h",
+        "to_milliseconds(parse_duration((o_orderkey % 90) || 'm')) AS d_m",
+        "to_milliseconds(parse_duration((o_orderkey % 10) || '.5s')) AS d_frac",
+        "crc32(CAST(o_orderpriority AS BINARY)) AS prio_crc")
+
+  val sc18Sql: String = {
+    // reflected CRC-32 (poly 0xEDB88320) as a DuckDB fold: byte loop
+    // via list_reduce, 8 shift steps per byte via an inner fold
+    def crc(c: String): String =
+      s"""xor(4294967295, list_reduce(
+         |  list_prepend(CAST(4294967295 AS BIGINT),
+         |    list_transform(range(1, length($c) + 1),
+         |      i -> CAST(ord(substr($c, CAST(i AS INT), 1)) AS BIGINT))),
+         |  (crc, b) -> list_reduce(
+         |     list_prepend(xor(crc, b), [1,2,3,4,5,6,7,8]),
+         |     (c2, s) -> xor(c2 >> 1,
+         |        CASE WHEN c2 & 1 = 1 THEN 3988292384 ELSE 0 END))))""".stripMargin
+    s"""SELECT o_orderkey,
+       |  last_day(o_orderdate) AS eom,
+       |  epoch_ms(CAST(o_orderdate AS TIMESTAMP) - TIMESTAMP '1992-01-01 00:00:00') AS age_ms,
+       |  CAST(o_orderkey % 900 AS BIGINT) AS d_ms,
+       |  CAST(o_orderkey % 48 AS BIGINT) * 3600000 AS d_h,
+       |  CAST(o_orderkey % 90 AS BIGINT) * 60000 AS d_m,
+       |  CAST(o_orderkey % 10 AS BIGINT) * 1000 + 500 AS d_frac,
+       |  ${crc("o_orderpriority")} AS prio_crc
+       |FROM orders WHERE o_orderkey <= 2000""".stripMargin
+  }
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -723,7 +772,8 @@ object Scalars {
     "sc14_sql_json" -> sc14 _,
     "sc15_url_extract" -> sc15 _,
     "sc16_timezone" -> sc16 _,
-    "sc17_soundex" -> sc17 _)
+    "sc17_soundex" -> sc17 _,
+    "sc18_durations" -> sc18 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -743,5 +793,6 @@ object Scalars {
     "sc14_sql_json" -> sc14Sql,
     "sc15_url_extract" -> sc15Sql,
     "sc16_timezone" -> sc16Sql,
-    "sc17_soundex" -> sc17Sql)
+    "sc17_soundex" -> sc17Sql,
+    "sc18_durations" -> sc18Sql)
 }

@@ -118,14 +118,22 @@ object Dialect {
     // the instant on the zone's wall clock (the session zone is UTC);
     // the zone id itself is not carried (SURVEY §1.3 type-loss note).
     // The operand may be a bare column/identifier, a function call, or
-    // one parenthesized group.
+    // one parenthesized group. Documented limitation: operands with
+    // nested parens or embedded string literals (e.g.
+    // `date_trunc('day', ts) AT TIME ZONE 'X'`) do NOT match — the
+    // expression passes through untranslated and Spark rejects the
+    // AT TIME ZONE syntax loudly (asserted in DialectSpec), which is
+    // safe-by-failure rather than a silent mistranslation.
     val atTzRe = ("(?i)([A-Za-z_][A-Za-z0-9_.]*\\s*\\([^()]*\\)|" +
       "[A-Za-z_][A-Za-z0-9_.]*|\\([^()]*\\))\\s+AT\\s+TIME\\s+ZONE\\s*$").r
     // operand is itself a datetime literal (`TIMESTAMP '…' AT TIME
     // ZONE '…'`): the operand's literal is its own segment too, so the
     // AT TIME ZONE keywords sit alone in a segment between two literals
     val atTzLitRe = "(?i)^\\s*AT\\s+TIME\\s+ZONE\\s*$".r
-    val tsKeywordRe = "(?i)(TIMESTAMP|DATE)\\s*$".r
+    // \b anchor: without it an identifier ending in ...timestamp (e.g.
+    // `my_timestamp TIMESTAMP '…' AT TIME ZONE …`) would match and be
+    // mangled into `my_from_utc_timestamp(timestamp …`.
+    val tsKeywordRe = "(?i)\\b(TIMESTAMP|DATE)\\s*$".r
     var k = 0
     while (k + 2 < parts.length) {
       val (seg, isLit) = parts(k)

@@ -224,6 +224,21 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT TIMESTAMP '2024-01-01 00:00:00' AT TIME ZONE 'Asia/Tokyo' AS t"))
       .head().getTimestamp(0)
     assert(r.toString.startsWith("2024-01-01 09:00:00"))
+    // identifier ending in a type keyword is NOT the typed-literal form:
+    // `my_timestamp TIMESTAMP '…'` must not be mangled into
+    // `my_from_utc_timestamp(timestamp …` (tsKeywordRe \b anchor)
+    assert(Dialect.translate(
+      "SELECT my_timestamp '2024-01-01' AT TIME ZONE 'UTC' AS t")
+      == "SELECT my_timestamp '2024-01-01' AT TIME ZONE 'UTC' AS t")
+    // documented limitation: nested parens / embedded literals in the
+    // operand do not match the conservative grammar — the SQL passes
+    // through UNtranslated and Spark rejects it loudly (safe-by-failure,
+    // never a silent mistranslation)
+    val nested = "SELECT date_trunc('day', ts) AT TIME ZONE 'UTC' FROM e"
+    assert(Dialect.translate(nested).contains("AT TIME ZONE"))
+    assertThrows[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(Dialect.translate(nested)).queryExecution.analyzed
+    }
   }
 
   test("quantified comparisons rewrite to IN / NOT IN (SQL:2016 8.8)") {

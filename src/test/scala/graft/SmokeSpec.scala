@@ -40,6 +40,18 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = li.filter("l_extendedprice < 0").agg(
       expr("exact_quantiles(l_extendedprice, array(0.5))").as("eq")).head()
     assert(e.isNullAt(0))
+    // out-of-range fractions rejected up front, like the built-in
+    // (q in (-1,0) would silently extrapolate; q <= -1 would index
+    // negatively; q > 1 would silently clamp to the max)
+    for (bad <- Seq("-0.5", "-2.0", "1.5")) {
+      val ex = intercept[Exception] {
+        li.limit(10).agg(
+          expr(s"exact_quantiles(l_extendedprice, array($bad))")).head()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("must be in [0, 1]")))
+    }
   }
 
   test("no gated query emits DecimalType at the oracle boundary") {
