@@ -74,11 +74,63 @@ object DialectQueries {
       |    SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** MATCH_RECOGNIZE as SQL TEXT (reference grammar
+    * `SqlBase.g4:360-399`): the exact query a reference user writes —
+    * maximal rising runs per user with FINAL measures — parsed by
+    * `sqlcompat/MatchRecognizeSql` and lowered onto the
+    * `operators/MatchRecognize` NFA. Semantically identical to mr2's
+    * API formulation, so the oracle is mr2's relational run
+    * reconstruction — the gate proves SQL path ≡ API path ≡ oracle.
+    * This converts the engine's flagship operator from API-parity to
+    * SQL-parity. */
+  val dx3Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY event_id
+      |  MEASURES FIRST(event_id) AS start_ord, LAST(event_id) AS end_ord,
+      |           COUNT(*) AS n_steps, FIRST(value) AS first_val,
+      |           LAST(value) AS last_val, MAX(value) AS peak
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (U{2,})
+      |  DEFINE U AS value > PREV(value)
+      |)""".stripMargin
+
+  def dx3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx3Reference,
+      name => Graft.load(s, dir, name)
+        .select(col("user_id"), col("event_id"), col("value")))
+  }
+
+  val dx3Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS isu
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |r AS (
+      |  SELECT user_id, event_id, value, isu,
+      |    CAST(sum(1 - isu) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM d)
+      |SELECT user_id,
+      |  min(event_id) AS start_ord, max(event_id) AS end_ord,
+      |  count(*) AS n_steps,
+      |  arg_min(value, event_id) AS first_val,
+      |  arg_max(value, event_id) AS last_val,
+      |  max(value) AS peak
+      |FROM r WHERE isu = 1
+      |GROUP BY user_id, run_id
+      |HAVING count(*) >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dx1_reference_dialect" -> dx1 _,
-    "dx2_quantified_cmp" -> dx2 _)
+    "dx2_quantified_cmp" -> dx2 _,
+    "dx3_match_recognize_sql" -> dx3 _)
 
   val oracle: Map[String, String] = Map(
     "dx1_reference_dialect" -> dx1Sql,
-    "dx2_quantified_cmp" -> dx2Sql)
+    "dx2_quantified_cmp" -> dx2Sql,
+    "dx3_match_recognize_sql" -> dx3Sql)
 }

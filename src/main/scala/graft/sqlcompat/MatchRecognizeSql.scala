@@ -1,0 +1,441 @@
+package graft.sqlcompat
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import graft.operators.MatchRecognize
+import graft.operators.MatchRecognize.{MatchCtx, SkipMode}
+
+/** SQL-text surface for row-pattern recognition: parses the reference
+  * dialect's `SELECT * FROM <table> MATCH_RECOGNIZE (...)` (grammar
+  * `SqlBase.g4:360-399` patternRecognition) and lowers it onto the
+  * engine's [[MatchRecognize]] operator — converting the flagship
+  * operator from API-parity to SQL-parity. The heavy machinery
+  * (pattern NFA, quantifiers, SKIP modes, SUBSET unions, navigation)
+  * is all the existing operator's; this layer is purely a front-end.
+  *
+  * Supported subset (anything else fails loudly, never silently
+  * mistranslates):
+  *   - single-table source, `SELECT *` projection (the standard's ONE
+  *     ROW PER MATCH output: partition key + measures);
+  *   - single PARTITION BY column, single ORDER BY column;
+  *   - MEASURES drawn from the engine's FINAL-semantics surface:
+  *     `MATCH_NUMBER()`, `COUNT(*)`, and `FIRST/LAST/MIN/MAX` of
+  *     either the ORDER BY column (→ match extent) or ONE value
+  *     column shared by all value measures;
+  *   - ONE ROW PER MATCH; AFTER MATCH SKIP PAST LAST ROW / TO NEXT
+  *     ROW / TO FIRST/LAST(v);
+  *   - the operator's full PATTERN grammar (quantifiers incl.
+  *     reluctant, alternation, PERMUTE, exclusion, anchors) — the
+  *     text inside PATTERN (...) is handed to the operator's parser
+  *     verbatim;
+  *   - SUBSET declarations;
+  *   - DEFINE predicates over comparisons of: literals, current-row
+  *     columns (bare or qualified by the defined variable), other
+  *     variables' running LAST (the standard's meaning of a
+  *     cross-variable reference), and `PREV/NEXT(col[, n])` /
+  *     `FIRST/LAST(var.col)` navigation, combined with AND/OR/NOT
+  *     and parentheses.
+  */
+object MatchRecognizeSql {
+
+  /** Parse + lower `sql` (reference dialect). `resolve` maps the FROM
+    * table name to its DataFrame. */
+  def translate(sql: String, resolve: String => DataFrame): DataFrame = {
+    val outer = "(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+MATCH_RECOGNIZE\\s*\\(".r
+    val m = outer.findFirstMatchIn(sql).getOrElse(fail(
+      "expected SELECT * FROM <table> MATCH_RECOGNIZE ("))
+    val bodyStart = m.end
+    val bodyEnd = matchParen(sql, bodyStart - 1)
+    val tail = sql.substring(bodyEnd + 1).trim
+    if (!(tail.isEmpty || tail.matches("(?i)AS\\s+[A-Za-z_][A-Za-z0-9_]*")))
+      fail(s"unsupported trailing clause after MATCH_RECOGNIZE: '$tail'")
+    val body = sql.substring(bodyStart, bodyEnd)
+    val table = m.group(1)
+
+    val partCol = clause(body, "PARTITION\\s+BY").getOrElse(fail("PARTITION BY required"))
+      .trim match {
+        case c if c.matches("[A-Za-z_][A-Za-z0-9_]*") => c
+        case other => fail(s"single partition column required, got '$other'")
+      }
+    val orderCol = clause(body, "ORDER\\s+BY").getOrElse(fail("ORDER BY required"))
+      .trim match {
+        case c if c.matches("[A-Za-z_][A-Za-z0-9_]*") => c
+        case other => fail(s"single order column required, got '$other'")
+      }
+    val measuresTxt = clause(body, "MEASURES").getOrElse(fail("MEASURES required"))
+    val rowsPerMatch = clause(body, "(?:ONE|ALL)\\s+ROWS?\\s+PER\\s+MATCH", keepKeyword = true)
+    rowsPerMatch.foreach { k =>
+      if (k.toUpperCase.startsWith("ALL")) fail("only ONE ROW PER MATCH is supported")
+    }
+    val skip = clause(body, "AFTER\\s+MATCH\\s+SKIP").map(_.trim).map {
+      case s if s.matches("(?i)PAST\\s+LAST\\s+ROW") => SkipMode.PastLastRow
+      case s if s.matches("(?i)TO\\s+NEXT\\s+ROW") => SkipMode.ToNextRow
+      case s if s.matches("(?i)TO\\s+FIRST\\s*\\(\\s*\\w+\\s*\\)") =>
+        SkipMode.ToFirst("(?i)TO\\s+FIRST\\s*\\(\\s*(\\w+)\\s*\\)".r
+          .findFirstMatchIn(s).get.group(1))
+      case s if s.matches("(?i)TO\\s+LAST\\s*\\(\\s*\\w+\\s*\\)") =>
+        SkipMode.ToLast("(?i)TO\\s+LAST\\s*\\(\\s*(\\w+)\\s*\\)".r
+          .findFirstMatchIn(s).get.group(1))
+      case other => fail(s"unsupported AFTER MATCH SKIP form: '$other'")
+    }.getOrElse(SkipMode.PastLastRow)
+    val patternTxt = clause(body, "PATTERN", keepKeyword = true)
+      .getOrElse(fail("PATTERN required"))
+    val pattern = {
+      val open = patternTxt.indexOf('(')
+      require(open >= 0, "PATTERN requires parentheses")
+      val close = matchParen(patternTxt, open)
+      patternTxt.substring(open + 1, close)
+    }
+    val subsets: Map[String, Set[String]] =
+      clause(body, "SUBSET").map { s =>
+        s.split(",(?![^()]*\\))").map(_.trim).filter(_.nonEmpty).map { d =>
+          val Array(name, members) = d.split("=", 2)
+          name.trim -> members.replaceAll("[()]", "").split(",").map(_.trim).toSet
+        }.toMap
+      }.getOrElse(Map.empty)
+    val defineTxt = clause(body, "DEFINE").getOrElse(fail("DEFINE required"))
+
+    // DEFINE list: split on top-level commas, each `VAR AS <predicate>`
+    val define: Map[String, MatchCtx => Boolean] =
+      splitTopLevel(defineTxt, ',').map(_.trim).filter(_.nonEmpty).map { d =>
+        val asRe = "(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*)$".r
+        d match {
+          case asRe(v, pred) => v -> DefineParser.compile(pred, v)
+          case other => fail(s"DEFINE entry must be 'VAR AS predicate': '$other'")
+        }
+      }.toMap
+
+    // MEASURES: map each onto the engine's MatchMeasures/ordinal surface
+    sealed trait Src
+    case object MatchNo extends Src; case object NRows extends Src
+    case object StartOrd extends Src; case object EndOrd extends Src
+    case class Val(fn: String) extends Src // first|last|min|max of the value col
+    val measRe = ("(?i)^(MATCH_NUMBER\\s*\\(\\s*\\)|COUNT\\s*\\(\\s*\\*\\s*\\)|" +
+      "(FIRST|LAST|MIN|MAX)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))\\s+AS\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)$").r
+    var valueCol: Option[String] = None
+    val measures: Seq[(Src, String)] =
+      splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).map { mtxt =>
+        measRe.findFirstMatchIn(mtxt) match {
+          case Some(mm) =>
+            val alias = mm.group(4)
+            val src = (Option(mm.group(2)).map(_.toUpperCase), Option(mm.group(3))) match {
+              case (None, _) =>
+                if (mm.group(1).toUpperCase.startsWith("MATCH_NUMBER")) MatchNo else NRows
+              case (Some(fn), Some(c)) if c == orderCol =>
+                fn match {
+                  case "FIRST" => StartOrd
+                  case "LAST" => EndOrd
+                  case other => fail(s"$other($orderCol): only FIRST/LAST of the order column")
+                }
+              case (Some(fn), Some(c)) =>
+                valueCol match {
+                  case Some(v) if v != c =>
+                    fail(s"all value measures must share one column ($v vs $c)")
+                  case _ => valueCol = Some(c)
+                }
+                Val(fn.toLowerCase)
+            }
+            src -> alias
+          case None => fail(s"unsupported measure: '$mtxt' (expect MATCH_NUMBER()/" +
+            "COUNT(*)/FIRST|LAST|MIN|MAX(col) AS alias)")
+        }
+      }
+
+    val df = resolve(table)
+    val vc = valueCol.getOrElse(orderCol) // no value measures → any numeric col works
+    val matched = MatchRecognize.measuresCtx(
+      df, partCol, orderCol, pattern, define, vc, skip, subsets)
+
+    // ONE ROW PER MATCH output: partition key, then measures in order
+    val cols = col("part_key").as(partCol) +: measures.map {
+      case (MatchNo, a) => col("match_no").as(a)
+      case (NRows, a) => col("n_rows").as(a)
+      case (StartOrd, a) => col("start_ord").as(a)
+      case (EndOrd, a) => col("end_ord").as(a)
+      case (Val(fn), a) => col(s"${fn}_val").as(a)
+    }
+    matched.select(cols: _*)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"MATCH_RECOGNIZE SQL: $msg")
+
+  /** Index of the ')' matching the '(' at `open` (string-literal aware). */
+  private def matchParen(s: String, open: Int): Int = {
+    require(s.charAt(open) == '(', s"expected '(' at $open")
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    fail(s"unbalanced parentheses from $open")
+  }
+
+  /** Clause starter keywords, used to delimit each clause's extent. */
+  private val starters = Seq(
+    "PARTITION\\s+BY", "ORDER\\s+BY", "MEASURES",
+    "(?:ONE|ALL)\\s+ROWS?\\s+PER\\s+MATCH", "AFTER\\s+MATCH\\s+SKIP",
+    "PATTERN", "SUBSET", "DEFINE")
+
+  /** Extract the text of the clause introduced by `kw` (regex), up to
+    * the next clause starter at paren depth 0. */
+  private def clause(body: String, kw: String, keepKeyword: Boolean = false): Option[String] = {
+    val re = s"(?is)\\b$kw\\b".r
+    re.findFirstMatchIn(body).map { m =>
+      val from = if (keepKeyword) m.start else m.end
+      // scan forward to the next starter at depth 0
+      var i = m.end
+      var depth = 0
+      var inStr = false
+      var end = body.length
+      while (i < body.length && end == body.length) {
+        val c = body.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ if depth == 0 =>
+            val rest = body.substring(i)
+            if (starters.exists(s0 => s"(?is)^\\s*$s0\\b".r.findFirstIn(rest).isDefined)
+                && body.charAt(math.max(i - 1, 0)).isWhitespace)
+              end = i
+          case _ =>
+        }
+        i += 1
+      }
+      body.substring(from, end).trim
+    }
+  }
+
+  /** Split on `sep` at paren depth 0, outside string literals. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `sep` if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+}
+
+/** Recursive-descent compiler for DEFINE predicates → `MatchCtx =>
+  * Boolean`. Grammar:
+  * {{{
+  *   pred    := conj (OR conj)*
+  *   conj    := unit (AND unit)*
+  *   unit    := NOT unit | '(' pred ')' | cmp
+  *   cmp     := operand op operand        op ∈ { < <= > >= = <> != }
+  *   operand := number | [var.]col
+  *            | PREV|NEXT '(' [var.]col [',' n] ')'
+  *            | FIRST|LAST '(' var.col ')'
+  * }}}
+  * Evaluation follows the standard's DEFINE semantics: a bare or
+  * self-qualified column reads the CURRENT row; a column qualified by
+  * a DIFFERENT variable reads the running LAST row mapped to it;
+  * PREV/NEXT are physical row navigation; comparisons involving NULL
+  * (navigation off the partition edge, variable not yet mapped) are
+  * unknown → false.
+  */
+private object DefineParser extends Serializable {
+
+  def compile(src: String, currentVar: String): MatchCtx => Boolean =
+    new DefineParser(src, currentVar).parse()
+
+  // Runtime helpers live on the (serializable) module so compiled
+  // closures capture it, never the parser instance — the closures ship
+  // to executors inside the mapPartitions pattern matcher.
+  def bin(a: java.lang.Double, b: java.lang.Double,
+      f: (Double, Double) => Boolean): Boolean =
+    a != null && b != null && f(a, b)
+
+  def getNum(r: Row, c: String): java.lang.Double =
+    if (r == null) null
+    else r.getAs[Any](c) match {
+      case null => null
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"DEFINE operand column '$c' is not numeric: $other")
+    }
+}
+
+private final class DefineParser(src: String, currentVar: String) {
+  import graft.operators.MatchRecognize.MatchCtx
+  import DefineParser.{bin, getNum}
+
+  private var pos = 0
+
+  def parse(): MatchCtx => Boolean = {
+    val p = pred()
+    skipWs()
+    require(pos >= src.length, s"trailing input at $pos in DEFINE '$src'")
+    p
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"DEFINE '$src': $msg (at $pos)")
+
+  private def skipWs(): Unit =
+    while (pos < src.length && src.charAt(pos).isWhitespace) pos += 1
+
+  private def peekWord(w: String): Boolean = {
+    skipWs()
+    val re = s"(?is)^$w\\b".r
+    re.findFirstIn(src.substring(pos)).isDefined
+  }
+
+  private def eatWord(w: String): Boolean = {
+    if (peekWord(w)) { pos += w.length; true } else false
+  }
+
+  private def pred(): MatchCtx => Boolean = {
+    var acc = conj()
+    while (eatWord("OR")) {
+      val r = conj()
+      val l = acc
+      acc = ctx => l(ctx) || r(ctx)
+    }
+    acc
+  }
+
+  private def conj(): MatchCtx => Boolean = {
+    var acc = unit()
+    while (eatWord("AND")) {
+      val r = unit()
+      val l = acc
+      acc = ctx => l(ctx) && r(ctx)
+    }
+    acc
+  }
+
+  private def unit(): MatchCtx => Boolean = {
+    skipWs()
+    if (eatWord("NOT")) { val u = unit(); ctx => !u(ctx) }
+    else if (pos < src.length && src.charAt(pos) == '(') {
+      // lookahead: a paren may open a sub-predicate OR wrap an operand;
+      // try predicate first, backtrack to comparison on failure
+      val save = pos
+      try {
+        pos += 1
+        val p = pred()
+        skipWs()
+        require(pos < src.length && src.charAt(pos) == ')', "expected ')'")
+        pos += 1
+        p
+      } catch {
+        case _: Exception => pos = save; cmp()
+      }
+    } else cmp()
+  }
+
+  private def cmp(): MatchCtx => Boolean = {
+    val l = operand()
+    skipWs()
+    val ops = Seq("<=", ">=", "<>", "!=", "<", ">", "=")
+    val op = ops.find(o => src.startsWith(o, pos)).getOrElse(fail("expected comparison"))
+    pos += op.length
+    val r = operand()
+    (op: @unchecked) match {
+      case "<"  => ctx => bin(l(ctx), r(ctx), _ < _)
+      case "<=" => ctx => bin(l(ctx), r(ctx), _ <= _)
+      case ">"  => ctx => bin(l(ctx), r(ctx), _ > _)
+      case ">=" => ctx => bin(l(ctx), r(ctx), _ >= _)
+      case "="  => ctx => bin(l(ctx), r(ctx), _ == _)
+      case "<>" | "!=" => ctx => bin(l(ctx), r(ctx), _ != _)
+    }
+  }
+
+  // operand := number | [var.]col | NAV(...)
+  private def operand(): MatchCtx => java.lang.Double = {
+    skipWs()
+    val numRe = "^-?\\d+(?:\\.\\d+)?".r
+    numRe.findFirstIn(src.substring(pos)) match {
+      case Some(n) =>
+        pos += n.length
+        val v: java.lang.Double = n.toDouble
+        _ => v
+      case None =>
+        val idRe = "^[A-Za-z_][A-Za-z0-9_]*".r
+        val id = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected operand"))
+        pos += id.length
+        id.toUpperCase match {
+          case "PREV" | "NEXT" =>
+            val isPrev = id.equalsIgnoreCase("PREV")
+            expect('(')
+            val (q, c) = qualifiedCol()
+            if (q.exists(v => !v.equalsIgnoreCase(currentVar)))
+              fail(s"PREV/NEXT argument must reference the defined variable, got '${q.get}.$c'")
+            skipWs()
+            val n = if (pos < src.length && src.charAt(pos) == ',') {
+              pos += 1; skipWs()
+              val d = "^\\d+".r.findFirstIn(src.substring(pos)).getOrElse(fail("expected offset"))
+              pos += d.length; d.toInt
+            } else 1
+            expect(')')
+            ctx => getNum(if (isPrev) ctx.prev(n) else ctx.next(n), c)
+          case "FIRST" | "LAST" =>
+            val isFirst = id.equalsIgnoreCase("FIRST")
+            expect('(')
+            val (q, c) = qualifiedCol()
+            val v = q.getOrElse(fail("FIRST/LAST in DEFINE requires a variable qualifier"))
+            expect(')')
+            ctx => getNum(if (isFirst) ctx.first(v) else ctx.last(v), c)
+          case _ =>
+            skipWs()
+            if (pos < src.length && src.charAt(pos) == '.') {
+              pos += 1
+              val c = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
+              pos += c.length
+              if (id.equalsIgnoreCase(currentVar)) ctx => getNum(ctx.row, c)
+              else ctx => getNum(ctx.last(id), c) // cross-variable ref ≡ running LAST
+            } else {
+              val c = id
+              ctx => getNum(ctx.row, c)
+            }
+        }
+    }
+  }
+
+  private def qualifiedCol(): (Option[String], String) = {
+    skipWs()
+    val idRe = "^[A-Za-z_][A-Za-z0-9_]*".r
+    val a = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected identifier"))
+    pos += a.length
+    skipWs()
+    if (pos < src.length && src.charAt(pos) == '.') {
+      pos += 1
+      val b = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
+      pos += b.length
+      (Some(a), b)
+    } else (None, a)
+  }
+
+  private def expect(c: Char): Unit = {
+    skipWs()
+    if (pos >= src.length || src.charAt(pos) != c) fail(s"expected '$c'")
+    pos += 1
+  }
+}

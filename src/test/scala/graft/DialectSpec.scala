@@ -265,4 +265,61 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dialect.translate("SELECT '= ANY (x)' AS s")
       == "SELECT '= ANY (x)' AS s")
   }
+
+  test("MATCH_RECOGNIZE SQL text lowers onto the operator and matches it") {
+    import graft.sqlcompat.MatchRecognizeSql
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.engine.Graft.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    // SQL-text path ≡ API path, row for row (same query as dx3)
+    val sqlSide = MatchRecognizeSql.translate(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS n,
+        |           FIRST(value) AS fv, LAST(value) AS lv
+        |  ONE ROW PER MATCH
+        |  PATTERN (U{2,})
+        |  DEFINE U AS value > PREV(value))""".stripMargin,
+      _ => ev)
+    val up: (org.apache.spark.sql.Row, org.apache.spark.sql.Row) => Boolean =
+      (p, c) => p != null && c.getAs[Double]("value") > p.getAs[Double]("value")
+    val apiSide = graft.operators.MatchRecognize
+      .measures(ev, "user_id", "event_id", "U{2,}", Map("U" -> up), "value")
+      .select(col("part_key").as("user_id"), col("match_no").as("mn"),
+        col("n_rows").as("n"), col("first_val").as("fv"), col("last_val").as("lv"))
+    assert(sqlSide.count() > 0)
+    assert(sqlSide.exceptAll(apiSide).isEmpty && apiSide.exceptAll(sqlSide).isEmpty)
+  }
+
+  test("MATCH_RECOGNIZE SQL: DEFINE surface (cross-var, AND/OR, nav fns, skip)") {
+    import graft.sqlcompat.MatchRecognizeSql
+    import org.apache.spark.sql.functions.col
+    val ev = graft.engine.Graft.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    // cross-variable running LAST + conjunction + TO NEXT ROW skip
+    val r = MatchRecognizeSql.translate(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES COUNT(*) AS n, MAX(value) AS peak
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+)
+        |  DEFINE A AS value > 0 AND value < 1000000,
+        |         B AS B.value > A.value OR B.value > FIRST(B.value))""".stripMargin,
+      _ => ev)
+    assert(r.columns.toSeq == Seq("user_id", "n", "peak"))
+    assert(r.count() > 0)
+  }
+
+  test("MATCH_RECOGNIZE SQL: unsupported forms fail loudly") {
+    import graft.sqlcompat.MatchRecognizeSql
+    val ev = graft.engine.Graft.load(spark, "/root/testdata/sf0.001", "events")
+    def bad(sql: String): Unit =
+      assertThrows[IllegalArgumentException](MatchRecognizeSql.translate(sql, _ => ev))
+    bad("SELECT user_id FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES COUNT(*) AS n PATTERN (A) DEFINE A AS value > 0)")
+    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES COUNT(*) AS n ALL ROWS PER MATCH PATTERN (A) DEFINE A AS value > 0)")
+    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES SUM(value) AS s PATTERN (A) DEFINE A AS value > 0)")
+    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES FIRST(value) AS fv, MIN(event_ts) AS other PATTERN (A) DEFINE A AS value > 0)")
+  }
 }
