@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Zone-preserving TIMESTAMP WITH TIME ZONE emulation.
+  *
+  * The reference's timestamptz VALUE is an (instant, zone id) pair
+  * (reference `spi/type/TimestampWithTimeZoneType.java`,
+  * `DateTimeEncoding.java`: millis packed with a zone key): two
+  * timestamptz values at the same instant in different zones are
+  * equal, but RENDER differently and extract different field values.
+  * Spark's TimestampType stores only the instant (zone collapses to
+  * the session zone — the type-level loss SURVEY §5 documents; the
+  * sc16 family covers the functional surface).
+  *
+  * This module closes the remaining row: the pair is carried as a
+  * struct<instant: timestamp, zone: string> and every operation is a
+  * composition of codegen built-ins over it — no UDF, so the whole
+  * surface stays inside whole-stage codegen and pushes down like any
+  * struct column. The semantics mirror the reference:
+  *
+  *   - [[make]]          ≈ with_timezone(ts, zone): wall-clock ts IN
+  *                         zone → (instant, zone)
+  *   - [[ofInstant]]     instant + zone → (instant, zone)
+  *   - [[atTimezone]]    ≈ AT TIME ZONE / at_timezone on timestamptz
+  *                         (`AtTimeZone.java:30`): SAME instant, new
+  *                         zone — the zone-preserving half Spark's
+  *                         from_utc_timestamp alone cannot express
+  *   - [[wall]]          the value's wall-clock reading (what
+  *                         extract/hour/date_format see in the
+  *                         reference)
+  *   - [[offsetSeconds]] the zone's UTC offset at that instant
+  *   - [[iso8601]]       ≈ to_iso8601(timestamptz)
+  *                         (`DateTimeFunctions.java:210`): wall clock
+  *                         with offset suffix, `Z` at zero offset
+  *                         (java.time ISO_OFFSET_DATE_TIME behavior)
+  *
+  * Instant comparisons/ordering use `tz("instant")` directly, which
+  * matches the reference's equality-on-instant semantics.
+  */
+object TimestampTz {
+
+  /** Wall-clock `ts` interpreted IN `zone` → (instant, zone). */
+  def make(ts: Column, zone: Column): Column =
+    struct(to_utc_timestamp(ts, zone).as("instant"), zone.as("zone"))
+
+  /** UTC-instant `ts` tagged with display zone `zone`. */
+  def ofInstant(ts: Column, zone: Column): Column =
+    struct(ts.as("instant"), zone.as("zone"))
+
+  /** Reference at_timezone: same instant, new display zone. */
+  def atTimezone(tz: Column, newZone: Column): Column =
+    struct(tz("instant").as("instant"), newZone.as("zone"))
+
+  /** The wall-clock reading of the value in its own zone (rendered as
+    * a zone-less timestamp, the reference's extract/format input). */
+  def wall(tz: Column): Column =
+    from_utc_timestamp(tz("instant"), tz("zone"))
+
+  /** UTC offset of the value's zone at the value's instant, seconds
+    * (wall minus instant — DST-correct because from_utc_timestamp
+    * resolves the zone rules at that instant). */
+  def offsetSeconds(tz: Column): Column =
+    ((unix_micros(wall(tz)) - unix_micros(tz("instant"))) / 1000000L)
+      .cast("long")
+
+  /** ISO-8601 rendering with offset suffix (`Z` at zero offset),
+    * seconds precision. */
+  def iso8601(tz: Column): Column = {
+    val off = offsetSeconds(tz)
+    val sign = when(off < 0, lit("-")).otherwise(lit("+"))
+    val hh = lpad(floor(abs(off) / 3600).cast("string"), 2, "0")
+    val mm = lpad((floor(abs(off) / 60) % 60).cast("string"), 2, "0")
+    val suffix = when(off === 0, lit("Z"))
+      .otherwise(concat(sign, hh, lit(":"), mm))
+    concat(date_format(wall(tz), "yyyy-MM-dd'T'HH:mm:ss"), suffix)
+  }
+}

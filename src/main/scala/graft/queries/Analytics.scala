@@ -171,13 +171,107 @@ object Analytics {
       |  CAST(sum(epoch_us(p.p_ts) - epoch_us(v.v_ts)) AS BIGINT) AS total_latency_us
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
 
+  // ------------------------------------ x4 sessionized funnel (MR)
+  /** Sessionized conversion funnel — the composite shape a reference
+    * row-pattern user ships to production (reference: MATCH_RECOGNIZE
+    * over sessionized clickstreams, grammar `SqlBase.g4:360-399`):
+    * gap-based sessionization (12 h inactivity; the batch
+    * gaps-and-islands rewrite of st2's session windows) feeding
+    * [[MatchRecognize.varMeasures]] with pattern `N*? V N*? C N*? P`
+    * — within each session, reluctant fillers skip to the earliest
+    * view, the first click at-or-after it, and the first purchase
+    * at-or-after that click. Rolled up per user: total sessions,
+    * converted sessions (first match per session only — MATCH_NUMBER
+    * = 1 — matching the oracle's one-triple-per-session shape), and
+    * summed view→purchase latency.
+    *
+    * Oracle equivalence of the pattern: under leftmost-reluctant
+    * backtracking the matched triple is exactly the min-chain
+    * (earliest view is always feasible when any view is, and the
+    * earliest click after it completes whenever any later click
+    * does), so a relational min-chain per session reproduces V/C/P.
+    *
+    * Scale: sessionization is one window pass partitioned by user
+    * (each 100 TB partition sorts locally, no global sort); the NFA
+    * runs per session — rows per session are bounded by the
+    * inactivity gap, not the corpus, so per-key state stays O(session).
+    * The session id packs into `user_id * 100000 + sid` (a month of
+    * 12 h-gapped sessions is ≤ 62; the pack documents a 100k/user
+    * bound, beyond which the key space would need a struct key).
+    * Timestamps ride as epoch MICROS longs: exact in the operator's
+    * double measures (< 2^53) and identical to the oracle's
+    * epoch_us arithmetic, so the latency sum is integer-exact. */
+  def x4(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val gapUs = 12L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val sess = Graft.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w))
+      .withColumn("part_key", col("user_id") * 100000L + col("sid"))
+    val nSess = sess.groupBy(col("user_id"))
+      .agg(max(col("sid")).as("n_sessions")) // sid is 1-based and dense
+    def isT(t: String): (Row, Row) => Boolean =
+      (_, c) => c.getAs[String]("event_type") == t
+    val conv = graft.operators.MatchRecognize.varMeasures(
+        sess.select(col("part_key"), col("ts_us"), col("event_type")),
+        "part_key", "ts_us", "N*? V N*? C N*? P",
+        Map("N" -> ((_: Row, _: Row) => true),
+          "V" -> isT("view"), "C" -> isT("click"), "P" -> isT("purchase")),
+        "ts_us", 0)
+      .filter(col("match_no") === 1 && col("var_name").isin("V", "P"))
+      .groupBy(col("part_key"))
+      .agg((max(when(col("var_name") === "P", col("first_val"))) -
+            max(when(col("var_name") === "V", col("first_val")))).as("lat_us"))
+      .groupBy(expr("part_key DIV 100000").as("cu"))
+      .agg(count(lit(1)).as("nc"), sum(col("lat_us")).as("lat"))
+    nSess.join(conv, col("user_id") === col("cu"), "left")
+      .select(col("user_id"), col("n_sessions"),
+        coalesce(col("nc"), lit(0L)).as("n_converted"),
+        coalesce(col("lat"), lit(0.0)).cast("long").as("total_latency_us"))
+  }
+
+  val x4Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS sid
+      |  FROM d),
+      |v AS (SELECT user_id, sid, min(ts_us) AS v_us FROM s
+      |      WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT s.user_id, s.sid, min(s.ts_us) AS c_us
+      |      FROM s JOIN v ON s.user_id = v.user_id AND s.sid = v.sid
+      |      WHERE s.event_type = 'click' AND s.ts_us >= v.v_us GROUP BY 1, 2),
+      |p AS (SELECT s.user_id, s.sid, min(s.ts_us) AS p_us
+      |      FROM s JOIN c ON s.user_id = c.user_id AND s.sid = c.sid
+      |      WHERE s.event_type = 'purchase' AND s.ts_us >= c.c_us GROUP BY 1, 2),
+      |conv AS (SELECT p.user_id, p.p_us - v.v_us AS lat
+      |         FROM p JOIN v ON p.user_id = v.user_id AND p.sid = v.sid),
+      |n AS (SELECT user_id, max(sid) AS n_sessions FROM s GROUP BY 1)
+      |SELECT n.user_id, n.n_sessions,
+      |  CAST(count(conv.lat) AS BIGINT) AS n_converted,
+      |  CAST(coalesce(sum(conv.lat), 0) AS BIGINT) AS total_latency_us
+      |FROM n LEFT JOIN conv ON n.user_id = conv.user_id
+      |GROUP BY n.user_id, n.n_sessions""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_yoy_growth" -> x1 _,
     "x2_market_basket" -> x2 _,
-    "x3_funnel" -> x3 _)
+    "x3_funnel" -> x3 _,
+    "x4_session_funnel" -> x4 _)
 
   val oracle: Map[String, String] = Map(
     "x1_yoy_growth" -> x1Sql,
     "x2_market_basket" -> x2Sql,
-    "x3_funnel" -> x3Sql)
+    "x3_funnel" -> x3Sql,
+    "x4_session_funnel" -> x4Sql)
 }

@@ -753,6 +753,74 @@ object Scalars {
        |FROM orders WHERE o_orderkey <= 2000""".stripMargin
   }
 
+  // ----------------------- sc19 zone-preserving timestamptz emulation
+  /** Zone-preserving TIMESTAMP WITH TIME ZONE (reference
+    * `spi/type/TimestampWithTimeZoneType.java`,
+    * `DateTimeEncoding.java`: the VALUE carries its zone; equality is
+    * on the instant but rendering/extract honor the zone) via
+    * [[graft.functions.TimestampTz]] — the struct<instant, zone>
+    * emulation closing the last type-system row. Exercises: per-zone
+    * ISO-8601 rendering of the SAME instants (offset suffix differs by
+    * zone, `Z` at zero offset — java.time ISO_OFFSET_DATE_TIME
+    * behavior, reference to_iso8601), zone-local hour extraction,
+    * at_timezone instant preservation, and the with_timezone/wall
+    * round trip. Zones are fixed-offset for the fixture's date range
+    * (UTC, Asia/Tokyo +09:00, Asia/Kolkata +05:30 — no DST), so the
+    * oracle pins ground truth with interval arithmetic, tzdb-free,
+    * while the engine resolves real zone ids (sc16 discipline). The
+    * instant-preservation and round-trip booleans are engine-computed
+    * invariants (oracle pins TRUE — the hll1 protocol). */
+  def sc19(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TimestampTz => TZ}
+    val zone = element_at(
+      array(lit("UTC"), lit("Asia/Tokyo"), lit("Asia/Kolkata")),
+      (col("user_id") % 3 + 1).cast("int"))
+    Graft.events(s, dir)
+      .select(date_trunc("second", col("ts")).as("ts"),
+        TZ.ofInstant(date_trunc("second", col("ts")), zone).as("tstz"))
+      .withColumn("tokyo", TZ.atTimezone(col("tstz"), lit("Asia/Tokyo")))
+      .select(
+        col("tstz")("zone").as("zone"),
+        hour(TZ.wall(col("tstz"))).cast("long").as("hr"),
+        TZ.iso8601(col("tstz")).as("iso"),
+        TZ.iso8601(col("tokyo")).as("iso_tokyo"),
+        (col("tokyo")("instant") === col("tstz")("instant"))
+          .as("instant_preserved"),
+        (TZ.make(TZ.wall(col("tstz")), col("tstz")("zone"))("instant")
+          === col("tstz")("instant")).as("wall_roundtrip"))
+      .groupBy(col("zone"), col("hr"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("iso")).as("first_iso"),
+        min(col("iso_tokyo")).as("first_iso_tokyo"),
+        min(col("instant_preserved")).as("instant_preserved"),
+        min(col("wall_roundtrip")).as("wall_roundtrip"))
+  }
+
+  val sc19Sql: String =
+    """WITH z AS (
+      |  SELECT
+      |    CASE user_id % 3 WHEN 0 THEN 'UTC' WHEN 1 THEN 'Asia/Tokyo'
+      |         ELSE 'Asia/Kolkata' END AS zone,
+      |    CASE user_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 540 ELSE 330 END AS offm,
+      |    date_trunc('second', ts) AS ts
+      |  FROM events),
+      |r AS (
+      |  SELECT zone,
+      |    hour(ts + to_minutes(offm)) AS hr,
+      |    strftime(ts + to_minutes(offm), '%Y-%m-%dT%H:%M:%S') ||
+      |      CASE WHEN offm = 0 THEN 'Z'
+      |           ELSE '+' || lpad(CAST(offm // 60 AS VARCHAR), 2, '0') || ':'
+      |                || lpad(CAST(offm % 60 AS VARCHAR), 2, '0') END AS iso,
+      |    strftime(ts + to_minutes(540), '%Y-%m-%dT%H:%M:%S') || '+09:00'
+      |      AS iso_tokyo
+      |  FROM z)
+      |SELECT zone, hr, count(*) AS cnt,
+      |  min(iso) AS first_iso,
+      |  min(iso_tokyo) AS first_iso_tokyo,
+      |  TRUE AS instant_preserved,
+      |  TRUE AS wall_roundtrip
+      |FROM r GROUP BY zone, hr""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -773,7 +841,8 @@ object Scalars {
     "sc15_url_extract" -> sc15 _,
     "sc16_timezone" -> sc16 _,
     "sc17_soundex" -> sc17 _,
-    "sc18_durations" -> sc18 _)
+    "sc18_durations" -> sc18 _,
+    "sc19_timestamptz" -> sc19 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -794,5 +863,6 @@ object Scalars {
     "sc15_url_extract" -> sc15Sql,
     "sc16_timezone" -> sc16Sql,
     "sc17_soundex" -> sc17Sql,
-    "sc18_durations" -> sc18Sql)
+    "sc18_durations" -> sc18Sql,
+    "sc19_timestamptz" -> sc19Sql)
 }

@@ -30,10 +30,13 @@ object Sketches {
       .groupBy(col("l_returnflag"))
       .agg(hll_sketch_agg(col("l_orderkey"), lit(14)).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    // exact distinct SPLIT from the sketch build: in one Aggregate the
+    // distinct rewrite would construct an HLL sketch per orderkey
+    // (see ag4 — measured ~4× slower, O(|keys|·sketch) state at scale)
+    val exact = line.agg(countDistinct(col("l_orderkey")).as("exact"))
     val direct = line.agg(
-      countDistinct(col("l_orderkey")).as("exact"),
       hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(14))).as("direct_est"))
-    direct.join(merged)
+    exact.join(direct).join(merged)
       .select(
         col("exact"),
         // lgK=14 → rse ≈ 1.04/√2^14 ≈ 0.8%; assert a 3σ envelope
