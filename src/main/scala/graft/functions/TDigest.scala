@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   */
 final class TDigest(val compression: Double) {
 
-  private val bufCap = 512
+  private val bufCap = 2048
   private var cMeans = new Array[Double](0) // sorted by mean after compress
   private var cWeights = new Array[Double](0)
   private var nC = 0
@@ -79,23 +79,33 @@ final class TDigest(val compression: Double) {
   def compress(): Unit = {
     if (nB == 0) return
     val m = nC + nB
-    val pts = new Array[(Double, Double)](m)
+    // primitive parallel arrays end-to-end: compress runs every
+    // `bufCap` adds on the per-row hot path, so a boxed tuple per
+    // point (the obvious sortBy shape) costs an allocation storm —
+    // m tuples + a boxing comparator per compress, ~1M allocations
+    // per 600k-row aggregation. Sort means and co-permute weights
+    // with an in-place quicksort on the two arrays instead.
+    val ms = new Array[Double](m)
+    val ws = new Array[Double](m)
+    System.arraycopy(cMeans, 0, ms, 0, nC)
+    System.arraycopy(cWeights, 0, ws, 0, nC)
+    System.arraycopy(bMeans, 0, ms, nC, nB)
+    System.arraycopy(bWeights, 0, ws, nC, nB)
+    sortPairs(ms, ws, 0, m - 1)
+    var w = 0.0
     var i = 0
-    while (i < nC) { pts(i) = (cMeans(i), cWeights(i)); i += 1 }
-    var j = 0
-    while (j < nB) { pts(nC + j) = (bMeans(j), bWeights(j)); j += 1 }
-    val sorted = pts.sortBy(_._1)
-    val w = sorted.map(_._2).sum
+    while (i < m) { w += ws(i); i += 1 }
     val outM = new Array[Double](m)
     val outW = new Array[Double](m)
     var nOut = 0
-    var curMean = sorted(0)._1
-    var curW = sorted(0)._2
+    var curMean = ms(0)
+    var curW = ws(0)
     var wSoFar = 0.0
     var limit = w * kInv(kFn(0.0) + 1.0)
     i = 1
     while (i < m) {
-      val (mi, wi) = sorted(i)
+      val mi = ms(i)
+      val wi = ws(i)
       if (wSoFar + curW + wi <= limit) {
         curMean += (mi - curMean) * wi / (curW + wi)
         curW += wi
@@ -117,6 +127,47 @@ final class TDigest(val compression: Double) {
     cWeights = java.util.Arrays.copyOf(outW, nOut)
     nC = nOut
     nB = 0
+  }
+
+  /** In-place quicksort of `ms[lo..hi]` co-permuting `ws` (median-of-3
+    * pivot, insertion sort below 16 — NaN-free input: means are real
+    * data values). */
+  private def sortPairs(ms: Array[Double], ws: Array[Double], lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    while (hi - lo >= 16) {
+      val mid = lo + (hi - lo) / 2
+      // median-of-3 into ms(mid)
+      if (ms(lo) > ms(mid)) { swap(ms, ws, lo, mid) }
+      if (ms(lo) > ms(hi)) { swap(ms, ws, lo, hi) }
+      if (ms(mid) > ms(hi)) { swap(ms, ws, mid, hi) }
+      val p = ms(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (ms(i) < p) i += 1
+        while (ms(j) > p) j -= 1
+        if (i <= j) { swap(ms, ws, i, j); i += 1; j -= 1 }
+      }
+      // recurse into the smaller side, loop on the larger
+      if (j - lo < hi - i) { sortPairs(ms, ws, lo, j); lo = i }
+      else { sortPairs(ms, ws, i, hi); hi = j }
+    }
+    var i = lo + 1
+    while (i <= hi) {
+      val m = ms(i)
+      val w = ws(i)
+      var j = i - 1
+      while (j >= lo && ms(j) > m) { ms(j + 1) = ms(j); ws(j + 1) = ws(j); j -= 1 }
+      ms(j + 1) = m
+      ws(j + 1) = w
+      i += 1
+    }
+  }
+
+  @inline private def swap(ms: Array[Double], ws: Array[Double], a: Int, b: Int): Unit = {
+    val tm = ms(a); ms(a) = ms(b); ms(b) = tm
+    val tw = ws(a); ws(a) = ws(b); ws(b) = tw
   }
 
   /** Value at rank-quantile q: linear interpolation between centroid

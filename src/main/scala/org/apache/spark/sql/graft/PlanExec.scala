@@ -23,6 +23,23 @@ object PlanExec {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 
+  /** Fresh execution of an ALREADY-OPTIMIZED logical plan: analysis
+    * and optimization are skipped (the plan is used as-is), while
+    * physical planning, codegen, shuffles, broadcasts, and every
+    * execution stage run anew — prepared-statement execution. The
+    * caller owns conf coherence: an optimized plan bakes in
+    * optimizer-time conf decisions (runtime-filter injection,
+    * constant folding of conf-dependent exprs), so it must be
+    * re-executed under the conf regime it was optimized under. */
+  def ofPreOptimized(spark: SparkSession, optimized: LogicalPlan): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSparkSession]
+    val qe = new org.apache.spark.sql.execution.QueryExecution(cs, optimized) {
+      override lazy val optimizedPlan: LogicalPlan = optimized
+    }
+    new ClassicDataset[org.apache.spark.sql.Row](qe,
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(qe.analyzed.schema))
+  }
+
   /** Column ↔ catalyst Expression converters, for the few engine
     * helpers built directly on catalyst nodes Spark exposes no DSL for
     * (e.g. [[org.apache.spark.sql.catalyst.expressions.UnscaledValue]]

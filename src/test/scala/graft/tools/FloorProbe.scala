@@ -1,65 +1,65 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
-/** Per-query floor profiler (test scope, never on the shipped classpath).
-  *
-  * Breaks one query execution into its fixed-cost phases — DataFrame
-  * construction, analysis, optimization, physical planning, execution —
-  * and counts the Spark jobs/stages each execution schedules, with AQE
-  * on vs off. This is the measurement tool behind the round-11 floor
-  * work (VERDICT r10 task #1: the 4.2x bench gap is a ~0.1-0.4 s
-  * fixed floor paid by all 141 queries, not any single query's plan).
-  *
-  * Run: sbt "Test/runMain graft.tools.FloorProbe uid1 dx2 rc1"
+/** Decompose the minimal per-query execution cost under fast confs:
+  * scheduling floor (range), scan floor (parquet agg), shuffle floor.
   */
 object FloorProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.engine.Graft.session("graft-floor-probe", 32)
+    val spark = graft.engine.Graft.session("floor-probe",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     spark.sparkContext.setLogLevel("ERROR")
-
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
-    val stages = new java.util.concurrent.atomic.AtomicInteger
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = stages.incrementAndGet()
-    })
-
-    def mat(df: DataFrame): Unit =
-      df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
-
-    val names = if (args.nonEmpty) args.toSeq else Seq("uid1_assign_unique_id")
-    val sel = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => names.exists(n.contains) }
-
-    for ((name, fn) <- sel; aqe <- Seq(true, false)) {
-      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
-      // warm everything once so JIT/relation-cache effects don't pollute
-      mat(fn(spark, sfDir))
-      val t = Array.fill(5)(0.0)
-      val reps = 3
-      var jn = 0; var sn = 0
-      (1 to reps).foreach { _ =>
+    val orders = graft.engine.Graft.load(spark, sfDir, "orders")
+    val lineitem = graft.engine.Graft.load(spark, sfDir, "lineitem")
+    def bench(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val df = mk
+      val analyzed = df.queryExecution.analyzed
+      def once(): Double = {
+        val f = org.apache.spark.sql.graft.PlanExec.ofRows(spark, analyzed)
         val t0 = System.nanoTime()
-        val df = fn(spark, sfDir)
-        val t1 = System.nanoTime()
-        df.queryExecution.assertAnalyzed()
-        val t2 = System.nanoTime()
-        df.queryExecution.optimizedPlan
-        val t3 = System.nanoTime()
-        df.queryExecution.executedPlan
-        val t4 = System.nanoTime()
-        jobs.set(0); stages.set(0)
-        mat(df)
-        Thread.sleep(50) // let listener events drain (counts only)
-        val t5 = System.nanoTime() - 50000000L
-        t(0) += (t1 - t0) / 1e6; t(1) += (t2 - t1) / 1e6; t(2) += (t3 - t2) / 1e6
-        t(3) += (t4 - t3) / 1e6; t(4) += (t5 - t4) / 1e6
-        jn = jobs.get(); sn = stages.get()
+        f.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+        (System.nanoTime() - t0) / 1e9
       }
-      println(f"PROBE|$name%-28s|aqe=$aqe%-5s|build=${t(0) / reps}%7.1f|analyze=${t(1) / reps}%7.1f|optimize=${t(2) / reps}%7.1f|plan=${t(3) / reps}%7.1f|exec=${t(4) / reps}%7.1f|jobs=$jn|stages=$sn")
+      once(); once() // warm
+      val ts = (1 to 5).map(_ => once()).sorted
+      println(f"$name%-34s med=${ts(2)}%.3f min=${ts.head}%.3f")
+    }
+    import graft.engine.Adaptive
+    Adaptive.withConfs(spark, Adaptive.fastConfs(BigInt(4 << 20))) {
+      bench("range(1e6).sum [no scan]")(spark.range(1000000).agg(sum("id")))
+      bench("range(1).count [sched only]")(spark.range(1).agg(count(lit(1))))
+      bench("orders sum [scan 2.6MB]")(orders.agg(sum(col("o_totalprice"))))
+      bench("orders sum x4 cols")(orders.agg(sum(col("o_totalprice")),
+        min(col("o_orderdate")), max(col("o_orderdate")), count(lit(1))))
+      bench("lineitem sum [scan 11MB]")(lineitem.agg(sum(col("l_quantity"))))
+      bench("lineitem groupBy flag")(lineitem.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity"))))
+      bench("orders proj+filter count")(orders
+        .filter(col("o_orderstatus") === "O").agg(count(lit(1))))
+    }
+    // and with 1 shuffle partition / no exchange at all
+    Adaptive.withConfs(spark, Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")) {
+      bench("orders sum [1 part]")(orders.agg(sum(col("o_totalprice"))))
+      bench("orders sum coalesce(1) [no shuffle]")(
+        orders.coalesce(1).agg(sum(col("o_totalprice"))))
+    }
+    // codegen off: skip per-query Java source generation for micro work
+    Adaptive.withConfs(spark, Adaptive.fastConfs(BigInt(4 << 20)) ++ Seq(
+      "spark.sql.codegen.wholeStage" -> "false")) {
+      bench("range(1).count [no codegen]")(spark.range(1).agg(count(lit(1))))
+      bench("orders sum [no codegen]")(orders.agg(sum(col("o_totalprice"))))
+      bench("lineitem groupBy [no codegen]")(lineitem.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity"))))
+      bench("lineitem q1ish [no codegen]")(lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")), count(lit(1))))
+    }
+    Adaptive.withConfs(spark, Adaptive.fastConfs(BigInt(4 << 20))) {
+      bench("lineitem q1ish [codegen]")(lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")), count(lit(1))))
     }
     spark.stop()
   }
