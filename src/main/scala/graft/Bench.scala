@@ -16,12 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     entire sample set. Self-identification: the JSON carries
   *     /proc load averages and this process's CPU time, so a run taken
   *     under external load is visible as load >> used cores.
-  *   - ADAPTIVE small-query path ([[graft.engine.Adaptive]]): pass 1
-  *     runs size-gated queries under the fast confs, pass 2 under the
-  *     AQE default, pass 3 under whichever measured faster — the engine
-  *     analog of the reference's history-based session tuning. The
-  *     median over the three passes then reflects the winning config
-  *     (two of three samples) without ever trusting a prediction.
+  *   - ADAPTIVE tiered path ([[graft.engine.Adaptive]]): pass 1 runs
+  *     size-gated queries under their tier's tuned confs (small →
+  *     no-AQE fast confs; medium → AQE with input-sized partitions),
+  *     pass 2 under the AQE default, pass 3 under whichever measured
+  *     faster (tuned must win by ≥5% — a tie margin so one contended
+  *     sample can't misroute the pass) — the engine analog of the
+  *     reference's history-based session tuning. The median over the
+  *     three passes then reflects the winning config (two of three
+  *     samples) without ever trusting a prediction.
   *   - Prepared-statement reuse: the query is parsed, analyzed, and
   *     OPTIMIZED once per conf regime (the engine analog of
   *     PREPARE/EXECUTE — the reference serves repeated query shapes
@@ -74,16 +77,20 @@ object Bench {
 
     import graft.engine.Adaptive
     val failed = scala.collection.mutable.ListBuffer[String]()
-    // name -> (fast => fresh DataFrame, input bytes)
-    val prepared = scala.collection.mutable.LinkedHashMap[String, (Boolean => DataFrame, BigInt)]()
+    // name -> (tuned => fresh DataFrame, tuned confs if the size tier has them)
+    val prepared = scala.collection.mutable.LinkedHashMap[
+      String, (Boolean => DataFrame, Option[Seq[(String, String)]])]()
 
     // pass 0: build + warm under default confs
     for ((name, fn) <- selected) {
       try {
         val df = fn(spark, sfDir)
         val bytes = Adaptive.inputBytes(df)
-        val small = bytes < BigInt(spark.conf.getOption(Adaptive.MaxBytesKey)
-          .map(_.toLong).getOrElse(Adaptive.DefaultMaxBytes))
+        // Tiered tuning (r12): small inputs race the no-AQE fast confs,
+        // medium inputs (the 100-300 MB TPC-H scans) race the
+        // input-sized-partition medium confs, large inputs run default
+        // only — see Adaptive.tunedConfs.
+        val tunedConfs = Adaptive.tunedConfs(spark, bytes)
         // Prepared-statement execution: parse/analyze/OPTIMIZE once per
         // conf regime, then each sample re-runs physical planning,
         // codegen, fresh shuffles/broadcasts, and every stage (see
@@ -91,7 +98,7 @@ object Bench {
         // stages entirely). Optimized plans are cached PER REGIME
         // because optimizer-time decisions (runtime-filter injection)
         // bake the active confs into the plan; executing a default-
-        // optimized plan under fast confs would measure a hybrid
+        // optimized plan under tuned confs would measure a hybrid
         // neither path produces.
         val build: Boolean => DataFrame =
           if (rebuildEachRun(name)) _ => fn(spark, sfDir)
@@ -99,20 +106,20 @@ object Bench {
             val analyzed = df.queryExecution.analyzed
             val optDefault = org.apache.spark.sql.graft.PlanExec
               .ofRows(spark, analyzed).queryExecution.optimizedPlan
-            lazy val optFast = Adaptive.withConfs(spark, Adaptive.fastConfs(bytes))(
+            lazy val optTuned = Adaptive.withConfs(spark, tunedConfs.get)(
               org.apache.spark.sql.graft.PlanExec
                 .ofRows(spark, analyzed).queryExecution.optimizedPlan)
-            fast => org.apache.spark.sql.graft.PlanExec
-              .ofPreOptimized(spark, if (fast) optFast else optDefault)
+            tuned => org.apache.spark.sql.graft.PlanExec
+              .ofPreOptimized(spark, if (tuned) optTuned else optDefault)
           }
         materialize(build(false))
-        // Warm the fast-path plan shape too (different physical plan →
-        // different codegen units): without this, the pass-1 fast
-        // sample pays one-time Janino compilation and the fast/default
+        // Warm the tuned plan shape too (different physical plan →
+        // different codegen units): without this, the pass-1 tuned
+        // sample pays one-time Janino compilation and the tuned/default
         // race is systematically biased toward default.
-        if (small)
-          Adaptive.withConfs(spark, Adaptive.fastConfs(bytes))(materialize(build(true)))
-        prepared += name -> (build, bytes)
+        tunedConfs.foreach(c =>
+          Adaptive.withConfs(spark, c)(materialize(build(true))))
+        prepared += name -> (build, tunedConfs)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED (warm): ${e.getMessage}")
@@ -120,35 +127,40 @@ object Bench {
       }
     }
 
-    val small = prepared.map { case (n, (_, b)) =>
-      n -> (b < BigInt(spark.conf.getOption(Adaptive.MaxBytesKey)
-        .map(_.toLong).getOrElse(Adaptive.DefaultMaxBytes)))
-    }
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    val fastWon = scala.collection.mutable.Set[String]()
+    val tunedWon = scala.collection.mutable.Set[String]()
 
-    def timeOne(name: String, build: Boolean => DataFrame, fast: Boolean, bytes: BigInt): Double = {
+    def timeOne(build: Boolean => DataFrame,
+                confs: Option[Seq[(String, String)]]): Double = {
       val t0 = System.nanoTime()
-      if (fast) Adaptive.withConfs(spark, Adaptive.fastConfs(bytes))(materialize(build(true)))
-      else materialize(build(false))
+      confs match {
+        case Some(c) => Adaptive.withConfs(spark, c)(materialize(build(true)))
+        case None    => materialize(build(false))
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
-    for (pass <- 1 to Passes; (name, (build, bytes)) <- prepared) {
+    for (pass <- 1 to Passes; (name, (build, tunedConfs)) <- prepared) {
       if (!failed.contains(name)) {
-        val fast = small(name) && (pass match {
+        val useTuned = tunedConfs.isDefined && (pass match {
           case 1 => true
           case 2 => false
-          case _ => fastWon(name)
+          case _ => tunedWon(name)
         })
         try {
-          val t = timeOne(name, build, fast, bytes)
+          val t = timeOne(build, if (useTuned) tunedConfs else None)
           samples(name) = samples(name) :+ t
-          if (pass == 2 && small(name) && samples(name)(0) < t) fastWon += name
+          // Pass-3 regime choice: tuned must beat default by >= 5%
+          // (one contended sample shouldn't misroute the pass — the
+          // single-sample comparison was r11's What's-wrong #4; the
+          // margin biases ties toward the default AQE path, which is
+          // also the only regime large queries ever see).
+          if (pass == 2 && tunedConfs.isDefined && samples(name)(0) < t * 0.95)
+            tunedWon += name
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED (pass $pass${if (fast) " fast" else ""}): ${e.getMessage}")
+            System.err.println(s"[bench] $name FAILED (pass $pass${if (useTuned) " tuned" else ""}): ${e.getMessage}")
             failed += name
             samples.remove(name)
         }
@@ -158,7 +170,8 @@ object Bench {
     val timed = prepared.keys.toSeq.filter(samples(_).nonEmpty).map { name =>
       val ss = samples(name)
       val med = ss.sorted.apply(ss.size / 2)
-      val tag = if (!small(name)) "" else if (fastWon(name)) " [fast]" else " [deflt]"
+      val tag = if (prepared(name)._2.isEmpty) ""
+        else if (tunedWon(name)) " [tuned]" else " [deflt]"
       System.err.println(f"[bench] $name%-28s median=$med%.3fs samples=${ss.map(s => f"$s%.2f").mkString(",")}$tag")
       name -> med
     }

@@ -75,6 +75,58 @@ object Adaptive {
     "spark.sql.autoBroadcastJoinThreshold" -> DefaultMaxBytes.toString,
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")
 
+  // ------------------------------------------------- MEDIUM tier (r12)
+  //
+  // The 32 MiB fast gate correctly leaves the 100-300 MB TPC-H inputs
+  // on the default path, where they pay full-fan-out scheduling: the
+  // cores-default shuffle partitions (32 here) spawn 32 reduce tasks
+  // per exchange for shuffles that are a few tens of MB, and AQE's
+  // parallelismFirst coalescing deliberately keeps partitions small
+  // "to maximize parallelism" — the right call for a busy cluster,
+  // pure overhead for a single bounded query. The MEDIUM tier is the
+  // reference's `DeterminePartitionCount.java` policy expressed as
+  // confs: keep AQE (inputs this size CAN have mis-estimated joins),
+  // but pre-size the initial partition count from the actual source
+  // bytes and let AQE coalesce by size, not by core count.
+
+  val MediumMaxBytesKey = "spark.graft.mediumQuery.maxBytes"
+  val DefaultMediumMaxBytes: Long = 512L << 20
+
+  /** Runtime bloom-filter injection costs an extra subquery job; below
+    * this source size the pruning cannot pay for it. */
+  val BloomMinBytes: Long = 256L << 20
+
+  /** Initial shuffle partitions for a medium query: one per ~16 MB of
+    * source, clamped to [4, 32]. AQE then coalesces DOWN by size
+    * (parallelismFirst off), never up — so this is a cap on task
+    * count, not a constraint on the data. */
+  def mediumPartitions(bytes: BigInt): Int =
+    math.max(4, math.min(32, (bytes / (16L << 20)).toInt + 1))
+
+  def mediumConfs(bytes: BigInt): Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> mediumPartitions(bytes).toString,
+    // Coalesce to advisoryPartitionSizeInBytes instead of core count —
+    // the setting Spark's own docs recommend for production; here it
+    // converts ~32-task reduce stages over tens of MB into ~2-6 tasks.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false") ++
+    (if (bytes < BigInt(BloomMinBytes))
+      Seq("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")
+    else Nil)
+
+  /** Tier-dispatched tuned confs: Some(fast) below the small gate,
+    * Some(medium) below the medium gate, None for genuinely large
+    * inputs (at cluster scale both gates stay shut and execution is
+    * pure default-AQE). */
+  def tunedConfs(spark: SparkSession, bytes: BigInt): Option[Seq[(String, String)]] = {
+    val smallMax = BigInt(spark.conf.getOption(MaxBytesKey).map(_.toLong)
+      .getOrElse(DefaultMaxBytes))
+    val mediumMax = BigInt(spark.conf.getOption(MediumMaxBytesKey).map(_.toLong)
+      .getOrElse(DefaultMediumMaxBytes))
+    if (bytes < smallMax) Some(fastConfs(bytes))
+    else if (bytes < mediumMax) Some(mediumConfs(bytes))
+    else None
+  }
+
   /** Run `body` with `confs` set, restoring prior values after. */
   def withConfs[T](spark: SparkSession, confs: Seq[(String, String)])(body: => T): T = {
     val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -92,13 +144,11 @@ object Adaptive {
   def replan(spark: SparkSession, df: DataFrame): DataFrame =
     PlanExec.ofRows(spark, df.queryExecution.analyzed)
 
-  /** Execute `use` on a re-planned `df` under the small-query confs if
-    * the input is provably small, else on `df` as-is. */
-  def maybeFast[T](spark: SparkSession, df: DataFrame)(use: DataFrame => T): T = {
-    val bytes = inputBytes(df)
-    if (bytes < BigInt(spark.conf.getOption(MaxBytesKey).map(_.toLong)
-        .getOrElse(DefaultMaxBytes)))
-      withConfs(spark, fastConfs(bytes))(use(replan(spark, df)))
-    else use(df)
-  }
+  /** Execute `use` on a re-planned `df` under the size tier's tuned
+    * confs if the input is provably small/medium, else on `df` as-is. */
+  def maybeFast[T](spark: SparkSession, df: DataFrame)(use: DataFrame => T): T =
+    tunedConfs(spark, inputBytes(df)) match {
+      case Some(confs) => withConfs(spark, confs)(use(replan(spark, df)))
+      case None        => use(df)
+    }
 }

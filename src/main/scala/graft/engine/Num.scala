@@ -74,10 +74,41 @@ object Num {
     (sum(hi), sum(u % LimbUnit))
   }
 
-  /** Exact decimal sum of a long column of unscaled units. */
+  /** Exact decimal sum of a long column of unscaled units.
+    *
+    * Capacity: a group overflows a limb accumulator after
+    * ~9.2e18 / max(per-row-hi, 10^6) rows, where per-row-hi = |u|/10^6.
+    * For money values (|u| <= ~1.1e9) that is ~9e12 rows — past a
+    * 100 TB lineitem. For WIDE per-row values (squared/quartic moment
+    * products up to ~1e14-1e15) per-row-hi reaches 1e8-6e8 and capacity
+    * drops to ~1.5e10-8e10 rows — use [[decSumLong3]] there. */
   def decSumLong(u: Column, scale: Int): Column = {
     val (hi, lo) = sumLimbsLong(u)
     limbsToDecimal(hi, lo, scale)
+  }
+
+  /** Three-limb unit: 10^5 unscaled units per limb. */
+  private val Limb3Unit = 100000L
+
+  /** Exact decimal sum of a long column of WIDE unscaled units via
+    * THREE limbs of 10^5 units each (hi = u/10^10, mid = (u/10^5)%10^5,
+    * lo = u%10^5). For per-row values up to ~9e14 (quartic moment
+    * products) every limb is bounded by ~10^5, so the capacity is
+    * ~9.2e18/10^5 ≈ 9e13 rows per group — past a 100 TB lineitem's
+    * total row count even in one group. Three primitive long sums
+    * instead of two; identity holds for negatives because JVM division
+    * truncates toward zero consistently in all three limbs. */
+  def decSumLong3(u: Column, scale: Int): Column = {
+    val ue = PlanExec.expression(u)
+    val hi = PlanExec.column(IntegralDivide(
+      ue, PlanExec.expression(lit(Limb3Unit * Limb3Unit))))
+    val mid = PlanExec.column(IntegralDivide(
+      ue, PlanExec.expression(lit(Limb3Unit)))) % Limb3Unit
+    val lo = u % Limb3Unit
+    ((sum(hi).cast(DecimalType(32, 0)) * lit(Limb3Unit) * lit(Limb3Unit) +
+      sum(mid).cast(DecimalType(32, 0)) * lit(Limb3Unit) +
+      sum(lo).cast(DecimalType(32, 0)))
+      * lit(java.math.BigDecimal.valueOf(1L, scale)))
   }
 
   /** Two long aggregate columns: sum of high limbs, sum of low limbs.

@@ -62,10 +62,15 @@ final class LogQuantileSketch(val alpha: Double) extends QuantileDigest {
     * 2γ^i/(γ+1) that realizes the α bound. */
   private def repOf(i: Int): Double = 2 * math.pow(gamma, i) / (gamma + 1)
 
-  def add(v: Double): Unit =
-    if (v > 0) pos.update(bucketOf(v), pos.getOrElse(bucketOf(v), 0L) + 1)
-    else if (v < 0) neg.update(bucketOf(-v), neg.getOrElse(bucketOf(-v), 0L) + 1)
-    else zeros += 1
+  def add(v: Double): Unit = add(v, 1L)
+
+  /** Weighted insert: bucket count += c in O(1). Degradation and
+    * exact→approx merges use this so their cost is O(distinct values),
+    * not O(total ingested rows). */
+  def add(v: Double, c: Long): Unit =
+    if (v > 0) pos.update(bucketOf(v), pos.getOrElse(bucketOf(v), 0L) + c)
+    else if (v < 0) neg.update(bucketOf(-v), neg.getOrElse(bucketOf(-v), 0L) + c)
+    else zeros += c
 
   override def addAny(v: Any): Unit = add(QuantileSketchAgg.toDouble(v))
   override def mergeDigest(o: QuantileDigest): Unit = o match {
@@ -175,7 +180,7 @@ final class LongExactQuantileSketch(val maxExact: Int = LongExactQuantileSketch.
 
   private def degrade(): Unit = {
     approx = new LogQuantileSketch(LogQuantileSketch.DefaultAlpha)
-    for ((v, c) <- counts; _ <- 1L to c) approx.add(v.toDouble)
+    for ((v, c) <- counts) approx.add(v.toDouble, c)
     counts.clear()
   }
 
@@ -190,7 +195,7 @@ final class LongExactQuantileSketch(val maxExact: Int = LongExactQuantileSketch.
   override def mergeDigest(o: QuantileDigest): Unit = o match {
     case s: LongExactQuantileSketch =>
       if (s.approx != null) { if (approx == null) degrade(); approx.merge(s.approx) }
-      else if (approx != null) for ((v, c) <- s.counts; _ <- 1L to c) approx.add(v.toDouble)
+      else if (approx != null) for ((v, c) <- s.counts) approx.add(v.toDouble, c)
       else {
         s.counts.foreach { case (v, c) => counts.update(v, counts.getOrElse(v, 0L) + c) }
         if (counts.size > maxExact) degrade()
@@ -258,9 +263,9 @@ object LongExactQuantileSketch {
       var i = 0
       while (i < n) { sk.counts.update(in.readLong(), in.readLong()); i += 1 }
     } else {
-      val rest = new Array[Byte](bytes.length - 9)
-      System.arraycopy(bytes, 9, rest, 0, rest.length)
-      sk.approx = LogQuantileSketch.deserialize(rest)
+      // Header is 5 bytes (4-byte magic + 1-byte boolean); the stream is
+      // already positioned at the embedded LogQuantileSketch payload.
+      sk.approx = LogQuantileSketch.deserialize(in.readAllBytes())
     }
     sk
   }

@@ -115,7 +115,11 @@ object Aggregates {
     // uq <= 5e3, up <= 1.1e7 scale-2 units, so every product below
     // (uq*uq scale 4, up*up scale 4, uq*up scale 4) fits a long per
     // row with 4+ orders of magnitude to spare, and each sum runs as
-    // two primitive limb accumulators instead of per-row BigDecimal.
+    // primitive limb accumulators instead of per-row BigDecimal.
+    // up*up reaches ~1.2e14/row (two-limb hi ~1.2e8 → wraps at ~8e10
+    // rows/group), so it takes the three-limb path, good to ~9e13
+    // rows/group; the narrower products stay on the cheaper two-limb
+    // path (uq*up hi ~5.5e4 → ~1.7e14 rows, uq*uq trivially safe).
     val uq = unscaled2dp(col("l_quantity"))
     val up = unscaled2dp(col("l_extendedprice"))
     t(s, dir, "lineitem")
@@ -123,7 +127,7 @@ object Aggregates {
       .agg(
         count(lit(1)).as("n"),
         decSumLong(uq, 2).as("s1"), decSumLong(uq * uq, 4).as("s2"),
-        decSumLong(up, 2).as("p1"), decSumLong(up * up, 4).as("p2"),
+        decSumLong(up, 2).as("p1"), decSumLong3(up * up, 4).as("p2"),
         decSumLong(uq * up, 4).as("sqp"),
         round(stddev_samp(col("l_quantity")), 4).as("stddev_native"),
         round(var_pop(col("l_quantity")), 4).as("varpop_native"),
@@ -256,7 +260,10 @@ object Aggregates {
     // even ux^4 (scale-8 units) tops out at 6.25e14 per row — far
     // inside a long — while the DECIMAL type of x^4 would be (19,8),
     // past Spark's long-backed precision 18 and into per-row
-    // BigDecimal. Each sum is two primitive limb accumulators.
+    // BigDecimal. ux^4's two-limb hi would reach ~6.3e8/row (wraps at
+    // ~1.5e10 rows/group), so it takes Num's three-limb path
+    // (~9e13 rows/group); the lower powers stay two-limb (ux^3 hi
+    // ~1.25e5 → ~7e13 rows, the rest far safer).
     val ux = unscaled2dp(col("l_quantity"))
     val uy = unscaled2dp(col("l_extendedprice"))
     t(s, dir, "lineitem")
@@ -265,7 +272,7 @@ object Aggregates {
         count(lit(1)).as("n"),
         decSumLong(ux, 2).as("sx"), decSumLong(ux * ux, 4).as("sx2"),
         decSumLong(ux * ux * ux, 6).as("sx3"),
-        decSumLong(ux * ux * ux * ux, 8).as("sx4"),
+        decSumLong3(ux * ux * ux * ux, 8).as("sx4"),
         decSumLong(uy, 2).as("sy"), decSumLong(ux * uy, 4).as("sxy"))
       .selectExpr(
         "l_returnflag", "n",

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Graft, Num}
 import graft.engine.Num._
 
@@ -49,7 +50,13 @@ object Relational {
         xsum(col("l_quantity")).as("sum_qty"),
         xsum(col("l_extendedprice")).as("sum_base_price"),
         decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("sum_disc_price"),
-        decSumLong(chargeU(col("l_extendedprice"), col("l_discount"), col("l_tax")), 6).cast("double").as("sum_charge"),
+        // Coarsened to (28,2) before the DOUBLE boundary, same as dc2:
+        // per-group charge sums pass 2^52 in scale-6 units at sf0.1,
+        // where a direct double cast would lean on both engines'
+        // decimal->double rounding agreeing bit-for-bit.
+        round(decSumLong(chargeU(col("l_extendedprice"), col("l_discount"), col("l_tax")), 6)
+          .cast(DecimalType(32, 6)), 2)
+          .cast(DecimalType(28, 2)).cast("double").as("sum_charge"),
         xavg(col("l_quantity")).as("avg_qty"),
         xavg(col("l_extendedprice")).as("avg_price"),
         (decSumLong(unscaled2dp(col("l_discount")), 2).cast("double") / count(lit(1))).as("avg_disc"),
@@ -60,7 +67,7 @@ object Relational {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(32,6)), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,

@@ -50,6 +50,34 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("bigint qdigest: degraded state survives serialize/deserialize and merge") {
+    // Force degradation: > DefaultMaxExact (4096) distinct values.
+    val sk = new LongExactQuantileSketch()
+    (1L to 10000L).foreach(sk.add)
+    assert(sk.approx != null, "sketch should have degraded past maxExact")
+    val bytes = sk.serialize()
+    val rt = LongExactQuantileSketch.deserialize(bytes)
+    assert(rt.approx != null)
+    assert(java.util.Arrays.equals(rt.serialize(), bytes),
+      "degraded round-trip must be byte-identical")
+    assert(rt.count == 10000L)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val exact = math.max(1L, math.ceil(q * 10000).toLong).toDouble
+      assert(math.abs(rt.quantile(q) - exact) <= exact * 0.011 + 1.0,
+        s"q=$q got ${rt.quantile(q)} want ~$exact")
+    }
+    // merge paths crossing the exact/degraded boundary (the shuffle shape)
+    val small = new LongExactQuantileSketch()
+    (1L to 100L).foreach(small.add)
+    val degPlusExact = LongExactQuantileSketch.deserialize(bytes)
+    degPlusExact.mergeDigest(small)
+    assert(degPlusExact.count == 10100L)
+    val exactPlusDeg = new LongExactQuantileSketch()
+    (1L to 100L).foreach(exactPlusDeg.add)
+    exactPlusDeg.mergeDigest(QuantileDigest.deserialize(bytes))
+    assert(exactPlusDeg.count == 10100L)
+  }
+
   test("space-saving: counts never underestimate") {
     val keys = Gen.nonEmptyListOf(Gen.choose(0, 30).map(i => s"k$i"))
     check("space-saving", Prop.forAll(keys) { ks =>

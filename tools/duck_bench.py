@@ -6,6 +6,14 @@ line. This is the honest single-node baseline the Spark numbers are
 judged against — queries without oracle SQL (engine-specific ops) are
 skipped and listed.
 
+Protocol symmetry (r11 verdict What's-wrong #3): the Spark bench
+parses/analyzes/optimizes each query ONCE per conf regime and re-runs
+physical planning + execution per sample (prepared-statement analog).
+This comparator now does the same: each query is PREPAREd once (parse +
+bind + logical plan) and the timed samples run EXECUTE (physical plan +
+execution). Queries DuckDB cannot prepare fall back to full re-planning
+per sample and are listed in "unprepared".
+
 Usage: python3 tools/duck_bench.py [sfdir] [verify_outdir]
 """
 import json
@@ -34,14 +42,22 @@ def main() -> int:
     skipped = [q for q in all_queries if q not in oracle]
     times = {}
     failed = []
+    unprepared = []
     for name in sorted(oracle):
         sql = oracle[name]
         try:
-            con.sql(sql).fetchall()  # prewarm
+            stmt = f"stmt_{name}"
+            try:
+                con.execute(f"PREPARE {stmt} AS {sql}")
+                run = lambda: con.execute(f"EXECUTE {stmt}").fetchall()  # noqa: E731
+            except Exception:  # noqa: BLE001
+                unprepared.append(name)
+                run = lambda: con.sql(sql).fetchall()  # noqa: E731
+            run()  # prewarm
             samples = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                con.sql(sql).fetchall()
+                run()
                 samples.append(time.perf_counter() - t0)
             times[name] = statistics.median(samples)
         except Exception as e:  # noqa: BLE001
@@ -50,6 +66,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "duckdb_total", "value": sum(times.values()), "unit": "sec",
         "queries": times, "failed": failed, "n": 3, "prewarm": 1, "sf": sfdir,
+        "prepared": True, "unprepared": unprepared,
         "skipped_no_oracle": len(skipped), "skipped": skipped,
         "common_set": sorted(times)}))
     return 0
