@@ -136,22 +136,62 @@ object Graft {
 
   /** The events table with `ts_ns` (exact epoch-nanos, ordering key) and
     * `ts` (micros-precision timestamp for date/window functions).
+    *
+    * Schema-ADAPTIVE on the physical parquet type of `ts`, mirroring the
+    * reference's per-table metadata resolution at analysis time (schemas
+    * are discovered from the connector, never hard-coded — reference
+    * `core/trino-spi/.../connector/ConnectorMetadata.java` getTableHandle /
+    * getTableMetadata): the driver has shipped this table both as
+    * TIMESTAMP(NANOS) parquet (surfacing as epoch-nanos BIGINT under
+    * `nanosAsLong`) and as timestamp[us] parquet (surfacing as
+    * TIMESTAMP/TIMESTAMP_NTZ). Both physical layouts normalize to the
+    * same logical schema: exact `ts_ns` bigint plus micros `ts`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(spark, dir, "events")
+    val normalized = raw.schema("ts").dataType match {
+      case LongType =>
+        // TIMESTAMP(NANOS) parquet read as epoch-nanos bigint.
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case TimestampType | TimestampNTZType =>
+        // timestamp[us] parquet; session tz is UTC so the NTZ→TZ cast is
+        // the identity on the underlying micros value.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected " +
+            "epoch-nanos BIGINT or TIMESTAMP[_NTZ])")
+    }
+    // Stable column order regardless of which physical layout was read.
+    val tail = Seq("ts_ns", "ts")
+    val front = normalized.columns.filterNot(tail.contains)
+    normalized.select((front ++ tail).map(col): _*)
   }
 
   /** Register every test table as a temp view (SQL-surface parity with
     * the reference's catalog.schema.table namespace, flattened).
     * `events` is registered through [[events]] so the SQL surface sees
     * the same derived micros `ts` as the DataFrame surface.
+    *
+    * Registration is per-table defensive: one table failing to load or
+    * normalize must not zero queries that never touch it (the reference
+    * resolves each table handle independently at analysis time; a broken
+    * table fails ITS queries, not the catalog).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach {
-      case "events" => events(spark, dir).createOrReplaceTempView("events")
-      case t        => load(spark, dir, t).createOrReplaceTempView(t)
+    tableNames.foreach { t =>
+      try {
+        val df = if (t == "events") events(spark, dir) else load(spark, dir, t)
+        df.createOrReplaceTempView(t)
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[graft] registerAll: table '$t' failed to register " +
+              s"(queries touching it will fail at analysis): ${e.getMessage}")
+      }
     }
 }
