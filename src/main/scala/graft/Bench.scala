@@ -207,11 +207,16 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val load = f"${os.getSystemLoadAverage}%.1f"
     val cpuSec = r3(os.getProcessCpuTime / 1e9)
+    // nq_timed vs nq_declared: the total is only comparable across
+    // rounds when every declared query was timed — a run with failures
+    // shrinks the total, and without these fields a shrunken run reads
+    // as a speedup (r12 What's-wrong #3).
+    val nqDecl = selected.size
     var line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline)},"groups":${obj(groups)},"failed":$fs,"nq":${timed.size},"n":$Passes,"prewarm":1,"interleaved":true,"load1":$load,"cpu_sec":$cpuSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline)},"groups":${obj(groups)},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"interleaved":true,"load1":$load,"cpu_sec":$cpuSec,"sf":"$sfDir"}"""
     if (line.length > 1800) // hard guard: never overflow the tail window
       line =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline.sortBy(-_._2).take(10))},"failed":$fs,"nq":${timed.size},"n":$Passes,"prewarm":1,"load1":$load,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline.sortBy(-_._2).take(10))},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"load1":$load,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
