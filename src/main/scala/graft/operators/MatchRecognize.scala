@@ -426,37 +426,42 @@ object MatchRecognize {
       : Map[String, MatchCtx => Boolean] =
     define.map { case (v, f) => v -> ((ctx: MatchCtx) => f(ctx.prev(1), ctx.row)) }
 
-  private def runEngine[T](
+  /** Shared scan core, parameterized on COMPOSITE partition/order keys
+    * (the typed entry points adapt their single-numeric-column contract
+    * onto it; the SQL surface passes multi-column keys directly).
+    * Emit callbacks receive (matchNo, group rows, start index, labels)
+    * and read the key from any group row — all rows of a group share
+    * it by construction. */
+  private def runCore[T](
       df: DataFrame,
-      partCol: String,
-      orderCol: String,
+      partCols: Seq[String],
+      orderCols: Seq[String],
       pattern: String,
       define: Map[String, MatchCtx => Boolean],
       skip: SkipMode,
-      subsets: Map[String, Set[String]] = Map.empty,
-      emitUnmatched: (Long, collection.IndexedSeq[Row], Int, Row => Long) => T = null,
-      emitEmpty: (Long, Long, collection.IndexedSeq[Row], Int, Row => Long) => T = null)(
-      emit: (Long, Long, collection.IndexedSeq[Row], Int, Array[String], Row => Long) => Seq[T])(
+      subsets: Map[String, Set[String]],
+      emitUnmatched: (collection.IndexedSeq[Row], Int) => T,
+      emitEmpty: (Long, collection.IndexedSeq[Row], Int) => T)(
+      emit: (Long, collection.IndexedSeq[Row], Int, Array[String]) => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
 
     val pat = parse(pattern)
     val vars = define // serialized into the task closure
     val subs = subsets
+    val pCols = partCols
     // capture driver-side so a configured cap ships with the closure
     // (executor JVMs would otherwise see their own default)
     val maxRowsPerKey = MatchRecognize.MaxRowsPerKey
 
-    df.repartition(col(partCol))
-      .sortWithinPartitions(col(partCol), col(orderCol))
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ orderCols).map(col): _*)
       .mapPartitions { it =>
         new Iterator[T] {
           private val rows = it.buffered
           private val out = mutable.Queue[T]()
 
-          private def keyOf(r: Row): Long =
-            r.getAs[Number](r.fieldIndex(partCol)).longValue()
-          private val ordOf: Row => Long =
-            r => r.getAs[Number](r.fieldIndex(orderCol)).longValue()
+          private def keyOf(r: Row): Seq[Any] =
+            pCols.map(c => r.get(r.fieldIndex(c)))
 
           private def matchKeyGroup(): Unit = {
             if (!rows.hasNext) return
@@ -470,7 +475,7 @@ object MatchRecognize {
               // pathological key.
               if (buf.length > maxRowsPerKey)
                 throw new IllegalStateException(
-                  s"MATCH_RECOGNIZE: partition key $key exceeds " +
+                  s"MATCH_RECOGNIZE: partition key ${key.mkString(",")} exceeds " +
                     s"$maxRowsPerKey buffered rows; " +
                     "pre-filter or sub-partition the input (e.g. bound the " +
                     "time range per key), or raise MatchRecognize.MaxRowsPerKey")
@@ -498,7 +503,7 @@ object MatchRecognize {
               val m = matchFrom(pat, i, n, classify)
               if (m != null && m.length > 0) {
                 matchNo += 1
-                emit(key, matchNo, buf, i, m, ordOf).foreach(out.enqueue(_))
+                emit(matchNo, buf, i, m).foreach(out.enqueue(_))
                 if (covered != null)
                   java.util.Arrays.fill(covered, i, i + m.length, true)
                 i = skip match {
@@ -519,14 +524,14 @@ object MatchRecognize {
                 // empty match (pattern consumed zero rows): SHOW EMPTY
                 // MATCHES numbers it and resumes at the next row
                 matchNo += 1
-                out.enqueue(emitEmpty(key, matchNo, buf, i, ordOf))
+                out.enqueue(emitEmpty(matchNo, buf, i))
                 i += 1
               } else i += 1
             }
             if (covered != null) {
               var j = 0
               while (j < n) {
-                if (!covered(j)) out.enqueue(emitUnmatched(key, buf, j, ordOf))
+                if (!covered(j)) out.enqueue(emitUnmatched(buf, j))
                 j += 1
               }
             }
@@ -539,6 +544,210 @@ object MatchRecognize {
           override def next(): T = out.dequeue()
         }
       }
+  }
+
+  /** Single-numeric-key adapter over [[runCore]] — the pre-r13 contract
+    * of the typed entry points (Long part_key, Long ordinals). */
+  private def runEngine[T](
+      df: DataFrame,
+      partCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[String, MatchCtx => Boolean],
+      skip: SkipMode,
+      subsets: Map[String, Set[String]] = Map.empty,
+      emitUnmatched: (Long, collection.IndexedSeq[Row], Int, Row => Long) => T = null,
+      emitEmpty: (Long, Long, collection.IndexedSeq[Row], Int, Row => Long) => T = null)(
+      emit: (Long, Long, collection.IndexedSeq[Row], Int, Array[String], Row => Long) => Seq[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val pc = partCol
+    val oc = orderCol
+    val keyOf: Row => Long = r => r.getAs[Number](r.fieldIndex(pc)).longValue()
+    val ordOf: Row => Long = r => r.getAs[Number](r.fieldIndex(oc)).longValue()
+    runCore(df, Seq(partCol), Seq(orderCol), pattern, define, skip, subsets,
+      if (emitUnmatched == null) null
+      else (buf: collection.IndexedSeq[Row], j: Int) =>
+        emitUnmatched(keyOf(buf(j)), buf, j, ordOf),
+      if (emitEmpty == null) null
+      else (mn: Long, buf: collection.IndexedSeq[Row], i: Int) =>
+        emitEmpty(keyOf(buf(i)), mn, buf, i, ordOf)) {
+      (mn, buf, i, m) => emit(keyOf(buf(i)), mn, buf, i, m, ordOf)
+    }
+  }
+
+  /** Measure surface for the SQL front-end ([[sqlRows]]) — the
+    * reference's MEASURES grammar subset over arbitrary input columns
+    * (`SqlBase.g4:360-399` measureDefinition). */
+  sealed trait SqlMeasure
+  object SqlMeasure {
+    case object MatchNum extends SqlMeasure
+    case object Classifier extends SqlMeasure
+    case object CountStar extends SqlMeasure
+    /** `fn` ∈ first|last|min|max|sum|avg over a numeric input column. */
+    final case class Agg(fn: String, column: String) extends SqlMeasure
+  }
+
+  /** Streaming accumulator for one measure aggregate: feed rows in
+    * match order, read `value` after any prefix (RUNNING) or after the
+    * whole match (FINAL). Integral columns accumulate exactly in Long;
+    * fractional in a sequential left-fold Double (deterministic across
+    * partitionings — match order is total). Nulls are ignored, SQL
+    * aggregate semantics; a prefix of only-null values yields null. */
+  private final class RunAgg(fn: String, colName: String, integral: Boolean) {
+    private var idx = -2 // fieldIndex memo (-2 unset)
+    private var n = 0L
+    private var sL = 0L
+    private var sD = 0.0
+    private var mnL = Long.MaxValue
+    private var mxL = Long.MinValue
+    private var mnD = Double.PositiveInfinity
+    private var mxD = Double.NegativeInfinity
+    private var fstL = 0L
+    private var fstD = 0.0
+    private var lstL = 0L
+    private var lstD = 0.0
+    def update(r: Row): Unit = {
+      if (idx == -2) idx = r.fieldIndex(colName)
+      val v = r.get(idx)
+      if (v != null) {
+        val num = v.asInstanceOf[Number]
+        n += 1
+        if (integral) {
+          val x = num.longValue()
+          sL += x
+          if (x < mnL) mnL = x
+          if (x > mxL) mxL = x
+          if (n == 1L) fstL = x
+          lstL = x
+        } else {
+          val x = num.doubleValue()
+          sD += x
+          if (x < mnD) mnD = x
+          if (x > mxD) mxD = x
+          if (n == 1L) fstD = x
+          lstD = x
+        }
+      }
+    }
+    def value: Any =
+      if (n == 0L) null
+      else if (fn == "avg") (if (integral) sL.toDouble else sD) / n
+      else if (integral) fn match {
+        case "first" => fstL
+        case "last" => lstL
+        case "min" => mnL
+        case "max" => mxL
+        case "sum" => sL
+      }
+      else fn match {
+        case "first" => fstD
+        case "last" => lstD
+        case "min" => mnD
+        case "max" => mxD
+        case "sum" => sD
+      }
+  }
+
+  /** SQL-shaped MATCH_RECOGNIZE surface (reference `SqlBase.g4:360-399`
+    * patternRecognition): multi-column PARTITION BY / ORDER BY,
+    * measures over arbitrary numeric input columns, and both output
+    * modes — ONE ROW PER MATCH with FINAL measure semantics, or ALL
+    * ROWS PER MATCH with RUNNING semantics (each the standard's default
+    * for its mode). Output schema follows the standard: ONE ROW →
+    * partition columns + measures; ALL ROWS → partition columns + order
+    * columns + measures + remaining input columns. Rows matched inside
+    * `{- ... -}` exclusions feed measures but are omitted from ALL ROWS
+    * output (SQL:2016). */
+  def sqlRows(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[String],
+      pattern: String,
+      define: Map[String, MatchCtx => Boolean],
+      measures: Seq[(SqlMeasure, String)],
+      allRows: Boolean,
+      skip: SkipMode = SkipMode.PastLastRow,
+      subsets: Map[String, Set[String]] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val integral: Map[String, Boolean] = measures.collect {
+      case (SqlMeasure.Agg(fn, c), _) =>
+        c -> (inSchema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case FloatType | DoubleType => false
+          case other => throw new IllegalArgumentException(
+            s"measure $fn($c): numeric column required, got $other")
+        })
+    }.toMap
+    val measureFields = measures.map {
+      case (SqlMeasure.MatchNum, a) => StructField(a, LongType, nullable = false)
+      case (SqlMeasure.Classifier, a) => StructField(a, StringType)
+      case (SqlMeasure.CountStar, a) => StructField(a, LongType, nullable = false)
+      case (SqlMeasure.Agg(fn, c), a) =>
+        StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
+    }
+    val keyCols = if (allRows) partCols ++ orderCols else partCols
+    val restCols =
+      if (allRows) inSchema.fieldNames.toSeq.filterNot(keyCols.contains) else Nil
+    val outSchema = StructType(
+      keyCols.map(c => inSchema(inSchema.fieldIndex(c))) ++ measureFields ++
+        restCols.map(c => inSchema(inSchema.fieldIndex(c))))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val meas = measures
+    val integ = integral
+    val kCols = keyCols
+    val rCols = restCols
+
+    if (!allRows) {
+      runCore(df, partCols, orderCols, pattern, define, skip, subsets, null, null) {
+        (matchNo, buf, i, m) =>
+          val aggs = meas.map {
+            case (SqlMeasure.Agg(fn, c), _) => new RunAgg(fn, c, integ(c))
+            case _ => null
+          }
+          var k = 0
+          while (k < m.length) { // FINAL: feed every matched row first
+            val r = buf(i + k)
+            aggs.foreach(a => if (a != null) a.update(r))
+            k += 1
+          }
+          val r0 = buf(i)
+          val mv = meas.zip(aggs).map {
+            case ((SqlMeasure.MatchNum, _), _) => matchNo
+            case ((SqlMeasure.Classifier, _), _) => m.map(realLabel).mkString
+            case ((SqlMeasure.CountStar, _), _) => m.length.toLong
+            case (_, a) => a.value
+          }
+          Seq(Row.fromSeq(kCols.map(c => r0.get(r0.fieldIndex(c))) ++ mv))
+      }.toDF()
+    } else {
+      runCore(df, partCols, orderCols, pattern, define, skip, subsets, null, null) {
+        (matchNo, buf, i, m) =>
+          val aggs = meas.map {
+            case (SqlMeasure.Agg(fn, c), _) => new RunAgg(fn, c, integ(c))
+            case _ => null
+          }
+          val out = Seq.newBuilder[Row]
+          var k = 0
+          while (k < m.length) {
+            val r = buf(i + k)
+            aggs.foreach(a => if (a != null) a.update(r)) // excluded rows feed RUNNING
+            if (!isExcluded(m(k))) {
+              val mv = meas.zip(aggs).map {
+                case ((SqlMeasure.MatchNum, _), _) => matchNo
+                case ((SqlMeasure.Classifier, _), _) => realLabel(m(k))
+                case ((SqlMeasure.CountStar, _), _) => (k + 1).toLong
+                case (_, a) => a.value
+              }
+              out += Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++
+                rCols.map(c => r.get(r.fieldIndex(c))))
+            }
+            k += 1
+          }
+          out.result()
+      }.toDF()
+    }
   }
 
   /** Run MATCH_RECOGNIZE over `df` (ONE ROW PER MATCH, built-in

@@ -124,13 +124,70 @@ object DialectQueries {
       |GROUP BY user_id, run_id
       |HAVING count(*) >= 2""".stripMargin
 
+  /** The r13 widening of the MATCH_RECOGNIZE SQL front-end (reference
+    * grammar `SqlBase.g4:360-399`): multi-column PARTITION BY and ORDER
+    * BY, ALL ROWS PER MATCH, and measures over arbitrary input columns
+    * (CLASSIFIER, RUNNING COUNT/MIN/MAX, FIRST of a second column) —
+    * rising-value runs per (user, event type) with per-row RUNNING
+    * measures, the standard's default semantics for ALL ROWS. The
+    * oracle reconstructs the same runs relationally (run-id trick) and
+    * computes the RUNNING measures as windows over the matched rows. */
+  val dx4Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id, event_type
+      |  ORDER BY ts_ns, event_id
+      |  MEASURES MATCH_NUMBER() AS match_no, CLASSIFIER() AS cls,
+      |           COUNT(*) AS run_pos, MIN(value) AS run_min,
+      |           MAX(value) AS run_max, FIRST(event_id) AS first_eid
+      |  ALL ROWS PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (U{2,})
+      |  DEFINE U AS value > PREV(value)
+      |)""".stripMargin
+
+  def dx4(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx4Reference,
+      name => Graft.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"),
+          col("event_id"), col("value")))
+  }
+
+  val dx4Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id, value,
+      |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS isu
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(1 - isu) OVER (
+      |    PARTITION BY user_id, event_type ORDER BY ts_ns, event_id) AS BIGINT) AS run_id
+      |  FROM d),
+      |m AS (
+      |  SELECT user_id, event_type, ts_ns, event_id, value, run_id,
+      |    CAST(row_number() OVER w2 AS BIGINT) AS run_pos,
+      |    min(value) OVER w2 AS run_min,
+      |    max(value) OVER w2 AS run_max,
+      |    first_value(event_id) OVER w2 AS first_eid,
+      |    count(*) OVER (PARTITION BY user_id, event_type, run_id) AS n_run
+      |  FROM r WHERE isu = 1
+      |  WINDOW w2 AS (PARTITION BY user_id, event_type, run_id ORDER BY ts_ns, event_id))
+      |SELECT user_id, event_type, ts_ns, event_id,
+      |  CAST(dense_rank() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY run_id) AS BIGINT) AS match_no,
+      |  'U' AS cls, run_pos, run_min, run_max, first_eid, value
+      |FROM m WHERE n_run >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dx1_reference_dialect" -> dx1 _,
     "dx2_quantified_cmp" -> dx2 _,
-    "dx3_match_recognize_sql" -> dx3 _)
+    "dx3_match_recognize_sql" -> dx3 _,
+    "dx4_mr_sql_all_rows" -> dx4 _)
 
   val oracle: Map[String, String] = Map(
     "dx1_reference_dialect" -> dx1Sql,
     "dx2_quantified_cmp" -> dx2Sql,
-    "dx3_match_recognize_sql" -> dx3Sql)
+    "dx3_match_recognize_sql" -> dx3Sql,
+    "dx4_mr_sql_all_rows" -> dx4Sql)
 }

@@ -15,15 +15,20 @@ import graft.operators.MatchRecognize.{MatchCtx, SkipMode}
   *
   * Supported subset (anything else fails loudly, never silently
   * mistranslates):
-  *   - single-table source, `SELECT *` projection (the standard's ONE
-  *     ROW PER MATCH output: partition key + measures);
-  *   - single PARTITION BY column, single ORDER BY column;
-  *   - MEASURES drawn from the engine's FINAL-semantics surface:
-  *     `MATCH_NUMBER()`, `COUNT(*)`, and `FIRST/LAST/MIN/MAX` of
-  *     either the ORDER BY column (→ match extent) or ONE value
-  *     column shared by all value measures;
-  *   - ONE ROW PER MATCH; AFTER MATCH SKIP PAST LAST ROW / TO NEXT
-  *     ROW / TO FIRST/LAST(v);
+  *   - single-table source, `SELECT *` projection (the standard's
+  *     implicit output: partition key + measures for ONE ROW PER
+  *     MATCH; partition + order + measures + remaining columns for
+  *     ALL ROWS PER MATCH);
+  *   - multi-column PARTITION BY and ORDER BY (ascending only —
+  *     DESC/NULLS ordering fails loudly);
+  *   - MEASURES over arbitrary numeric input columns:
+  *     `MATCH_NUMBER()`, `CLASSIFIER()`, `COUNT(*)`, and
+  *     `FIRST/LAST/MIN/MAX/SUM/AVG(col)` — evaluated FINAL for ONE
+  *     ROW PER MATCH and RUNNING for ALL ROWS PER MATCH, the
+  *     standard's default semantics for each mode;
+  *   - ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (empty-match
+  *     handling / WITH UNMATCHED ROWS clauses fail loudly); AFTER
+  *     MATCH SKIP PAST LAST ROW / TO NEXT ROW / TO FIRST/LAST(v);
   *   - the operator's full PATTERN grammar (quantifiers incl.
   *     reluctant, alternation, PERMUTE, exclusion, anchors) — the
   *     text inside PATTERN (...) is handed to the operator's parser
@@ -52,21 +57,30 @@ object MatchRecognizeSql {
     val body = sql.substring(bodyStart, bodyEnd)
     val table = m.group(1)
 
-    val partCol = clause(body, "PARTITION\\s+BY").getOrElse(fail("PARTITION BY required"))
-      .trim match {
+    def colList(txt: String, what: String): Seq[String] =
+      splitTopLevel(txt, ',').map(_.trim).filter(_.nonEmpty).map {
         case c if c.matches("[A-Za-z_][A-Za-z0-9_]*") => c
-        case other => fail(s"single partition column required, got '$other'")
+        case c if c.matches("(?i)[A-Za-z_][A-Za-z0-9_]*\\s+ASC") =>
+          c.split("\\s+")(0) // explicit ASC ≡ the engine's sort order
+        case other => fail(s"$what: plain ascending column required, got '$other'")
+      } match {
+        case Seq() => fail(s"$what: at least one column required")
+        case cs => cs
       }
-    val orderCol = clause(body, "ORDER\\s+BY").getOrElse(fail("ORDER BY required"))
-      .trim match {
-        case c if c.matches("[A-Za-z_][A-Za-z0-9_]*") => c
-        case other => fail(s"single order column required, got '$other'")
-      }
+    val partCols = colList(
+      clause(body, "PARTITION\\s+BY").getOrElse(fail("PARTITION BY required")),
+      "PARTITION BY")
+    val orderCols = colList(
+      clause(body, "ORDER\\s+BY").getOrElse(fail("ORDER BY required")),
+      "ORDER BY")
     val measuresTxt = clause(body, "MEASURES").getOrElse(fail("MEASURES required"))
-    val rowsPerMatch = clause(body, "(?:ONE|ALL)\\s+ROWS?\\s+PER\\s+MATCH", keepKeyword = true)
-    rowsPerMatch.foreach { k =>
-      if (k.toUpperCase.startsWith("ALL")) fail("only ONE ROW PER MATCH is supported")
-    }
+    val allRows = clause(body, "(?:ONE|ALL)\\s+ROWS?\\s+PER\\s+MATCH", keepKeyword = true)
+      .map(_.trim).map {
+        case k if k.matches("(?i)ONE\\s+ROW\\s+PER\\s+MATCH") => false
+        case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH") => true
+        case other => fail(s"unsupported rows-per-match clause: '$other' " +
+          "(empty-match handling / WITH UNMATCHED ROWS are not supported)")
+      }.getOrElse(false)
     val skip = clause(body, "AFTER\\s+MATCH\\s+SKIP").map(_.trim).map {
       case s if s.matches("(?i)PAST\\s+LAST\\s+ROW") => SkipMode.PastLastRow
       case s if s.matches("(?i)TO\\s+NEXT\\s+ROW") => SkipMode.ToNextRow
@@ -105,57 +119,34 @@ object MatchRecognizeSql {
         }
       }.toMap
 
-    // MEASURES: map each onto the engine's MatchMeasures/ordinal surface
-    sealed trait Src
-    case object MatchNo extends Src; case object NRows extends Src
-    case object StartOrd extends Src; case object EndOrd extends Src
-    case class Val(fn: String) extends Src // first|last|min|max of the value col
-    val measRe = ("(?i)^(MATCH_NUMBER\\s*\\(\\s*\\)|COUNT\\s*\\(\\s*\\*\\s*\\)|" +
-      "(FIRST|LAST|MIN|MAX)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))\\s+AS\\s+" +
+    // MEASURES → the engine's SqlMeasure surface (arbitrary numeric
+    // columns; FINAL for ONE ROW PER MATCH, RUNNING for ALL ROWS)
+    import MatchRecognize.SqlMeasure
+    val measRe = ("(?i)^(MATCH_NUMBER\\s*\\(\\s*\\)|CLASSIFIER\\s*\\(\\s*\\)|" +
+      "COUNT\\s*\\(\\s*\\*\\s*\\)|" +
+      "(FIRST|LAST|MIN|MAX|SUM|AVG)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))\\s+AS\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)$").r
-    var valueCol: Option[String] = None
-    val measures: Seq[(Src, String)] =
+    val measures: Seq[(SqlMeasure, String)] =
       splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).map { mtxt =>
         measRe.findFirstMatchIn(mtxt) match {
           case Some(mm) =>
             val alias = mm.group(4)
-            val src = (Option(mm.group(2)).map(_.toUpperCase), Option(mm.group(3))) match {
+            val src = (Option(mm.group(2)).map(_.toLowerCase), Option(mm.group(3))) match {
               case (None, _) =>
-                if (mm.group(1).toUpperCase.startsWith("MATCH_NUMBER")) MatchNo else NRows
-              case (Some(fn), Some(c)) if c == orderCol =>
-                fn match {
-                  case "FIRST" => StartOrd
-                  case "LAST" => EndOrd
-                  case other => fail(s"$other($orderCol): only FIRST/LAST of the order column")
-                }
-              case (Some(fn), Some(c)) =>
-                valueCol match {
-                  case Some(v) if v != c =>
-                    fail(s"all value measures must share one column ($v vs $c)")
-                  case _ => valueCol = Some(c)
-                }
-                Val(fn.toLowerCase)
+                val head = mm.group(1).toUpperCase
+                if (head.startsWith("MATCH_NUMBER")) SqlMeasure.MatchNum
+                else if (head.startsWith("CLASSIFIER")) SqlMeasure.Classifier
+                else SqlMeasure.CountStar
+              case (Some(fn), Some(c)) => SqlMeasure.Agg(fn, c)
             }
             src -> alias
           case None => fail(s"unsupported measure: '$mtxt' (expect MATCH_NUMBER()/" +
-            "COUNT(*)/FIRST|LAST|MIN|MAX(col) AS alias)")
+            "CLASSIFIER()/COUNT(*)/FIRST|LAST|MIN|MAX|SUM|AVG(col) AS alias)")
         }
       }
 
-    val df = resolve(table)
-    val vc = valueCol.getOrElse(orderCol) // no value measures → any numeric col works
-    val matched = MatchRecognize.measuresCtx(
-      df, partCol, orderCol, pattern, define, vc, skip, subsets)
-
-    // ONE ROW PER MATCH output: partition key, then measures in order
-    val cols = col("part_key").as(partCol) +: measures.map {
-      case (MatchNo, a) => col("match_no").as(a)
-      case (NRows, a) => col("n_rows").as(a)
-      case (StartOrd, a) => col("start_ord").as(a)
-      case (EndOrd, a) => col("end_ord").as(a)
-      case (Val(fn), a) => col(s"${fn}_val").as(a)
-    }
-    matched.select(cols: _*)
+    MatchRecognize.sqlRows(resolve(table), partCols, orderCols, pattern,
+      define, measures, allRows, skip, subsets)
   }
 
   private def fail(msg: String): Nothing =

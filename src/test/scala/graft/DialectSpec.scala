@@ -317,9 +317,65 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ev = graft.engine.Graft.load(spark, "/root/testdata/sf0.001", "events")
     def bad(sql: String): Unit =
       assertThrows[IllegalArgumentException](MatchRecognizeSql.translate(sql, _ => ev))
+    // projection other than SELECT *
     bad("SELECT user_id FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES COUNT(*) AS n PATTERN (A) DEFINE A AS value > 0)")
-    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES COUNT(*) AS n ALL ROWS PER MATCH PATTERN (A) DEFINE A AS value > 0)")
-    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES SUM(value) AS s PATTERN (A) DEFINE A AS value > 0)")
+    // DESC ordering (the engine sorts ascending only)
+    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id DESC MEASURES COUNT(*) AS n PATTERN (A) DEFINE A AS value > 0)")
+    // WITH UNMATCHED ROWS modifier on ALL ROWS PER MATCH
+    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES COUNT(*) AS n ALL ROWS PER MATCH WITH UNMATCHED ROWS PATTERN (A) DEFINE A AS value > 0)")
+    // unsupported measure function
+    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES STDDEV(value) AS s PATTERN (A) DEFINE A AS value > 0)")
+    // measure over a nonexistent column
     bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES FIRST(value) AS fv, MIN(event_ts) AS other PATTERN (A) DEFINE A AS value > 0)")
+  }
+
+  test("MATCH_RECOGNIZE SQL: multi-column keys + ALL ROWS PER MATCH (dx4 surface)") {
+    import graft.sqlcompat.MatchRecognizeSql
+    val spk = spark
+    import spk.implicits._
+    // Two (g1, g2) groups; order needs BOTH order columns to be total.
+    // Rising runs U{2,}: group (1, a) rows 10,20,30 at o1=1,1,2 (o2 breaks
+    // the o1 tie) → one 3-row... values 10>?: define U AS value > PREV(value).
+    val ev = Seq(
+      (1L, "a", 1L, 1L, 10.0),
+      (1L, "a", 1L, 2L, 20.0),
+      (1L, "a", 2L, 1L, 30.0),
+      (1L, "a", 2L, 2L, 5.0),
+      (1L, "b", 1L, 1L, 1.0),
+      (1L, "b", 2L, 1L, 2.0),
+      (2L, "a", 1L, 1L, 9.0),
+      (2L, "a", 2L, 1L, 3.0)
+    ).toDF("g1", "g2", "o1", "o2", "v")
+    val r = MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY g1, g2
+        |  ORDER BY o1, o2
+        |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+        |           COUNT(*) AS rn, MAX(v) AS mx, FIRST(o2) AS fo2
+        |  ALL ROWS PER MATCH
+        |  PATTERN (U{2,})
+        |  DEFINE U AS v > PREV(v))""".stripMargin,
+      _ => ev)
+    // standard ALL ROWS output: partition + order + measures + remaining
+    assert(r.columns.toSeq ==
+      Seq("g1", "g2", "o1", "o2", "mn", "cls", "rn", "mx", "fo2", "v"))
+    val got = r.orderBy("g1", "g2", "o1", "o2").collect().map(_.toSeq)
+    // (1,a): rising run rows 2..3 (20,30). (1,b): row1 has no prev → U
+    // false; only row2 rises → length 1 < 2 → no match. (2,a): falls.
+    assert(got.toSeq == Seq(
+      Seq(1L, "a", 1L, 2L, 1L, "U", 1L, 20.0, 2L, 20.0),
+      Seq(1L, "a", 2L, 1L, 1L, "U", 2L, 30.0, 2L, 30.0)))
+    // ONE ROW PER MATCH over the same keys: FINAL semantics, SUM/AVG
+    val one = MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY g1, g2
+        |  ORDER BY o1, o2
+        |  MEASURES COUNT(*) AS n, SUM(o2) AS so2, AVG(v) AS av
+        |  ONE ROW PER MATCH
+        |  PATTERN (U{2,})
+        |  DEFINE U AS v > PREV(v))""".stripMargin,
+      _ => ev)
+    val gotOne = one.orderBy("g1", "g2").collect().map(_.toSeq)
+    assert(gotOne.toSeq == Seq(Seq(1L, "a", 2L, 3L, 25.0)))
   }
 }
