@@ -179,15 +179,54 @@ object DialectQueries {
       |  'U' AS cls, run_pos, run_min, run_max, first_eid, value
       |FROM m WHERE n_run >= 2""".stripMargin
 
+  /** SQL-text UNNEST WITH ORDINALITY (reference `SqlBase.g4:331-333`) —
+    * the relation-level construct the function-rename dialect pass
+    * cannot express, lowered by `sqlcompat/RelationSql` onto
+    * `Ops.unnestWithOrdinality`. The select list and WHERE fragment run
+    * through the dialect pass too (a reference user's spellings work
+    * inside them). The oracle runs DuckDB's native UNNEST WITH
+    * ORDINALITY equivalents. */
+  val dx5Reference: String =
+    """SELECT doc_id, term, ord, strpos(term, 'e') AS e_pos
+      |FROM documents
+      |CROSS JOIN UNNEST(split(text, ' ')) WITH ORDINALITY AS t(term, ord)
+      |WHERE doc_id < 40""".stripMargin
+
+  def dx5(s: SparkSession, dir: String): DataFrame =
+    graft.sqlcompat.RelationSql.translate(
+      dx5Reference, name => Graft.load(s, dir, name))
+
+  val dx5Sql: String =
+    """SELECT doc_id,
+      |  unnest(string_split(text, ' ')) AS term,
+      |  CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS ord,
+      |  CAST(strpos(unnest(string_split(text, ' ')), 'e') AS INTEGER) AS e_pos
+      |FROM documents WHERE doc_id < 40""".stripMargin
+
+  /** SQL-text TABLESAMPLE (reference `SqlBase.g4:331-333`
+    * sampledRelation) lowered onto `DataFrame.sample`. Engines use
+    * different RNGs, so like smp1 this is a rows-only gate entry (no
+    * oracle); the binomial-bounds assertion lives in the test suite. */
+  val dx6Reference: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders TABLESAMPLE BERNOULLI(15)""".stripMargin
+
+  def dx6(s: SparkSession, dir: String): DataFrame =
+    graft.sqlcompat.RelationSql.translate(
+      dx6Reference, name => Graft.load(s, dir, name))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dx1_reference_dialect" -> dx1 _,
     "dx2_quantified_cmp" -> dx2 _,
     "dx3_match_recognize_sql" -> dx3 _,
-    "dx4_mr_sql_all_rows" -> dx4 _)
+    "dx4_mr_sql_all_rows" -> dx4 _,
+    "dx5_unnest_sql" -> dx5 _,
+    "dx6_tablesample_sql" -> dx6 _)
 
   val oracle: Map[String, String] = Map(
     "dx1_reference_dialect" -> dx1Sql,
     "dx2_quantified_cmp" -> dx2Sql,
     "dx3_match_recognize_sql" -> dx3Sql,
-    "dx4_mr_sql_all_rows" -> dx4Sql)
+    "dx4_mr_sql_all_rows" -> dx4Sql,
+    "dx5_unnest_sql" -> dx5Sql)
 }

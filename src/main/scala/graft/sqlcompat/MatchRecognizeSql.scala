@@ -152,8 +152,9 @@ object MatchRecognizeSql {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE SQL: $msg")
 
-  /** Index of the ')' matching the '(' at `open` (string-literal aware). */
-  private def matchParen(s: String, open: Int): Int = {
+  /** Index of the ')' matching the '(' at `open` (string-literal aware).
+    * Shared with the other sqlcompat front-ends. */
+  private[sqlcompat] def matchParen(s: String, open: Int): Int = {
     require(s.charAt(open) == '(', s"expected '(' at $open")
     var depth = 0
     var i = open
@@ -209,8 +210,9 @@ object MatchRecognizeSql {
     }
   }
 
-  /** Split on `sep` at paren depth 0, outside string literals. */
-  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+  /** Split on `sep` at paren depth 0, outside string literals. Shared
+    * with the other sqlcompat front-ends. */
+  private[sqlcompat] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var inStr = false

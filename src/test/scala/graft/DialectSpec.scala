@@ -329,6 +329,42 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES FIRST(value) AS fv, MIN(event_ts) AS other PATTERN (A) DEFINE A AS value > 0)")
   }
 
+  test("relation SQL: UNNEST WITH ORDINALITY + TABLESAMPLE lower onto operators") {
+    import graft.sqlcompat.RelationSql
+    val spk = spark
+    import spk.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val r = RelationSql.translate(
+      """SELECT doc_id, term, ord
+        |FROM documents
+        |CROSS JOIN UNNEST(split(text, ' ')) WITH ORDINALITY AS t(term, ord)
+        |WHERE doc_id < 2""".stripMargin,
+      _ => docs)
+    assert(r.orderBy("ord").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "a", 1L), Seq(1L, "b", 2L), Seq(1L, "c", 3L)))
+    // no-ordinality form is a plain explode
+    val r2 = RelationSql.translate(
+      "SELECT doc_id, term FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS t(term)",
+      _ => docs)
+    assert(r2.count() == 5)
+    // TABLESAMPLE: fraction within binomial bounds on a bigger input
+    val orders = graft.engine.Graft.load(spark, "/root/testdata/sf0.001", "orders")
+    val n = RelationSql.translate(
+      "SELECT o_orderkey FROM orders TABLESAMPLE BERNOULLI(20)",
+      _ => orders).count()
+    val total = orders.count()
+    val sigma = math.sqrt(total * 0.2 * 0.8)
+    assert(math.abs(n - total * 0.2) <= 6 * sigma, s"sampled $n of $total")
+    // loud failures: missing alias, double column without ordinality,
+    // out-of-range percentage, trailing garbage
+    def bad(sql: String): Unit =
+      assertThrows[IllegalArgumentException](RelationSql.translate(sql, _ => docs))
+    bad("SELECT doc_id FROM documents CROSS JOIN UNNEST(split(text, ' '))")
+    bad("SELECT doc_id FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS t(a, b)")
+    bad("SELECT doc_id FROM documents TABLESAMPLE BERNOULLI(150)")
+    bad("SELECT doc_id FROM documents TABLESAMPLE BERNOULLI(20) GROUP BY doc_id")
+  }
+
   test("MATCH_RECOGNIZE SQL: multi-column keys + ALL ROWS PER MATCH (dx4 surface)") {
     import graft.sqlcompat.MatchRecognizeSql
     val spk = spark
