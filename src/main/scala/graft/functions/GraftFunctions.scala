@@ -50,6 +50,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, "qdigest_agg"),
       (children: Seq[Expression]) => QuantileSketchAgg(children.head)))
     e.injectFunction((
+      FunctionIdentifier("spooky_hash_v2_32"),
+      new ExpressionInfo(classOf[SpookyHashV232].getName, "spooky_hash_v2_32"),
+      (children: Seq[Expression]) => SpookyHashV232(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("spooky_hash_v2_64"),
+      new ExpressionInfo(classOf[SpookyHashV264].getName, "spooky_hash_v2_64"),
+      (children: Seq[Expression]) => SpookyHashV264(children.head)))
+    e.injectFunction((
       FunctionIdentifier("value_at_quantile"),
       new ExpressionInfo(classOf[ValueAtQuantile].getName, "value_at_quantile"),
       (children: Seq[Expression]) => ValueAtQuantile(children(0), children(1))))

@@ -39,6 +39,7 @@ case class MergeSketchAgg(
     case (null, _) => b.sk = other
     case (a: LogQuantileSketch, o: LogQuantileSketch) => a.merge(o)
     case (a: LongExactQuantileSketch, o: LongExactQuantileSketch) => a.mergeDigest(o)
+    case (a: FloatExactQuantileSketch, o: FloatExactQuantileSketch) => a.mergeDigest(o)
     case (a: TDigest, o: TDigest) => a.merge(o)
     case (a, o) => throw new IllegalArgumentException(
       s"merge: cannot mix sketch families (${a.getClass.getSimpleName} vs " +

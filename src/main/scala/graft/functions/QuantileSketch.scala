@@ -45,6 +45,8 @@ object QuantileDigest {
   def deserialize(bytes: Array[Byte]): QuantileDigest =
     if (LongExactQuantileSketch.isLongDigest(bytes))
       LongExactQuantileSketch.deserialize(bytes)
+    else if (FloatExactQuantileSketch.isFloatDigest(bytes))
+      FloatExactQuantileSketch.deserialize(bytes)
     else LogQuantileSketch.deserialize(bytes)
 }
 
@@ -271,9 +273,121 @@ object LongExactQuantileSketch {
   }
 }
 
+/** REAL (float32) qdigest — the third binding of the reference's
+  * parametric qdigest (`QuantileDigestAggregationFunction.java` binds
+  * bigint/real/double separately): exact float→count map while the
+  * group's distinct count stays within `maxExact`, degrading in place
+  * to the log-bucket approximation past the budget — same shape as the
+  * bigint digest, but over the float lattice (quantiles in exact mode
+  * return the ingested float32 value itself, widened losslessly to
+  * double). Merge/serde contract identical; tag "QDF1". */
+final class FloatExactQuantileSketch(val maxExact: Int = LongExactQuantileSketch.DefaultMaxExact)
+    extends QuantileDigest {
+  import FloatExactQuantileSketch.Magic
+
+  val counts = new mutable.HashMap[Float, Long]
+  var approx: LogQuantileSketch = null // non-null once degraded
+
+  def add(v: Float): Unit =
+    if (approx != null) approx.add(v.toDouble)
+    else {
+      counts.update(v, counts.getOrElse(v, 0L) + 1)
+      if (counts.size > maxExact) degrade()
+    }
+
+  private def degrade(): Unit = {
+    approx = new LogQuantileSketch(LogQuantileSketch.DefaultAlpha)
+    for ((v, c) <- counts) approx.add(v.toDouble, c)
+    counts.clear()
+  }
+
+  override def addAny(v: Any): Unit = add(v match {
+    case f: Float => f
+    case n: Number => n.floatValue()
+  })
+
+  override def mergeDigest(o: QuantileDigest): Unit = o match {
+    case s: FloatExactQuantileSketch =>
+      if (s.approx != null) { if (approx == null) degrade(); approx.merge(s.approx) }
+      else if (approx != null) for ((v, c) <- s.counts) approx.add(v.toDouble, c)
+      else {
+        s.counts.foreach { case (v, c) => counts.update(v, counts.getOrElse(v, 0L) + c) }
+        if (counts.size > maxExact) degrade()
+      }
+    case other => throw new IllegalArgumentException(
+      s"cannot merge ${other.getClass.getSimpleName} into a real qdigest")
+  }
+
+  def count: Long =
+    if (approx != null) approx.count else counts.valuesIterator.sum
+
+  override def quantile(q: Double): Double = {
+    if (approx != null) return approx.quantile(q)
+    val n = count
+    if (n == 0) return Double.NaN
+    val rank = math.max(1L, math.ceil(q * n).toLong)
+    var seen = 0L
+    for ((v, c) <- counts.toSeq.sortBy(_._1)) {
+      seen += c
+      if (seen >= rank) return v.toDouble
+    }
+    Double.NaN
+  }
+
+  override def rankOf(v: Double): Double = {
+    if (approx != null) return approx.rankOf(v)
+    val n = count
+    if (n == 0) return Double.NaN
+    var seen = 0L
+    for ((k, c) <- counts) if (k.toDouble <= v) seen += c
+    seen.toDouble / n
+  }
+
+  override def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(Magic)
+    out.writeBoolean(approx == null)
+    if (approx == null) {
+      out.writeInt(counts.size)
+      counts.toSeq.sortBy(_._1).foreach { case (v, c) =>
+        out.writeFloat(v); out.writeLong(c)
+      }
+    } else out.write(approx.serialize())
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object FloatExactQuantileSketch {
+  val Magic: Int = 0x51444631 // "QDF1"
+
+  def isFloatDigest(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      ((bytes(0) & 0xff) << 24 | (bytes(1) & 0xff) << 16 |
+        (bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) == Magic
+
+  def deserialize(bytes: Array[Byte]): FloatExactQuantileSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "not a real qdigest")
+    val sk = new FloatExactQuantileSketch()
+    if (in.readBoolean()) {
+      val n = in.readInt()
+      var i = 0
+      while (i < n) { sk.counts.update(in.readFloat(), in.readLong()); i += 1 }
+    } else {
+      // Header is 5 bytes (4-byte magic + 1-byte boolean); the stream is
+      // already positioned at the embedded LogQuantileSketch payload.
+      sk.approx = LogQuantileSketch.deserialize(in.readAllBytes())
+    }
+    sk
+  }
+}
+
 /** `qdigest_agg(numeric) -> binary` — mergeable sketch aggregate,
   * parametric like the reference's: integral children get the
-  * exact-at-low-cardinality bigint digest, fractional children the
+  * exact-at-low-cardinality bigint digest, float children the
+  * exact-at-low-cardinality real digest, double/decimal children the
   * log-bucket sketch. */
 case class QuantileSketchAgg(
     child: Expression,
@@ -293,6 +407,7 @@ case class QuantileSketchAgg(
 
   override def createAggregationBuffer(): QuantileDigest =
     if (isIntegral) new LongExactQuantileSketch()
+    else if (child.dataType == FloatType) new FloatExactQuantileSketch()
     else new LogQuantileSketch(alpha)
 
   override def update(b: QuantileDigest, input: InternalRow): QuantileDigest = {

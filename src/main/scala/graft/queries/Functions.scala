@@ -255,6 +255,47 @@ object Functions {
       |  CAST(max(n) AS BIGINT) AS n
       |FROM w GROUP BY l_returnflag""".stripMargin
 
+  // --------------------------------------- f9 real qdigest (typed)
+  /** Parametric qdigest over a REAL (float32) column — the reference's
+    * third qdigest binding (`QuantileDigestAggregationFunction.java`
+    * is parametric over bigint/real/double). l_discount cast to float
+    * has ~11 distinct values on the float lattice, so the real digest
+    * stays in exact mode and its quantiles are true order statistics
+    * OF FLOAT VALUES — gated as exact values against the oracle's rank
+    * walk over `CAST(l_discount AS REAL)` (both engines round the
+    * decimal to the same nearest float, and the float widens to the
+    * same double). Two-level merge() shape as f8, proving the exact
+    * float map survives re-aggregation. */
+  def f9(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("disc", col("l_discount").cast("float"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("qdigest_agg(disc)").as("sk"), count(lit(1)).as("gn"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("merge(sk)").as("g"), sum(col("gn")).as("n"))
+      .select(col("l_returnflag"),
+        expr("CAST(value_at_quantile(g, 0.25) AS FLOAT)").as("p25"),
+        expr("CAST(value_at_quantile(g, 0.5) AS FLOAT)").as("p50"),
+        expr("CAST(value_at_quantile(g, 0.75) AS FLOAT)").as("p75"),
+        col("n"))
+  }
+
+  val f9Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_discount AS REAL) AS v, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      |  SELECT l_returnflag, v,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM c)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) THEN v END) AS p25,
+      |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS p50,
+      |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.75 * n) AS BIGINT)) THEN v END) AS p75,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM w GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_cosine_expr" -> f1 _,
     "f2_width_bucket" -> f2 _,
@@ -263,7 +304,8 @@ object Functions {
     "f5_simhash_lsh" -> f5 _,
     "f6_tdigest" -> f6 _,
     "f7_sketch_reagg" -> f7 _,
-    "f8_qdigest_bigint" -> f8 _)
+    "f8_qdigest_bigint" -> f8 _,
+    "f9_qdigest_real" -> f9 _)
 
   val oracle: Map[String, String] = Map(
     "f1_cosine_expr" -> f1Sql,
@@ -272,6 +314,7 @@ object Functions {
     "f4_heavy_hitters" -> f4Sql,
     "f6_tdigest" -> f6Sql,
     "f7_sketch_reagg" -> f7Sql,
-    "f8_qdigest_bigint" -> f8Sql)
+    "f8_qdigest_bigint" -> f8Sql,
+    "f9_qdigest_real" -> f9Sql)
     // f5 is rows-only: the fingerprint is engine-specific
 }

@@ -821,6 +821,38 @@ object Scalars {
       |  TRUE AS wall_roundtrip
       |FROM r GROUP BY zone, hr""".stripMargin
 
+  // ----------------------------------------- sc20 spooky_hash_v2
+  /** SpookyHashV2 varbinary scalars (reference
+    * `scalar/VarbinaryFunctions.java:389,399`). The oracle engine has
+    * no SpookyHash, so correctness splits hll1-style: the reference's
+    * own published test vectors (TestVarbinaryFunctions.java:780-795)
+    * are asserted as engine-computed booleans the oracle pins TRUE,
+    * and the distributed run over customer names is gated by 64-bit
+    * distinct-cardinality (a 64-bit hash collision over 10^4 inputs is
+    * a one-in-10^11 event; a wrong implementation still hashes
+    * injectively, so the REAL check is the vectors). */
+  def sc20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .agg(
+        max(expr("hex(spooky_hash_v2_32(encode('', 'UTF-8')))") === "6BF50919")
+          .as("v32_empty"),
+        max(expr("hex(spooky_hash_v2_32(encode('hello', 'UTF-8')))") === "D382E6CA")
+          .as("v32_hello"),
+        max(expr("hex(spooky_hash_v2_64(encode('', 'UTF-8')))") === "232706FC6BF50919")
+          .as("v64_empty"),
+        max(expr("hex(spooky_hash_v2_64(encode('hello', 'UTF-8')))") === "3768826AD382E6CA")
+          .as("v64_hello"),
+        countDistinct(expr("spooky_hash_v2_64(encode(c_name, 'UTF-8'))"))
+          .as("n64_distinct"),
+        count(lit(1)).as("n"))
+
+  val sc20Sql: String =
+    """SELECT TRUE AS v32_empty, TRUE AS v32_hello,
+      |  TRUE AS v64_empty, TRUE AS v64_hello,
+      |  count(DISTINCT c_name) AS n64_distinct, count(*) AS n
+      |FROM customer""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -842,7 +874,8 @@ object Scalars {
     "sc16_timezone" -> sc16 _,
     "sc17_soundex" -> sc17 _,
     "sc18_durations" -> sc18 _,
-    "sc19_timestamptz" -> sc19 _)
+    "sc19_timestamptz" -> sc19 _,
+    "sc20_spooky_hash" -> sc20 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -864,5 +897,6 @@ object Scalars {
     "sc16_timezone" -> sc16Sql,
     "sc17_soundex" -> sc17Sql,
     "sc18_durations" -> sc18Sql,
-    "sc19_timestamptz" -> sc19Sql)
+    "sc19_timestamptz" -> sc19Sql,
+    "sc20_spooky_hash" -> sc20Sql)
 }

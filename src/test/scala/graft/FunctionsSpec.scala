@@ -548,4 +548,59 @@ class FunctionsSpec extends AnyFunSuite {
       assert(rfp(s, 5, 6) == naive, s"trial $trial")
     }
   }
+
+  // ---------------------------------------------------- spooky hash v2
+  test("spooky_hash_v2 matches the reference's published test vectors") {
+    // reference TestVarbinaryFunctions.java:780-795 (seed 0, value
+    // emitted big-endian)
+    def hex32(s: String): String =
+      f"${SpookyHashV2.hash32(s.getBytes("UTF-8"), 0)}%08X"
+    def hex64(s: String): String =
+      f"${SpookyHashV2.hash64(s.getBytes("UTF-8"), 0L)}%016X"
+    assert(hex32("") == "6BF50919")
+    assert(hex32("hello") == "D382E6CA")
+    assert(hex64("") == "232706FC6BF50919")
+    assert(hex64("hello") == "3768826AD382E6CA")
+    // every short-path remainder class (1..31 plus 16+ block boundary)
+    // and the long path (>=192) must be deterministic and sensitive to
+    // the last byte
+    for (n <- Seq(1, 7, 8, 12, 15, 16, 23, 31, 32, 64, 191, 192, 200, 400)) {
+      val a = Array.tabulate[Byte](n)(i => (i * 7 + 3).toByte)
+      val h1 = SpookyHashV2.hash64(a, 0L)
+      assert(h1 == SpookyHashV2.hash64(a.clone(), 0L))
+      val b = a.clone(); b(n - 1) = (b(n - 1) ^ 1).toByte
+      assert(h1 != SpookyHashV2.hash64(b, 0L), s"length $n: last-byte blind")
+    }
+  }
+
+  // ------------------------------------------------------ real qdigest
+  test("real qdigest: exact float quantiles, merge, serde, degradation") {
+    // exact mode returns the ingested float (widened) at the rank walk
+    val sk = new FloatExactQuantileSketch()
+    val vals = Seq(0.04f, 0.01f, 0.1f, 0.04f, 0.07f)
+    vals.foreach(sk.add)
+    // sorted: 0.01 0.04 0.04 0.07 0.1; rank(0.5·5)=3 → 0.04f
+    assert(sk.quantile(0.5) == 0.04f.toDouble)
+    assert(sk.quantile(0.0) == 0.01f.toDouble)
+    assert(sk.quantile(1.0) == 0.1f.toDouble)
+    // serde round-trip preserves exactness; merge accumulates counts
+    val bytes = sk.serialize()
+    assert(FloatExactQuantileSketch.isFloatDigest(bytes))
+    val back = QuantileDigest.deserialize(bytes)
+    assert(back.isInstanceOf[FloatExactQuantileSketch])
+    assert(back.quantile(0.5) == 0.04f.toDouble)
+    back.mergeDigest(sk)
+    assert(back.asInstanceOf[FloatExactQuantileSketch].count == 10)
+    // degradation past the distinct budget stays within the log-bucket
+    // relative-error bound and survives serde
+    val big = new FloatExactQuantileSketch(maxExact = 100)
+    (1 to 10000).foreach(i => big.add(i.toFloat))
+    assert(big.approx != null)
+    val med = QuantileDigest.deserialize(big.serialize()).quantile(0.5)
+    assert(math.abs(med - 5000) <= 5000 * 0.011, s"degraded median $med")
+    // families never mix
+    val longSk = new LongExactQuantileSketch()
+    longSk.add(1L)
+    intercept[IllegalArgumentException](sk.mergeDigest(longSk))
+  }
 }
