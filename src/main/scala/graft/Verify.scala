@@ -65,12 +65,15 @@ object Verify {
             // Cross-regime re-proof (r11 advisor): the bench may select
             // EITHER regime per pass, but the DuckDB gate only sees the
             // tuned output above — so prove here that the default-AQE
-            // plan produces the identical row multiset. Skipped for
-            // queries without oracle SQL: those are rows-only by design
-            // (RNG sampling is partition-layout-dependent).
+            // plan produces the identical row multiset. The tuned side
+            // is fingerprinted from the parquet just written (the same
+            // rows, one file read) instead of re-executing the tuned
+            // plan — same guarantee, one execution fewer per gated
+            // query (r12 What's-wrong #4). Skipped for queries without
+            // oracle SQL: those are rows-only by design (RNG sampling
+            // is partition-layout-dependent).
             if (SparkEntry.oracleSql.contains(name)) {
-              val fpTuned = graft.engine.Adaptive.withConfs(spark, confs)(
-                fingerprint(graft.engine.Adaptive.replan(spark, df)))
+              val fpTuned = fingerprint(spark.read.parquet(s"$outDir/$name"))
               val fpDefault = fingerprint(df)
               if (fpTuned != fpDefault)
                 throw new IllegalStateException(

@@ -80,33 +80,63 @@ object Analytics {
     * so the per-key array never grows with scale factor, and the
     * heavy-hitter pairs come out of one partial/final count.
     *
-    * Measured against the oracle's relational shape (DISTINCT
-    * (order, part) self-join + count — 19× faster than this in
-    * DuckDB): raced head-to-head at sf0.1 under the r11 bench
-    * protocol, collect+explode 1.39 s vs self-join 1.48 s. The
-    * comparator's advantage on that shape is its engine, not the
-    * plan — in Spark the self-join pays a second lineitem-wide
-    * shuffle (distinct) plus a sort-merge join that the in-array
-    * pair expansion avoids entirely, so the packed form stays. */
+    * Raced three ways at sf0.1 under the bench protocol (r10 + r13
+    * X2Race): relational DISTINCT-self-join 1.35 s, collect+explode
+    * over ObjectHashAggregate 1.15 s, sorted-stream 0.66 s — the
+    * shipped form. The per-order array never passes through an
+    * aggregation buffer at all: one shuffle on the order key, a local
+    * (spillable) sort, and a streaming scan that dedupes the sorted
+    * parts of each order adjacently and emits pa<pb pairs directly.
+    * The pair is packed into ONE long (partkeys < 2^32) so the wide
+    * pair shuffle — whose keys are mostly unique, so partial agg can't
+    * shrink it — moves 8-byte keys and hashes a single column.
+    * mapPartitions leaves codegen, but the measured win says the
+    * ObjectHashAggregate per-row array append cost more than the
+    * streamed scan; per-order state stays bounded by the order's line
+    * count (≤7 in TPC-H), so the shape holds at any scale factor. */
   def x2(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(array_distinct(sort_array(collect_list(col("l_partkey")))).as("parts"))
-      // sorted array → pairs by index slice: element i pairs with every
-      // later element, so pa < pb by construction and the inner filter's
-      // per-element O(n) comparison scan disappears. The pair is packed
-      // into ONE long (partkeys < 2^32) so the wide pair shuffle — whose
-      // keys are mostly unique, so partial agg can't shrink it — moves
-      // 8-byte keys and hashes a single column.
-      .select(explode(expr(
-        "flatten(transform(parts, (x, i) -> transform(" +
-          "slice(parts, i + 2, size(parts) - i - 1), " +
-          "y -> x * 4294967296L + y)))")).as("pk"))
-      .groupBy(col("pk"))
+    import s.implicits._
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(col("ok"))
+      .sortWithinPartitions(col("ok"), col("pk"))
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[Long] {
+          private val out = scala.collection.mutable.Queue[Long]()
+          private val buf = scala.collection.mutable.ArrayBuffer[Long]()
+          private def nextGroup(): Unit = {
+            if (!rows.hasNext) return
+            buf.clear()
+            val ok = rows.head.getLong(0)
+            var last = Long.MinValue
+            while (rows.hasNext && rows.head.getLong(0) == ok) {
+              val p = rows.next().getLong(1)
+              if (p != last) { buf += p; last = p } // sorted → dedupe adjacent
+            }
+            var i = 0
+            while (i < buf.length) {
+              var j = i + 1
+              while (j < buf.length) {
+                out.enqueue(buf(i) * 4294967296L + buf(j)) // sorted → pa < pb
+                j += 1
+              }
+              i += 1
+            }
+          }
+          override def hasNext: Boolean = {
+            while (out.isEmpty && rows.hasNext) nextGroup()
+            out.nonEmpty
+          }
+          override def next(): Long = out.dequeue()
+        }
+      }
+    pairs.toDF("pkv")
+      .groupBy(col("pkv"))
       .agg(count(lit(1)).as("together"))
       .filter(col("together") >= 3)
-      .select(shiftright(col("pk"), 32).as("pa"),
-        col("pk").bitwiseAND(lit(4294967295L)).as("pb"), col("together"))
+      .select(shiftright(col("pkv"), 32).as("pa"),
+        col("pkv").bitwiseAND(lit(4294967295L)).as("pb"), col("together"))
   }
 
   val x2Sql: String =

@@ -32,9 +32,58 @@ object X2Race {
       println(f"X2|$name%-28s|med=${ts.sorted.apply(2)}%.3f|samples=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
 
+    // r12 stretch #9: sorted-stream pair generation — one shuffle on the
+    // order key, local sort, mapPartitions streams each order's sorted
+    // distinct parts and emits packed pairs with no ObjectHashAggregate
+    // and no array materialization through an aggregate buffer.
+    def sortedStream(s: SparkSession): DataFrame = {
+      import s.implicits._
+      val pairs = graft.engine.Graft.load(s, sfDir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok"))
+        .sortWithinPartitions(col("ok"), col("pk"))
+        .mapPartitions { it =>
+          val rows = it.buffered
+          new Iterator[Long] {
+            private val out = scala.collection.mutable.Queue[Long]()
+            private val buf = scala.collection.mutable.ArrayBuffer[Long]()
+            private def nextGroup(): Unit = {
+              if (!rows.hasNext) return
+              buf.clear()
+              val ok = rows.head.getLong(0)
+              var last = Long.MinValue
+              while (rows.hasNext && rows.head.getLong(0) == ok) {
+                val p = rows.next().getLong(1)
+                if (p != last) { buf += p; last = p } // sorted → dedupe adjacent
+              }
+              var i = 0
+              while (i < buf.length) {
+                var j = i + 1
+                while (j < buf.length) {
+                  out.enqueue(buf(i) * 4294967296L + buf(j))
+                  j += 1
+                }
+                i += 1
+              }
+            }
+            override def hasNext: Boolean = {
+              while (out.isEmpty && rows.hasNext) nextGroup()
+              out.nonEmpty
+            }
+            override def next(): Long = out.dequeue()
+          }
+        }
+      pairs.toDF("pkv")
+        .groupBy(col("pkv")).agg(count(lit(1)).as("together"))
+        .filter(col("together") >= 3)
+        .select(shiftright(col("pkv"), 32).as("pa"),
+          col("pkv").bitwiseAND(lit(4294967295L)).as("pb"), col("together"))
+    }
+
     val current = graft.SparkEntry.queries("x2_market_basket")
     time("current-collect-explode") { current(spark, sfDir) }
     time("relational-selfjoin") { relational(spark) }
+    time("sorted-stream") { sortedStream(spark) }
     // and under the small-query fast path
     import graft.engine.Adaptive
     val b = Adaptive.inputBytes(current(spark, sfDir))
