@@ -942,6 +942,65 @@ object Pipeline {
       |FROM jac GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- exports
+  // ------------------------------- p18 repetition quality metrics
+  /** Repetition-based quality scoring — the "rep" filters a
+    * training-data pipeline applies alongside length/punct ratios
+    * (p5) before dedup: per document, the duplicate-word fraction,
+    * duplicate-2-gram fraction, and the coverage of the single most
+    * frequent 2-gram. One compiled word_ngrams extraction pass;
+    * counts aggregate per (doc, gram) then per doc — partial/final
+    * hash aggregation both times, per-key state bounded by a doc's
+    * gram count, no arrays through aggregation buffers. Fractions are
+    * exact-int over exact-int in one IEEE division, so the
+    * cross-engine hash is stable. */
+  def p18(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct_words"))
+    val grams = docs
+      .select(col("doc_id"),
+        explode(call_function("word_ngrams", col("text"), lit(2))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("top_cnt"))
+    words.join(grams, "doc_id")
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        (lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        (lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+          .as("dup_2gram_frac"),
+        (col("top_cnt").cast("double") / col("n_grams")).as("top_2gram_cov"))
+  }
+
+  val p18Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents WHERE doc_id < 200),
+      |words AS (
+      |  SELECT doc_id, unnest(w) AS w FROM toks),
+      |wm AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |    count(DISTINCT w) AS n_distinct_words
+      |  FROM words GROUP BY doc_id),
+      |grams AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+      |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)),
+      |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+      |gm AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      |    count(*) AS n_distinct_grams, max(c) AS top_cnt
+      |  FROM gc GROUP BY doc_id)
+      |SELECT doc_id, n_words,
+      |  1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+      |  1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams AS dup_2gram_frac,
+      |  CAST(top_cnt AS DOUBLE) / n_grams AS top_2gram_cov
+      |FROM wm JOIN gm USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
     "p2_dedup_keeper" -> p2 _,
@@ -959,7 +1018,8 @@ object Pipeline {
     "p14_embedding_neardup" -> ((s, d) => p14(s, d)),
     "p15_format_roundtrip" -> p15 _,
     "p16_langid" -> p16 _,
-    "p17_ngram_jaccard" -> p17 _)
+    "p17_ngram_jaccard" -> p17 _,
+    "p18_repetition_metrics" -> p18 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -978,5 +1038,6 @@ object Pipeline {
     "p14_embedding_neardup" -> p14Sql,
     "p15_format_roundtrip" -> p15Sql,
     "p16_langid" -> p16Sql,
-    "p17_ngram_jaccard" -> p17Sql)
+    "p17_ngram_jaccard" -> p17Sql,
+    "p18_repetition_metrics" -> p18Sql)
 }
