@@ -215,18 +215,60 @@ object DialectQueries {
     graft.sqlcompat.RelationSql.translate(
       dx6Reference, name => Graft.load(s, dir, name))
 
+  /** String comparisons in DEFINE (r13 DefineParser widening): the
+    * funnel-shaped MATCH_RECOGNIZE a reference user actually writes —
+    * view immediately followed by purchase per user — needs
+    * `event_type = 'view'` predicates, not just numeric comparisons.
+    * V P matches cannot overlap (a match must start at V), so the
+    * oracle's lead()-pair reconstruction is exact. */
+  val dx7Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts_ns, event_id
+      |  MEASURES MATCH_NUMBER() AS match_no, COUNT(*) AS n_steps,
+      |           FIRST(ts_ns) AS v_ts, LAST(ts_ns) AS p_ts
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (V P)
+      |  DEFINE V AS event_type = 'view',
+      |         P AS event_type = 'purchase'
+      |)""".stripMargin
+
+  def dx7(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx7Reference,
+      name => Graft.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type")))
+  }
+
+  val dx7Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+      |    lead(event_type) OVER w AS nxt_type,
+      |    lead(epoch_ns(ts)) OVER w AS nxt_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+      |SELECT user_id,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts_ns, event_id) AS BIGINT) AS match_no,
+      |  CAST(2 AS BIGINT) AS n_steps, ts_ns AS v_ts, nxt_ts AS p_ts
+      |FROM o WHERE event_type = 'view' AND nxt_type = 'purchase'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dx1_reference_dialect" -> dx1 _,
     "dx2_quantified_cmp" -> dx2 _,
     "dx3_match_recognize_sql" -> dx3 _,
     "dx4_mr_sql_all_rows" -> dx4 _,
     "dx5_unnest_sql" -> dx5 _,
-    "dx6_tablesample_sql" -> dx6 _)
+    "dx6_tablesample_sql" -> dx6 _,
+    "dx7_mr_sql_funnel" -> dx7 _)
 
   val oracle: Map[String, String] = Map(
     "dx1_reference_dialect" -> dx1Sql,
     "dx2_quantified_cmp" -> dx2Sql,
     "dx3_match_recognize_sql" -> dx3Sql,
     "dx4_mr_sql_all_rows" -> dx4Sql,
-    "dx5_unnest_sql" -> dx5Sql)
+    "dx5_unnest_sql" -> dx5Sql,
+    "dx7_mr_sql_funnel" -> dx7Sql)
 }

@@ -242,10 +242,13 @@ object MatchRecognizeSql {
   *   conj    := unit (AND unit)*
   *   unit    := NOT unit | '(' pred ')' | cmp
   *   cmp     := operand op operand        op ∈ { < <= > >= = <> != }
-  *   operand := number | [var.]col
+  *   operand := number | 'string' | [var.]col
   *            | PREV|NEXT '(' [var.]col [',' n] ')'
   *            | FIRST|LAST '(' var.col ')'
   * }}}
+  * Operands compare as numbers (both numeric) or lexicographically
+  * (both strings — the funnel-defining `event_type = 'click'` form);
+  * mixing the two in one comparison fails loudly.
   * Evaluation follows the standard's DEFINE semantics: a bare or
   * self-qualified column reads the CURRENT row; a column qualified by
   * a DIFFERENT variable reads the running LAST row mapped to it;
@@ -261,23 +264,48 @@ private object DefineParser extends Serializable {
   // Runtime helpers live on the (serializable) module so compiled
   // closures capture it, never the parser instance — the closures ship
   // to executors inside the mapPartitions pattern matcher.
-  def bin(a: java.lang.Double, b: java.lang.Double,
-      f: (Double, Double) => Boolean): Boolean =
-    a != null && b != null && f(a, b)
 
-  def getNum(r: Row, c: String): java.lang.Double =
-    if (r == null) null
-    else r.getAs[Any](c) match {
-      case null => null
-      case n: Number => n.doubleValue()
-      case other => throw new IllegalArgumentException(
-        s"DEFINE operand column '$c' is not numeric: $other")
+  /** Three-valued comparison collapse: any null operand (navigation off
+    * the partition edge, unmapped variable) is unknown → false, per the
+    * standard. Numerics compare as doubles, strings lexicographically;
+    * mixing the two in one comparison fails loudly. */
+  def cmpAny(a: Any, b: Any, op: String): Boolean = {
+    if (a == null || b == null) return false
+    (a, b) match {
+      case (x: Number, y: Number) =>
+        val d = x.doubleValue()
+        val e = y.doubleValue()
+        (op: @unchecked) match {
+          case "<" => d < e
+          case "<=" => d <= e
+          case ">" => d > e
+          case ">=" => d >= e
+          case "=" => d == e
+          case "<>" | "!=" => d != e
+        }
+      case (x: String, y: String) =>
+        val c = x.compareTo(y)
+        (op: @unchecked) match {
+          case "<" => c < 0
+          case "<=" => c <= 0
+          case ">" => c > 0
+          case ">=" => c >= 0
+          case "=" => c == 0
+          case "<>" | "!=" => c != 0
+        }
+      case _ => throw new IllegalArgumentException(
+        s"DEFINE: incomparable operand types " +
+          s"${a.getClass.getSimpleName} vs ${b.getClass.getSimpleName}")
     }
+  }
+
+  def getVal(r: Row, c: String): Any =
+    if (r == null) null else r.getAs[Any](c)
 }
 
 private final class DefineParser(src: String, currentVar: String) {
   import graft.operators.MatchRecognize.MatchCtx
-  import DefineParser.{bin, getNum}
+  import DefineParser.{cmpAny, getVal}
 
   private var pos = 0
 
@@ -351,19 +379,29 @@ private final class DefineParser(src: String, currentVar: String) {
     val op = ops.find(o => src.startsWith(o, pos)).getOrElse(fail("expected comparison"))
     pos += op.length
     val r = operand()
-    (op: @unchecked) match {
-      case "<"  => ctx => bin(l(ctx), r(ctx), _ < _)
-      case "<=" => ctx => bin(l(ctx), r(ctx), _ <= _)
-      case ">"  => ctx => bin(l(ctx), r(ctx), _ > _)
-      case ">=" => ctx => bin(l(ctx), r(ctx), _ >= _)
-      case "="  => ctx => bin(l(ctx), r(ctx), _ == _)
-      case "<>" | "!=" => ctx => bin(l(ctx), r(ctx), _ != _)
-    }
+    ctx => cmpAny(l(ctx), r(ctx), op)
   }
 
-  // operand := number | [var.]col | NAV(...)
-  private def operand(): MatchCtx => java.lang.Double = {
+  // operand := number | 'string' | [var.]col | NAV(...)
+  private def operand(): MatchCtx => Any = {
     skipWs()
+    if (pos < src.length && src.charAt(pos) == '\'') {
+      // string literal, '' escapes a quote (SQL)
+      pos += 1
+      val sb = new StringBuilder
+      var closed = false
+      while (!closed) {
+        if (pos >= src.length) fail("unterminated string literal")
+        val ch = src.charAt(pos)
+        if (ch == '\'') {
+          if (pos + 1 < src.length && src.charAt(pos + 1) == '\'') {
+            sb += '\''; pos += 2
+          } else { closed = true; pos += 1 }
+        } else { sb += ch; pos += 1 }
+      }
+      val v: String = sb.toString
+      return _ => v
+    }
     val numRe = "^-?\\d+(?:\\.\\d+)?".r
     numRe.findFirstIn(src.substring(pos)) match {
       case Some(n) =>
@@ -388,25 +426,25 @@ private final class DefineParser(src: String, currentVar: String) {
               pos += d.length; d.toInt
             } else 1
             expect(')')
-            ctx => getNum(if (isPrev) ctx.prev(n) else ctx.next(n), c)
+            ctx => getVal(if (isPrev) ctx.prev(n) else ctx.next(n), c)
           case "FIRST" | "LAST" =>
             val isFirst = id.equalsIgnoreCase("FIRST")
             expect('(')
             val (q, c) = qualifiedCol()
             val v = q.getOrElse(fail("FIRST/LAST in DEFINE requires a variable qualifier"))
             expect(')')
-            ctx => getNum(if (isFirst) ctx.first(v) else ctx.last(v), c)
+            ctx => getVal(if (isFirst) ctx.first(v) else ctx.last(v), c)
           case _ =>
             skipWs()
             if (pos < src.length && src.charAt(pos) == '.') {
               pos += 1
               val c = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
               pos += c.length
-              if (id.equalsIgnoreCase(currentVar)) ctx => getNum(ctx.row, c)
-              else ctx => getNum(ctx.last(id), c) // cross-variable ref ≡ running LAST
+              if (id.equalsIgnoreCase(currentVar)) ctx => getVal(ctx.row, c)
+              else ctx => getVal(ctx.last(id), c) // cross-variable ref ≡ running LAST
             } else {
               val c = id
-              ctx => getNum(ctx.row, c)
+              ctx => getVal(ctx.row, c)
             }
         }
     }

@@ -329,6 +329,41 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES FIRST(value) AS fv, MIN(event_ts) AS other PATTERN (A) DEFINE A AS value > 0)")
   }
 
+  test("MATCH_RECOGNIZE SQL: string comparisons in DEFINE (funnel form)") {
+    import graft.sqlcompat.MatchRecognizeSql
+    val spk = spark
+    import spk.implicits._
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "view"), (1L, 3L, "purchase"),
+      (1L, 4L, "click"), (1L, 5L, "view"), (1L, 6L, "purchase"),
+      (2L, 1L, "purchase"), (2L, 2L, "view")
+    ).toDF("user_id", "event_id", "event_type")
+    val r = MatchRecognizeSql.translate(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES MATCH_NUMBER() AS mn, FIRST(event_id) AS v_id, LAST(event_id) AS p_id
+        |  ONE ROW PER MATCH
+        |  PATTERN (V P)
+        |  DEFINE V AS event_type = 'view', P AS event_type = 'purchase')""".stripMargin,
+      _ => ev)
+    // user 1: (2,3) then (5,6); user 2: no view-then-purchase pair
+    assert(r.orderBy("user_id", "mn").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, 1L, 2L, 3L), Seq(1L, 2L, 5L, 6L)))
+    // incomparable operand types fail loudly at runtime
+    val bad = MatchRecognizeSql.translate(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES COUNT(*) AS n
+        |  ONE ROW PER MATCH
+        |  PATTERN (A)
+        |  DEFINE A AS event_type = 1)""".stripMargin,
+      _ => ev)
+    val ex = intercept[Exception](bad.count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("incomparable")))
+  }
+
   test("relation SQL: UNNEST WITH ORDINALITY + TABLESAMPLE lower onto operators") {
     import graft.sqlcompat.RelationSql
     val spk = spark
