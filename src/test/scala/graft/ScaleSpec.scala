@@ -193,4 +193,35 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"too many exchanges:\n${plan.take(2000)}")
   }
+
+  test("MATCH_RECOGNIZE SQL surface (multi-column keys) keeps the same scale shape") {
+    // sqlRows shuffles once on the composite partition key and sorts
+    // locally on (part ++ order) — ALL ROWS PER MATCH must not
+    // introduce a global sort or extra exchanges beyond the final
+    // pair aggregation.
+    val plan = graft.queries.DialectQueries.dx4(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort in sqlRows plan:\n${plan.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"too many exchanges:\n${plan.take(2000)}")
+  }
+
+  test("x2 sorted-stream pair mining: one pre-sort shuffle, partial/final count") {
+    // The r13 market-basket shape: repartition(order key) + local sort
+    // + streaming pair generation + partial/final hash agg on the
+    // packed pair. No rangepartitioning (global sort), no cartesian,
+    // and exactly two hash exchanges (order key, pair key).
+    val plan = graft.queries.Analytics.x2(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"global sort:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n${plan.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"too many exchanges:\n${plan.take(2000)}")
+    // partial aggregation runs before the pair exchange (map-side combine)
+    val pairExchangeIdx = plan.indexOf("Exchange hashpartitioning(pkv")
+    val partialIdx = plan.indexOf("HashAggregate(keys=[pkv")
+    assert(pairExchangeIdx >= 0 && partialIdx >= 0,
+      s"expected pair-key exchange and aggregate:\n${plan.take(2000)}")
+  }
 }
