@@ -66,6 +66,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[QuantileAtValue].getName, "quantile_at_value"),
       (children: Seq[Expression]) => QuantileAtValue(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("values_at_quantiles"),
+      new ExpressionInfo(classOf[ValuesAtQuantiles].getName, "values_at_quantiles"),
+      (children: Seq[Expression]) => ValuesAtQuantiles(children(0), children(1))))
+    e.injectFunction((
       FunctionIdentifier("tdigest_agg"),
       new ExpressionInfo(classOf[TDigestAgg].getName, "tdigest_agg"),
       (children: Seq[Expression]) => TDigestAgg(children.head)))

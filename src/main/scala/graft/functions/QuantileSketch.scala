@@ -471,6 +471,40 @@ case class ValueAtQuantile(left: Expression, right: Expression)
   override def prettyName: String = "value_at_quantile"
 }
 
+/** `values_at_quantiles(binary, array<double>) -> array<double>` —
+  * the reference's batch form (`QuantileDigestFunctions.java:65-102`,
+  * parametric over the digest's bound type): ONE sketch deserialize
+  * serves every requested quantile, vs one per call with
+  * value_at_quantile — the cheap way to ask for p25/p50/p75 together. */
+case class ValuesAtQuantiles(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(sketch: Any, qs: Any): Any = {
+    val bytes = sketch.asInstanceOf[Array[Byte]]
+    val arr = qs.asInstanceOf[ArrayData]
+    val out = new Array[Double](arr.numElements())
+    if (TDigest.isTDigest(bytes)) {
+      val d = TDigest.deserialize(bytes)
+      var i = 0
+      while (i < out.length) { out(i) = d.quantile(arr.getDouble(i)); i += 1 }
+    } else {
+      val d = QuantileDigest.deserialize(bytes)
+      var i = 0
+      while (i < out.length) { out(i) = d.quantile(arr.getDouble(i)); i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ValuesAtQuantiles =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "values_at_quantiles"
+}
+
 /** `quantile_at_value(qdigest_binary, x) -> rank fraction` (reference
   * QuantileDigestFunctions.quantile_at_value — the inverse of
   * value_at_quantile). */

@@ -273,10 +273,13 @@ object Functions {
       .agg(expr("qdigest_agg(disc)").as("sk"), count(lit(1)).as("gn"))
       .groupBy(col("l_returnflag"))
       .agg(expr("merge(sk)").as("g"), sum(col("gn")).as("n"))
+      // batch scalar (reference values_at_quantiles): ONE deserialize
+      // serves all three quantiles
+      .withColumn("qs", expr("values_at_quantiles(g, array(0.25d, 0.5d, 0.75d))"))
       .select(col("l_returnflag"),
-        expr("CAST(value_at_quantile(g, 0.25) AS FLOAT)").as("p25"),
-        expr("CAST(value_at_quantile(g, 0.5) AS FLOAT)").as("p50"),
-        expr("CAST(value_at_quantile(g, 0.75) AS FLOAT)").as("p75"),
+        expr("CAST(qs[0] AS FLOAT)").as("p25"),
+        expr("CAST(qs[1] AS FLOAT)").as("p50"),
+        expr("CAST(qs[2] AS FLOAT)").as("p75"),
         col("n"))
   }
 

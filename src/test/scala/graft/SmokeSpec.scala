@@ -230,4 +230,25 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM lineitem""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= r.getDouble(1) * 0.011)
   }
+
+  test("values_at_quantiles equals per-quantile value_at_quantile calls") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    val r = spark.sql(
+      """SELECT values_at_quantiles(sk, array(0.25d, 0.5d, 0.75d)) AS batch,
+        |  array(value_at_quantile(sk, 0.25), value_at_quantile(sk, 0.5),
+        |        value_at_quantile(sk, 0.75)) AS singles
+        |FROM (SELECT qdigest_agg(l_extendedprice) AS sk FROM lineitem)""".stripMargin)
+      .head()
+    assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    // dispatch covers the bigint and tdigest families too
+    val r2 = spark.sql(
+      """SELECT values_at_quantiles(qdigest_agg(CAST(l_quantity AS BIGINT)),
+        |    array(0.5d))[0] AS qb,
+        |  value_at_quantile(qdigest_agg(CAST(l_quantity AS BIGINT)), 0.5) AS sb,
+        |  values_at_quantiles(tdigest_agg(l_extendedprice), array(0.5d))[0] AS qt,
+        |  value_at_quantile(tdigest_agg(l_extendedprice), 0.5) AS st
+        |FROM lineitem""".stripMargin).head()
+    assert(r2.getDouble(0) == r2.getDouble(1))
+    assert(r2.getDouble(2) == r2.getDouble(3))
+  }
 }
