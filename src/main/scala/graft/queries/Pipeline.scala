@@ -1001,6 +1001,100 @@ object Pipeline {
       |  CAST(top_cnt AS DOUBLE) / n_grams AS top_2gram_cov
       |FROM wm JOIN gm USING (doc_id)""".stripMargin
 
+  // ------------------------------- p19 training-sequence packing
+  /** GPT-style concat-and-chunk sequence packing census: documents are
+    * concatenated in deterministic order within a shard and the token
+    * stream is cut into fixed 512-token training sequences; each doc
+    * is attributed to the sequence where it STARTS, and docs whose
+    * token span crosses a cut are counted as boundary (split) docs —
+    * the numbers a pretraining pipeline reports to size its batch
+    * plan and measure split loss.
+    *
+    * Scale shape: the only stateful step is one running sum per
+    * (lang, shard) window partition. Shards are a deterministic
+    * modulus of doc_id, so partition width is corpus_size/shards and
+    * the shard count is the scale knob (8 here; one shard per input
+    * split at 100 TB) — there is never a corpus-wide window. All
+    * arithmetic is integral (`div`), so offsets stay exact far past
+    * the 2^53 doubles cliff. */
+  def p19(s: SparkSession, dir: String): DataFrame = {
+    val cap = 512
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), (col("doc_id") % 8).as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"off div $cap"))
+      .withColumn("spans", expr(s"(off + n_tok - 1) div $cap") =!= col("seq_id"))
+      .groupBy(col("lang"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("docs_started"),
+        sum(col("n_tok")).as("tokens_started"),
+        sum(when(col("spans"), 1L).otherwise(0L)).as("boundary_docs"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  val p19Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id % 8 AS shard, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT lang, shard, doc_id, n_tok,
+      |    coalesce(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM toks)
+      |SELECT lang, shard, CAST(off // 512 AS BIGINT) AS seq_id,
+      |  count(*) AS docs_started,
+      |  CAST(sum(n_tok) AS BIGINT) AS tokens_started,
+      |  CAST(sum(CASE WHEN (off + n_tok - 1) // 512 <> off // 512
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+      |  min(doc_id) AS first_doc
+      |FROM packed GROUP BY lang, shard, off // 512""".stripMargin
+
+  // ------------------------------- p20 deterministic domain mixing
+  /** Domain-mix sampling census: apply per-source target rates (the
+    * "data mixture" weights of a pretraining recipe) with a
+    * DETERMINISTIC keep rule — keep iff the md5-fraction of doc_id is
+    * under the source's rate — so the sample is reproducible across
+    * engines, runs, and retries (a `rand()` sample is none of those).
+    * The fraction is the first 8 md5 hex chars scaled to [0,1); md5
+    * hex is bit-identical in Spark and DuckDB, which is what lets the
+    * oracle hash-gate the sampled counts exactly.
+    *
+    * Scale shape: pure scan-side map + one hash aggregate on the
+    * low-cardinality source key; the keep decision needs no state and
+    * no shuffle, so this composes scan-side with any downstream
+    * pipeline stage. */
+  def p20(s: SparkSession, dir: String): DataFrame = {
+    val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    val rate = when(col("source") === "src0", lit(1.0))
+      .when(col("source") === "src1", lit(0.5))
+      .when(col("source") === "src2", lit(0.25))
+      .otherwise(lit(0.1))
+    t(s, dir, "documents")
+      .select(col("source"), col("n_chars"), (frac < rate).as("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_sampled"))
+  }
+
+  val p20Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
+      |FROM (
+      |  SELECT source, n_chars,
+      |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+      |      AS DOUBLE) / 4294967296.0 <
+      |    (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+      |                 WHEN 'src2' THEN 0.25 ELSE 0.1 END) AS kept
+      |  FROM documents)
+      |GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
     "p2_dedup_keeper" -> p2 _,
@@ -1019,7 +1113,9 @@ object Pipeline {
     "p15_format_roundtrip" -> p15 _,
     "p16_langid" -> p16 _,
     "p17_ngram_jaccard" -> p17 _,
-    "p18_repetition_metrics" -> p18 _)
+    "p18_repetition_metrics" -> p18 _,
+    "p19_sequence_packing" -> p19 _,
+    "p20_domain_mix" -> p20 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -1039,5 +1135,7 @@ object Pipeline {
     "p15_format_roundtrip" -> p15Sql,
     "p16_langid" -> p16Sql,
     "p17_ngram_jaccard" -> p17Sql,
-    "p18_repetition_metrics" -> p18Sql)
+    "p18_repetition_metrics" -> p18Sql,
+    "p19_sequence_packing" -> p19Sql,
+    "p20_domain_mix" -> p20Sql)
 }

@@ -224,4 +224,39 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairExchangeIdx >= 0 && partialIdx >= 0,
       s"expected pair-key exchange and aggregate:\n${plan.take(2000)}")
   }
+
+  test("p19 packing window is sharded (never a corpus-wide partition) and pruned") {
+    val df = graft.queries.Pipeline.queries("p19_sequence_packing")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The running sum must run inside (lang, shard) hash partitions —
+    // a Window with an empty partition spec would serialize the whole
+    // corpus through one task at 100 TB.
+    assert(plan.contains("Window"), s"expected a Window operator:\n${plan.take(2000)}")
+    assert(!plan.contains("Window [") || plan.contains("hashpartitioning(lang"),
+      s"packing window must partition by (lang, shard):\n${plan.take(2000)}")
+    assert(!plan.contains("SinglePartition"),
+      s"corpus-wide window partition:\n${plan.take(2000)}")
+    // Column pruning: the scan must not read source/n_chars.
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"packing scan should read exactly (doc_id, text, lang):\n${scan.take(2000)}")
+    // Packing conservation: every doc starts in exactly one sequence.
+    val docs = graft.engine.Graft.load(spark, sfDir, "documents").count()
+    val agg = df.agg(org.apache.spark.sql.functions.sum(col("docs_started")),
+      org.apache.spark.sql.functions.sum(col("boundary_docs"))).head
+    assert(agg.getLong(0) == docs, s"docs_started sum ${agg.getLong(0)} != $docs")
+    assert(agg.getLong(1) <= agg.getLong(0))
+  }
+
+  test("p20 deterministic mix sampling is one scan-side agg; rate-1.0 keeps all") {
+    val df = graft.queries.Pipeline.queries("p20_domain_mix")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"mix census should shuffle once on source:\n${plan.take(2000)}")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"scan must never read text:\n${plan.take(2000)}")
+    val src0 = df.filter(col("source") === "src0").head
+    assert(src0.getLong(1) == src0.getLong(2),
+      s"rate-1.0 source must keep every doc: $src0")
+  }
 }
