@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitAndAgg, BitOrAgg, First, HyperLogLogPlusPlus}
+import org.apache.spark.sql.types._
+
+/** Exact-name compatibility layer: the reference spellings that were
+  * still missing from the registry after the gap-fill rounds
+  * (audited against the `@ScalarFunction`/`@AggregationFunction`
+  * annotations in `core/trino-main/.../operator/`), each lowered onto
+  * the Spark codegen expression with the same semantics where one
+  * exists — a name alias costs nothing at runtime — and onto a UDF
+  * only where none does. A user's existing queries keep their
+  * function spellings.
+  *
+  * Notable semantic mappings (reference file in parens):
+  *   - day_of_week/dow are ISO Monday=1..Sunday=7
+  *     (DateTimeFunctions.java) — Spark's dayofweek is Sunday=1, so
+  *     these lower onto WeekDay (Monday=0) + 1. Datetime field
+  *     extractors return BIGINT like the reference, not Spark's INT.
+  *   - bitwise_right_shift is a LOGICAL shift (BitwiseFunctions.java),
+  *     → ShiftRightUnsigned; .._arithmetic → ShiftRight.
+  *   - combine_hash is 31*h1+h2 (CombineHashFunction.java), wrapping.
+  *   - checksum / histogram / approx_distinct / arbitrary /
+  *     bitwise_and_agg / geometric_mean (AggregationFunctions):
+  *     checksum is an order-independent xxhash64 wrapping sum rendered
+  *     as 8-byte big-endian varbinary; approx_distinct lowers onto
+  *     HyperLogLogPlusPlus with the reference's 2.3% default error.
+  *   - approx_set (HyperLogLogFunctions.java) aliases the KMV set
+  *     digest — same contract (mergeable distinct sketch), different
+  *     sketch family, documented divergence.
+  *   - timezone_hour/timezone_minute (DateTimeFunctions.java) operate
+  *     on the tstz emulation struct (see [[TimestampTz]]): the offset
+  *     is wall-minus-instant resolved at that instant, so DST is
+  *     correct; both truncate toward zero like the reference
+  *     (-05:30 → hour -5, minute -30).
+  *   - from_unixtime_nanos / from_iso8601_timestamp_nanos parse at
+  *     the engine's micros precision (TIMESTAMP(9) is emulated
+  *     corpus-wide as micros + the ts_ns bigint convention).
+  */
+object CompatAliases {
+
+  private def fn(e: SparkSessionExtensions, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(CompatAliases.getClass.getName, name),
+      builder))
+
+  private def asLong(x: Expression): Expression = Cast(x, LongType)
+
+  def inject(e: SparkSessionExtensions): Unit = {
+    // ---- string position / codepoints
+    fn(e, "strpos", c => asLong(StringInstr(c(0), c(1))))
+    fn(e, "codepoint", c => Ascii(c.head)) // INTEGER, like the reference
+
+    // ---- datetime field extraction (reference returns BIGINT; ISO dow)
+    val dowB = (c: Seq[Expression]) => asLong(new Add(WeekDay(c.head), Literal(1)))
+    fn(e, "day_of_week", dowB)
+    fn(e, "dow", dowB)
+    fn(e, "day_of_year", c => asLong(DayOfYear(c.head)))
+    fn(e, "doy", c => asLong(DayOfYear(c.head)))
+    fn(e, "week", c => asLong(WeekOfYear(c.head)))
+    fn(e, "week_of_year", c => asLong(WeekOfYear(c.head)))
+    fn(e, "year_of_week", c => asLong(YearOfWeek(c.head)))
+    fn(e, "yow", c => asLong(YearOfWeek(c.head)))
+    fn(e, "day_of_month", c => asLong(DayOfMonth(c.head)))
+    // millisecond-of-second, 0..999 (Pmod keeps it non-negative for
+    // pre-epoch instants, matching field extraction semantics)
+    fn(e, "millisecond", c =>
+      new IntegralDivide(new Pmod(UnixMicros(c.head), Literal(1000000L)),
+        Literal(1000L)))
+    fn(e, "to_unixtime", c =>
+      new Divide(Cast(UnixMicros(c.head), DoubleType), Literal(1e6)))
+    fn(e, "from_unixtime_nanos", c =>
+      MicrosToTimestamp(new IntegralDivide(c.head, Literal(1000L))))
+
+    // ---- numeric / bitwise
+    fn(e, "is_nan", c => IsNaN(c.head))
+    fn(e, "nan", _ => Literal(Double.NaN))
+    fn(e, "bitwise_left_shift", c => ShiftLeft(c(0), c(1)))
+    fn(e, "bitwise_right_shift", c => ShiftRightUnsigned(c(0), c(1)))
+    fn(e, "bitwise_right_shift_arithmetic", c => ShiftRight(c(0), c(1)))
+    fn(e, "combine_hash", c =>
+      new Add(new Multiply(Literal(31L), Cast(c(0), LongType)),
+        Cast(c(1), LongType)))
+
+    // ---- binary codecs
+    fn(e, "from_hex", c => new Unhex(c.head))
+    fn(e, "from_base64", c => new UnBase64(c.head))
+
+    // ---- maps / arrays
+    fn(e, "split_to_map", c => new StringToMap(c(0), c(1), c(2)))
+    fn(e, "trim_array", c =>
+      Slice(c(0), Literal(1),
+        new Subtract(Size(c(0)), Cast(c(1), IntegerType))))
+
+    // ---- tstz emulation accessors (struct<instant,zone> — TimestampTz)
+    def tzOffset(tz: Expression): Expression = {
+      val instant = GetStructField(tz, 0, Some("instant"))
+      val zone = GetStructField(tz, 1, Some("zone"))
+      new IntegralDivide(
+        new Subtract(UnixMicros(FromUTCTimestamp(instant, zone)),
+          UnixMicros(instant)),
+        Literal(1000000L))
+    }
+    fn(e, "timezone_hour", c => new IntegralDivide(tzOffset(c.head), Literal(3600L)))
+    fn(e, "timezone_minute", c =>
+      new IntegralDivide(new Remainder(tzOffset(c.head), Literal(3600L)),
+        Literal(60L)))
+
+    // ---- aggregates
+    fn(e, "approx_distinct", c =>
+      if (c.length >= 2)
+        HyperLogLogPlusPlus(c(0), relativeSD = HyperLogLogPlusPlus.validateDoubleLiteral(c(1)))
+      else HyperLogLogPlusPlus(c(0), relativeSD = 0.023))
+    fn(e, "arbitrary", c => First(c.head, ignoreNulls = true))
+    fn(e, "bitwise_and_agg", c => BitAndAgg(c.head))
+    fn(e, "bitwise_or_agg", c => BitOrAgg(c.head))
+    fn(e, "geometric_mean", c =>
+      Exp(new Average(Log(Cast(c.head, DoubleType))).toAggregateExpression()))
+    fn(e, "checksum", c => ChecksumAgg(c.head))
+    fn(e, "histogram", c => HistogramAgg(c.head))
+    fn(e, "approx_set", c => KmvDigestAgg(c.head))
+  }
+
+  // --------------------------------------------------------- UDF layer
+  def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("to_base64url",
+      (b: Array[Byte]) => if (b == null) null
+      else java.util.Base64.getUrlEncoder.encodeToString(b))
+    spark.udf.register("from_base64url",
+      (s: String) => if (s == null) null
+      else java.util.Base64.getUrlDecoder.decode(s))
+    spark.udf.register("to_big_endian_64", (x: Long) =>
+      java.nio.ByteBuffer.allocate(8).putLong(x).array())
+    spark.udf.register("from_big_endian_64", (b: Array[Byte]) =>
+      java.nio.ByteBuffer.wrap(b).getLong)
+    spark.udf.register("to_big_endian_32", (x: Int) =>
+      java.nio.ByteBuffer.allocate(4).putInt(x).array())
+    spark.udf.register("from_big_endian_32", (b: Array[Byte]) =>
+      java.nio.ByteBuffer.wrap(b).getInt)
+    spark.udf.register("to_ieee754_32", (x: Float) =>
+      java.nio.ByteBuffer.allocate(4).putFloat(x).array())
+    spark.udf.register("from_ieee754_32", (b: Array[Byte]) =>
+      java.nio.ByteBuffer.wrap(b).getFloat)
+    spark.udf.register("to_ieee754_64", (x: Double) =>
+      java.nio.ByteBuffer.allocate(8).putDouble(x).array())
+    spark.udf.register("from_ieee754_64", (b: Array[Byte]) =>
+      java.nio.ByteBuffer.wrap(b).getDouble)
+    // truncate-toward-zero for doubles (MathFunctions.java truncate)
+    spark.udf.register("truncate", (d: Double) =>
+      if (d < 0) math.ceil(d) else math.floor(d))
+    spark.udf.register("fail", (msg: String) => {
+      throw new RuntimeException(msg); 0 // scalastyle:ignore
+    })
+    // JSONPath subset family over the shared jsonNode navigator
+    spark.udf.register("json_extract",
+      (j: String, p: String) => GraftFunctions.jsonQuery(j, p))
+    spark.udf.register("json_extract_scalar",
+      (j: String, p: String) => GraftFunctions.jsonValue(j, p))
+    spark.udf.register("is_json_scalar", (j: String) =>
+      if (j == null) null.asInstanceOf[java.lang.Boolean]
+      else GraftFunctions.isJsonScalar(j))
+    spark.udf.register("json_array_contains", (j: String, v: String) =>
+      GraftFunctions.jsonArrayContains(j, v))
+    spark.udf.register("json_array_get", (j: String, i: Long) =>
+      GraftFunctions.jsonArrayGet(j, i))
+    spark.udf.register("multimap_from_entries", (a: Seq[org.apache.spark.sql.Row]) =>
+      if (a == null) null
+      else {
+        // string-typed specialization of the reference's generic
+        // multimap_from_entries; insertion order per key is preserved
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
+        a.foreach(r => m.update(r.getString(0),
+          m.getOrElse(r.getString(0), Nil) :+ r.getString(1)))
+        m.toMap
+      })
+    spark.udf.register("from_iso8601_timestamp_nanos",
+      (s: String) => if (s == null) null
+      else DateTimeCompat.fromIso8601Timestamp(s))
+  }
+}

@@ -202,12 +202,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       (children: Seq[Expression]) =>
         RollingFingerprint(children(0), children(1), children(2))))
+    // exact-name compatibility pack (r13 registry audit)
+    CompatAliases.inject(e)
     // optimizer extension surface (Rule[LogicalPlan])
     e.injectOptimizerRule(_ => graft.plans.IdempotentCollectionOps)
   }
 
   // --------------------------------------------------------- UDF layer
   def registerUdfs(spark: SparkSession): Unit = {
+    CompatAliases.registerUdfs(spark)
     spark.udf.register("word_stem", (s: String) => wordStem(s))
     spark.udf.register("lang_id", (s: String) => langId(s))
     spark.udf.register("ngrams",
@@ -582,6 +585,48 @@ object GraftFunctions {
     val node = jsonNode(j, path)
     if (node == null || node.isNull) null
     else node.toString
+  }
+
+  /** is_json_scalar (reference JsonFunctions.java): valid JSON whose
+    * top-level value is not an object/array. */
+  def isJsonScalar(j: String): java.lang.Boolean = {
+    val node = try jsonMapper.readTree(j) catch { case _: Exception => null }
+    if (node == null) false else !node.isContainerNode
+  }
+
+  /** json_array_contains(json, value): membership in a top-level JSON
+    * array; numeric values compare numerically, others by text. */
+  def jsonArrayContains(j: String, v: String): java.lang.Boolean = {
+    if (j == null || v == null) return null
+    val node = try jsonMapper.readTree(j) catch { case _: Exception => return null }
+    if (node == null || !node.isArray) return null
+    val asNum = try Some(v.toDouble) catch { case _: Exception => None }
+    val it = node.elements()
+    while (it.hasNext) {
+      val e = it.next()
+      val hit =
+        if (e.isNumber && asNum.isDefined) e.asDouble() == asNum.get
+        else if (e.isTextual) e.asText() == v
+        else if (e.isBoolean) e.asBoolean().toString == v
+        else false
+      if (hit) return true
+    }
+    false
+  }
+
+  /** json_array_get(json, index): element as JSON text; negative
+    * indices count from the end (reference JsonFunctions.java). */
+  def jsonArrayGet(j: String, i: Long): String = {
+    if (j == null) return null
+    val node = try jsonMapper.readTree(j) catch { case _: Exception => return null }
+    if (node == null || !node.isArray) return null
+    val n = node.size()
+    val idx = if (i < 0) n + i else i
+    if (idx < 0 || idx >= n) return null
+    val e = node.get(idx.toInt)
+    if (e == null || e.isNull) null
+    else if (e.isTextual) e.asText() // scalar string unquoted, like element_at
+    else e.toString
   }
 
   /** Luhn checksum validation (reference LuhnCheckFunction.java). */

@@ -265,3 +265,68 @@ case class MultimapAgg(
 
   override def prettyName: String = "multimap_agg"
 }
+
+/** `histogram(x) -> map<x, bigint>` — per-value occurrence counts
+  * (reference `aggregation/histogram/Histogram.java`): null inputs
+  * are ignored, per-group state is O(distinct values) with map-side
+  * partial aggregation. Shares the canonical-key machinery of
+  * [[MapAggBase]] so float -0.0/NaN and nested keys count as one
+  * bucket regardless of row representation. */
+case class HistogramAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends MapAggBase[mutable.LinkedHashMap[Any, Long]] {
+
+  override protected def keyType: DataType = child.dataType
+  override protected def valueType: DataType =
+    org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType =
+    MapType(keyType, valueType, valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): mutable.LinkedHashMap[Any, Long] =
+    mutable.LinkedHashMap.empty
+
+  override def update(b: mutable.LinkedHashMap[Any, Long],
+      input: InternalRow): mutable.LinkedHashMap[Any, Long] = {
+    val k = child.eval(input)
+    if (k != null) {
+      val copied = normKey(InternalRow.copyValue(k))
+      b.update(copied, b.getOrElse(copied, 0L) + 1L)
+    }
+    b
+  }
+
+  override def merge(b: mutable.LinkedHashMap[Any, Long],
+      o: mutable.LinkedHashMap[Any, Long]): mutable.LinkedHashMap[Any, Long] = {
+    o.foreach { case (k, n) => b.update(k, b.getOrElse(k, 0L) + n) }
+    b
+  }
+
+  override def eval(b: mutable.LinkedHashMap[Any, Long]): Any =
+    new ArrayBasedMapData(
+      new GenericArrayData(b.keysIterator.toArray),
+      new GenericArrayData(b.valuesIterator.map(Long.box).toArray))
+
+  override def serialize(b: mutable.LinkedHashMap[Any, Long]): Array[Byte] =
+    writeEntries(b.iterator.map { case (k, v) => (k, Long.box(v)) }, b.size)
+  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Long] = {
+    val b = createAggregationBuffer()
+    readEntries(bytes).foreach { case (k, v) =>
+      b.update(k, b.getOrElse(k, 0L) + v.asInstanceOf[Long])
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): HistogramAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HistogramAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): HistogramAgg = copy(child = c.head)
+
+  override def prettyName: String = "histogram"
+}

@@ -419,7 +419,46 @@ object Aggregates {
       |FROM orders WHERE o_orderkey <= 2000
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------- ag11 compat agg aliases
+  /** Aggregate spellings from the r13 registry audit
+    * ([[graft.functions.CompatAliases]]): approx_distinct (exact at
+    * the tiny per-group cardinality used here — HLL++ sparse mode),
+    * arbitrary (deterministic because its input is the group key),
+    * bitwise_and_agg/bitwise_or_agg, geometric_mean (transcendental —
+    * pinned under round-6 per the cross-libm rule), and the map-typed
+    * histogram rendered as canonical sorted text (maps have no stable
+    * cross-engine literal form; same device as ag6). */
+  def ag11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 2000)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_distinct(l_linestatus)").as("ad"),
+        expr("arbitrary(l_returnflag)").as("ar"),
+        expr("bitwise_and_agg(l_linenumber)").cast("long").as("ba"),
+        expr("bitwise_or_agg(l_linenumber)").cast("long").as("bo"),
+        expr("round(geometric_mean(CAST(l_quantity AS DOUBLE)), 6)").as("gm"),
+        expr("array_join(transform(array_sort(map_entries(histogram(l_linestatus))), " +
+          "e -> concat(e.key, ':', e.value)), ',')").as("h"))
+
+  val ag11Sql: String =
+    """WITH src AS (
+      |  SELECT * FROM lineitem WHERE l_orderkey <= 2000),
+      |hist AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS c
+      |  FROM src GROUP BY l_returnflag, l_linestatus)
+      |SELECT s.l_returnflag,
+      |  count(DISTINCT s.l_linestatus) AS ad,
+      |  s.l_returnflag AS ar,
+      |  CAST(bit_and(s.l_linenumber) AS BIGINT) AS ba,
+      |  CAST(bit_or(s.l_linenumber) AS BIGINT) AS bo,
+      |  round(exp(avg(ln(CAST(s.l_quantity AS DOUBLE)))), 6) AS gm,
+      |  (SELECT string_agg(h.l_linestatus || ':' || h.c, ',' ORDER BY h.l_linestatus)
+      |   FROM hist h WHERE h.l_returnflag = s.l_returnflag) AS h
+      |FROM src s GROUP BY s.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ag11_registry_aggs" -> ag11 _,
     "ag10_map_reduce_agg" -> ag10 _,
     "ag9_numeric_histogram" -> ag9 _,
     "ag1_minmax_by" -> ag1 _,
@@ -432,6 +471,7 @@ object Aggregates {
     "ag8_checksum" -> ag8 _)
 
   val oracle: Map[String, String] = Map(
+    "ag11_registry_aggs" -> ag11Sql,
     "ag10_map_reduce_agg" -> ag10Sql,
     "ag9_numeric_histogram" -> ag9Sql,
     "ag1_minmax_by" -> ag1Sql,

@@ -853,6 +853,65 @@ object Scalars {
       |  count(DISTINCT c_name) AS n64_distinct, count(*) AS n
       |FROM customer""".stripMargin
 
+  // --------------------------------------- sc21 compat alias pack
+  /** Exact-name registry compatibility (r13 audit vs the reference's
+    * `@ScalarFunction` inventory under `operator/scalar/`): the alias
+    * spellings added in [[graft.functions.CompatAliases]] exercised
+    * over real columns and pinned value-for-value against the oracle
+    * engine's native equivalents — ISO dow/doy/week/year_of_week,
+    * strpos/codepoint, combine_hash, logical/arithmetic shifts,
+    * truncate, to_unixtime, millisecond (via from_unixtime_nanos),
+    * big-endian and base64url codecs, split_to_map, trim_array, and
+    * the JSONPath extract family. */
+  def sc21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        expr("day_of_week(o_orderdate)").as("dw"),
+        expr("day_of_year(o_orderdate)").as("dy"),
+        expr("week(o_orderdate)").as("wk"),
+        expr("year_of_week(o_orderdate)").as("yw"),
+        expr("strpos(o_orderpriority, '-')").as("sp"),
+        expr("codepoint(substring(o_orderstatus, 1, 1))").cast("long").as("cp"),
+        expr("combine_hash(o_orderkey, o_custkey)").as("ch"),
+        expr("bitwise_left_shift(o_orderkey % 16, 2)").as("bl"),
+        expr("bitwise_right_shift(o_orderkey, 2)").as("br"),
+        expr("truncate(CAST(o_totalprice AS DOUBLE) / 100)").as("tr"),
+        expr("to_unixtime(CAST(o_orderdate AS TIMESTAMP))").as("ut"),
+        expr("millisecond(from_unixtime_nanos(o_orderkey * 1234567))").as("ms"),
+        expr("hex(to_big_endian_64(o_orderkey))").as("hb"),
+        expr("from_big_endian_64(to_big_endian_64(o_custkey))").as("rb"),
+        expr("to_base64url(to_big_endian_32(CAST(o_orderkey AS INT)))").as("bu"),
+        expr("element_at(split_to_map(concat('k=', o_orderstatus, ',x=1'), ',', '='), 'k')")
+          .as("sm"),
+        expr("array_join(trim_array(array(1, 2, 3), 1), ',')").as("ta"),
+        expr("json_extract_scalar(concat('{\"k\":', o_orderkey, '}'), '$.k')").as("je"),
+        expr("json_array_get(concat('[', o_custkey, ',', o_orderkey, ']'), -1)").as("jg"))
+
+  val sc21Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(isodow(o_orderdate) AS BIGINT) AS dw,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS dy,
+      |  CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+      |  CAST(isoyear(o_orderdate) AS BIGINT) AS yw,
+      |  CAST(strpos(o_orderpriority, '-') AS BIGINT) AS sp,
+      |  CAST(unicode(substring(o_orderstatus, 1, 1)) AS BIGINT) AS cp,
+      |  31 * o_orderkey + o_custkey AS ch,
+      |  (o_orderkey % 16) << 2 AS bl,
+      |  o_orderkey >> 2 AS br,
+      |  trunc(CAST(o_totalprice AS DOUBLE) / 100) AS tr,
+      |  CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS DOUBLE) / 1000000 AS ut,
+      |  ((o_orderkey * 1234567) // 1000 % 1000000) // 1000 AS ms,
+      |  upper(printf('%016x', o_orderkey)) AS hb,
+      |  o_custkey AS rb,
+      |  replace(replace(to_base64(unhex(printf('%08x', o_orderkey))), '+', '-'), '/', '_') AS bu,
+      |  o_orderstatus AS sm,
+      |  '1,2' AS ta,
+      |  CAST(o_orderkey AS VARCHAR) AS je,
+      |  CAST(o_orderkey AS VARCHAR) AS jg
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -875,7 +934,8 @@ object Scalars {
     "sc17_soundex" -> sc17 _,
     "sc18_durations" -> sc18 _,
     "sc19_timestamptz" -> sc19 _,
-    "sc20_spooky_hash" -> sc20 _)
+    "sc20_spooky_hash" -> sc20 _,
+    "sc21_registry_compat" -> sc21 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -898,5 +958,6 @@ object Scalars {
     "sc17_soundex" -> sc17Sql,
     "sc18_durations" -> sc18Sql,
     "sc19_timestamptz" -> sc19Sql,
-    "sc20_spooky_hash" -> sc20Sql)
+    "sc20_spooky_hash" -> sc20Sql,
+    "sc21_registry_compat" -> sc21Sql)
 }

@@ -184,6 +184,115 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(5) > 0.27 && row.getDouble(5) < 0.5)
   }
 
+  test("compat pack: scalar spellings evaluate with reference semantics") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    val r = spark.sql(
+      """SELECT strpos('graft engine', 'eng') AS sp,
+        |  codepoint('A') AS cp,
+        |  day_of_week(DATE'2026-08-13') AS dw,
+        |  day_of_year(DATE'2026-02-01') AS dy,
+        |  week(DATE'2026-01-08') AS wk,
+        |  year_of_week(DATE'2021-01-01') AS yw,
+        |  millisecond(TIMESTAMP'2026-08-13 01:02:03.456') AS ms,
+        |  to_unixtime(TIMESTAMP'1970-01-01 00:00:10') AS ut,
+        |  is_nan(nan()) AS nn,
+        |  bitwise_left_shift(1, 4) AS bl,
+        |  bitwise_right_shift(-8L, 1) AS br,
+        |  bitwise_right_shift_arithmetic(-8L, 1) AS ba,
+        |  combine_hash(2L, 5L) AS ch,
+        |  hex(from_hex('4a')) AS fh,
+        |  truncate(-3.7d) AS tr,
+        |  element_at(split_to_map('a=1,b=2', ',', '='), 'b') AS sm,
+        |  trim_array(array(1, 2, 3, 4), 2) AS ta,
+        |  json_extract('{"a":{"b":[1,2]}}', '$.a.b') AS je,
+        |  json_extract_scalar('{"a":"x"}', '$.a') AS js,
+        |  is_json_scalar('3') AS ijs,
+        |  json_array_contains('[1,2,3]', '2') AS jac,
+        |  json_array_get('["a","b","c"]', -1) AS jag
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 7L)            // strpos is 1-based
+    assert(r.getInt(1) == 65)
+    assert(r.getLong(2) == 4L)            // 2026-08-13 is a Thursday, ISO dow
+    assert(r.getLong(3) == 32L)
+    assert(r.getLong(4) == 2L)
+    assert(r.getLong(5) == 2020L)         // 2021-01-01 sits in ISO week 53/2020
+    assert(r.getLong(6) == 456L)
+    assert(r.getDouble(7) == 10.0)
+    assert(r.getBoolean(8))
+    assert(r.getInt(9) == 16)
+    assert(r.getLong(10) == 9223372036854775804L) // logical shift of -8
+    assert(r.getLong(11) == -4L)                  // arithmetic shift of -8
+    assert(r.getLong(12) == 67L)                  // 31*2+5
+    assert(r.getString(13) == "4A")
+    assert(r.getDouble(14) == -3.0)               // truncate toward zero
+    assert(r.getString(15) == "2")
+    assert(r.getSeq[Int](16) == Seq(1, 2))
+    assert(r.getString(17) == "[1,2]")
+    assert(r.getString(18) == "x")
+    assert(r.getBoolean(19))
+    assert(r.getBoolean(20))
+    assert(r.getString(21) == "c")
+  }
+
+  test("compat pack: binary codecs round-trip and tstz offsets extract") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    val r = spark.sql(
+      """SELECT from_big_endian_64(to_big_endian_64(-42L)) AS b64,
+        |  from_big_endian_32(to_big_endian_32(7)) AS b32,
+        |  from_ieee754_64(to_ieee754_64(2.5d)) AS d64,
+        |  from_ieee754_32(to_ieee754_32(CAST(1.5 AS FLOAT))) AS f32,
+        |  hex(to_big_endian_64(1L)) AS hb,
+        |  from_base64url(to_base64url(X'01FF')) AS bu,
+        |  timezone_hour(named_struct(
+        |    'instant', to_utc_timestamp(TIMESTAMP'2026-01-15 00:00:00', 'Asia/Kolkata'),
+        |    'zone', 'Asia/Kolkata')) AS th,
+        |  timezone_minute(named_struct(
+        |    'instant', to_utc_timestamp(TIMESTAMP'2026-01-15 00:00:00', 'Asia/Kolkata'),
+        |    'zone', 'Asia/Kolkata')) AS tm
+        |""".stripMargin).head()
+    assert(r.getLong(0) == -42L)
+    assert(r.getInt(1) == 7)
+    assert(r.getDouble(2) == 2.5)
+    assert(r.getFloat(3) == 1.5f)
+    assert(r.getString(4) == "0000000000000001")
+    assert(r.getAs[Array[Byte]](5).toSeq == Seq[Byte](1, -1))
+    assert(r.getLong(6) == 5L)  // +05:30 → hour 5
+    assert(r.getLong(7) == 30L) // +05:30 → minute 30
+  }
+
+  test("compat pack: aggregate spellings; checksum is order-independent") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    import org.apache.spark.sql.functions.expr
+    val df = spark.range(1, 5).selectExpr("id", "id % 2 AS k")
+    val r = df.agg(
+      expr("approx_distinct(id) AS ad"),
+      expr("arbitrary(id) AS ar"),
+      expr("bitwise_and_agg(id) AS ba"),
+      expr("bitwise_or_agg(id) AS bo"),
+      expr("geometric_mean(id) AS gm"),
+      expr("histogram(k) AS h")).head()
+    assert(r.getLong(0) == 4L) // HLL++ is exact at tiny cardinality
+    assert(r.getLong(1) >= 1L && r.getLong(1) <= 4L)
+    assert(r.getLong(2) == 0L)
+    assert(r.getLong(3) == 7L)
+    assert(math.abs(r.getDouble(4) - math.pow(24.0, 0.25)) < 1e-9)
+    assert(r.getMap[Long, Long](5) == Map(0L -> 2L, 1L -> 2L))
+    val a = spark.sql("SELECT checksum(x) AS c FROM VALUES (1), (2), (3) t(x)")
+      .head().getAs[Array[Byte]](0)
+    val b = spark.sql("SELECT checksum(x) AS c FROM VALUES (3), (1), (2) t(x)")
+      .head().getAs[Array[Byte]](0)
+    val c = spark.sql("SELECT checksum(x) AS c FROM VALUES (1), (2) t(x)")
+      .head().getAs[Array[Byte]](0)
+    assert(a.toSeq == b.toSeq)       // permutation-invariant
+    assert(a.toSeq != c.toSeq)       // sensitive to content
+    val withNull = spark.sql(
+      "SELECT checksum(x) AS c FROM VALUES (1), (CAST(NULL AS INT)) t(x)")
+      .head().getAs[Array[Byte]](0)
+    val without = spark.sql("SELECT checksum(x) AS c FROM VALUES (1) t(x)")
+      .head().getAs[Array[Byte]](0)
+    assert(withNull.toSeq != without.toSeq) // null rows count
+  }
+
   test("idempotent collection ops collapse via the injected optimizer rule") {
     graft.engine.Graft.registerAll(spark, sfDir)
     import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, SortArray}
