@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DataType
 
 /** Session + catalog bootstrap for the graft engine.
   *
@@ -118,8 +119,77 @@ object Graft {
     val perSession = relationCache.computeIfAbsent(spark,
       _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
     perSession.computeIfAbsent((dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+      _ => normalizeSchema(spark.read.parquet(s"$dir/$name.parquet"), name))
   }
+
+  /** Canonical LOGICAL column types per table — the types the whole
+    * 150+-query surface (and its oracle SQL) was written against.
+    * Generalizes the events lesson (r12: the driver re-typed one
+    * physical column and 16 queries died at analysis): the reference
+    * resolves table metadata per table at analysis time and never
+    * couples query semantics to a file's physical encoding
+    * (`core/trino-spi/.../connector/ConnectorMetadata.java`
+    * getTableMetadata), so any physical drift the generator ships —
+    * int width flips, DECIMAL vs DOUBLE money columns, DATE vs
+    * TIMESTAMP datekeys, float64 embeddings — is cast back to this
+    * logical schema at load. Unknown extra columns pass through;
+    * `events.ts`/`ts_ns` stay owned by [[events]]' dedicated
+    * nanos-vs-micros normalization. */
+  private val canonicalSchema: Map[String, Seq[(String, DataType)]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "events" -> Seq("event_id" -> LongType, "user_id" -> LongType,
+        "event_type" -> StringType, "value" -> DoubleType,
+        "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+  }
+
+  /** Cast any drifted column back to its canonical logical type; a
+    * no-op (same DataFrame) when nothing drifted, so the common path
+    * adds zero plan nodes. Nullability is not part of the contract. */
+  private[graft] def normalizeSchema(df: DataFrame, name: String): DataFrame =
+    canonicalSchema.get(name) match {
+      case None => df
+      case Some(cols) =>
+        import org.apache.spark.sql.functions.col
+        val want = cols.toMap
+        val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val drifted = want.exists { case (c, dt) =>
+          have.get(c).exists(d => !DataType.equalsIgnoreNullability(d, dt))
+        }
+        if (!drifted) df
+        else df.select(df.columns.toIndexedSeq.map { c =>
+          want.get(c) match {
+            case Some(dt) if !DataType.equalsIgnoreNullability(have(c), dt) =>
+              col(c).cast(dt).as(c)
+            case _ => col(c)
+          }
+        }: _*)
+    }
 
   /** Fingerprint of a source table's files (mtime ^ size, xor-folded),
     * for keying derived fixtures (sink paths, CTAS/bucketed catalog

@@ -73,6 +73,50 @@ class EventsSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ns.toSeq == Seq(1700000000123456000L, 1700000001654321000L, 1700000002999999000L))
   }
 
+  test("load() casts physical drift back to the canonical logical schema") {
+    // The generalized r12 lesson: money goes DECIMAL, int widths flip,
+    // datekeys go DATE, embeddings go float64 — the query surface must
+    // keep seeing the logical types it was written against.
+    val dir = Files.createTempDirectory("graft-drift").toString
+    val spk = spark
+    import spk.implicits._
+    Seq((1L, 2L, 3L, 4L, "10.50", "1000.25", "0.05", "0.02", "N", "O", "2026-01-15"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "ln", "q", "ep", "d", "t",
+        "l_returnflag", "l_linestatus", "sd")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("ln").cast("bigint").as("l_linenumber"),           // INT -> BIGINT drift
+        col("q").cast("decimal(12,2)").as("l_quantity"),       // DOUBLE -> DECIMAL drift
+        col("ep").cast("decimal(12,2)").as("l_extendedprice"),
+        col("d").cast("decimal(12,2)").as("l_discount"),
+        col("t").cast("decimal(12,2)").as("l_tax"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("sd").cast("date").as("l_shipdate"))               // TIMESTAMP -> DATE drift
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((7L, Array(1.0, 0.0), 1L))
+      .toDF("vec_id", "embedding", "label")                    // float64 + BIGINT label drift
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val li = graft.engine.Graft.load(spark, dir, "lineitem")
+    import org.apache.spark.sql.types._
+    assert(li.schema("l_linenumber").dataType == IntegerType)
+    assert(li.schema("l_quantity").dataType == DoubleType)
+    assert(li.schema("l_extendedprice").dataType == DoubleType)
+    assert(li.schema("l_shipdate").dataType == TimestampNTZType)
+    val r = li.head()
+    assert(r.getAs[Double]("l_quantity") == 10.5)
+    assert(r.getAs[Double]("l_extendedprice") == 1000.25)
+
+    val em = graft.engine.Graft.load(spark, dir, "embeddings")
+    assert(em.schema("embedding").dataType == ArrayType(FloatType))
+    assert(em.schema("label").dataType == IntegerType)
+    assert(em.head().getAs[scala.collection.Seq[Float]]("embedding").toSeq ==
+      Seq(1.0f, 0.0f))
+
+    // Undrifted data takes the zero-cost path: the SAME DataFrame object.
+    val canonical = graft.engine.Graft.load(spark, "/root/testdata/sf0.001", "lineitem")
+    assert(graft.engine.Graft.normalizeSchema(canonical, "lineitem") eq canonical)
+  }
+
   test("registerAll is per-table defensive: one broken table cannot zero the catalog") {
     val dir = Files.createTempDirectory("graft-broken-events").toString
     val spk = spark
