@@ -1095,6 +1095,62 @@ object Pipeline {
       |  FROM documents)
       |GROUP BY source""".stripMargin
 
+  // ------------------------------- p21 benchmark decontamination
+  /** Train/eval contamination check — the decontamination pass a
+    * pretraining pipeline runs so benchmark (eval) text does not leak
+    * into the training corpus: for each eval document, the fraction
+    * of its distinct word 5-grams that appear anywhere in the train
+    * split, flagged contaminated past 50%. Distinct from pairwise
+    * near-dup (p3/p17): the question is membership against the WHOLE
+    * train corpus, not similarity between document pairs.
+    *
+    * Scale shape: the eval side is small by nature (benchmarks are
+    * thousands of docs, the corpus is billions), so its gram set
+    * broadcasts and the train corpus is ONE scan + explode +
+    * broadcast semi-join + partial count — the 100 TB side never
+    * shuffles on gram text, and no gram list is ever collected per
+    * key (distinct gram pairs aggregate map-side). */
+  def p21(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalGrams = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("eval_id"),
+        explode(array_distinct(
+          call_function("word_ngrams", col("text"), lit(5)))).as("g"))
+    val trainHits = docs.filter(col("doc_id") >= 50)
+      .select(explode(array_distinct(
+        call_function("word_ngrams", col("text"), lit(5)))).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("eval_id"), col("g")).distinct()
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hit"))
+    evalGrams.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+      .join(trainHits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contam_frac"))
+      .withColumn("contaminated", col("contam_frac") > 0.5)
+  }
+
+  val p21Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+      |  FROM words, unnest(generate_series(1, len(w) - 4)) AS u(i)),
+      |ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id < 50),
+      |tr AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 50),
+      |hits AS (
+      |  SELECT eval_id, count(*) AS n_hit
+      |  FROM (SELECT DISTINCT ev.eval_id, ev.g FROM ev JOIN tr USING (g))
+      |  GROUP BY eval_id)
+      |SELECT ev.eval_id, count(*) AS n_grams,
+      |  coalesce(any_value(hits.n_hit), 0) AS n_contaminated,
+      |  CAST(coalesce(any_value(hits.n_hit), 0) AS DOUBLE) / count(*) AS contam_frac,
+      |  CAST(coalesce(any_value(hits.n_hit), 0) AS DOUBLE) / count(*) > 0.5 AS contaminated
+      |FROM ev LEFT JOIN hits ON ev.eval_id = hits.eval_id
+      |GROUP BY ev.eval_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
     "p2_dedup_keeper" -> p2 _,
@@ -1115,7 +1171,8 @@ object Pipeline {
     "p17_ngram_jaccard" -> p17 _,
     "p18_repetition_metrics" -> p18 _,
     "p19_sequence_packing" -> p19 _,
-    "p20_domain_mix" -> p20 _)
+    "p20_domain_mix" -> p20 _,
+    "p21_decontamination" -> p21 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -1137,5 +1194,6 @@ object Pipeline {
     "p17_ngram_jaccard" -> p17Sql,
     "p18_repetition_metrics" -> p18Sql,
     "p19_sequence_packing" -> p19Sql,
-    "p20_domain_mix" -> p20Sql)
+    "p20_domain_mix" -> p20Sql,
+    "p21_decontamination" -> p21Sql)
 }

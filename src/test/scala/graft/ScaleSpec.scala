@@ -248,6 +248,17 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.getLong(1) <= agg.getLong(0))
   }
 
+  test("p21 decontamination broadcasts the eval grams; train corpus never shuffles on gram text") {
+    val df = graft.queries.Pipeline.queries("p21_decontamination")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval-gram side must broadcast into the train scan:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning(g#") &&
+      !plan.contains("Exchange hashpartitioning(g,"),
+      s"train grams must not shuffle on gram text:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("p20 deterministic mix sampling is one scan-side agg; rate-1.0 keeps all") {
     val df = graft.queries.Pipeline.queries("p20_domain_mix")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
