@@ -124,6 +124,8 @@ object CompatAliases {
     fn(e, "checksum", c => ChecksumAgg(c.head))
     fn(e, "histogram", c => HistogramAgg(c.head))
     fn(e, "approx_set", c => KmvDigestAgg(c.head))
+    fn(e, "make_set_digest", c => KmvDigestAgg(c.head))
+    fn(e, "merge_set_digest", c => KmvMergeAgg(c.head))
   }
 
   // --------------------------------------------------------- UDF layer
@@ -181,5 +183,13 @@ object CompatAliases {
     spark.udf.register("from_iso8601_timestamp_nanos",
       (s: String) => if (s == null) null
       else DateTimeCompat.fromIso8601Timestamp(s))
+    // hash_counts (reference type/setdigest/SetDigestFunctions.java):
+    // the retained KMV hashes as map<hash, count>. Our digest stores
+    // the distinct-hash set without multiplicities, so every count is
+    // 1 — documented divergence (the reference tracks a short count
+    // per hash for its exact-intersection path).
+    spark.udf.register("hash_counts", (b: Array[Byte]) =>
+      if (b == null) null
+      else KmvDigest.deserialize(b).hashes.map(h => h -> 1.toShort).toMap)
   }
 }

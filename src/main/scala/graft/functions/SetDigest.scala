@@ -222,3 +222,45 @@ case class IntersectionCardinality(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "intersection_cardinality"
 }
+
+/** `merge_set_digest(binary) -> binary` — re-aggregation of serialized
+  * KMV set digests (reference `type/setdigest/MergeSetDigestAggregation
+  * .java`): the two-level pattern for distinct-count/overlap sketches —
+  * digest each shard, persist the O(k) binaries, re-merge only the
+  * binaries. */
+case class KmvMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvDigest] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): KmvDigest =
+    new KmvDigest(KmvDigest.DefaultK)
+
+  override def update(b: KmvDigest, input: InternalRow): KmvDigest = {
+    val v = child.eval(input)
+    if (v != null)
+      b.merge(KmvDigest.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+
+  override def merge(b: KmvDigest, o: KmvDigest): KmvDigest = { b.merge(o); b }
+
+  override def eval(b: KmvDigest): Any = b.serialize()
+  override def serialize(b: KmvDigest): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): KmvDigest =
+    KmvDigest.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvMergeAgg = copy(child = c.head)
+
+  override def prettyName: String = "merge_set_digest"
+}

@@ -291,6 +291,18 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val without = spark.sql("SELECT checksum(x) AS c FROM VALUES (1) t(x)")
       .head().getAs[Array[Byte]](0)
     assert(withNull.toSeq != without.toSeq) // null rows count
+    // two-level set digest: per-shard make_set_digest re-merged by
+    // merge_set_digest equals the single-level digest, bit for bit
+    val oneLevel = spark.range(0, 500).agg(expr("make_set_digest(id) AS d"))
+      .head().getAs[Array[Byte]](0)
+    val twoLevel = spark.range(0, 500).selectExpr("id % 4 AS shard", "id")
+      .groupBy("shard").agg(expr("make_set_digest(id) AS d"))
+      .agg(expr("merge_set_digest(d) AS d"))
+      .head().getAs[Array[Byte]](0)
+    assert(oneLevel.toSeq == twoLevel.toSeq)
+    val hc = spark.range(0, 500).agg(expr("hash_counts(make_set_digest(id)) AS hc"))
+      .head().getAs[Map[Long, Short]](0)
+    assert(hc.nonEmpty && hc.values.forall(_ == 1))
   }
 
   test("idempotent collection ops collapse via the injected optimizer rule") {
