@@ -144,4 +144,69 @@ object Ops {
       .select(left.columns.map(col) ++
         rightPayload.map(c => col("__pl")(c).as(c)): _*)
   }
+
+  /** Connected components over an undirected edge list — the cluster-
+    * resolution step a dedup pipeline needs between candidate-pair
+    * generation (LSH / fingerprint joins) and keeper selection: near-
+    * dup similarity is not transitive, but the de-listing decision is,
+    * so pairs must be closed into components first.
+    *
+    * Iterative min-label propagation: every vertex starts labeled
+    * with its own id; each round replaces the label with the minimum
+    * over itself and its neighbors' labels, until a fixpoint. Rounds
+    * needed = graph diameter, and near-dup components are dense
+    * near-cliques (tiny diameter), so the loop converges in 2–4
+    * rounds in practice; `maxIter` bounds the worst case.
+    *
+    * Scale shape: each round is one shuffle on vertex id (a groupBy
+    * min over the edge list) plus a join back to the label table —
+    * both partition by the same key, no all-pairs, per-key state is
+    * one long. Convergence is detected by the monotone label sum
+    * (labels only ever decrease), one cheap action per round; each
+    * round's result is `localCheckpoint`ed, which BOTH materializes
+    * the rows and truncates the logical plan to the checkpointed RDD.
+    * Truncation is the load-bearing half: persist alone caches rows
+    * but leaves round N's plan nesting round N-1's, and Catalyst's
+    * re-analysis cost goes superlinear with iteration count. (On a
+    * real cluster, swap in reliable `checkpoint` — same semantics,
+    * survives executor loss.)
+    *
+    * Input must have long columns `src`,`dst` (one row per edge, any
+    * orientation). Output: `vertex`, `component` (= min vertex id in
+    * the component); isolated vertices never appear because they
+    * carry no edge.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 12): DataFrame = {
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .union(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("component"))
+      .localCheckpoint(true)
+    def sumOf(df: DataFrame): Long = df
+      .agg(coalesce(org.apache.spark.sql.functions.sum(col("component")), lit(0L)))
+      .head().getLong(0)
+    var labelSum = sumOf(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = und.join(labels, und("dst") === labels("vertex"))
+        .groupBy(und("src").as("v")).agg(min(col("component")).as("nmin"))
+      val next = labels.join(nbrMin, labels("vertex") === nbrMin("v"), "left")
+        .select(col("vertex"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val nextSum = sumOf(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
 }

@@ -1151,6 +1151,85 @@ object Pipeline {
       |FROM ev LEFT JOIN hits ON ev.eval_id = hits.eval_id
       |GROUP BY ev.eval_id""".stripMargin
 
+  // ------------------------------- p22 near-dup cluster resolution
+  /** The step a dedup pipeline needs BETWEEN candidate pairs and
+    * deletion decisions: near-dup similarity (p3's ≥0.8 Jaccard
+    * pairs) is not transitive, so pairwise output alone cannot decide
+    * which docs to drop — pairs must first close into connected
+    * components, then ONE keeper survives per component. Components
+    * come from `Ops.connectedComponents` (iterative min-label
+    * propagation, one key-partitioned shuffle per round, rounds =
+    * component diameter — near-dup clusters are near-cliques, so 2–4);
+    * the keeper is the longest doc (ties → smallest id) via one
+    * window rank over the component key.
+    *
+    * Oracle: DuckDB recursive-CTE transitive closure over the same
+    * pair set — a different algorithm (all-pairs reachability, fine
+    * at oracle scale, quadratic at real scale) arriving at the same
+    * component labeling, which is exactly what makes it an oracle
+    * rather than a reimplementation. */
+  def p22(s: SparkSession, dir: String): DataFrame = {
+    val pairs = p3(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = graft.operators.Ops.connectedComponents(pairs)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val labeled = cc.join(docs, cc("vertex") === docs("doc_id"))
+      .select(col("doc_id"), col("component").as("cluster_id"), col("n_chars"))
+    val keepW = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labeled
+      .withColumn("rk", row_number().over(keepW))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("rk") === 1).as("is_keeper"))
+  }
+
+  val p22Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], ' '))) AS shingles
+      |  FROM words),
+      |mh AS (
+      |  SELECT doc_id, list_transform(generate_series(1, 8),
+      |    s -> list_min(list_transform(shingles, g -> md5(s || ':' || g)))) AS mhs
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, b.band,
+      |    md5(mhs[b.band * 2 + 1] || '|' || mhs[b.band * 2 + 2]) AS bh
+      |  FROM mh, unnest(generate_series(0, 3)) AS b(band)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+      |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
+      |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src),
+      |sized AS (
+      |  SELECT l.doc_id, l.cluster_id,
+      |    count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+      |    row_number() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY d.n_chars DESC, l.doc_id) AS rk
+      |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id)
+      |SELECT doc_id, cluster_id, cluster_size, rk = 1 AS is_keeper
+      |FROM sized""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
     "p2_dedup_keeper" -> p2 _,
@@ -1172,7 +1251,8 @@ object Pipeline {
     "p18_repetition_metrics" -> p18 _,
     "p19_sequence_packing" -> p19 _,
     "p20_domain_mix" -> p20 _,
-    "p21_decontamination" -> p21 _)
+    "p21_decontamination" -> p21 _,
+    "p22_neardup_clusters" -> p22 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -1195,5 +1275,6 @@ object Pipeline {
     "p18_repetition_metrics" -> p18Sql,
     "p19_sequence_packing" -> p19Sql,
     "p20_domain_mix" -> p20Sql,
-    "p21_decontamination" -> p21Sql)
+    "p21_decontamination" -> p21Sql,
+    "p22_neardup_clusters" -> p22Sql)
 }

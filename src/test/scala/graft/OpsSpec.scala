@@ -178,4 +178,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getSeq[String](0)
     assert(viaSql == Seq("c", "a"))
   }
+
+  test("connectedComponents labels chains, cliques, and leaves singletons out") {
+    val spk = spark
+    import spk.implicits._
+    // chain 1-2-3 (diameter 2, needs >1 propagation round), pair 10-11,
+    // clique 20-21-22; vertex 99 exists only as... not at all (isolated)
+    val edges = Seq((2L, 1L), (2L, 3L), (11L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val out = Ops.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    val spk = spark
+    import spk.implicits._
+    // path 0-1-2-...-9: min label must travel 9 hops
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Ops.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 10 && out.values.forall(_ == 0L))
+    // empty edge list → empty labeling, no NPE on the sum action
+    val empty = Ops.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(empty.count() == 0L)
+  }
 }
