@@ -255,6 +255,38 @@ object DialectQueries {
       |  CAST(2 AS BIGINT) AS n_steps, ts_ns AS v_ts, nxt_ts AS p_ts
       |FROM o WHERE event_type = 'view' AND nxt_type = 'purchase'""".stripMargin
 
+  /** Collection-constructor sugar in the reference dialect
+    * (`SqlBase.g4` primaryExpression: ARRAY[…], ROW(…), MAP(…)):
+    * array literals become `array(…)`, the two-array map constructor
+    * becomes `map_from_arrays`, and anonymous rows become structs —
+    * whose lexicographic comparison semantics match row comparison,
+    * proven here by ordering (n_regionkey, n_name) pairs against the
+    * oracle's native row() comparison. element_at is 1-based in both
+    * engines (bare `[i]` subscripts deliberately pass through
+    * untranslated — Spark would read them 0-based). */
+  val dx8Reference: String =
+    """SELECT n_name,
+      |  element_at(ARRAY[n_nationkey, n_regionkey, 99], 3) AS third,
+      |  cardinality(ARRAY[n_nationkey, n_regionkey]) AS n_el,
+      |  element_at(MAP(ARRAY['low', 'high'], ARRAY[n_regionkey, n_nationkey + 100]), 'high') AS hi_val,
+      |  ROW(n_regionkey, n_name) < ROW(2, 'MOROCCO') AS before_morocco
+      |FROM nation""".stripMargin
+
+  def dx8(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx8Reference))
+  }
+
+  // n_el: Spark's cardinality returns INT (Trino's BIGINT — same
+  // strpos drift as dx1); the oracle casts to match the Spark type.
+  val dx8Sql: String =
+    """SELECT n_name,
+      |  ([n_nationkey, n_regionkey, 99])[3] AS third,
+      |  CAST(len([n_nationkey, n_regionkey]) AS INTEGER) AS n_el,
+      |  (map(['low', 'high'], [n_regionkey, n_nationkey + 100])['high'])[1] AS hi_val,
+      |  row(n_regionkey, n_name) < row(2, 'MOROCCO') AS before_morocco
+      |FROM nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dx1_reference_dialect" -> dx1 _,
     "dx2_quantified_cmp" -> dx2 _,
@@ -262,7 +294,8 @@ object DialectQueries {
     "dx4_mr_sql_all_rows" -> dx4 _,
     "dx5_unnest_sql" -> dx5 _,
     "dx6_tablesample_sql" -> dx6 _,
-    "dx7_mr_sql_funnel" -> dx7 _)
+    "dx7_mr_sql_funnel" -> dx7 _,
+    "dx8_constructors" -> dx8 _)
 
   val oracle: Map[String, String] = Map(
     "dx1_reference_dialect" -> dx1Sql,
@@ -270,5 +303,6 @@ object DialectQueries {
     "dx3_match_recognize_sql" -> dx3Sql,
     "dx4_mr_sql_all_rows" -> dx4Sql,
     "dx5_unnest_sql" -> dx5Sql,
-    "dx7_mr_sql_funnel" -> dx7Sql)
+    "dx7_mr_sql_funnel" -> dx7Sql,
+    "dx8_constructors" -> dx8Sql)
 }

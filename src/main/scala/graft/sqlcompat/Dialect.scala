@@ -191,8 +191,8 @@ object Dialect {
       m += 1
     }
 
-    parts.map {
-      case (seg, true) => seg // literal — untouched
+    val rendered = parts.map {
+      case (seg, true) => (seg, true) // literal — untouched
       case (seg, false) =>
         var out = seg
         for ((from, to) <- renames if from != to)
@@ -241,7 +241,66 @@ object Dialect {
         // this rewrite away from (`>= ANY (` must NOT become `>IN (`).
         out = out.replaceAll("(?i)(?<![<>!])=\\s*(?:ANY|SOME)\\s*\\(", "IN (")
         out = out.replaceAll("(?i)(?:<>|!=)\\s*ALL\\s*\\(", "NOT IN (")
-        out
+        (out, false)
+    }
+    constructorPass(rendered.toSeq)
+  }
+
+  /** Collection-constructor sugar (grammar `SqlBase.g4` primaryExpression
+    * ARRAY/ROW/MAP rules): `ARRAY[e1, …]` → `array(e1, …)`,
+    * `ROW(e1, …)` → `struct(e1, …)` (Spark compares structs
+    * lexicographically regardless of field names, matching row
+    * comparison semantics), and the two-array-literal map constructor
+    * `MAP(ARRAY[…], ARRAY[…])` → `map_from_arrays(array(…), array(…))`.
+    *
+    * ARRAY brackets nest and may span string-literal segments
+    * (`ARRAY['a', 'b']`), so the pass collapses the segment list into
+    * one string with literals swapped for bracket-free sentinels, runs
+    * a bracket-matching scan (a stack distinguishes ARRAY-literal `[`
+    * from subscript `[`, which is left alone — both engines index
+    * arrays 1-based… Spark does NOT, so subscripts deliberately pass
+    * through for Spark to evaluate 0-based and the user to write
+    * element_at, which IS 1-based in both), then re-expands the
+    * sentinels. `CAST(x AS ROW(…))` is NOT supported: the rename
+    * produces `AS struct(` which Spark rejects loudly (safe-by-failure
+    * posture, same as the AT TIME ZONE limitation above). */
+  private def constructorPass(segs: Seq[(String, Boolean)]): String = {
+    val lits = segs.collect { case (s, true) => s }
+    var li = -1
+    val canon = segs.map {
+      case (s, true) => li += 1; "\u0001" + li + "\u0002"
+      case (s, false) => s
     }.mkString
+
+    // map constructor first, so its ARRAY args are still spelled ARRAY
+    var out = canon.replaceAll("(?i)\\bMAP\\s*\\(\\s*(?=ARRAY\\s*\\[)",
+      "map_from_arrays(")
+    out = out.replaceAll("(?i)\\bROW\\s*\\(", "struct(")
+
+    val sb = new StringBuilder
+    val stack = scala.collection.mutable.Stack[Boolean]()
+    val arrayRe = "(?i)\\AARRAY\\s*\\[".r
+    var i = 0
+    while (i < out.length) {
+      val c = out.charAt(i)
+      val wordStart = i == 0 || !Character.isLetterOrDigit(out.charAt(i - 1)) &&
+        out.charAt(i - 1) != '_'
+      val m = if (wordStart && (c == 'A' || c == 'a'))
+        arrayRe.findFirstMatchIn(out.substring(i)) else None
+      m match {
+        case Some(mm) =>
+          sb ++= "array("; stack.push(true); i += mm.end
+        case None =>
+          if (c == '[') { stack.push(false); sb += c }
+          else if (c == ']' && stack.nonEmpty) {
+            sb ++= (if (stack.pop()) ")" else "]")
+          } else sb += c
+          i += 1
+      }
+    }
+
+    val litRe = "\u0001(\\d+)\u0002".r
+    litRe.replaceAllIn(sb.toString,
+      m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
   }
 }

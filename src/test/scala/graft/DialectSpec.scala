@@ -34,6 +34,28 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT CAST(x AS binary), CAST(y AS float)")
   }
 
+  test("collection constructors: ARRAY[...], ROW(...), MAP(ARRAY,ARRAY)") {
+    assert(Dialect.translate("SELECT ARRAY[1, 2, 3]") == "SELECT array(1, 2, 3)")
+    // nested array literals, string elements, and a subscript that
+    // must NOT be rewritten (stack distinguishes literal [ from index [)
+    assert(Dialect.translate("SELECT ARRAY[ARRAY['a', 'b'], ARRAY[c]], x[1]") ==
+      "SELECT array(array('a', 'b'), array(c)), x[1]")
+    assert(Dialect.translate("SELECT ROW(a, b) < ROW(1, 'z')") ==
+      "SELECT struct(a, b) < struct(1, 'z')")
+    assert(Dialect.translate("SELECT MAP(ARRAY['k'], ARRAY[v]) FROM t") ==
+      "SELECT map_from_arrays(array('k'), array(v)) FROM t")
+    // three-or-more-arg MAP and identifiers containing 'array' untouched
+    assert(Dialect.translate("SELECT MAP(ks, vs), my_array[2]") ==
+      "SELECT MAP(ks, vs), my_array[2]")
+    // executes end to end with 1-based element_at
+    val r = spark.sql(Dialect.translate(
+      "SELECT element_at(ARRAY[10, 20], 2) AS e, " +
+        "element_at(MAP(ARRAY['a'], ARRAY[7]), 'a') AS m, " +
+        "ROW(1, 'b') < ROW(1, 'c') AS lt"))
+      .head()
+    assert(r.getInt(0) == 20 && r.getInt(1) == 7 && r.getBoolean(2))
+  }
+
   test("TRY division maps to try_divide") {
     assert(Dialect.translate("SELECT TRY(a / b) FROM t").replaceAll("\\s", "") ==
       "SELECTtry_divide(a,b)FROMt")
