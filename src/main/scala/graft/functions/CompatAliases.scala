@@ -91,6 +91,31 @@ object CompatAliases {
     fn(e, "from_hex", c => new Unhex(c.head))
     fn(e, "from_base64", c => new UnBase64(c.head))
 
+    // ---- crypto digests (VarbinaryFunctions.java): the reference
+    // returns VARBINARY; Spark's sha2 emits lowercase hex, so unhex
+    // recovers the raw digest bytes.
+    fn(e, "sha256", c => new Unhex(Sha2(c.head, Literal(256))))
+    fn(e, "sha512", c => new Unhex(Sha2(c.head, Literal(512))))
+
+    // ---- lambda predicates (ArrayFunctions all_match/any_match/
+    // none_match): lower onto Spark's forall/exists expressions —
+    // identical three-valued logic (null element result + no TRUE →
+    // NULL); none_match is the reference's own complement-of-any
+    // definition.
+    fn(e, "all_match", c => ArrayForAll(c(0), c(1)))
+    fn(e, "any_match", c => ArrayExists(c(0), c(1)))
+    // NOT(exists) would put a non-HOF at the root, which the analyzer
+    // rejects for lambda calls — so negate INSIDE the lambda instead:
+    // forall(x -> NOT f(x)) has the identical 3VL truth table
+    // (false iff some f TRUE; NULL iff none TRUE and some NULL).
+    fn(e, "none_match", c => c(1) match {
+      case lf: LambdaFunction => ArrayForAll(c(0), lf.copy(function = Not(lf.function)))
+      case other => ArrayForAll(c(0), other)
+    })
+
+    // ---- numeric constants (MathFunctions.java)
+    fn(e, "infinity", _ => Literal(Double.PositiveInfinity))
+
     // ---- maps / arrays
     fn(e, "split_to_map", c => new StringToMap(c(0), c(1), c(2)))
     fn(e, "trim_array", c =>
@@ -126,6 +151,7 @@ object CompatAliases {
     fn(e, "approx_set", c => KmvDigestAgg(c.head))
     fn(e, "make_set_digest", c => KmvDigestAgg(c.head))
     fn(e, "merge_set_digest", c => KmvMergeAgg(c.head))
+    fn(e, "map_agg", c => MapAgg(c(0), c(1)))
   }
 
   // --------------------------------------------------------- UDF layer
@@ -155,6 +181,13 @@ object CompatAliases {
     // truncate-toward-zero for doubles (MathFunctions.java truncate)
     spark.udf.register("truncate", (d: Double) =>
       if (d < 0) math.ceil(d) else math.floor(d))
+    // murmur3(varbinary) -> 16-byte varbinary (VarbinaryFunctions.java
+    // murmur3 via airlift Murmur3Hash128: x64_128 variant, seed 0,
+    // little-endian h1 then h2 — exactly Guava's murmur3_128 byte
+    // layout, and Guava ships on Spark's classpath already).
+    spark.udf.register("murmur3", (b: Array[Byte]) =>
+      if (b == null) null
+      else com.google.common.hash.Hashing.murmur3_128().hashBytes(b).asBytes())
     spark.udf.register("fail", (msg: String) => {
       throw new RuntimeException(msg); 0 // scalastyle:ignore
     })

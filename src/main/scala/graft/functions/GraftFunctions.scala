@@ -237,6 +237,8 @@ object GraftFunctions {
       (s: String, ed: String, kd: String) => splitToMultimap(s, ed, kd))
     spark.udf.register("format_number", (v: Long) => formatNumber(v))
     spark.udf.register("parse_data_size", (s: String) => parseDataSize(s))
+    // legacy spelling kept by the reference for compatibility
+    spark.udf.register("parse_presto_data_size", (s: String) => parseDataSize(s))
     spark.udf.register("human_readable_seconds",
       (d: Double) => humanReadableSeconds(d))
     spark.udf.register("hmac_sha256",

@@ -266,6 +266,72 @@ case class MultimapAgg(
   override def prettyName: String = "multimap_agg"
 }
 
+/** `map_agg(K, V) -> map<K,V>` (reference
+  * `aggregation/MapAggregationFunction.java`): one entry per distinct
+  * key, first-encountered value wins on duplicates — which value that
+  * is depends on partitioning/merge order, the same
+  * arbitrary-on-duplicates contract as the reference. Null keys are
+  * ignored (map keys cannot be null); null VALUES are kept. */
+case class MapAgg(
+    key: Expression,
+    value: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends MapAggBase[mutable.LinkedHashMap[Any, Any]] {
+
+  override protected def keyType: DataType = key.dataType
+  override protected def valueType: DataType = value.dataType
+
+  override def dataType: DataType =
+    MapType(keyType, valueType, valueContainsNull = value.nullable)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(key, value)
+
+  override def createAggregationBuffer(): mutable.LinkedHashMap[Any, Any] =
+    mutable.LinkedHashMap.empty
+
+  override def update(b: mutable.LinkedHashMap[Any, Any],
+      input: InternalRow): mutable.LinkedHashMap[Any, Any] = {
+    val k = key.eval(input)
+    if (k != null) {
+      val copied = normKey(InternalRow.copyValue(k))
+      if (!b.contains(copied))
+        b.update(copied, InternalRow.copyValue(value.eval(input)))
+    }
+    b
+  }
+
+  override def merge(b: mutable.LinkedHashMap[Any, Any],
+      o: mutable.LinkedHashMap[Any, Any]): mutable.LinkedHashMap[Any, Any] = {
+    o.foreach { case (k, v) => if (!b.contains(k)) b.update(k, v) }
+    b
+  }
+
+  override def eval(b: mutable.LinkedHashMap[Any, Any]): Any =
+    new ArrayBasedMapData(
+      new GenericArrayData(b.keysIterator.toArray),
+      new GenericArrayData(b.valuesIterator.toArray))
+
+  override def serialize(b: mutable.LinkedHashMap[Any, Any]): Array[Byte] =
+    writeEntries(b.iterator, b.size)
+  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Any] = {
+    val b = createAggregationBuffer()
+    readEntries(bytes).foreach { case (k, v) =>
+      if (!b.contains(k)) b.update(k, v)
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): MapAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MapAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MapAgg = copy(key = c(0), value = c(1))
+
+  override def prettyName: String = "map_agg"
+}
+
 /** `histogram(x) -> map<x, bigint>` — per-value occurrence counts
   * (reference `aggregation/histogram/Histogram.java`): null inputs
   * are ignored, per-group state is O(distinct values) with map-side

@@ -457,7 +457,26 @@ object Aggregates {
       |   FROM hist h WHERE h.l_returnflag = s.l_returnflag) AS h
       |FROM src s GROUP BY s.l_returnflag""".stripMargin
 
+  // ----------------------------------------------- ag12 map_agg
+  /** `map_agg(K, V)` under the oracle gate (reference
+    * `aggregation/MapAggregationFunction.java`): keys here are unique
+    * per group (nation keys within a region), so the
+    * arbitrary-on-duplicates contract doesn't bite and the canonical
+    * sorted-entries rendering is deterministic. */
+  def ag12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(expr(
+        "array_join(transform(array_sort(map_entries(map_agg(n_nationkey, n_name))), " +
+          "e -> concat(e.key, ':', e.value)), ',')").as("m"))
+
+  val ag12Sql: String =
+    """SELECT n_regionkey,
+      |  string_agg(n_nationkey || ':' || n_name, ',' ORDER BY n_nationkey) AS m
+      |FROM nation GROUP BY n_regionkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ag12_map_agg" -> ag12 _,
     "ag11_registry_aggs" -> ag11 _,
     "ag10_map_reduce_agg" -> ag10 _,
     "ag9_numeric_histogram" -> ag9 _,
@@ -471,6 +490,7 @@ object Aggregates {
     "ag8_checksum" -> ag8 _)
 
   val oracle: Map[String, String] = Map(
+    "ag12_map_agg" -> ag12Sql,
     "ag11_registry_aggs" -> ag11Sql,
     "ag10_map_reduce_agg" -> ag10Sql,
     "ag9_numeric_histogram" -> ag9Sql,

@@ -912,6 +912,33 @@ object Scalars {
       |  CAST(o_orderkey AS VARCHAR) AS jg
       |FROM orders WHERE o_orderkey <= 1000""".stripMargin
 
+  // --------------------------- sc22 registry compat, second batch
+  /** r13 audit stragglers under the oracle gate: the lambda predicates
+    * all_match/any_match/none_match (→ forall/exists, identical
+    * three-valued logic) and varbinary sha256 (→ unhex(sha2)); the
+    * oracle engine lacks sha512/murmur3, so those are pinned by unit
+    * vectors instead (FunctionsSpec). */
+  def sc22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(
+        col("n_name"),
+        expr("all_match(array(n_nationkey, n_regionkey), x -> x >= 0)").as("am"),
+        expr("any_match(array(n_nationkey, n_regionkey), x -> x > 20)").as("anym"),
+        expr("none_match(array(n_nationkey, n_regionkey), x -> x > 20)").as("nm"),
+        expr("all_match(array(n_nationkey, CAST(NULL AS BIGINT)), x -> x >= 0)").as("am_null"),
+        expr("lower(hex(sha256(encode(n_name, 'UTF-8'))))").as("sha"),
+        expr("infinity() > 1e308").as("inf_pos"))
+
+  val sc22Sql: String =
+    """SELECT n_name,
+      |  TRUE AS am,
+      |  n_nationkey > 20 AS anym,
+      |  NOT (n_nationkey > 20) AS nm,
+      |  CAST(NULL AS BOOLEAN) AS am_null,
+      |  sha256(n_name) AS sha,
+      |  TRUE AS inf_pos
+      |FROM nation""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -935,7 +962,8 @@ object Scalars {
     "sc18_durations" -> sc18 _,
     "sc19_timestamptz" -> sc19 _,
     "sc20_spooky_hash" -> sc20 _,
-    "sc21_registry_compat" -> sc21 _)
+    "sc21_registry_compat" -> sc21 _,
+    "sc22_registry_compat2" -> sc22 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -959,5 +987,6 @@ object Scalars {
     "sc18_durations" -> sc18Sql,
     "sc19_timestamptz" -> sc19Sql,
     "sc20_spooky_hash" -> sc20Sql,
-    "sc21_registry_compat" -> sc21Sql)
+    "sc21_registry_compat" -> sc21Sql,
+    "sc22_registry_compat2" -> sc22Sql)
 }

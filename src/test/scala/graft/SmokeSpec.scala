@@ -305,6 +305,44 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hc.nonEmpty && hc.values.forall(_ == 1))
   }
 
+  test("compat pack r13: digests, lambda predicates, map_agg") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    // NIST FIPS 180-4 vectors for "abc"; murmur3 is the x64_128
+    // public-domain vector (h1,h2 little-endian, seed 0 — airlift/
+    // Guava layout)
+    val r = spark.sql(
+      "SELECT hex(sha256(encode('abc', 'UTF-8'))) AS s256, " +
+        "hex(sha512(encode('abc', 'UTF-8'))) AS s512, " +
+        "hex(murmur3(encode('abc', 'UTF-8'))) AS mm, " +
+        "hex(murmur3(CAST('' AS BINARY))) AS mm_empty, " +
+        "parse_presto_data_size('2.3MB') AS ds, " +
+        "infinity() AS inf").head()
+    assert(r.getString(0).toLowerCase ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getString(1).toLowerCase ==
+      ("ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+        "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f"))
+    assert(r.getString(2).toLowerCase == "6778ad3f3f3f96b4522dca264174a23b")
+    assert(r.getString(3) == "00000000000000000000000000000000")
+    assert(r.getLong(4) == 2411725L) // 2.3*2^20 rounds half up
+    assert(r.getDouble(5).isPosInfinity)
+    // three-valued logic parity for the match predicates
+    val m = spark.sql(
+      "SELECT all_match(a, x -> x > 0) AS am, any_match(a, x -> x > 2) AS anym, " +
+        "none_match(a, x -> x > 2) AS nm, " +
+        "all_match(array(1, CAST(NULL AS INT)), x -> x > 0) AS am_null, " +
+        "any_match(array(1, CAST(NULL AS INT)), x -> x > 0) AS any_sc " +
+        "FROM VALUES (array(1, 2, 3)) t(a)").head()
+    assert(m.getBoolean(0) && m.getBoolean(1) && !m.getBoolean(2))
+    assert(m.isNullAt(3))          // TRUE+NULL -> NULL under 3VL
+    assert(m.getBoolean(4))        // one TRUE short-circuits the NULL
+    // map_agg: first value wins per key, null keys dropped, null values kept
+    val mm = spark.sql(
+      "SELECT map_agg(k, v) AS m FROM VALUES (1, 'a'), (2, CAST(NULL AS STRING)), " +
+        "(CAST(NULL AS INT), 'x') t(k, v)").head().getMap[Int, String](0)
+    assert(mm == Map(1 -> "a", 2 -> null))
+  }
+
   test("idempotent collection ops collapse via the injected optimizer rule") {
     graft.engine.Graft.registerAll(spark, sfDir)
     import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, SortArray}
