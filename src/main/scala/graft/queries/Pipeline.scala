@@ -1230,6 +1230,83 @@ object Pipeline {
       |SELECT doc_id, cluster_id, cluster_size, rk = 1 AS is_keeper
       |FROM sized""".stripMargin
 
+  // ------------------------------- p23 PII scrub census
+  /** The pre-training privacy pass: detect and redact
+    * email / IPv4 / phone tokens, reporting per-source counts and how
+    * many characters redaction removed. The corpus text is digit-free
+    * word salad, so each doc deterministically embeds 0–2 emails, one
+    * IP, and an every-other-doc phone number derived from its id —
+    * the extraction logic sees data-dependent, non-constant counts
+    * while staying exactly reproducible in the oracle.
+    *
+    * All three patterns use the regex subset Java and RE2 share (no
+    * backrefs/lookaround), so Spark and the oracle engine extract
+    * identical spans. At 100 TB this is one codegen scan (regexes are
+    * per-row, no shuffle of text) + a partial/final rollup per source. */
+  def p23(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "\\+1-555-\\d{4}"
+    val blob = concat(
+      substring(col("text"), 1, 80),
+      repeat(
+        concat(lit(" user"), (col("doc_id") % 97).cast("string"),
+          lit("@"), col("source"), lit(".example.com")),
+        3).substr(lit(1),
+          // repeat() takes a literal in the DataFrame API only via
+          // expr; emulate doc_id%3 repetitions by slicing the tripled
+          // string to n*unit length
+          ((col("doc_id") % 3) * length(concat(lit(" user"),
+            (col("doc_id") % 97).cast("string"), lit("@"), col("source"),
+            lit(".example.com")))).cast("int")),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+      lit("."), ((col("doc_id") * 13) % 256).cast("string"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(blob, email, "[EMAIL]"), phone, "[PHONE]"),
+      ip, "[IP]")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), blob.as("blob"), scrubbed.as("red"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("blob"), lit(email), lit(0))))
+          .as("n_emails"),
+        sum(size(regexp_extract_all(col("blob"), lit(ip), lit(0))))
+          .as("n_ips"),
+        sum(size(regexp_extract_all(col("blob"), lit(phone), lit(0))))
+          .as("n_phones"),
+        sum(length(col("blob")) - length(col("red"))).as("chars_removed"))
+  }
+
+  val p23Sql: String =
+    """WITH blobs AS (
+      |  SELECT doc_id, source,
+      |    substr(text, 1, 80)
+      |    || substr(repeat(' user' || (doc_id % 97) || '@' || source || '.example.com', 3),
+      |         1, CAST((doc_id % 3) * len(' user' || (doc_id % 97) || '@' || source || '.example.com') AS INTEGER))
+      |    || ' ip 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256)
+      |    || CASE WHEN doc_id % 2 = 0 THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |      AS blob
+      |  FROM documents),
+      |red AS (
+      |  SELECT source, blob,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(blob, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |        '\+1-555-\d{4}', '[PHONE]', 'g'),
+      |      '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS r
+      |  FROM blobs)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+      |  CAST(sum(len(regexp_extract_all(blob, '\b(\d{1,3}\.){3}\d{1,3}\b'))) AS BIGINT) AS n_ips,
+      |  CAST(sum(len(regexp_extract_all(blob, '\+1-555-\d{4}'))) AS BIGINT) AS n_phones,
+      |  CAST(sum(len(blob) - len(r)) AS BIGINT) AS chars_removed
+      |FROM red GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
     "p2_dedup_keeper" -> p2 _,
@@ -1252,7 +1329,8 @@ object Pipeline {
     "p19_sequence_packing" -> p19 _,
     "p20_domain_mix" -> p20 _,
     "p21_decontamination" -> p21 _,
-    "p22_neardup_clusters" -> p22 _)
+    "p22_neardup_clusters" -> p22 _,
+    "p23_pii_scrub" -> p23 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -1276,5 +1354,6 @@ object Pipeline {
     "p19_sequence_packing" -> p19Sql,
     "p20_domain_mix" -> p20Sql,
     "p21_decontamination" -> p21Sql,
-    "p22_neardup_clusters" -> p22Sql)
+    "p22_neardup_clusters" -> p22Sql,
+    "p23_pii_scrub" -> p23Sql)
 }
