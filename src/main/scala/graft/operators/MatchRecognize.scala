@@ -667,7 +667,13 @@ object MatchRecognize {
       measures: Seq[(SqlMeasure, String)],
       allRows: Boolean,
       skip: SkipMode = SkipMode.PastLastRow,
-      subsets: Map[String, Set[String]] = Map.empty): DataFrame = {
+      subsets: Map[String, Set[String]] = Map.empty,
+      showEmpty: Boolean = false,
+      withUnmatched: Boolean = false): DataFrame = {
+    require(!(showEmpty || withUnmatched) || allRows,
+      "SHOW EMPTY MATCHES / WITH UNMATCHED ROWS require ALL ROWS PER MATCH")
+    require(!(showEmpty && withUnmatched),
+      "SHOW EMPTY MATCHES and WITH UNMATCHED ROWS are mutually exclusive")
     import org.apache.spark.sql.types._
     val inSchema = df.schema
     val integral: Map[String, Boolean] = measures.collect {
@@ -680,9 +686,9 @@ object MatchRecognize {
         })
     }.toMap
     val measureFields = measures.map {
-      case (SqlMeasure.MatchNum, a) => StructField(a, LongType, nullable = false)
+      case (SqlMeasure.MatchNum, a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.Classifier, a) => StructField(a, StringType)
-      case (SqlMeasure.CountStar, a) => StructField(a, LongType, nullable = false)
+      case (SqlMeasure.CountStar, a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.Agg(fn, c), a) =>
         StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
     }
@@ -722,7 +728,33 @@ object MatchRecognize {
           Seq(Row.fromSeq(kCols.map(c => r0.get(r0.fieldIndex(c))) ++ mv))
       }.toDF()
     } else {
-      runCore(df, partCols, orderCols, pattern, define, skip, subsets, null, null) {
+      // SHOW EMPTY MATCHES: a zero-row match at row i emits one row —
+      // numbered, null classifier, COUNT 0, null aggregates — carrying
+      // row i's input columns. WITH UNMATCHED ROWS: rows in no match
+      // emit once with every measure null (the planner's null
+      // MATCH_NUMBER contract).
+      val emitEmptyFn: (Long, collection.IndexedSeq[Row], Int) => Row =
+        if (!showEmpty) null
+        else (matchNo, buf, i) => {
+          val r = buf(i)
+          val mv = meas.map {
+            case (SqlMeasure.MatchNum, _) => matchNo
+            case (SqlMeasure.Classifier, _) => null
+            case (SqlMeasure.CountStar, _) => 0L
+            case (SqlMeasure.Agg(_, _), _) => null
+          }
+          Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++
+            rCols.map(c => r.get(r.fieldIndex(c))))
+        }
+      val emitUnmatchedFn: (collection.IndexedSeq[Row], Int) => Row =
+        if (!withUnmatched) null
+        else (buf, j) => {
+          val r = buf(j)
+          Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++
+            meas.map(_ => null) ++ rCols.map(c => r.get(r.fieldIndex(c))))
+        }
+      runCore(df, partCols, orderCols, pattern, define, skip, subsets,
+        emitUnmatchedFn, emitEmptyFn) {
         (matchNo, buf, i, m) =>
           val aggs = meas.map {
             case (SqlMeasure.Agg(fn, c), _) => new RunAgg(fn, c, integ(c))

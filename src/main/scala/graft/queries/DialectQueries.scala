@@ -255,6 +255,115 @@ object DialectQueries {
       |  CAST(2 AS BIGINT) AS n_steps, ts_ns AS v_ts, nxt_ts AS p_ts
       |FROM o WHERE event_type = 'view' AND nxt_type = 'purchase'""".stripMargin
 
+  /** ALL ROWS PER MATCH WITH UNMATCHED ROWS as SQL TEXT (reference
+    * `SqlBase.g4` rowsPerMatch WITH UNMATCHED): the engine capability
+    * mr7 proves through the API, now reachable from the reference
+    * user's own query text. Every event row appears exactly once —
+    * rising-run rows carry RUNNING measures, unmatched rows carry all
+    * nulls. Oracle: mr7's relational run reconstruction re-shaped to
+    * the SQL-mode output schema. */
+  val dx9Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY event_id
+      |  MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS cls,
+      |           COUNT(*) AS rcnt, MAX(value) AS rmax
+      |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (U{2,})
+      |  DEFINE U AS value > PREV(value)
+      |)""".stripMargin
+
+  def dx9(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx9Reference,
+      name => Graft.load(s, dir, name)
+        .select(col("user_id"), col("event_id"), col("value")))
+  }
+
+  val dx9Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS isu
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(1 - isu) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM d),
+      |r2 AS (
+      |  SELECT *, sum(isu) OVER (PARTITION BY user_id, run_id) AS urows
+      |  FROM r)
+      |SELECT user_id, event_id,
+      |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY run_id) AS BIGINT) AS mno,
+      |  'U' AS cls,
+      |  CAST(row_number() OVER pr AS BIGINT) AS rcnt,
+      |  max(value) OVER (pr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax,
+      |  value
+      |FROM r2 WHERE isu = 1 AND urows >= 2
+      |WINDOW pr AS (PARTITION BY user_id, run_id ORDER BY event_id)
+      |UNION ALL
+      |SELECT user_id, event_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), value
+      |FROM r2 WHERE NOT (isu = 1 AND urows >= 2)""".stripMargin
+
+  /** ALL ROWS PER MATCH SHOW EMPTY MATCHES as SQL TEXT (reference
+    * `SqlBase.g4` emptyMatchHandling): with the zero-width-capable
+    * `D*`, every maximal falling run is one match and every other row
+    * anchors an EMPTY match — numbered in scan order with null
+    * classifier, COUNT 0, null aggregates, but still carrying the
+    * anchor row's columns. The engine capability mr8 proves through
+    * the API, now from query text. */
+  val dx10Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY event_id
+      |  MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS cls,
+      |           COUNT(*) AS rcnt, MIN(value) AS rmin
+      |  ALL ROWS PER MATCH SHOW EMPTY MATCHES
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (D*)
+      |  DEFINE D AS value < PREV(value)
+      |)""".stripMargin
+
+  def dx10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx10Reference,
+      name => Graft.load(s, dir, name)
+        .select(col("user_id"), col("event_id"), col("value")))
+  }
+
+  val dx10Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END AS isd
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(1 - isd) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_id
+      |  FROM d),
+      |anchors AS (
+      |  SELECT user_id, min(event_id) AS aord, run_id, TRUE AS matched
+      |  FROM r WHERE isd = 1 GROUP BY user_id, run_id
+      |  UNION ALL
+      |  SELECT user_id, event_id, NULL, FALSE FROM r WHERE isd = 0),
+      |numbered AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY aord) AS BIGINT) AS mno
+      |  FROM anchors)
+      |SELECT r.user_id, r.event_id, n.mno, 'D' AS cls,
+      |  CAST(row_number() OVER pr AS BIGINT) AS rcnt,
+      |  min(r.value) OVER (pr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin,
+      |  r.value
+      |FROM r JOIN numbered n ON n.matched AND n.user_id = r.user_id AND n.run_id = r.run_id
+      |WHERE r.isd = 1
+      |WINDOW pr AS (PARTITION BY r.user_id, r.run_id ORDER BY r.event_id)
+      |UNION ALL
+      |SELECT r.user_id, r.event_id, n.mno, CAST(NULL AS VARCHAR),
+      |  CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), r.value
+      |FROM r JOIN numbered n ON NOT n.matched AND n.user_id = r.user_id AND n.aord = r.event_id
+      |WHERE r.isd = 0""".stripMargin
+
   /** Collection-constructor sugar in the reference dialect
     * (`SqlBase.g4` primaryExpression: ARRAY[…], ROW(…), MAP(…)):
     * array literals become `array(…)`, the two-array map constructor
@@ -295,7 +404,9 @@ object DialectQueries {
     "dx5_unnest_sql" -> dx5 _,
     "dx6_tablesample_sql" -> dx6 _,
     "dx7_mr_sql_funnel" -> dx7 _,
-    "dx8_constructors" -> dx8 _)
+    "dx8_constructors" -> dx8 _,
+    "dx9_mr_sql_unmatched" -> dx9 _,
+    "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
     "dx1_reference_dialect" -> dx1Sql,
@@ -304,5 +415,7 @@ object DialectQueries {
     "dx4_mr_sql_all_rows" -> dx4Sql,
     "dx5_unnest_sql" -> dx5Sql,
     "dx7_mr_sql_funnel" -> dx7Sql,
-    "dx8_constructors" -> dx8Sql)
+    "dx8_constructors" -> dx8Sql,
+    "dx9_mr_sql_unmatched" -> dx9Sql,
+    "dx10_mr_sql_show_empty" -> dx10Sql)
 }

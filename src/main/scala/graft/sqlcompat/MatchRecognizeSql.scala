@@ -74,13 +74,25 @@ object MatchRecognizeSql {
       clause(body, "ORDER\\s+BY").getOrElse(fail("ORDER BY required")),
       "ORDER BY")
     val measuresTxt = clause(body, "MEASURES").getOrElse(fail("MEASURES required"))
-    val allRows = clause(body, "(?:ONE|ALL)\\s+ROWS?\\s+PER\\s+MATCH", keepKeyword = true)
-      .map(_.trim).map {
-        case k if k.matches("(?i)ONE\\s+ROW\\s+PER\\s+MATCH") => false
-        case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH") => true
-        case other => fail(s"unsupported rows-per-match clause: '$other' " +
-          "(empty-match handling / WITH UNMATCHED ROWS are not supported)")
-      }.getOrElse(false)
+    // rows-per-match: ONE ROW (default) | ALL ROWS with the standard's
+    // optional empty/unmatched handling (SqlBase.g4 rowsPerMatch):
+    // OMIT EMPTY MATCHES (the ALL ROWS default) | SHOW EMPTY MATCHES |
+    // WITH UNMATCHED ROWS
+    val (allRows, showEmpty, withUnmatched) =
+      clause(body, "(?:ONE|ALL)\\s+ROWS?\\s+PER\\s+MATCH", keepKeyword = true)
+        .map(_.trim).map {
+          case k if k.matches("(?i)ONE\\s+ROW\\s+PER\\s+MATCH") =>
+            (false, false, false)
+          case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH") =>
+            (true, false, false)
+          case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH\\s+OMIT\\s+EMPTY\\s+MATCHES") =>
+            (true, false, false)
+          case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH\\s+SHOW\\s+EMPTY\\s+MATCHES") =>
+            (true, true, false)
+          case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH\\s+WITH\\s+UNMATCHED\\s+ROWS") =>
+            (true, false, true)
+          case other => fail(s"unsupported rows-per-match clause: '$other'")
+        }.getOrElse((false, false, false))
     val skip = clause(body, "AFTER\\s+MATCH\\s+SKIP").map(_.trim).map {
       case s if s.matches("(?i)PAST\\s+LAST\\s+ROW") => SkipMode.PastLastRow
       case s if s.matches("(?i)TO\\s+NEXT\\s+ROW") => SkipMode.ToNextRow
@@ -146,7 +158,7 @@ object MatchRecognizeSql {
       }
 
     MatchRecognize.sqlRows(resolve(table), partCols, orderCols, pattern,
-      define, measures, allRows, skip, subsets)
+      define, measures, allRows, skip, subsets, showEmpty, withUnmatched)
   }
 
   private def fail(msg: String): Nothing =

@@ -334,6 +334,49 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.count() > 0)
   }
 
+  test("MATCH_RECOGNIZE SQL: WITH UNMATCHED ROWS and SHOW EMPTY MATCHES") {
+    import graft.sqlcompat.MatchRecognizeSql
+    val spk = spark
+    import spk.implicits._
+    // g=1: values 10,20,30 (rising run rows 2-3 after PREV), then 5
+    val ev = Seq((1, 1L, 10.0), (1, 2L, 20.0), (1, 3L, 30.0), (1, 4L, 5.0))
+      .toDF("g", "o", "v")
+    val un = MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY g ORDER BY o
+        |  MEASURES MATCH_NUMBER() AS mno, COUNT(*) AS c
+        |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |  PATTERN (U{2,})
+        |  DEFINE U AS v > PREV(v))""".stripMargin, _ => ev)
+      .orderBy("o").collect()
+    // rows 2,3 matched (match 1); rows 1,4 unmatched with null measures
+    assert(un.length == 4)
+    assert(un(0).isNullAt(2) && un(0).isNullAt(3))
+    assert(un(1).getLong(2) == 1L && un(1).getLong(3) == 1L)
+    assert(un(2).getLong(2) == 1L && un(2).getLong(3) == 2L)
+    assert(un(3).isNullAt(2))
+    val se = MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY g ORDER BY o
+        |  MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS cls, COUNT(*) AS c
+        |  ALL ROWS PER MATCH SHOW EMPTY MATCHES
+        |  PATTERN (D*)
+        |  DEFINE D AS v < PREV(v))""".stripMargin, _ => ev)
+      .orderBy("o").collect()
+    // rows 1-3 anchor empty matches (no fall), row 4 is a 1-row D match
+    assert(se.length == 4)
+    assert(se(0).getLong(2) == 1L && se(0).isNullAt(3) && se(0).getLong(4) == 0L)
+    assert(se(2).getLong(2) == 3L && se(2).getLong(4) == 0L)
+    assert(se(3).getLong(2) == 4L && se(3).getString(3) == "D" && se(3).getLong(4) == 1L)
+    // the two suffixes are mutually exclusive with ONE ROW PER MATCH
+    intercept[IllegalArgumentException](MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY g ORDER BY o
+        |  MEASURES COUNT(*) AS c
+        |  ONE ROW PER MATCH WITH UNMATCHED ROWS
+        |  PATTERN (U+) DEFINE U AS v > PREV(v))""".stripMargin, _ => ev))
+  }
+
   test("MATCH_RECOGNIZE SQL: unsupported forms fail loudly") {
     import graft.sqlcompat.MatchRecognizeSql
     val ev = graft.engine.Graft.load(spark, "/root/testdata/sf0.001", "events")
@@ -343,8 +386,9 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     bad("SELECT user_id FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES COUNT(*) AS n PATTERN (A) DEFINE A AS value > 0)")
     // DESC ordering (the engine sorts ascending only)
     bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id DESC MEASURES COUNT(*) AS n PATTERN (A) DEFINE A AS value > 0)")
-    // WITH UNMATCHED ROWS modifier on ALL ROWS PER MATCH
-    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES COUNT(*) AS n ALL ROWS PER MATCH WITH UNMATCHED ROWS PATTERN (A) DEFINE A AS value > 0)")
+    // malformed rows-per-match suffix (r13 supports SHOW/OMIT EMPTY
+    // MATCHES and WITH UNMATCHED ROWS; anything else still fails)
+    bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES COUNT(*) AS n ALL ROWS PER MATCH KEEP EVERYTHING PATTERN (A) DEFINE A AS value > 0)")
     // unsupported measure function
     bad("SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY event_id MEASURES STDDEV(value) AS s PATTERN (A) DEFINE A AS value > 0)")
     // measure over a nonexistent column
