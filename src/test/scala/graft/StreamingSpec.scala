@@ -59,6 +59,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("windowed sketch agg: streaming heavy-hitter summary equals batch") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = mkEvents()
+    val stream = MemoryStream[Ev]
+    // split across two micro-batches so the sketch buffer must merge
+    // through the state store, not just within one batch
+    val (a, b) = data.splitAt(data.length / 2)
+    stream.addData(a)
+    stream.addData(b)
+
+    val q = Streams.windowTopTypes(stream.toDF())
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sketch_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    val batch = Streams.windowTopTypes(data.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("session window: streaming sessions match batch sessions") {
     val spark = sparkSession
     import spark.implicits._
