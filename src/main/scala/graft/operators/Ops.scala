@@ -176,7 +176,13 @@ object Ops {
     * the component); isolated vertices never appear because they
     * carry no edge.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 12): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 12): DataFrame =
+    connectedComponentsStats(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to reach the fixpoint (ScaleSpec asserts rounds ≈ diameter —
+    * the property that makes the loop viable at scale). */
+  def connectedComponentsStats(edges: DataFrame, maxIter: Int = 12): (DataFrame, Int) = {
     val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
@@ -207,6 +213,6 @@ object Ops {
       iter += 1
     }
     und.unpersist()
-    labels
+    (labels, iter)
   }
 }

@@ -270,4 +270,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(src0.getLong(1) == src0.getLong(2),
       s"rate-1.0 source must keep every doc: $src0")
   }
+
+  test("p22 component propagation converges in ~diameter rounds, not maxIter") {
+    val spk = spark
+    import spk.implicits._
+    // near-dup clusters are near-cliques: a 40-vertex clique must
+    // close in a constant number of rounds (1 propagation + 1
+    // fixpoint confirmation), independent of cluster size
+    val clique = (for (i <- 0L until 40L; j <- (i + 1) until 40L) yield (i, j))
+      .toDF("src", "dst")
+    val (_, cliqueRounds) = graft.operators.Ops.connectedComponentsStats(clique)
+    assert(cliqueRounds <= 3, s"clique took $cliqueRounds rounds")
+    // a 9-hop path needs ~diameter rounds — linear in diameter, and
+    // the loop must stop AT convergence rather than padding to maxIter
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, pathRounds) = graft.operators.Ops.connectedComponentsStats(path, maxIter = 20)
+    assert(labels.collect().map(_.getLong(1)).forall(_ == 0L))
+    assert(pathRounds >= 9 && pathRounds <= 11, s"path took $pathRounds rounds")
+  }
+
+  test("p23 scrub census is one scan with a per-source rollup (no text shuffle)") {
+    val df = graft.queries.Pipeline.p23(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${plan.take(1500)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"census should shuffle once on source (partial/final agg):\n${plan.take(1500)}")
+  }
 }
