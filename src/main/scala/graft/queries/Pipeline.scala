@@ -1307,6 +1307,112 @@ object Pipeline {
       |  CAST(sum(len(blob) - len(r)) AS BIGINT) AS chars_removed
       |FROM red GROUP BY source""".stripMargin
 
+  // ------------------------------- p24 product-quantization ANN
+  /** The memory-bounded ANN path that completes the family (p4 brute
+    * force, p8 SRP-LSH, p11 IVF): product quantization compresses each
+    * 64-dim float vector to m=8 one-byte codes — at 100 TB the codes
+    * table is 8 bytes/vector instead of 256, small enough to keep the
+    * whole index in executor memory — and queries score by ASYMMETRIC
+    * distance: a per-query lookup table of (subspace, centroid) →
+    * exact subdistance, so the scan touches only codes, never raw
+    * vectors. One broadcast of the m×k codebook, one broadcast of the
+    * per-query LUT, zero shuffles of the embedding column after
+    * encoding; top-k plans as WindowGroupLimit.
+    *
+    * Codebooks are deterministic (the md5-ordered first k vectors'
+    * subvectors, the p11 centroid convention) so the oracle replays
+    * encoding + ADC exactly; the 8 subspace distances are summed in
+    * FIXED subspace order via a conditional-sum pivot, because a
+    * groupBy double-sum's addition order is partitioning-dependent. */
+  def p24(s: SparkSession, dir: String): DataFrame = {
+    val m = 8 // subspaces of 8 dims each
+    val k = 4 // centroids per subspace
+    def l2sq(a: Column, b: Column): Column =
+      expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, " +
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val e = t(s, dir, "embeddings")
+    val train = e
+      .select(md5(col("vec_id").cast("string")).as("r"), col("embedding"))
+      .orderBy(col("r")).limit(k)
+      .select(row_number().over(Window.orderBy(col("r"))).as("cid"),
+        col("embedding").as("ce"))
+    val subs = explode(sequence(lit(0), lit(m - 1))).as("sub")
+    val cb = train.select(col("cid"), col("ce"), subs)
+      .select(col("sub"), col("cid"),
+        slice(col("ce"), col("sub") * 8 + 1, lit(8)).as("cv"))
+    val sliced = e.select(col("vec_id"), col("embedding"), subs)
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * 8 + 1, lit(8)).as("sv"))
+    val nearest = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("cid"))
+    val codes = sliced.join(broadcast(cb), "sub")
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(nearest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    val lut = sliced.filter(col("vec_id") < 10)
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id").as("qid"), col("sub").as("qsub"),
+        col("cid").as("qcid"), l2sq(col("sv"), col("cv")).as("qd"))
+    val adc = codes
+      .join(broadcast(lut),
+        col("sub") === col("qsub") && col("code") === col("qcid") &&
+          col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(when(col("sub") === 0, col("qd"))).as("qd0"),
+        (1 until m).map(i =>
+          sum(when(col("sub") === i, col("qd"))).as(s"qd$i")): _*)
+      .select(col("qid"), col("vec_id"),
+        (0 until m).map(i => col(s"qd$i")).reduce(_ + _).as("adc_dist"))
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    adc.withColumn("rn", row_number().over(topk))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("adc_dist"))
+  }
+
+  val p24Sql: String =
+    """WITH train AS (
+      |  SELECT row_number() OVER (ORDER BY r) AS cid, ce FROM (
+      |    SELECT md5(CAST(vec_id AS VARCHAR)) AS r, embedding AS ce
+      |    FROM embeddings ORDER BY r LIMIT 4) t),
+      |cb AS (
+      |  SELECT s.sub, cid, ce[(s.sub * 8 + 1):(s.sub * 8 + 8)] AS cv
+      |  FROM train, unnest(generate_series(0, 7)) AS s(sub)),
+      |sliced AS (
+      |  SELECT vec_id, s.sub, embedding[(s.sub * 8 + 1):(s.sub * 8 + 8)] AS sv
+      |  FROM embeddings, unnest(generate_series(0, 7)) AS s(sub)),
+      |scored AS (
+      |  SELECT vec_id, sl.sub, cid,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+      |         * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d2
+      |  FROM sliced sl JOIN cb ON cb.sub = sl.sub),
+      |codes AS (
+      |  SELECT vec_id, sub, cid AS code FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+      |    FROM scored) c WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS qid, sub AS qsub, cid AS qcid, d2 AS qd
+      |  FROM scored WHERE vec_id < 10),
+      |adc AS (
+      |  SELECT qid, vec_id,
+      |    sum(CASE WHEN sub = 0 THEN qd END) + sum(CASE WHEN sub = 1 THEN qd END)
+      |  + sum(CASE WHEN sub = 2 THEN qd END) + sum(CASE WHEN sub = 3 THEN qd END)
+      |  + sum(CASE WHEN sub = 4 THEN qd END) + sum(CASE WHEN sub = 5 THEN qd END)
+      |  + sum(CASE WHEN sub = 6 THEN qd END) + sum(CASE WHEN sub = 7 THEN qd END)
+      |      AS adc_dist
+      |  FROM codes JOIN lut ON sub = qsub AND code = qcid AND vec_id <> qid
+      |  GROUP BY qid, vec_id)
+      |SELECT qid, vec_id, adc_dist FROM (
+      |  SELECT qid, vec_id, adc_dist,
+      |    row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+      |  FROM adc) r
+      |WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_exact_dedup" -> p1 _,
     "p2_dedup_keeper" -> p2 _,
@@ -1330,7 +1436,8 @@ object Pipeline {
     "p20_domain_mix" -> p20 _,
     "p21_decontamination" -> p21 _,
     "p22_neardup_clusters" -> p22 _,
-    "p23_pii_scrub" -> p23 _)
+    "p23_pii_scrub" -> p23 _,
+    "p24_ann_pq" -> p24 _)
 
   val oracle: Map[String, String] = Map(
     "p1_exact_dedup" -> p1Sql,
@@ -1355,5 +1462,6 @@ object Pipeline {
     "p20_domain_mix" -> p20Sql,
     "p21_decontamination" -> p21Sql,
     "p22_neardup_clusters" -> p22Sql,
-    "p23_pii_scrub" -> p23Sql)
+    "p23_pii_scrub" -> p23Sql,
+    "p24_ann_pq" -> p24Sql)
 }
