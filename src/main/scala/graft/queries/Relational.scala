@@ -588,7 +588,48 @@ object Relational {
       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- exports
+  // ------------------------- srt1/srt2 distributed full sort
+  /** The reference's distributed-sort benchmark surface
+    * (`testing/trino-benchto-benchmarks/.../distributed_sort.yaml:8-15`,
+    * `sort_query_1_col.sql` / `sort_query_6_cols.sql`, session flag
+    * `SystemSessionProperties.java:114` distributed_sort): a FULL sort
+    * of lineitem by one column and by six. Spark plans this as the
+    * reference's distributed mode does by default — sample → range
+    * partition → per-partition sort, no single-node merge — asserted
+    * in SinksSpec (RangePartitioning exchange + global Sort, and the
+    * collected order itself at the smoke SF). The oracle gate checks
+    * CONTENT (the driver's compare is unordered by design); the
+    * ordering property is what the spec pins, and the bench number is
+    * the sort's throughput. */
+  def srt1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+
+  val srt1Sql: String =
+    """SELECT l_extendedprice, l_orderkey, l_linenumber
+      |FROM lineitem
+      |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin
+
+  def srt2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+
+  val srt2Sql: String =
+    """SELECT l_returnflag, l_linestatus, l_shipdate, l_quantity,
+      |  l_extendedprice, l_orderkey, l_linenumber
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus, l_shipdate, l_quantity,
+      |  l_extendedprice, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "srt1_sort_1col" -> srt1 _,
+    "srt2_sort_6col" -> srt2 _,
     "q1_pricing_summary" -> q1 _,
     "q2_top_orders" -> q2 _,
     "q3_shipping_priority" -> q3 _,
@@ -613,6 +654,8 @@ object Relational {
     "q22_acctbal_buckets" -> q22 _)
 
   val oracle: Map[String, String] = Map(
+    "srt1_sort_1col" -> srt1Sql,
+    "srt2_sort_6col" -> srt2Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_top_orders" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,

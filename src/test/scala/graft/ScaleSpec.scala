@@ -289,6 +289,21 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pathRounds >= 9 && pathRounds <= 11, s"path took $pathRounds rounds")
   }
 
+  test("distributed sort range-partitions and yields a globally ordered result") {
+    val df = graft.queries.Relational.srt1(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    // sample -> range partition -> per-partition sort: the distributed
+    // shape (no single-node merge); the oracle gate checks content,
+    // this pins the ordering itself
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range-partitioning exchange:\n${plan.take(1500)}")
+    assert(plan.contains("sort ["), s"expected a global sort:\n${plan.take(1500)}")
+    val rows = df.collect().map(r =>
+      (r.getDouble(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length > 1000)
+    assert(rows.sameElements(rows.sortBy(identity)), "result not globally ordered")
+  }
+
   test("p23 scrub census is one scan with a per-source rollup (no text shuffle)") {
     val df = graft.queries.Pipeline.p23(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
