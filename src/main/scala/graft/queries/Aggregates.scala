@@ -475,7 +475,39 @@ object Aggregates {
       |  string_agg(n_nationkey || ':' || n_name, ',' ORDER BY n_nationkey) AS m
       |FROM nation GROUP BY n_regionkey""".stripMargin
 
+  // ------------------------------- ag13 weighted percentile
+  /** The reference's weighted form `approx_percentile(x, w, p)`
+    * (`QuantileDigestAggregationFunction.java` weighted overloads):
+    * each row counts w times. Delivered EXACTLY via Spark's
+    * `percentile(x, p, frequency)` — one pass, per-group
+    * value→frequency state, no row expansion (documented divergence:
+    * exact where the reference is approximate, the same
+    * stronger-contract posture as f8's exact-at-low-cardinality
+    * qdigest). The oracle expands rows w times and takes the
+    * continuous quantile — same multiset definition, interpolation
+    * pinned under round(.,6). */
+  def ag13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("round(percentile(l_extendedprice, 0.5D, CAST(l_quantity AS INT)), 6)").as("wmed"),
+        expr("round(percentile(l_extendedprice, 0.25D, CAST(l_quantity AS INT)), 6)").as("wp25"),
+        expr("round(percentile(l_extendedprice, 0.75D, CAST(l_quantity AS INT)), 6)").as("wp75"))
+
+  val ag13Sql: String =
+    """WITH e AS (
+      |  SELECT l_returnflag,
+      |    unnest(list_transform(generate_series(1, CAST(l_quantity AS INT)),
+      |      i -> l_extendedprice)) AS v
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  round(quantile_cont(v, 0.5), 6) AS wmed,
+      |  round(quantile_cont(v, 0.25), 6) AS wp25,
+      |  round(quantile_cont(v, 0.75), 6) AS wp75
+      |FROM e GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ag13_weighted_percentile" -> ag13 _,
     "ag12_map_agg" -> ag12 _,
     "ag11_registry_aggs" -> ag11 _,
     "ag10_map_reduce_agg" -> ag10 _,
@@ -490,6 +522,7 @@ object Aggregates {
     "ag8_checksum" -> ag8 _)
 
   val oracle: Map[String, String] = Map(
+    "ag13_weighted_percentile" -> ag13Sql,
     "ag12_map_agg" -> ag12Sql,
     "ag11_registry_aggs" -> ag11Sql,
     "ag10_map_reduce_agg" -> ag10Sql,
