@@ -206,6 +206,7 @@ object GraftFunctions {
     CompatAliases.inject(e)
     // optimizer extension surface (Rule[LogicalPlan])
     e.injectOptimizerRule(_ => graft.plans.IdempotentCollectionOps)
+    e.injectOptimizerRule(_ => graft.plans.ConstantIndexElementAt)
   }
 
   // --------------------------------------------------------- UDF layer

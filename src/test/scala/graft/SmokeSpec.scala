@@ -358,6 +358,33 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nSort == 1, plan2.toString.take(800))
   }
 
+  test("constant-index element_at collapses to the element (rule + codegen)") {
+    graft.engine.Graft.registerAll(spark, sfDir)
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, ElementAt}
+    // The collapse: no CreateArray/ElementAt survives a foldable in-bounds index.
+    val q = "SELECT element_at(array(n_nationkey, n_regionkey, 99), 3) AS third, " +
+      "element_at(array(n_nationkey, n_regionkey), -2) AS first FROM nation"
+    val plan = spark.sql(q).queryExecution.optimizedPlan
+    val survivors = plan.expressions.map(_.collect {
+      case a: CreateArray => a; case e: ElementAt => e }.size).sum
+    assert(survivors == 0, plan.toString.take(800))
+    // Values: third is always the literal, first mirrors n_nationkey.
+    val rows = spark.sql(q + " ORDER BY first LIMIT 3").collect()
+    assert(rows.forall(_.getInt(0) == 99))
+    // Codegen must hold with NO fallback — this exact shape (nullable
+    // column + non-nullable selected element) used to trip Spark's
+    // ElementAt doGenCode into referencing an undeclared isNull var.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      assert(spark.sql(q).collect().length == spark.table("nation").count())
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    // Error contract preserved: out-of-bounds constant still throws.
+    intercept[Exception] {
+      spark.sql("SELECT element_at(array(n_nationkey), 5) FROM nation").collect()
+    }
+  }
+
   test("parameterized statements (PREPARE/EXECUTE surface)") {
     graft.engine.Graft.registerAll(spark, sfDir)
     val n = spark.sql(
