@@ -358,6 +358,29 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nSort == 1, plan2.toString.take(800))
   }
 
+  test("every annotated reference function name resolves in the registry") {
+    // The full @ScalarFunction/@AggregationFunction/@WindowFunction name
+    // inventory extracted from the reference's core engine
+    // (core/trino-main/src/main/java/io/trino/**, incl. multi-line
+    // annotations and alias= lists), pinned as a test resource so a
+    // registry regression is caught line-item. Known exclusions are the
+    // declared non-goals (SURVEY §2): security/role introspection.
+    val nonGoals = Set("current_groups") // roles surface — declared non-goal
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/reference_function_names.txt"))
+    val names = try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
+      finally src.close()
+    assert(names.size > 150, s"name inventory unexpectedly small: ${names.size}")
+    val missing = names.filterNot(nonGoals).filterNot { n =>
+      try {
+        spark.sessionState.catalog.lookupFunctionInfo(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+        true
+      } catch { case _: Throwable => false }
+    }
+    assert(missing.isEmpty, s"unresolved reference functions: ${missing.mkString(", ")}")
+  }
+
   test("constant-index element_at collapses to the element (rule + codegen)") {
     graft.engine.Graft.registerAll(spark, sfDir)
     import org.apache.spark.sql.catalyst.expressions.{CreateArray, ElementAt}
