@@ -151,6 +151,41 @@ object Streams {
       |  ON c.user_id = p.user_id
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
 
+  // ------------------------------- st8 stream-stream LEFT OUTER join
+  /** st5's correlation as a LEFT OUTER join: every click appears, with
+    * purchase columns null when no purchase followed within the hour.
+    * In streaming mode this is the harder operator: the null row for
+    * an unmatched click can only be emitted once the WATERMARK proves
+    * no matching purchase can still arrive (c_ts + 1 h + watermark
+    * delay), so correctness depends on state-expiry semantics, not
+    * just matching — exercised against MemoryStream in StreamingSpec
+    * (null-emission exactly at state expiry, batch ≡ stream). State
+    * bound is identical to st5's inner form: (watermark + 1 h) of
+    * traffic per side, regardless of stream length. */
+  def st8(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+        col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("c_user").as("user_id"), col("c_event"), col("p_event"),
+        col("p_value"), col("c_ts"), col("p_ts"))
+  }
+
+  val st8Sql: String =
+    """SELECT c.user_id, c.event_id AS c_event, p.event_id AS p_event,
+      |  p.value AS p_value, c.ts AS c_ts, p.ts AS p_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
+
   // ------------------------------------------ st6 stream-static join
   /** Stream-static enrichment join: the event stream joined to the
     * static customer dimension (user_id is a customer key in the
@@ -211,6 +246,20 @@ object Streams {
     clicks.withWatermark("c_ts", "10 minutes")
       .join(purchases.withWatermark("p_ts", "10 minutes"),
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("c_event"), col("p_event"),
+        col("p_value"), col("c_ts"), col("p_ts"))
+
+  /** st8's left-outer interval join as a genuine two-stream join. The
+    * outer side's null rows are emitted by the state store at EXPIRY
+    * time: a click row is held until the watermark passes
+    * c_ts + 1 h (+ delay); if no purchase matched by then, the row is
+    * evicted AND emitted with nulls — the only point at which
+    * "no match" is provable over an unbounded stream. */
+  def outerIntervalJoinStreams(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("c_ts", "10 minutes")
+      .join(purchases.withWatermark("p_ts", "10 minutes"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "leftOuter")
       .select(col("c_user").as("user_id"), col("c_event"), col("p_event"),
         col("p_value"), col("c_ts"), col("p_ts"))
 
@@ -337,7 +386,8 @@ object Streams {
     "st4_stream_dedup" -> st4 _,
     "st5_stream_join" -> st5 _,
     "st6_stream_static" -> st6 _,
-    "st7_window_sketch" -> st7 _)
+    "st7_window_sketch" -> st7 _,
+    "st8_stream_outer_join" -> st8 _)
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
@@ -346,5 +396,6 @@ object Streams {
     "st4_stream_dedup" -> st4Sql,
     "st5_stream_join" -> st5Sql,
     "st6_stream_static" -> st6Sql,
-    "st7_window_sketch" -> st7Sql)
+    "st7_window_sketch" -> st7Sql,
+    "st8_stream_outer_join" -> st8Sql)
 }

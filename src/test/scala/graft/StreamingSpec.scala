@@ -253,6 +253,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("outer interval join emits the null row exactly at state expiry") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000L)
+
+    val cs = MemoryStream[ClickEv]
+    val ps = MemoryStream[PurchEv]
+    val q = Streams.outerIntervalJoinStreams(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("oj_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: click 100 has NO purchase within its hour; click 101
+      // is matched 60 s later. Only the match can be emitted now — the
+      // null row for 100 is unprovable until the watermark passes
+      // c_ts + 1 h.
+      cs.addData(ClickEv(1L, 100L, ts(0)), ClickEv(2L, 101L, ts(0)))
+      ps.addData(PurchEv(2L, 201L, 9.99, ts(60)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("oj_out").collect()
+      assert(afterB1.length == 1 && afterB1.head.getLong(2) == 201L)
+
+      // batch 2: advance BOTH sides 3 h (global watermark = min across
+      // sources) → watermark ≈ t0 + 2 h 50 min > t0 + 1 h, so click
+      // 100's state expires and its null row MUST be emitted. The
+      // advancer pair matches too.
+      cs.addData(ClickEv(3L, 102L, ts(3 * 3600)))
+      ps.addData(PurchEv(3L, 202L, 1.0, ts(3 * 3600 + 5)))
+      q.processAllAvailable()
+      val rows = spark.table("oj_out").collect()
+      assert(rows.length == 3, rows.mkString("; "))
+      val nullRows = rows.filter(_.isNullAt(2))
+      assert(nullRows.length == 1 && nullRows.head.getLong(1) == 100L &&
+        nullRows.head.isNullAt(3) && nullRows.head.isNullAt(5))
+    } finally q.stop()
+
+    // Batch mode over the same rows produces the same multiset (the
+    // null row needs no watermark proof when the input is finite).
+    val clicks = Seq(ClickEv(1L, 100L, ts(0)), ClickEv(2L, 101L, ts(0)),
+      ClickEv(3L, 102L, ts(3 * 3600)))
+    val purchases = Seq(PurchEv(2L, 201L, 9.99, ts(60)),
+      PurchEv(3L, 202L, 1.0, ts(3 * 3600 + 5)))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val batch = Streams.outerIntervalJoinStreams(clicks.toDF(), purchases.toDF())
+      .collect().map(key).toSet
+    val streamed = spark.table("oj_out").collect().map(key).toSet
+    assert(batch == streamed)
+  }
+
   test("interval join: late rows past the watermark are dropped, state evicted") {
     val spark = sparkSession
     import spark.implicits._
