@@ -396,7 +396,34 @@ object DialectQueries {
       |  row(n_regionkey, n_name) < row(2, 'MOROCCO') AS before_morocco
       |FROM nation""".stripMargin
 
+  /** SQL-text `ORDER BY … FETCH FIRST n ROWS WITH TIES` (reference
+    * grammar `SqlBase.g4` queryNoWith / `ImplementLimitWithTies.java`)
+    * lowered onto `Ops.limitWithTies` — rank-filter form, planned as
+    * WindowGroupLimit, so each partition pre-prunes to ~n rows before
+    * the exchange. The sort key (o_orderdate) is deliberately
+    * tie-heavy: the result keeps EVERY order on the boundary date, so
+    * the clause's semantics (not just top-n) are what the oracle's
+    * rank()<=n rewrite checks (the comparator has no WITH TIES). */
+  val dx11Reference: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate
+      |FROM orders
+      |WHERE o_orderstatus = 'O'
+      |ORDER BY o_orderdate
+      |FETCH FIRST 50 ROWS WITH TIES""".stripMargin
+
+  def dx11(s: SparkSession, dir: String): DataFrame =
+    graft.sqlcompat.RelationSql.translate(
+      dx11Reference, name => Graft.load(s, dir, name))
+
+  val dx11Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |    rank() OVER (ORDER BY o_orderdate) AS rk
+      |  FROM orders WHERE o_orderstatus = 'O') r
+      |WHERE rk <= 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx11_fetch_ties_sql" -> dx11 _,
     "dx1_reference_dialect" -> dx1 _,
     "dx2_quantified_cmp" -> dx2 _,
     "dx3_match_recognize_sql" -> dx3 _,
@@ -409,6 +436,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx11_fetch_ties_sql" -> dx11Sql,
     "dx1_reference_dialect" -> dx1Sql,
     "dx2_quantified_cmp" -> dx2Sql,
     "dx3_match_recognize_sql" -> dx3Sql,

@@ -15,14 +15,21 @@ import org.apache.spark.sql.functions.{explode, expr}
   *   - `FROM t TABLESAMPLE BERNOULLI(p)` / `SYSTEM(p)` — lowered onto
   *     `DataFrame.sample(p/100)` (row-level Bernoulli; SYSTEM's
   *     block-level sampling has no Spark analog, so both forms sample
-  *     per-row — same row-count distribution, different locality).
+  *     per-row — same row-count distribution, different locality);
+  *   - `ORDER BY … [OFFSET k ROWS] FETCH FIRST n ROWS (ONLY | WITH
+  *     TIES)` (grammar `SqlBase.g4` queryNoWith: offset/limit/fetch
+  *     first) — ONLY lowers onto `orderBy.offset(k).limit(n)`; WITH
+  *     TIES onto `Ops.limitWithTies` (rank-filter form, planned as
+  *     WindowGroupLimit). Null ordering defaults follow the reference
+  *     (nulls last when ascending, first when descending), which
+  *     differs from Spark's own default — made explicit per sort key.
   *
   * Supported subset (anything else fails loudly, never silently
-  * mistranslates): a single FROM table, one UNNEST or TABLESAMPLE
-  * clause, an optional trailing WHERE, and a select list of plain
-  * expressions. Select-list and WHERE fragments pass through
-  * [[Dialect.translate]] so reference function spellings keep working
-  * inside them.
+  * mistranslates): a single FROM table, at most one UNNEST or
+  * TABLESAMPLE clause, optional WHERE, optional ORDER BY +
+  * OFFSET/FETCH, and a select list of plain expressions. Select-list,
+  * WHERE, and sort-key fragments pass through [[Dialect.translate]] so
+  * reference function spellings keep working inside them.
   */
 object RelationSql {
 
@@ -77,18 +84,108 @@ object RelationSql {
             // Fixed seed: reruns of one translated query are stable
             // (the gate treats sampling as rows-only regardless).
             base.sample(withReplacement = false, pct / 100.0, seed = 42)
-          case None => fail(
-            s"expected CROSS JOIN UNNEST(...) or TABLESAMPLE at: '${rest.take(60)}'")
+          case None => base // plain FROM table — trailing clauses may follow
         }
     }
 
+    // WHERE, then ORDER BY + OFFSET/FETCH (clause order fixed, as in
+    // the grammar). The WHERE predicate must not swallow the ORDER BY,
+    // so split the trailing clauses first.
+    rest = rest.trim
+    val orderIdx = topLevelIndexOf(rest, "ORDER")
+    val (beforeOrder, orderAndAfter) =
+      if (orderIdx < 0) (rest, "") else rest.splitAt(orderIdx)
+
     val whereRe = "(?is)^\\s*WHERE\\s+(.*)$".r
-    val filtered = rest.trim match {
+    val filtered = beforeOrder.trim match {
       case "" => rel
       case whereRe(pred) => rel.filter(expr(Dialect.translate(pred)))
       case other => fail(s"unsupported trailing clause: '${other.take(60)}'")
     }
-    filtered.select(selectList.map(e => expr(Dialect.translate(e))): _*)
+
+    val projected = filtered.select(selectList.map(e => expr(Dialect.translate(e))): _*)
+    if (orderAndAfter.isEmpty) return projected
+
+    val obRe = "(?is)^ORDER\\s+BY\\s+".r
+    val obm = obRe.findFirstMatchIn(orderAndAfter).getOrElse(fail(
+      s"unsupported trailing clause: '${orderAndAfter.take(60)}'"))
+    var tail = orderAndAfter.substring(obm.end)
+    // Sort keys run until OFFSET/FETCH (top-level scan).
+    val offIdx = topLevelIndexOf(tail, "OFFSET")
+    val fetIdx = topLevelIndexOf(tail, "FETCH")
+    val cut = Seq(offIdx, fetIdx).filter(_ >= 0).sorted.headOption.getOrElse(tail.length)
+    val keys = MatchRecognizeSql.splitTopLevel(tail.substring(0, cut), ',')
+      .map(_.trim).filter(_.nonEmpty).map(sortKey)
+    if (keys.isEmpty) fail("ORDER BY requires at least one sort key")
+    tail = tail.substring(cut).trim
+
+    val offRe = "(?is)^OFFSET\\s+(\\d+)\\s+ROWS?\\s*".r
+    val offset = offRe.findFirstMatchIn(tail) match {
+      case Some(om) => tail = tail.substring(om.end).trim; om.group(1).toInt
+      case None => 0
+    }
+    val fetchRe =
+      "(?is)^FETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+(ONLY|WITH\\s+TIES)\\s*$".r
+    tail match {
+      case "" =>
+        if (offset > 0) projected.orderBy(keys: _*).offset(offset)
+        else projected.orderBy(keys: _*)
+      case _ =>
+        val fm = fetchRe.findFirstMatchIn(tail).getOrElse(fail(
+          s"expected FETCH FIRST n ROWS (ONLY | WITH TIES) at: '${tail.take(60)}'"))
+        val n = fm.group(1).toInt
+        val ties = fm.group(2).toUpperCase.startsWith("WITH")
+        if (ties) {
+          if (offset > 0) fail("OFFSET with FETCH ... WITH TIES is not supported")
+          graft.operators.Ops.limitWithTies(projected, n, keys)
+        } else projected.orderBy(keys: _*).offset(offset).limit(n)
+    }
+  }
+
+  /** One ORDER BY item → a Column with explicit direction AND null
+    * ordering. Reference defaults (nulls larger than any value): ASC →
+    * NULLS LAST, DESC → NULLS FIRST — the opposite of Spark's default,
+    * so both are always spelled out. */
+  private def sortKey(item: String): org.apache.spark.sql.Column = {
+    val re = "(?is)^(.*?)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
+    val m = re.findFirstMatchIn(item).get
+    val c = expr(Dialect.translate(m.group(1).trim))
+    val desc = Option(m.group(2)).exists(_.equalsIgnoreCase("DESC"))
+    val nullsFirst = Option(m.group(3)) match {
+      case Some(nf) => nf.equalsIgnoreCase("FIRST")
+      case None => desc // reference default: nulls sort as largest
+    }
+    (desc, nullsFirst) match {
+      case (false, false) => c.asc_nulls_last
+      case (false, true)  => c.asc_nulls_first
+      case (true, false)  => c.desc_nulls_last
+      case (true, true)   => c.desc_nulls_first
+    }
+  }
+
+  /** Index of keyword `kw` at paren depth 0 (outside quotes), or -1. */
+  private def topLevelIndexOf(s: String, kw: String): Int = {
+    var depth = 0; var inQ = false; var i = 0
+    val upper = s.toUpperCase(java.util.Locale.ROOT)
+    val kwU = kw.toUpperCase(java.util.Locale.ROOT)
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQ) { if (ch == '\'') inQ = false }
+      else ch match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          def identChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+          if (depth == 0 && upper.startsWith(kwU, i) &&
+              (i == 0 || !identChar(s.charAt(i - 1))) &&
+              (i + kwU.length >= s.length ||
+                !identChar(s.charAt(i + kwU.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
   }
 
   private def fail(msg: String): Nothing =

@@ -466,6 +466,40 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     bad("SELECT doc_id FROM documents TABLESAMPLE BERNOULLI(20) GROUP BY doc_id")
   }
 
+  test("relation SQL: ORDER BY + OFFSET + FETCH lower onto sort/offset/limit/ties") {
+    import graft.sqlcompat.RelationSql
+    val spk = spark
+    import spk.implicits._
+    val t = Seq[(Long, Option[Double])]((1L, Some(10.0)), (2L, Some(30.0)),
+      (3L, Some(20.0)), (4L, Some(30.0)), (5L, None)).toDF("k", "v")
+    // FETCH ONLY with OFFSET: rows 2..3 of the DESC order.
+    val only = RelationSql.translate(
+      "SELECT k, v FROM t ORDER BY v DESC OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY",
+      _ => t)
+    // reference null ordering: DESC → nulls FIRST, so the null row is
+    // rank 1 and the offset skips it.
+    assert(only.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    // WITH TIES keeps every row tying with the n-th (both 30.0s).
+    val ties = RelationSql.translate(
+      "SELECT k, v FROM t WHERE v IS NOT NULL ORDER BY v DESC FETCH FIRST 1 ROWS WITH TIES",
+      _ => t)
+    assert(ties.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    // ASC default puts nulls last (reference semantics, not Spark's).
+    val asc = RelationSql.translate(
+      "SELECT k FROM t ORDER BY v OFFSET 4 ROWS", _ => t)
+    assert(asc.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // bare ORDER BY is a full sort
+    val sorted = RelationSql.translate(
+      "SELECT k FROM t WHERE v IS NOT NULL ORDER BY v ASC, k DESC", _ => t)
+    assert(sorted.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L, 2L))
+    // loud failures: TIES without usable combination, garbage after FETCH
+    def bad(sql: String): Unit =
+      assertThrows[IllegalArgumentException](RelationSql.translate(sql, _ => t))
+    bad("SELECT k FROM t ORDER BY v OFFSET 1 ROWS FETCH FIRST 2 ROWS WITH TIES")
+    bad("SELECT k FROM t ORDER BY v FETCH FIRST 2 ROWS")
+    bad("SELECT k FROM t ORDER BY FETCH FIRST 2 ROWS ONLY")
+  }
+
   test("MATCH_RECOGNIZE SQL: multi-column keys + ALL ROWS PER MATCH (dx4 surface)") {
     import graft.sqlcompat.MatchRecognizeSql
     val spk = spark
