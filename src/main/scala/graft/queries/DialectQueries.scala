@@ -422,7 +422,31 @@ object DialectQueries {
       |  FROM orders WHERE o_orderstatus = 'O') r
       |WHERE rk <= 50""".stripMargin
 
+  /** Multi-argument UNNEST (reference `UnnestOperator.java` /
+    * `SqlBase.g4` UNNEST relation primary): arguments zip positionally
+    * and shorter arrays pad with nulls. Spark's `arrays_zip` has
+    * exactly those pad semantics, so the lowering is
+    * zip → posexplode → projection; the oracle's multi-unnest SELECT
+    * zips identically. Documents have varying word counts, so padding
+    * is exercised in both directions against the fixed 3-element
+    * array. */
+  val dx12Reference: String =
+    """SELECT doc_id, w, n
+      |FROM documents
+      |CROSS JOIN UNNEST(split(text, ' '), ARRAY[10, 20, 30]) AS t(w, n)
+      |WHERE doc_id < 20""".stripMargin
+
+  def dx12(s: SparkSession, dir: String): DataFrame =
+    graft.sqlcompat.RelationSql.translate(
+      dx12Reference, name => Graft.load(s, dir, name))
+
+  val dx12Sql: String =
+    """SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |  unnest([10, 20, 30]) AS n
+      |FROM documents WHERE doc_id < 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx12_unnest_zip_sql" -> dx12 _,
     "dx11_fetch_ties_sql" -> dx11 _,
     "dx1_reference_dialect" -> dx1 _,
     "dx2_quantified_cmp" -> dx2 _,
@@ -436,6 +460,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx12_unnest_zip_sql" -> dx12Sql,
     "dx11_fetch_ties_sql" -> dx11Sql,
     "dx1_reference_dialect" -> dx1Sql,
     "dx2_quantified_cmp" -> dx2Sql,

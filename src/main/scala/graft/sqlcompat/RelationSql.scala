@@ -1,17 +1,22 @@
 package graft.sqlcompat
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{explode, expr}
+import org.apache.spark.sql.functions.{arrays_zip, col, explode, expr, map_entries, posexplode}
 
 /** SQL-text surface for the reference dialect's relation-level
   * constructs that are NOT expressible as the function renames of
   * [[Dialect]] (reference grammar `SqlBase.g4:331-333` sampledRelation
   * and the UNNEST relation primary):
   *
-  *   - `FROM t CROSS JOIN UNNEST(expr) [WITH ORDINALITY] AS a(c[, o])`
-  *     — lowered onto `Ops.unnestWithOrdinality` (a narrow posexplode
-  *     generator, 1-based bigint ordinality, no shuffle) or a plain
-  *     `explode` when ordinality is not requested;
+  *   - `FROM t CROSS JOIN UNNEST(e1[, e2, …]) [WITH ORDINALITY]
+  *     AS a(c1[, c2, …][, o])` — one array lowers onto
+  *     `Ops.unnestWithOrdinality` (a narrow posexplode generator,
+  *     1-based bigint ordinality, no shuffle) or a plain `explode`;
+  *     MULTIPLE arrays zip positionally with shorter arrays padded by
+  *     nulls (the reference's multi-argument UNNEST,
+  *     `UnnestOperator.java` — Spark's `arrays_zip` has exactly these
+  *     pad semantics, so the lowering is zip → posexplode → one
+  *     projection); a MAP argument unnests to its (key, value) pairs;
   *   - `FROM t TABLESAMPLE BERNOULLI(p)` / `SYSTEM(p)` — lowered onto
   *     `DataFrame.sample(p/100)` (row-level Bernoulli; SYSTEM's
   *     block-level sampling has no Spark analog, so both forms sample
@@ -53,27 +58,82 @@ object RelationSql {
       case Some(um) =>
         val open = um.end - 1
         val close = MatchRecognizeSql.matchParen(rest, open)
-        val arrExpr = rest.substring(open + 1, close)
+        // Translate FIRST (ARRAY[…] sugar becomes array(…)), then
+        // split: the splitter tracks parens, not brackets, so a
+        // bracketed array literal's commas must already be inside
+        // parens when the argument list is divided.
+        val argExprs = MatchRecognizeSql
+          .splitTopLevel(Dialect.translate(rest.substring(open + 1, close)), ',')
+          .map(_.trim).filter(_.nonEmpty)
+          .map(expr)
+        if (argExprs.isEmpty) fail("UNNEST requires at least one argument")
         rest = rest.substring(close + 1)
         val tail = ("(?is)^\\s*(WITH\\s+ORDINALITY\\s+)?" +
-          "AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)" +
-          "(?:\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*))?\\s*\\)").r
+          "AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_, ]*?)\\s*\\)").r
         val tm = tail.findFirstMatchIn(rest).getOrElse(fail(
-          "UNNEST requires AS alias(col[, ord]) (with the ord column " +
-            "only under WITH ORDINALITY)"))
+          "UNNEST requires AS alias(col[, …][, ord]) (with the ord " +
+            "column only under WITH ORDINALITY)"))
         rest = rest.substring(tm.end)
         val ordinality = tm.group(1) != null
-        val colName = tm.group(3)
-        val ordName = Option(tm.group(4))
-        val arr = expr(Dialect.translate(arrExpr))
-        if (ordinality) {
-          val o = ordName.getOrElse(fail(
-            "WITH ORDINALITY requires two output columns: AS a(col, ord)"))
-          graft.operators.Ops.unnestWithOrdinality(base, arr, o, colName)
-        } else {
-          if (ordName.isDefined)
-            fail("two output columns require WITH ORDINALITY")
-          base.withColumn(colName, explode(arr))
+        val outNames = tm.group(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        // The reference expands a MAP argument to two columns (key,
+        // value); each ARRAY argument yields one. Resolve argument
+        // types against the base relation (no job — analysis only).
+        val argTypes = base.select(argExprs: _*).schema.map(_.dataType)
+        val colsPerArg = argTypes.map {
+          case _: org.apache.spark.sql.types.MapType => 2
+          case _: org.apache.spark.sql.types.ArrayType => 1
+          case other => fail(s"UNNEST argument must be ARRAY or MAP, got $other")
+        }
+        val dataCols = colsPerArg.sum
+        val expected = dataCols + (if (ordinality) 1 else 0)
+        if (outNames.size != expected) fail(
+          s"UNNEST output columns: expected $expected (${dataCols} data" +
+            (if (ordinality) " + ordinality" else "") + s"), got ${outNames.size}")
+        (argExprs, argTypes) match {
+          case (Seq(arr), Seq(_: org.apache.spark.sql.types.ArrayType)) =>
+            if (ordinality)
+              graft.operators.Ops.unnestWithOrdinality(
+                base, arr, outNames(1), outNames(0))
+            else base.withColumn(outNames(0), explode(arr))
+          case (Seq(mp), Seq(_: org.apache.spark.sql.types.MapType)) =>
+            // map → (key, value) pairs; ordinality follows map order.
+            val exploded = base.select(base.columns.map(col) :+
+              posexplode(mp).as(Seq("__pos", outNames(0), outNames(1))): _*)
+            if (ordinality)
+              exploded.withColumn(outNames(2), (col("__pos") + 1).cast("long"))
+                .drop("__pos")
+            else exploded.drop("__pos")
+          case _ =>
+            // Multi-argument zip. Map args expand to entry structs
+            // first so every zipped element is one struct slot.
+            val slotCols: Seq[(org.apache.spark.sql.Column, Seq[String])] =
+              argExprs.zip(argTypes).zipWithIndex.map {
+                case ((e, _: org.apache.spark.sql.types.MapType), i) =>
+                  (map_entries(e).as(s"s$i"), Seq(s"__k$i", s"__v$i"))
+                case ((e, _), i) => (e.as(s"s$i"), Seq(s"__a$i"))
+              }
+            val zipped = arrays_zip(slotCols.map(_._1): _*)
+            val ex = base.select(base.columns.map(col) :+
+              posexplode(zipped).as(Seq("__pos", "__z")): _*)
+            // Project struct slots out to the declared names; a map
+            // slot contributes .key/.value of its entry struct.
+            var out = ex
+            var nameIdx = 0
+            slotCols.zipWithIndex.foreach { case ((_, slots), i) =>
+              if (slots.size == 2) {
+                out = out
+                  .withColumn(outNames(nameIdx), col("__z").getField(s"s$i").getField("key"))
+                  .withColumn(outNames(nameIdx + 1), col("__z").getField(s"s$i").getField("value"))
+                nameIdx += 2
+              } else {
+                out = out.withColumn(outNames(nameIdx), col("__z").getField(s"s$i"))
+                nameIdx += 1
+              }
+            }
+            if (ordinality)
+              out = out.withColumn(outNames(nameIdx), (col("__pos") + 1).cast("long"))
+            out.drop("__pos", "__z")
         }
       case None =>
         sampleRe.findFirstMatchIn(rest) match {

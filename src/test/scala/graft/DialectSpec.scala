@@ -466,6 +466,33 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     bad("SELECT doc_id FROM documents TABLESAMPLE BERNOULLI(20) GROUP BY doc_id")
   }
 
+  test("relation SQL: multi-argument UNNEST zips with null padding; MAP unnests to pairs") {
+    import graft.sqlcompat.RelationSql
+    val spk = spark
+    import spk.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // two arrays of different lengths: shorter padded with nulls
+    val z = RelationSql.translate(
+      """SELECT doc_id, w, n, ord
+        |FROM documents
+        |CROSS JOIN UNNEST(split(text, ' '), array(10, 20)) WITH ORDINALITY AS t(w, n, ord)""".stripMargin,
+      _ => docs).orderBy("ord").collect()
+    assert(z.map(r => (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2), r.getLong(3))).toSeq ==
+      Seq(("a", 10, 1L), ("b", 20, 2L), ("c", -1, 3L)))
+    // map argument → (key, value) pairs
+    val mp = RelationSql.translate(
+      """SELECT doc_id, k, v
+        |FROM documents
+        |CROSS JOIN UNNEST(map('x', 1, 'y', 2)) AS t(k, v)
+        |WHERE doc_id = 1""".stripMargin,
+      _ => docs).collect()
+    assert(mp.map(r => (r.getString(1), r.getInt(2))).toSet == Set(("x", 1), ("y", 2)))
+    // arity mismatch fails loudly
+    assertThrows[IllegalArgumentException](RelationSql.translate(
+      "SELECT doc_id FROM documents CROSS JOIN UNNEST(split(text, ' '), array(1)) AS t(a)",
+      _ => docs))
+  }
+
   test("relation SQL: ORDER BY + OFFSET + FETCH lower onto sort/offset/limit/ties") {
     import graft.sqlcompat.RelationSql
     val spk = spark
