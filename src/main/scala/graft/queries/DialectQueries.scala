@@ -445,7 +445,32 @@ object DialectQueries {
       |  unnest([10, 20, 30]) AS n
       |FROM documents WHERE doc_id < 20""".stripMargin
 
+  /** OUTER unnest (reference `UnnestOperator.java` outer flag; SQL form
+    * `LEFT JOIN UNNEST(…) ON TRUE`): documents whose filtered word
+    * array is EMPTY survive with a null word — the census shape (every
+    * doc_id present exactly once when no word qualifies). The oracle
+    * replays the outer contract by substituting [NULL] for empty
+    * arrays before its inner unnest. */
+  val dx13Reference: String =
+    """SELECT doc_id, w
+      |FROM documents
+      |LEFT JOIN UNNEST(filter(split(text, ' '), x -> length(x) > 7)) AS t(w) ON TRUE
+      |WHERE doc_id < 40""".stripMargin
+
+  def dx13(s: SparkSession, dir: String): DataFrame =
+    graft.sqlcompat.RelationSql.translate(
+      dx13Reference, name => Graft.load(s, dir, name))
+
+  val dx13Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 7) AS l
+      |  FROM documents WHERE doc_id < 40)
+      |SELECT doc_id,
+      |  unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS w
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx13_unnest_outer_sql" -> dx13 _,
     "dx12_unnest_zip_sql" -> dx12 _,
     "dx11_fetch_ties_sql" -> dx11 _,
     "dx1_reference_dialect" -> dx1 _,
@@ -460,6 +485,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx13_unnest_outer_sql" -> dx13Sql,
     "dx12_unnest_zip_sql" -> dx12Sql,
     "dx11_fetch_ties_sql" -> dx11Sql,
     "dx1_reference_dialect" -> dx1Sql,

@@ -1,7 +1,7 @@
 package graft.sqlcompat
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{arrays_zip, col, explode, expr, map_entries, posexplode}
+import org.apache.spark.sql.functions.{arrays_zip, col, explode, explode_outer, expr, map_entries, posexplode, posexplode_outer}
 
 /** SQL-text surface for the reference dialect's relation-level
   * constructs that are NOT expressible as the function renames of
@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions.{arrays_zip, col, explode, expr, map_entri
   *     `UnnestOperator.java` — Spark's `arrays_zip` has exactly these
   *     pad semantics, so the lowering is zip → posexplode → one
   *     projection); a MAP argument unnests to its (key, value) pairs;
+  *     `LEFT JOIN UNNEST(…) … ON TRUE` is the OUTER form — rows with
+  *     empty/null collections survive with null outputs
+  *     (`explode_outer`/`posexplode_outer`);
   *   - `FROM t TABLESAMPLE BERNOULLI(p)` / `SYSTEM(p)` — lowered onto
   *     `DataFrame.sample(p/100)` (row-level Bernoulli; SYSTEM's
   *     block-level sampling has no Spark analog, so both forms sample
@@ -49,13 +52,19 @@ object RelationSql {
     val table = m.group(2)
     var rest = sql.substring(m.end)
 
-    val unnestRe = "(?is)^\\s*CROSS\\s+JOIN\\s+UNNEST\\s*\\(".r
+    val unnestRe = "(?is)^\\s*(CROSS|LEFT)\\s+JOIN\\s+UNNEST\\s*\\(".r
     val sampleRe =
       "(?is)^\\s*TABLESAMPLE\\s+(BERNOULLI|SYSTEM)\\s*\\(\\s*(\\d+(?:\\.\\d+)?)\\s*\\)".r
 
     val base = resolve(table)
     val rel: DataFrame = unnestRe.findFirstMatchIn(rest) match {
       case Some(um) =>
+        // LEFT JOIN UNNEST(…) ON TRUE is the reference's OUTER unnest
+        // (`UnnestOperator.java` outer flag): a row with an empty or
+        // null collection survives with null output columns —
+        // `explode_outer`/`posexplode_outer` are the exact Spark
+        // analogs.
+        val outer = um.group(1).equalsIgnoreCase("LEFT")
         val open = um.end - 1
         val close = MatchRecognizeSql.matchParen(rest, open)
         // Translate FIRST (ARRAY[…] sugar becomes array(…)), then
@@ -74,6 +83,12 @@ object RelationSql {
           "UNNEST requires AS alias(col[, …][, ord]) (with the ord " +
             "column only under WITH ORDINALITY)"))
         rest = rest.substring(tm.end)
+        if (outer) {
+          val onTrue = "(?is)^\\s*ON\\s+TRUE".r
+          val om = onTrue.findFirstMatchIn(rest).getOrElse(fail(
+            "LEFT JOIN UNNEST requires ON TRUE (the reference's outer-unnest form)"))
+          rest = rest.substring(om.end)
+        }
         val ordinality = tm.group(1) != null
         val outNames = tm.group(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         // The reference expands a MAP argument to two columns (key,
@@ -90,16 +105,26 @@ object RelationSql {
         if (outNames.size != expected) fail(
           s"UNNEST output columns: expected $expected (${dataCols} data" +
             (if (ordinality) " + ordinality" else "") + s"), got ${outNames.size}")
+        def posEx(c: org.apache.spark.sql.Column) =
+          if (outer) posexplode_outer(c) else posexplode(c)
         (argExprs, argTypes) match {
           case (Seq(arr), Seq(_: org.apache.spark.sql.types.ArrayType)) =>
-            if (ordinality)
-              graft.operators.Ops.unnestWithOrdinality(
-                base, arr, outNames(1), outNames(0))
+            if (ordinality) {
+              // posexplode_outer yields a NULL position for the padded
+              // row, so the 1-based cast stays null — the reference's
+              // outer-unnest ordinality contract.
+              base.select(base.columns.map(col) :+
+                  posEx(arr).as(Seq("__pos", outNames(0))): _*)
+                .withColumn(outNames(1), (col("__pos") + 1).cast("long"))
+                .drop("__pos")
+            } else if (outer)
+              base.select(base.columns.map(col) :+
+                explode_outer(arr).as(outNames(0)): _*)
             else base.withColumn(outNames(0), explode(arr))
           case (Seq(mp), Seq(_: org.apache.spark.sql.types.MapType)) =>
             // map → (key, value) pairs; ordinality follows map order.
             val exploded = base.select(base.columns.map(col) :+
-              posexplode(mp).as(Seq("__pos", outNames(0), outNames(1))): _*)
+              posEx(mp).as(Seq("__pos", outNames(0), outNames(1))): _*)
             if (ordinality)
               exploded.withColumn(outNames(2), (col("__pos") + 1).cast("long"))
                 .drop("__pos")
@@ -115,7 +140,7 @@ object RelationSql {
               }
             val zipped = arrays_zip(slotCols.map(_._1): _*)
             val ex = base.select(base.columns.map(col) :+
-              posexplode(zipped).as(Seq("__pos", "__z")): _*)
+              posEx(zipped).as(Seq("__pos", "__z")): _*)
             // Project struct slots out to the declared names; a map
             // slot contributes .key/.value of its entry struct.
             var out = ex

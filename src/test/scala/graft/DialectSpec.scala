@@ -491,6 +491,26 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException](RelationSql.translate(
       "SELECT doc_id FROM documents CROSS JOIN UNNEST(split(text, ' '), array(1)) AS t(a)",
       _ => docs))
+    // OUTER unnest: the empty-array row survives with null word AND
+    // null ordinality; inner form drops it.
+    val two = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val outer = RelationSql.translate(
+      """SELECT doc_id, w, ord FROM documents
+        |LEFT JOIN UNNEST(filter(split(text, ' '), x -> length(x) > 0))
+        |  WITH ORDINALITY AS t(w, ord) ON TRUE""".stripMargin,
+      _ => two).collect()
+    assert(outer.length == 3)
+    val padded = outer.filter(_.getLong(0) == 2L)
+    assert(padded.length == 1 && padded.head.isNullAt(1) && padded.head.isNullAt(2))
+    val inner = RelationSql.translate(
+      """SELECT doc_id, w FROM documents
+        |CROSS JOIN UNNEST(filter(split(text, ' '), x -> length(x) > 0)) AS t(w)""".stripMargin,
+      _ => two).collect()
+    assert(inner.length == 2 && inner.forall(_.getLong(0) == 1L))
+    // LEFT JOIN UNNEST without ON TRUE fails loudly
+    assertThrows[IllegalArgumentException](RelationSql.translate(
+      "SELECT doc_id FROM documents LEFT JOIN UNNEST(split(text, ' ')) AS t(a)",
+      _ => two))
   }
 
   test("relation SQL: ORDER BY + OFFSET + FETCH lower onto sort/offset/limit/ties") {

@@ -153,6 +153,12 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("SQL-text FETCH WITH TIES plans as WindowGroupLimit") {
+    val plan = graft.queries.DialectQueries.dx11(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("q6 pushes filters into the parquet scan") {
     val plan = graft.queries.Relational.q6(spark, sfDir)
       .queryExecution.executedPlan.toString
