@@ -13,6 +13,50 @@ case class SessionAcc(startMs: Long, lastMs: Long, cnt: Long)
 case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,
     s_end: java.sql.Timestamp, cnt: Long)
 
+/** Input row for [[Streams.runningStatsTws]] (top-level for a stable
+  * encoder). */
+case class UserEvt(user_id: Long, event_type: String, value: Double)
+
+/** Output row of [[Streams.runningStatsTws]]. */
+case class UserStats(user_id: Long, n_events: Long, vsum: Long, n_types: Long)
+
+/** Per-user running stats as a Spark 4 `StatefulProcessor` (the
+  * `transformWithState` arbitrary-state API that supersedes
+  * mapGroupsWithState): a ValueState holds the (count, floor-sum)
+  * pair, a MapState the distinct event types — each state item is
+  * keyed and stored independently in the state store (RocksDB
+  * provider), so per-user state is O(#distinct types) and the store
+  * scales with key cardinality, not event volume. TTL is left NONE
+  * here; the API surface (TTLConfig per state item) is the modern
+  * replacement for GroupStateTimeout. */
+class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvt, UserStats] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+  @transient private var types: MapState[String, Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    totals = getHandle.getValueState("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    types = getHandle.getMapState("types",
+      Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvt],
+      timerValues: TimerValues): Iterator[UserStats] = {
+    var (c, s) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { e =>
+      c += 1
+      s += math.floor(e.value).toLong
+      if (!types.containsKey(e.event_type)) types.updateValue(e.event_type, true)
+    }
+    totals.update((c, s))
+    Iterator.single(UserStats(key, c, s, types.keys().size.toLong))
+  }
+}
+
 /** Structured-Streaming surface over the `events` table (SURVEY §2.10).
   *
   * The reference is batch-only (Kafka/Kinesis connectors map topics to
@@ -263,6 +307,38 @@ object Streams {
       .select(col("c_user").as("user_id"), col("c_event"), col("p_event"),
         col("p_value"), col("c_ts"), col("p_ts"))
 
+  /** [[RunningStatsProcessor]] applied to any (user_id, event_type,
+    * value) DataFrame via `transformWithState` — runs in BOTH batch
+    * mode (each key's rows arrive in one call; st9's oracle gate) and
+    * streaming mode (state accumulates across micro-batches in
+    * RocksDB; StreamingSpec proves cross-batch accumulation equals the
+    * batch result). */
+  def runningStatsTws(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    org.apache.spark.sql.graft.PlanExec
+      .ensureStateStoreCoordinator(events.sparkSession)
+    events.selectExpr("user_id", "event_type", "value").as[UserEvt]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  // ---------------------------- st9 transformWithState running stats
+  /** Batch execution of the transformWithState processor: one output
+    * row per user with final (count, floor-sum, distinct-type count)
+    * — deterministic (floor-sum is order-independent in Long), so the
+    * full result hash-matches the oracle's GROUP BY. */
+  def st9(s: SparkSession, dir: String): DataFrame =
+    runningStatsTws(ev(s, dir))
+
+  val st9Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS vsum,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.10: the
     * arbitrary-stateful-processing surface): running per-user event
     * count and decimal-free value sum, updated per micro-batch. State
@@ -387,7 +463,8 @@ object Streams {
     "st5_stream_join" -> st5 _,
     "st6_stream_static" -> st6 _,
     "st7_window_sketch" -> st7 _,
-    "st8_stream_outer_join" -> st8 _)
+    "st8_stream_outer_join" -> st8 _,
+    "st9_transform_with_state" -> st9 _)
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
@@ -397,5 +474,6 @@ object Streams {
     "st5_stream_join" -> st5Sql,
     "st6_stream_static" -> st6Sql,
     "st7_window_sketch" -> st7Sql,
-    "st8_stream_outer_join" -> st8Sql)
+    "st8_stream_outer_join" -> st8Sql,
+    "st9_transform_with_state" -> st9Sql)
 }

@@ -40,6 +40,15 @@ object PlanExec {
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(qe.analyzed.schema))
   }
 
+  /** BATCH execution of `transformWithState` loads per-partition state
+    * stores, and store loading asks the driver for its
+    * StateStoreCoordinator RPC endpoint — which is otherwise created
+    * lazily when the first STREAMING query starts. Touch it so a
+    * batch-mode stateful processor doesn't die with
+    * RpcEndpointNotFoundException in a session that never streamed. */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.asInstanceOf[ClassicSparkSession].streams.stateStoreCoordinator
+
   /** Column ↔ catalyst Expression converters, for the few engine
     * helpers built directly on catalyst nodes Spark exposes no DSL for
     * (e.g. [[org.apache.spark.sql.catalyst.expressions.UnscaledValue]]

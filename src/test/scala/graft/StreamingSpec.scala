@@ -253,6 +253,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("transformWithState accumulates across micro-batches (RocksDB state)") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[graft.streaming.UserEvt]
+      val q = Streams.runningStatsTws(src.toDF())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        src.addData(graft.streaming.UserEvt(1L, "click", 1.5),
+          graft.streaming.UserEvt(1L, "view", 2.5),
+          graft.streaming.UserEvt(2L, "click", 3.9))
+        q.processAllAvailable()
+        src.addData(graft.streaming.UserEvt(1L, "click", 10.0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_out").collect()
+        // update mode: one emission per seen user per batch. User 1's
+        // second emission must CONTINUE from RocksDB state: count 3,
+        // floor-sum 1+2+10, still 2 distinct types.
+        val u1 = rows.filter(_.getLong(0) == 1L)
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(u1 == Set((2L, 3L, 2L), (3L, 13L, 2L)), rows.mkString("; "))
+        val u2 = rows.filter(_.getLong(0) == 2L)
+        assert(u2.length == 1 && u2.head.getLong(1) == 1L &&
+          u2.head.getLong(2) == 3L && u2.head.getLong(3) == 1L)
+      } finally q.stop()
+      // batch mode over the same rows reproduces the final per-user state
+      val batch = Streams.runningStatsTws(Seq(
+        graft.streaming.UserEvt(1L, "click", 1.5),
+        graft.streaming.UserEvt(1L, "view", 2.5),
+        graft.streaming.UserEvt(2L, "click", 3.9),
+        graft.streaming.UserEvt(1L, "click", 10.0)).toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch == Set((1L, 3L, 13L, 2L), (2L, 1L, 3L, 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("outer interval join emits the null row exactly at state expiry") {
     val spark = sparkSession
     import spark.implicits._
