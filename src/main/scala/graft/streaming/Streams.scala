@@ -57,6 +57,63 @@ class RunningStatsProcessor
   }
 }
 
+/** Session close-out on EVENT-TIME TIMERS via the transformWithState
+  * SPI — the modern twin of [[Streams.sessionizeStream]]'s
+  * flatMapGroupsWithState version: state is one open [[SessionAcc]]
+  * per user; every update re-arms a single timer at last+gap (the old
+  * timer is deleted first, so exactly one is live per key); when the
+  * watermark passes the timer, [[handleExpiredTimer]] emits the closed
+  * session and clears state. In-batch splits emit inline, identical to
+  * the fMGWS version's sweep. */
+class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), ClosedSession] {
+  import org.apache.spark.sql.{Encoders => Encs}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var acc: ValueState[SessionAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState("sess", Encs.product[SessionAcc], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    val prior = if (acc.exists()) Some(acc.get()) else None
+    prior.foreach(p => getHandle.deleteTimer(p.lastMs + gapMs))
+    // Same interval sweep as sessionizeStream: merge the stored open
+    // session with the batch's points, close all but the latest.
+    val batch = rows.map(_._2.getTime).toArray.sorted
+      .map(t => SessionAcc(t, t, 1L))
+    val all = (prior.toSeq ++ batch).sortBy(a => (a.startMs, a.lastMs))
+    val merged = scala.collection.mutable.ListBuffer[SessionAcc]()
+    all.foreach { s =>
+      if (merged.nonEmpty && s.startMs - merged.last.lastMs <= gapMs) {
+        val p = merged.remove(merged.size - 1)
+        merged += SessionAcc(math.min(p.startMs, s.startMs),
+          math.max(p.lastMs, s.lastMs), p.cnt + s.cnt)
+      } else merged += s
+    }
+    val open = merged.remove(merged.size - 1)
+    acc.update(open)
+    getHandle.registerTimer(open.lastMs + gapMs)
+    merged.iterator.map(s => ClosedSession(uid,
+      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.cnt))
+  }
+
+  override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    // Only the CURRENT timer closes the session (a stale timer for a
+    // since-extended session was deleted, but double-check anyway).
+    if (acc.exists() && acc.get().lastMs + gapMs == expiredTimerInfo.getExpiryTimeInMs) {
+      val s = acc.get()
+      acc.clear()
+      Iterator.single(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.lastMs), s.cnt))
+    } else Iterator.empty
+  }
+}
+
 /** Structured-Streaming surface over the `events` table (SURVEY §2.10).
   *
   * The reference is batch-only (Kafka/Kinesis connectors map topics to
@@ -338,6 +395,23 @@ object Streams {
       |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS vsum,
       |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
       |FROM events GROUP BY user_id""".stripMargin
+
+  /** [[SessionTimerProcessor]] wired to a watermarked stream in
+    * event-time mode: exactly one live timer per user closes the
+    * session when the watermark passes last+gap — the timer-based
+    * equivalent of [[sessionizeStream]]'s EventTimeTimeout. */
+  def sessionizeTws(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val gapMs = 5 * 60 * 1000L
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
 
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.10: the
     * arbitrary-stateful-processing surface): running per-user event

@@ -127,6 +127,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest == expected)
   }
 
+  test("transformWithState timers close sessions when the watermark passes") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(ms: Long, uid: Long) = Ev(new Timestamp(ms), uid, "view", 1.0)
+    try {
+      val stream = MemoryStream[Ev]
+      val q = graft.streaming.Streams.sessionizeTws(stream.toDF())
+        .writeStream.format("memory").queryName("tws_sessions_out")
+        .outputMode("append").start()
+      try {
+        // batch 1 keeps the watermark BELOW t0 (max event t0+60 s,
+        // delay 10 min) so batch 2's extension is not late-dropped.
+        stream.addData(Seq(ev(t0, 1), ev(t0 + 60000, 1), ev(t0, 2),
+          ev(t0, 3)))
+        q.processAllAvailable()
+        // batch 2: u1's extension (2 min after its last event) must
+        // RE-ARM the timer, not let the old one fire; u3's 20-min-later
+        // event splits the session inside the processor (closes inline).
+        stream.addData(Seq(ev(t0 + 3 * 60000, 1), ev(t0 + 20 * 60000, 3)))
+        q.processAllAvailable()
+        // advance the watermark past the first-wave timeouts (but NOT
+        // past u3's second-session timeout at +25 min), twice so the
+        // timers actually fire after the watermark commits
+        stream.addData(Seq(ev(t0 + 30 * 60000, 99)))
+        q.processAllAvailable()
+        stream.addData(Seq(ev(t0 + 31 * 60000, 99)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_sessions_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      val expected = Set(
+        (1L, t0, t0 + 3 * 60000, 3L), // extended once, then timer-closed
+        (2L, t0, t0, 1L),             // timer-closed
+        (3L, t0, t0, 1L))             // closed inline by in-batch split
+      assert(got == expected, got.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     val spark = sparkSession
     import spark.implicits._
