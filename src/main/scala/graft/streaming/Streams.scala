@@ -331,11 +331,22 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("session_window.start").as("s_start"), col("user_id"), col("cnt"))
 
-  /** Streaming dedup on (user_id, event_type) within the watermark. */
+  /** Streaming dedup on (user_id, event_type) within the watermark.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: plain
+    * dropDuplicates only evicts state when the event-time column is
+    * part of the dedup KEY — on a bare business key its state grows
+    * with total distinct keys forever (an unbounded-state bug at
+    * 100 TB/day). The WithinWatermark variant keeps the business key
+    * alone as the identity and still expires each key's state once the
+    * watermark passes its first-seen time + delay — bounded by
+    * watermark-horizon key cardinality. Duplicates arriving within the
+    * watermark window are dropped; a re-occurrence after expiry is
+    * treated as new (the documented at-least-once contract). */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** st5's interval join as a genuine two-stream join: watermarks on
     * BOTH sides plus the two-sided time-range predicate are what let

@@ -268,11 +268,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = Streams.dedupStream(stream.toDF())
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").count()
+      val expected = data.map(e => (e.user_id, e.event_type)).distinct.size
+      assert(got == expected)
 
-    val got = spark.table("dedup_out").count()
-    val expected = data.map(e => (e.user_id, e.event_type)).distinct.size
-    assert(got == expected)
+      // State BOUNDEDNESS (the 100 TB contract): advance the watermark
+      // far past every first-seen time — dedup state must be evicted,
+      // and the same business key with a fresh timestamp is then
+      // treated as NEW (emitted again). Plain dropDuplicates on a bare
+      // business key would keep its state forever and suppress it.
+      val farMs = data.map(_.ts.getTime).max + 3 * 3600 * 1000L
+      stream.addData(Seq(Ev(new Timestamp(farMs), 424242L, "advance", 0.0)))
+      q.processAllAvailable()
+      val reKey = data.head
+      stream.addData(Seq(Ev(new Timestamp(farMs + 60000L),
+        reKey.user_id, reKey.event_type, 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == expected + 2,
+        "expired key must re-emit after watermark eviction")
+      val removed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsRemoved).sum
+      assert(removed >= expected, s"dedup state not evicted (removed=$removed)")
+    } finally q.stop()
   }
 
   test("stream-stream interval join: streaming result equals batch result") {
