@@ -95,8 +95,13 @@ object RelationSql {
         // value); each ARRAY argument yields one. Resolve argument
         // types against the base relation (no job — analysis only).
         val argTypes = base.select(argExprs: _*).schema.map(_.dataType)
+        // The reference flattens an ARRAY(ROW(…)) argument into one
+        // output column PER FIELD (UnnestOperator's replicate/unnest
+        // channel split); plain arrays and maps yield 1 and 2.
         val colsPerArg = argTypes.map {
           case _: org.apache.spark.sql.types.MapType => 2
+          case org.apache.spark.sql.types.ArrayType(
+              st: org.apache.spark.sql.types.StructType, _) => st.fields.length
           case _: org.apache.spark.sql.types.ArrayType => 1
           case other => fail(s"UNNEST argument must be ARRAY or MAP, got $other")
         }
@@ -108,6 +113,20 @@ object RelationSql {
         def posEx(c: org.apache.spark.sql.Column) =
           if (outer) posexplode_outer(c) else posexplode(c)
         (argExprs, argTypes) match {
+          case (Seq(arr), Seq(org.apache.spark.sql.types.ArrayType(
+              st: org.apache.spark.sql.types.StructType, _))) =>
+            // array-of-rows → one column per row field (Spark `inline`
+            // semantics, built on posexplode so ordinality composes).
+            val ex = base.select(base.columns.map(col) :+
+              posEx(arr).as(Seq("__pos", "__r")): _*)
+            var out = ex
+            st.fields.zipWithIndex.foreach { case (f, i) =>
+              out = out.withColumn(outNames(i), col("__r").getField(f.name))
+            }
+            if (ordinality)
+              out = out.withColumn(outNames(st.fields.length),
+                (col("__pos") + 1).cast("long"))
+            out.drop("__pos", "__r")
           case (Seq(arr), Seq(_: org.apache.spark.sql.types.ArrayType)) =>
             if (ordinality) {
               // posexplode_outer yields a NULL position for the padded
@@ -132,28 +151,38 @@ object RelationSql {
           case _ =>
             // Multi-argument zip. Map args expand to entry structs
             // first so every zipped element is one struct slot.
-            val slotCols: Seq[(org.apache.spark.sql.Column, Seq[String])] =
+            val slotCols: Seq[org.apache.spark.sql.Column] =
               argExprs.zip(argTypes).zipWithIndex.map {
                 case ((e, _: org.apache.spark.sql.types.MapType), i) =>
-                  (map_entries(e).as(s"s$i"), Seq(s"__k$i", s"__v$i"))
-                case ((e, _), i) => (e.as(s"s$i"), Seq(s"__a$i"))
+                  map_entries(e).as(s"s$i")
+                case ((e, _), i) => e.as(s"s$i")
               }
-            val zipped = arrays_zip(slotCols.map(_._1): _*)
+            val zipped = arrays_zip(slotCols: _*)
             val ex = base.select(base.columns.map(col) :+
               posEx(zipped).as(Seq("__pos", "__z")): _*)
-            // Project struct slots out to the declared names; a map
-            // slot contributes .key/.value of its entry struct.
+            // Project struct slots out to the declared names: a map
+            // slot contributes .key/.value of its entry struct; an
+            // array-of-rows slot one column per row field; a plain
+            // array slot its element.
             var out = ex
             var nameIdx = 0
-            slotCols.zipWithIndex.foreach { case ((_, slots), i) =>
-              if (slots.size == 2) {
-                out = out
-                  .withColumn(outNames(nameIdx), col("__z").getField(s"s$i").getField("key"))
-                  .withColumn(outNames(nameIdx + 1), col("__z").getField(s"s$i").getField("value"))
-                nameIdx += 2
-              } else {
-                out = out.withColumn(outNames(nameIdx), col("__z").getField(s"s$i"))
-                nameIdx += 1
+            argTypes.zipWithIndex.foreach { case (t, i) =>
+              val slot = col("__z").getField(s"s$i")
+              t match {
+                case _: org.apache.spark.sql.types.MapType =>
+                  out = out
+                    .withColumn(outNames(nameIdx), slot.getField("key"))
+                    .withColumn(outNames(nameIdx + 1), slot.getField("value"))
+                  nameIdx += 2
+                case org.apache.spark.sql.types.ArrayType(
+                    st: org.apache.spark.sql.types.StructType, _) =>
+                  st.fields.foreach { f =>
+                    out = out.withColumn(outNames(nameIdx), slot.getField(f.name))
+                    nameIdx += 1
+                  }
+                case _ =>
+                  out = out.withColumn(outNames(nameIdx), slot)
+                  nameIdx += 1
               }
             }
             if (ordinality)

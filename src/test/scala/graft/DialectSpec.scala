@@ -511,6 +511,22 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException](RelationSql.translate(
       "SELECT doc_id FROM documents LEFT JOIN UNNEST(split(text, ' ')) AS t(a)",
       _ => two))
+    // array-of-ROWs flattens into one column per field (inline form),
+    // composing with ordinality — and with a zipped plain array.
+    val rows = RelationSql.translate(
+      """SELECT doc_id, nm, sz, ord FROM documents
+        |CROSS JOIN UNNEST(ARRAY[ROW('a', 1), ROW('b', 2)])
+        |  WITH ORDINALITY AS t(nm, sz, ord)""".stripMargin,
+      _ => docs.limit(1)).orderBy("ord").collect()
+    assert(rows.map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSeq ==
+      Seq(("a", 1, 1L), ("b", 2, 2L)))
+    val rowZip = RelationSql.translate(
+      """SELECT nm, sz, x FROM documents
+        |CROSS JOIN UNNEST(ARRAY[ROW('a', 1)], array(7, 8)) AS t(nm, sz, x)""".stripMargin,
+      _ => docs.limit(1)).orderBy("x").collect()
+    assert(rowZip.map(r => (if (r.isNullAt(0)) "-" else r.getString(0),
+      if (r.isNullAt(1)) -1 else r.getInt(1), r.getInt(2))).toSeq ==
+      Seq(("a", 1, 7), ("-", -1, 8)))
   }
 
   test("relation SQL: ORDER BY + OFFSET + FETCH lower onto sort/offset/limit/ties") {
