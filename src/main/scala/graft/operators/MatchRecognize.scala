@@ -415,6 +415,28 @@ object MatchRecognize {
     }
   }
 
+  /** Test hook (PropertiesSpec): segment an n-row group with the NFA
+    * under context-free classification and SKIP PAST LAST ROW, exactly
+    * as the operator scan loop does — returns (startIdx, labels) per
+    * non-empty match. This is the kernel a regex reference
+    * implementation can be raced against: SQL row-pattern preferment
+    * order IS backtracking order, so for disjoint single-char classes
+    * the segmentation must equal java.util.regex's. */
+  private[graft] def segmentForTest(pattern: String, n: Int,
+      classify: (Int, String) => Boolean): Seq[(Int, Array[String])] = {
+    val pat = parse(pattern)
+    val out = mutable.ArrayBuffer[(Int, Array[String])]()
+    var i = 0
+    while (i < n) {
+      val m = matchFrom(pat, i, n, (j, v, _) => classify(j, v))
+      if (m != null && m.length > 0) {
+        out += ((i, m))
+        i += m.length
+      } else i += 1
+    }
+    out.toSeq
+  }
+
   /** Generic matching engine: shuffle on the partition key, local
     * sort, stream key groups through the automaton, and hand each
     * match (key, match_no, group rows, start index, classifier names)

@@ -17,6 +17,51 @@ class PropertiesSpec extends AnyFunSuite {
     assert(res.passed, s"$name: $res")
   }
 
+  test("MATCH_RECOGNIZE NFA segmentation equals regex backtracking") {
+    // SQL row-pattern preferment order IS regex backtracking order
+    // (greedy tries longer first, reluctant shorter, alternation
+    // left-to-right), so on context-free disjoint single-char classes
+    // the NFA's (start, labels) segmentation under SKIP PAST LAST ROW
+    // must equal java.util.regex's repeated leftmost match. Quantified
+    // GROUP bodies are kept non-nullable (bare atoms) — the one corner
+    // where engines' empty-iteration conventions legitimately differ.
+    val atom = Gen.oneOf("A", "B", "C")
+    val quant = Gen.oneOf("", "*", "+", "?", "*?", "+?", "??", "{1,2}", "{2,3}?", "{0,2}")
+    val basic = for { a <- atom; q <- quant } yield a + q
+    val bareSeq = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, atom)).map(_.mkString(" "))
+    val groupCore = Gen.oneOf(
+      bareSeq,
+      for { a <- bareSeq; b <- bareSeq } yield s"$a | $b")
+    val group = for {
+      c <- groupCore
+      q <- Gen.oneOf("", "*", "+", "?", "*?", "+?", "{1,3}")
+    } yield s"( $c )$q"
+    val pattern = Gen.choose(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.frequency(3 -> basic, 2 -> group)))
+      .map(_.mkString(" "))
+    val input = Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+
+    def regexOf(p: String): String =
+      p.replace("A", "a").replace("B", "b").replace("C", "c")
+        .replace(" ", "").replace("(", "(?:")
+
+    check("mr-vs-regex", Prop.forAll(pattern, input) { (p, s) =>
+      val nfa = graft.operators.MatchRecognize.segmentForTest(p, s.length,
+        (i, v) => s.charAt(i) == v.toLowerCase.charAt(0))
+      val m = java.util.regex.Pattern.compile(regexOf(p)).matcher(s)
+      val ref = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+      var i = 0
+      var go = true
+      while (go && i < s.length && m.find(i)) {
+        if (m.end > m.start) { ref += ((m.start, s.substring(m.start, m.end))); i = m.end }
+        else if (m.start >= s.length) go = false
+        else i = m.start + 1
+      }
+      val nfaView = nfa.map { case (st, labels) => (st, labels.mkString.toLowerCase) }
+      nfaView == ref.toSeq
+    })
+  }
+
   test("luhn: appending the computed check digit always validates") {
     val digits = Gen.nonEmptyListOf(Gen.choose(0, 9)).map(_.mkString)
     check("luhn", Prop.forAll(digits) { body =>
