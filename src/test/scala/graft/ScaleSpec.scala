@@ -304,6 +304,25 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.sameElements(rows.sortBy(identity)), "result not globally ordered")
   }
 
+  test("st9 transformWithState shuffles once on the grouping key") {
+    val df = graft.streaming.Streams.st9(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TransformWithState"), plan.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"stateful processing should shuffle exactly once on user_id:\n${plan.take(1500)}")
+  }
+
+  test("SQL-text UNNEST forms stay narrow (generator, no shuffle)") {
+    for (q <- Seq(graft.queries.DialectQueries.dx12 _,
+        graft.queries.DialectQueries.dx13 _)) {
+      val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("Generate"), plan.take(1200))
+      assert(!plan.contains("Exchange"),
+        s"unnest must not shuffle:\n${plan.take(1500)}")
+    }
+  }
+
   test("p23 scrub census is one scan with a per-source rollup (no text shuffle)") {
     val df = graft.queries.Pipeline.p23(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
