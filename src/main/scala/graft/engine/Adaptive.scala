@@ -109,6 +109,13 @@ object Adaptive {
     // the setting Spark's own docs recommend for production; here it
     // converts ~32-task reduce stages over tens of MB into ~2-6 tasks.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false") ++
+    // NOT raised here: autoBroadcastJoinThreshold. Measured r13 — a
+    // 64 MB threshold in this tier broadcasts the ~100 MB-scan join
+    // sides (orders) and LOSES the race on every TPC-H query (q group
+    // 6.9 s → 8.7 s): building + shipping a wide hashed relation costs
+    // more than the shuffle it replaces once the build side stops
+    // being dimension-sized. AQE's runtime conversion already
+    // broadcasts the genuinely small sides.
     (if (bytes < BigInt(BloomMinBytes))
       Seq("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")
     else Nil)
