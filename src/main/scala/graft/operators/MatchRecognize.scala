@@ -607,6 +607,14 @@ object MatchRecognize {
     case object CountStar extends SqlMeasure
     /** `fn` ∈ first|last|min|max|sum|avg over a numeric input column. */
     final case class Agg(fn: String, column: String) extends SqlMeasure
+    /** Explicit `FINAL agg(col)`: in ALL ROWS PER MATCH, every row of
+      * the match carries the WHOLE-match value (the default there is
+      * RUNNING). In ONE ROW PER MATCH it equals [[Agg]]. */
+    final case class FinalAgg(fn: String, column: String) extends SqlMeasure
+    /** Explicit `FINAL COUNT(*)`: the full match length on every row. */
+    case object FinalCount extends SqlMeasure
+    /** Explicit `FINAL CLASSIFIER()`: the LAST matched row's label. */
+    case object FinalClassifier extends SqlMeasure
   }
 
   /** Streaming accumulator for one measure aggregate: feed rows in
@@ -706,12 +714,23 @@ object MatchRecognize {
           case other => throw new IllegalArgumentException(
             s"measure $fn($c): numeric column required, got $other")
         })
+      case (SqlMeasure.FinalAgg(fn, c), _) =>
+        c -> (inSchema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case FloatType | DoubleType => false
+          case other => throw new IllegalArgumentException(
+            s"measure FINAL $fn($c): numeric column required, got $other")
+        })
     }.toMap
     val measureFields = measures.map {
       case (SqlMeasure.MatchNum, a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.Classifier, a) => StructField(a, StringType)
+      case (SqlMeasure.FinalClassifier, a) => StructField(a, StringType)
       case (SqlMeasure.CountStar, a) => StructField(a, LongType, nullable = withUnmatched)
+      case (SqlMeasure.FinalCount, a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.Agg(fn, c), a) =>
+        StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
+      case (SqlMeasure.FinalAgg(fn, c), a) =>
         StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
     }
     val keyCols = if (allRows) partCols ++ orderCols else partCols
@@ -732,6 +751,7 @@ object MatchRecognize {
         (matchNo, buf, i, m) =>
           val aggs = meas.map {
             case (SqlMeasure.Agg(fn, c), _) => new RunAgg(fn, c, integ(c))
+            case (SqlMeasure.FinalAgg(fn, c), _) => new RunAgg(fn, c, integ(c))
             case _ => null
           }
           var k = 0
@@ -744,7 +764,9 @@ object MatchRecognize {
           val mv = meas.zip(aggs).map {
             case ((SqlMeasure.MatchNum, _), _) => matchNo
             case ((SqlMeasure.Classifier, _), _) => m.map(realLabel).mkString
+            case ((SqlMeasure.FinalClassifier, _), _) => realLabel(m.last)
             case ((SqlMeasure.CountStar, _), _) => m.length.toLong
+            case ((SqlMeasure.FinalCount, _), _) => m.length.toLong
             case (_, a) => a.value
           }
           Seq(Row.fromSeq(kCols.map(c => r0.get(r0.fieldIndex(c))) ++ mv))
@@ -762,8 +784,11 @@ object MatchRecognize {
           val mv = meas.map {
             case (SqlMeasure.MatchNum, _) => matchNo
             case (SqlMeasure.Classifier, _) => null
+            case (SqlMeasure.FinalClassifier, _) => null
             case (SqlMeasure.CountStar, _) => 0L
+            case (SqlMeasure.FinalCount, _) => 0L
             case (SqlMeasure.Agg(_, _), _) => null
+            case (SqlMeasure.FinalAgg(_, _), _) => null
           }
           Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++
             rCols.map(c => r.get(r.fieldIndex(c))))
@@ -782,17 +807,30 @@ object MatchRecognize {
             case (SqlMeasure.Agg(fn, c), _) => new RunAgg(fn, c, integ(c))
             case _ => null
           }
+          // FINAL measures: one whole-match pass up front, every
+          // emitted row then carries the same final value.
+          val finals = meas.map {
+            case (SqlMeasure.FinalAgg(fn, c), _) =>
+              val a = new RunAgg(fn, c, integ(c))
+              var k = 0
+              while (k < m.length) { a.update(buf(i + k)); k += 1 }
+              a.value
+            case _ => null
+          }
           val out = Seq.newBuilder[Row]
           var k = 0
           while (k < m.length) {
             val r = buf(i + k)
             aggs.foreach(a => if (a != null) a.update(r)) // excluded rows feed RUNNING
             if (!isExcluded(m(k))) {
-              val mv = meas.zip(aggs).map {
-                case ((SqlMeasure.MatchNum, _), _) => matchNo
-                case ((SqlMeasure.Classifier, _), _) => realLabel(m(k))
-                case ((SqlMeasure.CountStar, _), _) => (k + 1).toLong
-                case (_, a) => a.value
+              val mv = meas.zip(aggs).zip(finals).map {
+                case (((SqlMeasure.MatchNum, _), _), _) => matchNo
+                case (((SqlMeasure.Classifier, _), _), _) => realLabel(m(k))
+                case (((SqlMeasure.FinalClassifier, _), _), _) => realLabel(m.last)
+                case (((SqlMeasure.CountStar, _), _), _) => (k + 1).toLong
+                case (((SqlMeasure.FinalCount, _), _), _) => m.length.toLong
+                case (((SqlMeasure.FinalAgg(_, _), _), _), fv) => fv
+                case ((_, a), _) => a.value
               }
               out += Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++
                 rCols.map(c => r.get(r.fieldIndex(c))))

@@ -469,7 +469,65 @@ object DialectQueries {
       |  unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS w
       |FROM f""".stripMargin
 
+  /** Explicit RUNNING vs FINAL measure semantics in ALL ROWS PER MATCH
+    * (grammar `SqlBase.g4` patternRecognitionExpression): the same
+    * aggregate is measured both ways side-by-side — `run_max` grows
+    * along the match (RUNNING, the ALL ROWS default), `fin_max` /
+    * `fin_n` / `fin_cls` carry the whole-match value (and last-row
+    * classifier) on EVERY row. The oracle replays RUNNING with a
+    * bounded-frame window and FINAL with the full-partition frame. */
+  val dx14Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id, event_type
+      |  ORDER BY ts_ns, event_id
+      |  MEASURES MATCH_NUMBER() AS match_no,
+      |           RUNNING COUNT(*) AS run_pos,
+      |           RUNNING MAX(value) AS run_max,
+      |           FINAL COUNT(*) AS fin_n,
+      |           FINAL MAX(value) AS fin_max,
+      |           FINAL CLASSIFIER() AS fin_cls
+      |  ALL ROWS PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (U{2,})
+      |  DEFINE U AS value > PREV(value)
+      |)""".stripMargin
+
+  def dx14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx14Reference,
+      name => Graft.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"),
+          col("event_id"), col("value")))
+  }
+
+  val dx14Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id, value,
+      |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS isu
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(1 - isu) OVER (
+      |    PARTITION BY user_id, event_type ORDER BY ts_ns, event_id) AS BIGINT) AS run_id
+      |  FROM d),
+      |m AS (
+      |  SELECT user_id, event_type, ts_ns, event_id, value, run_id,
+      |    CAST(row_number() OVER w2 AS BIGINT) AS run_pos,
+      |    max(value) OVER w2 AS run_max,
+      |    CAST(count(*) OVER w3 AS BIGINT) AS fin_n,
+      |    max(value) OVER w3 AS fin_max
+      |  FROM r WHERE isu = 1
+      |  WINDOW w2 AS (PARTITION BY user_id, event_type, run_id ORDER BY ts_ns, event_id),
+      |         w3 AS (PARTITION BY user_id, event_type, run_id))
+      |SELECT user_id, event_type, ts_ns, event_id,
+      |  CAST(dense_rank() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY run_id) AS BIGINT) AS match_no,
+      |  run_pos, run_max, fin_n, fin_max, 'U' AS fin_cls, value
+      |FROM m WHERE fin_n >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx14_mr_sql_final" -> dx14 _,
     "dx13_unnest_outer_sql" -> dx13 _,
     "dx12_unnest_zip_sql" -> dx12 _,
     "dx11_fetch_ties_sql" -> dx11 _,
@@ -485,6 +543,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx14_mr_sql_final" -> dx14Sql,
     "dx13_unnest_outer_sql" -> dx13Sql,
     "dx12_unnest_zip_sql" -> dx12Sql,
     "dx11_fetch_ties_sql" -> dx11Sql,

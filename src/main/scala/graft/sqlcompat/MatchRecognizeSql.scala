@@ -134,7 +134,12 @@ object MatchRecognizeSql {
     // MEASURES → the engine's SqlMeasure surface (arbitrary numeric
     // columns; FINAL for ONE ROW PER MATCH, RUNNING for ALL ROWS)
     import MatchRecognize.SqlMeasure
-    val measRe = ("(?i)^(MATCH_NUMBER\\s*\\(\\s*\\)|CLASSIFIER\\s*\\(\\s*\\)|" +
+    // Optional RUNNING|FINAL semantics prefix (grammar `SqlBase.g4`
+    // patternRecognitionExpression): RUNNING is the ALL ROWS default
+    // and a no-op spelling; FINAL pins the whole-match value (or the
+    // last row's classifier) on every emitted row.
+    val measRe = ("(?i)^(?:(RUNNING|FINAL)\\s+)?" +
+      "(MATCH_NUMBER\\s*\\(\\s*\\)|CLASSIFIER\\s*\\(\\s*\\)|" +
       "COUNT\\s*\\(\\s*\\*\\s*\\)|" +
       "(FIRST|LAST|MIN|MAX|SUM|AVG)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))\\s+AS\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)$").r
@@ -142,18 +147,22 @@ object MatchRecognizeSql {
       splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).map { mtxt =>
         measRe.findFirstMatchIn(mtxt) match {
           case Some(mm) =>
-            val alias = mm.group(4)
-            val src = (Option(mm.group(2)).map(_.toLowerCase), Option(mm.group(3))) match {
+            val isFinal = Option(mm.group(1)).exists(_.equalsIgnoreCase("FINAL"))
+            val alias = mm.group(5)
+            val src = (Option(mm.group(3)).map(_.toLowerCase), Option(mm.group(4))) match {
               case (None, _) =>
-                val head = mm.group(1).toUpperCase
+                val head = mm.group(2).toUpperCase
                 if (head.startsWith("MATCH_NUMBER")) SqlMeasure.MatchNum
-                else if (head.startsWith("CLASSIFIER")) SqlMeasure.Classifier
+                else if (head.startsWith("CLASSIFIER"))
+                  if (isFinal) SqlMeasure.FinalClassifier else SqlMeasure.Classifier
+                else if (isFinal) SqlMeasure.FinalCount
                 else SqlMeasure.CountStar
-              case (Some(fn), Some(c)) => SqlMeasure.Agg(fn, c)
+              case (Some(fn), Some(c)) =>
+                if (isFinal) SqlMeasure.FinalAgg(fn, c) else SqlMeasure.Agg(fn, c)
             }
             src -> alias
-          case None => fail(s"unsupported measure: '$mtxt' (expect MATCH_NUMBER()/" +
-            "CLASSIFIER()/COUNT(*)/FIRST|LAST|MIN|MAX|SUM|AVG(col) AS alias)")
+          case None => fail(s"unsupported measure: '$mtxt' (expect [RUNNING|FINAL] " +
+            "MATCH_NUMBER()/CLASSIFIER()/COUNT(*)/FIRST|LAST|MIN|MAX|SUM|AVG(col) AS alias)")
         }
       }
 
