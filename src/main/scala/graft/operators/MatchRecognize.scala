@@ -605,12 +605,17 @@ object MatchRecognize {
     case object MatchNum extends SqlMeasure
     case object Classifier extends SqlMeasure
     case object CountStar extends SqlMeasure
-    /** `fn` ∈ first|last|min|max|sum|avg over a numeric input column. */
-    final case class Agg(fn: String, column: String) extends SqlMeasure
+    /** `fn` ∈ first|last|min|max|sum|avg over a numeric input column;
+      * `variable` restricts the fed rows to those the NFA labeled with
+      * that variable (or a SUBSET union) — the grammar's qualified
+      * `fn(VAR.col)` form. */
+    final case class Agg(fn: String, column: String,
+        variable: Option[String] = None) extends SqlMeasure
     /** Explicit `FINAL agg(col)`: in ALL ROWS PER MATCH, every row of
       * the match carries the WHOLE-match value (the default there is
       * RUNNING). In ONE ROW PER MATCH it equals [[Agg]]. */
-    final case class FinalAgg(fn: String, column: String) extends SqlMeasure
+    final case class FinalAgg(fn: String, column: String,
+        variable: Option[String] = None) extends SqlMeasure
     /** Explicit `FINAL COUNT(*)`: the full match length on every row. */
     case object FinalCount extends SqlMeasure
     /** Explicit `FINAL CLASSIFIER()`: the LAST matched row's label. */
@@ -707,14 +712,14 @@ object MatchRecognize {
     import org.apache.spark.sql.types._
     val inSchema = df.schema
     val integral: Map[String, Boolean] = measures.collect {
-      case (SqlMeasure.Agg(fn, c), _) =>
+      case (SqlMeasure.Agg(fn, c, _), _) =>
         c -> (inSchema(c).dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
           case FloatType | DoubleType => false
           case other => throw new IllegalArgumentException(
             s"measure $fn($c): numeric column required, got $other")
         })
-      case (SqlMeasure.FinalAgg(fn, c), _) =>
+      case (SqlMeasure.FinalAgg(fn, c, _), _) =>
         c -> (inSchema(c).dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
           case FloatType | DoubleType => false
@@ -728,9 +733,9 @@ object MatchRecognize {
       case (SqlMeasure.FinalClassifier, a) => StructField(a, StringType)
       case (SqlMeasure.CountStar, a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.FinalCount, a) => StructField(a, LongType, nullable = withUnmatched)
-      case (SqlMeasure.Agg(fn, c), a) =>
+      case (SqlMeasure.Agg(fn, c, _), a) =>
         StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
-      case (SqlMeasure.FinalAgg(fn, c), a) =>
+      case (SqlMeasure.FinalAgg(fn, c, _), a) =>
         StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
     }
     val keyCols = if (allRows) partCols ++ orderCols else partCols
@@ -742,6 +747,22 @@ object MatchRecognize {
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
     val meas = measures
+    // Qualified `fn(VAR.col)` measures: the fed rows are those the NFA
+    // labeled VAR (or a member of the VAR subset); None feeds all.
+    val aggVars: IndexedSeq[Option[String]] = measures.toIndexedSeq.map {
+      case (SqlMeasure.Agg(_, _, v), _) => v
+      case (SqlMeasure.FinalAgg(_, _, v), _) => v
+      case _ => None
+    }
+    val subsForVars = subsets
+    // a val lambda, not a def: a local def lifts to a method of this
+    // (non-serializable) object and poisons the task closure.
+    val varOk: (Option[String], String) => Boolean = (vOpt, label) => vOpt match {
+      case None => true
+      case Some(v) =>
+        val l = realLabel(label)
+        l == v || subsForVars.getOrElse(v, Set.empty).contains(l)
+    }
     val integ = integral
     val kCols = keyCols
     val rCols = restCols
@@ -750,14 +771,19 @@ object MatchRecognize {
       runCore(df, partCols, orderCols, pattern, define, skip, subsets, null, null) {
         (matchNo, buf, i, m) =>
           val aggs = meas.map {
-            case (SqlMeasure.Agg(fn, c), _) => new RunAgg(fn, c, integ(c))
-            case (SqlMeasure.FinalAgg(fn, c), _) => new RunAgg(fn, c, integ(c))
+            case (SqlMeasure.Agg(fn, c, _), _) => new RunAgg(fn, c, integ(c))
+            case (SqlMeasure.FinalAgg(fn, c, _), _) => new RunAgg(fn, c, integ(c))
             case _ => null
           }
           var k = 0
           while (k < m.length) { // FINAL: feed every matched row first
             val r = buf(i + k)
-            aggs.foreach(a => if (a != null) a.update(r))
+            var ai = 0
+            while (ai < aggs.length) {
+              val a = aggs(ai)
+              if (a != null && varOk(aggVars(ai), m(k))) a.update(r)
+              ai += 1
+            }
             k += 1
           }
           val r0 = buf(i)
@@ -787,8 +813,8 @@ object MatchRecognize {
             case (SqlMeasure.FinalClassifier, _) => null
             case (SqlMeasure.CountStar, _) => 0L
             case (SqlMeasure.FinalCount, _) => 0L
-            case (SqlMeasure.Agg(_, _), _) => null
-            case (SqlMeasure.FinalAgg(_, _), _) => null
+            case (SqlMeasure.Agg(_, _, _), _) => null
+            case (SqlMeasure.FinalAgg(_, _, _), _) => null
           }
           Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++
             rCols.map(c => r.get(r.fieldIndex(c))))
@@ -804,16 +830,19 @@ object MatchRecognize {
         emitUnmatchedFn, emitEmptyFn) {
         (matchNo, buf, i, m) =>
           val aggs = meas.map {
-            case (SqlMeasure.Agg(fn, c), _) => new RunAgg(fn, c, integ(c))
+            case (SqlMeasure.Agg(fn, c, _), _) => new RunAgg(fn, c, integ(c))
             case _ => null
           }
           // FINAL measures: one whole-match pass up front, every
           // emitted row then carries the same final value.
           val finals = meas.map {
-            case (SqlMeasure.FinalAgg(fn, c), _) =>
+            case (SqlMeasure.FinalAgg(fn, c, v), _) =>
               val a = new RunAgg(fn, c, integ(c))
               var k = 0
-              while (k < m.length) { a.update(buf(i + k)); k += 1 }
+              while (k < m.length) {
+                if (varOk(v, m(k))) a.update(buf(i + k))
+                k += 1
+              }
               a.value
             case _ => null
           }
@@ -821,7 +850,12 @@ object MatchRecognize {
           var k = 0
           while (k < m.length) {
             val r = buf(i + k)
-            aggs.foreach(a => if (a != null) a.update(r)) // excluded rows feed RUNNING
+            var ai = 0
+            while (ai < aggs.length) { // excluded rows feed RUNNING
+              val a = aggs(ai)
+              if (a != null && varOk(aggVars(ai), m(k))) a.update(r)
+              ai += 1
+            }
             if (!isExcluded(m(k))) {
               val mv = meas.zip(aggs).zip(finals).map {
                 case (((SqlMeasure.MatchNum, _), _), _) => matchNo
@@ -829,7 +863,7 @@ object MatchRecognize {
                 case (((SqlMeasure.FinalClassifier, _), _), _) => realLabel(m.last)
                 case (((SqlMeasure.CountStar, _), _), _) => (k + 1).toLong
                 case (((SqlMeasure.FinalCount, _), _), _) => m.length.toLong
-                case (((SqlMeasure.FinalAgg(_, _), _), _), fv) => fv
+                case (((SqlMeasure.FinalAgg(_, _, _), _), _), fv) => fv
                 case ((_, a), _) => a.value
               }
               out += Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++

@@ -526,7 +526,77 @@ object DialectQueries {
       |  run_pos, run_max, fin_n, fin_max, 'U' AS fin_cls, value
       |FROM m WHERE fin_n >= 2""".stripMargin
 
+  /** Variable-QUALIFIED measure columns (`fn(VAR.col)`, grammar
+    * `SqlBase.g4` patternRecognitionExpression → the reference's
+    * per-variable value pointers): the aggregate reads ONLY the rows
+    * the NFA labeled with that variable. The funnel below needs them
+    * for real — FIRST(V.ts_ns) is the view, FIRST(P.ts_ns) the
+    * purchase that closed the funnel, MIN(W.value) ranges over just
+    * the in-between rows (null when the purchase directly follows).
+    * Pattern note: W excludes purchases, so greedy `W*` provably stops
+    * at the FIRST subsequent purchase. The oracle reconstructs the
+    * same segmentation relationally: segment = rows after the previous
+    * purchase through the next one; match = first view in segment. */
+  val dx15Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts_ns, event_id
+      |  MEASURES MATCH_NUMBER() AS match_no,
+      |           FIRST(V.ts_ns) AS v_ts,
+      |           FIRST(P.ts_ns) AS p_ts,
+      |           MIN(W.value) AS w_min,
+      |           COUNT(*) AS n_steps
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (V W* P)
+      |  DEFINE V AS event_type = 'view',
+      |         W AS event_type <> 'purchase',
+      |         P AS event_type = 'purchase'
+      |)""".stripMargin
+
+  def dx15(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx15Reference,
+      name => Graft.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value")))
+  }
+
+  val dx15Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type, value,
+      |    COALESCE(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS seg
+      |  FROM events),
+      |fv AS (
+      |  SELECT user_id, seg, ts_ns AS v_ts, event_id AS v_eid FROM (
+      |    SELECT user_id, seg, ts_ns, event_id,
+      |      row_number() OVER (PARTITION BY user_id, seg ORDER BY ts_ns, event_id) AS rn
+      |    FROM e WHERE event_type = 'view') WHERE rn = 1),
+      |pp AS (
+      |  SELECT user_id, seg, ts_ns AS p_ts FROM e WHERE event_type = 'purchase'),
+      |base AS (
+      |  SELECT fv.user_id, fv.seg, fv.v_ts, fv.v_eid, pp.p_ts
+      |  FROM fv JOIN pp ON fv.user_id = pp.user_id AND fv.seg = pp.seg),
+      |agg AS (
+      |  SELECT b.user_id, b.seg, b.v_ts, b.v_eid, b.p_ts,
+      |    CAST(count(*) AS BIGINT) AS n_steps,
+      |    min(CASE WHEN e.event_type <> 'purchase'
+      |             AND (e.ts_ns, e.event_id) > (b.v_ts, b.v_eid)
+      |        THEN e.value END) AS w_min
+      |  FROM base b JOIN e ON e.user_id = b.user_id AND e.seg = b.seg
+      |    AND (e.ts_ns, e.event_id) >= (b.v_ts, b.v_eid)
+      |  GROUP BY b.user_id, b.seg, b.v_ts, b.v_eid, b.p_ts)
+      |SELECT user_id,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY user_id ORDER BY v_ts, v_eid) AS BIGINT) AS match_no,
+      |  v_ts, p_ts, w_min, n_steps
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx15_mr_sql_var_measures" -> dx15 _,
     "dx14_mr_sql_final" -> dx14 _,
     "dx13_unnest_outer_sql" -> dx13 _,
     "dx12_unnest_zip_sql" -> dx12 _,
@@ -543,6 +613,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx15_mr_sql_var_measures" -> dx15Sql,
     "dx14_mr_sql_final" -> dx14Sql,
     "dx13_unnest_outer_sql" -> dx13Sql,
     "dx12_unnest_zip_sql" -> dx12Sql,

@@ -141,15 +141,17 @@ object MatchRecognizeSql {
     val measRe = ("(?i)^(?:(RUNNING|FINAL)\\s+)?" +
       "(MATCH_NUMBER\\s*\\(\\s*\\)|CLASSIFIER\\s*\\(\\s*\\)|" +
       "COUNT\\s*\\(\\s*\\*\\s*\\)|" +
-      "(FIRST|LAST|MIN|MAX|SUM|AVG)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))\\s+AS\\s+" +
+      "(FIRST|LAST|MIN|MAX|SUM|AVG)\\s*\\(\\s*" +
+      "(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?" + // optional VAR. qualifier
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\))\\s+AS\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)$").r
     val measures: Seq[(SqlMeasure, String)] =
       splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).map { mtxt =>
         measRe.findFirstMatchIn(mtxt) match {
           case Some(mm) =>
             val isFinal = Option(mm.group(1)).exists(_.equalsIgnoreCase("FINAL"))
-            val alias = mm.group(5)
-            val src = (Option(mm.group(3)).map(_.toLowerCase), Option(mm.group(4))) match {
+            val alias = mm.group(6)
+            val src = (Option(mm.group(3)).map(_.toLowerCase), Option(mm.group(5))) match {
               case (None, _) =>
                 val head = mm.group(2).toUpperCase
                 if (head.startsWith("MATCH_NUMBER")) SqlMeasure.MatchNum
@@ -158,11 +160,13 @@ object MatchRecognizeSql {
                 else if (isFinal) SqlMeasure.FinalCount
                 else SqlMeasure.CountStar
               case (Some(fn), Some(c)) =>
-                if (isFinal) SqlMeasure.FinalAgg(fn, c) else SqlMeasure.Agg(fn, c)
+                val varQ = Option(mm.group(4)) // fn(VAR.col) row-set filter
+                if (isFinal) SqlMeasure.FinalAgg(fn, c, varQ)
+                else SqlMeasure.Agg(fn, c, varQ)
             }
             src -> alias
           case None => fail(s"unsupported measure: '$mtxt' (expect [RUNNING|FINAL] " +
-            "MATCH_NUMBER()/CLASSIFIER()/COUNT(*)/FIRST|LAST|MIN|MAX|SUM|AVG(col) AS alias)")
+            "MATCH_NUMBER()/CLASSIFIER()/COUNT(*)/FIRST|LAST|MIN|MAX|SUM|AVG([VAR.]col) AS alias)")
         }
       }
 
