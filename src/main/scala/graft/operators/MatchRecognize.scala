@@ -149,14 +149,22 @@ case class MatchAggRow(
   */
 object MatchRecognize {
 
-  /** Cap on rows buffered for ONE partition key (the engine's per-key
-    * working set, ≈ the reference's per-partition PagesIndex). The
-    * buffer has no spill path, so a single pathological key (one user
-    * with 10⁸ events) would otherwise OOM the task silently; 10M rows
-    * of small Rows is comfortably inside an executor's task memory
-    * while catching runaway keys. Mutable so a caller with bigger
-    * executors can raise it. */
-  @volatile var MaxRowsPerKey: Int = 10_000_000
+  /** Hard cap on rows buffered for ONE partition key (the engine's
+    * per-key working set, ≈ the reference's per-partition PagesIndex).
+    * Rows beyond [[SpillAfterRows]] spill to task-local disk (see
+    * [[SpillableRowBuffer]]), so this is a runaway-key backstop, not a
+    * memory bound. Mutable so a caller can raise it. */
+  @volatile var MaxRowsPerKey: Int = 100_000_000
+
+  /** Rows kept ON-HEAP per key before the buffer spills pages to
+    * task-local disk — the graceful-degradation point that replaces
+    * r12's fail-loudly contract (the reference's PagesIndex is
+    * spillable the same way). 1M small Rows ≈ tens of MB per task. */
+  @volatile var SpillAfterRows: Int = 1_000_000
+
+  /** Number of key groups that have spilled to disk (process-wide;
+    * observable in tests and by a monitoring hook). */
+  val SpillCount = new java.util.concurrent.atomic.AtomicLong()
 
   /** AFTER MATCH SKIP modes (reference `SqlBase.g4` skipTo clause):
     * where the scan resumes after an emitted match. TO FIRST/LAST(v)
@@ -474,6 +482,7 @@ object MatchRecognize {
     // capture driver-side so a configured cap ships with the closure
     // (executor JVMs would otherwise see their own default)
     val maxRowsPerKey = MatchRecognize.MaxRowsPerKey
+    val spillAfterRows = MatchRecognize.SpillAfterRows
 
     df.repartition(partCols.map(col): _*)
       .sortWithinPartitions((partCols ++ orderCols).map(col): _*)
@@ -488,13 +497,14 @@ object MatchRecognize {
           private def matchKeyGroup(): Unit = {
             if (!rows.hasNext) return
             val key = keyOf(rows.head)
-            val buf = mutable.ArrayBuffer[Row]()
+            // The per-key working set is the reference's PagesIndex
+            // shape: on-heap up to SpillAfterRows, disk-paged beyond
+            // (graceful degradation instead of OOM), with a hard
+            // runaway-key backstop that still fails loudly.
+            val buf = new SpillableRowBuffer(spillAfterRows)
+            try {
             while (rows.hasNext && keyOf(rows.head) == key) {
-              buf += rows.next()
-              // The per-key working set is the same PagesIndex shape the
-              // reference buffers, but has no spill path — fail loudly
-              // with a remedy instead of OOMing the executor on a
-              // pathological key.
+              buf.append(rows.next())
               if (buf.length > maxRowsPerKey)
                 throw new IllegalStateException(
                   s"MATCH_RECOGNIZE: partition key ${key.mkString(",")} exceeds " +
@@ -557,6 +567,7 @@ object MatchRecognize {
                 j += 1
               }
             }
+            } finally buf.dispose() // spill file deleted eagerly
           }
 
           override def hasNext: Boolean = {

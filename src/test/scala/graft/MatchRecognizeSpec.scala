@@ -59,6 +59,43 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runPat(Seq[Double](5, 4, 3, 6, 7, 2, 8), "D+ U+").nonEmpty)
   }
 
+  test("SpillableRowBuffer pages to disk and reads back exactly") {
+    import graft.operators.SpillableRowBuffer
+    val buf = new SpillableRowBuffer(memCap = 8, pageSize = 4)
+    val rows = (0 until 100).map(i => Row(i.toLong, s"s$i", i * 0.5))
+    rows.foreach(buf.append)
+    assert(buf.spilled && buf.length == 100)
+    // random access across mem / flushed pages / unflushed tail
+    for (i <- Seq(0, 7, 8, 9, 12, 47, 48, 95, 99))
+      assert(buf(i) == rows(i), s"at $i")
+    // non-sequential page hopping exercises the two-page cache
+    for (i <- Seq(99, 8, 60, 9, 99, 20, 8))
+      assert(buf(i) == rows(i), s"hop at $i")
+    assert(buf.toSeq == rows)
+    buf.dispose()
+  }
+
+  test("spilled per-key buffer matches identically to the on-heap path") {
+    // A long sawtooth: many D+ U+ matches across one key. Force the
+    // buffer to spill after 16 on-heap rows (several disk pages at
+    // pageSize 16384? no — page size stays default, so the spilled
+    // tail lives in pageBuf + flushed pages; shrink further below).
+    val vals = (0 until 2000).map(i => ((i % 5) match {
+      case 0 => 10.0; case 1 => 8.0; case 2 => 6.0; case 3 => 7.0; case 4 => 9.0
+    }) + (i / 5) * 0.0001)
+    val expected = runPat(vals, "D D U U")
+    val savedSpill = MatchRecognize.SpillAfterRows
+    val spillsBefore = MatchRecognize.SpillCount.get()
+    try {
+      MatchRecognize.SpillAfterRows = 16
+      val spilledRun = runPat(vals, "D D U U")
+      assert(spilledRun == expected && expected.nonEmpty)
+    } finally MatchRecognize.SpillAfterRows = savedSpill
+    // the disk path genuinely engaged (flushed at least one page file)
+    assert(MatchRecognize.SpillCount.get() > spillsBefore,
+      "expected the spill path to engage at SpillAfterRows=16")
+  }
+
   test("pattern parser rejects malformed input") {
     intercept[IllegalArgumentException](MatchRecognize.parse("D+("))
     intercept[IllegalArgumentException](MatchRecognize.parse("(DU"))
