@@ -50,6 +50,9 @@ private[graft] final class SpillableRowBuffer(
   private def flushPage(): Unit = {
     if (file == null) {
       path = java.io.File.createTempFile("graft_mr_spill_", ".bin")
+      // dispose() deletes eagerly; deleteOnExit is the crash backstop
+      // (a task killed mid-group must not leak spill files forever)
+      path.deleteOnExit()
       file = new java.io.RandomAccessFile(path, "rw")
     }
     val bos = new java.io.ByteArrayOutputStream(1 << 16)

@@ -487,6 +487,15 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
         |WHERE doc_id = 1""".stripMargin,
       _ => docs).collect()
     assert(mp.map(r => (r.getString(1), r.getInt(2))).toSet == Set(("x", 1), ("y", 2)))
+    // a MAP argument inside a zip expands to (key, value) slots,
+    // padded against the longer array
+    val mz = RelationSql.translate(
+      """SELECT k, v, w FROM documents
+        |CROSS JOIN UNNEST(map('x', 1), split(text, ' ')) AS t(k, v, w)""".stripMargin,
+      _ => docs.limit(1)).orderBy("w").collect()
+    assert(mz.map(r => (if (r.isNullAt(0)) "-" else r.getString(0),
+      if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2))).toSeq ==
+      Seq(("x", 1, "a"), ("-", -1, "b"), ("-", -1, "c")))
     // arity mismatch fails loudly
     assertThrows[IllegalArgumentException](RelationSql.translate(
       "SELECT doc_id FROM documents CROSS JOIN UNNEST(split(text, ' '), array(1)) AS t(a)",
