@@ -621,12 +621,12 @@ object MatchRecognize {
       * that variable (or a SUBSET union) — the grammar's qualified
       * `fn(VAR.col)` form. */
     final case class Agg(fn: String, column: String,
-        variable: Option[String] = None) extends SqlMeasure
+        variable: Option[String] = None, offset: Int = 0) extends SqlMeasure
     /** Explicit `FINAL agg(col)`: in ALL ROWS PER MATCH, every row of
       * the match carries the WHOLE-match value (the default there is
       * RUNNING). In ONE ROW PER MATCH it equals [[Agg]]. */
     final case class FinalAgg(fn: String, column: String,
-        variable: Option[String] = None) extends SqlMeasure
+        variable: Option[String] = None, offset: Int = 0) extends SqlMeasure
     /** Explicit `FINAL COUNT(*)`: the full match length on every row. */
     case object FinalCount extends SqlMeasure
     /** Explicit `FINAL CLASSIFIER()`: the LAST matched row's label. */
@@ -639,7 +639,14 @@ object MatchRecognize {
     * fractional in a sequential left-fold Double (deterministic across
     * partitionings — match order is total). Nulls are ignored, SQL
     * aggregate semantics; a prefix of only-null values yields null. */
-  private final class RunAgg(fn: String, colName: String, integral: Boolean) {
+  private final class RunAgg(fn: String, colName: String, integral: Boolean,
+      offset: Int = 0) {
+    // Logical-navigation offsets (reference FIRST(V.col, n)/LAST(V.col, n)):
+    // first+n captures the (n+1)-th fed value; last+n keeps a ring of
+    // the trailing n+1 — O(n) state, never the whole match.
+    private var firstOff: Any = null
+    private val lastRing: Array[Any] =
+      if (offset > 0 && fn == "last") new Array[Any](offset + 1) else null
     private var idx = -2 // fieldIndex memo (-2 unset)
     private var n = 0L
     private var sL = 0L
@@ -658,6 +665,13 @@ object MatchRecognize {
       if (v != null) {
         val num = v.asInstanceOf[Number]
         n += 1
+        if (offset > 0) {
+          if (fn == "first" && n == offset + 1)
+            firstOff = if (integral) num.longValue() else num.doubleValue()
+          if (lastRing != null)
+            lastRing(((n - 1) % (offset + 1)).toInt) =
+              if (integral) num.longValue() else num.doubleValue()
+        }
         if (integral) {
           val x = num.longValue()
           sL += x
@@ -677,6 +691,11 @@ object MatchRecognize {
     }
     def value: Any =
       if (n == 0L) null
+      else if (offset > 0 && fn == "first") firstOff // null below offset+1 rows
+      else if (offset > 0 && fn == "last") {
+        if (n <= offset) null
+        else lastRing(((n - 1 - offset) % (offset + 1)).toInt)
+      }
       else if (fn == "avg") (if (integral) sL.toDouble else sD) / n
       else if (integral) fn match {
         case "first" => fstL
@@ -723,14 +742,14 @@ object MatchRecognize {
     import org.apache.spark.sql.types._
     val inSchema = df.schema
     val integral: Map[String, Boolean] = measures.collect {
-      case (SqlMeasure.Agg(fn, c, _), _) =>
+      case (SqlMeasure.Agg(fn, c, _, _), _) =>
         c -> (inSchema(c).dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
           case FloatType | DoubleType => false
           case other => throw new IllegalArgumentException(
             s"measure $fn($c): numeric column required, got $other")
         })
-      case (SqlMeasure.FinalAgg(fn, c, _), _) =>
+      case (SqlMeasure.FinalAgg(fn, c, _, _), _) =>
         c -> (inSchema(c).dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
           case FloatType | DoubleType => false
@@ -744,9 +763,9 @@ object MatchRecognize {
       case (SqlMeasure.FinalClassifier, a) => StructField(a, StringType)
       case (SqlMeasure.CountStar, a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.FinalCount, a) => StructField(a, LongType, nullable = withUnmatched)
-      case (SqlMeasure.Agg(fn, c, _), a) =>
+      case (SqlMeasure.Agg(fn, c, _, _), a) =>
         StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
-      case (SqlMeasure.FinalAgg(fn, c, _), a) =>
+      case (SqlMeasure.FinalAgg(fn, c, _, _), a) =>
         StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
     }
     val keyCols = if (allRows) partCols ++ orderCols else partCols
@@ -761,8 +780,8 @@ object MatchRecognize {
     // Qualified `fn(VAR.col)` measures: the fed rows are those the NFA
     // labeled VAR (or a member of the VAR subset); None feeds all.
     val aggVars: IndexedSeq[Option[String]] = measures.toIndexedSeq.map {
-      case (SqlMeasure.Agg(_, _, v), _) => v
-      case (SqlMeasure.FinalAgg(_, _, v), _) => v
+      case (SqlMeasure.Agg(_, _, v, _), _) => v
+      case (SqlMeasure.FinalAgg(_, _, v, _), _) => v
       case _ => None
     }
     val subsForVars = subsets
@@ -782,8 +801,8 @@ object MatchRecognize {
       runCore(df, partCols, orderCols, pattern, define, skip, subsets, null, null) {
         (matchNo, buf, i, m) =>
           val aggs = meas.map {
-            case (SqlMeasure.Agg(fn, c, _), _) => new RunAgg(fn, c, integ(c))
-            case (SqlMeasure.FinalAgg(fn, c, _), _) => new RunAgg(fn, c, integ(c))
+            case (SqlMeasure.Agg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)
+            case (SqlMeasure.FinalAgg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)
             case _ => null
           }
           var k = 0
@@ -824,8 +843,8 @@ object MatchRecognize {
             case (SqlMeasure.FinalClassifier, _) => null
             case (SqlMeasure.CountStar, _) => 0L
             case (SqlMeasure.FinalCount, _) => 0L
-            case (SqlMeasure.Agg(_, _, _), _) => null
-            case (SqlMeasure.FinalAgg(_, _, _), _) => null
+            case (SqlMeasure.Agg(_, _, _, _), _) => null
+            case (SqlMeasure.FinalAgg(_, _, _, _), _) => null
           }
           Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++
             rCols.map(c => r.get(r.fieldIndex(c))))
@@ -841,14 +860,14 @@ object MatchRecognize {
         emitUnmatchedFn, emitEmptyFn) {
         (matchNo, buf, i, m) =>
           val aggs = meas.map {
-            case (SqlMeasure.Agg(fn, c, _), _) => new RunAgg(fn, c, integ(c))
+            case (SqlMeasure.Agg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)
             case _ => null
           }
           // FINAL measures: one whole-match pass up front, every
           // emitted row then carries the same final value.
           val finals = meas.map {
-            case (SqlMeasure.FinalAgg(fn, c, v), _) =>
-              val a = new RunAgg(fn, c, integ(c))
+            case (SqlMeasure.FinalAgg(fn, c, v, o), _) =>
+              val a = new RunAgg(fn, c, integ(c), o)
               var k = 0
               while (k < m.length) {
                 if (varOk(v, m(k))) a.update(buf(i + k))
@@ -874,7 +893,7 @@ object MatchRecognize {
                 case (((SqlMeasure.FinalClassifier, _), _), _) => realLabel(m.last)
                 case (((SqlMeasure.CountStar, _), _), _) => (k + 1).toLong
                 case (((SqlMeasure.FinalCount, _), _), _) => m.length.toLong
-                case (((SqlMeasure.FinalAgg(_, _, _), _), _), fv) => fv
+                case (((SqlMeasure.FinalAgg(_, _, _, _), _), _), fv) => fv
                 case ((_, a), _) => a.value
               }
               out += Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++

@@ -595,7 +595,71 @@ object DialectQueries {
       |  v_ts, p_ts, w_min, n_steps
       |FROM agg""".stripMargin
 
+  /** Navigation OFFSETS in measures (`FIRST(col, n)` / `LAST(col, n)`,
+    * reference `LogicalIndexNavigation.java`): the (n+1)-th value from
+    * either end of the match, null when the match is shorter — v2 is
+    * null for exactly-2-row runs, which the oracle's rn=3 CASE
+    * reproduces. Engine state is O(offset) per measure (a trailing
+    * ring for LAST), never the whole match. */
+  val dx16Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id, event_type
+      |  ORDER BY ts_ns, event_id
+      |  MEASURES MATCH_NUMBER() AS match_no,
+      |           FIRST(value) AS v0,
+      |           FIRST(value, 1) AS v1,
+      |           FIRST(value, 2) AS v2,
+      |           LAST(value, 1) AS vl1,
+      |           COUNT(*) AS n
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (U{2,})
+      |  DEFINE U AS value > PREV(value)
+      |)""".stripMargin
+
+  def dx16(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx16Reference,
+      name => Graft.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"),
+          col("event_id"), col("value")))
+  }
+
+  val dx16Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id, value,
+      |    CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS isu
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(1 - isu) OVER (
+      |    PARTITION BY user_id, event_type ORDER BY ts_ns, event_id) AS BIGINT) AS run_id
+      |  FROM d),
+      |m AS (
+      |  SELECT user_id, event_type, run_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type, run_id
+      |                       ORDER BY ts_ns, event_id) AS rn,
+      |    row_number() OVER (PARTITION BY user_id, event_type, run_id
+      |                       ORDER BY ts_ns DESC, event_id DESC) AS rnd
+      |  FROM r WHERE isu = 1),
+      |a AS (
+      |  SELECT user_id, event_type, run_id,
+      |    max(CASE WHEN rn = 1 THEN value END) AS v0,
+      |    max(CASE WHEN rn = 2 THEN value END) AS v1,
+      |    max(CASE WHEN rn = 3 THEN value END) AS v2,
+      |    max(CASE WHEN rnd = 2 THEN value END) AS vl1,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM m GROUP BY user_id, event_type, run_id
+      |  HAVING count(*) >= 2)
+      |SELECT user_id, event_type,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY run_id) AS BIGINT) AS match_no,
+      |  v0, v1, v2, vl1, n
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx16_mr_sql_nav_offsets" -> dx16 _,
     "dx15_mr_sql_var_measures" -> dx15 _,
     "dx14_mr_sql_final" -> dx14 _,
     "dx13_unnest_outer_sql" -> dx13 _,
@@ -613,6 +677,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx16_mr_sql_nav_offsets" -> dx16Sql,
     "dx15_mr_sql_var_measures" -> dx15Sql,
     "dx14_mr_sql_final" -> dx14Sql,
     "dx13_unnest_outer_sql" -> dx13Sql,

@@ -143,14 +143,16 @@ object MatchRecognizeSql {
       "COUNT\\s*\\(\\s*\\*\\s*\\)|" +
       "(FIRST|LAST|MIN|MAX|SUM|AVG)\\s*\\(\\s*" +
       "(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?" + // optional VAR. qualifier
-      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\))\\s+AS\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s*,\\s*(\\d+))?" + // optional navigation offset (FIRST/LAST only)
+      "\\s*\\))\\s+AS\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)$").r
     val measures: Seq[(SqlMeasure, String)] =
       splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).map { mtxt =>
         measRe.findFirstMatchIn(mtxt) match {
           case Some(mm) =>
             val isFinal = Option(mm.group(1)).exists(_.equalsIgnoreCase("FINAL"))
-            val alias = mm.group(6)
+            val alias = mm.group(7)
             val src = (Option(mm.group(3)).map(_.toLowerCase), Option(mm.group(5))) match {
               case (None, _) =>
                 val head = mm.group(2).toUpperCase
@@ -161,8 +163,11 @@ object MatchRecognizeSql {
                 else SqlMeasure.CountStar
               case (Some(fn), Some(c)) =>
                 val varQ = Option(mm.group(4)) // fn(VAR.col) row-set filter
-                if (isFinal) SqlMeasure.FinalAgg(fn, c, varQ)
-                else SqlMeasure.Agg(fn, c, varQ)
+                val off = Option(mm.group(6)).map(_.toInt).getOrElse(0)
+                if (off > 0 && fn != "first" && fn != "last")
+                  fail(s"navigation offset is only valid on FIRST/LAST: '$mtxt'")
+                if (isFinal) SqlMeasure.FinalAgg(fn, c, varQ, off)
+                else SqlMeasure.Agg(fn, c, varQ, off)
             }
             src -> alias
           case None => fail(s"unsupported measure: '$mtxt' (expect [RUNNING|FINAL] " +
