@@ -658,7 +658,58 @@ object DialectQueries {
       |  v0, v1, v2, vl1, n
       |FROM a""".stripMargin
 
+  /** Arithmetic + IS NOT NULL in DEFINE predicates (`SqlBase.g4`
+    * expression grammar inside patternRecognition DEFINE): the
+    * relative-threshold form real surge patterns use — a row continues
+    * the run only if it rises MORE THAN 5% over the previous row.
+    * Both engines evaluate `prev * 1.05` in IEEE doubles, so the
+    * booleans (and hence the runs) agree exactly. */
+  val dx17Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id, event_type
+      |  ORDER BY ts_ns, event_id
+      |  MEASURES MATCH_NUMBER() AS match_no, COUNT(*) AS n,
+      |           MIN(value) AS vmin, MAX(value) AS vmax
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (S{2,})
+      |  DEFINE S AS value IS NOT NULL AND value > PREV(value) * 1.05
+      |)""".stripMargin
+
+  def dx17(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx17Reference,
+      name => Graft.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"),
+          col("event_id"), col("value")))
+  }
+
+  val dx17Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id, value,
+      |    CASE WHEN value IS NOT NULL AND value > lag(value) OVER w * 1.05
+      |         THEN 1 ELSE 0 END AS iss
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_ns(ts), event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(1 - iss) OVER (
+      |    PARTITION BY user_id, event_type ORDER BY ts_ns, event_id) AS BIGINT) AS run_id
+      |  FROM d),
+      |a AS (
+      |  SELECT user_id, event_type, run_id,
+      |    CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, max(value) AS vmax
+      |  FROM r WHERE iss = 1
+      |  GROUP BY user_id, event_type, run_id
+      |  HAVING count(*) >= 2)
+      |SELECT user_id, event_type,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY run_id) AS BIGINT) AS match_no,
+      |  n, vmin, vmax
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx17_mr_sql_define_arith" -> dx17 _,
     "dx16_mr_sql_nav_offsets" -> dx16 _,
     "dx15_mr_sql_var_measures" -> dx15 _,
     "dx14_mr_sql_final" -> dx14 _,
@@ -677,6 +728,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx17_mr_sql_define_arith" -> dx17Sql,
     "dx16_mr_sql_nav_offsets" -> dx16Sql,
     "dx15_mr_sql_var_measures" -> dx15Sql,
     "dx14_mr_sql_final" -> dx14Sql,

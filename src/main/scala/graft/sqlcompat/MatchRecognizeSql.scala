@@ -331,6 +331,25 @@ private object DefineParser extends Serializable {
 
   def getVal(r: Row, c: String): Any =
     if (r == null) null else r.getAs[Any](c)
+
+  /** Null-propagating numeric arithmetic for DEFINE expressions
+    * (string operands fail loudly — there is no string '+' here). */
+  def arith(a: Any, b: Any, op: Char): Any = {
+    if (a == null || b == null) return null
+    (a, b) match {
+      case (x: Number, y: Number) =>
+        val d = x.doubleValue(); val e = y.doubleValue()
+        (op: @unchecked) match {
+          case '+' => d + e
+          case '-' => d - e
+          case '*' => d * e
+          case '/' => d / e
+        }
+      case _ => throw new IllegalArgumentException(
+        s"DEFINE: arithmetic needs numeric operands, got " +
+          s"${a.getClass.getSimpleName} $op ${b.getClass.getSimpleName}")
+    }
+  }
 }
 
 private final class DefineParser(src: String, currentVar: String) {
@@ -403,13 +422,59 @@ private final class DefineParser(src: String, currentVar: String) {
   }
 
   private def cmp(): MatchCtx => Boolean = {
-    val l = operand()
+    val l = expr()
     skipWs()
+    if (eatWord("IS")) { // IS [NOT] NULL
+      val negated = eatWord("NOT")
+      if (!eatWord("NULL")) fail("expected NULL after IS [NOT]")
+      return ctx => (l(ctx) == null) != negated
+    }
     val ops = Seq("<=", ">=", "<>", "!=", "<", ">", "=")
     val op = ops.find(o => src.startsWith(o, pos)).getOrElse(fail("expected comparison"))
     pos += op.length
-    val r = operand()
+    val r = expr()
     ctx => cmpAny(l(ctx), r(ctx), op)
+  }
+
+  // expr := term (('+'|'-') term)* ; term := factor (('*'|'/') factor)*
+  // factor := '(' expr ')' | operand — SQL arithmetic over navigation
+  // and column operands, null-propagating (DefineParser.arith).
+  private def expr(): MatchCtx => Any = {
+    var acc = term()
+    var go = true
+    while (go) {
+      skipWs()
+      if (pos < src.length && (src.charAt(pos) == '+' || src.charAt(pos) == '-')) {
+        val op = src.charAt(pos); pos += 1
+        val r = term(); val l = acc
+        acc = ctx => DefineParser.arith(l(ctx), r(ctx), op)
+      } else go = false
+    }
+    acc
+  }
+
+  private def term(): MatchCtx => Any = {
+    var acc = factor()
+    var go = true
+    while (go) {
+      skipWs()
+      if (pos < src.length && (src.charAt(pos) == '*' || src.charAt(pos) == '/')) {
+        val op = src.charAt(pos); pos += 1
+        val r = factor(); val l = acc
+        acc = ctx => DefineParser.arith(l(ctx), r(ctx), op)
+      } else go = false
+    }
+    acc
+  }
+
+  private def factor(): MatchCtx => Any = {
+    skipWs()
+    if (pos < src.length && src.charAt(pos) == '(') {
+      pos += 1
+      val e = expr()
+      expect(')')
+      e
+    } else operand()
   }
 
   // operand := number | 'string' | [var.]col | NAV(...)
