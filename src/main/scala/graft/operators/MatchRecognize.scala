@@ -639,8 +639,15 @@ object MatchRecognize {
     * fractional in a sequential left-fold Double (deterministic across
     * partitionings — match order is total). Nulls are ignored, SQL
     * aggregate semantics; a prefix of only-null values yields null. */
-  private final class RunAgg(fn: String, colName: String, integral: Boolean,
+  private final class RunAgg(fn: String, colName: String, kind: Int,
       offset: Int = 0) {
+    // kind: 0 = integral (exact Long), 1 = fractional (Double),
+    //       2 = string (first/last/min/max only — enforced at analysis)
+    private def integral: Boolean = kind == 0
+    private var fstS: String = _
+    private var lstS: String = _
+    private var mnS: String = _
+    private var mxS: String = _
     // Logical-navigation offsets (reference FIRST(V.col, n)/LAST(V.col, n)):
     // first+n captures the (n+1)-th fed value; last+n keeps a ring of
     // the trailing n+1 — O(n) state, never the whole match.
@@ -663,8 +670,20 @@ object MatchRecognize {
       if (idx == -2) idx = r.fieldIndex(colName)
       val v = r.get(idx)
       if (v != null) {
-        val num = v.asInstanceOf[Number]
         n += 1
+        if (kind == 2) {
+          val s = v.asInstanceOf[String]
+          if (offset > 0) {
+            if (fn == "first" && n == offset + 1) firstOff = s
+            if (lastRing != null) lastRing(((n - 1) % (offset + 1)).toInt) = s
+          }
+          if (n == 1L) fstS = s
+          lstS = s
+          if (mnS == null || s.compareTo(mnS) < 0) mnS = s
+          if (mxS == null || s.compareTo(mxS) > 0) mxS = s
+          return
+        }
+        val num = v.asInstanceOf[Number]
         if (offset > 0) {
           if (fn == "first" && n == offset + 1)
             firstOff = if (integral) num.longValue() else num.doubleValue()
@@ -695,6 +714,12 @@ object MatchRecognize {
       else if (offset > 0 && fn == "last") {
         if (n <= offset) null
         else lastRing(((n - 1 - offset) % (offset + 1)).toInt)
+      }
+      else if (kind == 2) fn match {
+        case "first" => fstS
+        case "last" => lstS
+        case "min" => mnS
+        case "max" => mxS
       }
       else if (fn == "avg") (if (integral) sL.toDouble else sD) / n
       else if (integral) fn match {
@@ -741,21 +766,21 @@ object MatchRecognize {
       "SHOW EMPTY MATCHES and WITH UNMATCHED ROWS are mutually exclusive")
     import org.apache.spark.sql.types._
     val inSchema = df.schema
-    val integral: Map[String, Boolean] = measures.collect {
-      case (SqlMeasure.Agg(fn, c, _, _), _) =>
-        c -> (inSchema(c).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case FloatType | DoubleType => false
-          case other => throw new IllegalArgumentException(
-            s"measure $fn($c): numeric column required, got $other")
-        })
-      case (SqlMeasure.FinalAgg(fn, c, _, _), _) =>
-        c -> (inSchema(c).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case FloatType | DoubleType => false
-          case other => throw new IllegalArgumentException(
-            s"measure FINAL $fn($c): numeric column required, got $other")
-        })
+    // per-column value kind: 0 integral, 1 fractional, 2 string.
+    // Strings support first/last/min/max only (no sum/avg).
+    def kindOf(fn: String, c: String): Int = inSchema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => 0
+      case FloatType | DoubleType => 1
+      case StringType =>
+        if (fn == "sum" || fn == "avg") throw new IllegalArgumentException(
+          s"measure $fn($c): numeric column required for $fn, got STRING")
+        2
+      case other => throw new IllegalArgumentException(
+        s"measure $fn($c): numeric or string column required, got $other")
+    }
+    val integral: Map[String, Int] = measures.collect {
+      case (SqlMeasure.Agg(fn, c, _, _), _) => c -> kindOf(fn, c)
+      case (SqlMeasure.FinalAgg(fn, c, _, _), _) => c -> kindOf(fn, c)
     }.toMap
     val measureFields = measures.map {
       case (SqlMeasure.MatchNum, a) => StructField(a, LongType, nullable = withUnmatched)
@@ -763,10 +788,16 @@ object MatchRecognize {
       case (SqlMeasure.FinalClassifier, a) => StructField(a, StringType)
       case (SqlMeasure.CountStar, a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.FinalCount, a) => StructField(a, LongType, nullable = withUnmatched)
-      case (SqlMeasure.Agg(fn, c, _, _), a) =>
-        StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
-      case (SqlMeasure.FinalAgg(fn, c, _, _), a) =>
-        StructField(a, if (fn == "avg" || !integral(c)) DoubleType else LongType)
+      case (SqlMeasure.Agg(fn, c, _, _), a) => StructField(a, integral(c) match {
+        case 2 => StringType
+        case 0 if fn != "avg" => LongType
+        case _ => DoubleType
+      })
+      case (SqlMeasure.FinalAgg(fn, c, _, _), a) => StructField(a, integral(c) match {
+        case 2 => StringType
+        case 0 if fn != "avg" => LongType
+        case _ => DoubleType
+      })
     }
     val keyCols = if (allRows) partCols ++ orderCols else partCols
     val restCols =

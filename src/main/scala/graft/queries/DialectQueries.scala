@@ -708,7 +708,57 @@ object DialectQueries {
       |  n, vmin, vmax
       |FROM a""".stripMargin
 
+  /** STRING columns in measures (the reference's value pointers are
+    * type-generic; ours were numeric-only until r13): FIRST/LAST/
+    * MIN/MAX over `event_type`, composed with a navigation offset
+    * (the middle element of each triple). The pattern chunks each
+    * user's stream into consecutive 3-event windows — `1 = 1` is the
+    * always-true DEFINE — so the oracle is a plain rn DIV 3 grouping
+    * over full triples. */
+  val dx18Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts_ns, event_id
+      |  MEASURES MATCH_NUMBER() AS match_no,
+      |           FIRST(event_type) AS t_first,
+      |           FIRST(event_type, 1) AS t_mid,
+      |           LAST(event_type) AS t_last,
+      |           MIN(event_type) AS t_min,
+      |           MAX(event_type) AS t_max
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (A A A)
+      |  DEFINE A AS 1 = 1
+      |)""".stripMargin
+
+  def dx18(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx18Reference,
+      name => Graft.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type")))
+  }
+
+  val dx18Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (
+      |      PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) - 1 AS rn
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, rn // 3 AS grp, event_type,
+      |    row_number() OVER (PARTITION BY user_id, rn // 3 ORDER BY rn) AS p,
+      |    count(*) OVER (PARTITION BY user_id, rn // 3) AS c
+      |  FROM o)
+      |SELECT user_id, CAST(grp + 1 AS BIGINT) AS match_no,
+      |  max(CASE WHEN p = 1 THEN event_type END) AS t_first,
+      |  max(CASE WHEN p = 2 THEN event_type END) AS t_mid,
+      |  max(CASE WHEN p = 3 THEN event_type END) AS t_last,
+      |  min(event_type) AS t_min, max(event_type) AS t_max
+      |FROM g WHERE c = 3 GROUP BY user_id, grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx18_mr_sql_string_measures" -> dx18 _,
     "dx17_mr_sql_define_arith" -> dx17 _,
     "dx16_mr_sql_nav_offsets" -> dx16 _,
     "dx15_mr_sql_var_measures" -> dx15 _,
@@ -728,6 +778,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx18_mr_sql_string_measures" -> dx18Sql,
     "dx17_mr_sql_define_arith" -> dx17Sql,
     "dx16_mr_sql_nav_offsets" -> dx16Sql,
     "dx15_mr_sql_var_measures" -> dx15Sql,
