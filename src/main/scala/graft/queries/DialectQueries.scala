@@ -757,7 +757,54 @@ object DialectQueries {
       |  min(event_type) AS t_min, max(event_type) AS t_max
       |FROM g WHERE c = 3 GROUP BY user_id, grp""".stripMargin
 
+  /** Arithmetic over measure primitives (`SqlBase.g4` measureDefinition
+    * allows full expressions): the funnel-latency form —
+    * `LAST(ts_ns) - FIRST(ts_ns)` — with the NFA emitting the distinct
+    * primitives as hidden columns and Catalyst computing the
+    * arithmetic, so epoch-nanos differences stay in exact Long (a
+    * Double path would corrupt them past 2^53). */
+  val dx19Reference: String =
+    """SELECT * FROM events MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts_ns, event_id
+      |  MEASURES MATCH_NUMBER() AS match_no,
+      |           LAST(ts_ns) - FIRST(ts_ns) AS dur_ns,
+      |           (MAX(value) - MIN(value)) / 2 AS half_spread,
+      |           FIRST(ts_ns) AS v_ts
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (V P)
+      |  DEFINE V AS event_type = 'view',
+      |         P AS event_type = 'purchase'
+      |)""".stripMargin
+
+  def dx19(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      dx19Reference,
+      name => Graft.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value")))
+  }
+
+  val dx19Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type, value,
+      |    lead(event_type) OVER w AS nxt_type,
+      |    lead(epoch_ns(ts)) OVER w AS nxt_ts,
+      |    lead(value) OVER w AS nxt_val
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+      |SELECT user_id,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts_ns, event_id) AS BIGINT) AS match_no,
+      |  nxt_ts - ts_ns AS dur_ns,
+      |  (greatest(value, nxt_val) - least(value, nxt_val)) / 2 AS half_spread,
+      |  ts_ns AS v_ts
+      |FROM o WHERE event_type = 'view' AND nxt_type = 'purchase'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx19_mr_sql_measure_exprs" -> dx19 _,
     "dx18_mr_sql_string_measures" -> dx18 _,
     "dx17_mr_sql_define_arith" -> dx17 _,
     "dx16_mr_sql_nav_offsets" -> dx16 _,
@@ -778,6 +825,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx19_mr_sql_measure_exprs" -> dx19Sql,
     "dx18_mr_sql_string_measures" -> dx18Sql,
     "dx17_mr_sql_define_arith" -> dx17Sql,
     "dx16_mr_sql_nav_offsets" -> dx16Sql,

@@ -147,36 +147,68 @@ object MatchRecognizeSql {
       "(?:\\s*,\\s*(\\d+))?" + // optional navigation offset (FIRST/LAST only)
       "\\s*\\))\\s+AS\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)$").r
-    val measures: Seq[(SqlMeasure, String)] =
-      splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).map { mtxt =>
-        measRe.findFirstMatchIn(mtxt) match {
-          case Some(mm) =>
-            val isFinal = Option(mm.group(1)).exists(_.equalsIgnoreCase("FINAL"))
-            val alias = mm.group(7)
-            val src = (Option(mm.group(3)).map(_.toLowerCase), Option(mm.group(5))) match {
-              case (None, _) =>
-                val head = mm.group(2).toUpperCase
-                if (head.startsWith("MATCH_NUMBER")) SqlMeasure.MatchNum
-                else if (head.startsWith("CLASSIFIER"))
-                  if (isFinal) SqlMeasure.FinalClassifier else SqlMeasure.Classifier
-                else if (isFinal) SqlMeasure.FinalCount
-                else SqlMeasure.CountStar
-              case (Some(fn), Some(c)) =>
-                val varQ = Option(mm.group(4)) // fn(VAR.col) row-set filter
-                val off = Option(mm.group(6)).map(_.toInt).getOrElse(0)
-                if (off > 0 && fn != "first" && fn != "last")
-                  fail(s"navigation offset is only valid on FIRST/LAST: '$mtxt'")
-                if (isFinal) SqlMeasure.FinalAgg(fn, c, varQ, off)
-                else SqlMeasure.Agg(fn, c, varQ, off)
-            }
-            src -> alias
-          case None => fail(s"unsupported measure: '$mtxt' (expect [RUNNING|FINAL] " +
-            "MATCH_NUMBER()/CLASSIFIER()/COUNT(*)/FIRST|LAST|MIN|MAX|SUM|AVG([VAR.]col) AS alias)")
-        }
+    def primitiveOf(mm: scala.util.matching.Regex.Match, mtxt: String): SqlMeasure = {
+      val isFinal = Option(mm.group(1)).exists(_.equalsIgnoreCase("FINAL"))
+      (Option(mm.group(3)).map(_.toLowerCase), Option(mm.group(5))) match {
+        case (None, _) =>
+          val head = mm.group(2).toUpperCase
+          if (head.startsWith("MATCH_NUMBER")) SqlMeasure.MatchNum
+          else if (head.startsWith("CLASSIFIER"))
+            if (isFinal) SqlMeasure.FinalClassifier else SqlMeasure.Classifier
+          else if (isFinal) SqlMeasure.FinalCount
+          else SqlMeasure.CountStar
+        case (Some(fn), Some(c)) =>
+          val varQ = Option(mm.group(4)) // fn(VAR.col) row-set filter
+          val off = Option(mm.group(6)).map(_.toInt).getOrElse(0)
+          if (off > 0 && fn != "first" && fn != "last")
+            fail(s"navigation offset is only valid on FIRST/LAST: '$mtxt'")
+          if (isFinal) SqlMeasure.FinalAgg(fn, c, varQ, off)
+          else SqlMeasure.Agg(fn, c, varQ, off)
       }
+    }
+    // Measure bodies may also be ARITHMETIC over the primitives
+    // (`LAST(ts_ns) - FIRST(ts_ns) AS dur`): the NFA emits each
+    // distinct primitive as a hidden column and CATALYST computes the
+    // expression over them — Long arithmetic stays exact (a Double
+    // path would corrupt epoch-nanos differences past 2^53).
+    val primFindRe = (measRe.pattern.pattern
+      .stripPrefix("(?i)^").stripSuffix("\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$"))
+    val primGlobal = ("(?i)" + primFindRe).r
+    val direct = scala.collection.mutable.ArrayBuffer[(SqlMeasure, String)]()
+    val hidden = scala.collection.mutable.LinkedHashMap[SqlMeasure, String]()
+    val computed = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val asRe = "(?is)^(.*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).foreach { mtxt =>
+      measRe.findFirstMatchIn(mtxt) match {
+        case Some(mm) => direct += primitiveOf(mm, mtxt) -> mm.group(7)
+        case None =>
+          val am = asRe.findFirstMatchIn(mtxt).getOrElse(fail(
+            s"unsupported measure: '$mtxt' (expect <primitive or arithmetic> AS alias)"))
+          val alias = am.group(2)
+          val rewritten = primGlobal.replaceAllIn(am.group(1), m => {
+            val p = primitiveOf(m, mtxt)
+            hidden.getOrElseUpdate(p, s"__m${hidden.size}")
+          })
+          val leftover = rewritten.replaceAll("__m\\d+", "")
+          if (!leftover.matches("[\\s0-9+\\-*/().]*")) fail(
+            s"unsupported measure expression: '$mtxt' (only + - * / over " +
+              "primitives and numeric literals)")
+          computed += alias -> rewritten
+      }
+    }
+    val measures: Seq[(SqlMeasure, String)] =
+      direct.toSeq ++ hidden.toSeq.map { case (p, name) => p -> name }
 
-    MatchRecognize.sqlRows(resolve(table), partCols, orderCols, pattern,
+    val base = MatchRecognize.sqlRows(resolve(table), partCols, orderCols, pattern,
       define, measures, allRows, skip, subsets, showEmpty, withUnmatched)
+    if (computed.isEmpty) base
+    else {
+      var out = base
+      computed.foreach { case (alias, ex) =>
+        out = out.withColumn(alias, org.apache.spark.sql.functions.expr(ex))
+      }
+      out.drop(hidden.values.toSeq: _*)
+    }
   }
 
   private def fail(msg: String): Nothing =
