@@ -348,7 +348,9 @@ object MatchRecognize {
       case '?' => pos += 1; reluctant(Rep(p, 0, 1))
       case '{' if !exclStart =>
         expect('{')
-        val m = number()
+        // {,} and {,n} have an implicit min of 0 (SqlBase.g4
+        // patternQuantifier: both bounds optional)
+        val m = if (peek == ',') 0 else number()
         val n = if (peek == ',') {
           expect(',')
           if (peek == '}') -1 else number()
@@ -527,11 +529,14 @@ object MatchRecognize {
               if (emitUnmatched != null) new Array[Boolean](n) else null
             while (i < n) {
               val startIdx = i
-              def classify(j: Int, v: String, accRev: List[String]): Boolean = {
-                val f = vars.getOrElse(v,
-                  throw new IllegalArgumentException(s"undefined pattern variable '$v'"))
-                f(new MatchCtx(buf, j, startIdx, accRev, v, subs))
-              }
+              def classify(j: Int, v: String, accRev: List[String]): Boolean =
+                vars.get(v) match {
+                  // A pattern variable with no DEFINE entry is TRUE for
+                  // every row (SQL:2016; reference TestRowPatternMatching
+                  // "A defaults to True, matches any row").
+                  case None => true
+                  case Some(f) => f(new MatchCtx(buf, j, startIdx, accRev, v, subs))
+                }
               val m = matchFrom(pat, i, n, classify)
               if (m != null && m.length > 0) {
                 matchNo += 1

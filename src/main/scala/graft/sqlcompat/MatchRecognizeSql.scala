@@ -67,9 +67,14 @@ object MatchRecognizeSql {
         case Seq() => fail(s"$what: at least one column required")
         case cs => cs
       }
-    val partCols = colList(
-      clause(body, "PARTITION\\s+BY").getOrElse(fail("PARTITION BY required")),
-      "PARTITION BY")
+    // PARTITION BY is optional (the grammar's default is one global
+    // partition): a constant hidden key keeps the engine's
+    // repartition/sort contract and is dropped from the output below.
+    val partClause = clause(body, "PARTITION\\s+BY")
+    val syntheticPart = partClause.isEmpty
+    val partCols =
+      if (syntheticPart) Seq("__gpart")
+      else colList(partClause.get, "PARTITION BY")
     val orderCols = colList(
       clause(body, "ORDER\\s+BY").getOrElse(fail("ORDER BY required")),
       "ORDER BY")
@@ -84,7 +89,10 @@ object MatchRecognizeSql {
           case k if k.matches("(?i)ONE\\s+ROW\\s+PER\\s+MATCH") =>
             (false, false, false)
           case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH") =>
-            (true, false, false)
+            // the standard's bare-form default is SHOW EMPTY MATCHES
+            // (SQL:2016 §R018; reference TestRowPatternMatching
+            // testPatternQuantifiers expects the empty-match rows)
+            (true, true, false)
           case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH\\s+OMIT\\s+EMPTY\\s+MATCHES") =>
             (true, false, false)
           case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH\\s+SHOW\\s+EMPTY\\s+MATCHES") =>
@@ -102,6 +110,16 @@ object MatchRecognizeSql {
       case s if s.matches("(?i)TO\\s+LAST\\s*\\(\\s*\\w+\\s*\\)") =>
         SkipMode.ToLast("(?i)TO\\s+LAST\\s*\\(\\s*(\\w+)\\s*\\)".r
           .findFirstMatchIn(s).get.group(1))
+      // grammar `SqlBase.g4` skipTo also allows the paren-less forms
+      // `TO FIRST v` / `TO LAST v`, and bare `TO v` ≡ TO LAST v
+      case s if s.matches("(?i)TO\\s+FIRST\\s+\\w+") =>
+        SkipMode.ToFirst("(?i)TO\\s+FIRST\\s+(\\w+)".r
+          .findFirstMatchIn(s).get.group(1))
+      case s if s.matches("(?i)TO\\s+LAST\\s+\\w+") =>
+        SkipMode.ToLast("(?i)TO\\s+LAST\\s+(\\w+)".r
+          .findFirstMatchIn(s).get.group(1))
+      case s if s.matches("(?i)TO\\s+\\w+") =>
+        SkipMode.ToLast("(?i)TO\\s+(\\w+)".r.findFirstMatchIn(s).get.group(1))
       case other => fail(s"unsupported AFTER MATCH SKIP form: '$other'")
     }.getOrElse(SkipMode.PastLastRow)
     val patternTxt = clause(body, "PATTERN", keepKeyword = true)
@@ -119,7 +137,10 @@ object MatchRecognizeSql {
           name.trim -> members.replaceAll("[()]", "").split(",").map(_.trim).toSet
         }.toMap
       }.getOrElse(Map.empty)
-    val defineTxt = clause(body, "DEFINE").getOrElse(fail("DEFINE required"))
+    // DEFINE is optional per the grammar: a variable without a
+    // definition is TRUE for every row (the engine core applies the
+    // same default for pattern variables absent from the map).
+    val defineTxt = clause(body, "DEFINE").getOrElse("")
 
     // DEFINE list: split on top-level commas, each `VAR AS <predicate>`
     val define: Map[String, MatchCtx => Boolean] =
@@ -199,16 +220,18 @@ object MatchRecognizeSql {
     val measures: Seq[(SqlMeasure, String)] =
       direct.toSeq ++ hidden.toSeq.map { case (p, name) => p -> name }
 
-    val base = MatchRecognize.sqlRows(resolve(table), partCols, orderCols, pattern,
+    val input0 = resolve(table)
+    val input = if (syntheticPart)
+      input0.withColumn("__gpart", org.apache.spark.sql.functions.lit(0))
+    else input0
+    val base = MatchRecognize.sqlRows(input, partCols, orderCols, pattern,
       define, measures, allRows, skip, subsets, showEmpty, withUnmatched)
-    if (computed.isEmpty) base
-    else {
-      var out = base
-      computed.foreach { case (alias, ex) =>
-        out = out.withColumn(alias, org.apache.spark.sql.functions.expr(ex))
-      }
-      out.drop(hidden.values.toSeq: _*)
+    var out = base
+    computed.foreach { case (alias, ex) =>
+      out = out.withColumn(alias, org.apache.spark.sql.functions.expr(ex))
     }
+    out = out.drop(hidden.values.toSeq: _*)
+    if (syntheticPart) out.drop("__gpart") else out
   }
 
   private def fail(msg: String): Nothing =
@@ -435,7 +458,9 @@ private final class DefineParser(src: String, currentVar: String) {
 
   private def unit(): MatchCtx => Boolean = {
     skipWs()
-    if (eatWord("NOT")) { val u = unit(); ctx => !u(ctx) }
+    if (eatWord("TRUE")) _ => true
+    else if (eatWord("FALSE")) _ => false
+    else if (eatWord("NOT")) { val u = unit(); ctx => !u(ctx) }
     else if (pos < src.length && src.charAt(pos) == '(') {
       // lookahead: a paren may open a sub-predicate OR wrap an operand;
       // try predicate first, backtrack to comparison on failure

@@ -288,12 +288,13 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("DOWN" -> down, "UP" -> up)).collect().toSeq
     assert(ms.size == 1)
     assert(ms.head.var_counts == "DOWN:2,UP:2")
-    // "DOWNUP" (no whitespace) is ONE variable named DOWNUP — undefined here
-    val e = intercept[org.apache.spark.SparkException] {
-      MatchRecognize(df, "k", "ord", "DOWNUP",
-        Map("DOWN" -> down, "UP" -> up)).collect()
-    }
-    assert(e.getMessage.contains("DOWNUP") || e.getCause.getMessage.contains("DOWNUP"))
+    // "DOWNUP" (no whitespace) is ONE variable named DOWNUP — undefined
+    // here, and an undefined variable is TRUE for every row (SQL:2016;
+    // reference TestRowPatternMatching.java:68 "A defaults to True"),
+    // so every row is its own one-variable match.
+    val all = MatchRecognize(df, "k", "ord", "DOWNUP",
+      Map("DOWN" -> down, "UP" -> up)).collect().toSeq
+    assert(all.size == 5 && all.forall(_.var_counts == "DOWNUP:1"))
     // quantifiers and grouping compose with identifiers
     MatchRecognize.parse("(DOWN | UP){2,3} FLAT_ROW?")
   }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference engine's OWN published MATCH_RECOGNIZE behavioral
+  * vectors, replayed through this engine's SQL front-end — inputs,
+  * queries, and expected outputs transcribed from
+  * `core/trino-main/src/test/java/io/trino/sql/query/TestRowPatternMatching.java`
+  * (cited per test). This is the strongest parity evidence available:
+  * the reference asserts these exact rows for these exact queries. */
+class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Graft.session("graft-mr-vectors", 4)
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Run a MATCH_RECOGNIZE body over (id, value) rows; return the
+    * selected columns as a multiset of stringified tuples. */
+  private def run(rows: Seq[(Int, Int)], body: String,
+      select: Seq[String]): Seq[Seq[String]] = {
+    val spk = spark
+    import spk.implicits._
+    val df = rows.toDF("id", "value")
+    graft.sqlcompat.MatchRecognizeSql
+      .translate(s"SELECT * FROM t MATCH_RECOGNIZE ( $body )", _ => df)
+      .selectExpr(select: _*)
+      .collect().toSeq
+      .map(r => select.indices.map(i => if (r.isNullAt(i)) "ø" else r.get(i).toString))
+      .sortBy(_.mkString("|"))
+  }
+
+  private def expect(rows: (Any, Any, Any, Any)*): Seq[Seq[String]] =
+    rows.map { case (a, b, c, d) => Seq(a, b, c, d).map {
+      case null => "ø"
+      case v => v.toString
+    }}.sortBy(_.mkString("|"))
+
+  test("testSimpleQuery vector (TestRowPatternMatching.java:45)") {
+    val got = run(
+      Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 80, 5 -> 90, 6 -> 50, 7 -> 40, 8 -> 60),
+      """ORDER BY id
+        |MEASURES MATCH_NUMBER() AS mno, RUNNING LAST(value) AS val,
+        |         CLASSIFIER() AS label
+        |ALL ROWS PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (A B+ C+)
+        |DEFINE B AS B.value < PREV (B.value),
+        |       C AS C.value > PREV (C.value)""".stripMargin,
+      Seq("id", "mno", "val", "label"))
+    assert(got == expect(
+      (1, 1, 90, "A"), (2, 1, 80, "B"), (3, 1, 70, "B"), (4, 1, 80, "C"),
+      (5, 1, 90, "C"), (6, 2, 50, "A"), (7, 2, 40, "B"), (8, 2, 60, "C")))
+  }
+
+  test("testPatternQuantifiers vectors (TestRowPatternMatching.java:176)") {
+    val in = Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 70)
+    def q(pattern: String) = run(in,
+      s"""ORDER BY id
+         |MEASURES MATCH_NUMBER() AS mno, RUNNING LAST(value) AS val,
+         |         CLASSIFIER() AS label
+         |ALL ROWS PER MATCH
+         |AFTER MATCH SKIP PAST LAST ROW
+         |PATTERN ($pattern)
+         |DEFINE B AS B.value <= PREV (B.value)""".stripMargin,
+      Seq("id", "mno", "val", "label"))
+    // B*: empty match at row 1, then rows 2-4 as match 2
+    assert(q("B*") == expect(
+      (1, 1, null, null), (2, 2, 80, "B"), (3, 2, 70, "B"), (4, 2, 70, "B")))
+    // B*?: reluctant — an empty match at every row
+    assert(q("B*?") == expect(
+      (1, 1, null, null), (2, 2, null, null), (3, 3, null, null), (4, 4, null, null)))
+    // B+: one match over rows 2-4
+    assert(q("B+") == expect((2, 1, 80, "B"), (3, 1, 70, "B"), (4, 1, 70, "B")))
+    // B+?: reluctant — three single-row matches
+    assert(q("B+?") == expect((2, 1, 80, "B"), (3, 2, 70, "B"), (4, 3, 70, "B")))
+    // B?: empty at row 1, then single-row matches
+    assert(q("B?") == expect(
+      (1, 1, null, null), (2, 2, 80, "B"), (3, 3, 70, "B"), (4, 4, 70, "B")))
+    // B??: reluctant — empty everywhere
+    assert(q("B??") == expect(
+      (1, 1, null, null), (2, 2, null, null), (3, 3, null, null), (4, 4, null, null)))
+    // B{,} ≡ B*
+    assert(q("B{,}") == expect(
+      (1, 1, null, null), (2, 2, 80, "B"), (3, 2, 70, "B"), (4, 2, 70, "B")))
+    // B{1,} ≡ B+
+    assert(q("B{1,}") == expect((2, 1, 80, "B"), (3, 1, 70, "B"), (4, 1, 70, "B")))
+  }
+
+  test("testAfterMatchSkip vectors (TestRowPatternMatching.java:731)") {
+    val in = Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 80, 5 -> 70, 6 -> 80)
+    def q(skip: String) = run(in,
+      s"""ORDER BY id
+         |MEASURES MATCH_NUMBER() AS mno, RUNNING LAST(value) AS val,
+         |         CLASSIFIER() AS label
+         |ALL ROWS PER MATCH
+         |AFTER MATCH SKIP $skip
+         |PATTERN (A B+ C+ D?)
+         |SUBSET U = (C, D)
+         |DEFINE B AS B.value < PREV (B.value),
+         |       C AS C.value > PREV (C.value),
+         |       D AS false""".stripMargin,
+      Seq("id", "mno", "val", "label"))
+    assert(q("PAST LAST ROW") == expect(
+      (1, 1, 90, "A"), (2, 1, 80, "B"), (3, 1, 70, "B"), (4, 1, 80, "C")))
+    assert(q("TO NEXT ROW") == expect(
+      (1, 1, 90, "A"), (2, 1, 80, "B"), (3, 1, 70, "B"), (4, 1, 80, "C"),
+      (2, 2, 80, "A"), (3, 2, 70, "B"), (4, 2, 80, "C"),
+      (4, 3, 80, "A"), (5, 3, 70, "B"), (6, 3, 80, "C")))
+    val toFirstC = expect(
+      (1, 1, 90, "A"), (2, 1, 80, "B"), (3, 1, 70, "B"), (4, 1, 80, "C"),
+      (4, 2, 80, "A"), (5, 2, 70, "B"), (6, 2, 80, "C"))
+    assert(q("TO FIRST C") == toFirstC)
+    assert(q("TO LAST B") == toFirstC)  // same rows per the reference
+    assert(q("TO B") == toFirstC)       // bare TO v defaults to LAST
+    assert(q("TO U") == toFirstC)       // subset target resolves to last C
+    // skipping to the match's first row must fail (infinite loop guard)
+    val e1 = intercept[Exception](q("TO A"))
+    assert(e1.toString.contains("first row") || e1.getCause != null)
+    // skipping to a variable absent from the match must fail
+    val e2 = intercept[Exception](q("TO D"))
+    assert(e2.toString.nonEmpty)
+  }
+
+  test("testEmptyMatches unmatched-rows vector (TestRowPatternMatching.java:835)") {
+    val got = run(
+      Seq(1 -> 100, 2 -> 100, 3 -> 90, 4 -> 80, 5 -> 70, 6 -> 100),
+      """ORDER BY id
+        |MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS label
+        |ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |AFTER MATCH SKIP TO NEXT ROW
+        |PATTERN (A B{2})
+        |DEFINE B AS B.value < PREV (B.value)""".stripMargin,
+      Seq("id", "mno", "value", "label"))
+    assert(got == expect(
+      (1, null, 100, null),
+      (2, 1, 100, "A"), (3, 1, 90, "B"), (4, 1, 80, "B"),
+      (3, 2, 90, "A"), (4, 2, 80, "B"), (5, 2, 70, "B"),
+      (6, null, 100, null)))
+  }
+}
