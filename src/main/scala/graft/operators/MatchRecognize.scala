@@ -244,10 +244,15 @@ object MatchRecognize {
   // partition anchors `^` / `$` (reference SqlBase.g4:744-745
   // partitionStartAnchor / partitionEndAnchor): zero-width assertions
   // that the match is positioned at the first / one-past-last row of
-  // the partition. Quantifying an anchor is rejected at parse time
-  // (a quantified zero-width assertion matches nothing useful).
+  // the partition. Anchors are quantifiable (`^+` etc., reference
+  // TestRowPatternMatching testEmptyCycle) — the zero-width-collapse
+  // rule in the matcher makes the quantifier terminate.
   private case object StartAnchor extends Pat
   private case object EndAnchor extends Pat
+
+  /** The empty pattern `()` (grammar patternPrimary '(' ')'): matches
+    * zero rows. */
+  private case object Empty extends Pat
 
   /** Real variable name of a (possibly exclusion-marked) label. */
   def realLabel(l: String): String =
@@ -263,7 +268,7 @@ object MatchRecognize {
     case Alt(a, b) => Alt(markExclusions(a, in), markExclusions(b, in))
     case r: Rep => r.copy(a = markExclusions(r.a, in))
     case Excl(a) => markExclusions(a, in = true)
-    case StartAnchor | EndAnchor => p // zero-width: nothing to mark
+    case StartAnchor | EndAnchor | Empty => p // zero-width: nothing to mark
   }
 
   /** Recursive-descent parser for the pattern subset. Variables are
@@ -322,9 +327,12 @@ object MatchRecognize {
     def exclStart: Boolean =
       peek == '{' && pos + 1 < in.length && in.charAt(pos + 1) == '-'
     def atom(): Pat = peek match {
-      case '^' => pos += 1; StartAnchor // deliberately un-quantified
-      case '$' => pos += 1; EndAnchor
-      case '(' => expect('('); val p = alt(); expect(')'); quant(p)
+      case '^' => pos += 1; quant(StartAnchor)
+      case '$' => pos += 1; quant(EndAnchor)
+      case '(' =>
+        expect('(')
+        if (peek == ')') { pos += 1; quant(Empty) } // empty pattern ()
+        else { val p = alt(); expect(')'); quant(p) }
       case '{' if exclStart =>
         pos += 2 // "{-"
         val p = alt()
@@ -399,6 +407,7 @@ object MatchRecognize {
         if (i < n && classify(i, realLabel(v), acc)) k(i + 1, v :: acc) else None
       case StartAnchor => if (i == 0) k(i, acc) else None
       case EndAnchor => if (i == n) k(i, acc) else None
+      case Empty => k(i, acc)
       case Cat(a, b) =>
         go(a, i, acc, (i2, acc2) => go(b, i2, acc2, k))
       case Alt(a, b) =>
@@ -410,7 +419,13 @@ object MatchRecognize {
           def more =
             if (max < 0 || done < max)
               go(a, i2, acc2, (i3, acc3) =>
-                if (i3 == i2) None // zero-width guard
+                // Zero-width body iteration: the cycle COLLAPSES and
+                // the quantifier is satisfied regardless of remaining
+                // min — the standard's empty-cycle pruning (reference
+                // TestRowPatternMatching testEmptyCycle: `()+`,
+                // `(){5,}`, `^+` all yield empty matches). Also the
+                // no-infinite-loop guard.
+                if (i3 == i2) k(i3, acc3)
                 else rep(i3, acc3, done + 1))
             else None
           def stop = if (done >= min) k(i2, acc2) else None

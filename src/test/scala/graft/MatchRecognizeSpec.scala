@@ -507,13 +507,12 @@ class MatchRecognizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unanchored.length == 3)
   }
 
-  test("partition anchors: quantified anchor is rejected at parse time") {
-    intercept[IllegalArgumentException] {
-      MatchRecognize.parse("^* D")
-    }
-    intercept[IllegalArgumentException] {
-      MatchRecognize.parse("D $+")
-    }
+  test("partition anchors: quantified anchors parse (zero-width collapse)") {
+    // r13: anchors are quantifiable per the reference's testEmptyCycle
+    // vectors (`^+`, `$*`) — the zero-width collapse rule terminates
+    // the loop, so these are legal patterns now.
+    MatchRecognize.parse("^* D")
+    MatchRecognize.parse("D $+")
   }
 
   test("aggMeasures: per-variable and universal FINAL aggregates") {

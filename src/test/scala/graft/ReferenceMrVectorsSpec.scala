@@ -128,6 +128,128 @@ class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.toString.nonEmpty)
   }
 
+  test("testRowPattern vectors (TestRowPatternMatching.java:83)") {
+    val in = Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 70)
+    def q(patternAndDefine: String) = run(in,
+      s"""ORDER BY id
+         |MEASURES MATCH_NUMBER() AS mno, RUNNING LAST(value) AS val,
+         |         CLASSIFIER() AS label
+         |ALL ROWS PER MATCH
+         |AFTER MATCH SKIP PAST LAST ROW
+         |$patternAndDefine""".stripMargin,
+      Seq("id", "mno", "val", "label"))
+    // empty pattern in the preferred alternation branch
+    assert(q("PATTERN (() | A) DEFINE A AS true") == expect(
+      (1, 1, null, null), (2, 2, null, null), (3, 3, null, null), (4, 4, null, null)))
+    // partition anchors
+    assert(q("PATTERN (^A) DEFINE A AS true") == expect((1, 1, 90, "A")))
+    assert(q("PATTERN (A^) DEFINE A AS true") == expect())
+    assert(q("PATTERN (^A^) DEFINE A AS true") == expect())
+    assert(q("PATTERN (A$) DEFINE A AS true") == expect((4, 1, 70, "A")))
+    assert(q("PATTERN ($A) DEFINE A AS true") == expect())
+    assert(q("PATTERN ($A$) DEFINE A AS true") == expect())
+    // concatenation
+    assert(q("""PATTERN (A B C)
+                |DEFINE B AS B.value < PREV (B.value),
+                |       C AS C.value = PREV (C.value)""".stripMargin) == expect(
+      (2, 1, 80, "A"), (3, 1, 70, "B"), (4, 1, 70, "C")))
+    // alternation: first declared alternative preferred
+    assert(q("""PATTERN (B | C | A)
+                |DEFINE B AS B.value < PREV (B.value),
+                |       C AS C.value <= PREV (C.value)""".stripMargin) == expect(
+      (1, 1, 90, "A"), (2, 2, 80, "B"), (3, 3, 70, "B"), (4, 4, 70, "C")))
+    // PERMUTE: lexicographically first permutation preferred
+    assert(q("""PATTERN (PERMUTE(B, C))
+                |DEFINE B AS B.value < PREV (B.value),
+                |       C AS C.value < PREV (C.value)""".stripMargin) == expect(
+      (2, 1, 80, "B"), (3, 1, 70, "C")))
+    // grouped pattern
+    assert(q("""PATTERN (((A) (B (C))))
+                |DEFINE B AS B.value < PREV (B.value),
+                |       C AS C.value = PREV (C.value)""".stripMargin) == expect(
+      (2, 1, 80, "A"), (3, 1, 70, "B"), (4, 1, 70, "C")))
+  }
+
+  test("testExclusionSyntax vectors (TestRowPatternMatching.java:382)") {
+    val in = Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 80, 5 -> 90, 6 -> 50, 7 -> 40, 8 -> 60)
+    def q(pattern: String) = run(in,
+      s"""ORDER BY id
+         |MEASURES MATCH_NUMBER() AS mno, RUNNING LAST(value) AS val,
+         |         CLASSIFIER() AS label
+         |ALL ROWS PER MATCH
+         |AFTER MATCH SKIP PAST LAST ROW
+         |PATTERN ($pattern)
+         |DEFINE B AS B.value < PREV (B.value),
+         |       C AS C.value > PREV (C.value)""".stripMargin,
+      Seq("id", "mno", "val", "label"))
+    val full = expect(
+      (1, 1, 90, "A"), (2, 1, 80, "B"), (3, 1, 70, "B"), (4, 1, 80, "C"),
+      (5, 1, 90, "C"), (6, 2, 50, "A"), (7, 2, 40, "B"), (8, 2, 60, "C"))
+    assert(q("A B+ C+") == full)
+    assert(q("A {- B+ -} C+") == expect(
+      (1, 1, 90, "A"), (4, 1, 80, "C"), (5, 1, 90, "C"),
+      (6, 2, 50, "A"), (8, 2, 60, "C")))
+    assert(q("{- A -} {- B+ -} C+") == expect(
+      (4, 1, 80, "C"), (5, 1, 90, "C"), (8, 2, 60, "C")))
+    assert(q("A {- {- B+ -} C+ -}") == expect((1, 1, 90, "A"), (6, 2, 50, "A")))
+    assert(q("{- A B+ C+ -}") == expect())
+    assert(q("A B+ {- ()* -} C+") == full)
+    assert(q("A {- B -}+ {- C -}+") == expect((1, 1, 90, "A"), (6, 2, 50, "A")))
+    assert(q("A {- B -}* {- C -}*") == expect((1, 1, 90, "A"), (6, 2, 50, "A")))
+    assert(q("A {- B -}{1,2} {- C -}{1,2}") == expect((1, 1, 90, "A"), (6, 2, 50, "A")))
+    assert(q("A {- C -}{2,3} {- B -}{2,3}") == expect((3, 1, 70, "A")))
+  }
+
+  test("testEmptyCycle vectors (TestRowPatternMatching.java:550)") {
+    val in = Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 70)
+    def q(pattern: String) = run(in,
+      s"""ORDER BY id
+         |MEASURES MATCH_NUMBER() AS mno, RUNNING LAST(value) AS val,
+         |         CLASSIFIER() AS label
+         |ALL ROWS PER MATCH
+         |AFTER MATCH SKIP PAST LAST ROW
+         |PATTERN ($pattern)
+         |DEFINE B AS B.value < PREV (B.value)""".stripMargin,
+      Seq("id", "mno", "val", "label"))
+    val allEmpty = expect(
+      (1, 1, null, null), (2, 2, null, null), (3, 3, null, null), (4, 4, null, null))
+    assert(q("()* | B") == allEmpty)
+    assert(q("()+ | B") == allEmpty)
+    assert(q("(){5,} | B") == allEmpty)
+    assert(q("B | ()*") == expect(
+      (1, 1, null, null), (2, 2, 80, "B"), (3, 3, 70, "B"), (4, 4, null, null)))
+    assert(q("(B ()*)*") == expect(
+      (1, 1, null, null), (2, 2, 80, "B"), (3, 2, 70, "B"), (4, 3, null, null)))
+    assert(q("(B ()*)*?") == allEmpty)
+    assert(q("^* | B") == allEmpty)
+    assert(q("^+ | B") == expect(
+      (1, 1, null, null), (2, 2, 80, "B"), (3, 3, 70, "B")))
+    assert(q("^* A B") == expect((1, 1, 90, "A"), (2, 1, 80, "B")))
+    assert(q("$* | B") == allEmpty)
+    assert(q("$+ | B") == expect((2, 1, 80, "B"), (3, 2, 70, "B")))
+    assert(q("B A $+") == expect((3, 1, 70, "B"), (4, 1, 70, "A")))
+  }
+
+  test("testBackReference vectors (TestRowPatternMatching.java:480)") {
+    // cross-variable DEFINE references resolve to the running LAST of
+    // the referenced variable's matched rows
+    val spk = spark
+    import spk.implicits._
+    val df = Seq((1, 1), (2, 1)).toDF("id", "value")
+    def q(define: String) = graft.sqlcompat.MatchRecognizeSql.translate(
+      s"""SELECT * FROM t MATCH_RECOGNIZE (
+         |  ORDER BY id
+         |  MEASURES CLASSIFIER() AS classy
+         |  ALL ROWS PER MATCH
+         |  PATTERN ((A | B)* X)
+         |  DEFINE X AS $define
+         |)""".stripMargin, _ => df)
+      .selectExpr("value", "classy").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._2).toSeq
+    assert(q("value = A.value") == Seq((1, "A"), (1, "X")))
+    assert(q("value = B.value") == Seq((1, "B"), (1, "X")))
+  }
+
   test("testEmptyMatches unmatched-rows vector (TestRowPatternMatching.java:835)") {
     val got = run(
       Seq(1 -> 100, 2 -> 100, 3 -> 90, 4 -> 80, 5 -> 70, 6 -> 100),
