@@ -572,11 +572,15 @@ object MatchRecognize {
                       "variable absent from match or maps to its first row")
                     i + idx
                 }
-              } else if (m != null && emitEmpty != null) {
-                // empty match (pattern consumed zero rows): SHOW EMPTY
-                // MATCHES numbers it and resumes at the next row
+              } else if (m != null) {
+                // empty match (pattern consumed zero rows): it ALWAYS
+                // consumes a MATCH_NUMBER — the standard numbers empty
+                // matches even when OMIT EMPTY MATCHES hides them
+                // (reference testOutputModes: the B-run after an
+                // omitted empty match is match 2) — and resumes at the
+                // next row
                 matchNo += 1
-                out.enqueue(emitEmpty(matchNo, buf, i))
+                if (emitEmpty != null) out.enqueue(emitEmpty(matchNo, buf, i))
                 i += 1
               } else i += 1
             }
@@ -780,8 +784,8 @@ object MatchRecognize {
       subsets: Map[String, Set[String]] = Map.empty,
       showEmpty: Boolean = false,
       withUnmatched: Boolean = false): DataFrame = {
-    require(!(showEmpty || withUnmatched) || allRows,
-      "SHOW EMPTY MATCHES / WITH UNMATCHED ROWS require ALL ROWS PER MATCH")
+    require(!withUnmatched || allRows,
+      "WITH UNMATCHED ROWS requires ALL ROWS PER MATCH")
     require(!(showEmpty && withUnmatched),
       "SHOW EMPTY MATCHES and WITH UNMATCHED ROWS are mutually exclusive")
     import org.apache.spark.sql.types._
@@ -849,7 +853,24 @@ object MatchRecognize {
     val rCols = restCols
 
     if (!allRows) {
-      runCore(df, partCols, orderCols, pattern, define, skip, subsets, null, null) {
+      // ONE ROW PER MATCH shows empty matches by default (standard
+      // semantics; reference TestRowPatternMatching testOutputModes):
+      // an empty match emits one row with its MATCH_NUMBER, COUNT 0,
+      // and null classifier/aggregates.
+      val emitEmptyOne: (Long, collection.IndexedSeq[Row], Int) => Row =
+        if (!showEmpty) null
+        else (matchNo, buf, i) => {
+          val r = buf(i)
+          val mv = meas.map {
+            case (SqlMeasure.MatchNum, _) => matchNo
+            case (SqlMeasure.CountStar, _) => 0L
+            case (SqlMeasure.FinalCount, _) => 0L
+            case _ => null
+          }
+          Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv)
+        }
+      runCore(df, partCols, orderCols, pattern, define, skip, subsets, null,
+        emitEmptyOne) {
         (matchNo, buf, i, m) =>
           val aggs = meas.map {
             case (SqlMeasure.Agg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)
@@ -870,7 +891,10 @@ object MatchRecognize {
           val r0 = buf(i)
           val mv = meas.zip(aggs).map {
             case ((SqlMeasure.MatchNum, _), _) => matchNo
-            case ((SqlMeasure.Classifier, _), _) => m.map(realLabel).mkString
+            // ONE ROW PER MATCH evaluates CLASSIFIER() FINAL: the LAST
+            // matched row's label (standard; reference testOutputModes
+            // expects 'B' for a two-B match, not a concatenation)
+            case ((SqlMeasure.Classifier, _), _) => realLabel(m.last)
             case ((SqlMeasure.FinalClassifier, _), _) => realLabel(m.last)
             case ((SqlMeasure.CountStar, _), _) => m.length.toLong
             case ((SqlMeasure.FinalCount, _), _) => m.length.toLong

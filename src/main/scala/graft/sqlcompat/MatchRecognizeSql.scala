@@ -86,7 +86,13 @@ object MatchRecognizeSql {
     val (allRows, showEmpty, withUnmatched) =
       clause(body, "(?:ONE|ALL)\\s+ROWS?\\s+PER\\s+MATCH", keepKeyword = true)
         .map(_.trim).map {
+          // ONE ROW PER MATCH: the standard's default is SHOW EMPTY
+          // MATCHES (reference testOutputModes)
           case k if k.matches("(?i)ONE\\s+ROW\\s+PER\\s+MATCH") =>
+            (false, true, false)
+          case k if k.matches("(?i)ONE\\s+ROW\\s+PER\\s+MATCH\\s+SHOW\\s+EMPTY\\s+MATCHES") =>
+            (false, true, false)
+          case k if k.matches("(?i)ONE\\s+ROW\\s+PER\\s+MATCH\\s+OMIT\\s+EMPTY\\s+MATCHES") =>
             (false, false, false)
           case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH") =>
             // the standard's bare-form default is SHOW EMPTY MATCHES
@@ -100,7 +106,7 @@ object MatchRecognizeSql {
           case k if k.matches("(?i)ALL\\s+ROWS\\s+PER\\s+MATCH\\s+WITH\\s+UNMATCHED\\s+ROWS") =>
             (true, false, true)
           case other => fail(s"unsupported rows-per-match clause: '$other'")
-        }.getOrElse((false, false, false))
+        }.getOrElse((false, true, false)) // absent clause ≡ ONE ROW (SHOW EMPTY)
     val skip = clause(body, "AFTER\\s+MATCH\\s+SKIP").map(_.trim).map {
       case s if s.matches("(?i)PAST\\s+LAST\\s+ROW") => SkipMode.PastLastRow
       case s if s.matches("(?i)TO\\s+NEXT\\s+ROW") => SkipMode.ToNextRow

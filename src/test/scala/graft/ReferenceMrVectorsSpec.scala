@@ -250,6 +250,42 @@ class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("value = B.value") == Seq((1, "B"), (1, "X")))
   }
 
+  test("testOutputModes vectors (TestRowPatternMatching.java:651)") {
+    val in = Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 70)
+    def q(mode: String, pattern: String) = run(in,
+      s"""ORDER BY id
+         |MEASURES MATCH_NUMBER() AS mno, RUNNING LAST(value) AS val,
+         |         CLASSIFIER() AS label
+         |$mode
+         |AFTER MATCH SKIP PAST LAST ROW
+         |PATTERN ($pattern)
+         |DEFINE B AS B.value < PREV (B.value)""".stripMargin,
+      Seq("mno", "val", "label"))
+    def ex3(rows: (Any, Any, Any)*) = rows.map { case (a, b, c) =>
+      Seq(a, b, c).map { case null => "ø"; case v => v.toString }
+    }.sortBy(_.mkString("|"))
+    // ONE ROW PER MATCH shows empty matches by default; CLASSIFIER()
+    // is the last matched row's label
+    val oneRowBStar = ex3((1, null, null), (2, 70, "B"), (3, null, null))
+    assert(q("ONE ROW PER MATCH", "B*") == oneRowBStar)
+    // defaults to ONE ROW PER MATCH when the clause is absent
+    assert(q("", "B*") == oneRowBStar)
+    // ONE ROW PER MATCH omits unmatched rows
+    assert(q("ONE ROW PER MATCH", "B+") == ex3((1, 70, "B")))
+    // ALL ROWS shows empty matches by default, omits unmatched rows
+    assert(q("ALL ROWS PER MATCH", "B*") == ex3(
+      (1, null, null), (2, 80, "B"), (2, 70, "B"), (3, null, null)))
+    assert(q("ALL ROWS PER MATCH", "B+") == ex3((1, 80, "B"), (1, 70, "B")))
+    assert(q("ALL ROWS PER MATCH SHOW EMPTY MATCHES", "B*") == ex3(
+      (1, null, null), (2, 80, "B"), (2, 70, "B"), (3, null, null)))
+    assert(q("ALL ROWS PER MATCH OMIT EMPTY MATCHES", "B*") == ex3(
+      (2, 80, "B"), (2, 70, "B")))
+    assert(q("ALL ROWS PER MATCH OMIT EMPTY MATCHES", "B+") == ex3(
+      (1, 80, "B"), (1, 70, "B")))
+    assert(q("ALL ROWS PER MATCH WITH UNMATCHED ROWS", "B+") == ex3(
+      (null, null, null), (1, 80, "B"), (1, 70, "B"), (null, null, null)))
+  }
+
   test("testEmptyMatches unmatched-rows vector (TestRowPatternMatching.java:835)") {
     val got = run(
       Seq(1 -> 100, 2 -> 100, 3 -> 90, 4 -> 80, 5 -> 70, 6 -> 100),
