@@ -78,7 +78,10 @@ object MatchRecognizeSql {
     val orderCols = colList(
       clause(body, "ORDER\\s+BY").getOrElse(fail("ORDER BY required")),
       "ORDER BY")
-    val measuresTxt = clause(body, "MEASURES").getOrElse(fail("MEASURES required"))
+    // MEASURES is optional (grammar: measureDefinition list may be
+    // absent — ALL ROWS then yields the input columns, ONE ROW the
+    // partition keys alone).
+    val measuresTxt = clause(body, "MEASURES").getOrElse("")
     // rows-per-match: ONE ROW (default) | ALL ROWS with the standard's
     // optional empty/unmatched handling (SqlBase.g4 rowsPerMatch):
     // OMIT EMPTY MATCHES (the ALL ROWS default) | SHOW EMPTY MATCHES |

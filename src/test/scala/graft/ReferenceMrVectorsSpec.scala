@@ -286,6 +286,57 @@ class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (null, null, null), (1, 80, "B"), (1, 70, "B"), (null, null, null)))
   }
 
+  test("testPartitioningAndOrdering vectors (TestRowPatternMatching.java:1216)") {
+    val spk = spark
+    import spk.implicits._
+    // multiple partitions, deliberately unordered input (match/label
+    // projection of the reference's expected rows)
+    val multi = Seq((1, "p1", 90), (2, "p1", 80), (6, "p1", 80), (2, "p2", 20),
+      (2, "p3", 60), (1, "p3", 50), (3, "p1", 70), (4, "p1", 80), (5, "p1", 90),
+      (1, "p2", 20), (3, "p3", 70), (3, "p2", 10)).toDF("id", "part", "value")
+    val got = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY part
+        |  ORDER BY id
+        |  MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS label
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (B+)
+        |  DEFINE B AS B.value < PREV (B.value)
+        |)""".stripMargin, _ => multi)
+      .selectExpr("part", "id", "mno", "label").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(("p1", 2, 1L, "B"), ("p1", 3, 1L, "B"), ("p1", 6, 2L, "B"),
+      ("p2", 3, 1L, "B")))
+    // empty input
+    val empty = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY part
+        |  ORDER BY id
+        |  MEASURES MATCH_NUMBER() AS mno
+        |  ALL ROWS PER MATCH
+        |  PATTERN (B+)
+        |  DEFINE B AS B.value < PREV (B.value)
+        |)""".stripMargin, _ => multi.filter("false"))
+    assert(empty.count() == 0)
+    // no measures at all: output is the input columns of matched rows
+    val noMeas = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY part
+        |  ORDER BY id
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (B+)
+        |  DEFINE B AS B.value < PREV (B.value)
+        |)""".stripMargin,
+      _ => Seq((5, "p2", 10), (2, "p1", 90), (1, "p1", 80), (4, "p2", 20),
+        (3, "p1", 30)).toDF("id", "part", "value"))
+      .selectExpr("id", "part").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(identity).toSeq
+    assert(noMeas == Seq((3, "p1"), (5, "p2")))
+  }
+
   test("testEmptyMatches unmatched-rows vector (TestRowPatternMatching.java:835)") {
     val got = run(
       Seq(1 -> 100, 2 -> 100, 3 -> 90, 4 -> 80, 5 -> 70, 6 -> 100),
