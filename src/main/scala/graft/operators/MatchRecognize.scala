@@ -655,6 +655,9 @@ object MatchRecognize {
     case object FinalCount extends SqlMeasure
     /** Explicit `FINAL CLASSIFIER()`: the LAST matched row's label. */
     case object FinalClassifier extends SqlMeasure
+    /** `count(V.*)`: rows the NFA labeled V (or a SUBSET member) —
+      * RUNNING over the prefix unless `isFinal`. */
+    final case class VarCount(variable: String, isFinal: Boolean) extends SqlMeasure
   }
 
   /** Streaming accumulator for one measure aggregate: feed rows in
@@ -812,6 +815,7 @@ object MatchRecognize {
       case (SqlMeasure.FinalClassifier, a) => StructField(a, StringType)
       case (SqlMeasure.CountStar, a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.FinalCount, a) => StructField(a, LongType, nullable = withUnmatched)
+      case (SqlMeasure.VarCount(_, _), a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.Agg(fn, c, _, _), a) => StructField(a, integral(c) match {
         case 2 => StringType
         case 0 if fn != "avg" => LongType
@@ -865,6 +869,7 @@ object MatchRecognize {
             case (SqlMeasure.MatchNum, _) => matchNo
             case (SqlMeasure.CountStar, _) => 0L
             case (SqlMeasure.FinalCount, _) => 0L
+            case (SqlMeasure.VarCount(_, _), _) => 0L
             case _ => null
           }
           Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv)
@@ -898,6 +903,8 @@ object MatchRecognize {
             case ((SqlMeasure.FinalClassifier, _), _) => realLabel(m.last)
             case ((SqlMeasure.CountStar, _), _) => m.length.toLong
             case ((SqlMeasure.FinalCount, _), _) => m.length.toLong
+            case ((SqlMeasure.VarCount(v, _), _), _) =>
+              m.count(l => varOk(Some(v), l)).toLong
             case (_, a) => a.value
           }
           Seq(Row.fromSeq(kCols.map(c => r0.get(r0.fieldIndex(c))) ++ mv))
@@ -918,6 +925,7 @@ object MatchRecognize {
             case (SqlMeasure.FinalClassifier, _) => null
             case (SqlMeasure.CountStar, _) => 0L
             case (SqlMeasure.FinalCount, _) => 0L
+            case (SqlMeasure.VarCount(_, _), _) => 0L
             case (SqlMeasure.Agg(_, _, _, _), _) => null
             case (SqlMeasure.FinalAgg(_, _, _, _), _) => null
           }
@@ -951,6 +959,18 @@ object MatchRecognize {
               a.value
             case _ => null
           }
+          // per-variable prefix counts for count(V.*) measures
+          val varCountPref: Map[String, Array[Int]] = meas.collect {
+            case (SqlMeasure.VarCount(v, _), _) => v
+          }.distinct.map { v =>
+            val pref = new Array[Int](m.length + 1)
+            var p = 0
+            while (p < m.length) {
+              pref(p + 1) = pref(p) + (if (varOk(Some(v), m(p))) 1 else 0)
+              p += 1
+            }
+            v -> pref
+          }.toMap
           val out = Seq.newBuilder[Row]
           var k = 0
           while (k < m.length) {
@@ -968,6 +988,8 @@ object MatchRecognize {
                 case (((SqlMeasure.FinalClassifier, _), _), _) => realLabel(m.last)
                 case (((SqlMeasure.CountStar, _), _), _) => (k + 1).toLong
                 case (((SqlMeasure.FinalCount, _), _), _) => m.length.toLong
+                case (((SqlMeasure.VarCount(v, fin), _), _), _) =>
+                  (if (fin) varCountPref(v)(m.length) else varCountPref(v)(k + 1)).toLong
                 case (((SqlMeasure.FinalAgg(_, _, _, _), _), _), fv) => fv
                 case ((_, a), _) => a.value
               }

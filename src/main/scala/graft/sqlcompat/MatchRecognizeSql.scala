@@ -170,7 +170,7 @@ object MatchRecognizeSql {
     // last row's classifier) on every emitted row.
     val measRe = ("(?i)^(?:(RUNNING|FINAL)\\s+)?" +
       "(MATCH_NUMBER\\s*\\(\\s*\\)|CLASSIFIER\\s*\\(\\s*\\)|" +
-      "COUNT\\s*\\(\\s*\\*\\s*\\)|" +
+      "COUNT\\s*\\(\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?\\*?\\s*\\)|" +
       "(FIRST|LAST|MIN|MAX|SUM|AVG)\\s*\\(\\s*" +
       "(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?" + // optional VAR. qualifier
       "([A-Za-z_][A-Za-z0-9_]*)" +
@@ -179,17 +179,20 @@ object MatchRecognizeSql {
       "([A-Za-z_][A-Za-z0-9_]*)$").r
     def primitiveOf(mm: scala.util.matching.Regex.Match, mtxt: String): SqlMeasure = {
       val isFinal = Option(mm.group(1)).exists(_.equalsIgnoreCase("FINAL"))
-      (Option(mm.group(3)).map(_.toLowerCase), Option(mm.group(5))) match {
+      (Option(mm.group(4)).map(_.toLowerCase), Option(mm.group(6))) match {
         case (None, _) =>
           val head = mm.group(2).toUpperCase
           if (head.startsWith("MATCH_NUMBER")) SqlMeasure.MatchNum
           else if (head.startsWith("CLASSIFIER"))
             if (isFinal) SqlMeasure.FinalClassifier else SqlMeasure.Classifier
-          else if (isFinal) SqlMeasure.FinalCount
-          else SqlMeasure.CountStar
+          else Option(mm.group(3)) match { // count(V.*) var-filtered form
+            case Some(v) => SqlMeasure.VarCount(v, isFinal)
+            case None =>
+              if (isFinal) SqlMeasure.FinalCount else SqlMeasure.CountStar
+          }
         case (Some(fn), Some(c)) =>
-          val varQ = Option(mm.group(4)) // fn(VAR.col) row-set filter
-          val off = Option(mm.group(6)).map(_.toInt).getOrElse(0)
+          val varQ = Option(mm.group(5)) // fn(VAR.col) row-set filter
+          val off = Option(mm.group(7)).map(_.toInt).getOrElse(0)
           if (off > 0 && fn != "first" && fn != "last")
             fail(s"navigation offset is only valid on FIRST/LAST: '$mtxt'")
           if (isFinal) SqlMeasure.FinalAgg(fn, c, varQ, off)
@@ -210,7 +213,7 @@ object MatchRecognizeSql {
     val asRe = "(?is)^(.*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
     splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).foreach { mtxt =>
       measRe.findFirstMatchIn(mtxt) match {
-        case Some(mm) => direct += primitiveOf(mm, mtxt) -> mm.group(7)
+        case Some(mm) => direct += primitiveOf(mm, mtxt) -> mm.group(8)
         case None =>
           val am = asRe.findFirstMatchIn(mtxt).getOrElse(fail(
             s"unsupported measure: '$mtxt' (expect <primitive or arithmetic> AS alias)"))

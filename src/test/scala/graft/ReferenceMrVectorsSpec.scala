@@ -337,6 +337,71 @@ class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noMeas == Seq((3, "p1"), (5, "p2")))
   }
 
+  test("aggregation vectors (TestAggregationsInRowPatternMatching.java:40,712)") {
+    val spk = spark
+    import spk.implicits._
+    // RUNNING sum over A* (A undefined → true): one match of all rows
+    val sums = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  ORDER BY id
+        |  MEASURES RUNNING sum(id) AS running_sum
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A*)
+        |  DEFINE A AS true
+        |)""".stripMargin, _ => (1 to 8).map(i => (i, i)).toDF("id", "value"))
+      .selectExpr("id", "running_sum").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(sums == Seq((1, 1L), (2, 3L), (3, 6L), (4, 10L), (5, 15L),
+      (6, 21L), (7, 28L), (8, 36L)))
+    // count(*) and bare count(); match starts where X holds (id > 1)
+    val counts = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  ORDER BY id
+        |  MEASURES count(*) AS m1, count() AS m2
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (X Y Z)
+        |  DEFINE X AS id > 1
+        |)""".stripMargin,
+      _ => Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "value"))
+      .selectExpr("id", "m1", "m2").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(counts == Seq((2, 1L, 1L), (3, 2L, 2L), (4, 3L, 3L)))
+    // explicit RUNNING/FINAL count
+    val rf = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  ORDER BY id
+        |  MEASURES RUNNING count(*) AS m1, FINAL count(*) AS m2,
+        |           RUNNING count() AS m3, FINAL count() AS m4
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B C D)
+        |  DEFINE A AS true
+        |)""".stripMargin,
+      _ => Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "value"))
+      .selectExpr("id", "m1", "m2", "m3", "m4").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(rf == Seq((1, 1L, 4L, 1L, 4L), (2, 2L, 4L, 2L, 4L),
+      (3, 3L, 4L, 3L, 4L), (4, 4L, 4L, 4L, 4L)))
+    // count(C.*) / count(U.*) with a SUBSET union
+    val vc = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  ORDER BY id
+        |  MEASURES count(C.*) AS m1, count(U.*) AS m2
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B C D)
+        |  SUBSET U = (B, D)
+        |  DEFINE A AS true
+        |)""".stripMargin,
+      _ => Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "value"))
+      .selectExpr("id", "m1", "m2").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(vc == Seq((1, 0L, 0L), (2, 0L, 1L), (3, 1L, 1L), (4, 1L, 2L)))
+  }
+
   test("testEmptyMatches unmatched-rows vector (TestRowPatternMatching.java:835)") {
     val got = run(
       Seq(1 -> 100, 2 -> 100, 3 -> 90, 4 -> 80, 5 -> 70, 6 -> 100),
