@@ -14,32 +14,46 @@ import graft.operators.MatchRecognize.{MatchCtx, SkipMode}
   * is all the existing operator's; this layer is purely a front-end.
   *
   * Supported subset (anything else fails loudly, never silently
-  * mistranslates):
+  * mistranslates) — semantics pinned against the reference's OWN
+  * TestRowPatternMatching / TestAggregationsInRowPatternMatching
+  * vectors (ReferenceMrVectorsSpec, 11 batteries):
   *   - single-table source, `SELECT *` projection (the standard's
   *     implicit output: partition key + measures for ONE ROW PER
   *     MATCH; partition + order + measures + remaining columns for
   *     ALL ROWS PER MATCH);
-  *   - multi-column PARTITION BY and ORDER BY (ascending only —
-  *     DESC/NULLS ordering fails loudly);
-  *   - MEASURES over arbitrary numeric input columns:
-  *     `MATCH_NUMBER()`, `CLASSIFIER()`, `COUNT(*)`, and
-  *     `FIRST/LAST/MIN/MAX/SUM/AVG(col)` — evaluated FINAL for ONE
-  *     ROW PER MATCH and RUNNING for ALL ROWS PER MATCH, the
-  *     standard's default semantics for each mode;
-  *   - ONE ROW PER MATCH (default) and ALL ROWS PER MATCH (empty-match
-  *     handling / WITH UNMATCHED ROWS clauses fail loudly); AFTER
-  *     MATCH SKIP PAST LAST ROW / TO NEXT ROW / TO FIRST/LAST(v);
+  *   - optional multi-column PARTITION BY (absent ≡ one global
+  *     partition) and ORDER BY (ascending only);
+  *   - optional MEASURES: `MATCH_NUMBER()`, `CLASSIFIER()` (FINAL —
+  *     last label — for ONE ROW), `COUNT(*)` / bare `COUNT()` /
+  *     `COUNT(V.*)`, `FIRST/LAST([VAR.]col[, offset])`,
+  *     `MIN/MAX/SUM/AVG([VAR.]col)` (string columns allowed for
+  *     first/last/min/max), an optional RUNNING|FINAL prefix, and
+  *     `+ - * /` arithmetic over any of these (computed by Catalyst
+  *     over hidden primitive columns — Long-exact);
+  *   - ONE ROW PER MATCH (default; SHOW EMPTY MATCHES by default per
+  *     the standard, OMIT spelling accepted) and ALL ROWS PER MATCH
+  *     (SHOW — the default — / OMIT EMPTY MATCHES, WITH UNMATCHED
+  *     ROWS); AFTER MATCH SKIP PAST LAST ROW / TO NEXT ROW / TO
+  *     [FIRST|LAST] v (paren and paren-less forms; bare TO v ≡ LAST);
   *   - the operator's full PATTERN grammar (quantifiers incl.
-  *     reluctant, alternation, PERMUTE, exclusion, anchors) — the
-  *     text inside PATTERN (...) is handed to the operator's parser
-  *     verbatim;
-  *   - SUBSET declarations;
-  *   - DEFINE predicates over comparisons of: literals, current-row
-  *     columns (bare or qualified by the defined variable), other
-  *     variables' running LAST (the standard's meaning of a
-  *     cross-variable reference), and `PREV/NEXT(col[, n])` /
-  *     `FIRST/LAST(var.col)` navigation, combined with AND/OR/NOT
-  *     and parentheses.
+  *     reluctant and `{,}`, alternation, PERMUTE, exclusion, anchors,
+  *     the empty pattern `()` with standard zero-width-cycle
+  *     collapse) — the text inside PATTERN (...) is handed to the
+  *     operator's parser verbatim; variables without a DEFINE entry
+  *     are TRUE;
+  *   - SUBSET declarations (usable in measures' var filters and skip
+  *     targets);
+  *   - optional DEFINE: comparisons and IS [NOT] NULL over
+  *     expressions built from literals (incl. TRUE/FALSE), current-row
+  *     columns (bare or qualified), other variables' running LAST,
+  *     `PREV/NEXT(col[, n])` / `FIRST/LAST(var.col)` navigation, and
+  *     `+ - * /` arithmetic, combined with AND/OR/NOT and parens.
+  *
+  * Known exclusions (fail loudly): quoted/case-normalized identifiers,
+  * scalar functions inside measures or DEFINE (beyond arithmetic),
+  * nested navigation (`PREV(LAST(...))`), `CLASSIFIER(U)` with an
+  * argument, array_agg measures, and the window-frame (`WINDOW ...
+  * MEASURES ... SEEK`) form of row-pattern recognition.
   */
 object MatchRecognizeSql {
 
