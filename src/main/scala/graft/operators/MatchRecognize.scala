@@ -469,6 +469,10 @@ object MatchRecognize {
     */
   /** Adapt the simple (prevRowOrNull, row) DEFINE form to the context
     * form — the common PREV(x) comparison as a physical 1-back. */
+  /** Public adapter for the simple (prevRowOrNull, row) DEFINE form. */
+  def wrapSimple(define: Map[String, (Row, Row) => Boolean])
+      : Map[String, MatchCtx => Boolean] = wrapDefine(define)
+
   private def wrapDefine(define: Map[String, (Row, Row) => Boolean])
       : Map[String, MatchCtx => Boolean] =
     define.map { case (v, f) => v -> ((ctx: MatchCtx) => f(ctx.prev(1), ctx.row)) }
@@ -775,6 +779,111 @@ object MatchRecognize {
     * columns + measures + remaining input columns. Rows matched inside
     * `{- ... -}` exclusions feed measures but are omitted from ALL ROWS
     * output (SQL:2016). */
+  /** Row-pattern recognition IN WINDOW FRAMES (reference `SqlBase.g4`
+    * windowSpecification with MEASURES/PATTERN; semantics pinned by
+    * `TestRowPatternMatchingInWindow` / `testSeek`): every input row
+    * INDEPENDENTLY looks for one match inside its frame
+    * `ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING` — anchored at
+    * the current row (INITIAL, the default) or at the first matching
+    * position at-or-after it (SEEK). No cross-row consumption: unlike
+    * the table form, a row's match does not affect its neighbours'.
+    *
+    * Output: every input column plus `match_vals` / `match_labels` —
+    * the matched rows' `valueCol` values and classifier labels in
+    * match order (null arrays when the row finds no match, the
+    * standard's empty-frame semantics). Scalar measures over the match
+    * are then one Catalyst expression away (aggregate/transform over
+    * the arrays), which is how the vector spec reproduces the
+    * reference's array_agg measures.
+    *
+    * Scale shape: identical to the table form — one shuffle on the
+    * partition key, a local sort, and a per-key streaming scan; the
+    * per-row seek cost is bounded by frame length exactly as in the
+    * reference's windowed matcher. */
+  def windowMatches(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[String],
+      pattern: String,
+      define: Map[String, MatchCtx => Boolean],
+      valueCol: String,
+      seek: Boolean = false,
+      subsets: Map[String, Set[String]] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields.toSeq ++ Seq(
+      StructField("match_vals", ArrayType(inSchema(valueCol).dataType)),
+      StructField("match_labels", ArrayType(StringType))))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val pat = parse(pattern)
+    val vars = define
+    val subs = subsets
+    val pCols = partCols
+    val vCol = valueCol
+    val doSeek = seek
+    val spillAfter = SpillAfterRows
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ orderCols).map(col): _*)
+      .mapPartitions { it =>
+        val rows = it.buffered
+        def keyOf(r: Row): Seq[Any] = pCols.map(c => r.get(r.fieldIndex(c)))
+        new Iterator[Row] {
+          private val out = mutable.Queue[Row]()
+          private def processGroup(): Unit = {
+            if (!rows.hasNext) return
+            val key = keyOf(rows.head)
+            val buf = new SpillableRowBuffer(spillAfter)
+            try {
+              while (rows.hasNext && keyOf(rows.head) == key) buf.append(rows.next())
+              val n = buf.length
+              var i = 0
+              while (i < n) {
+                def classify(j: Int, v: String, accRev: List[String]): Boolean =
+                  vars.get(v) match {
+                    case None => true
+                    case Some(f) => f(new MatchCtx(buf, j, i, accRev, v, subs))
+                  }
+                // INITIAL anchors at i; SEEK scans forward for the
+                // first position with a non-empty match
+                var m: Array[String] = null
+                var at = i
+                var found = false
+                while (!found && at < n) {
+                  m = matchFrom(pat, at, n, classify)
+                  if (m != null && m.length > 0) found = true
+                  else if (doSeek) at += 1
+                  else at = n // INITIAL: only the current row anchors
+                }
+                val r = buf(i)
+                val (vals, labels) =
+                  if (!found) (null, null)
+                  else {
+                    val vIdx = r.fieldIndex(vCol)
+                    val vs = new Array[Any](m.length)
+                    val ls = new Array[String](m.length)
+                    var k = 0
+                    while (k < m.length) {
+                      vs(k) = buf(at + k).get(vIdx)
+                      ls(k) = realLabel(m(k))
+                      k += 1
+                    }
+                    (vs.toSeq, ls.toSeq)
+                  }
+                out.enqueue(Row.fromSeq(r.toSeq ++ Seq(vals, labels)))
+                i += 1
+              }
+            } finally buf.dispose()
+          }
+          override def hasNext: Boolean = {
+            while (out.isEmpty && rows.hasNext) processGroup()
+            out.nonEmpty
+          }
+          override def next(): Row = out.dequeue()
+        }
+      }.toDF()
+  }
+
   def sqlRows(
       df: DataFrame,
       partCols: Seq[String],

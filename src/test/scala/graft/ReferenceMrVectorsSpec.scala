@@ -402,6 +402,51 @@ class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vc == Seq((1, 0L, 0L), (2, 0L, 1L), (3, 1L, 1L), (4, 1L, 2L)))
   }
 
+  test("window-frame testSeek vector (TestAggregationsInRowPatternMatching.java:874)") {
+    val spk = spark
+    import spk.implicits._
+    import org.apache.spark.sql.Row
+    val in = Seq((1, "p1", "A"), (2, "p1", "B"), (3, "p1", "C"), (4, "p1", "D"),
+      (5, "p1", "E"), (1, "p2", "A"), (2, "p2", "B"), (3, "p2", "C"),
+      (4, "p2", "D"), (5, "p2", "E")).toDF("id", "part", "value")
+    val xGt: (Row, Row) => Boolean = (_, c) => c.getAs[String]("value") > "B"
+    val base = graft.operators.MatchRecognize.windowMatches(
+      in, Seq("part"), Seq("id"), "X+",
+      graft.operators.MatchRecognize.wrapSimple(Map("X" -> xGt)),
+      valueCol = "value", seek = true)
+    // the reference's two measures, derived from the arrays by Catalyst:
+    // array_agg(value) and array_agg(value || CLASSIFIER())
+    val got = base.selectExpr("part", "id", "match_vals AS m1",
+        "transform(arrays_zip(match_vals, match_labels), " +
+          "e -> concat(e.match_vals, e.match_labels)) AS m2")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getSeq[String](2).mkString(","),
+        if (r.isNullAt(3)) null else r.getSeq[String](3).mkString(",")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("p1", 1, "C,D,E", "CX,DX,EX"), ("p1", 2, "C,D,E", "CX,DX,EX"),
+      ("p1", 3, "C,D,E", "CX,DX,EX"), ("p1", 4, "D,E", "DX,EX"),
+      ("p1", 5, "E", "EX"),
+      ("p2", 1, "C,D,E", "CX,DX,EX"), ("p2", 2, "C,D,E", "CX,DX,EX"),
+      ("p2", 3, "C,D,E", "CX,DX,EX"), ("p2", 4, "D,E", "DX,EX"),
+      ("p2", 5, "E", "EX")))
+    // INITIAL (the default): only the current row anchors the match
+    val initial = graft.operators.MatchRecognize.windowMatches(
+      in, Seq("part"), Seq("id"), "X+",
+      graft.operators.MatchRecognize.wrapSimple(Map("X" -> xGt)),
+      valueCol = "value", seek = false)
+      .selectExpr("part", "id", "match_vals").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getSeq[String](2).mkString(",")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(initial == Seq(
+      ("p1", 1, null), ("p1", 2, null), ("p1", 3, "C,D,E"),
+      ("p1", 4, "D,E"), ("p1", 5, "E"),
+      ("p2", 1, null), ("p2", 2, null), ("p2", 3, "C,D,E"),
+      ("p2", 4, "D,E"), ("p2", 5, "E")))
+  }
+
   test("testEmptyMatches unmatched-rows vector (TestRowPatternMatching.java:835)") {
     val got = run(
       Seq(1 -> 100, 2 -> 100, 3 -> 90, 4 -> 80, 5 -> 70, 6 -> 100),
