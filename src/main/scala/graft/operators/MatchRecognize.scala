@@ -837,27 +837,35 @@ object MatchRecognize {
             try {
               while (rows.hasNext && keyOf(rows.head) == key) buf.append(rows.next())
               val n = buf.length
-              var i = 0
-              while (i < n) {
+              // Backward memo: the SEEK answer for row i is the match
+              // anchored AT i if one exists, else row i+1's answer —
+              // one matchFrom per position, O(n·matchcost) instead of
+              // the naive O(n²·matchcost) forward re-scan per row.
+              val anchors = new Array[Int](math.max(n, 1))
+              val found = new Array[Array[String]](math.max(n, 1))
+              var p = n - 1
+              while (p >= 0) {
+                val startIdx = p
                 def classify(j: Int, v: String, accRev: List[String]): Boolean =
                   vars.get(v) match {
                     case None => true
-                    case Some(f) => f(new MatchCtx(buf, j, i, accRev, v, subs))
+                    case Some(f) =>
+                      f(new MatchCtx(buf, j, startIdx, accRev, v, subs))
                   }
-                // INITIAL anchors at i; SEEK scans forward for the
-                // first position with a non-empty match
-                var m: Array[String] = null
-                var at = i
-                var found = false
-                while (!found && at < n) {
-                  m = matchFrom(pat, at, n, classify)
-                  if (m != null && m.length > 0) found = true
-                  else if (doSeek) at += 1
-                  else at = n // INITIAL: only the current row anchors
-                }
+                val m0 = matchFrom(pat, p, n, classify)
+                if (m0 != null && m0.length > 0) { anchors(p) = p; found(p) = m0 }
+                else if (doSeek && p + 1 < n) {
+                  anchors(p) = anchors(p + 1); found(p) = found(p + 1)
+                } else { anchors(p) = -1; found(p) = null }
+                p -= 1
+              }
+              var i = 0
+              while (i < n) {
                 val r = buf(i)
+                val m = found(i)
+                val at = anchors(i)
                 val (vals, labels) =
-                  if (!found) (null, null)
+                  if (m == null) (null, null)
                   else {
                     val vIdx = r.fieldIndex(vCol)
                     val vs = new Array[Any](m.length)

@@ -559,7 +559,52 @@ object Patterns {
       |  CAST(coalesce(s.suf_start_ord, -1) AS BIGINT) AS suf_start_ord
       |FROM pre2 p LEFT JOIN suf2 s ON p.user_id = s.user_id""".stripMargin
 
+  /** Row-pattern recognition IN WINDOW FRAMES (reference windowed
+    * matcher, SEEK anchoring — `TestRowPatternMatchingInWindow`): for
+    * EVERY event row, the first high-value run (`H+`, value ≥ 90) at
+    * or after it within the user's remaining frame — no cross-row
+    * consumption, so every row carries its own lookahead answer.
+    * Output scalars derive from the match arrays (length + first
+    * matched event_id); the oracle replays the semantics with
+    * IGNORE-NULLS forward window scans over run remainders. */
+  def mr11(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("value"))
+    val high: (Row, Row) => Boolean =
+      (_, c) => c.getAs[Double]("value") >= 90.0
+    MatchRecognize.windowMatches(ev, Seq("user_id"), Seq("event_id"), "H+",
+        MatchRecognize.wrapSimple(Map("H" -> high)),
+        valueCol = "event_id", seek = true)
+      .select(col("user_id"), col("event_id"),
+        when(col("match_vals").isNull, lit(null))
+          .otherwise(size(col("match_vals"))).cast("long").as("m_len"),
+        element_at(col("match_vals"), 1).as("m_first"))
+  }
+
+  val mr11Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN value >= 90 THEN 1 ELSE 0 END AS h,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT *, CAST(sum(1 - h) OVER (
+      |    PARTITION BY user_id ORDER BY rn) AS BIGINT) AS grp
+      |  FROM e),
+      |x AS (
+      |  SELECT *, CASE WHEN h = 1 THEN CAST(count(*) OVER (
+      |      PARTITION BY user_id, grp ORDER BY rn
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) END AS rem_len,
+      |    CASE WHEN h = 1 THEN event_id END AS h_eid
+      |  FROM r)
+      |SELECT user_id, event_id,
+      |  first_value(rem_len IGNORE NULLS) OVER w2 AS m_len,
+      |  first_value(h_eid IGNORE NULLS) OVER w2 AS m_first
+      |FROM x WINDOW w2 AS (PARTITION BY user_id ORDER BY rn
+      |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr11_window_seek" -> mr11 _,
     "mr10_partition_anchors" -> mr10 _,
     "mr9_pattern_exclusion" -> mr9 _,
     "mr8_empty_matches" -> mr8 _,
@@ -572,6 +617,7 @@ object Patterns {
     "mr6_agg_measures" -> mr6 _)
 
   val oracle: Map[String, String] = Map(
+    "mr11_window_seek" -> mr11Sql,
     "mr10_partition_anchors" -> mr10Sql,
     "mr9_pattern_exclusion" -> mr9Sql,
     "mr8_empty_matches" -> mr8Sql,
