@@ -808,8 +808,17 @@ object MatchRecognize {
       define: Map[String, MatchCtx => Boolean],
       valueCol: String,
       seek: Boolean = false,
-      subsets: Map[String, Set[String]] = Map.empty): DataFrame = {
+      subsets: Map[String, Set[String]] = Map.empty,
+      skip: SkipMode = SkipMode.ToNextRow): DataFrame = {
     import org.apache.spark.sql.types._
+    // empty PARTITION BY ≡ one global partition (hidden constant key,
+    // dropped from the output)
+    if (partCols.isEmpty) {
+      return windowMatches(
+        df.withColumn("__gwpart", org.apache.spark.sql.functions.lit(0)),
+        Seq("__gwpart"), orderCols, pattern, define, valueCol, seek,
+        subsets, skip).drop("__gwpart")
+    }
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields.toSeq ++ Seq(
       StructField("match_vals", ArrayType(inSchema(valueCol).dataType)),
@@ -822,6 +831,7 @@ object MatchRecognize {
     val pCols = partCols
     val vCol = valueCol
     val doSeek = seek
+    val skipMode = skip
     val spillAfter = SpillAfterRows
     df.repartition(partCols.map(col): _*)
       .sortWithinPartitions((partCols ++ orderCols).map(col): _*)
@@ -859,11 +869,18 @@ object MatchRecognize {
                 } else { anchors(p) = -1; found(p) = null }
                 p -= 1
               }
+              // AFTER MATCH SKIP consumption (reference window-MR
+              // semantics: rows inside a prior match's skip range get
+              // NULL measures — they never attempt a match)
+              var consumedUntil = 0
               var i = 0
               while (i < n) {
                 val r = buf(i)
-                val m = found(i)
+                val skippedRow = skipMode == SkipMode.PastLastRow && i < consumedUntil
+                val m = if (skippedRow) null else found(i)
                 val at = anchors(i)
+                if (m != null && skipMode == SkipMode.PastLastRow)
+                  consumedUntil = at + m.length
                 val (vals, labels) =
                   if (m == null) (null, null)
                   else {

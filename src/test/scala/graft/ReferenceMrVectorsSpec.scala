@@ -447,6 +447,51 @@ class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("p2", 4, "D,E"), ("p2", 5, "E")))
   }
 
+  test("window-frame vectors (TestRowPatternMatchingInWindow.java:45,541)") {
+    val spk = spark
+    import spk.implicits._
+    import org.apache.spark.sql.Row
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize.SkipMode
+    // testSimpleQuery: INITIAL + SKIP PAST LAST ROW — rows consumed by
+    // a prior match never attempt, and get null measures; measures
+    // evaluate FINAL (the match's last row)
+    val in1 = Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 80, 5 -> 90, 6 -> 50,
+      7 -> 40, 8 -> 60).toDF("id", "value")
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Int]("value") < p.getAs[Int]("value")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Int]("value") > p.getAs[Int]("value")
+    def lastish(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("id", "element_at(match_vals, -1) AS val",
+        "element_at(match_labels, -1) AS label")
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getInt(1).toString,
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1).toSeq
+    val simple = lastish(MatchRecognize.windowMatches(
+      in1, Nil, Seq("id"), "A B+ C+",
+      MatchRecognize.wrapSimple(Map("B" -> down, "C" -> up)),
+      valueCol = "value", skip = SkipMode.PastLastRow))
+    assert(simple == Seq((1, "90", "C"), (2, null, null), (3, null, null),
+      (4, null, null), (5, null, null), (6, "60", "C"), (7, null, null),
+      (8, null, null)))
+    // testAfterMatchSkipToPosition: alternation A B+ C+ | E, both skips
+    val in2 = Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 80, 5 -> 70, 6 -> 100)
+      .toDF("id", "value")
+    val defs = MatchRecognize.wrapSimple(Map("B" -> down, "C" -> up))
+    val past = lastish(MatchRecognize.windowMatches(
+      in2, Nil, Seq("id"), "A B+ C+ | E", defs,
+      valueCol = "value", skip = SkipMode.PastLastRow))
+    assert(past == Seq((1, "80", "C"), (2, null, null), (3, null, null),
+      (4, null, null), (5, "70", "E"), (6, "100", "E")))
+    val nextRow = lastish(MatchRecognize.windowMatches(
+      in2, Nil, Seq("id"), "A B+ C+ | E", defs,
+      valueCol = "value", skip = SkipMode.ToNextRow))
+    assert(nextRow == Seq((1, "80", "C"), (2, "80", "C"), (3, "70", "E"),
+      (4, "100", "C"), (5, "70", "E"), (6, "100", "E")))
+  }
+
   test("testEmptyMatches unmatched-rows vector (TestRowPatternMatching.java:835)") {
     val got = run(
       Seq(1 -> 100, 2 -> 100, 3 -> 90, 4 -> 80, 5 -> 70, 6 -> 100),
