@@ -833,6 +833,9 @@ object MatchRecognize {
     val doSeek = seek
     val skipMode = skip
     val spillAfter = SpillAfterRows
+    // same captured runaway-key backstop as the table form: spilling
+    // bounds memory, this bounds DISK, failing loudly with a remedy
+    val maxRowsPerKey = MatchRecognize.MaxRowsPerKey
     df.repartition(partCols.map(col): _*)
       .sortWithinPartitions((partCols ++ orderCols).map(col): _*)
       .mapPartitions { it =>
@@ -845,7 +848,15 @@ object MatchRecognize {
             val key = keyOf(rows.head)
             val buf = new SpillableRowBuffer(spillAfter)
             try {
-              while (rows.hasNext && keyOf(rows.head) == key) buf.append(rows.next())
+              while (rows.hasNext && keyOf(rows.head) == key) {
+                buf.append(rows.next())
+                if (buf.length > maxRowsPerKey)
+                  throw new IllegalStateException(
+                    s"MATCH_RECOGNIZE (window form): partition key " +
+                      s"${key.mkString(",")} exceeds $maxRowsPerKey buffered " +
+                      "rows; pre-filter or sub-partition the input, or raise " +
+                      "MatchRecognize.MaxRowsPerKey")
+              }
               val n = buf.length
               // Backward memo: the SEEK answer for row i is the match
               // anchored AT i if one exists, else row i+1's answer —

@@ -49,10 +49,23 @@ private[graft] final class SpillableRowBuffer(
 
   private def flushPage(): Unit = {
     if (file == null) {
-      path = java.io.File.createTempFile("graft_mr_spill_", ".bin")
-      // dispose() deletes eagerly; deleteOnExit is the crash backstop
-      // (a task killed mid-group must not leak spill files forever)
-      path.deleteOnExit()
+      // Spill under Spark's configured local dirs (spark.local.dir /
+      // SPARK_LOCAL_DIRS), not java.io.tmpdir: /tmp is commonly tmpfs
+      // (RAM-backed), which would defeat the spill-to-disk contract,
+      // and Spark's dirs are sized and cleaned up by the cluster
+      // manager. The crash backstop is a task-completion listener
+      // (bounded lifetime), not deleteOnExit (leaks a registry entry
+      // per spill for the life of the executor JVM).
+      val dirs = Option(org.apache.spark.SparkEnv.get)
+        .map(e => e.conf.get("spark.local.dir",
+          System.getProperty("java.io.tmpdir")))
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      val dir = new java.io.File(
+        dirs(scala.util.Random.nextInt(dirs.length)))
+      path = java.io.File.createTempFile("graft_mr_spill_", ".bin", dir)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ => dispose() })
       file = new java.io.RandomAccessFile(path, "rw")
     }
     val bos = new java.io.ByteArrayOutputStream(1 << 16)

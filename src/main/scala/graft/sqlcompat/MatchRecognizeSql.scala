@@ -225,9 +225,15 @@ object MatchRecognizeSql {
     val hidden = scala.collection.mutable.LinkedHashMap[SqlMeasure, String]()
     val computed = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val asRe = "(?is)^(.*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    // declared MEASURES order (direct + computed interleaved) — the
+    // final projection restores it so positional consumers see the
+    // standard's layout, not "direct first, computed appended"
+    val declaredAliases = scala.collection.mutable.ArrayBuffer[String]()
     splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).foreach { mtxt =>
       measRe.findFirstMatchIn(mtxt) match {
-        case Some(mm) => direct += primitiveOf(mm, mtxt) -> mm.group(8)
+        case Some(mm) =>
+          direct += primitiveOf(mm, mtxt) -> mm.group(8)
+          declaredAliases += mm.group(8)
         case None =>
           val am = asRe.findFirstMatchIn(mtxt).getOrElse(fail(
             s"unsupported measure: '$mtxt' (expect <primitive or arithmetic> AS alias)"))
@@ -241,6 +247,7 @@ object MatchRecognizeSql {
             s"unsupported measure expression: '$mtxt' (only + - * / over " +
               "primitives and numeric literals)")
           computed += alias -> rewritten
+          declaredAliases += alias
       }
     }
     val measures: Seq[(SqlMeasure, String)] =
@@ -257,6 +264,20 @@ object MatchRecognizeSql {
       out = out.withColumn(alias, org.apache.spark.sql.functions.expr(ex))
     }
     out = out.drop(hidden.values.toSeq: _*)
+    // Restore the declared MEASURES column order: withColumn appended
+    // computed aliases after everything else, but SQL:2016 output lays
+    // measures out in declaration order at the measures position.
+    if (computed.nonEmpty) {
+      val measureSet = declaredAliases.toSet
+      val cols = out.columns.toSeq
+      val firstIdx = cols.indexWhere(measureSet.contains)
+      if (firstIdx >= 0) {
+        val before = cols.take(firstIdx).filterNot(measureSet.contains)
+        val after = cols.drop(firstIdx).filterNot(measureSet.contains)
+        out = out.select((before ++ declaredAliases ++ after)
+          .map(org.apache.spark.sql.functions.col): _*)
+      }
+    }
     if (syntheticPart) out.drop("__gpart") else out
   }
 
@@ -384,15 +405,20 @@ private object DefineParser extends Serializable {
     if (a == null || b == null) return false
     (a, b) match {
       case (x: Number, y: Number) =>
-        val d = x.doubleValue()
-        val e = y.doubleValue()
+        // Integral pairs compare exactly in Long (epoch-nano columns
+        // exceed 2^53, where double comparison quantizes to ~256 ns);
+        // only fractional operands drop to double.
+        val c =
+          if (DefineParser.isIntegral(x) && DefineParser.isIntegral(y))
+            java.lang.Long.compare(x.longValue(), y.longValue())
+          else java.lang.Double.compare(x.doubleValue(), y.doubleValue())
         (op: @unchecked) match {
-          case "<" => d < e
-          case "<=" => d <= e
-          case ">" => d > e
-          case ">=" => d >= e
-          case "=" => d == e
-          case "<>" | "!=" => d != e
+          case "<" => c < 0
+          case "<=" => c <= 0
+          case ">" => c > 0
+          case ">=" => c >= 0
+          case "=" => c == 0
+          case "<>" | "!=" => c != 0
         }
       case (x: String, y: String) =>
         val c = x.compareTo(y)
@@ -413,18 +439,38 @@ private object DefineParser extends Serializable {
   def getVal(r: Row, c: String): Any =
     if (r == null) null else r.getAs[Any](c)
 
+  private[sqlcompat] def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
   /** Null-propagating numeric arithmetic for DEFINE expressions
-    * (string operands fail loudly — there is no string '+' here). */
+    * (string operands fail loudly — there is no string '+' here).
+    * Integral operands compute exactly in Long (the measures layer is
+    * already Long-exact for the same reason — epoch-nano deltas like
+    * `ts_ns - PREV(ts_ns) <= 60000000000` exceed double's 2^53
+    * exactness); division and fractional inputs fall back to Double,
+    * mirroring RunAgg's integral/fractional split. */
   def arith(a: Any, b: Any, op: Char): Any = {
     if (a == null || b == null) return null
     (a, b) match {
       case (x: Number, y: Number) =>
-        val d = x.doubleValue(); val e = y.doubleValue()
-        (op: @unchecked) match {
-          case '+' => d + e
-          case '-' => d - e
-          case '*' => d * e
-          case '/' => d / e
+        if (op != '/' && isIntegral(x) && isIntegral(y)) {
+          val l = x.longValue(); val r = y.longValue()
+          (op: @unchecked) match {
+            case '+' => java.lang.Math.addExact(l, r)
+            case '-' => java.lang.Math.subtractExact(l, r)
+            case '*' => java.lang.Math.multiplyExact(l, r)
+          }
+        } else {
+          val d = x.doubleValue(); val e = y.doubleValue()
+          (op: @unchecked) match {
+            case '+' => d + e
+            case '-' => d - e
+            case '*' => d * e
+            case '/' => d / e
+          }
         }
       case _ => throw new IllegalArgumentException(
         s"DEFINE: arithmetic needs numeric operands, got " +

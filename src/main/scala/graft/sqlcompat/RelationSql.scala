@@ -150,12 +150,23 @@ object RelationSql {
             else exploded.drop("__pos")
           case _ =>
             // Multi-argument zip. Map args expand to entry structs
-            // first so every zipped element is one struct slot.
+            // first so every zipped element is one struct slot. A NULL
+            // collection behaves as EMPTY (reference
+            // TestUnnestOperator.testUnnest: row (2, [99], null) still
+            // emits (2, 99, null, null)) — arrays_zip would instead
+            // return NULL if any input is NULL and drop the row, so
+            // each slot coalesces to an empty array of its own type.
+            import org.apache.spark.sql.functions.{coalesce, array}
             val slotCols: Seq[org.apache.spark.sql.Column] =
               argExprs.zip(argTypes).zipWithIndex.map {
-                case ((e, _: org.apache.spark.sql.types.MapType), i) =>
-                  map_entries(e).as(s"s$i")
-                case ((e, _), i) => e.as(s"s$i")
+                case ((e, mt: org.apache.spark.sql.types.MapType), i) =>
+                  val entryT = org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.StructType(Seq(
+                      org.apache.spark.sql.types.StructField("key", mt.keyType, nullable = false),
+                      org.apache.spark.sql.types.StructField("value", mt.valueType))))
+                  coalesce(map_entries(e), array().cast(entryT)).as(s"s$i")
+                case ((e, t), i) =>
+                  coalesce(e, array().cast(t)).as(s"s$i")
               }
             val zipped = arrays_zip(slotCols: _*)
             val ex = base.select(base.columns.map(col) :+

@@ -377,6 +377,40 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  PATTERN (U+) DEFINE U AS v > PREV(v))""".stripMargin, _ => ev))
   }
 
+  test("MATCH_RECOGNIZE SQL: DEFINE arithmetic is Long-exact past 2^53") {
+    import graft.sqlcompat.MatchRecognizeSql
+    val spk = spark
+    import spk.implicits._
+    // Epoch-nano values at 1.6e18 (double ulp = 256 ns): the exact
+    // gap is threshold+100, but BOTH operands round to doubles whose
+    // difference is exactly the threshold — double arithmetic would
+    // wrongly match, Long-exact correctly rejects.
+    val base = 1_600_000_000_000_000_000L
+    val rows = Seq((1L, 1L, base), (1L, 2L, base + 60_000_000_100L))
+      .toDF("user_id", "event_id", "ts_ns")
+    val r = MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES COUNT(*) AS n
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B)
+        |  DEFINE B AS ts_ns - PREV(ts_ns) <= 60000000000)""".stripMargin,
+      _ => rows)
+    assert(r.count() == 0, "gap is 100 ns past the threshold — must not match")
+    // and the accepting side still matches (gap exactly at threshold)
+    val rows2 = Seq((1L, 1L, base), (1L, 2L, base + 60_000_000_000L))
+      .toDF("user_id", "event_id", "ts_ns")
+    val r2 = MatchRecognizeSql.translate(
+      """SELECT * FROM t MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES COUNT(*) AS n
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B)
+        |  DEFINE B AS ts_ns - PREV(ts_ns) <= 60000000000)""".stripMargin,
+      _ => rows2)
+    assert(r2.count() == 1)
+  }
+
   test("MATCH_RECOGNIZE SQL: unsupported forms fail loudly") {
     import graft.sqlcompat.MatchRecognizeSql
     val ev = graft.engine.Graft.load(spark, "/root/testdata/sf0.001", "events")
@@ -496,6 +530,27 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mz.map(r => (if (r.isNullAt(0)) "-" else r.getString(0),
       if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2))).toSeq ==
       Seq(("x", 1, "a"), ("-", -1, "b"), ("-", -1, "c")))
+    // a NULL collection behaves as EMPTY, not as a row-dropper
+    // (reference TestUnnestOperator.testUnnest: (2, [99], null) still
+    // emits (2, 99, null, null)) — arrays_zip alone would return NULL
+    // and emit zero rows for the whole row
+    val withNull = Seq((1L, Seq(99), null: Seq[String]))
+      .toDF("id", "nums", "strs")
+    val nz = RelationSql.translate(
+      """SELECT id, n, s FROM t
+        |CROSS JOIN UNNEST(nums, strs) AS u(n, s)""".stripMargin,
+      _ => withNull).collect()
+    assert(nz.length == 1)
+    assert(nz.head.getInt(1) == 99 && nz.head.isNullAt(2))
+    // NULL map slot likewise pads with nulls against the longer array
+    val withNullMap = Seq((1L, Seq(7, 8), null: Map[String, Int]))
+      .toDF("id", "nums", "mp")
+    val nm = RelationSql.translate(
+      """SELECT id, n, k, v FROM t
+        |CROSS JOIN UNNEST(nums, mp) AS u(n, k, v)""".stripMargin,
+      _ => withNullMap).orderBy("n").collect()
+    assert(nm.map(r => (r.getInt(1), r.isNullAt(2), r.isNullAt(3))).toSeq ==
+      Seq((7, true, true), (8, true, true)))
     // arity mismatch fails loudly
     assertThrows[IllegalArgumentException](RelationSql.translate(
       "SELECT doc_id FROM documents CROSS JOIN UNNEST(split(text, ' '), array(1)) AS t(a)",
