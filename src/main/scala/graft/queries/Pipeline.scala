@@ -436,29 +436,46 @@ object Pipeline {
     * table stays broadcast-size, the assignment pass is one narrow
     * projection scan, and the N^2 pair space never materializes.
     * Recall tuning = raise nprobe, at linear probe cost. */
-  def p11(s: SparkSession, dir: String): DataFrame = {
-    def cosc(x: Column, y: Column): Column = ncos(x, y)
-    val e = t(s, dir, "embeddings")
-    val cents = e
+  /** The K=8 centroid set collapsed to ONE single-row array — the
+    * broadcastable quantizer. */
+  private def p11CentsArr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
       .select(md5(col("vec_id").cast("string")).as("r"), col("embedding").as("ce"))
       .orderBy(col("r")).limit(8)
       .select(row_number().over(Window.orderBy(col("r"))).as("cent_id"), col("ce"))
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosc(col("embedding"), col("ce")).as("ccos"))
-    val nearestCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val cells = assign.withColumn("rn", row_number().over(nearestCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val probes = assign.filter(col("vec_id") < 10)
-      .withColumn("rn", row_number().over(nearestCell))
-      .filter(col("rn") <= 2) // nprobe = 2
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("ce")))).as("ca"))
+
+  /** Centroid ranking for one row: all 8 (cosine, -cent_id) pairs,
+    * best first. Struct ordering does the argmax — max of
+    * (ccos, -cent_id) = highest cosine, ties to the smallest cent_id,
+    * exactly a window's (ccos DESC, cent_id) without the window. */
+  private def p11Ranked: Column = reverse(array_sort(transform(col("ca"),
+    c => struct(ncos(col("embedding"), c.getField("ce")).as("ccos"),
+      (-c.getField("cent_id")).as("nid")))))
+
+  /** Cell assignment as a NARROW projection: one broadcast single-row
+    * centroid array + a per-row argmax — ZERO exchanges on the corpus
+    * (the previous form crossJoin-exploded 8 rows per vector and paid
+    * a full-corpus Exchange+Sort under Window.partitionBy(vec_id)).
+    * This is also the table a deployment writes partitioned BY CELL so
+    * probes partition-prune (ScaleSpec proves the pruned-probe plan). */
+  private[graft] def p11Cells(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").crossJoin(broadcast(p11CentsArr(s, dir)))
+      .select(col("vec_id"), col("embedding"),
+        (-p11Ranked.getItem(0).getField("nid")).as("cell"))
+
+  def p11(s: SparkSession, dir: String): DataFrame = {
+    val cells = p11Cells(s, dir)
+    val probes = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .crossJoin(broadcast(p11CentsArr(s, dir)))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("cent_id").as("pcell"))
-    val scored = probes
-      .join(cells, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosc(col("qe"), col("embedding")).as("cos"))
+        explode(slice(p11Ranked, 1, 2)).as("p")) // nprobe = 2
+      .select(col("qid"), col("qe"), (-col("p.nid")).as("pcell"))
+    // probes is query-count-sized → broadcast it; the corpus side
+    // (cells) never shuffles for the probe join either.
+    val scored = cells
+      .join(broadcast(probes), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), ncos(col("qe"), col("embedding")).as("cos"))
     val topk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(topk))
       .filter(col("rn") <= 3)

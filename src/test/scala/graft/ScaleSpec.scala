@@ -49,6 +49,42 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("p11 IVF: assignment is exchange-free; by-cell layout partition-prunes probes") {
+    // 1. the whole p11 plan carries exactly ONE shuffle exchange — the
+    //    final per-query top-k on the already-tiny scored rows; cell
+    //    assignment and the probe join are broadcast-only.
+    val df = graft.queries.Pipeline.queries("p11_ann_ivf")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"p11 should shuffle only the final top-k, found $shuffles:\n${plan.take(3000)}")
+    // 2. the 100 TB layout: corpus written partitioned BY CELL; an
+    //    nprobe probe reads only its cells' partitions (same proof
+    //    shape as the bucketed-join test — the scan's PartitionFilters
+    //    carry the cell predicate, so non-probed cells are never read).
+    val cellsOut = s"$tmp/p11_cells"
+    graft.queries.Pipeline.p11Cells(spark, sfDir)
+      .write.mode("overwrite").partitionBy("cell").parquet(cellsOut)
+    val probe = spark.read.parquet(cellsOut).filter(col("cell").isin(1, 2))
+    val scanStr = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scanStr).isDefined,
+      s"probe scan must carry the cell predicate as a PARTITION filter " +
+        s"(not a data filter):\n${scanStr.take(2000)}")
+    // and the pruning is real: the executed scan reads fewer files
+    // than the unfiltered table holds (one+ file per cell directory)
+    def numFilesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    }
+    val pruned = numFilesRead(probe)
+    val all = numFilesRead(spark.read.parquet(cellsOut))
+    assert(pruned > 0 && pruned < all,
+      s"pruned probe read $pruned of $all files — no pruning happened")
+  }
+
   test("p12 plan prunes fact partitions dynamically (DPP subquery on lang)") {
     val df = graft.queries.Pipeline.queries("p12_dpp")(spark, sfDir)
     val physical = df.queryExecution.executedPlan.toString.toLowerCase
