@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Aggregates, Analytics, CatalogOps, Decimals, DialectQueries, Functions, Patterns, Pipeline, Relational, Scalars, SetOps, Sketches, Temporal, Windows}
+import graft.queries.{Aggregates, Analytics, CatalogOps, Decimals, DialectQueries, Functions, MutationQueries, Patterns, Pipeline, Relational, Scalars, SetOps, Sketches, Temporal, Windows}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,7 @@ object SparkEntry {
       Streams.queries ++ Scalars.queries ++ Patterns.queries ++
       Sketches.queries ++ Multimodal.queries ++ Analytics.queries ++
       CatalogOps.queries ++ Temporal.queries ++ DialectQueries.queries ++
-      Decimals.queries
+      Decimals.queries ++ MutationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       Streams.oracle ++ Scalars.oracle ++ Patterns.oracle ++
       Sketches.oracle ++ Multimodal.oracle ++ Analytics.oracle ++
       CatalogOps.oracle ++ Temporal.oracle ++ DialectQueries.oracle ++
-      Decimals.oracle
+      Decimals.oracle ++ MutationQueries.oracle
 }

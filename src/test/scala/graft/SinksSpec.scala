@@ -69,4 +69,65 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(distinctKeys.contains(150L), s"c_custkey ndv=$distinctKeys")
   }
+
+  test("partition-scoped DELETE rewrites only affected partitions") {
+    import org.apache.spark.sql.functions._
+    val path = s"$tmp/mut_scoped"
+    graft.engine.Graft.load(spark, sfDir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    // files of untouched partitions must stay byte-identical (same
+    // path + mtime + length) — the 100 TB point of the scoped rewrite
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val before = snapshot()
+    val langs = spark.read.parquet(path).select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(langs.length >= 2, "need multiple partitions for the proof")
+    val victim = langs.head
+    val preCount = spark.read.parquet(path).count()
+    val delCount = spark.read.parquet(path)
+      .filter(col("lang") === victim && col("doc_id") % 2 === 0).count()
+    val after = graft.operators.Mutations.deletePartitionScoped(
+      spark, path, "lang", col("lang") === victim && col("doc_id") % 2 === 0)
+    assert(after.count() == preCount - delCount)
+    val nowFiles = snapshot()
+    val untouchedBefore = before.filter(!_._1.contains(s"lang=$victim"))
+    val untouchedAfter = nowFiles.filter(!_._1.contains(s"lang=$victim"))
+    assert(untouchedBefore == untouchedAfter,
+      "files outside the affected partition changed — rewrite was not scoped")
+    assert(before.keys.exists(_.contains(s"lang=$victim")) &&
+      before.filter(_._1.contains(s"lang=$victim")) !=
+        nowFiles.filter(_._1.contains(s"lang=$victim")),
+      "the affected partition should have been rewritten")
+  }
+
+  test("MERGE raises on the SQL:2003 cardinality violation; NULL-pred rows survive DELETE") {
+    import org.apache.spark.sql.functions._
+    val spk = spark
+    import spk.implicits._
+    val path = s"$tmp/mut_card"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(path)
+    // duplicate source keys → the in-plan assert fires at execution
+    val dupSrc = Seq((1L, 10.0), (1L, 20.0)).toDF("key", "x")
+    val ex = intercept[Exception] {
+      graft.operators.Mutations.mergeInto(spark, path, dupSrc, "id", "key",
+        graft.operators.Mutations.MergeClauses(
+          updateSet = Map("v" -> lit("upd")))).count()
+    }
+    assert(ex.getMessage.contains("MERGE") ||
+      Option(ex.getCause).exists(_.getMessage.contains("MERGE")),
+      s"expected the cardinality message, got: ${ex.getMessage}")
+    // DELETE keeps rows whose predicate evaluates to NULL
+    val path2 = s"$tmp/mut_nullpred"
+    Seq((1L, Some(1.0)), (2L, None), (3L, Some(9.0)))
+      .toDF("id", "x").write.mode("overwrite").parquet(path2)
+    val left = graft.operators.Mutations.delete(
+      spark, path2, col("x") > 5.0)
+    assert(left.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
 }
