@@ -122,11 +122,42 @@ object CatalogOps {
       |JOIN customer c ON v.o_custkey = c.c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** cat3: MATERIALIZED VIEW lifecycle under the gate (reference
+    * `SqlBase.g4:92-98`, `ConnectorMetadata.getMaterializedViewFreshness`):
+    * yearly revenue by order priority materialized to a storage table
+    * keyed by source fingerprints. Grace period 0 here: a fresh MV
+    * serves the storage table (plain parquet scan), a stale one falls
+    * back to the defining query — so the oracle hash holds whether or
+    * not the testdata was regenerated since materialization.
+    * MaterializedViewSpec drives the full stale→grace→refresh cycle. */
+  def cat3(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val storage = s"/tmp/graft_warehouse/mv_rev_$key"
+    def defining(): DataFrame =
+      Graft.load(s, dir, "lineitem")
+        .join(Graft.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+    graft.operators.MaterializedView.read(s, storage, () => defining(),
+      Seq(dir -> "orders", dir -> "lineitem"), gracePeriodMs = 0L)
+  }
+
+  val cat3Sql: String =
+    """SELECT o_orderpriority, year(o_orderdate) AS o_year, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority, year(o_orderdate)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cat1_colocated_join" -> cat1 _,
-    "cat2_view_ctas" -> cat2 _)
+    "cat2_view_ctas" -> cat2 _,
+    "cat3_materialized_view" -> cat3 _)
 
   val oracle: Map[String, String] = Map(
     "cat1_colocated_join" -> cat1Sql,
-    "cat2_view_ctas" -> cat2Sql)
+    "cat2_view_ctas" -> cat2Sql,
+    "cat3_materialized_view" -> cat3Sql)
 }
