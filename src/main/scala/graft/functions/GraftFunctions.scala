@@ -556,38 +556,72 @@ object GraftFunctions {
     else 0L
   }
 
+  /** Parse the doc + evaluate a full SQL/JSON 2016 path via
+    * [[JsonPathEval]]. Returns None on EVALUATION error (mapped to the
+    * caller's ON ERROR default); an UNSUPPORTED path construct raises
+    * through (loud, never a silent NULL). An unparseable document is
+    * an evaluation error. */
+  private def jsonPathSeq(j: String, path: String)
+      : Option[Vector[com.fasterxml.jackson.databind.JsonNode]] = {
+    val parsed = JsonPathEval.parse(path) // UnsupportedPathError escapes
+    val doc =
+      try jsonMapper.readTree(j)
+      catch { case _: Exception => return None }
+    try Some(JsonPathEval.evaluate(doc, parsed))
+    catch { case _: JsonPathEval.PathEvalError => None }
+  }
+
   /** SQL/JSON 2016 `json_exists` (reference
     * `operator/scalar/json/JsonExistsFunction.java`, grammar
     * `SqlBase.g4:540-563`): true when the path resolves to ANY value,
-    * including a JSON null. */
+    * including a JSON null; FALSE ON ERROR default. Full path language
+    * (filters, wildcards, methods) via [[JsonPathEval]]. */
   def jsonExists(j: String, path: String): java.lang.Boolean = {
     if (j == null || path == null) return null
-    Boolean.box(jsonNode(j, path) != null)
+    jsonPathSeq(j, path) match {
+      case Some(seq) => Boolean.box(seq.nonEmpty)
+      case None => Boolean.box(false) // FALSE ON ERROR
+    }
   }
 
   /** SQL/JSON 2016 `json_value` (reference JsonValueFunction.java):
-    * the SCALAR at the path as text; NULL for a missing path, a JSON
-    * null, or a container (the default NULL ON EMPTY / NULL ON ERROR
-    * behavior — containers are an error for json_value). RETURNING
-    * types are handled by the dialect layer as an outer CAST. */
+    * the SINGLETON SCALAR at the path as text; NULL for an empty
+    * result (NULL ON EMPTY), and NULL ON ERROR for a container, a
+    * multi-item result, or an evaluation error. A JSON null yields
+    * SQL NULL. RETURNING types are handled by the dialect layer as an
+    * outer CAST. */
   def jsonValue(j: String, path: String): String = {
     if (j == null || path == null) return null
-    val node = jsonNode(j, path)
-    if (node == null || node.isNull || node.isContainerNode) null
-    else node.asText()
+    jsonPathSeq(j, path) match {
+      case Some(seq) =>
+        if (seq.isEmpty) null // NULL ON EMPTY
+        else if (seq.length > 1) null // multi-item → error → NULL
+        else {
+          val node = seq.head
+          if (node.isNull || node.isContainerNode) null
+          else node.asText()
+        }
+      case None => null // NULL ON ERROR
+    }
   }
 
   /** SQL/JSON 2016 `json_query` (reference JsonQueryFunction.java):
     * the JSON TEXT at the path — containers in compact form, strings
-    * kept JSON-quoted. NULL for a missing path (NULL ON EMPTY) and
-    * for a JSON null (diverges from a pedantic reading of the
-    * standard, which would render `null`; matches the common
+    * kept JSON-quoted; WITHOUT ARRAY WRAPPER default, so a multi-item
+    * result is an error (NULL). NULL for a missing path (NULL ON
+    * EMPTY) and for a JSON null (diverges from a pedantic reading of
+    * the standard, which would render `null`; matches the common
     * json_extract behavior the oracle pins). */
   def jsonQuery(j: String, path: String): String = {
     if (j == null || path == null) return null
-    val node = jsonNode(j, path)
-    if (node == null || node.isNull) null
-    else node.toString
+    jsonPathSeq(j, path) match {
+      case Some(seq) =>
+        if (seq.isEmpty) null
+        else if (seq.length > 1) null // needs WITH ARRAY WRAPPER
+        else if (seq.head.isNull) null
+        else seq.head.toString
+      case None => null
+    }
   }
 
   /** is_json_scalar (reference JsonFunctions.java): valid JSON whose

@@ -939,6 +939,51 @@ object Scalars {
       |  TRUE AS inf_pos
       |FROM nation""".stripMargin
 
+  // --------------------------- sc23 SQL/JSON 2016 path language
+  /** The FULL path language behind json_value/json_query/json_exists
+    * (reference `io/trino/json/PathEvaluationVisitor.java`, grammar
+    * `jsonpath/JsonPath.g4`; evaluator `functions/JsonPathEval.scala`,
+    * conformance-pinned by JsonPathSpec's reference-vector replay):
+    * filters `?(@ ...)`, wildcards, `last`, item methods, arithmetic,
+    * strict-vs-lax. Docs are BUILT from source columns, so the oracle
+    * recomputes every expected value from the same raw columns —
+    * ground truth, not a second JSON-path engine. */
+  def sc23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        concat(lit("""{"a":{"b":"""), col("l_quantity"),
+          lit(""","c":[1,2,"""), col("l_linenumber"),
+          lit("""]},"tags":["x","y"]}""")).as("j"))
+      .selectExpr(
+        "l_orderkey", "l_linenumber",
+        "json_value(j, 'lax $.a.b') AS v_member",
+        "json_value(j, 'lax $.a.c[2]') AS v_idx",
+        "json_value(j, 'lax $.a.c[last]') AS v_last",
+        // filter: elements (1,2,ln) > 2 — singleton iff ln > 2
+        "json_value(j, 'lax $.a.c[*]?(@ > 2)') AS v_filter",
+        "json_value(j, 'lax $.a.c.size()') AS v_size",
+        "json_value(j, 'lax $.a.type()') AS v_type",
+        "json_value(j, 'lax $.a.b + 1') AS v_arith",
+        "json_exists(j, 'strict $.a.c[5]') AS e_strict_oob",
+        "json_exists(j, 'lax $.tags[*]?(@ starts with \"x\")') AS e_starts",
+        "json_exists(j, 'lax $.a.c[*]?(@ > 2 && @ < 100)') AS e_band",
+        "json_query(j, 'lax $.a.c') AS q_arr")
+
+  val sc23Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS VARCHAR) AS v_member,
+      |  CAST(l_linenumber AS VARCHAR) AS v_idx,
+      |  CAST(l_linenumber AS VARCHAR) AS v_last,
+      |  CASE WHEN l_linenumber > 2 THEN CAST(l_linenumber AS VARCHAR) END AS v_filter,
+      |  '3' AS v_size,
+      |  'object' AS v_type,
+      |  CAST(l_quantity + 1.0 AS VARCHAR) AS v_arith,
+      |  FALSE AS e_strict_oob,
+      |  TRUE AS e_starts,
+      |  l_linenumber > 2 AS e_band,
+      |  '[1,2,' || l_linenumber || ']' AS q_arr
+      |FROM lineitem WHERE l_orderkey < 200""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -963,7 +1008,8 @@ object Scalars {
     "sc19_timestamptz" -> sc19 _,
     "sc20_spooky_hash" -> sc20 _,
     "sc21_registry_compat" -> sc21 _,
-    "sc22_registry_compat2" -> sc22 _)
+    "sc22_registry_compat2" -> sc22 _,
+    "sc23_json_path" -> sc23 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -988,5 +1034,6 @@ object Scalars {
     "sc19_timestamptz" -> sc19Sql,
     "sc20_spooky_hash" -> sc20Sql,
     "sc21_registry_compat" -> sc21Sql,
-    "sc22_registry_compat2" -> sc22Sql)
+    "sc22_registry_compat2" -> sc22Sql,
+    "sc23_json_path" -> sc23Sql)
 }
