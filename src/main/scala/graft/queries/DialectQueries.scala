@@ -42,15 +42,15 @@ object DialectQueries {
       |FROM orders WHERE o_orderkey <= 2000""".stripMargin
 
   /** Quantified comparison predicates in the reference dialect:
-    * `= ANY (subquery)` and `<> ALL (subquery)` — the two forms
-    * SQL:2016 §8.8 defines as IN / NOT IN, which is exactly how the
-    * dialect layer rewrites them for Spark (null and empty-subquery
-    * semantics identical BY DEFINITION, not approximation). The
-    * oracle runs the ORIGINAL quantified syntax natively in DuckDB,
-    * so the rewrite is proven against a real implementation of the
-    * standard. Customers whose balance equals some balance in a
-    * high-value nation, minus those whose segment differs from all
-    * BUILDING-nation segments. */
+    * `= ANY (subquery)` and `<> ALL (subquery)`. Since r14 the
+    * dialect lowers EVERY quantified form (all operators × ALL/ANY/
+    * SOME) onto a null-correct three-valued CASE over counting scalar
+    * subqueries — the former IN / NOT IN shortcuts returned FALSE
+    * instead of NULL in projection contexts under Spark's
+    * ExistenceJoin rewrite (caught by the reference's own corner-case
+    * vectors, ReferenceSqlVectorsSpec). The oracle runs the ORIGINAL
+    * quantified syntax natively in DuckDB, so the rewrite is proven
+    * against a real implementation of the standard. */
   val dx2Reference: String =
     """SELECT c_mktsegment, count(*) AS n_matched
       |FROM customer
@@ -371,8 +371,9 @@ object DialectQueries {
     * whose lexicographic comparison semantics match row comparison,
     * proven here by ordering (n_regionkey, n_name) pairs against the
     * oracle's native row() comparison. element_at is 1-based in both
-    * engines (bare `[i]` subscripts deliberately pass through
-    * untranslated — Spark would read them 0-based). */
+    * engines; since r14 bare `[i]` subscripts ALSO lower onto
+    * element_at (the reference's subscript is 1-based — the old
+    * pass-through read them 0-based in Spark; dx20 gates this). */
   val dx8Reference: String =
     """SELECT n_name,
       |  element_at(ARRAY[n_nationkey, n_regionkey, 99], 3) AS third,
@@ -803,7 +804,65 @@ object DialectQueries {
       |  ts_ns AS v_ts
       |FROM o WHERE event_type = 'view' AND nxt_type = 'purchase'""".stripMargin
 
+  /** r14 promotions from ReferenceSqlVectorsSpec: ORDERING quantified
+    * comparisons (`> ALL`, `< SOME` — grammar `SqlBase.g4`
+    * comparisonQuantifier) through the null-correct CASE rewrite, in
+    * BOTH filter and projection contexts, plus the reference's
+    * 1-BASED `[i]` subscript (`ArraySubscriptOperator.java`) lowered
+    * onto element_at. The oracle runs the ORIGINAL quantified syntax
+    * and 1-based list indexing natively. */
+  val dx20Reference: String =
+    """SELECT c_custkey,
+      |  ARRAY[c_nationkey, c_custkey][1] AS nk,
+      |  c_acctbal < SOME (
+      |    SELECT c3.c_acctbal FROM customer c3 WHERE c3.c_nationkey = 7) AS below_some
+      |FROM customer
+      |WHERE c_acctbal > ALL (
+      |    SELECT c2.c_acctbal FROM customer c2 WHERE c2.c_nationkey = 3)""".stripMargin
+
+  def dx20(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx20Reference))
+  }
+
+  val dx20Sql: String =
+    """SELECT c_custkey,
+      |  CAST([c_nationkey, c_custkey][1] AS BIGINT) AS nk,
+      |  c_acctbal < SOME (
+      |    SELECT c3.c_acctbal FROM customer c3 WHERE c3.c_nationkey = 7) AS below_some
+      |FROM customer
+      |WHERE c_acctbal > ALL (
+      |    SELECT c2.c_acctbal FROM customer c2 WHERE c2.c_nationkey = 3)""".stripMargin
+
+  /** r14 promotion: the reference's join-relation UNNEST
+    * (`CROSS JOIN UNNEST(expr) AS t(c)`) inside GENERAL SQL — with a
+    * WHERE, GROUP BY and HAVING around it — lowered onto Spark's
+    * LATERAL VIEW explode by the dialect layer (the standalone
+    * relation form stays with RelationSql/dx5). Scale shape: the
+    * generator is narrow (no shuffle); only the word-count aggregate
+    * exchanges. */
+  val dx21Reference: String =
+    """SELECT w, count(*) AS n
+      |FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS t(w)
+      |WHERE doc_id < 100
+      |GROUP BY w
+      |HAVING count(*) >= 5""".stripMargin
+
+  def dx21(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx21Reference))
+  }
+
+  val dx21Sql: String =
+    """SELECT w, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |      FROM documents WHERE doc_id < 100) u
+      |GROUP BY w
+      |HAVING count(*) >= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx20_quantified_subscripts" -> dx20 _,
+    "dx21_unnest_join_sql" -> dx21 _,
     "dx19_mr_sql_measure_exprs" -> dx19 _,
     "dx18_mr_sql_string_measures" -> dx18 _,
     "dx17_mr_sql_define_arith" -> dx17 _,
@@ -825,6 +884,8 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx20_quantified_subscripts" -> dx20Sql,
+    "dx21_unnest_join_sql" -> dx21Sql,
     "dx19_mr_sql_measure_exprs" -> dx19Sql,
     "dx18_mr_sql_string_measures" -> dx18Sql,
     "dx17_mr_sql_define_arith" -> dx17Sql,

@@ -157,6 +157,38 @@ object Dialect {
       k += 1
     }
 
+    // Typed literals Spark lacks (grammar `SqlBase.g4` typeConstructor;
+    // reference types REAL and DECIMAL): `REAL '1.0'` →
+    // `CAST('1.0' AS FLOAT)`; `DECIMAL '2.0'` → CAST to the
+    // decimal type the reference infers FROM THE LITERAL — precision =
+    // digit count, scale = digits after the point (SqlBase: decimal
+    // literal typing). The literal is its own segment, so this is a
+    // cross-segment wrap. DOUBLE 'x' maps via Spark's own `DOUBLE` —
+    // not handled here.
+    val typedLitRe = "(?i)\\b(REAL|DECIMAL)\\s*$".r
+    var tl = 0
+    while (tl + 2 < parts.length) {
+      val (seg, isLit) = parts(tl)
+      if (!isLit && parts(tl + 1)._2) {
+        typedLitRe.findFirstMatchIn(seg).foreach { m =>
+          val lit = parts(tl + 1)._1
+          val body = lit.substring(1, lit.length - 1)
+          val target = m.group(1).toUpperCase match {
+            case "REAL" => "FLOAT"
+            case _ =>
+              val digits = body.count(_.isDigit)
+              val dot = body.indexOf('.')
+              val scale = if (dot < 0) 0 else body.length - dot - 1
+              s"DECIMAL(${math.max(digits, 1)}, $scale)"
+          }
+          parts(tl) = (seg.substring(0, m.start) + "CAST(", false)
+          val (after, afterLit) = parts(tl + 2)
+          parts(tl + 2) = (s" AS $target)" + after, afterLit)
+        }
+      }
+      tl += 1
+    }
+
     // SQL/JSON 2016 RETURNING clause (grammar `SqlBase.g4:540-563`):
     // json_value(x, 'path' RETURNING t) → CAST(json_value(x, 'path')
     // AS t); the per-segment type-rename pass below then maps reference
@@ -229,18 +261,14 @@ object Dialect {
         out = out.replaceAll(
           "(?i)\\bTRY\\s*\\(\\s*([^()/,]+)/\\s*(\\([^()]*\\)|[^(),]+)\\s*\\)",
           "try_divide($1,$2)")
-        // Quantified comparison predicates (reference grammar
-        // `SqlBase.g4` comparisonQuantifier) — Spark has no ANY/ALL
-        // subquery syntax. Only the two forms the SQL standard DEFINES
-        // as IN / NOT IN rewrite (identical null/empty semantics by
-        // definition, SQL:2016 §8.8): `= ANY (…)` / `= SOME (…)` →
-        // `IN (…)`, `<> ALL (…)` → `NOT IN (…)`. Ordering quantifiers
-        // (> ALL etc.) have no null-safe textual rewrite and pass
-        // through for Spark to reject loudly — including the compound
-        // operators >= <= !=, whose trailing '=' the lookbehind keeps
-        // this rewrite away from (`>= ANY (` must NOT become `>IN (`).
-        out = out.replaceAll("(?i)(?<![<>!])=\\s*(?:ANY|SOME)\\s*\\(", "IN (")
-        out = out.replaceAll("(?i)(?:<>|!=)\\s*ALL\\s*\\(", "NOT IN (")
+        // Quantified comparison predicates are handled whole-text by
+        // quantifiedPass (constructorPass below): the r13 shortcuts
+        // `= ANY` → IN and `<> ALL` → NOT IN were REMOVED because
+        // Spark's IN/NOT IN (subquery) in a PROJECTION context yields
+        // FALSE where the standard (and the reference) yield NULL —
+        // the reference's own quantified-comparison corner-case
+        // vectors caught this (ReferenceSqlVectorsSpec). The generic
+        // CASE rewrite is null-correct in every context.
         (out, false)
     }
     constructorPass(rendered.toSeq)
@@ -264,6 +292,159 @@ object Dialect {
     * sentinels. `CAST(x AS ROW(…))` is NOT supported: the rename
     * produces `AS struct(` which Spark rejects loudly (safe-by-failure
     * posture, same as the AT TIME ZONE limitation above). */
+  /** General quantified comparison predicates `x op ALL|ANY|SOME
+    * (subquery)` (grammar `SqlBase.g4` comparisonQuantifier) beyond
+    * the two IN-rewritable spellings the segment pass already handled
+    * (`= ANY` → IN, `<> ALL` → NOT IN). Spark has no quantified
+    * syntax, so each remaining form lowers onto a three-valued CASE
+    * over counting scalar subqueries, reproducing SQL:2016 §8.9
+    * exactly (replayed against the reference's own 72
+    * quantified-comparison corner-case vectors in
+    * ReferenceSqlVectorsSpec):
+    *
+    *   x op ALL (S) → TRUE when S is empty; NULL when x is NULL;
+    *     FALSE when any non-null s fails `x op s`; NULL when no
+    *     failure but S contains a NULL; else TRUE.
+    *   x op ANY (S) → FALSE when S is empty; NULL when x is NULL;
+    *     TRUE when any non-null s satisfies; NULL when no success but
+    *     S contains a NULL; else FALSE.
+    *
+    * The subquery text is repeated across the CASE arms —
+    * Catalyst's MergeScalarSubqueries/ReuseSubquery collapse the
+    * duplicates, and uncorrelated forms execute as one-row scalar
+    * subqueries, so the plan cost is one evaluation of S. The LHS
+    * operand is captured textually: a parenthesized group (with an
+    * optional function head, e.g. `CAST(...)`) or one
+    * identifier/literal/number token. Anything else is left
+    * untranslated for Spark to reject loudly. */
+  /** `CROSS JOIN UNNEST(e) [AS] a(c…)` / `LEFT JOIN UNNEST(e) [AS]
+    * a(c…) ON TRUE` inside GENERAL SQL (the reference's join-relation
+    * unnest, grammar `SqlBase.g4` relation UNNEST; the relation-level
+    * front-end RelationSql covers the standalone form) — lowered onto
+    * Spark's LATERAL VIEW [OUTER] explode. Single collection argument
+    * only, and 1 output column (array) or 2 (map → key, value);
+    * multi-argument zip and WITH ORDINALITY stay with RelationSql —
+    * here they pass through untranslated for Spark to reject loudly. */
+  private def unnestJoinPass(canon0: String): String = {
+    val re = "(?i)\\b(CROSS|LEFT)\\s+JOIN\\s+UNNEST\\s*\\(".r
+    var out = canon0
+    var guard = 0
+    var m = re.findFirstMatchIn(out)
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val mm = m.get
+      val outer = mm.group(1).equalsIgnoreCase("LEFT")
+      var depth = 1
+      var i = mm.end
+      var topComma = false
+      while (i < out.length && depth > 0) {
+        val c = out.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 1) topComma = true
+        i += 1
+      }
+      require(depth == 0, s"unbalanced UNNEST in: $canon0")
+      val args = out.substring(mm.end, i - 1)
+      val tail = out.substring(i)
+      val aliasRe = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)\\s*\\(([^)]*)\\)".r
+      val am = aliasRe.findFirstMatchIn(tail)
+      val ordinality = "(?is)^\\s*WITH\\s+ORDINALITY".r.findFirstIn(tail).isDefined
+      // unsupported form (multi-arg zip, WITH ORDINALITY, no alias):
+      // stop rewriting — the text passes through and Spark rejects it
+      // loudly, same fail-loud posture as the rest of the dialect
+      if (topComma || ordinality || am.isEmpty) return out
+      val alias = am.get.group(1)
+      val cols = am.get.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.length >= 1 && cols.length <= 2,
+        s"UNNEST join supports 1 (array) or 2 (map) output columns, got ${cols.length}")
+      var rest = tail.substring(am.get.end)
+      if (outer) {
+        val onRe = "(?is)^\\s*ON\\s+TRUE".r
+        val om = onRe.findFirstIn(rest)
+        require(om.isDefined, "LEFT JOIN UNNEST requires ON TRUE")
+        rest = rest.substring(om.get.length)
+      }
+      val lateral = s" LATERAL VIEW ${if (outer) "OUTER " else ""}explode($args) " +
+        s"$alias AS ${cols.mkString(", ")}"
+      out = out.substring(0, mm.start) + lateral + rest
+      m = re.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  private def quantifiedPass(canon0: String): String = {
+    val re = "(?i)(<=|>=|<>|!=|=|<|>)\\s*(ALL|ANY|SOME)\\s*\\(".r
+    var out = canon0
+    var guard = 0
+    var m = re.findFirstMatchIn(out)
+    while (m.isDefined && guard < 64) {
+      guard += 1
+      val mm = m.get
+      val op = if (mm.group(1) == "<>") "!=" else mm.group(1)
+      val quant = mm.group(2).toUpperCase match {
+        case "SOME" => "ANY"; case q => q
+      }
+      // matching close paren of the subquery (sentinels hide literals,
+      // so every paren in sight is structural)
+      var depth = 1
+      var i = mm.end
+      while (i < out.length && depth > 0) {
+        val c = out.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        i += 1
+      }
+      require(depth == 0, s"unbalanced quantified subquery in: $canon0")
+      val sub = out.substring(mm.end, i - 1)
+      // LHS operand: backward scan
+      var e = mm.start
+      while (e > 0 && out.charAt(e - 1).isWhitespace) e -= 1
+      var s0 = e
+      if (e > 0 && out.charAt(e - 1) == ')') {
+        var d = 0
+        var k = e - 1
+        var done = false
+        while (k >= 0 && !done) {
+          val c = out.charAt(k)
+          if (c == ')') d += 1
+          else if (c == '(') { d -= 1; if (d == 0) done = true }
+          if (!done) k -= 1
+        }
+        s0 = k
+        while (s0 > 0 && (out.charAt(s0 - 1).isLetterOrDigit ||
+          out.charAt(s0 - 1) == '_')) s0 -= 1
+      } else {
+        while (s0 > 0 && {
+          val c = out.charAt(s0 - 1)
+          c.isLetterOrDigit || c == '_' || c == '.' ||
+            c == '\u0001' || c == '\u0002'
+        }) s0 -= 1
+      }
+      val lhs = out.substring(s0, e).trim
+      require(lhs.nonEmpty,
+        s"cannot capture the quantified-comparison operand in: $canon0")
+      val nullB = "CAST(NULL AS BOOLEAN)"
+      def cnt(extra: String) =
+        s"(SELECT count(1) FROM ($sub) __qsub(__qc)$extra)"
+      val rep =
+        if (quant == "ALL")
+          s"(CASE WHEN ${cnt("")} = 0 THEN TRUE" +
+            s" WHEN ($lhs) IS NULL THEN $nullB" +
+            s" WHEN ${cnt(s" WHERE NOT(($lhs) $op __qc)")} > 0 THEN FALSE" +
+            s" WHEN ${cnt(" WHERE __qc IS NULL")} > 0 THEN $nullB" +
+            " ELSE TRUE END)"
+        else
+          s"(CASE WHEN ${cnt("")} = 0 THEN FALSE" +
+            s" WHEN ($lhs) IS NULL THEN $nullB" +
+            s" WHEN ${cnt(s" WHERE ($lhs) $op __qc")} > 0 THEN TRUE" +
+            s" WHEN ${cnt(" WHERE __qc IS NULL")} > 0 THEN $nullB" +
+            " ELSE FALSE END)"
+      out = out.substring(0, s0) + rep + out.substring(i)
+      m = re.findFirstMatchIn(out)
+    }
+    out
+  }
+
   private def constructorPass(segs: Seq[(String, Boolean)]): String = {
     val lits = segs.collect { case (s, true) => s }
     var li = -1
@@ -276,6 +457,8 @@ object Dialect {
     var out = canon.replaceAll("(?i)\\bMAP\\s*\\(\\s*(?=ARRAY\\s*\\[)",
       "map_from_arrays(")
     out = out.replaceAll("(?i)\\bROW\\s*\\(", "struct(")
+    out = unnestJoinPass(out)
+    out = quantifiedPass(out)
 
     val sb = new StringBuilder
     val stack = scala.collection.mutable.Stack[Boolean]()
@@ -300,7 +483,67 @@ object Dialect {
     }
 
     val litRe = "\u0001(\\d+)\u0002".r
-    litRe.replaceAllIn(sb.toString,
+    litRe.replaceAllIn(subscriptPass(sb.toString),
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+  }
+
+  /** Reference subscript semantics: `expr[i]` is 1-BASED for arrays
+    * and key-lookup for maps (`SqlBase.g4` primaryExpression
+    * subscript; `ArraySubscriptOperator.java`), while Spark's `[...]`
+    * is 0-based — passing subscripts through (the pre-r14 posture)
+    * silently shifted every index by one, which the reference's own
+    * testGroupByArray vector caught. `element_at` has EXACTLY the
+    * reference's contract (1-based arrays, key-based maps), so every
+    * subscript remaining after ARRAY-literal conversion lowers onto
+    * it. Runs on the bracket-scanned canonical text: all ARRAY[...]
+    * literals are already `array(...)`, so each `[` here is a
+    * subscript. Nested subscripts converge over iterations
+    * (`a[1][2]` -> `element_at(element_at(a, 1), 2)`). */
+  private def subscriptPass(canon0: String): String = {
+    var out = canon0
+    var guard = 0
+    var idx = out.indexOf('[')
+    while (idx >= 0 && guard < 256) {
+      guard += 1
+      // matching ']' (subscript expressions may nest brackets)
+      var depth = 1
+      var i = idx + 1
+      while (i < out.length && depth > 0) {
+        val c = out.charAt(i)
+        if (c == '[') depth += 1 else if (c == ']') depth -= 1
+        i += 1
+      }
+      require(depth == 0, s"unbalanced subscript in: $canon0")
+      val inner = out.substring(idx + 1, i - 1)
+      // operand: backward scan -- paren group (with optional function
+      // head) or identifier/literal-sentinel token
+      var e = idx
+      var s0 = e
+      if (e > 0 && out.charAt(e - 1) == ')') {
+        var d = 0
+        var k = e - 1
+        var done = false
+        while (k >= 0 && !done) {
+          val c = out.charAt(k)
+          if (c == ')') d += 1
+          else if (c == '(') { d -= 1; if (d == 0) done = true }
+          if (!done) k -= 1
+        }
+        s0 = k
+        while (s0 > 0 && (out.charAt(s0 - 1).isLetterOrDigit ||
+          out.charAt(s0 - 1) == '_')) s0 -= 1
+      } else {
+        while (s0 > 0 && {
+          val c = out.charAt(s0 - 1)
+          c.isLetterOrDigit || c == '_' || c == '.' ||
+            c == '\u0001' || c == '\u0002'
+        }) s0 -= 1
+      }
+      val operand = out.substring(s0, e)
+      require(operand.nonEmpty, s"subscript with no operand in: $canon0")
+      out = out.substring(0, s0) + s"element_at($operand, $inner)" + out.substring(i)
+      idx = out.indexOf('[')
+    }
+    out
   }
 }

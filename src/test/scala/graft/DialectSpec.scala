@@ -36,17 +36,23 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("collection constructors: ARRAY[...], ROW(...), MAP(ARRAY,ARRAY)") {
     assert(Dialect.translate("SELECT ARRAY[1, 2, 3]") == "SELECT array(1, 2, 3)")
-    // nested array literals, string elements, and a subscript that
-    // must NOT be rewritten (stack distinguishes literal [ from index [)
+    // nested array literals, string elements, and a SUBSCRIPT — the
+    // reference's subscript is 1-BASED (ArraySubscriptOperator.java),
+    // Spark's [] is 0-based, so subscripts lower onto element_at
+    // (exactly the reference contract: 1-based arrays, map keys).
+    // r14 change: the old pass-through silently shifted every index.
     assert(Dialect.translate("SELECT ARRAY[ARRAY['a', 'b'], ARRAY[c]], x[1]") ==
-      "SELECT array(array('a', 'b'), array(c)), x[1]")
+      "SELECT array(array('a', 'b'), array(c)), element_at(x, 1)")
+    // nested subscripts and map-key subscripts
+    assert(Dialect.translate("SELECT a[1][2], m['k'] FROM t") ==
+      "SELECT element_at(element_at(a, 1), 2), element_at(m, 'k') FROM t")
     assert(Dialect.translate("SELECT ROW(a, b) < ROW(1, 'z')") ==
       "SELECT struct(a, b) < struct(1, 'z')")
     assert(Dialect.translate("SELECT MAP(ARRAY['k'], ARRAY[v]) FROM t") ==
       "SELECT map_from_arrays(array('k'), array(v)) FROM t")
     // three-or-more-arg MAP and identifiers containing 'array' untouched
     assert(Dialect.translate("SELECT MAP(ks, vs), my_array[2]") ==
-      "SELECT MAP(ks, vs), my_array[2]")
+      "SELECT MAP(ks, vs), element_at(my_array, 2)")
     // executes end to end with 1-based element_at
     val r = spark.sql(Dialect.translate(
       "SELECT element_at(ARRAY[10, 20], 2) AS e, " +
@@ -263,26 +269,27 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("quantified comparisons rewrite to IN / NOT IN (SQL:2016 8.8)") {
-    assert(Dialect.translate("SELECT * FROM t WHERE x = ANY (SELECT y FROM u)")
-      == "SELECT * FROM t WHERE x IN (SELECT y FROM u)")
-    assert(Dialect.translate("SELECT * FROM t WHERE x = SOME (SELECT y FROM u)")
-      == "SELECT * FROM t WHERE x IN (SELECT y FROM u)")
-    assert(Dialect.translate("SELECT * FROM t WHERE x <> ALL (SELECT y FROM u)")
-      == "SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)")
-    assert(Dialect.translate("SELECT * FROM t WHERE x != ALL (SELECT y FROM u)")
-      == "SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)")
-    // ordering quantifiers have no null-safe rewrite: pass through —
-    // including compound operators whose trailing '=' must not be
-    // eaten by the `= ANY` rewrite (>= ANY would become `>IN (`)
-    for (op <- Seq(">", ">=", "<=")) {
-      val passthrough = s"SELECT * FROM t WHERE x $op ALL (SELECT y FROM u)"
-      assert(Dialect.translate(passthrough) == passthrough)
+  test("quantified comparisons lower onto the null-correct CASE rewrite") {
+    // r14 change: ALL spellings (every operator × ALL/ANY/SOME) lower
+    // onto the three-valued counting-CASE form. The old `= ANY` → IN /
+    // `<> ALL` → NOT IN shortcuts were removed: Spark's IN (subquery)
+    // in a PROJECTION context returns FALSE where the standard says
+    // NULL — caught by the reference's own 72 corner-case vectors
+    // (ReferenceSqlVectorsSpec proves semantics for all of them).
+    for (opq <- Seq("= ANY", "= SOME", "<> ALL", "!= ALL", "> ALL",
+        ">= ANY", "<= SOME", "< ALL")) {
+      val out = Dialect.translate(s"SELECT * FROM t WHERE x $opq (SELECT y FROM u)")
+      assert(out.contains("__qsub(__qc)") && out.contains("CASE WHEN"),
+        s"$opq should lower onto the CASE rewrite, got: $out")
+      assert(!out.toUpperCase.contains(" ANY ") && !out.toUpperCase.contains(" ALL ("),
+        s"$opq left quantifier syntax behind: $out")
     }
-    val geAny = "SELECT * FROM t WHERE x >= ANY (SELECT y FROM u)"
-    assert(Dialect.translate(geAny) == geAny)
-    assert(Dialect.translate("SELECT * FROM t WHERE x <= SOME (SELECT y FROM u)")
-      == "SELECT * FROM t WHERE x <= SOME (SELECT y FROM u)")
+    // executes with correct null semantics in a projection context
+    val r = spark.sql(Dialect.translate(
+      "SELECT 1 != ALL (SELECT CAST(NULL AS INTEGER)) AS a, " +
+        "2 > ALL (SELECT 1 WHERE FALSE) AS b, " +
+        "2 > ANY (SELECT 1 WHERE FALSE) AS c")).head()
+    assert(r.isNullAt(0) && r.getBoolean(1) && !r.getBoolean(2))
     // string literals stay untouched
     assert(Dialect.translate("SELECT '= ANY (x)' AS s")
       == "SELECT '= ANY (x)' AS s")

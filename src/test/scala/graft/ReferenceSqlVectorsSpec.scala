@@ -1,0 +1,450 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference engine's OWN SQL behavioral vectors, replayed through
+  * `Dialect.translate` + `spark.sql` — the generalization of
+  * ReferenceMrVectorsSpec's playbook from MATCH_RECOGNIZE to the whole
+  * SQL surface. Sources (all cited per battery):
+  *
+  *  - `testing/trino-testing/src/main/java/io/trino/testing/
+  *    AbstractTestEngineOnlyQueries.java` (set ops, IN, quantified
+  *    comparisons + the 72 generated corner cases, misc engine-only)
+  *  - `AbstractTestAggregations.java` (grouping sets / rollup
+  *    equivalence pairs, group-by-complex-key reformulations)
+  *  - `AbstractTestOrderByQueries.java` (ORDER BY output-column
+  *    scoping vectors)
+  *
+  * Three vector classes:
+  *  1. VALUES-literal vectors — self-contained query with a literal
+  *     expected VALUES; strongest evidence (expected side is axiomatic).
+  *  2. Reformulation pairs — the reference asserts query ≡ simpler
+  *     reformulation; both run here over the SAME testdata, so the
+  *     vector transfers regardless of table contents.
+  *  3. Fixture vectors — literal expectations over nation/region,
+  *     which the reference runs on TPC-H tiny. The standard TPC-H
+  *     nation/region data (fixed by the TPC-H spec at every scale
+  *     factor) is embedded below, so those literals hold verbatim.
+  *
+  * Quantified-comparison corner-case truths (battery 6) were derived
+  * from the SQL:2016 §8.9 rules and cross-checked against an
+  * independent ANSI engine before being hard-coded.
+  */
+class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var vectorCount = 0
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Graft.session("graft-sql-vectors", 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    // Standard TPC-H nation/region (public TPC-H specification data —
+    // identical to the reference's tpch tiny connector contents).
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW nation AS SELECT * FROM VALUES
+        |(0,'ALGERIA',0),(1,'ARGENTINA',1),(2,'BRAZIL',1),(3,'CANADA',1),
+        |(4,'EGYPT',4),(5,'ETHIOPIA',0),(6,'FRANCE',3),(7,'GERMANY',3),
+        |(8,'INDIA',2),(9,'INDONESIA',2),(10,'IRAN',4),(11,'IRAQ',4),
+        |(12,'JAPAN',2),(13,'JORDAN',4),(14,'KENYA',0),(15,'MOROCCO',0),
+        |(16,'MOZAMBIQUE',0),(17,'PERU',1),(18,'CHINA',2),(19,'ROMANIA',3),
+        |(20,'SAUDI ARABIA',4),(21,'VIETNAM',2),(22,'RUSSIA',3),
+        |(23,'UNITED KINGDOM',3),(24,'UNITED STATES',1)
+        |AS nation(nationkey, name, regionkey)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW region AS SELECT * FROM VALUES
+        |(0,'AFRICA'),(1,'AMERICA'),(2,'ASIA'),(3,'EUROPE'),(4,'MIDDLE EAST')
+        |AS region(regionkey, name)""".stripMargin)
+    // testdata tables under the reference's (unprefixed) column names —
+    // reformulation pairs run both sides over these, so contents need
+    // not match the reference's SF.
+    val dir = "/root/testdata/sf0.001"
+    graft.engine.Graft.load(spark, dir, "lineitem").toDF(
+      "orderkey", "partkey", "suppkey", "linenumber", "quantity",
+      "extendedprice", "discount", "tax", "returnflag", "linestatus",
+      "shipdate").createOrReplaceTempView("lineitem")
+    graft.engine.Graft.load(spark, dir, "orders").toDF(
+      "orderkey", "custkey", "orderstatus", "totalprice", "orderdate",
+      "orderpriority").createOrReplaceTempView("orders")
+    graft.engine.Graft.load(spark, dir, "customer").toDF(
+      "custkey", "name", "nationkey", "acctbal", "mktsegment")
+      .createOrReplaceTempView("customer")
+  }
+
+  override def afterAll(): Unit = {
+    info(s"replayed $vectorCount reference SQL vectors")
+    if (spark != null) spark.stop()
+  }
+
+  // ------------------------------------------------------ helpers
+  private def runQ(sql: String): DataFrame =
+    spark.sql(graft.sqlcompat.Dialect.translate(sql))
+
+  private def canonVal(v: Any): String = v match {
+    case null => "ø"
+    case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+    case d: BigDecimal => d.underlying.stripTrailingZeros.toPlainString
+    case f: Float => canonVal(f.toDouble)
+    case d: Double =>
+      new java.math.BigDecimal(d.toString).stripTrailingZeros.toPlainString
+    case n: Number =>
+      new java.math.BigDecimal(n.toString).stripTrailingZeros.toPlainString
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => canonVal(r.get(i))).mkString("(", ",", ")")
+    case s: scala.collection.Seq[_] => s.map(canonVal).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, v2) => canonVal(k) + ":" + canonVal(v2) }
+        .sorted.mkString("{", ",", "}")
+    case other => other.toString
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq
+      .map(r => (0 until r.length).map(i => canonVal(r.get(i))).mkString("|"))
+
+  /** Unordered multiset compare: reference `assertQuery`. */
+  private def assertVector(query: String, expected: String): Unit = {
+    val got = rows(runQ(query)).sorted
+    val want = rows(runQ(expected)).sorted
+    vectorCount += 1
+    assert(got == want,
+      s"\nquery:    $query\ngot:      $got\nexpected: $want")
+  }
+
+  /** Ordered compare: reference `assertQueryOrdered`. */
+  private def assertOrdered(query: String, expected: String): Unit = {
+    val got = rows(runQ(query))
+    val want = rows(runQ(expected))
+    vectorCount += 1
+    assert(got == want,
+      s"\nquery:    $query\ngot:      $got\nexpected: $want")
+  }
+
+  // =================================================== batteries
+
+  test("testExceptAll vectors (AbstractTestEngineOnlyQueries.java:265)") {
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3, 4) EXCEPT ALL SELECT * FROM (VALUES 3, 4)",
+      "VALUES 1, 2")
+    assertVector(
+      "SELECT * FROM (VALUES 4, 4, 4, 3, 3) EXCEPT ALL SELECT * FROM (VALUES 1, 2, 3, 3, 3, 4, 4)",
+      "VALUES 4")
+    assertVector(
+      "SELECT * FROM (VALUES 4, 4, 4, 3, 3) EXCEPT ALL SELECT * FROM (VALUES 1, 2, 3, 3, 3, 4)",
+      "VALUES 4, 4")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3, 3, 4, 4, 4, null, null) EXCEPT ALL SELECT * FROM (VALUES 3, 3, 3, 4, 4, null)",
+      "VALUES 1, 2, 4, null")
+    assertVector(
+      "VALUES (1, 'a'), (1, 'a'), (1, null), (2, 'c'), (null, 'a'), (null, null) " +
+        "EXCEPT ALL VALUES (1, 'a'), (1, 'b'), (1, null), (2, null), (null, 'a'), (null, 'x'), (null, null)",
+      "VALUES (1, 'a'), (2, 'c')")
+    assertVector("VALUES 1, 1, 1 EXCEPT ALL VALUES 1, 1 EXCEPT ALL VALUES 1",
+      "SELECT 1 WHERE false")
+    assertVector("(VALUES 1, 1, 1 EXCEPT ALL VALUES 1, 1) EXCEPT ALL VALUES 1",
+      "SELECT 1 WHERE false")
+    assertVector("VALUES 1, 1, 1 EXCEPT ALL (VALUES 1, 1 EXCEPT ALL VALUES 1)",
+      "VALUES 1, 1")
+  }
+
+  test("testIntersectAll vectors (AbstractTestEngineOnlyQueries.java:317)") {
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3, 4) INTERSECT ALL SELECT * FROM (VALUES 3, 4)",
+      "VALUES 3, 4")
+    assertVector(
+      "SELECT * FROM (VALUES 4, 4, 4, 3, 3, 2, 1) INTERSECT ALL SELECT * FROM (VALUES 3, 3, 3, 4, 4)",
+      "VALUES 3, 3, 4, 4")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3, 3, 4, 4, 4, null, null) INTERSECT ALL SELECT * FROM (VALUES 3, 3, 3, 4, 4, null, null)",
+      "VALUES 3, 3, 4, 4, null, null")
+    assertVector(
+      "VALUES (1, 'a'), (1, 'b'), (1, null), (2, 'c'), (null, 'a'), (null, null) " +
+        "INTERSECT ALL VALUES (1, 'a'), (1, 'a'), (1, null), (2, null), (null, 'a'), (null, 'x'), (null, null)",
+      "VALUES (1, 'a'), (1, null), (null, 'a'), (null, null)")
+    assertVector("VALUES 1, 1, 1 INTERSECT ALL VALUES 1, 1 INTERSECT ALL VALUES 1",
+      "VALUES 1")
+    assertVector("(VALUES 1, 1, 1 INTERSECT ALL VALUES 1, 1) INTERSECT ALL VALUES 1",
+      "VALUES 1")
+    assertVector("VALUES 1, 1, 1 INTERSECT ALL (VALUES 1, 1 INTERSECT ALL VALUES 1)",
+      "VALUES 1")
+  }
+
+  test("testIn vectors (AbstractTestEngineOnlyQueries.java:610)") {
+    assertVector("SELECT x FROM (values 3, 100) t(x) WHERE x IN (2147483649)",
+      "SELECT 1 WHERE false")
+    assertVector(
+      "SELECT x FROM (values 3, 100, 2147483648, 2147483649, 2147483650) t(x) WHERE x IN (2147483648, 2147483650)",
+      "values 2147483648, 2147483650")
+    assertVector(
+      "SELECT x FROM (values 3, 100, 2147483648, 2147483649, 2147483650) t(x) WHERE x IN (3, 4, 2147483648, 2147483650)",
+      "values 3, 2147483648, 2147483650")
+    assertVector(
+      "SELECT x FROM (values 1, 2, 3) t(x) WHERE x IN (1 + CAST(rand() < 0 AS bigint), 2 + CAST(rand() < 0 AS bigint))",
+      "values 1, 2")
+    assertVector(
+      "SELECT x FROM (values 1, 2, 3, 4) t(x) WHERE x IN (1 + CAST(rand() < 0 AS bigint), 2 + CAST(rand() < 0 AS bigint), 4)",
+      "values 1, 2, 4")
+    assertVector("SELECT x FROM (values 1, 2, 3, 4) t(x) WHERE x IN (4, 2, 1)",
+      "values 1, 2, 4")
+    assertVector(
+      "SELECT x FROM (values 1, 2, 3, 2147483648) t(x) WHERE x IN (1 + CAST(rand() < 0 AS bigint), 2 + CAST(rand() < 0 AS bigint), 2147483648)",
+      "values 1, 2, 2147483648")
+    assertVector("SELECT x IN (0) FROM (values 4294967296) t(x)", "values false")
+    assertVector(
+      "SELECT x IN (0, 4294967297 + CAST(rand() < 0 AS bigint)) FROM (values 4294967296, 4294967297) t(x)",
+      "values false, true")
+    assertVector("SELECT NULL in (1, 2, 3)", "values CAST(null AS boolean)")
+    assertVector("SELECT 1 in (1, NULL, 3)", "values true")
+    assertVector("SELECT 2 in (1, NULL, 3)", "values CAST(null AS boolean)")
+    assertVector(
+      "SELECT x FROM (values DATE '1970-01-01', DATE '1970-01-03') t(x) WHERE x IN (DATE '1970-01-01')",
+      "values DATE '1970-01-01'")
+    assertVector("SELECT COUNT(*) FROM (values 1) t(x) WHERE x IN (null, 0)",
+      "SELECT 0")
+    assertVector("SELECT REAL '-0.0' IN (VALUES REAL '1.0', REAL '0.0')",
+      "SELECT true")
+    assertVector("SELECT -0e0 IN (VALUES 1e0, 0e0)", "SELECT true")
+    assertVector("SELECT d IN (DECIMAL '2.0', DECIMAL '30.0') FROM (VALUES (2.0E0)) t(d)",
+      "SELECT true")
+  }
+
+  test("testNullOnLhsOfInPredicateAllowed vectors (AbstractTestEngineOnlyQueries.java:636)") {
+    assertVector("SELECT NULL IN (1, 2, 3)", "SELECT CAST(NULL AS boolean)")
+    assertVector("SELECT NULL IN (SELECT 1)", "SELECT CAST(NULL AS boolean)")
+    assertVector("SELECT NULL IN (SELECT 1 WHERE FALSE)", "SELECT FALSE")
+    assertVector("SELECT x FROM (VALUES NULL) t(x) WHERE x IN (SELECT 1)",
+      "SELECT 33 WHERE FALSE")
+    assertVector("SELECT NULL IN (SELECT CAST(NULL AS BIGINT))",
+      "SELECT CAST(NULL AS boolean)")
+    assertVector("SELECT NULL IN (SELECT NULL WHERE FALSE)", "SELECT FALSE")
+    assertVector("SELECT NULL IN ((SELECT 1) UNION ALL (SELECT NULL))",
+      "SELECT CAST(NULL AS boolean)")
+    assertVector(
+      "SELECT x IN (SELECT 1 WHERE FALSE) FROM (SELECT * FROM (VALUES CAST(NULL AS INTEGER)) t(x) WHERE (x + 10 IS NULL) OR X = 2)",
+      "SELECT FALSE")
+  }
+
+  test("testInSubquery vectors (AbstractTestEngineOnlyQueries.java:651)") {
+    assertVector(
+      "SELECT a FROM (VALUES (1),(2)) t(a) WHERE a IN " +
+        "(SELECT b FROM (VALUES (ARRAY[2])) AS t1 (a) CROSS JOIN UNNEST(a) AS t2(b))",
+      "SELECT 2")
+    assertVector("SELECT CASE WHEN false THEN 1 IN (VALUES 2) END",
+      "SELECT CAST(NULL AS boolean)")
+    assertVector("SELECT a IN (VALUES 2), a FROM (VALUES (2)) t(a)",
+      "SELECT TRUE, 2")
+  }
+
+  test("testQuantifiedComparisonCornerCases — all 72 generated vectors (AbstractTestEngineOnlyQueries.java:859)") {
+    // template: SELECT %value% %operator% %quantifier% (SELECT * FROM (%subquery%))
+    val subqueries = Seq(
+      "empty" -> "SELECT 1 WHERE false",
+      "nullrow" -> "SELECT CAST(NULL AS INTEGER)",
+      "onenull" -> "SELECT * FROM (VALUES (1), (NULL)) v(x)")
+    val ops = Seq("=", "!=", "<", ">", "<=", ">=")
+    // ANSI truth per SQL:2016 §8.9 (cross-checked against an
+    // independent conforming engine):
+    def expected(subKind: String, quant: String, v: String, op: String): Option[Boolean] =
+      subKind match {
+        case "empty" => Some(quant == "ALL")
+        case "nullrow" => None
+        case "onenull" =>
+          if (v == "NULL") None
+          else {
+            val r1 = op match { // 1 op 1
+              case "=" => true; case "!=" => false; case "<" => false
+              case ">" => false; case "<=" => true; case ">=" => true
+            }
+            if (quant == "ALL") { if (!r1) Some(false) else None }
+            else { if (r1) Some(true) else None }
+          }
+      }
+    for ((subKind, sub) <- subqueries; quant <- Seq("ALL", "ANY");
+         v <- Seq("1", "NULL"); op <- ops) {
+      val q = s"SELECT $v $op $quant (SELECT * FROM ($sub))"
+      val want = expected(subKind, quant, v, op) match {
+        case Some(b) => s"SELECT $b"
+        case None => "SELECT CAST(NULL AS boolean)"
+      }
+      assertVector(q, want)
+    }
+  }
+
+  test("testQuantifiedComparison fixture vectors (AbstractTestEngineOnlyQueries.java:812)") {
+    // nation/region quantified forms ≡ their IN / min-max rewrites
+    // (sound here: the fixture subqueries are non-empty and null-free)
+    val sub = "SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE')"
+    def q(opq: String) =
+      s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey $opq ($sub)"
+    assertVector(q("= ANY"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey IN ($sub)")
+    assertVector(q("<> ALL"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey NOT IN ($sub)")
+    assertVector(q("= ALL"), "SELECT 1, '', 1 WHERE false") // two distinct values: nothing equals both
+    assertVector(q("<> ANY"), "SELECT nationkey, name, regionkey FROM nation") // regionkey differs from 2 or 3 always
+    assertVector(q("< SOME"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey < (SELECT max(regionkey) FROM region WHERE name IN ('ASIA', 'EUROPE'))")
+    assertVector(q("<= ANY"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey <= (SELECT max(regionkey) FROM region WHERE name IN ('ASIA', 'EUROPE'))")
+    assertVector(q("> ANY"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey > (SELECT min(regionkey) FROM region WHERE name IN ('ASIA', 'EUROPE'))")
+    assertVector(q(">= SOME"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey >= (SELECT min(regionkey) FROM region WHERE name IN ('ASIA', 'EUROPE'))")
+    assertVector(q("< ALL"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey < (SELECT min(regionkey) FROM region WHERE name IN ('ASIA', 'EUROPE'))")
+    assertVector(q("<= ALL"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey <= (SELECT min(regionkey) FROM region WHERE name IN ('ASIA', 'EUROPE'))")
+    assertVector(q("> ALL"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey > (SELECT max(regionkey) FROM region WHERE name IN ('ASIA', 'EUROPE'))")
+    assertVector(q(">= ALL"), s"SELECT nationkey, name, regionkey FROM nation WHERE regionkey >= (SELECT max(regionkey) FROM region WHERE name IN ('ASIA', 'EUROPE'))")
+    // subquery with coercion (decimal vs int) — literal results
+    assertVector("SELECT 1.0 < ALL(SELECT 1), 1 < ALL(SELECT 1)", "SELECT false, false")
+    assertVector("SELECT 1.0 < ANY(SELECT 1), 1 < ANY(SELECT 1)", "SELECT false, false")
+    assertVector("SELECT CAST(1 AS decimal(3,2)) = ANY(SELECT CAST(1 AS decimal(3,1)))", "SELECT true")
+    assertVector("SELECT CAST(1 AS decimal(3,2)) < ALL(SELECT CAST(1 AS decimal(3,1)))", "SELECT false")
+    assertVector("SELECT CAST(1 AS decimal(3,2)) <= ANY(SELECT CAST(1 AS decimal(3,1)))", "SELECT true")
+    assertVector("SELECT CAST(1 AS decimal(3,2)) <> ALL(SELECT CAST(1 AS decimal(3,1)))", "SELECT false")
+  }
+
+  test("grouping-set equivalence pairs (AbstractTestAggregations.java:980-1160)") {
+    // testSingleGroupingSet
+    assertVector(
+      "SELECT linenumber, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY GROUPING SETS (linenumber)",
+      "SELECT linenumber, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber")
+    // testGroupingSets
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY GROUPING SETS ((linenumber, suppkey), (suppkey))",
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber, suppkey UNION " +
+        "SELECT NULL, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY suppkey")
+    // testGroupingSetsNoInput
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem WHERE quantity < 0 GROUP BY GROUPING SETS ((linenumber, suppkey), (suppkey))",
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem WHERE quantity < 0 GROUP BY linenumber, suppkey UNION " +
+        "SELECT NULL, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem WHERE quantity < 0 GROUP BY suppkey")
+    // testGroupingSetsWithSingleDistinct
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(DISTINCT CAST(quantity AS BIGINT)) FROM lineitem GROUP BY GROUPING SETS ((linenumber, suppkey), (suppkey))",
+      "SELECT linenumber, suppkey, SUM(DISTINCT CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber, suppkey UNION " +
+        "SELECT NULL, suppkey, SUM(DISTINCT CAST(quantity AS BIGINT)) FROM lineitem GROUP BY suppkey")
+    // testGroupingSetsWithMultipleDistinct
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(DISTINCT CAST(quantity AS BIGINT)), COUNT(DISTINCT linestatus) FROM lineitem GROUP BY GROUPING SETS ((linenumber, suppkey), (suppkey))",
+      "SELECT linenumber, suppkey, SUM(DISTINCT CAST(quantity AS BIGINT)), COUNT(DISTINCT linestatus) FROM lineitem GROUP BY linenumber, suppkey UNION " +
+        "SELECT NULL, suppkey, SUM(DISTINCT CAST(quantity AS BIGINT)), COUNT(DISTINCT linestatus) FROM lineitem GROUP BY suppkey")
+    // testGroupingSetsGrandTotalSet
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY GROUPING SETS ((linenumber, suppkey), ())",
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber, suppkey UNION " +
+        "SELECT NULL, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem")
+    // testGroupingSetsRepeatedSetsAll (duplicate sets preserved)
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY GROUPING SETS ((), (linenumber, suppkey), (), (linenumber, suppkey))",
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber, suppkey UNION ALL " +
+        "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber, suppkey UNION ALL " +
+        "SELECT NULL, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem UNION ALL " +
+        "SELECT NULL, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem")
+    // testGroupingSetMixedExpressionAndColumn
+    assertVector(
+      "SELECT suppkey, month(shipdate), SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY month(shipdate), ROLLUP(suppkey)",
+      "SELECT suppkey, month(shipdate), SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY month(shipdate), suppkey UNION " +
+        "SELECT NULL, month(shipdate), SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY month(shipdate)")
+    // group-by complex keys (testGroupByArray / testGroupByRow / nested)
+    assertVector(
+      "SELECT col[1], count FROM (SELECT ARRAY[custkey] col, COUNT(*) count FROM orders GROUP BY 1 ORDER BY 1)",
+      "SELECT custkey, COUNT(*) FROM orders GROUP BY custkey ORDER BY custkey")
+    assertVector(
+      "SELECT custkey, sum(t) FROM (SELECT custkey, count(*) t FROM orders GROUP BY custkey) GROUP BY custkey",
+      "SELECT custkey, count(*) FROM orders GROUP BY custkey")
+    assertVector(
+      "SELECT COUNT(DISTINCT custkey + 1) FROM orders",
+      "SELECT COUNT(*) FROM (SELECT DISTINCT custkey + 1 FROM orders) t")
+    assertVector(
+      "SELECT lines, COUNT(*) FROM (SELECT orderkey, COUNT(*) lines FROM lineitem GROUP BY orderkey) U GROUP BY lines",
+      "SELECT lines, COUNT(*) FROM (SELECT orderkey, COUNT(*) AS lines FROM lineitem GROUP BY orderkey) U GROUP BY lines")
+  }
+
+  test("testRollupOverUnion fixture vector (AbstractTestEngineOnlyQueries.java:411)") {
+    assertVector(
+      "SELECT regionkey, count(*) FROM (" +
+        "   SELECT regionkey FROM nation " +
+        "   UNION ALL " +
+        "   SELECT * FROM (VALUES 2, 100) t(regionkey)) " +
+        "GROUP BY ROLLUP (regionkey)",
+      "SELECT * FROM (VALUES (0, 5), (1, 5), (2, 6), (3, 5), (4, 5), (100, 1), (NULL, 27))")
+  }
+
+  test("ORDER BY output-column scoping vectors (AbstractTestOrderByQueries.java:34)") {
+    assertOrdered("SELECT a*2 AS b FROM (VALUES -1, 0, 2) t(a) ORDER BY b*-1",
+      "VALUES 4, 0, -2")
+    assertOrdered("SELECT a*2 AS b FROM (VALUES -1, 0, 2) t(a) ORDER BY b",
+      "VALUES -2, 0, 4")
+    assertOrdered("SELECT a*-2 AS a FROM (VALUES -1, 0, 2) t(a) ORDER BY t.a*-1",
+      "VALUES -4, 0, 2")
+    assertOrdered("SELECT a*-2 FROM (VALUES -1, 0, 2) t(a) ORDER BY a*-1",
+      "VALUES -4, 0, 2")
+    assertOrdered("SELECT a*-2 FROM (VALUES -1, 0, 2) t(a) ORDER BY t.a*-1",
+      "VALUES -4, 0, 2")
+    assertOrdered("SELECT a, a* -2 AS b FROM (VALUES -1, 0, 2) t(a) ORDER BY a + b",
+      "VALUES (2, -4), (0, 0), (-1, 2)")
+    assertOrdered("SELECT 1 x ORDER BY degrees(x)", "VALUES 1")
+    assertOrdered("SELECT max(a) AS b FROM (values (1,2), (2,1)) t(a,b) GROUP BY b ORDER BY b",
+      "VALUES 1, 2")
+    assertOrdered("SELECT max(a) FROM (values (1,2), (2,1)) t(a,b) GROUP BY b ORDER BY b",
+      "VALUES 2, 1")
+    assertOrdered("SELECT max(a) FROM (values (1,2), (2,1)) t(a,b) GROUP BY b ORDER BY b*1.0",
+      "VALUES 2, 1")
+    assertOrdered("SELECT max(a) FROM (values (1,2), (2,1)) t(a,b) GROUP BY t.b ORDER BY t.b*1.0",
+      "VALUES 2, 1")
+    assertOrdered("SELECT DISTINCT -a AS b FROM (VALUES 1, 2) t(a) ORDER BY b",
+      "VALUES -2, -1")
+    assertOrdered("SELECT DISTINCT -a AS b FROM (VALUES 1, 2) t(a) ORDER BY 1",
+      "VALUES -2, -1")
+    assertOrdered("SELECT DISTINCT max(a) AS b FROM (values (1,2), (2,1)) t(a,b) GROUP BY b ORDER BY b",
+      "VALUES 1, 2")
+    // testOrderByWithAggregation
+    assertVector(
+      "SELECT x, sum(cast(x AS double)) FROM (VALUES '1.0') t(x) GROUP BY x ORDER BY sum(cast(t.x AS double))",
+      "VALUES ('1.0', 1.0)")
+  }
+
+  test("misc engine-only vectors (AbstractTestEngineOnlyQueries.java)") {
+    // testNoFrom / testSelectNull / testConcatOperator
+    assertVector("SELECT 1 + 2, 3 + 4", "VALUES (3, 7)")
+    assertVector("SELECT NULL", "VALUES CAST(NULL AS string)")
+    assertVector("SELECT '12' || '34'", "VALUES '1234'")
+    // testCaseWithSupertypeCast
+    assertVector(
+      "SELECT CASE x WHEN 1 THEN CAST(1 AS decimal(4,1)) WHEN 2 THEN CAST(1 AS decimal(4,2)) ELSE CAST(1 AS decimal(4,3)) END FROM (values 1) t(x)",
+      "SELECT 1.000")
+    // testEmptyInputForUnnest
+    assertVector(
+      "SELECT val FROM (SELECT DISTINCT vals FROM (values (array[2])) t(vals) WHERE false) tmp CROSS JOIN unnest(tmp.vals) tt(val)",
+      "SELECT 1 WHERE 1=2")
+    // testLargeInArray (trimmed to a representative slice)
+    assertVector(
+      s"SELECT x IN (${(1 to 500).mkString(", ")}) FROM (VALUES 3, 1000) t(x)",
+      "VALUES true, false")
+  }
+
+  test("documented Spark divergences (pinned so a drift is noticed)") {
+    // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
+    //    context: the standard (and the reference, and Spark's own
+    //    VALUES-list IN) yield NULL; Spark's ExistenceJoin rewrite of
+    //    the SUBQUERY form yields FALSE. Filter contexts agree (the
+    //    row is dropped either way), which is why this never bites the
+    //    oracle-gated queries. The quantified-comparison forms are NOT
+    //    affected — Dialect lowers them onto a null-correct CASE
+    //    (battery 6 proves all 72 corner cases).
+    assertVector(
+      "SELECT x IN (SELECT TRUE) FROM (SELECT * FROM (VALUES CAST(NULL AS BOOLEAN)) t(x) WHERE (x OR NULL) IS NULL)",
+      "SELECT FALSE") // reference: NULL
+    assertVector(
+      "SELECT x IN (SELECT 1) FROM (SELECT * FROM (VALUES CAST(NULL AS INTEGER)) t(x) WHERE (x + 10 IS NULL) OR X = 2)",
+      "SELECT FALSE") // reference: NULL
+    // 2. GROUPING SETS with a global () set over EMPTY input: the
+    //    standard emits one all-NULL global row; Spark's Expand-based
+    //    implementation emits no rows at all.
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem WHERE quantity < 0 GROUP BY GROUPING SETS ((linenumber, suppkey), (suppkey), ())",
+      "SELECT 1, 1, 1 WHERE false") // reference: one (NULL, NULL, NULL) row
+    // 3. Ranking window functions require an ORDER BY in Spark
+    //    (`row_number() OVER ()` is rejected); the reference permits
+    //    the unordered form with arbitrary order. Fail-loud, not
+    //    silent: asserted as an error.
+    vectorCount += 1
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      runQ("SELECT a FROM (VALUES 1, 2) t(a) ORDER BY -row_number() OVER ()").collect())
+  }
+}
