@@ -206,6 +206,63 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
+
+    // Per-query comparator ratios (r13 verdict Next #6): duck_bench.py
+    // --save records the DuckDB per-query medians for this SF; when a
+    // matching baseline exists, the JSON carries spark/duck ratios so
+    // ONE query drifting past the 2x bar is visible even while the
+    // suite total is comfortably under it. Stale-baseline guard: the
+    // recorded sf dir must equal this run's (regenerated testdata or a
+    // different SF silently mismatching would fabricate ratios).
+    val duckTimes: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON",
+        s"tools/duck_baseline_${new java.io.File(sfDir).getName}.json")
+      val f = new java.io.File(path)
+      if (!f.exists) Map.empty
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        if (node.get("sf").asText() != sfDir) {
+          System.err.println(s"[bench] duck baseline $path is for " +
+            s"${node.get("sf").asText()}, not $sfDir — ratios omitted")
+          Map.empty
+        } else {
+          val q = node.get("queries")
+          val it = q.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] duck baseline unreadable: ${e.getMessage}")
+          Map.empty
+      }
+    }
+    val common = timed.filter { case (k, _) => duckTimes.contains(k) }
+    val ratioOf: ((String, Double)) => (String, Double) = {
+      case (k, v) => k -> v / math.max(duckTimes(k), 1e-4)
+    }
+    val ratioTotal =
+      if (common.isEmpty) None
+      else Some(common.map(_._2).sum / common.map(x => duckTimes(x._1)).sum)
+    // worst offenders across the WHOLE common set (not just headline).
+    // Denominator floor 50 ms: a sub-50ms DuckDB query divided into
+    // Spark's fixed per-query overhead (~0.3 s scheduling + codegen at
+    // local[32]) produces 100x+ "ratios" that measure nothing — the
+    // drift signal this field exists for is algorithmic work, which
+    // needs a measurable baseline on both sides.
+    val ratioWorst = common.filter(x => duckTimes(x._1) >= 0.05).map(ratioOf)
+      .sortBy(-_._2).take(5)
+    val headlineRatios = common.filter { case (k, _) =>
+      k.matches("q\\d+_.*") || Set("p9_corpus_pipeline", "x1_yoy_growth",
+        "x2_market_basket")(k)
+    }.map(ratioOf)
+    def ratioJson: String = ratioTotal match {
+      case None => ""
+      case Some(rt) =>
+        s""","ratio_total":${r3(rt)},"ratio_n":${common.size}""" +
+          s""","ratio_worst":${obj(ratioWorst)},"ratios":${obj(headlineRatios)}"""
+    }
     // Contention self-identification: a trustworthy run has
     // load1 ~<= cpus used by this process alone.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -218,10 +275,13 @@ object Bench {
     // as a speedup (r12 What's-wrong #3).
     val nqDecl = selected.size
     var line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline)},"groups":${obj(groups)},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"interleaved":true,"load1":$load,"cpu_sec":$cpuSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline)},"groups":${obj(groups)},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"interleaved":true,"load1":$load,"cpu_sec":$cpuSec$ratioJson,"sf":"$sfDir"}"""
+    if (line.length > 1800) // size guard: drop per-query ratios first
+      line =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline)},"groups":${obj(groups)},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"interleaved":true,"load1":$load,"cpu_sec":$cpuSec${ratioTotal.map(rt => s""","ratio_total":${r3(rt)},"ratio_n":${common.size},"ratio_worst":${obj(ratioWorst)}""").getOrElse("")},"sf":"$sfDir"}"""
     if (line.length > 1800) // hard guard: never overflow the tail window
       line =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline.sortBy(-_._2).take(10))},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"load1":$load,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline.sortBy(-_._2).take(10))},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"load1":$load${ratioTotal.map(rt => s""","ratio_total":${r3(rt)}""").getOrElse("")},"sf":"$sfDir"}"""
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -860,7 +860,36 @@ object DialectQueries {
       |GROUP BY w
       |HAVING count(*) >= 5""".stripMargin
 
+  /** r14: THREE-PART table names (reference connector model —
+    * `catalog.schema.table`, `ConnectorMetadata.getTableHandle`)
+    * resolve through a real V2 catalog (`graft.catalog.GraftCatalog`,
+    * registered as `graft`, schema `main`, tables served as native V2
+    * parquet with full pushdown). Reference SQL with qualified names
+    * parses and runs UNCHANGED; the oracle computes the same join
+    * from the flat views. Statements-level SET SESSION is unit-tested
+    * in DialectSpec. */
+  val dx22Reference: String =
+    """SELECT r.r_name, count(*) AS n_nations,
+      |  CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum
+      |FROM graft.main.nation n
+      |JOIN graft.main.region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name""".stripMargin
+
+  def dx22(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", dir)
+    s.sql(Dialect.translate(dx22Reference))
+  }
+
+  val dx22Sql: String =
+    """SELECT r_name, count(*) AS n_nations,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx22_three_part_names" -> dx22 _,
     "dx20_quantified_subscripts" -> dx20 _,
     "dx21_unnest_join_sql" -> dx21 _,
     "dx19_mr_sql_measure_exprs" -> dx19 _,
@@ -884,6 +913,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx22_three_part_names" -> dx22Sql,
     "dx20_quantified_subscripts" -> dx20Sql,
     "dx21_unnest_join_sql" -> dx21Sql,
     "dx19_mr_sql_measure_exprs" -> dx19Sql,

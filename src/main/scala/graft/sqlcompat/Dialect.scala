@@ -163,9 +163,9 @@ object Dialect {
     // decimal type the reference infers FROM THE LITERAL — precision =
     // digit count, scale = digits after the point (SqlBase: decimal
     // literal typing). The literal is its own segment, so this is a
-    // cross-segment wrap. DOUBLE 'x' maps via Spark's own `DOUBLE` —
-    // not handled here.
-    val typedLitRe = "(?i)\\b(REAL|DECIMAL)\\s*$".r
+    // cross-segment wrap. `VARCHAR 'x'` → CAST AS STRING. DOUBLE 'x'
+    // maps via Spark's own `DOUBLE` — not handled here.
+    val typedLitRe = "(?i)\\b(REAL|DECIMAL|VARCHAR)\\s*$".r
     var tl = 0
     while (tl + 2 < parts.length) {
       val (seg, isLit) = parts(tl)
@@ -175,6 +175,7 @@ object Dialect {
           val body = lit.substring(1, lit.length - 1)
           val target = m.group(1).toUpperCase match {
             case "REAL" => "FLOAT"
+            case "VARCHAR" => "STRING"
             case _ =>
               val digits = body.count(_.isDigit)
               val dot = body.indexOf('.')
@@ -252,6 +253,10 @@ object Dialect {
         out = out.replaceAll(
           "(?i)\\bbitwise_not\\s*\\(([^(),']+)\\)", "~($1)")
         for ((from, to) <- typeRenames if from != to) {
+          // a length/precision parameter is dropped with the rename:
+          // CAST(x AS VARCHAR(255)) → CAST(x AS string) — Spark's
+          // string is unbounded, and `string(255)` does not parse
+          out = out.replaceAll(s"(?i)\\bAS\\s+$from\\s*\\(\\s*\\d+\\s*\\)", s"AS $to")
           out = out.replaceAll(s"(?i)\\bAS\\s+$from\\b", s"AS $to")
           out = out.replaceAll(s"(?i)\\b$from\\s*'", s"$to '") // typed literals
         }

@@ -295,6 +295,42 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "SELECT '= ANY (x)' AS s")
   }
 
+  test("three-part names resolve via the graft V2 catalog; SET SESSION maps to confs") {
+    import graft.sqlcompat.Statements
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", dir)
+    // qualified reference SQL runs unchanged, same rows as the flat load
+    val viaCatalog = spark.sql(
+      "SELECT count(*) AS n FROM graft.main.nation").head().getLong(0)
+    assert(viaCatalog == graft.engine.Graft.load(spark, dir, "nation").count())
+    // pushdown reaches the V2 scan
+    val plan = spark.sql(
+      "SELECT n_name FROM graft.main.nation WHERE n_nationkey = 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"expected filter pushdown into the catalog scan:\n${plan.take(1500)}")
+    // unknown table/schema fail loudly
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graft.main.nope").collect())
+    // SET SESSION maps onto spark confs; unknown properties raise
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Statements.execute(spark, "SET SESSION join_distribution_type = 'PARTITIONED'")
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+      Statements.execute(spark, "RESET SESSION join_distribution_type")
+      Statements.execute(spark, "SET SESSION spark.sql.shuffle.partitions = 7")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      Statements.execute(spark, "RESET SESSION spark.sql.shuffle.partitions")
+      assertThrows[IllegalArgumentException](
+        Statements.execute(spark, "SET SESSION no_such_property = 1"))
+      // non-statement input routes through Dialect.translate + sql
+      assert(Statements.execute(spark,
+        "SELECT strpos('a-b', '-') AS p").head().getInt(0) == 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("MATCH_RECOGNIZE SQL text lowers onto the operator and matches it") {
     import graft.sqlcompat.MatchRecognizeSql
     import org.apache.spark.sql.functions.col

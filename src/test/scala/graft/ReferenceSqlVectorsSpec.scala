@@ -418,6 +418,85 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES true, false")
   }
 
+  test("testCoercions vectors (AbstractTestEngineOnlyQueries.java:701)") {
+    assertVector("SELECT length(NULL)", "SELECT CAST(NULL AS INTEGER)")
+    assertVector("SELECT CAST('abc' AS VARCHAR(255)) || CAST('abc' AS VARCHAR(252))",
+      "SELECT 'abcabc'")
+    assertVector("SELECT CAST('abc' AS VARCHAR(255)) || 'abc'", "SELECT 'abcabc'")
+    // DECIMAL-DECIMAL
+    assertVector("SELECT CAST(1.1 AS DECIMAL(38,1)) + NULL",
+      "SELECT CAST(NULL AS DECIMAL(38,1))")
+    assertVector("SELECT CAST(292 AS DECIMAL(38,1)) + CAST(292.1 AS DECIMAL(5,1))",
+      "SELECT 584.1")
+    // reference `array || element` (element append) has no sound
+    // textual Spark mapping (Spark's || concatenates arrays/strings
+    // only — use array_append); the ARRAY||ARRAY form transfers:
+    assertVector(
+      "SELECT ARRAY[CAST(282 AS DECIMAL(22,1)), CAST(282 AS DECIMAL(10,1))] || ARRAY[CAST(292 AS DECIMAL(5,1))]",
+      "SELECT ARRAY[CAST(282 AS DECIMAL(22,1)), CAST(282 AS DECIMAL(10,1)), CAST(292 AS DECIMAL(5,1))]")
+    // BIGINT-DECIMAL
+    assertVector("SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(292 AS BIGINT)",
+      "SELECT 293.1")
+    assertVector("SELECT CAST(292 AS DECIMAL(38,1)) = CAST(292 AS BIGINT)",
+      "SELECT true")
+    assertVector(
+      "SELECT ARRAY[CAST(282 AS DECIMAL(22,1)), CAST(282 AS DECIMAL(10,1))] || ARRAY[CAST(292 AS BIGINT)]",
+      "SELECT ARRAY[CAST(282 AS DECIMAL(22,1)), CAST(282 AS DECIMAL(10,1)), CAST(292 AS DECIMAL(19,0))]")
+    // DECIMAL-DOUBLE (argument coercion into a double-typed function)
+    assertVector("SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(1.1 AS DOUBLE)",
+      "SELECT CAST(1.1 AS DOUBLE) + CAST(1.1 AS DOUBLE)")
+    assertVector("SELECT CAST(1.1 AS DECIMAL(38,1)) = CAST(1.1 AS DOUBLE)",
+      "SELECT true")
+    assertVector("SELECT SIN(CAST(1.1 AS DECIMAL(38,1)))",
+      "SELECT SIN(CAST(1.1 AS DOUBLE))")
+    assertVector(
+      "SELECT ARRAY[CAST(282.1 AS DOUBLE), CAST(283.2 AS DOUBLE)] || ARRAY[CAST(101.3 AS DECIMAL(5,1))]",
+      "SELECT ARRAY[CAST(282.1 AS DOUBLE), CAST(283.2 AS DOUBLE), CAST(101.3 AS DOUBLE)]")
+    // INTEGER/TINYINT/SMALLINT - DECIMAL
+    assertVector("SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(292 AS INTEGER)",
+      "SELECT 293.1")
+    assertVector("SELECT CAST(292 AS DECIMAL(38,1)) = CAST(292 AS INTEGER)",
+      "SELECT true")
+    assertVector("SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(CAST(121 AS DECIMAL(30,1)) AS TINYINT)",
+      "SELECT 122.1")
+    assertVector("SELECT CAST(292 AS DECIMAL(38,1)) = CAST(CAST(121 AS DECIMAL(30,1)) AS TINYINT)",
+      "SELECT false")
+    assertVector("SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(CAST(121 AS DECIMAL(30,1)) AS SMALLINT)",
+      "SELECT 122.1")
+    // complex coercions across joins (VARCHAR typed literals)
+    assertVector(
+      "SELECT * FROM (" +
+        "  SELECT t2.x || t2.z cc FROM (" +
+        "    SELECT * FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) t(x, z)" +
+        "  ) t2 JOIN (" +
+        "    SELECT * FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) u(x, z) WHERE z='c'" +
+        "  ) u2 ON t2.z = u2.z" +
+        ") tt WHERE cc = 'ac'",
+      "SELECT 'ac'")
+    assertVector(
+      "SELECT * FROM (" +
+        "  SELECT greatest (t.x, t.z) cc FROM (" +
+        "    SELECT * FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) t(x, z)" +
+        "  ) t JOIN (" +
+        "    SELECT * FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) u(x, z) WHERE z='c'" +
+        "  ) u ON t.z = u.z" +
+        ") WHERE cc = 'c'",
+      "SELECT 'c'")
+    assertVector(
+      "SELECT cc[1], cc[2] FROM (" +
+        " SELECT * FROM (" +
+        "  SELECT array[t.x, t.z] cc FROM (" +
+        "    SELECT * FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) t(x, z)" +
+        "  ) t JOIN (" +
+        "    SELECT * FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) u(x, z) WHERE z='c'" +
+        "  ) u ON t.z = u.z)" +
+        " WHERE cc = array['a', 'c'])",
+      "SELECT 'a', 'c'")
+    assertVector(
+      "SELECT c = 'x' FROM (SELECT 'x' AS c UNION ALL SELECT 'yy' AS c)",
+      "VALUES true, false")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
@@ -439,7 +518,14 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertVector(
       "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem WHERE quantity < 0 GROUP BY GROUPING SETS ((linenumber, suppkey), (suppkey), ())",
       "SELECT 1, 1, 1 WHERE false") // reference: one (NULL, NULL, NULL) row
-    // 3. Ranking window functions require an ORDER BY in Spark
+    // 3. Reference `array || element` appends the element; Spark's ||
+    //    concatenates arrays/strings only, and the dialect cannot tell
+    //    an element from an array operand textually — fail-loud (the
+    //    migration spelling is array_append / ARRAY[e] on the right).
+    vectorCount += 1
+    assertThrows[org.apache.spark.sql.catalyst.ExtendedAnalysisException](
+      runQ("SELECT ARRAY[1, 2] || 3").collect())
+    // 4. Ranking window functions require an ORDER BY in Spark
     //    (`row_number() OVER ()` is rejected); the reference permits
     //    the unordered form with arbitrary order. Fail-loud, not
     //    silent: asserted as an error.

@@ -14,7 +14,13 @@ bind + logical plan) and the timed samples run EXECUTE (physical plan +
 execution). Queries DuckDB cannot prepare fall back to full re-planning
 per sample and are listed in "unprepared".
 
-Usage: python3 tools/duck_bench.py [sfdir] [verify_outdir]
+Usage: python3 tools/duck_bench.py [sfdir] [verify_outdir] [--save]
+
+--save additionally writes tools/duck_baseline_<sfname>.json; the Spark
+bench (Bench.scala) reads that file to emit per-query Spark/DuckDB
+ratios in the BENCH JSON, so a single query drifting past the 2x bar is
+visible even when the suite total looks fine. The file records the sf
+dir; Bench ignores it when the dirs don't match (stale-baseline guard).
 """
 import json
 import pathlib
@@ -63,12 +69,18 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAILED {name}: {e}", file=sys.stderr)
             failed.append(name)
-    print(json.dumps({
+    payload = {
         "metric": "duckdb_total", "value": sum(times.values()), "unit": "sec",
         "queries": times, "failed": failed, "n": 3, "prewarm": 1, "sf": sfdir,
         "prepared": True, "unprepared": unprepared,
         "skipped_no_oracle": len(skipped), "skipped": skipped,
-        "common_set": sorted(times)}))
+        "common_set": sorted(times)}
+    print(json.dumps(payload))
+    if "--save" in sys.argv:
+        name = pathlib.Path(sfdir).name
+        dest = pathlib.Path(__file__).parent / f"duck_baseline_{name}.json"
+        dest.write_text(json.dumps(payload))
+        print(f"saved {dest}", file=sys.stderr)
     return 0
 
 
