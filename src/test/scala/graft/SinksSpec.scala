@@ -105,6 +105,58 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the affected partition should have been rewritten")
   }
 
+  test("mutation SQL text lowers onto the operators (DELETE/UPDATE/MERGE)") {
+    import org.apache.spark.sql.functions._
+    import graft.sqlcompat.MutationSql
+    val spk = spark
+    import spk.implicits._
+    def fresh(path: String): Unit =
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "v", "bal").write.mode("overwrite").parquet(path)
+    val path = s"$tmp/mutsql"
+    val resolve: String => String = { case "t" => path }
+
+    // DELETE with the reference's strpos spelling riding through the
+    // dialect layer inside the predicate
+    fresh(path)
+    val afterDel = MutationSql.translate(spark,
+      "DELETE FROM t WHERE strpos(v, 'b') > 0 OR bal >= 30.0", resolve)
+    assert(afterDel.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L))
+
+    // UPDATE with multiple assignments evaluated against the PRE-row
+    fresh(path)
+    val afterUpd = MutationSql.translate(spark,
+      "UPDATE t SET bal = bal * 2, v = upper(v) WHERE id <> 2", resolve)
+    assert(afterUpd.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "A", 20.0), (2L, "b", 20.0), (3L, "C", 60.0)))
+
+    // MERGE: delete case, update case, insert case, aliased columns
+    fresh(path)
+    val afterMrg = MutationSql.translate(spark,
+      """MERGE INTO t USING (SELECT * FROM VALUES (1L, 5.0), (3L, 99.0), (9L, 7.0) AS s(key, nb)) s
+        |ON t.id = s.key
+        |WHEN MATCHED AND s.nb > 50.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = s.nb
+        |WHEN NOT MATCHED THEN INSERT VALUES (s.key, 'new', s.nb)""".stripMargin,
+      resolve)
+    assert(afterMrg.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 5.0), (2L, "b", 20.0), (9L, "new", 7.0)))
+
+    // unsupported shapes fail loudly, never silently mis-mutate
+    fresh(path)
+    assertThrows[IllegalArgumentException](MutationSql.translate(spark,
+      """MERGE INTO t USING (SELECT 1L AS key, 1.0 AS nb) s ON t.id = s.key
+        |WHEN MATCHED AND s.nb > 0 THEN UPDATE SET bal = s.nb""".stripMargin, resolve))
+    assertThrows[IllegalArgumentException](MutationSql.translate(spark,
+      """MERGE INTO t USING (SELECT 1L AS key, 1.0 AS nb) s ON t.id = s.key
+        |WHEN MATCHED THEN UPDATE SET bal = s.nb
+        |WHEN MATCHED THEN DELETE""".stripMargin, resolve))
+    assert(MutationSql.matches("DELETE FROM x") &&
+      !MutationSql.matches("SELECT delete_me FROM x"))
+  }
+
   test("MERGE raises on the SQL:2003 cardinality violation; NULL-pred rows survive DELETE") {
     import org.apache.spark.sql.functions._
     val spk = spark
