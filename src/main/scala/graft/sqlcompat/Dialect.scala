@@ -163,9 +163,11 @@ object Dialect {
     // decimal type the reference infers FROM THE LITERAL — precision =
     // digit count, scale = digits after the point (SqlBase: decimal
     // literal typing). The literal is its own segment, so this is a
-    // cross-segment wrap. `VARCHAR 'x'` → CAST AS STRING. DOUBLE 'x'
-    // maps via Spark's own `DOUBLE` — not handled here.
-    val typedLitRe = "(?i)\\b(REAL|DECIMAL|VARCHAR)\\s*$".r
+    // cross-segment wrap. `VARCHAR 'x'` → CAST AS STRING; the integer
+    // family (`SMALLINT '3'` etc.) → CAST to the named type. DOUBLE
+    // 'x' maps via Spark's own `DOUBLE` — not handled here.
+    val typedLitRe =
+      "(?i)\\b(REAL|DECIMAL|VARCHAR|TINYINT|SMALLINT|INTEGER|BIGINT)\\s*$".r
     var tl = 0
     while (tl + 2 < parts.length) {
       val (seg, isLit) = parts(tl)
@@ -176,6 +178,7 @@ object Dialect {
           val target = m.group(1).toUpperCase match {
             case "REAL" => "FLOAT"
             case "VARCHAR" => "STRING"
+            case t @ ("TINYINT" | "SMALLINT" | "INTEGER" | "BIGINT") => t
             case _ =>
               val digits = body.count(_.isDigit)
               val dot = body.indexOf('.')

@@ -497,6 +497,86 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES true, false")
   }
 
+  test("join vectors (AbstractTestJoinQueries.java:87,318,326)") {
+    // theta-join with NULLs in the build side (null never satisfies <)
+    assertVector(
+      "SELECT b FROM nation n, (VALUES (0, CAST(-1 AS BIGINT)), (0, NULL), (0, CAST(0 AS BIGINT))) t(a, b) WHERE n.regionkey - 100 < t.b AND n.nationkey = t.a",
+      "VALUES CAST(-1 AS BIGINT), CAST(0 AS BIGINT)")
+    assertVector(
+      "SELECT b FROM nation n, (VALUES (0, NULL), (0, CAST(-1 AS BIGINT)), (0, CAST(0 AS BIGINT))) t(a, b) WHERE n.regionkey - 100 < t.b AND n.nationkey = t.a",
+      "VALUES CAST(-1 AS BIGINT), CAST(0 AS BIGINT)")
+    assertVector(
+      "SELECT b FROM nation n, (VALUES (0, NULL), (0, NULL), (0, CAST(-1 AS BIGINT)), (0, NULL)) t(a, b) WHERE n.regionkey - 100 < t.b AND n.nationkey = t.a",
+      "VALUES CAST(-1 AS BIGINT)")
+    assertVector(
+      "SELECT b FROM nation n, (VALUES (0, NULL)) t(a, b) WHERE n.regionkey - 100 < t.b AND n.nationkey = t.a",
+      "SELECT 1 WHERE FALSE")
+    // equi + range predicates over inline tables
+    assertVector(
+      "SELECT * FROM (VALUES (1,1),(2,1)) t1(a,b), (VALUES (1,1),(1,2),(2,1)) t2(x,y) WHERE a=x and b<=y",
+      "VALUES (1,1,1,1), (1,1,1,2), (2,1,2,1)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1),(2,1)) t1(a,b), (VALUES (1,1),(1,2),(2,1)) t2(x,y) WHERE a=x and b<y",
+      "VALUES (1,1,1,2)")
+    // JOIN USING ≡ explicit ON (reformulation pair over testdata)
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders USING (orderkey)",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey")
+    // distinct-subquery join ≡ direct join (orderkey is the orders key)
+    assertVector(
+      "SELECT orderstatus FROM lineitem JOIN (SELECT DISTINCT orderkey, orderstatus FROM orders) T on lineitem.orderkey = T.orderkey",
+      "SELECT orderstatus FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey")
+    // join criteria coercion (decimal vs int, int vs smallint,
+    // short vs long decimal) — typed SMALLINT literals translate
+    assertVector(
+      "SELECT * FROM (VALUES (1.0, 2.0)) x (a, b) JOIN (VALUES (1, 3)) y (a, b) ON x.a = y.a",
+      "VALUES (1.0, 2.0, 1, 3)")
+    assertVector(
+      "SELECT * FROM (VALUES (1, 2)) x (a, b) JOIN (VALUES (SMALLINT '1', SMALLINT '3')) y (a, b) ON x.a = y.a",
+      "VALUES (1, 2, 1, 3)")
+    assertVector(
+      "SELECT * FROM (VALUES (CAST(1 AS DECIMAL(18,0)), 2)) x (a, b), (VALUES (CAST(0 AS DECIMAL(18,0)), SMALLINT '3')) y (a, b) WHERE x.a = y.a + 1",
+      "VALUES (1, 2, 0, 3)")
+    assertVector(
+      "SELECT * FROM (VALUES (CAST(1 AS DECIMAL(18,0)), 2)) x (a, b) INNER JOIN (VALUES (CAST(0 AS DECIMAL(18,0)), SMALLINT '3')) y (a, b) ON x.a = y.a + 1",
+      "VALUES (1, 2, 0, 3)")
+    assertVector(
+      "SELECT * FROM (VALUES (CAST(1 AS DECIMAL(18,0)), 2)) x (a, b) LEFT JOIN (VALUES (CAST(0 AS DECIMAL(18,0)), SMALLINT '3')) y (a, b) ON x.a = y.a + 1",
+      "VALUES (1, 2, 0, 3)")
+    assertVector(
+      "SELECT * FROM (VALUES CAST(1 AS decimal(18,0))) t1 (a), (VALUES CAST(1 AS decimal(19,0))) t2 (b) WHERE a = b",
+      "VALUES (1, 1)")
+    // function predicate in the ON clause over the fixture
+    assertVector(
+      "SELECT n.nationkey, r.regionkey FROM nation n JOIN region r ON n.regionkey = r.regionkey AND length(n.name) < length(substr(r.name, 5))",
+      "SELECT n.nationkey, r.regionkey FROM nation n JOIN region r ON n.regionkey = r.regionkey WHERE length(n.name) < length(substr(r.name, 5))")
+  }
+
+  test("basic query vectors over the fixture (AbstractTestQueries.java:156,211)") {
+    // LIMIT over deterministic orderings of the standard nation data
+    assertVector("SELECT name FROM nation ORDER BY nationkey LIMIT 3",
+      "VALUES 'ALGERIA', 'ARGENTINA', 'BRAZIL'")
+    assertVector("SELECT max(regionkey) FROM nation LIMIT 5", "VALUES 4")
+    assertVector("SELECT DISTINCT regionkey FROM nation LIMIT 5",
+      "VALUES 0, 1, 2, 3, 4")
+    assertVector(
+      "SELECT regionkey, count(*) FROM nation WHERE name < 'EGYPT' GROUP BY regionkey LIMIT 3",
+      "VALUES (0, 1), (1, 3), (2, 1)") // ALGERIA; ARGENTINA/BRAZIL/CANADA; CHINA
+    // COUNT forms (testCountAll pairs over testdata)
+    assertVector("SELECT COUNT(42) FROM orders", "SELECT COUNT(*) FROM orders")
+    assertVector("SELECT COUNT(42 + 42) FROM orders", "SELECT COUNT(*) FROM orders")
+    assertVector("SELECT COUNT(null) FROM orders", "SELECT 0")
+    // testLimitMax: INT-max LIMIT passes; the reference also allows a
+    // BIGINT-max LIMIT (unordered), which Spark rejects at analysis —
+    // loud, type-level, acceptable (the reference itself rejects
+    // bigint-max ORDER BY LIMIT)
+    assertVector("SELECT nationkey FROM nation LIMIT 2147483647",
+      "SELECT nationkey FROM nation")
+    vectorCount += 1
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      runQ("SELECT nationkey FROM nation LIMIT 9223372036854775807").collect())
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
