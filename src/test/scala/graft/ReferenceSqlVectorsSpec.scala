@@ -86,6 +86,7 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
     case d: BigDecimal => d.underlying.stripTrailingZeros.toPlainString
     case f: Float => canonVal(f.toDouble)
+    case d: Double if d.isNaN || d.isInfinite => d.toString
     case d: Double =>
       new java.math.BigDecimal(d.toString).stripTrailingZeros.toPlainString
     case n: Number =>
@@ -575,6 +576,33 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     vectorCount += 1
     assertThrows[org.apache.spark.sql.AnalysisException](
       runQ("SELECT nationkey FROM nation LIMIT 9223372036854775807").collect())
+  }
+
+  test("window ordering vectors: rank over NaN/NULL keys (AbstractTestWindowQueries.java:34)") {
+    // testDistinctWindowPartitionAndPeerGroups: NaN sorts after every
+    // real number and before NULL in ascending order (both engines),
+    // NaNs are one peer group, NULLs another; rank restarts per x
+    // partition. The expected rows are the reference's own.
+    val q =
+      """SELECT x, y, z, CAST(rank() OVER (PARTITION BY x ORDER BY y) AS BIGINT) rnk
+        |FROM (VALUES
+        |  (1.0, 0.1, 'a'), (2.0, 0.1, 'a'), (nan(), 0.1, 'a'), (NULL, 0.1, 'a'),
+        |  (1.0, 0.1, 'b'), (2.0, 0.1, 'b'), (nan(), 0.1, 'b'), (NULL, 0.1, 'b'),
+        |  (1.0, nan(), 'a'), (2.0, nan(), 'a'), (nan(), nan(), 'a'), (NULL, nan(), 'a'),
+        |  (1.0, nan(), 'b'), (2.0, nan(), 'b'), (nan(), nan(), 'b'), (NULL, nan(), 'b'),
+        |  (1.0, NULL, 'a'), (2.0, NULL, 'a'), (nan(), NULL, 'a'), (NULL, NULL, 'a'),
+        |  (1.0, NULL, 'b'), (2.0, NULL, 'b'), (nan(), NULL, 'b'), (NULL, NULL, 'b')
+        |) a(x, y, z)""".stripMargin
+    // NULLS LAST ascending (reference default); Spark default is nulls
+    // first, so y's ordering must pin it — the reference query relies
+    // on ITS default, which the assertion makes explicit here:
+    val q2 = q.replace("ORDER BY y", "ORDER BY y NULLS LAST")
+    assertVector(q2,
+      "VALUES " +
+        "(1.0, 0.1, 'a', 1), (1.0, 0.1, 'b', 1), (1.0, nan(), 'a', 3), (1.0, nan(), 'b', 3), (1.0, NULL, 'a', 5), (1.0, NULL, 'b', 5), " +
+        "(2.0, 0.1, 'a', 1), (2.0, 0.1, 'b', 1), (2.0, nan(), 'a', 3), (2.0, nan(), 'b', 3), (2.0, NULL, 'a', 5), (2.0, NULL, 'b', 5), " +
+        "(nan(), 0.1, 'a', 1), (nan(), 0.1, 'b', 1), (nan(), nan(), 'a', 3), (nan(), nan(), 'b', 3), (nan(), NULL, 'a', 5), (nan(), NULL, 'b', 5), " +
+        "(NULL, 0.1, 'a', 1), (NULL, 0.1, 'b', 1), (NULL, nan(), 'a', 3), (NULL, nan(), 'b', 3), (NULL, NULL, 'a', 5), (NULL, NULL, 'b', 5)")
   }
 
   test("documented Spark divergences (pinned so a drift is noticed)") {
