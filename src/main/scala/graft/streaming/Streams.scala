@@ -287,6 +287,52 @@ object Streams {
       |  ON c.user_id = p.user_id
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
 
+  // ------------------------------ st10 stream-stream FULL OUTER join
+  /** FULL OUTER interval join (st8's completion — Spark supports full
+    * outer stream-stream joins with time bounds on both sides since
+    * 3.1): unmatched CLICKS and unmatched PURCHASES both survive with
+    * nulls. In streaming mode both sides' state expires at the
+    * watermark, each emitting its null row at expiry;
+    * [[fullOuterIntervalJoinStreams]] is the genuine two-stream form
+    * and StreamingSpec proves batch ≡ streaming on the same rows. */
+  def st10(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+        col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"), "full_outer")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("c_event"), col("p_event"), col("p_value"), col("c_ts"), col("p_ts"))
+  }
+
+  val st10Sql: String =
+    """SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |  c.event_id AS c_event, p.event_id AS p_event,
+      |  p.value AS p_value, c.ts AS c_ts, p.ts AS p_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin
+
+  /** st10 as a genuine two-stream FULL OUTER join: each side's state
+    * expires at the global watermark and emits its null row then — the
+    * only point "no match" is provable on EITHER side of an unbounded
+    * stream (reference comparison: the reference engine is batch-only;
+    * this surface is the engine's beyond-reference streaming story). */
+  def fullOuterIntervalJoinStreams(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("c_ts", "10 minutes")
+      .join(purchases.withWatermark("p_ts", "10 minutes"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "fullOuter")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("c_event"), col("p_event"), col("p_value"), col("c_ts"), col("p_ts"))
+
   // ------------------------------------------ st6 stream-static join
   /** Stream-static enrichment join: the event stream joined to the
     * static customer dimension (user_id is a customer key in the
@@ -549,7 +595,8 @@ object Streams {
     "st6_stream_static" -> st6 _,
     "st7_window_sketch" -> st7 _,
     "st8_stream_outer_join" -> st8 _,
-    "st9_transform_with_state" -> st9 _)
+    "st9_transform_with_state" -> st9 _,
+    "st10_stream_full_outer_join" -> st10 _)
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
@@ -560,5 +607,6 @@ object Streams {
     "st6_stream_static" -> st6Sql,
     "st7_window_sketch" -> st7Sql,
     "st8_stream_outer_join" -> st8Sql,
-    "st9_transform_with_state" -> st9Sql)
+    "st9_transform_with_state" -> st9Sql,
+    "st10_stream_full_outer_join" -> st10Sql)
 }

@@ -418,6 +418,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == streamed)
   }
 
+  test("FULL OUTER interval join: both sides' null rows emit at expiry; batch parity") {
+    val spark = sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000L)
+
+    val cs = MemoryStream[ClickEv]
+    val ps = MemoryStream[PurchEv]
+    val q = Streams.fullOuterIntervalJoinStreams(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("foj_out")
+      .outputMode("append").start()
+    try {
+      // click 100 never matches; purchase 300 never matches (user 9);
+      // click 101 matches purchase 201.
+      cs.addData(ClickEv(1L, 100L, ts(0)), ClickEv(2L, 101L, ts(0)))
+      ps.addData(PurchEv(2L, 201L, 9.99, ts(60)), PurchEv(9L, 300L, 5.0, ts(0)))
+      q.processAllAvailable()
+      assert(spark.table("foj_out").collect().count(r => !r.isNullAt(1) && !r.isNullAt(2)) == 1)
+
+      // advance both watermarks past every bound → BOTH unmatched rows
+      // must appear: the click-side null row AND the purchase-side one
+      cs.addData(ClickEv(3L, 102L, ts(3 * 3600)))
+      ps.addData(PurchEv(3L, 202L, 1.0, ts(3 * 3600 + 5)))
+      q.processAllAvailable()
+      val rows = spark.table("foj_out").collect()
+      val clickNull = rows.filter(r => !r.isNullAt(1) && r.isNullAt(2))
+      val purchNull = rows.filter(r => r.isNullAt(1) && !r.isNullAt(2))
+      assert(clickNull.map(_.getLong(1)).toSet == Set(100L),
+        rows.mkString("; "))
+      assert(purchNull.map(_.getLong(2)).toSet == Set(300L),
+        rows.mkString("; "))
+    } finally q.stop()
+
+    // batch parity over the same rows
+    val clicks = Seq(ClickEv(1L, 100L, ts(0)), ClickEv(2L, 101L, ts(0)),
+      ClickEv(3L, 102L, ts(3 * 3600)))
+    val purchases = Seq(PurchEv(2L, 201L, 9.99, ts(60)),
+      PurchEv(9L, 300L, 5.0, ts(0)), PurchEv(3L, 202L, 1.0, ts(3 * 3600 + 5)))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+    val batch = Streams.fullOuterIntervalJoinStreams(clicks.toDF(), purchases.toDF())
+      .collect().map(key).toSet
+    val streamed = spark.table("foj_out").collect().map(key).toSet
+    assert(batch == streamed)
+  }
+
   test("interval join: late rows past the watermark are dropped, state evicted") {
     val spark = sparkSession
     import spark.implicits._
