@@ -33,6 +33,44 @@ object Statements {
     "(?is)^\\s*SET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*=\\s*(.+?)\\s*$".r
   private val resetRe =
     "(?is)^\\s*RESET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*$".r
+  private val prepareRe =
+    "(?is)^\\s*PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+FROM\\s+(.+)$".r
+  private val executeRe =
+    "(?is)^\\s*EXECUTE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:USING\\s+(.+))?$".r
+  private val deallocRe =
+    "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+
+  private def preparedKey(name: String) = s"graft.prepared.$name"
+
+  /** Substitute `?` positional parameters (outside string literals)
+    * with the USING expressions, each parenthesized. Textual binding —
+    * one documented divergence from the reference: binding happens
+    * BEFORE analysis, so a query the reference rejects for using the
+    * same parameter in SELECT and GROUP BY positions analyzes fine
+    * here once the values are equal. Count mismatches fail loudly in
+    * both directions. */
+  private def bindParams(sql: String, values: Seq[String]): String = {
+    val out = new StringBuilder
+    var inStr = false
+    var i = 0
+    var used = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { inStr = !inStr; out += c }
+      else if (c == '?' && !inStr) {
+        require(used < values.length,
+          s"No value provided for parameter ${used + 1}")
+        require(!values(used).contains("?"),
+          "No value provided for parameter (a USING value may not itself be '?')")
+        out ++= s"(${values(used)})"
+        used += 1
+      } else out += c
+      i += 1
+    }
+    require(used == values.length,
+      s"too many USING values: query has $used parameter(s), got ${values.length}")
+    out.toString
+  }
 
   private def unquote(v: String): String = {
     val t = v.trim
@@ -41,9 +79,28 @@ object Statements {
     else t
   }
 
-  /** Execute one statement. SET/RESET SESSION return an empty frame
-    * (the reference returns a result-less OK); queries return rows. */
+  /** Execute one statement. SET/RESET SESSION, PREPARE and DEALLOCATE
+    * return an empty frame (the reference returns a result-less OK);
+    * EXECUTE and queries return rows. Prepared statements (grammar
+    * `SqlBase.g4` PREPARE/EXECUTE/DEALLOCATE; the reference binds them
+    * as session state) live in the session conf — per-session by
+    * construction, no global registry. */
   def execute(s: SparkSession, sql: String): DataFrame = sql match {
+    case prepareRe(name, body) =>
+      s.conf.set(preparedKey(name), body.trim)
+      s.emptyDataFrame
+    case deallocRe(name) =>
+      require(s.conf.getOption(preparedKey(name)).isDefined,
+        s"Prepared statement not found: $name")
+      s.conf.unset(preparedKey(name))
+      s.emptyDataFrame
+    case executeRe(name, usingOrNull) =>
+      val body = s.conf.getOption(preparedKey(name)).getOrElse(
+        throw new IllegalArgumentException(s"Prepared statement not found: $name"))
+      val values = Option(usingOrNull)
+        .map(u => MatchRecognizeSql.splitTopLevel(u, ',').map(_.trim))
+        .getOrElse(Seq.empty)
+      execute(s, bindParams(body, values))
     case setRe(key, value) =>
       val v = unquote(value)
       mapped.get(key.toLowerCase) match {

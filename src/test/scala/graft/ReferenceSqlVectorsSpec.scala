@@ -605,6 +605,67 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "(NULL, 0.1, 'a', 1), (NULL, 0.1, 'b', 1), (NULL, nan(), 'a', 3), (NULL, nan(), 'b', 3), (NULL, NULL, 'a', 5), (NULL, NULL, 'b', 5)")
   }
 
+  test("PREPARE / EXECUTE USING vectors (AbstractTestEngineOnlyQueries.java:948-1263)") {
+    import graft.sqlcompat.Statements
+    def prep(body: String): Unit = {
+      Statements.execute(spark, s"PREPARE my_query FROM $body")
+      vectorCount += 1
+    }
+    def exec(stmt: String, expected: String): Unit = {
+      val got = rows(Statements.execute(spark, stmt)).sorted
+      val want = rows(runQ(expected)).sorted
+      vectorCount += 1
+      assert(got == want, s"\nstmt: $stmt\ngot: $got\nexpected: $want")
+    }
+    // testExecute
+    prep("SELECT 123, 'abc'")
+    exec("EXECUTE my_query", "SELECT 123, 'abc'")
+    // testExecuteNoSuchQuery — loud
+    vectorCount += 1
+    assertThrows[IllegalArgumentException](
+      Statements.execute(spark, "EXECUTE no_such_query"))
+    // testExecuteUsing: parameters in select list, join criteria,
+    // WHERE, and HAVING positions
+    prep("SELECT a + 1, count(?) FROM (VALUES 1, 2, 3, 2) t1(a) " +
+      "JOIN (VALUES 1, 2, 3, 4) t2(b) ON b < ? WHERE a < ? " +
+      "GROUP BY a + 1 HAVING count(1) > ?")
+    exec("EXECUTE my_query USING 1, 5, 4, 0", "VALUES (2, 4), (3, 8), (4, 4)")
+    // testExecuteUsingComplexJoinCriteria
+    prep("SELECT * FROM (VALUES 1) t(a) JOIN (VALUES 2) u(a) ON t.a + u.a < ?")
+    exec("EXECUTE my_query USING 5", "VALUES (1, 2)")
+    // testExecuteUsingWithSubquery (over the testdata orders view)
+    prep("SELECT ? in (SELECT orderkey FROM orders)")
+    exec("EXECUTE my_query USING 10", "SELECT 10 in (SELECT orderkey FROM orders)")
+    // testExecuteUsingWithSubqueryInJoin
+    prep("SELECT * FROM (VALUES ?,2,3) t(x) JOIN (VALUES 1,2,3) t2(y) ON " +
+      "(x in (VALUES 1,2,?)) = (y in (VALUES 1,2,3)) AND " +
+      "(x in (VALUES 1,?)) = (y in (VALUES 1,2))")
+    exec("EXECUTE my_query USING 1, 3, 2",
+      "VALUES (1,1), (1,2), (2,2), (2,1), (3,3)")
+    // testExecuteWithParametersInLimit (+ expression value)
+    prep("SELECT a FROM (VALUES 1, 2, 2, 3) t(a) where a = ? LIMIT ?")
+    exec("EXECUTE my_query USING 2, 1", "SELECT 2")
+    exec("EXECUTE my_query USING 2, 4 - 3", "SELECT 2")
+    // parameter-count errors are loud in both directions
+    vectorCount += 2
+    assertThrows[IllegalArgumentException](
+      Statements.execute(spark, "EXECUTE my_query USING 2"))
+    assertThrows[IllegalArgumentException](
+      Statements.execute(spark, "EXECUTE my_query USING 2, 1, 9"))
+    // a USING value may not itself be a parameter
+    vectorCount += 1
+    assertThrows[IllegalArgumentException](
+      Statements.execute(spark, "EXECUTE my_query USING 2, ?"))
+    // DEALLOCATE removes the statement; re-EXECUTE is loud
+    Statements.execute(spark, "DEALLOCATE PREPARE my_query")
+    vectorCount += 1
+    assertThrows[IllegalArgumentException](
+      Statements.execute(spark, "EXECUTE my_query"))
+    // '?' inside a string literal is NOT a parameter
+    prep("SELECT '?' || CAST(? AS STRING)")
+    exec("EXECUTE my_query USING 7", "SELECT '?7'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
