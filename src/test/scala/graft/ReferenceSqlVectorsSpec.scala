@@ -605,6 +605,56 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "(NULL, 0.1, 'a', 1), (NULL, 0.1, 'b', 1), (NULL, nan(), 'a', 3), (NULL, nan(), 'b', 3), (NULL, NULL, 'a', 5), (NULL, NULL, 'b', 5)")
   }
 
+  test("aggregation FILTER vectors (AbstractTestAggregations.java:339-371)") {
+    assertVector(
+      "SELECT sum(x) FILTER (WHERE y > 4) FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+      "SELECT 4")
+    assertVector(
+      "SELECT sum(x) FILTER (WHERE x > 1), sum(y) FILTER (WHERE y > 4) FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+      "SELECT 8, 5")
+    assertVector(
+      "SELECT sum(x) FILTER (WHERE x > 1), sum(x) FROM (VALUES (1), (2), (2), (4)) t (x)",
+      "SELECT 8, 9")
+    assertVector(
+      "SELECT count(*) FILTER (WHERE x > 1), sum(x) FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+      "SELECT 3, 9")
+    assertVector(
+      "SELECT count(*) FILTER (WHERE x > 1), count(DISTINCT y) FROM (VALUES (1, 10), (2, 10), (3, 10), (4, 20)) t (x, y)",
+      "SELECT 3, 2")
+    assertVector(
+      "SELECT sum(b) FILTER (WHERE true) FROM (SELECT count(*) FILTER (WHERE true) AS b)",
+      "SELECT 1")
+    assertVector(
+      "SELECT count(1) FILTER (WHERE orderstatus = 'O') FROM orders",
+      "SELECT count(*) FROM orders WHERE orderstatus = 'O'")
+    // filter out all rows
+    assertVector(
+      "SELECT sum(x) FILTER (WHERE y > 5) FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+      "SELECT CAST(null AS INTEGER)")
+    assertVector(
+      "SELECT count(*) FILTER (WHERE x > 4), sum(x) FILTER (WHERE y > 5) FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+      "SELECT 0, CAST(null AS INTEGER)")
+    // FILTER over a correlated EXISTS
+    assertVector(
+      "WITH company AS (SELECT * FROM (VALUES (1, 10), (2, 20)) t(dep_id, salary)), " +
+        "department AS (SELECT 1 id) " +
+        "SELECT dep_id, sum(salary), sum(salary) FILTER (WHERE EXISTS (SELECT 1 FROM department WHERE department.id = company.dep_id)) " +
+        "FROM company GROUP BY dep_id",
+      "VALUES (1, 10, 10), (2, 20, NULL)")
+    // projections over aggregates + same-input aggregates (pairs)
+    assertVector("SELECT max(a), max(b) FROM (SELECT custkey a, custkey b FROM orders) x",
+      "SELECT max(custkey), max(custkey) FROM orders")
+    // right join over an aggregated empty-augmented probe
+    assertVector(
+      "SELECT value FROM (" +
+        "  SELECT key FROM (VALUES 'match') AS a(key) " +
+        "  LEFT JOIN (SELECT * FROM (VALUES (0)) LIMIT 0) AS x(ignored) ON TRUE " +
+        "  GROUP BY 1) a " +
+        "RIGHT JOIN (VALUES ('match', 'value'), ('no-match', 'value')) AS b(key, value) " +
+        "ON a.key = b.key GROUP BY 1",
+      "VALUES 'value'")
+  }
+
   test("PREPARE / EXECUTE USING vectors (AbstractTestEngineOnlyQueries.java:948-1263)") {
     import graft.sqlcompat.Statements
     def prep(body: String): Unit = {
