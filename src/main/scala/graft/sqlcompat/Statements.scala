@@ -118,6 +118,16 @@ object Statements {
           s"unknown session property '$key'")
       }
       s.emptyDataFrame
+    // SHOW SESSION (grammar SqlBase.g4 showSession): the mapped
+    // property inventory with each property's CURRENT backing value.
+    case sql0 if "(?is)^\\s*SHOW\\s+SESSION\\s*$".r.findFirstIn(sql0).isDefined =>
+      import s.implicits._
+      mapped.toSeq.sortBy(_._1).map { case (name, (conf, _)) =>
+        (name, s.conf.getOption(conf).getOrElse(""), conf)
+      }.toDF("name", "value", "spark_conf")
+    // SHOW SCHEMAS [FROM cat] — Spark spells it SHOW NAMESPACES
+    case sql0 if "(?is)^\\s*SHOW\\s+SCHEMAS\\b".r.findFirstIn(sql0).isDefined =>
+      s.sql(sql0.replaceAll("(?i)\\bSHOW\\s+SCHEMAS\\b", "SHOW NAMESPACES"))
     case other => s.sql(Dialect.translate(other))
   }
 }

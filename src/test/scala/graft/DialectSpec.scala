@@ -329,6 +329,18 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Statements.execute(spark,
         "SELECT strpos('a-b', '-') AS p").head().getInt(0) == 2)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // SHOW statements: SESSION inventory; SCHEMAS/TABLES over the
+    // graft catalog via Spark's native catalog commands
+    val sess = Statements.execute(spark, "SHOW SESSION")
+    assert(sess.columns.toSeq == Seq("name", "value", "spark_conf") &&
+      sess.collect().map(_.getString(0)).contains("join_distribution_type"))
+    val schemas = Statements.execute(spark, "SHOW SCHEMAS FROM graft")
+      .collect().map(_.getString(0))
+    assert(schemas.contains("main"), schemas.mkString(","))
+    val tables = Statements.execute(spark, "SHOW TABLES FROM graft.main")
+      .collect().map(_.getString(1))
+    assert(tables.contains("nation") && tables.contains("lineitem"),
+      tables.mkString(","))
   }
 
   test("MATCH_RECOGNIZE SQL text lowers onto the operator and matches it") {
