@@ -72,6 +72,11 @@ object Graft {
       // (each query holds several codegen units), recompiling with
       // Janino on every revisit. Sized to hold the whole surface.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // VALUES rows must reach the analyzer, not evaluate inside the
+      // parser: the parser's eager path runs before any injected rule,
+      // so `VALUES (0E0/0E0)` (IEEE NaN in the reference) would die
+      // with ANSI DIVIDE_BY_ZERO before IeeeDoubleDivide can lower it.
+      .config("spark.sql.parser.eagerEvalOfUnresolvedInlineTable", "false")
       .config("spark.ui.enabled", "false")
       // function registry: native expressions + sketch aggregates
       // (≈ the reference's SystemFunctionBundle registration)

@@ -205,6 +205,13 @@ object GraftFunctions {
     // exact-name compatibility pack (r13 registry audit)
     CompatAliases.inject(e)
     // optimizer extension surface (Rule[LogicalPlan])
+    e.injectResolutionRule(_ => graft.plans.BigIntArraySubscript)
+    // Twice on purpose: the Hints batch runs BEFORE the Resolution
+    // batch's ResolveInlineTables evaluates VALUES rows (all-literal
+    // divisions are already resolved there), while the Resolution-batch
+    // copy catches post-type-coercion double division everywhere else.
+    e.injectHintResolutionRule(_ => graft.plans.IeeeDoubleDivide)
+    e.injectResolutionRule(_ => graft.plans.IeeeDoubleDivide)
     e.injectOptimizerRule(_ => graft.plans.IdempotentCollectionOps)
     e.injectOptimizerRule(_ => graft.plans.ConstantIndexElementAt)
   }

@@ -265,7 +265,11 @@ object Dialect {
         }
         // TRY(expr) → try_(...) has no direct generic form; map the
         // common arithmetic case TRY(a / b) → try_divide(a, b). The
-        // denominator may be a single parenthesized group.
+        // denominator may be a single parenthesized group. Documented
+        // divergence: on DOUBLE operands the reference's TRY is a
+        // no-op (IEEE division never errors, so x/0e0 → ±Infinity/
+        // NaN) while try_divide yields NULL; plain `/` on doubles DOES
+        // carry the IEEE contract (plans/IeeeDoubleDivide.scala).
         out = out.replaceAll(
           "(?i)\\bTRY\\s*\\(\\s*([^()/,]+)/\\s*(\\([^()]*\\)|[^(),]+)\\s*\\)",
           "try_divide($1,$2)")
@@ -453,6 +457,69 @@ object Dialect {
     out
   }
 
+  /** Matching ')' for the '(' at `open` (canonical text — literals are
+    * sentinels, so every paren is structural). */
+  private def closeParen(s: String, open: Int): Int = {
+    var depth = 1
+    var i = open + 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      i += 1
+    }
+    require(depth == 0, s"unbalanced parentheses in: $s")
+    i - 1
+  }
+
+  /** `x IN (VALUES r1, r2, …)` — the reference's inline-table IN form.
+    * Spark parses a bare `VALUES (a), (b)` inside an IN list as a
+    * function call, so wrap it as the subquery it denotes:
+    * `IN (SELECT * FROM (VALUES …))`. */
+  private def inValuesPass(canon0: String): String = {
+    val re = "(?i)\\bIN\\s*\\(\\s*VALUES\\b".r
+    var out = canon0
+    var m = re.findFirstMatchIn(out)
+    var guard = 0
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val open = out.indexOf('(', m.get.start)
+      val close = closeParen(out, open)
+      val body = out.substring(open + 1, close)
+      out = out.substring(0, open) + s"(SELECT * FROM ($body) __invals)" + out.substring(close + 1)
+      m = re.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  /** `reduce_agg(x, init, inputFn, combineFn)` (reference
+    * `ReduceAggregationFunction.java`) in SQL TEXT → Spark's
+    * higher-order `aggregate(collect_list(x), init, inputFn)`; the
+    * combine lambda is redundant in the sequential fold (the reference
+    * requires it consistent with the input fold). NOTE the rewrite
+    * materializes the group as an array — fine for SQL-text
+    * convenience; the scalable partial-aggregating path is the
+    * `graft.functions.ReduceAgg` Scala API. */
+  private def reduceAggPass(canon0: String): String = {
+    val re = "(?i)\\breduce_agg\\s*\\(".r
+    var out = canon0
+    var m = re.findFirstMatchIn(out)
+    var guard = 0
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val open = out.indexOf('(', m.get.start)
+      val close = closeParen(out, open)
+      val args = MatchRecognizeSql.splitTopLevel(out.substring(open + 1, close), ',')
+        .map(_.trim)
+      require(args.length == 4,
+        s"reduce_agg takes (value, initialState, inputFn, combineFn), got ${args.length} args")
+      out = out.substring(0, m.get.start) +
+        s"aggregate(collect_list(${args(0)}), ${args(1)}, ${args(2)})" +
+        out.substring(close + 1)
+      m = re.findFirstMatchIn(out)
+    }
+    out
+  }
+
   private def constructorPass(segs: Seq[(String, Boolean)]): String = {
     val lits = segs.collect { case (s, true) => s }
     var li = -1
@@ -467,6 +534,8 @@ object Dialect {
     out = out.replaceAll("(?i)\\bROW\\s*\\(", "struct(")
     out = unnestJoinPass(out)
     out = quantifiedPass(out)
+    out = inValuesPass(out)
+    out = reduceAggPass(out)
 
     val sb = new StringBuilder
     val stack = scala.collection.mutable.Stack[Boolean]()

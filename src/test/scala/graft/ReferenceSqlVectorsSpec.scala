@@ -716,6 +716,75 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     exec("EXECUTE my_query USING 7", "SELECT '?7'")
   }
 
+  test("VALUES / arrays / maps vectors (AbstractTestEngineOnlyQueries.java:2150-2281)") {
+    // testValues
+    assertOrdered("VALUES 1, 3, 2, 4 ORDER BY 1",
+      "SELECT * FROM (VALUES 1, 3, 2, 4) ORDER BY 1")
+    assertOrdered("VALUES (1.1, 2), (sin(3.3), 2+2) ORDER BY 1",
+      "VALUES (sin(3.3), 2+2), (1.1, 2)")
+    assertVector("SELECT 1.1 in (VALUES (1.1), (2.2))", "VALUES (TRUE)")
+    assertVector("WITH a AS (VALUES (1.1, 2), (sin(3.3), 2+2)) SELECT * FROM a",
+      "VALUES (1.1, 2), (sin(3.3), 2+2)")
+    assertVector("SELECT foo FROM (values (1, 2)) a(foo, bar)", "VALUES 1")
+    // testArrays: 1-based subscripts over constructed arrays — pairs
+    // prove the subscript → element_at lowering end to end
+    assertVector(
+      "SELECT a[1] FROM (SELECT ARRAY[orderkey] AS a FROM orders ORDER BY orderkey) t",
+      "SELECT orderkey FROM orders")
+    assertVector(
+      "SELECT a[1 + CAST(round(rand()) AS BIGINT)] FROM (SELECT ARRAY[orderkey, orderkey] AS a FROM orders ORDER BY orderkey) t",
+      "SELECT orderkey FROM orders")
+    assertVector(
+      "SELECT a[1] + 1 FROM (SELECT ARRAY[orderkey] AS a FROM orders ORDER BY orderkey) t",
+      "SELECT orderkey + 1 FROM orders")
+    assertVector(
+      "SELECT a[1] FROM (SELECT ARRAY[orderkey + 1] AS a FROM orders ORDER BY orderkey) t",
+      "SELECT orderkey + 1 FROM orders")
+    assertVector(
+      "SELECT a[1][1] FROM (SELECT ARRAY[ARRAY[orderkey + 1]] AS a FROM orders ORDER BY orderkey) t",
+      "SELECT orderkey + 1 FROM orders")
+    assertVector(
+      "SELECT CARDINALITY(a) FROM (SELECT ARRAY[orderkey, orderkey + 1] AS a FROM orders ORDER BY orderkey) t",
+      "SELECT 2 FROM orders")
+    // testArrayAgg (clerk → orderpriority: the testdata schema has no
+    // clerk column; the vector's shape is what's under test)
+    assertVector(
+      "SELECT orderpriority, cardinality(array_agg(orderkey)) FROM orders GROUP BY orderpriority",
+      "SELECT orderpriority, count(*) FROM orders GROUP BY orderpriority")
+    // testMaps: map_agg + dynamic-key subscript
+    assertVector(
+      "SELECT m[max_key] FROM (SELECT map_agg(orderkey, orderkey) m, max(orderkey) max_key FROM orders)",
+      "SELECT max(orderkey) FROM orders")
+    // testSpecialFloatingPointValues
+    assertVector("SELECT nan(), infinity(), -infinity()",
+      "SELECT CAST('NaN' AS DOUBLE), CAST('Infinity' AS DOUBLE), CAST('-Infinity' AS DOUBLE)")
+    // testValuesWithNonTrivialType
+    assertVector("VALUES (0E0/0E0, 1E0/0E0, -1E0/0E0)",
+      "SELECT CAST('NaN' AS DOUBLE), CAST('Infinity' AS DOUBLE), CAST('-Infinity' AS DOUBLE)")
+  }
+
+  test("reduce_agg vectors (AbstractTestEngineOnlyQueries.java:2227)") {
+    assertVector(
+      "SELECT x, reduce_agg(y, 1, (a, b) -> a * b, (a, b) -> a * b) " +
+        "FROM (VALUES (1, 5), (1, 6), (1, 7), (2, 8), (2, 9), (3, 10)) AS t(x, y) GROUP BY x",
+      "VALUES (1, 5 * 6 * 7), (2, 8 * 9), (3, 10)")
+    assertVector(
+      "SELECT x, reduce_agg(y, 0, (a, b) -> a + b, (a, b) -> a + b) " +
+        "FROM (VALUES (1, 5), (1, 6), (1, 7), (2, 8), (2, 9), (3, 10)) AS t(x, y) GROUP BY x",
+      "VALUES (1, 5 + 6 + 7), (2, 8 + 9), (3, 10)")
+    // DOUBLE-typed values: the reference coerces the initial state to
+    // the value type; Spark's aggregate() types the fold from the
+    // INIT, so the double vectors pin the explicit-CAST spelling
+    assertVector(
+      "SELECT x, reduce_agg(y, CAST(1 AS DOUBLE), (a, b) -> a * b, (a, b) -> a * b) " +
+        "FROM (VALUES (1, CAST(5 AS DOUBLE)), (1, 6), (1, 7), (2, 8), (2, 9), (3, 10)) AS t(x, y) GROUP BY x",
+      "VALUES (1, CAST(5 AS DOUBLE) * 6 * 7), (2, 8 * 9), (3, 10)")
+    assertVector(
+      "SELECT x, reduce_agg(y, CAST(0 AS DOUBLE), (a, b) -> a + b, (a, b) -> a + b) " +
+        "FROM (VALUES (1, CAST(5 AS DOUBLE)), (1, 6), (1, 7), (2, 8), (2, 9), (3, 10)) AS t(x, y) GROUP BY x",
+      "VALUES (1, CAST(5 AS DOUBLE) + 6 + 7), (2, 8 + 9), (3, 10)")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
