@@ -54,6 +54,20 @@ object CompatAliases {
   def inject(e: SparkSessionExtensions): Unit = {
     // ---- string position / codepoints
     fn(e, "strpos", c => asLong(StringInstr(c(0), c(1))))
+    // Reference `contains(array, elem)` is ARRAY membership
+    // (ArrayFunctions.java) — Spark's built-in `contains` is
+    // string/binary-only, so dispatch on the (resolved-by-now) input
+    // type; the string form stays for Spark-dialect callers.
+    fn(e, "contains", c => c.head.dataType match {
+      case at: org.apache.spark.sql.types.ArrayType =>
+        // row comparison is positional in the reference, so align the
+        // probe's struct field NAMES with the array's element type
+        // (Spark demands an exact type match, names included)
+        val elem = if (c(1).dataType == at.elementType) c(1)
+          else Cast(c(1), at.elementType)
+        ArrayContains(c(0), elem)
+      case _ => Contains(c(0), c(1))
+    })
     fn(e, "codepoint", c => Ascii(c.head)) // INTEGER, like the reference
 
     // ---- datetime field extraction (reference returns BIGINT; ISO dow)

@@ -206,6 +206,7 @@ object GraftFunctions {
     CompatAliases.inject(e)
     // optimizer extension surface (Rule[LogicalPlan])
     e.injectResolutionRule(_ => graft.plans.BigIntArraySubscript)
+    e.injectResolutionRule(_ => graft.plans.RowSubscript)
     // Twice on purpose: the Hints batch runs BEFORE the Resolution
     // batch's ResolveInlineTables evaluates VALUES rows (all-literal
     // divisions are already resolved there), while the Resolution-batch

@@ -301,9 +301,9 @@ object Dialect {
     * arrays 1-based… Spark does NOT, so subscripts deliberately pass
     * through for Spark to evaluate 0-based and the user to write
     * element_at, which IS 1-based in both), then re-expands the
-    * sentinels. `CAST(x AS ROW(…))` is NOT supported: the rename
-    * produces `AS struct(` which Spark rejects loudly (safe-by-failure
-    * posture, same as the AT TIME ZONE limitation above). */
+    * sentinels. `CAST(x AS ROW(…))` targets translate to Spark
+    * `STRUCT<…>` spellings via rowTypePass/sparkType (r14; the
+    * pre-r14 posture was fail-loud). */
   /** General quantified comparison predicates `x op ALL|ANY|SOME
     * (subquery)` (grammar `SqlBase.g4` comparisonQuantifier) beyond
     * the two IN-rewritable spellings the segment pass already handled
@@ -520,6 +520,246 @@ object Dialect {
     out
   }
 
+  /** Recursive reference→Spark type-syntax translation for the
+    * composite spellings (`SqlBase.g4` type rule): `ROW(n T, …)` →
+    * `STRUCT<n: T, …>`, `ARRAY(T)` → `ARRAY<T>`, `MAP(K, V)` →
+    * `MAP<K, V>`; scalar leaves go through typeRenames. Anonymous row
+    * fields (`ROW(INTEGER)`) take Spark's positional `colN` names —
+    * CAST to struct renames fields, so lookups by the reference's
+    * anonymous accessors were impossible anyway. */
+  private def sparkType(t0: String): String = {
+    val t = t0.trim
+    val lower = t.toLowerCase
+    def inner(): String = {
+      val open = t.indexOf('(')
+      t.substring(open + 1, closeParen(t, open))
+    }
+    if (lower.matches("(?s)row\\s*\\(.*")) {
+      val fields = MatchRecognizeSql.splitTopLevel(inner(), ',').map(_.trim)
+      val fs = fields.zipWithIndex.map { case (f, i) =>
+        val sp = f.indexWhere(_.isWhitespace)
+        val paren = f.indexOf('(')
+        // "name TYPE" iff the first whitespace precedes any '(' —
+        // otherwise the whole field is a bare (possibly composite) type
+        if (sp > 0 && (paren < 0 || sp < paren) &&
+          !f.substring(0, sp).equalsIgnoreCase("row") &&
+          !f.substring(0, sp).equalsIgnoreCase("array") &&
+          !f.substring(0, sp).equalsIgnoreCase("map"))
+          f.substring(0, sp) + ": " + sparkType(f.substring(sp + 1))
+        else s"col${i + 1}: " + sparkType(f)
+      }
+      s"STRUCT<${fs.mkString(", ")}>"
+    } else if (lower.matches("(?s)array\\s*\\(.*")) {
+      s"ARRAY<${sparkType(inner())}>"
+    } else if (lower.matches("(?s)map\\s*\\(.*")) {
+      val kv = MatchRecognizeSql.splitTopLevel(inner(), ',').map(_.trim)
+      require(kv.length == 2, s"MAP type takes (K, V): $t")
+      s"MAP<${sparkType(kv(0))}, ${sparkType(kv(1))}>"
+    } else {
+      typeRenames.collectFirst {
+        case (from, to) if t.equalsIgnoreCase(from) => to
+      }.getOrElse(t)
+    }
+  }
+
+  /** `CAST(x AS ROW(…))` targets: anchor on the type position and hand
+    * the whole composite spelling to [[sparkType]]. Runs BEFORE the
+    * constructor rewrite, which would otherwise turn the type into
+    * `AS struct(` (the pre-r14 fail-loud posture). */
+  private def rowTypePass(canon0: String): String = {
+    val re = "(?i)\\bAS\\s+(ROW)\\s*\\(".r
+    var out = canon0
+    var m = re.findFirstMatchIn(out)
+    var guard = 0
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val typeStart = m.get.start(1)
+      val open = out.indexOf('(', typeStart)
+      val close = closeParen(out, open)
+      out = out.substring(0, typeStart) +
+        sparkType(out.substring(typeStart, close + 1)) +
+        out.substring(close + 1)
+      m = re.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  /** Standalone relation-position `FROM UNNEST(array)` (one argument,
+    * no ordinality — `SqlBase.g4` relationPrimary UNNEST) → Spark's
+    * `explode` table-valued function, which has exactly that shape
+    * (optional `AS t(c)` alias rides along untouched). Multi-argument
+    * zip, maps, and WITH ORDINALITY stay with RelationSql.translate's
+    * full grammar; the text passes through untouched for Spark to
+    * reject loudly. */
+  private def unnestRelationPass(canon0: String): String = {
+    val re = "(?i)\\bFROM\\s+(UNNEST)\\s*\\(".r
+    var out = canon0
+    var guard = 0
+    var m = re.findFirstMatchIn(out)
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val open = out.indexOf('(', m.get.start(1))
+      val close = closeParen(out, open)
+      val args = MatchRecognizeSql.splitTopLevel(out.substring(open + 1, close), ',')
+      val ord = "(?is)^\\s*WITH\\s+ORDINALITY".r
+        .findFirstIn(out.substring(close + 1)).isDefined
+      if (args.length != 1 || ord) return out
+      out = out.substring(0, m.get.start(1)) + "explode" +
+        out.substring(m.get.start(1) + 6)
+      m = re.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  /** Explicit row-constructor syntax in VALUES lists: `VALUES
+    * ROW(a, b), ROW(c, d)` declares 2-COLUMN rows (`SqlBase.g4`
+    * rowValue), equivalent to Spark's bare `(a, b)` tuples — NOT
+    * struct values, which the blanket `ROW(` → `struct(` rewrite
+    * would produce (one struct column; caught writing the reference's
+    * testRows vectors). Strip the ROW token from each top-level list
+    * item; nested `ROW(…)` inside an item stays a constructor. */
+  private def valuesRowPass(canon0: String): String = {
+    val vre = "(?i)\\bVALUES\\b".r
+    val rowRe = "(?is)\\A(\\s*)ROW\\s*(?=\\()".r
+    var out = canon0
+    // reverse order: the pass only deletes characters AFTER each
+    // VALUES position, so earlier positions stay valid
+    for (vm <- vre.findAllMatchIn(canon0).toList.reverse) {
+      // walk the item list: items separated by depth-0 commas, list
+      // ends when depth would drop below 0 or at end of text
+      val sb = new StringBuilder(out.substring(0, vm.end))
+      var i = vm.end
+      var depth = 0
+      var atItemStart = true
+      var done = false
+      while (i < out.length && !done) {
+        if (atItemStart) {
+          rowRe.findFirstMatchIn(out.substring(i)).foreach { rm =>
+            sb.append(rm.group(1)) // keep the whitespace, drop ROW
+            i += rm.end
+          }
+          atItemStart = false
+        }
+        val c = out.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth < 0) done = true }
+        else if (c == ',' && depth == 0) atItemStart = true
+        if (!done) { sb.append(c); i += 1 }
+      }
+      sb.append(out.substring(i))
+      out = sb.toString
+    }
+    out
+  }
+
+  /** `(VALUES …)` rows holding lambda expressions (reference
+    * testLambdaInValuesAndUnnest): Spark's inline-table resolution
+    * rejects higher-order functions outright, so such a table lowers
+    * onto the equivalent `SELECT … UNION ALL SELECT …` (the standard's
+    * own definition of a table value constructor). Only lambda-bearing
+    * VALUES are rewritten — plain ones keep Spark's native inline
+    * table (better plans: LocalRelation, not a Union). */
+  private def valuesLambdaPass(canon0: String): String = {
+    val re = "(?i)\\(\\s*VALUES\\b".r
+    var out = canon0
+    var guard = 0
+    var from = 0
+    while (guard < 32) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(from))
+      if (m.isEmpty) return out
+      val open = from + m.get.start
+      val close = closeParen(out, open)
+      val body = out.substring(from + m.get.end, close)
+      if (!body.contains("->")) { from = open + 1 }
+      else {
+        val rows = MatchRecognizeSql.splitTopLevel(body, ',').map(_.trim)
+        val selects = rows.map { r =>
+          val exprs =
+            if (r.startsWith("(") && closeParen(r, 0) == r.length - 1)
+              r.substring(1, r.length - 1)
+            else r
+          s"SELECT $exprs"
+        }
+        out = out.substring(0, open + 1) + selects.mkString(" UNION ALL ") +
+          out.substring(close)
+        from = open + 1
+      }
+    }
+    out
+  }
+
+  /** Scalar lambda application: the reference's `apply(x, v -> body)`
+    * (`ApplyFunction.java`) has no Spark spelling — Spark's
+    * higher-order functions are collection-bound — so wrap the scalar
+    * in a 1-element array, transform it, and take the element back
+    * out: `element_at(transform(array(x), v -> body), 1)`. Capture
+    * (outer columns, outer lambda variables, shadowing) rides Spark's
+    * own lambda resolution, which the reference's testLambdaCapture
+    * vectors pin. Nested applies converge over iterations (outer
+    * first; the inner call text survives into the rewritten form). */
+  private def applyPass(canon0: String): String = {
+    val re = "(?i)\\bapply\\s*\\(".r
+    var out = canon0
+    var m = re.findFirstMatchIn(out)
+    var guard = 0
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val open = out.indexOf('(', m.get.start)
+      val close = closeParen(out, open)
+      val args = MatchRecognizeSql.splitTopLevel(out.substring(open + 1, close), ',')
+        .map(_.trim)
+      require(args.length == 2,
+        s"apply takes (input, lambda), got ${args.length} args")
+      val rewritten =
+        if (args(0).toUpperCase.contains("SELECT")) {
+          // Spark forbids subquery expressions inside higher-order
+          // functions, so a subquery input must be BETA-REDUCED into
+          // the body instead. Safe only when the body rebinds nothing
+          // (no nested lambda): substitution is then capture-free.
+          // The lambda var can't be dot-qualified, so occurrences
+          // after '.' are field/column references and are skipped.
+          val arrow = args(1).indexOf("->")
+          require(arrow > 0, s"malformed lambda: ${args(1)}")
+          val param = args(1).substring(0, arrow).trim.stripPrefix("(").stripSuffix(")").trim
+          val body = args(1).substring(arrow + 2).trim
+          require(!body.contains("->"),
+            "apply() with a subquery input supports only non-nested lambdas " +
+              "(Spark disallows subqueries in higher-order functions)")
+          body.replaceAll(
+            "(?<![\\w.])" + java.util.regex.Pattern.quote(param) + "(?![\\w])",
+            java.util.regex.Matcher.quoteReplacement(s"(${args(0)})"))
+        } else
+          s"element_at(transform(array(${args(0)}), ${args(1)}), 1)"
+      out = out.substring(0, m.get.start) + "(" + rewritten + ")" +
+        out.substring(close + 1)
+      m = re.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  /** Two-argument `IF(cond, value)` (reference `SqlBase.g4` IF /
+    * `IfCodeGenerator` — absent ELSE is NULL); Spark's `if` is
+    * strictly ternary, so pad the NULL explicitly. */
+  private def ifTwoArgPass(canon0: String): String = {
+    val re = "(?i)\\bif\\s*\\(".r
+    var out = canon0
+    var from = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(from))
+      if (m.isEmpty) return out
+      val open = out.indexOf('(', from + m.get.start)
+      val close = closeParen(out, open)
+      val args = MatchRecognizeSql.splitTopLevel(out.substring(open + 1, close), ',')
+      if (args.length == 2)
+        out = out.substring(0, close) + ", NULL" + out.substring(close)
+      from = open + 1
+    }
+    out
+  }
+
   private def constructorPass(segs: Seq[(String, Boolean)]): String = {
     val lits = segs.collect { case (s, true) => s }
     var li = -1
@@ -531,11 +771,17 @@ object Dialect {
     // map constructor first, so its ARRAY args are still spelled ARRAY
     var out = canon.replaceAll("(?i)\\bMAP\\s*\\(\\s*(?=ARRAY\\s*\\[)",
       "map_from_arrays(")
+    out = rowTypePass(out)
+    out = valuesRowPass(out)
     out = out.replaceAll("(?i)\\bROW\\s*\\(", "struct(")
     out = unnestJoinPass(out)
     out = quantifiedPass(out)
     out = inValuesPass(out)
     out = reduceAggPass(out)
+    out = unnestRelationPass(out)
+    out = valuesLambdaPass(out)
+    out = applyPass(out)
+    out = ifTwoArgPass(out)
 
     val sb = new StringBuilder
     val stack = scala.collection.mutable.Stack[Boolean]()

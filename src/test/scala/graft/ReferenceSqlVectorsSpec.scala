@@ -785,6 +785,262 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, CAST(5 AS DOUBLE) + 6 + 7), (2, 8 + 9), (3, 10)")
   }
 
+  test("WITH / CTE vectors (AbstractTestEngineOnlyQueries.java:2826-2921)") {
+    // testWith / testWithQualifiedPrefix / testWithAliased /
+    // testReferenceToWithQueryInFromClause
+    assertVector("WITH a AS (SELECT * FROM orders) SELECT * FROM a",
+      "SELECT * FROM orders")
+    assertVector("WITH a AS (SELECT 123) SELECT a.* FROM a", "SELECT 123")
+    assertVector("WITH a AS (SELECT * FROM orders) SELECT * FROM a x",
+      "SELECT * FROM orders")
+    assertVector(
+      "WITH a AS (SELECT * FROM orders) SELECT * FROM (SELECT * FROM a)",
+      "SELECT * FROM orders")
+    // testWithChaining
+    assertVector(
+      "WITH a AS (SELECT orderkey n FROM orders), " +
+        "b AS (SELECT n + 1 n FROM a), c AS (SELECT n + 1 n FROM b) " +
+        "SELECT n + 1 FROM c",
+      "SELECT orderkey + 3 FROM orders")
+    // testWithNestedSubqueries
+    assertVector(
+      """WITH a AS (
+        |  WITH aa AS (SELECT 123 x FROM orders LIMIT 1)
+        |  SELECT x y FROM aa
+        |), b AS (
+        |  WITH bb AS (
+        |    WITH bbb AS (SELECT y FROM a)
+        |    SELECT bbb.* FROM bbb
+        |  )
+        |  SELECT y z FROM bb
+        |)
+        |SELECT * FROM (
+        |  WITH q AS (SELECT z w FROM b)
+        |  SELECT j.*, k.* FROM a j JOIN q k ON (j.y = k.w)
+        |) t""".stripMargin,
+      "SELECT 123, 123 FROM orders LIMIT 1")
+    // testWithColumnAliasing
+    assertVector("WITH a (id) AS (SELECT 123) SELECT id FROM a", "SELECT 123")
+    assertVector(
+      "WITH t (a, b, c) AS (SELECT 1, custkey x, orderkey FROM orders) " +
+        "SELECT c, b, a FROM t",
+      "SELECT orderkey, custkey, 1 FROM orders")
+    // testWithHiding: the inner `a` shadows the outer
+    assertVector(
+      "WITH a AS (SELECT 1), b AS (WITH a AS (SELECT 2) SELECT * FROM a) " +
+        "SELECT * FROM b",
+      "SELECT 2")
+    // testWithRecursive (no recursive reference)
+    assertVector("WITH RECURSIVE a(x) AS (SELECT 123) SELECT * FROM a",
+      "SELECT 123")
+  }
+
+  test("CASE / IF vectors (AbstractTestEngineOnlyQueries.java:2927-2964)") {
+    // testCaseNoElse: absent ELSE is NULL
+    assertVector(
+      "SELECT orderkey, CASE orderstatus WHEN 'O' THEN 'a' END FROM orders",
+      "SELECT orderkey, CASE WHEN orderstatus = 'O' THEN 'a' ELSE NULL END FROM orders")
+    // testIfExpression — including the reference's 2-argument IF form
+    assertVector(
+      "SELECT sum(IF(orderstatus = 'F', totalprice, 0.0)) FROM orders",
+      "SELECT sum(CASE WHEN orderstatus = 'F' THEN totalprice ELSE 0.0 END) FROM orders")
+    assertVector(
+      "SELECT sum(IF(orderstatus = 'Z', totalprice)) FROM orders",
+      "SELECT sum(CASE WHEN orderstatus = 'Z' THEN totalprice END) FROM orders")
+    assertVector(
+      "SELECT sum(IF(orderstatus = 'F', NULL, totalprice)) FROM orders",
+      "SELECT sum(CASE WHEN orderstatus = 'F' THEN NULL ELSE totalprice END) FROM orders")
+    assertVector(
+      "SELECT IF(orderstatus = 'Z', orderkey / 0, orderkey) FROM orders",
+      "SELECT CASE WHEN orderstatus = 'Z' THEN orderkey / 0 ELSE orderkey END FROM orders")
+    assertVector(
+      "SELECT sum(IF(NULLIF(orderstatus, 'F') <> 'F', totalprice, 5.1)) FROM orders",
+      "SELECT sum(CASE WHEN NULLIF(orderstatus, 'F') <> 'F' THEN totalprice ELSE 5.1 END) FROM orders")
+    assertVector("SELECT if(true, CAST(1 AS decimal(2,1)), 1)", "SELECT 1.0")
+    // testDuplicateFields / testWildcardFromSubquery
+    assertVector("SELECT * FROM (SELECT orderkey, orderkey FROM orders)",
+      "SELECT orderkey, orderkey FROM orders")
+    assertVector("SELECT * FROM (SELECT orderkey X FROM orders)",
+      "SELECT orderkey FROM orders")
+  }
+
+  test("subquery body vectors (AbstractTestEngineOnlyQueries.java:2991-3014)") {
+    assertVector("(SELECT orderkey, custkey FROM orders)",
+      "SELECT orderkey, custkey FROM orders")
+    assertOrdered("(SELECT orderkey AS a, custkey AS b FROM orders) ORDER BY a LIMIT 1",
+      "SELECT orderkey, custkey FROM orders ORDER BY orderkey LIMIT 1")
+    assertOrdered("(SELECT orderkey, custkey FROM orders) ORDER BY orderkey * -1",
+      "SELECT orderkey, custkey FROM orders ORDER BY orderkey DESC")
+    assertOrdered("(SELECT orderkey, custkey FROM orders ORDER BY custkey) ORDER BY orderkey",
+      "SELECT orderkey, custkey FROM orders ORDER BY orderkey")
+  }
+
+  test("lambda capture vectors (AbstractTestEngineOnlyQueries.java:3015-3074)") {
+    // testLambdaCapture — apply() is the reference's scalar lambda
+    // application; the dialect lowers it onto transform over a
+    // 1-element array. Capture/shadowing rides Spark's own lambda
+    // binding, which these vectors pin.
+    assertVector("SELECT apply(0, x -> x + c1) FROM (VALUES 1) t(c1)", "VALUES 1")
+    assertVector("SELECT apply(0, x -> x + t.c1) FROM (VALUES 1) t(c1)", "VALUES 1")
+    assertVector(
+      "SELECT apply(c1, x -> x + c2) FROM (VALUES (1, 2), (3, 4), (5, 6)) t(c1, c2)",
+      "VALUES 3, 7, 11")
+    assertVector("SELECT apply(c1 + 10, x -> apply(x + 100, y -> c1)) FROM (VALUES 1) t(c1)",
+      "VALUES 1")
+    assertVector("SELECT apply(c1 + 10, x -> apply(x + 100, y -> t.c1)) FROM (VALUES 1) t(c1)",
+      "VALUES 1")
+    assertVector("SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), r -> r.x)", "VALUES 10")
+    assertVector("SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), r -> r.x) FROM (VALUES 1) u(x)",
+      "VALUES 10")
+    assertVector("SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), r -> r.x) FROM (VALUES 1) r(x)",
+      "VALUES 10")
+    assertVector(
+      "SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), r -> apply(3, y -> y + r.x)) FROM (VALUES 1) u(x)",
+      "VALUES 13")
+    assertVector(
+      "SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), r -> apply(3, y -> y + r.x)) FROM (VALUES 1) r(x)",
+      "VALUES 13")
+    assertVector(
+      "SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), r -> apply(3, y -> y + r.x)) FROM (VALUES 'a') r(x)",
+      "VALUES 13")
+    assertVector(
+      "SELECT apply(CAST(ROW(10) AS ROW(x INTEGER)), z -> apply(3, y -> y + r.x)) FROM (VALUES 1) r(x)",
+      "VALUES 4")
+    // lambda variable of a not-immediately-enclosing lambda
+    assertVector("SELECT apply(1, x -> apply(10, y -> x)) FROM (VALUES 1000) t(x)", "VALUES 1")
+    assertVector("SELECT apply(1, x -> apply(10, y -> x)) FROM (VALUES 'abc') t(x)", "VALUES 1")
+    assertVector(
+      "SELECT apply(1, x -> apply(10, y -> apply(100, z -> x))) FROM (VALUES 1000) t(x)",
+      "VALUES 1")
+    assertVector(
+      "SELECT apply(1, x -> apply(10, y -> apply(100, z -> x))) FROM (VALUES 'abc') t(x)",
+      "VALUES 1")
+    // in a join post-filter
+    assertVector(
+      "SELECT * FROM (VALUES true) t(x) LEFT JOIN (VALUES 1001) t2(y) ON " +
+        "(apply(false, z -> apply(false, y -> x)))",
+      "SELECT true, 1001")
+    // testLambdaInAggregationContext
+    assertVector("SELECT apply(sum(x), i -> i * i) FROM (VALUES 1, 2, 3, 4, 5) t(x)",
+      "SELECT 225")
+    assertVector(
+      "SELECT apply(x, i -> i - 1), sum(y) FROM (VALUES (1, 10), (1, 20), (2, 50)) t(x,y) GROUP BY x",
+      "VALUES (0, 30), (1, 50)")
+    assertVector(
+      "SELECT x, apply(sum(y), i -> i * 10) FROM (VALUES (1, 10), (1, 20), (2, 50)) t(x,y) GROUP BY x",
+      "VALUES (1, 300), (2, 500)")
+    assertVector("SELECT apply(8, x -> x + 1) FROM (VALUES (1, 2)) t(x,y) GROUP BY y",
+      "SELECT 9")
+    assertVector(
+      "SELECT apply(CAST(ROW(1) AS ROW(someField BIGINT)), x -> x.someField) FROM (VALUES (1,2)) t(x,y) GROUP BY y",
+      "SELECT 1")
+    // nested lambda reusing the same variable name
+    assertVector(
+      "SELECT apply(sum(x), x -> apply(x, x -> x * x)) FROM (VALUES 1, 2, 3, 4, 5) t(x)",
+      "SELECT 225")
+    // testLambdaInSubqueryContext
+    assertVector("SELECT apply(x, i -> i * i) FROM (SELECT 10 x)", "SELECT 100")
+    assertVector("SELECT apply((SELECT 10), i -> i * i)", "SELECT 100")
+    assertVector("SELECT apply(x, i -> i * x) FROM (SELECT 10 x)", "SELECT 100")
+    assertVector("SELECT apply(x, y -> y * x) FROM (SELECT 10 x, 3 y)", "SELECT 100")
+    assertVector("SELECT apply(x, z -> y * x) FROM (SELECT 10 x, 3 y)", "SELECT 30")
+    // testLambdaInValuesAndUnnest
+    assertVector("SELECT * FROM UNNEST(transform(sequence(1, 5), x -> x * x))",
+      "SELECT * FROM (VALUES 1, 4, 9, 16, 25)")
+    assertVector("SELECT x[5] FROM (VALUES transform(sequence(1, 5), x -> x * x)) t(x)",
+      "SELECT 25")
+  }
+
+  test("row subscript / map subscript vectors (AbstractTestEngineOnlyQueries.java:3135-3164)") {
+    // testMapSubscript (the implicit-row-key form `map[...(1,2)]` is
+    // out of dialect scope: implicit row constructors are ambiguous
+    // with parenthesized expressions in free text)
+    assertVector("SELECT map(array[1], array['aa'])[1]", "SELECT 'aa'")
+    assertVector("SELECT map(array['a'], array['aa'])['a']", "SELECT 'aa'")
+    assertVector("SELECT map(array[array[1,1]], array['a'])[array[1,1]]", "SELECT 'a'")
+    // testRowSubscript: unnamed fields
+    assertVector("SELECT ROW (1, 'a', true)[2]", "SELECT 'a'")
+    assertVector("SELECT r[2] FROM (VALUES (ROW (ROW (1, 'a', true)))) AS v(r)",
+      "SELECT 'a'")
+    assertVector(
+      "SELECT r[1], r[2] FROM (SELECT ROW (name, regionkey) FROM nation ORDER BY name LIMIT 1) t(r)",
+      "SELECT name, regionkey FROM nation ORDER BY name LIMIT 1")
+    // named fields
+    assertVector(
+      "SELECT (CAST (ROW (1, 'a', 2 ) AS ROW (field1 bigint, field2 varchar(1), field3 bigint)))[2]",
+      "SELECT 'a'")
+    // nested row
+    assertVector("SELECT ROW (1, 'a', ROW (false, 2, 'b'))[3][3]", "SELECT 'b'")
+    // in filter condition
+    assertVector(
+      "SELECT orderstatus FROM orders WHERE ROW (orderkey, custkey)[1] = 100",
+      "SELECT orderstatus FROM orders WHERE orderkey = 100")
+    // in join condition
+    assertVector(
+      "SELECT n.name, r.name FROM nation n JOIN region r ON " +
+        "ROW (n.name, n.regionkey)[2] = ROW (r.name, r.regionkey)[2] " +
+        "ORDER BY n.name LIMIT 1",
+      "SELECT n.name, r.name FROM nation n JOIN region r ON " +
+        "n.regionkey = r.regionkey ORDER BY n.name LIMIT 1")
+    // testVarbinary
+    assertVector("SELECT LENGTH(x) FROM (SELECT from_base64('gw==') AS x)", "SELECT 1")
+    assertVector("SELECT LENGTH(from_base64('gw=='))", "SELECT 1")
+    // testRows: row equality via array membership (the JSON_FORMAT
+    // vectors are format-specific to the reference's anonymous-field
+    // JSON rendering and are out of scope)
+    assertVector(
+      "SELECT CONTAINS(ARRAY_AGG(ROW(a, b)), ROW(1, 2)) FROM (VALUES (1, 2), (3, 4), (5, 6)) t(a, b)",
+      "SELECT TRUE")
+  }
+
+  test("row field accessor vectors (AbstractTestEngineOnlyQueries.java:3172-3296)") {
+    // testRowFieldAccessor: dereference only
+    assertVector(
+      "SELECT a.col0 FROM (VALUES ROW (CAST(ROW(1, 2) AS ROW(col0 integer, col1 integer)))) AS t (a)",
+      "SELECT 1")
+    assertVector(
+      "SELECT a.col0 FROM (VALUES ROW (CAST(ROW(1.0E0, 2.0E0) AS ROW(col0 integer, col1 integer)))) AS t (a)",
+      "SELECT 1")
+    assertVector(
+      "SELECT a.col0 FROM (VALUES ROW (CAST(ROW(TRUE, FALSE) AS ROW(col0 boolean, col1 boolean)))) AS t (a)",
+      "SELECT TRUE")
+    assertVector(
+      "SELECT a.col1 FROM (VALUES ROW (CAST(ROW(1.0, 'kittens') AS ROW(col0 varchar, col1 varchar)))) AS t (a)",
+      "SELECT 'kittens'")
+    assertVector(
+      "SELECT a.col2.col1 FROM (VALUES ROW(CAST(ROW(1.0, ARRAY[2], row(3, 4.0)) AS " +
+        "ROW(col0 double, col1 array(int), col2 row(col0 integer, col1 double))))) t(a)",
+      "SELECT 4.0")
+    // mixture of row field reference and table field reference
+    assertVector(
+      "SELECT CAST(row(1, t.x) AS row(col0 bigint, col1 bigint)).col1 FROM (VALUES 1, 2, 3) t(x)",
+      "SELECT * FROM (VALUES 1, 2, 3)")
+    assertVector(
+      "SELECT Y.col1 FROM (SELECT CAST(row(1, t.x) AS row(col0 bigint, col1 bigint)) AS Y " +
+        "FROM (VALUES 1, 2, 3) t(x)) test_t",
+      "SELECT * FROM (VALUES 1, 2, 3)")
+    // subscript + dereference
+    assertVector(
+      "SELECT a.col1[2] FROM (VALUES ROW(CAST(ROW(1.0, ARRAY[22, 33, 44, 55], row(3, 4.0E0)) AS " +
+        "ROW(col0 double, col1 array(integer), col2 row(col0 integer, col1 double))))) t(a)",
+      "SELECT 33")
+    assertVector(
+      "SELECT a.col1[2].col0, a.col1[2].col1 FROM (VALUES ROW(cast(row(1.0, " +
+        "ARRAY[row(31, 4.1E0), row(32, 4.2E0)], row(3, 4.0E0)) AS ROW(col0 double, " +
+        "col1 array(row(col0 integer, col1 double)), col2 row(col0 integer, col1 double))))) t(a)",
+      "SELECT 32, 4.2")
+    assertVector("SELECT CAST(row(11, 12) AS row(col0 bigint, col1 bigint)).col0",
+      "SELECT 11")
+    // testRowFieldAccessorInAggregate
+    assertVector(
+      "SELECT a.col0, SUM(a.col1[2]), SUM(a.col2.col0), SUM(a.col2.col1) FROM (VALUES " +
+        "ROW(CAST(ROW(1.0, ARRAY[2, 13, 4], row(11, 4.1E0))   AS ROW(col0 double, col1 array(integer), col2 row(col0 integer, col1 double)))), " +
+        "ROW(CAST(ROW(2.0, ARRAY[2, 23, 4], row(12, 14.0E0))  AS ROW(col0 double, col1 array(integer), col2 row(col0 integer, col1 double)))), " +
+        "ROW(CAST(ROW(1.0, ARRAY[22, 33, 44], row(13, 5.0E0)) AS ROW(col0 double, col1 array(integer), col2 row(col0 integer, col1 double))))) t(a) " +
+        "GROUP BY a.col0",
+      "VALUES (1.0, 46, 24, 9.1), (2.0, 23, 12, 14.0)")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
