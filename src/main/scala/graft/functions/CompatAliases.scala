@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitAndAgg, BitOrAgg, First, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitAndAgg, BitOrAgg, First, HyperLogLogPlusPlus, Max, MaxBy, Min, MinBy}
 import org.apache.spark.sql.types._
 
 /** Exact-name compatibility layer: the reference spellings that were
@@ -54,6 +54,17 @@ object CompatAliases {
   def inject(e: SparkSessionExtensions): Unit = {
     // ---- string position / codepoints
     fn(e, "strpos", c => asLong(StringInstr(c(0), c(1))))
+    // Reference N-variants under their native overloaded spellings
+    // (`min(x, n)` = values of the n smallest x; `min_by(x, y, n)`):
+    // arity-dispatch onto the bounded-heap aggregates; the 1/2-arg
+    // forms stay the Spark builtins (NanAwareFloatingAggs then swaps
+    // floating-point ones for the NaN-skipping variants at resolution).
+    fn(e, "min", c => if (c.length == 2) MinByN(c(0), c(0), c(1)) else Min(c.head))
+    fn(e, "max", c => if (c.length == 2) MaxByN(c(0), c(0), c(1)) else Max(c.head))
+    fn(e, "min_by", c =>
+      if (c.length == 3) MinByN(c(0), c(1), c(2)) else MinBy(c(0), c(1)))
+    fn(e, "max_by", c =>
+      if (c.length == 3) MaxByN(c(0), c(1), c(2)) else MaxBy(c(0), c(1)))
     // Reference `contains(array, elem)` is ARRAY membership
     // (ArrayFunctions.java) — Spark's built-in `contains` is
     // string/binary-only, so dispatch on the (resolved-by-now) input

@@ -49,9 +49,28 @@ abstract class MinMaxByNBase
   /** Heap dequeues the first-to-evict element: the largest kept y for
     * min_by_n, the smallest kept y for max_by_n. Sorting ascending
     * under this same ordering also yields the output order (min →
-    * y ascending, max → y descending). */
-  private lazy val queueOrd: Ordering[Any] =
-    if (descending) baseOrd.reverse else baseOrd
+    * y ascending, max → y descending). Floating NaN keys rank WORST in
+    * both directions (reference testMinMaxNFloatingPointNaN: min(x,2)
+    * AND max(x,2) of (8.8, NaN) are both [8.8, NaN]) — kept only when
+    * the heap has room, emitted last. */
+  private lazy val queueOrd: Ordering[Any] = {
+    val dir = if (descending) baseOrd.reverse else baseOrd
+    val isNan: Any => Boolean = keyExpr.dataType match {
+      case org.apache.spark.sql.types.DoubleType =>
+        v => v.asInstanceOf[Double].isNaN
+      case org.apache.spark.sql.types.FloatType =>
+        v => v.asInstanceOf[Float].isNaN
+      case _ => null
+    }
+    if (isNan == null) dir
+    else new Ordering[Any] { // NaN = greatest in evict-first order
+      override def compare(a: Any, b: Any): Int = {
+        val an = isNan(a); val bn = isNan(b)
+        if (an && bn) 0 else if (an) 1 else if (bn) -1
+        else dir.compare(a, b)
+      }
+    }
+  }
 
   private lazy val pairOrd: Ordering[(Any, Any)] =
     Ordering.by[(Any, Any), Any](_._1)(queueOrd)

@@ -165,9 +165,10 @@ object Dialect {
     // literal typing). The literal is its own segment, so this is a
     // cross-segment wrap. `VARCHAR 'x'` → CAST AS STRING; the integer
     // family (`SMALLINT '3'` etc.) → CAST to the named type. DOUBLE
-    // 'x' maps via Spark's own `DOUBLE` — not handled here.
+    // 'x' too: Spark's typed-literal grammar only covers
+    // date/time/interval/binary, not numerics.
     val typedLitRe =
-      "(?i)\\b(REAL|DECIMAL|VARCHAR|TINYINT|SMALLINT|INTEGER|BIGINT)\\s*$".r
+      "(?i)\\b(REAL|DECIMAL|VARCHAR|TINYINT|SMALLINT|INTEGER|BIGINT|DOUBLE)\\s*$".r
     var tl = 0
     while (tl + 2 < parts.length) {
       val (seg, isLit) = parts(tl)
@@ -178,7 +179,7 @@ object Dialect {
           val target = m.group(1).toUpperCase match {
             case "REAL" => "FLOAT"
             case "VARCHAR" => "STRING"
-            case t @ ("TINYINT" | "SMALLINT" | "INTEGER" | "BIGINT") => t
+            case t @ ("TINYINT" | "SMALLINT" | "INTEGER" | "BIGINT" | "DOUBLE") => t
             case _ =>
               val digits = body.count(_.isDigit)
               val dot = body.indexOf('.')

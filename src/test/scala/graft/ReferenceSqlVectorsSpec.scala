@@ -1041,6 +1041,84 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1.0, 46, 24, 9.1), (2.0, 23, 12, 14.0)")
   }
 
+  test("min/max floating-point NaN vectors (AbstractTestEngineOnlyQueries.java:2291-2430)") {
+    // testMinMaxFloatingPointNaN: NaN inputs are skipped unless only
+    // NaN remains (Spark's native ordering would return NaN for max)
+    assertVector(
+      "SELECT min(x), max(x) FROM (VALUES CAST(NaN() AS DOUBLE), DOUBLE '5.5', DOUBLE '3.3') t (x)",
+      "VALUES (CAST(3.3 AS DOUBLE), CAST(5.5 AS DOUBLE))")
+    assertVector(
+      "SELECT min(x), max(x) FROM (VALUES DOUBLE '5.5', CAST(NaN() AS DOUBLE), DOUBLE '3.3') t (x)",
+      "VALUES (CAST(3.3 AS DOUBLE), CAST(5.5 AS DOUBLE))")
+    assertVector(
+      "SELECT min(x), max(x) FROM (VALUES DOUBLE '5.5', DOUBLE '3.3', CAST(NaN() AS DOUBLE)) t (x)",
+      "VALUES (CAST(3.3 AS DOUBLE), CAST(5.5 AS DOUBLE))")
+    assertVector(
+      "SELECT min(x), max(x) FROM (VALUES CAST(NaN() AS DOUBLE)) t (x)",
+      "VALUES (CAST(sqrt(-1) AS DOUBLE), CAST(sqrt(-1) AS DOUBLE))")
+    assertVector(
+      "SELECT min(x), max(x) FROM (VALUES CAST(NaN() AS REAL), REAL '5.5', REAL '3.3') t (x)",
+      "VALUES (CAST(3.3 AS REAL), CAST(5.5 AS REAL))")
+    assertVector(
+      "SELECT min(x), max(x) FROM (VALUES REAL '5.5', CAST(NaN() AS REAL), REAL '3.3') t (x)",
+      "VALUES (CAST(3.3 AS REAL), CAST(5.5 AS REAL))")
+    assertVector(
+      "SELECT min(x), max(x) FROM (VALUES REAL '5.5', REAL '3.3', CAST(NaN() AS REAL)) t (x)",
+      "VALUES (CAST(3.3 AS REAL), CAST(5.5 AS REAL))")
+    assertVector(
+      "SELECT min(x), max(x) FROM (VALUES CAST(NaN() AS REAL)) t (x)",
+      "VALUES (CAST(sqrt(-1) AS REAL), CAST(sqrt(-1) AS REAL))")
+    // with nulls mixed in (null ignored, NaN skipped)
+    assertVector(
+      "SELECT min(x), max(x) FROM (VALUES CAST(NULL AS DOUBLE), CAST(NaN() AS DOUBLE), DOUBLE '7.7') t (x)",
+      "VALUES (CAST(7.7 AS DOUBLE), CAST(7.7 AS DOUBLE))")
+    // testMinMaxNFloatingPointNaN: NaN ranks last in BOTH directions
+    assertVector(
+      "SELECT min(x, 2), max(x, 2) FROM (VALUES CAST(NaN() AS DOUBLE), DOUBLE '5.5', DOUBLE '3.3', DOUBLE '4.4') t (x)",
+      "VALUES (ARRAY[CAST(3.3 AS DOUBLE), CAST(4.4 AS DOUBLE)], ARRAY[CAST(5.5 AS DOUBLE), CAST(4.4 AS DOUBLE)])")
+    assertVector(
+      "SELECT min(x, 2), max(x, 2) FROM (VALUES DOUBLE '5.5', CAST(NaN() AS DOUBLE), DOUBLE '3.3', DOUBLE '4.4') t (x)",
+      "VALUES (ARRAY[CAST(3.3 AS DOUBLE), CAST(4.4 AS DOUBLE)], ARRAY[CAST(5.5 AS DOUBLE), CAST(4.4 AS DOUBLE)])")
+    assertVector(
+      "SELECT min(x, 2), max(x, 2) FROM (VALUES DOUBLE '5.5', DOUBLE '3.3', DOUBLE '4.4', CAST(NaN() AS DOUBLE)) t (x)",
+      "VALUES (ARRAY[CAST(3.3 AS DOUBLE), CAST(4.4 AS DOUBLE)], ARRAY[CAST(5.5 AS DOUBLE), CAST(4.4 AS DOUBLE)])")
+    assertVector(
+      "SELECT min(x, 2), max(x, 2) FROM (VALUES DOUBLE '8.8', CAST(NaN() AS DOUBLE)) t (x)",
+      "VALUES (ARRAY[CAST(8.8 AS DOUBLE), CAST(sqrt(-1) AS DOUBLE)], ARRAY[CAST(8.8 AS DOUBLE), CAST(sqrt(-1) AS DOUBLE)])")
+    assertVector(
+      "SELECT min(x, 2), max(x, 2) FROM (VALUES CAST(NaN() AS REAL), REAL '5.5', REAL '3.3', REAL '4.4') t (x)",
+      "VALUES (ARRAY[CAST(3.3 AS REAL), CAST(4.4 AS REAL)], ARRAY[CAST(5.5 AS REAL), CAST(4.4 AS REAL)])")
+    assertVector(
+      "SELECT min(x, 2), max(x, 2) FROM (VALUES REAL '8.8', CAST(NaN() AS REAL)) t (x)",
+      "VALUES (ARRAY[CAST(8.8 AS REAL), CAST(sqrt(-1) AS REAL)], ARRAY[CAST(8.8 AS REAL), CAST(sqrt(-1) AS REAL)])")
+    // testMinMaxByFloatingPointNaN
+    assertVector(
+      "SELECT min_by(x, y), max_by(x, y) FROM (VALUES ('a', CAST(NaN() AS DOUBLE)), ('b', DOUBLE '5.5'), ('c', DOUBLE '3.3')) t (x, y)",
+      "VALUES ('c', 'b')")
+    assertVector(
+      "SELECT min_by(x, y), max_by(x, y) FROM (VALUES ('a', DOUBLE '5.5'), ('b', CAST(NaN() AS DOUBLE)), ('c', DOUBLE '3.3')) t (x, y)",
+      "VALUES ('c', 'a')")
+    assertVector(
+      "SELECT min_by(x, y), max_by(x, y) FROM (VALUES ('a', DOUBLE '5.5'), ('b', DOUBLE '3.3'), ('c', CAST(NaN() AS DOUBLE))) t (x, y)",
+      "VALUES ('b', 'a')")
+    assertVector(
+      "SELECT min_by(x, y), max_by(x, y) FROM (VALUES ('a', CAST(NaN() AS DOUBLE))) t (x, y)",
+      "VALUES ('a', 'a')")
+    assertVector(
+      "SELECT min_by(x, y), max_by(x, y) FROM (VALUES ('a', CAST(NaN() AS REAL)), ('b', REAL '5.5'), ('c', REAL '3.3')) t (x, y)",
+      "VALUES ('c', 'b')")
+    assertVector(
+      "SELECT min_by(x, y), max_by(x, y) FROM (VALUES ('a', REAL '5.5'), ('b', REAL '3.3'), ('c', CAST(NaN() AS REAL))) t (x, y)",
+      "VALUES ('b', 'a')")
+    // grouped variant: the NaN rules hold under partial/final split
+    assertVector(
+      "SELECT g, min(x), max(x) FROM (VALUES (1, CAST(NaN() AS DOUBLE)), (1, DOUBLE '5.5'), " +
+        "(2, CAST(NaN() AS DOUBLE)), (3, CAST(NULL AS DOUBLE))) t (g, x) GROUP BY g",
+      "VALUES (1, CAST(5.5 AS DOUBLE), CAST(5.5 AS DOUBLE)), " +
+        "(2, CAST(sqrt(-1) AS DOUBLE), CAST(sqrt(-1) AS DOUBLE)), " +
+        "(3, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
