@@ -888,7 +888,50 @@ object DialectQueries {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 
+  /** r14 promotion: the reference's floating-point NaN contract for
+    * the min/max aggregate family (`MinMaxCompare.java`, replayed from
+    * its testMinMax*FloatingPointNaN vectors): NaN inputs/keys are
+    * SKIPPED unless nothing else remains. Spark natively ranks NaN
+    * above every double (max would return NaN) — the
+    * NanAwareFloatingAggs resolution rule swaps in the two-slot
+    * declarative aggregates. The oracle spells the skip explicitly
+    * (`CASE WHEN isnan THEN NULL`), which DuckDB's null-skipping
+    * aggregates then honor; the (orderkey, linenumber)-derived key
+    * keeps min_by/max_by deterministic under ties. */
+  val dx23Reference: String =
+    """SELECT l_returnflag,
+      |  min(nan_mix) AS mn, max(nan_mix) AS mx,
+      |  min_by(l_orderkey, nan_key) AS k_min,
+      |  max_by(l_orderkey, nan_key) AS k_max
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey,
+      |    CASE WHEN l_partkey % 7 = 0 THEN nan() ELSE l_extendedprice END AS nan_mix,
+      |    CASE WHEN l_partkey % 7 = 0 THEN nan()
+      |         ELSE CAST(l_orderkey AS DOUBLE) * 10 + l_linenumber END AS nan_key
+      |  FROM lineitem WHERE l_orderkey <= 4000) t
+      |GROUP BY l_returnflag""".stripMargin
+
+  def dx23(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx23Reference))
+  }
+
+  val dx23Sql: String =
+    """SELECT l_returnflag,
+      |  min(CASE WHEN isnan(nan_mix) THEN NULL ELSE nan_mix END) AS mn,
+      |  max(CASE WHEN isnan(nan_mix) THEN NULL ELSE nan_mix END) AS mx,
+      |  CAST(arg_min(l_orderkey, CASE WHEN isnan(nan_key) THEN NULL ELSE nan_key END) AS BIGINT) AS k_min,
+      |  CAST(arg_max(l_orderkey, CASE WHEN isnan(nan_key) THEN NULL ELSE nan_key END) AS BIGINT) AS k_max
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey,
+      |    CASE WHEN l_partkey % 7 = 0 THEN 'NaN'::DOUBLE ELSE l_extendedprice END AS nan_mix,
+      |    CASE WHEN l_partkey % 7 = 0 THEN 'NaN'::DOUBLE
+      |         ELSE CAST(l_orderkey AS DOUBLE) * 10 + l_linenumber END AS nan_key
+      |  FROM lineitem WHERE l_orderkey <= 4000) t
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx23_nan_minmax" -> dx23 _,
     "dx22_three_part_names" -> dx22 _,
     "dx20_quantified_subscripts" -> dx20 _,
     "dx21_unnest_join_sql" -> dx21 _,
@@ -913,6 +956,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx23_nan_minmax" -> dx23Sql,
     "dx22_three_part_names" -> dx22Sql,
     "dx20_quantified_subscripts" -> dx20Sql,
     "dx21_unnest_join_sql" -> dx21Sql,

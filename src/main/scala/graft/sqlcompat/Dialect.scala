@@ -612,6 +612,96 @@ object Dialect {
     out
   }
 
+  /** Ranking window functions over an UNORDERED window —
+    * `row_number() OVER ()` — are legal in the reference (arbitrary
+    * numbering, `SqlBase.g4` windowSpecification makes ORDER BY
+    * optional) but rejected by Spark's analyzer. A constant ordering
+    * has exactly the arbitrary-order semantics, so append
+    * `ORDER BY 1` when the OVER body lacks one. Aggregate window
+    * functions are left alone: adding ORDER BY would silently shrink
+    * their default frame from the whole partition to
+    * RANGE … CURRENT ROW. */
+  private def unorderedRankingPass(canon0: String): String = {
+    val re = ("(?i)\\b(row_number|rank|dense_rank|percent_rank|cume_dist|" +
+      "ntile)\\s*\\([^)]*\\)\\s*OVER\\s*\\(").r
+    var out = canon0
+    var guard = 0
+    var from = 0
+    while (guard < 64) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(from))
+      if (m.isEmpty) return out
+      val open = from + m.get.end - 1
+      val close = closeParen(out, open)
+      val body = out.substring(open + 1, close)
+      if (!"(?i)\\bORDER\\s+BY\\b".r.findFirstIn(body).isDefined) {
+        val sep = if (body.trim.isEmpty) "ORDER BY 1" else " ORDER BY 1"
+        out = out.substring(0, close) + sep + out.substring(close)
+      }
+      from = open + 1
+    }
+    out
+  }
+
+  /** Default null placement in ORDER BY: the reference sorts nulls
+    * LAST ascending and FIRST descending (`SqlBase.g4` sortItem /
+    * SQL:2016 implementation-defined choice), Spark the exact
+    * OPPOSITE — so every translated sort item without an explicit
+    * `NULLS FIRST|LAST` gets the reference's default appended.
+    * Explicit spellings pass through untouched. Covers query-level
+    * ORDER BY, window `OVER (ORDER BY …)`, and aggregate
+    * `agg(x ORDER BY y)` alike: items run to a depth-0 comma, a
+    * depth-0 terminator keyword (LIMIT/ROWS/…), an unmatched `)`, or
+    * end of text. */
+  private val obTermRe =
+    ("(?i)\\A(LIMIT|OFFSET|FETCH|WINDOW|UNION|INTERSECT|EXCEPT|ROWS|" +
+      "RANGE|GROUPS|HAVING|FOR|MEASURES|SEPARATOR)\\b").r
+
+  private def orderByNullsPass(canon0: String): String = {
+    var out = canon0
+    val re = "(?i)\\bORDER\\s+BY\\b".r
+    // right-to-left so inserted suffixes never shift unprocessed spans
+    for (m <- re.findAllMatchIn(out).toList.reverse) {
+      var i = m.end
+      var depth = 0
+      var itemStart = i
+      var done = false
+      var items = List.empty[(Int, Int)] // [start, end), built right-to-left
+      while (!done) {
+        if (i >= out.length) { items ::= (itemStart -> i); done = true }
+        else {
+          val c = out.charAt(i)
+          val wordStart = !Character.isLetterOrDigit(out.charAt(i - 1)) &&
+            out.charAt(i - 1) != '_'
+          if (c == '(') { depth += 1; i += 1 }
+          else if (c == ')') {
+            if (depth == 0) { items ::= (itemStart -> i); done = true }
+            else { depth -= 1; i += 1 }
+          } else if (c == ',' && depth == 0) {
+            items ::= (itemStart -> i); i += 1; itemStart = i
+          } else if (depth == 0 && c.isLetter && wordStart &&
+            obTermRe.findFirstIn(out.substring(i)).isDefined) {
+            items ::= (itemStart -> i); done = true
+          } else i += 1
+        }
+      }
+      for ((s, e) <- items) { // right-to-left within the clause too
+        val item = out.substring(s, e)
+        val body = item.trim
+        val explicit = "(?is)NULLS\\s+(FIRST|LAST)\\s*\\z".r
+          .findFirstIn(body).isDefined
+        if (body.nonEmpty && !explicit) {
+          val suffix =
+            if ("(?is)\\bDESC\\s*\\z".r.findFirstIn(body).isDefined) " NULLS FIRST"
+            else " NULLS LAST"
+          val insertAt = s + item.lastIndexWhere(!_.isWhitespace) + 1
+          out = out.substring(0, insertAt) + suffix + out.substring(insertAt)
+        }
+      }
+    }
+    out
+  }
+
   /** Explicit row-constructor syntax in VALUES lists: `VALUES
     * ROW(a, b), ROW(c, d)` declares 2-COLUMN rows (`SqlBase.g4`
     * rowValue), equivalent to Spark's bare `(a, b)` tuples — NOT
@@ -783,6 +873,10 @@ object Dialect {
     out = valuesLambdaPass(out)
     out = applyPass(out)
     out = ifTwoArgPass(out)
+    out = unorderedRankingPass(out)
+    out = orderByNullsPass(out)
+    // `count()` with no argument is the reference's count(*)
+    out = out.replaceAll("(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
 
     val sb = new StringBuilder
     val stack = scala.collection.mutable.Stack[Boolean]()

@@ -1119,6 +1119,103 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "(3, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))")
   }
 
+  test("window query vectors (AbstractTestWindowQueries.java:98-433)") {
+    // testRowFieldAccessorInWindowFunction — row plumbing inside
+    // window partition keys and arguments. Expected sides spell the
+    // additions out so FP equality is bit-exact.
+    assertVector(
+      "SELECT a.col0, SUM(a.col1[1].col1) OVER(PARTITION BY a.col2.col0), " +
+        "SUM(a.col2.col1) OVER(PARTITION BY a.col2.col0) FROM (VALUES " +
+        "ROW(CAST(ROW(1.0, ARRAY[row(31, 14.5E0), row(12, 4.2E0)], row(3, 4.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+        "ROW(CAST(ROW(2.2, ARRAY[row(41, 13.1E0), row(32, 4.2E0)], row(6, 6.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+        "ROW(CAST(ROW(2.2, ARRAY[row(41, 17.1E0), row(45, 4.2E0)], row(7, 16.0E0)) AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+        "ROW(CAST(ROW(2.2, ARRAY[row(41, 13.1E0), row(32, 4.2E0)], row(6, 6.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+        "ROW(CAST(ROW(3.1, ARRAY[row(41, 13.1E0), row(32, 4.2E0)], row(6, 6.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double))))) t(a)",
+      "VALUES (1.0, 14.5E0, 4.0E0), (2.2, 13.1E0+13.1E0+13.1E0, 6.0E0+6.0E0+6.0E0), " +
+        "(2.2, 13.1E0+13.1E0+13.1E0, 6.0E0+6.0E0+6.0E0), (2.2, 17.1E0, 16.0E0), " +
+        "(3.1, 13.1E0+13.1E0+13.1E0, 6.0E0+6.0E0+6.0E0)")
+    assertVector(
+      "SELECT a.col1[1].col0, SUM(a.col0) OVER(PARTITION BY a.col1[1].col0), " +
+        "SUM(a.col1[1].col1) OVER(PARTITION BY a.col1[1].col0), " +
+        "SUM(a.col2.col1) OVER(PARTITION BY a.col1[1].col0) FROM (VALUES " +
+        "ROW(CAST(ROW(1.0, ARRAY[row(31, 14.5E0), row(12, 4.2E0)], row(3, 4.0E0)) AS ROW(col0 double, col1 array(row(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+        "ROW(CAST(ROW(3.1, ARRAY[row(41, 13.1E0), row(32, 4.2E0)], row(6, 6.0E0)) AS ROW(col0 double, col1 array(row(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+        "ROW(CAST(ROW(2.2, ARRAY[row(31, 14.2E0), row(22, 5.2E0)], row(5, 4.0E0)) AS ROW(col0 double, col1 array(row(col0 integer, col1 double)), col2 row(col0 integer, col1 double))))) t(a) " +
+        "WHERE a.col1[2].col1 > a.col2.col0",
+      "VALUES (31, 1.0E0+2.2E0, 14.5E0+14.2E0, 4.0E0+4.0E0), " +
+        "(31, 1.0E0+2.2E0, 14.5E0+14.2E0, 4.0E0+4.0E0)")
+    // testWindowImplicitCoercion (orderkeys start at 0 in the fixture;
+    // the bigint row_number coerces to double under the IEEE divide)
+    assertOrdered(
+      "SELECT orderkey, 1e0 / row_number() OVER (ORDER BY orderkey) " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 2) t",
+      "VALUES (0, 1.0E0), (1, 0.5E0)")
+    // testDependentWindows: two adjacent window nodes, second depends
+    // on the first's output
+    assertVector(
+      "WITH t1 AS (SELECT extendedprice FROM lineitem ORDER BY orderkey, partkey, linenumber LIMIT 2), " +
+        "t2 AS (SELECT extendedprice, sum(extendedprice) OVER() AS x FROM t1), " +
+        "t3 AS (SELECT max(x) OVER() AS m FROM t2) SELECT * FROM t3",
+      "SELECT s FROM (SELECT CAST(sum(extendedprice) AS DOUBLE) AS s FROM " +
+        "(SELECT extendedprice FROM lineitem ORDER BY orderkey, partkey, linenumber LIMIT 2) q) " +
+        "CROSS JOIN (VALUES 1, 2) t(i)")
+    // testWindowFunctionWithoutParameters: count() ≡ count(*)
+    assertVector(
+      "SELECT count() OVER (PARTITION BY custkey) FROM orders WHERE custkey < 30",
+      "SELECT count(*) OVER (PARTITION BY custkey) FROM orders WHERE custkey < 30")
+    // testWindowFunctionWithImplicitCoercion
+    assertVector("SELECT *, 1.0 * sum(x) OVER () FROM (VALUES 1) t(x)", "SELECT 1, 1.0")
+    // testWindowFunctionsExpressions (orderkeys 0..9)
+    assertOrdered(
+      "SELECT orderkey, row_number() OVER (ORDER BY orderkey * 2) * " +
+        "row_number() OVER (ORDER BY orderkey DESC) + 100 " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x ORDER BY orderkey LIMIT 5",
+      "VALUES (0, 110), (1, 118), (2, 124), (3, 128), (4, 130)")
+    // testOrderByWindowFunction
+    assertOrdered(
+      "SELECT orderkey, row_number() OVER (ORDER BY orderkey) " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) t ORDER BY 2 DESC LIMIT 5",
+      "VALUES (9, 10), (8, 9), (7, 8), (6, 7), (5, 6)")
+    // testSameWindowFunctionsTwoCoerces
+    assertOrdered(
+      "SELECT 12.0E0 * row_number() OVER ()/row_number() OVER(), row_number() OVER() " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) t ORDER BY 2 DESC LIMIT 5",
+      "VALUES (12.0E0, 10), (12.0E0, 9), (12.0E0, 8), (12.0E0, 7), (12.0E0, 6)")
+    assertVector(
+      "SELECT (MAX(x.a) OVER () - x.a) * 100.0E0 / MAX(x.a) OVER () FROM (VALUES 1, 2, 3, 4) x(a)",
+      "VALUES 75.0E0, 50.0E0, 25.0E0, 0.0E0")
+    // testDistinctWindow: rank over a DISTINCT aggregate, window
+    // evaluated after grouping (reformulated two-step)
+    assertVector(
+      "SELECT rank() OVER (PARTITION BY orderdate ORDER BY COUNT(DISTINCT orderpriority)) rnk " +
+        "FROM orders GROUP BY orderdate, custkey",
+      "SELECT rank() OVER (PARTITION BY orderdate ORDER BY c) rnk FROM " +
+        "(SELECT orderdate, custkey, COUNT(DISTINCT orderpriority) c FROM orders " +
+        "GROUP BY orderdate, custkey) g")
+    // testGroupingInWindowFunction: grouping() inside window partition
+    // keys over a ROLLUP (decimal-pinned sums for cross-plan equality)
+    assertVector(
+      "SELECT orderkey, custkey, CAST(sum(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE), " +
+        "grouping(orderkey)+grouping(custkey) AS g, " +
+        "rank() OVER (PARTITION BY grouping(orderkey)+grouping(custkey), " +
+        "CASE WHEN grouping(orderkey) = 0 THEN custkey END ORDER BY orderkey ASC) AS r " +
+        "FROM orders WHERE orderkey <= 20 GROUP BY ROLLUP (orderkey, custkey)",
+      "SELECT orderkey, custkey, s, g1+g2 AS g, " +
+        "rank() OVER (PARTITION BY g1+g2, CASE WHEN g1 = 0 THEN custkey END ORDER BY orderkey ASC) AS r " +
+        "FROM (SELECT orderkey, custkey, CAST(sum(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) s, " +
+        "grouping(orderkey) g1, grouping(custkey) g2 " +
+        "FROM orders WHERE orderkey <= 20 GROUP BY ROLLUP (orderkey, custkey)) t")
+    // testWindowMapAgg: a custom TypedImperativeAggregate (map_agg) as
+    // a window function (reformulated: join the grouped form back)
+    assertVector(
+      "SELECT orderkey, map_agg(orderkey, orderpriority) OVER(PARTITION BY orderstatus) m " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) t",
+      "SELECT o.orderkey, g.m FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o JOIN " +
+        "(SELECT orderstatus, map_agg(orderkey, orderpriority) m FROM " +
+        "(SELECT * FROM orders ORDER BY orderkey LIMIT 5) t GROUP BY orderstatus) g " +
+        "ON o.orderstatus = g.orderstatus")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
