@@ -208,6 +208,7 @@ object GraftFunctions {
     e.injectResolutionRule(_ => graft.plans.BigIntArraySubscript)
     e.injectResolutionRule(_ => graft.plans.RowSubscript)
     e.injectResolutionRule(_ => graft.functions.NanAwareFloatingAggs)
+    e.injectResolutionRule(_ => graft.plans.MapGroupingKeys)
     // Twice on purpose: the Hints batch runs BEFORE the Resolution
     // batch's ResolveInlineTables evaluates VALUES rows (all-literal
     // divisions are already resolved there), while the Resolution-batch

@@ -1216,6 +1216,59 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "ON o.orderstatus = g.orderstatus")
   }
 
+  test("aggregation vectors: complex keys + distinct (AbstractTestAggregations.java:34-330)") {
+    // testGroupByMap / testGroupByComplexMap: MAP-typed grouping keys
+    // (Spark rejects these natively; the MapGroupingKeys rule
+    // canonicalizes to sorted entry arrays)
+    assertVector(
+      "SELECT col[1], count FROM (SELECT MAP(ARRAY[1], ARRAY[custkey]) col, COUNT(*) count FROM orders GROUP BY 1)",
+      "SELECT custkey, COUNT(*) FROM orders GROUP BY custkey")
+    assertVector(
+      "SELECT MAP_KEYS(x)[1] FROM (VALUES MAP(ARRAY['a'], ARRAY[ARRAY[1]]), MAP(ARRAY['b'], ARRAY[ARRAY[2]])) t(x) GROUP BY x",
+      "VALUES 'a', 'b'")
+    // testGroupByRow
+    assertVector(
+      "SELECT col.col1, count FROM (SELECT CAST(row(custkey, custkey) AS row(col0 bigint, col1 bigint)) col, COUNT(*) count FROM orders GROUP BY 1)",
+      "SELECT custkey, COUNT(*) FROM orders GROUP BY custkey")
+    // testSumOfNulls
+    assertVector(
+      "SELECT orderstatus, sum(CAST(NULL AS BIGINT)) FROM orders GROUP BY orderstatus",
+      "SELECT orderstatus, CAST(NULL AS BIGINT) FROM orders GROUP BY orderstatus")
+    // testNestedGroupByWithSameKey (sum of the per-key count = count)
+    assertVector(
+      "SELECT custkey, sum(t) FROM (SELECT custkey, count(*) t FROM orders GROUP BY custkey) u GROUP BY custkey",
+      "SELECT custkey, count(*) FROM orders GROUP BY custkey")
+    // testGroupByWithNulls: null and 0 are distinct keys
+    assertVector(
+      "SELECT key, COUNT(*) FROM (SELECT CASE WHEN orderkey % 3 = 0 THEN NULL " +
+        "WHEN orderkey % 5 = 0 THEN 0 ELSE orderkey END AS key FROM lineitem) t GROUP BY key",
+      "SELECT CASE WHEN orderkey % 3 = 0 THEN NULL WHEN orderkey % 5 = 0 THEN 0 ELSE orderkey END AS key, " +
+        "COUNT(*) FROM lineitem GROUP BY 1")
+    // testHistogram (shape: aggregate over aggregate, ordinal group)
+    assertVector(
+      "SELECT lines, COUNT(*) FROM (SELECT orderkey, COUNT(*) lines FROM lineitem GROUP BY orderkey) u GROUP BY lines",
+      "SELECT lines, COUNT(*) FROM (SELECT orderkey, COUNT(*) lines FROM lineitem GROUP BY 1) u GROUP BY 1")
+    // testCountDistinct / testCountBoolean / count-with-predicates
+    assertVector("SELECT COUNT(DISTINCT custkey + 1) FROM orders",
+      "SELECT COUNT(*) FROM (SELECT DISTINCT custkey + 1 FROM orders) t")
+    assertVector(
+      "SELECT COUNT(DISTINCT linenumber), COUNT(*) FROM lineitem WHERE linenumber < 0",
+      "VALUES (0, 0)")
+    assertVector("SELECT COUNT(true) FROM orders", "SELECT COUNT(*) FROM orders")
+    assertVector("SELECT COUNT(*) FROM lineitem WHERE tax < discount",
+      "SELECT COUNT(1) FROM lineitem WHERE tax < discount")
+    assertVector("SELECT COUNT(*) FROM orders WHERE nullif(orderstatus, 'F') IS NULL",
+      "SELECT COUNT(*) FROM orders WHERE orderstatus = 'F'")
+    // testMultipleDifferentDistinct
+    assertVector(
+      "SELECT COUNT(DISTINCT custkey), CAST(SUM(DISTINCT custkey) AS BIGINT), AVG(DISTINCT custkey) FROM orders",
+      "SELECT COUNT(*), CAST(SUM(c) AS BIGINT), AVG(c) FROM (SELECT DISTINCT custkey c FROM orders) t")
+    // testDistinctWhere
+    assertVector(
+      "SELECT COUNT(DISTINCT custkey) FROM orders WHERE LENGTH(orderstatus) > 0",
+      "SELECT COUNT(*) FROM (SELECT DISTINCT custkey FROM orders) t")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
