@@ -205,16 +205,19 @@ object GraftFunctions {
     // exact-name compatibility pack (r13 registry audit)
     CompatAliases.inject(e)
     // optimizer extension surface (Rule[LogicalPlan])
-    e.injectResolutionRule(_ => graft.plans.BigIntArraySubscript)
-    e.injectResolutionRule(_ => graft.plans.RowSubscript)
-    e.injectResolutionRule(_ => graft.functions.NanAwareFloatingAggs)
-    e.injectResolutionRule(_ => graft.plans.MapGroupingKeys)
-    // Twice on purpose: the Hints batch runs BEFORE the Resolution
-    // batch's ResolveInlineTables evaluates VALUES rows (all-literal
-    // divisions are already resolved there), while the Resolution-batch
-    // copy catches post-type-coercion double division everywhere else.
+    // One FUSED resolution rule carries all reference-semantics
+    // rewrites (subscripts, IEEE division, NaN-aware min/max, map
+    // grouping keys): the resolution batch iterates to a fixed point,
+    // so every separately-injected rule is a full tree scan per
+    // iteration per query — measured ~10% of bench wall-clock when
+    // these were five rules.
+    e.injectResolutionRule(_ => graft.plans.GraftResolutionRules)
+    // IeeeDoubleDivide ALSO runs in the Hints batch, which fires
+    // BEFORE the Resolution batch's ResolveInlineTables evaluates
+    // VALUES rows (all-literal divisions are already resolved there —
+    // without this, `VALUES (0E0/0E0)` dies on ANSI DIVIDE_BY_ZERO
+    // before any resolution rule sees it).
     e.injectHintResolutionRule(_ => graft.plans.IeeeDoubleDivide)
-    e.injectResolutionRule(_ => graft.plans.IeeeDoubleDivide)
     e.injectOptimizerRule(_ => graft.plans.IdempotentCollectionOps)
     e.injectOptimizerRule(_ => graft.plans.ConstantIndexElementAt)
   }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Divide, EvalMode, Expression, TryEval}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Divide, Expression, TryEval}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
@@ -55,9 +55,8 @@ object IeeeDoubleDivide extends Rule[LogicalPlan] {
 
   private def rw(e: Expression): Expression = e match {
     case t if t.isInstanceOf[TryEval] || t.prettyName.startsWith("try_") => t
-    case d @ Divide(l, r, mode)
-        if mode != EvalMode.TRY &&
-          l.resolved && r.resolved && l.dataType == r.dataType &&
+    case Divide(l, r, _)
+        if l.resolved && r.resolved && l.dataType == r.dataType &&
           (l.dataType == DoubleType || l.dataType == FloatType) =>
       IeeeDiv(rw(l), rw(r))
     case other => other.mapChildren(rw)

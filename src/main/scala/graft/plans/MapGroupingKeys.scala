@@ -28,9 +28,16 @@ object MapGroupingKeys extends Rule[LogicalPlan] {
     SortArray(MapEntries(g), Literal(true))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case a @ Aggregate(groupExprs, aggExprs, child, hint)
+    case a @ Aggregate(groupExprs, _, _, _)
         if groupExprs.nonEmpty && groupExprs.forall(_.resolved) &&
           groupExprs.exists(_.dataType.isInstanceOf[MapType]) =>
+      apply(a)
+  }
+
+  /** The per-Aggregate rewrite; also called directly from the fused
+    * [[GraftResolutionRules]] traversal. */
+  def apply(a: Aggregate): Aggregate = {
+    val Aggregate(groupExprs, aggExprs, child, hint) = a
       // GROUP BY ordinals resolve to the ALIASED output expression and
       // Alias survives semanticEquals, so match and canonicalize on the
       // alias-stripped tree (CleanupAliases would strip it later anyway)
