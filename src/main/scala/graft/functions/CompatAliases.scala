@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitAndAgg, BitOrAgg, First, HyperLogLogPlusPlus, Max, MaxBy, Min, MinBy}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Average, BitAndAgg, BitOrAgg, First, HyperLogLogPlusPlus, Max, MaxBy, Min, MinBy, Percentile}
 import org.apache.spark.sql.types._
 
 /** Exact-name compatibility layer: the reference spellings that were
@@ -65,6 +65,28 @@ object CompatAliases {
       if (c.length == 3) MinByN(c(0), c(1), c(2)) else MinBy(c(0), c(1)))
     fn(e, "max_by", c =>
       if (c.length == 3) MaxByN(c(0), c(1), c(2)) else MaxBy(c(0), c(1)))
+    // Reference approx_percentile signatures
+    // (`QuantileDigestAggregationFunction.java`): 2-arg (x, p) and the
+    // WEIGHTED 3-arg (x, w, p) — each row counts w times. Spark's own
+    // 3-arg alias means (x, p, accuracy) instead, so dispatch on the
+    // foldable third argument: a fraction ≤ 1 is the reference's
+    // percentile (weighted form), an integer > 1 is Spark's accuracy.
+    // The weighted form runs EXACT via Percentile's frequency column —
+    // one pass, per-group value→count state, no row expansion (the
+    // same stronger-contract posture as ag13).
+    fn(e, "approx_percentile", c => c.length match {
+      case 2 => new ApproximatePercentile(c(0), c(1))
+      case 3 =>
+        val third = c(2) match {
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case Literal(n: Number, _) => n.doubleValue
+          case _ => Double.NaN
+        }
+        if (third > 1.0) new ApproximatePercentile(c(0), c(1), c(2))
+        else new Percentile(c(0), c(2), Cast(c(1), LongType))
+      case n => throw new IllegalArgumentException(
+        s"approx_percentile takes (x, p) or (x, w, p), got $n args")
+    })
     // Reference `contains(array, elem)` is ARRAY membership
     // (ArrayFunctions.java) — Spark's built-in `contains` is
     // string/binary-only, so dispatch on the (resolved-by-now) input

@@ -21,7 +21,6 @@ object Dialect {
     * untouched so Spark reports them as unresolved. */
   private val renames: Seq[(String, String)] = Seq(
     "approx_distinct" -> "approx_count_distinct",
-    "approx_percentile" -> "percentile_approx",
     "strpos" -> "instr",
     "split_to_map" -> "str_to_map", // same (text, entryDelim, kvDelim) order
     "codepoint" -> "ascii",

@@ -1269,6 +1269,56 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT COUNT(*) FROM (SELECT DISTINCT custkey FROM orders) t")
   }
 
+  test("approx_percentile rank bounds (AbstractTestEngineOnlyQueries.java:3510)") {
+    // The reference asserts the returned value's TRUE rank lies within
+    // ±0.05% of the requested 0.999 — same protocol here, over the
+    // plain, integer-weighted, and larger-weight forms on both a
+    // bigint and a double column.
+    val raw = spark.sql(
+      "SELECT orderstatus, orderkey, totalprice FROM orders").collect()
+    val byStatus = raw.groupBy(_.getString(0))
+    val actual = runQ(
+      "SELECT orderstatus, " +
+        "approx_percentile(orderkey, 5, 0.999), " +
+        "approx_percentile(totalprice, 5, 0.999), " +
+        "approx_percentile(orderkey, 10, 0.999), " +
+        "approx_percentile(totalprice, 10, 0.999), " +
+        "approx_percentile(orderkey, 0.999), " +
+        "approx_percentile(totalprice, 0.999) " +
+        "FROM orders GROUP BY orderstatus").collect()
+    assert(actual.nonEmpty)
+    for (row <- actual) {
+      val status = row.getString(0)
+      val keys = byStatus(status).map(_.getLong(1)).sorted
+      val prices = byStatus(status).map(_.getDouble(2)).sorted
+      def loK = keys((0.9985 * keys.length).toInt)
+      def hiK = keys(math.min((0.9995 * keys.length).toInt, keys.length - 1))
+      def loP = prices((0.9985 * prices.length).toInt)
+      def hiP = prices(math.min((0.9995 * prices.length).toInt, prices.length - 1))
+      for (i <- Seq(1, 3, 5)) {
+        val v = row.get(i).asInstanceOf[Number].longValue
+        assert(v >= loK && v <= hiK, s"$status col$i: $v not in [$loK, $hiK]")
+        vectorCount += 1
+      }
+      for (i <- Seq(2, 4, 6)) {
+        val v = row.get(i).asInstanceOf[Number].doubleValue
+        assert(v >= loP && v <= hiP, s"$status col$i: $v not in [$loP, $hiP]")
+        vectorCount += 1
+      }
+    }
+    // testWhereNull: a three-valued filter that must drop every row
+    assertVector(
+      "SELECT custkey FROM orders WHERE custkey = custkey AND " +
+        "CAST(nullif(custkey, custkey) AS boolean) AND CAST(nullif(custkey, custkey) AS boolean)",
+      "SELECT custkey FROM orders WHERE FALSE")
+    // testGroupByOrderByLimit (decimal-pinned sum for a total order)
+    assertOrdered(
+      "SELECT custkey, CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) s " +
+        "FROM orders GROUP BY custkey ORDER BY s DESC, custkey LIMIT 10",
+      "SELECT custkey, s FROM (SELECT custkey, CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) s " +
+        "FROM orders GROUP BY custkey) t ORDER BY s DESC, custkey LIMIT 10")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
