@@ -167,7 +167,7 @@ object Dialect {
     // 'x' too: Spark's typed-literal grammar only covers
     // date/time/interval/binary, not numerics.
     val typedLitRe =
-      "(?i)\\b(REAL|DECIMAL|VARCHAR|TINYINT|SMALLINT|INTEGER|BIGINT|DOUBLE)\\s*$".r
+      "(?i)\\b(REAL|DECIMAL|VARCHAR|TINYINT|SMALLINT|INTEGER|BIGINT|DOUBLE|TIME)\\s*$".r
     var tl = 0
     while (tl + 2 < parts.length) {
       val (seg, isLit) = parts(tl)
@@ -175,6 +175,24 @@ object Dialect {
         typedLitRe.findFirstMatchIn(seg).foreach { m =>
           val lit = parts(tl + 1)._1
           val body = lit.substring(1, lit.length - 1)
+          if (m.group(1).equalsIgnoreCase("TIME")) {
+            // TIME 'H:mm:ss[.f…]' literal → the engine's nanos-of-day
+            // BIGINT convention, folded here (it is a constant).
+            // Zoned forms (TIME '… +05:00') pass through untouched for
+            // the TimestampTz emulation layer / fail-loud path.
+            val tm = "^(\\d{1,2}):(\\d{2})(?::(\\d{2}))?(\\.\\d+)?$".r
+              .findFirstMatchIn(body.trim)
+            tm.foreach { g =>
+              val h = g.group(1).toLong; val mi = g.group(2).toLong
+              val s = Option(g.group(3)).map(_.toLong).getOrElse(0L)
+              val frac = Option(g.group(4))
+                .map(f => (f.drop(1).padTo(9, '0').take(9)).toLong).getOrElse(0L)
+              val nanos = ((h * 3600 + mi * 60 + s) * 1000000000L) + frac
+              parts(tl) = (seg.substring(0, m.start), false)
+              parts(tl + 1) = (s"CAST($nanos AS BIGINT)", false)
+            }
+            // not a plain time body: leave the segment untouched
+          } else {
           val target = m.group(1).toUpperCase match {
             case "REAL" => "FLOAT"
             case "VARCHAR" => "STRING"
@@ -188,6 +206,7 @@ object Dialect {
           parts(tl) = (seg.substring(0, m.start) + "CAST(", false)
           val (after, afterLit) = parts(tl + 2)
           parts(tl + 2) = (s" AS $target)" + after, afterLit)
+          }
         }
       }
       tl += 1

@@ -1319,6 +1319,35 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "FROM orders GROUP BY custkey) t ORDER BY s DESC, custkey LIMIT 10")
   }
 
+  test("datetime / interval / misc literal vectors (AbstractTestEngineOnlyQueries.java:133-263)") {
+    // testDateLiterals / testTimestampLiterals (the session is pinned
+    // UTC engine-wide; the reference's per-zone replays assert the
+    // same LOCAL value in every zone, which a fixed-zone session
+    // satisfies by construction)
+    assertVector("SELECT DATE '2013-03-22'", "SELECT CAST('2013-03-22' AS DATE)")
+    assertVector("SELECT TIMESTAMP '1960-01-22 3:04:05'",
+      "SELECT CAST('1960-01-22 03:04:05' AS TIMESTAMP)")
+    assertVector("SELECT TIMESTAMP '1960-01-22 3:04:05.123'",
+      "SELECT CAST('1960-01-22 03:04:05.123' AS TIMESTAMP)")
+    // testTimeLiterals under the engine's nanos-of-day TIME emulation
+    assertVector("SELECT TIME '3:04:05'", "SELECT CAST(11045000000000 AS BIGINT)")
+    assertVector("SELECT TIME '3:04:05.123'", "SELECT CAST(11045123000000 AS BIGINT)")
+    assertVector("SELECT TIME '0:04:05'", "SELECT CAST(245000000000 AS BIGINT)")
+    // testSelectLargeInterval
+    assertVector("SELECT INTERVAL '30' DAY", "SELECT INTERVAL 30 DAY")
+    assertVector("SELECT INTERVAL '32767' YEAR", "SELECT INTERVAL 32767 YEAR")
+    // testNoFrom / testSelectNull
+    assertVector("SELECT 1 + 2, 3 + 4", "VALUES (3, 7)")
+    assertVector("SELECT NULL", "VALUES (CAST(NULL AS STRING))")
+    // testParsingError: malformed text still fails loudly through the
+    // dialect (Spark reports this one at analysis, not parse — `FROM`
+    // alone parses as a query with no relation — but it FAILS, which
+    // is the contract under test)
+    vectorCount += 1
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      runQ("SELECT foo FROM").collect())
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
