@@ -1348,6 +1348,111 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       runQ("SELECT foo FROM").collect())
   }
 
+  test("ORDER BY vectors: null defaults, aliases, ordinals (AbstractTestOrderByQueries.java:105-231)") {
+    // testOrderByWithNulls — the reference's DEFAULT is nulls last
+    // ascending / nulls first descending (the dialect appends it;
+    // Spark's native default is the opposite)
+    assertOrdered(
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC, custkey ASC",
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS LAST, custkey ASC")
+    assertOrdered(
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) DESC, custkey ASC",
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) DESC NULLS FIRST, custkey ASC")
+    // explicit spellings pass through
+    assertOrdered(
+      "SELECT orderkey FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS FIRST, orderkey",
+      "SELECT orderkey FROM (SELECT orderkey, nullif(orderkey, 3) k FROM orders) t " +
+        "ORDER BY (k IS NOT NULL), k, orderkey")
+    // testOrderByWithAggregation
+    assertVector(
+      "SELECT x, sum(cast(x AS double)) FROM (VALUES '1.0') t(x) GROUP BY x ORDER BY sum(cast(t.x AS double))",
+      "VALUES ('1.0', 1.0E0)")
+    // testOrderByLimitAll
+    assertOrdered("SELECT custkey, totalprice FROM orders ORDER BY orderkey LIMIT ALL",
+      "SELECT custkey, totalprice FROM orders ORDER BY orderkey")
+    // testDuplicateColumnsInOrderByClause (second key is dead)
+    assertOrdered(
+      "SELECT * FROM (VALUES INTEGER '3', INTEGER '2', INTEGER '1') t(a) ORDER BY a ASC, a DESC",
+      "VALUES 1, 2, 3")
+    // testOrderByAlias / same-name-as-unselected / case-insensitive
+    assertOrdered("SELECT orderstatus x FROM orders ORDER BY x ASC, orderstatus",
+      "SELECT orderstatus FROM orders ORDER BY orderstatus")
+    assertOrdered("SELECT orderstatus orderdate FROM orders ORDER BY orderdate ASC, orderdate",
+      "SELECT orderstatus FROM orders ORDER BY orderstatus")
+    assertOrdered("SELECT orderkey X FROM orders ORDER BY x",
+      "SELECT orderkey FROM orders ORDER BY orderkey")
+    // testOrderByOrdinal / with wildcard
+    assertOrdered("SELECT orderstatus, orderdate FROM orders ORDER BY 2, 1, orderkey",
+      "SELECT orderstatus, orderdate FROM orders ORDER BY orderdate, orderstatus, orderkey")
+    assertOrdered("SELECT * FROM orders ORDER BY 1",
+      "SELECT * FROM orders ORDER BY orderkey")
+    // testOrderByWithSimilarExpressions
+    assertVector("WITH t AS (SELECT 1 x, 2 y) SELECT x, y FROM t ORDER BY x, y", "VALUES (1, 2)")
+    assertVector("WITH t AS (SELECT 1 x, 1 y) SELECT x, y FROM t ORDER BY x, y LIMIT 1", "VALUES (1, 1)")
+    assertVector(
+      "WITH t AS (SELECT orderkey x, orderkey y FROM orders) SELECT x, y FROM t ORDER BY x, y LIMIT 1",
+      "SELECT min(orderkey), min(orderkey) FROM orders")
+    assertVector(
+      "WITH t AS (SELECT orderkey x, totalprice y, orderkey z FROM orders) SELECT x, y, z FROM t ORDER BY x, y, z LIMIT 1",
+      "SELECT orderkey, totalprice, orderkey FROM orders WHERE orderkey = (SELECT min(orderkey) FROM orders)")
+    // testOrderByUnderManyProjections (ORDER BY in a subquery is
+    // semantically a no-op for the outer projection)
+    assertVector(
+      "SELECT nationkey, arbitrary_column + arbitrary_column FROM " +
+        "(SELECT nationkey, COALESCE(arbitrary_column, 0) arbitrary_column FROM " +
+        "(SELECT nationkey, 1 arbitrary_column FROM nation ORDER BY 1 ASC) a) b",
+      "SELECT nationkey, 2 FROM nation")
+  }
+
+  test("general query vectors: complex, IN, TopN, predicates (AbstractTestQueries.java:86-470)") {
+    // testComplexQuery (orderkeys start at 0 in the fixture: keys
+    // 3..10 survive HAVING; row_number runs over the post-HAVING set)
+    assertOrdered(
+      "SELECT sum(orderkey), row_number() OVER (ORDER BY orderkey) FROM orders " +
+        "WHERE orderkey <= 10 GROUP BY orderkey HAVING sum(orderkey) >= 3 " +
+        "ORDER BY orderkey DESC LIMIT 3",
+      "VALUES (10, 8), (9, 7), (8, 6)")
+    // testIn: fractional literals never match an integer key (H2
+    // famously got this wrong — the reference pins empty)
+    assertVector("SELECT orderkey FROM orders WHERE orderkey IN (1.5, 2.3)",
+      "SELECT orderkey FROM orders LIMIT 0")
+    assertVector("SELECT orderkey FROM orders WHERE orderkey IN (1, 2E0, 3)",
+      "SELECT orderkey FROM orders WHERE orderkey IN (1, 2, 3)")
+    // testLargeIn: a 1000-element IN list analyzes and runs
+    val largeIn = (0 until 1000).mkString(", ")
+    assertVector(s"SELECT orderkey FROM orders WHERE orderkey IN ($largeIn) AND orderkey < 5",
+      "SELECT orderkey FROM orders WHERE orderkey < 5")
+    // testDistinctLimit join form
+    assertVector(
+      "SELECT DISTINCT x FROM (VALUES 1) t(x) JOIN (VALUES 10, 20) u(a) ON t.x < u.a LIMIT 100",
+      "SELECT 1")
+    // testTopN: TopN over TopN, and TopN over aggregation+filter
+    assertOrdered(
+      "SELECT orderkey, totalprice FROM (SELECT orderkey, totalprice FROM orders ORDER BY 1, 2 LIMIT 10) t ORDER BY 2, 1 LIMIT 5",
+      "SELECT orderkey, totalprice FROM (SELECT orderkey, totalprice FROM orders ORDER BY orderkey, totalprice LIMIT 10) t ORDER BY totalprice, orderkey LIMIT 5")
+    assertOrdered(
+      "SELECT * FROM (SELECT CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) as sum, custkey AS total " +
+        "FROM orders GROUP BY custkey HAVING COUNT(*) > 3) t ORDER BY sum DESC, total LIMIT 10",
+      "SELECT sum, total FROM (SELECT CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) as sum, custkey AS total " +
+        "FROM orders GROUP BY custkey HAVING COUNT(*) > 3) t ORDER BY sum DESC, total LIMIT 10")
+    // testTopNByMultipleFields: the null-default equivalence under TopN
+    assertOrdered(
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC, custkey ASC LIMIT 10",
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS LAST, custkey ASC LIMIT 10")
+    // testPredicate: filters over a UNION ALL of mixed shapes
+    assertOrdered(
+      "SELECT * FROM (" +
+        "  SELECT orderkey+1 AS a FROM orders WHERE orderstatus = 'F' UNION ALL " +
+        "  SELECT orderkey FROM orders WHERE orderkey % 2 = 0 UNION ALL " +
+        "  (SELECT orderkey+custkey FROM orders ORDER BY orderkey LIMIT 10)" +
+        ") t WHERE a < 20 OR a > 100 ORDER BY a, a",
+      "SELECT a FROM (" +
+        "  SELECT orderkey+1 AS a FROM orders WHERE orderstatus = 'F' UNION ALL " +
+        "  SELECT orderkey FROM orders WHERE orderkey % 2 = 0 UNION ALL " +
+        "  SELECT orderkey+custkey AS a FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) q" +
+        ") t WHERE a < 20 OR a > 100 ORDER BY a")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
