@@ -1453,6 +1453,329 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ") t WHERE a < 20 OR a > 100 ORDER BY a")
   }
 
+  test("outer-join ON-clause vectors (AbstractTestJoinQueries.java:466-760)") {
+    // testNonEqualityLeftJoin — residual (non-equi) conjuncts in the
+    // ON clause filter MATCHES, never probe rows; every literal from
+    // the reference's VALUES battery.
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > d",
+      "VALUES (1, 2, 1, 1), (1, 1, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b < d",
+      "VALUES (1, 1, 1, 2), (1, 2, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 2",
+      "VALUES (1, 1, NULL, NULL), (1, 2, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 2",
+      "VALUES (1, 1, NULL, NULL), (1, 2, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 0",
+      "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND c = d",
+      "VALUES (1, 1, 1, 1), (1, 2, 1, 1)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND c < d",
+      "VALUES (1, 1, 1, 2), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON c = d",
+      "VALUES (1, 1, 1, 1), (1, 2, 1, 1)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON c < d",
+      "VALUES (1, 1, 1, 2), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON 1 = 1",
+      "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (1, NULL), (2, 11), (2, 10)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (1, 11), (2, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON a > b",
+      "VALUES (1, NULL), (2, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON a < b",
+      "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1) t1(a) LEFT OUTER JOIN (VALUES (1,2,2), (1,2,3), (1, 2, NULL)) t2(x,y,z) ON a=x AND y = z",
+      "VALUES (1, 1, 2, 2)")
+    // left join the optimizer converts to inner (ON has no equality)
+    assertVector(
+      "SELECT 1 FROM (VALUES 1, 20) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON a > b WHERE b IS NOT NULL",
+      "VALUES (1), (1)")
+    // testNonEqualityRightJoin
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > d",
+      "VALUES (1, 2, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b < d",
+      "VALUES (1, 1, 1, 2), (NULL, NULL, 1, 1)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 2",
+      "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 2",
+      "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 0",
+      "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND c = d",
+      "VALUES (1, 2, 1, 1), (1, 1, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND c < d",
+      "VALUES (NULL, NULL, 1, 1), (1, 2, 1, 2), (1, 1, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON c = d",
+      "VALUES (1, 1, 1, 1), (1, 2, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON c < d",
+      "VALUES (NULL, NULL, 1, 1), (1, 1, 1, 2), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON 1 = 1",
+      "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (2, 11), (2, 10)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (NULL, 10), (1, 11), (2, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a > b",
+      "VALUES (NULL, 10), (NULL, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a < b",
+      "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+    // testNonEqualityFullJoin
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > d",
+      "VALUES (1, 2, 1, 1), (NULL, NULL, 1, 2), (1, 1, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b < d",
+      "VALUES (1, 1, 1, 2), (NULL, NULL, 1, 1), (1, 2, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 2",
+      "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2), (1, 1, NULL, NULL), (1, 2, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 2",
+      "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2), (1, 1, NULL, NULL), (1, 2, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 0",
+      "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 0",
+      "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (2, 11), (2, 10), (1, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (NULL, 10), (1, 11), (2, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON a > b",
+      "VALUES (NULL, 10), (NULL, 11), (1, NULL), (2, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON a < b",
+      "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+    // testJoinUsingSymbolsFromJustOneSideOfJoin
+    assertVector(
+      "SELECT b FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (10), (11), (11)")
+    assertVector(
+      "SELECT a FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (2), (2)")
+    assertVector(
+      "SELECT b FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (11), (11)")
+    assertVector(
+      "SELECT a FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (1), (2), (2)")
+    assertVector(
+      "SELECT a FROM (VALUES 1, 2) t1(a) JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (2), (2)")
+    assertVector(
+      "SELECT b FROM (VALUES 1, 2) t1(a) JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (11), (11)")
+    // testNonEqualityJoin tail + testFullJoinWithCoalesce
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (2, 11), (2, 10)")
+    assertVector(
+      "SELECT COUNT(*) FROM (VALUES 1, 2) t1(a) JOIN (VALUES 10, 11) t2(b) ON a > 2",
+      "VALUES (0)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) JOIN (VALUES 10, 11) t2(b) ON a+9 > b",
+      "VALUES (2, 10)")
+    assertVector(
+      "SELECT coalesce(t.a, u.a, if(t.b is null, 100, t.b)), count(*) " +
+        "FROM (VALUES (1, 10), (2, 20), (3, 30), (null, 40), (100, 50)) t(a, b) " +
+        "FULL OUTER JOIN (VALUES 1, 4, null) u(a) ON t.a = u.a GROUP BY 1",
+      "VALUES (1, 1), (2, 1), (3, 1), (4, 1), (40, 1), (100, 2)")
+  }
+
+  test("joins with TRUE/empty sides (AbstractTestJoinQueries.java:662,2194)") {
+    // testJoinsWithTrueJoinCondition — all 16 type × emptiness combos
+    val empty = "SELECT * FROM (VALUES 1) WHERE FALSE"
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (0, 10), (0, 11), (1, 10), (1, 11)")
+    assertVector(s"SELECT * FROM ($empty) t1(a) JOIN (VALUES 10, 11) t2(b) ON TRUE", empty)
+    assertVector(s"SELECT * FROM (VALUES 0, 1) t1(a) JOIN ($empty) t2(b) ON TRUE", empty)
+    assertVector(s"SELECT * FROM ($empty) t1(a) JOIN ($empty) t2(b) ON TRUE", empty)
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) LEFT JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (0, 10), (0, 11), (1, 10), (1, 11)")
+    assertVector(s"SELECT * FROM ($empty) t1(a) LEFT JOIN (VALUES 10, 11) t2(b) ON TRUE", empty)
+    assertVector(s"SELECT * FROM (VALUES 0, 1) t1(a) LEFT JOIN ($empty) t2(b) ON TRUE",
+      "VALUES (0, NULL), (1, NULL)")
+    assertVector(s"SELECT * FROM ($empty) t1(a) LEFT JOIN ($empty) t2(b) ON TRUE", empty)
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) RIGHT JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (0, 10), (0, 11), (1, 10), (1, 11)")
+    assertVector(s"SELECT * FROM ($empty) t1(a) RIGHT JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (NULL, 10), (NULL, 11)")
+    assertVector(s"SELECT * FROM (VALUES 0, 1) t1(a) RIGHT JOIN ($empty) t2(b) ON TRUE", empty)
+    assertVector(s"SELECT * FROM ($empty) t1(a) RIGHT JOIN ($empty) t2(b) ON TRUE", empty)
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) FULL JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (0, 10), (0, 11), (1, 10), (1, 11)")
+    assertVector(s"SELECT * FROM ($empty) t1(a) FULL JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (NULL, 10), (NULL, 11)")
+    assertVector(s"SELECT * FROM (VALUES 0, 1) t1(a) FULL JOIN ($empty) t2(b) ON TRUE",
+      "VALUES (0, NULL), (1, NULL)")
+    assertVector(s"SELECT * FROM ($empty) t1(a) FULL JOIN ($empty) t2(b) ON TRUE", empty)
+    // testInnerJoinWithEmptyBuildSide / probe-side family: ON-key
+    // equality against an empty filtered relation
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN (SELECT * FROM orders WHERE totalprice < 0) o ON lineitem.orderkey = o.orderkey",
+      "VALUES CAST(0 AS BIGINT)")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem LEFT JOIN (SELECT * FROM orders WHERE totalprice < 0) o ON lineitem.orderkey = o.orderkey",
+      "SELECT COUNT(*) FROM lineitem")
+    assertVector(
+      "SELECT COUNT(o.orderkey) FROM lineitem RIGHT JOIN (SELECT * FROM orders WHERE totalprice < 0) o ON lineitem.orderkey = o.orderkey",
+      "VALUES CAST(0 AS BIGINT)")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem FULL JOIN (SELECT * FROM orders WHERE totalprice < 0) o ON lineitem.orderkey = o.orderkey",
+      "SELECT COUNT(*) FROM lineitem")
+  }
+
+  test("join reformulation pairs: USING, constant equality, residual predicates (AbstractTestJoinQueries.java:212-804)") {
+    // testJoinUsing / multiple fields / wildcard scoping
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders USING (orderkey)",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN (SELECT orderkey, orderdate shipdate FROM orders) T USING (orderkey, shipdate)",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.shipdate = orders.orderdate")
+    assertVector(
+      "SELECT * FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b using (orderkey)",
+      "SELECT a.orderkey, a.partkey, b.custkey FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b on a.orderkey = b.orderkey")
+    assertVector(
+      "SELECT a.*, b.* FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b using (orderkey)",
+      "SELECT a.orderkey, a.partkey, b.orderkey, b.custkey FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b on a.orderkey = b.orderkey")
+    // testSimpleJoin second form: NOT (a <= b) ≡ a > b
+    assertVector(
+      "SELECT COUNT(*) FROM (SELECT orderkey FROM lineitem WHERE orderkey < 1000) a " +
+        "JOIN (SELECT orderkey FROM orders WHERE orderkey < 2000) b ON NOT (a.orderkey <= b.orderkey)",
+      "SELECT COUNT(*) FROM (SELECT orderkey FROM lineitem WHERE orderkey < 1000) a " +
+        "JOIN (SELECT orderkey FROM orders WHERE orderkey < 2000) b ON a.orderkey > b.orderkey")
+    // constant-equality ON clauses: the single-sided predicate crosses
+    // with the unrestricted other side
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = 2",
+      "SELECT (SELECT COUNT(*) FROM lineitem WHERE orderkey = 2) * (SELECT COUNT(*) FROM orders)")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON orders.orderkey = 2",
+      "SELECT (SELECT COUNT(*) FROM lineitem) * (SELECT COUNT(*) FROM orders WHERE orderkey = 2)")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = 2",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey WHERE orders.orderkey = 2")
+    // duplicate field references in the clause
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.orderkey = orders.custkey",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey WHERE lineitem.orderkey = orders.custkey")
+    // inner-join residual predicates ≡ WHERE (testNonEqualityJoin)
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND NOT lineitem.quantity > 2",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey WHERE lineitem.quantity <= 2")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON NOT NOT lineitem.orderkey = orders.orderkey AND NOT NOT lineitem.quantity > 2",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey WHERE lineitem.quantity > 2")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.shipdate > orders.orderdate",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey WHERE lineitem.shipdate > orders.orderdate")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderpriority LIKE '%a%'",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey WHERE orders.orderpriority LIKE '%a%'")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderpriority NOT LIKE lineitem.returnflag",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey WHERE NOT (orders.orderpriority LIKE lineitem.returnflag)")
+    // ON ... AND NULL: no match survives
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND NULL",
+      "VALUES CAST(0 AS BIGINT)")
+    // outer-join anti patterns (testNonEqualityLeftJoin heads):
+    // unmatched-probe count ≡ NOT EXISTS
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > 1000 WHERE orders.orderkey IS NULL",
+      "SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE l.orderkey = o.orderkey AND o.custkey > 1000)")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > lineitem.quantity WHERE orders.orderkey IS NULL",
+      "SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE l.orderkey = o.orderkey AND o.custkey > l.quantity)")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5 WHERE lineitem.orderkey IS NULL",
+      "SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.orderkey = o.orderkey AND l.quantity > 5)")
+    // testJoinWithInferredFalseJoinClause
+    assertVector(
+      "SELECT COUNT(*) FROM orders JOIN lineitem ON CAST(orders.orderkey AS VARCHAR) = CAST(lineitem.orderkey AS VARCHAR) " +
+        "WHERE orders.orderkey = 1 AND lineitem.orderkey = 2",
+      "VALUES CAST(0 AS BIGINT)")
+    // testJoinWithNullValues: NULL keys never match
+    assertVector(
+      "SELECT COUNT(*) FROM " +
+        "(SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM lineitem WHERE partkey % 16 = 0) AS l " +
+        "JOIN (SELECT CASE WHEN orderkey % 2 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE custkey % 16 = 0) AS o " +
+        "ON l.orderkey = o.orderkey",
+      "SELECT COUNT(*) FROM " +
+        "(SELECT orderkey FROM lineitem WHERE partkey % 16 = 0 AND orderkey % 3 <> 0) AS l " +
+        "JOIN (SELECT orderkey FROM orders WHERE custkey % 16 = 0 AND orderkey % 2 <> 0) AS o " +
+        "ON l.orderkey = o.orderkey")
+    // testColocatedJoinWithLocalUnion
+    assertVector(
+      "SELECT count(*) FROM ((SELECT * FROM orders) union all (SELECT * FROM orders)) JOIN orders USING (orderkey)",
+      "SELECT 2 * count(*) FROM orders")
+    // testJoinAggregations
+    assertVector(
+      "SELECT x + y FROM (SELECT orderdate, COUNT(*) x FROM orders GROUP BY orderdate) a " +
+        "JOIN (SELECT orderdate, COUNT(*) y FROM orders GROUP BY orderdate) b ON a.orderdate = b.orderdate",
+      "SELECT 2 * COUNT(*) FROM orders GROUP BY orderdate")
+    // testSelfJoin
+    assertVector(
+      "SELECT COUNT(*) FROM orders a JOIN orders b on a.orderkey = b.orderkey",
+      "SELECT COUNT(*) FROM orders")
+    // testJoinCriteriaCoercion (decimal/int equi-key)
+    assertVector(
+      "SELECT * FROM (VALUES (1.0, 2.0)) x (a, b) JOIN (VALUES (1, 3)) y (a, b) ON x.a = y.a",
+      "VALUES (1.0, 2.0, 1, 3)")
+    // testAntiJoinNullHandling: NOT IN over an EMPTY subquery is TRUE
+    // even for NULL probes
+    assertVector(
+      "WITH empty AS (SELECT 1 WHERE FALSE) SELECT 3 FROM (VALUES 1) WHERE NULL NOT IN (SELECT * FROM empty)",
+      "VALUES 3")
+    assertVector(
+      "WITH empty AS (SELECT 1 WHERE FALSE) SELECT x FROM (VALUES NULL) t(x) WHERE x NOT IN (SELECT * FROM empty)",
+      "VALUES NULL")
+    // testSemiJoinNullHandling head: IN over EMPTY is FALSE for NULL
+    assertVector(
+      "WITH empty AS (SELECT 1 WHERE FALSE) SELECT 3 FROM (VALUES 1) WHERE NULL IN (SELECT * FROM empty)",
+      "SELECT 3 FROM (VALUES 1) WHERE FALSE")
+    // testAntiJoin (no NULLs in the subquery → projection-context
+    // NOT IN agrees with the standard)
+    assertVector(
+      "SELECT orderkey, orderkey NOT IN (SELECT orderkey FROM lineitem WHERE orderkey % 3 = 0) FROM orders",
+      "SELECT orderkey, NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.orderkey = o.orderkey AND l.orderkey % 3 = 0) FROM orders o")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
