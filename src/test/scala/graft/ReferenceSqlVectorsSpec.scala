@@ -1776,6 +1776,115 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT orderkey, NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.orderkey = o.orderkey AND l.orderkey % 3 = 0) FROM orders o")
   }
 
+  test("window execution vectors: multi-window, pre-sorted, IGNORE NULLS (AbstractTestWindowQueries.java:167-707)") {
+    // testDuplicateColumnsInWindowOrderByClause — second sort key dead
+    assertVector(
+      "SELECT a, row_number() OVER (ORDER BY a ASC, a DESC) FROM (VALUES 3, 2, 1) t(a)",
+      "VALUES (1, 1), (2, 2), (3, 3)")
+    // testMultipleInstancesOfWindowFunction — same function, both
+    // null treatments, in both declaration orders
+    assertOrdered(
+      "SELECT a, b, c, lag(c, 1) RESPECT NULLS OVER (PARTITION BY b ORDER BY a), " +
+        "lag(c, 1) IGNORE NULLS OVER (PARTITION BY b ORDER BY a) " +
+        "FROM (VALUES (1, 'A', 'a'), (2, 'A', NULL), (3, 'A', 'c'), (4, 'A', NULL), (5, 'A', 'e'), (6, 'A', NULL)) t(a, b, c) ORDER BY a",
+      "VALUES (1, 'A', 'a', null, null), (2, 'A', null, 'a', 'a'), (3, 'A', 'c', null, 'a'), " +
+        "(4, 'A', null, 'c', 'c'), (5, 'A', 'e', null, 'c'), (6, 'A', null, 'e', 'e')")
+    assertOrdered(
+      "SELECT a, b, c, lag(c, 1) IGNORE NULLS OVER (PARTITION BY b ORDER BY a), " +
+        "lag(c, 1) RESPECT NULLS OVER (PARTITION BY b ORDER BY a) " +
+        "FROM (VALUES (1, 'A', 'a'), (2, 'A', NULL), (3, 'A', 'c'), (4, 'A', NULL), (5, 'A', 'e'), (6, 'A', NULL)) t(a, b, c) ORDER BY a",
+      "VALUES (1, 'A', 'a', null, null), (2, 'A', null, 'a', 'a'), (3, 'A', 'c', 'a', null), " +
+        "(4, 'A', null, 'c', 'c'), (5, 'A', 'e', 'c', null), (6, 'A', null, 'e', 'e')")
+    // testPreSortedInput — window over aggregate, nested
+    // sum(sum()) OVER with a ROWS frame, then a second window stage
+    assertOrdered(
+      "WITH students_results(student_id, course_id, grade) AS (VALUES " +
+        "(1000, 100, 17), (2000, 200, 16), (3000, 300, 18), (1000, 100, 18), (2000, 100, 10), " +
+        "(3000, 200, 20), (1000, 200, 16), (2000, 300, 12), (3000, 100, 17), (2000, 200, 15), " +
+        "(3000, 100, 18), (1000, 300, 12), (3000, 100, 20), (1000, 300, 16), (2000, 100, 12)) " +
+        "SELECT student_id, course_id, cnt, avg_w_sum, " +
+        "avg(sum_w_sum) OVER (ORDER BY student_id, course_id ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS avg_w " +
+        "FROM (SELECT student_id, course_id, count(*) AS cnt, " +
+        "sum(sum(grade)) OVER (ORDER BY student_id, course_id ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS avg_w_sum, " +
+        "sum(sum(grade)) OVER (PARTITION BY student_id) AS sum_w_sum " +
+        "FROM students_results GROUP BY student_id, course_id) AS t ORDER BY student_id, course_id",
+      "VALUES (1000, 100, 2, 51, 79.0), (1000, 200, 1, 79, 79.0), (1000, 300, 2, 101, 75.5), " +
+        "(2000, 100, 2, 97, 72.0), (2000, 200, 2, 93, 68.5), (2000, 300, 1, 120, 72.0), " +
+        "(3000, 100, 3, 118, 79.0), (3000, 200, 1, 105, 86.0), (3000, 300, 1, 93, 93.0)")
+    // testDependentWindows — two adjacent window nodes, second
+    // consuming the first's output (reformulated scale-free: the
+    // windowed max-of-constant IS the inner sum, once per row)
+    assertVector(
+      "WITH t1 AS (SELECT extendedprice FROM lineitem ORDER BY orderkey, partkey LIMIT 2), " +
+        "t2 AS (SELECT extendedprice, sum(extendedprice) OVER () AS x FROM t1), " +
+        "t3 AS (SELECT max(x) OVER () AS m FROM t2) SELECT * FROM t3",
+      "WITH t1 AS (SELECT extendedprice FROM lineitem ORDER BY orderkey, partkey LIMIT 2) " +
+        "SELECT (SELECT sum(extendedprice) FROM t1) AS m FROM t1")
+    // testWindowFunctionWithoutParameters — reference count() ≡ count(*)
+    assertVector(
+      "SELECT count() OVER (PARTITION BY custkey) FROM orders WHERE custkey < 30",
+      "SELECT count(*) OVER (PARTITION BY custkey) FROM orders WHERE custkey < 30")
+    // testWindowsSameOrdering / PrefixPartitioning /
+    // DifferentPartitions — several windows in one SELECT ≡ the same
+    // windows computed independently and joined on the unique key
+    // (the testdata's (orderkey, linenumber) is not unique, so the
+    // join key is a deterministic full-column row_number)
+    val keyedL = "SELECT *, row_number() OVER (ORDER BY orderkey, linenumber, partkey, suppkey, " +
+      "quantity, extendedprice, discount, tax, returnflag, linestatus, shipdate) AS uid FROM lineitem"
+    assertVector(
+      "SELECT sum(quantity) OVER (PARTITION BY suppkey ORDER BY orderkey) AS s, " +
+        "min(tax) OVER (PARTITION BY suppkey ORDER BY shipdate) AS m FROM lineitem",
+      s"SELECT a.s, b.m FROM " +
+        s"(SELECT uid, sum(quantity) OVER (PARTITION BY suppkey ORDER BY orderkey) AS s FROM ($keyedL) k1) a " +
+        s"JOIN (SELECT uid, min(tax) OVER (PARTITION BY suppkey ORDER BY shipdate) AS m FROM ($keyedL) k2) b " +
+        s"ON a.uid = b.uid")
+    assertVector(
+      "SELECT max(tax) OVER (PARTITION BY suppkey, tax ORDER BY shipdate) AS m, " +
+        "sum(quantity) OVER (PARTITION BY suppkey ORDER BY orderkey) AS s, " +
+        "count(discount) OVER (PARTITION BY partkey ORDER BY shipdate) AS c FROM lineitem",
+      s"SELECT a.m, b.s, c.c FROM " +
+        s"(SELECT uid, max(tax) OVER (PARTITION BY suppkey, tax ORDER BY shipdate) AS m FROM ($keyedL) k1) a " +
+        s"JOIN (SELECT uid, sum(quantity) OVER (PARTITION BY suppkey ORDER BY orderkey) AS s FROM ($keyedL) k2) b " +
+        s"ON a.uid = b.uid " +
+        s"JOIN (SELECT uid, count(discount) OVER (PARTITION BY partkey ORDER BY shipdate) AS c FROM ($keyedL) k3) c " +
+        s"ON a.uid = c.uid")
+    // pre-partitioned / pre-sorted family — COUNT(*) OVER equivalences
+    // over a deterministic subset (orderkey is unique in orders)
+    assertVector(
+      "SELECT orderkey, COUNT(*) OVER (PARTITION BY orderkey, custkey) AS c " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)",
+      "SELECT orderkey, COUNT(*) AS c FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) GROUP BY orderkey, custkey")
+    assertVector(
+      "SELECT orderkey, COUNT(*) OVER (ORDER BY orderkey, custkey) AS c " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)",
+      "SELECT orderkey, row_number() OVER (ORDER BY orderkey, custkey) AS c " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)")
+    assertVector(
+      "SELECT orderkey, custkey, COUNT(*) OVER (PARTITION BY orderkey ORDER BY custkey) AS c " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey, custkey LIMIT 10)",
+      "SELECT orderkey, custkey, 1 AS c FROM (SELECT * FROM orders ORDER BY orderkey, custkey LIMIT 10)")
+    // testValueWindowFunctions — first_value / nth_value against
+    // rank-based reformulations (orderkey unique)
+    assertVector(
+      "SELECT orderkey, orderstatus, " +
+        "first_value(orderkey + 1000) OVER (PARTITION BY orderstatus ORDER BY orderkey) AS fvalue, " +
+        "nth_value(orderkey + 1000, 2) OVER (PARTITION BY orderstatus ORDER BY orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nvalue " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x",
+      "SELECT orderkey, orderstatus, " +
+        "min(orderkey) OVER (PARTITION BY orderstatus) + 1000 AS fvalue, " +
+        "max(CASE WHEN rn = 2 THEN orderkey + 1000 END) OVER (PARTITION BY orderstatus) AS nvalue " +
+        "FROM (SELECT orderkey, orderstatus, row_number() OVER (PARTITION BY orderstatus ORDER BY orderkey) AS rn " +
+        "      FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x) y")
+    // testWindowFrames uses per-row frame bounds
+    // (mod(custkey,2) PRECEDING) — Spark requires foldable frame
+    // bounds; fail-loud divergence, not a silent mistranslation
+    vectorCount += 1
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      runQ("SELECT sum(orderkey) OVER (PARTITION BY orderstatus ORDER BY orderkey " +
+        "ROWS BETWEEN mod(custkey, 2) PRECEDING AND CURRENT ROW) FROM orders").collect())
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
