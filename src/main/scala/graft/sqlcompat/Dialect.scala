@@ -274,6 +274,16 @@ object Dialect {
           "(?i)\\bbitwise_xor\\s*\\(([^(),']+),([^(),']+)\\)", "($1 ^ $2)")
         out = out.replaceAll(
           "(?i)\\bbitwise_not\\s*\\(([^(),']+)\\)", "~($1)")
+        // standard empty grouping set `GROUP BY ()` (reference grammar
+        // groupingSet): Spark parses only the GROUPING SETS spelling
+        out = out.replaceAll(
+          "(?i)\\bGROUP\\s+BY\\s*\\(\\s*\\)", "GROUP BY GROUPING SETS (())")
+        // bare NULL as a predicate (`WHERE NULL`): the reference types
+        // it UNKNOWN and drops every row; Spark refuses the VOID
+        // filter, so type it explicitly
+        out = out.replaceAll(
+          "(?i)\\b(WHERE|HAVING)\\s+NULL\\b(?!\\s*(IN|NOT|IS|=|<|>|\\+|-))",
+          "$1 CAST(NULL AS BOOLEAN)")
         for ((from, to) <- typeRenames if from != to) {
           // a length/precision parameter is dropped with the rename:
           // CAST(x AS VARCHAR(255)) → CAST(x AS string) — Spark's

@@ -1885,6 +1885,313 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "ROWS BETWEEN mod(custkey, 2) PRECEDING AND CURRENT ROW) FROM orders").collect())
   }
 
+  test("aggregation vectors: GROUP BY expressions, pushdown, NaN keys (AbstractTestAggregations.java:371-930)") {
+    // testAggregationPushdownThroughOuterJoin...: aggregation must NOT
+    // be pushed below the outer join when it consumes outer symbols
+    assertVector(
+      "SELECT max(x) FROM (SELECT * FROM (VALUES 1) t(x) LEFT JOIN (VALUES 1) t2(y) ON t.x = t2.y) GROUP BY x",
+      "VALUES 1")
+    assertVector(
+      "SELECT max(y) FROM (SELECT * FROM (VALUES 1) t(x) LEFT JOIN (VALUES 1) t2(y) ON t.x = t2.y) GROUP BY y",
+      "VALUES 1")
+    // (the reference's ordering key r.regionkey is constant per group,
+    // so its expected values lean on non-contractual tie-breaking —
+    // Trino documents min_by/max_by as non-deterministic on ties; a
+    // deterministic key keeps the pushdown property under test)
+    assertVector(
+      "SELECT max_by(n.nationkey, n.nationkey) FROM (SELECT DISTINCT regionkey FROM region) r " +
+        "LEFT JOIN nation n ON n.regionkey = r.regionkey GROUP BY r.regionkey",
+      "VALUES 16, 20, 21, 23, 24")
+    assertVector(
+      "SELECT count(*) FROM (SELECT DISTINCT a, b FROM (VALUES (1, 1), (1, 2)) l(a, b)) l " +
+        "LEFT JOIN (SELECT 1 a) r ON l.a = r.a GROUP BY l.a, l.b",
+      "VALUES 1, 1")
+    assertVector(
+      "SELECT max(nationkey) FROM (VALUES CAST(1 AS BIGINT)) v1(col1) " +
+        "LEFT JOIN nation ON v1.col1 = nation.regionkey GROUP BY v1.col1",
+      "VALUES 24")
+    // testAggregationOverRightJoinOverSingleStreamProbe
+    assertOrdered(
+      "SELECT value FROM (SELECT key FROM (VALUES 'match') AS a(key) " +
+        "LEFT JOIN (SELECT * FROM (VALUES (0)) LIMIT 0) AS x(ignored) ON TRUE GROUP BY 1) a " +
+        "RIGHT JOIN (VALUES ('match', 'value'), ('no-match', 'value')) AS b(key, value) ON a.key = b.key GROUP BY 1",
+      "VALUES 'value'")
+    // testAggregationWithSomeArgumentCasts / WithHaving — the
+    // reference permits a column-valued percentile argument
+    // (APPROX_PERCENTILE(0.1E0, x)); Spark requires it foldable, so
+    // the non-constant form raises (fail-loud divergence) and the
+    // constant form is the vector
+    assertVector(
+      "SELECT APPROX_PERCENTILE(0.1E0, 1.0E0), AVG(x), MIN(x) FROM (values 1, 1, 1) t(x)",
+      "SELECT 0.1E0, 1.0E0, 1")
+    vectorCount += 1
+    assertThrows[org.apache.spark.sql.catalyst.ExtendedAnalysisException](
+      runQ("SELECT APPROX_PERCENTILE(0.1E0, x) FROM (values 1, 1, 1) t(x)").collect())
+    assertVector(
+      "SELECT a, count(1) FROM (VALUES 1, 2, 3, 2) t(a) GROUP BY a HAVING count(1) > 1",
+      "SELECT 2, CAST(2 AS BIGINT)")
+    // GROUP BY expression ≡ ordinal pairs (the reference's own pairs)
+    assertVector(
+      "SELECT CASE WHEN orderstatus = 'O' THEN 'a' ELSE 'b' END, count(*) FROM orders GROUP BY 1",
+      "SELECT CASE WHEN orderstatus = 'O' THEN 'a' ELSE 'b' END, count(*) FROM orders GROUP BY CASE WHEN orderstatus = 'O' THEN 'a' ELSE 'b' END")
+    assertVector(
+      "SELECT CASE WHEN orderstatus = 'O' THEN 'a' END, count(*) FROM orders GROUP BY 1",
+      "SELECT CASE WHEN orderstatus = 'O' THEN 'a' END, count(*) FROM orders GROUP BY CASE WHEN orderstatus = 'O' THEN 'a' END")
+    assertVector(
+      "SELECT IF(orderkey between 1 and 5, 'orders', 'others'), sum(totalprice) FROM orders GROUP BY 1",
+      "SELECT CASE WHEN orderkey BETWEEN 1 AND 5 THEN 'orders' ELSE 'others' END, sum(totalprice) FROM orders " +
+        "GROUP BY CASE WHEN orderkey BETWEEN 1 AND 5 THEN 'orders' ELSE 'others' END")
+    assertVector(
+      "SELECT CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END, count(*) FROM orders GROUP BY 1",
+      "SELECT CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END, count(*) FROM orders GROUP BY CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END")
+    assertVector(
+      "SELECT CAST(orderkey AS VARCHAR), count(*) FROM orders GROUP BY 1",
+      "SELECT CAST(orderkey AS VARCHAR), count(*) FROM orders GROUP BY CAST(orderkey AS VARCHAR)")
+    assertVector(
+      "SELECT COALESCE(orderkey, custkey), count(*) FROM orders GROUP BY 1",
+      "SELECT COALESCE(orderkey, custkey), count(*) FROM orders GROUP BY COALESCE(orderkey, custkey)")
+    assertVector(
+      "SELECT NULLIF(orderkey, custkey), count(*) FROM orders GROUP BY 1",
+      "SELECT NULLIF(orderkey, custkey), count(*) FROM orders GROUP BY NULLIF(orderkey, custkey)")
+    assertVector(
+      "SELECT EXTRACT(YEAR FROM orderdate), count(*) FROM orders GROUP BY 1",
+      "SELECT EXTRACT(YEAR FROM orderdate), count(*) FROM orders GROUP BY EXTRACT(YEAR FROM orderdate)")
+    // grouping key is a coarser/finer function of the GROUP BY columns
+    assertVector(
+      "SELECT CASE WHEN true THEN orderstatus END, count(*) FROM orders GROUP BY orderstatus",
+      "SELECT orderstatus, count(*) FROM orders GROUP BY orderstatus")
+    assertVector(
+      "SELECT CASE 1 WHEN 1 THEN orderstatus ELSE 'x' END, count(*) FROM orders GROUP BY orderstatus",
+      "SELECT orderstatus, count(*) FROM orders GROUP BY orderstatus")
+    assertVector(
+      "SELECT COALESCE(1, orderkey), count(*) FROM orders GROUP BY orderkey",
+      "SELECT 1, count(*) FROM orders GROUP BY orderkey")
+    assertVector(
+      "SELECT sum(custkey) FROM orders GROUP BY orderstatus, orderstatus",
+      "SELECT sum(custkey) FROM orders GROUP BY orderstatus")
+    // testGroupByBetween — boolean grouping keys
+    assertVector(
+      "SELECT orderkey BETWEEN 1 AND 100 FROM orders GROUP BY orderkey BETWEEN 1 AND 100",
+      "SELECT DISTINCT orderkey BETWEEN 1 AND 100 FROM orders")
+    // testGroupByNullConstant / EmptyGroupingSet / aggregate algebra
+    assertVector(
+      "SELECT count(*) FROM (SELECT CAST(null AS VARCHAR) constant, orderdate FROM orders) a GROUP BY constant, orderdate",
+      "SELECT count(*) FROM orders GROUP BY orderdate")
+    assertVector(
+      "SELECT SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY ()",
+      "SELECT SUM(CAST(quantity AS BIGINT)) FROM lineitem")
+    assertVector(
+      "SELECT sum(totalprice * 2) - sum(totalprice) AS x FROM orders",
+      "SELECT sum(totalprice) AS x FROM orders")
+    // testNestedGroupByWithSameKey / OnSupersetOfPartitioning
+    assertVector(
+      "SELECT custkey, sum(t) FROM (SELECT custkey, count(*) t FROM orders GROUP BY custkey) GROUP BY custkey",
+      "SELECT custkey, count(*) FROM orders GROUP BY custkey")
+    assertVector(
+      "SELECT orderdate, c, count(*) FROM (SELECT orderdate, count(*) c FROM orders GROUP BY orderdate) GROUP BY orderdate, c",
+      "SELECT orderdate, count(*), CAST(1 AS BIGINT) FROM orders GROUP BY orderdate")
+    // NaN grouping: NaN is one group, everywhere in the key shape
+    assertVector("SELECT DISTINCT a/a FROM (VALUES (0.0e0), (0.0e0)) x (a)",
+      "SELECT cast('NaN' AS DOUBLE)")
+    // (SELECT * with an ordinal GROUP BY is rejected by Spark —
+    // STAR_GROUP_BY_POS — so the column is named; the NaN-grouping
+    // semantics under test are unchanged)
+    assertVector("SELECT v FROM (VALUES nan(), nan(), nan()) t(v) GROUP BY 1",
+      "SELECT cast('NaN' AS DOUBLE)")
+    assertVector(
+      "SELECT a, b, c FROM (VALUES ROW(nan(), 1, 2), ROW(nan(), 1, 2)) t(a, b, c) GROUP BY 1, 2, 3",
+      "SELECT cast('NaN' AS DOUBLE), 1, 2")
+    assertVector(
+      "SELECT a FROM (VALUES (ARRAY[nan(), 2e0, 3e0]), (ARRAY[nan(), 2e0, 3e0])) t(a) GROUP BY a",
+      "SELECT ARRAY[cast('NaN' AS DOUBLE), 2e0, 3e0]")
+    // count over coarse boolean predicates (reformulated pairs)
+    assertVector(
+      "SELECT COUNT(*) FROM orders WHERE NULLIF(orderstatus, 'F') IS NULL",
+      "SELECT COUNT(*) FROM orders WHERE orderstatus = 'F'")
+    assertVector(
+      "SELECT COUNT(*) FROM orders WHERE NULLIF(orderstatus, 'F') IS NOT NULL",
+      "SELECT COUNT(*) FROM orders WHERE orderstatus <> 'F'")
+    assertVector(
+      "SELECT COUNT(*) FROM orders WHERE COALESCE(NULLIF(orderstatus, 'F'), 'bar') = 'bar'",
+      "SELECT COUNT(*) FROM orders WHERE orderstatus = 'F'")
+    assertVector("SELECT COUNT(*) FROM lineitem WHERE NULL", "VALUES CAST(0 AS BIGINT)")
+    assertVector("SELECT COUNT(true) FROM orders", "SELECT COUNT(*) FROM orders")
+  }
+
+  test("grouping-set equivalence pairs, part 2 (AbstractTestAggregations.java:1160-1260)") {
+    // testGroupingSetsAliasedGroupingColumns
+    assertVector(
+      "SELECT lna, lnb, SUM(quantity) AS s FROM " +
+        "(SELECT linenumber lna, linenumber lnb, CAST(quantity AS BIGINT) quantity FROM lineitem) " +
+        "GROUP BY GROUPING SETS ((lna, lnb), (lna), (lnb), ())",
+      "SELECT linenumber, linenumber, SUM(CAST(quantity AS BIGINT)) AS s FROM lineitem GROUP BY linenumber UNION ALL " +
+        "SELECT linenumber, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber UNION ALL " +
+        "SELECT NULL, linenumber, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber UNION ALL " +
+        "SELECT NULL, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem")
+    // testGroupingSetMixedExpressionAndColumn
+    assertVector(
+      "SELECT suppkey, month(shipdate) AS m, SUM(CAST(quantity AS BIGINT)) AS s FROM lineitem GROUP BY month(shipdate), ROLLUP(suppkey)",
+      "SELECT suppkey, month(shipdate) AS m, SUM(CAST(quantity AS BIGINT)) AS s FROM lineitem GROUP BY month(shipdate), suppkey UNION ALL " +
+        "SELECT NULL, month(shipdate), SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY month(shipdate)")
+    // testGroupingSetsAggregateOnGroupedColumn
+    assertVector(
+      "SELECT orderpriority, COUNT(orderpriority) AS c FROM orders GROUP BY ROLLUP (orderpriority)",
+      "SELECT orderpriority, COUNT(orderpriority) AS c FROM orders GROUP BY orderpriority UNION " +
+        "SELECT NULL, COUNT(orderpriority) FROM orders")
+    // testGroupingSetsMultipleAggregates... family
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(suppkey) AS a, COUNT(linenumber) AS b, SUM(CAST(quantity AS BIGINT)) AS c " +
+        "FROM lineitem GROUP BY GROUPING SETS ((linenumber, suppkey), ())",
+      "SELECT linenumber, suppkey, SUM(suppkey) AS a, COUNT(linenumber) AS b, SUM(CAST(quantity AS BIGINT)) AS c " +
+        "FROM lineitem GROUP BY linenumber, suppkey UNION " +
+        "SELECT NULL, NULL, SUM(suppkey), COUNT(linenumber), SUM(CAST(quantity AS BIGINT)) FROM lineitem")
+    assertVector(
+      "SELECT linenumber, suppkey, COUNT(CAST(quantity AS BIGINT)) AS a, SUM(CAST(quantity AS BIGINT)) AS b " +
+        "FROM lineitem GROUP BY GROUPING SETS ((linenumber, suppkey), ())",
+      "SELECT linenumber, suppkey, COUNT(CAST(quantity AS BIGINT)) AS a, SUM(CAST(quantity AS BIGINT)) AS b " +
+        "FROM lineitem GROUP BY linenumber, suppkey UNION " +
+        "SELECT NULL, NULL, COUNT(CAST(quantity AS BIGINT)), SUM(CAST(quantity AS BIGINT)) FROM lineitem")
+    // testGroupingSetsWithSingleDistinctAndUnion
+    assertVector(
+      "SELECT suppkey, COUNT(DISTINCT linenumber) AS c FROM " +
+        "(SELECT * FROM lineitem WHERE linenumber%2 = 0 UNION ALL SELECT * FROM lineitem WHERE linenumber%2 = 1) " +
+        "GROUP BY GROUPING SETS ((suppkey), ())",
+      "SELECT suppkey, COUNT(DISTINCT linenumber) AS c FROM lineitem GROUP BY suppkey UNION ALL " +
+        "SELECT NULL, COUNT(DISTINCT linenumber) FROM lineitem")
+    // testGroupingSetSubsetAndPartitioning
+    assertVector(
+      "SELECT COUNT_IF(x IS NULL) FROM (" +
+        "SELECT x, y, COUNT(z) FROM (SELECT CAST(lineitem.orderkey AS BIGINT) x, lineitem.linestatus y, SUM(lineitem.quantity) z FROM lineitem " +
+        "JOIN orders ON lineitem.orderkey = orders.orderkey GROUP BY 1, 2) GROUP BY GROUPING SETS ((x, y), ()))",
+      "SELECT CAST(1 AS BIGINT)")
+  }
+
+  test("limit / count-shape vectors (AbstractTestQueries.java:65-233)") {
+    // testAggregationOverUnknown — min/max over the untyped-NULL column
+    assertVector(
+      "SELECT orderpriority, min(totalprice), max(totalprice), min(nullvalue), max(nullvalue) " +
+        "FROM (SELECT orderpriority, totalprice, null AS nullvalue FROM orders) GROUP BY orderpriority",
+      "SELECT orderpriority, min(totalprice), max(totalprice), CAST(NULL AS STRING), CAST(NULL AS STRING) " +
+        "FROM orders GROUP BY orderpriority")
+    // testLimitMax — LIMIT Integer.MAX_VALUE passes through
+    assertVector("SELECT orderkey FROM orders LIMIT 2147483647",
+      "SELECT orderkey FROM orders")
+    assertOrdered("SELECT orderkey FROM orders ORDER BY orderkey LIMIT 2147483647",
+      "SELECT orderkey FROM orders ORDER BY orderkey")
+    // testLimit — LIMIT yields exactly-N rows that are a sub-multiset
+    // of the full relation (the reference's assertContains, spelled as
+    // a count plus an EXCEPT-ALL emptiness check)
+    assertVector("SELECT count(*) FROM (SELECT orderkey FROM orders LIMIT 10)",
+      "VALUES CAST(10 AS BIGINT)")
+    assertVector(
+      "SELECT count(*) FROM ((SELECT orderkey FROM orders LIMIT 10) EXCEPT ALL SELECT orderkey FROM orders) t",
+      "VALUES CAST(0 AS BIGINT)")
+    assertVector(
+      "SELECT count(*) FROM ((SELECT orderkey, custkey FROM orders ORDER BY orderkey) UNION ALL " +
+        "SELECT orderkey, custkey FROM orders WHERE orderstatus = 'F' UNION ALL " +
+        "(SELECT orderkey, custkey FROM orders ORDER BY orderkey LIMIT 20) UNION ALL " +
+        "(SELECT orderkey, custkey FROM orders LIMIT 5) UNION ALL " +
+        "SELECT orderkey, custkey FROM orders LIMIT 10) t",
+      "VALUES CAST(10 AS BIGINT)")
+    // nation-fixture LIMIT determinism (standard TPC-H data, holds
+    // verbatim)
+    assertVector("SELECT name FROM nation ORDER BY nationkey LIMIT 3",
+      "VALUES 'ALGERIA', 'ARGENTINA', 'BRAZIL'")
+    assertVector("SELECT max(regionkey) FROM nation LIMIT 5", "VALUES 5 - 1")
+    assertVector("SELECT DISTINCT regionkey FROM nation LIMIT 5",
+      "VALUES 0, 1, 2, 3, 4")
+    assertVector("SELECT regionkey, count(*) AS c FROM nation WHERE name < 'EGYPT' GROUP BY regionkey LIMIT 3",
+      "SELECT regionkey, count(*) AS c FROM nation WHERE name < 'EGYPT' GROUP BY regionkey")
+    assertOrdered("SELECT DISTINCT custkey FROM orders ORDER BY custkey LIMIT 10",
+      "SELECT custkey FROM (SELECT custkey FROM orders GROUP BY custkey) t ORDER BY custkey LIMIT 10")
+    // testCountAll / testCountColumn
+    assertVector("SELECT COUNT(42) FROM orders", "SELECT COUNT(*) FROM orders")
+    assertVector("SELECT COUNT(42 + 42) FROM orders", "SELECT COUNT(*) FROM orders")
+    assertVector("SELECT COUNT(null) FROM orders", "VALUES CAST(0 AS BIGINT)")
+    assertVector("SELECT COUNT(CAST(NULL AS BIGINT)) FROM orders", "VALUES CAST(0 AS BIGINT)")
+    assertVector("SELECT COUNT(NULLIF(orderstatus, 'F')) FROM orders",
+      "SELECT COUNT(*) FROM orders WHERE orderstatus <> 'F'")
+    // testRepeatedAggregations / testArithmeticNegation
+    assertVector("SELECT SUM(orderkey) AS a, SUM(orderkey) AS b FROM orders",
+      "SELECT SUM(orderkey) AS a, SUM(orderkey) AS b FROM (SELECT orderkey FROM orders) t")
+    assertVector("SELECT -custkey FROM orders", "SELECT custkey * -1 FROM orders")
+  }
+
+  test("row_number filter / TopN-window vectors (AbstractTestEngineOnlyQueries.java:2438-2807)") {
+    // testRowNumberSpecialFilters — impossible rank predicates yield
+    // empty, with and without ORDER BY
+    val src = "(VALUES (1), (1), (1), (2), (2), (3)) t (a)"
+    for (win <- Seq("PARTITION BY a ORDER BY a", "PARTITION BY a");
+         pred <- Seq("rn = -1", "rn <= -1", "rn = 0")) {
+      assertVector(
+        s"SELECT * FROM (SELECT a, row_number() OVER ($win) rn FROM $src) t WHERE $pred",
+        "SELECT 1, CAST(1 AS BIGINT) WHERE FALSE")
+    }
+    // testRowNumberMultipleFilters / FilterAndLimit
+    assertVector(
+      "SELECT * FROM (SELECT a, row_number() OVER (PARTITION BY a ORDER BY a) rn " +
+        s"FROM $src) t WHERE rn < 3 AND rn % 2 = 0 AND a = 2 LIMIT 2",
+      "VALUES (2, CAST(2 AS BIGINT))")
+    assertVector(
+      "SELECT * FROM (SELECT a, row_number() OVER (PARTITION BY a ORDER BY a) rn " +
+        "FROM (VALUES (1), (2), (1), (2)) t (a)) t WHERE rn < 2 LIMIT 2",
+      "VALUES (1, CAST(1 AS BIGINT)), (2, CAST(1 AS BIGINT))")
+    // testRowNumberNoOptimization — arithmetic on rn blocks the
+    // row-number pushdown but must stay correct
+    assertVector(
+      "SELECT count(*) FROM (SELECT orderkey, orderstatus FROM " +
+        "(SELECT row_number() OVER () rn, orderkey, orderstatus FROM orders) WHERE NOT rn <= 10) t",
+      "SELECT count(*) - 10 FROM orders")
+    assertVector(
+      "SELECT count(*) FROM (SELECT orderkey, orderstatus FROM " +
+        "(SELECT row_number() OVER () rn, orderkey, orderstatus FROM orders) WHERE rn - 5 <= 10) t",
+      "VALUES CAST(15 AS BIGINT)")
+    // testRowNumberUnpartitionedFilter — exactly-N plus containment
+    assertVector(
+      "SELECT count(*) FROM (SELECT orderkey, orderstatus FROM " +
+        "(SELECT row_number() OVER () rn, orderkey, orderstatus FROM orders) WHERE rn <= 5 AND orderstatus != 'Z') t",
+      "VALUES CAST(5 AS BIGINT)")
+    assertVector(
+      "SELECT count(*) FROM ((SELECT orderkey, orderstatus FROM " +
+        "(SELECT row_number() OVER () rn, orderkey, orderstatus FROM orders) WHERE rn < 5) " +
+        "EXCEPT ALL SELECT orderkey, orderstatus FROM orders) t",
+      "VALUES CAST(0 AS BIGINT)")
+    // testRowNumberPartitionedFilter — per-partition cap, scale-free
+    assertVector(
+      "SELECT count(*) FROM (SELECT orderkey FROM " +
+        "(SELECT row_number() OVER (PARTITION BY orderstatus) rn, orderkey FROM orders) WHERE rn <= 5) t",
+      "SELECT CAST(sum(least(cnt, 5)) AS BIGINT) FROM (SELECT count(*) cnt FROM orders GROUP BY orderstatus)")
+    // testTopNUnpartitionedWindow — rank filter ≡ ORDER BY LIMIT
+    // (orderkey unique)
+    assertVector(
+      "SELECT orderkey, orderstatus FROM " +
+        "(SELECT row_number() OVER (ORDER BY orderkey) rn, orderkey, orderstatus FROM orders) WHERE rn <= 5",
+      "SELECT orderkey, orderstatus FROM orders ORDER BY orderkey LIMIT 5")
+    assertVector(
+      "SELECT orderkey, orderstatus FROM " +
+        "(SELECT row_number() OVER (ORDER BY orderkey) rn, orderkey, orderstatus FROM orders) WHERE rn <= 10000",
+      "SELECT orderkey, orderstatus FROM orders ORDER BY orderkey LIMIT 10000")
+    // testTopNUnpartitionedWindowWithEqualityFilter / CompositeFilter
+    assertVector(
+      "SELECT orderkey FROM (SELECT row_number() OVER (ORDER BY orderkey) rn, orderkey FROM orders) WHERE rn = 2",
+      "SELECT orderkey FROM orders ORDER BY orderkey LIMIT 1 OFFSET 1")
+    assertVector(
+      "SELECT orderkey FROM (SELECT row_number() OVER (ORDER BY orderkey) rn, orderkey FROM orders) " +
+        "WHERE rn = 1 OR rn IN (3, 4) OR rn BETWEEN 6 AND 7",
+      "SELECT orderkey FROM (SELECT orderkey, row_number() OVER (ORDER BY orderkey) rn " +
+        "FROM (SELECT orderkey FROM orders ORDER BY orderkey LIMIT 7)) WHERE rn IN (1, 3, 4, 6, 7)")
+    // testTopNPartitionedWindow(+EqualityFilter) — per-group TopN with
+    // unreferenced outputs pruned, vs a window-free reformulation
+    assertVector(
+      "SELECT rn, orderkey FROM (SELECT row_number() OVER (PARTITION BY orderstatus ORDER BY orderkey) rn, orderkey " +
+        "FROM orders) WHERE rn <= 2",
+      "SELECT CASE WHEN orderkey = mn THEN 1L ELSE 2L END AS rn, orderkey FROM " +
+        "(SELECT orderkey, orderstatus, min(orderkey) OVER (PARTITION BY orderstatus) mn FROM orders) x " +
+        "WHERE orderkey IN (SELECT min(orderkey) FROM orders GROUP BY orderstatus " +
+        "UNION ALL SELECT min(orderkey) FROM orders o2 WHERE orderkey NOT IN " +
+        "(SELECT min(orderkey) FROM orders GROUP BY orderstatus) GROUP BY orderstatus)")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
