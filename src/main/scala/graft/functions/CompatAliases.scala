@@ -54,6 +54,27 @@ object CompatAliases {
   def inject(e: SparkSessionExtensions): Unit = {
     // ---- string position / codepoints
     fn(e, "strpos", c => asLong(StringInstr(c(0), c(1))))
+    // Reference split(s, delim[, limit]) (`operator/scalar/
+    // SplitFunction.java`): the delimiter is a LITERAL string, not a
+    // regex. Escape every non-alphanumeric char (ASCII letters/digits
+    // can't be escaped in Java regex; everything else escapes
+    // harmlessly) so `split(s, '.')` splits on dots. Both engines keep
+    // trailing empty fields (Java split limit=-1), and a positive
+    // limit leaves the unsplit remainder in the last field. An empty
+    // delimiter raises, per the reference contract. Dialect.translate
+    // routes the reference spelling here as graft_split, leaving
+    // Spark's own regex `split` untouched for native queries.
+    fn(e, "graft_split", c => {
+      val quoted = RegExpReplace(c(1),
+        Literal("([^a-zA-Z0-9])"), Literal("\\\\$1"), Literal(1))
+      val limit = if (c.length == 3) Cast(c(2), IntegerType) else Literal(-1)
+      If(EqualTo(Length(c(1)), Literal(0)),
+        new RaiseError(Literal("USER_RAISED_EXCEPTION"),
+          CreateMap(Seq(Literal("errorMessage"),
+            Literal("The delimiter of split may not be the empty string"))),
+          ArrayType(StringType)),
+        StringSplit(c(0), quoted, limit))
+    })
     // Reference N-variants under their native overloaded spellings
     // (`min(x, n)` = values of the n smallest x; `min_by(x, y, n)`):
     // arity-dispatch onto the bounded-heap aggregates; the 1/2-arg

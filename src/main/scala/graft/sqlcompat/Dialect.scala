@@ -38,6 +38,9 @@ object Dialect {
     "is_nan" -> "isnan",
     "regexp_like" -> "regexp_like", // same in Spark 3.2+
     "now" -> "current_timestamp",
+    // reference split takes a LITERAL delimiter (SplitFunction.java);
+    // Spark's builtin takes a regex — graft_split escapes it
+    "split" -> "graft_split",
     "format_datetime" -> "format_datetime") // our Joda-compat UDF
 
   private val typeRenames: Seq[(String, String)] = Seq(

@@ -2192,6 +2192,39 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "(SELECT min(orderkey) FROM orders GROUP BY orderstatus) GROUP BY orderstatus)")
   }
 
+  test("split literal-delimiter vectors (TestStringFunctions.java:1096-1175)") {
+    // the reference's delimiter is a literal, not a regex — every
+    // vector from the upstream battery, including the regex-metachar
+    // delimiters that motivated graft_split
+    assertVector("SELECT split('a.b.c', '.')", "SELECT ARRAY['a', 'b', 'c']")
+    assertVector("SELECT split('ab', '.', 1)", "SELECT ARRAY['ab']")
+    assertVector("SELECT split('a.b', '.', 1)", "SELECT ARRAY['a.b']")
+    assertVector("SELECT split('a..b..c', '..')", "SELECT ARRAY['a', 'b', 'c']")
+    assertVector("SELECT split('a.b.c', '.', 2)", "SELECT ARRAY['a', 'b.c']")
+    assertVector("SELECT split('a.b.c', '.', 3)", "SELECT ARRAY['a', 'b', 'c']")
+    assertVector("SELECT split('a.b.c', '.', 4)", "SELECT ARRAY['a', 'b', 'c']")
+    assertVector("SELECT split('a.b.c.', '.', 4)", "SELECT ARRAY['a', 'b', 'c', '']")
+    assertVector("SELECT split('a.b.c.', '.', 3)", "SELECT ARRAY['a', 'b', 'c.']")
+    assertVector("SELECT split('...', '.')", "SELECT ARRAY['', '', '', '']")
+    assertVector("SELECT split('..a...a..', '.')",
+      "SELECT ARRAY['', '', 'a', '', '', 'a', '', '']")
+    assertVector("SELECT split('信念,爱,希望', ',', 3)",
+      "SELECT ARRAY['信念', '爱', '希望']")
+    assertVector("SELECT split('證证証', '证', 2)", "SELECT ARRAY['證', '証']")
+    assertVector("SELECT split('.a.b.c', '.', 4)", "SELECT ARRAY['', 'a', 'b', 'c']")
+    assertVector("SELECT split('.a.b.c', '.', 3)", "SELECT ARRAY['', 'a', 'b.c']")
+    assertVector("SELECT split('.a.b.c', '.', 2)", "SELECT ARRAY['', 'a.b.c']")
+    assertVector("SELECT split('a..b..c', '.', 3)", "SELECT ARRAY['a', '', 'b..c']")
+    assertVector("SELECT split('a.b..', '.', 3)", "SELECT ARRAY['a', 'b', '.']")
+    assertVector("SELECT split('a|b|c', '|')", "SELECT ARRAY['a', 'b', 'c']")
+    assertVector("SELECT split('a+b', '+')", "SELECT ARRAY['a', 'b']")
+    // empty delimiter raises (reference: "may not be the empty string")
+    vectorCount += 1
+    assertThrows[Exception](runQ("SELECT split('a.b.c', '', 1)").collect())
+    // split_part stays 1-based and literal on both engines
+    assertVector("SELECT split_part('a.b.c', '.', 2)", "SELECT 'b'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
