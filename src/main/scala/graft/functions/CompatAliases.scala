@@ -64,6 +64,26 @@ object CompatAliases {
     // delimiter raises, per the reference contract. Dialect.translate
     // routes the reference spelling here as graft_split, leaving
     // Spark's own regex `split` untouched for native queries.
+    // Reference substr(s, start[, len]) (`operator/scalar/
+    // StringFunctions.java`): start 0 yields '' — Spark's builtin
+    // treats 0 as position 1. Negative starts count from the end
+    // identically on both engines. Dialect.translate routes
+    // substr/substring call syntax here; the SUBSTRING(x FROM n)
+    // grammar form parses straight to Spark's node and keeps Spark
+    // semantics (documented edge).
+    // (Spark also clamps an out-of-range negative start to 0 — whole
+    // string — where the reference yields '', so both zero and
+    // past-the-front starts route to the empty branch.)
+    fn(e, "graft_substr", c => {
+      val start = Cast(c(1), IntegerType)
+      val sub =
+        if (c.length == 3) Substring(c(0), start, Cast(c(2), IntegerType))
+        else new Substring(c(0), start)
+      val empty = Or(EqualTo(start, Literal(0)),
+        And(LessThan(start, Literal(0)),
+          LessThan(Add(Length(c(0)), start), Literal(0))))
+      If(empty, Literal(""), sub)
+    })
     fn(e, "graft_split", c => {
       val quoted = RegExpReplace(c(1),
         Literal("([^a-zA-Z0-9])"), Literal("\\\\$1"), Literal(1))

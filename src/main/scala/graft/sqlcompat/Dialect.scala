@@ -41,6 +41,10 @@ object Dialect {
     // reference split takes a LITERAL delimiter (SplitFunction.java);
     // Spark's builtin takes a regex — graft_split escapes it
     "split" -> "graft_split",
+    // reference substr(s, 0[, n]) is '' (StringFunctions.java substr:
+    // `if (start == 0) return EMPTY`); Spark treats 0 as position 1
+    "substr" -> "graft_substr",
+    "substring" -> "graft_substr",
     "format_datetime" -> "format_datetime") // our Joda-compat UDF
 
   private val typeRenames: Seq[(String, String)] = Seq(

@@ -2225,6 +2225,28 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertVector("SELECT split_part('a.b.c', '.', 2)", "SELECT 'b'")
   }
 
+  test("substr vectors (TestStringFunctions.java:778-833)") {
+    assertVector("SELECT substr('Quadratically', 5)", "SELECT 'ratically'")
+    assertVector("SELECT substr('Quadratically', 50)", "SELECT ''")
+    assertVector("SELECT substr('Quadratically', -5)", "SELECT 'cally'")
+    assertVector("SELECT substr('Quadratically', -50)", "SELECT ''")
+    assertVector("SELECT substr('Quadratically', 0)", "SELECT ''")
+    assertVector("SELECT substr('Quadratically', 5, 6)", "SELECT 'ratica'")
+    assertVector("SELECT substr('Quadratically', 5, 10)", "SELECT 'ratically'")
+    assertVector("SELECT substr('Quadratically', 5, 50)", "SELECT 'ratically'")
+    assertVector("SELECT substr('Quadratically', 50, 10)", "SELECT ''")
+    assertVector("SELECT substr('Quadratically', -5, 4)", "SELECT 'call'")
+    assertVector("SELECT substr('Quadratically', -5, 40)", "SELECT 'cally'")
+    assertVector("SELECT substr('Quadratically', -50, 4)", "SELECT ''")
+    assertVector("SELECT substr('Quadratically', 0, 4)", "SELECT ''")
+    assertVector("SELECT substr('Quadratically', 5, 0)", "SELECT ''")
+    assertVector("SELECT substring('Quadratically', 0)", "SELECT ''")
+    // column-valued start positions take the same path
+    assertVector(
+      "SELECT substr('Quadratically', p) FROM (VALUES 0, 5, -5) t(p)",
+      "VALUES '', 'ratically', 'cally'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
