@@ -204,8 +204,15 @@ object Graft {
     val root = new java.io.File(s"$dir/$name.parquet")
     val files =
       if (root.isDirectory) root.listFiles().filter(_.isFile).toSeq else Seq(root)
-    val sig = files.map(f => f.lastModified() ^ (f.length() * 1000003L))
-      .foldLeft(0L)(_ ^ _)
+    // order-sensitive multiplicative mix over (name, mtime, length):
+    // a plain XOR fold cancels pairwise-equal mtimes (every part file
+    // of one write shares a timestamp), so a rewrite whose part files
+    // kept their sizes could masquerade as unchanged
+    val sig = files.sortBy(_.getName).foldLeft(0L) { (acc, f) =>
+      val h = f.getName.hashCode.toLong ^ f.lastModified() ^
+        (f.length() * 2654435761L)
+      acc * 1000003L + h
+    }
     java.lang.Long.toHexString(sig)
   }
 

@@ -64,6 +64,30 @@ object CompatAliases {
     // delimiter raises, per the reference contract. Dialect.translate
     // routes the reference spelling here as graft_split, leaving
     // Spark's own regex `split` untouched for native queries.
+    // Reference regexp_extract: default group 0, NULL on no-match and
+    // on non-participating groups (see RegexpCompat). 2-arg
+    // regexp_replace deletes matches (Spark's builtin requires the
+    // replacement argument). Dialect.translate routes the reference
+    // spellings here.
+    fn(e, "graft_regexp_extract", c =>
+      GraftRegexpExtract(c(0), c(1),
+        if (c.length == 3) Cast(c(2), IntegerType) else Literal(0)))
+    // regexp_position(source, pattern) → 1-based char position of the
+    // first match, -1 when none (Spark's regexp_instr yields 0 there).
+    // The start-position/occurrence overloads are unsupported and
+    // throw rather than mistranslate.
+    fn(e, "regexp_position", c => c.length match {
+      case 2 => If(RLike(c(0), c(1)),
+        Cast(RegExpInStr(c(0), c(1), Literal(0)), IntegerType), Literal(-1))
+      case _ => throw new IllegalArgumentException(
+        "regexp_position with start/occurrence arguments is not supported")
+    })
+    fn(e, "graft_regexp_replace", c => c.length match {
+      case 2 => RegExpReplace(c(0), c(1), Literal(""), Literal(1))
+      case 3 => RegExpReplace(c(0), c(1), c(2), Literal(1))
+      case _ => throw new IllegalArgumentException( // fail loud, never drop args
+        "regexp_replace with a lambda replacement is not supported")
+    })
     // Reference substr(s, start[, len]) (`operator/scalar/
     // StringFunctions.java`): start 0 yields '' — Spark's builtin
     // treats 0 as position 1. Negative starts count from the end

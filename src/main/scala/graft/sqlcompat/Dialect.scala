@@ -45,6 +45,11 @@ object Dialect {
     // `if (start == 0) return EMPTY`); Spark treats 0 as position 1
     "substr" -> "graft_substr",
     "substring" -> "graft_substr",
+    // reference regexp_extract defaults to group 0 and yields NULL on
+    // no-match / non-participating groups (Spark: group 1 and '');
+    // 2-arg regexp_replace deletes matches
+    "regexp_extract" -> "graft_regexp_extract",
+    "regexp_replace" -> "graft_regexp_replace",
     "format_datetime" -> "format_datetime") // our Joda-compat UDF
 
   private val typeRenames: Seq[(String, String)] = Seq(
@@ -254,7 +259,12 @@ object Dialect {
     }
 
     val rendered = parts.map {
-      case (seg, true) => (seg, true) // literal — untouched
+      // String literals: the reference dialect has NO backslash-escape
+      // processing (standard SQL — only '' escapes a quote), but
+      // Spark's parser eats backslash escapes ('\b' → backspace, '\d'
+      // → d), silently corrupting every regex literal. Double each
+      // backslash so the literal reaches Spark character-for-character.
+      case (seg, true) => (seg.replace("\\", "\\\\"), true)
       case (seg, false) =>
         var out = seg
         for ((from, to) <- renames if from != to)

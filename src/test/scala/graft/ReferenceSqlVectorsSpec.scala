@@ -2247,6 +2247,63 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES '', 'ratically', 'cally'")
   }
 
+  test("regexp_extract / regexp_replace vectors (AbstractTestRegexpFunctions.java:137-605)") {
+    // regexp_extract: default group 0, NULL on no-match, NULL on a
+    // non-participating alternation branch
+    assertVector("SELECT regexp_extract('Hello world bye', '\\b[a-z]([a-z]*)')",
+      "SELECT 'world'")
+    assertVector("SELECT regexp_extract('Hello world bye', '\\b[a-z]([a-z]*)', 1)",
+      "SELECT 'orld'")
+    assertVector("SELECT regexp_extract('rat cat\\nbat dog', 'ra(.)|blah(.)(.)', 2)",
+      "SELECT CAST(NULL AS STRING)")
+    assertVector("SELECT regexp_extract('12345', 'x')", "SELECT CAST(NULL AS STRING)")
+    assertVector("SELECT regexp_extract('Baby X', 'by ([A-Z].*)\\b[a-z]')",
+      "SELECT CAST(NULL AS STRING)")
+    // out-of-range / negative groups raise
+    vectorCount += 2
+    assertThrows[Exception](
+      runQ("SELECT regexp_extract('Hello world bye', '\\b[a-z]([a-z]*)', -1)").collect())
+    assertThrows[Exception](
+      runQ("SELECT regexp_extract('Hello world bye', '\\b[a-z]([a-z]*)', 2)").collect())
+    // regexp_replace: 2-arg deletion form, group references, named
+    // groups, unicode subjects
+    assertVector("SELECT regexp_replace('fun stuff.', '[a-z]')", "SELECT ' .'")
+    assertVector("SELECT regexp_replace('call 555.123.4444 now', '(\\d{3})\\.(\\d{3}).(\\d{4})')",
+      "SELECT 'call  now'")
+    assertVector("SELECT regexp_replace('fun stuff.', '[a-z]', '*')", "SELECT '*** *****.'")
+    assertVector(
+      "SELECT regexp_replace('call 555.123.4444 now', '(\\d{3})\\.(\\d{3}).(\\d{4})', '($1) $2-$3')",
+      "SELECT 'call (555) 123-4444 now'")
+    assertVector("SELECT regexp_replace('abc有朋$%X自9远方来', '', 'Y')",
+      "SELECT 'YaYbYcY有Y朋Y$Y%YXY自Y9Y远Y方Y来Y'")
+    assertVector("SELECT regexp_replace('a有朋', '.', 'Y')", "SELECT 'YYY'")
+    assertVector("SELECT regexp_replace('a有朋', '.', '1$02')", "SELECT '1a21有21朋2'")
+    assertVector("SELECT regexp_replace('', '', 'Y')", "SELECT 'Y'")
+    assertVector("SELECT regexp_replace('1234567890', '(1)(2)(3)(4)(5)(6)(7)(8)(9)(0)', '$10')",
+      "SELECT '0'")
+    assertVector("SELECT regexp_replace('1234567890', '(1)(2)(3)(4)(5)(6)(7)(8)(9)(0)', '$11')",
+      "SELECT '11'")
+    assertVector("SELECT regexp_replace('1234567890', '(1)(2)(3)(4)(5)(6)(7)(8)(9)(0)', '$1a')",
+      "SELECT '1a'")
+    assertVector("SELECT regexp_replace('wxyz', '(?<xyz>[xyz])', '$'||'{xyz}$'||'{xyz}')",
+      "SELECT 'wxxyyzz'")
+    assertVector("SELECT regexp_replace('xyz', '(?<xyz>[xyz]+)', '$'||'{xyz}')",
+      "SELECT 'xyz'")
+    // invalid group references raise
+    vectorCount += 2
+    assertThrows[Exception](runQ("SELECT regexp_replace('xxx', 'x', '$1')").collect())
+    assertThrows[Exception](runQ("SELECT regexp_replace('xxx', 'x', '$')").collect())
+    // the lambda replacement form is unsupported — fail-loud
+    vectorCount += 1
+    assertThrows[Exception](
+      runQ("SELECT regexp_replace('abc', '(.)', x -> upper(x[1]))").collect())
+    // regexp_like / regexp_count / regexp_position spellings
+    assertVector("SELECT regexp_like('Stephen', '^Ste(v|ph)en$')", "SELECT true")
+    assertVector("SELECT regexp_count('1a 2b 14m', '\\s*[a-z]+\\s*')", "SELECT CAST(3 AS BIGINT)")
+    assertVector("SELECT regexp_position('I have 23 apples, 5 pears', '\\b\\d+\\b')",
+      "SELECT 8")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
