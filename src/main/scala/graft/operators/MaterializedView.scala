@@ -87,4 +87,20 @@ object MaterializedView {
     if (f.fresh || f.withinGrace) s.read.parquet(storage)
     else defining()
   }
+
+  /** Read under a maintenance schedule: a stale-past-grace MV is
+    * REFRESHED first (the explicit refresh a deployment's maintenance
+    * job runs), then served from storage — so steady-state reads are
+    * a plain parquet scan and recompute happens once per source
+    * change, not once per read. `read` alone never mutates; this is
+    * the REFRESH + read composition. */
+  def readRefreshing(s: SparkSession, storage: String,
+      defining: () => DataFrame, sources: Seq[(String, String)],
+      gracePeriodMs: Long = Long.MaxValue): DataFrame = {
+    createIfAbsent(s, storage, defining, sources)
+    val f = freshness(storage, sources, gracePeriodMs)
+    if (!f.fresh && !f.withinGrace)
+      refresh(s, storage, defining, sources)
+    s.read.parquet(storage)
+  }
 }

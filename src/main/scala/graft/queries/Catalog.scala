@@ -126,9 +126,10 @@ object CatalogOps {
     * `SqlBase.g4:92-98`, `ConnectorMetadata.getMaterializedViewFreshness`):
     * yearly revenue by order priority materialized to a storage table
     * keyed by source fingerprints. Grace period 0 here: a fresh MV
-    * serves the storage table (plain parquet scan), a stale one falls
-    * back to the defining query — so the oracle hash holds whether or
-    * not the testdata was regenerated since materialization.
+    * serves the storage table (plain parquet scan), a stale one is
+    * refreshed first then served — so the oracle hash holds whether or
+    * not the testdata was regenerated since materialization, and
+    * recompute happens once per source change, not once per read.
     * MaterializedViewSpec drives the full stale→grace→refresh cycle. */
   def cat3(s: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -141,7 +142,10 @@ object CatalogOps {
         .agg(count(lit(1)).as("n_items"),
           sum(Num.revenue(col("l_extendedprice"), col("l_discount")))
             .cast("double").as("revenue"))
-    graft.operators.MaterializedView.read(s, storage, () => defining(),
+    // refresh-on-stale: source regeneration (or a fingerprint-format
+    // change) re-materializes ONCE; steady-state reads stay a plain
+    // parquet scan of the storage table
+    graft.operators.MaterializedView.readRefreshing(s, storage, () => defining(),
       Seq(dir -> "orders", dir -> "lineitem"), gracePeriodMs = 0L)
   }
 

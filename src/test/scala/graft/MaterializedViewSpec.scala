@@ -67,5 +67,16 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = spark.read.parquet(storage)
     assert(after.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
       Set((1L, 10.0), (2L, 5.0), (3L, 7.0)))
+
+    // readRefreshing: a stale-past-grace MV is refreshed ONCE, then
+    // served from storage — the maintenance-schedule composition
+    Thread.sleep(1100)
+    writeSource(Seq((4L, 1.0)))
+    assert(!MaterializedView.freshness(storage, sources, 0L).fresh)
+    val healed = MaterializedView.readRefreshing(
+      spark, storage, () => defining(), sources, gracePeriodMs = 0L)
+    assert(healed.collect().map(_.getLong(0)).toSet == Set(4L))
+    // meta was re-pinned: the next read is fresh, no recompute path
+    assert(MaterializedView.freshness(storage, sources, 0L).fresh)
   }
 }
