@@ -190,7 +190,10 @@ object CompatAliases {
       MicrosToTimestamp(new IntegralDivide(c.head, Literal(1000L))))
 
     // ---- numeric / bitwise
-    fn(e, "is_nan", c => IsNaN(c.head))
+    // Spark's IsNaN is false on NULL; the reference propagates NULL
+    // (TestMathFunctions testIsNaN: is_nan(NULL) → NULL)
+    fn(e, "is_nan", c => If(IsNull(c.head),
+      Literal.create(null, BooleanType), IsNaN(c.head)))
     fn(e, "nan", _ => Literal(Double.NaN))
     fn(e, "bitwise_left_shift", c => ShiftLeft(c(0), c(1)))
     fn(e, "bitwise_right_shift", c => ShiftRightUnsigned(c(0), c(1)))
@@ -227,6 +230,17 @@ object CompatAliases {
 
     // ---- numeric constants (MathFunctions.java)
     fn(e, "infinity", _ => Literal(Double.PositiveInfinity))
+    fn(e, "e", _ => Literal(math.E))
+    // is_finite / is_infinite (MathFunctions.java): finite = not NaN
+    // and |x| < inf. IsNaN(null) is FALSE in Spark, so the null path
+    // rides the comparison limb (null < inf → null; and(true, null) →
+    // null) — matching the reference's NULL → NULL
+    fn(e, "is_finite", c => {
+      val d = Cast(c.head, DoubleType)
+      And(Not(IsNaN(d)), LessThan(Abs(d), Literal(Double.PositiveInfinity)))
+    })
+    fn(e, "is_infinite", c =>
+      EqualTo(Abs(Cast(c.head, DoubleType)), Literal(Double.PositiveInfinity)))
 
     // ---- maps / arrays
     fn(e, "split_to_map", c => new StringToMap(c(0), c(1), c(2)))
@@ -293,6 +307,26 @@ object CompatAliases {
     // truncate-toward-zero for doubles (MathFunctions.java truncate)
     spark.udf.register("truncate", (d: Double) =>
       if (d < 0) math.ceil(d) else math.floor(d))
+    // to_base / from_base (MathFunctions.java): sign-magnitude digit
+    // strings, radix 2..36, reference error texts on bad input
+    spark.udf.register("to_base", (x: java.lang.Long, radix: java.lang.Long) =>
+      if (x == null || radix == null) null
+      else {
+        if (radix < 2 || radix > 36)
+          throw new IllegalArgumentException("Radix must be between 2 and 36")
+        java.lang.Long.toString(x, radix.toInt)
+      })
+    spark.udf.register("from_base", (s: String, radix: java.lang.Long) =>
+      if (s == null || radix == null) null.asInstanceOf[java.lang.Long]
+      else {
+        if (radix < 2 || radix > 36)
+          throw new IllegalArgumentException("Radix must be between 2 and 36")
+        try java.lang.Long.valueOf(java.lang.Long.parseLong(s, radix.toInt))
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"Not a valid base-$radix number: $s")
+        }
+      })
     // murmur3(varbinary) -> 16-byte varbinary (VarbinaryFunctions.java
     // murmur3 via airlift Murmur3Hash128: x64_128 variant, seed 0,
     // little-endian h1 then h2 — exactly Guava's murmur3_128 byte

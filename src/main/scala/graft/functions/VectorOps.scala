@@ -32,6 +32,38 @@ object VectorOps {
     s
   }
 
+  /** Sparse cosine over the reference's map form
+    * (`MathFunctions.java` cosineSimilarity(map, map)): keys are the
+    * dimensions, values the weights; a NULL weight in either map
+    * yields NULL (boxed return). Disjoint key sets → 0.0. */
+  def cosineSparse(a: org.apache.spark.sql.catalyst.util.MapData,
+      b: org.apache.spark.sql.catalyst.util.MapData): java.lang.Double = {
+    val ak = a.keyArray(); val av = a.valueArray()
+    val bk = b.keyArray(); val bv = b.valueArray()
+    var i = 0
+    var na = 0.0
+    val seen = new java.util.HashMap[AnyRef, java.lang.Double](a.numElements() * 2)
+    while (i < a.numElements()) {
+      if (av.isNullAt(i)) return null
+      val v = av.getDouble(i)
+      na += v * v
+      seen.put(ak.get(i, org.apache.spark.sql.types.StringType), v)
+      i += 1
+    }
+    var nb = 0.0
+    var dot = 0.0
+    i = 0
+    while (i < b.numElements()) {
+      if (bv.isNullAt(i)) return null
+      val v = bv.getDouble(i)
+      nb += v * v
+      val x = seen.get(bk.get(i, org.apache.spark.sql.types.StringType))
+      if (x != null) dot += x.doubleValue() * v
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Sequential-fold cosine similarity over two float arrays. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

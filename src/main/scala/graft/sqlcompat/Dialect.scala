@@ -35,7 +35,9 @@ object Dialect {
     "array_join" -> "array_join", // same
     "cardinality" -> "cardinality", // same
     "log" -> "log", // same signature (base, x)
-    "is_nan" -> "isnan",
+    // keep the reference spelling: the registry's is_nan propagates
+    // NULL; Spark's isnan(NULL) is false
+    "is_nan" -> "is_nan",
     "regexp_like" -> "regexp_like", // same in Spark 3.2+
     "now" -> "current_timestamp",
     // reference split takes a LITERAL delimiter (SplitFunction.java);

@@ -2304,6 +2304,156 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT 8")
   }
 
+  test("condition vectors: LIKE/ESCAPE, DISTINCT FROM, BETWEEN, IN (TestConditions.java:50-535)") {
+    // LIKE with the standard's single-char ESCAPE clause
+    assertVector("SELECT '_monkey_' like 'X_monkeyX_' escape 'X'", "SELECT true")
+    assertVector("SELECT 'monkey' like 'monkey'", "SELECT true")
+    assertVector("SELECT 'monkey' like 'mon%'", "SELECT true")
+    assertVector("SELECT 'monkey' like '%key'", "SELECT true")
+    assertVector("SELECT 'monkey' like 'm____y'", "SELECT true")
+    assertVector("SELECT 'monkey' like 'lion'", "SELECT false")
+    assertVector("SELECT CAST(null AS STRING) like 'monkey'",
+      "SELECT CAST(null AS BOOLEAN)")
+    assertVector("SELECT 'monkey' like CAST(null AS STRING)",
+      "SELECT CAST(null AS BOOLEAN)")
+    assertVector("SELECT '_monkey_' not like 'X_monkeyX_' escape 'X'", "SELECT false")
+    assertVector("SELECT 'monkey' not like 'lion'", "SELECT true")
+    assertVector("SELECT CAST(null AS STRING) not like 'monkey'",
+      "SELECT CAST(null AS BOOLEAN)")
+    // multi-char escape raises (reference: 'Escape string must be a
+    // single character')
+    vectorCount += 1
+    assertThrows[Exception](
+      runQ("SELECT 'monkey' like 'monkey' escape 'foo'").collect())
+    // IS [NOT] DISTINCT FROM: null-safe comparison truth table
+    assertVector("SELECT 1 IS DISTINCT FROM 1", "SELECT false")
+    assertVector("SELECT 1 IS DISTINCT FROM 2", "SELECT true")
+    assertVector("SELECT 1 IS DISTINCT FROM CAST(null AS INT)", "SELECT true")
+    assertVector("SELECT CAST(null AS INT) IS DISTINCT FROM 2", "SELECT true")
+    assertVector("SELECT CAST(null AS INT) IS DISTINCT FROM CAST(null AS INT)",
+      "SELECT false")
+    assertVector("SELECT 1 IS NOT DISTINCT FROM 1", "SELECT true")
+    assertVector("SELECT 1 IS NOT DISTINCT FROM 2", "SELECT false")
+    assertVector("SELECT 1 IS NOT DISTINCT FROM CAST(null AS INT)", "SELECT false")
+    assertVector("SELECT CAST(null AS INT) IS NOT DISTINCT FROM CAST(null AS INT)",
+      "SELECT true")
+    // BETWEEN: numeric bounds incl. inverted, NULL limbs, cross-width
+    assertVector("SELECT 3 between 2 and 4", "SELECT true")
+    assertVector("SELECT 3 between 3 and 3", "SELECT true")
+    assertVector("SELECT 3 between 4 and 2", "SELECT false")
+    assertVector("SELECT 2 between 3 and 4", "SELECT false")
+    assertVector("SELECT 5 between 3 and 4", "SELECT false")
+    assertVector("SELECT CAST(null AS INT) between 3 and 4",
+      "SELECT CAST(null AS BOOLEAN)")
+    assertVector("SELECT 3 between CAST(null AS INT) and 4",
+      "SELECT CAST(null AS BOOLEAN)")
+    assertVector("SELECT 3 between 2 and CAST(null AS INT)",
+      "SELECT CAST(null AS BOOLEAN)")
+    assertVector("SELECT 3 between 3 and 4000000000", "SELECT true")
+    assertVector("SELECT 5 between 3 and 4000000000", "SELECT true")
+    assertVector("SELECT 5 between BIGINT '3' and 4", "SELECT false")
+    assertVector("SELECT BIGINT '3' between 3 and 4", "SELECT true")
+    assertVector("SELECT 'c' between 'b' and 'b'", "SELECT false")
+    assertVector("SELECT 'c' between 'c' and 'c'", "SELECT true")
+    assertVector("SELECT 'c' between 'b' and 'c'", "SELECT true")
+    assertVector("SELECT 'c' between 'd' and 'b'", "SELECT false")
+    assertVector("SELECT 'b' between 'c' and 'd'", "SELECT false")
+    assertVector("SELECT CAST(null AS STRING) between 'b' and 'd'",
+      "SELECT CAST(null AS BOOLEAN)")
+    assertVector("SELECT 'c' between CAST(null AS STRING) and 'd'",
+      "SELECT CAST(null AS BOOLEAN)")
+    assertVector("SELECT 3 not between 2 and 4", "SELECT false")
+    assertVector("SELECT 3 not between 4 and 2", "SELECT true")
+    assertVector("SELECT CAST(null AS INT) not between 3 and 4",
+      "SELECT CAST(null AS BOOLEAN)")
+    assertVector("SELECT 'c' not between 'b' and 'b'", "SELECT true")
+    assertVector("SELECT 'e' not between 'c' and 'd'", "SELECT true")
+    // IN over literal lists: NULL member participates three-valued
+    assertVector("SELECT 3 in (2, 4, 3, 5)", "SELECT true")
+    assertVector("SELECT 3 not in (2, 4, 3, 5)", "SELECT false")
+    assertVector("SELECT 3 in (2, 4, 9, 5)", "SELECT false")
+    assertVector("SELECT 3 in (2, null, 3, 5)", "SELECT true")
+    assertVector("SELECT 'foo' in ('bar', 'baz', 'foo', 'blah')", "SELECT true")
+    assertVector("SELECT 'foo' in ('bar', 'baz', 'buz', 'blah')", "SELECT false")
+    assertVector("SELECT 'foo' in ('bar', null, 'foo', 'blah')", "SELECT true")
+    assertVector("SELECT CAST(null AS INT) in (2, null, 3, 5)",
+      "SELECT CAST(null AS BOOLEAN)")
+    assertVector("SELECT 3 in (2, null)", "SELECT CAST(null AS BOOLEAN)")
+  }
+
+  test("math function vectors (TestMathFunctions.java:69-3560)") {
+    // abs / sign across widths
+    assertVector("SELECT abs(-5), abs(5), abs(BIGINT '-5'), abs(-7.5E0)",
+      "SELECT 5, 5, BIGINT '5', 7.5E0")
+    assertVector("SELECT sign(3.5E0), sign(-3.5E0), sign(0.0E0), sign(CAST(null AS DOUBLE))",
+      "SELECT 1.0E0, -1.0E0, 0.0E0, CAST(null AS DOUBLE)")
+    assertVector("SELECT sign(8), sign(-8), sign(0)", "SELECT 1, -1, 0")
+    // ceil/ceiling/floor
+    assertVector("SELECT ceil(12.4E0), ceiling(12.4E0), ceil(-12.4E0), floor(12.9E0), floor(-12.4E0)",
+      "SELECT 13.0E0, 13.0E0, -12.0E0, 12.0E0, -13.0E0")
+    // truncate toward zero (double)
+    assertVector("SELECT truncate(17.18E0), truncate(-17.18E0), truncate(17.88E0), truncate(-17.88E0)",
+      "SELECT 17.0E0, -17.0E0, 17.0E0, -17.0E0")
+    // round: half away from zero, both signs, integers pass through
+    assertVector("SELECT round(3.499E0), round(-3.499E0), round(3.5E0), round(-3.5E0)",
+      "SELECT 3.0E0, -3.0E0, 4.0E0, -4.0E0")
+    assertVector("SELECT round(3), round(-3), round(BIGINT '3000000000')",
+      "SELECT 3, -3, BIGINT '3000000000'")
+    assertVector("SELECT round(1234.56E0, 1), round(-1234.56E0, 1), round(1254.0E0, -2)",
+      "SELECT 1234.6E0, -1234.6E0, 1300.0E0")
+    // mod: sign of the dividend, all width mixes
+    assertVector("SELECT mod(7, 3), mod(-7, 3), mod(7, -3), mod(-7, -3)",
+      "SELECT 1, -1, 1, -1")
+    // IEEE fmod, not decimal mod: 5.1 % 2 in doubles
+    assertVector("SELECT mod(BIGINT '70000000000', 3), mod(5.1E0, 2)",
+      "SELECT BIGINT '1', 1.0999999999999996E0")
+    assertVector("SELECT mod(5.0E0, CAST(null AS DOUBLE))", "SELECT CAST(null AS DOUBLE)")
+    // exponentials / logs
+    assertVector("SELECT ln(e()), log2(8.0E0), log10(1000.0E0), log(2.0E0, 8.0E0)",
+      "SELECT 1.0E0, 3.0E0, 3.0E0, 3.0E0")
+    assertVector("SELECT log(5.0E0, CAST(null AS DOUBLE)), log(CAST(null AS DOUBLE), 5.0E0)",
+      "SELECT CAST(null AS DOUBLE), CAST(null AS DOUBLE)")
+    assertVector("SELECT exp(0.0E0), power(2, 10), pow(2, 10), sqrt(1764.0E0), cbrt(27.0E0)",
+      "SELECT 1.0E0, 1024.0E0, 1024.0E0, 42.0E0, 3.0E0")
+    // constants and degree conversion
+    assertVector("SELECT round(pi(), 9), round(degrees(pi()), 6), round(radians(180.0E0) - pi(), 9)",
+      "SELECT round(3.14159265358979, 9), 180.0E0, 0.0E0")
+    // IEEE specials: nan()/infinity() constants, is_nan/is_finite/is_infinite
+    assertVector("SELECT is_nan(nan()), is_nan(0.0E0 / 0.0E0), is_nan(0.0E0 / 1.0E0), is_nan(CAST(null AS DOUBLE))",
+      "SELECT true, true, false, CAST(null AS BOOLEAN)")
+    assertVector("SELECT infinity() > 0, -infinity() < 0, is_infinite(1.0E0 / 0.0E0), is_infinite(0.0E0 / 0.0E0), is_infinite(1.0E0), is_infinite(CAST(null AS DOUBLE))",
+      "SELECT true, true, true, false, false, CAST(null AS BOOLEAN)")
+    assertVector("SELECT is_finite(100000), is_finite(1.0E0 / 0.0E0), is_finite(nan()), is_finite(CAST(null AS DOUBLE))",
+      "SELECT true, false, false, CAST(null AS BOOLEAN)")
+    // to_base / from_base: sign-magnitude digit strings
+    assertVector("SELECT to_base(2147483648, 16), to_base(255, 2), to_base(-2147483647, 16), to_base(CAST(null AS BIGINT), 16)",
+      "SELECT '80000000', '11111111', '-7fffffff', CAST(null AS STRING)")
+    assertVector("SELECT from_base('80000000', 16), from_base('11111111', 2), from_base('-7fffffff', 16), from_base('9223372036854775807', 10)",
+      "SELECT BIGINT '2147483648', BIGINT '255', BIGINT '-2147483647', BIGINT '9223372036854775807'")
+    assertVector("SELECT from_base(CAST(null AS STRING), 10), to_base(255, CAST(null AS BIGINT))",
+      "SELECT CAST(null AS BIGINT), CAST(null AS STRING)")
+    vectorCount += 3
+    assertThrows[Exception](runQ("SELECT to_base(255, 1)").collect())
+    assertThrows[Exception](runQ("SELECT from_base('Z', 37)").collect())
+    assertThrows[Exception](runQ("SELECT from_base('Z', 35)").collect())
+    // sparse cosine_similarity over dimension-keyed maps
+    assertVector(
+      "SELECT round(cosine_similarity(map(ARRAY['a','b'], ARRAY[1.0E0,2.0E0]), map(ARRAY['c','b'], ARRAY[1.0E0,3.0E0])), 9)",
+      "SELECT round(6.0E0 / (sqrt(5.0E0) * sqrt(10.0E0)), 9)")
+    assertVector(
+      "SELECT round(cosine_similarity(map(ARRAY['a','b','c'], ARRAY[1.0E0,2.0E0,-1.0E0]), map(ARRAY['c','b'], ARRAY[1.0E0,3.0E0])), 9)",
+      "SELECT round(5.0E0 / (sqrt(6.0E0) * sqrt(10.0E0)), 9)")
+    assertVector(
+      "SELECT cosine_similarity(map(ARRAY['a','b','c'], ARRAY[1.0E0,2.0E0,-1.0E0]), map(ARRAY['d','e'], ARRAY[1.0E0,3.0E0]))",
+      "SELECT 0.0E0")
+    assertVector(
+      "SELECT cosine_similarity(CAST(null AS MAP<STRING,DOUBLE>), map(ARRAY['c','b'], ARRAY[1.0E0,3.0E0]))",
+      "SELECT CAST(null AS DOUBLE)")
+    assertVector(
+      "SELECT cosine_similarity(map(ARRAY['a','b'], ARRAY[1.0E0, CAST(null AS DOUBLE)]), map(ARRAY['c','b'], ARRAY[1.0E0,3.0E0]))",
+      "SELECT CAST(null AS DOUBLE)")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
