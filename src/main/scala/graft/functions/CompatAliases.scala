@@ -167,6 +167,20 @@ object CompatAliases {
       case _ => Contains(c(0), c(1))
     })
     fn(e, "codepoint", c => Ascii(c.head)) // INTEGER, like the reference
+    // levenshtein_distance (StringFunctions.java): BIGINT, codepoint
+    // edit distance — Spark's Levenshtein has identical semantics at
+    // INT width
+    fn(e, "levenshtein_distance", c => asLong(new Levenshtein(c(0), c(1))))
+    fn(e, "starts_with", c => StartsWith(c(0), c(1)))
+    // ltrim/rtrim (string, charset): the reference's two-arg forms
+    // treat the second argument as a SET of codepoints to strip —
+    // exactly Catalyst's trimStr semantics. One-arg forms stay the
+    // whitespace builtins.
+    // (Catalyst's legacy two-expression constructor is (trimStr, src))
+    fn(e, "ltrim", c =>
+      if (c.length == 2) new StringTrimLeft(c(1), c(0)) else StringTrimLeft(c(0)))
+    fn(e, "rtrim", c =>
+      if (c.length == 2) new StringTrimRight(c(1), c(0)) else StringTrimRight(c(0)))
 
     // ---- datetime field extraction (reference returns BIGINT; ISO dow)
     val dowB = (c: Seq[Expression]) => asLong(new Add(WeekDay(c.head), Literal(1)))
@@ -327,6 +341,42 @@ object CompatAliases {
             s"Not a valid base-$radix number: $s")
         }
       })
+    // chr(n) (StringFunctions.java): UNICODE code point → string.
+    // Spark's builtin chr is mod-256 ASCII, a genuine semantic clash
+    // with the reference (chr(9731) must be the snowman, not 0x03)
+    spark.udf.register("chr", (n: java.lang.Long) =>
+      if (n == null) null
+      else {
+        if (n < 0 || n > Character.MAX_CODE_POINT)
+          throw new IllegalArgumentException(s"Not a valid Unicode code point: $n")
+        new String(Character.toChars(n.toInt))
+      })
+    // split_part (StringFunctions.java): literal delimiter, NULL past
+    // the last field (Spark's builtin returns '' there), empty
+    // delimiter splits per CODEPOINT, index must be positive
+    spark.udf.register("split_part",
+      (s: String, delim: String, idx: java.lang.Long) =>
+        if (s == null || delim == null || idx == null) null
+        else {
+          if (idx <= 0)
+            throw new IllegalArgumentException("Index must be greater than zero")
+          if (delim.isEmpty) {
+            val cps = s.codePointCount(0, s.length)
+            if (idx > cps) null
+            else {
+              val off = s.offsetByCodePoints(0, idx.toInt - 1)
+              new String(Character.toChars(s.codePointAt(off)))
+            }
+          } else {
+            val parts = s.split(java.util.regex.Pattern.quote(delim), -1)
+            if (idx > parts.length) null else parts(idx.toInt - 1)
+          }
+        })
+    // soundex (StringFunctions.java → commons-codec Soundex.US_ENGLISH,
+    // classic algorithm incl. the H/W separator rule). Spark's builtin
+    // diverges on non-letter-leading input ('123' → '123', reference
+    // → '') and doesn't raise on unmappable letters.
+    spark.udf.register("soundex", (s: String) => soundexUS(s))
     // murmur3(varbinary) -> 16-byte varbinary (VarbinaryFunctions.java
     // murmur3 via airlift Murmur3Hash128: x64_128 variant, seed 0,
     // little-endian h1 then h2 — exactly Guava's murmur3_128 byte
@@ -370,5 +420,52 @@ object CompatAliases {
     spark.udf.register("hash_counts", (b: Array[Byte]) =>
       if (b == null) null
       else KmvDigest.deserialize(b).hashes.map(h => h -> 1.toShort).toMap)
+  }
+
+  /** Classic US-English soundex (the public algorithm the reference
+    * delegates to via commons-codec `Soundex.US_ENGLISH`): strip
+    * non-letters, uppercase, first letter + three digit codes from the
+    * mapping table, adjacent duplicates collapsed, with the H/W rule —
+    * same-code consonants separated by H or W emit once. Unmappable
+    * letters (outside A–Z after cleaning) raise, like the reference. */
+  private val SoundexMap = "01230120022455012623010202"
+
+  private def soundexCode(c: Char): Char = {
+    val i = c - 'A'
+    if (i < 0 || i >= SoundexMap.length)
+      throw new IllegalArgumentException(
+        s"The character is not mapped: $c (index=$i)")
+    SoundexMap.charAt(i)
+  }
+
+  def soundexUS(s: String): String = {
+    if (s == null) return null
+    val str = s.filter(Character.isLetter).toUpperCase
+    if (str.isEmpty) return ""
+    def mapAt(i: Int): Char = {
+      val m = soundexCode(str.charAt(i))
+      if (i > 1 && m != '0') {
+        val hw = str.charAt(i - 1)
+        if (hw == 'H' || hw == 'W') {
+          val pre = str.charAt(i - 2)
+          if (soundexCode(pre) == m || pre == 'H' || pre == 'W') return 0.toChar
+        }
+      }
+      m
+    }
+    val out = Array('0', '0', '0', '0')
+    out(0) = str.charAt(0)
+    var last = mapAt(0)
+    var in = 1
+    var count = 1
+    while (in < str.length && count < 4) {
+      val m = mapAt(in)
+      in += 1
+      if (m != 0.toChar) {
+        if (m != '0' && m != last) { out(count) = m; count += 1 }
+        last = m
+      }
+    }
+    new String(out)
   }
 }

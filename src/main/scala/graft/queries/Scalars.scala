@@ -71,7 +71,10 @@ object Scalars {
       "substring(c_name, 1, 8) AS sub",
       "CAST(length(c_name) AS BIGINT) AS len",
       "trim('  pad  ') AS trimmed",
-      "ltrim('xx', 'xxabc') AS ltrimmed",
+      // reference arg order (string, charset) — CompatAliases registers
+      // the two-arg form with that order, shadowing Spark's legacy
+      // (trimStr, src) spelling
+      "ltrim('xxabc', 'xx') AS ltrimmed",
       "lpad(CAST(c_custkey AS STRING), 8, '0') AS padded",
       "rpad(c_mktsegment, 12, '.') AS rpadded",
       "translate(c_name, 'Cus', 'Kaz') AS transd",

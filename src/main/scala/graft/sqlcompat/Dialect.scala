@@ -67,16 +67,29 @@ object Dialect {
     * on whole-word match (case-insensitive) when followed by `(` for
     * functions, or inside CAST(... AS <type>) for types. */
   def translate(sql: String): String = {
+    // normalize(): the standard's form argument is a BARE keyword
+    // (normalize(x, NFD)) and the one-arg form defaults to NFC — quote
+    // / supply it for the registered (string, form) UDF. Runs on the
+    // full text BEFORE literal masking (the first argument is usually
+    // a string literal), with a quote-tolerant non-nesting arg group;
+    // literal content is only ever copied through, never altered.
+    val sql0 = sql
+      .replaceAll(
+        "(?i)\\bnormalize\\s*\\(((?:[^()']|'[^']*')*?),\\s*(NFC|NFD|NFKC|NFKD)\\s*\\)",
+        "normalize($1, '$2')")
+      .replaceAll(
+        "(?i)\\bnormalize\\s*\\(((?:[^(),']|'[^']*')*)\\)",
+        "normalize($1, 'NFC')")
     // split into literal and non-literal segments so quoted strings
     // are never rewritten
     val parts = new scala.collection.mutable.ArrayBuffer[(String, Boolean)]
     val sb = new StringBuilder
     var inStr = false
     var i = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
+    while (i < sql0.length) {
+      val c = sql0.charAt(i)
       if (c == '\'') {
-        if (inStr && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+        if (inStr && i + 1 < sql0.length && sql0.charAt(i + 1) == '\'') {
           sb += '\''; sb += '\''; i += 2
         } else {
           if (inStr) { sb += c; parts += ((sb.toString, true)); sb.clear() }

@@ -2454,6 +2454,117 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT CAST(null AS DOUBLE)")
   }
 
+  test("string function vectors (TestStringFunctions.java:94-2435)") {
+    // chr / codepoint: UNICODE code points, not mod-256 ASCII
+    assertVector("SELECT chr(65), chr(9731), chr(0)",
+      "SELECT 'A', '☃', CAST(X'00' AS STRING)")
+    assertVector("SELECT codepoint('x'), codepoint('萌'), codepoint(chr(128077)), codepoint(chr(33804))",
+      "SELECT 120, 33804, 128077, 33804")
+    vectorCount += 2
+    assertThrows[Exception](runQ("SELECT chr(-1)").collect())
+    assertThrows[Exception](runQ("SELECT chr(1234567)").collect())
+    // concat
+    assertVector("SELECT concat('hello', ' world'), concat('', ''), concat('what', ''), concat('', 'what')",
+      "SELECT 'hello world', '', 'what', 'what'")
+    assertVector("SELECT concat('this', ' is', ' cool'), concat(CAST(null AS STRING), 'x')",
+      "SELECT 'this is cool', CAST(null AS STRING)")
+    // length (codepoints, not bytes)
+    assertVector("SELECT length(''), length('hello'), length('信念,爱,希望')",
+      "SELECT 0, 5, 7")
+    // levenshtein_distance: BIGINT, codepoint-level
+    assertVector(
+      "SELECT levenshtein_distance('', ''), levenshtein_distance('', 'hello'), levenshtein_distance('hello', 'hello'), levenshtein_distance('hello', 'hello world'), levenshtein_distance('hello world', 'hel wold'), levenshtein_distance('hello world', 'hellq wodld'), levenshtein_distance('hello naïve world', 'hello naive world')",
+      "SELECT BIGINT '0', BIGINT '5', BIGINT '0', BIGINT '6', BIGINT '3', BIGINT '2', BIGINT '1'")
+    assertVector(
+      "SELECT levenshtein_distance('信念,爱,希望', '信仰,爱,希望'), levenshtein_distance('信念,爱,希望', '信念希望')",
+      "SELECT BIGINT '1', BIGINT '3'")
+    // hamming_distance: BIGINT, NULL-propagating, errors on length skew
+    assertVector(
+      "SELECT hamming_distance('', ''), hamming_distance('hello', 'hello'), hamming_distance('hello', 'jello'), hamming_distance('like', 'hate'), hamming_distance('hello', 'world'), hamming_distance(NULL, NULL), hamming_distance('hello', NULL)",
+      "SELECT BIGINT '0', BIGINT '0', BIGINT '1', BIGINT '3', BIGINT '4', CAST(null AS BIGINT), CAST(null AS BIGINT)")
+    assertVector(
+      "SELECT hamming_distance('hello naïve world', 'hello naive world'), hamming_distance('信念,爱,希望', '信仰,爱,希望')",
+      "SELECT BIGINT '1', BIGINT '1'")
+    vectorCount += 1
+    assertThrows[Exception](
+      runQ("SELECT hamming_distance('hello', '')").collect())
+    // replace: 3-arg and the 2-arg delete form
+    assertVector(
+      "SELECT replace('aaa', 'a', 'aa'), replace('abcdefabcdef', 'cd', 'XX'), replace('abcdefabcdef', 'cd'), replace('123123tech', '123'), replace('123tech123', '123'), replace('222tech', '2', '3')",
+      "SELECT 'aaaaaa', 'abXXefabXXef', 'abefabef', 'tech', 'tech', '333tech'")
+    // reverse (codepoint-safe)
+    assertVector("SELECT reverse(''), reverse('hello'), reverse('信念,爱,希望')",
+      "SELECT '', 'olleh', '望希,爱,念信'")
+    // strpos: 1-based, 0 on miss, codepoint positions, BIGINT
+    assertVector(
+      "SELECT strpos('high', 'ig'), strpos('high', 'igx'), strpos('Quadratically', 'a'), strpos('foobar', 'foobar'), strpos('foobar', 'obar'), strpos('zoo!', '!'), strpos('x', ''), strpos('', '')",
+      "SELECT BIGINT '2', BIGINT '0', BIGINT '3', BIGINT '1', BIGINT '3', BIGINT '4', BIGINT '1', BIGINT '1'")
+    assertVector(
+      "SELECT strpos('信念,爱,希望', '爱'), strpos('信念,爱,希望', '希望'), strpos('信念,爱,希望', 'nice')",
+      "SELECT BIGINT '4', BIGINT '6', BIGINT '0'")
+    // starts_with
+    assertVector(
+      "SELECT starts_with('foo', 'foo'), starts_with('foo', 'bar'), starts_with('foo', ''), starts_with('', 'foo'), starts_with('', '')",
+      "SELECT true, false, true, false, true")
+    // split_part: NULL past the last field, per-codepoint on '' delim
+    assertVector(
+      "SELECT split_part('abc-@-def-@-ghi', '-@-', 1), split_part('abc-@-def-@-ghi', '-@-', 2), split_part('abc-@-def-@-ghi', '-@-', 3), split_part('abc-@-def-@-ghi', '-@-', 4), split_part('abc-@-def-@-ghi', '-@-', 99)",
+      "SELECT 'abc', 'def', 'ghi', CAST(null AS STRING), CAST(null AS STRING)")
+    assertVector(
+      "SELECT split_part('abc', 'abc', 1), split_part('abc', 'abc', 2), split_part('abc', 'abc', 3), split_part('abc', '-@-', 1), split_part('abc', '-@-', 2)",
+      "SELECT '', '', CAST(null AS STRING), 'abc', CAST(null AS STRING)")
+    assertVector(
+      "SELECT split_part('', 'abc', 1), split_part('', '', 1), split_part('abc', '', 1), split_part('abc', '', 2), split_part('abc', '', 3), split_part('abc', '', 4)",
+      "SELECT '', CAST(null AS STRING), 'a', 'b', 'c', CAST(null AS STRING)")
+    assertVector(
+      "SELECT split_part('abc--@--def', '-@-', 1), split_part('abc--@--def', '-@-', 2), split_part('abc-@-@-@-def', '-@-', 1), split_part('abc-@-@-@-def', '-@-', 2), split_part('abc-@-@-@-def', '-@-', 3)",
+      "SELECT 'abc-', '-def', 'abc', '@', 'def'")
+    assertVector(
+      "SELECT split_part(' ', ' ', 1), split_part('abcdddddef', 'dd', 1), split_part('abcdddddef', 'dd', 2), split_part('abcdddddef', 'dd', 3), split_part('a/b/c', '/', 4), split_part('a/b/c/', '/', 4)",
+      "SELECT '', 'abc', '', 'def', CAST(null AS STRING), ''")
+    assertVector(
+      "SELECT split_part('信念,爱,希望', ',', 1), split_part('信念,爱,希望', ',', 2), split_part('證证証', '证', 1), split_part('證证証', '证', 2), split_part('證证証', '证', 3)",
+      "SELECT '信念', '爱', '證', '証', CAST(null AS STRING)")
+    vectorCount += 1
+    assertThrows[Exception](
+      runQ("SELECT split_part('abc', '-@-', 0)").collect())
+    // parametrized ltrim/rtrim: second arg is a SET of codepoints
+    assertVector(
+      "SELECT ltrim('', ''), ltrim('   ', ''), ltrim('  hello  ', ''), ltrim('  hello  ', ' '), ltrim('  hello  ', 'he '), ltrim('  hello', 'e h'), ltrim('hello  ', 'l'), ltrim(' hello world ', ' eh'), ltrim(' hello world ', ' ehlowrd'), ltrim(' hello world ', ' x')",
+      "SELECT '', '   ', '  hello  ', 'hello  ', 'llo  ', 'llo', 'hello  ', 'llo world ', '', 'hello world '")
+    assertVector(
+      "SELECT rtrim('', ''), rtrim('   ', ''), rtrim('  hello  ', ' '), rtrim('  hello  ', 'lo '), rtrim('hello  ', 'l'), rtrim(' hello world ', ' ld'), rtrim('źółć', 'ćł')",
+      "SELECT '', '   ', '  hello', '  he', 'hello  ', ' hello wor', 'źó'")
+    assertVector("SELECT ltrim('  hello  '), rtrim('  hello  '), trim('  hello  ')",
+      "SELECT 'hello  ', '  hello', 'hello'")
+    // lpad / rpad: cyclic pad, truncation at size
+    assertVector(
+      "SELECT lpad('text', 5, 'x'), lpad('text', 4, 'x'), lpad('text', 6, 'xy'), lpad('text', 7, 'xy'), lpad('text', 9, 'xyz'), lpad('', 3, 'a'), lpad('abc', 0, 'e'), lpad('text', 3, 'xy')",
+      "SELECT 'xtext', 'text', 'xytext', 'xyxtext', 'xyzxytext', 'aaa', '', 'tex'")
+    assertVector(
+      "SELECT rpad('text', 5, 'x'), rpad('text', 4, 'x'), rpad('text', 6, 'xy'), rpad('text', 7, 'xy'), rpad('text', 9, 'xyz'), rpad('', 3, 'a'), rpad('abc', 0, 'e'), rpad('text', 3, 'xy')",
+      "SELECT 'textx', 'text', 'textxy', 'textxyx', 'textxyzxy', 'aaa', '', 'tex'")
+    // normalize: bare-keyword form argument, NFC default
+    assertVector(
+      "SELECT normalize('schön', NFD), normalize('schön'), normalize('schön', NFC), normalize('schön', NFKD), normalize('schön', NFKC)",
+      "SELECT 'schön', 'schön', 'schön', 'schön', 'schön'")
+    assertVector("SELECT normalize('㈱㌧㌦Ⅲ', NFKC)",
+      "SELECT '(株)トンドルIII'")
+    // translate: first-duplicate wins, shorter `to` deletes
+    assertVector(
+      "SELECT translate('abcd', '', ''), translate('abcd', 'a', 'z'), translate('abcda', 'a', 'z'), translate('Palhoça', 'ç', 'c'), translate('abcd', 'a', ''), translate('abcd', 'a', 'zy'), translate('abcd', 'ac', 'z'), translate('abcd', 'aac', 'zq')",
+      "SELECT 'abcd', 'zbcd', 'zbcdz', 'Palhoca', 'bcd', 'zbcd', 'zbd', 'zbd'")
+    // soundex: commons US_ENGLISH incl. H/W rule and non-letter cleaning
+    assertVector(
+      "SELECT soundex('jim'), soundex('jIM'), soundex('John'), soundex('johannes'), soundex('Sarah'), soundex(CAST(null AS STRING)), soundex(''), soundex('123'), soundex('j~im'), soundex('x123'), soundex('Ashcraft')",
+      "SELECT 'J500', 'J500', 'J500', 'J520', 'S600', CAST(null AS STRING), '', '', 'J500', 'X000', 'A261'")
+    vectorCount += 1
+    assertThrows[Exception](runQ("SELECT soundex('jąmes')").collect())
+    // lower / upper
+    assertVector("SELECT lower('HELLO'), upper('hello'), lower(''), upper('')",
+      "SELECT 'hello', 'HELLO', '', ''")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
