@@ -167,6 +167,23 @@ object CompatAliases {
       case _ => Contains(c(0), c(1))
     })
     fn(e, "codepoint", c => Ascii(c.head)) // INTEGER, like the reference
+    // array_min/array_max (ArrayMinFunction.java): ANY null element
+    // makes the result NULL (Spark's builtins skip nulls). The
+    // CaseWhen blanks the whole array when it holds a null — its
+    // implicit ELSE NULL needs no element-type literal — and the
+    // builtin then returns NULL for a NULL array. NaN ordering (NaN
+    // greater than everything) already matches.
+    def nullPropagating(arr: Expression): Expression =
+      CaseWhen(Seq((EqualTo(Size(arr), Size(new ArrayCompact(arr))), arr)))
+    fn(e, "array_min", c => ArrayMin(nullPropagating(c.head)))
+    fn(e, "array_max", c => ArrayMax(nullPropagating(c.head)))
+    // flatten (ArrayFlattenFunction.java): NULL inner arrays are
+    // SKIPPED; Spark's Flatten nulls the whole result
+    fn(e, "flatten", c => Flatten(new ArrayCompact(c.head)))
+    // element_at (reference subscript semantics): out-of-bounds is
+    // NULL, not an error — Spark 4's ANSI default raises. Index 0
+    // still raises in both engines.
+    fn(e, "element_at", c => ElementAt(c(0), c(1), None, failOnError = false))
     // levenshtein_distance (StringFunctions.java): BIGINT, codepoint
     // edit distance — Spark's Levenshtein has identical semantics at
     // INT width

@@ -307,11 +307,15 @@ object GraftFunctions {
     if (bestScore == 0) "und" else bestLang
   }
 
-  /** Word n-grams joined by single spaces (reference: ngrams() in the
-    * array function family). */
-  def ngrams(words: Seq[String], n: Int): Seq[String] =
-    if (words == null || n < 1 || words.length < n) Seq.empty
-    else words.sliding(n).map(_.mkString(" ")).toSeq
+  /** ngrams(array, n) → array(array) (reference
+    * TestArrayNgramsFunction): n must be positive; n past the array
+    * length yields ONE n-gram holding the whole array. */
+  def ngrams(words: Seq[String], n: Int): Seq[Seq[String]] = {
+    if (words == null) return null
+    if (n < 1) throw new IllegalArgumentException("N must be positive")
+    if (words.length <= n) Seq(words)
+    else words.sliding(n).map(_.toSeq).toSeq
+  }
 
   /** Wilson score interval (public formula; reference
     * `operator/scalar/WilsonInterval.java`). */

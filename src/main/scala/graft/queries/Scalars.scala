@@ -338,7 +338,8 @@ object Scalars {
       |  SELECT *, w[3:4] AS q, list_reverse(w[3:4]) AS q2, v / 1000.0 AS f
       |  FROM d)
       |SELECT doc_id,
-      |  GREATEST(CAST(len(w) AS BIGINT) - 2, 0) AS n_3grams,
+      |  CASE WHEN len(w) >= 3 THEN CAST(len(w) AS BIGINT) - 2
+      |       ELSE CAST(1 AS BIGINT) END AS n_3grams,
       |  LEAST(1.0, GREATEST(0.0,
       |    (p + (z*z) / 40 - z * sqrt(p * (1 - p) / 20
       |       + (z*z) / (4.0 * 20 * 20))) / (1 + (z*z) / 20))) AS wl,

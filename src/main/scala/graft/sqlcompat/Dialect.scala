@@ -40,6 +40,10 @@ object Dialect {
     "is_nan" -> "is_nan",
     "regexp_like" -> "regexp_like", // same in Spark 3.2+
     "now" -> "current_timestamp",
+    // reference repeat(element, count) builds an ARRAY (ArrayFunctions
+    // repeat); Spark's builtin repeat is string-repetition, so the
+    // reference spelling must route to array_repeat
+    "repeat" -> "array_repeat",
     // reference split takes a LITERAL delimiter (SplitFunction.java);
     // Spark's builtin takes a regex — graft_split escapes it
     "split" -> "graft_split",

@@ -74,10 +74,14 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------ ngrams
-  test("ngrams slides over word sequences") {
-    assert(GraftFunctions.ngrams(Seq("a", "b", "c"), 2) == Seq("a b", "b c"))
-    assert(GraftFunctions.ngrams(Seq("a"), 2).isEmpty)
-    assert(GraftFunctions.ngrams(Seq("a", "b", "c"), 3) == Seq("a b c"))
+  test("ngrams slides over word sequences (reference array-of-arrays form)") {
+    assert(GraftFunctions.ngrams(Seq("a", "b", "c"), 2) ==
+      Seq(Seq("a", "b"), Seq("b", "c")))
+    // n past the length yields one n-gram holding the whole array
+    // (reference TestArrayNgramsFunction n=5..100000000 vectors)
+    assert(GraftFunctions.ngrams(Seq("a"), 2) == Seq(Seq("a")))
+    assert(GraftFunctions.ngrams(Seq("a", "b", "c"), 3) == Seq(Seq("a", "b", "c")))
+    intercept[IllegalArgumentException](GraftFunctions.ngrams(Seq("a"), 0))
   }
 
   // ----------------------------------------------------------- lang id

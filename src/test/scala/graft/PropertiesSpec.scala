@@ -133,11 +133,13 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("ngrams: count identity |ngrams(w,n)| == max(0, |w|-n+1)") {
+  test("ngrams: count identity |ngrams(w,n)| == max(1, |w|-n+1)") {
     val words = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
     val ns = Gen.choose(1, 5)
+    // reference semantics (TestArrayNgramsFunction): n past the array
+    // length yields ONE n-gram holding the whole array
     check("ngrams", Prop.forAll(words, ns) { (w, n) =>
-      GraftFunctions.ngrams(w, n).size == math.max(0, w.size - n + 1)
+      GraftFunctions.ngrams(w, n).size == math.max(1, w.size - n + 1)
     })
   }
 

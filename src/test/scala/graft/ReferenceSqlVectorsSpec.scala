@@ -2565,6 +2565,95 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT 'hello', 'HELLO', '', ''")
   }
 
+  test("array operator vectors (TestArrayOperators.java:260-4470)") {
+    // cardinality / contains / reverse
+    assertVector("SELECT cardinality(ARRAY[]), cardinality(ARRAY[1,2,3]), cardinality(ARRAY[ARRAY[1],ARRAY[2]])",
+      "SELECT BIGINT '0', BIGINT '3', BIGINT '2'")
+    assertVector(
+      "SELECT contains(ARRAY[1,2,3], 2), contains(ARRAY[1,2,3], 5), contains(ARRAY['foo','bar'], 'foo'), contains(ARRAY[1, NULL, 3], 1), contains(ARRAY[1, NULL, 3], 5)",
+      "SELECT true, false, true, true, CAST(null AS BOOLEAN)")
+    assertVector("SELECT reverse(ARRAY[1,2,3]), reverse(ARRAY[]), reverse(ARRAY['a', NULL, 'c'])",
+      "SELECT ARRAY[3,2,1], ARRAY[], ARRAY['c', NULL, 'a']")
+    // array_min / array_max: NULL anywhere → NULL; NaN sorts greatest
+    assertVector(
+      "SELECT array_min(ARRAY[NULL]), array_min(ARRAY[NULL, 2, 3]), array_min(ARRAY[2, 3, 4, 1]), array_min(ARRAY[nan(), 2.0E0, 3.0E0]), array_min(ARRAY[NULL, nan(), 1.0E0]), is_nan(array_min(ARRAY[nan(), nan()]))",
+      "SELECT CAST(null AS STRING), CAST(null AS INT), 1, 2.0E0, CAST(null AS DOUBLE), true")
+    assertVector(
+      "SELECT array_max(ARRAY[NULL]), array_max(ARRAY[NULL, 2, 3]), array_max(ARRAY[2, 3, 4, 1]), is_nan(array_max(ARRAY[nan(), 2.0E0, 3.0E0])), array_max(ARRAY[NULL, nan(), 1.0E0]), array_max(ARRAY['a', 'z', 'm'])",
+      "SELECT CAST(null AS STRING), CAST(null AS INT), 4, true, CAST(null AS DOUBLE), 'z'")
+    // array_position: 1-based, 0 on miss
+    assertVector(
+      "SELECT array_position(ARRAY[1,2,3], 2), array_position(ARRAY[1,2,3], 5), array_position(ARRAY['a','b','b'], 'b'), array_position(ARRAY[], 1)",
+      "SELECT BIGINT '2', BIGINT '0', BIGINT '2', BIGINT '0'")
+    // element_at: negative from end, NULL out of bounds, 0 raises
+    assertVector(
+      "SELECT element_at(ARRAY[2,1,3], 2), element_at(ARRAY[2,1,3], -2), element_at(ARRAY[1,2,3], 4), element_at(ARRAY[1,2,3], -4), element_at(ARRAY[2, NULL, 3], 2)",
+      "SELECT 1, 1, CAST(null AS INT), CAST(null AS INT), CAST(null AS INT)")
+    vectorCount += 1
+    assertThrows[Exception](runQ("SELECT element_at(ARRAY[1,2,3], 0)").collect())
+    // array_sort: ascending, nulls last
+    assertVector(
+      "SELECT array_sort(ARRAY[2,3,4,1]), array_sort(ARRAY['z','f','s','d','g']), array_sort(ARRAY[true, false]), array_sort(ARRAY[3, NULL, 1])",
+      "SELECT ARRAY[1,2,3,4], ARRAY['d','f','g','s','z'], ARRAY[false, true], ARRAY[1, 3, NULL]")
+    // array_distinct keeps first-occurrence order
+    assertVector(
+      "SELECT array_distinct(ARRAY[1,2,5,5,6]), array_distinct(ARRAY['b','a','b']), array_distinct(ARRAY[NULL, 1, NULL, 2])",
+      "SELECT ARRAY[1,2,5,6], ARRAY['b','a'], ARRAY[NULL, 1, 2]")
+    // set ops: multiset claims, order engine-specific → sorted
+    assertVector(
+      "SELECT array_sort(array_intersect(ARRAY[1,2,5,5,6], ARRAY[5,5,6,6,7,8])), array_sort(array_intersect(ARRAY[8.3E0,1.6E0,4.1E0,5.2E0], ARRAY[4.0E0,5.2E0,8.3E0,9.7E0,3.5E0])), array_sort(array_intersect(ARRAY[1,5], ARRAY[1]))",
+      "SELECT ARRAY[5,6], ARRAY[5.2E0,8.3E0], ARRAY[1]")
+    assertVector(
+      "SELECT array_sort(array_union(ARRAY[1,2], ARRAY[2,3])), array_sort(array_union(ARRAY[NULL], ARRAY[NULL, 1])), array_sort(array_union(ARRAY[], ARRAY[]))",
+      "SELECT ARRAY[1,2,3], ARRAY[1, NULL], ARRAY[]")
+    assertVector(
+      "SELECT array_sort(array_except(ARRAY[1,2,3], ARRAY[2])), array_sort(array_except(ARRAY[1,1,2], ARRAY[1])), array_sort(array_except(ARRAY[NULL, 1], ARRAY[1]))",
+      "SELECT ARRAY[1,3], ARRAY[2], ARRAY[NULL]")
+    // arrays_overlap: three-valued on nulls
+    assertVector(
+      "SELECT arrays_overlap(ARRAY[1,2], ARRAY[2,3]), arrays_overlap(ARRAY[1,3], ARRAY[2,4]), arrays_overlap(ARRAY[1, NULL], ARRAY[2]), arrays_overlap(ARRAY[1, NULL], ARRAY[1])",
+      "SELECT true, false, CAST(null AS BOOLEAN), true")
+    // array_remove: all occurrences, nulls retained
+    assertVector(
+      "SELECT array_remove(ARRAY['foo','bar','baz'], 'foo'), array_remove(ARRAY['foo','foo','foo'], 'foo'), array_remove(ARRAY[NULL,'bar','baz'], 'foo'), array_remove(ARRAY[1,2,3], 2)",
+      "SELECT ARRAY['bar','baz'], ARRAY[], ARRAY[NULL,'bar','baz'], ARRAY[1,3]")
+    // repeat: the reference's array-building repeat
+    assertVector(
+      "SELECT repeat(1, 5), repeat('varchar', 3), repeat(true, 1), repeat(CAST(null AS BIGINT), 4)",
+      "SELECT ARRAY[1,1,1,1,1], ARRAY['varchar','varchar','varchar'], ARRAY[true], ARRAY[CAST(null AS BIGINT), NULL, NULL, NULL]")
+    // flatten: NULL inner arrays skipped
+    assertVector(
+      "SELECT flatten(ARRAY[ARRAY[true, false], ARRAY[false]]), flatten(ARRAY[ARRAY[true, false], NULL]), flatten(ARRAY[ARRAY[1,2], ARRAY[3]])",
+      "SELECT ARRAY[true,false,false], ARRAY[true,false], ARRAY[1,2,3]")
+    // slice: negative start counts from the end
+    assertVector(
+      "SELECT slice(ARRAY[1,2,3,4,5], 1, 2), slice(ARRAY[1,2,3,4,5], 3, 3), slice(ARRAY[1,2,3,4,5], -2, 2), slice(ARRAY[1,2,3,4,5], 3, 0)",
+      "SELECT ARRAY[1,2], ARRAY[3,4,5], ARRAY[4,5], ARRAY[]")
+    // sequence: ints, step, dates
+    assertVector(
+      "SELECT sequence(1, 5), sequence(5, 1), sequence(1, 9, 4), sequence(10, 2, -3)",
+      "SELECT ARRAY[1,2,3,4,5], ARRAY[5,4,3,2,1], ARRAY[1,5,9], ARRAY[10,7,4]")
+    assertVector(
+      "SELECT sequence(DATE '2016-04-12', DATE '2016-04-14')",
+      "SELECT ARRAY[DATE '2016-04-12', DATE '2016-04-13', DATE '2016-04-14']")
+    // array_join: delimiter + null replacement
+    assertVector(
+      "SELECT array_join(ARRAY[1,2,3], ';'), array_join(ARRAY['a', NULL, 'c'], ','), array_join(ARRAY['a', NULL, 'c'], ',', 'N/A')",
+      "SELECT '1;2;3', 'a,c', 'a,N/A,c'")
+    // trim_array
+    assertVector(
+      "SELECT trim_array(ARRAY[1,2,3,4], 1), trim_array(ARRAY[1,2,3,4], 2), trim_array(ARRAY[1,2,3,4], 0)",
+      "SELECT ARRAY[1,2,3], ARRAY[1,2], ARRAY[1,2,3,4]")
+    // combinations / ngrams (string-typed specializations)
+    assertVector(
+      "SELECT combinations(ARRAY['a','b','c'], 2), ngrams(ARRAY['a','b','c','d'], 2)",
+      "SELECT ARRAY[ARRAY['a','b'], ARRAY['a','c'], ARRAY['b','c']], ARRAY[ARRAY['a','b'], ARRAY['b','c'], ARRAY['c','d']]")
+    // contains_sequence
+    assertVector(
+      "SELECT contains_sequence(ARRAY[1,2,3,4,5], ARRAY[2,3]), contains_sequence(ARRAY[1,2,3,4,5], ARRAY[2,4]), contains_sequence(ARRAY[1,2,3], ARRAY[])",
+      "SELECT true, false, true")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own

@@ -408,10 +408,12 @@ class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.codegen.fallback", "false")
       assert(spark.sql(q).collect().length == spark.table("nation").count())
     } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
-    // Error contract preserved: out-of-bounds constant still throws.
-    intercept[Exception] {
-      spark.sql("SELECT element_at(array(n_nationkey), 5) FROM nation").collect()
-    }
+    // Reference subscript contract: out-of-bounds element_at is NULL
+    // (TestArrayOperators testElementAt), not Spark-ANSI's error —
+    // CompatAliases registers the non-failing form.
+    val oob = spark.sql(
+      "SELECT element_at(array(n_nationkey), 5) FROM nation").collect()
+    assert(oob.nonEmpty && oob.forall(_.isNullAt(0)))
   }
 
   test("parameterized statements (PREPARE/EXECUTE surface)") {
