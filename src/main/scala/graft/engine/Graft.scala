@@ -63,6 +63,13 @@ object Graft {
       // input size), and giant-buffer aggregations still fall back.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
+      // Reference map_concat keeps the value from the LAST map on a
+      // duplicate key (MapConcatFunction.java; TestMapOperators
+      // testMapConcat) — Spark's default policy is to raise. Side
+      // effect: duplicate keys inside one map() constructor no longer
+      // raise either (the reference does raise there) — documented,
+      // lenient-direction divergence.
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
       // default ([PARQUET_TYPE_ILLEGAL]); map it to epoch-nanos bigint.
       // Set once here so load() has no config side effects.

@@ -149,39 +149,11 @@ object GraftFunctions {
       FunctionIdentifier("with_timezone"),
       new ExpressionInfo(classOf[ToUTCTimestamp].getName, "with_timezone"),
       (children: Seq[Expression]) => ToUTCTimestamp(children(0), children(1))))
-    // url_extract_* family (reference `operator/scalar/UrlFunctions.java`):
-    // pure compositions over Catalyst's codegen'd ParseUrl — no UDFs on
-    // this path. failOnError=false matches the reference's NULL-on-
-    // invalid-URL contract (ANSI mode would otherwise throw).
-    def urlPart(name: String, part: String): Unit =
-      e.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo(classOf[ParseUrl].getName, name),
-        (children: Seq[Expression]) =>
-          ParseUrl(Seq(children.head, Literal(part)), failOnError = false)))
-    urlPart("url_extract_protocol", "PROTOCOL")
-    urlPart("url_extract_host", "HOST")
-    urlPart("url_extract_path", "PATH")
-    urlPart("url_extract_query", "QUERY")
-    urlPart("url_extract_fragment", "REF")
-    e.injectFunction((
-      FunctionIdentifier("url_extract_port"),
-      new ExpressionInfo(classOf[ParseUrl].getName, "url_extract_port"),
-      (children: Seq[Expression]) => {
-        // AUTHORITY is host[:port]; an absent port yields the empty
-        // match which maps to NULL (reference returns NULL, not 0)
-        val port = RegExpExtract(
-          ParseUrl(Seq(children.head, Literal("AUTHORITY")), failOnError = false),
-          Literal(":([0-9]+)$"), Literal(1))
-        Cast(If(EqualTo(port, Literal("")), Literal(null, StringType), port),
-          LongType)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("url_extract_parameter"),
-      new ExpressionInfo(classOf[ParseUrl].getName, "url_extract_parameter"),
-      (children: Seq[Expression]) =>
-        ParseUrl(Seq(children(0), Literal("QUERY"), children(1)),
-          failOnError = false)))
+    // url_extract_* family: registered as UDFs over java.net.URI in
+    // registerUdfs — the reference's contract (UrlFunctions.java:182
+    // `slice(nullToEmpty(...))`) distinguishes INVALID URL (every
+    // extractor NULL) from ABSENT component (empty string), which
+    // Catalyst's ParseUrl cannot express (it returns NULL for both).
     // duration family (reference `scalar/DateTimeFunctions.java`
     // to_milliseconds / `ParseDurationFunction`) + last_day_of_month
     // as a name-alias of Spark's codegen LastDay (same semantics).
@@ -235,6 +207,23 @@ object GraftFunctions {
       (pos: Long, n: Long, z: Double) => wilsonUpper(pos, n, z))
     spark.udf.register("url_encode", (s: String) => urlEncode(s))
     spark.udf.register("url_decode", (s: String) => urlDecode(s))
+    // url_extract_* (reference UrlFunctions.java): invalid URL → NULL
+    // for every extractor; a VALID url with an absent component → ''
+    // (port: absent → NULL). java.net.URI is the same parser the
+    // reference delegates to.
+    spark.udf.register("url_extract_protocol",
+      (u: String) => urlComponent(u, "protocol"))
+    spark.udf.register("url_extract_host",
+      (u: String) => urlComponent(u, "host"))
+    spark.udf.register("url_extract_path",
+      (u: String) => urlComponent(u, "path"))
+    spark.udf.register("url_extract_query",
+      (u: String) => urlComponent(u, "query"))
+    spark.udf.register("url_extract_fragment",
+      (u: String) => urlComponent(u, "fragment"))
+    spark.udf.register("url_extract_port", (u: String) => urlPort(u))
+    spark.udf.register("url_extract_parameter",
+      (u: String, k: String) => urlParameter(u, k))
     spark.udf.register("ip_prefix_contains",
       (cidr: String, ip: String) => ipPrefixContains(cidr, ip))
     // NOTE: luhn_check is NOT registered — Spark 4 ships a codegen'd
@@ -333,15 +322,57 @@ object GraftFunctions {
     math.min(1.0, math.max(0.0, v))
   }
 
-  /** RFC 3986-style encode (the reference's url_encode keeps spaces as
-    * %20, unlike java's form encoding). */
+  /** Form encoding (the reference's url_encode delegates to Guava's
+    * urlFormParameterEscaper: space → '+', '~' → %7E, "-_.*" kept —
+    * byte-identical to java.net.URLEncoder; TestUrlFunctions
+    * testUrlEncode pins '~@:.-*_+ ☃' → '%7E%40%3A.-*_%2B+%E2%98%83'). */
   def urlEncode(s: String): String =
     if (s == null) null
-    else java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    else java.net.URLEncoder.encode(s, "UTF-8")
 
+  /** Form decoding ('+' is a space), like the reference's decodeUrl →
+    * java URLDecoder delegation. */
   def urlDecode(s: String): String =
     if (s == null) null
-    else java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+    else java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** url_extract_* core (reference UrlFunctions.java): java.net.URI
+    * parse; invalid → NULL, absent component → '' (nullToEmpty). */
+  private def parseUri(url: String): java.net.URI =
+    if (url == null) null
+    else try new java.net.URI(url)
+    catch { case _: java.net.URISyntaxException => null }
+
+  def urlComponent(url: String, part: String): String = {
+    val uri = parseUri(url)
+    if (uri == null) return null
+    val v = part match {
+      case "protocol" => uri.getScheme
+      case "host"     => uri.getHost
+      case "path"     => uri.getPath
+      case "query"    => uri.getQuery
+      case "fragment" => uri.getFragment
+    }
+    if (v == null) "" else v
+  }
+
+  def urlPort(url: String): java.lang.Long = {
+    val uri = parseUri(url)
+    if (uri == null || uri.getPort < 0) null
+    else java.lang.Long.valueOf(uri.getPort.toLong)
+  }
+
+  /** First query arg whose key matches: value decoded; a bare key
+    * (no '=') yields ''; no match / no query → NULL. */
+  def urlParameter(url: String, name: String): String = {
+    val uri = parseUri(url)
+    if (uri == null || uri.getRawQuery == null || name == null) return null
+    uri.getRawQuery.split("&", -1).foreach { arg =>
+      val kv = arg.split("=", 2)
+      if (kv(0) == name) return if (kv.length > 1) urlDecode(kv(1)) else ""
+    }
+    null
+  }
 
   /** IPv4 CIDR containment (reference IpAddressFunctions contains). */
   def ipPrefixContains(cidr: String, ip: String): Boolean = {

@@ -582,11 +582,11 @@ object Scalars {
 
   // ------------------------------------------- sc15 url_extract family
   /** url_extract_protocol/host/port/path/query/fragment/parameter
-    * (reference `operator/scalar/UrlFunctions.java`) — injected as
-    * compositions over Catalyst's codegen'd ParseUrl. URLs are BUILT
-    * from source columns, so the oracle pins ground truth recomputed
-    * from the same columns rather than a second regex engine; absent
-    * port/fragment exercise the NULL contract. */
+    * (reference `operator/scalar/UrlFunctions.java`) — java.net.URI
+    * UDFs with the reference's contract: invalid URL → NULL, absent
+    * component → '' (absent port → NULL). URLs are BUILT from source
+    * columns, so the oracle pins ground truth recomputed from the
+    * same columns rather than a second URL parser. */
   def sc15(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_custkey") <= 1000)
       .withColumn("u", concat(
@@ -613,7 +613,7 @@ object Scalars {
       |  CASE WHEN c_custkey % 3 = 0 THEN CAST(8443 AS BIGINT) END AS port,
       |  '/cust/' || c_custkey AS path,
       |  'seg=' || c_mktsegment || '&n=' || c_nationkey AS qry,
-      |  CASE WHEN c_custkey % 2 = 0 THEN 'top' END AS frag,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'top' ELSE '' END AS frag,
       |  c_mktsegment AS seg,
       |  CAST(c_nationkey AS BIGINT) AS nkey
       |FROM customer WHERE c_custkey <= 1000""".stripMargin

@@ -212,7 +212,12 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getString(4) == "k=v&x=1" && r(0).getString(5) == "frag")
     assert(r(0).getString(6) == "v" && r(0).isNullAt(7)) // absent param → NULL
     assert(r(1).getString(0) == "https" && r(1).isNullAt(2)) // no port → NULL
-    assert(r(1).isNullAt(4) && r(1).isNullAt(5)) // no query/fragment → NULL
+    // absent query/fragment on a VALID url → '' (UrlFunctions.java
+    // nullToEmpty; NULL is reserved for an unparseable url)
+    assert(r(1).getString(4) == "" && r(1).getString(5) == "")
+    val bad = spark.sql(
+      "SELECT url_extract_protocol('http://example.com/^')").collect()
+    assert(bad(0).isNullAt(0))
   }
 
   test("translated reference-dialect queries execute correctly") {

@@ -59,8 +59,10 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------- url
-  test("url_encode/url_decode round-trip with %20 spaces") {
-    assert(GraftFunctions.urlEncode("a b/c") == "a%20b%2Fc")
+  test("url_encode/url_decode: reference form encoding (space ↔ '+')") {
+    assert(GraftFunctions.urlEncode("a b/c") == "a+b%2Fc")
+    assert(GraftFunctions.urlEncode("~@:.-*_+ ☃") ==
+      "%7E%40%3A.-*_%2B+%E2%98%83") // TestUrlFunctions testUrlEncode
     val s = "key=va l&x=1/2?q"
     assert(GraftFunctions.urlDecode(GraftFunctions.urlEncode(s)) == s)
   }
