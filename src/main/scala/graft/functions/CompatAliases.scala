@@ -358,6 +358,25 @@ object CompatAliases {
             s"Not a valid base-$radix number: $s")
         }
       })
+    // bit_count(x, bits) (BitwiseFunctions.java): counts set bits in
+    // the two's-complement representation at the given width (2..64),
+    // raising when x doesn't fit. Spark's builtin is the 1-arg 64-bit
+    // form; the reference has no 1-arg spelling, so the name can be
+    // taken over wholesale (internal queries pass bits=64).
+    spark.udf.register("bit_count", (x: java.lang.Long, bits: java.lang.Long) =>
+      if (x == null || bits == null) null
+      else {
+        if (bits < 2 || bits > 64) throw new IllegalArgumentException(
+          s"Bits specified in bit_count must be between 2 and 64, got $bits")
+        if (bits == 64L) java.lang.Long.valueOf(java.lang.Long.bitCount(x).toLong)
+        else {
+          val min = -(1L << (bits - 1)); val max = (1L << (bits - 1)) - 1
+          if (x < min || x > max) throw new IllegalArgumentException(
+            s"Number must be representable with the bits specified. $x cannot be represented with $bits bits")
+          java.lang.Long.valueOf(
+            java.lang.Long.bitCount(x & ((1L << bits) - 1)).toLong)
+        }
+      })
     // chr(n) (StringFunctions.java): UNICODE code point → string.
     // Spark's builtin chr is mod-256 ASCII, a genuine semantic clash
     // with the reference (chr(9731) must be the snowman, not 0x03)

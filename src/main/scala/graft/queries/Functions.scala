@@ -127,7 +127,7 @@ object Functions {
     a.join(b, col("chunk_a") === col("chunk_b") && col("ck_a") === col("ck_b") &&
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+        expr("bit_count(fp_a ^ fp_b, 64)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
   }

@@ -246,7 +246,7 @@ object Scalars {
         "hex(n_chars) AS len_hex",
         "base64(encode(substring(text, 1, 9), 'UTF-8')) AS head_b64",
         "decode(unbase64(base64(encode(substring(text, 1, 9), 'UTF-8'))), 'UTF-8') AS roundtrip",
-        "CAST(bit_count(n_chars) AS BIGINT) AS popcnt")
+        "bit_count(CAST(n_chars AS BIGINT), 64) AS popcnt")
 
   val sc7Sql: String =
     """SELECT doc_id,

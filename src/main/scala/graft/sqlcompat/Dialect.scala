@@ -24,8 +24,10 @@ object Dialect {
     "strpos" -> "instr",
     "split_to_map" -> "str_to_map", // same (text, entryDelim, kvDelim) order
     "codepoint" -> "ascii",
-    "json_extract_scalar" -> "get_json_object",
-    "json_extract" -> "get_json_object", // same (json, jsonpath) order
+    // json_extract / json_extract_scalar keep their registered UDFs
+    // (CompatAliases → jsonQuery/jsonValue): get_json_object would
+    // return container text from json_extract_scalar, where the
+    // reference returns NULL for any non-scalar (TestJsonFunctions)
     "bitwise_left_shift" -> "shiftleft",
     "bitwise_right_shift" -> "shiftrightunsigned", // reference shift is logical
     "bitwise_right_shift_arithmetic" -> "shiftright",

@@ -108,11 +108,14 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT shiftrightunsigned(a, 2)")
     assert(Dialect.translate("SELECT bitwise_right_shift_arithmetic(a, 2)") ==
       "SELECT shiftright(a, 2)")
+    // json_extract / json_extract_scalar keep their registered UDF
+    // spellings (jsonQuery/jsonValue): get_json_object would return
+    // container text where the reference's _scalar form returns NULL
     assert(Dialect.translate("SELECT json_extract(j, '$.k')") ==
-      "SELECT get_json_object(j, '$.k')")
+      "SELECT json_extract(j, '$.k')")
     // longer names are not clobbered by their prefixes
     assert(Dialect.translate("SELECT json_extract_scalar(j, '$.k')") ==
-      "SELECT get_json_object(j, '$.k')")
+      "SELECT json_extract_scalar(j, '$.k')")
     val row = spark.sql(Dialect.translate(
       "SELECT bitwise_left_shift(3, 2) AS l, bitwise_right_shift(-8, 1) AS r, " +
         "bitwise_right_shift_arithmetic(-8, 1) AS ra")).head()

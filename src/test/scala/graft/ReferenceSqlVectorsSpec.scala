@@ -2745,6 +2745,57 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT 'http://test', 'http://test?a=b&c=d', '~@:.-*_+ ☃', 'test'")
   }
 
+  test("bitwise function vectors (TestBitwiseFunctions.java)") {
+    // bit_count(x, bits): two's complement at the declared width
+    assertVector(
+      "SELECT bit_count(0, 64), bit_count(7, 64), bit_count(24, 64), bit_count(-8, 64), bit_count(2147483647, 64), bit_count(-2147483648, 64), bit_count(9223372036854775807, 64), bit_count(-9223372036854775808, 64)",
+      "SELECT BIGINT '0', BIGINT '3', BIGINT '2', BIGINT '61', BIGINT '31', BIGINT '33', BIGINT '63', BIGINT '1'")
+    assertVector(
+      "SELECT bit_count(0, 32), bit_count(7, 32), bit_count(-8, 32), bit_count(2147483647, 32), bit_count(-2147483648, 32), bit_count(1152921504598458367, 62), bit_count(-1, 62), bit_count(33554132, 26), bit_count(-1, 26)",
+      "SELECT BIGINT '0', BIGINT '3', BIGINT '29', BIGINT '31', BIGINT '1', BIGINT '59', BIGINT '62', BIGINT '20', BIGINT '26'")
+    vectorCount += 3
+    assertThrows[Exception](runQ("SELECT bit_count(2147483648, 32)").collect())
+    assertThrows[Exception](runQ("SELECT bit_count(33554132, 25)").collect())
+    assertThrows[Exception](runQ("SELECT bit_count(0, 65)").collect())
+    // bitwise scalar family (infix rewrites + shift registrations)
+    assertVector(
+      "SELECT bitwise_not(0), bitwise_not(-1), bitwise_not(8), bitwise_and(0, -1), bitwise_and(3, 8), bitwise_and(-4, 12), bitwise_or(0, -1), bitwise_or(3, 8), bitwise_xor(0, -1), bitwise_xor(3, 8), bitwise_xor(-4, 12)",
+      "SELECT BIGINT '-1', BIGINT '0', BIGINT '-9', BIGINT '0', BIGINT '0', BIGINT '12', BIGINT '-1', BIGINT '11', BIGINT '-1', BIGINT '11', BIGINT '-16'")
+    assertVector(
+      "SELECT bitwise_left_shift(1, 2), bitwise_left_shift(7, 2), bitwise_right_shift(8, 3), bitwise_right_shift_arithmetic(-8, 2), bitwise_right_shift(-8, 2) > 0",
+      "SELECT 4, 28, 1, -2, true")
+  }
+
+  test("json function vectors (TestJsonFunctions.java:51-760)") {
+    // is_json_scalar
+    assertVector(
+      "SELECT is_json_scalar('null'), is_json_scalar('true'), is_json_scalar('1'), is_json_scalar('\"str\"'), is_json_scalar('[1, 2, 3]'), is_json_scalar('{\"a\": 1, \"b\": 2}'), is_json_scalar(CAST(null AS STRING))",
+      "SELECT true, true, true, true, false, false, CAST(null AS BOOLEAN)")
+    // json_array_length
+    assertVector(
+      "SELECT json_array_length('[]'), json_array_length('[1]'), json_array_length('[1, \"foo\", null]'), json_array_length('[2, 4, {\"a\": [8, 9]}, [], [5], 4]'), json_array_length(CAST(null AS STRING))",
+      "SELECT 0, 1, 3, 6, CAST(null AS INT)")
+    // json_array_get: 0-based, negative from end, JSON-text non-scalars
+    assertVector(
+      "SELECT json_array_get('[\"jhfa\"]', 0), json_array_get('[\"as\", \"fgs\", \"tehgf\"]', 1), json_array_get('[\"jhfa\", null]', 1), json_array_get('[]', 0), json_array_get('[null]', 0)",
+      "SELECT 'jhfa', 'fgs', CAST(null AS STRING), CAST(null AS STRING), CAST(null AS STRING)")
+    assertVector(
+      "SELECT json_array_get('[{\"hello\":\"world\"}]', 0), json_array_get('[{\"hello\":\"world\"}, [1,2,3]]', 1), json_array_get('[{\"hello\":\"world\"}, {\"a\":[{\"x\":99}]}]', -1), json_array_get('[{\"hello\": null}]', 0)",
+      "SELECT '{\"hello\":\"world\"}', '[1,2,3]', '{\"a\":[{\"x\":99}]}', '{\"hello\":null}'")
+    // json_array_contains per type
+    assertVector(
+      "SELECT json_array_contains('[true]', 'true'), json_array_contains('[false]', 'true'), json_array_contains('[1, 2, 3]', '2'), json_array_contains('[1, 2, 3]', '5'), json_array_contains('[\"a\", \"b\"]', 'b'), json_array_contains('[]', '1')",
+      "SELECT true, false, true, false, true, false")
+    // json_extract / json_extract_scalar: scalar vs JSON-text results
+    assertVector(
+      "SELECT json_extract_scalar('{\"x\": {\"a\" : 1, \"b\" : 2} }', '$.x.a'), json_extract_scalar('[1, 2, 3]', '$[1]'), json_extract_scalar('{\"x\": {\"a\" : 1, \"b\" : 2} }', '$.x'), json_extract('{\"x\": {\"a\" : 1, \"b\" : 2} }', '$.x'), json_extract('{\"x\": {\"a\" : 1, \"b\" : [2, 3]} }', '$.x.b')",
+      "SELECT '1', '2', CAST(null AS STRING), '{\"a\":1,\"b\":2}', '[2,3]'")
+    // json_size: members of an object, elements of an array, 0 scalar
+    assertVector(
+      "SELECT json_size('{\"x\": {\"a\" : 1, \"b\" : 2} }', '$.x'), json_size('[1,2,3]', '$'), json_size('{\"x\": {\"a\" : 1, \"b\" : 2} }', '$.x.a'), json_size('{\"x\":[1,2,3]}', '$.x')",
+      "SELECT 2, 3, 0, 3")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
