@@ -184,6 +184,28 @@ object CompatAliases {
     // NULL, not an error — Spark 4's ANSI default raises. Index 0
     // still raises in both engines.
     fn(e, "element_at", c => ElementAt(c(0), c(1), None, failOnError = false))
+    // to_iso8601 (DateTimeFunctions.java:199): type-overloaded in the
+    // reference — DATE renders bare 'yyyy-MM-dd', timestamps render
+    // the 'T' form with millis only when non-zero
+    fn(e, "to_iso8601", c => c.head.dataType match {
+      case DateType => Cast(c.head, StringType)
+      case _ =>
+        val ts = Cast(c.head, TimestampType)
+        val base = DateFormatClass(ts, Literal("yyyy-MM-dd'T'HH:mm:ss"))
+        val millis = new IntegralDivide(
+          new Pmod(UnixMicros(ts), Literal(1000000L)), Literal(1000L))
+        If(EqualTo(millis, Literal(0L)), base,
+          Concat(Seq(base, Literal("."),
+            StringLPad(Cast(millis, StringType), Literal(3), Literal("0")))))
+    })
+    // date_trunc preserves the input type (reference returns DATE for
+    // DATE input; Spark's builtin widens to TIMESTAMP). Sub-day units
+    // on a DATE truncate midnight → the same date, like the reference.
+    fn(e, "date_trunc", c => c(1).dataType match {
+      case DateType =>
+        Cast(TruncTimestamp(c(0), Cast(c(1), TimestampType)), DateType)
+      case _ => TruncTimestamp(c(0), c(1))
+    })
     // levenshtein_distance (StringFunctions.java): BIGINT, codepoint
     // edit distance — Spark's Levenshtein has identical semantics at
     // INT width

@@ -128,7 +128,119 @@ object DateTimeCompat {
     java.sql.Timestamp.from(instant)
   }
 
+  /** MySQL-style %-pattern → java.time pattern (reference date_format /
+    * date_parse, `DateTimeFunctions.java` DateFormat translation).
+    * Codes the reference rejects (%D %U %u %V %X %x) raise; unknown
+    * %-codes fall through as literal characters, literal runs are
+    * quoted so alphabetic text can't collide with pattern letters. */
+  private val mysqlUnsupported = Set('D', 'U', 'u', 'V', 'X', 'x')
+
+  def mysqlToJavaPattern(p: String): String = mysqlToJavaPattern(p, false)
+
+  /** forParse=true emits minimum-width field letters (M, d, H...) so
+    * one-digit inputs parse, matching MySQL's lenient field widths;
+    * formatting keeps the zero-padded variants. */
+  def mysqlToJavaPattern(p: String, forParse: Boolean): String = {
+    def w(wide: String, narrow: String): String =
+      if (forParse) narrow else wide
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      sb.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%' && i + 1 < p.length) {
+        val d = p.charAt(i + 1)
+        d match {
+          case 'a' => flush(); sb.append("EEE")
+          case 'b' => flush(); sb.append("MMM")
+          case 'c' => flush(); sb.append("M")
+          case 'd' => flush(); sb.append(w("dd", "d"))
+          case 'e' => flush(); sb.append("d")
+          case 'f' => flush(); sb.append("SSSSSS")
+          case 'H' => flush(); sb.append(w("HH", "H"))
+          case 'h' | 'I' => flush(); sb.append(w("hh", "h"))
+          case 'i' => flush(); sb.append(w("mm", "m"))
+          case 'j' => flush(); sb.append(w("DDD", "D"))
+          case 'k' => flush(); sb.append("H")
+          case 'l' => flush(); sb.append("h")
+          case 'M' => flush(); sb.append("MMMM")
+          case 'm' => flush(); sb.append(w("MM", "M"))
+          case 'p' => flush(); sb.append("a")
+          case 'r' => flush(); sb.append("hh:mm:ss a")
+          case 'S' | 's' => flush(); sb.append(w("ss", "s"))
+          case 'T' => flush(); sb.append("HH:mm:ss")
+          case 'v' => flush(); sb.append("ww")
+          case 'W' => flush(); sb.append("EEEE")
+          case 'Y' => flush(); sb.append("yyyy")
+          case 'y' => flush(); sb.append("yy")
+          case '%' => lit.append('%')
+          case x if mysqlUnsupported(x) => throw new IllegalArgumentException(
+            s"%$x not supported in date format string")
+          case x => lit.append(x)
+        }
+        i += 2
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  def dateFormatMysql(ts: java.sql.Timestamp, p: String): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern(mysqlToJavaPattern(p), java.util.Locale.ENGLISH)
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(ts.toInstant)
+
+  /** date_parse: missing fields default like the reference (year 1970,
+    * month/day 1, time 0; a 12-hour clock with no %p reads as AM —
+    * TestDateTimeFunctions testDateParse '12:35:10' → 00:35:10). */
+  def dateParseMysql(s: String, p: String): java.sql.Timestamp = {
+    import java.time.temporal.ChronoField._
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern(mysqlToJavaPattern(p, true), java.util.Locale.ENGLISH)
+    val ta = fmt.parse(s)
+    def get(f: java.time.temporal.ChronoField, dflt: Int): Int =
+      if (ta.isSupported(f)) ta.get(f) else dflt
+    val year = if (ta.isSupported(YEAR)) ta.get(YEAR)
+      else get(YEAR_OF_ERA, 1970)
+    val date =
+      if (ta.isSupported(DAY_OF_YEAR) && !ta.isSupported(MONTH_OF_YEAR))
+        java.time.LocalDate.ofYearDay(year, ta.get(DAY_OF_YEAR))
+      else java.time.LocalDate.of(year, get(MONTH_OF_YEAR, 1),
+        get(DAY_OF_MONTH, 1))
+    // the resolver folds hh+a into HOUR_OF_DAY; bare hh stays AM
+    val hour = if (ta.isSupported(HOUR_OF_DAY)) ta.get(HOUR_OF_DAY)
+      else get(HOUR_OF_AMPM, 0)
+    val ldt = date.atTime(hour, get(MINUTE_OF_HOUR, 0),
+      get(SECOND_OF_MINUTE, 0), get(NANO_OF_SECOND, 0))
+    java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+  }
+
   def register(spark: SparkSession): Unit = {
+    // date_format / date_parse (MySQL %-patterns in the reference).
+    // DUAL-MODE guard: a pattern WITHOUT any '%' is interpreted as a
+    // Spark/java.time pattern (the reference would render it as
+    // literal text, which no real query wants) so native Spark
+    // queries that used the builtin keep working.
+    spark.udf.register("date_format",
+      (ts: java.sql.Timestamp, p: String) =>
+        if (ts == null || p == null) null
+        else if (p.contains('%')) dateFormatMysql(ts, p)
+        else try java.time.format.DateTimeFormatter
+          .ofPattern(p, java.util.Locale.ENGLISH)
+          .withZone(java.time.ZoneOffset.UTC).format(ts.toInstant)
+        catch {
+          // not a java pattern either → the reference renders a
+          // %-free pattern as literal text
+          case _: IllegalArgumentException => p
+        })
+    spark.udf.register("date_parse",
+      (s: String, p: String) =>
+        if (s == null || p == null) null else dateParseMysql(s, p))
     spark.udf.register("format_datetime",
       (ts: java.sql.Timestamp, jodaPattern: String) => {
         if (ts == null || jodaPattern == null) null
@@ -141,8 +253,9 @@ object DateTimeCompat {
       (s: String, jodaPattern: String) =>
         if (s == null || jodaPattern == null) null
         else parseDatetime(s, jodaPattern))
-    spark.udf.register("to_iso8601",
-      (ts: java.sql.Timestamp) => if (ts == null) null else toIso8601(ts))
+    // to_iso8601 is injected as a type-dispatching expression in
+    // CompatAliases (DATE → 'yyyy-MM-dd', timestamp → 'T'-form): a UDF
+    // can't see the static input type once Date has been coerced.
     spark.udf.register("from_iso8601_timestamp",
       (s: String) => if (s == null) null else fromIso8601Timestamp(s))
     spark.udf.register("from_iso8601_date",

@@ -2796,6 +2796,58 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT 2, 3, 0, 3")
   }
 
+  test("datetime function vectors (TestDateTimeFunctions.java:240-960)") {
+    // date() constructor forms
+    assertVector(
+      "SELECT date('2001-08-22'), date(TIMESTAMP '2001-08-22 03:04:05.321')",
+      "SELECT DATE '2001-08-22', DATE '2001-08-22'")
+    // year_of_week ISO edges
+    assertVector(
+      "SELECT year_of_week(DATE '2001-08-22'), year_of_week(DATE '2005-01-02'), year_of_week(DATE '2008-12-28'), year_of_week(DATE '2008-12-29'), year_of_week(DATE '2009-12-31'), year_of_week(DATE '2010-01-03'), yow(DATE '2001-08-22')",
+      "SELECT BIGINT '2001', BIGINT '2004', BIGINT '2008', BIGINT '2009', BIGINT '2009', BIGINT '2009', BIGINT '2001'")
+    // last_day_of_month / date_trunc on dates (ISO Monday weeks)
+    assertVector(
+      "SELECT last_day_of_month(DATE '2001-08-22'), last_day_of_month(DATE '2020-02-10'), date_trunc('day', DATE '2001-08-22'), date_trunc('week', DATE '2001-08-22'), date_trunc('month', DATE '2001-08-22'), date_trunc('quarter', DATE '2001-08-22'), date_trunc('year', DATE '2001-08-22')",
+      "SELECT DATE '2001-08-31', DATE '2020-02-29', DATE '2001-08-22', DATE '2001-08-20', DATE '2001-08-01', DATE '2001-07-01', DATE '2001-01-01'")
+    // date_add / date_diff over DATE (type-preserving unit forms)
+    assertVector(
+      "SELECT date_add('day', 0, DATE '2001-08-22'), date_add('day', 3, DATE '2001-08-22'), date_add('week', 3, DATE '2001-08-22'), date_add('month', 3, DATE '2001-08-22'), date_add('quarter', 3, DATE '2001-08-22'), date_add('year', 3, DATE '2001-08-22')",
+      "SELECT DATE '2001-08-22', DATE '2001-08-25', DATE '2001-09-12', DATE '2001-11-22', DATE '2002-05-22', DATE '2004-08-22'")
+    assertVector(
+      "SELECT date_diff('day', DATE '1960-05-03', DATE '2001-08-22'), date_diff('week', DATE '1960-05-03', DATE '2001-08-22'), date_diff('month', DATE '1960-05-03', DATE '2001-08-22'), date_diff('quarter', DATE '1960-05-03', DATE '2001-08-22'), date_diff('year', DATE '1960-05-03', DATE '2001-08-22')",
+      "SELECT BIGINT '15086', BIGINT '2155', BIGINT '495', BIGINT '165', BIGINT '41'")
+    // date_format: MySQL %-codes (testDateFormat)
+    assertVector(
+      "SELECT date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%a'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%b'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%c'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%d'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%e'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%f')",
+      "SELECT 'Tue', 'Jan', '1', '09', '9', '321000'")
+    assertVector(
+      "SELECT date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%H'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%h'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%i'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%j'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%k'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%l')",
+      "SELECT '13', '01', '04', '009', '13', '1'")
+    assertVector(
+      "SELECT date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%M'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%m'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%p'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%r'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%S'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%T')",
+      "SELECT 'January', '01', 'PM', '01:04:05 PM', '05', '13:04:05'")
+    assertVector(
+      "SELECT date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%W'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%Y'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%y'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%%'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', 'foo'), date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%g')",
+      "SELECT 'Tuesday', '2001', '01', '%', 'foo', 'g'")
+    assertVector(
+      "SELECT date_format(TIMESTAMP '2001-01-09 13:04:05.32', '%Y-%m-%d %h:%i:%s'), date_format(TIMESTAMP '2001-01-09 00:04:05.32', '%Y-%m-%d %h:%i:%s')",
+      "SELECT '2001-01-09 01:04:05', '2001-01-09 12:04:05'")
+    vectorCount += 1
+    assertThrows[Exception](
+      runQ("SELECT date_format(TIMESTAMP '2001-01-09 13:04:05', '%D')").collect())
+    // date_parse: field defaults, 12-hour-without-%p reads as AM
+    assertVector(
+      "SELECT date_parse('2013', '%Y'), date_parse('2013-05', '%Y-%m'), date_parse('2013-05-17', '%Y-%m-%d'), date_parse('2013-05-17 12:35:10', '%Y-%m-%d %h:%i:%s'), date_parse('2013-05-17 12:35:10 PM', '%Y-%m-%d %h:%i:%s %p'), date_parse('2013-05-17 12:35:10 AM', '%Y-%m-%d %h:%i:%s %p')",
+      "SELECT TIMESTAMP '2013-01-01 00:00:00', TIMESTAMP '2013-05-01 00:00:00', TIMESTAMP '2013-05-17 00:00:00', TIMESTAMP '2013-05-17 00:35:10', TIMESTAMP '2013-05-17 12:35:10', TIMESTAMP '2013-05-17 00:35:10'")
+    assertVector(
+      "SELECT date_parse('2013-05-17 13:35:10', '%Y-%m-%d %H:%i:%s'), date_parse('2013-05-17 13:35:10.123456', '%Y-%m-%d %H:%i:%s.%f'), date_parse('5 12 2006', '%m %i %Y')",
+      "SELECT TIMESTAMP '2013-05-17 13:35:10', TIMESTAMP '2013-05-17 13:35:10.123456', TIMESTAMP '2006-05-01 00:12:00'")
+    // to_iso8601 / from_iso8601_date round pieces
+    assertVector(
+      "SELECT to_iso8601(DATE '2001-08-22'), from_iso8601_date('2001-08-22')",
+      "SELECT '2001-08-22', DATE '2001-08-22'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
