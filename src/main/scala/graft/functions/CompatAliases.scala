@@ -258,6 +258,20 @@ object CompatAliases {
     // ---- binary codecs
     fn(e, "from_hex", c => new Unhex(c.head))
     fn(e, "from_base64", c => new UnBase64(c.head))
+    fn(e, "to_base64", c => Base64(c.head))
+    fn(e, "to_hex", c => Hex(c.head))
+    // md5/sha1 (VarbinaryFunctions.java) take VARBINARY and return the
+    // raw digest bytes; the string forms keep Spark's hex-string
+    // spelling (the reference rejects string input outright, so the
+    // dispatch can't mis-route a reference query)
+    fn(e, "md5", c => c.head.dataType match {
+      case BinaryType => new Unhex(Md5(c.head))
+      case _ => Md5(c.head)
+    })
+    fn(e, "sha1", c => c.head.dataType match {
+      case BinaryType => new Unhex(Sha1(c.head))
+      case _ => Sha1(c.head)
+    })
 
     // ---- crypto digests (VarbinaryFunctions.java): the reference
     // returns VARBINARY; Spark's sha2 emits lowercase hex, so unhex
@@ -341,6 +355,18 @@ object CompatAliases {
     spark.udf.register("from_base64url",
       (s: String) => if (s == null) null
       else java.util.Base64.getUrlDecoder.decode(s))
+    // xxhash64(varbinary) → 8-byte big-endian VARBINARY, seed 0
+    // (VarbinaryFunctions.java; Spark's builtin is a BIGINT with
+    // seed 42). Spark's XXH64 kernel over raw bytes IS canonical
+    // xxh64, so only seed and rendering differ.
+    spark.udf.register("xxhash64", (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 0L)
+        java.nio.ByteBuffer.allocate(8).putLong(h).array()
+      })
     spark.udf.register("to_big_endian_64", (x: Long) =>
       java.nio.ByteBuffer.allocate(8).putLong(x).array())
     spark.udf.register("from_big_endian_64", (b: Array[Byte]) =>

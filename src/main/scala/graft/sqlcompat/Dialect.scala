@@ -46,6 +46,12 @@ object Dialect {
     // repeat); Spark's builtin repeat is string-repetition, so the
     // reference spelling must route to array_repeat
     "repeat" -> "array_repeat",
+    // format() (FormatFunction.java) is printf over java.util.Formatter
+    // — exactly Spark's format_string
+    "format" -> "format_string",
+    // zip pads the shorter arrays with NULL in both engines; the
+    // reference returns rows, Spark structs (positionally identical)
+    "zip" -> "arrays_zip",
     // reference split takes a LITERAL delimiter (SplitFunction.java);
     // Spark's builtin takes a regex — graft_split escapes it
     "split" -> "graft_split",

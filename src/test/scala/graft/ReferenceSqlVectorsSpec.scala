@@ -2848,6 +2848,50 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT '2001-08-22', DATE '2001-08-22'")
   }
 
+  test("varbinary / format / zip / match vectors (TestVarbinaryFunctions, TestFormatFunction, TestZip*, TestArrayMatchFunctions)") {
+    // binary length / codecs / digests
+    assertVector(
+      "SELECT length(CAST('' AS BINARY)), length(CAST('a' AS BINARY)), length(CAST('abc' AS BINARY))",
+      "SELECT BIGINT '0', BIGINT '1', BIGINT '3'")
+    assertVector(
+      "SELECT to_base64(CAST('hello world' AS BINARY)), CAST(from_base64(to_base64(CAST('abc' AS BINARY))) AS STRING), to_hex(CAST('hello' AS BINARY)), CAST(from_hex('68656C6C6F') AS STRING)",
+      "SELECT 'aGVsbG8gd29ybGQ=', 'abc', '68656C6C6F', 'hello'")
+    assertVector(
+      "SELECT to_base64url(CAST('<<???>>' AS BINARY)), CAST(from_base64url(to_base64url(CAST('<<???>>' AS BINARY))) AS STRING)",
+      "SELECT 'PDw_Pz8-Pg==', '<<???>>'")
+    assertVector(
+      "SELECT to_hex(md5(CAST('hello' AS BINARY))), to_hex(sha256(CAST(encode('hashme', 'UTF-8') AS BINARY)))",
+      "SELECT upper('5d41402abc4b2a76b9719d911017c592'), upper('02208b9403a87df9f4ed6b2ee2657efaa589026b4cce9accc8e8a5bf3d693c86')")
+    assertVector(
+      "SELECT xxhash64(CAST('' AS BINARY)) = from_hex('EF46DB3751D8E999'), xxhash64(CAST('hashme' AS BINARY)) = from_hex('F9D96E0E1165E892'), crc32(CAST('CRC me!' AS BINARY)), crc32(CAST('1234567890' AS BINARY))",
+      "SELECT true, true, BIGINT '38028046', BIGINT '639479525'")
+    assertVector(
+      "SELECT from_big_endian_64(to_big_endian_64(12300000000)), to_hex(to_big_endian_64(12300000000)), from_big_endian_32(to_big_endian_32(1234)), round(from_ieee754_64(to_ieee754_64(3.1415926)), 7)",
+      "SELECT BIGINT '12300000000', '00000002DD231B00', 1234, 3.1415926E0")
+    // format(): printf over java.util.Formatter
+    assertVector(
+      "SELECT format('%s%%', 123), format('%.5f', pi()), format('%03d', 8), format('%-7s,%7s', 'hello', 'world'), format('%b', true), format('%s %s %s', 'one', 'two', 'three')",
+      "SELECT '123%', '3.14159', '008', 'hello  ,  world', 'true', 'one two three'")
+    // zip: pads the shorter side with NULLs (positional rows)
+    assertVector(
+      "SELECT zip(ARRAY[1, 2], ARRAY['1b', null, '3b'])",
+      "SELECT ARRAY[(1, '1b'), (2, CAST(null AS STRING)), (CAST(null AS INT), '3b')]")
+    assertVector(
+      "SELECT zip_with(ARRAY[1, 3, 5], ARRAY['a', 'b', 'c'], (x, y) -> (y, x)), zip_with(ARRAY[1, 2], ARRAY[3, 4], (x, y) -> x + y)",
+      "SELECT ARRAY[('a', 1), ('b', 3), ('c', 5)], ARRAY[4, 6]")
+    // all_match / any_match / none_match three-valued logic
+    assertVector(
+      "SELECT all_match(ARRAY[5, 7, 9], x -> x % 2 = 1), all_match(ARRAY[5, 6, 9], x -> x % 2 = 1), any_match(ARRAY[4, 6, 9], x -> x % 2 = 1), any_match(ARRAY[4, 6, 8], x -> x % 2 = 1), none_match(ARRAY[4, 6, 8], x -> x % 2 = 1), none_match(ARRAY[4, 7, 8], x -> x % 2 = 1)",
+      "SELECT true, false, true, false, true, false")
+    assertVector(
+      "SELECT all_match(ARRAY[5, NULL, 9], x -> x % 2 = 1), any_match(ARRAY[4, NULL, 8], x -> x % 2 = 1), none_match(ARRAY[4, NULL, 8], x -> x % 2 = 1), all_match(CAST(ARRAY[] AS ARRAY<INT>), x -> x % 2 = 1), any_match(CAST(ARRAY[] AS ARRAY<INT>), x -> x % 2 = 1)",
+      "SELECT CAST(null AS BOOLEAN), CAST(null AS BOOLEAN), CAST(null AS BOOLEAN), true, false")
+    // concat_ws: NULL separator → NULL, NULL args skipped
+    assertVector(
+      "SELECT concat_ws(',', 'def', 'pqr', 'mno'), concat_ws('', 'a', 'b', 'c'), concat_ws(',', 'a', NULL, 'c'), concat_ws(CAST(null AS STRING), 'a', 'b'), concat_ws('abcdefghi', 'x', 'y', 'z'), concat_ws(',', ARRAY['a', 'b', 'c'])",
+      "SELECT 'def,pqr,mno', 'abc', 'a,c', CAST(null AS STRING), 'xabcdefghiyabcdefghiz', 'a,b,c'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
