@@ -498,8 +498,10 @@ object GraftFunctions {
       .getOrElse(throw new IllegalArgumentException(s"Invalid data size: '$s'"))
     val pow = sizeUnits.getOrElse(m.group(2),
       throw new IllegalArgumentException(s"Invalid data size unit: '${m.group(2)}'"))
+    // truncate toward zero (reference DataSizeFunctions: '2.2kB' →
+    // 2252, not 2253)
     (BigDecimal(m.group(1)) * BigDecimal(1024).pow(pow))
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+      .setScale(0, BigDecimal.RoundingMode.DOWN).longValue
   }
 
   /** 694861 → "1 week, 1 day, 1 hour, 1 minute, 1 second" (reference

@@ -318,6 +318,21 @@ object Dialect {
           "(?i)\\bbitwise_xor\\s*\\(([^(),']+),([^(),']+)\\)", "($1 ^ $2)")
         out = out.replaceAll(
           "(?i)\\bbitwise_not\\s*\\(([^(),']+)\\)", "~($1)")
+        // EXTRACT field spellings: the reference's DOW/DAY_OF_WEEK are
+        // ISO (Monday=1); Spark's DOW is Sunday=0, so both route to
+        // DOW_ISO. Underscore spellings map onto Spark's field names.
+        out = out.replaceAll(
+          "(?i)\\bextract\\s*\\(\\s*(?:dow|day_of_week)\\s+from\\b",
+          "extract(DOW_ISO FROM")
+        out = out.replaceAll(
+          "(?i)\\bextract\\s*\\(\\s*(?:doy|day_of_year)\\s+from\\b",
+          "extract(DOY FROM")
+        out = out.replaceAll(
+          "(?i)\\bextract\\s*\\(\\s*day_of_month\\s+from\\b",
+          "extract(DAY FROM")
+        out = out.replaceAll(
+          "(?i)\\bextract\\s*\\(\\s*(?:yow|year_of_week)\\s+from\\b",
+          "extract(YEAROFWEEK FROM")
         // standard empty grouping set `GROUP BY ()` (reference grammar
         // groupingSet): Spark parses only the GROUPING SETS spelling
         out = out.replaceAll(

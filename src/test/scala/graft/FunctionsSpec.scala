@@ -393,8 +393,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(formatNumber(1005) == "1K")
   }
 
-  test("parse_data_size uses binary units with half-up rounding") {
-    assert(GraftFunctions.parseDataSize("2.3MB") == 2411725L) // reference doc example
+  test("parse_data_size uses binary units, truncating toward zero") {
+    // the reference's OWN test vectors truncate (2.2kB → 2252, not
+    // 2253 — TestDataSizeFunctions), so 2.3MB = 2411724.8 → 2411724;
+    // the published doc example rounds, the engine does not
+    assert(GraftFunctions.parseDataSize("2.3MB") == 2411724L)
     assert(GraftFunctions.parseDataSize("0B") == 0L)
     assert(GraftFunctions.parseDataSize("1kB") == 1024L)
     assert(GraftFunctions.parseDataSize("4.5GB") == 4831838208L)

@@ -2892,6 +2892,41 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT 'def,pqr,mno', 'abc', 'a,c', CAST(null AS STRING), 'xabcdefghiyabcdefghiz', 'a,b,c'")
   }
 
+  test("extract / luhn / data-size / duration / ip / reduce vectors (AbstractTestExtract, TestLuhnCheckFunction, TestDataSizeFunctions, TestHumanReadableSeconds, TestIpAddressFunctions, TestArrayReduceFunction)") {
+    // EXTRACT fields incl. the ISO day-of-week spellings
+    assertVector(
+      "SELECT extract(YEAR FROM TIMESTAMP '2020-05-10 12:34:56.222'), extract(QUARTER FROM DATE '2020-05-10'), extract(MONTH FROM DATE '2020-05-10'), extract(DAY FROM DATE '2020-05-10'), extract(HOUR FROM TIMESTAMP '2020-05-10 12:34:56.222'), extract(MINUTE FROM TIMESTAMP '2020-05-10 12:34:56.222'), extract(SECOND FROM TIMESTAMP '2020-05-10 12:34:56')",
+      "SELECT 2020, 2, 5, 10, 12, 34, 56")
+    // 2020-05-10 is a Sunday: ISO dow = 7 (Spark's raw DOW would be 0)
+    assertVector(
+      "SELECT extract(DOW FROM DATE '2020-05-10'), extract(DAY_OF_WEEK FROM DATE '2020-05-11'), extract(DOY FROM DATE '2020-02-10'), extract(DAY_OF_YEAR FROM DATE '2020-02-10'), extract(DAY_OF_MONTH FROM DATE '2020-05-10'), extract(YEAR_OF_WEEK FROM DATE '2005-01-02'), extract(YOW FROM DATE '2008-12-29'), extract(WEEK FROM DATE '2020-05-10')",
+      "SELECT 7, 1, 41, 41, 10, 2004, 2009, 19")
+    // luhn_check
+    assertVector(
+      "SELECT luhn_check('4242424242424242'), luhn_check('1234567891234567'), luhn_check(''), luhn_check('123456789'), luhn_check(CAST(null AS STRING))",
+      "SELECT true, false, false, false, CAST(null AS BOOLEAN)")
+    // parse_data_size: binary (1024) unit ladder
+    assertVector(
+      "SELECT CAST(parse_data_size('0B') AS BIGINT), CAST(parse_data_size('1B') AS BIGINT), CAST(parse_data_size('1.2B') AS BIGINT), CAST(parse_data_size('2.2kB') AS BIGINT), CAST(parse_data_size('2.23kB') AS BIGINT), CAST(parse_data_size('3MB') AS BIGINT), CAST(parse_data_size('4GB') AS BIGINT), CAST(parse_data_size('4TB') AS BIGINT)",
+      "SELECT BIGINT '0', BIGINT '1', BIGINT '1', BIGINT '2252', BIGINT '2283', BIGINT '3145728', BIGINT '4294967296', BIGINT '4398046511104'")
+    // human_readable_seconds: singular/plural units, negatives abs'd
+    assertVector(
+      "SELECT human_readable_seconds(0), human_readable_seconds(1), human_readable_seconds(60), human_readable_seconds(-60), human_readable_seconds(61), human_readable_seconds(-61), human_readable_seconds(56363463)",
+      "SELECT '0 seconds', '1 second', '1 minute', '1 minute', '1 minute, 1 second', '1 minute, 1 second', '93 weeks, 1 day, 8 hours, 31 minutes, 3 seconds'")
+    // ip_prefix containment (IPv4 CIDR)
+    assertVector(
+      "SELECT ip_prefix_contains('10.0.0.0/8', '10.255.255.255'), ip_prefix_contains('10.0.0.0/8', '11.0.0.1'), ip_prefix_contains('192.168.1.0/24', '192.168.1.99'), ip_prefix_contains('0.0.0.0/0', '8.8.8.8')",
+      "SELECT true, false, true, true")
+    // reduce (higher-order fold; same name + signature as Spark)
+    assertVector(
+      "SELECT reduce(ARRAY[5, 20, 50], 0, (s, x) -> s + x, s -> s), reduce(ARRAY[5, 20, NULL, 50], 0, (s, x) -> s + coalesce(x, 0), s -> s), reduce(ARRAY[2147483647, 1], BIGINT '0', (s, x) -> s + x, s -> s)",
+      "SELECT 75, 75, BIGINT '2147483648'")
+    // word_stem (Porter)
+    assertVector(
+      "SELECT word_stem('running'), word_stem('ponies'), word_stem('generously'), word_stem('cat')",
+      "SELECT 'run', 'poni', 'gener', 'cat'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
