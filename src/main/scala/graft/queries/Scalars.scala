@@ -988,6 +988,45 @@ object Scalars {
       |  '[1,2,' || l_linenumber || ']' AS q_arr
       |FROM lineitem WHERE l_orderkey < 200""".stripMargin
 
+  // --------------------------- sc24 round-14 string/datetime compat
+  /** The r14 conformance-fix surface under the full hash gate: Unicode
+    * chr/codepoint (reference StringFunctions; Spark's builtin chr is
+    * mod-256), levenshtein_distance (BIGINT), reference-order two-arg
+    * ltrim/rtrim (charset semantics), in-range split_part, and the
+    * MySQL-%-pattern date_format (DateTimeFunctions) — each spelled
+    * with a DuckDB function of IDENTICAL semantics on these inputs
+    * (chr/ascii/levenshtein/ltrim/split_part/strftime). */
+  def sc24(s: SparkSession, dir: String): DataFrame = {
+    graft.engine.Graft.registerAll(s, dir)
+    t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .selectExpr(
+        "o_orderkey",
+        "chr(65 + o_orderkey % 26) AS ch",
+        "chr(9731 + o_orderkey % 16) AS uch",
+        "CAST(codepoint(chr(9731 + o_orderkey % 16)) AS BIGINT) AS ucp",
+        "levenshtein_distance(o_orderpriority, '1-URGENT') AS lev",
+        "split_part(o_orderpriority, '-', 1) AS pri_num",
+        "split_part(o_orderpriority, '-', 2) AS pri_word",
+        "ltrim(o_orderpriority, '0123456789-') AS word2",
+        "rtrim(o_orderpriority, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ-') AS num2",
+        "date_format(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS ymd",
+        "date_format(CAST(o_orderdate AS TIMESTAMP), '%d/%m/%Y') AS dmy")
+  }
+
+  val sc24Sql: String =
+    """SELECT o_orderkey,
+      |  chr(65 + CAST(o_orderkey % 26 AS INT)) AS ch,
+      |  chr(9731 + CAST(o_orderkey % 16 AS INT)) AS uch,
+      |  CAST(ascii(chr(9731 + CAST(o_orderkey % 16 AS INT))) AS BIGINT) AS ucp,
+      |  CAST(levenshtein(o_orderpriority, '1-URGENT') AS BIGINT) AS lev,
+      |  split_part(o_orderpriority, '-', 1) AS pri_num,
+      |  split_part(o_orderpriority, '-', 2) AS pri_word,
+      |  ltrim(o_orderpriority, '0123456789-') AS word2,
+      |  rtrim(o_orderpriority, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ-') AS num2,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+      |  strftime(o_orderdate, '%d/%m/%Y') AS dmy
+      |FROM orders WHERE o_orderkey < 2000""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -1013,7 +1052,8 @@ object Scalars {
     "sc20_spooky_hash" -> sc20 _,
     "sc21_registry_compat" -> sc21 _,
     "sc22_registry_compat2" -> sc22 _,
-    "sc23_json_path" -> sc23 _)
+    "sc23_json_path" -> sc23 _,
+    "sc24_compat_r14" -> sc24 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -1039,5 +1079,6 @@ object Scalars {
     "sc20_spooky_hash" -> sc20Sql,
     "sc21_registry_compat" -> sc21Sql,
     "sc22_registry_compat2" -> sc22Sql,
-    "sc23_json_path" -> sc23Sql)
+    "sc23_json_path" -> sc23Sql,
+    "sc24_compat_r14" -> sc24Sql)
 }
