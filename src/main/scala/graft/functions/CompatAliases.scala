@@ -184,6 +184,15 @@ object CompatAliases {
     // NULL, not an error — Spark 4's ANSI default raises. Index 0
     // still raises in both engines.
     fn(e, "element_at", c => ElementAt(c(0), c(1), None, failOnError = false))
+    // width_bucket(x, bins) array form (MathFunctions.java): index =
+    // count of ascending bin bounds <= x, as a narrow filter-count —
+    // the 4-arg form stays Spark's codegen builtin
+    fn(e, "width_bucket", c =>
+      if (c.length == 2) {
+        val b = UnresolvedNamedLambdaVariable(Seq("b"))
+        asLong(Size(ArrayFilter(c(1),
+          LambdaFunction(LessThanOrEqual(b, c(0)), Seq(b)))))
+      } else WidthBucket(c(0), c(1), c(2), c(3)))
     // to_iso8601 (DateTimeFunctions.java:199): type-overloaded in the
     // reference — DATE renders bare 'yyyy-MM-dd', timestamps render
     // the 'T' form with millis only when non-zero
@@ -272,6 +281,19 @@ object CompatAliases {
       case BinaryType => new Unhex(Sha1(c.head))
       case _ => Sha1(c.head)
     })
+    // xxhash64(varbinary) → 8-byte big-endian VARBINARY, seed 0
+    // (VarbinaryFunctions.java; Spark's builtin is a BIGINT with
+    // seed 42). Spark's XXH64 kernel IS canonical xxh64, so only the
+    // seed and rendering differ: hex-render the seed-0 hash and unhex
+    // back to the raw big-endian bytes, all codegen expressions. Same
+    // binary-only dispatch as md5 above — a UDF here replaced the
+    // builtin for EVERY input type session-wide, which broke Verify's
+    // own registry-resolved fingerprint hash (string input).
+    fn(e, "xxhash64", c => c.head.dataType match {
+      case BinaryType => new Unhex(StringLPad(
+        Hex(XxHash64(Seq(c.head), 0L)), Literal(16), Literal("0")))
+      case _ => new XxHash64(c)
+    })
 
     // ---- crypto digests (VarbinaryFunctions.java): the reference
     // returns VARBINARY; Spark's sha2 emits lowercase hex, so unhex
@@ -355,18 +377,6 @@ object CompatAliases {
     spark.udf.register("from_base64url",
       (s: String) => if (s == null) null
       else java.util.Base64.getUrlDecoder.decode(s))
-    // xxhash64(varbinary) → 8-byte big-endian VARBINARY, seed 0
-    // (VarbinaryFunctions.java; Spark's builtin is a BIGINT with
-    // seed 42). Spark's XXH64 kernel over raw bytes IS canonical
-    // xxh64, so only seed and rendering differ.
-    spark.udf.register("xxhash64", (b: Array[Byte]) =>
-      if (b == null) null
-      else {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            b.length, 0L)
-        java.nio.ByteBuffer.allocate(8).putLong(h).array()
-      })
     spark.udf.register("to_big_endian_64", (x: Long) =>
       java.nio.ByteBuffer.allocate(8).putLong(x).array())
     spark.udf.register("from_big_endian_64", (b: Array[Byte]) =>

@@ -74,7 +74,12 @@ object StatFunctions {
   /** Φ((x-mean)/sd): the reference's normal_cdf(mean, sd, value). */
   def normalCdf(mean: Double, sd: Double, x: Double): Double = {
     require(sd > 0, "standardDeviation must be > 0")
-    0.5 * (1.0 + erf((x - mean) / (sd * Sqrt2)))
+    // infinite x or mean saturate (reference TestMathFunctions
+    // testNormalCdf: ±inf → 1/0); erf would return NaN on ±inf
+    val z = (x - mean) / (sd * Sqrt2)
+    if (z.isPosInfinity) 1.0
+    else if (z.isNegInfinity) 0.0
+    else 0.5 * (1.0 + erf(z))
   }
 
   /** Acklam's normal-quantile approximation + one Halley refinement. */

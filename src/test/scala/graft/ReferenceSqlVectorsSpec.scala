@@ -2927,6 +2927,58 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT 'run', 'poni', 'gener', 'cat'")
   }
 
+  test("math vectors: width_bucket, distributions, trig (TestMathFunctions.java:3285-3560)") {
+    // width_bucket 4-arg: ascending and DESCENDING bounds, ±inf
+    assertVector(
+      "SELECT width_bucket(3.14E0, 0, 4, 3), width_bucket(2, 0, 4, 3), width_bucket(infinity(), 0, 4, 3), width_bucket(-1, 0, 3.2E0, 4)",
+      "SELECT BIGINT '3', BIGINT '2', BIGINT '4', BIGINT '0'")
+    assertVector(
+      "SELECT width_bucket(3.14E0, 4, 0, 3), width_bucket(2, 4, 0, 3), width_bucket(infinity(), 4, 0, 3), width_bucket(-1, 3.2E0, 0, 4)",
+      "SELECT BIGINT '1', BIGINT '2', BIGINT '0', BIGINT '5'")
+    // width_bucket array form: count of bounds <= x
+    assertVector(
+      "SELECT width_bucket(3.14E0, array(0.0E0, 2.0E0, 4.0E0)), width_bucket(infinity(), array(0.0E0, 2.0E0, 4.0E0)), width_bucket(-1, array(0.0E0, 1.2E0, 3.3E0, 4.5E0)), width_bucket(3.145E0, array(0.0E0)), width_bucket(-3.145E0, array(0.0E0))",
+      "SELECT BIGINT '2', BIGINT '3', BIGINT '0', BIGINT '1', BIGINT '0'")
+    // normal_cdf / inverse_normal_cdf (closed-form erf path, exact at
+    // the reference's own printed precision under round-9)
+    assertVector(
+      "SELECT round(normal_cdf(0, 1, 1.96), 9), normal_cdf(10, 9, 10), round(normal_cdf(-1.5, 2.1, -7.8), 9), normal_cdf(0, 1, infinity()), normal_cdf(0, 1, -infinity()), normal_cdf(infinity(), 1, 0), normal_cdf(-infinity(), 1, 0)",
+      "SELECT round(0.9750021048517796, 9), 0.5E0, round(0.0013498980316301035, 9), 1.0E0, 0.0E0, 0.0E0, 1.0E0")
+    assertVector(
+      "SELECT round(inverse_normal_cdf(0, 1, 0.3), 9), round(inverse_normal_cdf(10, 9, 0.9), 9), round(inverse_normal_cdf(0.5, 0.25, 0.65), 9)",
+      "SELECT round(-0.52440051270804089, 9), round(21.533964089901406, 9), round(0.59633011660189195, 9)")
+    // beta_cdf
+    assertVector(
+      "SELECT round(beta_cdf(3, 3.6, 0.3), 9), round(beta_cdf(1, 1, 0.3), 9), beta_cdf(3, 3.6, 0.0), beta_cdf(3, 3.6, 1.0)",
+      "SELECT round(0.21764809997679938, 9), round(0.3, 9), 0.0E0, 1.0E0")
+    // trig family under round-9 (libm last-ulp tolerance)
+    assertVector(
+      "SELECT round(sin(1.0E0), 9), round(cos(1.0E0), 9), round(tan(1.0E0), 9), round(asin(0.5E0), 9), round(acos(0.5E0), 9), round(atan(1.0E0), 9), round(atan2(1.0E0, 2.0E0), 9)",
+      "SELECT round(0.8414709848078965, 9), round(0.5403023058681398, 9), round(1.5574077246549023, 9), round(0.5235987755982989, 9), round(1.0471975511965979, 9), round(0.7853981633974483, 9), round(0.4636476090008061, 9)")
+    assertVector(
+      "SELECT round(sinh(1.0E0), 9), round(cosh(1.0E0), 9), round(tanh(1.0E0), 9), round(degrees(1.0E0), 9), round(radians(57.29577951308232E0), 9)",
+      "SELECT round(1.1752011936438014, 9), round(1.5430806348152437, 9), round(0.7615941559557649, 9), round(57.29577951308232, 9), round(1.0, 9)")
+  }
+
+  test("temporal arithmetic vectors: intervals, durations (TestDateTimeFunctions, timestamp/TestOperators)") {
+    // timestamp ± day-time / year-month intervals
+    assertVector(
+      "SELECT TIMESTAMP '2001-08-22 03:04:05.321' + INTERVAL '3' DAY, TIMESTAMP '2001-08-22 03:04:05.321' - INTERVAL '3' DAY, TIMESTAMP '2001-08-22 03:04:05.321' + INTERVAL '3' HOUR, DATE '2001-08-22' + INTERVAL '3' MONTH, TIMESTAMP '2001-08-22 03:04:05.321' + INTERVAL '3' YEAR",
+      "SELECT TIMESTAMP '2001-08-25 03:04:05.321', TIMESTAMP '2001-08-19 03:04:05.321', TIMESTAMP '2001-08-22 06:04:05.321', DATE '2001-11-22', TIMESTAMP '2004-08-22 03:04:05.321'")
+    // timestamp subtraction → day-time interval comparisons
+    assertVector(
+      "SELECT TIMESTAMP '2001-08-22 06:04:05' - TIMESTAMP '2001-08-22 03:04:05' = INTERVAL '3' HOUR, DATE '2001-08-25' - DATE '2001-08-22' = INTERVAL '3' DAY",
+      "SELECT true, true")
+    // parse_duration: value space collapses to millis-resolution
+    // day-time intervals; to_milliseconds reads them back
+    assertVector(
+      "SELECT to_milliseconds(parse_duration('1234 ms')), to_milliseconds(parse_duration('1234 s')), to_milliseconds(parse_duration('1234 m')), to_milliseconds(parse_duration('1234 h')), to_milliseconds(parse_duration('1234 d')), to_milliseconds(parse_duration('1234.567 s')), to_milliseconds(parse_duration('1234 us'))",
+      "SELECT BIGINT '1234', BIGINT '1234000', BIGINT '74040000', BIGINT '4442400000', BIGINT '106617600000', BIGINT '1234567', BIGINT '1'")
+    assertVector(
+      "SELECT to_milliseconds(INTERVAL '3' HOUR), to_milliseconds(INTERVAL '90' SECOND)",
+      "SELECT BIGINT '10800000', BIGINT '90000'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
