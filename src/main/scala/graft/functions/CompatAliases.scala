@@ -281,6 +281,21 @@ object CompatAliases {
       case BinaryType => new Unhex(Sha1(c.head))
       case _ => Sha1(c.head)
     })
+    // TRY(expr) (reference TryFunction.java / TestTryFunction.java):
+    // evaluate and return NULL on error — failed casts, division by
+    // zero, invalid function arguments, arithmetic overflow. Spark's
+    // TryEval is the same contract (it is what try_add/try_cast wrap),
+    // codegen'd as a try/catch around the child's generated code.
+    // Documented divergences: the reference refuses to suppress
+    // INTERNAL errors (TryEval catches everything), and TRY over a
+    // column computed in an enclosing query block is still lazy here
+    // (Spark collapses projections, so TRY(x) with x = 1/y from a
+    // subquery suppresses the error the reference would raise).
+    // Dialect.translate still rewrites the TRY(a / b) spelling onto
+    // try_divide first — the DuckDB oracle yields NULL for double/0
+    // where both the reference and bare Spark yield IEEE Infinity, so
+    // the division form keeps the oracle-compatible NULL contract.
+    fn(e, "try", c => TryEval(c.head))
     // xxhash64(varbinary) → 8-byte big-endian VARBINARY, seed 0
     // (VarbinaryFunctions.java; Spark's builtin is a BIGINT with
     // seed 42). Spark's XXH64 kernel IS canonical xxh64, so only the

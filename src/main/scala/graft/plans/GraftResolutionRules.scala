@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, MaxBy, Min, MinBy}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, ElementAt, Expression, GetStructField, Greatest, Least, Literal, TryEval}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, ElementAt, Expression, GetStructField, Greatest, Least, Literal, Round, TryEval}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, MapType, StructType}
@@ -25,12 +25,36 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
   private def floating(e: Expression): Boolean =
     e.resolved && (e.dataType == DoubleType || e.dataType == FloatType)
 
+  private def integralTarget(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == LongType || dt == IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType ||
+      dt == org.apache.spark.sql.types.ByteType
+
+  private def fractionalSource(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == DoubleType || dt == FloatType ||
+      dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+
+  private def isRound0(e: Expression): Boolean = e match {
+    case Round(_, Literal(0, IntegerType), _) => true
+    case _ => false
+  }
+
   /** Expression rewrite with an explicit recursion so the IEEE-divide
-    * branch can STOP at try_* wrappers (their NULL-on-error contract
-    * depends on the inner ANSI error being raised — see
-    * IeeeDoubleDivide's scaladoc). */
-  private def rw(e0: Expression): Expression = e0 match {
-    case t if t.isInstanceOf[TryEval] || t.prettyName.startsWith("try_") => t
+    * branch can be SUPPRESSED inside try scopes (their NULL-on-error
+    * contract depends on the inner ANSI error being raised — see
+    * IeeeDoubleDivide's scaladoc). `inTry` marks that scope: every
+    * OTHER rewrite still applies inside TRY (reference
+    * TRY(CAST(0.8E0 AS BIGINT)) rounds like the bare cast; only the
+    * divide lowering would erase the error TRY exists to catch). The
+    * registered generic TRY() resolves to TryEval only on a LATER
+    * fixed-point iteration, so the unresolved spelling opens the
+    * scope too. */
+  private def rw(e0: Expression, inTry: Boolean = false): Expression = e0 match {
+    case t if t.isInstanceOf[TryEval] || t.prettyName.startsWith("try_") =>
+      t.mapChildren(rw(_, inTry = true))
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if u.nameParts.last.equalsIgnoreCase("try") =>
+      u.mapChildren(rw(_, inTry = true))
 
     // reference subscripts: BIGINT array index (clamped narrow), and
     // positional row subscript
@@ -38,31 +62,47 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
         if col.resolved && idx.resolved &&
           col.dataType.isInstanceOf[ArrayType] && idx.dataType == LongType =>
       val clamped = Least(Seq(
-        Greatest(Seq(rw(idx), Literal(Int.MinValue.toLong))),
+        Greatest(Seq(rw(idx, inTry), Literal(Int.MinValue.toLong))),
         Literal(Int.MaxValue.toLong)))
-      ea.withNewChildren(Seq(rw(col), Cast(clamped, IntegerType)))
+      ea.withNewChildren(Seq(rw(col, inTry), Cast(clamped, IntegerType)))
     case ElementAt(s, Literal(i: Int, IntegerType), None, _)
         if s.resolved && s.dataType.isInstanceOf[StructType] &&
           i >= 1 && i <= s.dataType.asInstanceOf[StructType].length =>
-      GetStructField(rw(s), i - 1)
+      GetStructField(rw(s, inTry), i - 1)
+
+    // Reference casts from floating point / decimal to an integral
+    // type ROUND half-up (DoubleOperators.castToLong:
+    // DoubleMath.roundToLong(value, HALF_UP); Decimals rescale the
+    // same way) — Spark truncates toward zero. DuckDB also rounds, so
+    // this aligns the engine with both the reference AND the oracle.
+    // Rounding first is a no-op when the value is already integral,
+    // which is also the idempotence guard: Round(x, 0) output is
+    // integral-valued, so re-rounding can't change it, and the
+    // explicit Round(_, 0) child check stops the re-wrap. Overflow
+    // still raises through the Cast (ANSI), like the reference's
+    // INVALID_CAST_ARGUMENT.
+    case c: Cast
+        if c.child.resolved && integralTarget(c.dataType) &&
+          fractionalSource(c.child.dataType) && !isRound0(c.child) =>
+      c.withNewChildren(Seq(Round(rw(c.child, inTry), Literal(0))))
 
     // IEEE-754 double/float division (reference: bare JVM `/`);
-    // try_divide is protected by the try_* stop above, not by eval
-    // mode (Spark 4.1's Divide carries a NumericEvalContext there)
+    // suppressed inside try scopes — not via eval mode (Spark 4.1's
+    // Divide carries a NumericEvalContext under try_divide)
     case Divide(l, r, _)
-        if l.resolved && r.resolved && l.dataType == r.dataType &&
+        if !inTry && l.resolved && r.resolved && l.dataType == r.dataType &&
           (l.dataType == DoubleType || l.dataType == FloatType) =>
-      IeeeDiv(rw(l), rw(r))
+      IeeeDiv(rw(l, inTry), rw(r, inTry))
 
     // NaN-skipping min/max family over floating-point inputs
-    case Min(c) if floating(c) => NanAwareMinMax(rw(c), isMin = true)
-    case Max(c) if floating(c) => NanAwareMinMax(rw(c), isMin = false)
+    case Min(c) if floating(c) => NanAwareMinMax(rw(c, inTry), isMin = true)
+    case Max(c) if floating(c) => NanAwareMinMax(rw(c, inTry), isMin = false)
     case MinBy(v, k) if v.resolved && floating(k) =>
-      NanAwareMinMaxBy(rw(v), rw(k), isMin = true)
+      NanAwareMinMaxBy(rw(v, inTry), rw(k, inTry), isMin = true)
     case MaxBy(v, k) if v.resolved && floating(k) =>
-      NanAwareMinMaxBy(rw(v), rw(k), isMin = false)
+      NanAwareMinMaxBy(rw(v, inTry), rw(k, inTry), isMin = false)
 
-    case other => other.mapChildren(rw)
+    case other => other.mapChildren(rw(_, inTry))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -70,7 +110,7 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
         if a.groupingExpressions.nonEmpty &&
           a.groupingExpressions.forall(_.resolved) &&
           a.groupingExpressions.exists(_.dataType.isInstanceOf[MapType]) =>
-      MapGroupingKeys(a).mapExpressions(rw)
-    case p => p.mapExpressions(rw)
+      MapGroupingKeys(a).mapExpressions(rw(_))
+    case p => p.mapExpressions(rw(_))
   }
 }

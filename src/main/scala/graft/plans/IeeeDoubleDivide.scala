@@ -55,6 +55,10 @@ object IeeeDoubleDivide extends Rule[LogicalPlan] {
 
   private def rw(e: Expression): Expression = e match {
     case t if t.isInstanceOf[TryEval] || t.prettyName.startsWith("try_") => t
+    // see GraftResolutionRules: generic TRY() is still unresolved when
+    // this rule first fires
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if u.nameParts.last.equalsIgnoreCase("try") => u
     case Divide(l, r, _)
         if l.resolved && r.resolved && l.dataType == r.dataType &&
           (l.dataType == DoubleType || l.dataType == FloatType) =>

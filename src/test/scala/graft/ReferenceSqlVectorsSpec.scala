@@ -2979,6 +2979,42 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT BIGINT '10800000', BIGINT '90000'")
   }
 
+  test("TRY vectors (TestTryFunction.java, AbstractTestEngineOnlyQueries.java:5474 testTry)") {
+    // pass-through on success, every type
+    assertVector(
+      "SELECT try(42), try(DOUBLE '4.5'), try(TRUE), try('hello'), try(ARRAY[1, 2]), try(NULL), TRY(ABS(-2))",
+      "SELECT 42, 4.5E0, TRUE, 'hello', ARRAY[1, 2], NULL, 2")
+    // failed / succeeded casts (constant-foldable shapes)
+    assertVector(
+      "SELECT TRY(CAST('a' AS BIGINT)), TRY(CAST('123' AS BIGINT)), TRY(CAST(NULL AS BIGINT)), TRY(CAST('foo' AS BIGINT)) + TRY(CAST('123' AS BIGINT)), TRY(CAST(CAST(123 AS VARCHAR) AS BIGINT)), TRY(CAST(CONCAT('hello', CAST(123 AS VARCHAR)) AS BIGINT)), COALESCE(TRY(CAST(CONCAT('a', CAST(123 AS VARCHAR)) AS INTEGER)), 0)",
+      "SELECT NULL, BIGINT '123', NULL, NULL, BIGINT '123', NULL, 0")
+    // arithmetic overflow + division by zero (the a/b spelling routes
+    // via try_divide, complex denominators via generic TRY)
+    assertVector(
+      "SELECT 123 + TRY(ABS(-9223372036854775807 - 1)), TRY(2/0), TRY(2/1), COALESCE(TRY(2/0), 0)",
+      "SELECT NULL, NULL, 2, 0")
+    // invalid function argument: to_base radix outside [2, 36]
+    assertVector(
+      "SELECT TRY(to_base(100, 1)), TRY(to_base(100, 16))",
+      "SELECT NULL, '64'")
+    // TRY inside an aggregate over a table, div-by-zero rows nulled
+    assertVector(
+      "SELECT linenumber, sum(TRY(100/(CAST(tax*10 AS BIGINT)))) AS s FROM lineitem GROUP BY linenumber",
+      "SELECT linenumber, sum(100/(CAST(tax*10 AS BIGINT))) AS s FROM lineitem WHERE CAST(tax*10 AS BIGINT) <> 0 GROUP BY linenumber")
+    // invalid-cast census over orders (reference testTry invalid cast)
+    assertVector(
+      "SELECT TRY(CAST(IF(round(totalprice) % 2 = 0, CAST(totalprice AS VARCHAR), '^&$' || CAST(totalprice AS VARCHAR)) AS DOUBLE)) AS v FROM orders WHERE orderkey <= 200",
+      "SELECT CASE WHEN round(totalprice) % 2 = 0 THEN totalprice ELSE NULL END AS v FROM orders WHERE orderkey <= 200")
+    // invalid function argument census (radix BETWEEN 2 AND 36 keeps)
+    assertVector(
+      "SELECT COUNT(TRY(to_base(100, CAST(round(totalprice/100) AS BIGINT)))) FROM orders",
+      "SELECT SUM(CASE WHEN CAST(round(totalprice/100) AS BIGINT) BETWEEN 2 AND 36 THEN 1 ELSE 0 END) FROM orders")
+    // TRY composed with lambdas (apply lowering) and JSON parse errors
+    assertVector(
+      "SELECT TRY(apply(5, x -> x + 1) / 0), apply(5, x -> x + TRY(1 / 0))",
+      "SELECT NULL, NULL")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
