@@ -281,6 +281,12 @@ object CompatAliases {
       case BinaryType => new Unhex(Sha1(c.head))
       case _ => Sha1(c.head)
     })
+    // grouping(a, b, ...) (reference GroupingOperationFunction.java):
+    // multi-argument form is a bitmask, leftmost argument most
+    // significant — exactly Spark's grouping_id; the 1-arg form stays
+    // Spark's own grouping()
+    fn(e, "grouping", c =>
+      if (c.length == 1) Grouping(c.head) else Cast(GroupingID(c), IntegerType))
     // TRY(expr) (reference TryFunction.java / TestTryFunction.java):
     // evaluate and return NULL on error — failed casts, division by
     // zero, invalid function arguments, arithmetic overflow. Spark's

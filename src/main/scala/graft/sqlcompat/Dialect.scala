@@ -1021,28 +1021,36 @@ object Dialect {
       require(depth == 0, s"unbalanced subscript in: $canon0")
       val inner = out.substring(idx + 1, i - 1)
       // operand: backward scan -- paren group (with optional function
-      // head) or identifier/literal-sentinel token
+      // head), identifier/literal-sentinel token, or a dereference
+      // chain hanging off a paren group (`CAST(..).bb[1]`), which
+      // extends through the group and its head
       var e = idx
       var s0 = e
-      if (e > 0 && out.charAt(e - 1) == ')') {
-        var d = 0
-        var k = e - 1
-        var done = false
-        while (k >= 0 && !done) {
-          val c = out.charAt(k)
-          if (c == ')') d += 1
-          else if (c == '(') { d -= 1; if (d == 0) done = true }
-          if (!done) k -= 1
+      var extend = true
+      while (extend) {
+        extend = false
+        if (s0 > 0 && out.charAt(s0 - 1) == ')') {
+          var d = 0
+          var k = s0 - 1
+          var done = false
+          while (k >= 0 && !done) {
+            val c = out.charAt(k)
+            if (c == ')') d += 1
+            else if (c == '(') { d -= 1; if (d == 0) done = true }
+            if (!done) k -= 1
+          }
+          s0 = k
+          while (s0 > 0 && (out.charAt(s0 - 1).isLetterOrDigit ||
+            out.charAt(s0 - 1) == '_')) s0 -= 1
+        } else {
+          while (s0 > 0 && {
+            val c = out.charAt(s0 - 1)
+            c.isLetterOrDigit || c == '_' || c == '.' ||
+              c == '\u0001' || c == '\u0002'
+          }) s0 -= 1
+          if (s0 > 0 && s0 < e && out.charAt(s0) == '.' &&
+            out.charAt(s0 - 1) == ')') extend = true
         }
-        s0 = k
-        while (s0 > 0 && (out.charAt(s0 - 1).isLetterOrDigit ||
-          out.charAt(s0 - 1) == '_')) s0 -= 1
-      } else {
-        while (s0 > 0 && {
-          val c = out.charAt(s0 - 1)
-          c.isLetterOrDigit || c == '_' || c == '.' ||
-            c == '\u0001' || c == '\u0002'
-        }) s0 -= 1
       }
       val operand = out.substring(s0, e)
       require(operand.nonEmpty, s"subscript with no operand in: $canon0")

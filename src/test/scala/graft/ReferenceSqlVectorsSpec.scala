@@ -3015,6 +3015,213 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT NULL, NULL")
   }
 
+  test("EXISTS / scalar-subquery vectors (AbstractTestEngineOnlyQueries testExistsSubquery, testScalarSubquery)") {
+    // nested EXISTS and nested scalar subqueries
+    assertVector("SELECT EXISTS(SELECT NOT EXISTS(SELECT EXISTS(SELECT 1)))", "SELECT true")
+    assertVector("SELECT (SELECT (SELECT (SELECT 1)))", "SELECT 1")
+    // aggregation subqueries always produce one row; WHERE false none
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem WHERE EXISTS(SELECT max(orderkey) FROM orders)",
+      "SELECT COUNT(*) FROM lineitem")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS(SELECT max(orderkey) FROM orders)",
+      "SELECT BIGINT '0'")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem WHERE EXISTS(SELECT orderkey FROM orders WHERE false)",
+      "SELECT BIGINT '0'")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS(SELECT orderkey FROM orders WHERE false)",
+      "SELECT COUNT(*) FROM lineitem")
+    // EXISTS composed with IN and equality
+    assertVector(
+      "SELECT (EXISTS(SELECT 1)) IN (false), (NOT EXISTS(SELECT 1)) IN (false), (EXISTS(SELECT 1)) IN (true, false), (EXISTS(SELECT 1 WHERE false)) IN (false), (NOT EXISTS(SELECT 1 WHERE false)) IN (false)",
+      "SELECT false, true, true, true, false")
+    assertVector(
+      "SELECT (EXISTS(SELECT 1)) = (EXISTS(SELECT 3)) WHERE NOT EXISTS(SELECT 1 WHERE false)",
+      "SELECT true")
+    assertVector(
+      "SELECT EXISTS(SELECT 1), EXISTS(SELECT 3), NOT EXISTS(SELECT 1), NOT EXISTS(SELECT 1 WHERE false)",
+      "SELECT true, true, false, true")
+    // scalar subquery + in-predicate / comparisons
+    assertVector(
+      "SELECT (SELECT 1) IN (1, 2, 3), (SELECT 1) IN (2, 3), (SELECT 1) = (SELECT 3), (SELECT 1) < (SELECT 3)",
+      "SELECT true, false, false, true")
+    // empty scalar subquery is NULL
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem WHERE orderkey = (SELECT orderkey FROM orders WHERE 0=1)",
+      "SELECT BIGINT '0'")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem WHERE (SELECT orderkey FROM orders WHERE 0=1) IS NULL",
+      "SELECT COUNT(*) FROM lineitem")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem WHERE (SELECT min(orderkey) FROM orders) < (SELECT max(orderkey) FROM orders)",
+      "SELECT COUNT(*) FROM lineitem")
+  }
+
+  test("correlated subquery vectors (AbstractTestEngineOnlyQueries testCorrelated*)") {
+    // correlated EXISTS in a projection over VALUES (literal expected)
+    assertVector(
+      "SELECT EXISTS(SELECT 1 FROM (VALUES 1, 1, 1, 2, 2, 3, 4) i(a) WHERE i.a < o.a AND i.a < 4) FROM (VALUES 0, 3, 3, 5) o(a)",
+      "VALUES false, true, true, true")
+    // correlated EXISTS in a filter, vs a hand-decorrelated equivalent
+    assertVector(
+      "SELECT count(*) FROM orders o WHERE EXISTS(SELECT 1 FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 1000 = 0)",
+      "SELECT count(*) FROM orders WHERE orderkey < (SELECT max(orderkey) FROM orders WHERE orderkey % 1000 = 0)")
+    // correlated EXISTS under GROUP BY / HAVING
+    assertVector(
+      "SELECT max(l.quantity), l.orderkey FROM lineitem l GROUP BY l.orderkey HAVING EXISTS (SELECT 1 WHERE l.orderkey > 0 OR l.orderkey != 3)",
+      "SELECT max(quantity), orderkey FROM lineitem GROUP BY orderkey")
+    // correlated scalar subqueries: projection, filter, two-level
+    assertVector(
+      "SELECT (SELECT n.nationkey) FROM nation n",
+      "SELECT nationkey FROM nation")
+    assertVector(
+      "SELECT (SELECT 2 * n.nationkey) FROM nation n",
+      "SELECT 2 * nationkey FROM nation")
+    assertVector(
+      "SELECT nationkey FROM nation n WHERE 2 = (SELECT 2 * n.nationkey)",
+      "SELECT 1")
+    // (the reference also allows a correlated scalar subquery in an
+    // aggregate's SELECT list when its key is grouped — Spark raises
+    // SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION there;
+    // genuine engine divergence, not translated around)
+    // (two-level outer references — WHERE 2 = (SELECT (SELECT
+    // 2 * n.nationkey)) — exceed Spark's one-level correlation
+    // support; genuine engine divergence)
+    // correlated scalar with redundant LIMIT in the subquery
+    assertVector(
+      "SELECT (SELECT count(*) FROM (VALUES (7,1)) t(orderkey, value) WHERE orderkey = corr_key LIMIT 1) FROM (values 7) t(corr_key)",
+      "SELECT BIGINT '1'")
+    // correlated IN in a filter context (null-free keys), vs self-join
+    assertVector(
+      "SELECT orderkey FROM orders o WHERE orderpriority IN (SELECT orderpriority FROM orders s WHERE s.custkey = o.custkey AND s.orderkey < o.orderkey)",
+      "SELECT DISTINCT o.orderkey FROM orders o JOIN orders s ON s.custkey = o.custkey AND s.orderkey < o.orderkey AND s.orderpriority = o.orderpriority")
+  }
+
+  test("misc aggregate vectors (testVariance, testStdDev, testMaxMinStringWithNulls, testArrayAgg, testMaxByN, testGrouping)") {
+    // var_samp / stddev_samp against the algebraic identity (distinct
+    // numeric path), and the 1-row / 0-row NULL contract
+    assertVector(
+      "SELECT round(VAR_SAMP(custkey), 6), round(STDDEV_SAMP(custkey), 6) FROM orders",
+      "SELECT round((sum(CAST(custkey AS DOUBLE) * custkey) - sum(CAST(custkey AS DOUBLE)) * sum(CAST(custkey AS DOUBLE)) / count(*)) / (count(*) - 1), 6), round(sqrt((sum(CAST(custkey AS DOUBLE) * custkey) - sum(CAST(custkey AS DOUBLE)) * sum(CAST(custkey AS DOUBLE)) / count(*)) / (count(*) - 1)), 6) FROM orders")
+    assertVector(
+      "SELECT VAR_SAMP(custkey), STDDEV_SAMP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 2) T",
+      "SELECT (max(CAST(custkey AS DOUBLE)) - min(custkey)) * (max(CAST(custkey AS DOUBLE)) - min(custkey)) / 2, sqrt((max(CAST(custkey AS DOUBLE)) - min(custkey)) * (max(CAST(custkey AS DOUBLE)) - min(custkey)) / 2) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 2) T")
+    assertVector(
+      "SELECT VAR_SAMP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 1) T",
+      "SELECT CAST(NULL AS DOUBLE)")
+    assertVector(
+      "SELECT VAR_SAMP(custkey) FROM (SELECT custkey FROM orders LIMIT 0) T",
+      "SELECT CAST(NULL AS DOUBLE)")
+    // max/min skip NULLs (NULLIF vs FILTER formulations)
+    assertVector(
+      "SELECT custkey, MAX(NULLIF(orderstatus, 'O')), MIN(NULLIF(orderstatus, 'O')) FROM orders GROUP BY custkey",
+      "SELECT custkey, MAX(orderstatus) FILTER (WHERE orderstatus <> 'O'), MIN(orderstatus) FILTER (WHERE orderstatus <> 'O') FROM orders GROUP BY custkey")
+    // array_agg cardinality == count
+    assertVector(
+      "SELECT orderpriority, cardinality(array_agg(orderkey)) FROM orders GROUP BY orderpriority",
+      "SELECT orderpriority, count(*) FROM orders GROUP BY orderpriority")
+    // max_by N + UNNEST == ORDER BY DESC LIMIT N
+    assertVector(
+      "SELECT y FROM (SELECT MAX_BY(orderkey, totalprice, 2) mx FROM orders) CROSS JOIN UNNEST(mx) u(y)",
+      "SELECT orderkey FROM orders ORDER BY totalprice DESC LIMIT 2")
+    // grouping() bitmasks over grouping sets (testGrouping)
+    assertVector(
+      "SELECT a, b AS t, sum(c), grouping(a, b) + grouping(a) FROM (VALUES ('h', 'j', 11), ('k', 'l', 7)) AS t (a, b, c) GROUP BY GROUPING SETS ( (a), (b))",
+      "VALUES (NULL, 'j', 11, 3), (NULL, 'l', 7, 3), ('h', NULL, 11, 1), ('k', NULL, 7, 1)")
+    assertVector(
+      "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)",
+      "VALUES ('h', 11, 0), ('k', 7, 0)")
+    assertVector(
+      "SELECT a, b, sum(c), grouping(a, b) FROM (VALUES ('h', 'j', 11), ('k', 'l', 7) ) AS t (a, b, c) GROUP BY GROUPING SETS ( (a), (b)) HAVING grouping(a, b) > 1",
+      "VALUES (NULL, 'j', 11, 2), (NULL, 'l', 7, 2)")
+    // (the reference also allows grouping() under a plain GROUP BY —
+    // Spark restricts it to GROUPING SETS/CUBE/ROLLUP, so the
+    // single-set spelling carries that vector)
+    assertVector(
+      "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))",
+      "VALUES (1, 0, 0)")
+  }
+
+  test("UNION family vectors (testUnion*, testChainedUnionsWithOrder, testUnionRequiringCoercion, testConcatOperator)") {
+    assertVector(
+      "SELECT 123 UNION DISTINCT SELECT 123 UNION ALL SELECT 123",
+      "VALUES 123, 123")
+    assertVector("SELECT NULL UNION SELECT NULL", "SELECT NULL")
+    assertVector(
+      "SELECT orderkey FROM orders UNION SELECT custkey FROM orders",
+      "SELECT DISTINCT k FROM (SELECT orderkey AS k FROM orders UNION ALL SELECT custkey FROM orders)")
+    assertVector(
+      "SELECT a[1] FROM (SELECT ARRAY[1] UNION ALL SELECT ARRAY[1]) t(a) LIMIT 1",
+      "SELECT 1")
+    assertVector(
+      "SELECT * FROM (SELECT regionkey FROM nation UNION ALL SELECT nationkey FROM nation) t(a) ORDER BY a LIMIT 1",
+      "SELECT 0")
+    // implicit coercion across branches (integer vs decimal)
+    assertVector("VALUES 1 UNION ALL VALUES 1.0, 2", "VALUES 1.0, 1.0, 2.0")
+    assertVector(
+      "SELECT * FROM (VALUES 1) UNION SELECT * FROM (VALUES 1.0, 2)",
+      "VALUES 1.0, 2.0")
+    assertVector(
+      "SELECT * FROM (VALUES (NULL, NULL)) UNION ALL SELECT * FROM (VALUES (NULL, 1.0))",
+      "VALUES (NULL, NULL), (NULL, 1.0)")
+    // type-only coercion + predicate pushdown through union (prestodb
+    // issue 7496 regression shape)
+    assertVector(
+      "SELECT a FROM ((SELECT orderstatus AS a FROM orders LIMIT 1) UNION ALL SELECT 'aaaa' AS a) WHERE a = 'aaa'",
+      "SELECT 'x' WHERE false")
+    assertVector("SELECT '12' || '34'", "SELECT '1234'")
+  }
+
+  test("cast / row-cast / dereference vectors (testCast, testRowCast, testDereference*, testCaseWithSupertypeCast, testDuplicateFields)") {
+    // try_cast passthrough / null-on-failure (testCast)
+    assertVector(
+      "SELECT CAST('1' AS BIGINT), try_cast('1' AS BIGINT), try_cast('foo' AS BIGINT), coalesce(try_cast('foo' AS BIGINT), 456)",
+      "SELECT BIGINT '1', BIGINT '1', NULL, BIGINT '456'")
+    assertVector(
+      "SELECT try_cast(orderpriority AS BIGINT) FROM orders LIMIT 5",
+      "SELECT CAST(NULL AS BIGINT) FROM orders LIMIT 5")
+    assertVector(
+      "SELECT try_cast(try_cast(orderkey AS VARCHAR) AS BIGINT) FROM orders",
+      "SELECT orderkey FROM orders")
+    assertVector(
+      "SELECT CAST(x AS BIGINT), try_cast(x AS BIGINT) FROM (VALUES 1, 2, 3, NULL) t (x)",
+      "VALUES (BIGINT '1', BIGINT '1'), (2, 2), (3, 3), (NULL, NULL)")
+    assertVector(
+      "SELECT CAST(orderkey AS BOOLEAN) FROM orders",
+      "SELECT orderkey <> 0 FROM orders")
+    // row casts with named fields + dereference (testRowCast)
+    assertVector(
+      "SELECT CAST(row(1, 2) AS row(aa bigint, bb boolean)).aa, CAST(row(1, 2) AS row(aa bigint, bb boolean)).bb, CAST(row(1, 2) AS row(aa bigint, bb varchar)).bb",
+      "SELECT BIGINT '1', true, '2'")
+    assertVector(
+      "SELECT CAST(row(true, array[0, 2]) AS row(aa boolean, bb array(boolean))).bb[1]",
+      "SELECT false")
+    assertVector(
+      "SELECT CAST(row(0.1, array[0, 2], row(1, 0.5)) AS row(aa bigint, bb array(boolean), cc row(dd varchar, ee varchar))).cc.ee",
+      "SELECT '0.5'")
+    // CASE supertype coercion and no-ELSE NULL (testCaseWithSupertypeCast)
+    assertVector(
+      "SELECT CASE x WHEN 1 THEN CAST(1 AS decimal(4,1)) WHEN 2 THEN CAST(1 AS decimal(4,2)) ELSE CAST(1 AS decimal(4,3)) END FROM (values 1) t(x)",
+      "SELECT 1.000")
+    assertVector(
+      "SELECT orderkey, CASE orderstatus WHEN 'O' THEN 'a' END FROM orders",
+      "SELECT orderkey, IF(orderstatus = 'O', 'a', NULL) FROM orders")
+    // qualified wildcards + dereference under GROUP BY (testDereferenceInSubquery)
+    assertVector(
+      "SELECT t2.*, max(t1.b) AS max_b FROM (VALUES (1, 'a'),  (2, 'b'), (1, 'c'), (3, 'd')) t1(a, b) INNER JOIN (VALUES 1, 2, 3, 4) t2(a) ON t1.a = t2.a GROUP BY t2.a",
+      "SELECT * FROM VALUES (1, 'c'), (2, 'b'), (3, 'd')")
+    assertVector(
+      "SELECT t2.*, max(t1.b1) AS max_b1 FROM (VALUES (1, 'a'),  (2, 'b'), (1, 'c'), (3, 'd')) t1(a1, b1) INNER JOIN (VALUES (1, 11, 111), (2, 22, 222), (3, 33, 333), (4, 44, 444)) t2(a2, b2, c2) ON t1.a1 = t2.a2 GROUP BY t2.a2, t2.b2, t2.c2",
+      "SELECT * FROM VALUES (1, 11, 111, 'c'), (2, 22, 222, 'b'), (3, 33, 333, 'd')")
+    assertVector(
+      "SELECT orders.custkey, orders.orderkey FROM orders WHERE orders.custkey > orders.orderkey AND orders.custkey < 200.3",
+      "SELECT custkey, orderkey FROM orders WHERE custkey > orderkey AND custkey < 200.3")
+    assertVector(
+      "SELECT * FROM (SELECT orderkey, orderkey FROM orders)",
+      "SELECT orderkey, orderkey FROM orders")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
