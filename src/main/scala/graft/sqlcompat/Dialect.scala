@@ -919,6 +919,96 @@ object Dialect {
   /** Two-argument `IF(cond, value)` (reference `SqlBase.g4` IF /
     * `IfCodeGenerator` — absent ELSE is NULL); Spark's `if` is
     * strictly ternary, so pad the NULL explicitly. */
+  /** SQL/JSON 2016 constructors (grammar `SqlBase.g4` jsonObject /
+    * jsonArray; reference `sql/analyzer/ExpressionAnalyzer.java` JSON
+    * constructor handling): `json_object(k : v, …)` (also the
+    * standard `KEY k VALUE v` spelling) and `json_array(v, …)`, with
+    * `NULL ON NULL` / `ABSENT ON NULL`, per-value `FORMAT JSON` (raw
+    * JSON splice), and `RETURNING type [FORMAT JSON]`. Lowered onto
+    * JSON-fragment concatenation: each key/value renders through
+    * `to_json(array(x))` with the outer brackets stripped — Spark's
+    * JSON writer does the quoting, escaping, and number rendering —
+    * and FORMAT JSON values splice verbatim. Defaults per SQL:2016
+    * §6.32/6.33: object NULL ON NULL, array ABSENT ON NULL. Runs on
+    * canonical text (string literals are sentinels, so ':' inside
+    * them can't mis-split a pair). */
+  private def jsonConstructorPass(canon0: String): String = {
+    val re = "(?i)\\bjson_(object|array)\\s*\\(".r
+    var out = canon0
+    var m = re.findFirstMatchIn(out)
+    var guard = 0
+    def frag(x: String): String =
+      s"substr(to_json(array($x)), 2, length(to_json(array($x))) - 2)"
+    // NOT String.trim: it strips every char <= U+0020, which eats the
+    // \u0001/\u0002 literal sentinels a bare string-literal argument
+    // is made of
+    def tws(x: String): String =
+      x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val isObject = m.get.group(1).equalsIgnoreCase("object")
+      val open = out.indexOf('(', m.get.start)
+      val close = closeParen(out, open)
+      var body = tws(out.substring(open + 1, close))
+      var returning: Option[String] = None
+      val retRe =
+        "(?is)\\s+RETURNING\\s+([A-Za-z_]+(\\s*\\(\\s*\\d+\\s*\\))?)(\\s+FORMAT\\s+JSON)?\\s*$".r
+      retRe.findFirstMatchIn(body).foreach { r =>
+        returning = Some(r.group(1)); body = body.substring(0, r.start) }
+      var absent = !isObject
+      val onNullRe = "(?is)\\s+(NULL|ABSENT)\\s+ON\\s+NULL\\s*$".r
+      onNullRe.findFirstMatchIn(body).foreach { r =>
+        absent = r.group(1).equalsIgnoreCase("ABSENT")
+        body = body.substring(0, r.start) }
+      val rawArgs = if (tws(body).isEmpty) Seq.empty[String]
+        else MatchRecognizeSql.splitTopLevel(body, ',').map(tws)
+      val fmtRe = "(?is)\\s+FORMAT\\s+JSON\\s*$".r
+      val items = rawArgs.map { a0 =>
+        var a = a0
+        var raw = false
+        fmtRe.findFirstMatchIn(a).foreach { r =>
+          raw = true; a = a.substring(0, r.start) }
+        (tws(a), raw)
+      }
+      val rendered =
+        if (isObject) {
+          val kvRe = "(?is)^KEY\\s+(.*?)\\s+VALUE\\s+(.*)$".r
+          val pairs = items.map { case (kv, raw) =>
+            val (k, v) = kvRe.findFirstMatchIn(kv) match {
+              case Some(r) => (tws(r.group(1)), tws(r.group(2)))
+              case None =>
+                val parts = MatchRecognizeSql.splitTopLevel(kv, ':')
+                require(parts.length == 2,
+                  s"json_object pair needs `k : v` or KEY k VALUE v, got: $kv")
+                (tws(parts(0)), tws(parts(1)))
+            }
+            val vf = if (raw) s"($v)" else frag(v)
+            if (absent)
+              s"CASE WHEN ($v) IS NULL THEN NULL ELSE concat(${frag(k)}, ':', $vf) END"
+            else
+              s"concat(${frag(k)}, ':', CASE WHEN ($v) IS NULL THEN 'null' ELSE $vf END)"
+          }
+          if (pairs.isEmpty) "'{}'"
+          else s"concat('{', concat_ws(',', ${pairs.mkString(", ")}), '}')"
+        } else {
+          val elems = items.map { case (v, raw) =>
+            val vf = if (raw) s"($v)" else frag(v)
+            if (absent) s"CASE WHEN ($v) IS NULL THEN NULL ELSE $vf END"
+            else s"CASE WHEN ($v) IS NULL THEN 'null' ELSE $vf END"
+          }
+          if (elems.isEmpty) "'[]'"
+          else s"concat('[', concat_ws(',', ${elems.mkString(", ")}), ']')"
+        }
+      val full = returning match {
+        case Some(t) => s"CAST($rendered AS $t)"
+        case None => rendered
+      }
+      out = out.substring(0, m.get.start) + full + out.substring(close + 1)
+      m = re.findFirstMatchIn(out)
+    }
+    out
+  }
+
   private def ifTwoArgPass(canon0: String): String = {
     val re = "(?i)\\bif\\s*\\(".r
     var out = canon0
@@ -988,7 +1078,11 @@ object Dialect {
     }
 
     val litRe = "\u0001(\\d+)\u0002".r
-    litRe.replaceAllIn(subscriptPass(sb.toString),
+    // jsonConstructorPass runs LAST (after the bracket scan and
+    // subscript lowering): it emits '[' / ']' STRING LITERALS, which
+    // the subscript pass would otherwise read as raw subscript
+    // brackets
+    litRe.replaceAllIn(jsonConstructorPass(subscriptPass(sb.toString)),
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
   }
 

@@ -3222,6 +3222,44 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT orderkey, orderkey FROM orders")
   }
 
+  test("json_object / json_array constructor vectors (testJsonObjectFunction, testJsonArrayFunction)") {
+    assertVector(
+      "SELECT json_object(name : regionkey) result FROM region",
+      "VALUES ('{\"AFRICA\":0}'), ('{\"AMERICA\":1}'), ('{\"ASIA\":2}'), ('{\"EUROPE\":3}'), ('{\"MIDDLE EAST\":4}')")
+    assertVector(
+      "SELECT json_object(name : IF(regionkey < 3, regionkey, null) NULL ON NULL) result FROM region",
+      "VALUES ('{\"AFRICA\":0}'), ('{\"AMERICA\":1}'), ('{\"ASIA\":2}'), ('{\"EUROPE\":null}'), ('{\"MIDDLE EAST\":null}')")
+    assertVector(
+      "SELECT json_object(name : IF(regionkey < 3, regionkey, null) ABSENT ON NULL) result FROM region",
+      "VALUES ('{\"AFRICA\":0}'), ('{\"AMERICA\":1}'), ('{\"ASIA\":2}'), ('{}'), ('{}')")
+    assertVector(
+      "SELECT json_object(name : format('\"%s\"', lower(name)) FORMAT JSON) result FROM region",
+      "VALUES ('{\"AFRICA\":\"africa\"}'), ('{\"AMERICA\":\"america\"}'), ('{\"ASIA\":\"asia\"}'), ('{\"EUROPE\":\"europe\"}'), ('{\"MIDDLE EAST\":\"middle east\"}')")
+    assertVector(
+      "SELECT json_object(name : regionkey RETURNING varchar(100) FORMAT JSON) result FROM region",
+      "VALUES ('{\"AFRICA\":0}'), ('{\"AMERICA\":1}'), ('{\"ASIA\":2}'), ('{\"EUROPE\":3}'), ('{\"MIDDLE EAST\":4}')")
+    // the standard KEY ... VALUE ... spelling and the empty object
+    assertVector(
+      "SELECT json_object(KEY 'a' VALUE 1), json_object()",
+      "SELECT '{\"a\":1}', '{}'")
+    assertVector(
+      "SELECT json_array(name, regionkey) result FROM region",
+      "VALUES ('[\"AFRICA\",0]'), ('[\"AMERICA\",1]'), ('[\"ASIA\",2]'), ('[\"EUROPE\",3]'), ('[\"MIDDLE EAST\",4]')")
+    assertVector(
+      "SELECT json_array(name, IF(regionkey < 3, regionkey, null) NULL ON NULL) result FROM region",
+      "VALUES ('[\"AFRICA\",0]'), ('[\"AMERICA\",1]'), ('[\"ASIA\",2]'), ('[\"EUROPE\",null]'), ('[\"MIDDLE EAST\",null]')")
+    assertVector(
+      "SELECT json_array(name, IF(regionkey < 3, regionkey, null) ABSENT ON NULL) result FROM region",
+      "VALUES ('[\"AFRICA\",0]'), ('[\"AMERICA\",1]'), ('[\"ASIA\",2]'), ('[\"EUROPE\"]'), ('[\"MIDDLE EAST\"]')")
+    assertVector(
+      "SELECT json_array(name, format('\"%s\"', lower(name)) FORMAT JSON) result FROM region",
+      "VALUES ('[\"AFRICA\",\"africa\"]'), ('[\"AMERICA\",\"america\"]'), ('[\"ASIA\",\"asia\"]'), ('[\"EUROPE\",\"europe\"]'), ('[\"MIDDLE EAST\",\"middle east\"]')")
+    assertVector(
+      "SELECT json_array(name, regionkey RETURNING varchar(100) FORMAT JSON) result FROM region",
+      "VALUES ('[\"AFRICA\",0]'), ('[\"AMERICA\",1]'), ('[\"ASIA\",2]'), ('[\"EUROPE\",3]'), ('[\"MIDDLE EAST\",4]')")
+    assertVector("SELECT json_array()", "SELECT '[]'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
