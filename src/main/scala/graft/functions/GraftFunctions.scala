@@ -263,6 +263,23 @@ object GraftFunctions {
       (j: String, path: String) => jsonValue(j, path))
     spark.udf.register("json_query",
       (j: String, path: String) => jsonQuery(j, path))
+    // SQL/JSON 2016 clause forms (PASSING / DEFAULT ... ON EMPTY|ERROR
+    // / wrappers): status-struct variants the dialect's
+    // sqlJsonClausePass lowers onto — status 0 ok, 1 empty, 2 error;
+    // the ON EMPTY / ON ERROR behaviors become CASE arms over status,
+    // so defaults stay arbitrary SQL expressions. `vars` carries the
+    // PASSING bindings as JSON-fragment text; a NULL map value is the
+    // NULL FORMAT JSON empty-sequence binding.
+    spark.udf.register("graft_json_value_x",
+      (j: String, path: String, vars: Map[String, String]) =>
+        jsonValueX(j, path, vars))
+    spark.udf.register("graft_json_query_x",
+      (j: String, path: String, vars: Map[String, String],
+       wrapper: Int, omitQuotes: Boolean) =>
+        jsonQueryX(j, path, vars, wrapper, omitQuotes))
+    spark.udf.register("graft_json_exists_x",
+      (j: String, path: String, vars: Map[String, String]) =>
+        jsonExistsX(j, path, vars))
     DateTimeCompat.register(spark)
   }
 
@@ -674,6 +691,95 @@ object GraftFunctions {
     }
   }
 
+  /** Shared PASSING-aware path run: parse bindings, evaluate, map
+    * outcomes to the status codes of [[SqlJsonStr]] (0 ok / 1 empty /
+    * 2 error). An unparsable input document and an unparsable FORMAT
+    * JSON binding are both evaluation errors, like the reference's
+    * JsonInputConversionError. */
+  private def jsonPathSeqX(j: String, path: String,
+      vars: Map[String, String])
+      : Either[Int, Vector[com.fasterxml.jackson.databind.JsonNode]] = {
+    val parsed = JsonPathEval.parse(path) // UnsupportedPathError escapes
+    val doc =
+      try jsonMapper.readTree(j)
+      catch { case _: Exception => return Left(2) }
+    if (doc == null) return Left(2)
+    val bound =
+      try vars.map { case (k, v) =>
+        k -> (if (v == null) None else Some(jsonMapper.readTree(v)))
+      }
+      catch { case _: Exception => return Left(2) }
+    try Right(JsonPathEval.evaluate(doc, parsed, bound))
+    catch { case _: JsonPathEval.PathEvalError => Left(2) }
+  }
+
+  /** json_value with clause support: singleton scalar as text; JSON
+    * null → SQL null (status 0). Containers and multi-item results
+    * are errors per the standard. */
+  def jsonValueX(j: String, path: String,
+      vars: Map[String, String]): SqlJsonStr = {
+    // NULL input -> NULL result (testNullInput), NOT the ON EMPTY path
+    if (j == null || path == null) return SqlJsonStr(0, null)
+    jsonPathSeqX(j, path, vars) match {
+      case Left(st) => SqlJsonStr(st, null)
+      case Right(seq) =>
+        if (seq.isEmpty) SqlJsonStr(1, null)
+        else if (seq.length > 1) SqlJsonStr(2, null)
+        else {
+          val node = seq.head
+          if (node.isContainerNode) SqlJsonStr(2, null)
+          else if (node.isNull) SqlJsonStr(0, null)
+          else SqlJsonStr(0, node.asText())
+        }
+    }
+  }
+
+  /** json_query with clause support. `wrapper`: 0 WITHOUT (multi-item
+    * → error), 1 WITH UNCONDITIONAL, 2 WITH CONDITIONAL (wrap unless
+    * exactly one array/object). `omitQuotes` renders a lone string
+    * scalar unquoted. JSON null renders as the text `null` (standard
+    * semantics — the plain 2-arg wrapper keeps its oracle-pinned NULL
+    * instead). */
+  def jsonQueryX(j: String, path: String, vars: Map[String, String],
+      wrapper: Int, omitQuotes: Boolean): SqlJsonStr = {
+    // NULL input -> NULL result (testNullInput), NOT the ON EMPTY path
+    if (j == null || path == null) return SqlJsonStr(0, null)
+    jsonPathSeqX(j, path, vars) match {
+      case Left(st) => SqlJsonStr(st, null)
+      case Right(seq) =>
+        if (seq.isEmpty) SqlJsonStr(1, null)
+        else {
+          val wrap = wrapper match {
+            case 1 => true
+            case 2 => seq.length != 1 || !seq.head.isContainerNode
+            case _ => false
+          }
+          if (wrap) {
+            val arr = jsonMapper.createArrayNode()
+            seq.foreach(arr.add)
+            SqlJsonStr(0, arr.toString)
+          }
+          else if (seq.length > 1) SqlJsonStr(2, null)
+          else {
+            val node = seq.head
+            if (omitQuotes && node.isTextual) SqlJsonStr(0, node.asText())
+            else SqlJsonStr(0, node.toString)
+          }
+        }
+    }
+  }
+
+  /** json_exists with clause support: status 2 carries evaluation
+    * errors out to the ON ERROR CASE arm (default FALSE). */
+  def jsonExistsX(j: String, path: String,
+      vars: Map[String, String]): SqlJsonBool = {
+    if (j == null || path == null) return SqlJsonBool(0, null)
+    jsonPathSeqX(j, path, vars) match {
+      case Left(st) => SqlJsonBool(st, null)
+      case Right(seq) => SqlJsonBool(0, Boolean.box(seq.nonEmpty))
+    }
+  }
+
   /** is_json_scalar (reference JsonFunctions.java): valid JSON whose
     * top-level value is not an object/array. */
   def isJsonScalar(j: String): java.lang.Boolean = {
@@ -739,3 +845,9 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
 }
+
+/** Status-struct results for the SQL/JSON clause forms (top-level for
+  * Spark's UDF encoder): status 0 = ok, 1 = empty sequence, 2 =
+  * evaluation error. */
+case class SqlJsonStr(status: Int, value: String)
+case class SqlJsonBool(status: Int, value: java.lang.Boolean)

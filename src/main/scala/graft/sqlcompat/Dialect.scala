@@ -1082,7 +1082,7 @@ object Dialect {
     // subscript lowering): it emits '[' / ']' STRING LITERALS, which
     // the subscript pass would otherwise read as raw subscript
     // brackets
-    litRe.replaceAllIn(jsonConstructorPass(subscriptPass(sb.toString)),
+    litRe.replaceAllIn(jsonConstructorPass(SqlJsonClauses.pass(subscriptPass(sb.toString))),
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
   }
 

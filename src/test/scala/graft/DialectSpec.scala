@@ -176,11 +176,12 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no RETURNING → untouched
     assert(Dialect.translate("SELECT json_value(doc, '$.a') FROM t")
       == "SELECT json_value(doc, '$.a') FROM t")
-    // ON EMPTY / ON ERROR clauses deliberately pass through (Spark
-    // rejects them loudly rather than silently mistranslating)
-    assert(Dialect.translate(
+    // ON EMPTY / ON ERROR clauses lower onto the status-struct UDF
+    // (SqlJsonClauses, r14) with the DEFAULT as a CASE arm
+    val lowered = Dialect.translate(
       "SELECT json_value(doc, '$.a' DEFAULT 0 ON EMPTY) FROM t")
-      == "SELECT json_value(doc, '$.a' DEFAULT 0 ON EMPTY) FROM t")
+    assert(lowered.contains("graft_json_value_x(doc, '$.a', map())"))
+    assert(lowered.contains("status = 1 THEN (0)"))
   }
 
   test("SQL/JSON functions execute end to end") {

@@ -168,7 +168,12 @@ class JsonPathSpec extends AnyFunSuite {
   }
 
   test("unsupported constructs raise loudly, never NULL") {
-    assertThrows[UnsupportedPathError](JsonPathEval.parse("lax $foo.bar"))
+    // named variables parse (PASSING surface, r14) — but referencing
+    // one in a no-PASSING call form stays a LOUD error
+    val p = JsonPathEval.parse("lax $foo.bar")
+    assertThrows[UnsupportedPathError](
+      JsonPathEval.evaluate(
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree("{}"), p))
     assertThrows[UnsupportedPathError](JsonPathEval.parse("lax $.a.datetime()"))
     assertThrows[UnsupportedPathError](JsonPathEval.parse("lax $.a !!"))
     assertThrows[UnsupportedPathError](JsonPathEval.parse("lax $.a.unknown_method()"))

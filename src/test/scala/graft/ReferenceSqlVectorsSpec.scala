@@ -3260,6 +3260,105 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertVector("SELECT json_array()", "SELECT '[]'")
   }
 
+  test("SQL/JSON clause vectors: PASSING, defaults, RETURNING (testPassingClause, testJsonValueDefaults, testJsonValueDefaultNull, testNullInput, testSubqueryInJsonFunctions)") {
+    // PASSING: SQL values, named variables in filters and arithmetic
+    assertVector(
+      "SELECT json_exists(json_input, 'strict $?(@ > $low && @ < $high)' PASSING 0e0 AS \"low\", 4.000 AS \"high\") result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES false, true, true, true, false")
+    assertVector(
+      "SELECT json_query(json_input, 'strict $?($bool == true || $name starts with \"A\")' PASSING regionkey = 4 AS \"bool\", name AS \"name\") result FROM (SELECT format('%s', regionkey), regionkey, name FROM region) t(json_input, regionkey, name)",
+      "VALUES '0', '1', '2', NULL, '4'")
+    assertVector(
+      "SELECT json_value(json_input, 'strict $name' PASSING name AS \"name\") result FROM (SELECT format('%s', regionkey), name FROM region) t(json_input, name)",
+      "VALUES 'AFRICA', 'AMERICA', 'ASIA', 'EUROPE', 'MIDDLE EAST'")
+    // null as SQL parameter → JSON null; null FORMAT JSON → empty sequence
+    assertVector(
+      "SELECT json_query(json_input, 'strict $var' PASSING null AS \"var\") result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES 'null', 'null', 'null', 'null', 'null'")
+    assertVector(
+      "SELECT json_exists(json_input, 'strict $var' PASSING null FORMAT JSON AS \"var\") result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES false, false, false, false, false")
+    // FORMAT JSON parameter + the context item as array subscript
+    assertVector(
+      "SELECT json_value(json_input, 'strict $var[$]' PASSING '[\"a\", \"b\", \"c\", \"d\", \"e\"]' FORMAT JSON AS \"var\") result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES 'a', 'b', 'c', 'd', 'e'")
+    // DEFAULT ... ON EMPTY / ON ERROR (strict-mode filter → empty;
+    // arithmetic over empty / by zero → error)
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3)' DEFAULT 'was empty' ON EMPTY DEFAULT 'was error' ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES '0', '1', '2', 'was empty', 'was empty'")
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3) + 10' DEFAULT 'was empty' ON EMPTY DEFAULT 'was error' ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES '10', '11', '12', 'was error', 'was error'")
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3) / 0' DEFAULT 'was empty' ON EMPTY DEFAULT 'was error' ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES 'was error', 'was error', 'was error', 'was error', 'was error'")
+    // RETURNING types with typed defaults
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3)' RETURNING bigint DEFAULT -2 ON EMPTY DEFAULT -1 ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES BIGINT '0', 1, 2, -2, -2")
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3) + 10' RETURNING bigint DEFAULT -2 ON EMPTY DEFAULT -1 ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES BIGINT '10', 11, 12, -1, -1")
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3)' RETURNING double DEFAULT -2 ON EMPTY DEFAULT -1 ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES 0e0, 1e0, 2e0, -2e0, -2e0")
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3)' RETURNING boolean DEFAULT false ON EMPTY DEFAULT false ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES false, true, true, false, false")
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3)' RETURNING decimal(30, 20) DEFAULT -2 ON EMPTY DEFAULT -1 ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES cast(0 AS decimal(30, 20)), 1, 2, -2, -2")
+    // DEFAULT null keeps the declared type
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3)' DEFAULT null ON EMPTY DEFAULT null ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES '0', '1', '2', NULL, NULL")
+    assertVector(
+      "SELECT json_value(json_input, 'strict $?(@ < 3) + 10' RETURNING bigint DEFAULT null ON EMPTY DEFAULT null ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES BIGINT '10', 11, 12, NULL, NULL")
+    // NULL input → NULL result, not the ON EMPTY behavior
+    assertVector(
+      "SELECT json_exists(json_input, 'strict $') result FROM (SELECT null FROM region) t(json_input)",
+      "VALUES cast(null AS boolean), null, null, null, null")
+    assertVector(
+      "SELECT json_value(json_input, 'strict $' DEFAULT 'X' ON EMPTY) result FROM (SELECT null FROM region) t(json_input)",
+      "VALUES cast(null AS varchar), null, null, null, null")
+    // subqueries as input, parameter, and defaults
+    assertVector(
+      "SELECT json_value((SELECT json_input), 'strict $?(@ < $var)' PASSING (SELECT 3) AS \"var\" DEFAULT (SELECT 'x') ON EMPTY DEFAULT (SELECT 'y') ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES 'x', '0', '1', '2', 'x'")
+    // json_query output as a PASSING parameter inherits FORMAT JSON
+    assertVector(
+      "SELECT json_value('null', 'strict $array[0]' PASSING json_query(json_input, 'strict $') AS \"array\") result FROM (SELECT format('[\"%s\", %s, %s]', name, regionkey, regionkey > 2) FROM region) t(json_input)",
+      "VALUES 'AFRICA', 'AMERICA', 'ASIA', 'EUROPE', 'MIDDLE EAST'")
+  }
+
+  test("json_query wrapper / quotes / empty-behavior vectors (testJsonQueryFunction, sql/query/TestJsonQueryFunction)") {
+    // default WITHOUT WRAPPER: multi-item → error → NULL ON ERROR
+    assertVector(
+      "SELECT json_query('[\"a\", \"b\", \"c\"]', 'lax $[0 to 1]' NULL ON ERROR)",
+      "SELECT cast(null AS varchar)")
+    // conditional wrapper: wrap unless a singleton array/object
+    assertVector(
+      "SELECT json_query('[\"a\", \"b\", \"c\"]', 'lax $[0 to 1]' WITH CONDITIONAL ARRAY WRAPPER), json_query('[\"a\", \"b\", \"c\"]', 'lax $[0]' WITH CONDITIONAL ARRAY WRAPPER), json_query('[\"a\", \"b\", \"c\"]', 'lax $' WITH CONDITIONAL ARRAY WRAPPER), json_query('{\"key\" : 1}', 'lax $' WITH CONDITIONAL ARRAY WRAPPER)",
+      "SELECT '[\"a\",\"b\"]', '[\"a\"]', '[\"a\",\"b\",\"c\"]', '{\"key\":1}'")
+    // unconditional wrapper: always wrap
+    assertVector(
+      "SELECT json_query('[\"a\", \"b\", \"c\"]', 'lax $[0 to 1]' WITH UNCONDITIONAL ARRAY WRAPPER), json_query('[\"a\", \"b\", \"c\"]', 'lax $[0]' WITH UNCONDITIONAL ARRAY WRAPPER), json_query('[\"a\", \"b\", \"c\"]', 'lax $' WITH UNCONDITIONAL ARRAY WRAPPER), json_query('{\"key\" : 1}', 'lax $' WITH UNCONDITIONAL ARRAY WRAPPER)",
+      "SELECT '[\"a\",\"b\"]', '[\"a\"]', '[[\"a\",\"b\",\"c\"]]', '[{\"key\":1}]'")
+    // KEEP / OMIT QUOTES on a scalar string; OMIT leaves nested alone
+    assertVector(
+      "SELECT json_query('[\"a\"]', 'lax \"some scalar text value\"'), json_query('[\"a\"]', 'lax \"some scalar text value\"' KEEP QUOTES ON SCALAR STRING), json_query('[\"a\"]', 'lax \"some scalar text value\"' OMIT QUOTES ON SCALAR STRING), json_query('[\"a\", \"b\", \"c\"]', 'lax $' OMIT QUOTES ON SCALAR STRING)",
+      "SELECT '\"some scalar text value\"', '\"some scalar text value\"', 'some scalar text value', '[\"a\",\"b\",\"c\"]'")
+    // EMPTY ARRAY / EMPTY OBJECT behaviors over a table
+    assertVector(
+      "SELECT json_query(json_input, 'strict $?(@ < 3)' EMPTY ARRAY ON EMPTY EMPTY OBJECT ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES '0', '1', '2', '[]', '[]'")
+    assertVector(
+      "SELECT json_query(json_input, 'strict $?(@ < 3) / $' EMPTY ARRAY ON EMPTY EMPTY OBJECT ON ERROR) result FROM (SELECT format('%s', regionkey) FROM region) t(json_input)",
+      "VALUES '{}', '1', '1', '{}', '{}'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
