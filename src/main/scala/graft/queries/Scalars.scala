@@ -1027,6 +1027,53 @@ object Scalars {
       |  strftime(o_orderdate, '%d/%m/%Y') AS dmy
       |FROM orders WHERE o_orderkey < 2000""".stripMargin
 
+  // --------------------------- sc25 SQL/JSON 2016 clause surface
+  /** The r14 clause grammar under the full hash gate: PASSING
+    * variables (in filters, arithmetic, and subscripts), DEFAULT ...
+    * ON EMPTY / ON ERROR, RETURNING, array wrappers, OMIT QUOTES, and
+    * the json_object / json_array constructors (sqlcompat/
+    * SqlJsonClauses.scala + functions/JsonPathEval.scala named
+    * variables). Docs are BUILT from source columns, so the DuckDB
+    * oracle recomputes every expected value from the same raw columns
+    * — ground truth, not a second SQL/JSON engine. */
+  def sc25(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        concat(lit("""{"a":{"c":[1,2,"""), col("l_linenumber"),
+          lit("""]},"tags":["x","y"]}""")).as("j"))
+      .createOrReplaceTempView("graft_sc25_docs")
+    s.sql(graft.sqlcompat.Dialect.translate(
+      """SELECT l_orderkey, l_linenumber,
+        |  json_value(j, 'strict $.a.c[*]?(@ > $cut)'
+        |    PASSING 2 AS "cut"
+        |    DEFAULT 'none' ON EMPTY DEFAULT 'err' ON ERROR) AS v_pass,
+        |  json_value(j, 'strict $.a.c[$i - 1] + $off'
+        |    PASSING l_linenumber AS "i", 10 AS "off"
+        |    RETURNING bigint DEFAULT -1 ON EMPTY DEFAULT -2 ON ERROR) AS v_ret,
+        |  json_exists(j, 'strict $.a.c[$i]'
+        |    PASSING l_linenumber AS "i" FALSE ON ERROR) AS e_idx,
+        |  json_query(j, 'lax $.a.c[*]?(@ > 2)'
+        |    WITH UNCONDITIONAL ARRAY WRAPPER EMPTY ARRAY ON EMPTY) AS q_wrap,
+        |  json_query(j, 'lax $.tags[0]' OMIT QUOTES) AS q_unq,
+        |  json_object('k' : l_linenumber, 'w' : l_returnflag) AS obj,
+        |  json_array(l_linenumber, 'tag', l_linenumber > 2) AS arr
+        |FROM graft_sc25_docs""".stripMargin))
+  }
+
+  val sc25Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_linenumber > 2 THEN CAST(l_linenumber AS VARCHAR)
+      |       ELSE 'none' END AS v_pass,
+      |  CAST(CASE WHEN l_linenumber <= 3 THEN l_linenumber + 10
+      |       ELSE -2 END AS BIGINT) AS v_ret,
+      |  l_linenumber <= 2 AS e_idx,
+      |  CASE WHEN l_linenumber > 2 THEN '[' || l_linenumber || ']'
+      |       ELSE '[]' END AS q_wrap,
+      |  'x' AS q_unq,
+      |  json_object('k', l_linenumber, 'w', l_returnflag) AS obj,
+      |  json_array(l_linenumber, 'tag', l_linenumber > 2) AS arr
+      |FROM lineitem WHERE l_orderkey < 200""".stripMargin
+
   // ------------------------------------------------------------- exports
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc1_datetime" -> sc1 _,
@@ -1053,7 +1100,8 @@ object Scalars {
     "sc21_registry_compat" -> sc21 _,
     "sc22_registry_compat2" -> sc22 _,
     "sc23_json_path" -> sc23 _,
-    "sc24_compat_r14" -> sc24 _)
+    "sc24_compat_r14" -> sc24 _,
+    "sc25_sql_json_clauses" -> sc25 _)
 
   val oracle: Map[String, String] = Map(
     "sc1_datetime" -> sc1Sql,
@@ -1080,5 +1128,6 @@ object Scalars {
     "sc21_registry_compat" -> sc21Sql,
     "sc22_registry_compat2" -> sc22Sql,
     "sc23_json_path" -> sc23Sql,
-    "sc24_compat_r14" -> sc24Sql)
+    "sc24_compat_r14" -> sc24Sql,
+    "sc25_sql_json_clauses" -> sc25Sql)
 }
