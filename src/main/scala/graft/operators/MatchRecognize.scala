@@ -385,59 +385,218 @@ object MatchRecognize {
   }
 
   // -------------------------------------------------------- matcher
+  /** Compiled pattern program (Thompson-style with backtracking
+    * priority, executed by an EXPLICIT-stack VM in [[matchFrom]]):
+    * the old continuation-passing matcher recursed once per consumed
+    * row, so a single long match (the reference's testLongPatternMatch
+    * shape — thousands of rows under one quantifier) blew the task
+    * thread's stack. Ops: 0 CHAR(label), 1 SPLIT(prefer, alt),
+    * 2 JMP(t), 3 START_ANCHOR, 4 END_ANCHOR, 5 MATCH, 6 SETMARK(slot),
+    * 7 PROGRESS(slot, loop, exit). Quantifiers compile to `min`
+    * expanded copies plus a split-loop (unbounded) or split-optionals
+    * (bounded); zero-width loop iterations collapse through PROGRESS
+    * (the standard's empty-cycle pruning). Loops whose body cannot
+    * match zero rows skip the mark entirely — `nMarks == 0` then makes
+    * the control state exactly (pc, i), which is what enables the
+    * visited-state memo below. */
+  private final class Prog(
+      val op: Array[Int], val a1: Array[Int], val a2: Array[Int],
+      val a3: Array[Int], val labels: Array[String], val nMarks: Int)
+
+  private val progCache =
+    new java.util.concurrent.ConcurrentHashMap[Pat, Prog]()
+
+  private def compile(pat: Pat): Prog = {
+    val cached = progCache.get(pat)
+    if (cached != null) return cached
+    val op = mutable.ArrayBuffer[Int]()
+    val a1 = mutable.ArrayBuffer[Int]()
+    val a2 = mutable.ArrayBuffer[Int]()
+    val a3 = mutable.ArrayBuffer[Int]()
+    val labels = mutable.ArrayBuffer[String]()
+    val labelIdx = mutable.HashMap[String, Int]()
+    var marks = 0
+    def here: Int = op.length
+    def emit(o: Int, x: Int = -1, y: Int = -1, z: Int = -1): Int = {
+      op += o; a1 += x; a2 += y; a3 += z
+      require(op.length <= 20000,
+        "pattern too large after quantifier expansion (bounded repetition limit)")
+      here - 1
+    }
+    def nullable(p: Pat): Boolean = p match {
+      case Lit(_) => false
+      case Empty | StartAnchor | EndAnchor => true
+      case Cat(x, y) => nullable(x) && nullable(y)
+      case Alt(x, y) => nullable(x) || nullable(y)
+      case Rep(x, min, _, _) => min == 0 || nullable(x)
+      case Excl(x) => nullable(x)
+    }
+    def go(p: Pat): Unit = p match {
+      case Lit(v) =>
+        val li = labelIdx.getOrElseUpdate(v, { labels += v; labels.length - 1 })
+        emit(0, li)
+      case StartAnchor => emit(3)
+      case EndAnchor => emit(4)
+      case Empty => ()
+      case Cat(x, y) => go(x); go(y)
+      case Alt(x, y) =>
+        val sp = emit(1)
+        go(x)
+        val jm = emit(2)
+        a1(sp) = sp + 1; a2(sp) = here
+        go(y)
+        a1(jm) = here
+      case Excl(x) => go(markExclusions(x, in = true))
+      case Rep(x, min, max, greedy) =>
+        // min mandatory copies (zero-width bodies collapse naturally:
+        // a zero-width completion leaves (i, acc) unchanged, so the
+        // remaining copies complete zero-width too — same result as
+        // the old matcher's direct-continuation collapse)
+        var k = 0
+        while (k < min) { go(x); k += 1 }
+        if (max < 0) {
+          val sp = emit(1)
+          val bodyStart = here
+          val slot = if (nullable(x)) { marks += 1; emit(6, marks - 1); marks - 1 }
+            else -1
+          go(x)
+          if (slot >= 0) emit(7, slot, sp, -1) // exit patched below
+          else emit(2, sp)
+          val exit = here
+          if (greedy) { a1(sp) = bodyStart; a2(sp) = exit }
+          else { a1(sp) = exit; a2(sp) = bodyStart }
+          // patch the PROGRESS just emitted (the latest op 7)
+          if (slot >= 0) {
+            var j = here - 1
+            while (op(j) != 7) j -= 1
+            a3(j) = exit
+          }
+        } else if (max > min) {
+          // (max-min) nested optionals sharing one exit
+          val splits = mutable.ArrayBuffer[Int]()
+          var k2 = min
+          while (k2 < max) { splits += emit(1); go(x); k2 += 1 }
+          val exit = here
+          splits.foreach { sp =>
+            if (greedy) { a1(sp) = sp + 1; a2(sp) = exit }
+            else { a1(sp) = exit; a2(sp) = sp + 1 }
+          }
+        }
+    }
+    go(pat)
+    emit(5)
+    val prog = new Prog(op.toArray, a1.toArray, a2.toArray, a3.toArray,
+      labels.toArray, marks)
+    progCache.put(pat, prog)
+    prog
+  }
+
   /** Greedy leftmost backtracking match of `pat` against rows starting
-    * at `start`. `classify(i, v)` tests whether row i matches pattern
-    * variable v. Returns the classifier variable names per consumed
-    * row of the longest-preferred match, or null. */
+    * at `start`. `classify(i, v, accRev)` tests whether row i matches
+    * pattern variable v given the labels assigned so far (most recent
+    * first). Returns the classifier variable names per consumed row of
+    * the longest-preferred match, or null.
+    *
+    * Execution is an explicit-stack backtracking VM (no recursion — a
+    * match spanning a whole 100k-row partition costs heap, not stack).
+    * When `memoOk` (every DEFINE predicate is history-free, i.e. reads
+    * only the current/physically-adjacent rows) and the program has no
+    * marks, the control state is exactly (pc, i): a visited-state
+    * bitset then skips re-exploring failed states — RE2's bounded-
+    * backtracking trick, which turns catastrophic patterns like the
+    * reference's `^(A+)+B$` stress test (testUnsuccessfulPatternMatch)
+    * from exponential into O(rows × program). The bitset is only
+    * allocated once a match attempt exceeds a step threshold, so
+    * ordinary linear matches never pay for it. History-dependent
+    * DEFINEs (running FIRST/LAST navigation) make states incomparable,
+    * so there a loud step budget replaces the memo. */
   private def matchFrom(
       pat: Pat,
       start: Int,
       n: Int,
-      classify: (Int, String, List[String]) => Boolean): Array[String] = {
+      classify: (Int, String, List[String]) => Boolean,
+      memoOk: Boolean = false): Array[String] = {
 
-    // continuation-passing backtracking; greedy = try "more" first,
-    // reluctant = try "stop" first. classify receives the labels the
-    // attempt has assigned so far (rows start..i-1, most recent first)
-    // so DEFINE predicates can navigate the running match.
-    def go(p: Pat, i: Int, acc: List[String], k: (Int, List[String]) => Option[List[String]])
-        : Option[List[String]] = p match {
-      case Lit(v) =>
-        // DEFINE predicates see the real variable name; the (possibly
-        // exclusion-marked) label is what the match records.
-        if (i < n && classify(i, realLabel(v), acc)) k(i + 1, v :: acc) else None
-      case StartAnchor => if (i == 0) k(i, acc) else None
-      case EndAnchor => if (i == n) k(i, acc) else None
-      case Empty => k(i, acc)
-      case Cat(a, b) =>
-        go(a, i, acc, (i2, acc2) => go(b, i2, acc2, k))
-      case Alt(a, b) =>
-        go(a, i, acc, k).orElse(go(b, i, acc, k))
-      case Excl(a) => // eliminated at parse time; mark-and-match if reached
-        go(markExclusions(a, in = true), i, acc, k)
-      case Rep(a, min, max, greedy) =>
-        def rep(i2: Int, acc2: List[String], done: Int): Option[List[String]] = {
-          def more =
-            if (max < 0 || done < max)
-              go(a, i2, acc2, (i3, acc3) =>
-                // Zero-width body iteration: the cycle COLLAPSES and
-                // the quantifier is satisfied regardless of remaining
-                // min — the standard's empty-cycle pruning (reference
-                // TestRowPatternMatching testEmptyCycle: `()+`,
-                // `(){5,}`, `^+` all yield empty matches). Also the
-                // no-infinite-loop guard.
-                if (i3 == i2) k(i3, acc3)
-                else rep(i3, acc3, done + 1))
-            else None
-          def stop = if (done >= min) k(i2, acc2) else None
-          if (greedy) more.orElse(stop) else stop.orElse(more)
+    val prog = compile(pat)
+    val useMemo = memoOk && prog.nMarks == 0
+    var visited: java.util.BitSet = null
+
+    var pc = 0
+    var i = start
+    var acc: List[String] = Nil
+    var marks: Array[Int] =
+      if (prog.nMarks > 0) new Array[Int](prog.nMarks) else null
+
+    // backtrack stack (parallel growable arrays)
+    var cap = 64
+    var sPc = new Array[Int](cap)
+    var sI = new Array[Int](cap)
+    var sAcc = new Array[List[String]](cap)
+    var sMarks = new Array[Array[Int]](cap)
+    var sp = 0
+    def push(pcv: Int, iv: Int): Unit = {
+      if (sp == cap) {
+        cap *= 2
+        sPc = java.util.Arrays.copyOf(sPc, cap)
+        sI = java.util.Arrays.copyOf(sI, cap)
+        sAcc = java.util.Arrays.copyOf(sAcc, cap)
+        sMarks = java.util.Arrays.copyOf(sMarks, cap)
+      }
+      sPc(sp) = pcv; sI(sp) = iv; sAcc(sp) = acc
+      sMarks(sp) = if (marks != null) marks.clone() else null
+      sp += 1
+    }
+
+    var steps = 0L
+    var result: Array[String] = null
+    var running = true
+    while (running) {
+      steps += 1
+      if (useMemo && visited == null && steps == 8192)
+        visited = new java.util.BitSet(prog.op.length * (n + 1 - start))
+      var backtrack = false
+      if (visited != null) {
+        val idx = pc * (n + 1 - start) + (i - start)
+        if (visited.get(idx)) backtrack = true else visited.set(idx)
+      }
+      if (!backtrack) {
+        if (steps > 50000000L)
+          throw new IllegalStateException(
+            "MATCH_RECOGNIZE: pattern match exceeded the backtracking " +
+              "budget (history-dependent DEFINE predicates prevent " +
+              "memoization) — simplify the pattern's quantifier nesting " +
+              "or make DEFINE conditions history-free")
+        prog.op(pc) match {
+          case 0 => // CHAR
+            val label = prog.labels(prog.a1(pc))
+            if (i < n && classify(i, realLabel(label), acc)) {
+              acc = label :: acc; i += 1; pc += 1
+            } else backtrack = true
+          case 1 => // SPLIT: try a1 now, a2 on backtrack
+            push(prog.a2(pc), i)
+            pc = prog.a1(pc)
+          case 2 => pc = prog.a1(pc) // JMP
+          case 3 => if (i == 0) pc += 1 else backtrack = true // ^
+          case 4 => if (i == n) pc += 1 else backtrack = true // $
+          case 5 => // MATCH
+            result = acc.reverse.toArray
+            running = false
+          case 6 => marks(prog.a1(pc)) = i; pc += 1 // SETMARK
+          case 7 => // PROGRESS: zero-width body iteration collapses
+            pc = if (i == marks(prog.a1(pc))) prog.a3(pc) else prog.a2(pc)
         }
-        rep(i, acc, 0)
+      }
+      if (backtrack) {
+        if (sp == 0) running = false
+        else {
+          sp -= 1
+          pc = sPc(sp); i = sI(sp); acc = sAcc(sp)
+          if (sMarks(sp) != null) marks = sMarks(sp)
+          sAcc(sp) = null; sMarks(sp) = null
+        }
+      }
     }
-
-    go(pat, start, Nil, (_, acc) => Some(acc)) match {
-      case Some(acc) => acc.reverse.toArray
-      case None => null
-    }
+    result
   }
 
   /** Test hook (PropertiesSpec): segment an n-row group with the NFA
@@ -453,7 +612,7 @@ object MatchRecognize {
     val out = mutable.ArrayBuffer[(Int, Array[String])]()
     var i = 0
     while (i < n) {
-      val m = matchFrom(pat, i, n, (j, v, _) => classify(j, v))
+      val m = matchFrom(pat, i, n, (j, v, _) => classify(j, v), memoOk = true)
       if (m != null && m.length > 0) {
         out += ((i, m))
         i += m.length
@@ -492,7 +651,8 @@ object MatchRecognize {
       skip: SkipMode,
       subsets: Map[String, Set[String]],
       emitUnmatched: (collection.IndexedSeq[Row], Int) => T,
-      emitEmpty: (Long, collection.IndexedSeq[Row], Int) => T)(
+      emitEmpty: (Long, collection.IndexedSeq[Row], Int) => T,
+      historyFree: Boolean = false)(
       emit: (Long, collection.IndexedSeq[Row], Int, Array[String]) => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
 
@@ -503,6 +663,7 @@ object MatchRecognize {
     // capture driver-side so a configured cap ships with the closure
     // (executor JVMs would otherwise see their own default)
     val maxRowsPerKey = MatchRecognize.MaxRowsPerKey
+    val hFree = historyFree
     val spillAfterRows = MatchRecognize.SpillAfterRows
 
     df.repartition(partCols.map(col): _*)
@@ -556,7 +717,7 @@ object MatchRecognize {
                   case None => true
                   case Some(f) => f(new MatchCtx(buf, j, startIdx, accRev, v, subs))
                 }
-              val m = matchFrom(pat, i, n, classify)
+              val m = matchFrom(pat, i, n, classify, memoOk = hFree)
               if (m != null && m.length > 0) {
                 matchNo += 1
                 emit(matchNo, buf, i, m).foreach(out.enqueue(_))
@@ -740,7 +901,8 @@ object MatchRecognize {
       }
     }
     def value: Any =
-      if (n == 0L) null
+      if (fn == "count") n // count of an empty/all-null set is 0, not null
+      else if (n == 0L) null
       else if (offset > 0 && fn == "first") firstOff // null below offset+1 rows
       else if (offset > 0 && fn == "last") {
         if (n <= offset) null
@@ -931,7 +1093,8 @@ object MatchRecognize {
       skip: SkipMode = SkipMode.PastLastRow,
       subsets: Map[String, Set[String]] = Map.empty,
       showEmpty: Boolean = false,
-      withUnmatched: Boolean = false): DataFrame = {
+      withUnmatched: Boolean = false,
+      historyFree: Boolean = false): DataFrame = {
     require(!withUnmatched || allRows,
       "WITH UNMATCHED ROWS requires ALL ROWS PER MATCH")
     require(!(showEmpty && withUnmatched),
@@ -962,11 +1125,13 @@ object MatchRecognize {
       case (SqlMeasure.FinalCount, a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.VarCount(_, _), a) => StructField(a, LongType, nullable = withUnmatched)
       case (SqlMeasure.Agg(fn, c, _, _), a) => StructField(a, integral(c) match {
+        case _ if fn == "count" => LongType // count is a row count, not a value
         case 2 => StringType
         case 0 if fn != "avg" => LongType
         case _ => DoubleType
       })
       case (SqlMeasure.FinalAgg(fn, c, _, _), a) => StructField(a, integral(c) match {
+        case _ if fn == "count" => LongType
         case 2 => StringType
         case 0 if fn != "avg" => LongType
         case _ => DoubleType
@@ -1020,7 +1185,7 @@ object MatchRecognize {
           Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv)
         }
       runCore(df, partCols, orderCols, pattern, define, skip, subsets, null,
-        emitEmptyOne) {
+        emitEmptyOne, historyFree) {
         (matchNo, buf, i, m) =>
           val aggs = meas.map {
             case (SqlMeasure.Agg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)
@@ -1085,7 +1250,7 @@ object MatchRecognize {
             meas.map(_ => null) ++ rCols.map(c => r.get(r.fieldIndex(c))))
         }
       runCore(df, partCols, orderCols, pattern, define, skip, subsets,
-        emitUnmatchedFn, emitEmptyFn) {
+        emitUnmatchedFn, emitEmptyFn, historyFree) {
         (matchNo, buf, i, m) =>
           val aggs = meas.map {
             case (SqlMeasure.Agg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)

@@ -89,9 +89,16 @@ object MatchRecognizeSql {
     val partCols =
       if (syntheticPart) Seq("__gpart")
       else colList(partClause.get, "PARTITION BY")
-    val orderCols = colList(
-      clause(body, "ORDER\\s+BY").getOrElse(fail("ORDER BY required")),
-      "ORDER BY")
+    // ORDER BY is optional too (reference
+    // testAggregationInPatternMatching runs without one): absent means
+    // ARBITRARY row order, carried by a hidden stable id — only
+    // order-independent queries (e.g. aggregate measures over a full
+    // match) are deterministic then, same as the reference.
+    val orderClause = clause(body, "ORDER\\s+BY")
+    val syntheticOrder = orderClause.isEmpty
+    val orderCols =
+      if (syntheticOrder) Seq("__gord")
+      else colList(orderClause.get, "ORDER BY")
     // MEASURES is optional (grammar: measureDefinition list may be
     // absent — ALL ROWS then yields the input columns, ONE ROW the
     // partition keys alone).
@@ -166,11 +173,15 @@ object MatchRecognizeSql {
     val defineTxt = clause(body, "DEFINE").getOrElse("")
 
     // DEFINE list: split on top-level commas, each `VAR AS <predicate>`
+    var anyHistory = false
     val define: Map[String, MatchCtx => Boolean] =
       splitTopLevel(defineTxt, ',').map(_.trim).filter(_.nonEmpty).map { d =>
         val asRe = "(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*)$".r
         d match {
-          case asRe(v, pred) => v -> DefineParser.compile(pred, v)
+          case asRe(v, pred) =>
+            val (f, hf) = DefineParser.compileWithInfo(pred, v)
+            if (!hf) anyHistory = true
+            v -> f
           case other => fail(s"DEFINE entry must be 'VAR AS predicate': '$other'")
         }
       }.toMap
@@ -185,7 +196,7 @@ object MatchRecognizeSql {
     val measRe = ("(?i)^(?:(RUNNING|FINAL)\\s+)?" +
       "(MATCH_NUMBER\\s*\\(\\s*\\)|CLASSIFIER\\s*\\(\\s*\\)|" +
       "COUNT\\s*\\(\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?\\*?\\s*\\)|" +
-      "(FIRST|LAST|MIN|MAX|SUM|AVG)\\s*\\(\\s*" +
+      "(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\\s*\\(\\s*" +
       "(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?" + // optional VAR. qualifier
       "([A-Za-z_][A-Za-z0-9_]*)" +
       "(?:\\s*,\\s*(\\d+))?" + // optional navigation offset (FIRST/LAST only)
@@ -254,11 +265,15 @@ object MatchRecognizeSql {
       direct.toSeq ++ hidden.toSeq.map { case (p, name) => p -> name }
 
     val input0 = resolve(table)
-    val input = if (syntheticPart)
+    var input = if (syntheticPart)
       input0.withColumn("__gpart", org.apache.spark.sql.functions.lit(0))
     else input0
+    if (syntheticOrder)
+      input = input.withColumn("__gord",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
     val base = MatchRecognize.sqlRows(input, partCols, orderCols, pattern,
-      define, measures, allRows, skip, subsets, showEmpty, withUnmatched)
+      define, measures, allRows, skip, subsets, showEmpty, withUnmatched,
+      historyFree = !anyHistory)
     var out = base
     computed.foreach { case (alias, ex) =>
       out = out.withColumn(alias, org.apache.spark.sql.functions.expr(ex))
@@ -278,7 +293,8 @@ object MatchRecognizeSql {
           .map(org.apache.spark.sql.functions.col): _*)
       }
     }
-    if (syntheticPart) out.drop("__gpart") else out
+    out = if (syntheticPart) out.drop("__gpart") else out
+    if (syntheticOrder) out.drop("__gord") else out
   }
 
   private def fail(msg: String): Nothing =
@@ -393,6 +409,18 @@ private object DefineParser extends Serializable {
   def compile(src: String, currentVar: String): MatchCtx => Boolean =
     new DefineParser(src, currentVar).parse()
 
+  /** Compile plus a history-freedom report: true when the predicate
+    * reads only the current row and PHYSICAL prev/next navigation —
+    * running FIRST/LAST (and cross-variable references, which are
+    * running LAST) depend on the labels assigned so far, which
+    * disables the matcher's visited-state memo. */
+  def compileWithInfo(src: String, currentVar: String)
+      : (MatchCtx => Boolean, Boolean) = {
+    val p = new DefineParser(src, currentVar)
+    val f = p.parse()
+    (f, !p.usesHistory)
+  }
+
   // Runtime helpers live on the (serializable) module so compiled
   // closures capture it, never the parser instance — the closures ship
   // to executors inside the mapPartitions pattern matcher.
@@ -462,6 +490,7 @@ private object DefineParser extends Serializable {
             case '+' => java.lang.Math.addExact(l, r)
             case '-' => java.lang.Math.subtractExact(l, r)
             case '*' => java.lang.Math.multiplyExact(l, r)
+            case '%' => l % r
           }
         } else {
           val d = x.doubleValue(); val e = y.doubleValue()
@@ -470,6 +499,7 @@ private object DefineParser extends Serializable {
             case '-' => d - e
             case '*' => d * e
             case '/' => d / e
+            case '%' => d % e
           }
         }
       case _ => throw new IllegalArgumentException(
@@ -482,6 +512,10 @@ private object DefineParser extends Serializable {
 private final class DefineParser(src: String, currentVar: String) {
   import graft.operators.MatchRecognize.MatchCtx
   import DefineParser.{cmpAny, getVal}
+
+  /** Set while parsing when the predicate navigates the running match
+    * (FIRST/LAST or a cross-variable reference). */
+  var usesHistory: Boolean = false
 
   private var pos = 0
 
@@ -587,7 +621,8 @@ private final class DefineParser(src: String, currentVar: String) {
     var go = true
     while (go) {
       skipWs()
-      if (pos < src.length && (src.charAt(pos) == '*' || src.charAt(pos) == '/')) {
+      if (pos < src.length && (src.charAt(pos) == '*' || src.charAt(pos) == '/' ||
+        src.charAt(pos) == '%')) {
         val op = src.charAt(pos); pos += 1
         val r = factor(); val l = acc
         acc = ctx => DefineParser.arith(l(ctx), r(ctx), op)
@@ -657,6 +692,7 @@ private final class DefineParser(src: String, currentVar: String) {
             val (q, c) = qualifiedCol()
             val v = q.getOrElse(fail("FIRST/LAST in DEFINE requires a variable qualifier"))
             expect(')')
+            usesHistory = true
             ctx => getVal(if (isFirst) ctx.first(v) else ctx.last(v), c)
           case _ =>
             skipWs()
@@ -665,7 +701,10 @@ private final class DefineParser(src: String, currentVar: String) {
               val c = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
               pos += c.length
               if (id.equalsIgnoreCase(currentVar)) ctx => getVal(ctx.row, c)
-              else ctx => getVal(ctx.last(id), c) // cross-variable ref ≡ running LAST
+              else {
+                usesHistory = true
+                ctx => getVal(ctx.last(id), c) // cross-variable ref ≡ running LAST
+              }
             } else {
               val c = id
               ctx => getVal(ctx.row, c)

@@ -3359,6 +3359,68 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES '{}', '1', '1', '{}', '{}'")
   }
 
+  test("pattern-matching engine-integration vectors (testAggregationInPatternMatching, testUnsuccessfulPatternMatch, testLongPatternMatch)") {
+    val resolver = (n: String) => spark.table(n)
+    spark.table("orders").where("orderkey < 2000")
+      .createOrReplaceTempView("orders_small")
+    // the reference runs these over 2x the full lineitem — do the same
+    // (sf0.001 fixture): the backtracking vector is the matcher's
+    // visited-state-memo proof, the trivial pattern its stack proof
+    spark.sql("SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem")
+      .createOrReplaceTempView("lineitem_big")
+
+    // aggregates over an alternation consuming the whole partition,
+    // with NO PARTITION BY and NO ORDER BY (arbitrary row order; the
+    // measures are order-independent) — reference
+    // testAggregationInPatternMatching, FILTER-aggregation equivalent
+    val agg = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM orders_small MATCH_RECOGNIZE (
+        |  MEASURES count(EVEN.totalprice) AS even_count,
+        |           sum(EVEN.orderkey) AS even_sum,
+        |           count(ODD.totalprice) AS odd_count,
+        |           sum(ODD.orderkey) AS odd_sum
+        |  ONE ROW PER MATCH
+        |  PATTERN ((EVEN | ODD)*)
+        |  DEFINE EVEN AS orderkey % 2 = 0
+        |)""".stripMargin, resolver)
+      .selectExpr("even_count", "even_sum", "odd_count", "odd_sum")
+    val expected = spark.sql(
+      """SELECT count(totalprice) FILTER (WHERE orderkey % 2 = 0) AS even_count,
+        |  sum(orderkey) FILTER (WHERE orderkey % 2 = 0) AS even_sum,
+        |  count(totalprice) FILTER (WHERE orderkey % 2 != 0) AS odd_count,
+        |  sum(orderkey) FILTER (WHERE orderkey % 2 != 0) AS odd_sum
+        |FROM orders_small""".stripMargin)
+    vectorCount += 1
+    assert(rows(agg).sorted == rows(expected).sorted)
+
+    // exponential-backtracking guard: ^(A+)+B$ with B always false
+    // must return empty WITHOUT blowing up (reference
+    // testUnsuccessfulPatternMatch runs it over 2x lineitem)
+    val boom = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM lineitem_big MATCH_RECOGNIZE (
+        |  ORDER BY orderkey, linenumber
+        |  MEASURES MATCH_NUMBER() AS match_no
+        |  ONE ROW PER MATCH
+        |  PATTERN (^(A+)+B$)
+        |  DEFINE A AS true, B AS false
+        |)""".stripMargin, resolver)
+    vectorCount += 1
+    assert(boom.count() == 0)
+
+    // trivial always-true pattern over every row: ALL ROWS count equals
+    // the input count (reference testLongPatternMatch)
+    val long = graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM lineitem_big MATCH_RECOGNIZE (
+        |  ORDER BY orderkey, linenumber
+        |  MEASURES CLASSIFIER() AS classy
+        |  ALL ROWS PER MATCH
+        |  PATTERN (B*)
+        |  DEFINE B AS true
+        |)""".stripMargin, resolver)
+    vectorCount += 1
+    assert(long.count() == spark.table("lineitem_big").count())
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
