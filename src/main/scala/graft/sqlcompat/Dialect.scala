@@ -1036,8 +1036,13 @@ object Dialect {
       case (s, false) => s
     }.mkString
 
+    // Double-quoted identifiers (standard SQL; the reference's string
+    // literals are ONLY single-quoted, so on canonical text every
+    // remaining double quote delimits an identifier) → Spark backticks.
+    // testQuotedIdentifiers: SELECT "TOTALPRICE" "my price" FROM "ORDERS".
+    var out = canon.replaceAll("\"([^\"]*)\"", "`$1`")
     // map constructor first, so its ARRAY args are still spelled ARRAY
-    var out = canon.replaceAll("(?i)\\bMAP\\s*\\(\\s*(?=ARRAY\\s*\\[)",
+    out = out.replaceAll("(?i)\\bMAP\\s*\\(\\s*(?=ARRAY\\s*\\[)",
       "map_from_arrays(")
     out = rowTypePass(out)
     out = valuesRowPass(out)

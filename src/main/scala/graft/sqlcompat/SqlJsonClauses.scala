@@ -199,11 +199,14 @@ object SqlJsonClauses {
           val expr0 = cur.until(Seq("AS"), stopComma = false)
           cur.expectKw("AS")
           cur.skipWs()
-          // "quoted" or bare identifier
+          // "quoted", `backticked` (the dialect converts double-quoted
+          // identifiers to backticks before this pass), or bare
           val rest = body.substring(cur.pos)
-          val nameM = "^\"([^\"]+)\"|^([A-Za-z_][A-Za-z0-9_]*)".r
+          val nameM = ("^\"([^\"]+)\"|^`([^`]+)`|" +
+            "^([A-Za-z_][A-Za-z0-9_]*)").r
             .findFirstMatchIn(rest).getOrElse(bail("expected PASSING name"))
-          val name = Option(nameM.group(1)).getOrElse(nameM.group(2))
+          val name = Option(nameM.group(1))
+            .orElse(Option(nameM.group(2))).getOrElse(nameM.group(3))
           cur.pos += nameM.end
           var expr = tws(expr0)
           val fmtTail = "(?is)\\s*FORMAT\\s+JSON\\s*$"

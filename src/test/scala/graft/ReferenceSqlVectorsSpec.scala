@@ -3421,6 +3421,70 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(long.count() == spark.table("lineitem_big").count())
   }
 
+  test("interval operator vectors (TestIntervalDayTime, TestIntervalYearMonth)") {
+    // day-time: add, subtract, scalar multiply/divide, negation
+    assertVector(
+      "SELECT INTERVAL '3' SECOND + INTERVAL '3' SECOND, INTERVAL '6' SECOND - INTERVAL '3' SECOND, INTERVAL '6' SECOND * 2, INTERVAL '3' SECOND / 2, -(INTERVAL '3' SECOND), INTERVAL '6' DAY + INTERVAL '6' HOUR",
+      "SELECT INTERVAL '6' SECOND, INTERVAL '3' SECOND, INTERVAL '12' SECOND, INTERVAL '1.5' SECOND, INTERVAL '-3' SECOND, INTERVAL '150' HOUR")
+    // day-time comparisons and BETWEEN
+    assertVector(
+      "SELECT INTERVAL '3' SECOND = INTERVAL '3' SECOND, INTERVAL '3' SECOND <> INTERVAL '4' SECOND, INTERVAL '3' SECOND < INTERVAL '4' SECOND, INTERVAL '3' SECOND <= INTERVAL '3' SECOND, INTERVAL '4' SECOND > INTERVAL '3' SECOND, INTERVAL '3' SECOND BETWEEN INTERVAL '2' SECOND AND INTERVAL '4' SECOND, INTERVAL '5' SECOND BETWEEN INTERVAL '2' SECOND AND INTERVAL '4' SECOND",
+      "SELECT true, true, true, true, true, true, false")
+    // year-month: same operator family
+    assertVector(
+      "SELECT INTERVAL '3' MONTH + INTERVAL '3' MONTH, INTERVAL '6' MONTH - INTERVAL '3' MONTH, INTERVAL '6' MONTH * 2, INTERVAL '1' YEAR + INTERVAL '3' MONTH, -(INTERVAL '3' MONTH)",
+      "SELECT INTERVAL '6' MONTH, INTERVAL '3' MONTH, INTERVAL '12' MONTH, INTERVAL '15' MONTH, INTERVAL '-3' MONTH")
+    assertVector(
+      "SELECT INTERVAL '3' MONTH = INTERVAL '3' MONTH, INTERVAL '3' MONTH < INTERVAL '4' MONTH, INTERVAL '3' MONTH BETWEEN INTERVAL '2' MONTH AND INTERVAL '4' MONTH",
+      "SELECT true, true, true")
+  }
+
+  test("decimal operator vectors (TestDecimalOperators: add/subtract/multiply/modulus, comparisons)") {
+    // short and long decimals, carries, sign combinations (values
+    // compared — the canonicalizer strips scale-only differences)
+    assertVector(
+      "SELECT DECIMAL '137.7' + DECIMAL '17.1', DECIMAL '-1' + DECIMAL '-2', DECIMAL '.1234567890123456' + DECIMAL '.1234567890123456', DECIMAL '1234567890123456789' + DECIMAL '1234567890123456789', DECIMAL '999999999999999999' + DECIMAL '.999999999999999999'",
+      "SELECT 154.8, -3, 0.2469135780246912, 2469135780246913578, 999999999999999999.999999999999999999")
+    assertVector(
+      "SELECT DECIMAL '137.7' - DECIMAL '17.1', DECIMAL '-12345678901234567890' - DECIMAL '12345678901234567890', DECIMAL '12345678901234567890' - DECIMAL '12345678901234567891'",
+      "SELECT 120.6, -24691357802469135780, -1")
+    assertVector(
+      "SELECT DECIMAL '12' * DECIMAL '3', DECIMAL '12.5' * DECIMAL '4', DECIMAL '-2.5' * DECIMAL '4.2', DECIMAL '123456789012345678' * DECIMAL '2'",
+      "SELECT 36, 50.0, -10.50, 246913578024691356")
+    assertVector(
+      "SELECT DECIMAL '10' % DECIMAL '3', DECIMAL '10.5' % DECIMAL '3', DECIMAL '-10.5' % DECIMAL '3'",
+      "SELECT 1, 1.5, -1.5")
+    assertVector(
+      "SELECT -DECIMAL '12.5', DECIMAL '12.5' = DECIMAL '12.50', DECIMAL '12.5' < DECIMAL '12.51', DECIMAL '12.5' BETWEEN DECIMAL '12' AND DECIMAL '13'",
+      "SELECT -12.5, true, true, true")
+  }
+
+  test("identifier / keyword / large-IN vectors (testQuotedIdentifiers, testNonReservedTimeWords, testLargeInArray, testCaseInsensitive*)") {
+    // case-insensitive resolution, aliasing with quoted identifiers
+    assertVector(
+      "SELECT \"TOTALPRICE\" \"my price\" FROM \"ORDERS\" WHERE orderkey = 1",
+      "SELECT totalprice FROM orders WHERE orderkey = 1")
+    assertVector(
+      "SELECT x FROM (SELECT orderkey X FROM orders) WHERE x = 1",
+      "SELECT 1")
+    assertVector(
+      "SELECT a.Col0 FROM (VALUES row(cast(ROW(1,2) AS ROW(col0 integer, col1 integer)))) AS t (a)",
+      "SELECT 1")
+    // TIME/TIMESTAMP/DATE/INTERVAL are non-reserved words
+    assertVector(
+      "SELECT TIME, TIMESTAMP, DATE, INTERVAL FROM (SELECT 1 TIME, 2 TIMESTAMP, 3 DATE, 4 INTERVAL)",
+      "VALUES (1, 2, 3, 4)")
+    // 5000-element IN list of array literals (parser/analyzer scale)
+    val arrayValues = (0 until 5000)
+      .map(i => s"ARRAY[$i, ${i + 1}, ${i + 2}]").mkString(", ")
+    assertVector(
+      s"SELECT ARRAY[0, 0, 0] in (ARRAY[0, 0, 0], $arrayValues)",
+      "VALUES true")
+    assertVector(
+      s"SELECT ARRAY[0, 0, 0] in ($arrayValues)",
+      "VALUES false")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
