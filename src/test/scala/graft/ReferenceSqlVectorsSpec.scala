@@ -3485,6 +3485,31 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES false")
   }
 
+  test("subqueries under disjunction (testSubqueriesWithDisjunction)") {
+    assertVector(
+      "SELECT count(*) FROM nation WHERE nationkey IN (SELECT 1) OR TRUE",
+      "SELECT BIGINT '25'")
+    assertVector(
+      "SELECT count(*) FROM nation WHERE EXISTS(SELECT 1) OR TRUE",
+      "SELECT BIGINT '25'")
+    assertVector(
+      "SELECT count(*) FROM nation WHERE (nationkey IN (SELECT 1) OR TRUE) AND nationkey < 3",
+      "SELECT BIGINT '3'")
+    assertVector(
+      "SELECT count(*) FROM nation WHERE (EXISTS(SELECT 1) OR TRUE) AND nationkey < 3",
+      "SELECT BIGINT '3'")
+    assertVector(
+      "SELECT nationkey FROM nation WHERE nationkey IN (SELECT 1) OR TRUE",
+      "SELECT nationkey FROM nation")
+    // correlated scalar subquery under OR
+    assertVector(
+      "SELECT count(*) FROM nation WHERE (SELECT true FROM (SELECT 1) t(a) WHERE a = nationkey) OR TRUE",
+      "SELECT BIGINT '25'")
+    assertVector(
+      "SELECT (SELECT true FROM (SELECT 1) t(a) WHERE a = nationkey) FROM nation WHERE (SELECT true FROM (SELECT 1) t(a) WHERE a = nationkey) OR TRUE ORDER BY nationkey LIMIT 2",
+      "VALUES true, null")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
