@@ -1009,6 +1009,87 @@ object Dialect {
     out
   }
 
+  /** Ordered aggregates: `array_agg(v ORDER BY k1 [ASC|DESC], ...)`
+    * (grammar `SqlBase.g4` aggregation orderBy; reference
+    * testOrderedAggregations). Spark has no ORDER BY inside aggregate
+    * calls, so the order is applied AFTER collection: same-expression
+    * ascending order lowers to `array_sort(array_agg(v))`; general
+    * keys collect `struct(k..., v)` and sort lexicographically, then
+    * project the value back out with transform. All keys must share
+    * one direction (DESC = reverse the sorted array); mixed
+    * directions pass through for Spark to reject loudly. A trailing
+    * FILTER (WHERE ...) clause stays attached to the aggregate inside
+    * the wrap. */
+  private def orderedAggPass(canon0: String): String = {
+    val re = "(?i)\\barray_agg\\s*\\(".r
+    var out = canon0
+    var from = 0
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(from))
+      if (m.isEmpty) return out
+      val callStart = from + m.get.start
+      val open = out.indexOf('(', from + m.get.start)
+      val close = closeParen(out, open)
+      val body = out.substring(open + 1, close)
+      val obRe = "(?is)\\bORDER\\s+BY\\b".r
+      // top-level ORDER BY only (depth 0 within the body)
+      var obPos = -1
+      var depth = 0
+      var i = 0
+      while (i < body.length && obPos < 0) {
+        val c = body.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'O' || c == 'o')) {
+          val mm = obRe.findPrefixMatchOf(body.substring(i))
+          if (mm.isDefined &&
+            (i == 0 || !body.charAt(i - 1).isLetterOrDigit)) obPos = i
+        }
+        i += 1
+      }
+      if (obPos < 0) { from = close + 1 }
+      else {
+        val value = body.substring(0, obPos).trim
+        val keysTxt = body.substring(obPos).replaceAll("(?is)^ORDER\\s+BY", "")
+        val items = MatchRecognizeSql.splitTopLevel(keysTxt, ',')
+          .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+        val dirs = items.map(_.matches("(?is).*\\bDESC\\s*$"))
+        val keys = items.map(_.replaceAll("(?is)\\s+(ASC|DESC)\\s*$", ""))
+        if (dirs.distinct.length > 1) { from = close + 1 } // mixed: pass through
+        else {
+          val desc = dirs.head
+          // trailing FILTER (WHERE ...) stays inside the wrap
+          var tail = close + 1
+          val fRe = "(?is)^\\s*FILTER\\s*\\(".r
+          val fM = fRe.findPrefixMatchOf(out.substring(close + 1))
+          var filterTxt = ""
+          if (fM.isDefined) {
+            val fOpen = out.indexOf('(', close + 1 + fM.get.end - 1)
+            val fClose = closeParen(out, fOpen)
+            filterTxt = out.substring(close + 1, fClose + 1)
+            tail = fClose + 1
+          }
+          val collected =
+            if (keys == Seq(value))
+              s"array_sort(array_agg($value)$filterTxt)"
+            else {
+              val fields = keys.zipWithIndex
+                .map { case (k, ix) => s"$k AS __o$ix" }
+                .mkString(", ")
+              s"transform(array_sort(array_agg(struct($fields, $value AS __v))" +
+                s"$filterTxt), __x -> __x.__v)"
+            }
+          val rewritten = if (desc) s"reverse($collected)" else collected
+          out = out.substring(0, callStart) + rewritten + out.substring(tail)
+          from = callStart + rewritten.length
+        }
+      }
+    }
+    out
+  }
+
   private def ifTwoArgPass(canon0: String): String = {
     val re = "(?i)\\bif\\s*\\(".r
     var out = canon0
@@ -1055,6 +1136,7 @@ object Dialect {
     out = valuesLambdaPass(out)
     out = applyPass(out)
     out = ifTwoArgPass(out)
+    out = orderedAggPass(out)
     out = unorderedRankingPass(out)
     out = orderByNullsPass(out)
     // `count()` with no argument is the reference's count(*)

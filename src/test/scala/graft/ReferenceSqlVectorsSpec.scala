@@ -3510,6 +3510,75 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES true, null")
   }
 
+  test("aggregation pushdown / mask / outer-join vectors (AbstractTestAggregations)") {
+    // FILTER mask pushed through an outer join keeps the mask column
+    assertVector(
+      "SELECT max(r.nationkey) FILTER (WHERE filter) FROM (SELECT DISTINCT regionkey FROM nation) l LEFT JOIN (SELECT *, nationkey > 2 AS filter FROM nation) r ON true GROUP BY l.regionkey",
+      "VALUES 24, 24, 24, 24, 24")
+    assertVector(
+      "SELECT max(x) FROM (SELECT * from (VALUES 1) t(x) LEFT JOIN (VALUES 1) t2(y) ON t.x = t2.y) GROUP BY x",
+      "VALUES 1")
+    // aggregates over the OUTER side's symbols under LEFT JOIN (the
+    // reference vector keys max_by on the constant r.regionkey, whose
+    // tie-break is engine-specific — keyed on nationkey instead, same
+    // expected rows, deterministic)
+    assertVector(
+      "SELECT max_by(n.nationkey, n.nationkey) FROM (SELECT DISTINCT regionkey FROM region) r LEFT JOIN nation n ON n.regionkey = r.regionkey GROUP BY r.regionkey",
+      "VALUES 16, 20, 21, 23, 24")
+    assertVector(
+      "SELECT orderstatus, sum(CAST(NULL AS BIGINT)) FROM orders GROUP BY orderstatus",
+      "SELECT DISTINCT orderstatus, CAST(NULL AS BIGINT) FROM orders")
+    assertVector(
+      "SELECT COUNT(*) FROM (SELECT orderkey, COUNT(*) FROM lineitem GROUP BY orderkey) x",
+      "SELECT COUNT(DISTINCT orderkey) FROM lineitem")
+    assertVector(
+      "SELECT count(*) FROM (SELECT DISTINCT a, b FROM (VALUES (1, 1), (1, 2)) l(a, b)) l LEFT JOIN (SELECT 1 a) r ON l.a = r.a GROUP BY l.a, l.b",
+      "VALUES BIGINT '1', 1")
+    // correlated average below the comparison (testAggregationPushedBelowOuterJoin)
+    assertVector(
+      "SELECT count(*) FROM nation n1 WHERE (n1.nationkey > (SELECT avg(nationkey) FROM nation n2 WHERE n1.regionkey = n2.regionkey))",
+      "SELECT count(*) FROM nation n1 JOIN (SELECT regionkey, avg(nationkey) a FROM nation GROUP BY regionkey) n2 ON n1.regionkey = n2.regionkey AND n1.nationkey > n2.a")
+    assertVector(
+      "SELECT max(name), min(name), count(nationkey) + 1, count(nationkey) FROM (SELECT DISTINCT regionkey FROM region) AS r1 LEFT JOIN nation ON r1.regionkey = nation.regionkey GROUP BY r1.regionkey HAVING sum(nationkey) < 20",
+      "SELECT max(name), min(name), count(nationkey) + 1, count(nationkey) FROM nation GROUP BY regionkey HAVING sum(nationkey) < 20")
+  }
+
+  test("rollup / cube / grouping-combination vectors (AbstractTestAggregations testRollup, testCube, testGroupingCombinations*)") {
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY ROLLUP (linenumber, suppkey)",
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber, suppkey UNION ALL SELECT linenumber, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber UNION ALL SELECT NULL, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem")
+    assertVector(
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY CUBE (linenumber, suppkey)",
+      "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber, suppkey UNION ALL SELECT linenumber, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber UNION ALL SELECT NULL, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY suppkey UNION ALL SELECT NULL, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem")
+    // (empty-input CUBE: the reference — per the standard — still
+    // emits the () grand-total row with NULL aggregates; Spark's
+    // Expand-based grouping sets emit zero rows from zero input.
+    // Pinned in the documented-divergences test below.)
+    vectorCount += 1
+    assert(runQ("SELECT linenumber, SUM(quantity) FROM lineitem WHERE quantity < 0 GROUP BY CUBE (linenumber)").count() == 0)
+    // (the standard's COMPOSED grouping — plain keys crossed with
+    // ROLLUP/CUBE in one GROUP BY, testGroupingCombinations* — is not
+    // supported by Spark's analyzer; the equivalent explicit GROUPING
+    // SETS cross-product is, which the next vector exercises)
+    assertVector(
+      "SELECT orderkey, suppkey, linenumber, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY GROUPING SETS ((orderkey, suppkey, linenumber), (orderkey, suppkey), (orderkey))",
+      "SELECT orderkey, suppkey, linenumber, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY orderkey, suppkey, linenumber UNION ALL SELECT orderkey, suppkey, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY orderkey, suppkey UNION ALL SELECT orderkey, NULL, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY orderkey")
+    // DISTINCT grouping sets and mixed distinct aggregates over a union
+    assertVector(
+      "SELECT linenumber, COUNT(DISTINCT linenumber), SUM(DISTINCT suppkey) FROM (SELECT * FROM lineitem WHERE linenumber%2 = 0 UNION ALL SELECT * FROM lineitem WHERE linenumber%2 = 1) GROUP BY GROUPING SETS ((linenumber), ())",
+      "SELECT linenumber, BIGINT '1', SUM(DISTINCT suppkey) FROM lineitem GROUP BY linenumber UNION ALL SELECT NULL, COUNT(DISTINCT linenumber), SUM(DISTINCT suppkey) FROM lineitem")
+    assertVector(
+      "SELECT orderkey, COUNT(DISTINCT k) FROM (SELECT orderkey, 1 k FROM orders) GROUP BY GROUPING SETS ((), orderkey) HAVING orderkey IS NULL",
+      "VALUES (CAST(NULL AS BIGINT), BIGINT '1')")
+    assertVector(
+      "SELECT count(1) FROM (SELECT count(custkey) FROM orders LIMIT 10) a",
+      "SELECT BIGINT '1'")
+    // ordered array_agg + FILTER over grouping sets vs the union form
+    assertVector(
+      "SELECT orderpriority, custkey, array_agg(orderstatus ORDER BY orderstatus) FILTER (WHERE custkey > 500) AS ags FROM orders WHERE orderkey IN (1, 2, 3, 4, 5) GROUP BY GROUPING SETS ((), (orderpriority), (orderpriority, custkey))",
+      "SELECT NULL, NULL, array_agg(orderstatus ORDER BY orderstatus) FILTER (WHERE custkey > 500) AS ags FROM orders WHERE orderkey IN (1, 2, 3, 4, 5) UNION ALL SELECT orderpriority, NULL, array_agg(orderstatus ORDER BY orderstatus) FILTER (WHERE custkey > 500) FROM orders WHERE orderkey IN (1, 2, 3, 4, 5) GROUP BY orderpriority UNION ALL SELECT orderpriority, custkey, array_agg(orderstatus ORDER BY orderstatus) FILTER (WHERE custkey > 500) FROM orders WHERE orderkey IN (1, 2, 3, 4, 5) GROUP BY orderpriority, custkey")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
