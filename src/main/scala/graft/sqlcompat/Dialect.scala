@@ -1020,6 +1020,100 @@ object Dialect {
     * directions pass through for Spark to reject loudly. A trailing
     * FILTER (WHERE ...) clause stays attached to the aggregate inside
     * the wrap. */
+  /** Composed grouping (grammar `SqlBase.g4` groupBy: groupingElement
+    * list; reference testGroupingCombinationsAll/Distinct): the
+    * standard's GROUP BY takes a LIST of grouping elements whose sets
+    * CROSS-PRODUCT — `GROUP BY a, ROLLUP (b, c), CUBE (d)` is 3×2 = 6
+    * grouping sets over {a} — and `GROUP BY DISTINCT` dedups the
+    * resulting sets. Spark's analyzer only accepts a single analytics
+    * element, so mixed forms expand here into one explicit
+    * GROUPING SETS (...) whose sets are the computed cross-product.
+    * Plain GROUP BY lists and single-element analytics pass through
+    * untouched. */
+  private def groupByCompositionPass(canon0: String): String = {
+    val re = "(?i)\\bGROUP\\s+BY\\s+(DISTINCT\\s+|ALL\\s+)?".r
+    val stopRe = ("(?is)^(HAVING|ORDER|LIMIT|OFFSET|FETCH|WINDOW|UNION|" +
+      "EXCEPT|INTERSECT)\\b").r
+    var out = canon0
+    var from = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(from))
+      if (m.isEmpty) return out
+      val start = from + m.get.start
+      val listStart = from + m.get.end
+      val distinct = Option(m.get.group(1)).exists(_.trim.equalsIgnoreCase("DISTINCT"))
+      // clause extent: to the next top-level stop keyword / ')' / end
+      var i = listStart
+      var depth = 0
+      var end = -1
+      while (i < out.length && end < 0) {
+        val c = out.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { if (depth == 0) end = i else depth -= 1 }
+        else if (depth == 0 && c.isLetter &&
+          (i == 0 || !out.charAt(i - 1).isLetterOrDigit) &&
+          stopRe.findPrefixMatchOf(out.substring(i)).isDefined) end = i
+        i += 1
+      }
+      if (end < 0) end = out.length
+      val listTxt = out.substring(listStart, end)
+      val items = MatchRecognizeSql.splitTopLevel(listTxt, ',')
+        .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+        .filter(_.nonEmpty)
+      def isAnalytics(it: String): Boolean =
+        it.matches("(?is)^(ROLLUP|CUBE|GROUPING\\s+SETS)\\s*\\(.*")
+      val needsRewrite =
+        distinct || (items.count(isAnalytics) > 0 &&
+          (items.length > 1 || distinct))
+      if (!needsRewrite) { from = end }
+      else {
+        // each element → its list of sets (a set = list of key texts)
+        def innerArgs(it: String): Seq[String] = {
+          val open = it.indexOf('(')
+          val close = closeParen(it, open)
+          MatchRecognizeSql.splitTopLevel(it.substring(open + 1, close), ',')
+            .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+            .filter(_.nonEmpty)
+        }
+        val perItem: Seq[Seq[Seq[String]]] = items.map { it =>
+          if (it.matches("(?is)^ROLLUP\\s*\\(.*")) {
+            val ks = innerArgs(it)
+            (ks.length to 0 by -1).map(n => ks.take(n))
+          } else if (it.matches("(?is)^CUBE\\s*\\(.*")) {
+            val ks = innerArgs(it)
+            (0 until (1 << ks.length)).map { mask =>
+              ks.zipWithIndex.collect { case (k, ix) if (mask & (1 << ix)) == 0 => k }
+            }
+          } else if (it.matches("(?is)^GROUPING\\s+SETS\\s*\\(.*")) {
+            innerArgs(it).map { g =>
+              if (g.startsWith("(")) {
+                val c2 = closeParen(g, 0)
+                MatchRecognizeSql.splitTopLevel(g.substring(1, c2), ',')
+                  .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+                  .filter(_.nonEmpty)
+              } else Seq(g)
+            }
+          } else Seq(Seq(it)) // plain key: one singleton set
+        }
+        val product = perItem.foldLeft(Seq(Seq.empty[String])) { (acc, sets) =>
+          for (a <- acc; st <- sets) yield a ++ st
+        }
+        require(product.length <= 128,
+          s"GROUP BY composition expands to ${product.length} grouping sets")
+        val finalSets0 = product.map(_.distinct)
+        val finalSets = if (distinct) finalSets0.distinct else finalSets0
+        val rendered = finalSets
+          .map(st => "(" + st.mkString(", ") + ")").mkString(", ")
+        val repl = s"GROUP BY GROUPING SETS ($rendered) "
+        out = out.substring(0, start) + repl + out.substring(end)
+        from = start + repl.length
+      }
+    }
+    out
+  }
+
   private def orderedAggPass(canon0: String): String = {
     val re = "(?i)\\barray_agg\\s*\\(".r
     var out = canon0
@@ -1136,6 +1230,7 @@ object Dialect {
     out = valuesLambdaPass(out)
     out = applyPass(out)
     out = ifTwoArgPass(out)
+    out = groupByCompositionPass(out)
     out = orderedAggPass(out)
     out = unorderedRankingPass(out)
     out = orderByNullsPass(out)
