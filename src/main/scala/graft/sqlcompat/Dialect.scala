@@ -1009,17 +1009,124 @@ object Dialect {
     out
   }
 
-  /** Ordered aggregates: `array_agg(v ORDER BY k1 [ASC|DESC], ...)`
-    * (grammar `SqlBase.g4` aggregation orderBy; reference
-    * testOrderedAggregations). Spark has no ORDER BY inside aggregate
-    * calls, so the order is applied AFTER collection: same-expression
-    * ascending order lowers to `array_sort(array_agg(v))`; general
-    * keys collect `struct(k..., v)` and sort lexicographically, then
-    * project the value back out with transform. All keys must share
-    * one direction (DESC = reverse the sorted array); mixed
-    * directions pass through for Spark to reject loudly. A trailing
-    * FILTER (WHERE ...) clause stays attached to the aggregate inside
-    * the wrap. */
+  /** Ordered aggregates (grammar `SqlBase.g4` aggregation orderBy;
+    * reference sql/query/TestOrderedAggregation) and the reference's
+    * null-KEEPING array_agg (Spark's array_agg/collect_list silently
+    * drops NULL elements). Spark has no ORDER BY inside aggregate
+    * calls, so: order-INSENSITIVE aggregates (sum/avg/min/max/...)
+    * simply DROP the clause; `array_agg` collects struct(keys...,
+    * value) — a struct row is never null, so NULL values survive —
+    * sorts with an explicit comparator lambda (per-key direction and
+    * NULLS placement; the reference's defaults are NULLS LAST for ASC
+    * and NULLS FIRST for DESC), and projects the value back out. A
+    * plain `array_agg(v)` gets the null-keeping struct wrap alone.
+    * DISTINCT and a trailing FILTER clause stay attached. */
+  private def orderedAggPass(canon0: String): String = {
+    val re = ("(?i)\\b(array_agg|sum|avg|min|max|count|bool_and|bool_or|" +
+      "every|any_value|arbitrary|geometric_mean|stddev|stddev_samp|" +
+      "stddev_pop|variance|var_samp|var_pop)\\s*\\(").r
+    def ws(x: String): String =
+      x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+    var out = canon0
+    var from = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(from))
+      if (m.isEmpty) return out
+      val fn = m.get.group(1).toLowerCase
+      val callStart = from + m.get.start
+      val open = out.indexOf('(', callStart)
+      val close = closeParen(out, open)
+      val body = out.substring(open + 1, close)
+      // top-level ORDER BY position within the body
+      val obRe = "(?is)\\bORDER\\s+BY\\b".r
+      var obPos = -1
+      var depth = 0
+      var i = 0
+      while (i < body.length && obPos < 0) {
+        val c = body.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'O' || c == 'o') &&
+          (i == 0 || !body.charAt(i - 1).isLetterOrDigit) &&
+          obRe.findPrefixMatchOf(body.substring(i)).isDefined) obPos = i
+        i += 1
+      }
+      if (obPos < 0 && fn != "array_agg") { from = close + 1 }
+      else if (fn != "array_agg") {
+        // order-insensitive aggregate: the clause is semantically void
+        out = out.substring(0, open + 1) + ws(body.substring(0, obPos)) +
+          out.substring(close)
+        from = callStart
+      } else {
+        val value0 = ws(if (obPos < 0) body else body.substring(0, obPos))
+        if (value0 == "*" || value0.isEmpty) { from = close + 1 }
+        else {
+          val isDistinct = value0.matches("(?is)^DISTINCT\\b.*")
+          val valueExpr =
+            ws(if (isDistinct) value0.replaceAll("(?is)^DISTINCT", "") else value0)
+          val parsed: Seq[(String, Boolean, Boolean)] = if (obPos < 0) Seq.empty
+          else {
+            val keysTxt = body.substring(obPos).replaceAll("(?is)^ORDER\\s+BY", "")
+            MatchRecognizeSql.splitTopLevel(keysTxt, ',').map(ws).map { it0 =>
+              var it = it0
+              var nulls: Option[Boolean] = None // Some(true) = FIRST
+              "(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$".r
+                .findFirstMatchIn(it).foreach { nm =>
+                  nulls = Some(nm.group(1).equalsIgnoreCase("FIRST"))
+                  it = it.substring(0, nm.start)
+                }
+              var desc = false
+              "(?is)\\s+(ASC|DESC)\\s*$".r.findFirstMatchIn(it).foreach { dm =>
+                desc = dm.group(1).equalsIgnoreCase("DESC")
+                it = it.substring(0, dm.start)
+              }
+              (ws(it), desc, nulls.getOrElse(desc))
+            }
+          }
+          // trailing FILTER (WHERE ...) stays inside the wrap
+          var tail = close + 1
+          val fM = "(?is)^\\s*FILTER\\s*\\(".r
+            .findPrefixMatchOf(out.substring(close + 1))
+          var filterTxt = ""
+          if (fM.isDefined) {
+            val fOpen = out.indexOf('(', close + 1 + fM.get.end - 1)
+            val fClose = closeParen(out, fOpen)
+            filterTxt = out.substring(close + 1, fClose + 1)
+            tail = fClose + 1
+          }
+          val aggArg = if (isDistinct) "DISTINCT " else ""
+          val rewritten =
+            if (parsed.isEmpty) {
+              // null-keeping plain array_agg
+              s"transform(array_agg(${aggArg}struct($valueExpr AS __v))" +
+                s"$filterTxt, __x -> __x.__v)"
+            } else {
+              val fields = parsed.zipWithIndex
+                .map { case ((k, _, _), ix) => s"$k AS __o$ix" }
+                .mkString("", ", ", ", ") + s"$valueExpr AS __v"
+              val arms = parsed.zipWithIndex.flatMap { case ((_, d, nf), ix) =>
+                val (lt, gt) = if (d) ("1", "-1") else ("-1", "1")
+                val (nl, nr) = if (nf) ("-1", "1") else ("1", "-1")
+                Seq(
+                  s"WHEN __l.__o$ix IS NULL AND __r.__o$ix IS NOT NULL THEN $nl",
+                  s"WHEN __l.__o$ix IS NOT NULL AND __r.__o$ix IS NULL THEN $nr",
+                  s"WHEN __l.__o$ix < __r.__o$ix THEN $lt",
+                  s"WHEN __l.__o$ix > __r.__o$ix THEN $gt")
+              }.mkString(" ")
+              s"transform(array_sort(array_agg(${aggArg}struct($fields))" +
+                s"$filterTxt, (__l, __r) -> CASE $arms ELSE 0 END), " +
+                "__x -> __x.__v)"
+            }
+          out = out.substring(0, callStart) + rewritten + out.substring(tail)
+          from = callStart + rewritten.length
+        }
+      }
+    }
+    out
+  }
+
   /** Composed grouping (grammar `SqlBase.g4` groupBy: groupingElement
     * list; reference testGroupingCombinationsAll/Distinct): the
     * standard's GROUP BY takes a LIST of grouping elements whose sets
@@ -1114,75 +1221,6 @@ object Dialect {
     out
   }
 
-  private def orderedAggPass(canon0: String): String = {
-    val re = "(?i)\\barray_agg\\s*\\(".r
-    var out = canon0
-    var from = 0
-    var guard = 0
-    while (guard < 32) {
-      guard += 1
-      val m = re.findFirstMatchIn(out.substring(from))
-      if (m.isEmpty) return out
-      val callStart = from + m.get.start
-      val open = out.indexOf('(', from + m.get.start)
-      val close = closeParen(out, open)
-      val body = out.substring(open + 1, close)
-      val obRe = "(?is)\\bORDER\\s+BY\\b".r
-      // top-level ORDER BY only (depth 0 within the body)
-      var obPos = -1
-      var depth = 0
-      var i = 0
-      while (i < body.length && obPos < 0) {
-        val c = body.charAt(i)
-        if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
-        else if (depth == 0 && (c == 'O' || c == 'o')) {
-          val mm = obRe.findPrefixMatchOf(body.substring(i))
-          if (mm.isDefined &&
-            (i == 0 || !body.charAt(i - 1).isLetterOrDigit)) obPos = i
-        }
-        i += 1
-      }
-      if (obPos < 0) { from = close + 1 }
-      else {
-        val value = body.substring(0, obPos).trim
-        val keysTxt = body.substring(obPos).replaceAll("(?is)^ORDER\\s+BY", "")
-        val items = MatchRecognizeSql.splitTopLevel(keysTxt, ',')
-          .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
-        val dirs = items.map(_.matches("(?is).*\\bDESC\\s*$"))
-        val keys = items.map(_.replaceAll("(?is)\\s+(ASC|DESC)\\s*$", ""))
-        if (dirs.distinct.length > 1) { from = close + 1 } // mixed: pass through
-        else {
-          val desc = dirs.head
-          // trailing FILTER (WHERE ...) stays inside the wrap
-          var tail = close + 1
-          val fRe = "(?is)^\\s*FILTER\\s*\\(".r
-          val fM = fRe.findPrefixMatchOf(out.substring(close + 1))
-          var filterTxt = ""
-          if (fM.isDefined) {
-            val fOpen = out.indexOf('(', close + 1 + fM.get.end - 1)
-            val fClose = closeParen(out, fOpen)
-            filterTxt = out.substring(close + 1, fClose + 1)
-            tail = fClose + 1
-          }
-          val collected =
-            if (keys == Seq(value))
-              s"array_sort(array_agg($value)$filterTxt)"
-            else {
-              val fields = keys.zipWithIndex
-                .map { case (k, ix) => s"$k AS __o$ix" }
-                .mkString(", ")
-              s"transform(array_sort(array_agg(struct($fields, $value AS __v))" +
-                s"$filterTxt), __x -> __x.__v)"
-            }
-          val rewritten = if (desc) s"reverse($collected)" else collected
-          out = out.substring(0, callStart) + rewritten + out.substring(tail)
-          from = callStart + rewritten.length
-        }
-      }
-    }
-    out
-  }
 
   private def ifTwoArgPass(canon0: String): String = {
     val re = "(?i)\\bif\\s*\\(".r

@@ -3586,6 +3586,50 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT NULL, NULL, array_agg(orderstatus ORDER BY orderstatus) FILTER (WHERE custkey > 500) AS ags FROM orders WHERE orderkey IN (1, 2, 3, 4, 5) UNION ALL SELECT orderpriority, NULL, array_agg(orderstatus ORDER BY orderstatus) FILTER (WHERE custkey > 500) FROM orders WHERE orderkey IN (1, 2, 3, 4, 5) GROUP BY orderpriority UNION ALL SELECT orderpriority, custkey, array_agg(orderstatus ORDER BY orderstatus) FILTER (WHERE custkey > 500) FROM orders WHERE orderkey IN (1, 2, 3, 4, 5) GROUP BY orderpriority, custkey")
   }
 
+  test("ordered-aggregation vectors (sql/query/TestOrderedAggregation)") {
+    // ORDER BY on an order-insensitive aggregate is semantically void
+    assertVector(
+      "SELECT sum(x ORDER BY y) FROM (VALUES (1, 2), (3, 5), (4, 1)) t(x, y)",
+      "VALUES (BIGINT '8')")
+    // same-expression and cross-expression keys, both directions
+    assertVector(
+      "SELECT array_agg(x ORDER BY y) FROM (VALUES (1, 2), (3, 5), (4, 1)) t(x, y)",
+      "VALUES ARRAY[4, 1, 3]")
+    assertVector(
+      "SELECT array_agg(x ORDER BY y DESC) FROM (VALUES (1, 2), (3, 5), (4, 1)) t(x, y)",
+      "VALUES ARRAY[3, 1, 4]")
+    assertVector(
+      "SELECT array_agg(x ORDER BY x DESC) FROM (VALUES (1, 2), (3, 5), (4, 1)) t(x, y)",
+      "VALUES ARRAY[4, 3, 1]")
+    assertVector(
+      "SELECT array_agg(x ORDER BY x) FROM (VALUES ('a', 2), ('bcd', 5), ('abcd', 1)) t(x, y)",
+      "VALUES ARRAY['a', 'abcd', 'bcd']")
+    assertVector(
+      "SELECT array_agg(y ORDER BY x) FROM (VALUES ('a', 2), ('bcd', 5), ('abcd', 1)) t(x, y)",
+      "VALUES ARRAY[2, 1, 5]")
+    // row-typed key, mixed directions, expression keys, grouping
+    assertVector(
+      "SELECT array_agg(z ORDER BY x, y DESC) FROM (VALUES (1, 2, 2), (2, 2, 3), (2, 4, 5), (3, 4, 4), (1, 1, 1)) t(x, y, z)",
+      "VALUES ARRAY[2, 1, 5, 3, 4]")
+    assertVector(
+      "SELECT x, array_agg(z ORDER BY y + z DESC) AS a FROM (VALUES (1, 2, 2), (2, 2, 3), (2, 4, 5), (3, 4, 4), (3, 2, 1), (1, 1, 1)) t(x, y, z) GROUP BY x",
+      "VALUES (1, ARRAY[2, 1]), (2, ARRAY[5, 3]), (3, ARRAY[4, 1])")
+    assertVector(
+      "SELECT array_agg(y ORDER BY x.a DESC) FROM (VALUES (CAST(ROW(1) AS ROW(a BIGINT)), 1), (CAST(ROW(2) AS ROW(a BIGINT)), 2)) t(x, y)",
+      "VALUES ARRAY[2, 1]")
+    // explicit NULLS FIRST / NULLS LAST placements
+    assertVector(
+      "SELECT x, y, array_agg(z ORDER BY z DESC NULLS FIRST) AS a FROM (VALUES (1, 2, NULL), (1, 2, 1), (1, 2, 2), (2, 1, 3), (2, 1, 4), (2, 1, NULL)) t(x, y, z) GROUP BY x, y",
+      "VALUES (1, 2, ARRAY[NULL, 2, 1]), (2, 1, ARRAY[NULL, 4, 3])")
+    assertVector(
+      "SELECT x, y, array_agg(z ORDER BY z DESC NULLS LAST) AS a FROM (VALUES (1, 2, 3), (1, 2, 1), (1, 2, 2), (2, 1, 3), (2, 1, 4), (2, 1, NULL)) t(x, y, z) GROUP BY GROUPING SETS ((x), (x, y))",
+      "VALUES (1, 2, ARRAY[3, 2, 1]), (1, NULL, ARRAY[3, 2, 1]), (2, 1, ARRAY[4, 3, NULL]), (2, NULL, ARRAY[4, 3, NULL])")
+    // DISTINCT with ordered output
+    assertVector(
+      "SELECT x, array_agg(DISTINCT z + y ORDER BY z + y DESC) AS a FROM (VALUES (1, 2, 2), (2, 2, 3), (2, 4, 5), (3, 4, 4), (3, 2, 1), (1, 1, 1)) t(x, y, z) GROUP BY x",
+      "VALUES (1, ARRAY[4, 2]), (2, ARRAY[9, 5]), (3, ARRAY[8, 3])")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
