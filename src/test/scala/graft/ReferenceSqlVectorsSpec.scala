@@ -3630,6 +3630,71 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, ARRAY[4, 2]), (2, ARRAY[9, 5]), (3, ARRAY[8, 3])")
   }
 
+  test("listagg vectors (sql/query/TestListagg)") {
+    assertVector(
+      "SELECT listagg(value, ',') WITHIN GROUP (ORDER BY value) FROM (VALUES 'a') t(value)",
+      "VALUES ('a')")
+    assertVector(
+      "SELECT listagg(value, ',') WITHIN GROUP (ORDER BY value) FROM (VALUES 'a', 'bb', 'ccc', 'dddd') t(value)",
+      "VALUES ('a,bb,ccc,dddd')")
+    // default separator is the empty string
+    assertVector(
+      "SELECT listagg(value) WITHIN GROUP (ORDER BY value) FROM (VALUES 'a', 'b', 'c') t(value)",
+      "VALUES ('abc')")
+    assertVector(
+      "SELECT id, listagg(value) WITHIN GROUP (ORDER BY value) AS l FROM (VALUES (1, 'c'), (2, 'b'), (1, 'a'), (2, 'd')) t(id, value) GROUP BY id",
+      "VALUES (1, 'ac'), (2, 'bd')")
+    assertVector(
+      "SELECT listagg(value, ',') WITHIN GROUP (ORDER BY value DESC) FROM (VALUES 'a', 'bb', 'ccc', 'dddd') t(value)",
+      "VALUES ('dddd,ccc,bb,a')")
+    // multiple sort keys, keys distinct from the value
+    assertVector(
+      "SELECT listagg(value, ',') WITHIN GROUP (ORDER BY sortitem1, sortitem2) FROM (VALUES (2, 'C', 'ccc'), (2, 'B', 'bb'), (3, 'D', 'dddd'), (1, 'A', 'a')) t(sortitem1, sortitem2, value)",
+      "VALUES ('a,bb,ccc,dddd')")
+    assertVector(
+      "SELECT id, listagg(value, ',') WITHIN GROUP (ORDER BY weight, label) AS l FROM (VALUES (1, 200, 'C', 'ccc'), (1, 200, 'B', 'bb'), (2, 300, 'D', 'dddd'), (1, 100, 'A', 'a')) t(id, weight, label, value) GROUP BY id",
+      "VALUES (1, 'a,bb,ccc'), (2, 'dddd')")
+    // expression values; NULL inputs are skipped
+    assertVector(
+      "SELECT listagg(upper(value), ' ') WITHIN GROUP (ORDER BY value) FROM (VALUES 'Trino', 'SQL', 'everything') t(value)",
+      "VALUES ('SQL TRINO EVERYTHING')")
+    assertVector(
+      "SELECT listagg(value, ',') WITHIN GROUP (ORDER BY value) FROM (VALUES 'a', NULL, 'bb', NULL, 'ccc', NULL, 'dddd', NULL) t(value)",
+      "VALUES ('a,bb,ccc,dddd')")
+  }
+
+  test("correlated LATERAL aggregation vectors (sql/query/TestCorrelatedAggregation)") {
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT count(DISTINCT value) FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key <= t.key) ON TRUE",
+      "VALUES (1, BIGINT '1'), (2, BIGINT '2'), (3, BIGINT '2')")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT avg(DISTINCT value) FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key <= t.key) ON TRUE",
+      "VALUES (1, 10e0), (2, 15e0), (3, 15e0)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT count(DISTINCT value) FILTER (WHERE value > 15) FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key < t.key) ON TRUE",
+      "VALUES (1, BIGINT '0'), (2, BIGINT '0'), (3, BIGINT '1')")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT count(DISTINCT value) + 100 FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key <= t.key) ON TRUE",
+      "VALUES (1, BIGINT '101'), (2, BIGINT '102'), (3, BIGINT '102')")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT count(DISTINCT value) FROM (VALUES (1, null), (2, 20), (3, 10)) t2(key, value) WHERE t2.key <= t.key) ON TRUE",
+      "VALUES (1, BIGINT '0'), (2, BIGINT '1'), (3, BIGINT '2')")
+    // a GLOBAL aggregate in the lateral yields a row even when the
+    // correlated input is empty (count 0 / null average)
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT count(DISTINCT value) FROM (SELECT 0, 0 WHERE false) t2(key, value) WHERE t2.key <= t.key) ON TRUE",
+      "VALUES (1, BIGINT '0'), (2, BIGINT '0'), (3, BIGINT '0')")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT avg(DISTINCT value) FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key < t.key) ON TRUE",
+      "VALUES (1, null), (2, 10e0), (3, 15e0)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3) t(key) INNER JOIN LATERAL (SELECT count(DISTINCT value) FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key < t.key) ON TRUE",
+      "VALUES (1, BIGINT '0'), (2, BIGINT '1'), (3, BIGINT '2')")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT count(value) FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key <= t.key) ON TRUE",
+      "VALUES (1, BIGINT '1'), (2, BIGINT '2'), (3, BIGINT '3')")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
