@@ -190,6 +190,9 @@ object GraftFunctions {
     // without this, `VALUES (0E0/0E0)` dies on ANSI DIVIDE_BY_ZERO
     // before any resolution rule sees it).
     e.injectHintResolutionRule(_ => graft.plans.IeeeDoubleDivide)
+    // fail-loud guard for Spark's wrong-result decorrelation of
+    // GROUP BY + LIMIT correlated subqueries (CorrelatedLimitGuard)
+    e.injectCheckRule(_ => graft.plans.CorrelatedLimitGuard)
     e.injectOptimizerRule(_ => graft.plans.IdempotentCollectionOps)
     e.injectOptimizerRule(_ => graft.plans.ConstantIndexElementAt)
   }

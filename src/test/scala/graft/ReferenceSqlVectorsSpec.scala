@@ -3695,6 +3695,58 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, BIGINT '1'), (2, BIGINT '2'), (3, BIGINT '3')")
   }
 
+  test("correlated subqueries with GROUP BY / LIMIT / TopN (sql/query/TestSubqueries)") {
+    // correlated EXISTS over a grouped subquery, with key coercion
+    assertVector(
+      "SELECT EXISTS(SELECT 1 FROM (VALUES (1, null)) t(a, b) WHERE t.a=t2.b GROUP BY t.b) FROM (VALUES 1.0, 2.0) t2(b)",
+      "VALUES true, false")
+    assertVector(
+      "SELECT EXISTS(SELECT 1 FROM (VALUES (null, null)) t(a, b) WHERE t.a=t2.b GROUP BY t.b) FROM (VALUES 1, 2) t2(b)",
+      "VALUES false, false")
+    assertVector(
+      "SELECT EXISTS(SELECT 1 FROM (VALUES (1, null)) t(a, b) WHERE t.a = t2.b * t2.c - 1 GROUP BY t.b) FROM (VALUES (1, 2), (2, 3)) t2(b, c)",
+      "VALUES true, false")
+    // grouped aggregate + LIMIT decorrelates correctly for a BARE
+    // outer attribute (probed on bare Spark)...
+    assertVector(
+      "SELECT (SELECT count(*) FROM (VALUES 1, 3, 3) t(a) WHERE t.a = t2.b GROUP BY t.a LIMIT 1) FROM (VALUES 1, 3) t2(b)",
+      "VALUES BIGINT '1', BIGINT '2'")
+    // ...but a COMPOUND correlation expression under LIMIT hoists the
+    // limit above the decorrelated join in Spark 4.1 (reproduced wrong
+    // answer on bare Spark: 1, NULL instead of 1, 2), so the engine
+    // REJECTS that shape loudly (plans/CorrelatedLimitGuard.scala)
+    vectorCount += 1
+    val guardEx = intercept[Exception](runQ(
+      "SELECT (SELECT count(*) FROM (VALUES 1, 3, 3) t(a) WHERE t.a = t2.b * t2.c - 1 GROUP BY t.a LIMIT 1) FROM (VALUES (1, 2), (2, 2)) t2(b, c)"
+    ).collect())
+    assert(guardEx.getMessage.contains("compound correlation"),
+      s"expected the CorrelatedLimitGuard rejection, got: ${guardEx.getMessage}")
+    // correlated scalar with LIMIT (unique filter key makes it sound)
+    assertVector(
+      "SELECT (SELECT t.a FROM (VALUES 1, 2, 3) t(a) WHERE t.a = t2.b LIMIT 1) FROM (VALUES 1.0, 2.0) t2(b)",
+      "VALUES 1, 2")
+    // bare-attribute LIMIT 2 is fine; the compound form is rejected
+    assertVector(
+      "SELECT (SELECT t.a FROM (VALUES 1, 2, 3) t(a) WHERE t.a = t2.b LIMIT 2) FROM (VALUES 1.0, 2.0) t2(b)",
+      "VALUES 1, 2")
+    vectorCount += 1
+    val guardEx2 = intercept[Exception](runQ(
+      "SELECT (SELECT t.a FROM (VALUES 1, 2, 3, 4, 5, 6) t(a) WHERE t.a = t2.b * t2.c - 1 LIMIT 2) FROM (VALUES (1, 2), (2, 3)) t2(b, c)"
+    ).collect())
+    assert(guardEx2.getMessage.contains("compound correlation"),
+      s"expected the CorrelatedLimitGuard rejection, got: ${guardEx2.getMessage}")
+    // correlated TopN
+    assertVector(
+      "SELECT (SELECT t.a FROM (VALUES 1, 2, 3) t(a) WHERE t.a = t2.b ORDER BY a LIMIT 1) FROM (VALUES 1.0, 2.0) t2(b)",
+      "VALUES 1, 2")
+    vectorCount += 1
+    val guardEx3 = intercept[Exception](runQ(
+      "SELECT (SELECT t.a FROM (VALUES 1, 2, 3, 4, 5) t(a) WHERE t.a = t2.b * t2.c - 1 ORDER BY a LIMIT 1) FROM (VALUES (1, 2), (2, 3)) t2(b, c)"
+    ).collect())
+    assert(guardEx3.getMessage.contains("compound correlation"),
+      s"expected the CorrelatedLimitGuard rejection, got: ${guardEx3.getMessage}")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
