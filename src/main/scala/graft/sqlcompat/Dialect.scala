@@ -426,14 +426,14 @@ object Dialect {
     * multi-argument zip and WITH ORDINALITY stay with RelationSql —
     * here they pass through untranslated for Spark to reject loudly. */
   private def unnestJoinPass(canon0: String): String = {
-    val re = "(?i)\\b(CROSS|LEFT)\\s+JOIN\\s+UNNEST\\s*\\(".r
+    val re = "(?i)\\b(CROSS|LEFT(?:\\s+OUTER)?)\\s+JOIN\\s+UNNEST\\s*\\(".r
     var out = canon0
     var guard = 0
     var m = re.findFirstMatchIn(out)
     while (m.isDefined && guard < 32) {
       guard += 1
       val mm = m.get
-      val outer = mm.group(1).equalsIgnoreCase("LEFT")
+      val outer = mm.group(1).toUpperCase.startsWith("LEFT")
       var depth = 1
       var i = mm.end
       var topComma = false
@@ -453,12 +453,17 @@ object Dialect {
       // unsupported form (multi-arg zip, WITH ORDINALITY, no alias):
       // stop rewriting — the text passes through and Spark rejects it
       // loudly, same fail-loud posture as the rest of the dialect
-      if (topComma || ordinality || am.isEmpty) return out
-      val alias = am.get.group(1)
-      val cols = am.get.group(2).split(",").map(_.trim).filter(_.nonEmpty)
-      require(cols.length >= 1 && cols.length <= 2,
-        s"UNNEST join supports 1 (array) or 2 (map) output columns, got ${cols.length}")
-      var rest = tail.substring(am.get.end)
+      if (topComma || ordinality) return out
+      // a missing alias is legal (SELECT * consumers): synthesize one
+      val (alias, cols, aliasEnd) = am match {
+        case Some(a) =>
+          val cs = a.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+          require(cs.length >= 1 && cs.length <= 2,
+            s"UNNEST join supports 1 (array) or 2 (map) output columns, got ${cs.length}")
+          (a.group(1), cs.toSeq, a.end)
+        case None => ("__unnest", Seq("__uc"), 0)
+      }
+      var rest = tail.substring(aliasEnd)
       if (outer) {
         val onRe = "(?is)^\\s*ON\\s+TRUE".r
         val om = onRe.findFirstIn(rest)
@@ -655,7 +660,7 @@ object Dialect {
     * constructor rewrite, which would otherwise turn the type into
     * `AS struct(` (the pre-r14 fail-loud posture). */
   private def rowTypePass(canon0: String): String = {
-    val re = "(?i)\\bAS\\s+(ROW)\\s*\\(".r
+    val re = "(?i)\\bAS\\s+(ROW|ARRAY|MAP)\\s*\\(".r
     var out = canon0
     var m = re.findFirstMatchIn(out)
     var guard = 0
@@ -688,12 +693,50 @@ object Dialect {
       guard += 1
       val open = out.indexOf('(', m.get.start(1))
       val close = closeParen(out, open)
-      val args = MatchRecognizeSql.splitTopLevel(out.substring(open + 1, close), ',')
+      // bracket-AND-paren-aware top-level split: ARRAY[...] literals
+      // still carry brackets at this point in the chain
+      val bodyTxt = out.substring(open + 1, close)
+      val args = {
+        val acc = scala.collection.mutable.ArrayBuffer[String]()
+        val sb2 = new StringBuilder
+        var d = 0
+        bodyTxt.foreach { c =>
+          if (c == '(' || c == '[') d += 1
+          else if (c == ')' || c == ']') d -= 1
+          if (c == ',' && d == 0) { acc += sb2.toString; sb2.clear() }
+          else sb2 += c
+        }
+        acc += sb2.toString
+        acc.toSeq.map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+      }
       val ord = "(?is)^\\s*WITH\\s+ORDINALITY".r
         .findFirstIn(out.substring(close + 1)).isDefined
-      if (args.length != 1 || ord) return out
-      out = out.substring(0, m.get.start(1)) + "explode" +
-        out.substring(m.get.start(1) + 6)
+      if (ord) return out
+      // an argument is a ROW array when its canonical text says so —
+      // `array(struct(...))` literals or a cast to ARRAY<STRUCT<...>>;
+      // the reference expands row fields into separate output columns
+      // (TestUnnest testUnnestArrayRows), which is Spark's `inline`
+      def rowish(a: String): Boolean =
+        a.matches("(?is)^array\\s*[\\(\\[]\\s*(null\\s*,\\s*)*struct\\s*\\(.*") ||
+          a.matches("(?is).*\\bARRAY\\s*<\\s*STRUCT\\s*<.*")
+      if (args.length == 1) {
+        val fn = if (rowish(args.head)) "inline" else "explode"
+        out = out.substring(0, m.get.start(1)) + fn +
+          out.substring(m.get.start(1) + 6)
+      } else if (args.forall(rowish)) {
+        // multi-argument zip of row arrays: zip (shorter sides pad
+        // with null rows), explode, then expand every slot's fields
+        val zipped = s"arrays_zip(${args.mkString(", ")})"
+        val expand = args.indices.map(i => s"__u.`$i`.*").mkString(", ")
+        val repl = s"FROM (SELECT $expand FROM " +
+          s"(SELECT explode($zipped) AS __u))"
+        out = out.substring(0, m.get.start) + repl + out.substring(close + 1)
+      } else if (!args.exists(rowish)) {
+        // multi-argument zip of scalar arrays: slot per argument
+        val zipped = s"arrays_zip(${args.mkString(", ")})"
+        val repl = s"FROM (SELECT __u.* FROM (SELECT explode($zipped) AS __u))"
+        out = out.substring(0, m.get.start) + repl + out.substring(close + 1)
+      } else return out // mixed row/scalar args: loud pass-through
       m = re.findFirstMatchIn(out)
     }
     out

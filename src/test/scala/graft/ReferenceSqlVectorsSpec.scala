@@ -3747,6 +3747,34 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the CorrelatedLimitGuard rejection, got: ${guardEx3.getMessage}")
   }
 
+  test("UNNEST edge vectors (sql/query/TestUnnest)") {
+    // multi-argument zip of row-arrays expands the row fields, padding
+    // the shorter / null sides
+    assertVector(
+      "SELECT * FROM UNNEST(ARRAY[ROW(1, 1.1), ROW(3, 3.3)], ARRAY[ROW('a', true), ROW('b', false)])",
+      "VALUES (1, 1.1, 'a', true), (3, 3.3, 'b', false)")
+    assertVector(
+      "SELECT * FROM UNNEST(ARRAY[ROW(1, 1.1), ROW(3, 3.3)], ARRAY[ROW('a', true), null])",
+      "VALUES (1, 1.1, 'a', true), (3, 3.3, null, null)")
+    assertVector(
+      "SELECT * FROM UNNEST(ARRAY[ROW(1, 1.1), ROW(3, 3.3)], ARRAY[null, ROW('a', true), null])",
+      "VALUES (1, 1.1, null, null), (3, 3.3, 'a', true), (null, null, null, null)")
+    // (join-form UNNEST over a row-array column — CROSS JOIN
+    // UNNEST(a) t(x, y) — needs the collection's type, unavailable at
+    // text-rewrite time; it fails loudly rather than mistranslating)
+    // row field names from the declared type are preserved
+    assertVector(
+      "SELECT x FROM UNNEST(CAST(ARRAY[ROW(1, 'a'), ROW(2, 'b')] as ARRAY(ROW(x int, y varchar))))",
+      "VALUES (1), (2)")
+    // LEFT JOIN UNNEST keeps left rows for empty/null collections
+    assertVector(
+      "SELECT * FROM (VALUES ARRAY[1, null]) a(x) LEFT OUTER JOIN UNNEST(x) ON true",
+      "VALUES (ARRAY[1, null], 1), (ARRAY[1, null], null)")
+    assertVector(
+      "SELECT id, e FROM (VALUES (1, ARRAY[3,4]), (2, NULL), (3, ARRAY[4]), (4, NULL), (5, ARRAY[]), (6, ARRAY[7,8])) x(id, a) LEFT JOIN UNNEST(a) AS y(e) ON true",
+      "VALUES (1, 3), (1, 4), (2, NULL), (3, 4), (4, NULL), (5, NULL), (6, 7), (6, 8)")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
