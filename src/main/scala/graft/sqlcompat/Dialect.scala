@@ -1265,6 +1265,77 @@ object Dialect {
   }
 
 
+  /** Row-constructor star expansion (grammar `SqlBase.g4`
+    * selectItem `primaryExpression . ASTERISK [AS columnAliases]`;
+    * reference sql/query/TestSelectAll): `ROW(e1, ..., en).*` /
+    * `(ROW(...)).*` / `(e1, e2).*` in a SELECT list expand INLINE to
+    * their elements — the arity is statically known from the
+    * constructor text, which Spark's parser (identifier-only
+    * qualified stars) cannot do. An optional `AS (a, b, ...)` alias
+    * list zips onto the elements. Stars over non-constructor
+    * expressions pass through (struct COLUMNS support `.*`
+    * natively). */
+  private def rowStarPass(canon0: String): String = {
+    var out = canon0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val idx = out.indexOf(").*")
+      if (idx < 0) return out
+      // balanced group ending at idx
+      var d = 0
+      var k = idx
+      var open = -1
+      while (k >= 0 && open < 0) {
+        val c = out.charAt(k)
+        if (c == ')') d += 1
+        else if (c == '(') { d -= 1; if (d == 0) open = k }
+        k -= 1
+      }
+      if (open < 0) return out
+      // optional function head (struct)
+      var hs = open
+      while (hs > 0 && (out.charAt(hs - 1).isLetterOrDigit || out.charAt(hs - 1) == '_'))
+        hs -= 1
+      val head = out.substring(hs, open)
+      var inner = out.substring(open + 1, idx)
+      val isStruct = head.equalsIgnoreCase("struct")
+      // (struct(...)).* — parenthesized constructor
+      val parenStruct = !isStruct && head.isEmpty &&
+        inner.matches("(?is)^\\s*struct\\s*\\(.*\\)\\s*$")
+      if (parenStruct) {
+        val io = inner.indexOf('(')
+        inner = inner.substring(io + 1, closeParen(inner, io))
+      }
+      val elems = MatchRecognizeSql.splitTopLevel(inner, ',')
+        .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+      val isTuple = head.isEmpty && !parenStruct && elems.length > 1
+      if (!isStruct && !parenStruct && !isTuple) {
+        // not a constructor star (e.g. a struct column's t.*): leave
+        // this occurrence; scan past it by blanking temporarily
+        val before = out.substring(0, idx + 3)
+        val rest = rowStarPass(out.substring(idx + 3))
+        return before + rest
+      }
+      // optional AS (a, b, ...) alias list
+      var tail = idx + 3
+      var aliased = elems
+      val aM = "(?is)^\\s*AS\\s*\\(".r.findPrefixMatchOf(out.substring(tail))
+      if (aM.isDefined) {
+        val ao = out.indexOf('(', tail + aM.get.end - 1)
+        val ac = closeParen(out, ao)
+        val names = MatchRecognizeSql.splitTopLevel(out.substring(ao + 1, ac), ',')
+          .map(_.trim)
+        require(names.length == elems.length,
+          s"row star alias list arity ${names.length} != ${elems.length}")
+        aliased = elems.zip(names).map { case (e, n) => s"$e AS $n" }
+        tail = ac + 1
+      }
+      out = out.substring(0, hs) + aliased.mkString(", ") + out.substring(tail)
+    }
+    out
+  }
+
   private def ifTwoArgPass(canon0: String): String = {
     val re = "(?i)\\bif\\s*\\(".r
     var out = canon0
@@ -1311,6 +1382,7 @@ object Dialect {
     out = valuesLambdaPass(out)
     out = applyPass(out)
     out = ifTwoArgPass(out)
+    out = rowStarPass(out)
     out = groupByCompositionPass(out)
     out = orderedAggPass(out)
     out = unorderedRankingPass(out)

@@ -3775,6 +3775,40 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, 3), (1, 4), (2, NULL), (3, 4), (4, NULL), (5, NULL), (6, 7), (6, 8)")
   }
 
+  test("VALUES / full-join / grouping-set / select-star vectors (sql/query TestValues, TestFullJoin, TestGroupingSets, TestSelectAll)") {
+    // VALUES row coercions across rows
+    assertVector("VALUES 1, 2e0", "VALUES 1e0, 2e0")
+    assertVector("VALUES (1, 2), (3, 4e0)", "VALUES (1, 2e0), (3, 4e0)")
+    assertVector(
+      "SELECT r.* FROM (VALUES CAST(ROW(1, 'TruE') AS row(double, boolean))) v(r)",
+      "SELECT 1e0, true")
+    // FULL OUTER JOIN with ordered limit over the null-extended side
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) AS l(v) FULL OUTER JOIN (VALUES 2) AS r(v) ON l.v = r.v ORDER BY l.v NULLS FIRST LIMIT 1",
+      "VALUES (1, CAST(NULL AS INTEGER))")
+    assertVector(
+      "SELECT * FROM (VALUES 2) AS l(v) FULL OUTER JOIN (VALUES 1, 2) AS r(v) ON l.v = r.v ORDER BY r.v NULLS FIRST LIMIT 1",
+      "VALUES (CAST(NULL AS INTEGER), 1)")
+    // predicate over grouping keys keeps only the non-empty set's rows
+    assertVector(
+      "WITH t AS (SELECT a FROM (VALUES 1, 2) AS u(a) GROUP BY GROUPING SETS ((), (a))) SELECT * FROM t WHERE a IS NOT NULL",
+      "VALUES 1, 2")
+    assertVector(
+      "SELECT a FROM (VALUES 3, 2, 1) t(a) GROUP BY ROLLUP (a) ORDER BY a LIMIT 2",
+      "VALUES 1, 2")
+    // select-star over row expressions and nested fields
+    assertVector("SELECT (ROW (1, 'a')).*", "SELECT 1, 'a'")
+    assertVector(
+      "SELECT a.b.* FROM (VALUES (ROW (ROW (1, 2, 3)))) A (b)",
+      "SELECT 1, 2, 3")
+    assertVector(
+      "SELECT ROW(a, b).*, ROW(b, c).*, ROW(a, c).* FROM (VALUES (1, 2, 3)) t(a, b, c)",
+      "VALUES (1, 2, 2, 3, 1, 3)")
+    assertVector(
+      "SELECT a, b, c FROM (SELECT T.* FROM (VALUES (1, 2, 3)) T (a, b, c))",
+      "SELECT 1 a, 2 b, 3 c")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
