@@ -3809,6 +3809,37 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT 1 a, 2 b, 3 c")
   }
 
+  test("numerical stability / comparator / precedence vectors (TestNumericalStability, TestArraySortAfterArrayDistinct, TestNestedLogicalBinaryExpression)") {
+    // variance of shifted data: catastrophic cancellation would break
+    // these (the reference and this engine both use stable forms)
+    assertVector(
+      "SELECT CAST(VAR_SAMP(x + exp(30))/VAR_SAMP(x) AS DECIMAL(3,2)) FROM (VALUES 1.0, 2.0, 3.0, 4.0, 5.0) AS X(x)",
+      "VALUES 1.00")
+    assertVector(
+      "SELECT CAST(COVAR_SAMP(x + exp(30), x + exp(30))/VAR_SAMP(x) AS DECIMAL(3,2)) FROM (VALUES 1.0, 2.0, 3.0, 4.0, 5.0) AS X(x)",
+      "VALUES 1.00")
+    assertVector(
+      "SELECT CAST(CORR(x + exp(30), x + exp(30)) AS DECIMAL(3,2)) FROM (VALUES 1.0, 2.0, 3.0, 4.0, 5.0) AS X(x)",
+      "VALUES 1.00")
+    assertVector(
+      "SELECT CAST(REGR_SLOPE((x + exp(30)) * 5 + 8, x + exp(30)) AS DECIMAL(3,2)) FROM (VALUES 1.0, 2.0, 3.0, 4.0, 5.0) AS X(x)",
+      "VALUES 5.00")
+    assertVector(
+      "SELECT CAST(REGR_INTERCEPT((x + exp(20)) * 5 + 8, x + exp(20)) AS DECIMAL(3,2)) FROM (VALUES 1.0, 2.0, 3.0, 4.0, 5.0) AS X(x)",
+      "VALUES 8.00")
+    // array_sort with an explicit comparator lambda, then distinct
+    assertVector(
+      "SELECT ARRAY_DISTINCT(ARRAY_SORT(items)) as result from (VALUES (ARRAY ['elephant', 'dog', 'cat', 'dog'])) t(items)",
+      "VALUES (ARRAY['cat', 'dog', 'elephant'])")
+    assertVector(
+      "SELECT ARRAY_DISTINCT(ARRAY_SORT(items, (x, y) -> IF(x < y, 1, IF(x = y, 0, -1)))) as result from (VALUES (ARRAY ['elephant', 'dog', 'cat', 'dog'])) t(items)",
+      "VALUES (ARRAY['elephant', 'dog', 'cat'])")
+    // AND binds tighter than OR under nested logical expressions
+    assertVector(
+      "SELECT orderkey FROM orders WHERE custkey IS NULL OR custkey = (SELECT custkey FROM orders WHERE orderkey = 1) AND orderkey = 1",
+      "VALUES BIGINT '1'")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
