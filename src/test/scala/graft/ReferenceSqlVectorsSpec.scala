@@ -3840,6 +3840,37 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES BIGINT '1'")
   }
 
+  test("JOIN USING and filtered-distinct aggregate vectors (sql/query TestJoinUsing, TestFilteredAggregations)") {
+    // USING output layout: join key once, then both sides' columns;
+    // qualified t.v1/u.v2 still resolvable
+    assertVector(
+      "SELECT k, v1, v2, t.v1, u.v2 FROM (VALUES (1, 'a')) AS t(k, v1) JOIN (VALUES (1, 'b')) AS u(k, v2) USING (k)",
+      "VALUES (1, 'a', 'b', 'a', 'b')")
+    assertVector(
+      "SELECT * FROM (VALUES (1, 'a')) AS t(k, v1) JOIN (VALUES (1, 'b')) AS u(k, v2) USING (k)",
+      "VALUES (1, 'a', 'b')")
+    assertVector(
+      "SELECT * FROM (VALUES (1, 'a', 2)) AS t(k1, v1, k2) JOIN (VALUES (1, 'b', 2)) AS u(k1, v2, k2) USING (k1, k2)",
+      "VALUES (1, 2, 'a', 'b')")
+    // key coercion across USING sides (int vs double)
+    assertVector(
+      "SELECT * FROM (VALUES (1e0, 'a')) AS t(k, v1) JOIN (VALUES (1, 'b')) AS u(k, v2) USING (k)",
+      "VALUES (1e0, 'a', 'b')")
+    // filtered + mixed distinct aggregates
+    assertVector(
+      "SELECT sum(x) FILTER(WHERE x > 0), sum(x) FILTER(WHERE x < 3) FROM (VALUES 1, 1, 0, 5, 3, 8) t(x)",
+      "VALUES (BIGINT '18', BIGINT '2')")
+    assertVector(
+      "SELECT count(DISTINCT x) FILTER (WHERE x > 1), sum(DISTINCT x) FROM (VALUES 1, 1, 1, 2, 3, 3) t(x)",
+      "VALUES (BIGINT '2', BIGINT '6')")
+    assertVector(
+      "SELECT count(DISTINCT x) FILTER (WHERE x > 1), sum(DISTINCT y) FILTER (WHERE x < 3) FROM (VALUES (1, 10), (1, 20), (1, 20), (2, 20), (3, 30)) t(x, y)",
+      "VALUES (BIGINT '2', BIGINT '30')")
+    assertVector(
+      "SELECT count(x) FILTER (WHERE x > 1), sum(DISTINCT x) FROM (VALUES 1, 2, 3, 3) t(x)",
+      "VALUES (BIGINT '3', BIGINT '6')")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
