@@ -3871,6 +3871,15 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (BIGINT '3', BIGINT '6')")
   }
 
+  test("recursive CTE vectors (sql/query/TestRecursiveCte)") {
+    assertVector(
+      "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 2 FROM t WHERE n < 6) SELECT * from t",
+      "VALUES (1), (3), (5), (7)")
+    assertVector(
+      "WITH RECURSIVE t(n, m) AS (SELECT * FROM (VALUES(1, 2), (4, 100)) UNION ALL SELECT n + 1, m - 1 FROM t WHERE n < 5) SELECT * from t",
+      "VALUES (1, 2), (4, 100), (2, 1), (5, 99), (3, 0), (4, -1), (5, -2)")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
