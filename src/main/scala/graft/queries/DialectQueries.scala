@@ -930,7 +930,42 @@ object DialectQueries {
       |  FROM lineitem WHERE l_orderkey <= 4000) t
       |GROUP BY l_returnflag""".stripMargin
 
+  // --------------------------- dx24 late-r14 dialect surface
+  /** Composed GROUP BY (plain key × ROLLUP — the dialect's
+    * cross-product GROUPING SETS expansion), an ordered array_agg
+    * (null-keeping struct collect + comparator sort), and a generic
+    * TRY over ANSI-failing casts, all under the full DuckDB hash gate.
+    * The oracle spells the composed grouping as its explicit
+    * UNION-of-group-bys equivalent. */
+  val dx24Reference: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty100,
+      |  array_agg(l_linenumber ORDER BY l_linenumber DESC) AS lns,
+      |  COUNT(TRY(CAST(substr(CAST(l_orderkey AS VARCHAR), 1, 1) AS BIGINT))) AS head_digits
+      |FROM lineitem WHERE l_orderkey < 500
+      |GROUP BY l_returnflag, ROLLUP (l_linestatus)""".stripMargin
+
+  def dx24(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx24Reference))
+  }
+
+  val dx24Sql: String =
+    """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 500)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty100,
+      |  array_agg(l_linenumber ORDER BY l_linenumber DESC) AS lns,
+      |  CAST(COUNT(*) AS BIGINT) AS head_digits
+      |FROM src GROUP BY l_returnflag, l_linestatus
+      |UNION ALL
+      |SELECT l_returnflag, NULL,
+      |  CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT),
+      |  array_agg(l_linenumber ORDER BY l_linenumber DESC),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM src GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx24_composed_grouping" -> dx24 _,
     "dx23_nan_minmax" -> dx23 _,
     "dx22_three_part_names" -> dx22 _,
     "dx20_quantified_subscripts" -> dx20 _,
@@ -956,6 +991,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx24_composed_grouping" -> dx24Sql,
     "dx23_nan_minmax" -> dx23Sql,
     "dx22_three_part_names" -> dx22Sql,
     "dx20_quantified_subscripts" -> dx20Sql,
