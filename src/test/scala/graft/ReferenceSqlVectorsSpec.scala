@@ -3880,6 +3880,15 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, 2), (4, 100), (2, 1), (5, 99), (3, 0), (4, -1), (5, -2)")
   }
 
+  test("grouping() expression vectors (sql/query/TestGrouping)") {
+    assertVector(
+      "SELECT 1e0 * count(*), grouping(x) FROM (VALUES 1) t(x) GROUP BY GROUPING SETS ((x), ())",
+      "VALUES (1e0, 1), (1e0, 0)")
+    assertVector(
+      "SELECT a, b, grouping(a, b) FROM (VALUES ('x0', 'y0'), ('x1', 'y1') ) AS t (a, b) GROUP BY CUBE (a, b) HAVING grouping(a, b) = 0",
+      "VALUES ('x0', 'y0', 0), ('x1', 'y1', 0)")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
