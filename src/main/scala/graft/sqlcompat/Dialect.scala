@@ -1309,7 +1309,8 @@ object Dialect {
       }
       val elems = MatchRecognizeSql.splitTopLevel(inner, ',')
         .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
-      val isTuple = head.isEmpty && !parenStruct && elems.length > 1
+      val isTuple = head.isEmpty && !parenStruct && elems.length > 1 &&
+        !inner.matches("(?is)^\\s*SELECT\\b.*") // a subquery star is not a tuple
       if (!isStruct && !parenStruct && !isTuple) {
         // not a constructor star (e.g. a struct column's t.*): leave
         // this occurrence; scan past it by blanking temporarily
