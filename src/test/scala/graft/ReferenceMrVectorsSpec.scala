@@ -508,4 +508,18 @@ class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3, 2, 90, "A"), (4, 2, 80, "B"), (5, 2, 70, "B"),
       (6, null, 100, null)))
   }
+
+  test("testPotentiallyExponentialMatch vector (TestRowPatternMatching.java: equivalent-thread pruning)") {
+    // (A+)+ B over twenty rows of 1s with B never true: exponential
+    // decompositions unless equivalent states prune — the matcher's
+    // visited-state memo is exactly that (the reference prunes
+    // equivalent Matcher threads). No PARTITION BY, no ORDER BY.
+    val got = run(
+      (1 to 20).map(i => i -> 1),
+      """MEASURES CLASSIFIER() AS label
+        |PATTERN ((A+)+ B)
+        |DEFINE A AS value = 1, B AS value = 2""".stripMargin,
+      Seq("label"))
+    assert(got.isEmpty, s"expected no match, got $got")
+  }
 }
