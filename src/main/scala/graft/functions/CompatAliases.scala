@@ -283,10 +283,15 @@ object CompatAliases {
     })
     // grouping(a, b, ...) (reference GroupingOperationFunction.java):
     // multi-argument form is a bitmask, leftmost argument most
-    // significant — exactly Spark's grouping_id; the 1-arg form stays
-    // Spark's own grouping()
+    // significant. NOT lowered onto Spark's grouping_id — that demands
+    // the argument list equal the full GROUP BY list in order, while
+    // the reference accepts any subset in any order — but composed
+    // from per-column grouping() bits: acc * 2 + grouping(c).
     fn(e, "grouping", c =>
-      if (c.length == 1) Grouping(c.head) else Cast(GroupingID(c), IntegerType))
+      if (c.length == 1) Grouping(c.head)
+      else c.tail.foldLeft(Cast(Grouping(c.head), IntegerType): Expression) {
+        (acc, col) => Add(Multiply(acc, Literal(2)), Cast(Grouping(col), IntegerType))
+      })
     // TRY(expr) (reference TryFunction.java / TestTryFunction.java):
     // evaluate and return NULL on error — failed casts, division by
     // zero, invalid function arguments, arithmetic overflow. Spark's

@@ -518,7 +518,13 @@ object MatchRecognize {
       memoOk: Boolean = false): Array[String] = {
 
     val prog = compile(pat)
-    val useMemo = memoOk && prog.nMarks == 0
+    // memo span in Long: Int arithmetic would overflow for huge
+    // partitions x expanded patterns (negative BitSet size, or worse,
+    // a wrapped-positive size aliasing distinct states to one bit and
+    // silently pruning live matches). Past the cap (2^28 bits = 32 MB)
+    // the memo is skipped — correctness never depends on it.
+    val memoSpan = (n + 1 - start).toLong * prog.op.length
+    val useMemo = memoOk && prog.nMarks == 0 && memoSpan <= (1L << 28)
     var visited: java.util.BitSet = null
 
     var pc = 0
@@ -553,7 +559,7 @@ object MatchRecognize {
     while (running) {
       steps += 1
       if (useMemo && visited == null && steps == 8192)
-        visited = new java.util.BitSet(prog.op.length * (n + 1 - start))
+        visited = new java.util.BitSet(memoSpan.toInt)
       var backtrack = false
       if (visited != null) {
         val idx = pc * (n + 1 - start) + (i - start)

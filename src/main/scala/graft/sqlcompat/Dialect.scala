@@ -454,14 +454,25 @@ object Dialect {
       // stop rewriting — the text passes through and Spark rejects it
       // loudly, same fail-loud posture as the rest of the dialect
       if (topComma || ordinality) return out
-      // a missing alias is legal (SELECT * consumers): synthesize one
+      // alias forms: `AS a(c1[, c2])`, a bare `[AS] a` (columns
+      // synthesized), or nothing at all (alias and column synthesized —
+      // SELECT * consumers see the value under a generated name)
+      val bareAliasRe =
+        "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)(?!\\s*\\()(?![\\w])".r
+      val keywordish = Set("on", "where", "group", "order", "limit", "join",
+        "inner", "left", "right", "full", "cross", "union", "having", "lateral")
       val (alias, cols, aliasEnd) = am match {
         case Some(a) =>
           val cs = a.group(2).split(",").map(_.trim).filter(_.nonEmpty)
           require(cs.length >= 1 && cs.length <= 2,
             s"UNNEST join supports 1 (array) or 2 (map) output columns, got ${cs.length}")
           (a.group(1), cs.toSeq, a.end)
-        case None => ("__unnest", Seq("__uc"), 0)
+        case None =>
+          bareAliasRe.findFirstMatchIn(tail) match {
+            case Some(b) if !keywordish(b.group(1).toLowerCase) =>
+              (b.group(1), Seq("__uc"), b.end)
+            case _ => ("__unnest", Seq("__uc"), 0)
+          }
       }
       var rest = tail.substring(aliasEnd)
       if (outer) {
@@ -1006,6 +1017,11 @@ object Dialect {
       val rawArgs = if (tws(body).isEmpty) Seq.empty[String]
         else MatchRecognizeSql.splitTopLevel(body, ',').map(tws)
       val fmtRe = "(?is)\\s+FORMAT\\s+JSON\\s*$".r
+      // JSON-returning functions carry implicit FORMAT JSON (SQL:2016
+      // JSON-returning-function rule): a nested json_object /
+      // json_array / json_query value splices raw instead of being
+      // re-encoded as a quoted string
+      val jsonValued = "(?is)^json_(object|array|query)\\s*\\(.*".r
       val items = rawArgs.map { a0 =>
         var a = a0
         var raw = false
@@ -1025,7 +1041,8 @@ object Dialect {
                   s"json_object pair needs `k : v` or KEY k VALUE v, got: $kv")
                 (tws(parts(0)), tws(parts(1)))
             }
-            val vf = if (raw) s"($v)" else frag(v)
+            val vRaw = raw || jsonValued.pattern.matcher(v).matches()
+            val vf = if (vRaw) s"($v)" else frag(v)
             if (absent)
               s"CASE WHEN ($v) IS NULL THEN NULL ELSE concat(${frag(k)}, ':', $vf) END"
             else
@@ -1035,7 +1052,8 @@ object Dialect {
           else s"concat('{', concat_ws(',', ${pairs.mkString(", ")}), '}')"
         } else {
           val elems = items.map { case (v, raw) =>
-            val vf = if (raw) s"($v)" else frag(v)
+            val vf = if (raw || jsonValued.pattern.matcher(v).matches())
+              s"($v)" else frag(v)
             if (absent) s"CASE WHEN ($v) IS NULL THEN NULL ELSE $vf END"
             else s"CASE WHEN ($v) IS NULL THEN 'null' ELSE $vf END"
           }
@@ -1096,7 +1114,12 @@ object Dialect {
           obRe.findPrefixMatchOf(body.substring(i)).isDefined) obPos = i
         i += 1
       }
-      if (obPos < 0 && fn != "array_agg") { from = close + 1 }
+      // a window invocation is NOT rewritten: OVER must attach to the
+      // aggregate itself, and Spark's native array_agg window handles it
+      val windowed = "(?is)^\\s*(FILTER\\s*\\([^)]*\\)\\s*)?OVER\\b".r
+        .findPrefixMatchOf(out.substring(close + 1)).isDefined
+      if (windowed) { from = close + 1 }
+      else if (obPos < 0 && fn != "array_agg") { from = close + 1 }
       else if (fn != "array_agg") {
         // order-insensitive aggregate: the clause is semantically void
         out = out.substring(0, open + 1) + ws(body.substring(0, obPos)) +
@@ -1227,14 +1250,27 @@ object Dialect {
             .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
             .filter(_.nonEmpty)
         }
+        // a ROLLUP/CUBE inner argument may itself be a parenthesized
+        // COMPOSITE key — its columns move through the expansion as one
+        // unit (SQL:2016 <ordinary grouping set> in rollup/cube lists)
+        def units(it: String): Seq[Seq[String]] = innerArgs(it).map { g =>
+          if (g.startsWith("(")) {
+            val c2 = closeParen(g, 0)
+            MatchRecognizeSql.splitTopLevel(g.substring(1, c2), ',')
+              .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+              .filter(_.nonEmpty)
+          } else Seq(g)
+        }
         val perItem: Seq[Seq[Seq[String]]] = items.map { it =>
           if (it.matches("(?is)^ROLLUP\\s*\\(.*")) {
-            val ks = innerArgs(it)
-            (ks.length to 0 by -1).map(n => ks.take(n))
+            val ks = units(it)
+            (ks.length to 0 by -1).map(n => ks.take(n).flatten)
           } else if (it.matches("(?is)^CUBE\\s*\\(.*")) {
-            val ks = innerArgs(it)
+            val ks = units(it)
             (0 until (1 << ks.length)).map { mask =>
-              ks.zipWithIndex.collect { case (k, ix) if (mask & (1 << ix)) == 0 => k }
+              ks.zipWithIndex.collect {
+                case (k, ix) if (mask & (1 << ix)) == 0 => k
+              }.flatten.toSeq
             }
           } else if (it.matches("(?is)^GROUPING\\s+SETS\\s*\\(.*")) {
             innerArgs(it).map { g =>

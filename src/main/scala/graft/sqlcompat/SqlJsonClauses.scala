@@ -94,7 +94,7 @@ object SqlJsonClauses {
     bail(s"unbalanced parens")
   }
 
-  // whitespace-only trim: String.trim would eat the /
+  // whitespace-only trim: String.trim would eat the U+0001/U+0002
   // literal sentinels
   private def tws(x: String): String =
     x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
@@ -159,7 +159,7 @@ object SqlJsonClauses {
       if (!eatKw(w)) bail(s"expected $w at $pos in: $src")
   }
 
-  private val sentinelRe = "^\\d+".r
+  private val sentinelRe = "^\u0001\\d+\u0002".r
 
   private def rewrite(fn: String, body: String): String = {
     val cur = new Cursor(body)

@@ -3889,6 +3889,29 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES ('x0', 'y0', 0), ('x1', 'y1', 0)")
   }
 
+  test("review-fix pins: nested JSON constructors, composite ROLLUP units, windowed array_agg, bare unnest alias") {
+    // nested JSON-returning functions splice raw (implicit FORMAT JSON)
+    assertVector(
+      "SELECT json_object('a' : json_object('b' : 1)), json_array(json_array(1, 2), 3)",
+      "SELECT '{\"a\":{\"b\":1}}', '[[1,2],3]'")
+    // composite keys travel as one unit through ROLLUP composition
+    assertVector(
+      "SELECT a, b, c, count(*) FROM (VALUES (1, 2, 3), (1, 2, 4)) t(a, b, c) GROUP BY a, ROLLUP ((b, c))",
+      "SELECT a, b, c, count(*) FROM (VALUES (1, 2, 3), (1, 2, 4)) t(a, b, c) GROUP BY a, b, c UNION ALL SELECT a, NULL, NULL, count(*) FROM (VALUES (1, 2, 3), (1, 2, 4)) t(a, b, c) GROUP BY a")
+    // array_agg as a window function passes through untouched
+    assertVector(
+      "SELECT x, array_agg(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM (VALUES 1, 2, 3) t(x)",
+      "VALUES (1, ARRAY[1]), (2, ARRAY[1, 2]), (3, ARRAY[1, 2, 3])")
+    // bare UNNEST alias without a column list
+    assertVector(
+      "SELECT id FROM (VALUES (1, ARRAY[10, 20])) x(id, a) CROSS JOIN UNNEST(a) AS u",
+      "VALUES (1), (1)")
+    // grouping() over a subset of the grouping keys, reordered
+    assertVector(
+      "SELECT a, b, grouping(b, a) FROM (VALUES (1, 2)) t(a, b) GROUP BY GROUPING SETS ((a), (a, b))",
+      "VALUES (1, NULL, 2), (1, 2, 0)")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
