@@ -3912,6 +3912,19 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, NULL, 2), (1, 2, 0)")
   }
 
+  test("LATERAL relation vectors (sql/query TestLateral, TestCorrelatedJoin)") {
+    assertVector("SELECT * FROM LATERAL (VALUES 1, 2, 3)", "VALUES 1, 2, 3")
+    assertVector("SELECT * FROM LATERAL (VALUES 1), (VALUES 'a')", "VALUES (1, 'a')")
+    assertVector("SELECT * FROM LATERAL (VALUES 1) CROSS JOIN (VALUES 'a')", "VALUES (1, 'a')")
+    assertVector("SELECT * FROM LATERAL (VALUES 1) t(a)", "VALUES 1")
+    assertVector(
+      "SELECT * FROM (VALUES 1) t1(a) JOIN (VALUES 2) t2(b) ON a < b, LATERAL (VALUES 3)",
+      "VALUES (1, 2, 3)")
+    assertVector(
+      "SELECT * FROM (VALUES 1) t(a), LATERAL (SELECT a)",
+      "VALUES (1, 1)")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
