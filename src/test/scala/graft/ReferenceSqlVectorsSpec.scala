@@ -3925,6 +3925,15 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, 1)")
   }
 
+  test("min/max-N as window functions (sql/query/TestMinMaxNWindow)") {
+    assertVector(
+      "SELECT max(x, 3) OVER () FROM (VALUES 1, 2, 3, 4, 5) t(x)",
+      "VALUES (ARRAY[5, 4, 3]), (ARRAY[5, 4, 3]), (ARRAY[5, 4, 3]), (ARRAY[5, 4, 3]), (ARRAY[5, 4, 3])")
+    assertVector(
+      "SELECT min(x, 3) OVER () FROM (VALUES 1, 2, 3, 4, 5) t(x)",
+      "VALUES (ARRAY[1, 2, 3]), (ARRAY[1, 2, 3]), (ARRAY[1, 2, 3]), (ARRAY[1, 2, 3]), (ARRAY[1, 2, 3])")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
