@@ -1050,16 +1050,39 @@ object MatchRecognize {
               }
               // AFTER MATCH SKIP consumption (reference window-MR
               // semantics: rows inside a prior match's skip range get
-              // NULL measures — they never attempt a match)
+              // NULL measures — they never attempt a match). The range
+              // extends to the skip RESUME position for every mode:
+              // past-last-row consumes the whole match, TO FIRST/LAST v
+              // consume up to that label's row (reference
+              // testAfterMatchSkipToLabel: 'rows 2, 3 are skipped'),
+              // and TO NEXT ROW consumes nothing beyond the anchor.
+              def labelHitW(label0: String, v: String): Boolean = {
+                val l = realLabel(label0)
+                l == v || subs.getOrElse(v, Set.empty).contains(l)
+              }
               var consumedUntil = 0
               var i = 0
               while (i < n) {
                 val r = buf(i)
-                val skippedRow = skipMode == SkipMode.PastLastRow && i < consumedUntil
+                val skippedRow = i < consumedUntil
                 val m = if (skippedRow) null else found(i)
                 val at = anchors(i)
-                if (m != null && skipMode == SkipMode.PastLastRow)
-                  consumedUntil = at + m.length
+                if (m != null) consumedUntil = skipMode match {
+                  case SkipMode.PastLastRow => at + m.length
+                  // TO NEXT ROW consumes nothing: every row attempts
+                  // (under SEEK the anchor may be ahead of the row)
+                  case SkipMode.ToNextRow => i + 1
+                  case SkipMode.ToFirst(v) =>
+                    val idx = m.indexWhere(labelHitW(_, v))
+                    require(idx > 0, s"AFTER MATCH SKIP TO FIRST($v): " +
+                      "variable absent from match or maps to its first row")
+                    at + idx
+                  case SkipMode.ToLast(v) =>
+                    val idx = m.lastIndexWhere(labelHitW(_, v))
+                    require(idx > 0, s"AFTER MATCH SKIP TO LAST($v): " +
+                      "variable absent from match or maps to its first row")
+                    at + idx
+                }
                 val (vals, labels) =
                   if (m == null) (null, null)
                   else {

@@ -509,6 +509,44 @@ class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (6, null, 100, null)))
   }
 
+  test("window-frame AFTER MATCH SKIP TO label vectors (TestRowPatternMatchingInWindow testAfterMatchSkipToLabel)") {
+    val spk = spark
+    import spk.implicits._
+    import org.apache.spark.sql.Row
+    import graft.operators.MatchRecognize
+    import graft.operators.MatchRecognize.SkipMode
+    val in = Seq(1 -> 90, 2 -> 80, 3 -> 70, 4 -> 80, 5 -> 70, 6 -> 100)
+      .toDF("id", "value")
+    val down: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Int]("value") < p.getAs[Int]("value")
+    val up: (Row, Row) => Boolean =
+      (p, c) => p != null && c.getAs[Int]("value") > p.getAs[Int]("value")
+    val never: (Row, Row) => Boolean = (_, _) => false
+    val defs = MatchRecognize.wrapSimple(
+      Map("B" -> down, "C" -> up, "D" -> never))
+    def lastish(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("id", "element_at(match_vals, -1) AS val",
+        "element_at(match_labels, -1) AS label")
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getInt(1).toString,
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1).toSeq
+    // A B B C matched at row 1 (skip to FIRST C = row 4 continues
+    // immediately); A B C matched at row 4; rows 2, 3, 5, 6 skipped or
+    // unmatched with null measures
+    val toFirstC = lastish(MatchRecognize.windowMatches(
+      in, Nil, Seq("id"), "A B+ C+ D?", defs,
+      valueCol = "value", skip = SkipMode.ToFirst("C")))
+    assert(toFirstC == Seq((1, "80", "C"), (2, null, null), (3, null, null),
+      (4, "100", "C"), (5, null, null), (6, null, null)))
+    // SKIP TO LAST B: row 3 attempts (and fails) after the first match
+    val toLastB = lastish(MatchRecognize.windowMatches(
+      in, Nil, Seq("id"), "A B+ C+ D?", defs,
+      valueCol = "value", skip = SkipMode.ToLast("B")))
+    assert(toLastB == Seq((1, "80", "C"), (2, null, null), (3, null, null),
+      (4, "100", "C"), (5, null, null), (6, null, null)))
+  }
+
   test("testPotentiallyExponentialMatch vector (TestRowPatternMatching.java: equivalent-thread pruning)") {
     // (A+)+ B over twenty rows of 1s with B never true: exponential
     // decompositions unless equivalent states prune — the matcher's
