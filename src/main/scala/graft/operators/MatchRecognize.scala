@@ -977,7 +977,8 @@ object MatchRecognize {
       valueCol: String,
       seek: Boolean = false,
       subsets: Map[String, Set[String]] = Map.empty,
-      skip: SkipMode = SkipMode.ToNextRow): DataFrame = {
+      skip: SkipMode = SkipMode.ToNextRow,
+      frameEndCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
     // empty PARTITION BY ≡ one global partition (hidden constant key,
     // dropped from the output)
@@ -985,7 +986,7 @@ object MatchRecognize {
       return windowMatches(
         df.withColumn("__gwpart", org.apache.spark.sql.functions.lit(0)),
         Seq("__gwpart"), orderCols, pattern, define, valueCol, seek,
-        subsets, skip).drop("__gwpart")
+        subsets, skip, frameEndCol).drop("__gwpart")
     }
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields.toSeq ++ Seq(
@@ -1000,6 +1001,14 @@ object MatchRecognize {
     val vCol = valueCol
     val doSeek = seek
     val skipMode = skip
+    // `ROWS BETWEEN CURRENT ROW AND <col> FOLLOWING` (reference
+    // testFrameBounds — the bound may be a per-row COLUMN): the match
+    // search from row i is limited to rows [i, i + bound(i)]. Variable
+    // bounds invalidate the backward seek memo (different n per row),
+    // so the bounded form runs one direct matchFrom per row.
+    val frameEnd = frameEndCol
+    require(frameEnd.isEmpty || !seek,
+      "SEEK with a variable frame bound is not supported")
     val spillAfter = SpillAfterRows
     // same captured runaway-key backstop as the table form: spilling
     // bounds memory, this bounds DISK, failing loudly with a remedy
@@ -1041,7 +1050,17 @@ object MatchRecognize {
                     case Some(f) =>
                       f(new MatchCtx(buf, j, startIdx, accRev, v, subs))
                   }
-                val m0 = matchFrom(pat, p, n, classify)
+                val bound = frameEnd match {
+                  case Some(c) =>
+                    val r0 = buf(p)
+                    val off = r0.get(r0.fieldIndex(c)) match {
+                      case null => 0L
+                      case x: Number => math.max(0L, x.longValue())
+                    }
+                    math.min(n.toLong, p + 1 + off).toInt
+                  case None => n
+                }
+                val m0 = matchFrom(pat, p, bound, classify)
                 if (m0 != null && m0.length > 0) { anchors(p) = p; found(p) = m0 }
                 else if (doSeek && p + 1 < n) {
                   anchors(p) = anchors(p + 1); found(p) = found(p + 1)

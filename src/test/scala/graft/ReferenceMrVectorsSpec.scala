@@ -547,6 +547,21 @@ class ReferenceMrVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4, "100", "C"), (5, null, null), (6, null, null)))
   }
 
+  test("window-frame variable ROWS FOLLOWING bound vector (TestRowPatternMatchingInWindow testFrameBounds)") {
+    val spk = spark
+    import spk.implicits._
+    // ROWS BETWEEN CURRENT ROW AND rows FOLLOWING — the bound is a
+    // per-row COLUMN; MEASURES LAST(id) with PATTERN (A+), A AS true
+    val in = Seq(1 -> 1, 2 -> 2, 3 -> 6, 4 -> 0, 5 -> 2).toDF("id", "rows")
+    val got = graft.operators.MatchRecognize.windowMatches(
+      in, Nil, Seq("id"), "A+",
+      Map.empty[String, graft.operators.MatchRecognize.MatchCtx => Boolean],
+      valueCol = "id", frameEndCol = Some("rows"))
+      .selectExpr("id", "element_at(match_vals, -1) AS last_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(got == Seq(1 -> 2, 2 -> 4, 3 -> 5, 4 -> 4, 5 -> 5))
+  }
+
   test("testPotentiallyExponentialMatch vector (TestRowPatternMatching.java: equivalent-thread pruning)") {
     // (A+)+ B over twenty rows of 1s with B never true: exponential
     // decompositions unless equivalent states prune — the matcher's
