@@ -3934,6 +3934,29 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (ARRAY[1, 2, 3]), (ARRAY[1, 2, 3]), (ARRAY[1, 2, 3]), (ARRAY[1, 2, 3]), (ARRAY[1, 2, 3])")
   }
 
+  test("DISTINCT + ORDER BY scoping and CASE-predicate vectors (TestDistinctWithOrderBy, TestExpressions)") {
+    // case-insensitive / qualified references across DISTINCT+ORDER BY
+    assertVector("SELECT DISTINCT t.A FROM (VALUES 2, 1, 2) t(a) ORDER BY t.a", "VALUES 1, 2")
+    assertVector("SELECT DISTINCT a FROM (VALUES 2, 1, 2) t(a) ORDER BY A", "VALUES 1, 2")
+    assertVector("SELECT DISTINCT a FROM (VALUES 2, 1, 2) t(a) ORDER BY t.A", "VALUES 1, 2")
+    // (ORDER BY an expression SEMANTICALLY equal to a DISTINCT select
+    // item — SELECT DISTINCT a + B ... ORDER BY a + b — resolves in
+    // the reference by expression equivalence; Spark only matches
+    // output columns there. Genuine divergence, not translated.)
+    assertVector(
+      "SELECT DISTINCT a, b a FROM (VALUES (2, 10), (1, 20), (2, 10)) T(a, b) ORDER BY T.a",
+      "VALUES (1, 20), (2, 10)")
+    // boolean-predicate operands of simple CASE
+    assertVector(
+      "VALUES CASE 1 IS NULL WHEN true THEN 10 ELSE 20 END",
+      "VALUES 20")
+    assertVector(
+      "SELECT CASE 1 BETWEEN 0 AND 2 WHEN true THEN 10 ELSE 20 END, CASE 1 NOT BETWEEN 0 AND 2 WHEN true THEN 10 ELSE 20 END, CASE 1 IN (1, 2) WHEN true THEN 10 ELSE 20 END, CASE 1 NOT IN (1, 2) WHEN true THEN 10 ELSE 20 END, CASE 1 < 2 WHEN true THEN 10 ELSE 20 END",
+      "SELECT 10, 20, 10, 20, 10")
+    // generic TRY over a NULL column
+    assertVector("SELECT try(k) FROM (SELECT null) t(k)", "VALUES null")
+  }
+
   test("documented Spark divergences (pinned so a drift is noticed)") {
     // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
     //    context: the standard (and the reference, and Spark's own
