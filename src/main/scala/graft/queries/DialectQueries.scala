@@ -936,11 +936,14 @@ object DialectQueries {
     * (null-keeping struct collect + comparator sort), and a generic
     * TRY over ANSI-failing casts, all under the full DuckDB hash gate.
     * The oracle spells the composed grouping as its explicit
-    * UNION-of-group-bys equivalent. */
+    * UNION-of-group-bys equivalent. The ordered array_agg is
+    * serialized with array_join on BOTH sides (the ag5/ag6
+    * convention) because the driver's compare harness sorts columns
+    * and raw arrays are unhashable there. */
   val dx24Reference: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty100,
-      |  array_agg(l_linenumber ORDER BY l_linenumber DESC) AS lns,
+      |  array_join(array_agg(l_linenumber ORDER BY l_linenumber DESC), ',') AS lns,
       |  COUNT(TRY(CAST(substr(CAST(l_orderkey AS VARCHAR), 1, 1) AS BIGINT))) AS head_digits
       |FROM lineitem WHERE l_orderkey < 500
       |GROUP BY l_returnflag, ROLLUP (l_linestatus)""".stripMargin
@@ -954,13 +957,13 @@ object DialectQueries {
     """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 500)
       |SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty100,
-      |  array_agg(l_linenumber ORDER BY l_linenumber DESC) AS lns,
+      |  array_to_string(array_agg(l_linenumber ORDER BY l_linenumber DESC), ',') AS lns,
       |  CAST(COUNT(*) AS BIGINT) AS head_digits
       |FROM src GROUP BY l_returnflag, l_linestatus
       |UNION ALL
       |SELECT l_returnflag, NULL,
       |  CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT),
-      |  array_agg(l_linenumber ORDER BY l_linenumber DESC),
+      |  array_to_string(array_agg(l_linenumber ORDER BY l_linenumber DESC), ','),
       |  CAST(COUNT(*) AS BIGINT)
       |FROM src GROUP BY l_returnflag""".stripMargin
 

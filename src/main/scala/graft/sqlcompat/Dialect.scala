@@ -1082,6 +1082,108 @@ object Dialect {
     * and NULLS FIRST for DESC), and projects the value back out. A
     * plain `array_agg(v)` gets the null-keeping struct wrap alone.
     * DISTINCT and a trailing FILTER clause stay attached. */
+  /** FILTER on a WINDOW aggregate (`agg(x) FILTER (WHERE c) OVER w`,
+    * reference grammar `SqlBase.g4` filter clause + window frame):
+    * Spark raises "Window aggregate function with filter predicate is
+    * not supported yet", so lower the FILTER into the argument — each
+    * agg argument becomes `CASE WHEN c THEN arg END` (aggregates skip
+    * NULL inputs, so this is the exact FILTER semantics), `*` becomes
+    * `CASE WHEN c THEN 1 END`, and `array_agg` (which KEEPS nulls in
+    * the reference) rides the null-preserving struct wrap with a
+    * `transform` unwrap around the whole windowed call. Runs on
+    * canonical text before orderedAggPass. */
+  private def windowedFilterPass(canon0: String): String = {
+    def openParen(s: String, close: Int): Int = {
+      var depth = 0
+      var i = close
+      while (i >= 0) {
+        val c = s.charAt(i)
+        if (c == ')') depth += 1
+        else if (c == '(') { depth -= 1; if (depth == 0) return i }
+        i -= 1
+      }
+      -1
+    }
+    def ws(x: String): String =
+      x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+    val re = "(?i)\\bFILTER\\s*\\(".r
+    var out = canon0
+    var guard = 0
+    var searchFrom = 0
+    while (guard < 64) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(searchFrom))
+      if (m.isEmpty) return out
+      val fOpen = out.indexOf('(', searchFrom + m.get.start + 6)
+      val fClose = closeParen(out, fOpen)
+      val afterFilter = out.substring(fClose + 1)
+      val overM = "(?is)^\\s*OVER\\b".r.findPrefixMatchOf(afterFilter)
+      // the FILTER must trail a call: ...fn(args) FILTER
+      val beforeTxt = out.substring(0, searchFrom + m.get.start)
+      val beforeTrim = beforeTxt.replaceAll("[ \\t\\r\\n]+$", "")
+      if (overM.isEmpty || beforeTrim.isEmpty || beforeTrim.last != ')') {
+        searchFrom = fClose + 1
+      } else {
+        val callClose = beforeTrim.length - 1
+        val callOpen = openParen(out, callClose)
+        val fnM = "(?i)([a-z_][a-z0-9_]*)\\s*$".r
+          .findFirstMatchIn(out.substring(0, callOpen))
+        if (fnM.isEmpty) { searchFrom = fClose + 1 }
+        else {
+          val fn = fnM.get.group(1).toLowerCase
+          val cond = ws(out.substring(fOpen + 1, fClose))
+            .replaceAll("(?is)^WHERE\\b", "")
+          val body = out.substring(callOpen + 1, callClose)
+          // top-level ORDER BY inside a FILTERed window agg has no
+          // Spark lowering — fail loud rather than silently drop it
+          val hasTopOrderBy = {
+            var depth = 0; var found = false; var i = 0
+            while (i < body.length && !found) {
+              val c = body.charAt(i)
+              if (c == '(') depth += 1 else if (c == ')') depth -= 1
+              else if (depth == 0 && (c == 'O' || c == 'o') &&
+                (i == 0 || !body.charAt(i - 1).isLetterOrDigit) &&
+                "(?is)^ORDER\\s+BY\\b".r.findPrefixMatchOf(body.substring(i)).isDefined)
+                found = true
+              i += 1
+            }
+            found
+          }
+          require(!hasTopOrderBy,
+            "FILTER with an aggregate-level ORDER BY in a window context is unsupported")
+          val isDistinct = "(?is)^\\s*DISTINCT\\b.*".r.matches(body)
+          val inner = ws(if (isDistinct) body.replaceAll("(?is)^\\s*DISTINCT", "") else body)
+          val distinctKw = if (isDistinct) "DISTINCT " else ""
+          if (fn == "array_agg") {
+            // null-keeping: wrap the value in a struct so a NULL value
+            // under a TRUE condition still collects
+            val overClose = {
+              val oOpen = out.indexOf('(', fClose + 1 + overM.get.end)
+              if (oOpen >= 0 && ws(out.substring(fClose + 1 + overM.get.end,
+                  oOpen)).isEmpty) closeParen(out, oOpen)
+              else fClose + overM.get.end // named window: OVER w
+            }
+            val overRaw = ws(out.substring(fClose + 1, overClose + 1))
+            val rewritten = s"transform(array_agg(${distinctKw}CASE WHEN (" +
+              s"$cond) THEN struct($inner AS __v) END) $overRaw, __x -> __x.__v)"
+            out = out.substring(0, fnM.get.start(1)) + rewritten +
+              out.substring(overClose + 1)
+            searchFrom = fnM.get.start(1)
+          } else {
+            val wrapped =
+              if (ws(inner) == "*") s"CASE WHEN ($cond) THEN 1 END"
+              else MatchRecognizeSql.splitTopLevel(inner, ',').map(ws)
+                .map(a => s"CASE WHEN ($cond) THEN $a END").mkString(", ")
+            out = out.substring(0, callOpen + 1) + distinctKw + wrapped +
+              ")" + out.substring(fClose + 1)
+            searchFrom = callOpen
+          }
+        }
+      }
+    }
+    out
+  }
+
   private def orderedAggPass(canon0: String): String = {
     val re = ("(?i)\\b(array_agg|sum|avg|min|max|count|bool_and|bool_or|" +
       "every|any_value|arbitrary|geometric_mean|stddev|stddev_samp|" +
@@ -1115,9 +1217,21 @@ object Dialect {
         i += 1
       }
       // a window invocation is NOT rewritten: OVER must attach to the
-      // aggregate itself, and Spark's native array_agg window handles it
-      val windowed = "(?is)^\\s*(FILTER\\s*\\([^)]*\\)\\s*)?OVER\\b".r
-        .findPrefixMatchOf(out.substring(close + 1)).isDefined
+      // aggregate itself, and Spark's native array_agg window handles
+      // it. A FILTER(...) group between the call and OVER can nest
+      // parentheses, so skip past it with closeParen rather than a
+      // regex that can't balance.
+      val windowed = {
+        val fM = "(?is)^\\s*FILTER\\s*\\(".r
+          .findPrefixMatchOf(out.substring(close + 1))
+        val checkFrom = fM match {
+          case Some(f) =>
+            closeParen(out, out.indexOf('(', close + 1 + f.end - 1)) + 1
+          case None => close + 1
+        }
+        "(?is)^\\s*OVER\\b".r
+          .findPrefixMatchOf(out.substring(checkFrom)).isDefined
+      }
       if (windowed) { from = close + 1 }
       else if (obPos < 0 && fn != "array_agg") { from = close + 1 }
       else if (fn != "array_agg") {
@@ -1421,6 +1535,7 @@ object Dialect {
     out = ifTwoArgPass(out)
     out = rowStarPass(out)
     out = groupByCompositionPass(out)
+    out = windowedFilterPass(out)
     out = orderedAggPass(out)
     out = unorderedRankingPass(out)
     out = orderByNullsPass(out)

@@ -246,6 +246,41 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(q5).head().getString(0).matches("\\d{4}-\\d{2}-\\d{2}"))
   }
 
+  test("FILTER on a window aggregate lowers to CASE inside the argument") {
+    // Spark rejects FILTER+OVER outright ("not supported yet"), and the
+    // old windowed-call regex couldn't balance nested parens in the
+    // FILTER group — both paths now land on the CASE lowering
+    val q = Dialect.translate(
+      """SELECT o_orderkey,
+        |  count(o_orderkey) FILTER (WHERE abs(o_totalprice) > 100000.0) OVER (PARTITION BY o_orderpriority) AS c,
+        |  count(*) FILTER (WHERE o_orderkey % 2 = 0) OVER (PARTITION BY o_orderpriority) AS c2
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin)
+    assert(!q.contains("array_sort") && !q.toUpperCase.contains("FILTER"),
+      s"misrewritten: $q")
+    val got = spark.sql(q)
+    // oracle: plain grouped counts joined back
+    val base = spark.sql(
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN abs(o_totalprice) > 100000.0 THEN 1 END) AS c,
+        |  count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS c2
+        |FROM orders WHERE o_orderkey <= 100 GROUP BY 1""".stripMargin)
+    val want = spark.sql(
+      """SELECT o_orderkey, c, c2 FROM orders JOIN (SELECT o_orderpriority AS p,
+        |  count(CASE WHEN abs(o_totalprice) > 100000.0 THEN 1 END) AS c,
+        |  count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS c2
+        |FROM orders WHERE o_orderkey <= 100 GROUP BY 1) g ON o_orderpriority = p
+        |WHERE o_orderkey <= 100""".stripMargin)
+    assert(base.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // array_agg keeps NULLs in the reference: the lowering must collect
+    // a NULL value whose FILTER condition is TRUE
+    val q2 = Dialect.translate(
+      """SELECT size(array_agg(CASE WHEN id = 2 THEN NULL ELSE id END)
+        |  FILTER (WHERE abs(id) < 3) OVER ()) AS n
+        |FROM (SELECT 1 AS id UNION ALL SELECT 2 UNION ALL SELECT 5) t""".stripMargin)
+    assert(spark.sql(q2).head().getInt(0) == 2, s"translated: $q2")
+  }
+
   test("AT TIME ZONE rewrites to from_utc_timestamp across the literal segment") {
     assert(Dialect.translate("SELECT ts AT TIME ZONE 'Asia/Tokyo' AS t FROM e")
       == "SELECT from_utc_timestamp(ts, 'Asia/Tokyo') AS t FROM e")

@@ -182,4 +182,67 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark, path2, col("x") > 5.0)
     assert(left.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("partition-scoped DELETE drops fully-emptied partitions and reaches NULL partitions") {
+    import org.apache.spark.sql.functions._
+    val spk = spark
+    import spk.implicits._
+    val path = s"$tmp/mut_empty_part"
+    Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("b")), (4L, Option.empty[String]))
+      .toDF("id", "grp").write.mode("overwrite").partitionBy("grp").parquet(path)
+    // the predicate matches EVERY row of partition a — dynamic
+    // overwrite alone would leave its files behind
+    val after = graft.operators.Mutations.deletePartitionScoped(
+      spark, path, "grp", col("grp") === "a")
+    assert(after.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    assert(!new java.io.File(path, "grp=a").exists(),
+      "fully-emptied partition directory must be dropped")
+    // NULL partition values are reachable (isin(null) never matches)
+    val after2 = graft.operators.Mutations.deletePartitionScoped(
+      spark, path, "grp", col("id") === 4L)
+    assert(after2.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L))
+    assert(!new java.io.File(path, "grp=__HIVE_DEFAULT_PARTITION__").exists(),
+      "emptied NULL partition directory must be dropped")
+    // emptying the whole table commits an explicit schema-only state
+    val after3 = graft.operators.Mutations.deletePartitionScoped(
+      spark, path, "grp", lit(true))
+    assert(after3.count() == 0)
+  }
+
+  test("MERGE leaves NULL-keyed target rows untouched (no drop, no garbage insert)") {
+    import org.apache.spark.sql.functions._
+    val spk = spark
+    import spk.implicits._
+    val path = s"$tmp/mut_nullkey"
+    Seq((Some(1L), "a"), (Option.empty[Long], "nullkey"), (Some(3L), "c"))
+      .toDF("id", "v").write.mode("overwrite").parquet(path)
+    val src = Seq((1L, "upd"), (9L, "new")).toDF("key", "nv")
+    val after = graft.operators.Mutations.mergeInto(spark, path, src, "id", "key",
+      graft.operators.Mutations.MergeClauses(
+        updateSet = Map("v" -> col("nv")),
+        insertValues = Some(Seq(col("key"), col("nv")))))
+    val rows = after.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).sorted.toSeq
+    assert(rows == Seq((-1L, "nullkey"), (1L, "upd"), (3L, "c"), (9L, "new")),
+      s"got $rows")
+  }
+
+  test("UPDATE/MERGE assignment keys resolve case-insensitively and fail on unknowns") {
+    import org.apache.spark.sql.functions._
+    val spk = spark
+    import spk.implicits._
+    val path = s"$tmp/mut_casekeys"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal")
+      .write.mode("overwrite").parquet(path)
+    // wrong-case key applies, never a silent no-op
+    val after = graft.operators.Mutations.update(
+      spark, path, Map("BAL" -> (col("bal") + 1)), col("id") === 1L)
+    assert(after.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(11.0, 20.0))
+    // an unknown column raises
+    assertThrows[IllegalArgumentException](graft.operators.Mutations.update(
+      spark, path, Map("balance" -> lit(0.0)), lit(true)))
+    // two keys collapsing onto one column raise
+    assertThrows[IllegalArgumentException](graft.operators.Mutations.update(
+      spark, path, Map("bal" -> lit(1.0), "BAL" -> lit(2.0)), lit(true)))
+  }
 }
