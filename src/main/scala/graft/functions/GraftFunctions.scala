@@ -50,6 +50,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, "qdigest_agg"),
       (children: Seq[Expression]) => QuantileSketchAgg(children.head)))
     e.injectFunction((
+      FunctionIdentifier("tz_wall"),
+      new ExpressionInfo(classOf[TzWall].getName, "tz_wall"),
+      (children: Seq[Expression]) => TzWall(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("tz_to_utc"),
+      new ExpressionInfo(classOf[TzToUtc].getName, "tz_to_utc"),
+      (children: Seq[Expression]) => TzToUtc(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("tz_iso8601"),
+      new ExpressionInfo(classOf[TzIso8601].getName, "tz_iso8601"),
+      (children: Seq[Expression]) => TzIso8601(children(0), children(1))))
+    e.injectFunction((
       FunctionIdentifier("spooky_hash_v2_32"),
       new ExpressionInfo(classOf[SpookyHashV232].getName, "spooky_hash_v2_32"),
       (children: Seq[Expression]) => SpookyHashV232(children.head)))

@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * This module closes the remaining row: the pair is carried as a
   * struct<instant: timestamp, zone: string> and every operation is a
-  * composition of codegen built-ins over it — no UDF, so the whole
-  * surface stays inside whole-stage codegen and pushes down like any
-  * struct column. The semantics mirror the reference:
+  * SINGLE native codegen expression over it ([[TzKernel]] — tz_wall /
+  * tz_to_utc / tz_iso8601, registered by [[GraftFunctions]]). The
+  * earlier formulation composed from_utc_timestamp + offset arithmetic
+  * + string assembly out of built-ins; that was semantically identical
+  * but cost ~40 Catalyst nodes per call, and the analyzer/optimizer
+  * walk of the resulting tree dominated sc19's wall clock 10:1 over
+  * execution (the r14 verdict's worst bench ratio was plan time, not
+  * row work). The semantics mirror the reference:
   *
   *   - [[make]]          ≈ with_timezone(ts, zone): wall-clock ts IN
   *                         zone → (instant, zone)
@@ -38,12 +43,16 @@ import org.apache.spark.sql.functions._
   *
   * Instant comparisons/ordering use `tz("instant")` directly, which
   * matches the reference's equality-on-instant semantics.
+  *
+  * Requires a session with [[GraftFunctions]] injected (any
+  * `Graft.session`) — the kernels resolve through the registry.
   */
 object TimestampTz {
 
   /** Wall-clock `ts` interpreted IN `zone` → (instant, zone). */
   def make(ts: Column, zone: Column): Column =
-    struct(to_utc_timestamp(ts, zone).as("instant"), zone.as("zone"))
+    struct(call_function("tz_to_utc", ts, zone).as("instant"),
+      zone.as("zone"))
 
   /** UTC-instant `ts` tagged with display zone `zone`. */
   def ofInstant(ts: Column, zone: Column): Column =
@@ -56,24 +65,17 @@ object TimestampTz {
   /** The wall-clock reading of the value in its own zone (rendered as
     * a zone-less timestamp, the reference's extract/format input). */
   def wall(tz: Column): Column =
-    from_utc_timestamp(tz("instant"), tz("zone"))
+    call_function("tz_wall", tz("instant"), tz("zone"))
 
   /** UTC offset of the value's zone at the value's instant, seconds
-    * (wall minus instant — DST-correct because from_utc_timestamp
-    * resolves the zone rules at that instant). */
+    * (DST-correct: the kernel resolves the zone rules at that
+    * instant). */
   def offsetSeconds(tz: Column): Column =
     ((unix_micros(wall(tz)) - unix_micros(tz("instant"))) / 1000000L)
       .cast("long")
 
   /** ISO-8601 rendering with offset suffix (`Z` at zero offset),
     * seconds precision. */
-  def iso8601(tz: Column): Column = {
-    val off = offsetSeconds(tz)
-    val sign = when(off < 0, lit("-")).otherwise(lit("+"))
-    val hh = lpad(floor(abs(off) / 3600).cast("string"), 2, "0")
-    val mm = lpad((floor(abs(off) / 60) % 60).cast("string"), 2, "0")
-    val suffix = when(off === 0, lit("Z"))
-      .otherwise(concat(sign, hh, lit(":"), mm))
-    concat(date_format(wall(tz), "yyyy-MM-dd'T'HH:mm:ss"), suffix)
-  }
+  def iso8601(tz: Column): Column =
+    call_function("tz_iso8601", tz("instant"), tz("zone"))
 }

@@ -52,6 +52,60 @@ class DateTimeCompatSpec extends AnyFunSuite {
       == java.time.Instant.parse("2001-08-22T00:00:00Z"))
   }
 
+  test("TzKernel matches java.time across DST transitions, zones, and eras") {
+    import graft.functions.TzKernel
+    import java.time._
+    import org.apache.spark.unsafe.types.UTF8String
+    val zones = Seq("UTC", "Asia/Tokyo", "Asia/Kolkata",
+      "America/New_York", "Europe/Berlin", "Australia/Lord_Howe") // :30 DST
+    // instants straddling both 2024 US/EU transitions, a far past and
+    // future, plus dense minutes around the New York spring-forward
+    val base = Seq(
+      "1920-06-01T12:00:00Z", "1969-12-31T23:59:59Z",
+      "2024-03-10T06:59:00Z", "2024-03-10T07:00:00Z", "2024-03-10T07:01:00Z",
+      "2024-11-03T05:59:00Z", "2024-11-03T06:00:00Z", "2024-11-03T06:30:00Z",
+      "2024-03-31T00:59:00Z", "2024-03-31T01:00:00Z",
+      "2030-07-15T01:02:03Z").map(Instant.parse(_))
+    val probes = base ++ base.map(_.plusSeconds(86400L * 97)) // shuffle order
+    for (z <- zones; inst <- probes.reverse ++ probes) {
+      val u8 = UTF8String.fromString(z)
+      val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      val zid = ZoneId.of(z)
+      val off = zid.getRules.getOffset(inst).getTotalSeconds
+      assert(TzKernel.offsetSeconds(micros, u8) == off.toLong, s"$z $inst offset")
+      assert(TzKernel.wallMicros(micros, u8) == micros + off * 1000000L,
+        s"$z $inst wall")
+      // iso8601 vs java.time rendering (seconds precision)
+      val odt = inst.atZone(zid).toOffsetDateTime
+      val want = odt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss")) + (
+        if (off == 0) "Z"
+        else {
+          val a = math.abs(off)
+          f"${if (off < 0) "-" else "+"}${a / 3600}%02d:${(a / 60) % 60}%02d"
+        })
+      assert(TzKernel.iso8601(micros, u8).toString == want, s"$z $inst iso")
+      // utcMicros vs LocalDateTime.atZone (gap/overlap resolution)
+      val wall = micros + off * 1000000L
+      val ldt = LocalDateTime.ofEpochSecond(Math.floorDiv(wall, 1000000L),
+        (Math.floorMod(wall, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+      val zdt = ldt.atZone(zid)
+      val wantUtc = zdt.toEpochSecond * 1000000L + zdt.getNano / 1000L
+      assert(TzKernel.utcMicros(wall, u8) == wantUtc, s"$z $inst to_utc")
+    }
+    // wall clocks INSIDE a gap and an overlap resolve like java.time
+    for ((wallStr, z) <- Seq(
+        ("2024-03-10T02:30:00", "America/New_York"), // spring-forward gap
+        ("2024-11-03T01:30:00", "America/New_York"))) { // fall-back overlap
+      val ldt = LocalDateTime.parse(wallStr)
+      val wall = ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L
+      val zdt = ldt.atZone(ZoneId.of(z))
+      val want = zdt.toEpochSecond * 1000000L
+      assert(TzKernel.utcMicros(wall, UTF8String.fromString(z)) == want,
+        s"$z $wallStr gap/overlap")
+    }
+  }
+
   test("time-of-day nanos and rendering") {
     // 1970-01-02 03:04:05.123456 UTC
     val micros = (86400L + 3 * 3600 + 4 * 60 + 5) * 1000000L + 123456L
