@@ -967,7 +967,74 @@ object DialectQueries {
       |  CAST(COUNT(*) AS BIGINT)
       |FROM src GROUP BY l_returnflag""".stripMargin
 
+  // --------------------------- dx25-dx27: join-corpus promotions (r15)
+  /** FULL OUTER JOIN with a non-equi residual, filtered to the outer
+    * residue (reference `AbstractTestJoinQueries.java:706`
+    * testNonEqualityFullJoin) — the outer-join null-semantics corner
+    * under the full DuckDB hash gate. */
+  val dx25Reference: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(l_orderkey) AS BIGINT) AS n_left,
+      |  CAST(count(o_orderkey) AS BIGINT) AS n_right
+      |FROM lineitem FULL OUTER JOIN orders
+      |  ON l_orderkey = o_orderkey AND l_quantity > 25
+      |WHERE l_orderkey IS NULL OR o_orderkey IS NULL""".stripMargin
+
+  def dx25(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx25Reference))
+  }
+
+  val dx25Sql: String = dx25Reference
+
+  /** Projected (value-context) IN with NULLs on both sides (reference
+    * `AbstractTestJoinQueries.java:1866` testSemiJoinNullHandling):
+    * Spark's bare ExistenceJoin is 2-valued here, so the dialect's
+    * projectedInPass lowers onto the quantified counting CASE; DuckDB
+    * evaluates the ORIGINAL three-valued IN natively — the hash gate
+    * proves the NULL rows land exactly right. */
+  val dx26Reference: String =
+    """SELECT l_orderkey % 5 AS grp,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CASE WHEN ink THEN 1 END) AS BIGINT) AS n_true,
+      |  CAST(count(CASE WHEN ink IS NULL THEN 1 END) AS BIGINT) AS n_null
+      |FROM (
+      |  SELECT l_orderkey,
+      |    (CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_orderkey END) IN
+      |      (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey END
+      |       FROM orders WHERE o_orderkey < 1000) AS ink
+      |  FROM lineitem WHERE l_orderkey < 2000) t
+      |GROUP BY l_orderkey % 5""".stripMargin
+
+  def dx26(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx26Reference))
+  }
+
+  val dx26Sql: String = dx26Reference
+
+  /** JOIN ... USING over a derived relation (reference
+    * `AbstractTestJoinQueries.java:782` testJoinUsingMultipleFields /
+    * `:1550` testJoinUnaliasedSubqueries): USING resolution + the
+    * coalesced output column ride the same spelling on both engines. */
+  val dx27Reference: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS q100
+      |FROM lineitem JOIN (SELECT o_orderkey AS l_orderkey, o_orderdate FROM orders) t
+      |  USING (l_orderkey)
+      |WHERE l_orderkey < 3000""".stripMargin
+
+  def dx27(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx27Reference))
+  }
+
+  val dx27Sql: String = dx27Reference
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx25_full_join_residual" -> dx25 _,
+    "dx26_projected_in_null" -> dx26 _,
+    "dx27_join_using_derived" -> dx27 _,
     "dx24_composed_grouping" -> dx24 _,
     "dx23_nan_minmax" -> dx23 _,
     "dx22_three_part_names" -> dx22 _,
@@ -994,6 +1061,9 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx25_full_join_residual" -> dx25Sql,
+    "dx26_projected_in_null" -> dx26Sql,
+    "dx27_join_using_derived" -> dx27Sql,
     "dx24_composed_grouping" -> dx24Sql,
     "dx23_nan_minmax" -> dx23Sql,
     "dx22_three_part_names" -> dx22Sql,

@@ -489,6 +489,62 @@ object Dialect {
     out
   }
 
+  /** Projected (value-context) IN-subquery: Spark plans `x IN (SELECT
+    * …)` in a SELECT list as an ExistenceJoin, whose output is
+    * 2-VALUED — rows that should yield NULL (no match but the subquery
+    * has NULLs, or NULL lhs with a non-empty subquery) come out FALSE,
+    * breaking SQL:2016 §8.4 three-valued semantics (the reference's
+    * AbstractTestJoinQueries semi-join null-handling corpus pins this).
+    * Lower value-context IN/NOT IN onto the quantified machinery
+    * (`= ANY` / `<> ALL` → quantifiedPass's null-correct counting
+    * CASE). FILTER-context INs (WHERE/HAVING/ON conjuncts) stay
+    * NATIVE: under filter semantics NULL and FALSE both drop the row,
+    * and Spark's semi/anti joins are the 100-TB-correct plan there —
+    * only the value context pays the scalar-subquery price.
+    *
+    * Context detection (canonical text, literals sentineled): walk
+    * backward from the IN at its own paren depth to the nearest clause
+    * keyword; SELECT and (GROUP/ORDER) BY are value contexts, WHERE/
+    * HAVING/ON/WHEN are filter contexts. */
+  private def projectedInPass(canon0: String): String = {
+    val re = "(?i)\\b(NOT\\s+)?IN\\s*\\(\\s*SELECT\\b".r
+    var out = canon0
+    var guard = 0
+    var from = 0
+    while (guard < 64) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(from))
+      if (m.isEmpty) return out
+      val start = from + m.get.start
+      // nearest preceding clause keyword at the SAME paren depth
+      var depth = 0
+      var i = start - 1
+      var clause: String = null
+      while (i >= 0 && clause == null) {
+        val c = out.charAt(i)
+        if (c == ')') depth += 1
+        else if (c == '(') depth -= 1
+        else if (depth == 0 && c.isLetter) {
+          var s = i
+          while (s > 0 && out.charAt(s - 1).isLetter) s -= 1
+          val word = out.substring(s, i + 1).toUpperCase
+          if (Set("SELECT", "BY", "WHERE", "HAVING", "ON", "WHEN",
+              "FROM", "JOIN")(word)) clause = word
+          i = s
+        }
+        i -= 1
+      }
+      if (clause == "SELECT" || clause == "BY") {
+        val isNot = m.get.group(1) != null
+        val open = out.indexOf('(', start)
+        val rep = if (isNot) "<> ALL (" else "= ANY ("
+        out = out.substring(0, start) + rep + out.substring(open + 1)
+        from = start // quantified form starts here; skip past it
+      } else from = start + m.get.group(0).length
+    }
+    out
+  }
+
   private def quantifiedPass(canon0: String): String = {
     val re = "(?i)(<=|>=|<>|!=|=|<|>)\\s*(ALL|ANY|SOME)\\s*\\(".r
     var out = canon0
@@ -1526,6 +1582,7 @@ object Dialect {
     out = valuesRowPass(out)
     out = out.replaceAll("(?i)\\bROW\\s*\\(", "struct(")
     out = unnestJoinPass(out)
+    out = projectedInPass(out)
     out = quantifiedPass(out)
     out = inValuesPass(out)
     out = reduceAggPass(out)

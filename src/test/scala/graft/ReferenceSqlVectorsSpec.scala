@@ -553,6 +553,331 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT n.nationkey, r.regionkey FROM nation n JOIN region r ON n.regionkey = r.regionkey WHERE length(n.name) < length(substr(r.name, 5))")
   }
 
+  test("outer-join ON-clause residual vectors (AbstractTestJoinQueries.java:578-706)") {
+    // testNonEqualityRightJoin: the non-matching ON residual keeps the
+    // preserved side and nulls the other — the exact outer-join null
+    // semantics corner the corpus exists for
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > d",
+      "VALUES (1, 2, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b < d",
+      "VALUES (1, 1, 1, 2), (NULL, NULL, 1, 1)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 2",
+      "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 2",
+      "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 0",
+      "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND c = d",
+      "VALUES (1, 2, 1, 1), (1, 1, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND c < d",
+      "VALUES (NULL, NULL, 1, 1), (1, 2, 1, 2), (1, 1, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON c = d",
+      "VALUES (1, 1, 1, 1), (1, 2, 1, 1), (NULL, NULL, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON c < d",
+      "VALUES (NULL, NULL, 1, 1), (1, 1, 1, 2), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON 1 = 1",
+      "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (2, 11), (2, 10)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (NULL, 10), (1, 11), (2, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a > b",
+      "VALUES (NULL, 10), (NULL, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a < b",
+      "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+    // testNonEqualityFullJoin VALUES vectors
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > d",
+      "VALUES (1, 2, 1, 1), (NULL, NULL, 1, 2), (1, 1, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b < d",
+      "VALUES (1, 1, 1, 2), (NULL, NULL, 1, 1), (1, 2, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 2",
+      "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2), (1, 1, NULL, NULL), (1, 2, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 2",
+      "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2), (1, 1, NULL, NULL), (1, 2, NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 0",
+      "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (2, 11), (2, 10), (1, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (NULL, 10), (1, 11), (2, 11)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON a > b",
+      "VALUES (NULL, 10), (NULL, 11), (1, NULL), (2, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON a < b",
+      "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+    // testJoinUsingSymbolsFromJustOneSideOfJoin
+    assertVector(
+      "SELECT b FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (10), (11), (11)")
+    assertVector(
+      "SELECT a FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (2), (2)")
+    assertVector(
+      "SELECT b FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (11), (11)")
+    assertVector(
+      "SELECT a FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (1), (2), (2)")
+    assertVector(
+      "SELECT a FROM (VALUES 1, 2) t1(a) JOIN (VALUES 10, 11) t2(b) ON a > 1",
+      "VALUES (2), (2)")
+    assertVector(
+      "SELECT b FROM (VALUES 1, 2) t1(a) JOIN (VALUES 10, 11) t2(b) ON b > 10",
+      "VALUES (11), (11)")
+    // testFullJoinWithCoalesce
+    assertVector(
+      "SELECT coalesce(t.a, u.a, if(t.b is null, 100, t.b)), count(*) " +
+        "FROM (VALUES (1, 10), (2, 20), (3, 30), (null, 40), (100, 50)) t(a, b) " +
+        "FULL OUTER JOIN (VALUES 1, 4, null) u(a) ON t.a = u.a GROUP BY 1",
+      "VALUES (1, 1), (2, 1), (3, 1), (4, 1), (40, 1), (100, 2)")
+  }
+
+  test("true/empty join-condition vectors (AbstractTestJoinQueries.java:662)") {
+    // testJoinsWithTrueJoinCondition: ON TRUE across all join types ×
+    // empty/non-empty sides — the degenerate-condition matrix
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (0, 10), (0, 11), (1, 10), (1, 11)")
+    assertVector("SELECT * FROM (SELECT 1 WHERE FALSE) t1(a) JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "SELECT 1 WHERE FALSE")
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) JOIN (SELECT 1 WHERE FALSE) t2(b) ON TRUE",
+      "SELECT 1 WHERE FALSE")
+    assertVector("SELECT * FROM (SELECT 1 WHERE FALSE) t1(a) JOIN (SELECT 1 WHERE FALSE) t2(b) ON TRUE",
+      "SELECT 1 WHERE FALSE")
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) LEFT JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (0, 10), (0, 11), (1, 10), (1, 11)")
+    assertVector("SELECT * FROM (SELECT 1 WHERE FALSE) t1(a) LEFT JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "SELECT 1 WHERE FALSE")
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) LEFT JOIN (SELECT 1 WHERE FALSE) t2(b) ON TRUE",
+      "VALUES (0, NULL), (1, NULL)")
+    assertVector("SELECT * FROM (SELECT 1 WHERE FALSE) t1(a) LEFT JOIN (SELECT 1 WHERE FALSE) t2(b) ON TRUE",
+      "SELECT 1 WHERE FALSE")
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) RIGHT JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (0, 10), (0, 11), (1, 10), (1, 11)")
+    assertVector("SELECT * FROM (SELECT 1 WHERE FALSE) t1(a) RIGHT JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (NULL, 10), (NULL, 11)")
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) RIGHT JOIN (SELECT 1 WHERE FALSE) t2(b) ON TRUE",
+      "SELECT 1 WHERE FALSE")
+    assertVector("SELECT * FROM (SELECT 1 WHERE FALSE) t1(a) RIGHT JOIN (SELECT 1 WHERE FALSE) t2(b) ON TRUE",
+      "SELECT 1 WHERE FALSE")
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) FULL JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (0, 10), (0, 11), (1, 10), (1, 11)")
+    assertVector("SELECT * FROM (SELECT 1 WHERE FALSE) t1(a) FULL JOIN (VALUES 10, 11) t2(b) ON TRUE",
+      "VALUES (NULL, 10), (NULL, 11)")
+    assertVector("SELECT * FROM (VALUES 0, 1) t1(a) FULL JOIN (SELECT 1 WHERE FALSE) t2(b) ON TRUE",
+      "VALUES (0, NULL), (1, NULL)")
+    assertVector("SELECT * FROM (SELECT 1 WHERE FALSE) t1(a) FULL JOIN (SELECT 1 WHERE FALSE) t2(b) ON TRUE",
+      "SELECT 1 WHERE FALSE")
+    // testJoinWithStatefulFilterFunction (array form)
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2) a(id) FULL JOIN (VALUES 2, 3) b(id) " +
+        "ON (array_intersect(array[a.id], array[b.id]) = array[a.id])",
+      "VALUES (1, null), (2, 2), (null, 3)")
+    // testCrossJoinsWithWhereClause / testCrossJoinWithNulls / union
+    assertVector(
+      "SELECT a, b, c, d FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')) t1 (a, b) " +
+        "CROSS JOIN (VALUES (1, 1.1), (3, 3.3), (5, 5.5)) t2 (c, d) WHERE t1.a > t2.c",
+      "SELECT * FROM (VALUES (2, 'b', 1, 1.1), (3, 'c', 1, 1.1), (4, 'd', 1, 1.1), (4, 'd', 3, 3.3))")
+    assertVector(
+      "SELECT a, b FROM (VALUES (1), (2), (null)) t (a), (VALUES (11), (null), (13)) u (b)",
+      "SELECT * FROM (VALUES (1, 11), (1, null), (1, 13), (2, 11), (2, null), (2, 13), (null, 11), (null, null), (null, 13))")
+    assertVector(
+      "SELECT t.c FROM (SELECT 1) CROSS JOIN (SELECT 0 AS c UNION ALL SELECT 1) t",
+      "VALUES 0, 1")
+    // (reference parenthesizes the joined-relation group; the UNNEST
+    // lowering targets LATERAL VIEW, which cannot sit inside a
+    // relation-group paren — same semantics without it)
+    assertVector(
+      "SELECT col, COUNT(*) FROM (SELECT ARRAY[1, 2] AS a UNION ALL SELECT ARRAY[1, 3] AS a) unionresult " +
+        "CROSS JOIN UNNEST(unionresult.a) t(col) GROUP BY col",
+      "SELECT * FROM VALUES (1, 2), (2, 1), (3, 1)")
+    // testAntiJoinNullHandling
+    assertVector(
+      "WITH empty AS (SELECT 1 WHERE FALSE) SELECT 3 FROM (VALUES 1) WHERE NULL NOT IN (SELECT * FROM empty)",
+      "VALUES 3")
+    assertVector(
+      "WITH empty AS (SELECT 1 WHERE FALSE) SELECT x FROM (VALUES NULL) t(x) WHERE x NOT IN (SELECT * FROM empty)",
+      "VALUES NULL")
+    assertVector(
+      "WITH empty AS (SELECT 1 WHERE FALSE) SELECT 3 FROM (VALUES 1) WHERE NULL IN (SELECT * FROM empty)",
+      "SELECT 0 WHERE FALSE")
+    // testRowNumberJoin (PARTITION BY form is deterministic)
+    assertVector(
+      "SELECT a, rn FROM (SELECT a, row_number() OVER (PARTITION BY a ORDER BY a) rn " +
+        "FROM (VALUES (1), (2), (1), (2)) t (a)) a JOIN (VALUES (2)) b (b) ON a.a = b.b",
+      "VALUES (2, 1), (2, 2)")
+    // testOuterJoinWithCommonExpression
+    assertVector(
+      "SELECT count(1), count(one) FROM (values (1, 'a'), (2, 'a')) AS l(k, a) " +
+        "LEFT JOIN (SELECT k, 1 one FROM (values 1) AS r(k)) r ON l.k = r.k GROUP BY a",
+      "VALUES (2, 1)")
+  }
+
+  test("join reformulation pairs over testdata (AbstractTestJoinQueries.java:177,706,782,1184,1550)") {
+    // testJoinWithLessThanOnDatesInJoinClause: INTERVAL arithmetic ≡
+    // three-arg date_add (the reference pairs these against H2 DATEADD)
+    assertVector(
+      "SELECT o.orderkey, o.orderdate, l.shipdate FROM orders o JOIN lineitem l ON l.orderkey = o.orderkey AND l.shipdate < CAST(o.orderdate AS DATE) + INTERVAL '10' DAY",
+      "SELECT o.orderkey, o.orderdate, l.shipdate FROM orders o JOIN lineitem l ON l.orderkey = o.orderkey AND l.shipdate < date_add('day', 10, CAST(o.orderdate AS DATE))")
+    assertVector(
+      "SELECT o.orderkey, o.orderdate, l.shipdate FROM orders o JOIN lineitem l ON o.orderkey=l.orderkey AND CAST(o.orderdate AS DATE) + INTERVAL '2' DAY <= l.shipdate AND l.shipdate < CAST(o.orderdate AS DATE) + INTERVAL '7' DAY",
+      "SELECT o.orderkey, o.orderdate, l.shipdate FROM orders o JOIN lineitem l ON o.orderkey=l.orderkey AND date_add('day', 2, CAST(o.orderdate AS DATE)) <= l.shipdate AND l.shipdate < date_add('day', 7, CAST(o.orderdate AS DATE))")
+    // testNonEqualityFullJoin: FULL ≡ LEFT ∪ RIGHT-where-probe-null,
+    // with non-equi residuals on both sides
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5 WHERE lineitem.orderkey IS NULL OR orders.orderkey IS NULL",
+      "SELECT COUNT(*) FROM " +
+        "(SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5 " +
+        "UNION ALL " +
+        "SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5 " +
+        "WHERE lineitem.orderkey IS NULL) WHERE o1 IS NULL OR o2 IS NULL")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem FULL OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > 1000 WHERE lineitem.orderkey IS NULL OR orders.orderkey IS NULL",
+      "SELECT COUNT(*) FROM " +
+        "(SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > 1000 " +
+        "UNION ALL " +
+        "SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > 1000 " +
+        "WHERE lineitem.orderkey IS NULL) WHERE o1 IS NULL OR o2 IS NULL")
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem FULL OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > lineitem.quantity WHERE lineitem.orderkey IS NULL OR orders.orderkey IS NULL",
+      "SELECT COUNT(*) FROM " +
+        "(SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > lineitem.quantity " +
+        "UNION ALL " +
+        "SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > lineitem.quantity " +
+        "WHERE lineitem.orderkey IS NULL) WHERE o1 IS NULL OR o2 IS NULL")
+    // testOuterJoinWithNullsOnProbe: FULL ≡ RIGHT ∪ LEFT-where-null
+    assertVector(
+      "SELECT DISTINCT a.orderkey FROM " +
+        "(SELECT CASE WHEN orderkey > 2 THEN orderkey END orderkey FROM orders WHERE orderkey < 100) a " +
+        "FULL OUTER JOIN (SELECT * FROM orders WHERE orderkey < 100) b ON a.orderkey = b.orderkey",
+      "SELECT DISTINCT orderkey FROM (" +
+        "SELECT a.orderkey FROM " +
+        "(SELECT CASE WHEN orderkey > 2 THEN orderkey END orderkey FROM orders WHERE orderkey < 100) a " +
+        "RIGHT OUTER JOIN (SELECT * FROM orders WHERE orderkey < 100) b ON a.orderkey = b.orderkey " +
+        "UNION ALL " +
+        "SELECT a.orderkey FROM " +
+        "(SELECT CASE WHEN orderkey > 2 THEN orderkey END orderkey FROM orders WHERE orderkey < 100) a " +
+        "LEFT OUTER JOIN (SELECT * FROM orders WHERE orderkey < 100) b ON a.orderkey = b.orderkey " +
+        "WHERE a.orderkey IS NULL)")
+    // testJoinUsingMultipleFields / testJoinUnaliasedSubqueries /
+    // testColocatedJoinWithLocalUnion
+    assertVector(
+      "SELECT COUNT(*) FROM lineitem JOIN (SELECT orderkey, orderdate shipdate FROM orders) T USING (orderkey, shipdate)",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.shipdate = orders.orderdate")
+    assertVector(
+      "SELECT COUNT(*) FROM (SELECT * FROM lineitem) JOIN (SELECT * FROM orders) USING (orderkey)",
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey")
+    assertVector(
+      "SELECT count(*) FROM ((SELECT * FROM orders) union all (SELECT * FROM orders)) JOIN orders USING (orderkey)",
+      "SELECT 2 * count(*) FROM orders")
+    // testJoinWithNullValues family: NULLed keys never match; outer
+    // forms keep the preserved side (reformulated as null-filtered
+    // inner ∪ null-padded residue)
+    assertVector(
+      "SELECT * FROM (SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM lineitem WHERE partkey % 32 = 0) AS lineitem " +
+        "JOIN (SELECT CASE WHEN orderkey % 2 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE custkey % 32 = 0) AS orders " +
+        "ON lineitem.orderkey = orders.orderkey",
+      "SELECT * FROM (SELECT orderkey FROM lineitem WHERE partkey % 32 = 0 AND orderkey % 3 <> 0) AS lineitem " +
+        "JOIN (SELECT orderkey FROM orders WHERE custkey % 32 = 0 AND orderkey % 2 <> 0) AS orders " +
+        "ON lineitem.orderkey = orders.orderkey")
+    assertVector(
+      "SELECT lineitem.orderkey, orders.orderkey FROM (SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM lineitem WHERE partkey % 32 = 0) AS lineitem " +
+        "LEFT JOIN (SELECT CASE WHEN orderkey % 2 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE custkey % 32 = 0) AS orders " +
+        "ON lineitem.orderkey = orders.orderkey",
+      "SELECT l.orderkey, o.orderkey FROM (SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM lineitem WHERE partkey % 32 = 0) l " +
+        "JOIN (SELECT orderkey FROM orders WHERE custkey % 32 = 0 AND orderkey % 2 <> 0) o ON l.orderkey = o.orderkey " +
+        "UNION ALL " +
+        "SELECT l.orderkey, NULL FROM (SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM lineitem WHERE partkey % 32 = 0) l " +
+        "WHERE l.orderkey IS NULL OR l.orderkey NOT IN (SELECT orderkey FROM orders WHERE custkey % 32 = 0 AND orderkey % 2 <> 0)")
+  }
+
+  test("semi-join null-handling differential (AbstractTestJoinQueries.java:1866-2020)") {
+    // The corpus projects `x IN (subquery)` as a THREE-VALUED column.
+    // Spark's native ExistenceJoin is 2-valued there (FALSE where SQL
+    // requires NULL), so the dialect's projectedInPass lowers
+    // value-context IN onto the quantified counting CASE; the
+    // differential oracle here is an INDEPENDENT join/aggregate
+    // formulation of SQL:2016 §8.4 (distinct-join for the match,
+    // side-aggregates for emptiness and null-presence) — different
+    // machinery on both sides, agreement pins the NULL rows exactly.
+    def inDifferential(expr: String, sub: String, from: String): Unit =
+      assertVector(
+        s"SELECT $expr IN ($sub) FROM $from",
+        s"SELECT CASE WHEN s.n_total = 0 THEN FALSE " +
+          "WHEN f.x IS NULL THEN CAST(NULL AS BOOLEAN) " +
+          "WHEN d.e IS NOT NULL THEN TRUE " +
+          "WHEN s.n_nulls > 0 THEN CAST(NULL AS BOOLEAN) " +
+          "ELSE FALSE END " +
+          s"FROM (SELECT $expr AS x FROM $from) f " +
+          s"CROSS JOIN (SELECT count(*) AS n_total, count(CASE WHEN e IS NULL THEN 1 END) AS n_nulls FROM ($sub) q(e)) s " +
+          s"LEFT JOIN (SELECT DISTINCT e FROM ($sub) q2(e)) d ON f.x = d.e")
+    // testSemiJoinNullHandling
+    inDifferential("orderkey",
+      "SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END FROM lineitem",
+      "orders")
+    inDifferential("orderkey",
+      "SELECT orderkey FROM lineitem",
+      "(SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders)")
+    inDifferential("orderkey",
+      "SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END FROM lineitem",
+      "(SELECT CASE WHEN orderkey % 4 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders)")
+    // testSemiJoinUnionNullHandling
+    inDifferential("orderkey",
+      "SELECT CASE WHEN orderkey % 500 = 0 THEN NULL ELSE orderkey END FROM orders WHERE orderkey % 200 = 0 " +
+        "UNION ALL SELECT CASE WHEN orderkey % 600 = 0 THEN NULL ELSE orderkey END FROM orders WHERE orderkey % 300 = 0",
+      "(SELECT orderkey FROM lineitem WHERE orderkey % 100 = 0)")
+    // testSemiJoinAggregationNullHandling
+    inDifferential("orderkey",
+      "SELECT CASE WHEN orderkey % 10 = 0 THEN NULL ELSE orderkey END FROM lineitem WHERE orderkey % 2 = 0 GROUP BY orderkey",
+      "(SELECT orderkey FROM orders WHERE orderkey % 3 = 0)")
+    // testSemiJoinAggregationUnionNullHandling
+    inDifferential("orderkey",
+      "SELECT orderkey FROM (" +
+        "SELECT CASE WHEN orderkey % 500 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE orderkey % 200 = 0 " +
+        "UNION ALL SELECT CASE WHEN orderkey % 600 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE orderkey % 300 = 0" +
+        ") GROUP BY orderkey",
+      "(SELECT orderkey FROM lineitem WHERE orderkey % 100 = 0)")
+    // testAntiJoin: NOT IN projection vs an independent join/aggregate
+    // NOT-IN formulation (no NULL keys in this subquery, so the match
+    // row decides directly)
+    assertVector(
+      "SELECT orderkey, orderkey NOT IN (SELECT orderkey FROM lineitem WHERE orderkey % 3 = 0) FROM orders",
+      "SELECT o.orderkey, CASE WHEN d.e IS NOT NULL THEN FALSE ELSE TRUE END FROM orders o " +
+        "LEFT JOIN (SELECT DISTINCT orderkey AS e FROM lineitem WHERE orderkey % 3 = 0) d ON o.orderkey = d.e")
+    // testSemiJoinLimitPushDown (LIMIT above the projected IN)
+    assertVector(
+      "SELECT COUNT(*) FROM (SELECT orderkey IN (SELECT orderkey FROM lineitem WHERE orderkey % 2 = 0) FROM orders LIMIT 10)",
+      "VALUES CAST(10 AS BIGINT)")
+    // testSemiJoinWithGroupBy: IN in HAVING and grouped projections
+    assertVector(
+      "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber HAVING min(orderkey) IN (SELECT orderkey FROM orders WHERE orderkey > 1)",
+      "SELECT linenumber, mo FROM (SELECT linenumber, min(orderkey) mo FROM lineitem GROUP BY linenumber) g WHERE mo IN (SELECT orderkey FROM orders WHERE orderkey > 1)")
+    assertVector(
+      "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7) FROM lineitem GROUP BY linenumber",
+      "SELECT linenumber, min(orderkey), EXISTS (SELECT 1 FROM orders WHERE orderkey = 6 AND orderkey < 7) FROM lineitem GROUP BY linenumber")
+  }
+
   test("basic query vectors over the fixture (AbstractTestQueries.java:156,211)") {
     // LIMIT over deterministic orderings of the standard nation data
     assertVector("SELECT name FROM nation ORDER BY nationkey LIMIT 3",
@@ -3958,20 +4283,21 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("documented Spark divergences (pinned so a drift is noticed)") {
-    // 1. IN/NOT IN (subquery) with NULL involved, in a PROJECTION
-    //    context: the standard (and the reference, and Spark's own
-    //    VALUES-list IN) yield NULL; Spark's ExistenceJoin rewrite of
-    //    the SUBQUERY form yields FALSE. Filter contexts agree (the
-    //    row is dropped either way), which is why this never bites the
-    //    oracle-gated queries. The quantified-comparison forms are NOT
-    //    affected — Dialect lowers them onto a null-correct CASE
-    //    (battery 6 proves all 72 corner cases).
+    // 1. [CLOSED r15] IN/NOT IN (subquery) with NULL involved, in a
+    //    PROJECTION context: the standard (and the reference) yield
+    //    NULL; Spark's bare ExistenceJoin rewrite of the SUBQUERY form
+    //    yields FALSE. Dialect.projectedInPass now lowers value-context
+    //    IN onto the null-correct quantified CASE, so the translated
+    //    form matches the reference — pinned here as the CORRECT value
+    //    (a regression back to raw ExistenceJoin would flip these).
+    //    Filter-context INs stay native (semi/anti joins; NULL and
+    //    FALSE drop the row identically there).
     assertVector(
       "SELECT x IN (SELECT TRUE) FROM (SELECT * FROM (VALUES CAST(NULL AS BOOLEAN)) t(x) WHERE (x OR NULL) IS NULL)",
-      "SELECT FALSE") // reference: NULL
+      "SELECT CAST(NULL AS BOOLEAN)")
     assertVector(
       "SELECT x IN (SELECT 1) FROM (SELECT * FROM (VALUES CAST(NULL AS INTEGER)) t(x) WHERE (x + 10 IS NULL) OR X = 2)",
-      "SELECT FALSE") // reference: NULL
+      "SELECT CAST(NULL AS BOOLEAN)")
     // 2. GROUPING SETS with a global () set over EMPTY input: the
     //    standard emits one all-NULL global row; Spark's Expand-based
     //    implementation emits no rows at all.
