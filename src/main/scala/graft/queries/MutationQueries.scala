@@ -102,13 +102,31 @@ object MutationQueries {
       |  WHERE key NOT IN (SELECT c_custkey FROM customer);
       |SELECT * FROM mrg1_t""".stripMargin
 
+  /** trc1: TRUNCATE TABLE through the SQL front-end (grammar
+    * `SqlBase.g4:69`) — the post-state is a schema-only empty table;
+    * the gate compares the post-state COUNT (a 0-row result would pass
+    * vacuously, a count row cannot). */
+  def trc1(s: SparkSession, dir: String): DataFrame = {
+    val path = freshCopy(s, dir, "supplier", "trc1")
+    val after = graft.sqlcompat.MutationSql.translate(
+      s, "TRUNCATE TABLE t", { case "t" => path })
+    after.agg(count(lit(1)).cast("long").as("n_after"))
+  }
+
+  val trc1Sql: String =
+    """CREATE OR REPLACE TEMP TABLE trc1_t AS SELECT * FROM supplier;
+      |DELETE FROM trc1_t;
+      |SELECT CAST(count(*) AS BIGINT) AS n_after FROM trc1_t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "del1_delete" -> del1 _,
     "upd1_update" -> upd1 _,
-    "mrg1_merge" -> mrg1 _)
+    "mrg1_merge" -> mrg1 _,
+    "trc1_truncate" -> trc1 _)
 
   val oracle: Map[String, String] = Map(
     "del1_delete" -> del1Sql,
     "upd1_update" -> upd1Sql,
-    "mrg1_merge" -> mrg1Sql)
+    "mrg1_merge" -> mrg1Sql,
+    "trc1_truncate" -> trc1Sql)
 }

@@ -35,6 +35,8 @@ import graft.operators.Mutations
   */
 object MutationSql {
 
+  private val truncateRe =
+    "(?is)^\\s*TRUNCATE\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
   private val deleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:WHERE\\s+(.+?))?\\s*$".r
   private val updateRe =
@@ -45,11 +47,18 @@ object MutationSql {
 
   /** True when `sql` is a mutation statement this front-end handles. */
   def matches(sql: String): Boolean =
-    "(?is)^\\s*(DELETE\\s+FROM|UPDATE\\s|MERGE\\s+INTO)".r.findFirstIn(sql).isDefined
+    "(?is)^\\s*(DELETE\\s+FROM|UPDATE\\s|MERGE\\s+INTO|TRUNCATE\\s+TABLE)".r
+      .findFirstIn(sql).isDefined
 
   def translate(s: SparkSession, sql: String,
       resolvePath: String => String,
       resolveSource: String => DataFrame = null): DataFrame = sql match {
+
+    // TRUNCATE TABLE t (grammar `SqlBase.g4:69`): a degenerate
+    // unconditional DELETE — the copy-on-write rewrite commits a
+    // schema-only table state
+    case truncateRe(table) =>
+      Mutations.delete(s, resolvePath(table), lit(true))
 
     case deleteRe(table, whereOrNull) =>
       val pred = Option(whereOrNull).map(w => expr(Dialect.translate(w)))

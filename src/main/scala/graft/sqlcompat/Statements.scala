@@ -128,6 +128,50 @@ object Statements {
     // SHOW SCHEMAS [FROM cat] — Spark spells it SHOW NAMESPACES
     case sql0 if "(?is)^\\s*SHOW\\s+SCHEMAS\\b".r.findFirstIn(sql0).isDefined =>
       s.sql(sql0.replaceAll("(?i)\\bSHOW\\s+SCHEMAS\\b", "SHOW NAMESPACES"))
+    // SHOW STATS FOR t (grammar SqlBase.g4:156-157): the reference's
+    // stats surface, served from Spark's ANALYZE'd catalog statistics
+    // (DESCRIBE EXTENDED under the hood — run `ANALYZE TABLE t COMPUTE
+    // STATISTICS FOR ALL COLUMNS` first, the reference's connectors
+    // collect on write). Output shape mirrors the reference: one row
+    // per column plus a summary row carrying row_count.
+    case showStatsRe(tbl) => showStats(s, tbl)
     case other => s.sql(Dialect.translate(other))
+  }
+
+  private val showStatsRe =
+    "(?is)^\\s*SHOW\\s+STATS\\s+FOR\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*$".r
+
+  /** SHOW STATS output: (column_name, data_size, distinct_values_count,
+    * nulls_fraction, row_count, low_value, high_value) — the
+    * reference's `ShowStatsRewrite.java` column set. Absent statistics
+    * surface as NULL, never as fabricated values. */
+  private def showStats(s: SparkSession, tbl: String): DataFrame = {
+    import s.implicits._
+    val detail = s.sql(s"DESCRIBE EXTENDED $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val rowCount: Option[Long] = detail.get("Statistics")
+      .flatMap(v => "(\\d+)\\s+rows".r.findFirstMatchIn(v))
+      .map(_.group(1).toLong)
+    def opt(m: Map[String, String], k: String): Option[String] =
+      m.get(k).filter(v => v != null && v != "NULL" && v.nonEmpty)
+    val colRows = s.table(tbl).schema.fields.toSeq.map { f =>
+      val cs = s.sql(s"DESCRIBE EXTENDED $tbl ${f.name}").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val nulls = opt(cs, "num_nulls").map(_.toLong)
+      val avgLen = opt(cs, "avg_col_len").map(_.toLong)
+      (f.name,
+        for (a <- avgLen; n <- rowCount) yield a * n, // data_size
+        opt(cs, "distinct_count").map(_.toLong),
+        for (nn <- nulls; n <- rowCount; if n > 0) yield nn.toDouble / n,
+        Option.empty[Long],
+        opt(cs, "min"),
+        opt(cs, "max"))
+    }
+    val summary = (null.asInstanceOf[String], Option.empty[Long],
+      Option.empty[Long], Option.empty[Double], rowCount,
+      Option.empty[String], Option.empty[String])
+    (colRows :+ summary).toDF("column_name", "data_size",
+      "distinct_values_count", "nulls_fraction", "row_count",
+      "low_value", "high_value")
   }
 }

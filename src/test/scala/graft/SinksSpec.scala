@@ -183,6 +183,36 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("TRUNCATE TABLE commits a schema-only empty state; SHOW STATS serves catalog stats") {
+    import org.apache.spark.sql.functions._
+    val spk = spark
+    import spk.implicits._
+    // TRUNCATE through the mutation SQL front-end
+    val path = s"$tmp/mut_truncate"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(path)
+    val after = graft.sqlcompat.MutationSql.translate(
+      spark, "TRUNCATE TABLE t", { case "t" => path })
+    assert(after.count() == 0)
+    assert(after.columns.toSeq == Seq("id", "v"), "schema must survive the truncate")
+    assert(spark.read.parquet(path).count() == 0, "committed state must be empty")
+    assert(graft.sqlcompat.MutationSql.matches("TRUNCATE TABLE x"))
+    // SHOW STATS over the ANALYZE'd table from the stats test above
+    graft.engine.Graft.load(spark, sfDir, "customer").createOrReplaceTempView("cust_src2")
+    spark.sql("DROP TABLE IF EXISTS cust_stats_tab")
+    spark.sql(
+      s"CREATE TABLE cust_stats_tab USING parquet LOCATION '$tmp/cust_stats_tab' AS SELECT * FROM cust_src2")
+    spark.sql("ANALYZE TABLE cust_stats_tab COMPUTE STATISTICS FOR ALL COLUMNS")
+    val stats = graft.sqlcompat.Statements.execute(spark, "SHOW STATS FOR cust_stats_tab")
+    assert(stats.columns.toSeq == Seq("column_name", "data_size",
+      "distinct_values_count", "nulls_fraction", "row_count", "low_value", "high_value"))
+    val rows = stats.collect()
+    val summary = rows.find(_.isNullAt(0)).get
+    assert(summary.getLong(4) == 150, s"row_count=${summary.get(4)}")
+    val custkey = rows.find(r => !r.isNullAt(0) && r.getString(0) == "c_custkey").get
+    assert(custkey.getLong(2) == 150, s"c_custkey ndv=${custkey.get(2)}")
+    assert(!custkey.isNullAt(5) && !custkey.isNullAt(6), "low/high must be present")
+  }
+
   test("partition-scoped DELETE drops fully-emptied partitions and reaches NULL partitions") {
     import org.apache.spark.sql.functions._
     val spk = spark
