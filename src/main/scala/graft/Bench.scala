@@ -242,6 +242,23 @@ object Bench {
     val ratioOf: ((String, Double)) => (String, Double) = {
       case (k, v) => k -> v / math.max(duckTimes(k), 1e-4)
     }
+    // Full per-query ratio artifact (r14 verdict Next #9): the JSON
+    // line is size-capped to the driver's 2000-char tail window, so
+    // drift in a non-headline query (the q19 case) was invisible
+    // without judge archaeology. Every paired query's spark/duck/ratio
+    // goes to a file artifact instead.
+    if (common.nonEmpty) {
+      val f = new java.io.File("tools/ratios_latest.json")
+      val body = common.sortBy(x => -ratioOf(x)._2).map { case (k, v) =>
+        s"""  "$k": {"spark": ${r3(v)}, "duck": ${r3(duckTimes(k))}, "ratio": ${r3(v / math.max(duckTimes(k), 1e-4))}}"""
+      }.mkString("{\n\"sf\": \"" + sfDir + "\",\n\"queries\": {\n", ",\n", "\n}}")
+      try {
+        val w = new java.io.PrintWriter(f); w.write(body); w.close()
+        System.err.println(s"[bench] per-query ratios -> ${f.getPath}")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] ratios artifact write failed: ${e.getMessage}")
+      }
+    }
     val ratioTotal =
       if (common.isEmpty) None
       else Some(common.map(_._2).sum / common.map(x => duckTimes(x._1)).sum)

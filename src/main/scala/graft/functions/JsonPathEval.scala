@@ -17,13 +17,24 @@ import com.fasterxml.jackson.databind.node._
   * array subscripts (multi, ranges, `last`), wildcard-array, filters
   * `?(...)` with the full predicate grammar (comparisons, `&&`/`||`/
   * `!`, `exists`, `is unknown`, `starts with`, `like_regex`), binary/
-  * unary arithmetic, and the item methods type()/size()/double()/
-  * ceiling()/floor()/abs()/keyvalue().
+  * unary arithmetic, named variables `$var` (bound through the
+  * PASSING clause surface in `sqlcompat/SqlJsonClauses`), and the
+  * item methods type()/size()/double()/ceiling()/floor()/abs()/
+  * keyvalue()/datetime([template]).
   *
-  * NOT covered — these RAISE [[UnsupportedPathError]] at parse time
-  * (loud, never a silent NULL): named variables `$var` (no PASSING
-  * clause surface), `datetime()` (the reference's own support is
-  * partial), and any syntax outside the grammar.
+  * datetime() is a CAPABILITY ADD past the reference: its parser
+  * accepts the method (`JsonPath.g4:51`) but its evaluator raises
+  * ("date method is not yet supported",
+  * `PathEvaluationVisitor.java:646`). Here it parses TEXT items per
+  * SQL:2016 §9.40 — ISO date / time / timestamp [with offset] by
+  * default, or an explicit template (YYYY MM DD HH24 MI SS FFn
+  * TZH:TZM) — into typed datetime items: type() reports the datetime
+  * kind, comparisons are chronological within a kind and UNKNOWN
+  * across categories, and the value serializes as its canonical ISO
+  * string.
+  *
+  * Anything outside the grammar RAISES [[UnsupportedPathError]] at
+  * parse time (loud, never a silent NULL).
   *
   * Mode rules exercised by the reference vectors:
   *  - lax auto-unwraps arrays (one level) before member access,
@@ -64,6 +75,7 @@ object JsonPathEval {
   private final case class WildArr(b: PE) extends PE
   private final case class FilterE(b: PE, p: Pred) extends PE
   private final case class Method(b: PE, name: String) extends PE
+  private final case class DatetimeM(b: PE, template: Option[String]) extends PE
   private final case class Arith(op: Char, l: PE, r: PE) extends PE
   private final case class Unary(negate: Boolean, e: PE) extends PE
 
@@ -232,12 +244,19 @@ object JsonPathEval {
             val name = ident()
             skipWs()
             if (peek() == '(') {
-              if (name.equalsIgnoreCase("datetime"))
-                fail("datetime() item method is not supported")
-              if (!methods.contains(name.toLowerCase))
-                fail(s"unknown item method '$name'")
-              expect('('); expect(')')
-              b = Method(b, name.toLowerCase)
+              if (name.equalsIgnoreCase("datetime")) {
+                expect('(')
+                skipWs()
+                val tmpl = if (peek() == '"') Some(stringLit()) else None
+                skipWs()
+                expect(')')
+                b = DatetimeM(b, tmpl)
+              } else {
+                if (!methods.contains(name.toLowerCase))
+                  fail(s"unknown item method '$name'")
+                expect('('); expect(')')
+                b = Method(b, name.toLowerCase)
+              }
             } else b = Member(b, name)
           }
         } else if (eat('[')) {
@@ -489,6 +508,13 @@ object JsonPathEval {
         evalPred(p, c.copy(cur = Some(item)), lax).contains(true)
       }
 
+    case DatetimeM(b, template) =>
+      unwrap(eval(b, c, lax), lax).map {
+        case t if t.isTextual => parseDatetimeItem(t.asText(), template)
+        case other =>
+          err(s"invalid item type. Expected: TEXT, actual: ${typeName(other).toUpperCase}")
+      }
+
     case Method(b, name) =>
       val base = eval(b, c, lax)
       name match {
@@ -573,8 +599,88 @@ object JsonPathEval {
       }
   }
 
+  /** A typed datetime item in the evaluator's JsonNode value domain:
+    * serializes as its canonical ISO text, but type() reports the
+    * datetime kind and comparisons are chronological (sortKey) within
+    * a kind — UNKNOWN across categories, per SQL:2016. */
+  private[functions] final class DateTimeNode(
+      text: String, val kind: String, val sortKey: Long) extends TextNode(text)
+
+  /** SQL:2016 §9.40 datetime(): parse `s` with the optional template;
+    * without one, try ISO date / time / timestamp / timestamp+offset
+    * in specificity order. */
+  private def parseDatetimeItem(s0: String, template: Option[String]): DateTimeNode = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    val s = s0.trim
+    def date(d: LocalDate) =
+      new DateTimeNode(d.toString, "date", d.toEpochDay)
+    def time(t: LocalTime) =
+      new DateTimeNode(t.toString, "time without time zone", t.toNanoOfDay)
+    def ts(t: LocalDateTime) =
+      new DateTimeNode(t.toString, "timestamp without time zone",
+        t.toEpochSecond(ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
+    def tstz(t: OffsetDateTime) =
+      new DateTimeNode(t.toString, "timestamp with time zone",
+        t.toEpochSecond * 1000000L + t.getNano / 1000L)
+    template match {
+      case None =>
+        try tstz(OffsetDateTime.parse(s)) catch { case _: Exception =>
+        try ts(LocalDateTime.parse(s.replace(' ', 'T'))) catch { case _: Exception =>
+        try date(LocalDate.parse(s)) catch { case _: Exception =>
+        try time(LocalTime.parse(s)) catch { case _: Exception =>
+          err(s"cannot parse '$s0' as a datetime (ISO formats; pass a template for others)")
+        }}}}
+      case Some(tmpl) =>
+        // SQL datetime template → java.time pattern; fields present in
+        // the template decide the result kind
+        val sb = new StringBuilder
+        var i = 0
+        var hasDate = false
+        var hasTime = false
+        var hasZone = false
+        def at(kw: String): Boolean =
+          tmpl.regionMatches(true, i, kw, 0, kw.length)
+        while (i < tmpl.length) {
+          if (at("YYYY")) { sb ++= "uuuu"; hasDate = true; i += 4 }
+          else if (at("MM")) { sb ++= "MM"; hasDate = true; i += 2 }
+          else if (at("DD")) { sb ++= "dd"; hasDate = true; i += 2 }
+          else if (at("HH24")) { sb ++= "HH"; hasTime = true; i += 4 }
+          else if (at("MI")) { sb ++= "mm"; hasTime = true; i += 2 }
+          else if (at("SS")) { sb ++= "ss"; hasTime = true; i += 2 }
+          else if (at("FF")) {
+            i += 2
+            require(i < tmpl.length && tmpl.charAt(i).isDigit,
+              s"datetime template FF needs a digit count: $tmpl")
+            val n = tmpl.charAt(i) - '0'
+            sb ++= "S" * n
+            i += 1
+          }
+          else if (at("TZH:TZM")) { sb ++= "xxx"; hasZone = true; i += 7 }
+          else if (at("TZH")) { sb ++= "x"; hasZone = true; i += 3 }
+          else if ("-/,.;: T'\"".indexOf(tmpl.charAt(i)) >= 0) {
+            val ch = tmpl.charAt(i)
+            if (ch == 'T') sb ++= "'T'" else sb += ch
+            i += 1
+          }
+          else err(s"unsupported datetime template element at '${tmpl.substring(i)}'")
+        }
+        val fmt = DateTimeFormatter.ofPattern(sb.toString)
+        try {
+          if (hasZone) tstz(OffsetDateTime.parse(s, fmt))
+          else if (hasDate && hasTime) ts(LocalDateTime.parse(s, fmt))
+          else if (hasDate) date(LocalDate.parse(s, fmt))
+          else time(LocalTime.parse(s, fmt))
+        } catch {
+          case e: DateTimeException =>
+            err(s"cannot parse '$s0' with template '$tmpl': ${e.getMessage}")
+        }
+    }
+  }
+
   private def typeName(n: JsonNode): String = n match {
     case _: NullNode => "null"
+    case dt: DateTimeNode => dt.kind
     case _ if n.isBoolean => "boolean"
     case _ if isNumber(n) => "number"
     case _ if n.isTextual => "string"
@@ -677,12 +783,19 @@ object JsonPathEval {
     * strings (codepoint order), booleans with booleans; anything
     * cross-category is an error (None). */
   private def compareScalars(op: String, a: JsonNode, b: JsonNode): Option[Boolean] = {
-    val cmp: Option[Int] =
-      if (isNumber(a) && isNumber(b)) Some(dec(a).compareTo(dec(b)))
-      else if (a.isTextual && b.isTextual) Some(a.asText().compareTo(b.asText()))
-      else if (a.isBoolean && b.isBoolean)
-        Some(java.lang.Boolean.compare(a.booleanValue(), b.booleanValue()))
-      else None
+    val cmp: Option[Int] = (a, b) match {
+      // datetime items: chronological within a kind, UNKNOWN across
+      // categories (incl. datetime vs plain string) — SQL:2016 §9.40
+      case (x: DateTimeNode, y: DateTimeNode) if x.kind == y.kind =>
+        Some(java.lang.Long.compare(x.sortKey, y.sortKey))
+      case (_: DateTimeNode, _) | (_, _: DateTimeNode) => None
+      case _ =>
+        if (isNumber(a) && isNumber(b)) Some(dec(a).compareTo(dec(b)))
+        else if (a.isTextual && b.isTextual) Some(a.asText().compareTo(b.asText()))
+        else if (a.isBoolean && b.isBoolean)
+          Some(java.lang.Boolean.compare(a.booleanValue(), b.booleanValue()))
+        else None
+    }
     cmp.map { x =>
       op match {
         case "==" => x == 0

@@ -167,6 +167,55 @@ class JsonPathSpec extends AnyFunSuite {
     assert(evalErr("null", "lax $.keyvalue()").contains("Expected: OBJECT"))
   }
 
+  test("datetime() item method: ISO defaults, templates, typed semantics") {
+    // ISO defaults pick the most specific kind (SQL:2016 §9.40); the
+    // reference parses the method (JsonPath.g4:51) but its evaluator
+    // raises (PathEvaluationVisitor.java:646) — capability add here
+    assert(seq("""{"d":"2024-02-29"}""", "lax $.d.datetime()") ==
+      Vector("\"2024-02-29\""))
+    assert(seq("""{"t":"13:05:07"}""", "lax $.t.datetime()") ==
+      Vector("\"13:05:07\""))
+    assert(seq("""{"ts":"2024-02-29 13:05:07"}""", "lax $.ts.datetime()") ==
+      Vector("\"2024-02-29T13:05:07\""))
+    assert(seq("""{"z":"2024-02-29T13:05:07+09:00"}""", "lax $.z.datetime()") ==
+      Vector("\"2024-02-29T13:05:07+09:00\""))
+    // type() reports the datetime kind
+    assert(seq("""{"d":"2024-02-29"}""", "lax $.d.datetime().type()") ==
+      Vector("\"date\""))
+    assert(seq("""{"ts":"2024-02-29 13:05:07"}""", "lax $.ts.datetime().type()") ==
+      Vector("\"timestamp without time zone\""))
+    // templates: YYYY/MM/DD + HH24:MI:SS + fraction + offset
+    assert(seq("""{"d":"29/02/2024"}""", "lax $.d.datetime(\"DD/MM/YYYY\")") ==
+      Vector("\"2024-02-29\""))
+    assert(seq("""{"ts":"2024-02-29 13.05.07"}""",
+      "lax $.ts.datetime(\"YYYY-MM-DD HH24.MI.SS\")") ==
+      Vector("\"2024-02-29T13:05:07\""))
+    assert(seq("""{"z":"2024-02-29 13:05:07+09:00"}""",
+      "lax $.z.datetime(\"YYYY-MM-DD HH24:MI:SSTZH:TZM\")") ==
+      Vector("\"2024-02-29T13:05:07+09:00\""))
+    // chronological comparison in filters (lexicographic would also
+    // put 2024-1-9 < 2024-1-10 wrong if unpadded — parse enforces pad)
+    assert(seq("""[{"d":"2024-01-09"},{"d":"2024-01-10"},{"d":"2023-12-31"}]""",
+      "lax $[*] ? (@.d.datetime() > \"2024-01-01\".datetime()) .d") ==
+      Vector("\"2024-01-09\"", "\"2024-01-10\""))
+    // cross-category comparison is UNKNOWN → filter drops
+    assert(seq("""[{"d":"2024-01-09"}]""",
+      "lax $[*] ? (@.d.datetime() > 5) .d").isEmpty)
+    // datetime vs plain string is UNKNOWN too
+    assert(seq("""[{"d":"2024-01-09"}]""",
+      "lax $[*] ? (@.d.datetime() > \"2024\") .d").isEmpty)
+    // errors stay loud: non-text input, unparseable text, bad template
+    assert(evalErr("""{"d":5}""", "strict $.d.datetime()")
+      .contains("Expected: TEXT"))
+    assert(evalErr("""{"d":"not a date"}""", "lax $.d.datetime()")
+      .contains("cannot parse"))
+    assert(evalErr("""{"d":"2024-02-29"}""", "lax $.d.datetime(\"QQ\")")
+      .contains("unsupported datetime template"))
+    // lax unwraps arrays before the method, like the other item methods
+    assert(seq("""{"a":["2024-01-01","2024-06-01"]}""",
+      "lax $.a.datetime().type()") == Vector("\"date\"", "\"date\""))
+  }
+
   test("unsupported constructs raise loudly, never NULL") {
     // named variables parse (PASSING surface, r14) — but referencing
     // one in a no-PASSING call form stays a LOUD error
@@ -174,7 +223,6 @@ class JsonPathSpec extends AnyFunSuite {
     assertThrows[UnsupportedPathError](
       JsonPathEval.evaluate(
         new com.fasterxml.jackson.databind.ObjectMapper().readTree("{}"), p))
-    assertThrows[UnsupportedPathError](JsonPathEval.parse("lax $.a.datetime()"))
     assertThrows[UnsupportedPathError](JsonPathEval.parse("lax $.a !!"))
     assertThrows[UnsupportedPathError](JsonPathEval.parse("lax $.a.unknown_method()"))
     // ...and through the function wrappers too (not ON ERROR'd)
