@@ -293,15 +293,188 @@ object Analytics {
       |FROM n LEFT JOIN conv ON n.user_id = conv.user_id
       |GROUP BY n.user_id, n.n_sessions""".stripMargin
 
+  // -------------------------------------- x5 channel-union rollup
+  /** TPC-DS Q5-shaped channel report: a UNION of per-channel relations
+    * (returns vs sales split on l_returnflag — the reference benches
+    * 99 TPC-DS queries of this shape, BASELINE.md) aggregated per
+    * nation under ROLLUP(channel, nation) with subtotal + grand-total
+    * rows. Scale shape: lineitem pre-aggregates per (order, channel)
+    * BEFORE the join chain (map-side collapse, the x1 lesson), the
+    * nation dim broadcasts, and the rollup runs over the collapsed
+    * |orders|-sized relation. Decimal-exact limb sums re-aggregate as
+    * primitive longs through BOTH levels. */
+  def x5(s: SparkSession, dir: String): DataFrame = {
+    val channel = when(col("l_returnflag") === "R", lit("returns"))
+      .otherwise(lit("sales"))
+    val orl = sumLimbsLong(revenueU(col("l_extendedprice"), col("l_discount")))
+    val ordRev = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"), channel.as("channel"))
+      .agg(orl._1.as("hi"), orl._2.as("lo"), count(lit(1)).as("n_lines"))
+    // Aggregate to the DETAIL grain first, THEN rollup the tiny
+    // (channel × nation) relation: a direct .rollup would Expand every
+    // joined row ×3 before the shuffle — at 100 TB that triples the
+    // exchange for subtotals derivable from ~50 detail rows. Limb sums
+    // re-aggregate exactly through both levels.
+    val detail = ordRev
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("channel"), col("n_name"))
+      .agg(sum(col("hi")).as("hi"), sum(col("lo")).as("lo"),
+        sum(col("n_lines")).as("n_lines"))
+    detail.rollup(col("channel"), col("n_name"))
+      .agg(limbsToDecimal(sum(col("hi")), sum(col("lo")), 4).cast("double").as("rev"),
+        sum(col("n_lines")).cast("long").as("n_lines"))
+  }
+
+  val x5Sql: String =
+    """WITH ord AS (
+      |  SELECT l_orderkey,
+      |    CASE WHEN l_returnflag = 'R' THEN 'returns' ELSE 'sales' END AS channel,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS orev,
+      |    count(*) AS n_lines
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT channel, n_name, CAST(sum(orev) AS DOUBLE) AS rev,
+      |  CAST(sum(n_lines) AS BIGINT) AS n_lines
+      |FROM ord
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(channel, n_name)""".stripMargin
+
+  // ----------------------------------- x6 cumulative channel compare
+  /** TPC-DS Q51-shaped cumulative comparison: running revenue per
+    * month for two channels (linestatus O vs F), FULL OUTER joined on
+    * month, with the per-month "is O ahead" flag. Scale shape: the
+    * windows run over the |months| aggregate relation (tiny), not the
+    * fact table; limb sums keep the cumulative decimal exact inside
+    * one WindowExec pass. */
+  def x6(s: SparkSession, dir: String): DataFrame = {
+    val mon = date_format(col("l_shipdate"), "yyyy-MM")
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus").as("st"), mon.as("mon"))
+      .agg(decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).as("rev"))
+    val w = Window.partitionBy(col("st")).orderBy(col("mon"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = monthly.select(col("st"), col("mon"),
+      sum(col("rev")).over(w).as("cum"))
+    val o = cum.filter(col("st") === "O").select(col("mon").as("mon_o"), col("cum").as("cum_o"))
+    val f = cum.filter(col("st") === "F").select(col("mon").as("mon_f"), col("cum").as("cum_f"))
+    o.join(f, col("mon_o") === col("mon_f"), "full_outer")
+      .select(coalesce(col("mon_o"), col("mon_f")).as("mon"),
+        col("cum_o").cast("double").as("cum_o"),
+        col("cum_f").cast("double").as("cum_f"),
+        (coalesce(col("cum_o"), lit(java.math.BigDecimal.ZERO)) >
+          coalesce(col("cum_f"), lit(java.math.BigDecimal.ZERO))).as("o_ahead"))
+  }
+
+  val x6Sql: String =
+    """WITH m AS (
+      |  SELECT l_linestatus AS st, strftime(l_shipdate, '%Y-%m') AS mon,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT st, mon,
+      |  sum(rev) OVER (PARTITION BY st ORDER BY mon ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+      |SELECT coalesce(o.mon, f.mon) AS mon,
+      |  CAST(o.cum AS DOUBLE) AS cum_o, CAST(f.cum AS DOUBLE) AS cum_f,
+      |  coalesce(o.cum, 0) > coalesce(f.cum, 0) AS o_ahead
+      |FROM (SELECT * FROM c WHERE st = 'O') o
+      |  FULL JOIN (SELECT * FROM c WHERE st = 'F') f ON o.mon = f.mon""".stripMargin
+
+  // ------------------------------------ x7 rollup-level ranking
+  /** TPC-DS Q36-shaped hierarchy ranking: revenue under
+    * ROLLUP(returnflag, linestatus), ranked WITHIN each grouping level
+    * (the grouping() bitmask partitions the window — detail rows rank
+    * against detail rows, subtotals against subtotals). */
+  def x7(s: SparkSession, dir: String): DataFrame = {
+    // detail grain first (one scan-parallel pass, ~6 rows out), rollup
+    // over the tiny aggregate — not an Expand ×3 of the fact table
+    val lim = sumLimbsLong(revenueU(col("l_extendedprice"), col("l_discount")))
+    val detail = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(lim._1.as("hi"), lim._2.as("lo"))
+    val g = detail
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(limbsToDecimal(sum(col("hi")), sum(col("lo")), 4).as("rev"),
+        grouping(col("l_returnflag")).as("g1"),
+        grouping(col("l_linestatus")).as("g2"))
+    val w = Window.partitionBy(col("g1") + col("g2"))
+      .orderBy(col("rev").desc,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    g.select(col("l_returnflag"), col("l_linestatus"),
+      col("rev").cast("double").as("rev"),
+      (col("g1") + col("g2")).cast("long").as("lvl"),
+      rank().over(w).cast("long").as("rnk"))
+  }
+
+  val x7Sql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev,
+      |    GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2
+      |  FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus))
+      |SELECT l_returnflag, l_linestatus, CAST(rev AS DOUBLE) AS rev,
+      |  CAST(g1 + g2 AS BIGINT) AS lvl,
+      |  CAST(rank() OVER (PARTITION BY g1 + g2
+      |    ORDER BY rev DESC, l_returnflag ASC NULLS FIRST,
+      |    l_linestatus ASC NULLS FIRST) AS BIGINT) AS rnk
+      |FROM g""".stripMargin
+
+  // --------------------------------- x8 big-spender cohort per year
+  /** TPC-DS Q23-shaped frequent/heavy-buyer cohort: per year, the
+    * customers whose spend exceeds 2× the yearly mean, their count and
+    * spend share. The threshold comparison runs ENTIRELY in unscaled
+    * long space (spend_u × n_cust > 2 × total_u) — no division, no
+    * floating boundary, so the cohort membership is bit-deterministic
+    * on both engines; only the final share is an IEEE division of two
+    * exact longs. Scale shape: spend aggregates per (customer, year);
+    * the per-year totals relation is |years|-sized and broadcasts back. */
+  def x8(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(unscaled2dp(col("o_totalprice"))).as("spend_u"))
+    val totals = spend.groupBy(col("yr")).agg(
+      sum(col("spend_u")).as("total_u"), count(lit(1)).as("n_cust"))
+    spend.join(broadcast(totals), "yr")
+      .withColumn("is_big", col("spend_u") * col("n_cust") > col("total_u") * 2)
+      .groupBy(col("yr"))
+      .agg(
+        sum(when(col("is_big"), 1L).otherwise(0L)).as("n_big"),
+        (sum(when(col("is_big"), col("spend_u")).otherwise(0L)).cast("double") /
+          sum(col("spend_u")).cast("double")).as("big_share"))
+  }
+
+  val x8Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS spend_u
+      |  FROM orders GROUP BY 1, 2),
+      |tot AS (SELECT yr, sum(spend_u) AS total_u, count(*) AS n_cust
+      |        FROM spend GROUP BY yr)
+      |SELECT spend.yr,
+      |  CAST(sum(CASE WHEN spend_u * n_cust > total_u * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |  CAST(sum(CASE WHEN spend_u * n_cust > total_u * 2 THEN spend_u ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(spend_u) AS DOUBLE) AS big_share
+      |FROM spend JOIN tot ON spend.yr = tot.yr
+      |GROUP BY spend.yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_yoy_growth" -> x1 _,
     "x2_market_basket" -> x2 _,
     "x3_funnel" -> x3 _,
-    "x4_session_funnel" -> x4 _)
+    "x4_session_funnel" -> x4 _,
+    "x5_channel_rollup" -> x5 _,
+    "x6_cumulative_channels" -> x6 _,
+    "x7_rollup_ranking" -> x7 _,
+    "x8_big_spender_cohort" -> x8 _)
 
   val oracle: Map[String, String] = Map(
     "x1_yoy_growth" -> x1Sql,
     "x2_market_basket" -> x2Sql,
     "x3_funnel" -> x3Sql,
-    "x4_session_funnel" -> x4Sql)
+    "x4_session_funnel" -> x4Sql,
+    "x5_channel_rollup" -> x5Sql,
+    "x6_cumulative_channels" -> x6Sql,
+    "x7_rollup_ranking" -> x7Sql,
+    "x8_big_spender_cohort" -> x8Sql)
 }

@@ -1541,6 +1541,84 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "ON o.orderstatus = g.orderstatus")
   }
 
+  test("window corpus completion (AbstractTestWindowQueries.java:167-658)") {
+    // testWindowFunctionWithGroupBy: window over a grouped single row
+    // (Spark rejects * with ordinal GROUP BY — spelled by name)
+    assertVector(
+      "SELECT x, rank() OVER (PARTITION BY x ORDER BY x) FROM (SELECT 'foo' x) GROUP BY x",
+      "VALUES ('foo', 1)")
+    // testPartialPrePartitioned/testFullPrePartitioned: COUNT over a
+    // unique partition key is structurally 1 per row (orderkey is the
+    // orders key — reformulated, the reference pins tiny-SF literals)
+    assertVector(
+      "SELECT orderkey, COUNT(*) OVER (PARTITION BY orderkey, custkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)",
+      "SELECT orderkey, 1 FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)")
+    assertVector(
+      "SELECT orderkey, COUNT(*) OVER (PARTITION BY orderkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)",
+      "SELECT orderkey, 1 FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)")
+    // testPartialPreSorted/testFullPreSorted: running COUNT over a
+    // unique sort key ≡ row_number
+    assertVector(
+      "SELECT orderkey, COUNT(*) OVER (ORDER BY orderkey, custkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)",
+      "SELECT orderkey, row_number() OVER (ORDER BY orderkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)")
+    assertVector(
+      "SELECT orderkey, COUNT(*) OVER (ORDER BY orderkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)",
+      "SELECT orderkey, row_number() OVER (ORDER BY orderkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10)")
+    // testFullyPartitionedAnd(Partially|Fully)Sorted: partition key
+    // unique → every running count is 1
+    assertVector(
+      "SELECT orderkey, custkey, COUNT(*) OVER (PARTITION BY orderkey ORDER BY custkey) FROM (SELECT * FROM orders ORDER BY orderkey, custkey LIMIT 10)",
+      "SELECT orderkey, custkey, 1 FROM (SELECT * FROM orders ORDER BY orderkey, custkey LIMIT 10)")
+    // testOrderByWindowFunctionWithNulls: NULLS FIRST / NULLS LAST /
+    // default-last over a synthesized NULL key (VALUES form — the
+    // semantics, not the tiny-SF literals, are the vector)
+    assertOrdered(
+      "SELECT a, row_number() OVER (ORDER BY nullif(a, 3) NULLS FIRST) FROM (VALUES 1,2,3,4,5,6,7,8,9,10) t(a) ORDER BY 2 ASC LIMIT 5",
+      "VALUES (3, 1), (1, 2), (2, 3), (4, 4), (5, 5)")
+    assertOrdered(
+      "SELECT a, row_number() OVER (ORDER BY nullif(a, 3) NULLS LAST) FROM (VALUES 1,2,3,4,5,6,7,8,9,10) t(a) ORDER BY 2 DESC LIMIT 5",
+      "VALUES (3, 10), (10, 9), (9, 8), (8, 7), (7, 6)")
+    assertOrdered(
+      "SELECT a, row_number() OVER (ORDER BY nullif(a, 3)) FROM (VALUES 1,2,3,4,5,6,7,8,9,10) t(a) ORDER BY 2 DESC LIMIT 5",
+      "VALUES (3, 10), (10, 9), (9, 8), (8, 7), (7, 6)")
+    // testWindowsSameOrdering/PrefixPartitioning/DifferentPartitions:
+    // multiple windows in ONE query must agree with each window
+    // computed SEPARATELY and joined back on a unique key — pins the
+    // window-merge/reorder machinery (the reference pins tiny-SF
+    // literals for the same shapes)
+    assertVector(
+      "SELECT o.orderkey, w1.s, w2.m FROM orders o " +
+        "JOIN (SELECT orderkey, sum(totalprice) OVER (PARTITION BY custkey ORDER BY orderkey) s FROM orders) w1 ON o.orderkey = w1.orderkey " +
+        "JOIN (SELECT orderkey, min(totalprice) OVER (PARTITION BY custkey ORDER BY orderdate, orderkey) m FROM orders) w2 ON o.orderkey = w2.orderkey " +
+        "WHERE o.orderkey < 500",
+      "SELECT orderkey, s, m FROM (SELECT orderkey, " +
+        "sum(totalprice) OVER (PARTITION BY custkey ORDER BY orderkey) s, " +
+        "min(totalprice) OVER (PARTITION BY custkey ORDER BY orderdate, orderkey) m " +
+        "FROM orders) WHERE orderkey < 500")
+    assertVector(
+      "SELECT o.orderkey, w1.mx, w2.s FROM orders o " +
+        "JOIN (SELECT orderkey, max(totalprice) OVER (PARTITION BY custkey, orderstatus ORDER BY orderkey) mx FROM orders) w1 ON o.orderkey = w1.orderkey " +
+        "JOIN (SELECT orderkey, sum(totalprice) OVER (PARTITION BY custkey ORDER BY orderkey) s FROM orders) w2 ON o.orderkey = w2.orderkey " +
+        "WHERE o.orderkey < 500",
+      "SELECT orderkey, mx, s FROM (SELECT orderkey, " +
+        "max(totalprice) OVER (PARTITION BY custkey, orderstatus ORDER BY orderkey) mx, " +
+        "sum(totalprice) OVER (PARTITION BY custkey ORDER BY orderkey) s " +
+        "FROM orders) WHERE orderkey < 500")
+    // testDuplicateColumnsInWindowOrderByClause
+    assertOrdered(
+      "SELECT a, row_number() OVER (ORDER BY a ASC, a DESC) FROM (VALUES 3, 2, 1) t(a)",
+      "VALUES (1, 1), (2, 2), (3, 3)")
+    // testMultipleInstancesOfWindowFunction: same function, same
+    // window, different frames stay distinct
+    assertVector(
+      "SELECT a, lag(a, 1) OVER (ORDER BY a), lag(a, 2) OVER (ORDER BY a) FROM (VALUES 1, 2, 3, 4) t(a)",
+      "VALUES (1, NULL, NULL), (2, 1, NULL), (3, 2, 1), (4, 3, 2)")
+    // testWindowNoChannels (count over constant partition of 1-col rel)
+    assertVector(
+      "SELECT rank() OVER (PARTITION BY a ORDER BY a) FROM (VALUES 1, 1, 2) t(a)",
+      "VALUES 1, 1, 1")
+  }
+
   test("aggregation vectors: complex keys + distinct (AbstractTestAggregations.java:34-330)") {
     // testGroupByMap / testGroupByComplexMap: MAP-typed grouping keys
     // (Spark rejects these natively; the MapGroupingKeys rule
