@@ -1596,6 +1596,16 @@ object Dialect {
     out = orderedAggPass(out)
     out = unorderedRankingPass(out)
     out = orderByNullsPass(out)
+    // LIMIT literals past Int.MaxValue: the reference accepts a BIGINT
+    // row count (testLimitMax — LIMIT 9223372036854775807 means "no
+    // limit"); Spark requires an INT literal, so clamp. Row counts
+    // between 2^31 and 2^63 are indistinguishable from unlimited for
+    // any result a driver could fetch.
+    out = "(?i)\\b(LIMIT|FETCH\\s+FIRST)\\s+(\\d{10,})".r
+      .replaceAllIn(out, m =>
+        if (BigInt(m.group(2)) > Int.MaxValue)
+          java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} ${Int.MaxValue}")
+        else m.matched)
     // `count()` with no argument is the reference's count(*)
     out = out.replaceAll("(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
 

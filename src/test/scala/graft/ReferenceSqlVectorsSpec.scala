@@ -892,15 +892,13 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertVector("SELECT COUNT(42) FROM orders", "SELECT COUNT(*) FROM orders")
     assertVector("SELECT COUNT(42 + 42) FROM orders", "SELECT COUNT(*) FROM orders")
     assertVector("SELECT COUNT(null) FROM orders", "SELECT 0")
-    // testLimitMax: INT-max LIMIT passes; the reference also allows a
-    // BIGINT-max LIMIT (unordered), which Spark rejects at analysis —
-    // loud, type-level, acceptable (the reference itself rejects
-    // bigint-max ORDER BY LIMIT)
+    // testLimitMax: INT-max LIMIT passes, and since r15 the dialect
+    // clamps a BIGINT LIMIT literal to INT-max (the reference accepts
+    // bigint-max as "no limit"; Spark's LIMIT is INT-typed)
     assertVector("SELECT nationkey FROM nation LIMIT 2147483647",
       "SELECT nationkey FROM nation")
-    vectorCount += 1
-    assertThrows[org.apache.spark.sql.AnalysisException](
-      runQ("SELECT nationkey FROM nation LIMIT 9223372036854775807").collect())
+    assertVector("SELECT nationkey FROM nation LIMIT 9223372036854775807",
+      "SELECT nationkey FROM nation")
   }
 
   test("window ordering vectors: rank over NaN/NULL keys (AbstractTestWindowQueries.java:34)") {
@@ -1539,6 +1537,53 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "(SELECT orderstatus, map_agg(orderkey, orderpriority) m FROM " +
         "(SELECT * FROM orders ORDER BY orderkey LIMIT 5) t GROUP BY orderstatus) g " +
         "ON o.orderstatus = g.orderstatus")
+  }
+
+  test("generic query corpus completion (AbstractTestQueries.java:65-500)") {
+    // testAggregationOverUnknown: min/max over an untyped NULL column
+    assertVector(
+      "SELECT orderpriority, min(totalprice), max(totalprice), min(nullvalue), max(nullvalue) " +
+        "FROM (SELECT orderpriority, totalprice, null AS nullvalue FROM orders) GROUP BY orderpriority",
+      "SELECT orderpriority, min(totalprice), max(totalprice), NULL, NULL FROM orders GROUP BY orderpriority")
+    // testLimitMax: LIMIT at max-long must behave as no limit
+    assertVector(
+      s"SELECT nationkey FROM nation LIMIT ${Long.MaxValue}",
+      "SELECT nationkey FROM nation")
+    // testDistinctLimit (VALUES form)
+    assertVector(
+      "SELECT DISTINCT x FROM (VALUES 1) t(x) JOIN (VALUES 10, 20) u(a) ON t.x < u.a LIMIT 100",
+      "SELECT 1")
+    // testRepeatedAggregations
+    assertVector("SELECT SUM(orderkey), SUM(orderkey) FROM orders",
+      "SELECT s, s FROM (SELECT SUM(orderkey) s FROM orders)")
+    // testTopNByMultipleFields: default null ordering is NULLS LAST
+    // for ASC (reformulation pair, runs on this fixture's data)
+    assertOrdered(
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC, custkey ASC, orderkey LIMIT 10",
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS LAST, custkey ASC, orderkey LIMIT 10")
+    assertOrdered(
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) DESC, custkey ASC, orderkey LIMIT 10",
+      "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) DESC NULLS FIRST, custkey ASC, orderkey LIMIT 10")
+    // testPredicate: filter over a UNION ALL ≡ union of filtered
+    // branches (the predicate-pushdown-through-union differential)
+    assertVector(
+      "SELECT * FROM (" +
+        "SELECT orderkey+1 AS a FROM orders WHERE orderstatus = 'F' UNION ALL " +
+        "SELECT orderkey FROM orders WHERE orderkey % 2 = 0 UNION ALL " +
+        "(SELECT orderkey+custkey FROM orders ORDER BY orderkey LIMIT 10)) " +
+        "WHERE a < 20 OR a > 100",
+      "SELECT * FROM (" +
+        "SELECT a FROM (SELECT orderkey+1 AS a FROM orders WHERE orderstatus = 'F') WHERE a < 20 OR a > 100 UNION ALL " +
+        "SELECT a FROM (SELECT orderkey AS a FROM orders WHERE orderkey % 2 = 0) WHERE a < 20 OR a > 100 UNION ALL " +
+        "SELECT a FROM (SELECT orderkey+custkey AS a FROM orders ORDER BY orderkey LIMIT 10) WHERE a < 20 OR a > 100)")
+    // testDistinctHaving / testFilterPushdownWithAggregation shapes
+    assertVector(
+      "SELECT COUNT(DISTINCT custkey) AS count FROM orders GROUP BY orderdate HAVING COUNT(DISTINCT custkey) > 1",
+      "SELECT c FROM (SELECT COUNT(DISTINCT custkey) c FROM orders GROUP BY orderdate) WHERE c > 1")
+    // testTopN over TopN (ordered containment)
+    assertOrdered(
+      "SELECT orderkey, totalprice FROM (SELECT orderkey, totalprice FROM orders ORDER BY 1, 2 LIMIT 10) ORDER BY 2, 1 LIMIT 5",
+      "SELECT orderkey, totalprice FROM (SELECT orderkey, totalprice FROM orders ORDER BY orderkey, totalprice LIMIT 10) ORDER BY totalprice, orderkey LIMIT 5")
   }
 
   test("window corpus completion (AbstractTestWindowQueries.java:167-658)") {
