@@ -261,6 +261,50 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected pair-key exchange and aggregate:\n${plan.take(2000)}")
   }
 
+  test("x5/x7 rollups Expand the detail aggregate, never the fact table") {
+    // The TPC-DS-shaped rollups aggregate to the grouping-key grain
+    // FIRST; the Expand (×3 for a 2-level rollup) must sit ABOVE an
+    // aggregate, so the tripled row stream is tens of rows — a direct
+    // .rollup on the joined fact rows would triple the exchange at
+    // 100 TB. Structural proof: every Expand in the plan has a
+    // HashAggregate somewhere BELOW it.
+    for (name <- Seq("x5_channel_rollup", "x7_rollup_ranking")) {
+      val plan = graft.queries.Analytics.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      val expandIdxs = lines.zipWithIndex.filter(_._1.contains("Expand")).map(_._2)
+      assert(expandIdxs.nonEmpty, s"$name: rollup lost its Expand:\n${plan.take(1500)}")
+      expandIdxs.foreach { i =>
+        assert(lines.drop(i + 1).exists(_.contains("HashAggregate")),
+          s"$name: Expand runs over pre-aggregation rows:\n${plan.take(2500)}")
+      }
+      assert(!plan.contains("CartesianProduct"), s"$name cartesian")
+    }
+    // x5's nation dim must broadcast (bounded size at any SF)
+    val x5plan = graft.queries.Analytics.queries("x5_channel_rollup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(x5plan.contains("BroadcastHashJoin") || x5plan.contains("BroadcastExchange"),
+      s"x5 nation join not broadcast:\n${x5plan.take(1500)}")
+  }
+
+  test("x6/x8: windows and thresholds run over aggregate relations, not fact rows") {
+    // x6: the cumulative windows partition the |months| aggregate —
+    // the Window node must sit above a HashAggregate, and the full
+    // outer join joins two window outputs (no fact-table outer join)
+    val x6 = graft.queries.Analytics.queries("x6_cumulative_channels")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val x6lines = x6.linesIterator.toVector
+    val winIdx = x6lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0 && x6lines.drop(winIdx + 1).exists(_.contains("HashAggregate")),
+      s"x6 window below aggregation:\n${x6.take(2000)}")
+    // x8: the per-year totals side is broadcast back to the spend
+    // relation (|years|-sized build side)
+    val x8 = graft.queries.Analytics.queries("x8_big_spender_cohort")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(x8.contains("BroadcastHashJoin") || x8.contains("BroadcastExchange"),
+      s"x8 totals join not broadcast:\n${x8.take(2000)}")
+  }
+
   test("p19 packing window is sharded (never a corpus-wide partition) and pruned") {
     val df = graft.queries.Pipeline.queries("p19_sequence_packing")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
