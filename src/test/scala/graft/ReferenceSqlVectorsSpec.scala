@@ -1539,6 +1539,68 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "ON o.orderstatus = g.orderstatus")
   }
 
+  test("GROUP BY expression-form vectors (AbstractTestAggregations.java:465-720)") {
+    // testAggregationWithSomeArgumentCasts: the reference form passes a
+    // COLUMN as the percentile (approx_percentile(0.1, x)); Spark
+    // requires a foldable percentage — the coercion half transfers:
+    assertVector(
+      "SELECT AVG(x), MIN(x), APPROX_PERCENTILE(CAST(x AS DOUBLE), 0.1E0) FROM (values 1, 1, 1) t(x)",
+      "SELECT 1.0E0, 1, 1.0E0")
+    // testAggregationWithHaving (VALUES-exact)
+    assertVector(
+      "SELECT a, count(1) FROM (VALUES 1, 2, 3, 2) t(a) GROUP BY a HAVING count(1) > 1",
+      "SELECT 2, 2")
+    // testGroupByRepeatedField: duplicate grouping keys collapse
+    assertVector(
+      "SELECT sum(custkey) FROM orders GROUP BY orderstatus, orderstatus",
+      "SELECT sum(custkey) FROM orders GROUP BY orderstatus")
+    // testReorderOutputsOfGroupByAggregation
+    assertVector(
+      "SELECT orderstatus, a, custkey, b FROM (SELECT custkey, orderstatus, -COUNT(*) a, MAX(orderkey) b FROM orders WHERE orderkey = 1 GROUP BY custkey, orderstatus) T",
+      "SELECT orderstatus, -COUNT(*), custkey, MAX(orderkey) FROM orders WHERE orderkey = 1 GROUP BY custkey, orderstatus")
+    // testGroupAggregationOverNestedGroupByAggregation
+    assertVector(
+      "SELECT sum(custkey), max(orderstatus), min(c) FROM (SELECT orderstatus, custkey, COUNT(*) c FROM orders GROUP BY orderstatus, custkey) T",
+      "SELECT sum(custkey), max(orderstatus), min(c) FROM (SELECT custkey, orderstatus, COUNT(*) c FROM orders GROUP BY custkey, orderstatus) T")
+    // testGroupByBetween: whole BETWEEN as the grouping expression
+    assertVector(
+      "SELECT orderkey BETWEEN 1 AND 100 FROM orders GROUP BY orderkey BETWEEN 1 AND 100",
+      "SELECT DISTINCT orderkey BETWEEN 1 AND 100 FROM orders")
+    // ordinal ≡ expression pairs (CASE / simple CASE / no-ELSE / IF /
+    // CAST / COALESCE / NULLIF / EXTRACT)
+    def ordinalPair(expr: String): Unit = assertVector(
+      s"SELECT $expr, count(*) FROM orders GROUP BY 1",
+      s"SELECT $expr, count(*) FROM orders GROUP BY $expr")
+    ordinalPair("CASE WHEN orderstatus = 'O' THEN 'a' ELSE 'b' END")
+    ordinalPair("CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END")
+    ordinalPair("CASE orderstatus WHEN 'O' THEN 'a' END")
+    ordinalPair("IF(orderkey between 1 and 5, 'orders', 'others')")
+    ordinalPair("CAST(orderkey AS VARCHAR)")
+    ordinalPair("COALESCE(orderkey, custkey)")
+    ordinalPair("NULLIF(orderkey, custkey)")
+    ordinalPair("EXTRACT(YEAR FROM orderdate)")
+    // expression grouped by its ARGUMENT column (function-of-key form)
+    assertVector(
+      "SELECT CASE 1 WHEN 1 THEN orderstatus ELSE 'x' END, count(*) FROM orders GROUP BY orderstatus",
+      "SELECT orderstatus, count(*) FROM orders GROUP BY orderstatus")
+    assertVector(
+      "SELECT EXTRACT(YEAR FROM orderdate), count(*) FROM orders GROUP BY orderdate",
+      "SELECT EXTRACT(YEAR FROM orderdate), c FROM (SELECT orderdate, count(*) c FROM orders GROUP BY orderdate)")
+    // testGroupByNullConstant
+    assertVector(
+      "SELECT count(*) FROM (SELECT CAST(null AS VARCHAR) constant, orderdate FROM orders) a GROUP BY constant, orderdate",
+      "SELECT count(*) FROM orders GROUP BY orderdate")
+    // test15WayGroupBy (hash-width stress: many derived keys)
+    assertVector(
+      "SELECT orderkey + 1, orderkey + 2, orderkey + 3, orderkey + 4, orderkey + 5, " +
+        "orderkey + 6, orderkey + 7, orderkey + 8, orderkey + 9, orderkey + 10, count(*) " +
+        "FROM orders GROUP BY orderkey + 1, orderkey + 2, orderkey + 3, orderkey + 4, orderkey + 5, " +
+        "orderkey + 6, orderkey + 7, orderkey + 8, orderkey + 9, orderkey + 10",
+      "SELECT orderkey + 1, orderkey + 2, orderkey + 3, orderkey + 4, orderkey + 5, " +
+        "orderkey + 6, orderkey + 7, orderkey + 8, orderkey + 9, orderkey + 10, c " +
+        "FROM (SELECT orderkey, count(*) c FROM orders GROUP BY orderkey)")
+  }
+
   test("generic query corpus completion (AbstractTestQueries.java:65-500)") {
     // testAggregationOverUnknown: min/max over an untyped NULL column
     assertVector(
