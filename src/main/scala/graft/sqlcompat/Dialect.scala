@@ -1606,6 +1606,9 @@ object Dialect {
         if (BigInt(m.group(2)) > Int.MaxValue)
           java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} ${Int.MaxValue}")
         else m.matched)
+    // LIMIT ALL (standard, testOrderByLimitAll): explicit no-limit —
+    // Spark has no spelling for it, drop the clause.
+    out = out.replaceAll("(?i)\\bLIMIT\\s+ALL\\b", "")
     // `count()` with no argument is the reference's count(*)
     out = out.replaceAll("(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
 

@@ -398,6 +398,40 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertVector(
       "SELECT x, sum(cast(x AS double)) FROM (VALUES '1.0') t(x) GROUP BY x ORDER BY sum(cast(t.x AS double))",
       "VALUES ('1.0', 1.0)")
+    // testOrderByWithAggregation qualified/bare alias template (all
+    // 3×2×2 combinations of output/groupBy/orderBy spellings agree)
+    for (output <- Seq("", ", letter", ", letter AS y");
+         groupBy <- Seq("x.letter", "letter");
+         orderBy <- Seq("x.letter", "letter"))
+      assertOrdered(
+        s"SELECT count(*) $output FROM (SELECT substr(name,1,1) letter FROM nation) x GROUP BY $groupBy ORDER BY $orderBy",
+        s"SELECT count(*) $output FROM (SELECT substr(name,1,1) letter FROM nation) x GROUP BY letter ORDER BY letter")
+    // testOrderByLimitAll: LIMIT ALL ≡ no limit
+    assertOrdered(
+      "SELECT custkey, totalprice FROM orders ORDER BY orderkey, custkey LIMIT ALL",
+      "SELECT custkey, totalprice FROM orders ORDER BY orderkey, custkey")
+    // testOrderByAliasWithSameNameAsUnselectedColumn: the output alias
+    // shadows the real (unselected) column in ORDER BY scope
+    assertOrdered(
+      "SELECT orderpriority orderdate FROM orders WHERE orderkey < 50 ORDER BY orderdate, orderkey",
+      "SELECT orderpriority FROM orders WHERE orderkey < 50 ORDER BY orderpriority, orderkey")
+    // testCaseInsensitiveOutputAliasInOrderBy
+    assertOrdered(
+      "SELECT orderkey X FROM orders WHERE orderkey < 100 ORDER BY x",
+      "SELECT orderkey FROM orders WHERE orderkey < 100 ORDER BY orderkey")
+    // testOrderByUnderManyProjections (sorted subquery under projections)
+    assertVector(
+      "SELECT nationkey, arbitrary_column + arbitrary_column FROM " +
+        "(SELECT nationkey, COALESCE(arbitrary_column, 0) arbitrary_column FROM " +
+        "(SELECT nationkey, 1 arbitrary_column FROM nation ORDER BY 1 ASC))",
+      "SELECT nationkey, 2 FROM nation")
+    // testOrderByWithSimilarExpressions
+    assertVector(
+      "WITH t AS (SELECT orderkey x, orderkey y FROM orders) SELECT x, y FROM t ORDER BY x, y LIMIT 1",
+      "SELECT min(orderkey), min(orderkey) FROM orders")
+    assertVector(
+      "WITH t AS (SELECT orderkey x, orderkey y FROM orders) SELECT x, y FROM t ORDER BY x, y DESC LIMIT 1",
+      "SELECT min(orderkey), min(orderkey) FROM orders")
   }
 
   test("misc engine-only vectors (AbstractTestEngineOnlyQueries.java)") {
