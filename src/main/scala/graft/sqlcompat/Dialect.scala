@@ -195,6 +195,42 @@ object Dialect {
       k += 1
     }
 
+    // Zone-suffixed TIMESTAMP literals (the reference's TIMESTAMP WITH
+    // TIME ZONE literal form, `TIMESTAMP '2017-01-02 09:12:34.123
+    // Europe/Warsaw'` — AbstractDistributedEngineOnlyQueries
+    // testTimestampWithTimeZoneLiteralsWithDifferentZone): Spark cannot
+    // parse the zone suffix. Consistent with at_timezone /
+    // with_timezone's documented instant-only degradation (SURVEY
+    // §1.3), the literal denotes its INSTANT —
+    // to_utc_timestamp(TIMESTAMP '<dt>', '<zone>'); zone-PRESERVING
+    // values use the TimestampTz struct emulation explicitly. The zone
+    // re-enters as its own literal segment so the canonical-text
+    // invariant (no quotes outside literal segments) holds for every
+    // later pass.
+    val zonedLitRe = ("^'(\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)\\s+" +
+      "([A-Za-z][A-Za-z0-9_+\\-]*(?:/[A-Za-z0-9_+\\-]+)+|UTC|[+-]\\d{2}:\\d{2})'$").r
+    var z = 1
+    while (z < parts.length) {
+      val (lit, isLit) = parts(z)
+      if (isLit && !parts(z - 1)._2) {
+        val prevSeg = parts(z - 1)._1
+        for (m <- "(?i)\\bTIMESTAMP\\s*$".r.findFirstMatchIn(prevSeg);
+             zm <- zonedLitRe.findFirstMatchIn(lit)) {
+          parts(z - 1) = (prevSeg.substring(0, m.start) +
+            "to_utc_timestamp(TIMESTAMP ", false)
+          parts(z) = (s"'${zm.group(1)}'", true)
+          parts.insert(z + 1, (", ", false))
+          parts.insert(z + 2, (s"'${zm.group(4)}'", true))
+          if (z + 3 < parts.length) {
+            val (after, afterLit) = parts(z + 3)
+            parts(z + 3) = (")" + after, afterLit)
+          } else parts += ((")", false))
+          z += 2
+        }
+      }
+      z += 1
+    }
+
     // Typed literals Spark lacks (grammar `SqlBase.g4` typeConstructor;
     // reference types REAL and DECIMAL): `REAL '1.0'` →
     // `CAST('1.0' AS FLOAT)`; `DECIMAL '2.0'` → CAST to the

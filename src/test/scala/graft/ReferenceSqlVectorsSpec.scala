@@ -1573,6 +1573,35 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "ON o.orderstatus = g.orderstatus")
   }
 
+  test("distributed engine-only vectors (AbstractDistributedEngineOnlyQueries.java:75-378)") {
+    // testTimestampWithTimeZoneLiteralsWithDifferentZone: a zoned
+    // TIMESTAMP literal denotes its instant (wall clock IN the zone) —
+    // the dialect lowers it onto to_utc_timestamp; Warsaw winter is
+    // UTC+1, so the instant is 08:12:34.123Z
+    assertVector(
+      "SELECT TIMESTAMP '2017-01-02 09:12:34.123 Europe/Warsaw'",
+      "SELECT TIMESTAMP '2017-01-02 08:12:34.123'")
+    assertVector(
+      "SELECT TIMESTAMP '2017-07-02 09:12:34.123 Europe/Warsaw'", // DST: +2
+      "SELECT TIMESTAMP '2017-07-02 07:12:34.123'")
+    assertVector(
+      "SELECT TIMESTAMP '2017-01-02 09:12:34 +05:30'",
+      "SELECT TIMESTAMP '2017-01-02 03:42:34'")
+    // zone-suffixed literals compose with comparisons (same instant:
+    // Warsaw and Paris are both UTC+1 in winter)
+    assertVector(
+      "SELECT count(*) FROM orders WHERE TIMESTAMP '2017-01-02 09:12:34 Europe/Warsaw' < TIMESTAMP '2017-01-02 09:12:34 Europe/Paris'",
+      "SELECT count(*) FROM orders WHERE FALSE")
+    // testRowSubscriptWithReservedKeyword / testRowTypeWithReservedKeyword
+    assertVector("SELECT cast(row(1) AS row(\"cross\" bigint))[1]", "VALUES 1")
+    assertVector(
+      "SELECT cast(row(1) AS row(\"cross\" bigint)).\"cross\"", "VALUES 1")
+    // testSelectiveLimit (LIMIT over a selective union — bounded scan)
+    assertVector(
+      "SELECT * FROM ((SELECT orderkey AS a FROM orders WHERE orderkey=-1) UNION ALL SELECT * FROM (values -1) AS t(a)) WHERE a=-1 LIMIT 1",
+      "VALUES -1")
+  }
+
   test("GROUP BY expression-form vectors (AbstractTestAggregations.java:465-720)") {
     // testAggregationWithSomeArgumentCasts: the reference form passes a
     // COLUMN as the percentile (approx_percentile(0.1, x)); Spark
