@@ -3,7 +3,7 @@ package graft.functions
 import java.time.{Instant, LocalDateTime, ZoneId, ZoneOffset}
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -176,9 +176,13 @@ object TzKernel {
   }
 }
 
-/** Shared shape of the three binary tz kernels. */
-abstract class TzBinaryExpr extends BinaryExpression {
+/** Shared shape of the three binary tz kernels. Declares input types so
+  * analysis inserts the implicit casts the replaced built-ins
+  * (from/to_utc_timestamp) would have (string datetimes coerce) and
+  * wrong-typed calls fail at analysis, not codegen. */
+abstract class TzBinaryExpr extends BinaryExpression with ImplicitCastInputTypes {
   protected def kernel: String
+  override def inputTypes: Seq[DataType] = Seq(TimestampType, StringType)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TzKernel.$kernel($a, $b)")
 }

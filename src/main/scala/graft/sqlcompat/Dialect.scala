@@ -565,12 +565,18 @@ object Dialect {
           while (s > 0 && out.charAt(s - 1).isLetter) s -= 1
           val word = out.substring(s, i + 1).toUpperCase
           if (Set("SELECT", "BY", "WHERE", "HAVING", "ON", "WHEN",
-              "FROM", "JOIN")(word)) clause = word
+              "FROM", "JOIN", "THEN", "ELSE")(word)) clause = word
           i = s
         }
         i -= 1
       }
-      if (clause == "SELECT" || clause == "BY") {
+      // THEN/ELSE are VALUE positions: the CASE result carries the IN's
+      // NULL through (unlike WHEN, where NULL and FALSE both skip the
+      // branch). The quantified rewrite is 3-valued-correct in every
+      // context, so classify them as value even inside a WHERE — the
+      // scalar-subquery price only hits this rare CASE-branch shape.
+      if (clause == "SELECT" || clause == "BY" ||
+          clause == "THEN" || clause == "ELSE") {
         val isNot = m.get.group(1) != null
         val open = out.indexOf('(', start)
         val rep = if (isNot) "<> ALL (" else "= ANY ("
@@ -1253,11 +1259,23 @@ object Dialect {
               val oOpen = out.indexOf('(', fClose + 1 + overM.get.end)
               if (oOpen >= 0 && ws(out.substring(fClose + 1 + overM.get.end,
                   oOpen)).isEmpty) closeParen(out, oOpen)
-              else fClose + overM.get.end // named window: OVER w
+              else {
+                // named window: OVER w — extend past the window
+                // identifier so it stays inside the transform() wrapper
+                val tail = out.substring(fClose + 1 + overM.get.end)
+                val idM =
+                  "(?s)^[ \\t\\r\\n]*(?:[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\")".r
+                    .findPrefixMatchOf(tail)
+                fClose + overM.get.end + idM.map(_.end).getOrElse(0)
+              }
             }
             val overRaw = ws(out.substring(fClose + 1, overClose + 1))
-            val rewritten = s"transform(array_agg(${distinctKw}CASE WHEN (" +
+            val collected = s"transform(array_agg(${distinctKw}CASE WHEN (" +
               s"$cond) THEN struct($inner AS __v) END) $overRaw, __x -> __x.__v)"
+            // reference semantics: a window array_agg whose frame (or
+            // filter) selects nothing yields NULL, not []
+            val rewritten =
+              s"CASE WHEN size($collected) < 1 THEN NULL ELSE $collected END"
             out = out.substring(0, fnM.get.start(1)) + rewritten +
               out.substring(overClose + 1)
             searchFrom = fnM.get.start(1)
@@ -1630,6 +1648,7 @@ object Dialect {
     out = groupByCompositionPass(out)
     out = windowedFilterPass(out)
     out = orderedAggPass(out)
+    out = WindowFrameSql.pass(out, lits.toIndexedSeq)
     out = unorderedRankingPass(out)
     out = orderByNullsPass(out)
     // LIMIT literals past Int.MaxValue: the reference accepts a BIGINT
