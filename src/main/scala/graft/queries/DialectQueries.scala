@@ -1037,7 +1037,78 @@ object DialectQueries {
 
   val dx27Sql: String = dx27Reference
 
+  // --------------------------- dx28-dx29: window-frame promotions (r16)
+  /** GROUPS frame in reference SQL (grammar `SqlBase.g4` windowFrame;
+    * behavior pinned by `sql/query/TestWindowFrameGroups.java`) —
+    * the dialect lowers it to RANGE over an injected BIGINT dense_rank
+    * column; the oracle engine has no GROUPS frames either, so its
+    * side spells the SAME canonical rewrite explicitly, proving the
+    * lowering against an independent RANGE implementation. Scale
+    * shape: one extra window column over the same partitioning — no
+    * added shuffle. */
+  val dx28Reference: String =
+    """SELECT l_suppkey, l_shipdate,
+      |  CAST(sum(CAST(l_quantity * 100 AS BIGINT)) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate
+      |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS g_qty
+      |FROM lineitem WHERE l_suppkey <= 20""".stripMargin
+
+  def dx28(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx28Reference))
+  }
+
+  val dx28Sql: String =
+    """WITH src AS (
+      |  SELECT l_suppkey, l_shipdate, l_quantity,
+      |    dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS g
+      |  FROM lineitem WHERE l_suppkey <= 20)
+      |SELECT l_suppkey, l_shipdate,
+      |  CAST(sum(CAST(l_quantity * 100 AS BIGINT)) OVER (
+      |    PARTITION BY l_suppkey ORDER BY g
+      |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS g_qty
+      |FROM src""".stripMargin
+
+  /** RANGE frame with offset bounds over a NULLABLE sort key plus a
+    * null-KEEPING windowed array_agg (`TestWindowFrameRange.java`
+    * testNullsSortKey / testMixedTypeFrameBounds*): null-key rows take
+    * their peer group per SQL:2016, value rows exclude the null
+    * section across offset bounds, and NULL elements survive
+    * collection (3-arg array_join renders them). The oracle engine's
+    * own null-key window semantics are not trusted here — its side
+    * computes the standard's frames EXPLICITLY via a bounded
+    * self-join, so the gate proves the semantics, not engine
+    * agreement. */
+  val dx29Reference: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  array_join(
+      |    array_agg(NULLIF(l_linenumber, 2)) OVER (
+      |      PARTITION BY l_orderkey ORDER BY NULLIF(l_linenumber, 3)
+      |      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+      |    ',', 'N') AS win
+      |FROM (SELECT DISTINCT l_orderkey, l_linenumber
+      |      FROM lineitem WHERE l_orderkey < 2000) t""".stripMargin
+
+  def dx29(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx29Reference))
+  }
+
+  val dx29Sql: String =
+    """WITH src AS (
+      |  SELECT DISTINCT l_orderkey, l_linenumber, NULLIF(l_linenumber, 3) AS k
+      |  FROM lineitem WHERE l_orderkey < 2000)
+      |SELECT a.l_orderkey, a.l_linenumber,
+      |  string_agg(coalesce(CAST(NULLIF(b.l_linenumber, 2) AS VARCHAR), 'N'), ','
+      |             ORDER BY b.k NULLS LAST, b.l_linenumber) AS win
+      |FROM src a JOIN src b ON a.l_orderkey = b.l_orderkey
+      |  AND (CASE WHEN a.k IS NULL THEN b.k IS NULL
+      |            ELSE b.k BETWEEN a.k - 1 AND a.k + 1 END)
+      |GROUP BY a.l_orderkey, a.l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx28_groups_frame_sql" -> dx28 _,
+    "dx29_range_null_keys" -> dx29 _,
     "dx25_full_join_residual" -> dx25 _,
     "dx26_projected_in_null" -> dx26 _,
     "dx27_join_using_derived" -> dx27 _,
@@ -1067,6 +1138,8 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx28_groups_frame_sql" -> dx28Sql,
+    "dx29_range_null_keys" -> dx29Sql,
     "dx25_full_join_residual" -> dx25Sql,
     "dx26_projected_in_null" -> dx26Sql,
     "dx27_join_using_derived" -> dx27Sql,

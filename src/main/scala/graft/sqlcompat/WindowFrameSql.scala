@@ -465,17 +465,20 @@ private[sqlcompat] object WindowFrameSql {
   /** Wrap the FROM relation of the query block containing `pos` in a
     * subquery that adds `gdef`. */
   private def wrapBlockFrom(out: String, pos: Int, gdef: String, n: Int): String = {
-    // nearest enclosing SELECT at relative depth 0, scanning backward
+    // Nearest enclosing SELECT, scanning backward. Depth ≤ 0 accepts
+    // crossing OUT of expression parens that contain the window (e.g.
+    // `CAST(sum(...) OVER (...) AS BIGINT)`): sibling subqueries are
+    // fully balanced (depth > 0 while inside them), and a CONTAINING
+    // subquery's own SELECT is met before its open paren — so the
+    // first SELECT at depth ≤ 0 is this window's query block.
     var depth = 0
     var i = pos - 1
     var selPos = -1
     while (i >= 0 && selPos < 0) {
       val c = out.charAt(i)
       if (c == ')') depth += 1
-      else if (c == '(') {
-        depth -= 1
-        require(depth >= 0, "GROUPS window outside a SELECT block")
-      } else if (depth == 0 && (c == 'T' || c == 't')) {
+      else if (c == '(') depth -= 1
+      else if (depth <= 0 && (c == 'T' || c == 't')) {
         // candidate end of SELECT keyword
         if (i >= 5 && out.substring(i - 5, i + 1).equalsIgnoreCase("SELECT") &&
           (i == 5 || (!out.charAt(i - 6).isLetterOrDigit && out.charAt(i - 6) != '_')))
