@@ -62,6 +62,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TzIso8601].getName, "tz_iso8601"),
       (children: Seq[Expression]) => TzIso8601(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("u_trim"),
+      new ExpressionInfo(classOf[UTrimBoth].getName, "u_trim"),
+      (children: Seq[Expression]) => UTrimBoth(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("u_ltrim"),
+      new ExpressionInfo(classOf[UTrimLeft].getName, "u_ltrim"),
+      (children: Seq[Expression]) => UTrimLeft(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("u_rtrim"),
+      new ExpressionInfo(classOf[UTrimRight].getName, "u_rtrim"),
+      (children: Seq[Expression]) => UTrimRight(children.head)))
+    e.injectFunction((
       FunctionIdentifier("spooky_hash_v2_32"),
       new ExpressionInfo(classOf[SpookyHashV232].getName, "spooky_hash_v2_32"),
       (children: Seq[Expression]) => SpookyHashV232(children.head)))

@@ -72,6 +72,7 @@ object Dialect {
     "varchar" -> "string",
     "json" -> "string",
     "uuid" -> "string",
+    "ipaddress" -> "string",
     "time" -> "bigint") // TIME emulated as nanos-of-day
 
   /** Translate a reference-dialect SQL string to Spark SQL. String
@@ -242,7 +243,8 @@ object Dialect {
     // 'x' too: Spark's typed-literal grammar only covers
     // date/time/interval/binary, not numerics.
     val typedLitRe =
-      "(?i)\\b(REAL|DECIMAL|VARCHAR|TINYINT|SMALLINT|INTEGER|BIGINT|DOUBLE|TIME)\\s*$".r
+      ("(?i)\\b(REAL|DECIMAL|VARCHAR|CHAR|TINYINT|SMALLINT|INTEGER|BIGINT|" +
+        "DOUBLE|TIME|UUID|IPADDRESS)\\s*$").r
     var tl = 0
     while (tl + 2 < parts.length) {
       val (seg, isLit) = parts(tl)
@@ -270,7 +272,10 @@ object Dialect {
           } else {
           val target = m.group(1).toUpperCase match {
             case "REAL" => "FLOAT"
-            case "VARCHAR" => "STRING"
+            // UUID/IPADDRESS: the engine's mapping for these reference
+            // types is STRING (typeRenames) — the literal text carries
+            // the value verbatim
+            case "VARCHAR" | "CHAR" | "UUID" | "IPADDRESS" => "STRING"
             case t @ ("TINYINT" | "SMALLINT" | "INTEGER" | "BIGINT" | "DOUBLE") => t
             case _ =>
               val digits = body.count(_.isDigit)
@@ -826,7 +831,8 @@ object Dialect {
       // the reference expands row fields into separate output columns
       // (TestUnnest testUnnestArrayRows), which is Spark's `inline`
       def rowish(a: String): Boolean =
-        a.matches("(?is)^array\\s*[\\(\\[]\\s*(null\\s*,\\s*)*struct\\s*\\(.*") ||
+        a.matches("(?is)^array\\s*[\\(\\[]\\s*(null\\s*,\\s*)*" +
+          "(cast\\s*\\(\\s*)?struct\\s*\\(.*") ||
           a.matches("(?is).*\\bARRAY\\s*<\\s*STRUCT\\s*<.*")
       if (args.length == 1) {
         val fn = if (rowish(args.head)) "inline" else "explode"
@@ -1616,6 +1622,109 @@ object Dialect {
     out
   }
 
+  /** Reference TRIM semantics (`StringFunctions.java:478` + the
+    * `sql/query/TestTrim.java` corpus):
+    *
+    *  - no-argument TRIM/LTRIM/RTRIM strip every UNICODE whitespace
+    *    code point (airlift SliceUtf8 ≡ Character.isWhitespace — the
+    *    corpus pins U+2028), Spark's strip ASCII space only → lower
+    *    onto the u_trim/u_ltrim/u_rtrim kernels;
+    *  - parametrized forms (explicit code-point set) have identical
+    *    set semantics in Spark → keyword forms pass through, the
+    *    reference's 2-arg function forms respell as keyword forms;
+    *  - a CHAR-typed source's trailing padding is insignificant, so
+    *    trim on CHAR yields the bare value (testCharTrim: BOTH,
+    *    LEADING and TRAILING all drop the padding) → when the source
+    *    is a CAST(... AS CHAR...) the whole result takes an outer
+    *    space-rtrim.
+    */
+  private def trimPass(canon0: String): String = {
+    val re = "(?i)\\b(trim|ltrim|rtrim)\\s*\\(".r
+    def ws2(x: String): String = x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+    def isCharCast(src: String): Boolean =
+      "(?is)^CAST\\s*\\(.*\\bAS\\s+CHAR\\b.*\\)$".r.matches(ws2(src))
+    def charWrap(src: String, expr: String): String =
+      if (isCharCast(src)) s"rtrim($expr)" else expr
+    var out = canon0
+    var from = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(from))
+      if (m.isEmpty) return out
+      val fn = m.get.group(1).toLowerCase
+      val open = out.indexOf('(', from + m.get.start)
+      val close = closeParen(out, open)
+      val start = from + m.get.start
+      val inner = out.substring(open + 1, close)
+      val innerT = ws2(inner)
+      var replacement: Option[String] = None
+      if (fn == "ltrim" || fn == "rtrim") {
+        val args = MatchRecognizeSql.splitTopLevel(inner, ',').map(ws2)
+        val u = if (fn == "ltrim") "u_ltrim" else "u_rtrim"
+        val spec = if (fn == "ltrim") "LEADING" else "TRAILING"
+        if (args.length == 1)
+          replacement = Some(charWrap(args.head, s"$u(${args.head})"))
+        else if (args.length == 2)
+          // reference 2-arg form: (source, codepoints-to-trim)
+          replacement = Some(charWrap(args.head,
+            s"TRIM($spec ${args(1)} FROM ${args.head})"))
+      } else {
+        val specM = "(?is)^(LEADING|TRAILING|BOTH)\\b".r.findPrefixMatchOf(innerT)
+        val fromAt = {
+          // top-level FROM inside the trim parens
+          var depth = 0; var i = 0; var at = -1
+          while (i < inner.length && at < 0) {
+            val c = inner.charAt(i)
+            if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            else if (depth == 0 && (c == 'F' || c == 'f') &&
+              (i == 0 || (!inner.charAt(i - 1).isLetterOrDigit &&
+                inner.charAt(i - 1) != '_')) &&
+              "(?is)^FROM\\b".r.findPrefixMatchOf(inner.substring(i)).isDefined)
+              at = i
+            i += 1
+          }
+          at
+        }
+        (specM, fromAt) match {
+          case (Some(sm), at) if at >= 0 =>
+            val spec = sm.group(1).toUpperCase
+            val lead = inner.length -
+              inner.replaceAll("^[ \\t\\r\\n]+", "").length
+            val mid = ws2(inner.substring(lead + sm.end, at))
+            val src = ws2(inner.substring(at + 4))
+            val u = spec match {
+              case "LEADING" => "u_ltrim"; case "TRAILING" => "u_rtrim"
+              case _ => "u_trim"
+            }
+            replacement = Some(
+              if (mid.isEmpty) charWrap(src, s"$u($src)")
+              else charWrap(src, s"TRIM($spec $mid FROM $src)"))
+          case (None, at) if at >= 0 =>
+            // TRIM(<chars> FROM <x>) — BOTH with an explicit set
+            val chars = ws2(inner.substring(0, at))
+            val src = ws2(inner.substring(at + 4))
+            replacement = Some(charWrap(src, s"TRIM(BOTH $chars FROM $src)"))
+          case _ =>
+            val args = MatchRecognizeSql.splitTopLevel(inner, ',').map(ws2)
+            if (args.length == 1)
+              replacement = Some(charWrap(args.head, s"u_trim(${args.head})"))
+            else if (args.length == 2)
+              replacement = Some(charWrap(args.head,
+                s"TRIM(BOTH ${args(1)} FROM ${args.head})"))
+        }
+      }
+      replacement match {
+        case Some(rep) =>
+          out = out.substring(0, start) + rep + out.substring(close + 1)
+          from = start + rep.length
+        case None => from = close + 1
+      }
+    }
+    out
+  }
+
   private def constructorPass(segs: Seq[(String, Boolean)]): String = {
     val lits = segs.collect { case (s, true) => s }
     var li = -1
@@ -1644,6 +1753,7 @@ object Dialect {
     out = valuesLambdaPass(out)
     out = applyPass(out)
     out = ifTwoArgPass(out)
+    out = trimPass(out)
     out = rowStarPass(out)
     out = groupByCompositionPass(out)
     out = windowedFilterPass(out)

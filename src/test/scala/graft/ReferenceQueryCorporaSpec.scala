@@ -1,0 +1,388 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference engine's remaining class-level `sql/query` corpora,
+  * replayed verbatim through `Dialect.translate`:
+  *
+  *  - `TestComplexTypesWithNull.java` — nested row/array NULL
+  *    propagation through joins (trinodb issue 9528 regressions)
+  *  - `TestSetOperations.java` — set ops inside subqueries, ALL vs
+  *    DISTINCT non-dedup, empty-branch behavior
+  *  - `TestDistinctAggregations.java` — single/mixed DISTINCT
+  *    aggregates, grouping sets, DISTINCT+FILTER interplay
+  *  - `TestGroupBy.java` / `TestHaving.java` — case-insensitive
+  *    expression matching, repeated ordinals, implicit group-by
+  *  - `TestTrim.java` — Unicode-whitespace TRIM family + CHAR-padding
+  *    semantics (lowered by Dialect.trimPass onto the u_trim kernels)
+  *
+  * Documented adaptations (engine type-system mappings, each noted at
+  * the vector): anonymous ROW fields take the colN names sparkType
+  * synthesizes, so the reference's ordinal accessor `r[2].b` is
+  * spelled `r.col2.b`; UUID/IPADDRESS map to STRING; vectors needing
+  * the reference's test-only `utf8()` helper (invalid-encoding error
+  * assertions) are out of scope.
+  */
+class ReferenceQueryCorporaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var vectorCount = 0
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Graft.session("graft-query-corpora", 4)
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    info(s"replayed $vectorCount reference sql/query corpus vectors")
+    if (spark != null) spark.stop()
+  }
+
+  private def runQ(sql: String): DataFrame =
+    spark.sql(graft.sqlcompat.Dialect.translate(sql))
+
+  private def canonVal(v: Any): String = v match {
+    case null => "ø"
+    case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+    case d: BigDecimal => d.underlying.stripTrailingZeros.toPlainString
+    case f: Float => canonVal(f.toDouble)
+    case d: Double if d.isNaN || d.isInfinite => d.toString
+    case d: Double =>
+      new java.math.BigDecimal(d.toString).stripTrailingZeros.toPlainString
+    case n: Number =>
+      new java.math.BigDecimal(n.toString).stripTrailingZeros.toPlainString
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => canonVal(r.get(i))).mkString("(", ",", ")")
+    case s: scala.collection.Seq[_] => s.map(canonVal).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq
+      .map(r => (0 until r.length).map(i => canonVal(r.get(i))).mkString("|"))
+
+  private def v(query: String, expected: String): Unit = {
+    val got = rows(runQ(query)).sorted
+    val want = rows(runQ(expected)).sorted
+    vectorCount += 1
+    assert(got == want,
+      s"\nquery:    $query\ngot:      $got\nexpected: $want")
+  }
+
+  private def vEmpty(query: String): Unit = {
+    vectorCount += 1
+    assert(rows(runQ(query)).isEmpty, s"\nexpected empty result: $query")
+  }
+
+  // ============================================ TestComplexTypesWithNull
+
+  test("row type with null through join (TestComplexTypesWithNull.java:43)") {
+    v("SELECT r.a, r.b, c FROM (VALUES ROW(CAST(ROW(1, NULL) AS ROW(a INTEGER, b INTEGER)))) t(r) " +
+      "JOIN (VALUES 1) u(c) ON c = r.a",
+      "VALUES (1, CAST(NULL AS INTEGER), 1)")
+  }
+
+  test("array of rows with null through UNNEST join (TestComplexTypesWithNull.java:54)") {
+    v("SELECT t.a, t.b, c FROM UNNEST(ARRAY[CAST(ROW(1, NULL) as ROW(a INTEGER, b INTEGER)) ]) t " +
+      "JOIN (VALUES 1) u(c) ON c = t.a",
+      "VALUES (1, CAST(NULL AS INTEGER), 1)")
+  }
+
+  test("nested row type with null (TestComplexTypesWithNull.java:65)") {
+    // reference ordinal accessor r[2] = the anonymous second field;
+    // this engine's documented spelling for it is the synthesized col2
+    v("SELECT r.a, r.col2.b, r.col2.c, c FROM " +
+      "(VALUES ROW(CAST(ROW(1, ROW(1, NULL)) AS ROW(a INTEGER, ROW(b INTEGER, c INTEGER))))) t(r) " +
+      "JOIN (VALUES 1) u(c) ON c = r.a",
+      "VALUES (1, 1, CAST(NULL AS INTEGER), 1)")
+  }
+
+  test("nested array type with null (TestComplexTypesWithNull.java:76)") {
+    v("SELECT r.col1.a, r.col1.b, c FROM " +
+      "(VALUES CAST(ROW(ROW(1, ARRAY[NULL])) AS ROW(ROW(a INTEGER, b ARRAY(INTEGER))))) t(r) " +
+      "JOIN (VALUES 1) u(c) ON c = r.col1.a",
+      "VALUES (1, ARRAY[CAST(NULL AS INTEGER)], 1)")
+  }
+
+  // ================================================== TestSetOperations
+
+  test("set operations inside IN subqueries (TestSetOperations.java:41)") {
+    v("WITH t(id) AS (VALUES 1, 2, 3) SELECT * FROM t WHERE id IN (" +
+      "VALUES 1, 1, 2, 3 EXCEPT VALUES 1)", "VALUES 2, 3")
+    v("WITH t(id) AS (VALUES 1, 2, 3) SELECT * FROM t WHERE id IN (" +
+      "VALUES 1, 1, 2, 2, 3 EXCEPT ALL VALUES 1, 2, 2)", "VALUES 1, 3")
+    v("WITH t(id) AS (VALUES 1, 2, 3) SELECT * FROM t WHERE id IN (" +
+      "VALUES 1, 1, 2 INTERSECT VALUES 2, 3)", "VALUES 2")
+    v("WITH t(id) AS (VALUES 1, 2, 3) SELECT * FROM t WHERE id IN (" +
+      "VALUES 1, 1, 2 INTERSECT ALL VALUES 2, 3)", "VALUES 2")
+    v("WITH t(id) AS (VALUES 1, 2, 3, 4) SELECT * FROM t WHERE id IN (" +
+      "VALUES 1, 2 UNION VALUES 2, 3)", "VALUES 1, 2, 3")
+    v("WITH t(id) AS (VALUES 1, 2, 3, 4) SELECT * FROM t WHERE id IN (" +
+      "VALUES 1, 2 UNION ALL VALUES 2, 3)", "VALUES 1, 2, 3")
+  }
+
+  test("ALL vs DISTINCT set ops are not deduped as subexpressions (TestSetOperations.java:95)") {
+    v("SELECT (SELECT array_agg(v ORDER BY v) FROM (VALUES 1, 2, 3 UNION VALUES 3, 4) t(v)), " +
+      "(SELECT array_agg(v ORDER BY v) FROM (VALUES 1, 2, 3 UNION ALL VALUES 3, 4) t(v))",
+      "VALUES (ARRAY[1, 2, 3, 4], ARRAY[1, 2, 3, 3, 4])")
+    v("SELECT (SELECT array_agg(v ORDER BY v) FROM (VALUES 1, 2, 3, 3 INTERSECT VALUES 2, 2, 3, 3, 4) t(v)), " +
+      "(SELECT array_agg(v ORDER BY v) FROM (VALUES 1, 2, 3, 3 INTERSECT ALL VALUES 2, 2, 3, 3, 4) t(v))",
+      "VALUES (ARRAY[2, 3], ARRAY[2, 3, 3])")
+    v("SELECT (SELECT array_agg(v ORDER BY v) FROM (VALUES 1, 1, 2, 2, 3, 3 EXCEPT VALUES 2, 3, 3, 4) t(v)), " +
+      "(SELECT array_agg(v ORDER BY v) FROM (VALUES 1, 1, 2, 2, 3, 3 EXCEPT ALL VALUES 2, 3, 3, 4) t(v))",
+      "VALUES (ARRAY[1], ARRAY[1, 1, 2])")
+  }
+
+  test("EXCEPT with empty branches (TestSetOperations.java:160)") {
+    vEmpty("SELECT 0 WHERE false EXCEPT ALL SELECT 1 WHERE false EXCEPT ALL SELECT 2 WHERE false")
+    vEmpty("SELECT 0 WHERE false EXCEPT DISTINCT SELECT 1 WHERE false EXCEPT DISTINCT SELECT 2 WHERE false")
+    v("VALUES 1, 1, 2, 2, 3 EXCEPT ALL SELECT 1 WHERE false EXCEPT ALL SELECT 2 WHERE false",
+      "VALUES 1, 1, 2, 2, 3")
+    v("VALUES 1, 1, 2, 2, 3 EXCEPT DISTINCT SELECT 1 WHERE false EXCEPT DISTINCT SELECT 2 WHERE false ",
+      "VALUES 1, 2, 3")
+    vEmpty("SELECT 1 WHERE false EXCEPT ALL VALUES 2, 3")
+    vEmpty("SELECT 1 WHERE false EXCEPT DISTINCT VALUES 2, 3")
+  }
+
+  test("UNION / INTERSECT with empty branches (TestSetOperations.java:219)") {
+    vEmpty("SELECT 0 WHERE false UNION ALL SELECT 0 WHERE false")
+    vEmpty("SELECT 0 WHERE false UNION DISTINCT SELECT 0 WHERE false")
+    v("VALUES 1, 1, 2, 2, 3 UNION ALL VALUES 1, 3, 3, 4 UNION ALL SELECT 0 WHERE false",
+      "VALUES 1, 1, 1, 2, 2, 3, 3, 3, 4")
+    v("VALUES 1, 1, 2, 2, 3 UNION DISTINCT VALUES 1, 3, 3, 4 UNION DISTINCT SELECT 0 WHERE false",
+      "VALUES 1, 2, 3, 4")
+    v("VALUES 1, 1, 2, 2, 3 UNION DISTINCT SELECT 0 WHERE false UNION DISTINCT SELECT 0 WHERE false",
+      "VALUES 1, 2, 3")
+    v("VALUES 1, 1, 2, 2, 3 UNION ALL SELECT 0 WHERE false UNION ALL SELECT 0 WHERE false",
+      "VALUES 1, 1, 2, 2, 3")
+    vEmpty("SELECT 0 WHERE false INTERSECT ALL SELECT 0 WHERE false")
+    vEmpty("SELECT 0 WHERE false INTERSECT DISTINCT SELECT 0 WHERE false")
+    vEmpty("VALUES 1, 1, 2, 2, 3 INTERSECT ALL SELECT 0 WHERE false")
+    vEmpty("VALUES 1, 1, 2, 2, 3 INTERSECT DISTINCT SELECT 0 WHERE false")
+  }
+
+  // ============================================ TestDistinctAggregations
+
+  test("single DISTINCT aggregates (TestDistinctAggregations.java:37)") {
+    v("SELECT count(DISTINCT x) FROM (VALUES 1, 1, 2, 3) t(x)", "VALUES BIGINT '3'")
+    v("SELECT count(DISTINCT x), sum(DISTINCT x) FROM (VALUES 1, 1, 2, 3) t(x)",
+      "VALUES (BIGINT '3', BIGINT '6')")
+    v("SELECT k, count(DISTINCT x) FROM (VALUES (1, 1), (1, 1), (1, 2), (1, 3), " +
+      "(2, 1), (2, 10), (2, 10), (2, 20), (2, 30)) t(k, x) GROUP BY k",
+      "VALUES (1, BIGINT '3'), (2, BIGINT '4')")
+    v("SELECT k, count(DISTINCT x), sum(DISTINCT x) FROM (VALUES (1, 1), (1, 1), (1, 2), (1, 3), " +
+      "(2, 1), (2, 10), (2, 10), (2, 20), (2, 30)) t(k, x) GROUP BY k",
+      "VALUES (1, BIGINT '3', BIGINT '6'), (2, BIGINT '4', BIGINT '61')")
+  }
+
+  test("grouping sets with DISTINCT aggregates (TestDistinctAggregations.java:90)") {
+    v("SELECT k, count(DISTINCT x) FROM (VALUES (1, 1), (1, 1), (1, 2), (1, 3), " +
+      "(2, 1), (2, 10), (2, 10), (2, 20), (2, 30)) t(k, x) GROUP BY GROUPING SETS ((), (k))",
+      "VALUES (1, BIGINT '3'), (2, BIGINT '4'), (CAST(NULL AS INTEGER), BIGINT '6')")
+    v("SELECT k, count(DISTINCT x), sum(DISTINCT x) FROM (VALUES (1, 1), (1, 1), (1, 2), (1, 3), " +
+      "(2, 1), (2, 10), (2, 10), (2, 20), (2, 30)) t(k, x) GROUP BY GROUPING SETS ((), (k))",
+      "VALUES (1, BIGINT '3', BIGINT '6'), (2, BIGINT '4', BIGINT '61'), " +
+        "(CAST(NULL AS INTEGER), BIGINT '6', BIGINT '66')")
+  }
+
+  test("mixed DISTINCT aggregates (TestDistinctAggregations.java:130)") {
+    v("SELECT count(DISTINCT x), count(*) FROM (VALUES 1, 1, 2, 3) t(x)",
+      "VALUES (BIGINT '3', BIGINT '4')")
+    v("SELECT count(DISTINCT x), count(DISTINCT y) FROM " +
+      "(VALUES (1, 10), (1, 20), (1, 30), (2, 30)) t(x, y)",
+      "VALUES (BIGINT '2', BIGINT '3')")
+    v("SELECT k, count(DISTINCT x), count(DISTINCT y) FROM (VALUES (1, 1, 100), (1, 1, 100), " +
+      "(1, 2, 100), (1, 3, 200), (2, 1, 100), (2, 10, 200), (2, 10, 300), (2, 20, 400), " +
+      "(2, 30, 400)) t(k, x, y) GROUP BY GROUPING SETS ((), (k))",
+      "VALUES (1, BIGINT '3', BIGINT '2'), (2, BIGINT '4', BIGINT '4'), " +
+        "(CAST(NULL AS INTEGER), BIGINT '6', BIGINT '4')")
+    v("SELECT sum(DISTINCT x), sum(DISTINCT y), sum(z) FROM (VALUES (1, 10, 100), " +
+      "(1, 20, 200), (2, 20, 300), (3, 30, 300)) t(x, y, z)",
+      "VALUES (BIGINT '6', BIGINT '60', BIGINT '900')")
+  }
+
+  test("multi-input DISTINCT aggregates (TestDistinctAggregations.java:168)") {
+    v("SELECT corr(DISTINCT x, y) FROM (VALUES (1, 1), (2, 2), (2, 2), (3, 3)) t(x, y)",
+      "VALUES (REAL '1.0')")
+    v("SELECT corr(DISTINCT x, y), corr(DISTINCT y, x) FROM " +
+      "(VALUES (1, 1), (2, 2), (2, 2), (3, 3)) t(x, y)",
+      "VALUES (REAL '1.0', REAL '1.0')")
+    v("SELECT corr(DISTINCT x, y), corr(DISTINCT y, x), count(*) FROM " +
+      "(VALUES (1, 1), (2, 2), (2, 2), (3, 3)) t(x, y)",
+      "VALUES (REAL '1.0', REAL '1.0', BIGINT '4')")
+    v("SELECT corr(DISTINCT x, y), corr(DISTINCT y, x), count(DISTINCT x) FROM " +
+      "(VALUES (1, 1), (2, 2), (2, 2), (3, 3)) t(x, y)",
+      "VALUES (REAL '1.0', REAL '1.0', BIGINT '3')")
+  }
+
+  test("DISTINCT aggregates with FILTER (TestDistinctAggregations.java:215)") {
+    v("SELECT count(DISTINCT x) FILTER (WHERE x > 0), sum(x) FROM (VALUES 0, 1, 1, 2) t(x)",
+      "VALUES (BIGINT '2', BIGINT '4')")
+    v("SELECT count(DISTINCT x) FILTER (where y = 1) FROM (VALUES (2, 1), (1, 2), (1,1)) t(x, y)",
+      "VALUES (BIGINT '2')")
+    v("SELECT count(DISTINCT x), sum(x) FILTER (WHERE x > 0) FROM (VALUES 0, 1, 1, 2) t(x)",
+      "VALUES (BIGINT '3', BIGINT '4')")
+    v("SELECT sum(DISTINCT x) FILTER (WHERE y > 3), sum(DISTINCT y) FILTER (WHERE x > 1) " +
+      "FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+      "VALUES (BIGINT '6', BIGINT '9')")
+    v("SELECT sum(x) FILTER (WHERE x > 1) AS x, sum(DISTINCT x) FROM (VALUES (1), (2), (2), (4)) t (x)",
+      "VALUES (BIGINT '8', BIGINT '7')")
+    v("SELECT sum(DISTINCT x) FILTER (WHERE y > 5) FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+      "VALUES (CAST(NULL AS BIGINT))")
+    v("SELECT count(DISTINCT y) FILTER (WHERE x > 4), sum(DISTINCT x) FILTER (WHERE y > 5) " +
+      "FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+      "VALUES (BIGINT '0', CAST(NULL AS BIGINT))")
+  }
+
+  test("DISTINCT on UUID / IPADDRESS mapped types (TestDistinctAggregations.java:293)") {
+    // UUID and IPADDRESS map to STRING in this engine (typeRenames)
+    v("SELECT DISTINCT uuid_col FROM (VALUES (UUID'be0b0518-35a1-4d10-b7f1-1b61355fa741'), " +
+      "(UUID'be0b0518-35a1-4d10-b7f1-1b61355fa741')) AS t (uuid_col)",
+      "VALUES UUID'be0b0518-35a1-4d10-b7f1-1b61355fa741'")
+    v("SELECT DISTINCT ipaddress_col FROM (VALUES (IPADDRESS'2001:db8:0:0:1::1'), " +
+      "(IPADDRESS'2001:db8:0:0:1::1')) AS t (ipaddress_col)",
+      "VALUES IPADDRESS'2001:db8:0:0:1::1'")
+  }
+
+  test("completely filtered groups in ordered distinct agg (TestDistinctAggregations.java:311)") {
+    v("SELECT count(id) > 15000, sum(cardinality(v)) FROM ( " +
+      "  SELECT id, array_agg(DISTINCT v) filter (WHERE v IS NOT NULL) AS v from ( " +
+      "    (SELECT 'filtered' AS id, cast('value' AS varchar) AS v " +
+      "     FROM (VALUES 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)) " +
+      "    UNION ALL " +
+      "    (SELECT cast(uuid() AS varchar) AS id, cast(null AS varchar) AS v " +
+      "     FROM UNNEST(combinations(ARRAY['1','2','3','4','5','6','7','8','9','10'," +
+      "'11','12','13','14','15','16','17','18','19','20'], 5)) t2(arr)) " +
+      "  ) GROUP BY id )",
+      "VALUES (TRUE, BIGINT '1')")
+  }
+
+  // ======================================== TestGroupBy / TestHaving
+
+  test("GROUP BY case-insensitive expression matching (TestGroupBy.java:44)") {
+    v("SELECT CAST(x AS bigint) FROM (VALUES 42) t(x) GROUP BY CAST(x AS BIGINT)",
+      "VALUES BIGINT '42'")
+    v("SELECT a + 1, a + 1 FROM (VALUES 1) t(a) GROUP BY 1, 2", "VALUES (2, 2)")
+    v("SELECT 1 FROM (VALUES 1) t(a) GROUP BY a + 1, a + 1", "VALUES 1")
+    v("SELECT 1 FROM (VALUES 1) t(a) GROUP BY t.a + 1, a + 1", "VALUES 1")
+    v("SELECT 1 FROM (VALUES 1) t(a) GROUP BY A + 1, a + 1", "VALUES 1")
+    v("SELECT 1 FROM (VALUES 1) t(a) GROUP BY t.A + 1, a + 1", "VALUES 1")
+    v("SELECT a + 1 FROM (VALUES 1) t(a) GROUP BY t.A + 1, 1", "VALUES 2")
+    v("SELECT a + 1 FROM (VALUES 1) t(a) GROUP BY A + 1", "VALUES 2")
+    v("SELECT a + 1 FROM (VALUES 1) t(a) GROUP BY t.a + 1", "VALUES 2")
+    v("SELECT a + 1 FROM (VALUES 1) t(a) GROUP BY t.A + 1", "VALUES 2")
+    v("SELECT t.a + 1 FROM (VALUES 1) t(a) GROUP BY a + 1", "VALUES 2")
+    v("SELECT t.a + 1 FROM (VALUES 1) t(a) GROUP BY A + 1", "VALUES 2")
+    v("SELECT t.a + 1 FROM (VALUES 1) t(a) GROUP BY t.A + 1", "VALUES 2")
+  }
+
+  test("GROUP BY repeated ordinals and implicit HAVING group (TestGroupBy.java:163, TestHaving.java:28)") {
+    v("SELECT null GROUP BY 1, 1", "VALUES null")
+    v("SELECT 'x' FROM (VALUES 1, 1, 2) t(a) HAVING true", "VALUES 'x'")
+  }
+
+  // ================================================= TestTrim (no-chars)
+
+  test("TRIM LEADING unicode whitespace (TestTrim.java:56)") {
+    v("SELECT TRIM(LEADING FROM '')", "VALUES ''")
+    v("SELECT TRIM(LEADING FROM '   ')", "VALUES ''")
+    v("SELECT TRIM(LEADING FROM '  hello  ')", "VALUES 'hello  '")
+    v("SELECT TRIM(LEADING FROM '  hello')", "VALUES 'hello'")
+    v("SELECT TRIM(LEADING FROM 'hello  ')", "VALUES 'hello  '")
+    v("SELECT TRIM(LEADING FROM ' hello world ')", "VALUES 'hello world '")
+    v("SELECT TRIM(LEADING FROM '信念 爱 希望  ')",
+      "VALUES '信念 爱 希望  '")
+    v("SELECT TRIM(LEADING FROM ' 信念 爱 希望 ')",
+      "VALUES '信念 爱 希望 '")
+    v("SELECT TRIM(LEADING FROM '  信念 爱 希望')",
+      "VALUES '信念 爱 希望'")
+    v("SELECT TRIM(LEADING FROM '   信念 爱 希望')",
+      "VALUES '信念 爱 希望'")
+  }
+
+  test("TRIM TRAILING unicode whitespace (TestTrim.java:92)") {
+    v("SELECT TRIM(TRAILING FROM '')", "VALUES ''")
+    v("SELECT TRIM(TRAILING FROM '   ')", "VALUES ''")
+    v("SELECT TRIM(TRAILING FROM '  hello  ')", "VALUES '  hello'")
+    v("SELECT TRIM(TRAILING FROM '  hello')", "VALUES '  hello'")
+    v("SELECT TRIM(TRAILING FROM 'hello  ')", "VALUES 'hello'")
+    v("SELECT TRIM(TRAILING FROM ' hello world ')", "VALUES ' hello world'")
+    v("SELECT TRIM(TRAILING FROM '信念 爱 希望   ')",
+      "VALUES '信念 爱 希望'")
+    v("SELECT TRIM(TRAILING FROM ' 信念 爱 希望 ')",
+      "VALUES ' 信念 爱 希望'")
+  }
+
+  test("TRIM strips U+2028 LINE SEPARATOR (TestTrim.java:65,99,231)") {
+    // U+2028 is a Scala line terminator even inside string literals,
+    // so it is constructed from the code point
+    val LS = new String(Character.toChars(0x2028))
+    v(s"SELECT TRIM(LEADING FROM ' $LS 信念 爱 希望')", "VALUES '信念 爱 希望'")
+    v(s"SELECT TRIM(TRAILING FROM '信念 爱 希望 $LS ')", "VALUES '信念 爱 希望'")
+    v(s"SELECT TRIM(' $LS 信念 爱 希望')", "VALUES '信念 爱 希望'")
+    v(s"SELECT TRIM(BOTH FROM '信念 爱 希望 $LS ')", "VALUES '信念 爱 希望'")
+  }
+
+  test("TRIM BOTH / bare unicode whitespace (TestTrim.java:206)") {
+    v("SELECT TRIM('')", "VALUES ''")
+    v("SELECT TRIM('   ')", "VALUES ''")
+    v("SELECT TRIM('  hello  ')", "VALUES 'hello'")
+    v("SELECT TRIM(' hello world ')", "VALUES 'hello world'")
+    v("SELECT TRIM(BOTH FROM '  hello  ')", "VALUES 'hello'")
+    v("SELECT TRIM(BOTH FROM ' hello world ')", "VALUES 'hello world'")
+    v("SELECT TRIM(' ' FROM '  hello  ')", "VALUES 'hello'")
+    v("SELECT TRIM(' ' FROM ' hello world ')", "VALUES 'hello world'")
+    v("SELECT TRIM('信念 爱 希望   ')",
+      "VALUES '信念 爱 希望'")
+    v("SELECT TRIM('   信念 爱 希望')",
+      "VALUES '信念 爱 希望'")
+    v("SELECT TRIM(BOTH FROM '   信念 爱 希望')",
+      "VALUES '信念 爱 希望'")
+  }
+
+  test("TRIM parametrized code-point sets (TestTrim.java:127)") {
+    v("SELECT TRIM(LEADING '' FROM '  hello  ')", "VALUES '  hello  '")
+    v("SELECT TRIM(LEADING ' ' FROM '  hello  ')", "VALUES 'hello  '")
+    v("SELECT TRIM(LEADING CHAR ' ' FROM '  hello  ')", "VALUES 'hello  '")
+    v("SELECT TRIM(LEADING 'he ' FROM '  hello  ')", "VALUES 'llo  '")
+    v("SELECT TRIM(LEADING 'e h' FROM '  hello')", "VALUES 'llo'")
+    v("SELECT TRIM(LEADING 'l' FROM 'hello  ')", "VALUES 'hello  '")
+    v("SELECT TRIM(LEADING ' eh' FROM ' hello world ')", "VALUES 'llo world '")
+    v("SELECT TRIM(LEADING ' ehlowrd' FROM ' hello world ')", "VALUES ''")
+    v("SELECT TRIM(LEADING ' x' FROM ' hello world ')", "VALUES 'hello world '")
+    v("SELECT TRIM(LEADING 'óź' FROM 'źółć')",
+      "VALUES 'łć'")
+    v("SELECT TRIM(TRAILING '' FROM '  hello  ')", "VALUES '  hello  '")
+    v("SELECT TRIM(TRAILING ' ' FROM '  hello  ')", "VALUES '  hello'")
+    v("SELECT TRIM(TRAILING 'lo ' FROM '  hello  ')", "VALUES '  he'")
+    v("SELECT TRIM(TRAILING 'l o' FROM 'hello  ')", "VALUES 'he'")
+    v("SELECT TRIM(TRAILING 'l' FROM 'hello  ')", "VALUES 'hello  '")
+    v("SELECT TRIM(TRAILING ' ld' FROM ' hello world ')", "VALUES ' hello wor'")
+    v("SELECT TRIM(TRAILING ' ehlowrd' FROM ' hello world ')", "VALUES ''")
+    v("SELECT TRIM(TRAILING 'ćł' FROM 'źółć')",
+      "VALUES 'źó'")
+  }
+
+  test("TRIM over CHAR-typed sources drops padding (TestTrim.java:62,188)") {
+    v("SELECT TRIM(LEADING FROM CAST('' AS CHAR(20)))", "VALUES ''")
+    v("SELECT TRIM(LEADING FROM CAST('  hello  ' AS CHAR(9)))", "VALUES 'hello'")
+    v("SELECT TRIM(LEADING FROM CAST('  hello' AS CHAR(7)))", "VALUES 'hello'")
+    v("SELECT TRIM(LEADING FROM CAST('hello  ' AS CHAR(7)))", "VALUES 'hello'")
+    v("SELECT TRIM(LEADING FROM CAST(' hello world ' AS CHAR(13)))", "VALUES 'hello world'")
+    v("SELECT TRIM(TRAILING FROM CAST('  hello  ' AS CHAR(9)))", "VALUES '  hello'")
+    v("SELECT TRIM(TRAILING FROM CAST('hello  ' AS CHAR(7)))", "VALUES 'hello'")
+    v("SELECT TRIM(TRAILING FROM CAST(' hello world ' AS CHAR(13)))", "VALUES ' hello world'")
+    v("SELECT TRIM(CAST('' AS CHAR(20)))", "VALUES ''")
+    v("SELECT TRIM(CAST('  hello  ' AS CHAR(9)))", "VALUES 'hello'")
+    v("SELECT TRIM(CAST(' hello world ' AS CHAR(13)))", "VALUES 'hello world'")
+    v("SELECT TRIM(LEADING '' FROM CAST('   ' AS CHAR(3)))", "VALUES ''")
+    v("SELECT TRIM(LEADING ' ' FROM CAST('  hello  ' AS CHAR(9)))", "VALUES 'hello'")
+    v("SELECT TRIM(LEADING 'he ' FROM CAST('  hello  ' AS CHAR(9)))", "VALUES 'llo'")
+    v("SELECT TRIM(LEADING ' eh' FROM CAST(' hello world ' AS CHAR(13)))", "VALUES 'llo world'")
+    v("SELECT TRIM(TRAILING 'def' FROM CAST('abc def' AS CHAR(7)))", "VALUES 'abc'")
+    v("SELECT TRIM(LEADING 'óź' FROM CAST('źółć' AS CHAR(4)))",
+      "VALUES 'łć'")
+  }
+}
