@@ -306,22 +306,26 @@ object Analytics {
   def x5(s: SparkSession, dir: String): DataFrame = {
     val channel = when(col("l_returnflag") === "R", lit("returns"))
       .otherwise(lit("sales"))
-    val orl = sumLimbsLong(revenueU(col("l_extendedprice"), col("l_discount")))
-    val ordRev = t(s, dir, "lineitem")
-      .groupBy(col("l_orderkey"), channel.as("channel"))
-      .agg(orl._1.as("hi"), orl._2.as("lo"), count(lit(1)).as("n_lines"))
-    // Aggregate to the DETAIL grain first, THEN rollup the tiny
-    // (channel × nation) relation: a direct .rollup would Expand every
-    // joined row ×3 before the shuffle — at 100 TB that triples the
-    // exchange for subtotals derivable from ~50 detail rows. Limb sums
-    // re-aggregate exactly through both levels.
-    val detail = ordRev
+    val rl = sumLimbsLong(revenueU(col("l_extendedprice"), col("l_discount")))
+    // Join FIRST, aggregate to the (channel × nation) detail grain
+    // once, THEN rollup the tiny (~50-row) detail relation. The r15
+    // shape pre-aggregated to ORDER grain before the join, which cost
+    // an extra full-width exchange (600 k rows hashed by orderkey+
+    // channel) ahead of the join's own orderkey exchange — two big
+    // shuffles where one suffices: with ~50 final groups, partial
+    // aggregation after the join collapses map-side to ~50 rows per
+    // task, so the only big-data exchange left is the join itself
+    // (AQE broadcast-converts orders at small SF; at 100 TB it
+    // shuffles once). Direct .rollup over fact rows would still be
+    // wrong (Expand ×3 before the shuffle) — the rollup stays on the
+    // detail aggregate. Limb sums re-aggregate exactly through both
+    // levels.
+    val detail = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("channel"), col("n_name"))
-      .agg(sum(col("hi")).as("hi"), sum(col("lo")).as("lo"),
-        sum(col("n_lines")).as("n_lines"))
+      .groupBy(channel.as("channel"), col("n_name"))
+      .agg(rl._1.as("hi"), rl._2.as("lo"), count(lit(1)).as("n_lines"))
     detail.rollup(col("channel"), col("n_name"))
       .agg(limbsToDecimal(sum(col("hi")), sum(col("lo")), 4).cast("double").as("rev"),
         sum(col("n_lines")).cast("long").as("n_lines"))

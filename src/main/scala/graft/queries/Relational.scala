@@ -256,17 +256,29 @@ object Relational {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q9 (adapted: profit proxy = revenue - 0.5*retail*qty)
+  /** Amount in UNSCALED LONG space (scale 4): revenueU is price-cents ×
+    * (100 − discount-cents); the cost side is retail-cents × qty-cents
+    * / 2, exact because qty-cents is a multiple of 100 (= ×10⁴ of
+    * retail·0.5·qty). Same exact value as the decimal formulation the
+    * oracle sums, but the per-row hot path is three long multiplies
+    * instead of Decimal(38) object arithmetic — r15's q9 carried the
+    * suite's worst floor-adjusted excess (+0.18 s at sf0.1, 600 k rows
+    * through the multiply) purely on BigDecimal row work; the joins
+    * and aggregation shape were already right. decSumLong capacity at
+    * per-row |u| ≤ ~1e9 is ~9e12 rows per group — 100 TB-safe. */
   def q9(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part").filter(col("p_name").like("%red%"))
-    val amount = revenue(col("l_extendedprice"), col("l_discount")) -
-      money(col("p_retailprice")) * factor(lit(0.5)) * money(col("l_quantity"))
+    val amountU4 = revenueU(col("l_extendedprice"), col("l_discount")) -
+      // halving by shift: the product is even (qty-cents is ×100) and
+      // non-negative, and Column./ would be DOUBLE division
+      shiftright(unscaled2dp(col("p_retailprice")) * unscaled2dp(col("l_quantity")), 1)
     t(s, dir, "lineitem")
       .join(part, col("l_partkey") === col("p_partkey"))
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(sum(amount).cast("double").as("sum_profit"))
+      .agg(decSumLong(amountU4, 4).cast("double").as("sum_profit"))
   }
 
   val q9Sql: String =
