@@ -80,6 +80,43 @@ object Bench {
       sys.exit(2)
     }
 
+    // Same-window comparator pairing (r15 verdict Next #5): two rounds
+    // were poisoned by host-load drift between the Spark bench and a
+    // DuckDB baseline recorded in a different window, needing manual
+    // re-pairing. A full-suite run now executes tools/duck_bench.py
+    // --save ADJACENT to the Spark passes, so the baseline this run's
+    // ratios divide by was measured under the same host conditions by
+    // construction. The comparator's stdout is rerouted to stderr (the
+    // driver contract is ONE JSON line on stdout); failures degrade to
+    // the previously saved baseline. SPARK_GRAFT_NO_DUCK=1 skips.
+    if (args.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_DUCK") &&
+        new java.io.File("tools/duck_bench.py").exists) {
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_duck")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val m = new java.util.LinkedHashMap[String, String]()
+        SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+        java.nio.file.Files.write(tmp.resolve("oracle_sql.json"),
+          om.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+        val t0 = System.nanoTime()
+        val pb = new ProcessBuilder(
+          "python3", "tools/duck_bench.py", sfDir, tmp.toString, "--save")
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val outLines = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+        val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); System.err.println("[bench] duck comparator timed out") }
+        else System.err.println(
+          f"[bench] same-window duck comparator (rc=${proc.exitValue}, " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s): " + outLines.linesIterator
+            .filter(_.startsWith("{")).mkString(" ").take(400))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] duck comparator unavailable (${e.getMessage}) " +
+            "— falling back to the saved baseline")
+      }
+    }
+
     import graft.engine.Adaptive
     val failed = scala.collection.mutable.ListBuffer[String]()
     // name -> (tuned => fresh DataFrame, tuned confs if the size tier has them)
@@ -278,6 +315,7 @@ object Bench {
       case None => ""
       case Some(rt) =>
         s""","ratio_total":${r3(rt)},"ratio_n":${common.size}""" +
+          s""","duck_total":${r3(common.map(x => duckTimes(x._1)).sum)}""" +
           s""","ratio_worst":${obj(ratioWorst)},"ratios":${obj(headlineRatios)}"""
     }
     // Contention self-identification: a trustworthy run has

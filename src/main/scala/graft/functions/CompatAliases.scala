@@ -392,6 +392,15 @@ object CompatAliases {
     fn(e, "approx_set", c => KmvDigestAgg(c.head))
     fn(e, "make_set_digest", c => KmvDigestAgg(c.head))
     fn(e, "merge_set_digest", c => KmvMergeAgg(c.head))
+    // cardinality is type-overloaded in the reference
+    // (SetDigestFunctions.java cardinality(setdigest) vs the
+    // array/map length): BINARY children take the KMV estimate, all
+    // others keep Spark's native Size semantics (same name, same
+    // behavior — the dispatch only ADDS the sketch overload).
+    fn(e, "cardinality", c => c.head.dataType match {
+      case BinaryType => KmvCardinality(c.head)
+      case _ => Size(c.head)
+    })
     fn(e, "map_agg", c => MapAgg(c(0), c(1)))
   }
 

@@ -48,7 +48,21 @@ object GraftFunctions {
     e.injectFunction((
       FunctionIdentifier("qdigest_agg"),
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, "qdigest_agg"),
-      (children: Seq[Expression]) => QuantileSketchAgg(children.head)))
+      // reference overloads (QuantileDigestAggregationFunction.java):
+      // (v), (v, weight), (v, weight, accuracy) — accuracy must fold
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => QuantileSketchAgg(v)
+        case Seq(v, w) => QuantileSketchAgg(v, weight = Some(w))
+        case Seq(v, w, acc) =>
+          require(acc.foldable, "qdigest_agg accuracy must be a constant")
+          val a = acc.eval() match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: Number => n.doubleValue()
+          }
+          QuantileSketchAgg(v, alpha = a, weight = Some(w))
+        case _ => throw new IllegalArgumentException(
+          "qdigest_agg takes 1-3 arguments")
+      }))
     e.injectFunction((
       FunctionIdentifier("tz_wall"),
       new ExpressionInfo(classOf[TzWall].getName, "tz_wall"),
@@ -96,7 +110,9 @@ object GraftFunctions {
     e.injectFunction((
       FunctionIdentifier("tdigest_agg"),
       new ExpressionInfo(classOf[TDigestAgg].getName, "tdigest_agg"),
-      (children: Seq[Expression]) => TDigestAgg(children.head)))
+      (children: Seq[Expression]) =>
+        if (children.length > 1) TDigestAgg(children.head, weight = Some(children(1)))
+        else TDigestAgg(children.head)))
     e.injectFunction((
       FunctionIdentifier("trimmed_mean"),
       new ExpressionInfo(classOf[TrimmedMean].getName, "trimmed_mean"),

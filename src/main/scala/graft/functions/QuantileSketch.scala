@@ -34,6 +34,15 @@ import org.apache.spark.sql.types._
   * serialization tag. */
 sealed trait QuantileDigest {
   def addAny(v: Any): Unit
+  /** Weighted insert (the reference's qdigest_agg(v, w) overload,
+    * `QuantileDigestAggregationFunction.java`). Concrete sketches
+    * override with O(1) count bumps; the fallback loop is only the
+    * safety net. */
+  def addAnyN(v: Any, n: Long): Unit = {
+    var i = 0L
+    while (i < n) { addAny(v); i += 1 }
+  }
+  def isEmptyDigest: Boolean
   def mergeDigest(o: QuantileDigest): Unit
   def serialize(): Array[Byte]
   def quantile(q: Double): Double
@@ -75,6 +84,9 @@ final class LogQuantileSketch(val alpha: Double) extends QuantileDigest {
     else zeros += c
 
   override def addAny(v: Any): Unit = add(QuantileSketchAgg.toDouble(v))
+  override def addAnyN(v: Any, n: Long): Unit =
+    add(QuantileSketchAgg.toDouble(v), n)
+  override def isEmptyDigest: Boolean = pos.isEmpty && neg.isEmpty && zeros == 0
   override def mergeDigest(o: QuantileDigest): Unit = o match {
     case s: LogQuantileSketch => merge(s)
     case other => throw new IllegalArgumentException(
@@ -173,10 +185,12 @@ final class LongExactQuantileSketch(val maxExact: Int = LongExactQuantileSketch.
   val counts = new mutable.HashMap[Long, Long]
   var approx: LogQuantileSketch = null // non-null once degraded
 
-  def add(v: Long): Unit =
-    if (approx != null) approx.add(v.toDouble)
+  def add(v: Long): Unit = add(v, 1L)
+
+  def add(v: Long, c: Long): Unit =
+    if (approx != null) approx.add(v.toDouble, c)
     else {
-      counts.update(v, counts.getOrElse(v, 0L) + 1)
+      counts.update(v, counts.getOrElse(v, 0L) + c)
       if (counts.size > maxExact) degrade()
     }
 
@@ -186,13 +200,18 @@ final class LongExactQuantileSketch(val maxExact: Int = LongExactQuantileSketch.
     counts.clear()
   }
 
-  override def addAny(v: Any): Unit = add(v match {
+  private def asLong(v: Any): Long = v match {
     case l: Long => l
     case i: Int => i.toLong
     case s: Short => s.toLong
     case b: Byte => b.toLong
     case n: Number => n.longValue()
-  })
+  }
+
+  override def addAny(v: Any): Unit = add(asLong(v))
+  override def addAnyN(v: Any, n: Long): Unit = add(asLong(v), n)
+  override def isEmptyDigest: Boolean =
+    counts.isEmpty && (approx == null || approx.isEmptyDigest)
 
   override def mergeDigest(o: QuantileDigest): Unit = o match {
     case s: LongExactQuantileSketch =>
@@ -288,10 +307,12 @@ final class FloatExactQuantileSketch(val maxExact: Int = LongExactQuantileSketch
   val counts = new mutable.HashMap[Float, Long]
   var approx: LogQuantileSketch = null // non-null once degraded
 
-  def add(v: Float): Unit =
-    if (approx != null) approx.add(v.toDouble)
+  def add(v: Float): Unit = add(v, 1L)
+
+  def add(v: Float, c: Long): Unit =
+    if (approx != null) approx.add(v.toDouble, c)
     else {
-      counts.update(v, counts.getOrElse(v, 0L) + 1)
+      counts.update(v, counts.getOrElse(v, 0L) + c)
       if (counts.size > maxExact) degrade()
     }
 
@@ -301,10 +322,15 @@ final class FloatExactQuantileSketch(val maxExact: Int = LongExactQuantileSketch
     counts.clear()
   }
 
-  override def addAny(v: Any): Unit = add(v match {
+  private def asFloat(v: Any): Float = v match {
     case f: Float => f
     case n: Number => n.floatValue()
-  })
+  }
+
+  override def addAny(v: Any): Unit = add(asFloat(v))
+  override def addAnyN(v: Any, n: Long): Unit = add(asFloat(v), n)
+  override def isEmptyDigest: Boolean =
+    counts.isEmpty && (approx == null || approx.isEmptyDigest)
 
   override def mergeDigest(o: QuantileDigest): Unit = o match {
     case s: FloatExactQuantileSketch =>
@@ -392,13 +418,14 @@ object FloatExactQuantileSketch {
 case class QuantileSketchAgg(
     child: Expression,
     alpha: Double = LogQuantileSketch.DefaultAlpha,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[QuantileDigest] {
 
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true // empty input -> NULL
+  override def children: Seq[Expression] = Seq(child) ++ weight
 
   private def isIntegral = child.dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
@@ -412,7 +439,12 @@ case class QuantileSketchAgg(
 
   override def update(b: QuantileDigest, input: InternalRow): QuantileDigest = {
     val v = child.eval(input)
-    if (v != null) b.addAny(v)
+    if (v != null) weight match {
+      case None => b.addAny(v)
+      case Some(w) =>
+        val wv = w.eval(input)
+        if (wv != null) b.addAnyN(v, wv.asInstanceOf[Number].longValue())
+    }
     b
   }
 
@@ -420,7 +452,9 @@ case class QuantileSketchAgg(
     b.mergeDigest(o); b
   }
 
-  override def eval(b: QuantileDigest): Any = b.serialize()
+  // aggregate-over-nothing is NULL, not an empty sketch
+  override def eval(b: QuantileDigest): Any =
+    if (b.isEmptyDigest) null else b.serialize()
   override def serialize(b: QuantileDigest): Array[Byte] = b.serialize()
   override def deserialize(bytes: Array[Byte]): QuantileDigest =
     QuantileDigest.deserialize(bytes)
@@ -431,7 +465,8 @@ case class QuantileSketchAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): QuantileSketchAgg =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
 
   override def prettyName: String = "qdigest_agg"
 }
@@ -485,15 +520,28 @@ case class ValuesAtQuantiles(left: Expression, right: Expression)
   override protected def nullSafeEval(sketch: Any, qs: Any): Any = {
     val bytes = sketch.asInstanceOf[Array[Byte]]
     val arr = qs.asInstanceOf[ArrayData]
+    // the percentile array may arrive as int/decimal/double literals —
+    // coerce per element (no analyzer-side cast without the
+    // private[sql] AbstractDataType)
+    val elemType = right.dataType.asInstanceOf[ArrayType].elementType
+    def qAt(i: Int): Double =
+      QuantileSketchAgg.toDouble(arr.get(i, elemType))
+    // reference contract (TDigestFunctions.valuesAtQuantiles)
+    var j = 1
+    while (j < arr.numElements()) {
+      require(qAt(j - 1) <= qAt(j),
+        "percentiles must be sorted in increasing order")
+      j += 1
+    }
     val out = new Array[Double](arr.numElements())
     if (TDigest.isTDigest(bytes)) {
       val d = TDigest.deserialize(bytes)
       var i = 0
-      while (i < out.length) { out(i) = d.quantile(arr.getDouble(i)); i += 1 }
+      while (i < out.length) { out(i) = d.quantile(qAt(i)); i += 1 }
     } else {
       val d = QuantileDigest.deserialize(bytes)
       var i = 0
-      while (i < out.length) { out(i) = d.quantile(arr.getDouble(i)); i += 1 }
+      while (i < out.length) { out(i) = d.quantile(qAt(i)); i += 1 }
     }
     new GenericArrayData(out)
   }

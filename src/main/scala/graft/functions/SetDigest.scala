@@ -46,6 +46,13 @@ final class KmvDigest(val k: Int) {
 
   def add(value: Long): Unit = addHash(KmvDigest.splitmix64(value))
 
+  /** Non-numeric values (the reference's make_set_digest is
+    * type-overloaded: varchar/date/… — TestSetDigestFunctions) enter
+    * the same hashed space through FNV-1a 64 over the value bytes,
+    * finalized by splitmix64. */
+  def addBytes(b: Array[Byte]): Unit =
+    addHash(KmvDigest.splitmix64(KmvDigest.fnv64(b)))
+
   def merge(o: KmvDigest): Unit = {
     val it = o.set.iterator()
     while (it.hasNext) addHash(it.next())
@@ -88,6 +95,14 @@ final class KmvDigest(val k: Int) {
 object KmvDigest {
 
   val DefaultK = 2048
+
+  /** FNV-1a 64 over raw bytes (public-domain constants). */
+  def fnv64(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
 
   /** splitmix64 finalizer (public-domain mixing constants). */
   def splitmix64(x0: Long): Long = {
@@ -174,7 +189,14 @@ case class KmvDigestAgg(
 
   override def update(b: KmvDigest, input: InternalRow): KmvDigest = {
     val v = child.eval(input)
-    if (v != null) b.add(v.asInstanceOf[Number].longValue())
+    if (v != null) v match {
+      case n: Number => b.add(n.longValue())
+      case s: org.apache.spark.unsafe.types.UTF8String => b.addBytes(s.getBytes)
+      case bool: java.lang.Boolean => b.add(if (bool) 1L else 0L)
+      case d: org.apache.spark.sql.types.Decimal =>
+        b.addBytes(d.toJavaBigDecimal.stripTrailingZeros.toString.getBytes)
+      case other => b.addBytes(String.valueOf(other).getBytes)
+    }
     b
   }
 
@@ -193,6 +215,22 @@ case class KmvDigestAgg(
       c: IndexedSeq[Expression]): KmvDigestAgg = copy(child = c.head)
 
   override def prettyName: String = "kmv_set_digest"
+}
+
+/** `cardinality(setdigest) -> bigint` (reference
+  * `SetDigestFunctions.java` cardinality overload — exact below k,
+  * the KMV estimator above). The SQL name `cardinality` is
+  * type-dispatched in CompatAliases: BINARY children land here,
+  * array/map children keep Spark's native Size. */
+case class KmvCardinality(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    math.rint(KmvDigest.deserialize(v.asInstanceOf[Array[Byte]]).estimate()).toLong
+  override protected def withNewChildInternal(c: Expression): KmvCardinality =
+    copy(child = c)
+  override def prettyName: String = "cardinality"
 }
 
 /** `jaccard_index(digest, digest) -> double` (reference SetDigest

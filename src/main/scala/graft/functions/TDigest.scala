@@ -63,6 +63,8 @@ final class TDigest(val compression: Double) {
     max = math.max(max, o.max)
   }
 
+  def isEmpty: Boolean = nC == 0 && nB == 0
+
   def totalWeight: Double = {
     var s = 0.0
     var i = 0
@@ -177,6 +179,22 @@ final class TDigest(val compression: Double) {
     if (nC == 0) return Double.NaN
     val w = totalWeight
     val target = math.min(1.0, math.max(0.0, q)) * w
+    // Discrete regime: every centroid is a weight-1 singleton (no
+    // merging has happened), so the digest holds the exact value set —
+    // return the reference's step-function answer (the first value
+    // whose cumulative weight EXCEEDS q·n; TestTDigestFunctions
+    // testValueAtQuantile pins 0.75 over {.1,.2,.3,.4} → .4).
+    // Interpolation only applies once centroids actually approximate.
+    if (w == nC.toDouble) {
+      var cum = 0.0
+      var i = 0
+      while (i < nC) {
+        cum += cWeights(i)
+        if (cum > target) return cMeans(i)
+        i += 1
+      }
+      return max
+    }
     if (nC == 1) {
       // Interpolate through min / centroid mean / max, as the
       // multi-centroid tails do, so quantile(0)=min and quantile(1)=max
@@ -282,29 +300,41 @@ object TDigest {
   }
 }
 
-/** `tdigest_agg(double) -> binary` — mergeable centroid sketch. */
+/** `tdigest_agg(double[, weight]) -> binary` — mergeable centroid
+  * sketch; the optional weight matches the reference's
+  * `TDigestAggregationFunction` weighted overload
+  * (TestTDigestFunctions.testAccuracyAtHighAndLowPercentiles). */
 case class TDigestAgg(
     child: Expression,
     compression: Double = TDigest.DefaultCompression,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TDigest] {
 
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true // empty input -> NULL
+  override def children: Seq[Expression] = Seq(child) ++ weight
 
   override def createAggregationBuffer(): TDigest = new TDigest(compression)
 
   override def update(b: TDigest, input: InternalRow): TDigest = {
     val v = child.eval(input)
-    if (v != null) b.add(QuantileSketchAgg.toDouble(v))
+    if (v != null) weight match {
+      case None => b.add(QuantileSketchAgg.toDouble(v))
+      case Some(w) =>
+        val wv = w.eval(input)
+        if (wv != null)
+          b.add(QuantileSketchAgg.toDouble(v), QuantileSketchAgg.toDouble(wv))
+    }
     b
   }
 
   override def merge(b: TDigest, o: TDigest): TDigest = { b.merge(o); b }
 
-  override def eval(b: TDigest): Any = b.serialize()
+  // aggregate-over-nothing is NULL, not an empty sketch (reference
+  // TestTDigestFunctions.testEmptyTDigestInput)
+  override def eval(b: TDigest): Any = if (b.isEmpty) null else b.serialize()
   override def serialize(b: TDigest): Array[Byte] = b.serialize()
   override def deserialize(bytes: Array[Byte]): TDigest =
     TDigest.deserialize(bytes)
@@ -314,7 +344,8 @@ case class TDigestAgg(
   override def withNewInputAggBufferOffset(n: Int): TDigestAgg =
     copy(inputAggBufferOffset = n)
   override protected def withNewChildrenInternal(
-      c: IndexedSeq[Expression]): TDigestAgg = copy(child = c.head)
+      c: IndexedSeq[Expression]): TDigestAgg =
+    copy(child = c.head, weight = if (c.length > 1) Some(c(1)) else None)
 
   override def prettyName: String = "tdigest_agg"
 }

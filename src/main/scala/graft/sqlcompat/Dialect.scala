@@ -73,6 +73,10 @@ object Dialect {
     "json" -> "string",
     "uuid" -> "string",
     "ipaddress" -> "string",
+    "tdigest" -> "binary", // serialized sketches ARE binary here
+    "qdigest" -> "binary",
+    "setdigest" -> "binary",
+    "hyperloglog" -> "binary",
     "time" -> "bigint") // TIME emulated as nanos-of-day
 
   /** Translate a reference-dialect SQL string to Spark SQL. String

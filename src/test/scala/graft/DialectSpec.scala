@@ -387,6 +387,41 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       tables.mkString(","))
   }
 
+  test("DESCRIBE INPUT/OUTPUT, SHOW FUNCTIONS, SHOW CREATE TABLE (reference testDescribeInput/Output)") {
+    import graft.sqlcompat.Statements
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW nation_dsc AS SELECT * FROM VALUES
+        |(0L, 'ALGERIA', 0), (1L, 'ARGENTINA', 1)
+        |AS nation_dsc(nationkey, name, regionkey)""".stripMargin)
+    // DESCRIBE INPUT: positions + inferred types (reference
+    // AbstractTestEngineOnlyQueries.java:1285 — the unconstrained
+    // SELECT-position marker is `unknown`, comparisons take the
+    // column's type, LIMIT takes bigint)
+    Statements.execute(spark,
+      "PREPARE my_query FROM SELECT ? FROM nation_dsc WHERE nationkey = ? and name < ? LIMIT ?")
+    val in = Statements.execute(spark, "DESCRIBE INPUT my_query").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(in == Map(0L -> "unknown", 1L -> "bigint", 2L -> "string", 3L -> "bigint"), in)
+    // DESCRIBE OUTPUT: schema without execution (testDescribeOutput)
+    Statements.execute(spark, "PREPARE out_query FROM SELECT nationkey, name FROM nation_dsc")
+    val out = Statements.execute(spark, "DESCRIBE OUTPUT out_query").collect()
+      .map(r => (r.getString(0), r.getString(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("nationkey", "bigint", 8L), ("name", "string", 0L)), out.toSeq)
+    // a prepared DML/aggregate describes without running
+    Statements.execute(spark, "PREPARE agg_query FROM SELECT count(*) AS n FROM nation_dsc WHERE nationkey > ?")
+    val aggOut = Statements.execute(spark, "DESCRIBE OUTPUT agg_query").collect()
+    assert(aggOut.map(_.getString(0)).toSeq == Seq("n"))
+    assertThrows[IllegalArgumentException](
+      Statements.execute(spark, "DESCRIBE INPUT no_such_stmt"))
+    // SHOW FUNCTIONS lists the resolvable inventory
+    val fns = Statements.execute(spark, "SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("tdigest_agg") && fns.contains("abs"), fns.length.toString)
+    // SHOW CREATE TABLE synthesizes DDL from the resolved schema
+    val ddl = Statements.execute(spark, "SHOW CREATE TABLE nation_dsc")
+      .head().getString(0)
+    assert(ddl.contains("CREATE TABLE nation_dsc") && ddl.contains("nationkey BIGINT"), ddl)
+  }
+
   test("MATCH_RECOGNIZE SQL text lowers onto the operator and matches it") {
     import graft.sqlcompat.MatchRecognizeSql
     import org.apache.spark.sql.functions.col
