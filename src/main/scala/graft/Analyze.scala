@@ -37,6 +37,17 @@ object Analyze {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.engine.Graft.session("graft-analyze", cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    // Stress shape (r15 verdict Next #10): SPARK_GRAFT_STRESS_PARTITIONS
+    // re-runs the set with the shuffle fan-out of a much larger
+    // cluster/input, as standing evidence that the headline plans keep
+    // their shape (partial/final split, broadcast sides, pushdown) when
+    // the exchange count is two orders of magnitude higher than the
+    // local default. Per-operator spill/peak-memory land in the same
+    // metrics artifacts.
+    sys.env.get("SPARK_GRAFT_STRESS_PARTITIONS").foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      System.err.println(s"[analyze] STRESS shape: shuffle.partitions=$p")
+    }
     Files.createDirectories(Paths.get(outDir))
     val selected = (pat match {
       case Some(r) =>

@@ -57,19 +57,20 @@ class SpillSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 
-  // one representative per operator family (hash agg, big join-agg,
-  // semi/anti multi-join, window frames, MATCH_RECOGNIZE, global sort,
-  // ordered agg, set ops, grouping sets, LSH join pipeline, basket
-  // self-join)
-  private val covered = Seq(
-    "q1_pricing_summary", "q18_large_orders", "q21_waiting_supplier",
-    "w9_moving_agg", "mr1_match_recognize", "srt2_sort_6col",
-    "ag5_ordered_agg", "set3_intersect", "gs1_rollup",
-    "p3_minhash_lsh", "x2_market_basket")
+  // the FULL headline set (r15 verdict Next #9): every TPC-H query,
+  // every TPC-DS-shaped composite, plus one representative per
+  // non-headline operator family (window frames, MATCH_RECOGNIZE,
+  // global sort, ordered agg, set ops, grouping sets, LSH join
+  // pipeline)
+  private val covered =
+    (1 to 22).map(i => s"q${i}_") ++ (1 to 8).map(i => s"x${i}_") ++ Seq(
+      "w9_moving_agg", "mr1_match_recognize", "srt2_sort_6col",
+      "ag5_ordered_agg", "set3_intersect", "gs1_rollup", "p3_minhash_lsh")
 
   test("headline queries are hash-stable under forced spill") {
-    val available = covered.filter(SparkEntry.queries.contains)
-    assert(available.size >= 10, s"coverage shrank: $available")
+    val available = covered.flatMap(p =>
+      SparkEntry.queries.keys.find(k => k == p || k.startsWith(p))).distinct
+    assert(available.size >= 36, s"coverage shrank (${available.size}): $available")
     val baseline = available.map { name =>
       name -> contentHash(SparkEntry.queries(name)(spark, sfDir))
     }.toMap
