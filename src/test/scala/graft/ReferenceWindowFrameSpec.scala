@@ -593,6 +593,29 @@ class ReferenceWindowFrameSpec extends AnyFunSuite with BeforeAndAfterAll {
         "(5.0, ARRAY[3, 4, 5], ARRAY[5, 6]), (6.0, ARRAY[4, 5, 6], ARRAY[6])")
   }
 
+  // ===================================== named windows + FILTER (advice r15)
+
+  test("windowed array_agg FILTER over a NAMED window keeps the window name") {
+    // r15 advice: the transform wrapper's close-paren landed before the
+    // window identifier, producing unparseable SQL
+    v("SELECT array_agg(a) FILTER (WHERE a > 1) OVER w " +
+      "FROM (VALUES 1, 2, 3) t(a) WINDOW w AS (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+      "VALUES CAST(null AS array(integer)), ARRAY[2], ARRAY[2, 3]")
+    // plain array_agg over a named window: null-keeping + empty->NULL
+    v("SELECT array_agg(a) OVER w FROM (VALUES 1, null, 2) t(a) " +
+      "WINDOW w AS (ORDER BY a ASC NULLS FIRST ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+      "VALUES ARRAY[null], ARRAY[null, 1], ARRAY[1, 2]")
+  }
+
+  test("THEN/ELSE-position IN-subqueries are three-valued (advice r15)") {
+    v("SELECT max(CASE WHEN a THEN x IN (SELECT v FROM (VALUES 1, CAST(NULL AS INTEGER)) u(v)) END) " +
+      "FROM (VALUES (true, 2)) t(a, x)",
+      "VALUES CAST(NULL AS BOOLEAN)")
+    v("SELECT CASE WHEN a THEN 0 ELSE CASE WHEN x IN (SELECT v FROM (VALUES 1) u(v)) THEN 1 END END " +
+      "FROM (VALUES (false, 1)) t(a, x)",
+      "VALUES 1")
+  }
+
   // ================================================== TestWindowFrameRows
 
   test("ROWS offset types incl. overflowing decimals (TestWindowFrameRows.java:46)") {
