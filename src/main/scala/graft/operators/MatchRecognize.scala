@@ -224,6 +224,76 @@ object MatchRecognize {
       else if (hit(currentVar, v)) rows(i)
       else null
     }
+
+    /** Running aggregate over the match SO FAR — rows start..i with the
+      * CURRENT row's tentative label participating — the SQL:2016
+      * running semantics aggregates have inside DEFINE (reference
+      * `TestAggregationsInRowPatternMatching`: `DEFINE A AS
+      * sum(A.value) - A.value <= sum(B.value)` sums INCLUDE the row
+      * being classified). `v` None feeds every label; `col` null
+      * counts rows (count(*) / count(V.*)). SQL null handling: null
+      * values are skipped, an empty feed is NULL (count: 0). Integral
+      * sums stay Long-exact (epoch-nanos exceed 2^53); fn ∈
+      * {sum, avg, min, max, count}. Cost is O(match length) per
+      * evaluation — the per-branch fold the reference's matcher
+      * amortizes with copied aggregation state; correctness-first
+      * here, and pattern matches are short in practice. */
+    def runningAgg(fn: String, v: Option[String], col: String): Any = {
+      val wantRow = col == null
+      var n = 0L
+      var sumL = 0L
+      var sumD = 0.0
+      var frac = false
+      var minMax: Any = null
+      val isMin = fn == "min"
+      def feed(r: Row): Unit = {
+        if (wantRow) { n += 1; return }
+        val value = r.getAs[Any](col)
+        if (value == null) return
+        n += 1
+        fn match {
+          case "sum" | "avg" => value match {
+            case x: java.lang.Long => sumL = Math.addExact(sumL, x.longValue())
+            case x: java.lang.Integer => sumL = Math.addExact(sumL, x.longValue())
+            case x: java.lang.Short => sumL = Math.addExact(sumL, x.longValue())
+            case x: java.lang.Byte => sumL = Math.addExact(sumL, x.longValue())
+            case x: Number => frac = true; sumD += x.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"DEFINE $fn($col): numeric column required, got ${other.getClass.getSimpleName}")
+          }
+          case "min" | "max" =>
+            val better = minMax == null || ((value, minMax) match {
+              case (a: Number, b: Number) =>
+                val c = java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+                if (isMin) c < 0 else c > 0
+              case (a: String, b: String) =>
+                val c = a.compareTo(b)
+                if (isMin) c < 0 else c > 0
+              case (a, b) => throw new IllegalArgumentException(
+                s"DEFINE $fn($col): incomparable ${a.getClass.getSimpleName} vs ${b.getClass.getSimpleName}")
+            })
+            if (better) minMax = value
+          case "count" => ()
+          case other => throw new IllegalArgumentException(
+            s"DEFINE: unsupported aggregate '$other'")
+        }
+      }
+      def ok(label: String): Boolean = v.forall(vv => hit(label, vv))
+      var j = i - 1
+      var l = labelsRev
+      while (l.nonEmpty) { // order-insensitive fns: reverse walk is fine
+        if (ok(l.head)) feed(rows(j))
+        j -= 1; l = l.tail
+      }
+      if (ok(currentVar)) feed(rows(i))
+      fn match {
+        case "count" => n
+        case _ if n == 0 => null
+        case "sum" => if (frac) sumD + sumL else sumL
+        case "avg" => (sumD + sumL) / n
+        case _ => minMax
+      }
+    }
   }
 
   // ------------------------------------------------------ pattern AST
@@ -829,6 +899,16 @@ object MatchRecognize {
     /** `count(V.*)`: rows the NFA labeled V (or a SUBSET member) —
       * RUNNING over the prefix unless `isFinal`. */
     final case class VarCount(variable: String, isFinal: Boolean) extends SqlMeasure
+    /** `array_agg([VAR.]col)`: the fed rows' column values in match
+      * order — RUNNING prefix arrays in ALL ROWS unless `isFinal`
+      * (reference TestAggregationsInRowPatternMatching). */
+    final case class ArrayAggCol(column: String,
+        variable: Option[String] = None, isFinal: Boolean = false) extends SqlMeasure
+    /** `array_agg(CLASSIFIER([VAR]))`: the fed rows' labels in match
+      * order — the corpus's standard observable for which variable
+      * matched each row. */
+    final case class ClassifierArray(variable: Option[String] = None,
+        isFinal: Boolean = false) extends SqlMeasure
   }
 
   /** Streaming accumulator for one measure aggregate: feed rows in
@@ -1184,6 +1264,12 @@ object MatchRecognize {
         case 0 if fn != "avg" => LongType
         case _ => DoubleType
       })
+      case (SqlMeasure.ArrayAggCol(c, _, _), a) =>
+        StructField(a, ArrayType(inSchema(c).dataType, containsNull = true),
+          nullable = true)
+      case (SqlMeasure.ClassifierArray(_, _), a) =>
+        StructField(a, ArrayType(StringType, containsNull = false),
+          nullable = true)
     }
     val keyCols = if (allRows) partCols ++ orderCols else partCols
     val restCols =
@@ -1263,6 +1349,19 @@ object MatchRecognize {
             case ((SqlMeasure.FinalCount, _), _) => m.length.toLong
             case ((SqlMeasure.VarCount(v, _), _), _) =>
               m.count(l => varOk(Some(v), l)).toLong
+            case ((SqlMeasure.ArrayAggCol(c, v, _), _), _) =>
+              val b = Seq.newBuilder[Any]
+              var k2 = 0
+              while (k2 < m.length) {
+                if (varOk(v, m(k2))) {
+                  val rr = buf(i + k2); b += rr.get(rr.fieldIndex(c))
+                }
+                k2 += 1
+              }
+              val out = b.result(); if (out.isEmpty) null else out
+            case ((SqlMeasure.ClassifierArray(v, _), _), _) =>
+              val out = m.filter(l => varOk(v, l)).map(realLabel)
+              if (out.isEmpty) null else out
             case (_, a) => a.value
           }
           Seq(Row.fromSeq(kCols.map(c => r0.get(r0.fieldIndex(c))) ++ mv))
@@ -1286,6 +1385,8 @@ object MatchRecognize {
             case (SqlMeasure.VarCount(_, _), _) => 0L
             case (SqlMeasure.Agg(_, _, _, _), _) => null
             case (SqlMeasure.FinalAgg(_, _, _, _), _) => null
+            case (SqlMeasure.ArrayAggCol(_, _, _), _) => null
+            case (SqlMeasure.ClassifierArray(_, _), _) => null
           }
           Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++
             rCols.map(c => r.get(r.fieldIndex(c))))
@@ -1329,6 +1430,32 @@ object MatchRecognize {
             }
             v -> pref
           }.toMap
+          // RUNNING array measures: one growing buffer per measure,
+          // fed in match order (excluded rows feed like RUNNING aggs)
+          val runArr: IndexedSeq[scala.collection.mutable.ArrayBuffer[Any]] =
+            meas.toIndexedSeq.map {
+              case (SqlMeasure.ArrayAggCol(_, _, false), _) |
+                   (SqlMeasure.ClassifierArray(_, false), _) =>
+                scala.collection.mutable.ArrayBuffer[Any]()
+              case _ => null
+            }
+          // FINAL array measures: the whole-match array, computed once
+          val finalArr: IndexedSeq[Any] = meas.toIndexedSeq.map {
+            case (SqlMeasure.ArrayAggCol(c, v, true), _) =>
+              val b = Seq.newBuilder[Any]
+              var k2 = 0
+              while (k2 < m.length) {
+                if (varOk(v, m(k2))) {
+                  val rr = buf(i + k2); b += rr.get(rr.fieldIndex(c))
+                }
+                k2 += 1
+              }
+              val o = b.result(); if (o.isEmpty) null else o
+            case (SqlMeasure.ClassifierArray(v, true), _) =>
+              val o = m.filter(l => varOk(v, l)).map(realLabel)
+              if (o.isEmpty) null else o
+            case _ => null
+          }
           val out = Seq.newBuilder[Row]
           var k = 0
           while (k < m.length) {
@@ -1337,19 +1464,32 @@ object MatchRecognize {
             while (ai < aggs.length) { // excluded rows feed RUNNING
               val a = aggs(ai)
               if (a != null && varOk(aggVars(ai), m(k))) a.update(r)
+              if (runArr(ai) != null) meas(ai)._1 match {
+                case SqlMeasure.ArrayAggCol(c, v, _) =>
+                  if (varOk(v, m(k))) runArr(ai) += r.get(r.fieldIndex(c))
+                case SqlMeasure.ClassifierArray(v, _) =>
+                  if (varOk(v, m(k))) runArr(ai) += realLabel(m(k))
+                case _ => ()
+              }
               ai += 1
             }
             if (!isExcluded(m(k))) {
-              val mv = meas.zip(aggs).zip(finals).map {
-                case (((SqlMeasure.MatchNum, _), _), _) => matchNo
-                case (((SqlMeasure.Classifier, _), _), _) => realLabel(m(k))
-                case (((SqlMeasure.FinalClassifier, _), _), _) => realLabel(m.last)
-                case (((SqlMeasure.CountStar, _), _), _) => (k + 1).toLong
-                case (((SqlMeasure.FinalCount, _), _), _) => m.length.toLong
-                case (((SqlMeasure.VarCount(v, fin), _), _), _) =>
+              val mv = meas.zip(aggs).zip(finals).zipWithIndex.map {
+                case ((((SqlMeasure.MatchNum, _), _), _), _) => matchNo
+                case ((((SqlMeasure.Classifier, _), _), _), _) => realLabel(m(k))
+                case ((((SqlMeasure.FinalClassifier, _), _), _), _) => realLabel(m.last)
+                case ((((SqlMeasure.CountStar, _), _), _), _) => (k + 1).toLong
+                case ((((SqlMeasure.FinalCount, _), _), _), _) => m.length.toLong
+                case ((((SqlMeasure.VarCount(v, fin), _), _), _), _) =>
                   (if (fin) varCountPref(v)(m.length) else varCountPref(v)(k + 1)).toLong
-                case (((SqlMeasure.FinalAgg(_, _, _, _), _), _), fv) => fv
-                case ((_, a), _) => a.value
+                case ((((SqlMeasure.FinalAgg(_, _, _, _), _), _), fv), _) => fv
+                case ((((SqlMeasure.ArrayAggCol(_, _, fin), _), _), _), mi) =>
+                  if (fin) finalArr(mi)
+                  else if (runArr(mi).isEmpty) null else runArr(mi).toList
+                case ((((SqlMeasure.ClassifierArray(_, fin), _), _), _), mi) =>
+                  if (fin) finalArr(mi)
+                  else if (runArr(mi).isEmpty) null else runArr(mi).toList
+                case (((_, a), _), _) => a.value
               }
               out += Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++
                 rCols.map(c => r.get(r.fieldIndex(c))))

@@ -240,12 +240,27 @@ object MatchRecognizeSql {
     // final projection restores it so positional consumers see the
     // standard's layout, not "direct first, computed appended"
     val declaredAliases = scala.collection.mutable.ArrayBuffer[String]()
+    // array_agg measures (reference TestAggregationsInRowPatternMatching):
+    // array_agg([VAR.]col) and array_agg(CLASSIFIER([VAR])) with the
+    // optional RUNNING|FINAL prefix
+    val arrayAggRe = ("(?i)^(?:(RUNNING|FINAL)\\s+)?ARRAY_AGG\\s*\\(\\s*" +
+      "(?:CLASSIFIER\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)?\\s*\\)|" +
+      "(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?([A-Za-z_][A-Za-z0-9_]*))" +
+      "\\s*\\)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$").r
     splitTopLevel(measuresTxt, ',').map(_.trim).filter(_.nonEmpty).foreach { mtxt =>
-      measRe.findFirstMatchIn(mtxt) match {
-        case Some(mm) =>
+      (measRe.findFirstMatchIn(mtxt), arrayAggRe.findFirstMatchIn(mtxt)) match {
+        case (Some(mm), _) =>
           direct += primitiveOf(mm, mtxt) -> mm.group(8)
           declaredAliases += mm.group(8)
-        case None =>
+        case (None, Some(am)) =>
+          val isFinal = Option(am.group(1)).exists(_.equalsIgnoreCase("FINAL"))
+          val msr =
+            if (am.group(4) == null) // CLASSIFIER form (group 2 = optional var)
+              SqlMeasure.ClassifierArray(Option(am.group(2)), isFinal)
+            else SqlMeasure.ArrayAggCol(am.group(4), Option(am.group(3)), isFinal)
+          direct += msr -> am.group(5)
+          declaredAliases += am.group(5)
+        case (None, None) =>
           val am = asRe.findFirstMatchIn(mtxt).getOrElse(fail(
             s"unsupported measure: '$mtxt' (expect <primitive or arithmetic> AS alias)"))
           val alias = am.group(2)
@@ -253,10 +268,14 @@ object MatchRecognizeSql {
             val p = primitiveOf(m, mtxt)
             hidden.getOrElseUpdate(p, s"__m${hidden.size}")
           })
+          // COALESCE over primitives is allowed (reference
+          // testPeriodLength: COALESCE(sum(C.x) - sum(A.x), 0)) —
+          // Catalyst computes it over the hidden columns
           val leftover = rewritten.replaceAll("__m\\d+", "")
-          if (!leftover.matches("[\\s0-9+\\-*/().]*")) fail(
-            s"unsupported measure expression: '$mtxt' (only + - * / over " +
-              "primitives and numeric literals)")
+            .replaceAll("(?i)\\bCOALESCE\\b", "")
+          if (!leftover.matches("[\\s0-9+\\-*/().,]*")) fail(
+            s"unsupported measure expression: '$mtxt' (only + - * / and " +
+              "COALESCE over primitives and numeric literals)")
           computed += alias -> rewritten
           declaredAliases += alias
       }
@@ -694,6 +713,29 @@ private final class DefineParser(src: String, currentVar: String) {
             expect(')')
             usesHistory = true
             ctx => getVal(if (isFirst) ctx.first(v) else ctx.last(v), c)
+          case "SUM" | "AVG" | "MIN" | "MAX" | "COUNT" =>
+            // running aggregates inside DEFINE (SQL:2016; reference
+            // TestAggregationsInRowPatternMatching — running semantics
+            // INCLUDE the row being classified): sum/avg/min/max over
+            // [VAR.]col, count(*) / count() / count(V.*) / count([V.]col)
+            val fn = id.toLowerCase
+            expect('(')
+            skipWs()
+            val (varQ, colOrNull): (Option[String], String) =
+              if (fn == "count" && pos < src.length && src.charAt(pos) == ')')
+                (None, null) // count()
+              else if (pos < src.length && src.charAt(pos) == '*') {
+                pos += 1; (None, null) // count(*)
+              } else {
+                val (q, c) = qualifiedCol()
+                if (c == "*") (q, null) // count(V.*)
+                else (q, c)
+              }
+            expect(')')
+            if (colOrNull == null && fn != "count")
+              fail(s"$fn(*) is not an aggregate form")
+            usesHistory = true
+            ctx => ctx.runningAgg(fn, varQ, colOrNull)
           case _ =>
             skipWs()
             if (pos < src.length && src.charAt(pos) == '.') {
@@ -721,9 +763,15 @@ private final class DefineParser(src: String, currentVar: String) {
     skipWs()
     if (pos < src.length && src.charAt(pos) == '.') {
       pos += 1
-      val b = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
-      pos += b.length
-      (Some(a), b)
+      skipWs()
+      if (pos < src.length && src.charAt(pos) == '*') { // count(V.*)
+        pos += 1
+        (Some(a), "*")
+      } else {
+        val b = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
+        pos += b.length
+        (Some(a), b)
+      }
     } else (None, a)
   }
 
