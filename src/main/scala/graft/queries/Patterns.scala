@@ -603,7 +603,49 @@ object Patterns {
       |FROM x WINDOW w2 AS (PARTITION BY user_id ORDER BY rn
       |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin
 
+  /** mr12: sequence packing via a running AGGREGATE IN DEFINE
+    * (SQL:2016; reference `TestAggregationsInRowPatternMatching` —
+    * the r16 surface): `PATTERN (G+) DEFINE G AS count(G.*) <= 8`
+    * greedily chunks each user's event stream into 8-row windows (the
+    * 9th row fails the running count and closes the match), with a
+    * count measure, min/max aggregate measures, and an
+    * `array_agg(G.event_id)` array measure serialized for the compare
+    * harness. The oracle reproduces the chunking relationally —
+    * `(row_number()-1)/8` GROUP BY — so the DEFINE-aggregate greedy
+    * semantics are gated against an independent engine, not replayed
+    * against themselves. */
+  def mr12(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"))
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES count(*) AS n_rows,
+        |           min(event_id) AS first_id,
+        |           max(event_id) AS last_id,
+        |           array_agg(G.event_id) AS ids_arr
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (G+)
+        |  DEFINE G AS count(G.*) <= 8)""".stripMargin,
+      _ => ev)
+      .select(col("user_id"), col("n_rows"), col("first_id"), col("last_id"),
+        concat_ws(",", col("ids_arr")).as("ids"))
+  }
+
+  val mr12Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 8 AS chunk
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(event_id) AS BIGINT) AS first_id,
+      |  CAST(max(event_id) AS BIGINT) AS last_id,
+      |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
+      |FROM r GROUP BY user_id, chunk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr12_define_agg_packing" -> mr12 _,
     "mr11_window_seek" -> mr11 _,
     "mr10_partition_anchors" -> mr10 _,
     "mr9_pattern_exclusion" -> mr9 _,
@@ -617,6 +659,7 @@ object Patterns {
     "mr6_agg_measures" -> mr6 _)
 
   val oracle: Map[String, String] = Map(
+    "mr12_define_agg_packing" -> mr12Sql,
     "mr11_window_seek" -> mr11Sql,
     "mr10_partition_anchors" -> mr10Sql,
     "mr9_pattern_exclusion" -> mr9Sql,
