@@ -283,6 +283,90 @@ class ReferenceQueryCorporaSpec extends AnyFunSuite with BeforeAndAfterAll {
     v("SELECT 'x' FROM (VALUES 1, 1, 2) t(a) HAVING true", "VALUES 'x'")
   }
 
+  // ================================== small class-level corpora (r16)
+
+  test("quantified comparisons inside aggregates (TestAggregation.java:38, TestAggregationOverJoin.java:29)") {
+    v("SELECT count_if(v > ALL (VALUES 0, 1)) FROM (VALUES (1, 1), (1, 2)) t(k, v) GROUP BY k",
+      "VALUES BIGINT '1'")
+    v("SELECT count_if(v > ANY (VALUES 0, 1)) FROM (VALUES (1, 1), (1, 2)) t(k, v) GROUP BY k",
+      "VALUES BIGINT '2'")
+    v("WITH t (a, b) AS (VALUES (1, 'a'), (1, 'b')), u (a) AS (VALUES 1) " +
+      "SELECT DISTINCT v.a FROM (SELECT DISTINCT a, b FROM t) v LEFT JOIN u on v.a = u.a",
+      "VALUES 1")
+  }
+
+  test("WITH over TABLE relation (TestWith.java:76)") {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW nation_w AS SELECT * FROM VALUES
+        |(0L, 'ALGERIA', 0), (1L, 'ARGENTINA', 1), (2L, 'BRAZIL', 1)
+        |AS nation_w(nationkey, name, regionkey)""".stripMargin)
+    v("WITH t(a, b, c) AS (TABLE nation_w) SELECT a, b FROM t WHERE a = 1",
+      "VALUES (BIGINT '1', 'ARGENTINA')")
+    v("WITH t AS (TABLE nation_w) SELECT * FROM t",
+      "SELECT * FROM nation_w")
+  }
+
+  test("pushdown keeps derived booleans consistent through joins (TestIssue16101.java:33)") {
+    v("SELECT orderkey, orderstatus, x FROM (" +
+      "SELECT orderkey, orderstatus, orderstatus = 'O' AS x FROM " +
+      "(VALUES (1, 'O'), (2, 'O'), (3, 'F'), (4, 'O'), (5, 'F')) o(orderkey, orderstatus)) a " +
+      "INNER JOIN ( VALUES 1, 2, 3, 4 ) b(k) ON a.orderkey = b.k " +
+      "WHERE orderstatus = 'O'",
+      "VALUES (1, 'O', true), (2, 'O', true), (4, 'O', true)")
+  }
+
+  test("conditional expressions are not evaluated by pushdown (TestPredicatePushdown.java:41)") {
+    v("WITH t (k, a) AS (VALUES (1, 1), (2, 0)), u (k, v) AS (VALUES (1, 'x'), (2, 'y')) " +
+      "SELECT * FROM (SELECT v, if(v = 'x', 1 / a) AS r FROM t JOIN u ON t.k = u.k) " +
+      "WHERE v = 'x' AND r IS NOT NULL",
+      "VALUES ('x', 1)")
+    v("WITH t (k, v) AS (VALUES (1, 1), (2, 0)), u (k) AS (VALUES 1, 2) " +
+      "SELECT * FROM (SELECT t.k, if(t.k = 1, 1 / t.v) AS r FROM t JOIN u ON t.k = u.k) " +
+      "WHERE k = 1 AND r <> 0",
+      "VALUES (1, 1)")
+    v("WITH t (k, v) AS (VALUES (1, 1), (2, 0)), u (k) AS (VALUES 1, 2) " +
+      "SELECT * FROM (SELECT t.k, if(t.k = 1, 1 / t.v) AS r FROM t LEFT JOIN u ON t.k = u.k) " +
+      "WHERE k = 1 AND r <> 0",
+      "VALUES (1, 1)")
+  }
+
+  test("lambda expressions: dedup, naming, nesting (TestLambdaExpressions.java:39)") {
+    v("SELECT cardinality(filter(a, x -> x > 0)) FROM (VALUES ARRAY[1,2,3], ARRAY[0,1,2], ARRAY[0,0,0]) AS t(a) " +
+      "GROUP BY cardinality(filter(a, x -> x > 0)) ORDER BY cardinality(filter(a, x -> x > 0))",
+      "VALUES BIGINT '0', BIGINT '2', BIGINT '3'")
+    v("SELECT transform(a, x -> x + 1), transform(b, x -> x + 1) " +
+      "FROM (VALUES ROW(ARRAY[1, 2, 3], ARRAY[10, 20, 30])) t(a, b)",
+      "VALUES ROW(ARRAY[2, 3, 4], ARRAY[11, 21, 31])")
+    v("SELECT transform(a, x -> x + 1), transform(b, x -> x + 1) " +
+      "FROM (VALUES ROW(ARRAY[1, 2, 3], ARRAY[10e0, 20e0, 30e0])) t(a, b)",
+      "VALUES ROW(ARRAY[2, 3, 4], ARRAY[11e0, 21e0, 31e0])")
+    v("WITH t AS (SELECT count(*) AS \"a.b c; d\" FROM (VALUES (42)) UNION ALL SELECT 77) " +
+      "SELECT transform(ARRAY[1], x -> x + \"a.b c; d\") FROM t",
+      "VALUES ARRAY[BIGINT '2'], ARRAY[BIGINT '78']")
+    v("SELECT transform(a, x -> transform(ARRAY[x], x -> x + 1)) FROM (VALUES ARRAY[1, 2, 3]) t(a)",
+      "VALUES ARRAY[ARRAY[2], ARRAY[3], ARRAY[4]]")
+    v("SELECT transform(a, x -> transform(ARRAY[x], y -> y + 1)) FROM (VALUES ARRAY[1, 2, 3]) t(a)",
+      "VALUES ARRAY[ARRAY[2], ARRAY[3], ARRAY[4]]")
+  }
+
+  test("EXECUTE binds parameters inside lambdas (TestExecute.java:44)") {
+    import graft.sqlcompat.Statements
+    Statements.execute(spark,
+      "PREPARE lambda_query FROM SELECT * FROM (VALUES ARRAY[1,2,3], ARRAY[4,5,6]) t(a) " +
+        "WHERE any_match(t.a, v -> v = ?)")
+    val got = rows(Statements.execute(spark, "EXECUTE lambda_query USING 1")).sorted
+    val want = rows(runQ("VALUES ARRAY[1,2,3]")).sorted
+    vectorCount += 1
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("projection merge over VALUES keeps nulls (TestMergeProjectWithValues.java:40)") {
+    v("SELECT a, b + 1, 'x' FROM (VALUES (1, 10, true), (2, 20, false), (3, 30, true)) t(a, b, c)",
+      "VALUES (1, 11, 'x'), (2, 21, 'x'), (3, 31, 'x')")
+    v("SELECT a, b + 1, 'x' FROM (VALUES (1, 10, true), (null, null, null), (3, 30, true)) t(a, b, c)",
+      "VALUES (1, 11, 'x'), (null, null, 'x'), (3, 31, 'x')")
+  }
+
   // ================================================= TestTrim (no-chars)
 
   test("TRIM LEADING unicode whitespace (TestTrim.java:56)") {
