@@ -137,13 +137,26 @@ object Statements {
     case showStatsRe(tbl) => showStats(s, tbl)
     case describeInputRe(name) => describeInput(s, name)
     case describeOutputRe(name) => describeOutput(s, name)
-    // SHOW FUNCTIONS (grammar SqlBase.g4 showFunctions): the resolvable
-    // function inventory — Spark's registry listing IS the contract the
-    // registry-gate spec checks reference names against.
-    case sql0 if "(?is)^\\s*SHOW\\s+FUNCTIONS\\s*$".r.findFirstIn(sql0).isDefined =>
+    // SHOW FUNCTIONS [LIKE 'pat' [ESCAPE 'e']] (grammar SqlBase.g4
+    // showFunctions; reference TestShowQueries testShowFunctionLike):
+    // the resolvable function inventory — Spark's registry listing IS
+    // the contract the registry-gate spec checks reference names
+    // against. The LIKE filter uses SQL %/_ semantics with ESCAPE.
+    case showFunctionsRe(patOrNull, escOrNull) =>
       import s.implicits._
-      s.sql("SHOW ALL FUNCTIONS").collect().map(_.getString(0)).toSeq.sorted
-        .toDF("function_name")
+      val all = s.sql("SHOW ALL FUNCTIONS").collect().map(_.getString(0)).toSeq.sorted
+      val filtered = Option(patOrNull) match {
+        case None => all
+        case Some(p) =>
+          val esc = Option(escOrNull).map { e =>
+            require(e.length == 1,
+              s"Escape string must be a single character: '$e'")
+            e.charAt(0)
+          }
+          val rx = likeToRegex(p, esc)
+          all.filter(rx.pattern.matcher(_).matches())
+      }
+      filtered.toDF("function_name")
     // SHOW CREATE TABLE/VIEW: this engine's tables are parquet-backed
     // session views (no stored DDL), so the statement SYNTHESIZES the
     // equivalent DDL from the resolved schema — honest about what it
@@ -158,6 +171,32 @@ object Statements {
     case sql0 if "(?is)^\\s*USE\\s+[A-Za-z_][A-Za-z0-9_.]*\\s*$".r
         .findFirstIn(sql0).isDefined => s.sql(sql0)
     case other => s.sql(Dialect.translate(other))
+  }
+
+  private val showFunctionsRe =
+    ("(?is)^\\s*SHOW\\s+FUNCTIONS\\s*(?:LIKE\\s+'([^']*)'" +
+      "\\s*(?:ESCAPE\\s+'([^']*)')?)?\\s*$").r
+
+  /** SQL LIKE pattern (% _ with optional ESCAPE) → anchored regex. */
+  private def likeToRegex(pat: String, esc: Option[Char]): scala.util.matching.Regex = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (esc.contains(c)) {
+        require(i + 1 < pat.length, s"Escape character at end of pattern: '$pat'")
+        sb ++= java.util.regex.Pattern.quote(pat.charAt(i + 1).toString)
+        i += 2
+      } else {
+        c match {
+          case '%' => sb ++= ".*"
+          case '_' => sb += '.'
+          case other => sb ++= java.util.regex.Pattern.quote(other.toString)
+        }
+        i += 1
+      }
+    }
+    ("(?s)" + sb.toString).r
   }
 
   private val describeInputRe =

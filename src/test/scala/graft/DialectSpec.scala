@@ -413,9 +413,18 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggOut.map(_.getString(0)).toSeq == Seq("n"))
     assertThrows[IllegalArgumentException](
       Statements.execute(spark, "DESCRIBE INPUT no_such_stmt"))
-    // SHOW FUNCTIONS lists the resolvable inventory
+    // SHOW FUNCTIONS lists the resolvable inventory; LIKE filters with
+    // SQL %/_ + ESCAPE semantics (TestShowQueries testShowFunctionLike)
     val fns = Statements.execute(spark, "SHOW FUNCTIONS").collect().map(_.getString(0))
     assert(fns.contains("tdigest_agg") && fns.contains("abs"), fns.length.toString)
+    val like = Statements.execute(spark, "SHOW FUNCTIONS LIKE 'split%'")
+      .collect().map(_.getString(0))
+    assert(like.contains("split_part") && like.forall(_.startsWith("split")), like.mkString(","))
+    val esc = Statements.execute(spark, "SHOW FUNCTIONS LIKE 'split$_part' ESCAPE '$'")
+      .collect().map(_.getString(0))
+    assert(esc.toSeq == Seq("split_part"), esc.mkString(","))
+    assertThrows[IllegalArgumentException](
+      Statements.execute(spark, "SHOW FUNCTIONS LIKE 't%' ESCAPE '$$'").collect())
     // SHOW CREATE TABLE synthesizes DDL from the resolved schema
     val ddl = Statements.execute(spark, "SHOW CREATE TABLE nation_dsc")
       .head().getString(0)
