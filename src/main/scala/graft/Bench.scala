@@ -333,7 +333,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline)},"groups":${obj(groups)},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"interleaved":true,"load1":$load,"cpu_sec":$cpuSec$ratioJson,"sf":"$sfDir"}"""
     if (line.length > 1800) // size guard: drop per-query ratios first
       line =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline)},"groups":${obj(groups)},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"interleaved":true,"load1":$load,"cpu_sec":$cpuSec${ratioTotal.map(rt => s""","ratio_total":${r3(rt)},"ratio_n":${common.size},"ratio_worst":${obj(ratioWorst)}""").getOrElse("")},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline)},"groups":${obj(groups)},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"interleaved":true,"load1":$load,"cpu_sec":$cpuSec${ratioTotal.map(rt => s""","ratio_total":${r3(rt)},"ratio_n":${common.size},"duck_total":${r3(common.map(x => duckTimes(x._1)).sum)},"ratio_worst":${obj(ratioWorst)}""").getOrElse("")},"sf":"$sfDir"}"""
     if (line.length > 1800) // hard guard: never overflow the tail window
       line =
         s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(headline.sortBy(-_._2).take(10))},"failed":$fs,"nq_timed":${timed.size},"nq_declared":$nqDecl,"n":$Passes,"prewarm":1,"load1":$load${ratioTotal.map(rt => s""","ratio_total":${r3(rt)}""").getOrElse("")},"sf":"$sfDir"}"""
