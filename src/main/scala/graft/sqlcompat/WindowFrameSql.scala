@@ -328,22 +328,50 @@ private[sqlcompat] object WindowFrameSql {
   private def emptyToNull(arr: String): String =
     s"CASE WHEN size($arr) < 1 THEN NULL ELSE $arr END"
 
+  /** Aggregate `fn` over the per-row FILTERED collected elements `flt`
+    * (an array of structs carrying __v) — the dynamic-offset frames'
+    * evaluation path. Sums fold with the first element as the typed
+    * zero (no analyzer-side type available to a text rewrite); nulls
+    * are pre-filtered per SQL aggregate semantics; empty feeds are
+    * NULL (count: 0). None = unsupported function (fail-loud caller). */
+  private def dynAgg(fn: String, flt: String, starArg: Boolean): Option[String] = {
+    val vals = s"transform($flt, __e -> __e.__v)"
+    val nn = s"filter($vals, __x -> __x IS NOT NULL)"
+    def fold = s"aggregate(slice($nn, 2, size($nn) - 1), " +
+      s"element_at($nn, 1), (__a, __x) -> __a + __x)"
+    fn match {
+      case "array_agg" => Some(emptyToNull(vals))
+      case "count" if starArg => Some(s"CAST(size($flt) AS BIGINT)")
+      case "count" => Some(s"CAST(size($nn) AS BIGINT)")
+      case "min" => Some(s"array_min($vals)")
+      case "max" => Some(s"array_max($vals)")
+      case "sum" => Some(s"IF(size($nn) = 0, NULL, $fold)")
+      case "avg" =>
+        Some(s"IF(size($nn) = 0, NULL, CAST($fold AS DOUBLE) / size($nn))")
+      case _ => None
+    }
+  }
+
   // =========================================================== phase A
-  /** Lower every GROUPS frame. Constant offsets → RANGE over an
+  /** Lower every GROUPS frame (constant offsets → RANGE over an
     * injected BIGINT dense_rank column; dynamic offsets → ordered
-    * whole-partition collect + filter on the rank. */
+    * whole-partition collect + filter on the rank) and every ROWS
+    * frame with PER-ROW offsets (same collect+filter machinery on a
+    * row_number axis — `ROWS x PRECEDING` with a column offset is
+    * legal in the reference, Spark requires literals). */
   private def groupsPhase(canon0: String, lits: IndexedSeq[String]): String = {
     var out = canon0
     var guard = 0
     var gcol = 0
     var wrapN = 0
     var searchFrom = 0
-    val groupsRe = "(?i)\\bGROUPS\\b".r
-    while (guard < 64) {
+    val groupsRe = "(?i)\\b(GROUPS|ROWS)\\b".r
+    while (guard < 512) {
       guard += 1
       val m = groupsRe.findFirstMatchIn(out.substring(searchFrom))
       if (m.isEmpty) return out
       val gPos = searchFrom + m.get.start
+      val isRows = m.get.group(1).equalsIgnoreCase("ROWS")
       // enclosing spec parens
       val specOpen = {
         var depth = 0
@@ -367,8 +395,13 @@ private[sqlcompat] object WindowFrameSql {
         val specClose = closeParen(out, specOpen)
         val inner = out.substring(specOpen + 1, specClose)
         val spec = parseSpec(inner, lits)
-        require(spec.frameType == "GROUPS" && spec.orderTxt.nonEmpty,
-          s"malformed GROUPS window: $inner")
+        if (isRows &&
+            !(spec.frameType == "ROWS" && (isDyn(spec.lo) || isDyn(spec.hi)))) {
+          // constant/normal ROWS frames belong to framePhase
+          searchFrom = specClose + 1
+        } else {
+        require(spec.frameType == m.get.group(1).toUpperCase && spec.orderTxt.nonEmpty,
+          s"malformed ${m.get.group(1).toUpperCase} window: $inner")
         val dyn = isDyn(spec.lo) || isDyn(spec.hi)
         if (!dyn && constEmpty(spec.lo, spec.hi)) {
           // provably empty frame: fold every call site of this spec
@@ -389,12 +422,13 @@ private[sqlcompat] object WindowFrameSql {
           wrapN += 1
           searchFrom = 0 // positions shifted; GROUPS is consumed so no re-match
         } else {
-          // dynamic offsets: whole-partition collect + filter on rank
+          // dynamic offsets: whole-partition collect + filter on the
+          // frame axis (dense_rank for GROUPS, row_number for ROWS —
+          // row positions ARE rank on a per-row axis)
+          val kind = if (isRows) "ROWS" else "GROUPS"
           require(isOver,
-            "non-constant GROUPS frame offsets in a named window are unsupported")
+            s"non-constant $kind frame offsets in a named window are unsupported")
           val (fnStart, fnName, argTxt) = callSiteBefore(out, specOpen)
-          require(fnName == "array_agg" || fnName == "count",
-            s"non-constant GROUPS frame offsets are supported for array_agg/count only, got $fnName")
           val g = s"__g$gcol"; gcol += 1
           def side(b: Bound, isLo: Boolean): Option[String] = b.kind match {
             case BUnb => None
@@ -415,21 +449,23 @@ private[sqlcompat] object WindowFrameSql {
             case (None, Some(b)) => b
             case (None, None) => "true"
           }
-          val valueExpr = if (fnName == "count" || ws(argTxt) == "*") "1" else argTxt
+          val starArg = ws(argTxt) == "*" || ws(argTxt).isEmpty
+          val valueExpr = if (starArg) "1" else argTxt
           val coll = s"collect_list(struct($g AS __g, ($valueExpr) AS __v)) OVER (" +
             s"${partPrefix(spec.partition)}ORDER BY $g ROWS BETWEEN UNBOUNDED " +
             "PRECEDING AND UNBOUNDED FOLLOWING)"
           val flt = s"filter($coll, __e -> $member)"
-          val replacement =
-            if (fnName == "count") s"CAST(size($flt) AS BIGINT)"
-            else s"CASE WHEN size($flt) < 1 THEN NULL ELSE " +
-              s"transform($flt, __e -> __e.__v) END"
+          val replacement = dynAgg(fnName, flt, starArg).getOrElse(throw
+            new IllegalArgumentException(s"non-constant $kind frame offsets " +
+              s"are supported for array_agg/count/sum/avg/min/max, got $fnName"))
           out = out.substring(0, fnStart) + replacement + out.substring(specClose + 1)
-          val gdef = s"CAST(dense_rank() OVER (${partPrefix(spec.partition)}" +
+          val rankFn = if (isRows) "row_number" else "dense_rank"
+          val gdef = s"CAST($rankFn() OVER (${partPrefix(spec.partition)}" +
             s"ORDER BY ${spec.orderTxt}) AS BIGINT) AS $g"
           out = wrapBlockFrom(out, fnStart, gdef, wrapN)
           wrapN += 1
           searchFrom = 0
+        }
         }
       }
     }
@@ -722,17 +758,14 @@ private[sqlcompat] object WindowFrameSql {
     val nullRowWhole = (loU && !nf) || (hiU && nf)
 
     if (dyn) {
-      if (fn != "array_agg" && fn != "count") return None
-      val valueExpr = if (fn == "count" || ws(argTxt) == "*") "1" else ws(argTxt)
+      val starArg = ws(argTxt) == "*" || ws(argTxt).isEmpty
+      val valueExpr = if (starArg) "1" else ws(argTxt)
       val coll = s"collect_list(struct(($k) AS __k, ($valueExpr) AS __v)) OVER (" +
         s"${partPrefix(p)}ORDER BY ${spec.orderTxt} ROWS BETWEEN UNBOUNDED " +
         "PRECEDING AND UNBOUNDED FOLLOWING)"
       val member = rangeMember(k, desc, nf, spec.lo, spec.hi, guard = true)
       val flt = s"filter($coll, __e -> $member)"
-      return Some(
-        if (fn == "count") s"CAST(size($flt) AS BIGINT)"
-        else s"CASE WHEN size($flt) < 1 THEN NULL ELSE " +
-          s"transform($flt, __e -> __e.__v) END")
+      return dynAgg(fn, flt, starArg)
     }
 
     val empty = constEmpty(spec.lo, spec.hi)
@@ -775,7 +808,7 @@ private[sqlcompat] object WindowFrameSql {
     // fast path: no window syntax at all
     if (!"(?i)\\b(OVER|GROUPS)\\b".r.findFirstIn(canon0).isDefined) return canon0
     val afterGroups =
-      if ("(?i)\\bGROUPS\\b".r.findFirstIn(canon0).isDefined)
+      if ("(?i)\\b(GROUPS|ROWS)\\b".r.findFirstIn(canon0).isDefined)
         groupsPhase(canon0, lits)
       else canon0
     framePhase(afterGroups, lits)

@@ -2449,13 +2449,20 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "max(CASE WHEN rn = 2 THEN orderkey + 1000 END) OVER (PARTITION BY orderstatus) AS nvalue " +
         "FROM (SELECT orderkey, orderstatus, row_number() OVER (PARTITION BY orderstatus ORDER BY orderkey) AS rn " +
         "      FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x) y")
-    // testWindowFrames uses per-row frame bounds
-    // (mod(custkey,2) PRECEDING) — Spark requires foldable frame
-    // bounds; fail-loud divergence, not a silent mistranslation
-    vectorCount += 1
-    assertThrows[org.apache.spark.sql.AnalysisException](
-      runQ("SELECT sum(orderkey) OVER (PARTITION BY orderstatus ORDER BY orderkey " +
-        "ROWS BETWEEN mod(custkey, 2) PRECEDING AND CURRENT ROW) FROM orders").collect())
+    // testWindowFrames' per-row frame bounds (mod(custkey,2)
+    // PRECEDING): r16 lowers dynamic ROWS offsets onto the ordered
+    // collect+filter path (WindowFrameSql), so the reference shape
+    // RUNS — pinned here on a hand-computed fixture
+    assertVector(
+      "SELECT id, sum(id) OVER (ORDER BY id ROWS BETWEEN mod(id, 2) PRECEDING AND CURRENT ROW) " +
+        "FROM (VALUES 1, 2, 3, 4) t(id)",
+      "VALUES (1, 1), (2, 2), (3, 5), (4, 4)")
+    // the reference's own orders-shaped spelling analyzes and runs
+    assertVector(
+      "SELECT count(*) FROM (SELECT sum(orderkey) OVER (PARTITION BY orderstatus ORDER BY orderkey " +
+        "ROWS BETWEEN mod(custkey, 2) PRECEDING AND CURRENT ROW) AS s " +
+        "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 20) o) WHERE s IS NOT NULL",
+      "VALUES BIGINT '20'")
   }
 
   test("aggregation vectors: GROUP BY expressions, pushdown, NaN keys (AbstractTestAggregations.java:371-930)") {

@@ -618,6 +618,21 @@ class ReferenceWindowFrameSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ================================================== TestWindowFrameRows
 
+  test("ROWS frames with per-row offsets (reference FrameInfo channel offsets)") {
+    // positions over distinct keys coincide with the GROUPS analog
+    // (TestWindowFrameGroups testNonConstantOffset), on a row_number axis
+    v("SELECT array_agg(a) OVER(ORDER BY a ROWS BETWEEN x PRECEDING AND y FOLLOWING) " +
+      "FROM (VALUES ('a', 1, 1), ('b', 2, 0), ('c', 0, 3)) t(a, x, y)",
+      "VALUES ARRAY['a', 'b'], ARRAY['a', 'b'], ARRAY['c']")
+    v("SELECT array_agg(a) OVER(ORDER BY a ROWS BETWEEN x FOLLOWING AND y FOLLOWING) " +
+      "FROM (VALUES ('a', 1, 1), ('b', 2, 0), ('c', 3, 3), ('d', 0, 0)) t(a, x, y)",
+      "VALUES ARRAY['b'], null, null, ARRAY['d']")
+    vErr("SELECT array_agg(a) OVER(ORDER BY a ROWS x PRECEDING) " +
+      "FROM (VALUES (1, 1), (2, -2)) t(a, x)")
+    vErr("SELECT array_agg(a) OVER(ORDER BY a ROWS BETWEEN 1 PRECEDING AND x FOLLOWING) " +
+      "FROM (VALUES (1, 1), (2, null)) t(a, x)")
+  }
+
   test("ROWS offset types incl. overflowing decimals (TestWindowFrameRows.java:46)") {
     val expected = "VALUES ARRAY[null, null, 1], ARRAY[null, null, 1, 2], " +
       "ARRAY[null, 1, 2, 2], ARRAY[1, 2, 2], ARRAY[2, 2]"
