@@ -1106,7 +1106,43 @@ object DialectQueries {
       |            ELSE b.k BETWEEN a.k - 1 AND a.k + 1 END)
       |GROUP BY a.l_orderkey, a.l_linenumber""".stripMargin
 
+  /** Dynamic (per-row) ROWS frame offsets in reference SQL (the
+    * reference's FrameInfo channel offsets; Spark requires foldable
+    * bounds) — the dialect lowers onto an ordered partition collect +
+    * per-row filter over a row_number axis (WindowFrameSql). The
+    * oracle reproduces the frames relationally via a positional
+    * self-join, so the lowering is gated against an independent
+    * engine. Both a collection and a sum aggregate run over the same
+    * dynamic frame. */
+  val dx30Reference: String =
+    """SELECT user_id, event_id,
+      |  array_join(array_agg(event_id) OVER (
+      |    PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN (event_id % 3) PRECEDING AND CURRENT ROW), ',') AS win,
+      |  sum(event_id) OVER (
+      |    PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN (event_id % 3) PRECEDING AND CURRENT ROW) AS s
+      |FROM events WHERE user_id < 50""".stripMargin
+
+  def dx30(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx30Reference))
+  }
+
+  val dx30Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events WHERE user_id < 50)
+      |SELECT a.user_id, a.event_id,
+      |  string_agg(CAST(b.event_id AS VARCHAR), ',' ORDER BY b.rn) AS win,
+      |  CAST(sum(b.event_id) AS BIGINT) AS s
+      |FROM r a JOIN r b ON a.user_id = b.user_id
+      |  AND b.rn BETWEEN a.rn - (a.event_id % 3) AND a.rn
+      |GROUP BY a.user_id, a.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx30_dynamic_rows_frame" -> dx30 _,
     "dx28_groups_frame_sql" -> dx28 _,
     "dx29_range_null_keys" -> dx29 _,
     "dx25_full_join_residual" -> dx25 _,
@@ -1138,6 +1174,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx30_dynamic_rows_frame" -> dx30Sql,
     "dx28_groups_frame_sql" -> dx28Sql,
     "dx29_range_null_keys" -> dx29Sql,
     "dx25_full_join_residual" -> dx25Sql,
