@@ -103,13 +103,26 @@ object Bench {
           "python3", "tools/duck_bench.py", sfDir, tmp.toString, "--save")
         pb.redirectErrorStream(true)
         val proc = pb.start()
-        val outLines = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+        // drain stdout on a daemon thread so waitFor's timeout stays
+        // reachable — a blocking mkString before waitFor would hang the
+        // whole bench run if the comparator ever wedges
+        val outRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val drain = new Thread(() => {
+          try outRef.set(scala.io.Source.fromInputStream(proc.getInputStream).mkString)
+          catch { case _: Exception => () }
+        }, "duck-bench-drain")
+        drain.setDaemon(true)
+        drain.start()
         val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
         if (!done) { proc.destroyForcibly(); System.err.println("[bench] duck comparator timed out") }
-        else System.err.println(
-          f"[bench] same-window duck comparator (rc=${proc.exitValue}, " +
-            f"${(System.nanoTime() - t0) / 1e9}%.1f s): " + outLines.linesIterator
-            .filter(_.startsWith("{")).mkString(" ").take(400))
+        else {
+          drain.join(10000)
+          val outLines = outRef.get
+          System.err.println(
+            f"[bench] same-window duck comparator (rc=${proc.exitValue}, " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s): " + outLines.linesIterator
+              .filter(_.startsWith("{")).mkString(" ").take(400))
+        }
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] duck comparator unavailable (${e.getMessage}) " +

@@ -443,7 +443,15 @@ case class QuantileSketchAgg(
       case None => b.addAny(v)
       case Some(w) =>
         val wv = w.eval(input)
-        if (wv != null) b.addAnyN(v, wv.asInstanceOf[Number].longValue())
+        if (wv != null) {
+          val n = wv.asInstanceOf[Number].longValue()
+          // reference QuantileDigestFunctions.verifyWeight: a zero or
+          // negative weight would silently corrupt the sketch
+          // (negative counts decrement buckets) — fail loud instead
+          if (n <= 0) throw new IllegalArgumentException(
+            s"percentile weight must be > 0: $n")
+          b.addAnyN(v, n)
+        }
     }
     b
   }

@@ -190,6 +190,13 @@ case class KmvDigestAgg(
   override def update(b: KmvDigest, input: InternalRow): KmvDigest = {
     val v = child.eval(input)
     if (v != null) v match {
+      // fractional values hash via their IEEE-754 bits — longValue()
+      // would truncate 1.1 and 1.9 onto the same hash and silently
+      // deflate cardinality (the reference has no double overload at
+      // all; bit-hashing keeps distinct doubles distinct)
+      case d: java.lang.Double => b.add(java.lang.Double.doubleToLongBits(d))
+      case f: java.lang.Float =>
+        b.add(java.lang.Double.doubleToLongBits(f.doubleValue()))
       case n: Number => b.add(n.longValue())
       case s: org.apache.spark.unsafe.types.UTF8String => b.addBytes(s.getBytes)
       case bool: java.lang.Boolean => b.add(if (bool) 1L else 0L)

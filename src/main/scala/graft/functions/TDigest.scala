@@ -324,8 +324,14 @@ case class TDigestAgg(
       case None => b.add(QuantileSketchAgg.toDouble(v))
       case Some(w) =>
         val wv = w.eval(input)
-        if (wv != null)
-          b.add(QuantileSketchAgg.toDouble(v), QuantileSketchAgg.toDouble(wv))
+        if (wv != null) {
+          val d = QuantileSketchAgg.toDouble(wv)
+          // reference TDigestFunctions.verifyWeight: weight < 1 would
+          // silently skew centroid means — fail loud instead
+          if (d < 1.0) throw new IllegalArgumentException(
+            s"weight must be >= 1: $d")
+          b.add(QuantileSketchAgg.toDouble(v), d)
+        }
     }
     b
   }

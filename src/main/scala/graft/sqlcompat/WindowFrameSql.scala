@@ -20,10 +20,13 @@ import scala.collection.mutable.ArrayBuffer
   *     partitioning — no extra shuffle; Spark's streaming RANGE
   *     framer does the rest. Non-constant offsets (per-row columns)
   *     cannot be RANGE bounds in Spark, so they lower to a
-  *     full-partition ordered collect + per-row `filter()` on the
-  *     group index — semantically exact (including the reference's
+  *     full-partition ordered collect, then a per-row `slice()` on
+  *     the row_number axis (ROWS — O(frame) per row, matching the
+  *     reference's RowsFraming) or a per-row `filter()` on the group
+  *     index (GROUPS) — semantically exact (including the reference's
   *     "offset must not be negative or null" runtime error), but
-  *     partition-buffering; constant offsets are the 100-TB path.
+  *     partition-buffering, so a partition-size guard raises before
+  *     the memory cliff; constant offsets are the 100-TB path.
   *
   *  2. RANGE frames with offset bounds and NULL sort keys. The
   *     standard (and the reference: TestWindowFrameRange
@@ -123,21 +126,38 @@ private[sqlcompat] object WindowFrameSql {
   private val castBoundRe =
     ("(?is)^CAST\\(\\s*(\\d+)\\s+AS\\s+(TINYINT|SMALLINT|INT|INTEGER|" +
       "BIGINT|DOUBLE|FLOAT|DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\))\\s*\\)$").r
+  /** Inline numeric CAST bound (no literal placeholder): the digits in
+    * the text are the offset value itself. */
+  private val castInlineBoundRe =
+    ("(?is)^CAST\\(\\s*(\\d+(?:\\.\\d+)?)\\s+AS\\s+(TINYINT|SMALLINT|INT|INTEGER|" +
+      "BIGINT|DOUBLE|FLOAT|DECIMAL\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)|DECIMAL)\\s*\\)$").r
   private val intervalBoundRe =
     "(?is)^INTERVAL\\s+\\d+\\s+[A-Za-z]+(\\s+TO\\s+[A-Za-z]+)?$".r
 
   private def parseOffsetExpr(txt0: String, lits: IndexedSeq[String]): BKind = {
     val txt = ws(txt0)
+    // negative constants keep the dynamic path, whose runtime guard
+    // raises the reference's "must not be negative or null" error
+    def numOr(inner: String): BKind =
+      try { val v = BigDecimal(inner); if (v < 0) BDyn(txt) else BNum(v) }
+      catch { case _: NumberFormatException => BDyn(txt) }
     if (txt.matches("^\\d+(\\.\\d+)?$")) BNum(BigDecimal(txt))
     else castBoundRe.findFirstMatchIn(txt) match {
       case Some(m) =>
-        val body = lits(m.group(1).toInt)
-        val inner = ws(body.substring(1, body.length - 1))
-        try BNum(BigDecimal(inner))
-        catch { case _: NumberFormatException => BDyn(txt) }
-      case None =>
-        if (intervalBoundRe.findFirstMatchIn(txt).isDefined) BIv(txt)
-        else BDyn(txt)
+        val idx = m.group(1).toInt
+        if (idx >= lits.length) BDyn(txt) // malformed index: fail soft
+        else {
+          val body = lits(idx)
+          numOr(ws(body.substring(1, body.length - 1)))
+        }
+      case None => castInlineBoundRe.findFirstMatchIn(txt) match {
+        // user-written inline numeric CAST bound (CAST(2 AS INTEGER)
+        // PRECEDING): the digits ARE the value — constant path
+        case Some(m) => numOr(m.group(1))
+        case None =>
+          if (intervalBoundRe.findFirstMatchIn(txt).isDefined) BIv(txt)
+          else BDyn(txt)
+      }
     }
   }
 
@@ -266,6 +286,27 @@ private[sqlcompat] object WindowFrameSql {
   private val rowsClamp = BigDecimal(Int.MaxValue)
   private val rankClamp = BigDecimal(BigInt(1) << 62)
 
+  /** Dynamic (per-row) frame offsets buffer each window partition as
+    * ONE in-memory array per call site — the reference pages the same
+    * buffer through a spillable PagesIndex (operator/window/
+    * RowsFraming.java), but Spark cannot spill an aggregated array.
+    * The guard fails loud before the memory cliff instead of OOMing
+    * the executor mid-stage. ROWS frames slice the array (O(frame)
+    * per row, like the reference), so their cap is set by memory;
+    * GROUPS/RANGE scan it per row (O(partition)), so their cap is set
+    * by compute. Constant offsets never reach this path. */
+  private val dynRowsPartitionCap = 4194304L // 2^22
+  private val dynScanPartitionCap = 1048576L // 2^20
+
+  private def partOnlySpec(p: String): String =
+    if (p.isEmpty) "()" else s"(PARTITION BY $p)"
+
+  private def partGuard(p: String, cap: Long, rep: String): String =
+    s"IF(count(1) OVER ${partOnlySpec(p)} > ${cap}L, raise_error(" +
+      "'Dynamic window frame offsets buffer the whole window partition " +
+      s"in memory; this partition exceeds the $cap-element safety cap. " +
+      s"Use constant offsets or smaller partitions.'), $rep)"
+
   /** Offset-validity guard matching the reference's runtime error.
     * GROUPS offsets land on the BIGINT rank axis; RANGE offsets keep
     * their own numeric type so fractional offsets compare exactly. */
@@ -337,8 +378,13 @@ private[sqlcompat] object WindowFrameSql {
   private def dynAgg(fn: String, flt: String, starArg: Boolean): Option[String] = {
     val vals = s"transform($flt, __e -> __e.__v)"
     val nn = s"filter($vals, __x -> __x IS NOT NULL)"
+    // `+ 0L` widens the fold's accumulator like the reference's
+    // aggregate types do: INT sums run on BIGINT (no 32-bit wrap);
+    // float/double/decimal keep their own type (Spark's numeric
+    // precedence places FLOAT/DOUBLE above LONG, and decimal + long
+    // widens precision, not scale).
     def fold = s"aggregate(slice($nn, 2, size($nn) - 1), " +
-      s"element_at($nn, 1), (__a, __x) -> __a + __x)"
+      s"(element_at($nn, 1) + CAST(0 AS BIGINT)), (__a, __x) -> __a + __x)"
     fn match {
       case "array_agg" => Some(emptyToNull(vals))
       case "count" if starArg => Some(s"CAST(size($flt) AS BIGINT)")
@@ -422,42 +468,71 @@ private[sqlcompat] object WindowFrameSql {
           wrapN += 1
           searchFrom = 0 // positions shifted; GROUPS is consumed so no re-match
         } else {
-          // dynamic offsets: whole-partition collect + filter on the
-          // frame axis (dense_rank for GROUPS, row_number for ROWS —
-          // row positions ARE rank on a per-row axis)
+          // dynamic offsets: whole-partition collect on the frame axis
+          // (dense_rank for GROUPS, row_number for ROWS). ROWS frames
+          // are index-addressable on the row_number axis (array index
+          // == rank), so the per-row work is a SLICE — O(frame) like
+          // the reference's operator/window/RowsFraming.java — not a
+          // partition scan. GROUPS runs are contiguous but not
+          // index-addressable, so they keep the per-row filter scan.
           val kind = if (isRows) "ROWS" else "GROUPS"
           require(isOver,
             s"non-constant $kind frame offsets in a named window are unsupported")
           val (fnStart, fnName, argTxt) = callSiteBefore(out, specOpen)
           val g = s"__g$gcol"; gcol += 1
-          def side(b: Bound, isLo: Boolean): Option[String] = b.kind match {
-            case BUnb => None
-            case BCur => Some(if (isLo) s"__e.__g >= $g" else s"__e.__g <= $g")
-            case BNum(v) =>
-              val o = v.toBigInt.toString
-              val edge = if (b.following) s"($g + $o)" else s"($g - $o)"
-              Some(if (isLo) s"__e.__g >= $edge" else s"__e.__g <= $edge")
-            case BDyn(t) =>
-              val edge = if (b.following) s"($g + ${chk(t)})" else s"($g - ${chk(t)})"
-              Some(if (isLo) s"__e.__g >= $edge" else s"__e.__g <= $edge")
-            case BIv(t) =>
-              throw new IllegalArgumentException(s"interval GROUPS offset: $t")
-          }
-          val member = (side(spec.lo, isLo = true), side(spec.hi, isLo = false)) match {
-            case (Some(a), Some(b)) => s"$a AND $b"
-            case (Some(a), None) => a
-            case (None, Some(b)) => b
-            case (None, None) => "true"
-          }
           val starArg = ws(argTxt) == "*" || ws(argTxt).isEmpty
           val valueExpr = if (starArg) "1" else argTxt
-          val coll = s"collect_list(struct($g AS __g, ($valueExpr) AS __v)) OVER (" +
-            s"${partPrefix(spec.partition)}ORDER BY $g ROWS BETWEEN UNBOUNDED " +
-            "PRECEDING AND UNBOUNDED FOLLOWING)"
-          val flt = s"filter($coll, __e -> $member)"
-          val replacement = dynAgg(fnName, flt, starArg).getOrElse(throw
-            new IllegalArgumentException(s"non-constant $kind frame offsets " +
-              s"are supported for array_agg/count/sum/avg/min/max, got $fnName"))
+          val flt = if (isRows) {
+            val coll = s"collect_list(struct(($valueExpr) AS __v)) OVER (" +
+              s"${partPrefix(spec.partition)}ORDER BY $g ROWS BETWEEN UNBOUNDED " +
+              "PRECEDING AND UNBOUNDED FOLLOWING)"
+            val cnt = s"count(1) OVER ${partOnlySpec(spec.partition)}"
+            def edge(b: Bound, unb: String): String = b.kind match {
+              case BUnb => unb
+              case BCur => g
+              case BNum(v) =>
+                val o = (if (v > rankClamp) rankClamp else v).toBigInt.toString
+                if (b.following) s"($g + $o)" else s"($g - $o)"
+              case BDyn(t) =>
+                if (b.following) s"($g + ${chk(t)})" else s"($g - ${chk(t)})"
+              case BIv(t) =>
+                throw new IllegalArgumentException(s"interval ROWS offset: $t")
+            }
+            val lo = edge(spec.lo, "1L")
+            val hi = edge(spec.hi, cnt)
+            val start = s"least(greatest(1L, $lo), $cnt + 1L)"
+            val len = s"greatest(0L, least($cnt, $hi) - $start + 1L)"
+            s"slice($coll, CAST($start AS INT), CAST($len AS INT))"
+          } else {
+            def side(b: Bound, isLo: Boolean): Option[String] = b.kind match {
+              case BUnb => None
+              case BCur => Some(if (isLo) s"__e.__g >= $g" else s"__e.__g <= $g")
+              case BNum(v) =>
+                val o = v.toBigInt.toString
+                val edge = if (b.following) s"($g + $o)" else s"($g - $o)"
+                Some(if (isLo) s"__e.__g >= $edge" else s"__e.__g <= $edge")
+              case BDyn(t) =>
+                val edge = if (b.following) s"($g + ${chk(t)})" else s"($g - ${chk(t)})"
+                Some(if (isLo) s"__e.__g >= $edge" else s"__e.__g <= $edge")
+              case BIv(t) =>
+                throw new IllegalArgumentException(s"interval GROUPS offset: $t")
+            }
+            val member = (side(spec.lo, isLo = true), side(spec.hi, isLo = false)) match {
+              case (Some(a), Some(b)) => s"$a AND $b"
+              case (Some(a), None) => a
+              case (None, Some(b)) => b
+              case (None, None) => "true"
+            }
+            val coll = s"collect_list(struct($g AS __g, ($valueExpr) AS __v)) OVER (" +
+              s"${partPrefix(spec.partition)}ORDER BY $g ROWS BETWEEN UNBOUNDED " +
+              "PRECEDING AND UNBOUNDED FOLLOWING)"
+            s"filter($coll, __e -> $member)"
+          }
+          val cap = if (isRows) dynRowsPartitionCap else dynScanPartitionCap
+          val replacement = partGuard(spec.partition, cap,
+            dynAgg(fnName, flt, starArg).getOrElse(throw
+              new IllegalArgumentException(s"non-constant $kind frame offsets " +
+                s"are supported for array_agg/count/sum/avg/min/max, got $fnName")))
           out = out.substring(0, fnStart) + replacement + out.substring(specClose + 1)
           val rankFn = if (isRows) "row_number" else "dense_rank"
           val gdef = s"CAST($rankFn() OVER (${partPrefix(spec.partition)}" +
@@ -766,6 +841,7 @@ private[sqlcompat] object WindowFrameSql {
       val member = rangeMember(k, desc, nf, spec.lo, spec.hi, guard = true)
       val flt = s"filter($coll, __e -> $member)"
       return dynAgg(fn, flt, starArg)
+        .map(partGuard(p, dynScanPartitionCap, _))
     }
 
     val empty = constEmpty(spec.lo, spec.hi)

@@ -819,4 +819,36 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gotOne = one.orderBy("g1", "g2").collect().map(_.toSeq)
     assert(gotOne.toSeq == Seq(Seq(1L, "a", 2L, 3L, 25.0)))
   }
+
+  test("window frame bounds: constant forms stay on Spark's native framer") {
+    // typed literal → plain INT literal (the 100-TB path, no collect)
+    val t1 = Dialect.translate(
+      "SELECT sum(a) OVER(ORDER BY b ROWS BETWEEN TINYINT '1' PRECEDING AND CURRENT ROW) FROM t")
+    assert(t1.contains("ROWS BETWEEN 1 PRECEDING AND CURRENT ROW") &&
+      !t1.contains("collect_list"), t1)
+    // inline numeric CAST bound: the digits ARE the value, not a
+    // literal index — must parse constant, not fall to the dynamic path
+    val t2 = Dialect.translate(
+      "SELECT sum(a) OVER(ORDER BY b ROWS BETWEEN CAST(2 AS INTEGER) PRECEDING AND CURRENT ROW) FROM t")
+    assert(t2.contains("ROWS BETWEEN 2 PRECEDING AND CURRENT ROW") &&
+      !t2.contains("collect_list"), t2)
+    // constant inline CAST bounds work for ANY window aggregate (no
+    // dynamic-path function allowlist)
+    val t3 = Dialect.translate(
+      "SELECT stddev(a) OVER(ORDER BY b ROWS BETWEEN CAST(3 AS BIGINT) PRECEDING AND CURRENT ROW) FROM t")
+    assert(t3.contains("ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"), t3)
+  }
+
+  test("window frame bounds: dynamic ROWS offsets slice an indexed buffer under a size guard") {
+    val t = Dialect.translate(
+      "SELECT sum(a) OVER(PARTITION BY p ORDER BY b ROWS BETWEEN x PRECEDING AND CURRENT ROW) FROM t")
+    // index-addressed O(frame) slice, not an O(partition) filter scan
+    assert(t.contains("slice(") && !t.contains("filter(collect_list"), t)
+    // the partition-size guard fails loud before the memory cliff
+    assert(t.contains("4194304") && t.contains("raise_error"), t)
+    // dynamic GROUPS offsets keep the filter scan but gain the guard
+    val g = Dialect.translate(
+      "SELECT count(a) OVER(ORDER BY b GROUPS BETWEEN x PRECEDING AND CURRENT ROW) FROM t")
+    assert(g.contains("1048576") && g.contains("raise_error"), g)
+  }
 }

@@ -159,4 +159,35 @@ class ReferenceSketchVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"percentile index $i: tdigest $tv vs qdigest $qv")
     }
   }
+
+  test("invalid weights fail loud (QuantileDigestFunctions/TDigestFunctions.verifyWeight)") {
+    // reference: qdigest weight must be > 0, tdigest weight >= 1 —
+    // a zero/negative weight would silently corrupt the sketch
+    def err(sql: String, frag: String): Unit = {
+      vectorCount += 1
+      val e = intercept[Throwable] { runQ(sql).collect() }
+      def msgs(th: Throwable): Seq[String] =
+        if (th == null) Seq.empty
+        else Option(th.getMessage).toSeq ++ msgs(th.getCause)
+      assert(msgs(e).exists(_.contains(frag)), s"wrong error for: $sql\ngot: $e")
+    }
+    err("SELECT qdigest_agg(n, w) FROM (VALUES (1, 0), (2, 3)) T(n, w)",
+      "percentile weight must be > 0")
+    err("SELECT qdigest_agg(n, w) FROM (VALUES (1, -2)) T(n, w)",
+      "percentile weight must be > 0")
+    err("SELECT tdigest_agg(n, w) FROM (VALUES (1e0, 0e0)) T(n, w)",
+      "weight must be >= 1")
+    // boundary weights stay valid
+    v("SELECT values_at_quantiles(qdigest_agg(n, w), ARRAY[1e0]) " +
+      "FROM (VALUES (1, 1), (7, 2)) T(n, w)",
+      "VALUES CAST(ARRAY[7] AS array(bigint))")
+  }
+
+  test("make_set_digest over doubles keeps distinct fractional values distinct") {
+    // longValue() truncation would collide 1.1/1.9 and 2.1/2.9 —
+    // IEEE-754 bit hashing keeps all four apart
+    v("SELECT cardinality(make_set_digest(d)) " +
+      "FROM (VALUES 1.1e0, 1.9e0, 2.1e0, 2.9e0) T(d)",
+      "VALUES BIGINT '4'")
+  }
 }
