@@ -294,6 +294,44 @@ object MatchRecognize {
         case _ => minMax
       }
     }
+
+    /** Fold the running match's (row, real label) pairs in MATCH ORDER
+      * (start..i, the current row's tentative label included),
+      * restricted to label/SUBSET `v` when given — the generalized feed
+      * under every aggregate the DEFINE front-end lowers (array_agg,
+      * min/max-N, min_by/max_by, map_agg, multimap_agg, map_union, and
+      * computed-argument sum/avg). Each NFA thread carries its OWN
+      * labels list, so the per-thread aggregation-state isolation the
+      * reference implements by copying state at alternation forks
+      * (TestCopyAggregationStateInRowPatternMatching) is structural
+      * here: there is no shared mutable state to copy. */
+    def foldMatch(v: Option[String])(f: (Row, String) => Unit): Unit = {
+      // labelsRev is most-recent-first; replay forward
+      val buf = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
+      var j = i - 1
+      var l = labelsRev
+      while (l.nonEmpty) { buf += ((j, l.head)); j -= 1; l = l.tail }
+      var k = buf.length - 1
+      while (k >= 0) {
+        val (jj, lab) = buf(k)
+        if (v.forall(vv => hit(lab, vv)))
+          f(rows(jj), MatchRecognize.realLabel(lab))
+        k -= 1
+      }
+      if (v.forall(vv => hit(currentVar, vv)))
+        f(rows(i), MatchRecognize.realLabel(currentVar))
+    }
+
+    /** `FIRST(CLASSIFIER())` under running semantics: the first matched
+      * row's label (the current row's tentative label for a
+      * length-1 match). */
+    def classifierFirst: String =
+      if (labelsRev.isEmpty) MatchRecognize.realLabel(currentVar)
+      else MatchRecognize.realLabel(labelsRev.last)
+
+    /** `[LAST(]CLASSIFIER()[)]` under running semantics: the current
+      * row's tentative label. */
+    def classifierCurrent: String = MatchRecognize.realLabel(currentVar)
   }
 
   // ------------------------------------------------------ pattern AST

@@ -644,7 +644,50 @@ object Patterns {
       |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
       |FROM r GROUP BY user_id, chunk""".stripMargin
 
+  /** mr13: aggregate-state forking at pattern alternations (reference
+    * `TestCopyAggregationStateInRowPatternMatching` — state is copied
+    * per NFA thread at every `(H | L)` fork; here each thread folds its
+    * own label history). `X` closes every 4-row chunk through a
+    * GENERAL-argument running count (`count(CLASSIFIER())` — the
+    * argument is computed per fed row, not a column), and additionally
+    * asserts the chunk's map_agg/element_at/FIRST(CLASSIFIER())
+    * integrity: the label stored under the chunk's smallest event key
+    * must equal the first matched row's label. A broken per-thread
+    * fold, map state, or first-label would fail the condition and
+    * produce ZERO matches — the oracle reproduces the chunking and the
+    * parity labels relationally, so any divergence is a row mismatch. */
+  def mr13(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"))
+    graft.sqlcompat.MatchRecognizeSql.translate(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY event_id
+        |  MEASURES CLASSIFIER() AS lab
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((H | L)* X)
+        |  DEFINE H AS event_id % 2 = 1,
+        |         L AS event_id % 2 = 0,
+        |         X AS count(CLASSIFIER()) = 4 AND
+        |              element_at(map_agg(event_id, CLASSIFIER()), min(event_id))
+        |                = FIRST(CLASSIFIER()))""".stripMargin,
+      _ => ev)
+      .select(col("user_id"), col("event_id"), col("lab"))
+  }
+
+  val mr13Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CASE WHEN rn % 4 = 0 THEN 'X'
+      |       WHEN event_id % 2 = 1 THEN 'H' ELSE 'L' END AS lab
+      |FROM r WHERE rn <= 4 * (n // 4)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr13_agg_state_forking" -> mr13 _,
     "mr12_define_agg_packing" -> mr12 _,
     "mr11_window_seek" -> mr11 _,
     "mr10_partition_anchors" -> mr10 _,
@@ -659,6 +702,7 @@ object Patterns {
     "mr6_agg_measures" -> mr6 _)
 
   val oracle: Map[String, String] = Map(
+    "mr13_agg_state_forking" -> mr13Sql,
     "mr12_define_agg_packing" -> mr12Sql,
     "mr11_window_seek" -> mr11Sql,
     "mr10_partition_anchors" -> mr10Sql,

@@ -46,8 +46,15 @@ import graft.operators.MatchRecognize.{MatchCtx, SkipMode}
   *   - optional DEFINE: comparisons and IS [NOT] NULL over
   *     expressions built from literals (incl. TRUE/FALSE), current-row
   *     columns (bare or qualified), other variables' running LAST,
-  *     `PREV/NEXT(col[, n])` / `FIRST/LAST(var.col)` navigation, and
-  *     `+ - * /` arithmetic, combined with AND/OR/NOT and parens.
+  *     `PREV/NEXT(col[, n])` / `FIRST/LAST(var.col)` navigation,
+  *     `FIRST/LAST(CLASSIFIER())`, bare `CLASSIFIER()`, and
+  *     `+ - * /` arithmetic, combined with AND/OR/NOT and parens;
+  *   - running aggregates in DEFINE with computed arguments
+  *     (reference TestCopyAggregationStateInRowPatternMatching —
+  *     per-thread state at alternation forks): sum/avg/min/max/count
+  *     over CLASSIFIER() / CAST(...) / ARRAY / MAP args, min/max
+  *     N-variants, min_by/max_by[, n], map_agg, multimap_agg,
+  *     map_union, and the scalar wrappers array_join / element_at.
   *
   * Known exclusions (fail loudly): quoted/case-normalized identifiers,
   * scalar functions inside measures or DEFINE (beyond arithmetic),
@@ -428,6 +435,221 @@ private object DefineParser extends Serializable {
   def compile(src: String, currentVar: String): MatchCtx => Boolean =
     new DefineParser(src, currentVar).parse()
 
+  // ------- generalized running aggregates (computed arguments) -------
+  // Evaluated through ctx.foldMatch — each NFA thread folds its OWN
+  // label history, so the per-thread aggregation-state copying the
+  // reference performs at alternation forks
+  // (TestCopyAggregationStateInRowPatternMatching) is structural here.
+
+  /** Per-feed-row evaluator: (row, real label) => value. */
+  type AggEvalF = (Row, String) => Any
+
+  /** Map keys normalize numerics to Double (exact to 2^53 — pattern
+    * keys are row ids, not epoch nanos) so a BIGINT column key and a
+    * literal `1` lookup meet. */
+  def normKey(k: Any): Any = k match {
+    case n: Number => Double.box(n.doubleValue())
+    case x => x
+  }
+
+  /** CAST for aggregate arguments. DECIMAL computes in double here —
+    * exact for the reference vectors' single-digit values; this layer
+    * has no decimal arithmetic (documented divergence for >2^53). */
+  def castTo(ty: String, v: Any): Any = v match {
+    case null => null
+    case _ => ty match {
+      case "DECIMAL" | "DOUBLE" | "REAL" | "FLOAT" => v match {
+        case n: Number => Double.box(n.doubleValue())
+        case s: String => Double.box(s.trim.toDouble)
+        case o => throw new IllegalArgumentException(
+          s"CAST to $ty of ${o.getClass.getSimpleName}")
+      }
+      case "TINYINT" | "SMALLINT" | "INTEGER" | "INT" | "BIGINT" => v match {
+        case n: Number => Long.box(n.longValue())
+        case s: String => Long.box(s.trim.toLong)
+        case o => throw new IllegalArgumentException(
+          s"CAST to $ty of ${o.getClass.getSimpleName}")
+      }
+      case "VARCHAR" | "CHAR" => String.valueOf(v)
+      case o => throw new IllegalArgumentException(
+        s"unsupported CAST target $o in DEFINE")
+    }
+  }
+
+  private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      if (isIntegral(x) && isIntegral(y))
+        java.lang.Long.compare(x.longValue(), y.longValue())
+      else java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"incomparable aggregate values ${a.getClass.getSimpleName} vs " +
+        b.getClass.getSimpleName)
+  }
+
+  def runNumAgg(ctx: MatchCtx, fn: String, v: Option[String], e: AggEvalF): Any = {
+    var n = 0L; var sumL = 0L; var sumD = 0.0; var frac = false
+    ctx.foldMatch(v) { (r, l) =>
+      val value = e(r, l)
+      if (value != null) {
+        n += 1
+        if (fn != "count") value match {
+          case x: Number if isIntegral(x) =>
+            sumL = java.lang.Math.addExact(sumL, x.longValue())
+          case x: Number => frac = true; sumD += x.doubleValue()
+          case o => throw new IllegalArgumentException(
+            s"DEFINE $fn: numeric argument required, got ${o.getClass.getSimpleName}")
+        }
+      }
+    }
+    fn match {
+      case "count" => n
+      case _ if n == 0 => null
+      case "sum" => if (frac) sumD + sumL else sumL
+      case "avg" => (sumD + sumL) / n
+    }
+  }
+
+  def runMinMax(ctx: MatchCtx, isMin: Boolean, v: Option[String], e: AggEvalF): Any = {
+    var best: Any = null
+    ctx.foldMatch(v) { (r, l) =>
+      val value = e(r, l)
+      if (value != null && (best == null || {
+        val c = cmpVals(value, best); if (isMin) c < 0 else c > 0
+      })) best = value
+    }
+    best
+  }
+
+  /** `min(x, n)` / `max(x, n)`: the n smallest (ascending) / largest
+    * (descending) non-null values, as an array (reference
+    * MinMaxNStateFactory semantics). */
+  def runMinMaxN(ctx: MatchCtx, isMin: Boolean, v: Option[String],
+      e: AggEvalF, nCap: Int): Any = {
+    val buf = scala.collection.mutable.ArrayBuffer[Any]()
+    ctx.foldMatch(v) { (r, l) => val x = e(r, l); if (x != null) buf += x }
+    if (buf.isEmpty) null
+    else buf.sortWith((a, b) =>
+      if (isMin) cmpVals(a, b) < 0 else cmpVals(a, b) > 0).take(nCap).toSeq
+  }
+
+  def runArrayAgg(ctx: MatchCtx, v: Option[String], e: AggEvalF): Any = {
+    val buf = scala.collection.mutable.ArrayBuffer[Any]()
+    ctx.foldMatch(v)((r, l) => buf += e(r, l)) // array_agg keeps nulls
+    if (buf.isEmpty) null else buf.toSeq
+  }
+
+  /** `min_by(x, y[, n])` / `max_by`: x values of the rows with the
+    * smallest/largest y (null y rows skipped; stable in match order
+    * for ties, like the reference's accumulator). */
+  def runMinMaxBy(ctx: MatchCtx, isMin: Boolean, v: Option[String],
+      ve: AggEvalF, ke: AggEvalF, nOpt: Option[Int]): Any = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Any, Any)]()
+    ctx.foldMatch(v) { (r, l) =>
+      val k = ke(r, l); if (k != null) buf += ((k, ve(r, l)))
+    }
+    if (buf.isEmpty) null
+    else nOpt match {
+      case None =>
+        var bk: Any = null; var bv: Any = null
+        buf.foreach { case (k, x) =>
+          if (bk == null || { val c = cmpVals(k, bk); if (isMin) c < 0 else c > 0 }) {
+            bk = k; bv = x
+          }
+        }
+        bv
+      case Some(n) =>
+        buf.sortWith((a, b) =>
+          if (isMin) cmpVals(a._1, b._1) < 0 else cmpVals(a._1, b._1) > 0)
+          .take(n).map(_._2).toSeq
+    }
+  }
+
+  def runMapAgg(ctx: MatchCtx, multi: Boolean, v: Option[String],
+      ke: AggEvalF, ve: AggEvalF): Any = {
+    val m = scala.collection.mutable.LinkedHashMap[Any, Any]()
+    ctx.foldMatch(v) { (r, l) =>
+      val k0 = ke(r, l)
+      if (k0 != null) { // null keys skipped, reference map_agg semantics
+        val k = normKey(k0); val x = ve(r, l)
+        if (multi) m.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer[Any]())
+          .asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += x
+        else if (!m.contains(k)) m(k) = x
+      }
+    }
+    if (m.isEmpty) null
+    else if (multi) m.view.mapValues(
+      _.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]].toSeq).toMap
+    else m.toMap
+  }
+
+  def runMapUnion(ctx: MatchCtx, v: Option[String], e: AggEvalF): Any = {
+    val m = scala.collection.mutable.HashMap[Any, Any]()
+    var any = false
+    ctx.foldMatch(v) { (r, l) =>
+      e(r, l) match {
+        case null => ()
+        case mm: scala.collection.Map[_, _] =>
+          any = true
+          mm.foreach { case (k, x) =>
+            val nk = normKey(k); if (!m.contains(nk)) m(nk) = x
+          }
+        case o => throw new IllegalArgumentException(
+          s"map_union argument must be a map, got ${o.getClass.getSimpleName}")
+      }
+    }
+    if (!any) null else m.toMap
+  }
+
+  /** `MAP(ARRAY[...], ARRAY[...])` constructor inside aggregate args. */
+  def mapFromArrays(ks: Any, vs: Any): Any = (ks, vs) match {
+    case (null, _) | (_, null) => null
+    case (a: Seq[_], b: Seq[_]) =>
+      if (a.length != b.length) throw new IllegalArgumentException(
+        "MAP key and value arrays must have the same length")
+      a.iterator.zip(b.iterator).map { case (k, x) => normKey(k) -> x }.toMap
+    case _ => throw new IllegalArgumentException("MAP expects two arrays")
+  }
+
+  private def valStr(v: Any): String = v match {
+    case d: java.lang.Double
+      if d == math.rint(d) && !d.isInfinite && math.abs(d) < (1L << 53) =>
+      d.longValue().toString // integral-valued: render without ".0"
+    case x => String.valueOf(x)
+  }
+
+  /** `array_join(arr, sep[, nullReplacement])`: nulls omitted unless a
+    * replacement is given (reference ArrayJoin semantics). */
+  def arrayJoin(arr: Any, sep: Any, nullRepl: Any): Any = arr match {
+    case null => null
+    case s: Seq[_] =>
+      s.iterator.flatMap { e =>
+        if (e == null) Option(nullRepl).map(valStr) else Some(valStr(e))
+      }.mkString(String.valueOf(sep))
+    case o => throw new IllegalArgumentException(
+      s"array_join argument must be an array, got ${o.getClass.getSimpleName}")
+  }
+
+  /** `element_at(array, i)` (1-based, negative from end, out-of-range
+    * NULL) / `element_at(map, key)` (absent → NULL). */
+  def elementAt(coll: Any, key: Any): Any = coll match {
+    case null => null
+    case m: scala.collection.Map[_, _] =>
+      m.asInstanceOf[scala.collection.Map[Any, Any]].getOrElse(normKey(key), null)
+    case s: Seq[_] =>
+      val n = key match {
+        case k: Number => k.longValue().toInt
+        case o => throw new IllegalArgumentException(
+          s"element_at array index must be numeric, got ${o.getClass.getSimpleName}")
+      }
+      if (n == 0) throw new IllegalArgumentException("SQL array indices start at 1")
+      val idx = if (n > 0) n - 1 else s.length + n
+      if (idx < 0 || idx >= s.length) null else s(idx)
+    case o => throw new IllegalArgumentException(
+      s"element_at argument must be an array or map, got ${o.getClass.getSimpleName}")
+  }
+
   /** Compile plus a history-freedom report: true when the predicate
     * reads only the current row and PHYSICAL prev/next navigation —
     * running FIRST/LAST (and cross-variable references, which are
@@ -660,27 +882,35 @@ private final class DefineParser(src: String, currentVar: String) {
     } else operand()
   }
 
+  /** Consume a quoted string literal at `pos` ('' escapes a quote). */
+  private def stringLit(): String = {
+    skipWs()
+    if (pos >= src.length || src.charAt(pos) != '\'') fail("expected string literal")
+    pos += 1
+    val sb = new StringBuilder
+    var closed = false
+    while (!closed) {
+      if (pos >= src.length) fail("unterminated string literal")
+      val ch = src.charAt(pos)
+      if (ch == '\'') {
+        if (pos + 1 < src.length && src.charAt(pos + 1) == '\'') {
+          sb += '\''; pos += 2
+        } else { closed = true; pos += 1 }
+      } else { sb += ch; pos += 1 }
+    }
+    sb.toString
+  }
+
+  // exponent form included (reference vectors compare against 1e0)
+  private val numRe = "^-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?".r
+
   // operand := number | 'string' | [var.]col | NAV(...)
   private def operand(): MatchCtx => Any = {
     skipWs()
     if (pos < src.length && src.charAt(pos) == '\'') {
-      // string literal, '' escapes a quote (SQL)
-      pos += 1
-      val sb = new StringBuilder
-      var closed = false
-      while (!closed) {
-        if (pos >= src.length) fail("unterminated string literal")
-        val ch = src.charAt(pos)
-        if (ch == '\'') {
-          if (pos + 1 < src.length && src.charAt(pos + 1) == '\'') {
-            sb += '\''; pos += 2
-          } else { closed = true; pos += 1 }
-        } else { sb += ch; pos += 1 }
-      }
-      val v: String = sb.toString
+      val v: String = stringLit()
       return _ => v
     }
-    val numRe = "^-?\\d+(?:\\.\\d+)?".r
     numRe.findFirstIn(src.substring(pos)) match {
       case Some(n) =>
         pos += n.length
@@ -708,34 +938,95 @@ private final class DefineParser(src: String, currentVar: String) {
           case "FIRST" | "LAST" =>
             val isFirst = id.equalsIgnoreCase("FIRST")
             expect('(')
-            val (q, c) = qualifiedCol()
-            val v = q.getOrElse(fail("FIRST/LAST in DEFINE requires a variable qualifier"))
-            expect(')')
-            usesHistory = true
-            ctx => getVal(if (isFirst) ctx.first(v) else ctx.last(v), c)
+            skipWs()
+            if (peekWord("CLASSIFIER")) {
+              // FIRST(CLASSIFIER()) / LAST(CLASSIFIER()) — first / last
+              // (= current, running) matched row's label (reference
+              // TestCopyAggregationStateInRowPatternMatching
+              // testMapUnion compares against FIRST(CLASSIFIER()))
+              pos += "CLASSIFIER".length
+              expect('('); expect(')'); expect(')')
+              usesHistory = true
+              if (isFirst) ctx => ctx.classifierFirst
+              else ctx => ctx.classifierCurrent
+            } else {
+              val (q, c) = qualifiedCol()
+              val v = q.getOrElse(fail("FIRST/LAST in DEFINE requires a variable qualifier"))
+              expect(')')
+              usesHistory = true
+              ctx => getVal(if (isFirst) ctx.first(v) else ctx.last(v), c)
+            }
+          case "CLASSIFIER" =>
+            // bare CLASSIFIER() in DEFINE: the current row's tentative
+            // label (running semantics)
+            expect('('); expect(')')
+            ctx => ctx.classifierCurrent
           case "SUM" | "AVG" | "MIN" | "MAX" | "COUNT" =>
             // running aggregates inside DEFINE (SQL:2016; reference
             // TestAggregationsInRowPatternMatching — running semantics
             // INCLUDE the row being classified): sum/avg/min/max over
-            // [VAR.]col, count(*) / count() / count(V.*) / count([V.]col)
+            // [VAR.]col, count(*) / count() / count(V.*) / count([V.]col).
+            // Computed arguments (CAST(B.id AS decimal), CLASSIFIER())
+            // and the min/max N-variants take the general path below.
             val fn = id.toLowerCase
             expect('(')
             skipWs()
-            val (varQ, colOrNull): (Option[String], String) =
-              if (fn == "count" && pos < src.length && src.charAt(pos) == ')')
-                (None, null) // count()
-              else if (pos < src.length && src.charAt(pos) == '*') {
-                pos += 1; (None, null) // count(*)
-              } else {
-                val (q, c) = qualifiedCol()
-                if (c == "*") (q, null) // count(V.*)
-                else (q, c)
-              }
+            val save = pos
+            val simple: Option[MatchCtx => Any] =
+              try {
+                val (varQ, colOrNull): (Option[String], String) =
+                  if (fn == "count" && pos < src.length && src.charAt(pos) == ')')
+                    (None, null) // count()
+                  else if (pos < src.length && src.charAt(pos) == '*') {
+                    pos += 1; (None, null) // count(*)
+                  } else {
+                    val (q, c) = qualifiedCol()
+                    if (c == "*") (q, null) // count(V.*)
+                    else (q, c)
+                  }
+                skipWs()
+                if (pos < src.length && src.charAt(pos) == ')') {
+                  pos += 1
+                  if (colOrNull == null && fn != "count")
+                    fail(s"$fn(*) is not an aggregate form")
+                  usesHistory = true
+                  Some(ctx => ctx.runningAgg(fn, varQ, colOrNull))
+                } else None
+              } catch { case _: Exception => None }
+            simple.getOrElse { pos = save; generalAggTail(fn) }
+          case "ARRAY_AGG" =>
+            expect('(')
+            generalAggTail("array_agg")
+          case "MIN_BY" | "MAX_BY" =>
+            expect('(')
+            generalAggTail(id.toLowerCase)
+          case "MAP_AGG" | "MULTIMAP_AGG" | "MAP_UNION" =>
+            expect('(')
+            generalAggTail(id.toLowerCase)
+          case "ARRAY_JOIN" =>
+            // scalar wrapper over an array-valued expression:
+            // array_join(arr, sep[, nullReplacement])
+            expect('(')
+            val arr = expr()
+            expect(',')
+            val sep = expr()
+            skipWs()
+            val nr: Option[MatchCtx => Any] =
+              if (pos < src.length && src.charAt(pos) == ',') {
+                pos += 1; Some(expr())
+              } else None
             expect(')')
-            if (colOrNull == null && fn != "count")
-              fail(s"$fn(*) is not an aggregate form")
-            usesHistory = true
-            ctx => ctx.runningAgg(fn, varQ, colOrNull)
+            ctx => DefineParser.arrayJoin(arr(ctx), sep(ctx), nr.map(_(ctx)).orNull)
+          case "ELEMENT_AT" =>
+            // element_at(array, index) — 1-based, negative from the
+            // end, out-of-range NULL; element_at(map, key) — NULL when
+            // absent (reference semantics)
+            expect('(')
+            val coll = expr()
+            expect(',')
+            val key = expr()
+            expect(')')
+            ctx => DefineParser.elementAt(coll(ctx), key(ctx))
           case _ =>
             skipWs()
             if (pos < src.length && src.charAt(pos) == '.') {
@@ -752,6 +1043,162 @@ private final class DefineParser(src: String, currentVar: String) {
               ctx => getVal(ctx.row, c)
             }
         }
+    }
+  }
+
+  // ------- generalized aggregate arguments (computed expressions) ----
+  private type AggEval = (Row, String) => Any
+
+  private def mergeScope(a: Option[String], b: Option[String]): Option[String] =
+    (a, b) match {
+      case (Some(x), Some(y)) if !x.equalsIgnoreCase(y) => fail(
+        s"aggregate arguments must all reference one pattern variable, got $x and $y")
+      case (Some(x), _) => Some(x)
+      case _ => b
+    }
+
+  /** One aggregate argument: CLASSIFIER([V]) | CAST(arg AS type) |
+    * ARRAY[args] | MAP(arrayArg, arrayArg) | literal | [VAR.]col.
+    * Returns the per-feed-row evaluator plus the pattern-variable
+    * scope it references — the reference's label-scoped aggregate
+    * arguments (`avg(CAST(B.id AS decimal))` feeds only B rows). */
+  private def aggArg(): (AggEval, Option[String]) = {
+    skipWs()
+    if (pos < src.length && src.charAt(pos) == '\'') {
+      val v = stringLit()
+      return ((_, _) => v, None)
+    }
+    numRe.findFirstIn(src.substring(pos)) match {
+      case Some(n) =>
+        pos += n.length
+        val v: java.lang.Double = n.toDouble
+        ((_, _) => v, None)
+      case None =>
+        val idRe = "^[A-Za-z_][A-Za-z0-9_]*".r
+        val id = idRe.findFirstIn(src.substring(pos))
+          .getOrElse(fail("expected aggregate argument"))
+        pos += id.length
+        id.toUpperCase match {
+          case "CLASSIFIER" =>
+            expect('(')
+            skipWs()
+            val scope =
+              if (pos < src.length && src.charAt(pos) != ')') {
+                val w = idRe.findFirstIn(src.substring(pos))
+                  .getOrElse(fail("expected variable in CLASSIFIER()"))
+                pos += w.length
+                Some(w)
+              } else None
+            expect(')')
+            (((_, l) => l): AggEval, scope)
+          case "CAST" =>
+            expect('(')
+            val (e, sc) = aggArg()
+            if (!eatWord("AS")) fail("expected AS in CAST")
+            skipWs()
+            val ty = idRe.findFirstIn(src.substring(pos))
+              .getOrElse(fail("expected CAST target type")).toUpperCase
+            pos += ty.length
+            skipWs()
+            if (pos < src.length && src.charAt(pos) == '(') { // (p[,s])
+              val close = src.indexOf(')', pos)
+              if (close < 0) fail("unterminated type arguments")
+              pos = close + 1
+            }
+            expect(')')
+            (((r, l) => DefineParser.castTo(ty, e(r, l))): AggEval, sc)
+          case "ARRAY" =>
+            skipWs()
+            if (pos >= src.length || src.charAt(pos) != '[') fail("expected [")
+            pos += 1
+            val items = scala.collection.mutable.ArrayBuffer[(AggEval, Option[String])]()
+            skipWs()
+            if (pos < src.length && src.charAt(pos) != ']') {
+              items += aggArg()
+              skipWs()
+              while (pos < src.length && src.charAt(pos) == ',') {
+                pos += 1; items += aggArg(); skipWs()
+              }
+            }
+            if (pos >= src.length || src.charAt(pos) != ']') fail("expected ]")
+            pos += 1
+            val evals = items.map(_._1).toIndexedSeq
+            val sc = items.map(_._2).foldLeft(Option.empty[String])(mergeScope)
+            (((r, l) => evals.map(e => e(r, l)): Seq[Any]): AggEval, sc)
+          case "MAP" =>
+            expect('(')
+            val (ka, s1) = aggArg()
+            expect(',')
+            val (va, s2) = aggArg()
+            expect(')')
+            (((r, l) => DefineParser.mapFromArrays(ka(r, l), va(r, l))): AggEval,
+              mergeScope(s1, s2))
+          case _ =>
+            skipWs()
+            if (pos < src.length && src.charAt(pos) == '.') {
+              pos += 1
+              val c = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
+              pos += c.length
+              (((r, _) => getVal(r, c)): AggEval, Some(id))
+            } else (((r, _) => getVal(r, id)): AggEval, None)
+        }
+    }
+  }
+
+  /** Parse the argument tail (after the opening paren) of an aggregate
+    * that needs the generalized feed, and build its running evaluator
+    * (reference TestCopyAggregationStateInRowPatternMatching /
+    * TestAggregationsInRowPatternMatching surfaces). */
+  private def generalAggTail(fn: String): MatchCtx => Any = {
+    usesHistory = true
+    def intArg(): Int = {
+      skipWs()
+      val d = "^\\d+".r.findFirstIn(src.substring(pos)).getOrElse(fail("expected integer"))
+      pos += d.length
+      d.toInt
+    }
+    val (a1, s1) = aggArg()
+    fn match {
+      case "sum" | "avg" | "count" =>
+        expect(')')
+        ctx => DefineParser.runNumAgg(ctx, fn, s1, a1)
+      case "min" | "max" =>
+        val isMin = fn == "min"
+        skipWs()
+        if (pos < src.length && src.charAt(pos) == ',') {
+          pos += 1
+          val n = intArg()
+          expect(')')
+          ctx => DefineParser.runMinMaxN(ctx, isMin, s1, a1, n)
+        } else {
+          expect(')')
+          ctx => DefineParser.runMinMax(ctx, isMin, s1, a1)
+        }
+      case "array_agg" =>
+        expect(')')
+        ctx => DefineParser.runArrayAgg(ctx, s1, a1)
+      case "min_by" | "max_by" =>
+        val isMin = fn == "min_by"
+        expect(',')
+        val (a2, s2) = aggArg()
+        val sc = mergeScope(s1, s2)
+        skipWs()
+        val n = if (pos < src.length && src.charAt(pos) == ',') {
+          pos += 1; Some(intArg())
+        } else None
+        expect(')')
+        ctx => DefineParser.runMinMaxBy(ctx, isMin, sc, a1, a2, n)
+      case "map_agg" | "multimap_agg" =>
+        val multi = fn == "multimap_agg"
+        expect(',')
+        val (a2, s2) = aggArg()
+        val sc = mergeScope(s1, s2)
+        expect(')')
+        ctx => DefineParser.runMapAgg(ctx, multi, sc, a1, a2)
+      case "map_union" =>
+        expect(')')
+        ctx => DefineParser.runMapUnion(ctx, s1, a1)
+      case other => fail(s"unsupported aggregate '$other' in DEFINE")
     }
   }
 

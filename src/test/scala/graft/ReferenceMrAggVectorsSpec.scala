@@ -13,10 +13,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * A.value <= sum(B.value)`), whose SQL:2016 running semantics
   * include the row being tentatively classified.
   *
+  * The r17 additions replay
+  * `TestCopyAggregationStateInRowPatternMatching.java` — per-thread
+  * aggregation state at `(A | B)*` alternation forks, probed through
+  * DEFINE aggregates with computed arguments (CLASSIFIER(), CAST,
+  * MAP/ARRAY constructors), the min/max N-variants, min_by/max_by,
+  * map_agg/multimap_agg/map_union, and array_join/element_at/
+  * FIRST(CLASSIFIER()) wrappers.
+  *
   * Out of scope (fail-loud exclusions, documented in
-  * MatchRecognizeSql's header): aggregates whose ARGUMENTS are
-  * runtime-evaluated expressions (`sum(MATCH_NUMBER() * 100)`,
-  * `array_agg(value || CLASSIFIER())`, `max_by`), array comparisons in
+  * MatchRecognizeSql's header): aggregates whose ARGUMENTS mix labels
+  * or need full scalar evaluation (`sum(MATCH_NUMBER() * 100)`,
+  * `array_agg(value || CLASSIFIER())`), array comparisons in
   * DEFINE, and the WINDOW ... SEEK form with array measures.
   */
 class ReferenceMrAggVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -273,5 +281,69 @@ class ReferenceMrAggVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("id", "running_labels")) == expect(
       "1|[A]", "2|[A, B]", "3|[A, B, C]", "4|[A, B, C, C]",
       "5|[A, B, C, C, B]", "6|[A, B, C, C, B, LAST_A]"))
+  }
+
+  // ============ TestCopyAggregationStateInRowPatternMatching.java =====
+  // PATTERN ((A | B)* X) forks an NFA thread at every alternation; the
+  // aggregation state must be per-thread (the reference copies state at
+  // each fork; here each thread folds its own label history), and every
+  // thread is validated at the final step by X's defining condition.
+
+  /** The corpus' shared query shape over (VALUES (1),(2),(3)) t(id). */
+  private def forked(define: String): Seq[String] = {
+    val spk = spark; import spk.implicits._
+    run((1 to 3).toDF("id"),
+      s"""ORDER BY id
+         |MEASURES CLASSIFIER() AS classy
+         |ALL ROWS PER MATCH
+         |PATTERN ((A | B)* X)
+         |DEFINE X AS $define""".stripMargin,
+      Seq("id", "classy"))
+  }
+
+  test("aggregation-state forking at alternations (TestCopyAggregationStateInRowPatternMatching.java:27)") {
+    // testArrayAgg — SingleArrayAggregationState.copy()
+    assert(forked("array_join(array_agg(CLASSIFIER()), '', '') = 'BAX'") ==
+      expect("1|B", "2|A", "3|X"))
+    // testMinByN / testMaxByN — MinMaxByNStateFactory.SingleMinMaxByNState.copy()
+    assert(forked("array_join(min_by(CLASSIFIER(), id, 3), '', '') = 'BAX'") ==
+      expect("1|B", "2|A", "3|X"))
+    assert(forked("array_join(max_by(CLASSIFIER(), id, 3), '', '') = 'XAB'") ==
+      expect("1|B", "2|A", "3|X"))
+    // testMinN / testMaxN — MinMaxNStateFactory.SingleMinMaxNState.copy()
+    assert(forked("array_join(min(CLASSIFIER(), 3), '', '') = 'ABX'") ==
+      expect("1|A", "2|B", "3|X"))
+    assert(forked("array_join(max(CLASSIFIER(), 3), '', '') = 'XBA'") ==
+      expect("1|A", "2|B", "3|X"))
+    // testMultimapAgg — SingleMultimapAggregationState.copy()
+    assert(forked("array_join(element_at(multimap_agg(id, CLASSIFIER()), 1), '', '') = 'B'") ==
+      expect("1|B", "2|A", "3|X"))
+    // testMapAgg — KeyValuePairsStateFactory.SingleState.copy()
+    assert(forked("element_at(map_agg(id, CLASSIFIER()), 1) = 'B'") ==
+      expect("1|B", "2|A", "3|X"))
+  }
+
+  test("map_union state forking (TestCopyAggregationStateInRowPatternMatching.java:146)") {
+    val spk = spark; import spk.implicits._
+    assert(run(Seq("B", "C", "D").toDF("id"),
+      """ORDER BY id
+        |MEASURES CLASSIFIER() AS classy
+        |ALL ROWS PER MATCH
+        |PATTERN ((A | B)* X)
+        |DEFINE X AS element_at(map_union(MAP(ARRAY[id], ARRAY[id])), 'B') = FIRST(CLASSIFIER())""".stripMargin,
+      Seq("id", "classy")) == expect("B|B", "C|A", "D|X"))
+  }
+
+  test("decimal aggregate state forking (TestCopyAggregationStateInRowPatternMatching.java:173)") {
+    // testDecimalAvg — LongDecimalWithOverflowAndLongState.copy()
+    assert(forked("avg(CAST(B.id AS decimal(2, 1))) = 1e0") ==
+      expect("1|B", "2|A", "3|X"))
+    assert(forked("avg(CAST(B.id AS decimal(30, 20))) = 1e0") ==
+      expect("1|B", "2|A", "3|X"))
+    // testDecimalSum — LongDecimalWithOverflowState.copy()
+    assert(forked("sum(CAST(B.id AS decimal(2, 1))) = 1.0") ==
+      expect("1|B", "2|A", "3|X"))
+    assert(forked("sum(CAST(B.id AS decimal(30, 20))) = 1.0") ==
+      expect("1|B", "2|A", "3|X"))
   }
 }
