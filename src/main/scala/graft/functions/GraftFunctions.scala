@@ -323,6 +323,21 @@ object GraftFunctions {
     spark.udf.register("graft_json_exists_x",
       (j: String, path: String, vars: Map[String, String]) =>
         jsonExistsX(j, path, vars))
+    // SQL/JSON constructor support (reference TestJsonObject/
+    // TestJsonArrayFunction): FORMAT JSON values re-parse through
+    // Jackson — validates (malformed raises the reference's
+    // conversion error), minifies, and collapses duplicate object
+    // keys; encode/decode cover UTF-32, which Spark's own
+    // encode()/decode() reject.
+    spark.udf.register("graft_json_norm", (s: String) => jsonNorm(s))
+    spark.udf.register("graft_encode",
+      (s: String, cs: String) =>
+        if (s == null) null
+        else s.getBytes(java.nio.charset.Charset.forName(cs)))
+    spark.udf.register("graft_decode",
+      (b: Array[Byte], cs: String) =>
+        if (b == null) null
+        else new String(b, java.nio.charset.Charset.forName(cs)))
     DateTimeCompat.register(spark)
   }
 
@@ -821,6 +836,21 @@ object GraftFunctions {
       case Left(st) => SqlJsonBool(st, null)
       case Right(seq) => SqlJsonBool(0, Boolean.box(seq.nonEmpty))
     }
+  }
+
+  /** Validate + minify a JSON text (FORMAT JSON constructor values):
+    * malformed input raises the reference's input-conversion error;
+    * Jackson's tree round-trip minifies whitespace and keeps one entry
+    * per duplicate object key. */
+  def jsonNorm(s: String): String = {
+    if (s == null) return null
+    val node =
+      try jsonMapper.readTree(s)
+      catch { case _: Exception =>
+        throw new IllegalArgumentException("conversion to JSON failed: ") }
+    if (node == null)
+      throw new IllegalArgumentException("conversion to JSON failed: ")
+    node.toString
   }
 
   /** is_json_scalar (reference JsonFunctions.java): valid JSON whose

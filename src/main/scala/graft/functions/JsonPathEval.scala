@@ -441,7 +441,13 @@ object JsonPathEval {
       else c.vars.get(name) match {
         case Some(Some(n)) => Vector(n)
         case Some(None)    => Vector.empty // NULL FORMAT JSON: empty sequence
-        case None          => err(s"no value passed for parameter $$$name")
+        case None          =>
+          // an unbound name is an ANALYSIS error in the reference
+          // (TestJsonExistsFunction testPassingClause) — never
+          // suppressed by ON ERROR, so not a PathEvalError
+          throw new UnsupportedPathError(
+            s"no value passed for parameter $name. Try quoting " +
+              s""""$name" in the PASSING clause to match case""")
       }
     case Lit(n) => Vector(n)
 

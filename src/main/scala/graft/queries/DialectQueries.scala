@@ -1141,7 +1141,49 @@ object DialectQueries {
       |  AND b.rn BETWEEN a.rn - (a.event_id % 3) AND a.rn
       |GROUP BY a.user_id, a.event_id""".stripMargin
 
+  /** dx31: the SQL/JSON function-level conformance surface landed with
+    * the reference's TestJsonValue/Object/Exists/Array corpora (r17):
+    * FORMAT JSON input forms, RETURNING cast-failure routed to ON
+    * ERROR (TRY_CAST, not an ANSI error or a wrapped value), bare
+    * PASSING names canonicalized UPPER per the standard, the
+    * constructor UNIQUE KEYS guard, and FORMAT JSON value
+    * validation + minification. Docs are BUILT from source columns
+    * (with deliberate extra whitespace so minification is observable),
+    * and the oracle recomputes every expected value from the same raw
+    * columns — ground truth, not a second SQL/JSON engine. */
+  def dx31(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    Graft.load(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        concat(lit("""{"q": """), col("l_quantity").cast("int") * 10,
+          lit(""", "c": [1, 2, """), col("l_linenumber"),
+          lit("]}")).as("j"))
+      .createOrReplaceTempView("graft_dx31_docs")
+    s.sql(Dialect.translate(
+      """SELECT l_orderkey, l_linenumber,
+        |  json_value(j FORMAT JSON, 'lax $.q'
+        |    RETURNING tinyint DEFAULT -1 ON ERROR) AS v_tiny,
+        |  json_value(j, 'lax $.c[$IDX - 1]'
+        |    PASSING l_linenumber AS idx DEFAULT 'oob' ON EMPTY) AS v_pass,
+        |  json_object('ln' : l_linenumber, 'rf' : l_returnflag WITH UNIQUE KEYS) AS obj,
+        |  json_array(j FORMAT JSON, l_linenumber NULL ON NULL) AS arr
+        |FROM graft_dx31_docs""".stripMargin))
+  }
+
+  val dx31Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CASE WHEN CAST(l_quantity AS INT) * 10 <= 127
+      |       THEN CAST(l_quantity AS INT) * 10 ELSE -1 END AS TINYINT) AS v_tiny,
+      |  CASE WHEN l_linenumber <= 2 THEN CAST(l_linenumber AS VARCHAR)
+      |       WHEN l_linenumber = 3 THEN CAST(l_linenumber AS VARCHAR)
+      |       ELSE 'oob' END AS v_pass,
+      |  '{"ln":' || l_linenumber || ',"rf":"' || l_returnflag || '"}' AS obj,
+      |  '[{"q":' || CAST(l_quantity AS INT) * 10 || ',"c":[1,2,' || l_linenumber
+      |    || ']},' || l_linenumber || ']' AS arr
+      |FROM lineitem WHERE l_orderkey < 300""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx31_sql_json_conformance" -> dx31 _,
     "dx30_dynamic_rows_frame" -> dx30 _,
     "dx28_groups_frame_sql" -> dx28 _,
     "dx29_range_null_keys" -> dx29 _,
@@ -1174,6 +1216,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx31_sql_json_conformance" -> dx31Sql,
     "dx30_dynamic_rows_frame" -> dx30Sql,
     "dx28_groups_frame_sql" -> dx28Sql,
     "dx29_range_null_keys" -> dx29Sql,

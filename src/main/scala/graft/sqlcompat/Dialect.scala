@@ -79,6 +79,20 @@ object Dialect {
     "hyperloglog" -> "binary",
     "time" -> "bigint") // TIME emulated as nanos-of-day
 
+  /** Rename a single reference type spelling to its Spark type —
+    * passes that emit CAST text AFTER the per-segment rename stage
+    * (SQL/JSON clauses, constructor RETURNING) call this to stay
+    * consistent with it. Length parameters drop with the rename
+    * (`string(255)` does not parse; Spark's string is unbounded). */
+  private[sqlcompat] def renameType(t0: String): String = {
+    var t = t0
+    for ((from, to) <- typeRenames if from != to) {
+      t = t.replaceAll(s"(?i)^$from\\s*\\(\\s*\\d+(\\s*,\\s*\\d+)?\\s*\\)$$", to)
+      t = t.replaceAll(s"(?i)^$from$$", to)
+    }
+    t
+  }
+
   /** Translate a reference-dialect SQL string to Spark SQL. String
     * literals are preserved verbatim; identifiers are rewritten only
     * on whole-word match (case-insensitive) when followed by `(` for
@@ -319,7 +333,11 @@ object Dialect {
               jsonFnRe.findFirstMatchIn(parts(j)._1).isEmpty))) j -= 1
           if (j >= 0 && !parts(j)._2) {
             jsonFnRe.findFirstMatchIn(parts(j)._1).foreach { fm =>
-              parts(j) = (parts(j)._1.substring(0, fm.start) + "CAST(" +
+              // TRY_CAST, not CAST: a RETURNING cast failure is the
+              // reference's ON ERROR condition, whose default is NULL
+              // (TestJsonValueFunction: 'lax 1000' RETURNING tinyint
+              // → NULL, never a wrapped value or an ANSI error)
+              parts(j) = (parts(j)._1.substring(0, fm.start) + "TRY_CAST(" +
                 fm.group(1).toLowerCase + fm.group(2), false)
               parts(m) = (") AS " + rm.group(1) + ")" +
                 after.substring(rm.end), false)
@@ -1113,10 +1131,21 @@ object Dialect {
       val close = closeParen(out, open)
       var body = tws(out.substring(open + 1, close))
       var returning: Option[String] = None
+      var retEncoding: Option[String] = None
       val retRe =
-        "(?is)\\s+RETURNING\\s+([A-Za-z_]+(\\s*\\(\\s*\\d+\\s*\\))?)(\\s+FORMAT\\s+JSON)?\\s*$".r
+        ("(?is)\\s+RETURNING\\s+([A-Za-z_]+(\\s*\\(\\s*\\d+\\s*\\))?)" +
+          "(\\s+FORMAT\\s+JSON(\\s+ENCODING\\s+UTF(8|16|32))?)?\\s*$").r
       retRe.findFirstMatchIn(body).foreach { r =>
-        returning = Some(r.group(1)); body = body.substring(0, r.start) }
+        returning = Some(r.group(1))
+        retEncoding = Option(r.group(5))
+        body = body.substring(0, r.start) }
+      // {WITH | WITHOUT} UNIQUE [KEYS] (grammar order: before RETURNING,
+      // after the null treatment — both tails accepted here)
+      var uniqueKeys = false
+      val uniqRe = "(?is)\\s+(WITH|WITHOUT)\\s+UNIQUE(\\s+KEYS)?\\s*$".r
+      uniqRe.findFirstMatchIn(body).foreach { r =>
+        uniqueKeys = r.group(1).equalsIgnoreCase("WITH")
+        body = body.substring(0, r.start) }
       var absent = !isObject
       val onNullRe = "(?is)\\s+(NULL|ABSENT)\\s+ON\\s+NULL\\s*$".r
       onNullRe.findFirstMatchIn(body).foreach { r =>
@@ -1124,53 +1153,101 @@ object Dialect {
         body = body.substring(0, r.start) }
       val rawArgs = if (tws(body).isEmpty) Seq.empty[String]
         else MatchRecognizeSql.splitTopLevel(body, ',').map(tws)
-      val fmtRe = "(?is)\\s+FORMAT\\s+JSON\\s*$".r
+      val fmtRe =
+        "(?is)\\s+FORMAT\\s+JSON(\\s+ENCODING\\s+UTF(8|16|32))?\\s*$".r
+      def encCharset(e: String): String = e match {
+        case "8" => "UTF-8"
+        case "16" => "UTF-16LE"
+        case _ => "UTF-32LE"
+      }
       // JSON-returning functions carry implicit FORMAT JSON (SQL:2016
       // JSON-returning-function rule): a nested json_object /
       // json_array / json_query value splices raw instead of being
-      // re-encoded as a quoted string
+      // re-encoded as a quoted string. EXPLICIT `FORMAT JSON` values
+      // re-parse through graft_json_norm — the reference validates and
+      // minifies them (malformed input raises, duplicate object keys
+      // collapse); ENCODING forms decode the binary first.
       val jsonValued = "(?is)^json_(object|array|query)\\s*\\(.*".r
+      // (expr, raw: implicit splice, fmt: explicit FORMAT JSON [+enc])
       val items = rawArgs.map { a0 =>
         var a = a0
-        var raw = false
+        var fmt = false
+        var enc: Option[String] = None
         fmtRe.findFirstMatchIn(a).foreach { r =>
-          raw = true; a = a.substring(0, r.start) }
-        (tws(a), raw)
+          fmt = true; enc = Option(r.group(2)); a = a.substring(0, r.start) }
+        (tws(a), fmt, enc)
       }
+      if (uniqueKeys && items.exists(_._2))
+        throw new IllegalArgumentException(
+          "WITH UNIQUE KEYS behavior is not supported for JSON_OBJECT " +
+            "function when input expression has FORMAT")
+      def valFrag(v: String, fmt: Boolean, enc: Option[String]): String =
+        if (fmt) enc match {
+          case Some(e) => s"graft_json_norm(graft_decode(($v), '${encCharset(e)}'))"
+          case None => s"graft_json_norm(($v))"
+        }
+        else if (jsonValued.pattern.matcher(v).matches()) s"($v)"
+        else frag(v)
       val rendered =
         if (isObject) {
           val kvRe = "(?is)^KEY\\s+(.*?)\\s+VALUE\\s+(.*)$".r
-          val pairs = items.map { case (kv, raw) =>
+          // the KEY-less `k VALUE v` spelling (testArgumentPassing
+          // Conventions) — only split on a top-level VALUE keyword
+          val kvRe2 = "(?is)^(.*?)\\s+VALUE\\s+(.*)$".r
+          val parsed = items.map { case (kv, fmt, enc) =>
             val (k, v) = kvRe.findFirstMatchIn(kv) match {
               case Some(r) => (tws(r.group(1)), tws(r.group(2)))
               case None =>
                 val parts = MatchRecognizeSql.splitTopLevel(kv, ':')
-                require(parts.length == 2,
-                  s"json_object pair needs `k : v` or KEY k VALUE v, got: $kv")
-                (tws(parts(0)), tws(parts(1)))
+                if (parts.length == 2) (tws(parts(0)), tws(parts(1)))
+                else kvRe2.findFirstMatchIn(kv) match {
+                  case Some(r) => (tws(r.group(1)), tws(r.group(2)))
+                  case None => throw new IllegalArgumentException(
+                    s"json_object pair needs `k : v` or KEY k VALUE v, got: $kv")
+                }
             }
-            val vRaw = raw || jsonValued.pattern.matcher(v).matches()
-            val vf = if (vRaw) s"($v)" else frag(v)
-            if (absent)
-              s"CASE WHEN ($v) IS NULL THEN NULL ELSE concat(${frag(k)}, ':', $vf) END"
-            else
-              s"concat(${frag(k)}, ':', CASE WHEN ($v) IS NULL THEN 'null' ELSE $vf END)"
+            (k, v, fmt, enc)
           }
-          if (pairs.isEmpty) "'{}'"
-          else s"concat('{', concat_ws(',', ${pairs.mkString(", ")}), '}')"
+          // a null key is an error, never a member (testNullKey)
+          def keyFrag(k: String): String =
+            s"CASE WHEN ($k) IS NULL THEN raise_error('null value passed " +
+              s"for JSON object key to JSON_OBJECT function') ELSE ${frag(k)} END"
+          val pairs = parsed.map { case (k, v, fmt, enc) =>
+            val vf = valFrag(v, fmt, enc)
+            if (absent)
+              s"CASE WHEN ($v) IS NULL THEN NULL ELSE concat(${keyFrag(k)}, ':', $vf) END"
+            else
+              s"concat(${keyFrag(k)}, ':', CASE WHEN ($v) IS NULL THEN 'null' ELSE $vf END)"
+          }
+          val obj =
+            if (pairs.isEmpty) "'{}'"
+            else s"concat('{', concat_ws(',', ${pairs.mkString(", ")}), '}')"
+          // duplicate keys are an error in the reference regardless of
+          // the UNIQUE KEYS option (it cannot construct a duplicate-key
+          // object); only the error message differs
+          if (parsed.length > 1) {
+            val keys = parsed.map { case (k, _, _, _) => frag(k) }.mkString(", ")
+            val msg =
+              if (uniqueKeys) "duplicate key passed to JSON_OBJECT function"
+              else "cannot construct a JSON object with duplicate key"
+            s"IF(size(array_distinct(array($keys))) < ${parsed.length}, " +
+              s"raise_error('$msg'), $obj)"
+          } else obj
         } else {
-          val elems = items.map { case (v, raw) =>
-            val vf = if (raw || jsonValued.pattern.matcher(v).matches())
-              s"($v)" else frag(v)
+          val elems = items.map { case (v, fmt, enc) =>
+            val vf = valFrag(v, fmt, enc)
             if (absent) s"CASE WHEN ($v) IS NULL THEN NULL ELSE $vf END"
             else s"CASE WHEN ($v) IS NULL THEN 'null' ELSE $vf END"
           }
           if (elems.isEmpty) "'[]'"
           else s"concat('[', concat_ws(',', ${elems.mkString(", ")}), ']')"
         }
-      val full = returning match {
-        case Some(t) => s"CAST($rendered AS $t)"
-        case None => rendered
+      val full = (returning, retEncoding) match {
+        case (Some(_), Some(e)) =>
+          // RETURNING varbinary FORMAT JSON ENCODING UTFxx
+          s"graft_encode($rendered, '${encCharset(e)}')"
+        case (Some(t), None) => s"CAST($rendered AS ${renameType(t)})"
+        case _ => rendered
       }
       out = out.substring(0, m.get.start) + full + out.substring(close + 1)
       m = re.findFirstMatchIn(out)

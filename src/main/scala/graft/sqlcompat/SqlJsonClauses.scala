@@ -39,7 +39,7 @@ object SqlJsonClauses {
   private val fnRe = "(?i)\\bjson_(value|query|exists)\\s*\\(".r
   private val clauseKw =
     ("(?is).*\\b(PASSING|RETURNING|DEFAULT|ON\\s+EMPTY|ON\\s+ERROR|" +
-      "WRAPPER|QUOTES)\\b.*").r
+      "WRAPPER|QUOTES|FORMAT\\s+JSON)\\b.*").r
 
   def pass(canon0: String): String = {
     val sb = new StringBuilder
@@ -163,11 +163,11 @@ object SqlJsonClauses {
 
   private def rewrite(fn: String, body: String): String = {
     val cur = new Cursor(body)
-    // input argument (optionally FORMAT JSON)
+    // input argument (optionally FORMAT JSON [ENCODING UTF8|16|32])
     var input = tws(cur.until(Seq.empty, stopComma = true))
     if (cur.pos >= body.length) bail("missing path argument")
     cur.pos += 1 // the comma
-    input = stripFormatJson(input)
+    input = decodeFormatJson(input)
     cur.skipWs()
     val pathM = sentinelRe.findFirstMatchIn(body.substring(cur.pos))
       .getOrElse(bail("path must be a string literal"))
@@ -205,8 +205,12 @@ object SqlJsonClauses {
           val nameM = ("^\"([^\"]+)\"|^`([^`]+)`|" +
             "^([A-Za-z_][A-Za-z0-9_]*)").r
             .findFirstMatchIn(rest).getOrElse(bail("expected PASSING name"))
+          // bare names canonicalize to UPPER CASE per the standard
+          // (reference: PASSING 2 AS number does NOT bind $number —
+          // "Try quoting to match case"); quoted names stay exact
           val name = Option(nameM.group(1))
-            .orElse(Option(nameM.group(2))).getOrElse(nameM.group(3))
+            .orElse(Option(nameM.group(2)))
+            .getOrElse(nameM.group(3).toUpperCase)
           cur.pos += nameM.end
           var expr = tws(expr0)
           val fmtTail = "(?is)\\s*FORMAT\\s+JSON\\s*$"
@@ -284,7 +288,7 @@ object SqlJsonClauses {
       case Some(t) if t.equalsIgnoreCase("boolean") =>
         s"(CASE WHEN lower($x) IN ('true', 'false') THEN CAST($x AS BOOLEAN) " +
           s"ELSE CAST($x AS DOUBLE) <> 0 END)"
-      case Some(t) => s"CAST($x AS $t)"
+      case Some(t) => s"CAST($x AS ${Dialect.renameType(t)})"
       case None => x
     }
     def arm(b: Behavior, what: String): String = b match {
@@ -307,9 +311,22 @@ object SqlJsonClauses {
         val call = s"graft_json_value_x($input, $path, $varsExpr)"
         val emptyArm = arm(onEmpty.getOrElse(BNull), "ON EMPTY")
         val errArm = arm(onError.getOrElse(BNull), "ON ERROR")
-        s"(CASE WHEN $call.status = 1 THEN $emptyArm " +
-          s"WHEN $call.status = 2 THEN $errArm " +
-          s"ELSE ${castR(s"$call.value")} END)"
+        // RETURNING cast FAILURE is an ON ERROR condition in the
+        // reference (json_value('...','lax 1000' RETURNING tinyint) →
+        // NULL / DEFAULT, never a wrapped/overflowed value), so
+        // non-boolean RETURNING goes through TRY_CAST and a null
+        // result from a NON-null extracted value takes the error arm.
+        val castFailable = returning.exists(!_.equalsIgnoreCase("boolean"))
+        if (castFailable)
+          s"(CASE WHEN $call.status = 1 THEN $emptyArm " +
+            s"WHEN $call.status = 2 THEN $errArm " +
+            s"WHEN $call.value IS NULL THEN NULL " +
+            s"WHEN TRY_CAST($call.value AS ${Dialect.renameType(returning.get)}) IS NULL THEN $errArm " +
+            s"ELSE TRY_CAST($call.value AS ${Dialect.renameType(returning.get)}) END)"
+        else
+          s"(CASE WHEN $call.status = 1 THEN $emptyArm " +
+            s"WHEN $call.status = 2 THEN $errArm " +
+            s"ELSE ${castR(s"$call.value")} END)"
       case "query" =>
         val call =
           s"graft_json_query_x($input, $path, $varsExpr, $wrapper, $omitQuotes)"
@@ -323,4 +340,39 @@ object SqlJsonClauses {
 
   private def stripFormatJson(e: String): String =
     tws(e.replaceAll("(?is)\\s*FORMAT\\s+JSON\\s*$", ""))
+
+  private val encRe =
+    "(?is)\\s*FORMAT\\s+JSON(\\s+ENCODING\\s+UTF(8|16|32))?\\s*$".r
+
+  /** The Java charset for a SQL/JSON ENCODING keyword (the reference
+    * reads little-endian for UTF16/32, per its JsonInputFunctions). */
+  def charsetOf(enc: String): String = enc match {
+    case "8" => "UTF-8"
+    case "16" => "UTF-16LE"
+    case "32" => "UTF-32LE"
+  }
+
+  /** Normalize an input argument: strip `FORMAT JSON`; with an
+    * ENCODING the input is a binary string decoded through the named
+    * charset (graft_decode — Spark's decode() rejects UTF-32); a
+    * binary input without ENCODING reads as UTF-8 via CAST. A
+    * character-string input with ENCODING is left to fail loudly at
+    * analysis, like the reference's "Cannot read input of type
+    * varchar as JSON using formatting JSON ENCODING" error. */
+  private def decodeFormatJson(e0: String): String = {
+    encRe.findFirstMatchIn(e0) match {
+      case Some(m) if m.group(2) != null =>
+        val inner = tws(e0.substring(0, m.start))
+        if (sentinelRe.findFirstMatchIn(inner).isDefined)
+          bail("ENCODING on character string input") // keep raw → loud
+        s"graft_decode(($inner), '${charsetOf(m.group(2))}')"
+      case Some(m) =>
+        s"CAST((${tws(e0.substring(0, m.start))}) AS STRING)"
+      case None =>
+        // bare binary (X'..' hex literal) defaults to FORMAT JSON UTF-8
+        if (e0.matches("(?s)^[Xx]\\s*\\d+$"))
+          s"CAST(($e0) AS STRING)"
+        else e0
+    }
+  }
 }

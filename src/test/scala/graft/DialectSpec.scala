@@ -163,16 +163,19 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("SQL/JSON 2016 RETURNING clause becomes an outer CAST") {
+    // TRY_CAST (r17): a RETURNING cast failure is the standard's ON
+    // ERROR condition, whose json_value default is NULL — never an
+    // ANSI cast error or a wrapped value
     assert(Dialect.translate(
       "SELECT json_value(doc, 'lax $.a' RETURNING BIGINT) FROM t")
-      == "SELECT CAST(json_value(doc, 'lax $.a') AS BIGINT) FROM t")
+      == "SELECT TRY_CAST(json_value(doc, 'lax $.a') AS BIGINT) FROM t")
     // reference type spellings are renamed inside the generated CAST
     assert(Dialect.translate(
       "SELECT json_value(doc, '$.a' RETURNING varchar) FROM t")
-      == "SELECT CAST(json_value(doc, '$.a') AS string) FROM t")
+      == "SELECT TRY_CAST(json_value(doc, '$.a') AS string) FROM t")
     assert(Dialect.translate(
       "SELECT json_value(doc, '$.a' RETURNING DECIMAL(10,2)) FROM t")
-      == "SELECT CAST(json_value(doc, '$.a') AS DECIMAL(10,2)) FROM t")
+      == "SELECT TRY_CAST(json_value(doc, '$.a') AS DECIMAL(10,2)) FROM t")
     // no RETURNING → untouched
     assert(Dialect.translate("SELECT json_value(doc, '$.a') FROM t")
       == "SELECT json_value(doc, '$.a') FROM t")
