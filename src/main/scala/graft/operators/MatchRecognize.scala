@@ -194,7 +194,9 @@ object MatchRecognize {
       val start: Int,
       labelsRev: List[String], // labels of rows start..i-1, most recent first
       currentVar: String,
-      subsets: Map[String, Set[String]]) {
+      subsets: Map[String, Set[String]],
+      /** The match under construction's MATCH_NUMBER() (1-based). */
+      val matchNumber: Long = 1L) {
     def row: Row = rows(i)
     def prev(n: Int = 1): Row = if (i - n >= 0) rows(i - n) else null
     def next(n: Int = 1): Row = if (i + n < rows.length) rows(i + n) else null
@@ -332,6 +334,17 @@ object MatchRecognize {
     /** `[LAST(]CLASSIFIER()[)]` under running semantics: the current
       * row's tentative label. */
     def classifierCurrent: String = MatchRecognize.realLabel(currentVar)
+
+    /** `PREV(CLASSIFIER()[, n])`: the label of the nth-previous
+      * PHYSICAL row — null when that row precedes the match's start
+      * (rows outside the match carry no label, SQL:2016). */
+    def classifierPrev(n: Int = 1): String = {
+      if (n <= 0) return classifierCurrent
+      var l = labelsRev
+      var k = 1
+      while (k < n && l.nonEmpty) { l = l.tail; k += 1 }
+      if (l.isEmpty) null else MatchRecognize.realLabel(l.head)
+    }
   }
 
   // ------------------------------------------------------ pattern AST
@@ -829,7 +842,8 @@ object MatchRecognize {
                   // every row (SQL:2016; reference TestRowPatternMatching
                   // "A defaults to True, matches any row").
                   case None => true
-                  case Some(f) => f(new MatchCtx(buf, j, startIdx, accRev, v, subs))
+                  case Some(f) =>
+                    f(new MatchCtx(buf, j, startIdx, accRev, v, subs, matchNo + 1))
                 }
               val m = matchFrom(pat, i, n, classify, memoOk = hFree)
               if (m != null && m.length > 0) {
@@ -947,6 +961,17 @@ object MatchRecognize {
       * matched each row. */
     final case class ClassifierArray(variable: Option[String] = None,
         isFinal: Boolean = false) extends SqlMeasure
+    /** RUNNING/FINAL aggregate over a COMPUTED per-row value —
+      * `eval(row, realLabel, matchNo)` feeds the accumulator
+      * (reference TestExpressionRewriteInRowPatternMatching:
+      * `sum(array_max(ARRAY[MATCH_NUMBER()]))`,
+      * `bool_or(CLASSIFIER() LIKE '%B')`). Result types:
+      * sum/min/max BIGINT (integral feeds only), count BIGINT,
+      * avg DOUBLE, bool_or/bool_and BOOLEAN. */
+    final case class AggEval(fn: String,
+        eval: (Row, String, Long) => Any,
+        variable: Option[String] = None,
+        isFinal: Boolean = false) extends SqlMeasure
   }
 
   /** Streaming accumulator for one measure aggregate: feed rows in
@@ -955,8 +980,59 @@ object MatchRecognize {
     * fractional in a sequential left-fold Double (deterministic across
     * partitionings — match order is total). Nulls are ignored, SQL
     * aggregate semantics; a prefix of only-null values yields null. */
+  private sealed trait RunAccum { def value: Any }
+
+  /** Accumulator for [[SqlMeasure.AggEval]] — running aggregate over a
+    * COMPUTED per-row value (sum/min/max/count Long-exact, avg double,
+    * bool_or/bool_and three-valued). Fractional feeds under sum/min/
+    * max fail loud: the declared result type is LongType. */
+  private final class RunAggEval(fn: String) extends RunAccum {
+    private var n = 0L
+    private var sL = 0L
+    private var mnL = Long.MaxValue
+    private var mxL = Long.MinValue
+    private var acc = fn != "bool_or" // bool_and zero; bool_or false
+    def update(v: Any): Unit = {
+      if (v == null) return
+      n += 1
+      v match {
+        case b: java.lang.Boolean =>
+          if (fn != "bool_or" && fn != "bool_and")
+            throw new IllegalArgumentException(
+              s"measure $fn over a boolean computed argument")
+          acc = if (fn == "bool_or") acc || b.booleanValue()
+          else acc && b.booleanValue()
+        case x: Number =>
+          x match {
+            case _: java.lang.Double | _: java.lang.Float =>
+              throw new IllegalArgumentException(
+                s"measure $fn over a fractional computed argument is " +
+                  "unsupported (declared result type is BIGINT)")
+            case _ => ()
+          }
+          val l = x.longValue()
+          sL = java.lang.Math.addExact(sL, l)
+          if (l < mnL) mnL = l
+          if (l > mxL) mxL = l
+        case o => throw new IllegalArgumentException(
+          s"measure $fn: unsupported computed value ${o.getClass.getSimpleName}")
+      }
+    }
+    def value: Any = fn match {
+      case "count" => n
+      case _ if n == 0 => null
+      case "sum" => sL
+      case "min" => mnL
+      case "max" => mxL
+      case "avg" => sL.toDouble / n
+      case "bool_or" | "bool_and" => acc
+      case other => throw new IllegalArgumentException(
+        s"unsupported computed-argument aggregate '$other'")
+    }
+  }
+
   private final class RunAgg(fn: String, colName: String, kind: Int,
-      offset: Int = 0) {
+      offset: Int = 0) extends RunAccum {
     // kind: 0 = integral (exact Long), 1 = fractional (Double),
     //       2 = string (first/last/min/max only — enforced at analysis)
     private def integral: Boolean = kind == 0
@@ -1308,6 +1384,11 @@ object MatchRecognize {
       case (SqlMeasure.ClassifierArray(_, _), a) =>
         StructField(a, ArrayType(StringType, containsNull = false),
           nullable = true)
+      case (SqlMeasure.AggEval(fn, _, _, _), a) => StructField(a, fn match {
+        case "avg" => DoubleType
+        case "bool_or" | "bool_and" => BooleanType
+        case _ => LongType
+      }, nullable = true)
     }
     val keyCols = if (allRows) partCols ++ orderCols else partCols
     val restCols =
@@ -1324,6 +1405,11 @@ object MatchRecognize {
       case (SqlMeasure.Agg(_, _, v, _), _) => v
       case (SqlMeasure.FinalAgg(_, _, v, _), _) => v
       case _ => None
+    }
+    // computed-argument aggregates (evaluated per fed row)
+    val evFns: IndexedSeq[SqlMeasure.AggEval] = measures.toIndexedSeq.map {
+      case (e: SqlMeasure.AggEval, _) => e
+      case _ => null
     }
     val subsForVars = subsets
     // a val lambda, not a def: a local def lifts to a method of this
@@ -1359,9 +1445,10 @@ object MatchRecognize {
       runCore(df, partCols, orderCols, pattern, define, skip, subsets, null,
         emitEmptyOne, historyFree) {
         (matchNo, buf, i, m) =>
-          val aggs = meas.map {
+          val aggs: Seq[RunAccum] = meas.map {
             case (SqlMeasure.Agg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)
             case (SqlMeasure.FinalAgg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)
+            case (e: SqlMeasure.AggEval, _) => new RunAggEval(e.fn)
             case _ => null
           }
           var k = 0
@@ -1369,8 +1456,14 @@ object MatchRecognize {
             val r = buf(i + k)
             var ai = 0
             while (ai < aggs.length) {
-              val a = aggs(ai)
-              if (a != null && varOk(aggVars(ai), m(k))) a.update(r)
+              aggs(ai) match {
+                case a: RunAgg if varOk(aggVars(ai), m(k)) => a.update(r)
+                case a: RunAggEval =>
+                  val e = evFns(ai)
+                  if (varOk(e.variable, m(k)))
+                    a.update(e.eval(r, realLabel(m(k)), matchNo))
+                case _ => ()
+              }
               ai += 1
             }
             k += 1
@@ -1425,6 +1518,7 @@ object MatchRecognize {
             case (SqlMeasure.FinalAgg(_, _, _, _), _) => null
             case (SqlMeasure.ArrayAggCol(_, _, _), _) => null
             case (SqlMeasure.ClassifierArray(_, _), _) => null
+            case (SqlMeasure.AggEval(_, _, _, _), _) => null
           }
           Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv ++
             rCols.map(c => r.get(r.fieldIndex(c))))
@@ -1439,8 +1533,9 @@ object MatchRecognize {
       runCore(df, partCols, orderCols, pattern, define, skip, subsets,
         emitUnmatchedFn, emitEmptyFn, historyFree) {
         (matchNo, buf, i, m) =>
-          val aggs = meas.map {
+          val aggs: Seq[RunAccum] = meas.map {
             case (SqlMeasure.Agg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)
+            case (e: SqlMeasure.AggEval, _) if !e.isFinal => new RunAggEval(e.fn)
             case _ => null
           }
           // FINAL measures: one whole-match pass up front, every
@@ -1451,6 +1546,15 @@ object MatchRecognize {
               var k = 0
               while (k < m.length) {
                 if (varOk(v, m(k))) a.update(buf(i + k))
+                k += 1
+              }
+              a.value
+            case (e: SqlMeasure.AggEval, _) if e.isFinal =>
+              val a = new RunAggEval(e.fn)
+              var k = 0
+              while (k < m.length) {
+                if (varOk(e.variable, m(k)))
+                  a.update(e.eval(buf(i + k), realLabel(m(k)), matchNo))
                 k += 1
               }
               a.value
@@ -1500,8 +1604,14 @@ object MatchRecognize {
             val r = buf(i + k)
             var ai = 0
             while (ai < aggs.length) { // excluded rows feed RUNNING
-              val a = aggs(ai)
-              if (a != null && varOk(aggVars(ai), m(k))) a.update(r)
+              aggs(ai) match {
+                case a: RunAgg if varOk(aggVars(ai), m(k)) => a.update(r)
+                case a: RunAggEval =>
+                  val e = evFns(ai)
+                  if (varOk(e.variable, m(k)))
+                    a.update(e.eval(r, realLabel(m(k)), matchNo))
+                case _ => ()
+              }
               if (runArr(ai) != null) meas(ai)._1 match {
                 case SqlMeasure.ArrayAggCol(c, v, _) =>
                   if (varOk(v, m(k))) runArr(ai) += r.get(r.fieldIndex(c))
@@ -1521,6 +1631,7 @@ object MatchRecognize {
                 case ((((SqlMeasure.VarCount(v, fin), _), _), _), _) =>
                   (if (fin) varCountPref(v)(m.length) else varCountPref(v)(k + 1)).toLong
                 case ((((SqlMeasure.FinalAgg(_, _, _, _), _), _), fv), _) => fv
+                case ((((e: SqlMeasure.AggEval, _), _), fv), _) if e.isFinal => fv
                 case ((((SqlMeasure.ArrayAggCol(_, _, fin), _), _), _), mi) =>
                   if (fin) finalArr(mi)
                   else if (runArr(mi).isEmpty) null else runArr(mi).toList

@@ -661,13 +661,74 @@ object Dialect {
             c == '\u0001' || c == '\u0002'
         }) s0 -= 1
       }
+      // extend the captured operand left over an arithmetic chain
+      // (`t.x + u.x > ALL (...)` — reference TestJoin
+      // testQuantifiedComparisonInJoinCriteria); a keyword stops the
+      // extension so `WHERE -x > ALL` does not swallow WHERE
+      val kwStop = Set("WHERE", "ON", "AND", "OR", "NOT", "WHEN", "THEN",
+        "ELSE", "SELECT", "BY", "HAVING", "SET", "CASE", "END", "IN",
+        "BETWEEN", "LIKE", "IS", "ALL", "ANY", "SOME")
+      var extend = true
+      while (extend) {
+        extend = false
+        var p = s0
+        while (p > 0 && out.charAt(p - 1).isWhitespace) p -= 1
+        if (p > 0 && "+-*/%".indexOf(out.charAt(p - 1)) >= 0) {
+          var p2 = p - 1
+          while (p2 > 0 && out.charAt(p2 - 1).isWhitespace) p2 -= 1
+          if (p2 > 0 && out.charAt(p2 - 1) == ')') {
+            var dp = 0
+            var k2 = p2 - 1
+            var done2 = false
+            while (k2 >= 0 && !done2) {
+              val c = out.charAt(k2)
+              if (c == ')') dp += 1
+              else if (c == '(') { dp -= 1; if (dp == 0) done2 = true }
+              if (!done2) k2 -= 1
+            }
+            var s1 = k2
+            while (s1 > 0 && (out.charAt(s1 - 1).isLetterOrDigit ||
+              out.charAt(s1 - 1) == '_')) s1 -= 1
+            s0 = s1; extend = true
+          } else if (p2 > 0 && {
+            val c = out.charAt(p2 - 1)
+            c.isLetterOrDigit || c == '_' || c == '.' || c == ''
+          }) {
+            var s1 = p2
+            while (s1 > 0 && {
+              val c = out.charAt(s1 - 1)
+              c.isLetterOrDigit || c == '_' || c == '.' ||
+                c == '' || c == ''
+            }) s1 -= 1
+            val tok = out.substring(s1, p2).toUpperCase
+            if (!kwStop(tok)) { s0 = s1; extend = true }
+          }
+        }
+      }
       val lhs = out.substring(s0, e).trim
       require(lhs.nonEmpty,
         s"cannot capture the quantified-comparison operand in: $canon0")
       val nullB = "CAST(NULL AS BOOLEAN)"
       def cnt(extra: String) =
         s"(SELECT count(1) FROM ($sub) __qsub(__qc)$extra)"
-      val rep =
+      // constant-list fast path: `op ALL/ANY (VALUES <literals>)` with
+      // no NULL literal lowers to a pure AND/OR chain — null-correct
+      // (non-null constants, so only a NULL lhs is UNKNOWN) and legal
+      // where correlated scalar subqueries are not, e.g. inside a JOIN
+      // condition (reference TestJoin
+      // testQuantifiedComparisonInJoinCriteria)
+      val litTok = "(?:-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?|\\d+)"
+      val constList: Option[Seq[String]] =
+        if (sub.matches(s"(?is)^\\s*VALUES\\s+$litTok(\\s*,\\s*$litTok)*\\s*$$"))
+          Some(MatchRecognizeSql.splitTopLevel(
+            sub.replaceAll("(?is)^\\s*VALUES", ""), ',').map(_.trim))
+        else None
+      val rep = constList match {
+        case Some(items) =>
+          val join = if (quant == "ALL") " AND " else " OR "
+          val body = items.map(c => s"(($lhs) $op $c)").mkString(join)
+          s"(CASE WHEN ($lhs) IS NULL THEN $nullB ELSE ($body) END)"
+        case None =>
         if (quant == "ALL")
           s"(CASE WHEN ${cnt("")} = 0 THEN TRUE" +
             s" WHEN ($lhs) IS NULL THEN $nullB" +
@@ -680,6 +741,7 @@ object Dialect {
             s" WHEN ${cnt(s" WHERE ($lhs) $op __qc")} > 0 THEN TRUE" +
             s" WHEN ${cnt(" WHERE __qc IS NULL")} > 0 THEN $nullB" +
             " ELSE FALSE END)"
+      }
       out = out.substring(0, s0) + rep + out.substring(i)
       m = re.findFirstMatchIn(out)
     }
@@ -698,6 +760,119 @@ object Dialect {
     }
     require(depth == 0, s"unbalanced parentheses in: $s")
     i - 1
+  }
+
+  /** INNER-join ON conditions carrying an `IN (SELECT …)` subquery
+    * (reference TestJoin testInPredicateInJoinCriteria — the subquery
+    * may correlate to BOTH join inputs, which Spark's
+    * RewritePredicateSubquery rejects inside a join predicate): for an
+    * INNER join `A JOIN B ON cond` ≡ `A JOIN B ON true WHERE cond`, so
+    * the whole condition relocates to the block's WHERE (Catalyst
+    * pushes the non-subquery conjuncts straight back into the join).
+    * Outer joins keep their ON: relocation would change semantics;
+    * Spark natively covers their uncorrelated forms and rejects the
+    * correlated ones, exactly like the reference. Runs BEFORE
+    * inValuesPass so `IN (VALUES …)` (which Spark handles natively in
+    * ON once wrapped) is not swept up. */
+  private def innerJoinOnSubqueryPass(canon0: String): String = {
+    val joinRe = "(?i)\\bJOIN\\b".r
+    val inSubRe = "(?is)\\bIN\\s*\\(\\s*SELECT\\b".r
+    val stopRe = ("(?is)^(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|WHERE|GROUP|" +
+      "HAVING|WINDOW|ORDER|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|ON)\\b").r
+    var out = canon0
+    var searchFrom = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val m = joinRe.findFirstMatchIn(out.substring(searchFrom))
+      if (m.isEmpty) return out
+      val jPos = searchFrom + m.get.start
+      // depth of this JOIN's query block
+      var d = 0
+      var q = 0
+      while (q < jPos) {
+        val c = out.charAt(q)
+        if (c == '(') d += 1 else if (c == ')') d -= 1
+        q += 1
+      }
+      // outer/cross joins keep their ON
+      val before = out.substring(0, jPos)
+      val prevWord = "(?is)([A-Za-z_]+)\\s*$".r.findFirstMatchIn(before)
+        .map(_.group(1).toUpperCase).getOrElse("")
+      val isInner = !Set("LEFT", "RIGHT", "FULL", "CROSS", "OUTER")(prevWord)
+      // find this join's ON at the same depth (before any stop keyword)
+      var i = jPos + 4
+      var dd = d
+      var onPos = -1
+      while (i < out.length && onPos < 0) {
+        val c = out.charAt(i)
+        if (c == '(') dd += 1
+        else if (c == ')') { dd -= 1; if (dd < d) i = out.length }
+        else if (dd == d && c.isLetter &&
+          (!out.charAt(i - 1).isLetterOrDigit && out.charAt(i - 1) != '_')) {
+          stopRe.findPrefixMatchOf(out.substring(i)).foreach { sm =>
+            if (sm.group(1).equalsIgnoreCase("ON")) onPos = i
+            else i = out.length
+          }
+        }
+        i += 1
+      }
+      if (!isInner || onPos < 0) searchFrom = jPos + 4
+      else {
+        // condition extent: up to the next same-depth stop keyword or
+        // the block's closing paren
+        var j = onPos + 2
+        var d2 = d
+        var condEnd = out.length
+        while (j < out.length && condEnd == out.length) {
+          val c = out.charAt(j)
+          if (c == '(') d2 += 1
+          else if (c == ')') { d2 -= 1; if (d2 < d) condEnd = j }
+          else if (d2 == d && c.isLetter &&
+            (!out.charAt(j - 1).isLetterOrDigit && out.charAt(j - 1) != '_')) {
+            if (stopRe.findPrefixMatchOf(out.substring(j)).isDefined) condEnd = j
+          }
+          j += 1
+        }
+        val cond = out.substring(onPos + 2, condEnd)
+        if (inSubRe.findFirstIn(cond).isEmpty) searchFrom = condEnd
+        else {
+          // locate (or create) the block's WHERE after the FROM clause
+          var k = condEnd
+          var d3 = d
+          var wherePos = -1
+          var insertAt = out.length
+          while (k < out.length && wherePos < 0 && insertAt == out.length) {
+            val c = out.charAt(k)
+            if (c == '(') d3 += 1
+            else if (c == ')') { d3 -= 1; if (d3 < d) insertAt = k }
+            else if (d3 == d && c.isLetter &&
+              (!out.charAt(k - 1).isLetterOrDigit && out.charAt(k - 1) != '_')) {
+              stopRe.findPrefixMatchOf(out.substring(k)).foreach { sm =>
+                sm.group(1).toUpperCase match {
+                  case "WHERE" => wherePos = k
+                  case "INNER" | "LEFT" | "RIGHT" | "FULL" | "CROSS" |
+                       "JOIN" | "ON" => () // still in the FROM clause
+                  case _ => insertAt = k
+                }
+              }
+            }
+            k += 1
+          }
+          out =
+            if (wherePos >= 0)
+              out.substring(0, onPos) + "ON true " +
+                out.substring(condEnd, wherePos) +
+                s"WHERE ($cond) AND " + out.substring(wherePos + 5)
+            else
+              out.substring(0, onPos) + "ON true " +
+                out.substring(condEnd, insertAt) +
+                s" WHERE ($cond) " + out.substring(insertAt)
+          searchFrom = 0
+        }
+      }
+    }
+    out
   }
 
   /** `x IN (VALUES r1, r2, …)` — the reference's inline-table IN form.
@@ -1828,6 +2003,7 @@ object Dialect {
     out = unnestJoinPass(out)
     out = projectedInPass(out)
     out = quantifiedPass(out)
+    out = innerJoinOnSubqueryPass(out)
     out = inValuesPass(out)
     out = reduceAggPass(out)
     out = unnestRelationPass(out)

@@ -271,20 +271,49 @@ object MatchRecognizeSql {
           val am = asRe.findFirstMatchIn(mtxt).getOrElse(fail(
             s"unsupported measure: '$mtxt' (expect <primitive or arithmetic> AS alias)"))
           val alias = am.group(2)
-          val rewritten = primGlobal.replaceAllIn(am.group(1), m => {
-            val p = primitiveOf(m, mtxt)
-            hidden.getOrElseUpdate(p, s"__m${hidden.size}")
-          })
-          // COALESCE over primitives is allowed (reference
-          // testPeriodLength: COALESCE(sum(C.x) - sum(A.x), 0)) —
-          // Catalyst computes it over the hidden columns
-          val leftover = rewritten.replaceAll("__m\\d+", "")
-            .replaceAll("(?i)\\bCOALESCE\\b", "")
-          if (!leftover.matches("[\\s0-9+\\-*/().,]*")) fail(
-            s"unsupported measure expression: '$mtxt' (only + - * / and " +
-              "COALESCE over primitives and numeric literals)")
-          computed += alias -> rewritten
-          declaredAliases += alias
+          // computed-ARGUMENT aggregates (reference
+          // TestExpressionRewriteInRowPatternMatching:
+          // sum(array_max(ARRAY[MATCH_NUMBER()])), bool_or(CLASSIFIER()
+          // LIKE '%B')): the argument compiles through the DEFINE
+          // aggregate-argument sub-language and the engine feeds it
+          // per matched row with RUNNING/FINAL semantics
+          val aggEvalRe = ("(?is)^(?:(RUNNING|FINAL)\\s+)?" +
+            "(SUM|MIN|MAX|AVG|COUNT|BOOL_OR|BOOL_AND)\\s*\\((.*)\\)\\s*$").r
+          val evTry = aggEvalRe.findFirstMatchIn(tws(am.group(1))).flatMap { em =>
+            scala.util.Try {
+              val (ev, scope) = DefineParser.compileAggArg(em.group(3))
+              SqlMeasure.AggEval(em.group(2).toLowerCase, ev, scope,
+                isFinal = Option(em.group(1)).exists(_.equalsIgnoreCase("FINAL")))
+            }.toOption
+          }
+          evTry match {
+            case Some(msr) =>
+              direct += msr -> alias
+              declaredAliases += alias
+            case None =>
+              val rewritten = arrayBrackets(
+                primGlobal.replaceAllIn(am.group(1), m => {
+                  val p = primitiveOf(m, mtxt)
+                  hidden.getOrElseUpdate(p, s"__m${hidden.size}")
+                }))
+              // Catalyst computes the expression over the hidden
+              // primitive columns — any deterministic SCALAR expression
+              // is running-correct (the hidden columns already carry
+              // running values per row), so the allowlist covers
+              // COALESCE, conditionals, LIKE, boolean logic, array
+              // constructors/array_max-min, comparisons, and literals
+              // (reference testDesugarArrayConstructor/DesugarLike/
+              // SimplifyExpressions)
+              val leftover = rewritten.replaceAll("__m\\d+", "")
+                .replaceAll("'[^']*'", "")
+                .replaceAll("(?i)\\b(COALESCE|ARRAY_MAX|ARRAY_MIN|ARRAY|IF|" +
+                  "LIKE|OR|AND|NOT|TRUE|FALSE|CASE|WHEN|THEN|ELSE|END)\\b", "")
+              if (!leftover.matches("[\\s0-9+\\-*/().,<>=!\\u0001\\u0002]*")) fail(
+                s"unsupported measure expression: '$mtxt' (scalar expressions " +
+                  "over primitives, literals, and the documented function set)")
+              computed += alias -> rewritten
+              declaredAliases += alias
+          }
       }
     }
     val measures: Seq[(SqlMeasure, String)] =
@@ -325,6 +354,34 @@ object MatchRecognizeSql {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE SQL: $msg")
+
+  private def tws(x: String): String =
+    x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+
+  /** `ARRAY[a, b]` → `array(a, b)` (Spark has no bracket constructor);
+    * nesting-aware. */
+  private def arrayBrackets(txt0: String): String = {
+    var txt = txt0
+    val re = "(?i)\\bARRAY\\s*\\[".r
+    var m = re.findFirstMatchIn(txt)
+    var guard = 0
+    while (m.isDefined && guard < 64) {
+      guard += 1
+      val mm = m.get
+      var d = 0; var i = mm.end - 1; var close = -1
+      while (i < txt.length && close < 0) {
+        val c = txt.charAt(i)
+        if (c == '[') d += 1
+        else if (c == ']') { d -= 1; if (d == 0) close = i }
+        i += 1
+      }
+      require(close > 0, s"unbalanced ARRAY[ in measure: $txt")
+      txt = txt.substring(0, mm.start) + "array(" +
+        txt.substring(mm.end, close) + ")" + txt.substring(close + 1)
+      m = re.findFirstMatchIn(txt)
+    }
+    txt
+  }
 
   /** Index of the ')' matching the '(' at `open` (string-literal aware).
     * Shared with the other sqlcompat front-ends. */
@@ -397,8 +454,8 @@ object MatchRecognizeSql {
       if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
+        case '(' | '[' => depth += 1 // brackets: ARRAY[...] / subscripts
+        case ')' | ']' => depth -= 1
         case `sep` if depth == 0 => out += s.substring(start, i); start = i + 1
         case _ =>
       }
@@ -435,14 +492,21 @@ private object DefineParser extends Serializable {
   def compile(src: String, currentVar: String): MatchCtx => Boolean =
     new DefineParser(src, currentVar).parse()
 
+  /** Compile ONE aggregate-argument expression (the MEASURES
+    * front-end's computed-argument aggregates share the DEFINE
+    * aggregate-argument sub-language): (row, realLabel, matchNo) =>
+    * value, plus the pattern-variable scope the argument references. */
+  def compileAggArg(src: String): ((Row, String, Long) => Any, Option[String]) =
+    new DefineParser(src, "").parseAggArgToEnd()
+
   // ------- generalized running aggregates (computed arguments) -------
   // Evaluated through ctx.foldMatch — each NFA thread folds its OWN
   // label history, so the per-thread aggregation-state copying the
   // reference performs at alternation forks
   // (TestCopyAggregationStateInRowPatternMatching) is structural here.
 
-  /** Per-feed-row evaluator: (row, real label) => value. */
-  type AggEvalF = (Row, String) => Any
+  /** Per-feed-row evaluator: (row, real label, match number) => value. */
+  type AggEvalF = (Row, String, Long) => Any
 
   /** Map keys normalize numerics to Double (exact to 2^53 — pattern
     * keys are row ids, not epoch nanos) so a BIGINT column key and a
@@ -490,7 +554,7 @@ private object DefineParser extends Serializable {
   def runNumAgg(ctx: MatchCtx, fn: String, v: Option[String], e: AggEvalF): Any = {
     var n = 0L; var sumL = 0L; var sumD = 0.0; var frac = false
     ctx.foldMatch(v) { (r, l) =>
-      val value = e(r, l)
+      val value = e(r, l, ctx.matchNumber)
       if (value != null) {
         n += 1
         if (fn != "count") value match {
@@ -513,7 +577,7 @@ private object DefineParser extends Serializable {
   def runMinMax(ctx: MatchCtx, isMin: Boolean, v: Option[String], e: AggEvalF): Any = {
     var best: Any = null
     ctx.foldMatch(v) { (r, l) =>
-      val value = e(r, l)
+      val value = e(r, l, ctx.matchNumber)
       if (value != null && (best == null || {
         val c = cmpVals(value, best); if (isMin) c < 0 else c > 0
       })) best = value
@@ -527,7 +591,8 @@ private object DefineParser extends Serializable {
   def runMinMaxN(ctx: MatchCtx, isMin: Boolean, v: Option[String],
       e: AggEvalF, nCap: Int): Any = {
     val buf = scala.collection.mutable.ArrayBuffer[Any]()
-    ctx.foldMatch(v) { (r, l) => val x = e(r, l); if (x != null) buf += x }
+    ctx.foldMatch(v) { (r, l) =>
+      val x = e(r, l, ctx.matchNumber); if (x != null) buf += x }
     if (buf.isEmpty) null
     else buf.sortWith((a, b) =>
       if (isMin) cmpVals(a, b) < 0 else cmpVals(a, b) > 0).take(nCap).toSeq
@@ -535,7 +600,7 @@ private object DefineParser extends Serializable {
 
   def runArrayAgg(ctx: MatchCtx, v: Option[String], e: AggEvalF): Any = {
     val buf = scala.collection.mutable.ArrayBuffer[Any]()
-    ctx.foldMatch(v)((r, l) => buf += e(r, l)) // array_agg keeps nulls
+    ctx.foldMatch(v)((r, l) => buf += e(r, l, ctx.matchNumber)) // array_agg keeps nulls
     if (buf.isEmpty) null else buf.toSeq
   }
 
@@ -546,7 +611,8 @@ private object DefineParser extends Serializable {
       ve: AggEvalF, ke: AggEvalF, nOpt: Option[Int]): Any = {
     val buf = scala.collection.mutable.ArrayBuffer[(Any, Any)]()
     ctx.foldMatch(v) { (r, l) =>
-      val k = ke(r, l); if (k != null) buf += ((k, ve(r, l)))
+      val k = ke(r, l, ctx.matchNumber)
+      if (k != null) buf += ((k, ve(r, l, ctx.matchNumber)))
     }
     if (buf.isEmpty) null
     else nOpt match {
@@ -569,9 +635,9 @@ private object DefineParser extends Serializable {
       ke: AggEvalF, ve: AggEvalF): Any = {
     val m = scala.collection.mutable.LinkedHashMap[Any, Any]()
     ctx.foldMatch(v) { (r, l) =>
-      val k0 = ke(r, l)
+      val k0 = ke(r, l, ctx.matchNumber)
       if (k0 != null) { // null keys skipped, reference map_agg semantics
-        val k = normKey(k0); val x = ve(r, l)
+        val k = normKey(k0); val x = ve(r, l, ctx.matchNumber)
         if (multi) m.getOrElseUpdate(k,
           scala.collection.mutable.ArrayBuffer[Any]())
           .asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += x
@@ -588,7 +654,7 @@ private object DefineParser extends Serializable {
     val m = scala.collection.mutable.HashMap[Any, Any]()
     var any = false
     ctx.foldMatch(v) { (r, l) =>
-      e(r, l) match {
+      e(r, l, ctx.matchNumber) match {
         case null => ()
         case mm: scala.collection.Map[_, _] =>
           any = true
@@ -600,6 +666,52 @@ private object DefineParser extends Serializable {
       }
     }
     if (!any) null else m.toMap
+  }
+
+  /** `bool_or` / `bool_and` over a computed boolean feed; SQL
+    * semantics: nulls skipped, empty feed is NULL. */
+  def runBoolAgg(ctx: MatchCtx, isOr: Boolean, v: Option[String],
+      e: AggEvalF): Any = {
+    var n = 0L
+    var acc = !isOr
+    ctx.foldMatch(v) { (r, l) =>
+      e(r, l, ctx.matchNumber) match {
+        case null => ()
+        case b: java.lang.Boolean =>
+          n += 1
+          acc = if (isOr) acc || b.booleanValue() else acc && b.booleanValue()
+        case o => throw new IllegalArgumentException(
+          s"bool aggregate needs a boolean argument, got ${o.getClass.getSimpleName}")
+      }
+    }
+    if (n == 0) null else Boolean.box(acc)
+  }
+
+  /** `array_max` / `array_min` over an array value (null elements
+    * skipped; empty/null array is NULL). */
+  def arrayMinMax(arr: Any, isMax: Boolean): Any = arr match {
+    case null => null
+    case s: Seq[_] =>
+      var best: Any = null
+      s.foreach { x =>
+        if (x != null && (best == null || {
+          val c = cmpVals(x, best); if (isMax) c > 0 else c < 0
+        })) best = x
+      }
+      best
+    case o => throw new IllegalArgumentException(
+      s"array_max/array_min needs an array, got ${o.getClass.getSimpleName}")
+  }
+
+  /** Compile a SQL LIKE pattern (%, _) to an anchored regex. */
+  def likeRegex(pat: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    pat.foreach {
+      case '%' => sb ++= ".*"
+      case '_' => sb += '.'
+      case c => sb ++= java.util.regex.Pattern.quote(c.toString)
+    }
+    java.util.regex.Pattern.compile(sb.toString, java.util.regex.Pattern.DOTALL)
   }
 
   /** `MAP(ARRAY[...], ARRAY[...])` constructor inside aggregate args. */
@@ -699,6 +811,25 @@ private object DefineParser extends Serializable {
           case "=" => c == 0
           case "<>" | "!=" => c != 0
         }
+      // array (in)equality: array_agg(CLASSIFIER()) = ARRAY['B','A','X']
+      // (reference TestExpressionRewriteInRowPatternMatching); numbers
+      // compare numerically, everything else structurally
+      case (x: Seq[_], y: Seq[_]) if op == "=" || op == "<>" || op == "!=" =>
+        val eq = x.length == y.length && x.iterator.zip(y.iterator).forall {
+          case (a1: Number, b1: Number) =>
+            if (DefineParser.isIntegral(a1) && DefineParser.isIntegral(b1))
+              a1.longValue() == b1.longValue()
+            else a1.doubleValue() == b1.doubleValue()
+          case (a1, b1) => a1 == b1
+        }
+        if (op == "=") eq else !eq
+      case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+        (op: @unchecked) match {
+          case "=" => x == y
+          case "<>" | "!=" => x != y
+          case _ => throw new IllegalArgumentException(
+            s"DEFINE: boolean operands support only = / <>, got $op")
+        }
       case _ => throw new IllegalArgumentException(
         s"DEFINE: incomparable operand types " +
           s"${a.getClass.getSimpleName} vs ${b.getClass.getSimpleName}")
@@ -767,6 +898,13 @@ private final class DefineParser(src: String, currentVar: String) {
     p
   }
 
+  private[sqlcompat] def parseAggArgToEnd(): (AggEval, Option[String]) = {
+    val r = aggExpr()
+    skipWs()
+    require(pos >= src.length, s"trailing input at $pos in aggregate argument '$src'")
+    r
+  }
+
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"DEFINE '$src': $msg (at $pos)")
 
@@ -833,11 +971,36 @@ private final class DefineParser(src: String, currentVar: String) {
       if (!eatWord("NULL")) fail("expected NULL after IS [NOT]")
       return ctx => (l(ctx) == null) != negated
     }
+    if (peekWord("LIKE")) { // expr LIKE 'pattern' (SQL %/_ wildcards)
+      pos += "LIKE".length
+      skipWs()
+      val re = DefineParser.likeRegex(stringLit())
+      return ctx => {
+        val v = l(ctx)
+        v != null && re.matcher(String.valueOf(v)).matches()
+      }
+    }
     val ops = Seq("<=", ">=", "<>", "!=", "<", ">", "=")
-    val op = ops.find(o => src.startsWith(o, pos)).getOrElse(fail("expected comparison"))
-    pos += op.length
-    val r = expr()
-    ctx => cmpAny(l(ctx), r(ctx), op)
+    ops.find(o => src.startsWith(o, pos)) match {
+      case Some(op) =>
+        pos += op.length
+        val r = expr()
+        ctx => cmpAny(l(ctx), r(ctx), op)
+      case None =>
+        // a bare boolean-valued expression IS the predicate
+        // (bool_or(CLASSIFIER() LIKE '%A') standalone in DEFINE —
+        // reference TestExpressionRewriteInRowPatternMatching);
+        // three-valued: null collapses to false
+        // throws directly, NOT via fail(): a fail() call would capture
+        // this (non-serializable) parser in the task closure
+        ctx => l(ctx) match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case null => false
+          case o => throw new IllegalArgumentException(
+            "DEFINE: expected comparison or boolean expression, " +
+              s"got ${o.getClass.getSimpleName}")
+        }
+    }
   }
 
   // expr := term (('+'|'-') term)* ; term := factor (('*'|'/') factor)*
@@ -921,9 +1084,63 @@ private final class DefineParser(src: String, currentVar: String) {
         val id = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected operand"))
         pos += id.length
         id.toUpperCase match {
+          case "MATCH_NUMBER" =>
+            expect('('); expect(')')
+            ctx => Long.box(ctx.matchNumber)
+          case "IF" =>
+            // lazily evaluated IF(cond, then, else) — the untaken arm
+            // is never computed (reference testSimplifyExpressions:
+            // IF(false, 0 / 0, MATCH_NUMBER()))
+            expect('(')
+            val c = pred()
+            skipWs(); expect(',')
+            val a = expr()
+            skipWs(); expect(',')
+            val b = expr()
+            expect(')')
+            ctx => if (c(ctx)) a(ctx) else b(ctx)
+          case "ARRAY" =>
+            skipWs()
+            if (pos >= src.length || src.charAt(pos) != '[') fail("expected [")
+            pos += 1
+            val items = scala.collection.mutable.ArrayBuffer[MatchCtx => Any]()
+            skipWs()
+            if (pos < src.length && src.charAt(pos) != ']') {
+              items += expr()
+              skipWs()
+              while (pos < src.length && src.charAt(pos) == ',') {
+                pos += 1; items += expr(); skipWs()
+              }
+            }
+            if (pos >= src.length || src.charAt(pos) != ']') fail("expected ]")
+            pos += 1
+            val evals = items.toIndexedSeq
+            ctx => evals.map(e => e(ctx)): Seq[Any]
+          case "BOOL_OR" | "BOOL_AND" =>
+            expect('(')
+            generalAggTail(id.toLowerCase)
           case "PREV" | "NEXT" =>
             val isPrev = id.equalsIgnoreCase("PREV")
             expect('(')
+            skipWs()
+            if (peekWord("CLASSIFIER")) {
+              // PREV/NEXT(CLASSIFIER()[, n]) — the nth physical
+              // neighbor's label; null outside the match
+              pos += "CLASSIFIER".length
+              expect('('); expect(')')
+              skipWs()
+              val n = if (pos < src.length && src.charAt(pos) == ',') {
+                pos += 1; skipWs()
+                val d = "^\\d+".r.findFirstIn(src.substring(pos))
+                  .getOrElse(fail("expected offset"))
+                pos += d.length; d.toInt
+              } else 1
+              expect(')')
+              usesHistory = true
+              if (!isPrev) fail("NEXT(CLASSIFIER()) is not supported " +
+                "(labels beyond the current row are not assigned yet)")
+              return ctx => ctx.classifierPrev(n)
+            }
             val (q, c) = qualifiedCol()
             if (q.exists(v => !v.equalsIgnoreCase(currentVar)))
               fail(s"PREV/NEXT argument must reference the defined variable, got '${q.get}.$c'")
@@ -1047,7 +1264,7 @@ private final class DefineParser(src: String, currentVar: String) {
   }
 
   // ------- generalized aggregate arguments (computed expressions) ----
-  private type AggEval = (Row, String) => Any
+  private type AggEval = (Row, String, Long) => Any
 
   private def mergeScope(a: Option[String], b: Option[String]): Option[String] =
     (a, b) match {
@@ -1057,6 +1274,97 @@ private final class DefineParser(src: String, currentVar: String) {
       case _ => b
     }
 
+  /** Full aggregate-argument EXPRESSION (reference
+    * TestExpressionRewriteInRowPatternMatching feeds predicates into
+    * bool_or/bool_and — `bool_or(CLASSIFIER() LIKE '%B')`,
+    * `bool_and(MATCH_NUMBER() / 0 > 0 AND false)`): OR > AND >
+    * comparison > additive > multiplicative > primary-with-LIKE.
+    * Arithmetic is null-propagating via DefineParser.arith (doubles
+    * divide IEEE — no raise), comparisons via cmpAny. */
+  private def aggExpr(): (AggEval, Option[String]) = {
+    var (acc, sc) = aggAnd()
+    while (peekWord("OR")) {
+      pos += 2
+      val (r, s2) = aggAnd()
+      sc = mergeScope(sc, s2)
+      val l = acc
+      acc = (row, lab, mn) => (l(row, lab, mn), r(row, lab, mn)) match {
+        case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+          Boolean.box(a.booleanValue() || b.booleanValue())
+        case (a, b) =>
+          if (a == null || b == null) null
+          else throw new IllegalArgumentException("OR needs boolean operands")
+      }
+    }
+    (acc, sc)
+  }
+
+  private def aggAnd(): (AggEval, Option[String]) = {
+    var (acc, sc) = aggCmp()
+    while (peekWord("AND")) {
+      pos += 3
+      val (r, s2) = aggCmp()
+      sc = mergeScope(sc, s2)
+      val l = acc
+      acc = (row, lab, mn) => (l(row, lab, mn), r(row, lab, mn)) match {
+        case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+          Boolean.box(a.booleanValue() && b.booleanValue())
+        case (a, b) =>
+          if (a == null || b == null) null
+          else throw new IllegalArgumentException("AND needs boolean operands")
+      }
+    }
+    (acc, sc)
+  }
+
+  private def aggCmp(): (AggEval, Option[String]) = {
+    val (l, s1) = aggAdd()
+    skipWs()
+    val ops = Seq("<=", ">=", "<>", "!=", "<", ">", "=")
+    ops.find(o => src.startsWith(o, pos)) match {
+      case Some(op) =>
+        pos += op.length
+        val (r, s2) = aggAdd()
+        (((row, lab, mn) =>
+          Boolean.box(DefineParser.cmpAny(l(row, lab, mn), r(row, lab, mn), op))): AggEval,
+          mergeScope(s1, s2))
+      case None => (l, s1)
+    }
+  }
+
+  private def aggAdd(): (AggEval, Option[String]) = {
+    var (acc, sc) = aggMul()
+    var go = true
+    while (go) {
+      skipWs()
+      if (pos < src.length && (src.charAt(pos) == '+' || src.charAt(pos) == '-')) {
+        val op = src.charAt(pos); pos += 1
+        val (r, s2) = aggMul()
+        sc = mergeScope(sc, s2)
+        val l = acc
+        acc = (row, lab, mn) => DefineParser.arith(l(row, lab, mn), r(row, lab, mn), op)
+      } else go = false
+    }
+    (acc, sc)
+  }
+
+  private def aggMul(): (AggEval, Option[String]) = {
+    var (acc, sc) = aggArg()
+    var go = true
+    while (go) {
+      skipWs()
+      if (pos < src.length && (src.charAt(pos) == '*' || src.charAt(pos) == '/' ||
+        src.charAt(pos) == '%')) {
+        val op = src.charAt(pos); pos += 1
+        val (r, s2) = aggArg()
+        sc = mergeScope(sc, s2)
+        val l = acc
+        acc = (row, lab, mn) => DefineParser.arith(l(row, lab, mn), r(row, lab, mn), op)
+      } else go = false
+    }
+    (acc, sc)
+  }
+
   /** One aggregate argument: CLASSIFIER([V]) | CAST(arg AS type) |
     * ARRAY[args] | MAP(arrayArg, arrayArg) | literal | [VAR.]col.
     * Returns the per-feed-row evaluator plus the pattern-variable
@@ -1064,21 +1372,38 @@ private final class DefineParser(src: String, currentVar: String) {
     * arguments (`avg(CAST(B.id AS decimal))` feeds only B rows). */
   private def aggArg(): (AggEval, Option[String]) = {
     skipWs()
+    if (pos < src.length && src.charAt(pos) == '(') {
+      pos += 1
+      val e = aggExpr()
+      expect(')')
+      return likeTail(e)
+    }
     if (pos < src.length && src.charAt(pos) == '\'') {
       val v = stringLit()
-      return ((_, _) => v, None)
+      return likeTail(((_, _, _) => v, None))
     }
     numRe.findFirstIn(src.substring(pos)) match {
       case Some(n) =>
         pos += n.length
         val v: java.lang.Double = n.toDouble
-        ((_, _) => v, None)
+        ((_, _, _) => v, None)
       case None =>
         val idRe = "^[A-Za-z_][A-Za-z0-9_]*".r
         val id = idRe.findFirstIn(src.substring(pos))
           .getOrElse(fail("expected aggregate argument"))
         pos += id.length
-        id.toUpperCase match {
+        likeTail(id.toUpperCase match {
+          case "TRUE" => (((_, _, _) => java.lang.Boolean.TRUE): AggEval, None)
+          case "FALSE" => (((_, _, _) => java.lang.Boolean.FALSE): AggEval, None)
+          case "MATCH_NUMBER" =>
+            expect('('); expect(')')
+            (((_, _, mn) => Long.box(mn)): AggEval, None)
+          case "ARRAY_MAX" | "ARRAY_MIN" =>
+            val isMax = id.equalsIgnoreCase("ARRAY_MAX")
+            expect('(')
+            val (e, sc) = aggArg()
+            expect(')')
+            (((r, l, mn) => DefineParser.arrayMinMax(e(r, l, mn), isMax)): AggEval, sc)
           case "CLASSIFIER" =>
             expect('(')
             skipWs()
@@ -1090,7 +1415,7 @@ private final class DefineParser(src: String, currentVar: String) {
                 Some(w)
               } else None
             expect(')')
-            (((_, l) => l): AggEval, scope)
+            (((_, l, _) => l): AggEval, scope)
           case "CAST" =>
             expect('(')
             val (e, sc) = aggArg()
@@ -1106,7 +1431,7 @@ private final class DefineParser(src: String, currentVar: String) {
               pos = close + 1
             }
             expect(')')
-            (((r, l) => DefineParser.castTo(ty, e(r, l))): AggEval, sc)
+            (((r, l, mn) => DefineParser.castTo(ty, e(r, l, mn))): AggEval, sc)
           case "ARRAY" =>
             skipWs()
             if (pos >= src.length || src.charAt(pos) != '[') fail("expected [")
@@ -1124,14 +1449,15 @@ private final class DefineParser(src: String, currentVar: String) {
             pos += 1
             val evals = items.map(_._1).toIndexedSeq
             val sc = items.map(_._2).foldLeft(Option.empty[String])(mergeScope)
-            (((r, l) => evals.map(e => e(r, l)): Seq[Any]): AggEval, sc)
+            (((r, l, mn) => evals.map(e => e(r, l, mn)): Seq[Any]): AggEval, sc)
           case "MAP" =>
             expect('(')
             val (ka, s1) = aggArg()
             expect(',')
             val (va, s2) = aggArg()
             expect(')')
-            (((r, l) => DefineParser.mapFromArrays(ka(r, l), va(r, l))): AggEval,
+            (((r, l, mn) => DefineParser.mapFromArrays(
+              ka(r, l, mn), va(r, l, mn))): AggEval,
               mergeScope(s1, s2))
           case _ =>
             skipWs()
@@ -1139,10 +1465,26 @@ private final class DefineParser(src: String, currentVar: String) {
               pos += 1
               val c = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
               pos += c.length
-              (((r, _) => getVal(r, c)): AggEval, Some(id))
-            } else (((r, _) => getVal(r, id)): AggEval, None)
-        }
+              (((r, _, _) => getVal(r, c)): AggEval, Some(id))
+            } else (((r, _, _) => getVal(r, id)): AggEval, None)
+        })
     }
+  }
+
+  /** Optional `LIKE 'pattern'` tail on an aggregate argument — the
+    * reference's boolean-argument aggregates (bool_or(CLASSIFIER()
+    * LIKE '%B'), TestExpressionRewriteInRowPatternMatching). */
+  private def likeTail(arg: (AggEval, Option[String])): (AggEval, Option[String]) = {
+    if (!peekWord("LIKE")) return arg
+    pos += "LIKE".length
+    skipWs()
+    val pat = stringLit()
+    val re = DefineParser.likeRegex(pat)
+    val (e, sc) = arg
+    (((r, l, mn) => {
+      val v = e(r, l, mn)
+      if (v == null) null else Boolean.box(re.matcher(String.valueOf(v)).matches())
+    }): AggEval, sc)
   }
 
   /** Parse the argument tail (after the opening paren) of an aggregate
@@ -1157,7 +1499,7 @@ private final class DefineParser(src: String, currentVar: String) {
       pos += d.length
       d.toInt
     }
-    val (a1, s1) = aggArg()
+    val (a1, s1) = aggExpr()
     fn match {
       case "sum" | "avg" | "count" =>
         expect(')')
@@ -1180,7 +1522,7 @@ private final class DefineParser(src: String, currentVar: String) {
       case "min_by" | "max_by" =>
         val isMin = fn == "min_by"
         expect(',')
-        val (a2, s2) = aggArg()
+        val (a2, s2) = aggExpr()
         val sc = mergeScope(s1, s2)
         skipWs()
         val n = if (pos < src.length && src.charAt(pos) == ',') {
@@ -1191,13 +1533,17 @@ private final class DefineParser(src: String, currentVar: String) {
       case "map_agg" | "multimap_agg" =>
         val multi = fn == "multimap_agg"
         expect(',')
-        val (a2, s2) = aggArg()
+        val (a2, s2) = aggExpr()
         val sc = mergeScope(s1, s2)
         expect(')')
         ctx => DefineParser.runMapAgg(ctx, multi, sc, a1, a2)
       case "map_union" =>
         expect(')')
         ctx => DefineParser.runMapUnion(ctx, s1, a1)
+      case "bool_or" | "bool_and" =>
+        val isOr = fn == "bool_or"
+        expect(')')
+        ctx => DefineParser.runBoolAgg(ctx, isOr, s1, a1)
       case other => fail(s"unsupported aggregate '$other' in DEFINE")
     }
   }

@@ -334,6 +334,60 @@ class ReferenceMrAggVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("id", "classy")) == expect("B|B", "C|A", "D|X"))
   }
 
+  // ============ TestExpressionRewriteInRowPatternMatching.java ========
+  // Expression-rewrite interactions inside MEASURES and DEFINE: array
+  // constructors (top-level and in aggregation arguments), LIKE
+  // predicates, and division-by-zero shapes that the reference's
+  // optimizer folds away (here: lazy IF + IEEE double division).
+
+  test("array constructors in measures and DEFINE (TestExpressionRewriteInRowPatternMatching.java:38)") {
+    val spk = spark; import spk.implicits._
+    assert(run((1 to 3).toDF("id"),
+      """ORDER BY id
+        |MEASURES CLASSIFIER() AS classy,
+        |         ARRAY['foo', CLASSIFIER()] AS arr,
+        |         sum(array_max(ARRAY[MATCH_NUMBER()])) AS s
+        |ALL ROWS PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN ((A | B)* X)
+        |DEFINE X AS array_agg(CLASSIFIER()) = ARRAY['B', 'A', 'X'] AND
+        |            sum(array_max(ARRAY[MATCH_NUMBER()])) = 3""".stripMargin,
+      Seq("id", "classy", "arr", "s")) == expect(
+      "1|B|[foo, B]|1", "2|A|[foo, A]|2", "3|X|[foo, X]|3"))
+  }
+
+  test("LIKE in measures and DEFINE (TestExpressionRewriteInRowPatternMatching.java:61)") {
+    val spk = spark; import spk.implicits._
+    assert(run((1 to 3).toDF("id"),
+      """ORDER BY id
+        |MEASURES CLASSIFIER() AS classy,
+        |         CLASSIFIER() LIKE '%X' AS measure_1,
+        |         bool_or(CLASSIFIER() LIKE '%B') AS measure_2
+        |ALL ROWS PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN ((A | B)* X)
+        |DEFINE X AS PREV(CLASSIFIER()) LIKE '%B' AND
+        |            bool_or(CLASSIFIER() LIKE '%A')""".stripMargin,
+      Seq("id", "classy", "measure_1", "measure_2")) == expect(
+      "1|A|false|false", "2|B|false|true", "3|X|true|true"))
+  }
+
+  test("division-by-zero shapes fold away (TestExpressionRewriteInRowPatternMatching.java:84)") {
+    val spk = spark; import spk.implicits._
+    assert(run((1 to 3).toDF("id"),
+      """ORDER BY id
+        |MEASURES CLASSIFIER() AS classy,
+        |         true OR MATCH_NUMBER() / 0 > 0 AS measure_1,
+        |         bool_and(MATCH_NUMBER() / 0 > 0 AND false) AS measure_2
+        |ALL ROWS PER MATCH
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN ((A | B)* X)
+        |DEFINE X AS IF(false, 0 / 0, MATCH_NUMBER()) = 1 OR
+        |             bool_and(MATCH_NUMBER() / 0 > 0 AND false)""".stripMargin,
+      Seq("id", "classy", "measure_1", "measure_2")) == expect(
+      "1|A|true|false", "2|A|true|false", "3|X|true|false"))
+  }
+
   test("decimal aggregate state forking (TestCopyAggregationStateInRowPatternMatching.java:173)") {
     // testDecimalAvg — LongDecimalWithOverflowAndLongState.copy()
     assert(forked("avg(CAST(B.id AS decimal(2, 1))) = 1e0") ==

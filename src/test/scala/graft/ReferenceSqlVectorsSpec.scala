@@ -4574,4 +4574,152 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[org.apache.spark.sql.AnalysisException](
       runQ("SELECT a FROM (VALUES 1, 2) t(a) ORDER BY -row_number() OVER ()").collect())
   }
+
+  // ============================== TestJoin.java (sql/query, class-level)
+
+  test("cross-join elimination + complex criteria (TestJoin.java:56,85)") {
+    assertVector(
+      """WITH
+        |  a AS (SELECT id FROM (VALUES (1)) AS t(id)),
+        |  b AS (SELECT id FROM (VALUES (1)) AS t(id)),
+        |  c AS (SELECT id FROM (VALUES ('1')) AS t(id)),
+        |  d as (SELECT id FROM (VALUES (1)) AS t(id))
+        |SELECT a.id
+        |FROM a
+        |LEFT JOIN b ON a.id = b.id
+        |JOIN c ON a.id = CAST(c.id AS bigint)
+        |JOIN d ON d.id = a.id""".stripMargin,
+      "VALUES 1")
+    // reference issue 13145: join-criteria equality inference vs a
+    // CASE-shaped predicate — a correctness probe here
+    assertVector(
+      """WITH
+        |    t1 (id, v) as (VALUES (1, 100), (2, 200)),
+        |    t2 (id, x, y) AS (VALUES (1, 10, 'a'), (2, 10, 'b'))
+        |SELECT x, y
+        |FROM t1 JOIN t2 ON (t1.id = t2.id)
+        |WHERE IF(t1.v = 0, 'cc', y) = 'b'""".stripMargin,
+      "VALUES (10, 'b')")
+  }
+
+  test("NaN join keys (TestJoin.java:74)") {
+    assertVector(
+      "WITH t(x) AS (VALUES nan()) SELECT * FROM t t1 JOIN t t2 ON NOT t1.x < t2.x",
+      "VALUES (nan(), nan())")
+  }
+
+  test("aliasing of null casts through JOIN USING (TestJoin.java:112)") {
+    val df = runQ(
+      """WITH t AS (
+        |    SELECT CAST(null AS varchar) AS x, CAST(null AS varchar) AS y
+        |    FROM (VALUES 1) t(a) JOIN (VALUES 1) u(a) USING (a))
+        |SELECT * FROM t
+        |WHERE CAST(x AS bigint) IS NOT NULL AND y = 'hello'""".stripMargin)
+    vectorCount += 1
+    assert(df.schema.fields.map(_.dataType).toSeq ==
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    assert(df.collect().isEmpty)
+  }
+
+  test("IN predicate in join criteria (TestJoin.java:128)") {
+    assertVector(
+      """WITH
+        |    t(x, y) AS (VALUES (1, 10), (2, 20)),
+        |    u(x) AS (VALUES 1, 2),
+        |    w(z) AS (VALUES 10, 20)
+        |SELECT *
+        |FROM t LEFT JOIN u ON t.x = u.x AND t.y IN (SELECT z FROM w)""".stripMargin,
+      "VALUES (2, 20, 2), (1, 10, 1)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) JOIN (VALUES 1, 3, NULL) u(x) ON t.x IN (VALUES 1)",
+      "VALUES (1, 1), (1, 3), (1, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) LEFT JOIN (VALUES 1, 3, NULL) u(x) ON t.x IN (VALUES 1)",
+      "VALUES (1, 1), (1, 3), (1, NULL), (2, NULL), (NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) RIGHT JOIN (VALUES 1, 3, NULL) u(x) ON t.x IN (VALUES 1)",
+      "VALUES (1, 1), (1, 3), (1, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) FULL JOIN (VALUES 1, 3, NULL) u(x) ON t.x IN (VALUES 1)",
+      "VALUES (1, 1), (1, 3), (1, NULL), (2, NULL), (NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) JOIN (VALUES 1, 3, NULL) u(x) ON u.x IN (VALUES 1)",
+      "VALUES (1, 1), (2, 1), (NULL, 1)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) LEFT JOIN (VALUES 1, 3, NULL) u(x) ON u.x IN (VALUES 1)",
+      "VALUES (1, 1), (2, 1), (NULL, 1)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) RIGHT JOIN (VALUES 1, 3, NULL) u(x) ON u.x IN (VALUES 1)",
+      "VALUES (1, 1), (2, 1), (NULL, 1), (NULL, 3), (NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) FULL JOIN (VALUES 1, 3, NULL) u(x) ON u.x IN (VALUES 1)",
+      "VALUES (1, 1), (2, 1), (NULL, 1), (NULL, 3), (NULL, NULL)")
+    // correlated IN-subqueries in an INNER join clause
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) JOIN (VALUES 1, 3, NULL) u(x) " +
+        "ON t.x IN (SELECT v.x FROM (VALUES 1, 2) v(x) WHERE u.x = v.x)",
+      "VALUES (1,1)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) JOIN (VALUES 1, 3, NULL) u(x) " +
+        "ON u.x IN (SELECT v.x FROM (VALUES 1, 2) v(x) WHERE t.x = v.x)",
+      "VALUES (1,1)")
+  }
+
+  test("correlation in outer-join IN criteria is rejected (TestJoin.java:180)") {
+    // the reference rejects column references escaping into the VALUES
+    // subquery of an outer join's ON clause; every combination must
+    // raise, never silently answer
+    for (jt <- Seq("FULL", "LEFT");
+         form <- Seq("u.x IN (VALUES t.x)", "u.x IN (VALUES u.x)",
+           "t.x IN (VALUES t.x)", "t.x IN (VALUES u.x)")) {
+      vectorCount += 1
+      intercept[Throwable] {
+        runQ(s"SELECT * FROM (VALUES 1, 2, NULL) t(x) $jt JOIN " +
+          s"(VALUES 1, 3, NULL) u(x) ON $form").collect()
+      }
+    }
+    for (form <- Seq("u.x IN (VALUES t.x)", "u.x IN (VALUES u.x)",
+      "t.x IN (VALUES t.x)", "t.x IN (VALUES u.x)")) {
+      vectorCount += 1
+      intercept[Throwable] {
+        runQ(s"SELECT * FROM (VALUES 1, 2, NULL) t(x) RIGHT JOIN " +
+          s"(VALUES 1, 3, NULL) u(x) ON $form").collect()
+      }
+    }
+  }
+
+  test("quantified comparisons in join criteria (TestJoin.java:231)") {
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) RIGHT JOIN (VALUES 1, 3, NULL) u(x) ON u.x > ALL (VALUES 1)",
+      "VALUES (1, 3), (2, 3), (NULL, 3), (NULL, 1), (NULL, NULL)")
+    assertVector(
+      "SELECT * FROM (VALUES 1, 2, NULL) t(x) JOIN (VALUES 1, 3, NULL) u(x) ON t.x + u.x > ALL (VALUES 2)",
+      "VALUES (1, 3), (2, 1), (2, 3)")
+  }
+
+  test("duplicate-insensitive joins + predicates over outer joins (TestJoin.java:247,275)") {
+    // value halves of the reference's plan assertions (the
+    // isMaySkipOutputDuplicates plan bit is reference-internal)
+    assertVector(
+      "SELECT t.x, count(*) FROM (VALUES 1, 2) t(x) JOIN (VALUES 2, 2) u(x) ON t.x = u.x GROUP BY t.x",
+      "VALUES (2, BIGINT '2')")
+    assertVector(
+      "SELECT t.x FROM (VALUES 1, 2) t(x) JOIN (VALUES 2, 2) u(x) ON t.x = u.x GROUP BY t.x",
+      "VALUES 2")
+    assertVector(
+      """SELECT 5
+        |FROM (VALUES (1,'foo')) l(l1, l2)
+        |LEFT JOIN (VALUES (2,'bar')) r(r1, r2)
+        |ON l2 = r2
+        |WHERE l1 >= COALESCE(r1, 0)""".stripMargin,
+      "VALUES 5")
+    assertVector(
+      """SELECT 5
+        |FROM (VALUES (2,'foo')) l(l1, l2)
+        |RIGHT JOIN (VALUES (1,'bar')) r(r1, r2)
+        |ON l2 = r2
+        |WHERE r1 >= COALESCE(l1, 0)""".stripMargin,
+      "VALUES 5")
+  }
 }
