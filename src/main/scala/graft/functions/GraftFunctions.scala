@@ -329,6 +329,10 @@ object GraftFunctions {
     // conversion error), minifies, and collapses duplicate object
     // keys; encode/decode cover UTF-32, which Spark's own
     // encode()/decode() reject.
+    // current_groups() (reference TestSessionFunctions): the session
+    // identity carries no groups here — constant empty array, like the
+    // reference's groups-less identity
+    spark.udf.register("current_groups", () => Seq.empty[String])
     spark.udf.register("graft_json_norm", (s: String) => jsonNorm(s))
     spark.udf.register("graft_encode",
       (s: String, cs: String) =>

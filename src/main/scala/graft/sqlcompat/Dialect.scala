@@ -916,9 +916,21 @@ object Dialect {
         .map(_.trim)
       require(args.length == 4,
         s"reduce_agg takes (value, initialState, inputFn, combineFn), got ${args.length} args")
+      // WINDOW form (reference TestReduceAgg testInWindowFunction:
+      // reduce_agg(...) OVER (...)): the OVER belongs to the
+      // collect_list, not to the scalar fold — pull it inside
+      val afterTxt = out.substring(close + 1)
+      val overM = ("(?is)^\\s*OVER\\s*(\\([^()]*" +
+        "(?:\\([^()]*\\)[^()]*)*\\)|[A-Za-z_][A-Za-z0-9_]*)").r
+        .findPrefixMatchOf(afterTxt)
+      val (collect, restFrom) = overM match {
+        case Some(om) =>
+          (s"collect_list(${args(0)}) OVER ${om.group(1)}", close + 1 + om.end)
+        case None => (s"collect_list(${args(0)})", close + 1)
+      }
       out = out.substring(0, m.get.start) +
-        s"aggregate(collect_list(${args(0)}), ${args(1)}, ${args(2)})" +
-        out.substring(close + 1)
+        s"aggregate($collect, ${args(1)}, ${args(2)})" +
+        out.substring(restFrom)
       m = re.findFirstMatchIn(out)
     }
     out
@@ -1997,6 +2009,14 @@ object Dialect {
     // map constructor first, so its ARRAY args are still spelled ARRAY
     out = out.replaceAll("(?i)\\bMAP\\s*\\(\\s*(?=ARRAY\\s*\\[)",
       "map_from_arrays(")
+    // session pseudo-functions (reference TestSessionFunctions):
+    // keyword forms map onto Spark's function spellings; CURRENT_PATH
+    // is the reference's empty-path default (no SQL path here), and
+    // current_groups() is a registered UDF (no identity groups)
+    out = out.replaceAll("(?i)\\bCURRENT_CATALOG\\b(?!\\s*\\()", "current_catalog()")
+    out = out.replaceAll("(?i)\\bCURRENT_SCHEMA\\b(?!\\s*\\()", "current_schema()")
+    out = out.replaceAll("(?i)\\bCURRENT_USER\\b(?!\\s*\\()", "current_user()")
+    out = out.replaceAll("(?i)\\bCURRENT_PATH\\b", "''")
     out = rowTypePass(out)
     out = valuesRowPass(out)
     out = out.replaceAll("(?i)\\bROW\\s*\\(", "struct(")

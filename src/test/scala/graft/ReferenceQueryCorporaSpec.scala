@@ -76,6 +76,11 @@ class ReferenceQueryCorporaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(runQ(query)).isEmpty, s"\nexpected empty result: $query")
   }
 
+  private def vErrAny(query: String): Unit = {
+    vectorCount += 1
+    intercept[Throwable] { runQ(query).collect() }
+  }
+
   // ============================================ TestComplexTypesWithNull
 
   test("row type with null through join (TestComplexTypesWithNull.java:43)") {
@@ -468,5 +473,105 @@ class ReferenceQueryCorporaSpec extends AnyFunSuite with BeforeAndAfterAll {
     v("SELECT TRIM(TRAILING 'def' FROM CAST('abc def' AS CHAR(7)))", "VALUES 'abc'")
     v("SELECT TRIM(LEADING 'óź' FROM CAST('źółć' AS CHAR(4)))",
       "VALUES 'łć'")
+  }
+
+  // ==================================================== TestFormat
+
+  test("format over aggregates (TestFormat.java:42)") {
+    v("SELECT format('%.6f', sum(1000000 / 1e6))", "SELECT cast('1.000000' as varchar)")
+    v("SELECT format('%.6f', avg(1))", "SELECT cast('1.000000' as varchar)")
+    v("SELECT format('%d', count(1))", "SELECT cast(1 as varchar)")
+    v("SELECT format('%d', arbitrary(1))", "SELECT cast(1 as varchar)")
+    v("SELECT format('%s %s %s %s %s', sum(1), avg(1), count(1), max(1), min(1))",
+      "SELECT VARCHAR '1 1.0 1 1 1'")
+    v("SELECT format('%s', approx_distinct(1.0))", "SELECT cast(1 as varchar)")
+    v("SELECT format('%d', cast(sum(totalprice) as bigint)) FROM (VALUES 20,99,15) t(totalprice)",
+      "SELECT CAST(sum(totalprice) as VARCHAR) FROM (VALUES 20,99,15) t(totalprice)")
+    v("SELECT format('%s', sum(k)) FROM (VALUES 1, 2, 3) t(k)", "VALUES VARCHAR '6'")
+    v("SELECT format(arbitrary(s), sum(k)) FROM (VALUES ('%s', 1), ('%s', 2), ('%s', 3)) t(s, k)",
+      "VALUES VARCHAR '6'")
+    // non-aggregate format over a non-grouping column must be rejected
+    vErrAny("SELECT format(s, 1) FROM (VALUES ('%s', 1)) t(s, k) GROUP BY k")
+  }
+
+  // ================================================== TestReduceAgg
+
+  test("reduce_agg as a window function (TestReduceAgg.java:41)") {
+    v("SELECT reduce_agg(value, 0, (a, b) -> a + b, (a, b) -> a + b) OVER () " +
+      "FROM (VALUES 1, 2, 3, 4) t(value)",
+      "VALUES 10, 10, 10, 10")
+    v("SELECT k, reduce_agg(value, 0, (a, b) -> a + b, (a, b) -> a + b) OVER (PARTITION BY k) " +
+      "FROM (VALUES ('a', 1), ('a', 2), ('b', 3), ('b', 4)) t(k, value)",
+      "VALUES ('a', 3), ('a', 3), ('b', 7), ('b', 7)")
+  }
+
+  // =========================================== TestSessionFunctions
+  // Adapted: the reference binds per-test identities/catalogs into its
+  // session; here the session identity is the JVM user and the catalog
+  // is Spark's — the FUNCTION surface (keyword forms, types, empty
+  // defaults) is what replays.
+
+  test("session pseudo-functions (TestSessionFunctions.java:34)") {
+    val u = runQ("SELECT CURRENT_USER").collect()(0)
+    vectorCount += 1
+    assert(!u.isNullAt(0) && u.getString(0).nonEmpty)
+    // no SQL path in this engine: the reference's empty-path session
+    // renders CURRENT_PATH as ''
+    v("SELECT CURRENT_PATH", "VALUES VARCHAR ''")
+    v("SELECT CURRENT_CATALOG", "VALUES CAST('spark_catalog' AS VARCHAR)")
+    val sch = runQ("SELECT CURRENT_SCHEMA").collect()(0)
+    vectorCount += 1
+    assert(!sch.isNullAt(0) && sch.getString(0).nonEmpty)
+    // identity without groups: empty array (typed)
+    v("SELECT current_groups()", "SELECT CAST(ARRAY[] AS ARRAY(VARCHAR))")
+    v("SELECT array_sort(current_groups())", "SELECT CAST(ARRAY[] AS ARRAY(VARCHAR))")
+  }
+
+  // ========================= TestDistinctAggregationsNoMarkDistinct
+  // The reference re-runs its ENTIRE distinct-aggregation corpus with
+  // USE_MARK_DISTINCT=false — a different physical planning of the
+  // same queries. The Spark analogue: force the hash-aggregate →
+  // sort-based fallback (the alternative aggregation execution path)
+  // and re-assert the same answers.
+
+  test("distinct aggregates under the sort-based fallback regime (TestDistinctAggregationsNoMarkDistinct.java:21)") {
+    val fallback = Seq(
+      "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "1,3",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2")
+    graft.engine.Adaptive.withConfs(spark, fallback) {
+      v("SELECT count(DISTINCT x) FROM (VALUES 1, 1, 2, 3) t(x)", "VALUES BIGINT '3'")
+      v("SELECT count(DISTINCT x), sum(DISTINCT x) FROM (VALUES 1, 1, 2, 3) t(x)",
+        "VALUES (BIGINT '3', BIGINT '6')")
+      v("SELECT k, count(DISTINCT x), sum(DISTINCT x) FROM (VALUES (1, 1), (1, 1), (1, 2), (1, 3), " +
+        "(2, 1), (2, 10), (2, 10), (2, 20), (2, 30)) t(k, x) GROUP BY k",
+        "VALUES (1, BIGINT '3', BIGINT '6'), (2, BIGINT '4', BIGINT '61')")
+      v("SELECT k, count(DISTINCT x), sum(DISTINCT x) FROM (VALUES (1, 1), (1, 1), (1, 2), (1, 3), " +
+        "(2, 1), (2, 10), (2, 10), (2, 20), (2, 30)) t(k, x) GROUP BY GROUPING SETS ((), (k))",
+        "VALUES (1, BIGINT '3', BIGINT '6'), (2, BIGINT '4', BIGINT '61'), " +
+          "(CAST(NULL AS INTEGER), BIGINT '6', BIGINT '66')")
+      v("SELECT count(DISTINCT x), count(*) FROM (VALUES 1, 1, 2, 3) t(x)",
+        "VALUES (BIGINT '3', BIGINT '4')")
+      v("SELECT count(DISTINCT x), count(DISTINCT y) FROM " +
+        "(VALUES (1, 10), (1, 20), (1, 30), (2, 30)) t(x, y)",
+        "VALUES (BIGINT '2', BIGINT '3')")
+      v("SELECT k, count(DISTINCT x), count(DISTINCT y) FROM (VALUES (1, 1, 100), (1, 1, 100), " +
+        "(1, 2, 100), (1, 3, 200), (2, 1, 100), (2, 10, 200), (2, 10, 300), (2, 20, 400), " +
+        "(2, 30, 400)) t(k, x, y) GROUP BY GROUPING SETS ((), (k))",
+        "VALUES (1, BIGINT '3', BIGINT '2'), (2, BIGINT '4', BIGINT '4'), " +
+          "(CAST(NULL AS INTEGER), BIGINT '6', BIGINT '4')")
+      v("SELECT sum(DISTINCT x), sum(DISTINCT y), sum(z) FROM (VALUES (1, 10, 100), " +
+        "(1, 20, 200), (2, 20, 300), (3, 30, 300)) t(x, y, z)",
+        "VALUES (BIGINT '6', BIGINT '60', BIGINT '900')")
+      v("SELECT corr(DISTINCT x, y), corr(DISTINCT y, x), count(DISTINCT x) FROM " +
+        "(VALUES (1, 1), (2, 2), (2, 2), (3, 3)) t(x, y)",
+        "VALUES (REAL '1.0', REAL '1.0', BIGINT '3')")
+      v("SELECT count(DISTINCT x) FILTER (WHERE x > 0), sum(x) FROM (VALUES 0, 1, 1, 2) t(x)",
+        "VALUES (BIGINT '2', BIGINT '4')")
+      v("SELECT sum(DISTINCT x) FILTER (WHERE y > 3), sum(DISTINCT y) FILTER (WHERE x > 1) " +
+        "FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+        "VALUES (BIGINT '6', BIGINT '9')")
+      v("SELECT sum(DISTINCT x) FILTER (WHERE y > 5) FROM (VALUES (1, 3), (2, 4), (2, 4), (4, 5)) t (x, y)",
+        "VALUES (CAST(NULL AS BIGINT))")
+    }
   }
 }
