@@ -697,15 +697,27 @@ object Pipeline {
       s"bits/band must be in [8, 30] (got $bits): fewer than 8 sign bits " +
         "gives <=256 buckets/band and a quadratic candidate space at scale")
     val banded = p14Bands(s, dir, bands, bits)
-    val a = banded.select(col("vec_id").as("va"), col("embedding").as("ea"),
-      col("band"), col("bv"))
-    val b = banded.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-      col("band").as("band_b"), col("bv").as("bv_b"))
-    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
-        col("va") < col("vb"))
+    // Candidate generation joins IDS ONLY (r17): the banded exchange
+    // carries (vec_id, band, bv) — 3 narrow columns — instead of the
+    // full 64-float embedding on BOTH sides (the r16 shape's wide
+    // exchange). Pairs dedup BEFORE the cosine (the same pair
+    // collides in several bands), so each surviving pair computes
+    // exactly one exact cosine after the embeddings re-attach via two
+    // id-equi-joins against the corpus.
+    val ids = banded.select(col("vec_id"), col("band"), col("bv"))
+    val cand = ids.select(col("vec_id").as("va"), col("band"), col("bv"))
+      .join(ids.select(col("vec_id").as("vb"), col("band").as("band_b"),
+        col("bv").as("bv_b")),
+        col("band") === col("band_b") && col("bv") === col("bv_b") &&
+          col("va") < col("vb"))
+      .select(col("va"), col("vb"))
+      .distinct()
+    val emb = p14Corpus(s, dir)
+    cand
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
       .select(col("va"), col("vb"), ncos(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 
   /** The corpus p14 deduplicates: embeddings plus a deterministically
