@@ -338,7 +338,40 @@ object Windows {
       |FROM events""".stripMargin
 
   // ------------------------------------------------------------- exports
+  // ------------------------ w12 dynamic frame offsets (operator path)
+  /** w12: per-row ROWS frame offsets via the SPILLABLE operator
+    * ([[graft.operators.DynamicFrames.rowsFrameAgg]]) — the 100-TB
+    * path for non-constant frame bounds, matching the reference's
+    * O(frame)-per-row `operator/window/RowsFraming.java` over a
+    * spillable buffer (the SQL front-end's dx30 lowering buffers the
+    * partition as one unspillable array and is size-guarded; this
+    * operator pages to disk instead). Asymmetric per-row offsets
+    * (event_id % 5 back, event_id % 3 forward) exercise clamping at
+    * both partition edges; the oracle reproduces the frames
+    * relationally via a positional self-join on an independent
+    * engine. */
+  def w12(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        (col("event_id") % 5).as("lo"), (col("event_id") % 3).as("hi"))
+    graft.operators.DynamicFrames.rowsFrameAgg(
+      ev, Seq("user_id"), Seq("event_id"), "lo", "hi", "event_id",
+      "sum", "s")
+      .select(col("user_id"), col("event_id"), col("s").cast("long").as("s"))
+  }
+
+  val w12Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events)
+      |SELECT a.user_id, a.event_id, CAST(sum(b.event_id) AS BIGINT) AS s
+      |FROM r a JOIN r b ON a.user_id = b.user_id
+      |  AND b.rn BETWEEN a.rn - (a.event_id % 5) AND a.rn + (a.event_id % 3)
+      |GROUP BY a.user_id, a.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_dynamic_frame_operator" -> w12 _,
     "w11_frame_exclude" -> w11 _,
     "w1_ranking" -> w1 _,
     "w2_ntile_pct" -> w2 _,
@@ -352,6 +385,7 @@ object Windows {
     "w10_groups_frame" -> w10 _)
 
   val oracle: Map[String, String] = Map(
+    "w12_dynamic_frame_operator" -> w12Sql,
     "w11_frame_exclude" -> w11Sql,
     "w1_ranking" -> w1Sql,
     "w2_ntile_pct" -> w2Sql,

@@ -205,4 +205,93 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq.empty[(Long, Long)].toDF("src", "dst"))
     assert(empty.count() == 0L)
   }
+
+  // ------------------------------------ DynamicFrames.rowsFrameAgg
+  // The spillable per-row-offset ROWS framer (reference
+  // operator/window/RowsFraming.java semantics: per-row non-negative
+  // offsets, frames clamp at partition edges).
+
+  private def dynFixture() = {
+    val spk = spark
+    import spk.implicits._
+    // (g, ord, lo, hi, v): per-row frames over ord within g
+    Seq((1, 1, 0L, 1L, 10L), (1, 2, 1L, 0L, 20L), (1, 3, 2L, 2L, 30L),
+      (1, 4, 0L, 0L, 40L), (2, 1, 5L, 5L, 7L), (2, 2, 0L, 0L, 9L))
+      .toDF("g", "ord", "lo", "hi", "v")
+  }
+
+  private def dynRun(fn: String, spillAfter: Int = 1000): Map[(Int, Int), Any] = {
+    graft.operators.DynamicFrames
+      .rowsFrameAgg(dynFixture(), Seq("g"), Seq("ord"), "lo", "hi", "v", fn,
+        "a", spillAfterRows = spillAfter)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.get(5)).toMap
+  }
+
+  test("dynamic ROWS frames: per-row offsets clamp at partition edges") {
+    // g=1 frames: ord1 [1..2], ord2 [1..2], ord3 [1..4] (clamped both
+    // ways), ord4 [4..4]; g=2: ord1 [1..2] (clamped), ord2 [2..2]
+    assert(dynRun("sum") == Map(
+      (1, 1) -> 30L, (1, 2) -> 30L, (1, 3) -> 100L, (1, 4) -> 40L,
+      (2, 1) -> 16L, (2, 2) -> 9L))
+    assert(dynRun("count") == Map(
+      (1, 1) -> 2L, (1, 2) -> 2L, (1, 3) -> 4L, (1, 4) -> 1L,
+      (2, 1) -> 2L, (2, 2) -> 1L))
+    assert(dynRun("min") == Map(
+      (1, 1) -> 10L, (1, 2) -> 10L, (1, 3) -> 10L, (1, 4) -> 40L,
+      (2, 1) -> 7L, (2, 2) -> 9L))
+    assert(dynRun("max") == Map(
+      (1, 1) -> 20L, (1, 2) -> 20L, (1, 3) -> 40L, (1, 4) -> 40L,
+      (2, 1) -> 9L, (2, 2) -> 9L))
+    assert(dynRun("avg") == Map(
+      (1, 1) -> 15.0, (1, 2) -> 15.0, (1, 3) -> 25.0, (1, 4) -> 40.0,
+      (2, 1) -> 8.0, (2, 2) -> 9.0))
+  }
+
+  test("dynamic ROWS frames: spilled buffer gives identical results") {
+    val before = graft.operators.MatchRecognize.SpillCount.get()
+    val spilled = dynRun("sum", spillAfter = 2) // 4-row group must spill
+    assert(spilled == dynRun("sum"))
+    assert(graft.operators.MatchRecognize.SpillCount.get() > before,
+      "spill threshold was not exercised")
+  }
+
+  test("dynamic ROWS frames: negative / null offsets raise the standard error") {
+    val spk = spark
+    import spk.implicits._
+    val neg = Seq((1, 1, -1L, 0L, 10L)).toDF("g", "ord", "lo", "hi", "v")
+    val e1 = intercept[Exception] {
+      graft.operators.DynamicFrames
+        .rowsFrameAgg(neg, Seq("g"), Seq("ord"), "lo", "hi", "v", "sum")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e1).exists(_.contains(
+      "Window frame offset value must not be negative or null")))
+    val nul = Seq((1, 1, Option.empty[Long], Some(0L), 10L))
+      .toDF("g", "ord", "lo", "hi", "v")
+    val e2 = intercept[Exception] {
+      graft.operators.DynamicFrames
+        .rowsFrameAgg(nul, Seq("g"), Seq("ord"), "lo", "hi", "v", "sum")
+        .collect()
+    }
+    assert(msgs(e2).exists(_.contains(
+      "Window frame offset value must not be negative or null")))
+  }
+
+  test("dynamic ROWS frames: null values skipped; all-null frame is NULL (count 0)") {
+    val spk = spark
+    import spk.implicits._
+    val df = Seq((1, 1, 0L, 0L, Option.empty[Long]),
+      (1, 2, 1L, 0L, Some(4L))).toDF("g", "ord", "lo", "hi", "v")
+    val got = graft.operators.DynamicFrames
+      .rowsFrameAgg(df, Seq("g"), Seq("ord"), "lo", "hi", "v", "sum", "a")
+      .collect().map(r => r.getInt(1) -> r.get(5)).toMap
+    assert(got == Map(1 -> null, 2 -> 4L))
+    val cnt = graft.operators.DynamicFrames
+      .rowsFrameAgg(df, Seq("g"), Seq("ord"), "lo", "hi", "v", "count", "a")
+      .collect().map(r => r.getInt(1) -> r.get(5)).toMap
+    assert(cnt == Map(1 -> 0L, 2 -> 1L))
+  }
 }
