@@ -359,9 +359,23 @@ object CompatAliases {
 
     // ---- maps / arrays
     fn(e, "split_to_map", c => new StringToMap(c(0), c(1), c(2)))
-    fn(e, "trim_array", c =>
-      Slice(c(0), Literal(1),
-        new Subtract(Size(c(0)), Cast(c(1), IntegerType))))
+    // reference argument contract (negative / beyond-cardinality sizes
+    // raise) — see graft.functions.TrimArray
+    fn(e, "trim_array", c => TrimArray(c(0), c(1)))
+    // concat_ws conformance (ConcatWsFunction.java): a NULL ARRAY
+    // argument yields NULL (Spark skips it → ''), and the 1-arg form
+    // is rejected. Mixed scalar/array varargs keep Spark semantics
+    // (the reference has no such signature).
+    fn(e, "concat_ws", c => {
+      if (c.length < 2) throw new IllegalArgumentException(
+        "There must be two or more arguments")
+      val base = ConcatWs(c)
+      val arrayArg = c.length == 2 &&
+        (try c(1).resolved && c(1).dataType.isInstanceOf[ArrayType]
+        catch { case _: Exception => false })
+      if (arrayArg) If(IsNull(c(1)), Literal(null, StringType), base)
+      else base
+    })
 
     // ---- tstz emulation accessors (struct<instant,zone> — TimestampTz)
     def tzOffset(tz: Expression): Expression = {
@@ -516,11 +530,12 @@ object CompatAliases {
     spark.udf.register("fail", (msg: String) => {
       throw new RuntimeException(msg); 0 // scalastyle:ignore
     })
-    // JSONPath subset family over the shared jsonNode navigator
+    // LEGACY JSONPath dialect (JsonExtract.java) — its own walker,
+    // distinct from the SQL/JSON 2016 json_value/json_query language
     spark.udf.register("json_extract",
-      (j: String, p: String) => GraftFunctions.jsonQuery(j, p))
+      (j: String, p: String) => GraftFunctions.jsonExtractLegacy(j, p))
     spark.udf.register("json_extract_scalar",
-      (j: String, p: String) => GraftFunctions.jsonValue(j, p))
+      (j: String, p: String) => GraftFunctions.jsonExtractScalarLegacy(j, p))
     spark.udf.register("is_json_scalar", (j: String) =>
       if (j == null) null.asInstanceOf[java.lang.Boolean]
       else GraftFunctions.isJsonScalar(j))

@@ -214,6 +214,39 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       (children: Seq[Expression]) =>
         RollingFingerprint(children(0), children(1), children(2))))
+    // console-rendering color family (reference ColorFunctions.java;
+    // COLOR type maps to BIGINT — see ConsoleColor.scala)
+    e.injectFunction((
+      FunctionIdentifier("color"),
+      new ExpressionInfo(classOf[ColorFn].getName, "color"),
+      (children: Seq[Expression]) => ColorFn(children)))
+    e.injectFunction((
+      FunctionIdentifier("rgb"),
+      new ExpressionInfo(classOf[RgbFn].getName, "rgb"),
+      (children: Seq[Expression]) => RgbFn(children)))
+    e.injectFunction((
+      FunctionIdentifier("bar"),
+      new ExpressionInfo(classOf[BarFn].getName, "bar"),
+      (children: Seq[Expression]) => BarFn(children)))
+    e.injectFunction((
+      FunctionIdentifier("render"),
+      new ExpressionInfo(classOf[RenderFn].getName, "render"),
+      (children: Seq[Expression]) => RenderFn(children)))
+    e.injectFunction((
+      FunctionIdentifier("word_stem"),
+      new ExpressionInfo(classOf[WordStem].getName, "word_stem"),
+      (children: Seq[Expression]) => WordStem(children)))
+    e.injectFunction((
+      FunctionIdentifier("contains_sequence"),
+      new ExpressionInfo(classOf[ContainsSequence].getName, "contains_sequence"),
+      (children: Seq[Expression]) => ContainsSequence(children(0), children(1))))
+    // typeof: OVERRIDES Spark's builtin of the same name — renders
+    // the reference dialect's type names (integer/varchar/row(...)),
+    // not Spark's (int/string/struct<...>); folds to a literal
+    e.injectFunction((
+      FunctionIdentifier("typeof"),
+      new ExpressionInfo(classOf[TrinoTypeOf].getName, "typeof"),
+      (children: Seq[Expression]) => TrinoTypeOf(children.head)))
     // exact-name compatibility pack (r13 registry audit)
     CompatAliases.inject(e)
     // optimizer extension surface (Rule[LogicalPlan])
@@ -240,7 +273,12 @@ object GraftFunctions {
   // --------------------------------------------------------- UDF layer
   def registerUdfs(spark: SparkSession): Unit = {
     CompatAliases.registerUdfs(spark)
-    spark.udf.register("word_stem", (s: String) => wordStem(s))
+    // version() (reference VersionFunction.java — returns the node
+    // version; ours reports the engine + Spark runtime version)
+    spark.udf.register("version",
+      () => s"graft (spark ${org.apache.spark.SPARK_VERSION})")
+    // word_stem moved to an injected expression (2-arg language form;
+    // see functions/ArrayConformance.scala WordStem)
     spark.udf.register("lang_id", (s: String) => langId(s))
     spark.udf.register("ngrams",
       (words: Seq[String], n: Int) => ngrams(words, n))
@@ -277,11 +315,11 @@ object GraftFunctions {
       (a: String, b: String) => hammingDistance(a, b))
     spark.udf.register("combinations",
       (a: Seq[String], n: Int) => combinations(a, n))
-    spark.udf.register("contains_sequence",
-      (a: Seq[String], b: Seq[String]) => containsSequence(a, b))
+    // contains_sequence moved to an injected generic expression
+    // (functions/ArrayConformance.scala ContainsSequence)
     spark.udf.register("split_to_multimap",
       (s: String, ed: String, kd: String) => splitToMultimap(s, ed, kd))
-    spark.udf.register("format_number", (v: Long) => formatNumber(v))
+    spark.udf.register("format_number", (v: Double) => formatNumber(v))
     spark.udf.register("parse_data_size", (s: String) => parseDataSize(s))
     // legacy spelling kept by the reference for compatibility
     spark.udf.register("parse_presto_data_size", (s: String) => parseDataSize(s))
@@ -485,17 +523,27 @@ object GraftFunctions {
     Long.box(n)
   }
 
-  /** n-element subsequences in index order (reference ArrayFunctions
-    * combinations, n capped at 5). Unlike Scala's `.combinations`,
-    * duplicate VALUES produce duplicate subsequences — index-based,
-    * matching the reference. */
+  /** n-element subsequences in COLEXICOGRAPHIC index order — ordered
+    * by greatest member index, recursively (reference
+    * ArrayCombinationsFunction.java's enumeration order, pinned by
+    * TestArrayCombinationsFunction: [bar,foo,baz,foo] choose 2 →
+    * (0,1),(0,2),(1,2),(0,3),(1,3),(2,3)). Unlike Scala's
+    * `.combinations`, duplicate VALUES produce duplicate
+    * subsequences — index-based, matching the reference. Argument
+    * contract mirrored: size ∈ [0, 5], total result elements ≤
+    * 100 000 ("combinations exceed max size"). */
   def combinations(a: Seq[String], n: Int): Seq[Seq[String]] = {
     if (a == null) return null
-    require(n >= 0 && n <= 5, "combination size must be in [0, 5]")
-    def go(start: Int, k: Int): Seq[List[String]] =
+    require(n >= 0, s"combination size must not be negative: $n")
+    require(n <= 5, s"combination size must not exceed 5: $n")
+    val count = (0 until n).foldLeft(1L)((acc, i) =>
+      math.min(100001L, acc * (a.length - i) / (i + 1)))
+    require(count * n <= 100000L, "combinations exceed max size")
+    // colex: every combination of [0..m-1] choose k-1, then append m
+    def go(k: Int, bound: Int): Seq[List[Int]] =
       if (k == 0) Seq(Nil)
-      else (start to a.length - k).flatMap(i => go(i + 1, k - 1).map(a(i) :: _))
-    go(0, n).map(_.toSeq)
+      else (k - 1 until bound).flatMap(m => go(k - 1, m).map(_ :+ m))
+    go(n, a.length).map(_.map(a).toSeq)
   }
 
   private val sizeUnits = Seq("B" -> 0, "kB" -> 1, "MB" -> 2, "GB" -> 3,
@@ -559,6 +607,12 @@ object GraftFunctions {
     * 2-arg comma-grouping builtin of the same name — the reference
     * dialect's 1-arg form wins in our registry (same policy as
     * url_decode). */
+  /** The reference's double/real/decimal overloads CAST TO LONG first
+    * (FormatNumberFunction.java `format((long) value)`), so one
+    * double-typed UDF serves every numeric input with the reference's
+    * exact truncation (DOUBLE '1234.5' → "1.23K" via 1234). */
+  def formatNumber(value: Double): String = formatNumber(value.toLong)
+
   def formatNumber(value: Long): String = {
     var fractional = value.toDouble
     var unit = ""
@@ -652,26 +706,93 @@ object GraftFunctions {
   // readTree is thread-safe; one shared mapper avoids per-row allocation
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Resolve the node at `path`, or null when the document is invalid
-    * or the path is absent. Path is the restricted `$.a.b[i]` dialect
-    * get_json_object accepts, optionally prefixed with the SQL/JSON
-    * `lax ` / `strict ` mode word (accepted and ignored — navigation
-    * of this dialect subset is mode-independent). */
-  private def jsonNode(j: String, path: String): com.fasterxml.jackson.databind.JsonNode = {
-    val p = path.trim.replaceFirst("(?i)^(lax|strict)\\s+", "")
-    require(p.startsWith("$"), s"json path must start with '$$': $path")
-    var node: com.fasterxml.jackson.databind.JsonNode =
-      try jsonMapper.readTree(j)
-      catch { case _: Exception => return null }
-    val steps = "\\.([A-Za-z0-9_]+)|\\[(\\d+)\\]".r
-      .findAllMatchIn(p.substring(1)).toSeq
-    for (m <- steps) {
-      if (node == null) return null
-      node =
-        if (m.group(1) != null) node.get(m.group(1))
-        else node.get(m.group(2).toInt)
+  // Legacy-path trio (json_extract / json_extract_scalar / json_size)
+  // tolerates trailing commas: the reference's extractor is a
+  // STREAMING parse that stops at the match (JsonExtract.java), so a
+  // trailing comma after it never surfaces; a tree parse must opt in.
+  private val legacyJsonMapper = {
+    val b = new com.fasterxml.jackson.core.JsonFactoryBuilder()
+    b.enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_TRAILING_COMMA)
+    new com.fasterxml.jackson.databind.ObjectMapper(b.build())
+  }
+
+  /** The LEGACY JSONPath dialect of json_extract/json_extract_scalar/
+    * json_size (reference `operator/scalar/JsonExtract.java`, distinct
+    * from the SQL/JSON 2016 language in [[JsonPathEval]]): `$` then
+    * `.name` / `[index]` / `["name"]` / `[name]` steps. Every step is
+    * a field-or-index token: on an ARRAY node a numeric token indexes,
+    * on an OBJECT any token (numeric included) is a field lookup —
+    * `$.1`, `$[1]` and `$["1"]` are interchangeable. A malformed path
+    * raises (INVALID_FUNCTION_ARGUMENT in the reference); an
+    * unparsable document is NULL. Accepts and ignores a leading
+    * `lax `/`strict ` mode word for 2016-style callers. */
+  private def legacyTokens(path0: String): Seq[String] = {
+    val path = path0.trim.replaceFirst("(?i)^(lax|strict)\\s+", "")
+    def invalid(): Nothing =
+      throw new IllegalArgumentException(s"Invalid JSON path: '$path0'")
+    if (!path.startsWith("$")) invalid()
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 1
+    while (i < path.length) {
+      path.charAt(i) match {
+        case '.' =>
+          var j = i + 1
+          while (j < path.length && path.charAt(j) != '.' && path.charAt(j) != '[')
+            j += 1
+          if (j == i + 1) invalid()
+          out += path.substring(i + 1, j)
+          i = j
+        case '[' =>
+          val close = path.indexOf(']', i)
+          if (close < 0) invalid()
+          var inner = path.substring(i + 1, close).trim
+          if (inner.length >= 2 && inner.startsWith("\"") && inner.endsWith("\""))
+            inner = inner.substring(1, inner.length - 1)
+          else if (inner.length >= 2 && inner.startsWith("'") && inner.endsWith("'"))
+            inner = inner.substring(1, inner.length - 1)
+          if (inner.isEmpty) invalid()
+          out += inner
+          i = close + 1
+        case _ => invalid()
+      }
     }
-    node
+    out.toSeq
+  }
+
+  private def legacyWalk(j: String, path: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val toks = legacyTokens(path) // malformed path raises through
+    var node: com.fasterxml.jackson.databind.JsonNode =
+      try legacyJsonMapper.readTree(j)
+      catch { case _: Exception => return None }
+    for (t <- toks) {
+      if (node == null) return None
+      node =
+        if (node.isArray) {
+          val idx = try t.toInt catch { case _: Exception => return None }
+          node.get(idx)
+        } else if (node.isObject) node.get(t)
+        else return None
+    }
+    Option(node)
+  }
+
+  /** Legacy json_extract: the JSON TEXT at the path (compact form;
+    * a JSON null is the text "null"); absent path / invalid doc →
+    * NULL. */
+  def jsonExtractLegacy(j: String, path: String): String = {
+    if (j == null || path == null) return null
+    legacyWalk(j, path).map(_.toString).orNull
+  }
+
+  /** Legacy json_extract_scalar: the scalar VALUE at the path as
+    * text; containers and JSON null → NULL. */
+  def jsonExtractScalarLegacy(j: String, path: String): String = {
+    if (j == null || path == null) return null
+    legacyWalk(j, path) match {
+      case Some(n) if !n.isContainerNode && !n.isNull => n.asText()
+      case _ => null
+    }
   }
 
   /** json_size(json, path): number of keys of the object / elements
@@ -679,10 +800,11 @@ object GraftFunctions {
     * (reference JsonFunctions.json_size). */
   def jsonSize(j: String, path: String): java.lang.Long = {
     if (j == null || path == null) return null
-    val node = jsonNode(j, path)
-    if (node == null) null
-    else if (node.isContainerNode) node.size().toLong
-    else 0L
+    legacyWalk(j, path) match {
+      case Some(n) if n.isContainerNode => n.size().toLong
+      case Some(_) => 0L
+      case None => null
+    }
   }
 
   /** Parse the doc + evaluate a full SQL/JSON 2016 path via

@@ -50,7 +50,11 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
     * fixed-point iteration, so the unresolved spelling opens the
     * scope too. */
   private def rw(e0: Expression, inTry: Boolean = false): Expression = e0 match {
-    case t if t.isInstanceOf[TryEval] || t.prettyName.startsWith("try_") =>
+    // try-scope openers: TryEval, try_*-named expressions, and the
+    // Try* RuntimeReplaceable family (TryDivide etc. — their
+    // prettyName delegates to the replacement, so match the class)
+    case t if t.isInstanceOf[TryEval] || t.prettyName.startsWith("try_") ||
+        t.getClass.getSimpleName.startsWith("Try") =>
       t.mapChildren(rw(_, inTry = true))
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if u.nameParts.last.equalsIgnoreCase("try") =>
@@ -85,6 +89,55 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
         if c.child.resolved && integralTarget(c.dataType) &&
           fractionalSource(c.child.dataType) && !isRound0(c.child) =>
       c.withNewChildren(Seq(Round(rw(c.child, inTry), Literal(0))))
+
+    // reference integer division: int / int TRUNCATES toward zero and
+    // keeps the common integral type (Spark lowers `/` to double
+    // division for every input). Two shapes: the raw int/int Divide,
+    // and the one TypeCoercion already rewrote to
+    // Divide(Cast(l AS DOUBLE), Cast(r AS DOUBLE)) in an earlier
+    // fixed-point iteration — recognized only when NEITHER cast is
+    // user-specified (a user's explicit CAST(x AS DOUBLE)/y keeps
+    // IEEE division). Division by zero raises like the reference
+    // ("Division by zero") via ANSI eval; inside TRY scopes it is
+    // NULL via TRY eval — both match the reference's try(). Spark's
+    // IntegralDivide widens to BIGINT; the cast restores the
+    // reference's common-supertype result (tinyint/tinyint → tinyint).
+    case Divide(l0, r0, dmode) if dmode !=
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY && {
+      // leave try_divide (TRY-mode Divide) on Spark's own semantics
+      def bare(e: Expression): Option[Expression] = e match {
+        case e if e.resolved && integralTarget(e.dataType) => Some(e)
+        case c: Cast
+            if c.dataType == DoubleType && c.child.resolved &&
+              integralTarget(c.child.dataType) &&
+              c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+          Some(c.child)
+        case _ => None
+      }
+      bare(l0).isDefined && bare(r0).isDefined
+    } =>
+      def bare(e: Expression): Expression = e match {
+        case c: Cast if c.dataType == DoubleType => c.child
+        case other => other
+      }
+      val (l, r) = (bare(l0), bare(r0))
+      val wider =
+        Seq(l.dataType, r.dataType).maxBy {
+          case LongType => 4
+          case IntegerType => 3
+          case org.apache.spark.sql.types.ShortType => 2
+          case _ => 1
+        }
+      // ANSI raises on /0 like the reference; in a try scope the
+      // raise must be CAUGHT here with an explicit TryEval —
+      // IntegralDivide's TRY mode still throws, counting on a
+      // wrapper that no longer exists once RuntimeReplaceables swap
+      val div = Cast(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          rw(l, inTry), rw(r, inTry),
+          org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI),
+        wider)
+      if (inTry) TryEval(div) else div
 
     // IEEE-754 double/float division (reference: bare JVM `/`);
     // suppressed inside try scopes — not via eval mode (Spark 4.1's

@@ -3501,10 +3501,11 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertVector(
       "SELECT reduce(ARRAY[5, 20, 50], 0, (s, x) -> s + x, s -> s), reduce(ARRAY[5, 20, NULL, 50], 0, (s, x) -> s + coalesce(x, 0), s -> s), reduce(ARRAY[2147483647, 1], BIGINT '0', (s, x) -> s + x, s -> s)",
       "SELECT 75, 75, BIGINT '2147483648'")
-    // word_stem (Porter)
+    // word_stem (Snowball English / Porter2 since r17 — 'generously'
+    // keeps its R1-pinned 'generous'; Porter1 gave 'gener')
     assertVector(
       "SELECT word_stem('running'), word_stem('ponies'), word_stem('generously'), word_stem('cat')",
-      "SELECT 'run', 'poni', 'gener', 'cat'")
+      "SELECT 'run', 'poni', 'generous', 'cat'")
   }
 
   test("math vectors: width_bucket, distributions, trig (TestMathFunctions.java:3285-3560)") {
