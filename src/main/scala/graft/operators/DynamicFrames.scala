@@ -4,42 +4,51 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
-/** Dynamic (per-row) ROWS-frame window aggregation as a first-class
-  * operator — the scale-safe path for `ROWS BETWEEN x PRECEDING AND y
-  * FOLLOWING` with NON-constant offsets, which Spark's native window
-  * framer cannot express (frame bounds must be foldable).
+/** Dynamic (per-row) frame-offset window aggregation as a first-class
+  * operator — the scale-safe path for `ROWS/GROUPS/RANGE BETWEEN x
+  * PRECEDING AND y FOLLOWING` with NON-constant offsets, which
+  * Spark's native window framer cannot express (frame bounds must be
+  * foldable).
   *
-  * The reference evaluates per-row frames in O(frame) per row over a
-  * spillable whole-partition buffer (`operator/window/RowsFraming.java`
-  * over a PagesIndex). This operator reproduces that shape exactly:
-  * one shuffle on the partition key, a local sort, and a streaming
-  * scan whose per-key working set is a [[SpillableRowBuffer]] (on-heap
-  * up to the spill threshold, task-local disk pages beyond — the same
-  * buffer the MATCH_RECOGNIZE operator uses). sum/count/avg evaluate
-  * in O(1) per row off an exact prefix array (integral sums stay
-  * Long-exact via addExact; 8–16 primitive bytes per buffered row);
-  * min/max scan the frame (O(frame) per row, the reference's own
-  * bound).
+  * The reference evaluates per-row frames over a spillable
+  * whole-partition buffer (`operator/window/RowsFraming.java`,
+  * `GroupsFraming.java`, `RangeFraming.java` over a PagesIndex). This
+  * operator reproduces that shape exactly: one shuffle on the
+  * partition key, a local sort, and a streaming scan whose per-key
+  * working set is a [[SpillableRowBuffer]] (on-heap up to the spill
+  * threshold, task-local disk pages beyond — the same buffer the
+  * MATCH_RECOGNIZE operator uses). Per-row work:
   *
-  * This is the 100-TB path the SQL front-end's dynamic-offset lowering
-  * (sqlcompat/WindowFrameSql.scala — whole-partition collected array
-  * with a partition-size guard) points to in docs/MIGRATION.md: the
-  * collected-array form cannot spill, this operator can.
+  *  - ROWS — frame `[i-lo, i+hi]` on the row axis; sum/count/avg are
+  *    O(1) off exact prefix arrays, min/max scan the frame (the
+  *    reference's own bound).
+  *  - GROUPS — frame on the peer-group axis (`dense_rank`): group
+  *    boundaries index the same prefix arrays; O(1)/O(frame).
+  *  - RANGE — frame `[k-lo, k+hi]` on the sort-key axis: two binary
+  *    searches (O(log n)) locate the frame, then prefix arrays as
+  *    above. NULL sort keys take their peer block (SQL:2016).
+  *
+  * This is the 100-TB path the SQL front-end's dynamic-offset
+  * lowering (sqlcompat/WindowFrameSql.scala — whole-partition
+  * collected array with a partition-size guard) points to in
+  * docs/MIGRATION.md: the collected-array form cannot spill, this
+  * operator can.
   *
   * Offset semantics follow the standard and the reference: offsets
   * evaluate per row, must be non-negative and non-null ("Window frame
   * offset value must not be negative or null"), and frames clamp to
-  * the partition edges. The current row is always inside its own
-  * frame (lo, hi ≥ 0), so the frame is never empty.
+  * the partition edges. For ROWS/GROUPS the current row is always in
+  * its own frame (lo, hi ≥ 0), so those frames are never empty; a
+  * RANGE frame can be empty only for NULL-keyed rows' complement —
+  * the null block itself is its own frame.
   */
 object DynamicFrames {
 
-  /** Append `outCol` = `fn(valueCol)` over each row's dynamic frame
-    * `[i - loCol(i), i + hiCol(i)]` within its (partCols, orderCols)
-    * window partition. fn ∈ {sum, count, avg, min, max}; value and
-    * offset columns must be integral or fractional primitives
-    * (decimals: pre-scale to a long — the limb convention used by the
-    * exact-decimal queries — or aggregate in double explicitly). */
+  /** ROWS mode — see class doc. `fn` ∈ {sum, count, avg, min, max};
+    * value and offset columns must be integral or fractional
+    * primitives (decimals: pre-scale to a long — the limb convention
+    * used by the exact-decimal queries — or aggregate in double
+    * explicitly). */
   def rowsFrameAgg(
       df: DataFrame,
       partCols: Seq[String],
@@ -49,18 +58,79 @@ object DynamicFrames {
       valueCol: String,
       fn: String,
       outCol: String = "frame_agg",
-      spillAfterRows: Int = MatchRecognize.SpillAfterRows): DataFrame = {
+      spillAfterRows: Int = MatchRecognize.SpillAfterRows): DataFrame =
+    frameAgg(df, partCols, orderCols, loCol, hiCol, valueCol, fn, outCol,
+      spillAfterRows, Mode.Rows)
+
+  /** GROUPS mode: the frame counts PEER GROUPS (rows tying on
+    * `orderCols`) instead of rows — `[g-lo, g+hi]` on the dense-rank
+    * axis, expanded to whole groups. */
+  def groupsFrameAgg(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[String],
+      loCol: String,
+      hiCol: String,
+      valueCol: String,
+      fn: String,
+      outCol: String = "frame_agg",
+      spillAfterRows: Int = MatchRecognize.SpillAfterRows): DataFrame =
+    frameAgg(df, partCols, orderCols, loCol, hiCol, valueCol, fn, outCol,
+      spillAfterRows, Mode.Groups)
+
+  /** RANGE mode: `orderCols` must be ONE ascending numeric sort key;
+    * the frame is all rows whose key lies in `[k-lo, k+hi]`. Keys
+    * compare in double space (exact for integers below 2^53 and for
+    * binary fractions; pre-scale decimals to longs for exactness —
+    * same convention as the value column). NULL keys sort first
+    * (Spark ascending default) and frame over their own peer block,
+    * per SQL:2016. */
+  def rangeFrameAgg(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCol: String,
+      loCol: String,
+      hiCol: String,
+      valueCol: String,
+      fn: String,
+      outCol: String = "frame_agg",
+      spillAfterRows: Int = MatchRecognize.SpillAfterRows): DataFrame =
+    frameAgg(df, partCols, Seq(orderCol), loCol, hiCol, valueCol, fn, outCol,
+      spillAfterRows, Mode.Range)
+
+  private object Mode extends Enumeration { val Rows, Groups, Range = Value }
+
+  private def frameAgg(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[String],
+      loCol: String,
+      hiCol: String,
+      valueCol: String,
+      fn: String,
+      outCol: String,
+      spillAfterRows: Int,
+      mode: Mode.Value): DataFrame = {
     require(Set("sum", "count", "avg", "min", "max")(fn),
-      s"rowsFrameAgg supports sum/count/avg/min/max, got '$fn'")
+      s"frameAgg supports sum/count/avg/min/max, got '$fn'")
     val inSchema = df.schema
     val vIdx = inSchema.fieldIndex(valueCol)
     val integral = inSchema(vIdx).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case FloatType | DoubleType => false
       case other => throw new IllegalArgumentException(
-        s"rowsFrameAgg($fn($valueCol)): integral or fractional primitive " +
+        s"frameAgg($fn($valueCol)): integral or fractional primitive " +
           s"column required, got $other (decimals: use the unscaled-long " +
           "limb convention)")
+    }
+    if (mode == Mode.Range) {
+      require(orderCols.length == 1, "RANGE mode takes one sort key")
+      inSchema(inSchema.fieldIndex(orderCols.head)).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType => ()
+        case other => throw new IllegalArgumentException(
+          s"rangeFrameAgg: numeric sort key required, got $other")
+      }
     }
     val outType: DataType = fn match {
       case "count" => LongType
@@ -73,11 +143,14 @@ object DynamicFrames {
       org.apache.spark.sql.Encoders.row(outSchema)
 
     val pCols = partCols
+    val oIdxs = orderCols.map(inSchema.fieldIndex)
     val loIdx = inSchema.fieldIndex(loCol)
     val hiIdx = inSchema.fieldIndex(hiCol)
+    val keyIdx = oIdxs.head
     val theFn = fn
     val isIntegral = integral
     val memCap = spillAfterRows
+    val theMode = mode
 
     df.repartition(partCols.map(col): _*)
       .sortWithinPartitions((partCols ++ orderCols).map(col): _*)
@@ -91,6 +164,15 @@ object DynamicFrames {
           private var pSumL: Array[Long] = _
           private var pSumD: Array[Double] = _
           private var pCnt: Array[Int] = _
+          // GROUPS: per-row group id + per-group [start, end]
+          private var grpOf: Array[Int] = _
+          private var grpStart: Array[Int] = _
+          private var grpEnd: Array[Int] = _
+          private var nGroups = 0
+          // RANGE: sort keys as doubles; NaN marks the null block
+          private var keys: Array[Double] = _
+          private var keyIsNull: Array[Boolean] = _
+          private var nullBlockEnd = 0 // exclusive end of leading nulls
 
           private def keyOf(r: Row): Seq[Any] =
             pCols.map(c => r.get(r.fieldIndex(c)))
@@ -103,6 +185,15 @@ object DynamicFrames {
               case other => throw new IllegalArgumentException(
                 s"window frame offset must be numeric, got ${other.getClass.getSimpleName}")
             }
+            if (o < 0) throw new IllegalArgumentException(
+              "Window frame offset value must not be negative or null")
+            o
+          }
+
+          private def offsetNumAt(r: Row, idx: Int): Double = {
+            if (r.isNullAt(idx)) throw new IllegalArgumentException(
+              "Window frame offset value must not be negative or null")
+            val o = r.get(idx).asInstanceOf[Number].doubleValue()
             if (o < 0) throw new IllegalArgumentException(
               "Window frame offset value must not be negative or null")
             o
@@ -137,6 +228,58 @@ object DynamicFrames {
                 i += 1
               }
             }
+            if (theMode == Mode.Groups) {
+              grpOf = new Array[Int](n)
+              val starts = new scala.collection.mutable.ArrayBuffer[Int]
+              var i = 0
+              var g = -1
+              var prev: Seq[Any] = null
+              while (i < n) {
+                val cur = oIdxs.map(ix => buf(i).get(ix))
+                if (prev == null || cur != prev) { g += 1; starts += i; prev = cur }
+                grpOf(i) = g
+                i += 1
+              }
+              nGroups = g + 1
+              grpStart = starts.toArray
+              grpEnd = new Array[Int](nGroups)
+              var gg = 0
+              while (gg < nGroups) {
+                grpEnd(gg) = if (gg + 1 < nGroups) grpStart(gg + 1) - 1 else n - 1
+                gg += 1
+              }
+            }
+            if (theMode == Mode.Range) {
+              keys = new Array[Double](n)
+              keyIsNull = new Array[Boolean](n)
+              var i = 0
+              while (i < n) {
+                if (buf(i).isNullAt(keyIdx)) keyIsNull(i) = true
+                else keys(i) = buf(i).get(keyIdx).asInstanceOf[Number].doubleValue()
+                i += 1
+              }
+              nullBlockEnd = 0
+              while (nullBlockEnd < n && keyIsNull(nullBlockEnd)) nullBlockEnd += 1
+            }
+          }
+
+          // first index in [from, n) with keys(i) >= bound
+          private def lowerBound(bound: Double, from: Int): Int = {
+            var lo = from; var hi = n
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (keys(mid) < bound) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+          // first index in [from, n) with keys(i) > bound
+          private def upperBound(bound: Double, from: Int): Int = {
+            var lo = from; var hi = n
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (keys(mid) <= bound) lo = mid + 1 else hi = mid
+            }
+            lo
           }
 
           override def hasNext: Boolean = {
@@ -152,18 +295,41 @@ object DynamicFrames {
           override def next(): Row = {
             if (!hasNext) throw new NoSuchElementException
             val r = buf(pos)
-            val lo = offsetAt(r, loIdx)
-            val hi = offsetAt(r, hiIdx)
-            val s = math.max(0L, pos - lo).toInt
-            val e = math.min(n - 1L, pos + hi).toInt
+            // frame [s, e] on the row axis, per mode
+            var s = 0
+            var e = -1
+            theMode match {
+              case Mode.Rows =>
+                val lo = offsetAt(r, loIdx)
+                val hi = offsetAt(r, hiIdx)
+                s = math.max(0L, pos - lo).toInt
+                e = math.min(n - 1L, pos + hi).toInt
+              case Mode.Groups =>
+                val lo = offsetAt(r, loIdx)
+                val hi = offsetAt(r, hiIdx)
+                val g = grpOf(pos)
+                val gs = math.max(0L, g - lo).toInt
+                val ge = math.min(nGroups - 1L, g + hi).toInt
+                s = grpStart(gs)
+                e = grpEnd(ge)
+              case Mode.Range =>
+                val lo = offsetNumAt(r, loIdx)
+                val hi = offsetNumAt(r, hiIdx)
+                if (keyIsNull(pos)) { s = 0; e = nullBlockEnd - 1 }
+                else {
+                  val k = keys(pos)
+                  s = lowerBound(k - lo, nullBlockEnd)
+                  e = upperBound(k + hi, nullBlockEnd) - 1
+                }
+            }
             val agg: Any = theFn match {
               case "count" => (pCnt(e + 1) - pCnt(s)).toLong
               case "sum" =>
-                if (pCnt(e + 1) - pCnt(s) == 0) null
+                if (e < s || pCnt(e + 1) - pCnt(s) == 0) null
                 else if (isIntegral) pSumL(e + 1) - pSumL(s)
                 else pSumD(e + 1) - pSumD(s)
               case "avg" =>
-                val c = pCnt(e + 1) - pCnt(s)
+                val c = if (e < s) 0 else pCnt(e + 1) - pCnt(s)
                 if (c == 0) null
                 else if (isIntegral) (pSumL(e + 1) - pSumL(s)).toDouble / c
                 else (pSumD(e + 1) - pSumD(s)) / c

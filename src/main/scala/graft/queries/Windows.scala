@@ -370,7 +370,61 @@ object Windows {
       |  AND b.rn BETWEEN a.rn - (a.event_id % 5) AND a.rn + (a.event_id % 3)
       |GROUP BY a.user_id, a.event_id""".stripMargin
 
+  // ---------------- w13/w14 dynamic GROUPS / RANGE frames (operator)
+  /** w13: per-row GROUPS frame offsets via the spillable operator
+    * ([[graft.operators.DynamicFrames.groupsFrameAgg]]) — frames
+    * count PEER GROUPS on a deliberately coarse sort key
+    * (event_id DIV 16, so groups of ~16 rows tie) with per-row
+    * offsets; the oracle reproduces the group frames relationally
+    * via a dense_rank self-join on an independent engine. */
+  def w13(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        (col("event_id") / lit(16)).cast("long").as("gk"),
+        (col("event_id") % 3).as("lo"), (col("event_id") % 2).as("hi"))
+    graft.operators.DynamicFrames.groupsFrameAgg(
+      ev, Seq("user_id"), Seq("gk"), "lo", "hi", "event_id", "sum", "s")
+      .select(col("user_id"), col("event_id"), col("s").cast("long").as("s"))
+  }
+
+  val w13Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_id // 16 AS gk,
+      |    dense_rank() OVER (PARTITION BY user_id ORDER BY event_id // 16) AS gr
+      |  FROM events)
+      |SELECT a.user_id, a.event_id, CAST(sum(b.event_id) AS BIGINT) AS s
+      |FROM g a JOIN g b ON a.user_id = b.user_id
+      |  AND b.gr BETWEEN a.gr - (a.event_id % 3) AND a.gr + (a.event_id % 2)
+      |GROUP BY a.user_id, a.event_id""".stripMargin
+
+  /** w14: per-row RANGE frame offsets via the spillable operator
+    * ([[graft.operators.DynamicFrames.rangeFrameAgg]]) — the frame is
+    * a per-row numeric band [k-lo, k+hi] on the sort-key axis,
+    * located by binary search; the oracle is the equivalent band
+    * self-join. */
+  def w14(s: SparkSession, dir: String): DataFrame = {
+    val ev = Graft.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        (col("event_id") % 997).cast("double").as("k"),
+        (col("event_id") % 7).cast("double").as("lo"),
+        (col("event_id") % 5).cast("double").as("hi"))
+    graft.operators.DynamicFrames.rangeFrameAgg(
+      ev, Seq("user_id"), "k", "lo", "hi", "event_id", "sum", "s")
+      .select(col("user_id"), col("event_id"), col("s").cast("long").as("s"))
+  }
+
+  val w14Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, CAST(event_id % 997 AS DOUBLE) AS k
+      |  FROM events)
+      |SELECT a.user_id, a.event_id, CAST(sum(b.event_id) AS BIGINT) AS s
+      |FROM g a JOIN g b ON a.user_id = b.user_id
+      |  AND b.k BETWEEN a.k - (a.event_id % 7) AND a.k + (a.event_id % 5)
+      |GROUP BY a.user_id, a.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_dynamic_groups_operator" -> w13 _,
+    "w14_dynamic_range_operator" -> w14 _,
     "w12_dynamic_frame_operator" -> w12 _,
     "w11_frame_exclude" -> w11 _,
     "w1_ranking" -> w1 _,
@@ -385,6 +439,8 @@ object Windows {
     "w10_groups_frame" -> w10 _)
 
   val oracle: Map[String, String] = Map(
+    "w13_dynamic_groups_operator" -> w13Sql,
+    "w14_dynamic_range_operator" -> w14Sql,
     "w12_dynamic_frame_operator" -> w12Sql,
     "w11_frame_exclude" -> w11Sql,
     "w1_ranking" -> w1Sql,

@@ -294,4 +294,69 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getInt(1) -> r.get(5)).toMap
     assert(cnt == Map(1 -> 0L, 2 -> 1L))
   }
+
+  // ---------------------------- DynamicFrames GROUPS / RANGE modes
+  // (reference operator/window/GroupsFraming.java / RangeFraming.java
+  // semantics over the same spillable buffer)
+
+  test("dynamic GROUPS frames: frames count peer groups, clamp at edges") {
+    val spk = spark
+    import spk.implicits._
+    // g=1, group key gk has ties: groups (gk=1: ord 1,2), (gk=2: ord 3),
+    // (gk=3: ord 4,5); per-row lo/hi in GROUPS
+    val df = Seq(
+      (1, 1, 1, 0L, 1L, 10L), (1, 2, 1, 1L, 0L, 20L),
+      (1, 3, 2, 1L, 1L, 30L), (1, 4, 3, 0L, 0L, 40L),
+      (1, 5, 3, 9L, 9L, 50L))
+      .toDF("g", "ord", "gk", "lo", "hi", "v")
+    val got = graft.operators.DynamicFrames
+      .groupsFrameAgg(df, Seq("g"), Seq("gk"), "lo", "hi", "v", "sum", "a")
+      .collect().map(r => r.getInt(1) -> r.get(6)).toMap
+    // ord1: groups [0..1] → rows 1..3 → 60; ord2: groups [0..0] → 30;
+    // ord3: groups [0..2] → all → 150; ord4: group [2..2] → 90;
+    // ord5: clamp to all → 150
+    assert(got == Map(1 -> 60L, 2 -> 30L, 3 -> 150L, 4 -> 90L, 5 -> 150L))
+  }
+
+  test("dynamic RANGE frames: per-row numeric bands via binary search; null keys frame their peer block") {
+    val spk = spark
+    import spk.implicits._
+    // keys 1.0, 2.0, 5.0, NULL, NULL in one partition (nulls sort first)
+    val df = Seq(
+      (1, Some(1.0), 1L, 1L, 10L), (1, Some(2.0), 0L, 2L, 20L),
+      (1, Some(5.0), 1L, 0L, 50L), (1, Option.empty[Double], 0L, 0L, 7L),
+      (1, Option.empty[Double], 3L, 3L, 9L))
+      .toDF("g", "k", "lo", "hi", "v")
+    val got = graft.operators.DynamicFrames
+      .rangeFrameAgg(df, Seq("g"), "k", "lo", "hi", "v", "sum", "a")
+      .collect().map(r => (Option(r.get(1)), r.getLong(4)) -> r.get(5)).toMap
+    // k=1 band [0,2] → 10+20=30; k=2 band [2,4] → 20; k=5 band [4,5] →
+    // 50; null rows frame the null block → 7+9=16
+    assert(got == Map(
+      (Some(1.0), 10L) -> 30L, (Some(2.0), 20L) -> 20L,
+      (Some(5.0), 50L) -> 50L, (None, 7L) -> 16L, (None, 9L) -> 16L))
+  }
+
+  test("dynamic GROUPS/RANGE frames: spilled buffers give identical results") {
+    val spk = spark
+    import spk.implicits._
+    val df = (1 to 40).map(i =>
+      (i % 2, i, i / 4, (i % 3).toLong, (i % 2).toLong, i.toLong))
+      .toDF("g", "ord", "gk", "lo", "hi", "v")
+    def run(spill: Int) = graft.operators.DynamicFrames
+      .groupsFrameAgg(df, Seq("g"), Seq("gk"), "lo", "hi", "v", "sum", "a",
+        spillAfterRows = spill)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.get(6)).toMap
+    val before = graft.operators.MatchRecognize.SpillCount.get()
+    assert(run(3) == run(100000))
+    assert(graft.operators.MatchRecognize.SpillCount.get() > before)
+    val dfr = (1 to 40).map(i =>
+      (i % 2, (i % 7).toDouble, (i % 3).toDouble, (i % 2).toDouble, i.toLong))
+      .toDF("g", "k", "lo", "hi", "v")
+    def runR(spill: Int) = graft.operators.DynamicFrames
+      .rangeFrameAgg(dfr, Seq("g"), "k", "lo", "hi", "v", "sum", "a",
+        spillAfterRows = spill)
+      .collect().map(r => (r.getInt(0), r.getLong(4)) -> r.get(5)).toMap
+    assert(runR(3) == runR(100000))
+  }
 }
