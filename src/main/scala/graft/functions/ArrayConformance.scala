@@ -38,6 +38,27 @@ case class TrimArray(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `combine_hash(h1, h2)` = `31*h1 + h2` WRAPPING (reference
+  * CombineHashFunction.java — hash mixing relies on two's-complement
+  * wraparound). A dedicated codegen expression: the engine's integer
+  * arithmetic is ANSI (overflow raises, like the reference), so hash
+  * mixing cannot ride the generic `+`/`*` operators. */
+case class CombineHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "combine_hash"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    31L * a.asInstanceOf[Long] + b.asInstanceOf[Long]
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"(31L * $a + $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `contains_sequence(arr, seq)` (reference `operator/scalar/
   * ArrayContainsSequence.java`): true iff `seq` occurs in `arr` as a
   * CONTIGUOUS subsequence (an empty sequence is always contained).

@@ -261,8 +261,7 @@ object CompatAliases {
     fn(e, "bitwise_right_shift", c => ShiftRightUnsigned(c(0), c(1)))
     fn(e, "bitwise_right_shift_arithmetic", c => ShiftRight(c(0), c(1)))
     fn(e, "combine_hash", c =>
-      new Add(new Multiply(Literal(31L), Cast(c(0), LongType)),
-        Cast(c(1), LongType)))
+      CombineHash(Cast(c(0), LongType), Cast(c(1), LongType)))
 
     // ---- binary codecs
     fn(e, "from_hex", c => new Unhex(c.head))

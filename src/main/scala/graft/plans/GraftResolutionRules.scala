@@ -39,6 +39,16 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** MAP values compare via their canonical sorted-entry array (same
+    * canonicalization MapGroupingKeys uses for grouping keys). */
+  private def mapCanon(e: Expression): Expression = e.dataType match {
+    case _: MapType =>
+      org.apache.spark.sql.catalyst.expressions.SortArray(
+        org.apache.spark.sql.catalyst.expressions.MapEntries(e),
+        Literal(true))
+    case _ => e
+  }
+
   /** Expression rewrite with an explicit recursion so the IEEE-divide
     * branch can be SUPPRESSED inside try scopes (their NULL-on-error
     * contract depends on the inner ANSI error being raised — see
@@ -138,6 +148,90 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
           org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI),
         wider)
       if (inTry) TryEval(div) else div
+
+    // reference ROW equality (RowOperators / TestRowOperators.java):
+    // field-wise THREE-VALUED equality — any unequal non-null pair
+    // decides false, otherwise any null-involved pair makes the
+    // comparison NULL (Spark's struct '=' treats field nulls as
+    // ordinary values: null==null true, null==2 false). Lowered to an
+    // AND chain of field equalities, whose SQL 3VL is exactly the
+    // standard's row-comparison rule; MAP-typed fields (and bare
+    // map = map, which Spark rejects as unorderable) compare via the
+    // canonical sorted-entry array — entry order insensitive, like
+    // the reference's map equality.
+    case eq @ org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
+        if l.resolved && r.resolved &&
+          l.dataType.isInstanceOf[StructType] &&
+          org.apache.spark.sql.types.DataType.equalsStructurally(
+            l.dataType, r.dataType, ignoreNullability = true) =>
+      val st = l.dataType.asInstanceOf[StructType]
+      val ll = rw(l, inTry)
+      val rr = rw(r, inTry)
+      val conj = st.fields.indices.map { i =>
+        org.apache.spark.sql.catalyst.expressions.EqualTo(
+          mapCanon(GetStructField(ll, i, Some(st.fields(i).name))),
+          mapCanon(GetStructField(rr, i, Some(st.fields(i).name))))
+            : Expression
+      }.reduceLeftOption[Expression](
+        org.apache.spark.sql.catalyst.expressions.And(_, _))
+        .getOrElse(Literal(true))
+      org.apache.spark.sql.catalyst.expressions.If(
+        org.apache.spark.sql.catalyst.expressions.Or(
+          org.apache.spark.sql.catalyst.expressions.IsNull(ll),
+          org.apache.spark.sql.catalyst.expressions.IsNull(rr)),
+        Literal(null, org.apache.spark.sql.types.BooleanType),
+        conj)
+    case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
+        if l.resolved && r.resolved && l.dataType.isInstanceOf[MapType] &&
+          org.apache.spark.sql.types.DataType.equalsStructurally(
+            l.dataType, r.dataType, ignoreNullability = true) =>
+      org.apache.spark.sql.catalyst.expressions.EqualTo(
+        mapCanon(rw(l, inTry)), mapCanon(rw(r, inTry)))
+
+    // reference integer ARITHMETIC raises on overflow (Math.addExact
+    // in BigintOperators/IntegerOperators — NUMERIC_VALUE_OUT_OF_RANGE);
+    // Spark's legacy mode wraps silently. Convert integral-typed
+    // +/-/*/negate and SUM to ANSI eval: inside TRY scopes the raise
+    // is caught by the enclosing TryEval (→ NULL, like the
+    // reference's try()); TRY-mode nodes (try_add family) keep
+    // Spark's own contract. Wrapping-by-design hash mixing uses the
+    // dedicated CombineHash expression, not these operators.
+    case a @ org.apache.spark.sql.catalyst.expressions.Add(l, r,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+        if l.resolved && r.resolved &&
+          integralTarget(l.dataType) && integralTarget(r.dataType) =>
+      org.apache.spark.sql.catalyst.expressions.Add(rw(l, inTry), rw(r, inTry),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+    case s @ org.apache.spark.sql.catalyst.expressions.Subtract(l, r,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+        if l.resolved && r.resolved &&
+          integralTarget(l.dataType) && integralTarget(r.dataType) =>
+      org.apache.spark.sql.catalyst.expressions.Subtract(rw(l, inTry), rw(r, inTry),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+    case m @ org.apache.spark.sql.catalyst.expressions.Multiply(l, r,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+        if l.resolved && r.resolved &&
+          integralTarget(l.dataType) && integralTarget(r.dataType) =>
+      org.apache.spark.sql.catalyst.expressions.Multiply(rw(l, inTry), rw(r, inTry),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+    case m @ org.apache.spark.sql.catalyst.expressions.Remainder(l, r,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+        if l.resolved && r.resolved &&
+          integralTarget(l.dataType) && integralTarget(r.dataType) =>
+      val rem = org.apache.spark.sql.catalyst.expressions.Remainder(
+        rw(l, inTry), rw(r, inTry),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+      if (inTry) TryEval(rem) else rem
+    case n @ org.apache.spark.sql.catalyst.expressions.UnaryMinus(c, false)
+        if c.resolved && integralTarget(c.dataType) =>
+      org.apache.spark.sql.catalyst.expressions.UnaryMinus(rw(c, inTry), true)
+    case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+        if s.child.resolved && integralTarget(s.child.dataType) &&
+          s.evalContext.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Sum(rw(s.child, inTry),
+        org.apache.spark.sql.catalyst.expressions.NumericEvalContext(
+          org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI,
+          s.evalContext.allowDecimalPrecisionLoss))
 
     // IEEE-754 double/float division (reference: bare JVM `/`);
     // suppressed inside try scopes — not via eval mode (Spark 4.1's

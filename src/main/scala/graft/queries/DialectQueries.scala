@@ -1182,7 +1182,33 @@ object DialectQueries {
       |    || ']},' || l_linenumber || ']' AS arr
       |FROM lineitem WHERE l_orderkey < 300""".stripMargin
 
+  /** dx32: reference INTEGER ARITHMETIC semantics at table scale
+    * (r17): `/` on integral operands truncates toward zero on the
+    * common integral type and `%` keeps the dividend's sign
+    * (TestBigintOperators.java testDivide/testModulus; Spark alone
+    * would lower `/` to double division). The oracle uses the
+    * independent engine's explicit integer-division operator. */
+  val dx32Reference: String =
+    """SELECT l_orderkey % 10 AS bucket,
+      |  CAST(sum(l_partkey / (l_suppkey % 7 + 1)) AS BIGINT) AS q,
+      |  CAST(sum(l_partkey % (l_suppkey % 5 + 1)) AS BIGINT) AS m,
+      |  CAST(max(l_partkey / (l_linenumber + 1)) AS BIGINT) AS mx
+      |FROM lineitem GROUP BY l_orderkey % 10""".stripMargin
+
+  def dx32(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx32Reference))
+  }
+
+  val dx32Sql: String =
+    """SELECT l_orderkey % 10 AS bucket,
+      |  CAST(sum(l_partkey // (l_suppkey % 7 + 1)) AS BIGINT) AS q,
+      |  CAST(sum(l_partkey % (l_suppkey % 5 + 1)) AS BIGINT) AS m,
+      |  CAST(max(l_partkey // (l_linenumber + 1)) AS BIGINT) AS mx
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx32_integer_division" -> dx32 _,
     "dx31_sql_json_conformance" -> dx31 _,
     "dx30_dynamic_rows_frame" -> dx30 _,
     "dx28_groups_frame_sql" -> dx28 _,
@@ -1216,6 +1242,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx32_integer_division" -> dx32Sql,
     "dx31_sql_json_conformance" -> dx31Sql,
     "dx30_dynamic_rows_frame" -> dx30Sql,
     "dx28_groups_frame_sql" -> dx28Sql,
