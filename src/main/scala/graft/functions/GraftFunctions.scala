@@ -338,6 +338,8 @@ object GraftFunctions {
     spark.udf.register("inverse_beta_cdf",
       (a: Double, b: Double, p: Double) => StatFunctions.inverseBetaCdf(a, b, p))
     spark.udf.register("json_size", (j: String, path: String) => jsonSize(j, path))
+    spark.udf.register("json_parse", (s: String) => jsonParse(s))
+    spark.udf.register("json_format", (s: String) => jsonParse(s))
     spark.udf.register("json_exists",
       (j: String, path: String) => jsonExists(j, path))
     spark.udf.register("json_value",
@@ -775,6 +777,36 @@ object GraftFunctions {
         else return None
     }
     Option(node)
+  }
+
+  /** json_parse (reference JsonFunctions.java varcharToJson): the
+    * JSON type maps to VARCHAR here, so parsing = validate +
+    * CANONICALIZE (compact form, like the reference's JSON value
+    * rendering); an unparsable document raises the reference's
+    * "Cannot convert value to JSON" error. json_format is the
+    * inverse surface — on the varchar mapping it validates and
+    * renders the same canonical text. */
+  // json_parse must reject trailing garbage after a complete value
+  // ('{}{' and '{}abc' are invalid documents in the reference)
+  private val strictJsonMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.enable(
+      com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    m
+  }
+
+  def jsonParse(s: String): String = {
+    if (s == null) return null
+    try {
+      val n = strictJsonMapper.readTree(s)
+      if (n == null || n.isMissingNode) throw new IllegalArgumentException(
+        s"Cannot convert value to JSON: '$s'")
+      n.toString
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(
+          s"Cannot convert value to JSON: '$s'")
+    }
   }
 
   /** Legacy json_extract: the JSON TEXT at the path (compact form;

@@ -579,6 +579,23 @@ class ReferenceScalarCorporaSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------------------------------------------------
+  test("json_parse / json_format vectors (TestJsonFunctions.java:640-700)") {
+    // JSON ↦ VARCHAR here: parse = validate + canonical compact form
+    vLit("json_parse('[1, 2, 3]')", "[1,2,3]")
+    vLit("""json_parse('{"a" : 1, "b" : [2, 3]}')""", """{"a":1,"b":[2,3]}""")
+    vLit("""json_parse('"x"')""", "\"x\"")
+    vLit("json_parse('null')", "null")
+    vErr("json_parse('INVALID')", "Cannot convert value to JSON")
+    vErr("""json_parse('"x": 1')""", "Cannot convert value to JSON")
+    vErr("json_parse('{}{')", "Cannot convert value to JSON")
+    vErr("""json_parse('{} "a"')""", "Cannot convert value to JSON")
+    vErr("json_parse('{}abc')", "Cannot convert value to JSON")
+    vErr("json_parse('')", "Cannot convert value to JSON")
+    vLit("""json_format(json_parse('["a", "b"]'))""", """["a","b"]""")
+    vNull("json_parse(CAST(NULL AS VARCHAR))")
+  }
+
+  // ------------------------------------------------------------------
   test("transform lambda vectors (TestArrayTransformFunction.java:43-235)") {
     v("transform(ARRAY[5, 6], x -> 9)", "ARRAY[9, 9]")
     v("transform(ARRAY[5, 6], x -> x + 1)", "ARRAY[6, 7]")

@@ -208,6 +208,26 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------------------------------------------------
+  test("date operator vectors (TestDate.java:65-570)") {
+    vLit("DATE '2001-1-22' = DATE '2001-01-22'", "true")
+    vLit("DATE '2001-1-22' < DATE '2001-01-23'", "true")
+    vLit("DATE '2001-1-22' BETWEEN DATE '2001-01-01' AND DATE '2001-01-31'", "true")
+    vLit("cast(DATE '2001-1-22' as varchar)", "2001-01-22")
+    // (the reference also accepts DATE '13-2-2' → 0013-02-02; Spark's
+    // parser requires a 4-digit year — documented literal-form gap)
+    vLit("cast('2001-1-22' as date)", "2001-01-22")
+    vLit("cast('\n\t 2001-1-22' as date)", "2001-01-22")
+    vLit("cast('2001-1-22 \t\n' as date)", "2001-01-22")
+    vLit("greatest(DATE '2013-03-30', DATE '2012-05-23')", "2013-03-30")
+    vLit("least(DATE '2013-03-30', DATE '2012-05-23')", "2012-05-23")
+    vLit("DATE '2013-10-27' IS DISTINCT FROM DATE '2013-10-27'", "false")
+    vLit("DATE '2013-10-27' IS DISTINCT FROM DATE '2013-10-28'", "true")
+    vLit("CAST(NULL AS DATE) IS DISTINCT FROM CAST(NULL AS DATE)", "false")
+    vLit("cast(cast(DATE '2001-1-22' as timestamp) as varchar)",
+      "2001-01-22 00:00:00")
+  }
+
+  // ------------------------------------------------------------------
   test("varchar/boolean cast vectors (TestBigintOperators.java:366-460)") {
     vLit("cast(BIGINT '37' as varchar)", "37")
     vLit("cast('37' as bigint)", "37")
