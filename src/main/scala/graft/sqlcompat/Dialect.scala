@@ -262,7 +262,7 @@ object Dialect {
     // date/time/interval/binary, not numerics.
     val typedLitRe =
       ("(?i)\\b(REAL|DECIMAL|VARCHAR|CHAR|TINYINT|SMALLINT|INTEGER|BIGINT|" +
-        "DOUBLE|TIME|UUID|IPADDRESS)\\s*$").r
+        "DOUBLE|TIME|UUID|IPADDRESS|JSON)\\s*$").r
     var tl = 0
     while (tl + 2 < parts.length) {
       val (seg, isLit) = parts(tl)
@@ -270,7 +270,15 @@ object Dialect {
         typedLitRe.findFirstMatchIn(seg).foreach { m =>
           val lit = parts(tl + 1)._1
           val body = lit.substring(1, lit.length - 1)
-          if (m.group(1).equalsIgnoreCase("TIME")) {
+          if (m.group(1).equalsIgnoreCase("JSON")) {
+            // JSON 'x' literal → validated canonical JSON text on the
+            // JSON↦VARCHAR mapping (invalid literals raise, like the
+            // reference's INVALID_LITERAL); folded at runtime by
+            // ConstantFolding since json_parse is deterministic
+            parts(tl) = (seg.substring(0, m.start) + "json_parse(", false)
+            val (after2, afterLit2) = parts(tl + 2)
+            parts(tl + 2) = (")" + after2, afterLit2)
+          } else if (m.group(1).equalsIgnoreCase("TIME")) {
             // TIME 'H:mm:ss[.f…]' literal → the engine's nanos-of-day
             // BIGINT convention, folded here (it is a constant).
             // Zoned forms (TIME '… +05:00') pass through untouched for
@@ -406,6 +414,10 @@ object Dialect {
         out = out.replaceAll(
           "(?i)\\b(WHERE|HAVING)\\s+NULL\\b(?!\\s*(IN|NOT|IS|=|<|>|\\+|-))",
           "$1 CAST(NULL AS BOOLEAN)")
+        // CAST(x AS JSON) renders the VALUE as JSON text (see
+        // castAsJsonPass) — shield it from the json→string rename
+        // with a sentinel the pass consumes
+        out = out.replaceAll("(?i)\\bAS\\s+JSON\\s*\\)", "AS GRAFT_JSON_CAST)")
         for ((from, to) <- typeRenames if from != to) {
           // a length/precision parameter is dropped with the rename:
           // CAST(x AS VARCHAR(255)) → CAST(x AS string) — Spark's
@@ -1299,6 +1311,60 @@ object Dialect {
     * §6.32/6.33: object NULL ON NULL, array ABSENT ON NULL. Runs on
     * canonical text (string literals are sentinels, so ':' inside
     * them can't mis-split a pair). */
+  /** `CAST(x AS JSON)` / `TRY_CAST(x AS JSON)` — on the JSON↦VARCHAR
+    * mapping the cast renders the SQL VALUE as its JSON text
+    * (reference `type/TestJsonOperators.java` casts-to-JSON: strings
+    * quote, numbers/booleans render bare, arrays/maps/rows become
+    * JSON containers, a top-level SQL NULL stays SQL NULL). Lowered
+    * onto Spark's JSON writer via the same `to_json(array(x))`
+    * fragment the SQL/JSON constructors use. Erasure caveat
+    * (docs/MIGRATION.md): a value that is ALREADY a JSON text
+    * (json_parse output) re-encodes as a quoted JSON string — the
+    * reference's identity cast is untypeable once JSON ≡ varchar. */
+  private def castAsJsonPass(canon0: String): String = {
+    val re = "(?is)\\bAS\\s+GRAFT_JSON_CAST\\s*\\)".r
+    var out = canon0
+    var from = 0
+    var guard = 0
+    var m = re.findFirstMatchIn(out.substring(from))
+      .map(x => (x.start + from, x.end + from))
+    while (m.isDefined && guard < 64) {
+      guard += 1
+      val (mStart, mEnd) = m.get
+      var depth = 0
+      var i = mEnd - 1
+      var open = -1
+      while (i >= 0 && open < 0) {
+        val c = out.charAt(i)
+        if (c == ')') depth += 1
+        else if (c == '(') { depth -= 1; if (depth == 0) open = i }
+        i -= 1
+      }
+      val pre =
+        (if (open > 0) out.substring(0, open) else "")
+          .replaceAll("[ \\t\\r\\n]+$", "")
+      val kind =
+        if (pre.toUpperCase.endsWith("TRY_CAST")) 8
+        else if (pre.toUpperCase.endsWith("CAST")) 4
+        else 0
+      if (open >= 0 && kind > 0) {
+        val castStart = pre.length - kind
+        val expr = "(" +
+          out.substring(open + 1, mStart).replaceAll("[ \\t\\r\\n]+$", "") + ")"
+        val frag =
+          s"substr(to_json(array($expr)), 2, length(to_json(array($expr))) - 2)"
+        val repl = s"IF($expr IS NULL, CAST(NULL AS STRING), $frag)"
+        out = out.substring(0, castStart) + repl + out.substring(mEnd)
+        from = 0
+      } else from = mEnd
+      m = re.findFirstMatchIn(out.substring(from))
+        .map(x => (x.start + from, x.end + from))
+    }
+    // leftover sentinels were NOT cast positions (e.g. an alias
+    // literally named json) — restore the original spelling
+    out.replaceAll("(?i)\\bAS\\s+GRAFT_JSON_CAST\\b", "AS json")
+  }
+
   private def jsonConstructorPass(canon0: String): String = {
     val re = "(?i)\\bjson_(object|array)\\s*\\(".r
     var out = canon0
@@ -2038,6 +2104,7 @@ object Dialect {
     out = WindowFrameSql.pass(out, lits.toIndexedSeq)
     out = unorderedRankingPass(out)
     out = orderByNullsPass(out)
+    out = castAsJsonPass(out)
     // LIMIT literals past Int.MaxValue: the reference accepts a BIGINT
     // row count (testLimitMax — LIMIT 9223372036854775807 means "no
     // limit"); Spark requires an INT literal, so clamp. Row counts

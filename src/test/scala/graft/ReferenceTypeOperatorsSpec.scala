@@ -208,6 +208,29 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------------------------------------------------
+  test("JSON literal / cast-to-JSON vectors (TestJsonOperators.java:100-500)") {
+    // JSON 'x' literal → canonical compact text (JSON ↦ VARCHAR)
+    vLit("""JSON '{"a" : 1, "b" : [2, 3]}'""", """{"a":1,"b":[2,3]}""")
+    vLit("JSON '[1, 2, 3]'", "[1,2,3]")
+    vLit("JSON 'null'", "null")
+    vLit("JSON '\"128\"'", "\"128\"")
+    vErr("JSON 'INVALID'", "Cannot convert value to JSON")
+    // casts TO JSON render the SQL value as JSON text
+    vLit("CAST(3 AS JSON)", "3")
+    vLit("CAST(BIGINT '12345678901' AS JSON)", "12345678901")
+    vLit("CAST(true AS JSON)", "true")
+    vLit("CAST(1.5E0 AS JSON)", "1.5")
+    vLit("CAST('abc' AS JSON)", "\"abc\"")
+    vLit("CAST(ARRAY[1, 2, 3] AS JSON)", "[1,2,3]")
+    vLit("CAST(MAP(ARRAY['a'], ARRAY[1]) AS JSON)", """{"a":1}""")
+    vNull("CAST(NULL AS JSON)")
+    vNull("CAST(CAST(NULL AS INTEGER) AS JSON)")
+    vLit("CAST(ARRAY[1, NULL, 3] AS JSON)", "[1,null,3]")
+    // TRY_CAST keeps the same rendering
+    vLit("TRY_CAST('abc' AS JSON)", "\"abc\"")
+  }
+
+  // ------------------------------------------------------------------
   test("date operator vectors (TestDate.java:65-570)") {
     vLit("DATE '2001-1-22' = DATE '2001-01-22'", "true")
     vLit("DATE '2001-1-22' < DATE '2001-01-23'", "true")
