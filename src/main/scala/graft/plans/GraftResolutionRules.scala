@@ -30,6 +30,13 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
       dt == org.apache.spark.sql.types.ShortType ||
       dt == org.apache.spark.sql.types.ByteType
 
+  /** Overflow-raising arithmetic applies to integral AND decimal
+    * operands (the reference raises for both: Math.addExact /
+    * DecimalOperators checkOverflow); double/float wrap to IEEE
+    * infinities instead, like the reference. */
+  private def ansiArithTarget(dt: org.apache.spark.sql.types.DataType): Boolean =
+    integralTarget(dt) || dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+
   private def fractionalSource(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == DoubleType || dt == FloatType ||
       dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
@@ -199,19 +206,19 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
     case a @ org.apache.spark.sql.catalyst.expressions.Add(l, r,
         org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         if l.resolved && r.resolved &&
-          integralTarget(l.dataType) && integralTarget(r.dataType) =>
+          ansiArithTarget(l.dataType) && ansiArithTarget(r.dataType) =>
       org.apache.spark.sql.catalyst.expressions.Add(rw(l, inTry), rw(r, inTry),
         org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
     case s @ org.apache.spark.sql.catalyst.expressions.Subtract(l, r,
         org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         if l.resolved && r.resolved &&
-          integralTarget(l.dataType) && integralTarget(r.dataType) =>
+          ansiArithTarget(l.dataType) && ansiArithTarget(r.dataType) =>
       org.apache.spark.sql.catalyst.expressions.Subtract(rw(l, inTry), rw(r, inTry),
         org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
     case m @ org.apache.spark.sql.catalyst.expressions.Multiply(l, r,
         org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         if l.resolved && r.resolved &&
-          integralTarget(l.dataType) && integralTarget(r.dataType) =>
+          ansiArithTarget(l.dataType) && ansiArithTarget(r.dataType) =>
       org.apache.spark.sql.catalyst.expressions.Multiply(rw(l, inTry), rw(r, inTry),
         org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
     case m @ org.apache.spark.sql.catalyst.expressions.Remainder(l, r,
@@ -226,7 +233,7 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
         if c.resolved && integralTarget(c.dataType) =>
       org.apache.spark.sql.catalyst.expressions.UnaryMinus(rw(c, inTry), true)
     case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
-        if s.child.resolved && integralTarget(s.child.dataType) &&
+        if s.child.resolved && ansiArithTarget(s.child.dataType) &&
           s.evalContext.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY =>
       org.apache.spark.sql.catalyst.expressions.aggregate.Sum(rw(s.child, inTry),
         org.apache.spark.sql.catalyst.expressions.NumericEvalContext(

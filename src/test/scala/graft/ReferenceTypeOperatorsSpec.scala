@@ -109,6 +109,24 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------------------------------------------------
+  test("decimal arithmetic overflow raises (TestDecimalOperators.java overflow rows)") {
+    vLit("CAST('99999999999999999999' AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))",
+      "100000000000000000000")
+    // engine message for the reference's DECIMAL_OVERFLOW condition
+    vErr("CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0)) + " +
+      "CAST(1 AS DECIMAL(38,0))", "cannot be represented as Decimal")
+    vErr("CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0)) * " +
+      "CAST(10 AS DECIMAL(38,0))", "cannot be represented as Decimal")
+    vErr("CAST('-99999999999999999999999999999999999999' AS DECIMAL(38,0)) - " +
+      "CAST(1 AS DECIMAL(38,0))", "cannot be represented as Decimal")
+    vNull("try(CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0)) + " +
+      "CAST(1 AS DECIMAL(38,0)))")
+    vErr("sum(x) FROM (VALUES CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0)), " +
+      "CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0))) t(x)",
+      "cannot be represented as Decimal")
+  }
+
+  // ------------------------------------------------------------------
   test("integer division / modulus (TestBigintOperators.java:152-193, TestIntegerOperators.java)") {
     vLit("37 / 17", "2")
     vLit("-37 / 17", "-2") // truncation toward zero
