@@ -226,6 +226,43 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------------------------------------------------
+  test("decimal cast vectors (TestDecimalCasts.java:50-700)") {
+    // decimal → integral rounds HALF-UP (away from zero)
+    vLit("cast(DECIMAL '2.34' as BIGINT)", "2")
+    vLit("cast(DECIMAL '2.5' as BIGINT)", "3")
+    vLit("cast(DECIMAL '2.49' as BIGINT)", "2")
+    vLit("cast(DECIMAL '-2.5' as BIGINT)", "-3")
+    vLit("cast(DECIMAL '-2.49' as BIGINT)", "-2")
+    vLit("cast(DECIMAL '20' as BIGINT)", "20")
+    vLit("cast(DECIMAL '0' as BIGINT)", "0")
+    vLit("cast(DECIMAL '2.5' as INTEGER)", "3")
+    vLit("cast(DECIMAL '-2.5' as SMALLINT)", "-3")
+    // integral → decimal, exact and rescaled
+    vLit("cast(BIGINT '20' as DECIMAL(4,1))", "20")
+    vLit("cast(20 as DECIMAL(9,2))", "20")
+    // decimal → decimal rescale rounds HALF-UP
+    vLit("cast(DECIMAL '2.449' as DECIMAL(3,1))", "2.4")
+    vLit("cast(DECIMAL '2.45' as DECIMAL(3,1))", "2.5")
+    vLit("cast(DECIMAL '-2.45' as DECIMAL(3,1))", "-2.5")
+    // out-of-range casts raise (reference INVALID_CAST_ARGUMENT;
+    // engine: NUMERIC_VALUE_OUT_OF_RANGE / CAST_OVERFLOW)
+    vErr("cast(DECIMAL '99' as DECIMAL(1,0))", "cannot be represented")
+    vErr("cast(DECIMAL '123456.5' as SMALLINT)", "cannot be cast")
+    vErr("cast(1e19 as BIGINT)", "cannot be cast")
+    vErr("cast('bad' as DECIMAL(5,2))", "cannot be cast")
+    vNull("try(cast(DECIMAL '99' as DECIMAL(1,0)))")
+    vNull("try_cast('bad' as DECIMAL(5,2))")
+    // boolean ↔ decimal
+    vLit("cast(true as DECIMAL(2,1))", "1")
+    vLit("cast(false as DECIMAL(2,1))", "0")
+    vLit("cast(DECIMAL '1.1' as BOOLEAN)", "true")
+    vLit("cast(DECIMAL '0.0' as BOOLEAN)", "false")
+    // varchar ↔ decimal
+    vLit("cast('2.34' as DECIMAL(4,2))", "2.34")
+    vLit("cast(DECIMAL '2.34' as VARCHAR)", "2.34")
+  }
+
+  // ------------------------------------------------------------------
   test("JSON literal / cast-to-JSON vectors (TestJsonOperators.java:100-500)") {
     // JSON 'x' literal → canonical compact text (JSON ↦ VARCHAR)
     vLit("""JSON '{"a" : 1, "b" : [2, 3]}'""", """{"a":1,"b":[2,3]}""")
