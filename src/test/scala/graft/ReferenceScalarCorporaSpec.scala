@@ -596,6 +596,38 @@ class ReferenceScalarCorporaSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------------------------------------------------
+  test("date_trunc / timestamp vectors at micros precision (timestamp/TestDateTrunc.java, TestTimestamp.java)") {
+    // the reference parameterizes precision 0..12; this engine's
+    // timestamps are micros (SURVEY §1.3), so the in-scope subset
+    // collapses to one vector per unit
+    v("date_trunc('year', TIMESTAMP '2020-05-10 12:34:56.123456')",
+      "TIMESTAMP '2020-01-01 00:00:00'")
+    v("date_trunc('quarter', TIMESTAMP '2020-05-10 12:34:56.123456')",
+      "TIMESTAMP '2020-04-01 00:00:00'")
+    v("date_trunc('month', TIMESTAMP '2020-05-10 12:34:56.123456')",
+      "TIMESTAMP '2020-05-01 00:00:00'")
+    // ISO weeks start Monday (2020-05-10 is a Sunday)
+    v("date_trunc('week', TIMESTAMP '2020-05-10 12:34:56.123456')",
+      "TIMESTAMP '2020-05-04 00:00:00'")
+    v("date_trunc('day', TIMESTAMP '2020-05-10 12:34:56.123456')",
+      "TIMESTAMP '2020-05-10 00:00:00'")
+    v("date_trunc('hour', TIMESTAMP '2020-05-10 12:34:56.123456')",
+      "TIMESTAMP '2020-05-10 12:00:00'")
+    v("date_trunc('minute', TIMESTAMP '2020-05-10 12:34:56.123456')",
+      "TIMESTAMP '2020-05-10 12:34:00'")
+    v("date_trunc('second', TIMESTAMP '2020-05-10 12:34:56.123456')",
+      "TIMESTAMP '2020-05-10 12:34:56'")
+    v("date_trunc('millisecond', TIMESTAMP '2020-05-10 12:34:56.123456')",
+      "TIMESTAMP '2020-05-10 12:34:56.123'")
+    // timestamp comparisons / BETWEEN at micros (TestTimestamp)
+    vLit("TIMESTAMP '2020-05-10 12:34:56.123456' = TIMESTAMP '2020-05-10 12:34:56.123456'", "true")
+    vLit("TIMESTAMP '2020-05-10 12:34:56.123456' < TIMESTAMP '2020-05-10 12:34:56.123457'", "true")
+    vLit("TIMESTAMP '2020-05-10 12:34:56' BETWEEN TIMESTAMP '2020-05-10 00:00:00' AND TIMESTAMP '2020-05-11 00:00:00'", "true")
+    v("greatest(TIMESTAMP '2020-05-10 12:34:56', TIMESTAMP '2020-05-10 12:34:55')",
+      "TIMESTAMP '2020-05-10 12:34:56'")
+  }
+
+  // ------------------------------------------------------------------
   test("transform lambda vectors (TestArrayTransformFunction.java:43-235)") {
     v("transform(ARRAY[5, 6], x -> 9)", "ARRAY[9, 9]")
     v("transform(ARRAY[5, 6], x -> x + 1)", "ARRAY[6, 7]")
