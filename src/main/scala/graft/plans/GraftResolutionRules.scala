@@ -174,7 +174,14 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
       val st = l.dataType.asInstanceOf[StructType]
       val ll = rw(l, inTry)
       val rr = rw(r, inTry)
-      val conj = st.fields.indices.map { i =>
+      // A bare AND chain IS the standard's row-equality 3VL: any
+      // unequal non-null pair → false dominates; a NULL struct makes
+      // every field accessor NULL → the chain is NULL; all-equal →
+      // true. No null-guard wrapper: each conjunct stays an
+      // equi-predicate, so ON a.s = b.s still extracts hash-join keys
+      // (a guard expression would demote struct-keyed joins to
+      // nested-loop at scale).
+      st.fields.indices.map { i =>
         org.apache.spark.sql.catalyst.expressions.EqualTo(
           mapCanon(GetStructField(ll, i, Some(st.fields(i).name))),
           mapCanon(GetStructField(rr, i, Some(st.fields(i).name))))
@@ -182,12 +189,6 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
       }.reduceLeftOption[Expression](
         org.apache.spark.sql.catalyst.expressions.And(_, _))
         .getOrElse(Literal(true))
-      org.apache.spark.sql.catalyst.expressions.If(
-        org.apache.spark.sql.catalyst.expressions.Or(
-          org.apache.spark.sql.catalyst.expressions.IsNull(ll),
-          org.apache.spark.sql.catalyst.expressions.IsNull(rr)),
-        Literal(null, org.apache.spark.sql.types.BooleanType),
-        conj)
     case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
         if l.resolved && r.resolved && l.dataType.isInstanceOf[MapType] &&
           org.apache.spark.sql.types.DataType.equalsStructurally(

@@ -306,6 +306,29 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------------------------------------------------
+  test("struct-keyed equi-joins keep hash-join key extraction under the 3VL row-equality lowering") {
+    // the field-wise AND chain must remain a conjunction of
+    // equi-predicates: ON a.s = b.s extracts per-field join keys —
+    // a guard wrapper would demote this to nested-loop at scale
+    val a = spark.range(100)
+      .selectExpr("named_struct('k1', id % 10, 'k2', id % 7) AS s", "id")
+    val b = spark.range(50)
+      .selectExpr("named_struct('k1', id % 10, 'k2', id % 7) AS sb")
+    val df = a.join(b, a("s") === b("sb"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"struct-key join lost equi-extraction:\n$plan")
+    vectorCount += 1
+    // every b-row (id 0..49) matches the a-rows sharing (id%10, id%7):
+    // the join stays an equi hash/merge join AND returns the 3VL-equal
+    // pairs — cardinality cross-checked relationally
+    val expected = spark.range(100).selectExpr("id % 10 AS k1", "id % 7 AS k2")
+      .join(spark.range(50).selectExpr("id % 10 AS k1", "id % 7 AS k2"),
+        Seq("k1", "k2")).count()
+    assert(df.count() == expected)
+  }
+
+  // ------------------------------------------------------------------
   test("varchar/boolean cast vectors (TestBigintOperators.java:366-460)") {
     vLit("cast(BIGINT '37' as varchar)", "37")
     vLit("cast('37' as bigint)", "37")
