@@ -856,13 +856,23 @@ private object DefineParser extends Serializable {
     if (a == null || b == null) return null
     (a, b) match {
       case (x: Number, y: Number) =>
-        if (op != '/' && isIntegral(x) && isIntegral(y)) {
+        if (isIntegral(x) && isIntegral(y)) {
+          // r17: `/` joins the integral path — the engine (and the
+          // reference) integer-divide, truncating toward zero with
+          // the standard's zero-divisor error; keeping DEFINE on
+          // double division would make the pattern layer disagree
+          // with the surrounding query's arithmetic
           val l = x.longValue(); val r = y.longValue()
           (op: @unchecked) match {
             case '+' => java.lang.Math.addExact(l, r)
             case '-' => java.lang.Math.subtractExact(l, r)
             case '*' => java.lang.Math.multiplyExact(l, r)
-            case '%' => l % r
+            case '/' =>
+              if (r == 0) throw new ArithmeticException("Division by zero")
+              else l / r
+            case '%' =>
+              if (r == 0) throw new ArithmeticException("Division by zero")
+              else l % r
           }
         } else {
           val d = x.doubleValue(); val e = y.doubleValue()
