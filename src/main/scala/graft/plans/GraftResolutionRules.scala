@@ -56,6 +56,28 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
     case _ => e
   }
 
+  private def hasMapIn(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: MapType => true
+      case StructType(fs) => fs.exists(f => hasMapIn(f.dataType))
+      case _ => false
+    }
+
+  /** Recursive map canonicalization for null-safe comparison: maps
+    * become sorted entry arrays, structs rebuild with canonicalized
+    * fields. Arrays OF maps stay put (SortArray's type check fails
+    * loudly there, the engine's posture). */
+  private def deepCanon(e: Expression): Expression = e.dataType match {
+    case _: MapType => mapCanon(e)
+    case st: StructType if hasMapIn(st) =>
+      org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+        st.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+          Seq(Literal(f.name),
+            deepCanon(GetStructField(e, i, Some(f.name))))
+        })
+    case _ => e
+  }
+
   /** Expression rewrite with an explicit recursion so the IEEE-divide
     * branch can be SUPPRESSED inside try scopes (their NULL-on-error
     * contract depends on the inner ANSI error being raised — see
@@ -195,6 +217,17 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
             l.dataType, r.dataType, ignoreNullability = true) =>
       org.apache.spark.sql.catalyst.expressions.EqualTo(
         mapCanon(rw(l, inTry)), mapCanon(rw(r, inTry)))
+    // IS [NOT] DISTINCT FROM over maps / map-carrying rows: Spark's
+    // EqualNullSafe rejects unorderable types; the reference's
+    // distinct-from is defined for them (TestMapOperators
+    // testDistinctFrom, TestRowOperators testIsDistinctFrom) —
+    // canonicalize maps to sorted entry arrays recursively
+    case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r)
+        if l.resolved && r.resolved && hasMapIn(l.dataType) &&
+          org.apache.spark.sql.types.DataType.equalsStructurally(
+            l.dataType, r.dataType, ignoreNullability = true) =>
+      org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+        deepCanon(rw(l, inTry)), deepCanon(rw(r, inTry)))
 
     // reference integer ARITHMETIC raises on overflow (Math.addExact
     // in BigintOperators/IntegerOperators — NUMERIC_VALUE_OUT_OF_RANGE);

@@ -223,6 +223,15 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     vLit("row(1, 2.0E0, TRUE, 'cat', CAST(NULL AS INTEGER)) IS DISTINCT FROM " +
       "row(1, 2.0E0, TRUE, 'cat', CAST(NULL AS INTEGER))", "false")
     vLit("ARRAY[ROW(1)] IS DISTINCT FROM ARRAY[ROW(1)]", "false")
+    // map equality / distinct-from is entry-order-insensitive
+    // (TestMapOperators testEquals/testDistinctFrom)
+    vLit("MAP(ARRAY[1, 3], ARRAY[2, 4]) = MAP(ARRAY[3, 1], ARRAY[4, 2])", "true")
+    vLit("MAP(ARRAY[1, 3], ARRAY[2, 4]) = MAP(ARRAY[3, 1], ARRAY[2, 4])", "false")
+    vLit("MAP(ARRAY[1, 3], ARRAY['a', 'b']) IS DISTINCT FROM MAP(ARRAY[3, 1], ARRAY['b', 'a'])", "false")
+    vLit("MAP(ARRAY[1, 3], ARRAY['a', 'b']) IS DISTINCT FROM MAP(ARRAY[1, 3], ARRAY['a', 'c'])", "true")
+    vLit("row(1, MAP(ARRAY[1], ARRAY[2])) IS DISTINCT FROM row(1, MAP(ARRAY[1], ARRAY[2]))", "false")
+    vLit("row(1, MAP(ARRAY[1], ARRAY[2])) IS DISTINCT FROM row(1, MAP(ARRAY[1], ARRAY[3]))", "true")
+    vLit("CAST(NULL AS MAP(INTEGER, INTEGER)) IS DISTINCT FROM CAST(NULL AS MAP(INTEGER, INTEGER))", "false")
   }
 
   // ------------------------------------------------------------------
