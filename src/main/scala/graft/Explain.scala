@@ -38,6 +38,12 @@ object Explain {
           // a_2#N to the same a_N#N, masking real plan differences.
           .replaceAll("\\b(lambda\\s+)([A-Za-z]\\w*)_\\d+#N", "$1$2_N#N")
           .replaceAll("(?i)(subquery|cte|scalar-subquery)#N, \\[id=#N\\]", "$1#N")
+          // streaming operators embed run-scoped identity: processor
+          // object hashes, the query runId, and a wall-clock batch
+          // timestamp — pure regen noise, never structural.
+          .replaceAll("(\\w)@[0-9a-f]{6,10}\\b", "$1@N")
+          .replaceAll("runId = [0-9a-f-]{36}", "runId = N")
+          .replaceAll("\\b1[0-9]{12}\\b", "TS")
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), stable)
       } catch {
         case e: Throwable =>

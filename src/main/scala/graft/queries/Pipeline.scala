@@ -49,6 +49,36 @@ object Pipeline {
   private def srcTag(dir: String, name: String): String =
     Graft.srcTag(dir, name)
 
+  /** md5-derived pseudo-random hyperplane coefficients for the LSH
+    * banding paths (p8/p14): coef(plane, dim) = first 8 hex chars of
+    * md5("plane:dim") as an unsigned int, % 1000 − 500, as double —
+    * byte-for-byte the arithmetic the DuckDB oracle computes with
+    * `('0x' || substring(md5(...), 1, 8))::BIGINT % 1000 - 500`.
+    * The planes are static configuration, so they are computed ONCE
+    * here at plan-build time and embedded as literal arrays: the
+    * bucketing stage becomes a pure projection (one dot product per
+    * plane inside whole-stage codegen) instead of the former
+    * crossJoin-explode + groupBy, whose aggregation exchange carried
+    * the 64-float embedding as a GROUP KEY — the widest avoidable
+    * shuffle on the pipeline surface (r17 verdict item 1). */
+  private def planeCoefs(plane: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to 64).toArray.map { dim =>
+      val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000L - 500L).toDouble
+    }
+  }
+
+  /** Sign-bit band value: Σ over the band's planes of (1 << j) when
+    * the embedding's projection onto plane coefs is positive — all
+    * inside one codegen'd projection, no shuffle. */
+  private def bandValue(emb: Column, firstPlane: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(ndot(emb, typedLit(planeCoefs(firstPlane + j).toSeq)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   // -------------------------------------------------- p1 exact dedup
   /** Exact-dedup census: total docs, distinct texts by content hash,
     * and distinct bag-of-words fingerprints (md5 of the sorted
@@ -314,23 +344,14 @@ object Pipeline {
     * touches only candidates. The N² pair space never materializes.
     */
   def p8(s: SparkSession, dir: String): DataFrame = {
-    def dotd(x: Column, y: Column): Column = ndot(x, y)
     val e = t(s, dir, "embeddings")
-    // deterministic "hyperplanes": coef(plane j, dim i) from md5(j:i)
-    val planes = s.range(0, 8).toDF("plane")
-      .crossJoin(s.range(1, 65).toDF("dim"))
-      .selectExpr("plane", "dim",
-        "CAST(CAST(conv(substring(md5(concat(plane, ':', dim)), 1, 8), 16, 10) AS BIGINT) % 1000 - 500 AS DOUBLE) AS coef")
-      .groupBy(col("plane"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("coef")))).as("pc"))
-      .select(col("plane"), transform(col("pc"), x => x.getField("coef")).as("coefs"))
-    // 8-bit sign bucket per vector (planes are 8 rows → broadcast)
-    val bucketed = e.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("embedding"), col("plane"),
-        when(dotd(col("embedding"), col("coefs")) > 0,
-          expr("shiftleft(1, CAST(plane AS INT))")).otherwise(0).as("bit"))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(sum(col("bit")).as("bucket"))
+    // 8-bit sign bucket per vector: the 8 md5-derived hyperplanes are
+    // literal coefficient arrays (planeCoefs), so the bucket is one
+    // codegen'd projection — no plane crossJoin, no groupBy, and no
+    // aggregation exchange carrying the embedding as a group key
+    // (the r16/r17 plan's widest shuffle, now gone entirely).
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      bandValue(col("embedding"), firstPlane = 0, bits = 8).as("bucket"))
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qb"))
     val cands = q.join(bucketed,
@@ -732,27 +753,22 @@ object Pipeline {
     base.unionByName(perturbed)
   }
 
-  /** LSH band values for the p14 corpus: (vec_id, embedding, band, bv)
-    * with `bands` bands of `bits` sign bits from md5-derived
-    * hyperplanes. Public so ScaleSpec can assert the bucket-width
-    * distribution that keeps the candidate join linear. */
+  /** LSH band values for the p14 corpus: (vec_id, band, bv) with
+    * `bands` bands of `bits` sign bits from md5-derived hyperplanes.
+    * The planes are driver-computed literals (planeCoefs), so all
+    * band values come out of ONE codegen'd projection + posexplode —
+    * the former crossJoin-explode (×bands·bits rows) and the groupBy
+    * whose exchange hash-partitioned on (vec_id, embedding, band)
+    * (shipping ~`bands` copies of every 64-float embedding) are both
+    * gone; the banded frame is 3 narrow columns end to end. Public so
+    * ScaleSpec can assert the bucket-width distribution that keeps
+    * the candidate join linear. */
   def p14Bands(s: SparkSession, dir: String, bands: Int, bits: Int): DataFrame = {
-    val nPlanes = bands * bits
-    val planes = s.range(0, nPlanes).toDF("plane")
-      .crossJoin(s.range(1, 65).toDF("dim"))
-      .selectExpr("plane", "dim",
-        "CAST(CAST(conv(substring(md5(concat(plane, ':', dim)), 1, 8), 16, 10) AS BIGINT) % 1000 - 500 AS DOUBLE) AS coef")
-      .groupBy(col("plane"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("coef")))).as("pc"))
-      .select(col("plane"), transform(col("pc"), x => x.getField("coef")).as("coefs"))
+    val bandVals = (0 until bands).map(b =>
+      bandValue(col("embedding"), firstPlane = b * bits, bits = bits))
     p14Corpus(s, dir)
-      .crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("embedding"),
-        expr(s"plane div $bits").as("band"),
-        when(ndot(col("embedding"), col("coefs")) > 0,
-          expr(s"shiftleft(1, CAST(plane % $bits AS INT))")).otherwise(0).as("bit"))
-      .groupBy(col("vec_id"), col("embedding"), col("band"))
-      .agg(sum(col("bit")).as("bv"))
+      .select(col("vec_id"), posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+      .select(col("vec_id"), col("band").cast("long").as("band"), col("bv"))
   }
 
   val p14Sql: String =
