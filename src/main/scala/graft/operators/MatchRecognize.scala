@@ -240,8 +240,25 @@ object MatchRecognize {
       * evaluation — the per-branch fold the reference's matcher
       * amortizes with copied aggregation state; correctness-first
       * here, and pattern matches are short in practice. */
+    /** Rows in the match so far, current row included — O(1) from the
+      * match indices. This is `count(*)`/`count(CLASSIFIER())` without
+      * the O(match-length) label-list fold: under `(H | L)* X` with a
+      * count in X's DEFINE, the greedy matcher tests X once per
+      * backtrack position, so an O(k) count made each attempt
+      * quadratic (the r17 mr13 weak-perf flag). */
+    def matchRowCount: Long = (i - start + 1).toLong
+
     def runningAgg(fn: String, v: Option[String], col: String): Any = {
       val wantRow = col == null
+      if (wantRow && fn == "count" && v.isEmpty) return matchRowCount
+      // resolve the column ordinal once per evaluation, not once per
+      // fed row — all rows of a key group share one StructType
+      val colIdx =
+        if (wantRow) -1
+        else {
+          val sch = rows(i).schema
+          if (sch != null) sch.fieldIndex(col) else -1
+        }
       var n = 0L
       var sumL = 0L
       var sumD = 0.0
@@ -250,7 +267,7 @@ object MatchRecognize {
       val isMin = fn == "min"
       def feed(r: Row): Unit = {
         if (wantRow) { n += 1; return }
-        val value = r.getAs[Any](col)
+        val value = if (colIdx >= 0) r.get(colIdx) else r.getAs[Any](col)
         if (value == null) return
         n += 1
         fn match {
@@ -308,19 +325,23 @@ object MatchRecognize {
       * (TestCopyAggregationStateInRowPatternMatching) is structural
       * here: there is no shared mutable state to copy. */
     def foldMatch(v: Option[String])(f: (Row, String) => Unit): Unit = {
-      // labelsRev is most-recent-first; replay forward
-      val buf = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
-      var j = i - 1
+      // labelsRev is most-recent-first; reverse once into a pre-sized
+      // array (labels pair with rows start..i-1 by construction) and
+      // replay forward — no tuple boxing in the hot NFA loop.
+      val k = i - start
+      val fwd = new Array[String](k)
+      var j = k - 1
       var l = labelsRev
-      while (l.nonEmpty) { buf += ((j, l.head)); j -= 1; l = l.tail }
-      var k = buf.length - 1
-      while (k >= 0) {
-        val (jj, lab) = buf(k)
-        if (v.forall(vv => hit(lab, vv)))
-          f(rows(jj), MatchRecognize.realLabel(lab))
-        k -= 1
+      while (l.nonEmpty) { fwd(j) = l.head; j -= 1; l = l.tail }
+      val vv = v.orNull
+      var idx = 0
+      while (idx < k) {
+        val lab = fwd(idx)
+        if (vv == null || hit(lab, vv))
+          f(rows(start + idx), MatchRecognize.realLabel(lab))
+        idx += 1
       }
-      if (v.forall(vv => hit(currentVar, vv)))
+      if (vv == null || hit(currentVar, vv))
         f(rows(i), MatchRecognize.realLabel(currentVar))
     }
 
@@ -800,8 +821,16 @@ object MatchRecognize {
           private val rows = it.buffered
           private val out = mutable.Queue[T]()
 
-          private def keyOf(r: Row): Seq[Any] =
-            pCols.map(c => r.get(r.fieldIndex(c)))
+          // key ordinals resolve once per partition (rows share one
+          // StructType) — keyOf runs twice per input row
+          private var keyIdx: Array[Int] = null
+          private def keyOf(r: Row): Seq[Any] = {
+            if (keyIdx == null) keyIdx = pCols.map(r.fieldIndex).toArray
+            val a = new Array[Any](keyIdx.length)
+            var k = 0
+            while (k < keyIdx.length) { a(k) = r.get(keyIdx(k)); k += 1 }
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+          }
 
           private def matchKeyGroup(): Unit = {
             if (!rows.hasNext) return

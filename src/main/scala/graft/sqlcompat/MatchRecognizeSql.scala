@@ -839,6 +839,23 @@ private object DefineParser extends Serializable {
   def getVal(r: Row, c: String): Any =
     if (r == null) null else r.getAs[Any](c)
 
+  /** Column accessor with a per-closure ordinal cache: all rows of a
+    * key group share ONE StructType instance, so the name→index hash
+    * lookup resolves once per task instead of once per DEFINE
+    * evaluation (the NFA evaluates predicates O(rows × backtrack)
+    * times — the name lookup was measurable in the mr13 profile). */
+  def colGetter(c: String): Row => Any = new (Row => Any) with Serializable {
+    @transient private[this] var sch: org.apache.spark.sql.types.StructType = _
+    @transient private[this] var idx: Int = -1
+    def apply(r: Row): Any = {
+      if (r == null) return null
+      val s = r.schema
+      if (s == null) return r.getAs[Any](c)
+      if (s ne sch) { idx = s.fieldIndex(c); sch = s }
+      r.get(idx)
+    }
+  }
+
   private[sqlcompat] def isIntegral(n: Number): Boolean = n match {
     case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
          _: java.lang.Byte => true
@@ -1161,7 +1178,8 @@ private final class DefineParser(src: String, currentVar: String) {
               pos += d.length; d.toInt
             } else 1
             expect(')')
-            ctx => getVal(if (isPrev) ctx.prev(n) else ctx.next(n), c)
+            val g = DefineParser.colGetter(c)
+            ctx => g(if (isPrev) ctx.prev(n) else ctx.next(n))
           case "FIRST" | "LAST" =>
             val isFirst = id.equalsIgnoreCase("FIRST")
             expect('(')
@@ -1181,7 +1199,8 @@ private final class DefineParser(src: String, currentVar: String) {
               val v = q.getOrElse(fail("FIRST/LAST in DEFINE requires a variable qualifier"))
               expect(')')
               usesHistory = true
-              ctx => getVal(if (isFirst) ctx.first(v) else ctx.last(v), c)
+              val g = DefineParser.colGetter(c)
+              ctx => g(if (isFirst) ctx.first(v) else ctx.last(v))
             }
           case "CLASSIFIER" =>
             // bare CLASSIFIER() in DEFINE: the current row's tentative
@@ -1260,14 +1279,18 @@ private final class DefineParser(src: String, currentVar: String) {
               pos += 1
               val c = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
               pos += c.length
-              if (id.equalsIgnoreCase(currentVar)) ctx => getVal(ctx.row, c)
+              if (id.equalsIgnoreCase(currentVar)) {
+                val g = DefineParser.colGetter(c)
+                ctx => g(ctx.row)
+              }
               else {
                 usesHistory = true
-                ctx => getVal(ctx.last(id), c) // cross-variable ref ≡ running LAST
+                val g = DefineParser.colGetter(c)
+                ctx => g(ctx.last(id)) // cross-variable ref ≡ running LAST
               }
             } else {
-              val c = id
-              ctx => getVal(ctx.row, c)
+              val g = DefineParser.colGetter(id)
+              ctx => g(ctx.row)
             }
         }
     }
@@ -1475,8 +1498,12 @@ private final class DefineParser(src: String, currentVar: String) {
               pos += 1
               val c = idRe.findFirstIn(src.substring(pos)).getOrElse(fail("expected column"))
               pos += c.length
-              (((r, _, _) => getVal(r, c)): AggEval, Some(id))
-            } else (((r, _, _) => getVal(r, id)): AggEval, None)
+              val g = DefineParser.colGetter(c)
+              (((r, _, _) => g(r)): AggEval, Some(id))
+            } else {
+              val g = DefineParser.colGetter(id)
+              (((r, _, _) => g(r)): AggEval, None)
+            }
         })
     }
   }
@@ -1509,11 +1536,21 @@ private final class DefineParser(src: String, currentVar: String) {
       pos += d.length
       d.toInt
     }
+    val argStart = pos
     val (a1, s1) = aggExpr()
+    val argEnd = pos
     fn match {
       case "sum" | "avg" | "count" =>
         expect(')')
-        ctx => DefineParser.runNumAgg(ctx, fn, s1, a1)
+        // count over a never-null unrestricted feed is the match row
+        // count, O(1) from the match indices — CLASSIFIER() is the
+        // reference's canonical such argument (mr13's closing
+        // condition). Every other shape keeps the general fold.
+        val argSrc = src.substring(argStart, argEnd).replaceAll("\\s+", "")
+        if (fn == "count" && s1.isEmpty && argSrc.equalsIgnoreCase("CLASSIFIER()"))
+          ctx => Long.box(ctx.matchRowCount)
+        else
+          ctx => DefineParser.runNumAgg(ctx, fn, s1, a1)
       case "min" | "max" =>
         val isMin = fn == "min"
         skipWs()
