@@ -307,6 +307,20 @@ object GraftFunctions {
       (u: String, k: String) => urlParameter(u, k))
     spark.udf.register("ip_prefix_contains",
       (cidr: String, ip: String) => ipPrefixContains(cidr, ip))
+    // string-emulated UUID / IPADDRESS casts (UuidIpCompat;
+    // Dialect castAsUuidIpPass routes CAST/TRY_CAST/typed literals)
+    spark.udf.register("graft_uuid",
+      (s: String) => UuidIpCompat.uuidCanon(s))
+    spark.udf.register("graft_uuid_try",
+      (s: String) => UuidIpCompat.uuidCanonOrNull(s))
+    spark.udf.register("graft_uuid_bin",
+      (b: Array[Byte]) => UuidIpCompat.uuidFromBytes(b))
+    spark.udf.register("graft_ipaddress",
+      (s: String) => UuidIpCompat.ipCanon(s))
+    spark.udf.register("graft_ipaddress_try",
+      (s: String) => UuidIpCompat.ipCanonOrNull(s))
+    spark.udf.register("graft_ipaddress_bin",
+      (b: Array[Byte]) => UuidIpCompat.ipFromBytes(b))
     // NOTE: luhn_check is NOT registered — Spark 4 ships a codegen'd
     // builtin of the same name/semantics; luhnCheck below stays as the
     // documented reference implementation (unit-tested).

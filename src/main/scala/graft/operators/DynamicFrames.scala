@@ -79,12 +79,15 @@ object DynamicFrames {
       spillAfterRows, Mode.Groups)
 
   /** RANGE mode: `orderCols` must be ONE ascending numeric sort key;
-    * the frame is all rows whose key lies in `[k-lo, k+hi]`. Keys
-    * compare in double space (exact for integers below 2^53 and for
-    * binary fractions; pre-scale decimals to longs for exactness —
-    * same convention as the value column). NULL keys sort first
-    * (Spark ascending default) and frame over their own peer block,
-    * per SQL:2016. */
+    * the frame is all rows whose key lies in `[k-lo, k+hi]`. When the
+    * key AND both offset columns are integral, keys compare in LONG
+    * space — exact over the full BIGINT range (bounds saturate at
+    * Long.Min/Max instead of wrapping), so epoch-nanos keys past 2^53
+    * stay exact. Fractional keys/offsets compare in double space
+    * (exact for binary fractions; pre-scale decimals to longs — same
+    * convention as the value column). NULL keys sort first (Spark
+    * ascending default) and frame over their own peer block, per
+    * SQL:2016. */
   def rangeFrameAgg(
       df: DataFrame,
       partCols: Seq[String],
@@ -132,6 +135,16 @@ object DynamicFrames {
           s"rangeFrameAgg: numeric sort key required, got $other")
       }
     }
+    // integral key + integral offsets → compare in long space (exact
+    // over the full BIGINT range; the double path silently loses
+    // exactness past 2^53 — epoch-nanos keys live there)
+    def isIntType(c: String): Boolean =
+      inSchema(inSchema.fieldIndex(c)).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    val rangeLongKeys = mode == Mode.Range &&
+      isIntType(orderCols.head) && isIntType(loCol) && isIntType(hiCol)
     val outType: DataType = fn match {
       case "count" => LongType
       case "avg" => DoubleType
@@ -151,6 +164,7 @@ object DynamicFrames {
     val isIntegral = integral
     val memCap = spillAfterRows
     val theMode = mode
+    val longKeys = rangeLongKeys
 
     df.repartition(partCols.map(col): _*)
       .sortWithinPartitions((partCols ++ orderCols).map(col): _*)
@@ -169,8 +183,10 @@ object DynamicFrames {
           private var grpStart: Array[Int] = _
           private var grpEnd: Array[Int] = _
           private var nGroups = 0
-          // RANGE: sort keys as doubles; NaN marks the null block
+          // RANGE: sort keys — long space when key+offsets are all
+          // integral (exact past 2^53), double space otherwise
           private var keys: Array[Double] = _
+          private var keysL: Array[Long] = _
           private var keyIsNull: Array[Boolean] = _
           private var nullBlockEnd = 0 // exclusive end of leading nulls
 
@@ -250,11 +266,14 @@ object DynamicFrames {
               }
             }
             if (theMode == Mode.Range) {
-              keys = new Array[Double](n)
+              if (longKeys) keysL = new Array[Long](n)
+              else keys = new Array[Double](n)
               keyIsNull = new Array[Boolean](n)
               var i = 0
               while (i < n) {
                 if (buf(i).isNullAt(keyIdx)) keyIsNull(i) = true
+                else if (longKeys)
+                  keysL(i) = buf(i).get(keyIdx).asInstanceOf[Number].longValue()
                 else keys(i) = buf(i).get(keyIdx).asInstanceOf[Number].doubleValue()
                 i += 1
               }
@@ -278,6 +297,24 @@ object DynamicFrames {
             while (lo < hi) {
               val mid = (lo + hi) >>> 1
               if (keys(mid) <= bound) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+          // long-space variants (saturating bounds are computed by the
+          // caller, so plain comparisons suffice)
+          private def lowerBoundL(bound: Long, from: Int): Int = {
+            var lo = from; var hi = n
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (keysL(mid) < bound) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+          private def upperBoundL(bound: Long, from: Int): Int = {
+            var lo = from; var hi = n
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (keysL(mid) <= bound) lo = mid + 1 else hi = mid
             }
             lo
           }
@@ -313,10 +350,23 @@ object DynamicFrames {
                 s = grpStart(gs)
                 e = grpEnd(ge)
               case Mode.Range =>
-                val lo = offsetNumAt(r, loIdx)
-                val hi = offsetNumAt(r, hiIdx)
+                // validate offsets on EVERY row (standard error
+                // contract), null-key rows included
+                if (longKeys) { offsetAt(r, loIdx); offsetAt(r, hiIdx) }
+                else { offsetNumAt(r, loIdx); offsetNumAt(r, hiIdx) }
                 if (keyIsNull(pos)) { s = 0; e = nullBlockEnd - 1 }
-                else {
+                else if (longKeys) {
+                  val lo = offsetAt(r, loIdx)
+                  val hi = offsetAt(r, hiIdx)
+                  val k = keysL(pos)
+                  // saturate instead of wrapping (lo, hi >= 0)
+                  val lb = { val b = k - lo; if (b > k) Long.MinValue else b }
+                  val ub = { val b = k + hi; if (b < k) Long.MaxValue else b }
+                  s = lowerBoundL(lb, nullBlockEnd)
+                  e = upperBoundL(ub, nullBlockEnd) - 1
+                } else {
+                  val lo = offsetNumAt(r, loIdx)
+                  val hi = offsetNumAt(r, hiIdx)
                   val k = keys(pos)
                   s = lowerBound(k - lo, nullBlockEnd)
                   e = upperBound(k + hi, nullBlockEnd) - 1

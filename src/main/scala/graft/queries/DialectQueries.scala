@@ -1207,7 +1207,41 @@ object DialectQueries {
       |  CAST(max(l_partkey // (l_linenumber + 1)) AS BIGINT) AS mx
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** dx33: string-emulated type semantics at table scale (r18) —
+    * CHAR PAD SPACE comparison (trailing spaces insignificant:
+    * Dialect.charComparePass, TestCharOperators.java), UUID cast
+    * canonicalization (uppercase input lowercases before the min()
+    * ordering: TestUuidOperators.java), and IPADDRESS cast rendering
+    * (IPv4-mapped text collapses to the dotted quad:
+    * TestIpAddressOperators.java). The oracle computes the canonical
+    * forms directly, so any missed rewrite/canonicalization breaks
+    * the hash. */
+  val dx33Reference: String =
+    """SELECT c_custkey % 7 AS bucket,
+      |  CAST(count(CASE WHEN CAST(c_name || '  ' AS CHAR(30)) =
+      |                        CAST(c_name AS CHAR(30)) THEN 1 END) AS BIGINT) AS pad_eq,
+      |  min(CAST('AB000000-0000-0000-0000-' ||
+      |        lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS UUID)) AS min_uuid,
+      |  max(CAST('::ffff:' || CAST(c_custkey % 256 AS VARCHAR) || '.0.' ||
+      |        CAST(c_nationkey AS VARCHAR) || '.4' AS IPADDRESS)) AS max_ip
+      |FROM customer GROUP BY c_custkey % 7""".stripMargin
+
+  def dx33(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx33Reference))
+  }
+
+  val dx33Sql: String =
+    """SELECT c_custkey % 7 AS bucket,
+      |  CAST(count(*) AS BIGINT) AS pad_eq,
+      |  min('ab000000-0000-0000-0000-' ||
+      |      lpad(CAST(c_custkey AS VARCHAR), 12, '0')) AS min_uuid,
+      |  max(CAST(c_custkey % 256 AS VARCHAR) || '.0.' ||
+      |      CAST(c_nationkey AS VARCHAR) || '.4') AS max_ip
+      |FROM customer GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx33_char_uuid_ip" -> dx33 _,
     "dx32_integer_division" -> dx32 _,
     "dx31_sql_json_conformance" -> dx31 _,
     "dx30_dynamic_rows_frame" -> dx30 _,
@@ -1242,6 +1276,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx33_char_uuid_ip" -> dx33Sql,
     "dx32_integer_division" -> dx32Sql,
     "dx31_sql_json_conformance" -> dx31Sql,
     "dx30_dynamic_rows_frame" -> dx30Sql,

@@ -93,6 +93,76 @@ object Dialect {
     t
   }
 
+  // ---- CHAR comparison semantics (PAD SPACE) -----------------------
+  // The reference compares CHAR values padded to the common length
+  // with spaces (TestCharOperators.java; SQL PAD SPACE), while this
+  // engine erases CHAR to unbounded STRING (SURVEY §1.3) — so 'a' and
+  // 'a ' must compare equal, and 'abc\0' < 'abc' (the '\0' sorts below
+  // the implicit pad space). CHAR operands are only ever statically
+  // visible here (table columns are parquet strings), so the pad
+  // semantics apply where a comparison / BETWEEN / IS [NOT] DISTINCT
+  // FROM has a syntactic CHAR cast or CHAR literal operand: both sides
+  // wrap in rpad(x, greatest(char_length(x), char_length(y))) — NULLs
+  // stay NULL through rpad, preserving 3VL. Rewrites that match the
+  // operand shapes but carry NO CHAR operand are emitted verbatim.
+  // CHAR cast over a paren-free source (a literal, NULL, a column, or
+  // a concatenation of those) — nested calls inside the cast are out
+  // of scope and pass through untouched (safe-by-omission)
+  private val charCastP =
+    "CAST\\s*\\(\\s*(?:[^()']|'(?:[^']|'')*')+?\\s+AS\\s+CHAR(?:\\s*\\(\\s*\\d+\\s*\\))?\\s*\\)"
+  private val charLitP = "CHAR\\s*'(?:[^']|'')*'"
+  private val strLitP = "'(?:[^']|'')*'"
+  // bare column identifier — keyword-guarded so CASE ... END or a
+  // boolean keyword can never be mistaken for a comparison operand
+  private val identP =
+    "(?!(?i:END|NULL|TRUE|FALSE|CASE|WHEN|THEN|ELSE|AND|OR|NOT|BETWEEN|IS|" +
+      "IN|LIKE|SELECT|FROM|WHERE|GROUP|ORDER|HAVING|ON|JOIN|UNION|ALL|" +
+      "DISTINCT|AS|CAST|CHAR)\\b)[A-Za-z_][A-Za-z0-9_.]*"
+  private val charOperandRe = s"(?i)^(?:$charCastP|$charLitP)$$".r
+  private val anyOperandP = s"(?:$charCastP|$charLitP|$strLitP|NULL|$identP)"
+  private val charGuardRe = "(?i)AS\\s+CHAR\\b|\\bCHAR\\s*'".r
+  // adjacency guards: an operand that is itself part of a larger
+  // expression (`'p' || CAST(… AS CHAR(2)) = x`) must not be wrapped —
+  // `||`/arithmetic bind tighter than comparison
+  private val preGuard = "(?<![|+\\-*/%]\\s{0,20})"
+  private val postGuard = "(?!\\s{0,20}[|+\\-*/%])"
+  private val charBetweenRe =
+    s"(?i)$preGuard($anyOperandP)\\s+(NOT\\s+)?BETWEEN\\s+($anyOperandP)\\s+AND\\s+($anyOperandP)$postGuard".r
+  private val charDistinctRe =
+    s"(?i)$preGuard($anyOperandP)\\s+IS\\s+(NOT\\s+)?DISTINCT\\s+FROM\\s+($anyOperandP)$postGuard".r
+  private val charCmpRe =
+    s"(?i)$preGuard($anyOperandP)\\s*(=|<>|!=|<=|>=|<|>)\\s*($anyOperandP)$postGuard".r
+
+  private def charComparePass(sql: String): String = {
+    if (charGuardRe.findFirstIn(sql).isEmpty) return sql
+    def isChar(s: String) = charOperandRe.findFirstIn(s.trim).isDefined
+    def pad(a: String, b: String) =
+      s"rpad($a, greatest(char_length($a), char_length($b)))"
+    def q(s: String) = java.util.regex.Matcher.quoteReplacement(s)
+    var out = sql
+    out = charBetweenRe.replaceAllIn(out, m => {
+      val (v, lo, hi) = (m.group(1), m.group(3), m.group(4))
+      val not = Option(m.group(2)).getOrElse("")
+      if (!(isChar(v) || isChar(lo) || isChar(hi))) q(m.matched)
+      else {
+        val cmp = s"(${pad(v, lo)} >= ${pad(lo, v)} AND ${pad(v, hi)} <= ${pad(hi, v)})"
+        q(if (not.nonEmpty) s"(NOT $cmp)" else cmp)
+      }
+    })
+    out = charDistinctRe.replaceAllIn(out, m => {
+      val (a, b) = (m.group(1), m.group(3))
+      val not = Option(m.group(2)).getOrElse("")
+      if (!(isChar(a) || isChar(b))) q(m.matched)
+      else q(s"(${pad(a, b)} IS ${not}DISTINCT FROM ${pad(b, a)})")
+    })
+    out = charCmpRe.replaceAllIn(out, m => {
+      val (a, op, b) = (m.group(1), m.group(2), m.group(3))
+      if (!(isChar(a) || isChar(b))) q(m.matched)
+      else q(s"(${pad(a, b)} $op ${pad(b, a)})")
+    })
+    out
+  }
+
   /** Translate a reference-dialect SQL string to Spark SQL. String
     * literals are preserved verbatim; identifiers are rewritten only
     * on whole-word match (case-insensitive) when followed by `(` for
@@ -111,16 +181,17 @@ object Dialect {
       .replaceAll(
         "(?i)\\bnormalize\\s*\\(((?:[^(),']|'[^']*')*)\\)",
         "normalize($1, 'NFC')")
+    val sql0c = charComparePass(sql0)
     // split into literal and non-literal segments so quoted strings
     // are never rewritten
     val parts = new scala.collection.mutable.ArrayBuffer[(String, Boolean)]
     val sb = new StringBuilder
     var inStr = false
     var i = 0
-    while (i < sql0.length) {
-      val c = sql0.charAt(i)
+    while (i < sql0c.length) {
+      val c = sql0c.charAt(i)
       if (c == '\'') {
-        if (inStr && i + 1 < sql0.length && sql0.charAt(i + 1) == '\'') {
+        if (inStr && i + 1 < sql0c.length && sql0c.charAt(i + 1) == '\'') {
           sb += '\''; sb += '\''; i += 2
         } else {
           if (inStr) { sb += c; parts += ((sb.toString, true)); sb.clear() }
@@ -262,7 +333,7 @@ object Dialect {
     // date/time/interval/binary, not numerics.
     val typedLitRe =
       ("(?i)\\b(REAL|DECIMAL|VARCHAR|CHAR|TINYINT|SMALLINT|INTEGER|BIGINT|" +
-        "DOUBLE|TIME|UUID|IPADDRESS|JSON)\\s*$").r
+        "DOUBLE|BOOLEAN|TIME|UUID|IPADDRESS|JSON)\\s*$").r
     var tl = 0
     while (tl + 2 < parts.length) {
       val (seg, isLit) = parts(tl)
@@ -295,6 +366,20 @@ object Dialect {
               parts(tl + 1) = (s"CAST($nanos AS BIGINT)", false)
             }
             // not a plain time body: leave the segment untouched
+          } else if (m.group(1).equalsIgnoreCase("UUID") ||
+              m.group(1).equalsIgnoreCase("IPADDRESS")) {
+            // string-emulated types canonicalize AT TRANSLATE TIME
+            // (lowercase UUID / RFC 5952 IPADDRESS — UuidIpCompat):
+            // the operand IS a literal, and folding it here keeps the
+            // result usable inside VALUES inline tables, where UDF
+            // calls are not evaluable. Invalid literals raise like the
+            // reference's INVALID_LITERAL.
+            val canon =
+              if (m.group(1).equalsIgnoreCase("UUID"))
+                graft.functions.UuidIpCompat.uuidCanon(body)
+              else graft.functions.UuidIpCompat.ipCanon(body)
+            parts(tl) = (seg.substring(0, m.start), false)
+            parts(tl + 1) = ("'" + canon.replace("'", "''") + "'", true)
           } else {
           val target = m.group(1).toUpperCase match {
             case "REAL" => "FLOAT"
@@ -302,7 +387,8 @@ object Dialect {
             // types is STRING (typeRenames) — the literal text carries
             // the value verbatim
             case "VARCHAR" | "CHAR" | "UUID" | "IPADDRESS" => "STRING"
-            case t @ ("TINYINT" | "SMALLINT" | "INTEGER" | "BIGINT" | "DOUBLE") => t
+            case t @ ("TINYINT" | "SMALLINT" | "INTEGER" | "BIGINT" | "DOUBLE" |
+                      "BOOLEAN") => t
             case _ =>
               val digits = body.count(_.isDigit)
               val dot = body.indexOf('.')
@@ -418,6 +504,11 @@ object Dialect {
         // castAsJsonPass) — shield it from the json→string rename
         // with a sentinel the pass consumes
         out = out.replaceAll("(?i)\\bAS\\s+JSON\\s*\\)", "AS GRAFT_JSON_CAST)")
+        // CAST(x AS UUID / IPADDRESS) canonicalize + validate on the
+        // string emulation (castAsUuidIpPass) — shield from the
+        // uuid/ipaddress→string renames with sentinels the pass eats
+        out = out.replaceAll("(?i)\\bAS\\s+UUID\\s*\\)", "AS GRAFT_UUID_CAST)")
+        out = out.replaceAll("(?i)\\bAS\\s+IPADDRESS\\s*\\)", "AS GRAFT_IP_CAST)")
         for ((from, to) <- typeRenames if from != to) {
           // a length/precision parameter is dropped with the rename:
           // CAST(x AS VARCHAR(255)) → CAST(x AS string) — Spark's
@@ -1365,6 +1456,68 @@ object Dialect {
     out.replaceAll("(?i)\\bAS\\s+GRAFT_JSON_CAST\\b", "AS json")
   }
 
+  /** `CAST(x AS UUID)` / `CAST(x AS IPADDRESS)` (+ TRY_CAST forms) on
+    * the string emulation (SURVEY §1.3): validate and canonicalize —
+    * UUID lowercases the 8-4-4-4-12 hex form, IPADDRESS renders the
+    * reference's canonical text (dotted quad for IPv4/IPv4-mapped,
+    * RFC 5952 for IPv6) — kernels in functions/UuidIpCompat.scala,
+    * vectors from type/TestUuidOperators.java +
+    * TestIpAddressOperators.java. A binary-literal operand
+    * (`X'…'` — an X followed by a literal sentinel on canonical
+    * text) routes to the 4/16-byte decoder. */
+  private def castAsUuidIpPass(canon0: String): String = {
+    var out = canon0
+    for ((sentinel, fn) <- Seq(
+      "GRAFT_UUID_CAST" -> "graft_uuid",
+      "GRAFT_IP_CAST" -> "graft_ipaddress")) {
+      val re = s"(?is)\\bAS\\s+$sentinel\\s*\\)".r
+      var from = 0
+      var guard = 0
+      var m = re.findFirstMatchIn(out.substring(from))
+        .map(x => (x.start + from, x.end + from))
+      while (m.isDefined && guard < 64) {
+        guard += 1
+        val (mStart, mEnd) = m.get
+        var depth = 0
+        var i = mEnd - 1
+        var open = -1
+        while (i >= 0 && open < 0) {
+          val c = out.charAt(i)
+          if (c == ')') depth += 1
+          else if (c == '(') { depth -= 1; if (depth == 0) open = i }
+          i -= 1
+        }
+        val pre =
+          (if (open > 0) out.substring(0, open) else "")
+            .replaceAll("[ \\t\\r\\n]+$", "")
+        val kind =
+          if (pre.toUpperCase.endsWith("TRY_CAST")) 8
+          else if (pre.toUpperCase.endsWith("CAST")) 4
+          else 0
+        if (open >= 0 && kind > 0) {
+          val castStart = pre.length - kind
+          // NOT String.trim: it strips every char <= U+0020, which
+          // eats the U+0001/U+0002 literal sentinels
+          val expr = out.substring(open + 1, mStart)
+            .replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+          val isBinLit =
+            "(?i)^X\\u0001\\d+\\u0002$".r.findFirstIn(expr).isDefined
+          val call =
+            if (isBinLit) s"${fn}_bin($expr)"
+            else if (kind == 8) s"${fn}_try($expr)"
+            else s"$fn($expr)"
+          out = out.substring(0, castStart) + call + out.substring(mEnd)
+          from = 0
+        } else from = mEnd
+        m = re.findFirstMatchIn(out.substring(from))
+          .map(x => (x.start + from, x.end + from))
+      }
+      out = out.replaceAll(s"(?i)\\bAS\\s+$sentinel\\b",
+        "AS " + (if (sentinel.contains("UUID")) "uuid" else "ipaddress"))
+    }
+    out
+  }
+
   private def jsonConstructorPass(canon0: String): String = {
     val re = "(?i)\\bjson_(object|array)\\s*\\(".r
     var out = canon0
@@ -2105,6 +2258,7 @@ object Dialect {
     out = unorderedRankingPass(out)
     out = orderByNullsPass(out)
     out = castAsJsonPass(out)
+    out = castAsUuidIpPass(out)
     // LIMIT literals past Int.MaxValue: the reference accepts a BIGINT
     // row count (testLimitMax — LIMIT 9223372036854775807 means "no
     // limit"); Spark requires an INT literal, so clamp. Row counts

@@ -337,6 +337,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (Some(5.0), 50L) -> 50L, (None, 7L) -> 16L, (None, 9L) -> 16L))
   }
 
+  test("dynamic RANGE frames: integral keys compare in long space — exact past 2^53") {
+    val spk = spark
+    import spk.implicits._
+    // keys straddling 2^53: in double space 2^53 and 2^53+1 collapse to
+    // the same value, so a [k, k] band around 2^53 would wrongly absorb
+    // the 2^53+1 row; long-space comparison keeps them distinct
+    val p53 = 1L << 53
+    val df = Seq(
+      (1, p53 - 1, 0L, 0L, 1L),
+      (1, p53, 0L, 0L, 10L),
+      (1, p53 + 1, 0L, 0L, 100L),
+      (1, p53 + 1, 0L, 1L, 1000L))
+      .toDF("g", "k", "lo", "hi", "v")
+    val got = graft.operators.DynamicFrames
+      .rangeFrameAgg(df, Seq("g"), "k", "lo", "hi", "v", "sum", "a")
+      .collect().map(r => r.getLong(4) -> r.get(5)).toMap
+    // [k, k] bands: k=2^53-1 → 1; k=2^53 → 10 (NOT 10+101 — the
+    // double path merges the peers); k=2^53+1 rows tie → 1100 both,
+    // the hi=1 row adds nothing above (2^53+2 absent)
+    assert(got == Map(1L -> 1L, 10L -> 10L, 100L -> 1100L, 1000L -> 1100L))
+    // saturation at the BIGINT edges: bounds clamp instead of wrapping.
+    // k=Max-1 with hi=Max overflows up → clamps to Max (frame [-1, Max]
+    // holds only itself: Min+1 < -1); k=Min+1 with lo=Max underflows
+    // down → clamps to Min (frame [Min, 0] holds only itself). A
+    // WRAPPING implementation would produce inverted empty frames and
+    // NULL sums here.
+    val edge = Seq((1, Long.MaxValue - 1, Long.MaxValue, Long.MaxValue, 5L),
+      (1, Long.MinValue + 1, Long.MaxValue, Long.MaxValue, 7L))
+      .toDF("g", "k", "lo", "hi", "v")
+    val eg = graft.operators.DynamicFrames
+      .rangeFrameAgg(edge, Seq("g"), "k", "lo", "hi", "v", "sum", "a")
+      .collect().map(r => r.getLong(4) -> r.get(5)).toMap
+    assert(eg == Map(5L -> 5L, 7L -> 7L))
+  }
+
   test("dynamic GROUPS/RANGE frames: spilled buffers give identical results") {
     val spk = spark
     import spk.implicits._

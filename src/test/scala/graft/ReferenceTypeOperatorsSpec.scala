@@ -349,4 +349,397 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     vLit("cast(true as integer)", "1")
     vLit("cast(false as integer)", "0")
   }
+
+  // ------------------------------------------------------------------
+  test("varchar operator contract (TestVarcharOperators.java)") {
+    // literals / typed constructor (varchar lengths erase to STRING —
+    // SURVEY §1.3 documented mapping; values are exact)
+    vLit("'foo'", "foo")
+    vLit("''", "")
+    vLit("VARCHAR 'foo'", "foo")
+    vLit("VARCHAR ''", "")
+    // concatenation
+    vLit("'foo' || 'foo'", "foofoo")
+    vLit("'foo' || 'bar'", "foobar")
+    vLit("'bar' || 'barbaz'", "barbarbaz")
+    // comparisons
+    vLit("'foo' = 'foo'", "true")
+    vLit("'foo' = 'bar'", "false")
+    vLit("'foo' <> 'foo'", "false")
+    vLit("'bar' <> 'foo'", "true")
+    vLit("'foo' < 'foo'", "false")
+    vLit("'bar' < 'foo'", "true")
+    vLit("'foo' < 'bar'", "false")
+    vLit("'foo' <= 'foo'", "true")
+    vLit("'foo' <= 'bar'", "false")
+    vLit("'bar' <= 'foo'", "true")
+    vLit("'foo' > 'bar'", "true")
+    vLit("'bar' > 'foo'", "false")
+    vLit("'foo' >= 'foo'", "true")
+    vLit("'bar' >= 'foo'", "false")
+    // BETWEEN (all 8 foo/bar corners)
+    vLit("'foo' BETWEEN 'foo' AND 'foo'", "true")
+    vLit("'foo' BETWEEN 'foo' AND 'bar'", "false")
+    vLit("'foo' BETWEEN 'bar' AND 'foo'", "true")
+    vLit("'foo' BETWEEN 'bar' AND 'bar'", "false")
+    vLit("'bar' BETWEEN 'foo' AND 'foo'", "false")
+    vLit("'bar' BETWEEN 'foo' AND 'bar'", "false")
+    vLit("'bar' BETWEEN 'bar' AND 'foo'", "true")
+    vLit("'bar' BETWEEN 'bar' AND 'bar'", "true")
+    // IS DISTINCT FROM
+    vLit("CAST(NULL AS VARCHAR) IS DISTINCT FROM CAST(NULL AS VARCHAR)", "false")
+    vLit("'foo' IS DISTINCT FROM 'foo'", "false")
+    vLit("'foo' IS DISTINCT FROM 'fo0'", "true")
+    vLit("NULL IS DISTINCT FROM 'foo'", "true")
+    vLit("'foo' IS DISTINCT FROM NULL", "true")
+    // INDETERMINATE operator ≡ value IS NULL
+    vLit("cast(null as varchar) IS NULL", "true")
+    vLit("'foo' IS NULL", "false")
+    vLit("cast(123456 as varchar) IS NULL", "false")
+    vLit("cast(12345.0123 as varchar) IS NULL", "false")
+    vLit("cast(true as varchar) IS NULL", "false")
+  }
+
+  // ------------------------------------------------------------------
+  test("char operator contract — PAD SPACE comparison (TestCharOperators.java)") {
+    // equality pads to the common length (SQL PAD SPACE): declared
+    // lengths differ, trailing spaces insignificant
+    vLit("cast('foo' as char(3)) = cast('foo' as char(5))", "true")
+    vLit("cast('foo' as char(3)) = cast('foo' as char(3))", "true")
+    vLit("cast('foo' as char(3)) = cast('bar' as char(3))", "false")
+    vLit("cast('bar' as char(5)) = 'bar'", "true")
+    vLit("cast('bar' as char(5)) = 'bar   '", "true")
+    vLit("cast('a' as char(2)) = cast('a ' as char(2))", "true")
+    vLit("cast('a ' as char(2)) = cast('a' as char(2))", "true")
+    vLit("cast('a' as char(3)) = cast('a' as char(2))", "true")
+    vLit("cast('' as char(3)) = cast('' as char(2))", "true")
+    vLit("cast('foo' as char(3)) <> cast('foo' as char(5))", "false")
+    vLit("cast('foo' as char(3)) <> cast('bar' as char(3))", "true")
+    vLit("cast('bar' as char(5)) <> 'bar   '", "false")
+    vLit("cast('' as char(3)) <> cast('' as char(2))", "false")
+    // ordering: '\0' sorts below the implicit pad space
+    vLit("cast('\u0000' as char(1)) < cast(' ' as char(1))", "true")
+    vLit("cast('bar' as char(5)) < cast('foo' as char(3))", "true")
+    vLit("cast('foo' as char(5)) < cast('bar' as char(3))", "false")
+    vLit("cast('foo' as char(3)) < cast('foo' as char(5))", "false")
+    vLit("cast('foobar' as char(6)) < cast('foobaz' as char(6))", "true")
+    vLit("cast('foob r' as char(6)) < cast('foobar' as char(6))", "true")
+    vLit("cast('\u0000' as char(1)) < cast('' as char(0))", "true")
+    vLit("cast('abc\u0000' as char(4)) < cast('abc' as char(4))", "true")
+    vLit("cast('\u0000' as char(1)) < cast('\u0000 ' as char(2))", "false")
+    vLit("cast('\u0000' as char(2)) < cast('\u0000 ' as char(2))", "false")
+    vLit("cast('\u0000 a' as char(3)) < cast('\u0000' as char(3))", "false")
+    vLit("cast('bar' as char(5)) <= cast('foo' as char(3))", "true")
+    vLit("cast('foo' as char(3)) <= cast('foo' as char(5))", "true")
+    vLit("cast('foo' as char(5)) <= cast('foo' as char(3))", "true")
+    vLit("cast('\u0000' as char(1)) <= cast('\u0000 ' as char(2))", "true")
+    vLit("cast('\u0000 a' as char(3)) <= cast('\u0000' as char(3))", "false")
+    vLit("cast('foo' as char(5)) > cast('bar' as char(3))", "true")
+    vLit("cast('foo' as char(3)) > cast('foo' as char(5))", "false")
+    vLit("cast(' ' as char(1)) > cast('\u0000' as char(1))", "true")
+    vLit("cast('' as char(0)) > cast('\u0000' as char(1))", "true")
+    vLit("cast('abc' as char(4)) > cast('abc\u0000' as char(4))", "true")
+    vLit("cast('\u0000 ' as char(2)) > cast('\u0000' as char(1))", "false")
+    vLit("cast('\u0000 ' as char(2)) > cast('\u0000' as char(2))", "false")
+    vLit("cast('\u0000 a' as char(3)) > cast('\u0000' as char(3))", "true")
+    vLit("cast('foo' as char(3)) >= cast('foo' as char(5))", "true")
+    vLit("cast('\u0000 ' as char(2)) >= cast('\u0000' as char(1))", "true")
+    vLit("cast('\u0000 a' as char(3)) >= cast('\u0000' as char(3))", "true")
+    // BETWEEN under PAD SPACE (incl. the length-based rows)
+    vLit("cast('bbb' as char(3)) BETWEEN cast('aaa' as char(3)) AND cast('ccc' as char(3))", "true")
+    vLit("cast('foo' as char(3)) BETWEEN cast('foo' as char(3)) AND cast('foo' as char(3))", "true")
+    vLit("cast('foo' as char(3)) BETWEEN cast('foo' as char(3)) AND cast('bar' as char(3))", "false")
+    vLit("cast('foo' as char(3)) BETWEEN cast('zzz' as char(3)) AND cast('foo' as char(3))", "false")
+    vLit("cast('foo' as char(3)) NOT BETWEEN cast('zzz' as char(3)) AND cast('foo' as char(3))", "true")
+    vLit("cast('foo' as char(3)) BETWEEN cast('bar' as char(3)) AND cast('foo' as char(3))", "true")
+    vLit("cast('bar' as char(3)) BETWEEN cast('foo' as char(3)) AND cast('bar' as char(3))", "false")
+    vLit("cast('bar' as char(3)) BETWEEN cast('bar' as char(3)) AND cast('foo' as char(3))", "true")
+    vLit("cast('\u0000 a' as char(3)) BETWEEN cast('\u0000' as char(3)) AND cast('\u0000a' as char(3))", "true")
+    vLit("cast('bar' as char(4)) BETWEEN cast('bar' as char(3)) AND cast('bar' as char(5))", "true")
+    vLit("cast('bar' as char(4)) BETWEEN cast('bar' as char(5)) AND cast('bar' as char(7))", "true")
+    // IS DISTINCT FROM
+    vLit("cast(NULL as char(3)) IS DISTINCT FROM cast(NULL as char(5))", "false")
+    vLit("cast('foo' as char(3)) IS DISTINCT FROM cast('foo' as char(5))", "false")
+    vLit("cast('foo' as char(3)) IS DISTINCT FROM cast('bar' as char(3))", "true")
+    vLit("cast('foo' as char(3)) IS DISTINCT FROM NULL", "true")
+    vLit("cast('bar' as char(5)) IS DISTINCT FROM 'bar'", "false")
+    vLit("cast('bar' as char(5)) IS DISTINCT FROM 'bar   '", "false")
+    vLit("NULL IS DISTINCT FROM cast('foo' as char(3))", "true")
+    // INDETERMINATE ≡ IS NULL; CHAR typed literal
+    vLit("CAST(null AS CHAR(3)) IS NULL", "true")
+    vLit("CHAR '123' IS NULL", "false")
+    vLit("CHAR '123'", "123")
+  }
+
+  // ------------------------------------------------------------------
+  test("boolean operator contract (TestBooleanOperators.java)") {
+    vLit("true", "true")
+    vLit("false", "false")
+    vLit("BOOLEAN 'true'", "true")
+    vLit("BOOLEAN 'false'", "false")
+    vLit("true = true", "true")
+    vLit("true = false", "false")
+    vLit("false = false", "true")
+    vLit("true <> true", "false")
+    vLit("true <> false", "true")
+    // booleans order false < true
+    vLit("true < true", "false")
+    vLit("true < false", "false")
+    vLit("false < true", "true")
+    vLit("true <= false", "false")
+    vLit("false <= true", "true")
+    vLit("false <= false", "true")
+    vLit("true > false", "true")
+    vLit("false > true", "false")
+    vLit("true >= true", "true")
+    vLit("false >= true", "false")
+    vLit("true BETWEEN true AND true", "true")
+    vLit("true BETWEEN true AND false", "false")
+    vLit("true BETWEEN false AND true", "true")
+    vLit("false BETWEEN true AND true", "false")
+    vLit("false BETWEEN false AND true", "true")
+    vLit("false BETWEEN false AND false", "true")
+    // casts
+    vLit("cast(true as real)", "1")
+    vLit("cast(false as real)", "0")
+    vLit("cast(true as varchar)", "true")
+    vLit("cast(false as varchar)", "false")
+    vLit("cast('true' as boolean)", "true")
+    vLit("cast('false' as boolean)", "false")
+    // IS DISTINCT FROM
+    vLit("CAST(NULL AS BOOLEAN) IS DISTINCT FROM CAST(NULL AS BOOLEAN)", "false")
+    vLit("FALSE IS DISTINCT FROM FALSE", "false")
+    vLit("TRUE IS DISTINCT FROM TRUE", "false")
+    vLit("FALSE IS DISTINCT FROM TRUE", "true")
+    vLit("FALSE IS DISTINCT FROM NULL", "true")
+    vLit("TRUE IS DISTINCT FROM NULL", "true")
+    // INDETERMINATE ≡ IS NULL
+    vLit("cast(null AS BOOLEAN) IS NULL", "true")
+    vLit("(true AND false) IS NULL", "false")
+    vLit("(true OR false) IS NULL", "false")
+  }
+
+  // ------------------------------------------------------------------
+  test("unknown (NULL-typed) operator contract (TestUnknownOperators.java)") {
+    // every comparison on the unknown type is NULL (3VL); the
+    // reference's null_function() is replayed as nullif(1, 1)
+    vNull("NULL = NULL")
+    vNull("NULL <> NULL")
+    vNull("NULL < NULL")
+    vNull("NULL <= NULL")
+    vNull("NULL > NULL")
+    vNull("NULL >= NULL")
+    vNull("NULL BETWEEN NULL AND NULL")
+    // casts from unknown are typed NULLs
+    vNull("cast(NULL as bigint)")
+    vNull("cast(nullif(1, 1) as bigint)")
+    vNull("cast(NULL as varchar)")
+    vNull("cast(nullif(1, 1) as varchar)")
+    vNull("cast(NULL as double)")
+    vNull("cast(nullif(1, 1) as double)")
+    vNull("cast(NULL as boolean)")
+    vNull("cast(nullif(1, 1) as boolean)")
+    vLit("typeof(cast(NULL as bigint))", "bigint")
+    vLit("typeof(cast(NULL as varchar))", "varchar")
+    // IS DISTINCT FROM / INDETERMINATE on unknown
+    vLit("NULL IS DISTINCT FROM NULL", "false")
+    vLit("NULL IS NULL", "true")
+  }
+
+  // ------------------------------------------------------------------
+  test("decimal→decimal rescale ladder (TestDecimalToDecimalCasts.java)") {
+    // rescale renders the TARGET scale exactly (varchar cast pins it)
+    vLit("cast(cast(DECIMAL '0' as DECIMAL(3,2)) as varchar)", "0.00")
+    vLit("cast(cast(DECIMAL '2' as DECIMAL(1,0)) as varchar)", "2")
+    vLit("cast(cast(DECIMAL '-2' as DECIMAL(1,0)) as varchar)", "-2")
+    vLit("cast(cast(DECIMAL '2.0' as DECIMAL(2,1)) as varchar)", "2.0")
+    vLit("cast(cast(DECIMAL '2.0' as DECIMAL(2,0)) as varchar)", "2")
+    vLit("cast(cast(DECIMAL '-2.0' as DECIMAL(2,0)) as varchar)", "-2")
+    vLit("cast(cast(DECIMAL '2.0' as DECIMAL(3,2)) as varchar)", "2.00")
+    vLit("cast(cast(DECIMAL '-2.0' as DECIMAL(3,2)) as varchar)", "-2.00")
+    vLit("typeof(cast(DECIMAL '2.0' as DECIMAL(3,2)))", "decimal(3,2)")
+    // rescale rounds HALF-UP at the dropped digit (both signs)
+    vLit("cast(DECIMAL '1.449' as DECIMAL(2,1))", "1.4")
+    vLit("cast(DECIMAL '1.459' as DECIMAL(2,1))", "1.5")
+    vLit("cast(DECIMAL '-1.449' as DECIMAL(2,1))", "-1.4")
+    vLit("cast(DECIMAL '-1.459' as DECIMAL(2,1))", "-1.5")
+    // short → long (beyond 18 digits) and back
+    vLit("cast(cast(DECIMAL '1.2345' as DECIMAL(21,20)) as varchar)",
+      "1.23450000000000000000")
+    vLit("cast(cast(DECIMAL '-1.2345' as DECIMAL(21,20)) as varchar)",
+      "-1.23450000000000000000")
+    vLit("cast(DECIMAL '1.23450000000000000000' as DECIMAL(5,4))", "1.2345")
+    vLit("cast(DECIMAL '-1.23450000000000000000' as DECIMAL(5,4))", "-1.2345")
+    // long → long, scale widened / narrowed
+    vLit("cast(cast(DECIMAL '2.00000000000000000000' as DECIMAL(22,21)) as varchar)",
+      "2.000000000000000000000")
+    vLit("cast(cast(DECIMAL '2.00000000000000000000' as DECIMAL(20,19)) as varchar)",
+      "2.0000000000000000000")
+    vLit("cast(cast(DECIMAL '-2.00000000000000000000' as DECIMAL(20,19)) as varchar)",
+      "-2.0000000000000000000")
+    // HALF-UP at the 20th fractional digit (the 128-bit path)
+    vLit("cast(cast(DECIMAL '1.000000000000000000004' as DECIMAL(21,20)) as varchar)",
+      "1.00000000000000000000")
+    vLit("cast(cast(DECIMAL '1.000000000000000000005' as DECIMAL(21,20)) as varchar)",
+      "1.00000000000000000001")
+    vLit("cast(cast(DECIMAL '-1.000000000000000000004' as DECIMAL(21,20)) as varchar)",
+      "-1.00000000000000000000")
+    vLit("cast(cast(DECIMAL '-1.000000000000000000005' as DECIMAL(21,20)) as varchar)",
+      "-1.00000000000000000001")
+    // out-of-range rescales raise (reference INVALID_CAST_ARGUMENT);
+    // NULL under TRY
+    vErr("cast(DECIMAL '12345.6' as DECIMAL(4,0))", "cannot be represented")
+    vErr("cast(DECIMAL '-12345.6' as DECIMAL(4,0))", "cannot be represented")
+    vErr("cast(DECIMAL '12345.6' as DECIMAL(4,2))", "cannot be represented")
+    vErr("cast(DECIMAL '-12345.6' as DECIMAL(4,2))", "cannot be represented")
+    vErr("cast(DECIMAL '1234500000000000000000000.6' as DECIMAL(20,0))",
+      "cannot be represented")
+    vErr("cast(DECIMAL '-1234500000000000000000000.6' as DECIMAL(22,2))",
+      "cannot be represented")
+    vNull("try(cast(DECIMAL '12345.6' as DECIMAL(4,0)))")
+    vNull("try(cast(DECIMAL '1234500000000000000000000.6' as DECIMAL(20,0)))")
+  }
+
+  // ------------------------------------------------------------------
+  test("common super type selection — UNION/CASE/IN (TestTypeCoercion.java SQL-visible slice)") {
+    // the reference's TypeCoercion lattice, observed through the only
+    // SQL-visible surface this engine has: the type a VALUES union /
+    // CASE / IN coerces mixed operands to
+    def sup(values: String, expected: String): Unit =
+      vLit(s"DISTINCT typeof(x) FROM (VALUES $values) t(x)", expected)
+    sup("BIGINT '1', BIGINT '2'", "bigint")
+    sup("NULL, BIGINT '1'", "bigint") // unknown ⊔ bigint = bigint
+    sup("BIGINT '1', DOUBLE '2.5'", "double")
+    // REAL absorbs every integral type (reference rows 151-154)
+    sup("REAL '1', TINYINT '2'", "real")
+    sup("REAL '1', SMALLINT '2'", "real")
+    sup("REAL '1', INTEGER '2'", "real")
+    sup("REAL '1', BIGINT '2'", "real")
+    sup("REAL '1', DOUBLE '2'", "double")
+    // integral ladder
+    sup("TINYINT '1', SMALLINT '2'", "smallint")
+    sup("SMALLINT '1', INTEGER '2'", "integer")
+    sup("INTEGER '1', BIGINT '2'", "bigint")
+    // decimal ⊔ integer widens to fit both (reference decimal(11,1))
+    sup("DECIMAL '2.2', INTEGER '1'", "decimal(11,1)")
+    sup("DECIMAL '2.2', DOUBLE '1'", "double")
+    // documented divergence (docs/MIGRATION.md): decimal ⊔ bigint is
+    // decimal(21,1) here (Spark reserves 20 integral digits for
+    // bigint) vs the reference's decimal(20,1) — value-identical
+    sup("DECIMAL '2.2', BIGINT '1'", "decimal(21,1)")
+    // date ⊔ timestamp = timestamp (engine maps TIMESTAMP literals to
+    // micros instant type — SURVEY §1.3)
+    sup("DATE '2001-01-22', TIMESTAMP '2001-01-22 03:04:05'",
+      "timestamp(6) with time zone")
+    // containers recurse (reference rows 159-163)
+    sup("NULL, ARRAY[BIGINT '1']", "array(bigint)")
+    sup("ARRAY[BIGINT '1'], ARRAY[DOUBLE '1']", "array(double)")
+    sup("ARRAY[BIGINT '1'], ARRAY[NULL]", "array(bigint)")
+    // CASE picks the same super type
+    vLit("typeof(CASE WHEN true THEN 1 ELSE BIGINT '2' END)", "bigint")
+    // documented divergence (docs/MIGRATION.md): Spark's CASE/branch
+    // coercion widens real ⊔ integral to double (precision-safe),
+    // while UNION/VALUES picks real like the reference — pinned both
+    vLit("typeof(CASE WHEN true THEN REAL '1' ELSE BIGINT '2' END)", "double")
+    // documented divergence: decimal ⊔ real is double here (Spark
+    // widens through double to avoid float precision loss) vs the
+    // reference's real
+    vLit("typeof(CASE WHEN true THEN DECIMAL '2.2' ELSE REAL '1' END)", "double")
+    // IN coerces the probe and list to the common super type
+    vLit("1 IN (BIGINT '1', DOUBLE '1.0')", "true")
+    vLit("DECIMAL '1.0' IN (1, 2)", "true")
+    // incompatible pair refuses to merge (reference isIncompatible:
+    // varbinary ⊔ varchar)
+    vErr("x FROM (VALUES X'41', 'a') t(x)", "INCOMPATIBLE")
+  }
+
+  // ------------------------------------------------------------------
+  test("UUID operator contract on the string emulation (TestUuidOperators.java)") {
+    // cast validates the 8-4-4-4-12 form and lowercases; the canonical
+    // text's lexicographic order IS the reference's order (UuidType
+    // compares unsigned byte-reversed longs = unsigned byte order =
+    // lowercase-hex order)
+    vLit("cast('00000000-0000-0000-0000-000000000000' as UUID)",
+      "00000000-0000-0000-0000-000000000000")
+    vLit("cast('12151fd2-7586-11e9-8f9e-2a86e4085a59' as UUID)",
+      "12151fd2-7586-11e9-8f9e-2a86e4085a59")
+    vLit("cast('12151FD2-7586-11E9-8F9E-2A86E4085A59' as UUID)",
+      "12151fd2-7586-11e9-8f9e-2a86e4085a59")
+    vErr("cast('1-2-3-4-1' as UUID)", "Cannot cast value to UUID")
+    vErr("cast('12151fd217586211e938f9e42a86e4085a59' as UUID)",
+      "Cannot cast value to UUID")
+    vNull("try_cast('1-2-3-4-1' as UUID)")
+    // typed literal round-trips through varchar
+    vLit("cast(UUID 'd3074e99-de12-4b8c-a2a1-b7faf79faba6' as VARCHAR)",
+      "d3074e99-de12-4b8c-a2a1-b7faf79faba6")
+    // varbinary → UUID (16 bytes exactly)
+    vLit("cast(x'12151fd2758611e98f9e2a86e4085a59' as UUID)",
+      "12151fd2-7586-11e9-8f9e-2a86e4085a59")
+    vLit("cast(x'00000000000000000000000000000000' as UUID)",
+      "00000000-0000-0000-0000-000000000000")
+    vErr("cast(x'f000001100' as UUID)", "Invalid UUID binary length")
+    // equality is case-canonical; ordering matches the reference
+    vLit("UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0' = UUID '6B5F5B65-67E4-43B0-8EE3-586CD49F58A0'",
+      "true")
+    vLit("UUID '12151fd2-7586-11e9-8f9e-2a86e4085a58' < UUID '12151fd2-7586-11e9-8f9e-2a86e4085a59'",
+      "true")
+    vLit("UUID '12151fd2-7586-11e9-8f9e-2a86e4085a59' < UUID '12151fd2-7586-11e9-8f9e-2a86e4085a58'",
+      "false")
+    vLit("UUID '12151fd2-7586-11e9-8f9e-2a86e4085a58' < UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0'",
+      "true")
+    vLit("UUID 'dfa7eaf8-6a26-5749-8d36-336025df74e8' > UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0'",
+      "true")
+    vLit("UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0' IS DISTINCT FROM UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0'",
+      "false")
+    vLit("UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0' IS DISTINCT FROM UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a1'",
+      "true")
+    vLit("CAST(NULL AS UUID) IS DISTINCT FROM CAST(NULL AS UUID)", "false")
+    vLit("UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0' IS DISTINCT FROM CAST(NULL AS UUID)",
+      "true")
+  }
+
+  // ------------------------------------------------------------------
+  test("IPADDRESS operator contract on the string emulation (TestIpAddressOperators.java)") {
+    // cast parses (no DNS — names raise) and renders the canonical
+    // text: dotted quad for IPv4 / IPv4-mapped, RFC 5952 for IPv6
+    vLit("cast('::ffff:1.2.3.4' as IPADDRESS)", "1.2.3.4")
+    vLit("cast('::ffff:102:304' as IPADDRESS)", "1.2.3.4")
+    vLit("cast('1.2.3.4' as IPADDRESS)", "1.2.3.4")
+    vLit("cast('192.168.0.0' as IPADDRESS)", "192.168.0.0")
+    vLit("cast('2001:0db8:0000:0000:0000:ff00:0042:8329' as IPADDRESS)",
+      "2001:db8::ff00:42:8329")
+    vLit("cast('2001:db8::ff00:42:8329' as IPADDRESS)", "2001:db8::ff00:42:8329")
+    vLit("cast('2001:db8:0:0:1:0:0:1' as IPADDRESS)", "2001:db8::1:0:0:1")
+    vLit("cast('2001:db8:0:0:1::1' as IPADDRESS)", "2001:db8::1:0:0:1")
+    vLit("cast('2001:db8::1:0:0:1' as IPADDRESS)", "2001:db8::1:0:0:1")
+    vLit("cast('2001:DB8::FF00:ABCD:12EF' as IPADDRESS)", "2001:db8::ff00:abcd:12ef")
+    vLit("cast('64:ff9b::10.0.0.0' as IPADDRESS)", "64:ff9b::a00:0")
+    vLit("cast('::' as IPADDRESS)", "::")
+    vLit("cast('::1' as IPADDRESS)", "::1")
+    vErr("cast('facebook.com' as IPADDRESS)", "Cannot cast value to IPADDRESS")
+    vErr("cast('localhost' as IPADDRESS)", "Cannot cast value to IPADDRESS")
+    vErr("cast('2001:db8::1::1' as IPADDRESS)", "Cannot cast value to IPADDRESS")
+    vErr("cast('2001:zxy::1::1' as IPADDRESS)", "Cannot cast value to IPADDRESS")
+    vErr("cast('789.1.1.1' as IPADDRESS)", "Cannot cast value to IPADDRESS")
+    vNull("try_cast('localhost' as IPADDRESS)")
+    // varbinary → IPADDRESS (4 or 16 bytes)
+    vLit("cast(x'00000000000000000000ffff01020304' as IPADDRESS)", "1.2.3.4")
+    vLit("cast(x'01020304' as IPADDRESS)", "1.2.3.4")
+    vLit("cast(x'c0a80000' as IPADDRESS)", "192.168.0.0")
+    vLit("cast(x'20010db8000000000000ff0000428329' as IPADDRESS)",
+      "2001:db8::ff00:42:8329")
+    vErr("cast(x'f000001100' as IPADDRESS)", "Invalid IP address binary length")
+    // typed literal + equality over canonical text
+    vLit("cast(IPADDRESS '::ffff:1.2.3.4' as VARCHAR)", "1.2.3.4")
+    vLit("IPADDRESS '2001:db8::1:0:0:1' = cast('2001:db8:0:0:1:0:0:1' as IPADDRESS)",
+      "true")
+    vLit("IPADDRESS '1.2.3.4' = IPADDRESS '::ffff:1.2.3.4'", "true")
+    vLit("IPADDRESS '1.2.3.4' IS DISTINCT FROM IPADDRESS '1.2.3.5'", "true")
+    // documented divergence (docs/MIGRATION.md): mixed IPv4/IPv6
+    // ORDERING compares canonical TEXT here, not the reference's
+    // 16-byte form where every IPv4 sorts inside ::ffff:/96 (low) —
+    // '9.0.0.0' < '2001:db8::' is true there, false here
+    vLit("IPADDRESS '9.0.0.0' < IPADDRESS '2001:db8::'", "false")
+    vLit("IPADDRESS '1.2.3.4' < IPADDRESS '1.2.3.5'", "true")
+  }
 }
