@@ -1458,7 +1458,54 @@ object Pipeline {
       |  FROM adc) r
       |WHERE rn <= 3""".stripMargin
 
+  // -------------------------- p25 hashed-token linear quality scorer
+  /** fastText-style linear quality classifier census: every token
+    * hashes to a deterministic md5-derived weight in [-500, 499]
+    * (hash-the-feature IS the hashing-trick weight table — the
+    * canonical way to ship a linear text classifier into a data
+    * pipeline without a model artifact; a real model just replaces
+    * the md5 arithmetic with a literal weight array, same plan), a
+    * document's score is the SUM of its token weights (kept exact in
+    * LONG space — no double accumulation, so the census is
+    * bit-identical cross-engine and safe to re-aggregate at any
+    * scale), and the census reports per source how many documents a
+    * score>0 gate keeps plus the exact weight/token totals.
+    *
+    * At 100 TB this is a pure scan-side map (tokenize + fold inside
+    * one projection — no token explode, no shuffle of text) followed
+    * by a tiny per-source rollup: the same shape as p5/p16. */
+  def p25(s: SparkSession, dir: String): DataFrame = {
+    def toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+    def w(tk: Column): Column =
+      (conv(substring(md5(concat(lit("w:"), tk)), 1, 8), 16, 10)
+        .cast("long") % 1000) - 500
+    val scored = t(s, dir, "documents").select(
+      col("source"),
+      aggregate(toks, lit(0L), (acc, tk) => acc + w(tk)).as("w_sum"),
+      size(toks).cast("long").as("n_tok"))
+    scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("w_sum") > 0, 1L).otherwise(0L)).cast("long").as("kept"),
+      sum(col("w_sum")).cast("long").as("w_total"),
+      sum(col("n_tok")).cast("long").as("tok_total"))
+  }
+
+  val p25Sql: String =
+    """WITH scored AS (
+      |  SELECT source,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''),
+      |      t -> CAST(('0x' || substring(md5('w:' || t), 1, 8)) AS BIGINT) % 1000 - 500)), 0) AS BIGINT) AS w_sum,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(count_if(w_sum > 0) AS BIGINT) AS kept,
+      |  CAST(sum(w_sum) AS BIGINT) AS w_total,
+      |  CAST(sum(n_tok) AS BIGINT) AS tok_total
+      |FROM scored GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_quality_scorer" -> p25 _,
     "p1_exact_dedup" -> p1 _,
     "p2_dedup_keeper" -> p2 _,
     "p3_minhash_lsh" -> p3 _,
@@ -1485,6 +1532,7 @@ object Pipeline {
     "p24_ann_pq" -> p24 _)
 
   val oracle: Map[String, String] = Map(
+    "p25_quality_scorer" -> p25Sql,
     "p1_exact_dedup" -> p1Sql,
     "p2_dedup_keeper" -> p2Sql,
     "p3_minhash_lsh" -> p3Sql,

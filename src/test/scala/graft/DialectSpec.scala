@@ -20,6 +20,55 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("CHAR comparison pass: pad-space wrap fires only on true operands") {
+    // a CHAR-cast operand in a comparison wraps both sides
+    val t1 = Dialect.translate("SELECT CAST('a' AS CHAR(2)) = CAST('a ' AS CHAR(2))")
+    assert(t1.contains("rpad(") && t1.contains("greatest(char_length("), t1)
+    // executes to the reference's pad-space result
+    assert(spark.sql(t1).head().getBoolean(0))
+    // a column source inside the cast is handled too
+    val t2 = Dialect.translate(
+      "SELECT count(*) FROM region WHERE CAST(r_name || ' ' AS CHAR(30)) = CAST(r_name AS CHAR(30))")
+    assert(t2.contains("rpad("), t2)
+    assert(spark.sql(t2).head().getLong(0) == 5L)
+    // NOT rewritten: operand is part of a larger expression — '||'
+    // binds tighter than '=' and the wrap would change semantics
+    val t3 = Dialect.translate("SELECT 'p' || CAST('a' AS CHAR(2)) = 'x'")
+    assert(!t3.contains("rpad("), t3)
+    // NOT rewritten: no CHAR operand anywhere
+    val t4 = Dialect.translate("SELECT CAST('a' AS CHAR(2)) IS NOT NULL, 'x' = 'y'")
+    assert(!t4.contains("rpad("), t4)
+    // CASE ... END never mistaken for an operand (keyword guard)
+    val t5 = Dialect.translate(
+      "SELECT CASE WHEN true THEN 'x' END = CAST('x' AS CHAR(1))")
+    assert(!t5.contains("rpad(END"), t5)
+    // BETWEEN and IS DISTINCT FROM forms rewrite with pairwise pads
+    val t6 = Dialect.translate(
+      "SELECT CAST('b' AS CHAR(2)) BETWEEN CAST('a' AS CHAR(3)) AND CAST('c' AS CHAR(1))")
+    assert(t6.contains("rpad(") && t6.contains(">=") && t6.contains("<="), t6)
+    assert(spark.sql(t6).head().getBoolean(0))
+    val t7 = Dialect.translate(
+      "SELECT CAST(NULL AS CHAR(3)) IS DISTINCT FROM CAST(NULL AS CHAR(5))")
+    assert(t7.contains("rpad("), t7)
+    assert(!spark.sql(t7).head().getBoolean(0))
+  }
+
+  test("UUID/IPADDRESS typed literals fold at translate time (usable in VALUES)") {
+    val t1 = Dialect.translate("SELECT x FROM (VALUES UUID 'AB000000-0000-0000-0000-000000000001') t(x)")
+    assert(t1.contains("'ab000000-0000-0000-0000-000000000001'"), t1)
+    assert(spark.sql(t1).head().getString(0) == "ab000000-0000-0000-0000-000000000001")
+    val t2 = Dialect.translate("SELECT IPADDRESS '::ffff:1.2.3.4'")
+    assert(t2.contains("'1.2.3.4'"), t2)
+    // invalid literals raise at translate time (the reference's
+    // INVALID_LITERAL condition)
+    intercept[IllegalArgumentException] {
+      Dialect.translate("SELECT UUID '1-2-3'")
+    }
+    intercept[IllegalArgumentException] {
+      Dialect.translate("SELECT IPADDRESS 'localhost'")
+    }
+  }
+
   test("function renames, preserving string literals") {
     assert(Dialect.translate("SELECT approx_distinct(x) FROM t") ==
       "SELECT approx_count_distinct(x) FROM t")

@@ -107,6 +107,23 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nested <= 4, s"unexpected nested-loop joins ($nested):\n${plan.take(2000)}")
   }
 
+  test("LSH banding is shuffle-free: p14Bands and p8 bucketing plan zero exchanges") {
+    // r18: plane coefficients are plan-time literals and band values
+    // come out of one codegen'd projection, so the banded frame is
+    // scan → project → generate — NO crossJoin row-explosion, NO
+    // aggregation exchange carrying the embedding as a group key (the
+    // r17 verdict's widest avoidable shuffle).
+    val banded = graft.queries.Pipeline.p14Bands(spark, sfDir, bands = 8, bits = 16)
+    val bandedPlan = banded.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(bandedPlan).isEmpty,
+      s"p14Bands must be a pure projection:\n${bandedPlan.take(2000)}")
+    assert(!bandedPlan.contains("Join"),
+      s"p14Bands must not join the planes frame:\n${bandedPlan.take(2000)}")
+    // the banded output is 3 narrow columns — the embedding never
+    // enters the candidate-join exchange
+    assert(banded.columns.toSeq == Seq("vec_id", "band", "bv"))
+  }
+
   test("p14 default banding keeps buckets narrow (candidate join stays linear)") {
     import org.apache.spark.sql.functions.{count, lit, max}
     val banded = graft.queries.Pipeline.p14Bands(spark, sfDir, bands = 8, bits = 16)
@@ -401,6 +418,27 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!plan.contains("Exchange"),
         s"unnest must not shuffle:\n${plan.take(1500)}")
     }
+  }
+
+  test("p25 quality scorer is one scan with a per-source rollup (no token explode/shuffle)") {
+    val df = graft.queries.Pipeline.p25(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${plan.take(1500)}")
+    // tokens fold inside the projection — a Generate (explode) would
+    // multiply the scan by tokens-per-doc and shuffle text derivatives
+    assert(!plan.contains("Generate"),
+      s"token scoring must not explode:\n${plan.take(1500)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"census should shuffle once on source (partial/final agg):\n${plan.take(1500)}")
+    // the score gate keeps a nontrivial, non-total subset (a degenerate
+    // all-kept/none-kept weight table would make the gate vacuous)
+    val rows = df.collect()
+    val (kept, docs) = rows.map(r =>
+      (r.getLong(r.fieldIndex("kept")), r.getLong(r.fieldIndex("n_docs"))))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(kept > 0 && kept < docs, s"degenerate gate: $kept of $docs kept")
   }
 
   test("p23 scrub census is one scan with a per-source rollup (no text shuffle)") {
