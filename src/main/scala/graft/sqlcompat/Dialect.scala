@@ -509,6 +509,16 @@ object Dialect {
         // uuid/ipaddress→string renames with sentinels the pass eats
         out = out.replaceAll("(?i)\\bAS\\s+UUID\\s*\\)", "AS GRAFT_UUID_CAST)")
         out = out.replaceAll("(?i)\\bAS\\s+IPADDRESS\\s*\\)", "AS GRAFT_IP_CAST)")
+        // length-parametric character casts carry VALUE semantics in
+        // the reference (TestCharacterStringCasts): CAST AS VARCHAR(n)
+        // truncates to n, CAST AS CHAR(n) truncates AND pads to n,
+        // bare CHAR is CHAR(1) — materialized by castCharLenPass;
+        // sentinels shield the length from the plain-erasure renames
+        out = out.replaceAll("(?i)\\bAS\\s+VARCHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)",
+          "AS GRAFT_VCAST_$1)")
+        out = out.replaceAll("(?i)\\bAS\\s+CHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)",
+          "AS GRAFT_CCAST_$1)")
+        out = out.replaceAll("(?i)\\bAS\\s+CHAR\\s*\\)", "AS GRAFT_CCAST_1)")
         for ((from, to) <- typeRenames if from != to) {
           // a length/precision parameter is dropped with the rename:
           // CAST(x AS VARCHAR(255)) → CAST(x AS string) — Spark's
@@ -1518,6 +1528,62 @@ object Dialect {
     out
   }
 
+  /** Materialize the reference's length-parametric character-cast
+    * VALUE semantics (type/TestCharacterStringCasts.java) on the
+    * erased-string mapping: `CAST(e AS VARCHAR(n))` truncates —
+    * substr(CAST(e AS STRING), 1, n); `CAST(e AS CHAR(n))` truncates
+    * and space-pads — rpad(substr(..., 1, n), n) (so a CHAR value
+    * renders padded, exactly as the reference's char→varchar casts
+    * show); bare `AS CHAR` is CHAR(1). TRY_CAST keeps its NULL-on-
+    * failure inner cast. NULL propagates through substr/rpad. */
+  private def castCharLenPass(canon0: String): String = {
+    var out = canon0
+    val re = "(?is)\\bAS\\s+GRAFT_(V|C)CAST_(\\d+)\\s*\\)".r
+    var from = 0
+    var guard = 0
+    var m = re.findFirstMatchIn(out.substring(from))
+      .map(x => (x.start + from, x.end + from, x.group(1).toUpperCase, x.group(2)))
+    while (m.isDefined && guard < 256) {
+      guard += 1
+      val (mStart, mEnd, kindVC, n) = m.get
+      var depth = 0
+      var i = mEnd - 1
+      var open = -1
+      while (i >= 0 && open < 0) {
+        val c = out.charAt(i)
+        if (c == ')') depth += 1
+        else if (c == '(') { depth -= 1; if (depth == 0) open = i }
+        i -= 1
+      }
+      val pre =
+        (if (open > 0) out.substring(0, open) else "")
+          .replaceAll("[ \\t\\r\\n]+$", "")
+      val kind =
+        if (pre.toUpperCase.endsWith("TRY_CAST")) 8
+        else if (pre.toUpperCase.endsWith("CAST")) 4
+        else 0
+      if (open >= 0 && kind > 0) {
+        val castStart = pre.length - kind
+        val castWord = if (kind == 8) "TRY_CAST" else "CAST"
+        // NOT String.trim: it strips every char <= U+0020, which eats
+        // the U+0001/U+0002 literal sentinels
+        val expr = out.substring(open + 1, mStart)
+          .replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+        val inner = s"$castWord($expr AS STRING)"
+        val repl =
+          if (kindVC == "V") s"substr($inner, 1, $n)"
+          else s"rpad(substr($inner, 1, $n), $n)"
+        out = out.substring(0, castStart) + repl + out.substring(mEnd)
+        from = 0
+      } else from = mEnd
+      m = re.findFirstMatchIn(out.substring(from))
+        .map(x => (x.start + from, x.end + from, x.group(1).toUpperCase, x.group(2)))
+    }
+    // leftover sentinels were NOT cast positions — restore spellings
+    out = out.replaceAll("(?i)\\bAS\\s+GRAFT_VCAST_(\\d+)\\b", "AS varchar($1)")
+    out.replaceAll("(?i)\\bAS\\s+GRAFT_CCAST_(\\d+)\\b", "AS char($1)")
+  }
+
   private def jsonConstructorPass(canon0: String): String = {
     val re = "(?i)\\bjson_(object|array)\\s*\\(".r
     var out = canon0
@@ -2129,7 +2195,8 @@ object Dialect {
     val re = "(?i)\\b(trim|ltrim|rtrim)\\s*\\(".r
     def ws2(x: String): String = x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
     def isCharCast(src: String): Boolean =
-      "(?is)^CAST\\s*\\(.*\\bAS\\s+CHAR\\b.*\\)$".r.matches(ws2(src))
+      "(?is)^CAST\\s*\\(.*\\bAS\\s+(CHAR\\b|GRAFT_CCAST_\\d+).*\\)$".r
+        .matches(ws2(src))
     def charWrap(src: String, expr: String): String =
       if (isCharCast(src)) s"rtrim($expr)" else expr
     var out = canon0
@@ -2259,6 +2326,7 @@ object Dialect {
     out = orderByNullsPass(out)
     out = castAsJsonPass(out)
     out = castAsUuidIpPass(out)
+    out = castCharLenPass(out)
     // LIMIT literals past Int.MaxValue: the reference accepts a BIGINT
     // row count (testLimitMax — LIMIT 9223372036854775807 means "no
     // limit"); Spark requires an INT literal, so clamp. Row counts

@@ -31,13 +31,14 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) FROM region WHERE CAST(r_name || ' ' AS CHAR(30)) = CAST(r_name AS CHAR(30))")
     assert(t2.contains("rpad("), t2)
     assert(spark.sql(t2).head().getLong(0) == 5L)
-    // NOT rewritten: operand is part of a larger expression — '||'
-    // binds tighter than '=' and the wrap would change semantics
+    // NOT rewritten as a comparison: operand is part of a larger
+    // expression — '||' binds tighter than '=' and the wrap would
+    // change semantics (the cast itself still pads: value semantics)
     val t3 = Dialect.translate("SELECT 'p' || CAST('a' AS CHAR(2)) = 'x'")
-    assert(!t3.contains("rpad("), t3)
-    // NOT rewritten: no CHAR operand anywhere
+    assert(!t3.contains("greatest("), t3)
+    // NOT rewritten: no CHAR operand in the comparison
     val t4 = Dialect.translate("SELECT CAST('a' AS CHAR(2)) IS NOT NULL, 'x' = 'y'")
-    assert(!t4.contains("rpad("), t4)
+    assert(!t4.contains("greatest("), t4)
     // CASE ... END never mistaken for an operand (keyword guard)
     val t5 = Dialect.translate(
       "SELECT CASE WHEN true THEN 'x' END = CAST('x' AS CHAR(1))")

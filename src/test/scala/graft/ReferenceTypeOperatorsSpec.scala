@@ -742,4 +742,28 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     vLit("IPADDRESS '9.0.0.0' < IPADDRESS '2001:db8::'", "false")
     vLit("IPADDRESS '1.2.3.4' < IPADDRESS '1.2.3.5'", "true")
   }
+
+  // ------------------------------------------------------------------
+  test("length-parametric character cast VALUE semantics (TestCharacterStringCasts.java)") {
+    // varchar(n) truncates
+    vLit("cast('bar' as varchar(20))", "bar")
+    vLit("cast(cast('bar' as varchar(20)) as varchar(30))", "bar")
+    vLit("cast(cast('bar' as varchar(20)) as varchar)", "bar")
+    vLit("cast('banana' as varchar(3))", "ban")
+    vLit("cast(cast('banana' as varchar(20)) as varchar(3))", "ban")
+    // char(n) truncates AND pads; bare CHAR is char(1)
+    vLit("cast('bar  ' as char(10))", "bar       ")
+    vLit("cast('bar' as char)", "b")
+    vLit("cast('   ' as char)", " ")
+    // char -> varchar renders the padded value, then truncates
+    vLit("cast(cast('bar' as char(5)) as varchar(10))", "bar  ")
+    vLit("cast(cast('bar' as char(5)) as varchar(1))", "b")
+    vLit("cast(cast('b' as char(5)) as varchar(2))", "b ")
+    vLit("cast(cast('b' as char(5)) as varchar(1))", "b")
+    vLit("cast(cast('bar' as char(3)) as varchar(3))", "bar")
+    vLit("cast(cast('b' as char(3)) as varchar(3))", "b  ")
+    // NULL propagates; TRY_CAST keeps NULL-on-failure
+    vNull("cast(CAST(NULL AS VARCHAR) as varchar(3))")
+    vNull("try_cast(CAST(NULL AS VARCHAR) as char(3))")
+  }
 }
