@@ -143,6 +143,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MediaProbe].getName, "media_probe"),
       (children: Seq[Expression]) => MediaProbe(children.head)))
     e.injectFunction((
+      FunctionIdentifier("audio_probe"),
+      new ExpressionInfo(classOf[AudioProbe].getName, "audio_probe"),
+      (children: Seq[Expression]) => AudioProbe(children.head)))
+    e.injectFunction((
       FunctionIdentifier("min_by_n"),
       new ExpressionInfo(classOf[MinByN].getName, "min_by_n"),
       (children: Seq[Expression]) =>

@@ -182,11 +182,70 @@ object Multimodal {
       |  CAST(doc_id * 7 % 600 + 12 AS INT) AS height
       |FROM documents""".stripMargin
 
+  /** Real container-level AUDIO decode: each document renders as a
+    * WAV payload (RIFF chunk layout, all-little-endian fields) whose
+    * fmt/data chunks carry doc_id-derived channels / sample rate /
+    * bit depth / sample count, built byte-for-byte with Catalyst
+    * binary concat — and the native `audio_probe` expression
+    * (functions/AudioProbe.scala) walks the chunks and parses them
+    * BACK out of the raw bytes, deriving duration from
+    * data_len/byte_rate in truncating integer division. The oracle
+    * recomputes every field relationally, so a probe that misreads a
+    * chunk offset, field width, or endianness hash-fails. Payload
+    * bytes never leave the scan projection. */
+  def mm3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val d = Graft.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        when(col("doc_id") % 3 === 0, 8000)
+          .when(col("doc_id") % 3 === 1, 16000)
+          .otherwise(44100).cast("int").as("rate"),
+        ((col("doc_id") % 2 + 1) * 8).cast("int").as("bits"),
+        (col("doc_id") % 1000 + 1).cast("int").as("ns"))
+      .withColumn("ba", (col("ch") * col("bits") / 8).cast("int"))
+      .withColumn("datalen", (col("ns") * col("ba")).cast("int"))
+      .withColumn("byterate", (col("rate") * col("ba")).cast("int"))
+    def leByte(c: Column, sh: Int) =
+      lpad(hex(shiftright(c.cast("int"), sh).bitwiseAND(255)), 2, "0")
+    def le16(c: Column) = unhex(concat(leByte(c, 0), leByte(c, 8)))
+    def le32(c: Column) =
+      unhex(concat(leByte(c, 0), leByte(c, 8), leByte(c, 16), leByte(c, 24)))
+    val content = concat(
+      unhex(lit("52494646")), le32(col("datalen") + 36), // 'RIFF' + size
+      unhex(lit("57415645")), // 'WAVE'
+      unhex(lit("666D7420")), le32(lit(16)), // 'fmt ' + 16
+      le16(lit(1)), le16(col("ch")), le32(col("rate")), // PCM, channels, rate
+      le32(col("byterate")), le16(col("ba")), le16(col("bits")),
+      unhex(lit("64617461")), le32(col("datalen"))) // 'data' + length
+    d.select(col("doc_id").as("asset_id"),
+        call_function("audio_probe", content).as("a"))
+      .select(col("asset_id"),
+        col("a.format").as("format"),
+        col("a.channels").as("channels"),
+        col("a.sample_rate").as("sample_rate"),
+        col("a.bits").as("bits"),
+        col("a.duration_ms").as("duration_ms"))
+  }
+
+  val mm3Sql: String =
+    """SELECT doc_id AS asset_id, 'wav' AS format,
+      |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       ELSE 44100 END AS INT) AS sample_rate,
+      |  CAST((doc_id % 2 + 1) * 8 AS INT) AS bits,
+      |  CAST((doc_id % 1000 + 1) * 1000 //
+      |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |     ELSE 44100 END) AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_frame_sample" -> mm1 _,
-    "mm2_media_probe" -> mm2 _)
+    "mm2_media_probe" -> mm2 _,
+    "mm3_audio_probe" -> mm3 _)
 
   val oracle: Map[String, String] = Map(
     "mm1_frame_sample" -> mm1Sql,
-    "mm2_media_probe" -> mm2Sql)
+    "mm2_media_probe" -> mm2Sql,
+    "mm3_audio_probe" -> mm3Sql)
 }

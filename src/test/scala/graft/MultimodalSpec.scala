@@ -113,4 +113,57 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("m.format", "m.width", "m.height").head()
     assert((r.getString(0), r.getInt(1), r.getInt(2)) == (("png", 1, 1)))
   }
+
+  private def probeA(hex: String): (String, Option[Int], Option[Int], Option[Int], Option[Long]) = {
+    val r = graft.functions.AudioProbe.probe(hexBytes(hex))
+    (r.getUTF8String(0).toString,
+      if (r.isNullAt(1)) None else Some(r.getInt(1)),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)),
+      if (r.isNullAt(3)) None else Some(r.getInt(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+  }
+
+  test("audio_probe parses WAV fmt/data chunks (all little-endian)") {
+    // 1 ch, 8000 Hz, 8-bit, 16 data bytes -> 2 ms
+    val wav = "52494646 34000000 57415645 " +
+      "666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800 " +
+      "64617461 10000000 " + "00" * 16
+    assert(probeA(wav) == (("wav", Some(1), Some(8000), Some(8), Some(2L))))
+    // chunk walk skips foreign chunks and honors odd-size padding
+    val padded = "52494646 40000000 57415645 " +
+      "4C495354 03000000 AABBCC 00 " + // 'LIST' len 3 + 1 pad byte
+      "666D7420 10000000 0100 0200 80BB0000 00EE0200 0400 1000 " + // 2ch 48k 16-bit
+      "64617461 00770100" // 96000 bytes claimed (header-only payload)
+    assert(probeA(padded) == (("wav", Some(2), Some(48000), Some(16), Some(500L))))
+    // truncated / malformed never throws
+    assert(probeA("52494646 34000000 57415645")._1 == "unknown")
+    assert(probeA("524946")._1 == "unknown")
+  }
+
+  test("audio_probe parses FLAC STREAMINFO bit fields") {
+    // 44100 Hz, 2 ch, 16-bit, 44100 samples -> 1000 ms
+    val flac = "664C6143 80 000022 " +
+      "1000 1000 000000 000000 " + // block/frame size bounds
+      "0AC442F0 0000AC44 " +        // rate/ch/bits + 36-bit total samples
+      "00" * 16                      // md5
+    assert(probeA(flac) == (("flac", Some(2), Some(44100), Some(16), Some(1000L))))
+  }
+
+  test("audio_probe detects MP3 by ID3 tag or frame sync; unknown never throws") {
+    assert(probeA("494433040000")._1 == "mp3")
+    assert(probeA("FFFB9000")._1 == "mp3")
+    assert(probeA("68656C6C6F")._1 == "unknown")
+    assert(probeA("")._1 == "unknown")
+  }
+
+  test("audio_probe is registered for SQL over binary columns") {
+    val r = spark.sql(
+      "SELECT audio_probe(unhex('524946463400000057415645666D7420100000000100010040" +
+        "1F0000401F00000100080064617461100000000000000000000000000000000000000000" +
+        "0000000000')) AS a")
+      .selectExpr("a.format", "a.channels", "a.sample_rate", "a.bits", "a.duration_ms")
+      .head()
+    assert((r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)) ==
+      (("wav", 1, 8000, 8, 2L)))
+  }
 }
