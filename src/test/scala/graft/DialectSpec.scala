@@ -54,6 +54,36 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.sql(t7).head().getBoolean(0))
   }
 
+  test("CHAR pad-space comparison matches the SQL PAD SPACE model on 150 seeded pairs") {
+    // differential property check driven through the ENGINE: random
+    // short strings over {letters, space, NUL, '!'} compared as CHAR
+    // casts must order exactly like the standard's pad-with-spaces
+    // model. Fixed seed — failures reproduce.
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "ab z!\u0000"
+    def str(): String =
+      (0 until rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pairs = Seq.fill(150)((str(), str()))
+    def model(a: String, b: String): Int = {
+      val n = math.max(a.length, b.length)
+      a.padTo(n, ' ').compareTo(b.padTo(n, ' '))
+    }
+    val cols = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val (la, lb) = (math.max(a.length, 1), math.max(b.length, 1))
+      Seq(
+        s"CAST('$a' AS CHAR($la)) < CAST('$b' AS CHAR($lb)) AS lt_$i",
+        s"CAST('$a' AS CHAR($la)) = CAST('$b' AS CHAR($lb)) AS eq_$i")
+    }
+    val row = spark.sql(Dialect.translate("SELECT " + cols.mkString(", "))).head()
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val m = model(a, b)
+      assert(row.getBoolean(2 * i) == (m < 0),
+        s"lt mismatch on (${a.map(_.toInt)}, ${b.map(_.toInt)})")
+      assert(row.getBoolean(2 * i + 1) == (m == 0),
+        s"eq mismatch on (${a.map(_.toInt)}, ${b.map(_.toInt)})")
+    }
+  }
+
   test("UUID/IPADDRESS typed literals fold at translate time (usable in VALUES)") {
     val t1 = Dialect.translate("SELECT x FROM (VALUES UUID 'AB000000-0000-0000-0000-000000000001') t(x)")
     assert(t1.contains("'ab000000-0000-0000-0000-000000000001'"), t1)

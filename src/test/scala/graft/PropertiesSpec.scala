@@ -258,4 +258,39 @@ class PropertiesSpec extends AnyFunSuite {
       Dialect.translate(once) == once
     })
   }
+
+  test("IPADDRESS canonical text round-trips its 16 bytes (RFC 5952)") {
+    // for EVERY 16-byte value: render -> parse is the identity, and
+    // re-rendering the parsed bytes is a fixed point (the canonical
+    // form is canonical). Exercises v4-mapped collapse, the
+    // longest/leftmost zero-run compression, and '::' for all-zeros.
+    val byteGen = Gen.oneOf(Gen.const(0), Gen.const(255), Gen.choose(0, 255))
+    val bytes16 = Gen.listOfN(16, byteGen).map(_.map(_.toByte).toArray)
+    // bias zero RUNS in the group positions so compression paths hit
+    val zeroRun = for {
+      start <- Gen.choose(0, 7)
+      len <- Gen.choose(1, 8 - start)
+      base <- bytes16
+    } yield {
+      val b = base.clone()
+      (start until (start + len)).foreach { g => b(2 * g) = 0; b(2 * g + 1) = 0 }
+      b
+    }
+    check("ip round-trip", Prop.forAll(Gen.oneOf(bytes16, zeroRun)) { b =>
+      val text = UuidIpCompat.ipRender(b)
+      val back = UuidIpCompat.ipBytes(text)
+      java.util.Arrays.equals(back, b) &&
+        UuidIpCompat.ipRender(back) == text
+    })
+  }
+
+  test("UUID binary -> text -> canonical is the identity on 16 bytes") {
+    val bytes16 = Gen.listOfN(16, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+    check("uuid round-trip", Prop.forAll(bytes16) { b =>
+      val text = UuidIpCompat.uuidFromBytes(b)
+      UuidIpCompat.uuidCanon(text) == text &&
+        UuidIpCompat.uuidCanon(text.toUpperCase) == text
+    })
+  }
+
 }
