@@ -68,13 +68,16 @@ object UuidIpCompat {
     // group may be an embedded dotted IPv4 (two 16-bit groups)
     val dc = s.indexOf("::")
     if (dc >= 0 && s.indexOf("::", dc + 1) >= 0) fail()
-    def groups(t: String): Seq[Int] = {
+    // an embedded dotted IPv4 may only occupy the address's LAST 32
+    // bits, so it is legal only as the final group of the final
+    // segment (`v4Ok`) — never left of a '::'
+    def groups(t: String, v4Ok: Boolean): Seq[Int] = {
       if (t.isEmpty) return Seq.empty
       val parts = t.split(":", -1)
       parts.zipWithIndex.flatMap { case (p, i) =>
         if (p.isEmpty) fail()
         else if (p.contains('.')) {
-          if (i != parts.length - 1) fail()
+          if (!v4Ok || i != parts.length - 1) fail()
           val v4 = ipv4(p)
           Seq(((v4(0) & 0xff) << 8) | (v4(1) & 0xff),
             ((v4(2) & 0xff) << 8) | (v4(3) & 0xff))
@@ -86,12 +89,12 @@ object UuidIpCompat {
     }
     val gs: Seq[Int] =
       if (dc < 0) {
-        val g = groups(s)
+        val g = groups(s, v4Ok = true)
         if (g.length != 8) fail()
         g
       } else {
-        val left = groups(s.substring(0, dc))
-        val right = groups(s.substring(dc + 2))
+        val left = groups(s.substring(0, dc), v4Ok = false)
+        val right = groups(s.substring(dc + 2), v4Ok = true)
         if (left.length + right.length > 7) fail()
         left ++ Seq.fill(8 - left.length - right.length)(0) ++ right
       }

@@ -1485,7 +1485,7 @@ object Dialect {
       var guard = 0
       var m = re.findFirstMatchIn(out.substring(from))
         .map(x => (x.start + from, x.end + from))
-      while (m.isDefined && guard < 64) {
+      while (m.isDefined && guard < 10000) {
         guard += 1
         val (mStart, mEnd) = m.get
         var depth = 0
@@ -1543,7 +1543,10 @@ object Dialect {
     var guard = 0
     var m = re.findFirstMatchIn(out.substring(from))
       .map(x => (x.start + from, x.end + from, x.group(1).toUpperCase, x.group(2)))
-    while (m.isDefined && guard < 256) {
+    // generous bound: conformance batteries legitimately pack hundreds
+    // of casts into ONE statement; an exhausted guard would silently
+    // fall back to Spark's native char semantics for the tail
+    while (m.isDefined && guard < 100000) {
       guard += 1
       val (mStart, mEnd, kindVC, n) = m.get
       var depth = 0

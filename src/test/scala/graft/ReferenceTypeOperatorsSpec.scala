@@ -721,6 +721,8 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     vErr("cast('2001:db8::1::1' as IPADDRESS)", "Cannot cast value to IPADDRESS")
     vErr("cast('2001:zxy::1::1' as IPADDRESS)", "Cannot cast value to IPADDRESS")
     vErr("cast('789.1.1.1' as IPADDRESS)", "Cannot cast value to IPADDRESS")
+    // embedded IPv4 is only legal as the address's LAST 32 bits
+    vErr("cast('1.2.3.4::' as IPADDRESS)", "Cannot cast value to IPADDRESS")
     vNull("try_cast('localhost' as IPADDRESS)")
     // varbinary → IPADDRESS (4 or 16 bytes)
     vLit("cast(x'00000000000000000000ffff01020304' as IPADDRESS)", "1.2.3.4")
