@@ -1504,7 +1504,38 @@ object Pipeline {
       |  CAST(sum(n_tok) AS BIGINT) AS tok_total
       |FROM scored GROUP BY source""".stripMargin
 
+  // ------------------------------- p26 vocabulary builder (top-K)
+  /** Corpus vocabulary census: global token frequencies, top-K by
+    * (count DESC, token) — the tokenizer-training precursor every
+    * text pipeline runs before fitting a BPE/WordPiece model. The
+    * deterministic tie-break makes the top-K SET reproducible, so it
+    * oracle-gates exactly.
+    *
+    * At 100 TB this is THE canonical heavy-shuffle text job and the
+    * plan is the production shape: tokens explode scan-side, the
+    * partial count combines map-side (the exchange carries (token,
+    * partial-count) pairs — bounded by the VOCABULARY size per task,
+    * not the token stream), one hash exchange on the token, and the
+    * top-K runs as TakeOrdered (per-partition bounded heaps + a
+    * driver merge of K rows per partition), never a global sort. */
+  def p26(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val toks = t(s, dir, "documents").select(
+      explode(filter(split(lower(col("text")), "[^a-z]+"), x => x =!= ""))
+        .as("tok"))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+  }
+
+  val p26Sql: String =
+    """SELECT tok, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(list_filter(
+      |        string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+      |      FROM documents) t
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p26_vocab_topk" -> ((s: SparkSession, dir: String) => p26(s, dir)),
     "p25_quality_scorer" -> p25 _,
     "p1_exact_dedup" -> p1 _,
     "p2_dedup_keeper" -> p2 _,
@@ -1532,6 +1563,7 @@ object Pipeline {
     "p24_ann_pq" -> p24 _)
 
   val oracle: Map[String, String] = Map(
+    "p26_vocab_topk" -> p26Sql,
     "p25_quality_scorer" -> p25Sql,
     "p1_exact_dedup" -> p1Sql,
     "p2_dedup_keeper" -> p2Sql,

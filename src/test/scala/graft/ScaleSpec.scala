@@ -441,6 +441,27 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept > 0 && kept < docs, s"degenerate gate: $kept of $docs kept")
   }
 
+  test("p26 vocab builder combines map-side and takes top-K with bounded heaps") {
+    val df = graft.queries.Pipeline.p26(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the exchange must carry (token, partial-count) pairs — a missing
+    // map-side combine ships the raw token stream
+    assert("partial_count".r.findAllIn(plan).nonEmpty,
+      s"vocab count must combine map-side:\n${plan.take(1500)}")
+    // top-K is TakeOrdered (bounded per-partition heaps), never a
+    // global sort of the vocabulary
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrdered:\n${plan.take(1500)}")
+    val rows = df.collect()
+    // the sf0.001 fixture has a vocabulary smaller than K
+    assert(rows.nonEmpty && rows.length <= 50)
+    // ordering contract: count DESC, token ASC
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sliding(2).forall { case Array((n1, t1), (n2, t2)) =>
+      n1 > n2 || (n1 == n2 && t1 < t2) },
+      "top-K must order by (count DESC, token ASC)")
+  }
+
   test("p23 scrub census is one scan with a per-source rollup (no text shuffle)") {
     val df = graft.queries.Pipeline.p23(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
