@@ -1572,10 +1572,13 @@ object Dialect {
         // the U+0001/U+0002 literal sentinels
         val expr = out.substring(open + 1, mStart)
           .replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+        // left(), not substr(): the dialect renames substr to the
+        // reference-semantics UDF on a later translate, which would
+        // break idempotence AND foldability inside VALUES
         val inner = s"$castWord($expr AS STRING)"
         val repl =
-          if (kindVC == "V") s"substr($inner, 1, $n)"
-          else s"rpad(substr($inner, 1, $n), $n)"
+          if (kindVC == "V") s"left($inner, $n)"
+          else s"rpad(left($inner, $n), $n)"
         out = out.substring(0, castStart) + repl + out.substring(mEnd)
         from = 0
       } else from = mEnd

@@ -252,6 +252,12 @@ class PropertiesSpec extends AnyFunSuite {
       "SELECT approx_distinct(x) FROM t",
       "SELECT strpos(a, 'b'), CAST(x AS VARBINARY) FROM t WHERE y LIKE '%strpos%'",
       "SELECT TRY(a / b), now() FROM t",
+      // r18 passes: char pad-space comparisons, length-parametric
+      // casts, UUID/IPADDRESS canonical casts + typed literals
+      "SELECT CAST('a' AS CHAR(2)) = CAST('a ' AS CHAR(3))",
+      "SELECT CAST('banana' AS VARCHAR(3)), CAST(x AS CHAR(5)) FROM t",
+      "SELECT CAST('1.2.3.4' AS IPADDRESS), TRY_CAST(u AS UUID) FROM t",
+      "SELECT UUID 'AB000000-0000-0000-0000-000000000001'",
       "SELECT 1")
     check("dialect-idempotent", Prop.forAll(sqls) { s =>
       val once = Dialect.translate(s)
