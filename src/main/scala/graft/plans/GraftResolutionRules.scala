@@ -141,9 +141,14 @@ object GraftResolutionRules extends Rule[LogicalPlan] {
     // NULL via TRY eval — both match the reference's try(). Spark's
     // IntegralDivide widens to BIGINT; the cast restores the
     // reference's common-supertype result (tinyint/tinyint → tinyint).
-    case Divide(l0, r0, dmode) if dmode !=
-      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY && {
-      // leave try_divide (TRY-mode Divide) on Spark's own semantics
+    // ALL Divide modes rewrite — TRY-mode included: the reference's
+    // TRY(int/int) is still truncating integer division, only its
+    // ERRORS become NULL, which the rw inTry threading provides by
+    // wrapping the lowered division in TryEval. (An earlier guard
+    // tried to exempt TRY-mode Divides but compared a
+    // NumericEvalContext against an EvalMode — vacuously true — and
+    // fixing the comparison broke try(5/2): 2, not 2.5.)
+    case Divide(l0, r0, _) if {
       def bare(e: Expression): Option[Expression] = e match {
         case e if e.resolved && integralTarget(e.dataType) => Some(e)
         case c: Cast
