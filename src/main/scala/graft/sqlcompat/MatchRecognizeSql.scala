@@ -229,6 +229,10 @@ object MatchRecognizeSql {
             fail(s"navigation offset is only valid on FIRST/LAST: '$mtxt'")
           if (isFinal) SqlMeasure.FinalAgg(fn, c, varQ, off)
           else SqlMeasure.Agg(fn, c, varQ, off)
+        // group(4) (the agg keyword) can only match together with
+        // group(6) (its mandatory column) — unreachable by the regex
+        // structure, spelled out for exhaustiveness
+        case (Some(_), None) => fail(s"unparsable measure: '$mtxt'")
       }
     }
     // Measure bodies may also be ARITHMETIC over the primitives
