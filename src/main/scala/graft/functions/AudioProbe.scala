@@ -101,8 +101,14 @@ object AudioProbe {
       } else if (tag(b, pos, "data")) {
         dataLen = size
       }
-      pos = body + size.toInt + (size.toInt & 1) // odd chunk sizes pad 1
-      if (size < 0 || size > Int.MaxValue - 16) return Unknown
+      // advance in LONG space: a declared size near Int.MaxValue must
+      // not wrap pos negative (never-throw contract on corrupt bytes)
+      val next = body.toLong + size + (size & 1L) // odd chunk sizes pad 1
+      if (size < 0 || next > b.length) {
+        // a truncated/overstated final chunk is fine only if we already
+        // saw the data chunk; otherwise the container is unreadable
+        pos = b.length
+      } else pos = next.toInt
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) return Unknown
     val durMs = if (byteRate > 0) Long.box(dataLen * 1000L / byteRate) else null

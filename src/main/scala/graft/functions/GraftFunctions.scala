@@ -325,6 +325,13 @@ object GraftFunctions {
       (s: String) => UuidIpCompat.ipCanonOrNull(s))
     spark.udf.register("graft_ipaddress_bin",
       (b: Array[Byte]) => UuidIpCompat.ipFromBytes(b))
+    // value-form VARBINARY casts: CAST(uuid/ip AS VARBINARY) yields
+    // the 16-byte value, not the text bytes (TestUuidOperators /
+    // TestIpAddressOperators varbinary rows)
+    spark.udf.register("graft_uuid_to_bin",
+      (s: String) => UuidIpCompat.uuidBytes(s))
+    spark.udf.register("graft_ipaddress_to_bin",
+      (s: String) => UuidIpCompat.ipBytesOrNullIn(s))
     // NOTE: luhn_check is NOT registered — Spark 4 ships a codegen'd
     // builtin of the same name/semantics; luhnCheck below stays as the
     // documented reference implementation (unit-tested).

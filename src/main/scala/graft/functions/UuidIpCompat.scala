@@ -17,11 +17,12 @@ package graft.functions
   *    5952 compressed lowercase hex groups (longest zero run — at
   *    least two groups — compressed, leftmost wins).
   *
-  * Documented divergence (docs/MIGRATION.md): ORDERING across mixed
-  * IPv4/IPv6 values compares canonical TEXT here, not the reference's
-  * 16-byte form (where IPv4 sorts inside ::ffff:/96); and casts
-  * between these types and VARBINARY keep the text bytes, not the
-  * 16-byte value.
+  * Casts between these types and VARBINARY carry the 16-byte VALUE
+  * form in both directions (uuidBytes/ipBytes out, uuidFromBytes/
+  * ipFromBytes in). Documented divergence (docs/MIGRATION.md):
+  * IPADDRESS ORDERING compares canonical TEXT here, which diverges
+  * from the reference's 16-byte order in general (mixed IPv4/IPv6,
+  * leading-digit-count within IPv4, unpadded hex groups within IPv6).
   */
 object UuidIpCompat {
 
@@ -44,15 +45,18 @@ object UuidIpCompat {
   /** Parse IPv4/IPv6 text to 16 bytes (IPv4 maps into ::ffff:/96, the
     * reference's storage form). Throws on anything else — including
     * host names, which the reference rejects without resolving. */
-  def ipBytes(s0: String): Array[Byte] = {
-    val s = s0.trim
+  def ipBytes(s: String): Array[Byte] = {
     def fail() = throw new IllegalArgumentException(
-      s"Cannot cast value to IPADDRESS: $s0")
+      s"Cannot cast value to IPADDRESS: $s")
     def ipv4(t: String): Array[Byte] = {
       val parts = t.split("\\.", -1)
       if (parts.length != 4) fail()
       parts.map { p =>
-        if (p.isEmpty || p.length > 3 || !p.forall(_.isDigit)) fail()
+        // strict like the reference's Guava InetAddresses.forString:
+        // no surrounding whitespace (nothing is trimmed here) and no
+        // leading-zero octets ('01.2.3.4' is INVALID_CAST_ARGUMENT)
+        if (p.isEmpty || p.length > 3 || !p.forall(c => c >= '0' && c <= '9')) fail()
+        if (p.length > 1 && p.charAt(0) == '0') fail()
         val v = p.toInt
         if (v > 255) fail()
         v.toByte
@@ -82,7 +86,9 @@ object UuidIpCompat {
           Seq(((v4(0) & 0xff) << 8) | (v4(1) & 0xff),
             ((v4(2) & 0xff) << 8) | (v4(3) & 0xff))
         } else {
-          if (p.length > 4 || !p.forall(c => Character.digit(c, 16) >= 0)) fail()
+          if (p.length > 4 || !p.forall(c =>
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+              (c >= 'A' && c <= 'F'))) fail()
           Seq(Integer.parseInt(p, 16))
         }
       }.toSeq
@@ -152,6 +158,27 @@ object UuidIpCompat {
     else throw new IllegalArgumentException(
       s"Invalid IP address binary length: ${b.length}")
   }
+
+  /** UUID text → the 16-byte VALUE form (reference UuidOperators cast
+    * to varbinary, vectors in TestUuidOperators.testUUIDToVarbinaryCast).
+    * Validates first, so invalid text raises like the cast it lowers. */
+  def uuidBytes(s: String): Array[Byte] = {
+    if (s == null) return null
+    val hex = uuidCanon(s).replace("-", "")
+    val b = new Array[Byte](16)
+    var i = 0
+    while (i < 16) {
+      b(i) = ((Character.digit(hex.charAt(2 * i), 16) << 4) |
+        Character.digit(hex.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    b
+  }
+
+  /** IPADDRESS text → the 16-byte VALUE form (IPv4 maps into
+    * ::ffff:/96 — reference IpAddressOperators cast to varbinary). */
+  def ipBytesOrNullIn(s: String): Array[Byte] =
+    if (s == null) null else ipBytes(s)
 
   /** VARBINARY → UUID (reference accepts exactly 16 bytes). */
   def uuidFromBytes(b: Array[Byte]): String = {

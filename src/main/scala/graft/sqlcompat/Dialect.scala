@@ -108,8 +108,11 @@ object Dialect {
   // CHAR cast over a paren-free source (a literal, NULL, a column, or
   // a concatenation of those) — nested calls inside the cast are out
   // of scope and pass through untouched (safe-by-omission)
+  // left boundary + optional TRY_ prefix: without them the pattern
+  // matched the CAST(...) suffix INSIDE TRY_CAST(...), leaving a
+  // dangling `TRY_` outside the rpad() wrap — invalid SQL
   private val charCastP =
-    "CAST\\s*\\(\\s*(?:[^()']|'(?:[^']|'')*')+?\\s+AS\\s+CHAR(?:\\s*\\(\\s*\\d+\\s*\\))?\\s*\\)"
+    "(?<![A-Za-z0-9_])(?:TRY_)?CAST\\s*\\(\\s*(?:[^()']|'(?:[^']|'')*')+?\\s+AS\\s+CHAR(?:\\s*\\(\\s*\\d+\\s*\\))?\\s*\\)"
   private val charLitP = "CHAR\\s*'(?:[^']|'')*'"
   private val strLitP = "'(?:[^']|'')*'"
   // bare column identifier — keyword-guarded so CASE ... END or a
@@ -135,11 +138,38 @@ object Dialect {
 
   private def charComparePass(sql: String): String = {
     if (charGuardRe.findFirstIn(sql).isEmpty) return sql
+    // Mask string-literal CONTENT first so SQL-looking text inside a
+    // quoted string (`'CAST(q AS CHAR(2)) = z'`) can never be
+    // rewritten. The masked token keeps its surrounding quotes, so
+    // strLitP/charLitP still see it as a literal operand; originals
+    // are restored verbatim after the rewrites.
+    val lits = new scala.collection.mutable.ArrayBuffer[String]
+    val masked = new StringBuilder
+    var mi = 0
+    var litStart = -1
+    while (mi < sql.length) {
+      val c = sql.charAt(mi)
+      if (c == '\'') {
+        if (litStart < 0) { litStart = mi; mi += 1 }
+        else if (mi + 1 < sql.length && sql.charAt(mi + 1) == '\'') mi += 2
+        else {
+          lits += sql.substring(litStart + 1, mi)
+          masked.append('\'').append('\u0004').append(lits.length - 1)
+            .append('\u0004').append('\'')
+          litStart = -1
+          mi += 1
+        }
+      } else {
+        if (litStart < 0) masked += c
+        mi += 1
+      }
+    }
+    if (litStart >= 0) masked.append(sql.substring(litStart))
     def isChar(s: String) = charOperandRe.findFirstIn(s.trim).isDefined
     def pad(a: String, b: String) =
       s"rpad($a, greatest(char_length($a), char_length($b)))"
     def q(s: String) = java.util.regex.Matcher.quoteReplacement(s)
-    var out = sql
+    var out = masked.toString
     out = charBetweenRe.replaceAllIn(out, m => {
       val (v, lo, hi) = (m.group(1), m.group(3), m.group(4))
       val not = Option(m.group(2)).getOrElse("")
@@ -160,7 +190,8 @@ object Dialect {
       if (!(isChar(a) || isChar(b))) q(m.matched)
       else q(s"(${pad(a, b)} $op ${pad(b, a)})")
     })
-    out
+    "\u0004(\\d+)\u0004".r
+      .replaceAllIn(out, m => q(lits(m.group(1).toInt)))
   }
 
   /** Translate a reference-dialect SQL string to Spark SQL. String
@@ -374,12 +405,34 @@ object Dialect {
             // result usable inside VALUES inline tables, where UDF
             // calls are not evaluable. Invalid literals raise like the
             // reference's INVALID_LITERAL.
+            val isUuid = m.group(1).equalsIgnoreCase("UUID")
             val canon =
-              if (m.group(1).equalsIgnoreCase("UUID"))
-                graft.functions.UuidIpCompat.uuidCanon(body)
+              if (isUuid) graft.functions.UuidIpCompat.uuidCanon(body)
               else graft.functions.UuidIpCompat.ipCanon(body)
-            parts(tl) = (seg.substring(0, m.start), false)
-            parts(tl + 1) = ("'" + canon.replace("'", "''") + "'", true)
+            val pre = seg.substring(0, m.start)
+            // value-form VARBINARY cast of the typed literal folds to
+            // the 16-byte hex literal here (constant, VALUES-safe) —
+            // reference TestUuidOperators/TestIpAddressOperators
+            // varbinary rows expect the value bytes, not text bytes
+            val castM = "(?i)\\b(?:TRY_)?CAST\\s*\\(\\s*$".r.findFirstMatchIn(pre)
+            val afterM =
+              if (tl + 2 < parts.length && !parts(tl + 2)._2)
+                "(?i)^\\s*AS\\s+VARBINARY\\s*\\)".r
+                  .findFirstMatchIn(parts(tl + 2)._1)
+              else None
+            if (castM.isDefined && afterM.isDefined) {
+              val bytes =
+                if (isUuid) graft.functions.UuidIpCompat.uuidBytes(canon)
+                else graft.functions.UuidIpCompat.ipBytes(canon)
+              val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+              parts(tl) = (pre.substring(0, castM.get.start) + "X", false)
+              parts(tl + 1) = ("'" + hex + "'", true)
+              val (after2, afterLit2) = parts(tl + 2)
+              parts(tl + 2) = (after2.substring(afterM.get.end), afterLit2)
+            } else {
+              parts(tl) = (pre, false)
+              parts(tl + 1) = ("'" + canon.replace("'", "''") + "'", true)
+            }
           } else {
           val target = m.group(1).toUpperCase match {
             case "REAL" => "FLOAT"
@@ -1524,6 +1577,41 @@ object Dialect {
       }
       out = out.replaceAll(s"(?i)\\bAS\\s+$sentinel\\b",
         "AS " + (if (sentinel.contains("UUID")) "uuid" else "ipaddress"))
+    }
+    // value-form VARBINARY casts over UUID/IPADDRESS EXPRESSIONS:
+    // `CAST(CAST(x AS UUID) AS VARBINARY)` arrives here (varbinary is
+    // already renamed to binary) as `CAST(graft_uuid(x) AS binary)` —
+    // route to the 16-byte kernels instead of Spark's text-bytes cast
+    val vbRe = ("(?i)\\b(TRY_)?CAST\\s*\\(\\s*(graft_uuid(?:_try|_bin)?|" +
+      "graft_ipaddress(?:_try|_bin)?)\\s*\\(").r
+    var vfrom = 0
+    var vguard = 0
+    var vm = vbRe.findFirstMatchIn(out)
+    while (vm.isDefined && vguard < 10000) {
+      vguard += 1
+      val m = vm.get
+      val mStart = m.start + vfrom
+      val innerStart = m.start(2) + vfrom
+      // balanced close of the inner graft_* call
+      var depth = 1
+      var i = m.end + vfrom
+      while (i < out.length && depth > 0) {
+        val c = out.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        i += 1
+      }
+      val tailM = "(?i)^\\s*AS\\s+binary\\s*\\)".r
+        .findFirstMatchIn(out.substring(i))
+      if (depth == 0 && tailM.isDefined) {
+        val innerCall = out.substring(innerStart, i)
+        val toBin =
+          if (m.group(2).toLowerCase.startsWith("graft_uuid")) "graft_uuid_to_bin"
+          else "graft_ipaddress_to_bin"
+        out = out.substring(0, mStart) + s"$toBin($innerCall)" +
+          out.substring(i + tailM.get.end)
+        vfrom = 0
+      } else vfrom = m.end + vfrom
+      vm = vbRe.findFirstMatchIn(out.substring(vfrom))
     }
     out
   }

@@ -52,6 +52,16 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT CAST(NULL AS CHAR(3)) IS DISTINCT FROM CAST(NULL AS CHAR(5))")
     assert(t7.contains("rpad("), t7)
     assert(!spark.sql(t7).head().getBoolean(0))
+    // TRY_CAST operand wraps WHOLE (the old charCastP matched the
+    // CAST(...) suffix inside TRY_CAST, leaving a dangling `TRY_`)
+    val t8 = Dialect.translate("SELECT TRY_CAST('ab' AS CHAR(3)) = 'ab'")
+    assert(!t8.contains("TRY_(") && t8.contains("rpad("), t8)
+    assert(spark.sql(t8).head().getBoolean(0))
+    // comparison-shaped TEXT inside a string literal is never rewritten
+    val t9 = Dialect.translate(
+      "SELECT 'CAST(q AS CHAR(2)) = z' WHERE CAST('a' AS CHAR(2)) = 'a '")
+    assert(t9.contains("'CAST(q AS CHAR(2)) = z'"), t9)
+    assert(spark.sql(t9).head().getString(0) == "CAST(q AS CHAR(2)) = z")
   }
 
   test("CHAR pad-space comparison matches the SQL PAD SPACE model on 150 seeded pairs") {

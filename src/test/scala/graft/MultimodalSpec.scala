@@ -138,6 +138,14 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // truncated / malformed never throws
     assert(probeA("52494646 34000000 57415645")._1 == "unknown")
     assert(probeA("524946")._1 == "unknown")
+    // declared chunk size near Int.MaxValue must not wrap the cursor
+    // negative (cursor advances in Long space): 0x7FFFFFEF passes the
+    // old `size > Int.MaxValue - 16` guard yet overflowed body+size
+    assert(probeA("52494646 34000000 57415645 4C495354 EFFFFF7F")._1 == "unknown")
+    assert(probeA(
+      "52494646 34000000 57415645 " +
+        "666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800 " +
+        "64617461 ECFFFF7F")._1 == "wav") // overstated data size: stop, keep fmt
   }
 
   test("audio_probe parses FLAC STREAMINFO bit fields") {

@@ -678,6 +678,20 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     vLit("cast(x'00000000000000000000000000000000' as UUID)",
       "00000000-0000-0000-0000-000000000000")
     vErr("cast(x'f000001100' as UUID)", "Invalid UUID binary length")
+    // UUID → varbinary is the 16-byte VALUE form, not the text bytes
+    // (TestUuidOperators.testUUIDToVarbinaryCast)
+    vLit("hex(cast(UUID '00000000-0000-0000-0000-000000000000' as VARBINARY))",
+      "00000000000000000000000000000000")
+    vLit("hex(cast(UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0' as VARBINARY))",
+      "6B5F5B6567E443B08EE3586CD49F58A0")
+    vLit("cast(UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0' as VARBINARY) = x'6b5f5b6567e443b08ee3586cd49f58a0'",
+      "true")
+    // expression form (not a typed literal): routes through the
+    // canonicalizing cast, then the value-form byte kernel
+    vLit("hex(cast(cast('6B5F5B65-67E4-43B0-8EE3-586CD49F58A0' as UUID) as VARBINARY))",
+      "6B5F5B6567E443B08EE3586CD49F58A0")
+    vLit("hex(cast(cast(x'12151fd2758611e98f9e2a86e4085a59' as UUID) as VARBINARY))",
+      "12151FD2758611E98F9E2A86E4085A59")
     // equality is case-canonical; ordering matches the reference
     vLit("UUID '6b5f5b65-67e4-43b0-8ee3-586cd49f58a0' = UUID '6B5F5B65-67E4-43B0-8EE3-586CD49F58A0'",
       "true")
@@ -731,6 +745,20 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     vLit("cast(x'20010db8000000000000ff0000428329' as IPADDRESS)",
       "2001:db8::ff00:42:8329")
     vErr("cast(x'f000001100' as IPADDRESS)", "Invalid IP address binary length")
+    // IPADDRESS → varbinary is the 16-byte VALUE form (IPv4 maps into
+    // ::ffff:/96) — TestIpAddressOperators.testIpAddressToVarbinaryCast
+    vLit("hex(cast(IPADDRESS '::ffff:1.2.3.4' as VARBINARY))",
+      "00000000000000000000FFFF01020304")
+    vLit("hex(cast(IPADDRESS '2001:0db8:0000:0000:0000:ff00:0042:8329' as VARBINARY))",
+      "20010DB8000000000000FF0000428329")
+    vLit("hex(cast(IPADDRESS '2001:db8::ff00:42:8329' as VARBINARY))",
+      "20010DB8000000000000FF0000428329")
+    vLit("hex(cast(cast('1.2.3.4' as IPADDRESS) as VARBINARY))",
+      "00000000000000000000FFFF01020304")
+    // strict parse like the reference's Guava InetAddresses.forString:
+    // surrounding whitespace and leading-zero IPv4 octets raise
+    vErr("cast(' 1.2.3.4' as IPADDRESS)", "Cannot cast value to IPADDRESS")
+    vErr("cast('01.2.3.4' as IPADDRESS)", "Cannot cast value to IPADDRESS")
     // typed literal + equality over canonical text
     vLit("cast(IPADDRESS '::ffff:1.2.3.4' as VARCHAR)", "1.2.3.4")
     vLit("IPADDRESS '2001:db8::1:0:0:1' = cast('2001:db8:0:0:1:0:0:1' as IPADDRESS)",
@@ -743,6 +771,10 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // '9.0.0.0' < '2001:db8::' is true there, false here
     vLit("IPADDRESS '9.0.0.0' < IPADDRESS '2001:db8::'", "false")
     vLit("IPADDRESS '1.2.3.4' < IPADDRESS '1.2.3.5'", "true")
+    // text-order divergence also holds WITHIN families: byte order
+    // would reverse both of these (10 > 9; 0x1111 > 0x0002)
+    vLit("IPADDRESS '10.0.0.1' < IPADDRESS '9.0.0.1'", "true")
+    vLit("IPADDRESS '1111::' < IPADDRESS '2::'", "true")
   }
 
   // ------------------------------------------------------------------
