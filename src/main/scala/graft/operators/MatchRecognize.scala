@@ -166,6 +166,35 @@ object MatchRecognize {
     * observable in tests and by a monitoring hook). */
   val SpillCount = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Memo-size backstop for [[MatchCtx.foldIncremental]]'s per-key-
+    * group aggregate-state cache: past this many list nodes the memo
+    * clears (it is a pure cache — correctness never depends on it).
+    * Pathological backtracking can allocate many cons cells; a node
+    * entry is a map ref + a few small states, so 2^20 nodes ≲ 100 MB
+    * worst case. */
+  @volatile var AggCacheMaxNodes: Int = 1 << 20
+
+  /** Cache-MISS row feeds performed by [[MatchCtx.foldIncremental]]
+    * (process-wide test observable): under the memo, a DEFINE
+    * aggregate over an n-row match costs O(n) total feeds instead of
+    * the O(n²) re-fold — asserted by the linear-scaling unit bench. */
+  val AggFeedCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Immutable accumulator for [[MatchCtx.runningAgg]]'s incremental
+    * fold: count + Long-exact integral sum + double sum (promoted on
+    * the first fractional value) + current min/max. Instances are
+    * shared across NFA threads via the prefix memo — never mutated. */
+  private[graft] final class RunAcc(
+      val n: Long, val sumL: Long, val sumD: Double,
+      val frac: Boolean, val minMax: Any)
+  private[graft] val RunAccEmpty = new RunAcc(0L, 0L, 0.0, false, null)
+
+  /** Incremental FIRST(CLASSIFIER()) state: the first matched row's
+    * real label (null = no row fed yet). */
+  private final class FirstSt(val label: String)
+  private val FirstStEmpty = new FirstSt(null)
+  private val FirstLabelKey = new Object()
+
   /** AFTER MATCH SKIP modes (reference `SqlBase.g4` skipTo clause):
     * where the scan resumes after an emitted match. TO FIRST/LAST(v)
     * resume AT the first/last row the variable matched — the
@@ -196,7 +225,11 @@ object MatchRecognize {
       currentVar: String,
       subsets: Map[String, Set[String]],
       /** The match under construction's MATCH_NUMBER() (1-based). */
-      val matchNumber: Long = 1L) {
+      val matchNumber: Long = 1L,
+      /** Incremental aggregate-state memo, scoped per key group (see
+        * [[foldIncremental]]); null = uncached direct construction. */
+      private val aggCache: java.util.IdentityHashMap[
+        List[String], java.util.HashMap[AnyRef, Any]] = null) {
     def row: Row = rows(i)
     def prev(n: Int = 1): Row = if (i - n >= 0) rows(i - n) else null
     def next(n: Int = 1): Row = if (i + n < rows.length) rows(i + n) else null
@@ -248,6 +281,78 @@ object MatchRecognize {
       * quadratic (the r17 mr13 weak-perf flag). */
     def matchRowCount: Long = (i - start + 1).toLong
 
+    /** Incremental per-thread aggregate fold over the match so far
+      * (rows start..i, current row's tentative label included): the
+      * reference amortizes running DEFINE aggregates by keeping
+      * per-thread accumulators COPIED at NFA forks
+      * (`operator/window/matcher/`, semantics replayed via the
+      * TestCopyAggregationStateInRowPatternMatching batteries). Here
+      * threads share immutable label-list TAILS, so the copy is
+      * structural: each list node's PREFIX accumulator is computed
+      * once, memoized on the node's identity, and shared by every
+      * thread that forks past it — O(1) amortized per evaluation
+      * instead of the O(match length) re-fold (the r18 mr13 flag).
+      *
+      * `key` identifies the aggregate instance (a stable spec string
+      * or the compiled argument closure — two keys must never demand
+      * different states for the same node); `empty` is the zero state
+      * (a shared non-null singleton); `step` extends IMMUTABLY by one
+      * (row, real label) — state instances are shared across threads
+      * and must never mutate. Rows failing the `v` label filter skip
+      * `step`. The CURRENT row applies on top, never cached (its
+      * label is tentative). Memo validity: list nodes are allocated
+      * fresh per match attempt, so a node fixes (start, row range,
+      * matchNumber) — the cache can span attempts within a key group.
+      */
+    def foldIncremental[S <: AnyRef](key: AnyRef, v: Option[String], empty: S)(
+        step: (S, Row, String) => S): S = {
+      val vv = v.orNull
+      def feed(s: S, r: Row, rawLabel: String): S =
+        if (vv == null || hit(rawLabel, vv))
+          step(s, r, MatchRecognize.realLabel(rawLabel))
+        else s
+      val k = i - start
+      var prefix: S = empty
+      if (aggCache == null) {
+        // direct-construction fallback: one forward fold, like foldMatch
+        val fwd = new Array[String](k)
+        var j = k - 1
+        var l = labelsRev
+        while (l.nonEmpty) { fwd(j) = l.head; j -= 1; l = l.tail }
+        var idx = 0
+        while (idx < k) { prefix = feed(prefix, rows(start + idx), fwd(idx)); idx += 1 }
+      } else {
+        // walk down to the deepest memoized prefix, then replay forward
+        val pending = new mutable.ArrayBuffer[List[String]]()
+        var node = labelsRev
+        var hitState: AnyRef = null
+        while (node.nonEmpty && hitState == null) {
+          val m = aggCache.get(node)
+          val c = if (m == null) null else m.get(key)
+          if (c == null) { pending += node; node = node.tail }
+          else hitState = c.asInstanceOf[AnyRef]
+        }
+        if (hitState != null) prefix = hitState.asInstanceOf[S]
+        if (aggCache.size > MatchRecognize.AggCacheMaxNodes) aggCache.clear()
+        if (pending.nonEmpty)
+          MatchRecognize.AggFeedCount.addAndGet(pending.size.toLong)
+        var p = pending.size - 1
+        while (p >= 0) {
+          val nd = pending(p)
+          // pending(p) has length k - p; its head labels row start+k-p-1
+          prefix = feed(prefix, rows(start + (k - p) - 1), nd.head)
+          var m = aggCache.get(nd)
+          if (m == null) {
+            m = new java.util.HashMap[AnyRef, Any](4)
+            aggCache.put(nd, m)
+          }
+          m.put(key, prefix)
+          p -= 1
+        }
+      }
+      feed(prefix, rows(i), currentVar)
+    }
+
     def runningAgg(fn: String, v: Option[String], col: String): Any = {
       val wantRow = col == null
       if (wantRow && fn == "count" && v.isEmpty) return matchRowCount
@@ -259,58 +364,54 @@ object MatchRecognize {
           val sch = rows(i).schema
           if (sch != null) sch.fieldIndex(col) else -1
         }
-      var n = 0L
-      var sumL = 0L
-      var sumD = 0.0
-      var frac = false
-      var minMax: Any = null
       val isMin = fn == "min"
-      def feed(r: Row): Unit = {
-        if (wantRow) { n += 1; return }
-        val value = if (colIdx >= 0) r.get(colIdx) else r.getAs[Any](col)
-        if (value == null) return
-        n += 1
-        fn match {
-          case "sum" | "avg" => value match {
-            case x: java.lang.Long => sumL = Math.addExact(sumL, x.longValue())
-            case x: java.lang.Integer => sumL = Math.addExact(sumL, x.longValue())
-            case x: java.lang.Short => sumL = Math.addExact(sumL, x.longValue())
-            case x: java.lang.Byte => sumL = Math.addExact(sumL, x.longValue())
-            case x: Number => frac = true; sumD += x.doubleValue()
+      val key = fn + "|" + v.getOrElse("") + "|" + col
+      val acc = foldIncremental(key, v, MatchRecognize.RunAccEmpty) { (a, r, _) =>
+        if (wantRow) new MatchRecognize.RunAcc(a.n + 1, a.sumL, a.sumD, a.frac, a.minMax)
+        else {
+          val value = if (colIdx >= 0) r.get(colIdx) else r.getAs[Any](col)
+          if (value == null) a
+          else fn match {
+            case "sum" | "avg" => value match {
+              case x: java.lang.Long => new MatchRecognize.RunAcc(
+                a.n + 1, Math.addExact(a.sumL, x.longValue()), a.sumD, a.frac, a.minMax)
+              case x: java.lang.Integer => new MatchRecognize.RunAcc(
+                a.n + 1, Math.addExact(a.sumL, x.longValue()), a.sumD, a.frac, a.minMax)
+              case x: java.lang.Short => new MatchRecognize.RunAcc(
+                a.n + 1, Math.addExact(a.sumL, x.longValue()), a.sumD, a.frac, a.minMax)
+              case x: java.lang.Byte => new MatchRecognize.RunAcc(
+                a.n + 1, Math.addExact(a.sumL, x.longValue()), a.sumD, a.frac, a.minMax)
+              case x: Number => new MatchRecognize.RunAcc(
+                a.n + 1, a.sumL, a.sumD + x.doubleValue(), true, a.minMax)
+              case other => throw new IllegalArgumentException(
+                s"DEFINE $fn($col): numeric column required, got ${other.getClass.getSimpleName}")
+            }
+            case "min" | "max" =>
+              val better = a.minMax == null || ((value, a.minMax) match {
+                case (x: Number, b: Number) =>
+                  val c = java.lang.Double.compare(x.doubleValue(), b.doubleValue())
+                  if (isMin) c < 0 else c > 0
+                case (x: String, b: String) =>
+                  val c = x.compareTo(b)
+                  if (isMin) c < 0 else c > 0
+                case (x, b) => throw new IllegalArgumentException(
+                  s"DEFINE $fn($col): incomparable ${x.getClass.getSimpleName} vs ${b.getClass.getSimpleName}")
+              })
+              new MatchRecognize.RunAcc(a.n + 1, a.sumL, a.sumD, a.frac,
+                if (better) value else a.minMax)
+            case "count" => new MatchRecognize.RunAcc(
+              a.n + 1, a.sumL, a.sumD, a.frac, a.minMax)
             case other => throw new IllegalArgumentException(
-              s"DEFINE $fn($col): numeric column required, got ${other.getClass.getSimpleName}")
+              s"DEFINE: unsupported aggregate '$other'")
           }
-          case "min" | "max" =>
-            val better = minMax == null || ((value, minMax) match {
-              case (a: Number, b: Number) =>
-                val c = java.lang.Double.compare(a.doubleValue(), b.doubleValue())
-                if (isMin) c < 0 else c > 0
-              case (a: String, b: String) =>
-                val c = a.compareTo(b)
-                if (isMin) c < 0 else c > 0
-              case (a, b) => throw new IllegalArgumentException(
-                s"DEFINE $fn($col): incomparable ${a.getClass.getSimpleName} vs ${b.getClass.getSimpleName}")
-            })
-            if (better) minMax = value
-          case "count" => ()
-          case other => throw new IllegalArgumentException(
-            s"DEFINE: unsupported aggregate '$other'")
         }
       }
-      def ok(label: String): Boolean = v.forall(vv => hit(label, vv))
-      var j = i - 1
-      var l = labelsRev
-      while (l.nonEmpty) { // order-insensitive fns: reverse walk is fine
-        if (ok(l.head)) feed(rows(j))
-        j -= 1; l = l.tail
-      }
-      if (ok(currentVar)) feed(rows(i))
       fn match {
-        case "count" => n
-        case _ if n == 0 => null
-        case "sum" => if (frac) sumD + sumL else sumL
-        case "avg" => (sumD + sumL) / n
-        case _ => minMax
+        case "count" => acc.n
+        case _ if acc.n == 0 => null
+        case "sum" => if (acc.frac) acc.sumD + acc.sumL else acc.sumL
+        case "avg" => (acc.sumD + acc.sumL) / acc.n
+        case _ => acc.minMax
       }
     }
 
@@ -347,10 +448,16 @@ object MatchRecognize {
 
     /** `FIRST(CLASSIFIER())` under running semantics: the first matched
       * row's label (the current row's tentative label for a
-      * length-1 match). */
+      * length-1 match). Memoized through [[foldIncremental]] —
+      * `labelsRev.last` walks the whole list, which made each DEFINE
+      * evaluation O(match length). */
     def classifierFirst: String =
       if (labelsRev.isEmpty) MatchRecognize.realLabel(currentVar)
-      else MatchRecognize.realLabel(labelsRev.last)
+      else if (aggCache == null) MatchRecognize.realLabel(labelsRev.last)
+      else foldIncremental(MatchRecognize.FirstLabelKey, None,
+        MatchRecognize.FirstStEmpty) { (a, _, l) =>
+        if (a.label == null) new MatchRecognize.FirstSt(l) else a
+      }.label
 
     /** `[LAST(]CLASSIFIER()[)]` under running semantics: the current
       * row's tentative label. */
@@ -800,7 +907,8 @@ object MatchRecognize {
       subsets: Map[String, Set[String]],
       emitUnmatched: (collection.IndexedSeq[Row], Int) => T,
       emitEmpty: (Long, collection.IndexedSeq[Row], Int) => T,
-      historyFree: Boolean = false)(
+      historyFree: Boolean = false,
+      rowFreeVars: Set[String] = Set.empty)(
       emit: (Long, collection.IndexedSeq[Row], Int, Array[String]) => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
 
@@ -812,6 +920,7 @@ object MatchRecognize {
     // (executor JVMs would otherwise see their own default)
     val maxRowsPerKey = MatchRecognize.MaxRowsPerKey
     val hFree = historyFree
+    val rfVars = rowFreeVars
     val spillAfterRows = MatchRecognize.SpillAfterRows
 
     df.repartition(partCols.map(col): _*)
@@ -860,6 +969,21 @@ object MatchRecognize {
             }
             var i = 0
             var matchNo = 0L
+            // incremental DEFINE-aggregate memo, one per key group
+            // (MatchCtx.foldIncremental) — list nodes are unique per
+            // match attempt, so one scope safely spans attempts
+            val aggCache = new java.util.IdentityHashMap[
+              List[String], java.util.HashMap[AnyRef, Any]]()
+            // Cross-attempt classification memo for ROW-ONLY DEFINE
+            // predicates (no match history, no MATCH_NUMBER — the
+            // front-end proves it): the verdict depends only on the
+            // physical row, yet greedy-quantifier backtracking re-tests
+            // it once per ATTEMPT — O(attempts × rows) evaluations on a
+            // `(H | L)* X`-style scan. 0 = unevaluated, 1 = T, 2 = F.
+            // Skipped for huge spilled groups (1 byte/row/var).
+            val rowMemo: java.util.HashMap[String, Array[Byte]] =
+              if (rfVars.isEmpty || n > (1 << 24)) null
+              else new java.util.HashMap()
             // WITH UNMATCHED ROWS: track which rows belong to ANY match
             val covered =
               if (emitUnmatched != null) new Array[Boolean](n) else null
@@ -872,7 +996,21 @@ object MatchRecognize {
                   // "A defaults to True, matches any row").
                   case None => true
                   case Some(f) =>
-                    f(new MatchCtx(buf, j, startIdx, accRev, v, subs, matchNo + 1))
+                    if (rowMemo != null && rfVars.contains(v)) {
+                      var arr = rowMemo.get(v)
+                      if (arr == null) {
+                        arr = new Array[Byte](n); rowMemo.put(v, arr)
+                      }
+                      val c = arr(j)
+                      if (c != 0) c == 1
+                      else {
+                        val r = f(new MatchCtx(buf, j, startIdx, accRev,
+                          v, subs, matchNo + 1, aggCache))
+                        arr(j) = if (r) 1 else 2
+                        r
+                      }
+                    } else f(new MatchCtx(buf, j, startIdx, accRev, v, subs,
+                      matchNo + 1, aggCache))
                 }
               val m = matchFrom(pat, i, n, classify, memoOk = hFree)
               if (m != null && m.length > 0) {
@@ -1201,7 +1339,8 @@ object MatchRecognize {
       seek: Boolean = false,
       subsets: Map[String, Set[String]] = Map.empty,
       skip: SkipMode = SkipMode.ToNextRow,
-      frameEndCol: Option[String] = None): DataFrame = {
+      frameEndCol: Option[String] = None,
+      rowFreeVars: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.types._
     // empty PARTITION BY ≡ one global partition (hidden constant key,
     // dropped from the output)
@@ -1209,7 +1348,7 @@ object MatchRecognize {
       return windowMatches(
         df.withColumn("__gwpart", org.apache.spark.sql.functions.lit(0)),
         Seq("__gwpart"), orderCols, pattern, define, valueCol, seek,
-        subsets, skip, frameEndCol).drop("__gwpart")
+        subsets, skip, frameEndCol, rowFreeVars).drop("__gwpart")
     }
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields.toSeq ++ Seq(
@@ -1224,6 +1363,7 @@ object MatchRecognize {
     val vCol = valueCol
     val doSeek = seek
     val skipMode = skip
+    val rfVars = rowFreeVars
     // `ROWS BETWEEN CURRENT ROW AND <col> FOLLOWING` (reference
     // testFrameBounds — the bound may be a per-row COLUMN): the match
     // search from row i is limited to rows [i, i + bound(i)]. Variable
@@ -1264,6 +1404,14 @@ object MatchRecognize {
               // the naive O(n²·matchcost) forward re-scan per row.
               val anchors = new Array[Int](math.max(n, 1))
               val found = new Array[Array[String]](math.max(n, 1))
+              val aggCache = new java.util.IdentityHashMap[
+                List[String], java.util.HashMap[AnyRef, Any]]()
+              // same cross-attempt row memo as the table form: a
+              // window scan attempts a match per ROW, so row-only
+              // DEFINE predicates re-test O(n) times without it
+              val rowMemo: java.util.HashMap[String, Array[Byte]] =
+                if (rfVars.isEmpty || n > (1 << 24)) null
+                else new java.util.HashMap()
               var p = n - 1
               while (p >= 0) {
                 val startIdx = p
@@ -1271,7 +1419,21 @@ object MatchRecognize {
                   vars.get(v) match {
                     case None => true
                     case Some(f) =>
-                      f(new MatchCtx(buf, j, startIdx, accRev, v, subs))
+                      if (rowMemo != null && rfVars.contains(v)) {
+                        var arr = rowMemo.get(v)
+                        if (arr == null) {
+                          arr = new Array[Byte](n); rowMemo.put(v, arr)
+                        }
+                        val c = arr(j)
+                        if (c != 0) c == 1
+                        else {
+                          val r = f(new MatchCtx(buf, j, startIdx, accRev,
+                            v, subs, 1L, aggCache))
+                          arr(j) = if (r) 1 else 2
+                          r
+                        }
+                      } else f(new MatchCtx(buf, j, startIdx, accRev, v,
+                        subs, 1L, aggCache))
                   }
                 val bound = frameEnd match {
                   case Some(c) =>
@@ -1365,7 +1527,8 @@ object MatchRecognize {
       subsets: Map[String, Set[String]] = Map.empty,
       showEmpty: Boolean = false,
       withUnmatched: Boolean = false,
-      historyFree: Boolean = false): DataFrame = {
+      historyFree: Boolean = false,
+      rowFreeVars: Set[String] = Set.empty): DataFrame = {
     require(!withUnmatched || allRows,
       "WITH UNMATCHED ROWS requires ALL ROWS PER MATCH")
     require(!(showEmpty && withUnmatched),
@@ -1472,7 +1635,7 @@ object MatchRecognize {
           Row.fromSeq(kCols.map(c => r.get(r.fieldIndex(c))) ++ mv)
         }
       runCore(df, partCols, orderCols, pattern, define, skip, subsets, null,
-        emitEmptyOne, historyFree) {
+        emitEmptyOne, historyFree, rowFreeVars) {
         (matchNo, buf, i, m) =>
           val aggs: Seq[RunAccum] = meas.map {
             case (SqlMeasure.Agg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)
@@ -1560,7 +1723,7 @@ object MatchRecognize {
             meas.map(_ => null) ++ rCols.map(c => r.get(r.fieldIndex(c))))
         }
       runCore(df, partCols, orderCols, pattern, define, skip, subsets,
-        emitUnmatchedFn, emitEmptyFn, historyFree) {
+        emitUnmatchedFn, emitEmptyFn, historyFree, rowFreeVars) {
         (matchNo, buf, i, m) =>
           val aggs: Seq[RunAccum] = meas.map {
             case (SqlMeasure.Agg(fn, c, _, o), _) => new RunAgg(fn, c, integ(c), o)

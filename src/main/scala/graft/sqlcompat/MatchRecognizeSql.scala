@@ -181,13 +181,15 @@ object MatchRecognizeSql {
 
     // DEFINE list: split on top-level commas, each `VAR AS <predicate>`
     var anyHistory = false
+    val rowFree = scala.collection.mutable.Set[String]()
     val define: Map[String, MatchCtx => Boolean] =
       splitTopLevel(defineTxt, ',').map(_.trim).filter(_.nonEmpty).map { d =>
         val asRe = "(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*)$".r
         d match {
           case asRe(v, pred) =>
-            val (f, hf) = DefineParser.compileWithInfo(pred, v)
+            val (f, hf, rf) = DefineParser.compileWithRowInfo(pred, v)
             if (!hf) anyHistory = true
+            if (rf) rowFree += v
             v -> f
           case other => fail(s"DEFINE entry must be 'VAR AS predicate': '$other'")
         }
@@ -332,7 +334,7 @@ object MatchRecognizeSql {
         org.apache.spark.sql.functions.monotonically_increasing_id())
     val base = MatchRecognize.sqlRows(input, partCols, orderCols, pattern,
       define, measures, allRows, skip, subsets, showEmpty, withUnmatched,
-      historyFree = !anyHistory)
+      historyFree = !anyHistory, rowFreeVars = rowFree.toSet)
     var out = base
     computed.foreach { case (alias, ex) =>
       out = out.withColumn(alias, org.apache.spark.sql.functions.expr(ex))
@@ -555,38 +557,50 @@ private object DefineParser extends Serializable {
         b.getClass.getSimpleName)
   }
 
+  // ---- incremental scalar-state shapes (ctx.foldIncremental) ----
+  // Each compiled aggregate's argument closure (`e`) is unique to that
+  // aggregate call site (aggExpr() allocates fresh closures per
+  // parse), so the closure itself keys the per-node prefix memo.
+  // States are immutable — shared across NFA threads via the memo.
+  private final class NumSt(val n: Long, val sumL: Long,
+      val sumD: Double, val frac: Boolean)
+  private val NumStEmpty = new NumSt(0L, 0L, 0.0, false)
+  private final class ValSt(val v: Any)
+  private val ValStEmpty = new ValSt(null)
+  private final class BoolSt(val n: Long, val acc: Boolean)
+  private final class PairSt(val k: Any, val v: Any)
+  private val PairStEmpty = new PairSt(null, null)
+
   def runNumAgg(ctx: MatchCtx, fn: String, v: Option[String], e: AggEvalF): Any = {
-    var n = 0L; var sumL = 0L; var sumD = 0.0; var frac = false
-    ctx.foldMatch(v) { (r, l) =>
-      val value = e(r, l, ctx.matchNumber)
-      if (value != null) {
-        n += 1
-        if (fn != "count") value match {
-          case x: Number if isIntegral(x) =>
-            sumL = java.lang.Math.addExact(sumL, x.longValue())
-          case x: Number => frac = true; sumD += x.doubleValue()
-          case o => throw new IllegalArgumentException(
-            s"DEFINE $fn: numeric argument required, got ${o.getClass.getSimpleName}")
-        }
+    val mn = ctx.matchNumber
+    val st = ctx.foldIncremental(e, v, NumStEmpty) { (a, r, l) =>
+      val value = e(r, l, mn)
+      if (value == null) a
+      else if (fn == "count") new NumSt(a.n + 1, a.sumL, a.sumD, a.frac)
+      else value match {
+        case x: Number if isIntegral(x) => new NumSt(a.n + 1,
+          java.lang.Math.addExact(a.sumL, x.longValue()), a.sumD, a.frac)
+        case x: Number => new NumSt(a.n + 1, a.sumL, a.sumD + x.doubleValue(), true)
+        case o => throw new IllegalArgumentException(
+          s"DEFINE $fn: numeric argument required, got ${o.getClass.getSimpleName}")
       }
     }
     fn match {
-      case "count" => n
-      case _ if n == 0 => null
-      case "sum" => if (frac) sumD + sumL else sumL
-      case "avg" => (sumD + sumL) / n
+      case "count" => st.n
+      case _ if st.n == 0 => null
+      case "sum" => if (st.frac) st.sumD + st.sumL else st.sumL
+      case "avg" => (st.sumD + st.sumL) / st.n
     }
   }
 
   def runMinMax(ctx: MatchCtx, isMin: Boolean, v: Option[String], e: AggEvalF): Any = {
-    var best: Any = null
-    ctx.foldMatch(v) { (r, l) =>
-      val value = e(r, l, ctx.matchNumber)
-      if (value != null && (best == null || {
-        val c = cmpVals(value, best); if (isMin) c < 0 else c > 0
-      })) best = value
-    }
-    best
+    val mn = ctx.matchNumber
+    ctx.foldIncremental(e, v, ValStEmpty) { (a, r, l) =>
+      val value = e(r, l, mn)
+      if (value != null && (a.v == null || {
+        val c = cmpVals(value, a.v); if (isMin) c < 0 else c > 0
+      })) new ValSt(value) else a
+    }.v
   }
 
   /** `min(x, n)` / `max(x, n)`: the n smallest (ascending) / largest
@@ -613,82 +627,105 @@ private object DefineParser extends Serializable {
     * for ties, like the reference's accumulator). */
   def runMinMaxBy(ctx: MatchCtx, isMin: Boolean, v: Option[String],
       ve: AggEvalF, ke: AggEvalF, nOpt: Option[Int]): Any = {
-    val buf = scala.collection.mutable.ArrayBuffer[(Any, Any)]()
-    ctx.foldMatch(v) { (r, l) =>
-      val k = ke(r, l, ctx.matchNumber)
-      if (k != null) buf += ((k, ve(r, l, ctx.matchNumber)))
-    }
-    if (buf.isEmpty) null
-    else nOpt match {
+    val mn = ctx.matchNumber
+    nOpt match {
       case None =>
-        var bk: Any = null; var bv: Any = null
-        buf.foreach { case (k, x) =>
-          if (bk == null || { val c = cmpVals(k, bk); if (isMin) c < 0 else c > 0 }) {
-            bk = k; bv = x
-          }
+        // scalar form: incremental best-(key, value) pair per thread.
+        // STRICT-better comparison keeps ties stable in match order,
+        // like the reference's accumulator.
+        val st = ctx.foldIncremental(ve, v, PairStEmpty) { (a, r, l) =>
+          val k = ke(r, l, mn)
+          if (k != null && (a.k == null || {
+            val c = cmpVals(k, a.k); if (isMin) c < 0 else c > 0
+          })) new PairSt(k, ve(r, l, mn)) else a
         }
-        bv
+        st.v
       case Some(n) =>
-        buf.sortWith((a, b) =>
-          if (isMin) cmpVals(a._1, b._1) < 0 else cmpVals(a._1, b._1) > 0)
-          .take(n).map(_._2).toSeq
+        // N-variant yields an O(n)-sized array per evaluation; the
+        // collect-and-sort fold stays (result construction dominates)
+        val buf = scala.collection.mutable.ArrayBuffer[(Any, Any)]()
+        ctx.foldMatch(v) { (r, l) =>
+          val k = ke(r, l, mn)
+          if (k != null) buf += ((k, ve(r, l, mn)))
+        }
+        if (buf.isEmpty) null
+        else
+          buf.sortWith((a, b) =>
+            if (isMin) cmpVals(a._1, b._1) < 0 else cmpVals(a._1, b._1) > 0)
+            .take(n).map(_._2).toSeq
     }
   }
 
   def runMapAgg(ctx: MatchCtx, multi: Boolean, v: Option[String],
       ke: AggEvalF, ve: AggEvalF): Any = {
-    val m = scala.collection.mutable.LinkedHashMap[Any, Any]()
-    ctx.foldMatch(v) { (r, l) =>
-      val k0 = ke(r, l, ctx.matchNumber)
-      if (k0 != null) { // null keys skipped, reference map_agg semantics
-        val k = normKey(k0); val x = ve(r, l, ctx.matchNumber)
-        if (multi) m.getOrElseUpdate(k,
-          scala.collection.mutable.ArrayBuffer[Any]())
-          .asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += x
-        else if (!m.contains(k)) m(k) = x
+    val mn = ctx.matchNumber
+    if (!multi) {
+      // persistent first-wins map: O(1) amortized per evaluation
+      // through the prefix memo (the final Map's iteration order is
+      // key-structure-determined either way — map equality and
+      // element_at are order-insensitive)
+      val m = ctx.foldIncremental(ke, v, Map.empty[Any, Any]) { (a, r, l) =>
+        val k0 = ke(r, l, mn)
+        if (k0 == null) a // null keys skipped, reference map_agg semantics
+        else {
+          val k = normKey(k0)
+          if (a.contains(k)) a else a.updated(k, ve(r, l, mn))
+        }
       }
+      if (m.isEmpty) null else m
+    } else {
+      // multimap values prepend per feed; the O(result)-sized reverse
+      // happens once per EVALUATION, which the result's size already
+      // costs anyway
+      val m = ctx.foldIncremental(ke, v, Map.empty[Any, List[Any]]) { (a, r, l) =>
+        val k0 = ke(r, l, mn)
+        if (k0 == null) a
+        else {
+          val k = normKey(k0)
+          a.updated(k, ve(r, l, mn) :: a.getOrElse(k, Nil))
+        }
+      }
+      if (m.isEmpty) null
+      else m.view.mapValues(_.reverse: Seq[Any]).toMap
     }
-    if (m.isEmpty) null
-    else if (multi) m.view.mapValues(
-      _.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]].toSeq).toMap
-    else m.toMap
   }
 
+  private final class MapSt(val m: Map[Any, Any], val any: Boolean)
+  private val MapStEmpty = new MapSt(Map.empty, false)
+
   def runMapUnion(ctx: MatchCtx, v: Option[String], e: AggEvalF): Any = {
-    val m = scala.collection.mutable.HashMap[Any, Any]()
-    var any = false
-    ctx.foldMatch(v) { (r, l) =>
-      e(r, l, ctx.matchNumber) match {
-        case null => ()
+    val mn = ctx.matchNumber
+    val st = ctx.foldIncremental(e, v, MapStEmpty) { (a, r, l) =>
+      e(r, l, mn) match {
+        case null => a
         case mm: scala.collection.Map[_, _] =>
-          any = true
+          var m = a.m
           mm.foreach { case (k, x) =>
-            val nk = normKey(k); if (!m.contains(nk)) m(nk) = x
+            val nk = normKey(k); if (!m.contains(nk)) m = m.updated(nk, x)
           }
+          new MapSt(m, true)
         case o => throw new IllegalArgumentException(
           s"map_union argument must be a map, got ${o.getClass.getSimpleName}")
       }
     }
-    if (!any) null else m.toMap
+    if (!st.any) null else st.m
   }
 
   /** `bool_or` / `bool_and` over a computed boolean feed; SQL
     * semantics: nulls skipped, empty feed is NULL. */
   def runBoolAgg(ctx: MatchCtx, isOr: Boolean, v: Option[String],
       e: AggEvalF): Any = {
-    var n = 0L
-    var acc = !isOr
-    ctx.foldMatch(v) { (r, l) =>
-      e(r, l, ctx.matchNumber) match {
-        case null => ()
-        case b: java.lang.Boolean =>
-          n += 1
-          acc = if (isOr) acc || b.booleanValue() else acc && b.booleanValue()
+    val mn = ctx.matchNumber
+    val st = ctx.foldIncremental(e, v, new BoolSt(0L, !isOr)) { (a, r, l) =>
+      e(r, l, mn) match {
+        case null => a
+        case b: java.lang.Boolean => new BoolSt(a.n + 1,
+          if (isOr) a.acc || b.booleanValue() else a.acc && b.booleanValue())
         case o => throw new IllegalArgumentException(
           s"bool aggregate needs a boolean argument, got ${o.getClass.getSimpleName}")
       }
     }
-    if (n == 0) null else Boolean.box(acc)
+    if (st.n == 0) null else Boolean.box(st.acc)
   }
 
   /** `array_max` / `array_min` over an array value (null elements
@@ -776,6 +813,17 @@ private object DefineParser extends Serializable {
     val p = new DefineParser(src, currentVar)
     val f = p.parse()
     (f, !p.usesHistory)
+  }
+
+  /** Like [[compileWithInfo]], plus a ROW-ONLY report: true when the
+    * predicate depends on nothing but the physical row position (no
+    * match history AND no MATCH_NUMBER), so its verdict for a row can
+    * be memoized ACROSS match attempts within a key group. */
+  def compileWithRowInfo(src: String, currentVar: String)
+      : (MatchCtx => Boolean, Boolean, Boolean) = {
+    val p = new DefineParser(src, currentVar)
+    val f = p.parse()
+    (f, !p.usesHistory, !p.usesHistory && !p.usesMatchNumber)
   }
 
   // Runtime helpers live on the (serializable) module so compiled
@@ -919,6 +967,12 @@ private final class DefineParser(src: String, currentVar: String) {
   /** Set while parsing when the predicate navigates the running match
     * (FIRST/LAST or a cross-variable reference). */
   var usesHistory: Boolean = false
+
+  /** Set when the predicate reads MATCH_NUMBER(): constant within one
+    * match attempt (so it never invalidates the matcher's per-attempt
+    * visited memo) but different ACROSS attempts — which disables the
+    * cross-attempt per-row classification memo. */
+  var usesMatchNumber: Boolean = false
 
   private var pos = 0
 
@@ -1117,6 +1171,7 @@ private final class DefineParser(src: String, currentVar: String) {
         id.toUpperCase match {
           case "MATCH_NUMBER" =>
             expect('('); expect(')')
+            usesMatchNumber = true
             ctx => Long.box(ctx.matchNumber)
           case "IF" =>
             // lazily evaluated IF(cond, then, else) — the untaken arm
@@ -1434,6 +1489,7 @@ private final class DefineParser(src: String, currentVar: String) {
           case "FALSE" => (((_, _, _) => java.lang.Boolean.FALSE): AggEval, None)
           case "MATCH_NUMBER" =>
             expect('('); expect(')')
+            usesMatchNumber = true
             (((_, _, mn) => Long.box(mn)): AggEval, None)
           case "ARRAY_MAX" | "ARRAY_MIN" =>
             val isMax = id.equalsIgnoreCase("ARRAY_MAX")

@@ -400,4 +400,33 @@ class ReferenceMrAggVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(forked("sum(CAST(B.id AS decimal(30, 20))) = 1.0") ==
       expect("1|B", "2|A", "3|X"))
   }
+
+  test("DEFINE-sum cost is linear in match length (incremental per-thread state)") {
+    // The reference amortizes running DEFINE aggregates with per-thread
+    // accumulators copied at NFA forks (operator/window/matcher); this
+    // engine memoizes prefix states on the shared label-list nodes.
+    // AggFeedCount counts cache-MISS row feeds: over an n-row single
+    // match with `sum` in DEFINE it must grow O(n), not O(n²) — the
+    // r18 re-fold performed ~n²/2 feeds (2000 rows → ~2M).
+    val spk = spark; import spk.implicits._
+    def feeds(n: Int): Long = {
+      val df = (1 to n).map(i => (1L, i.toLong, 1L)).toDF("k", "ord", "value")
+      val before = graft.operators.MatchRecognize.AggFeedCount.get()
+      val out = graft.sqlcompat.MatchRecognizeSql.translate(
+        """SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ord
+            MEASURES count(*) AS cnt
+            PATTERN (A+)
+            DEFINE A AS sum(A.value) >= 0
+          )""", _ => df).collect()
+      assert(out.length == 1 && out.head.getAs[Long]("cnt") == n.toLong, s"n=$n: ${out.toSeq}")
+      graft.operators.MatchRecognize.AggFeedCount.get() - before
+    }
+    val f1 = feeds(2000)
+    val f2 = feeds(4000)
+    assert(f1 <= 8L * 2000, s"feeds(2000)=$f1 — DEFINE sum re-folding the match prefix?")
+    assert(f2 <= 8L * 4000, s"feeds(4000)=$f2")
+    // doubling the match length must not quadruple the work
+    assert(f2 <= 3L * f1, s"super-linear: feeds(2000)=$f1, feeds(4000)=$f2")
+  }
 }
