@@ -147,6 +147,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[AudioProbe].getName, "audio_probe"),
       (children: Seq[Expression]) => AudioProbe(children.head)))
     e.injectFunction((
+      FunctionIdentifier("token_weight_sum"),
+      new ExpressionInfo(classOf[TokenWeightSum].getName, "token_weight_sum"),
+      (children: Seq[Expression]) => TokenWeightSum(children.head)))
+    e.injectFunction((
       FunctionIdentifier("min_by_n"),
       new ExpressionInfo(classOf[MinByN].getName, "min_by_n"),
       (children: Seq[Expression]) =>
@@ -332,6 +336,12 @@ object GraftFunctions {
       (s: String) => UuidIpCompat.uuidBytes(s))
     spark.udf.register("graft_ipaddress_to_bin",
       (s: String) => UuidIpCompat.ipBytesOrNullIn(s))
+    // LISTAGG ON OVERFLOW finishing kernel over the ordered-agg array
+    // (ListaggOverflow; Dialect lowers the ON OVERFLOW clause onto it)
+    spark.udf.register("graft_listagg_finish",
+      (arr: Seq[String], sep: String, isError: Boolean, filler: String,
+        withCount: Boolean) =>
+        ListaggOverflow.finish(arr, sep, isError, filler, withCount))
     // NOTE: luhn_check is NOT registered — Spark 4 ships a codegen'd
     // builtin of the same name/semantics; luhnCheck below stays as the
     // documented reference implementation (unit-tested).

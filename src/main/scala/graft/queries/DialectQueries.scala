@@ -1240,7 +1240,72 @@ object DialectQueries {
       |      CAST(c_nationkey AS VARCHAR) || '.4') AS max_ip
       |FROM customer GROUP BY 1""".stripMargin
 
+  /** dx34: LISTAGG ON OVERFLOW at table scale (r19) — entries are
+    * inflated with repeat() so every source crosses the reference's
+    * 1 MiB output cap (TestListagg.java:204-384;
+    * ListaggAggregationFunction.java outputState). Emits the
+    * truncated result's BYTE length and its tail (separator + filler
+    * + "(omitted)") rather than the megabyte string itself; the
+    * oracle reproduces the byte-capped entry walk relationally
+    * (cumulative byte sums over the ordered entries), so an
+    * off-by-one in the cap walk, the filler, or the omitted-entry
+    * count breaks the hash. A second, non-overflowing column pins the
+    * clause's no-op path. */
+  val dx34Reference: String =
+    """WITH e AS (
+      |  SELECT source, doc_id,
+      |         array_join(repeat(substr(text, 1, 100), 500), '') AS v,
+      |         substr(text, 1, 5) AS small
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT source,
+      |  octet_length(listagg(v, ',' ON OVERFLOW TRUNCATE '#' WITH COUNT)
+      |               WITHIN GROUP (ORDER BY doc_id)) AS trunc_len,
+      |  substr(listagg(v, ',' ON OVERFLOW TRUNCATE '#' WITH COUNT)
+      |         WITHIN GROUP (ORDER BY doc_id),
+      |         octet_length(listagg(v, ',' ON OVERFLOW TRUNCATE '#' WITH COUNT)
+      |                      WITHIN GROUP (ORDER BY doc_id)) - 9) AS trunc_tail,
+      |  listagg(small, '|' ON OVERFLOW TRUNCATE WITHOUT COUNT)
+      |    WITHIN GROUP (ORDER BY doc_id) AS small_agg
+      |FROM e GROUP BY source""".stripMargin
+
+  def dx34(s: SparkSession, dir: String): DataFrame = {
+    Graft.registerAll(s, dir)
+    s.sql(Dialect.translate(dx34Reference))
+      .selectExpr("source", "CAST(trunc_len AS BIGINT) AS trunc_len",
+        "trunc_tail", "small_agg")
+  }
+
+  val dx34Sql: String =
+    """WITH e AS (
+      |  SELECT source, doc_id, repeat(substr(text, 1, 100), 500) AS v,
+      |         substr(text, 1, 5) AS small,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (
+      |  SELECT source, v, small, rn,
+      |         sum(strlen(v) + CASE WHEN rn = 1 THEN 0 ELSE 1 END)
+      |           OVER (PARTITION BY source ORDER BY rn) AS cum
+      |  FROM e),
+      |agg AS (
+      |  SELECT source,
+      |    string_agg(v, ',' ORDER BY rn) FILTER (WHERE cum <= 1048576) AS emitted,
+      |    count(*) FILTER (WHERE cum > 1048576) AS omitted,
+      |    string_agg(small, '|' ORDER BY rn) AS small_agg
+      |  FROM s GROUP BY source),
+      |fin AS (
+      |  SELECT source,
+      |    emitted || CASE WHEN omitted > 0
+      |                    THEN ',#(' || omitted || ')' ELSE '' END AS full_txt,
+      |    small_agg
+      |  FROM agg)
+      |SELECT source,
+      |  CAST(strlen(full_txt) AS BIGINT) AS trunc_len,
+      |  substr(full_txt, strlen(full_txt) - 9) AS trunc_tail,
+      |  small_agg
+      |FROM fin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dx34_listagg_overflow" -> dx34 _,
     "dx33_char_uuid_ip" -> dx33 _,
     "dx32_integer_division" -> dx32 _,
     "dx31_sql_json_conformance" -> dx31 _,
@@ -1276,6 +1341,7 @@ object DialectQueries {
     "dx10_mr_sql_show_empty" -> dx10 _)
 
   val oracle: Map[String, String] = Map(
+    "dx34_listagg_overflow" -> dx34Sql,
     "dx33_char_uuid_ip" -> dx33Sql,
     "dx32_integer_division" -> dx32Sql,
     "dx31_sql_json_conformance" -> dx31Sql,

@@ -1475,14 +1475,16 @@ object Pipeline {
     * one projection — no token explode, no shuffle of text) followed
     * by a tiny per-source rollup: the same shape as p5/p16. */
   def p25(s: SparkSession, dir: String): DataFrame = {
-    def toks = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
-    def w(tk: Column): Column =
-      (conv(substring(md5(concat(lit("w:"), tk)), 1, 8), 16, 10)
-        .cast("long") % 1000) - 500
-    val scored = t(s, dir, "documents").select(
-      col("source"),
-      aggregate(toks, lit(0L), (acc, tk) => acc + w(tk)).as("w_sum"),
-      size(toks).cast("long").as("n_tok"))
+    // ONE codegen'd tokenize+hash+fold pass per document
+    // (functions/TokenWeightSum) — the interpreted
+    // aggregate(filter(split(...)), acc + md5-weight) HOF chain it
+    // replaces evaluated the lambda per token (the r18 3.7× constant
+    // factor); values are bit-identical by the kernel's contract
+    val scored = t(s, dir, "documents")
+      .select(col("source"),
+        call_function("token_weight_sum", col("text")).as("tw"))
+      .select(col("source"),
+        col("tw.w_sum").as("w_sum"), col("tw.n_tok").as("n_tok"))
     scored.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("w_sum") > 0, 1L).otherwise(0L)).cast("long").as("kept"),

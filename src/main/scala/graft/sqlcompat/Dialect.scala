@@ -364,7 +364,7 @@ object Dialect {
     // date/time/interval/binary, not numerics.
     val typedLitRe =
       ("(?i)\\b(REAL|DECIMAL|VARCHAR|CHAR|TINYINT|SMALLINT|INTEGER|BIGINT|" +
-        "DOUBLE|BOOLEAN|TIME|UUID|IPADDRESS|JSON)\\s*$").r
+        "DOUBLE|BOOLEAN|TIME|DATE|UUID|IPADDRESS|JSON)\\s*$").r
     var tl = 0
     while (tl + 2 < parts.length) {
       val (seg, isLit) = parts(tl)
@@ -397,6 +397,29 @@ object Dialect {
               parts(tl + 1) = (s"CAST($nanos AS BIGINT)", false)
             }
             // not a plain time body: leave the segment untouched
+          } else if (m.group(1).equalsIgnoreCase("DATE")) {
+            // reference DATE literals allow 1+ year digits with
+            // leading zeros (type/TestDate.java: DATE '13-2-2' →
+            // 0013-02-02, '02013-02-02' → 2013) and surrounding
+            // whitespace; Spark's parser requires a 4-digit year, so
+            // canonicalize here. Invalid calendar dates raise at
+            // translate time like the reference's INVALID_LITERAL.
+            // Shapes outside the y-m-d form (3-digit months, intra
+            // whitespace, huge years) pass through for Spark to judge.
+            val dre = "^(\\d{1,5})-(\\d{1,2})-(\\d{1,2})$".r
+            dre.findFirstMatchIn(body.trim).foreach { g =>
+              val y = g.group(1).replaceFirst("^0+(?=\\d)", "")
+              if (y.length <= 4) {
+                val (yi, mo, dy) = (y.toInt, g.group(2).toInt, g.group(3).toInt)
+                try java.time.LocalDate.of(yi, mo, dy)
+                catch {
+                  case _: java.time.DateTimeException =>
+                    throw new IllegalArgumentException(
+                      s"'$body' is not a valid date literal")
+                }
+                parts(tl + 1) = (f"'$yi%04d-$mo%02d-$dy%02d'", true)
+              }
+            }
           } else if (m.group(1).equalsIgnoreCase("UUID") ||
               m.group(1).equalsIgnoreCase("IPADDRESS")) {
             // string-emulated types canonicalize AT TRANSLATE TIME
@@ -1947,6 +1970,137 @@ object Dialect {
     out
   }
 
+  /** Loud analysis guard for the WITH RECURSIVE forms this engine
+    * (like the reference — linear recursion only since Trino 352)
+    * does not support: MUTUAL recursion (a recursive CTE referencing
+    * a sibling defined later in the same WITH list) and NON-LINEAR
+    * recursion (more than one self-reference in the CTE body). Spark
+    * surfaces these as obscure plan-time failures or wrong loops;
+    * failing here names the problem. Runs on canonical text (string
+    * literals are sentinels, so names inside quotes never count). */
+  private def recursiveGuard(canon: String): Unit = {
+    val wrM = "(?is)\\bWITH\\s+RECURSIVE\\b".r.findFirstMatchIn(canon)
+    if (wrM.isEmpty) return
+    val names = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val nameRe =
+      "(?is)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^()]*\\))?\\s*AS\\s*\\(".r
+    var pos = wrM.get.end
+    var cont = true
+    while (cont) {
+      nameRe.findPrefixMatchOf(canon.substring(pos)) match {
+        case Some(m) =>
+          val open = pos + m.end - 1
+          val close = closeParen(canon, open)
+          names += ((m.group(1), canon.substring(open + 1, close)))
+          val comma = "(?s)^\\s*,".r.findPrefixMatchOf(canon.substring(close + 1))
+          if (comma.isDefined) pos = close + 1 + comma.get.end
+          else cont = false
+        case None => cont = false
+      }
+    }
+    def refs(name: String, txt: String): Int =
+      ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+        .findAllIn(txt).length
+    for (((n, body), idx) <- names.zipWithIndex) {
+      names.drop(idx + 1).foreach { case (later, laterBody) =>
+        if (refs(later, body) > 0 && refs(n, laterBody) > 0)
+          throw new IllegalArgumentException(
+            s"WITH RECURSIVE: mutual recursion between '$n' and '$later' " +
+              "is not supported — only linear self-recursion " +
+              "(one self-reference in the recursive member)")
+      }
+      if (refs(n, body) > 1)
+        throw new IllegalArgumentException(
+          s"WITH RECURSIVE: non-linear recursion in '$n' — the recursive " +
+            s"member may reference '$n' at most once")
+    }
+  }
+
+  /** LISTAGG `ON OVERFLOW` clause (reference grammar
+    * `SqlBase.g4:348-356,502-504`; vectors
+    * `sql/query/TestListagg.java:204-384`): Spark's native listagg
+    * has no overflow clause, so
+    * `LISTAGG([DISTINCT] v[, sep] ON OVERFLOW ERROR | TRUNCATE
+    * [filler] WITH|WITHOUT COUNT) WITHIN GROUP (ORDER BY k)` lowers
+    * onto `graft_listagg_finish(array_agg([DISTINCT] v ORDER BY k),
+    * sep, isError, filler, withCount)` — functions/ListaggOverflow
+    * replays the reference's byte-capped output walk; the emitted
+    * array_agg rides the ordered-aggregate lowering (this pass runs
+    * first). Plain LISTAGG without the clause stays native. */
+  private def listaggOverflowPass(canon0: String,
+      newLit: String => String): String = {
+    def ws(x: String): String =
+      x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+    var out = canon0
+    var from = 0
+    var guard = 0
+    val re = "(?i)\\bLISTAGG\\s*\\(".r
+    while (guard < 64) {
+      guard += 1
+      val m = re.findFirstMatchIn(out.substring(from))
+      if (m.isEmpty) return out
+      val start = from + m.get.start
+      val open = out.indexOf('(', start)
+      val close = closeParen(out, open)
+      val body = out.substring(open + 1, close)
+      // top-level "ON OVERFLOW" position
+      var ovPos = -1
+      var depth = 0
+      var i = 0
+      val ovRe = "(?is)^ON\\s+OVERFLOW\\b".r
+      while (i < body.length && ovPos < 0) {
+        val c = body.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'O' || c == 'o') &&
+          (i == 0 || !body.charAt(i - 1).isLetterOrDigit) &&
+          ovRe.findPrefixMatchOf(body.substring(i)).isDefined) ovPos = i
+        i += 1
+      }
+      if (ovPos < 0) { from = close + 1 }
+      else {
+        val pre = ws(body.substring(0, ovPos))
+        val beh = ws(body.substring(ovPos).replaceAll("(?is)^ON\\s+OVERFLOW", ""))
+        val (isError, filler, withCount) =
+          if (beh.matches("(?is)^ERROR$")) (true, newLit(""), false)
+          else {
+            val tm = ("(?is)^TRUNCATE\\s*(\\u0001\\d+\\u0002)?\\s*" +
+              "(WITH|WITHOUT)\\s+COUNT$").r.findFirstMatchIn(beh).getOrElse(
+              throw new IllegalArgumentException(
+                s"LISTAGG ON OVERFLOW: expected ERROR or TRUNCATE " +
+                  s"[filler] WITH|WITHOUT COUNT, got '$beh'"))
+            (false, Option(tm.group(1)).getOrElse(newLit("...")),
+              tm.group(2).equalsIgnoreCase("WITH"))
+          }
+        // value [, separator-literal]; the separator (grammar: string)
+        // is always a literal sentinel on canonical text
+        val parts = MatchRecognizeSql.splitTopLevel(pre, ',').map(ws)
+        val (valuePart, sep) =
+          if (parts.length >= 2 && parts.last.matches("^\\u0001\\d+\\u0002$"))
+            (parts.dropRight(1).mkString(", "), parts.last)
+          else (parts.mkString(", "), newLit(""))
+        // the WITHIN GROUP (ORDER BY ...) tail, when present, moves
+        // into the array_agg argument
+        val wgM = "(?is)^\\s*WITHIN\\s+GROUP\\s*\\(".r
+          .findPrefixMatchOf(out.substring(close + 1))
+        var endPos = close + 1
+        var orderBy = ""
+        wgM.foreach { w =>
+          val wgOpen = out.indexOf('(', close + w.end - 1)
+          val wgClose = closeParen(out, wgOpen)
+          orderBy = ws(out.substring(wgOpen + 1, wgClose))
+          endPos = wgClose + 1
+        }
+        val aggArg = valuePart + (if (orderBy.nonEmpty) " " + orderBy else "")
+        val rewritten = s"graft_listagg_finish(array_agg($aggArg), $sep, " +
+          s"$isError, $filler, $withCount)"
+        out = out.substring(0, start) + rewritten + out.substring(endPos)
+        from = start + rewritten.length
+      }
+    }
+    out
+  }
+
   private def orderedAggPass(canon0: String): String = {
     val re = ("(?i)\\b(array_agg|sum|avg|min|max|count|bool_and|bool_or|" +
       "every|any_value|arbitrary|geometric_mean|stddev|stddev_samp|" +
@@ -2374,7 +2528,15 @@ object Dialect {
   }
 
   private def constructorPass(segs: Seq[(String, Boolean)]): String = {
-    val lits = segs.collect { case (s, true) => s }
+    // appendable: passes may mint NEW literals (e.g. the LISTAGG
+    // overflow filler default '...') without breaking the no-raw-
+    // quotes-on-canonical-text invariant
+    val lits = scala.collection.mutable.ArrayBuffer[String](
+      segs.collect { case (s, true) => s }: _*)
+    def newLit(raw: String): String = {
+      lits += ("'" + raw.replace("'", "''") + "'")
+      "\u0001" + (lits.length - 1) + "\u0002"
+    }
     var li = -1
     val canon = segs.map {
       case (s, true) => li += 1; "\u0001" + li + "\u0002"
@@ -2397,6 +2559,7 @@ object Dialect {
     out = out.replaceAll("(?i)\\bCURRENT_SCHEMA\\b(?!\\s*\\()", "current_schema()")
     out = out.replaceAll("(?i)\\bCURRENT_USER\\b(?!\\s*\\()", "current_user()")
     out = out.replaceAll("(?i)\\bCURRENT_PATH\\b", "''")
+    recursiveGuard(out)
     out = rowTypePass(out)
     out = valuesRowPass(out)
     out = out.replaceAll("(?i)\\bROW\\s*\\(", "struct(")
@@ -2414,6 +2577,9 @@ object Dialect {
     out = rowStarPass(out)
     out = groupByCompositionPass(out)
     out = windowedFilterPass(out)
+    // listaggOverflowPass emits array_agg(x ORDER BY k) calls, so it
+    // must run BEFORE orderedAggPass lowers the ordered aggregates
+    out = listaggOverflowPass(out, newLit)
     out = orderedAggPass(out)
     out = WindowFrameSql.pass(out, lits.toIndexedSeq)
     out = unorderedRankingPass(out)

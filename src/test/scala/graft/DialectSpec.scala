@@ -64,6 +64,45 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(t9).head().getString(0) == "CAST(q AS CHAR(2)) = z")
   }
 
+  test("WITH RECURSIVE guard: mutual and non-linear recursion fail loudly") {
+    val e1 = intercept[IllegalArgumentException](Dialect.translate(
+      "WITH RECURSIVE a(x) AS (SELECT 1 UNION ALL SELECT x + 1 FROM b WHERE x < 3), " +
+        "b(x) AS (SELECT 0 UNION ALL SELECT x FROM a) SELECT * FROM a"))
+    assert(e1.getMessage.contains("mutual recursion"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Dialect.translate(
+      "WITH RECURSIVE f(x) AS (SELECT 1 UNION ALL " +
+        "SELECT l.x + r.x FROM f l, f r WHERE l.x < 8) SELECT * FROM f"))
+    assert(e2.getMessage.contains("non-linear"), e2.getMessage)
+    // the supported linear form still translates and runs
+    val ok = Dialect.translate(
+      "WITH RECURSIVE u(x) AS (SELECT 1 UNION ALL SELECT x + 1 FROM u WHERE x < 3) " +
+        "SELECT max(x) AS m FROM u")
+    assert(spark.sql(ok).head().getInt(0) == 3)
+  }
+
+  test("LISTAGG ON OVERFLOW lowers onto the byte-capped finish kernel") {
+    val t = Dialect.translate(
+      "SELECT listagg(v, ',' ON OVERFLOW TRUNCATE '..' WITH COUNT) " +
+        "WITHIN GROUP (ORDER BY v) FROM (VALUES 'b', 'a') t(v)")
+    assert(t.contains("graft_listagg_finish("), t)
+    assert(spark.sql(t).head().getString(0) == "a,b")
+    // plain listagg stays on Spark's native aggregate
+    val t2 = Dialect.translate(
+      "SELECT listagg(v, ',') WITHIN GROUP (ORDER BY v) FROM (VALUES 'b', 'a') t(v)")
+    assert(!t2.contains("graft_listagg_finish("), t2)
+    assert(spark.sql(t2).head().getString(0) == "a,b")
+  }
+
+  test("DATE literals with short or zero-padded years canonicalize at translate time") {
+    val t = Dialect.translate("SELECT DATE '13-2-2' AS d1, DATE '02013-02-02' AS d2")
+    assert(t.contains("'0013-02-02'") && t.contains("'2013-02-02'"), t)
+    val r = spark.sql(t).head()
+    assert(r.getDate(0).toString == "0013-02-02" && r.getDate(1).toString == "2013-02-02")
+    val bad = intercept[IllegalArgumentException](
+      Dialect.translate("SELECT DATE '2013-02-29'"))
+    assert(bad.getMessage.contains("not a valid date literal"), bad.getMessage)
+  }
+
   test("CHAR pad-space comparison matches the SQL PAD SPACE model on 150 seeded pairs") {
     // differential property check driven through the ENGINE: random
     // short strings over {letters, space, NUL, '!'} compared as CHAR

@@ -4242,6 +4242,40 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertVector(
       "SELECT listagg(value, ',') WITHIN GROUP (ORDER BY value) FROM (VALUES 'a', NULL, 'bb', NULL, 'ccc', NULL, 'dddd', NULL) t(value)",
       "VALUES ('a,bb,ccc,dddd')")
+    // --- ON OVERFLOW clause (TestListagg.java:204-384; byte cap is
+    // the reference's DEFAULT_MAX_PAGE_SIZE_IN_BYTES = 1048576) ---
+    // clause present, no overflow: identical to the plain form
+    assertVector(
+      "SELECT listagg(value, ',' ON OVERFLOW ERROR) WITHIN GROUP (ORDER BY value) FROM (VALUES 'a', 'bb', NULL, 'ccc') t(value)",
+      "VALUES ('a,bb,ccc')")
+    assertVector(
+      "SELECT id, listagg(value, ',' ON OVERFLOW TRUNCATE WITHOUT COUNT) WITHIN GROUP (ORDER BY value) AS l FROM (VALUES (1, 'b'), (1, 'a'), (2, 'd'), (2, 'c')) t(id, value) GROUP BY id",
+      "VALUES (1, 'a,b'), (2, 'c,d')")
+    // ERROR raises past the cap (testListaggQueryOverflowError)
+    val ovEx = intercept[Exception](runQ(
+      "SELECT listagg(value, ',' ON OVERFLOW ERROR) WITHIN GROUP (ORDER BY value) " +
+        "FROM (VALUES rpad('a', 1048576, 'a'), 'Trino') t(value)").collect())
+    val ovMsgs = Iterator.iterate(ovEx: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => String.valueOf(e.getMessage)).mkString("; ")
+    assert(ovMsgs.contains("maximum output length 1048576"), ovMsgs)
+    // TRUNCATE WITHOUT COUNT and no filler: default '...' at an entry
+    // boundary (testListaggQueryOverflowTruncateWithoutCount...)
+    assertVector(
+      "SELECT listagg(value, ',' ON OVERFLOW TRUNCATE WITHOUT COUNT) WITHIN GROUP (ORDER BY value) " +
+        "FROM (VALUES rpad('a', 1048570, 'a'), 'trino', 'rocks') t(value)",
+      "VALUES (rpad('a', 1048570, 'a') || ',rocks,...')")
+    // TRUNCATE with explicit filler WITH COUNT: omitted-entry count
+    // appended (testListaggQueryOverflowTruncateWithCount...)
+    assertVector(
+      "SELECT listagg(value, ',' ON OVERFLOW TRUNCATE '.....' WITH COUNT) WITHIN GROUP (ORDER BY value) " +
+        "FROM (VALUES rpad('a', 1048564, 'a'), 'trino', 'sql', 'everything') t(value)",
+      "VALUES (rpad('a', 1048564, 'a') || ',everything,.....(2)')")
+    // grouping: only the overflowing group truncates
+    // (testListaggQueryGroupingOverflowTruncateWithCount...)
+    assertVector(
+      "SELECT id, listagg(value, ',' ON OVERFLOW TRUNCATE '.....' WITH COUNT) WITHIN GROUP (ORDER BY value) AS l " +
+        "FROM (VALUES (1, rpad('a', 1048564, 'a')), (1, 'trino'), (1, 'sql'), (1, 'everything'), (2, 'listagg'), (2, 'string joiner')) t(id, value) GROUP BY id",
+      "VALUES (1, rpad('a', 1048564, 'a') || ',everything,.....(2)'), (2, 'listagg,string joiner')")
   }
 
   test("correlated LATERAL aggregation vectors (sql/query/TestCorrelatedAggregation)") {

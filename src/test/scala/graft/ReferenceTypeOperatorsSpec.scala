@@ -300,8 +300,15 @@ class ReferenceTypeOperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     vLit("DATE '2001-1-22' < DATE '2001-01-23'", "true")
     vLit("DATE '2001-1-22' BETWEEN DATE '2001-01-01' AND DATE '2001-01-31'", "true")
     vLit("cast(DATE '2001-1-22' as varchar)", "2001-01-22")
-    // (the reference also accepts DATE '13-2-2' → 0013-02-02; Spark's
-    // parser requires a 4-digit year — documented literal-form gap)
+    // 1-5-digit years canonicalize at translate time (TestDate.java:
+    // DATE '13-2-2' → 0013-02-02, zero-padded '02013' → 2013,
+    // surrounding whitespace trimmed, invalid calendar dates raise)
+    vLit("cast(DATE '13-2-2' as varchar)", "0013-02-02")
+    vLit("cast(DATE '0013-02-02' as varchar)", "0013-02-02")
+    vLit("cast(DATE '02013-02-02' as varchar)", "2013-02-02")
+    vLit("cast(DATE '  2013-02-02  ' as varchar)", "2013-02-02")
+    vLit("DATE '13-2-2' < DATE '2001-1-22'", "true")
+    vErr("DATE '2013-02-29'", "not a valid date literal")
     vLit("cast('2001-1-22' as date)", "2001-01-22")
     vLit("cast('\n\t 2001-1-22' as date)", "2001-01-22")
     vLit("cast('2001-1-22 \t\n' as date)", "2001-01-22")
