@@ -1,5 +1,7 @@
 package graft.sqlcompat
 
+import scala.util.chaining._
+
 /** Reference-dialect → Spark SQL translation (SURVEY §7.1 `sqlcompat`):
   * lets a user of the reference engine run their existing SQL against
   * this engine. Covers the mechanical dialect gaps — function renames,
@@ -87,11 +89,33 @@ object Dialect {
   private[sqlcompat] def renameType(t0: String): String = {
     var t = t0
     for ((from, to) <- typeRenames if from != to) {
-      t = t.replaceAll(s"(?i)^$from\\s*\\(\\s*\\d+(\\s*,\\s*\\d+)?\\s*\\)$$", to)
-      t = t.replaceAll(s"(?i)^$from$$", to)
+      t = repAll(t, s"(?i)^$from\\s*\\(\\s*\\d+(\\s*,\\s*\\d+)?\\s*\\)$$", to)
+      t = repAll(t, s"(?i)^$from$$", to)
     }
     t
   }
+
+  // ---- compiled-regex cache ----------------------------------------
+  // translate() chains ~20 passes, many of which used to compile their
+  // patterns per CALL (`"...".r` is Pattern.compile every time) — the
+  // dominant share of the ~0.6 ms/query translate floor the Isolate
+  // pins kept hitting. Every `.r` in this file routes through this
+  // process-wide cache; a nested object delays the map's own
+  // initialization past the enclosing object's val-order.
+  private object ReCache {
+    val m = new java.util.concurrent.ConcurrentHashMap[
+      String, scala.util.matching.Regex]()
+  }
+  private def cre(p: String): scala.util.matching.Regex = {
+    var r = ReCache.m.get(p)
+    if (r == null) { r = new scala.util.matching.Regex(p); ReCache.m.put(p, r) }
+    r
+  }
+
+  /** `s.replaceAll(p, r)` with the compiled pattern cached — identical
+    * Matcher.replaceAll semantics ($-group references, \\ escapes). */
+  private def repAll(s: String, p: String, r: String): String =
+    cre(p).replaceAllIn(s, r)
 
   // ---- CHAR comparison semantics (PAD SPACE) -----------------------
   // The reference compares CHAR values padded to the common length
@@ -121,20 +145,20 @@ object Dialect {
     "(?!(?i:END|NULL|TRUE|FALSE|CASE|WHEN|THEN|ELSE|AND|OR|NOT|BETWEEN|IS|" +
       "IN|LIKE|SELECT|FROM|WHERE|GROUP|ORDER|HAVING|ON|JOIN|UNION|ALL|" +
       "DISTINCT|AS|CAST|CHAR)\\b)[A-Za-z_][A-Za-z0-9_.]*"
-  private val charOperandRe = s"(?i)^(?:$charCastP|$charLitP)$$".r
+  private val charOperandRe = cre(s"(?i)^(?:$charCastP|$charLitP)$$")
   private val anyOperandP = s"(?:$charCastP|$charLitP|$strLitP|NULL|$identP)"
-  private val charGuardRe = "(?i)AS\\s+CHAR\\b|\\bCHAR\\s*'".r
+  private val charGuardRe = cre("(?i)AS\\s+CHAR\\b|\\bCHAR\\s*'")
   // adjacency guards: an operand that is itself part of a larger
   // expression (`'p' || CAST(… AS CHAR(2)) = x`) must not be wrapped —
   // `||`/arithmetic bind tighter than comparison
   private val preGuard = "(?<![|+\\-*/%]\\s{0,20})"
   private val postGuard = "(?!\\s{0,20}[|+\\-*/%])"
   private val charBetweenRe =
-    s"(?i)$preGuard($anyOperandP)\\s+(NOT\\s+)?BETWEEN\\s+($anyOperandP)\\s+AND\\s+($anyOperandP)$postGuard".r
+    cre(s"(?i)$preGuard($anyOperandP)\\s+(NOT\\s+)?BETWEEN\\s+($anyOperandP)\\s+AND\\s+($anyOperandP)$postGuard")
   private val charDistinctRe =
-    s"(?i)$preGuard($anyOperandP)\\s+IS\\s+(NOT\\s+)?DISTINCT\\s+FROM\\s+($anyOperandP)$postGuard".r
+    cre(s"(?i)$preGuard($anyOperandP)\\s+IS\\s+(NOT\\s+)?DISTINCT\\s+FROM\\s+($anyOperandP)$postGuard")
   private val charCmpRe =
-    s"(?i)$preGuard($anyOperandP)\\s*(=|<>|!=|<=|>=|<|>)\\s*($anyOperandP)$postGuard".r
+    cre(s"(?i)$preGuard($anyOperandP)\\s*(=|<>|!=|<=|>=|<|>)\\s*($anyOperandP)$postGuard")
 
   private def charComparePass(sql: String): String = {
     if (charGuardRe.findFirstIn(sql).isEmpty) return sql
@@ -190,7 +214,7 @@ object Dialect {
       if (!(isChar(a) || isChar(b))) q(m.matched)
       else q(s"(${pad(a, b)} $op ${pad(b, a)})")
     })
-    "\u0004(\\d+)\u0004".r
+    cre("\u0004(\\d+)\u0004")
       .replaceAllIn(out, m => q(lits(m.group(1).toInt)))
   }
 
@@ -206,12 +230,12 @@ object Dialect {
     // a string literal), with a quote-tolerant non-nesting arg group;
     // literal content is only ever copied through, never altered.
     val sql0 = sql
-      .replaceAll(
+      .pipe(repAll(_, 
         "(?i)\\bnormalize\\s*\\(((?:[^()']|'[^']*')*?),\\s*(NFC|NFD|NFKC|NFKD)\\s*\\)",
-        "normalize($1, '$2')")
-      .replaceAll(
+        "normalize($1, '$2')"))
+      .pipe(repAll(_, 
         "(?i)\\bnormalize\\s*\\(((?:[^(),']|'[^']*')*)\\)",
-        "normalize($1, 'NFC')")
+        "normalize($1, 'NFC')"))
     val sql0c = charComparePass(sql0)
     // split into literal and non-literal segments so quoted strings
     // are never rewritten
@@ -246,7 +270,7 @@ object Dialect {
     val units = Set("millisecond", "second", "minute", "hour",
       "day", "week", "month", "quarter", "year")
     val dayOrCoarser = Set("day", "week", "month", "quarter", "year")
-    val callRe = "(?i)\\b(date_diff|date_add)(\\s*\\(\\s*)$".r
+    val callRe = cre("(?i)\\b(date_diff|date_add)(\\s*\\(\\s*)$")
     var j = 0
     while (j + 1 < parts.length) {
       val (seg, isLit) = parts(j)
@@ -283,16 +307,16 @@ object Dialect {
     // expression passes through untranslated and Spark rejects the
     // AT TIME ZONE syntax loudly (asserted in DialectSpec), which is
     // safe-by-failure rather than a silent mistranslation.
-    val atTzRe = ("(?i)([A-Za-z_][A-Za-z0-9_.]*\\s*\\([^()]*\\)|" +
-      "[A-Za-z_][A-Za-z0-9_.]*|\\([^()]*\\))\\s+AT\\s+TIME\\s+ZONE\\s*$").r
+    val atTzRe = cre(("(?i)([A-Za-z_][A-Za-z0-9_.]*\\s*\\([^()]*\\)|" +
+      "[A-Za-z_][A-Za-z0-9_.]*|\\([^()]*\\))\\s+AT\\s+TIME\\s+ZONE\\s*$"))
     // operand is itself a datetime literal (`TIMESTAMP '…' AT TIME
     // ZONE '…'`): the operand's literal is its own segment too, so the
     // AT TIME ZONE keywords sit alone in a segment between two literals
-    val atTzLitRe = "(?i)^\\s*AT\\s+TIME\\s+ZONE\\s*$".r
+    val atTzLitRe = cre("(?i)^\\s*AT\\s+TIME\\s+ZONE\\s*$")
     // \b anchor: without it an identifier ending in ...timestamp (e.g.
     // `my_timestamp TIMESTAMP '…' AT TIME ZONE …`) would match and be
     // mangled into `my_from_utc_timestamp(timestamp …`.
-    val tsKeywordRe = "(?i)\\b(TIMESTAMP|DATE)\\s*$".r
+    val tsKeywordRe = cre("(?i)\\b(TIMESTAMP|DATE)\\s*$")
     var k = 0
     while (k + 2 < parts.length) {
       val (seg, isLit) = parts(k)
@@ -328,14 +352,14 @@ object Dialect {
     // re-enters as its own literal segment so the canonical-text
     // invariant (no quotes outside literal segments) holds for every
     // later pass.
-    val zonedLitRe = ("^'(\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)\\s+" +
-      "([A-Za-z][A-Za-z0-9_+\\-]*(?:/[A-Za-z0-9_+\\-]+)+|UTC|[+-]\\d{2}:\\d{2})'$").r
+    val zonedLitRe = cre(("^'(\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)\\s+" +
+      "([A-Za-z][A-Za-z0-9_+\\-]*(?:/[A-Za-z0-9_+\\-]+)+|UTC|[+-]\\d{2}:\\d{2})'$"))
     var z = 1
     while (z < parts.length) {
       val (lit, isLit) = parts(z)
       if (isLit && !parts(z - 1)._2) {
         val prevSeg = parts(z - 1)._1
-        for (m <- "(?i)\\bTIMESTAMP\\s*$".r.findFirstMatchIn(prevSeg);
+        for (m <- cre("(?i)\\bTIMESTAMP\\s*$").findFirstMatchIn(prevSeg);
              zm <- zonedLitRe.findFirstMatchIn(lit)) {
           parts(z - 1) = (prevSeg.substring(0, m.start) +
             "to_utc_timestamp(TIMESTAMP ", false)
@@ -363,8 +387,8 @@ object Dialect {
     // 'x' too: Spark's typed-literal grammar only covers
     // date/time/interval/binary, not numerics.
     val typedLitRe =
-      ("(?i)\\b(REAL|DECIMAL|VARCHAR|CHAR|TINYINT|SMALLINT|INTEGER|BIGINT|" +
-        "DOUBLE|BOOLEAN|TIME|DATE|UUID|IPADDRESS|JSON)\\s*$").r
+      cre(("(?i)\\b(REAL|DECIMAL|VARCHAR|CHAR|TINYINT|SMALLINT|INTEGER|BIGINT|" +
+        "DOUBLE|BOOLEAN|TIME|DATE|UUID|IPADDRESS|JSON)\\s*$"))
     var tl = 0
     while (tl + 2 < parts.length) {
       val (seg, isLit) = parts(tl)
@@ -385,7 +409,7 @@ object Dialect {
             // BIGINT convention, folded here (it is a constant).
             // Zoned forms (TIME '… +05:00') pass through untouched for
             // the TimestampTz emulation layer / fail-loud path.
-            val tm = "^(\\d{1,2}):(\\d{2})(?::(\\d{2}))?(\\.\\d+)?$".r
+            val tm = cre("^(\\d{1,2}):(\\d{2})(?::(\\d{2}))?(\\.\\d+)?$")
               .findFirstMatchIn(body.trim)
             tm.foreach { g =>
               val h = g.group(1).toLong; val mi = g.group(2).toLong
@@ -406,7 +430,7 @@ object Dialect {
             // translate time like the reference's INVALID_LITERAL.
             // Shapes outside the y-m-d form (3-digit months, intra
             // whitespace, huge years) pass through for Spark to judge.
-            val dre = "^(\\d{1,5})-(\\d{1,2})-(\\d{1,2})$".r
+            val dre = cre("^(\\d{1,5})-(\\d{1,2})-(\\d{1,2})$")
             dre.findFirstMatchIn(body.trim).foreach { g =>
               val y = g.group(1).replaceFirst("^0+(?=\\d)", "")
               if (y.length <= 4) {
@@ -437,10 +461,10 @@ object Dialect {
             // the 16-byte hex literal here (constant, VALUES-safe) —
             // reference TestUuidOperators/TestIpAddressOperators
             // varbinary rows expect the value bytes, not text bytes
-            val castM = "(?i)\\b(?:TRY_)?CAST\\s*\\(\\s*$".r.findFirstMatchIn(pre)
+            val castM = cre("(?i)\\b(?:TRY_)?CAST\\s*\\(\\s*$").findFirstMatchIn(pre)
             val afterM =
               if (tl + 2 < parts.length && !parts(tl + 2)._2)
-                "(?i)^\\s*AS\\s+VARBINARY\\s*\\)".r
+                cre("(?i)^\\s*AS\\s+VARBINARY\\s*\\)")
                   .findFirstMatchIn(parts(tl + 2)._1)
               else None
             if (castM.isDefined && afterM.isDefined) {
@@ -486,8 +510,8 @@ object Dialect {
     // type spellings (varchar→string …). Only the simple
     // trailing-RETURNING form is handled; ON EMPTY / ON ERROR clauses
     // pass through for Spark to reject loudly rather than mistranslate.
-    val jsonFnRe = "(?i)\\b(json_value|json_query)(\\s*\\(\\s*[^()]*)$".r
-    val returningRe = "(?i)^\\s*RETURNING\\s+([A-Za-z0-9_]+(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)\\s*\\)".r
+    val jsonFnRe = cre("(?i)\\b(json_value|json_query)(\\s*\\(\\s*[^()]*)$")
+    val returningRe = cre("(?i)^\\s*RETURNING\\s+([A-Za-z0-9_]+(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)\\s*\\)")
     var m = 2
     while (m < parts.length) {
       val (after, afterIsLit) = parts(m)
@@ -527,82 +551,94 @@ object Dialect {
       case (seg, true) => (seg.replace("\\", "\\\\"), true)
       case (seg, false) =>
         var out = seg
+        // cheap lowercase containment precheck before each rename
+        // regex — queries use a handful of the ~60 renamable names, so
+        // skipping the misses cuts most of the per-segment regex
+        // executions; the lowered view refreshes only when a rename
+        // actually fires (a fired rename can introduce later names)
+        var lowered = out.toLowerCase
         for ((from, to) <- renames if from != to)
-          out = out.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
+          if (lowered.contains(from)) {
+            out = repAll(out, s"(?i)\\b$from\\s*\\(", s"$to(")
+            lowered = out.toLowerCase
+          }
         // zero-arg constants: consume the parens entirely
-        out = out.replaceAll("(?i)\\bnan\\s*\\(\\s*\\)", "double('NaN')")
-        out = out.replaceAll("(?i)\\binfinity\\s*\\(\\s*\\)", "double('Infinity')")
+        out = repAll(out, "(?i)\\bnan\\s*\\(\\s*\\)", "double('NaN')")
+        out = repAll(out, "(?i)\\binfinity\\s*\\(\\s*\\)", "double('Infinity')")
         // utf8 codecs: Spark's decode/encode require an explicit charset.
         // Conservative single-argument form (no nested parens/literals/
         // commas — the reference's two-arg from_utf8(x, repl) form passes
         // through untouched rather than mistranslating).
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bfrom_utf8\\s*\\(([^(),']*)\\)", "decode($1, 'UTF-8')")
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bto_utf8\\s*\\(([^(),']*)\\)", "encode($1, 'UTF-8')")
         // bitwise scalar fns → Spark's infix operators; operand groups
         // exclude commas so a malformed extra-arg call passes through
         // for Spark to reject instead of silently dropping arguments
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bbitwise_and\\s*\\(([^(),']+),([^(),']+)\\)", "($1 & $2)")
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bbitwise_or\\s*\\(([^(),']+),([^(),']+)\\)", "($1 | $2)")
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bbitwise_xor\\s*\\(([^(),']+),([^(),']+)\\)", "($1 ^ $2)")
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bbitwise_not\\s*\\(([^(),']+)\\)", "~($1)")
         // EXTRACT field spellings: the reference's DOW/DAY_OF_WEEK are
         // ISO (Monday=1); Spark's DOW is Sunday=0, so both route to
         // DOW_ISO. Underscore spellings map onto Spark's field names.
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bextract\\s*\\(\\s*(?:dow|day_of_week)\\s+from\\b",
           "extract(DOW_ISO FROM")
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bextract\\s*\\(\\s*(?:doy|day_of_year)\\s+from\\b",
           "extract(DOY FROM")
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bextract\\s*\\(\\s*day_of_month\\s+from\\b",
           "extract(DAY FROM")
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bextract\\s*\\(\\s*(?:yow|year_of_week)\\s+from\\b",
           "extract(YEAROFWEEK FROM")
         // standard empty grouping set `GROUP BY ()` (reference grammar
         // groupingSet): Spark parses only the GROUPING SETS spelling
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bGROUP\\s+BY\\s*\\(\\s*\\)", "GROUP BY GROUPING SETS (())")
         // bare NULL as a predicate (`WHERE NULL`): the reference types
         // it UNKNOWN and drops every row; Spark refuses the VOID
         // filter, so type it explicitly
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\b(WHERE|HAVING)\\s+NULL\\b(?!\\s*(IN|NOT|IS|=|<|>|\\+|-))",
           "$1 CAST(NULL AS BOOLEAN)")
         // CAST(x AS JSON) renders the VALUE as JSON text (see
         // castAsJsonPass) — shield it from the json→string rename
         // with a sentinel the pass consumes
-        out = out.replaceAll("(?i)\\bAS\\s+JSON\\s*\\)", "AS GRAFT_JSON_CAST)")
+        out = repAll(out, "(?i)\\bAS\\s+JSON\\s*\\)", "AS GRAFT_JSON_CAST)")
         // CAST(x AS UUID / IPADDRESS) canonicalize + validate on the
         // string emulation (castAsUuidIpPass) — shield from the
         // uuid/ipaddress→string renames with sentinels the pass eats
-        out = out.replaceAll("(?i)\\bAS\\s+UUID\\s*\\)", "AS GRAFT_UUID_CAST)")
-        out = out.replaceAll("(?i)\\bAS\\s+IPADDRESS\\s*\\)", "AS GRAFT_IP_CAST)")
+        out = repAll(out, "(?i)\\bAS\\s+UUID\\s*\\)", "AS GRAFT_UUID_CAST)")
+        out = repAll(out, "(?i)\\bAS\\s+IPADDRESS\\s*\\)", "AS GRAFT_IP_CAST)")
         // length-parametric character casts carry VALUE semantics in
         // the reference (TestCharacterStringCasts): CAST AS VARCHAR(n)
         // truncates to n, CAST AS CHAR(n) truncates AND pads to n,
         // bare CHAR is CHAR(1) — materialized by castCharLenPass;
         // sentinels shield the length from the plain-erasure renames
-        out = out.replaceAll("(?i)\\bAS\\s+VARCHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)",
+        out = repAll(out, "(?i)\\bAS\\s+VARCHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)",
           "AS GRAFT_VCAST_$1)")
-        out = out.replaceAll("(?i)\\bAS\\s+CHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)",
+        out = repAll(out, "(?i)\\bAS\\s+CHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)",
           "AS GRAFT_CCAST_$1)")
-        out = out.replaceAll("(?i)\\bAS\\s+CHAR\\s*\\)", "AS GRAFT_CCAST_1)")
-        for ((from, to) <- typeRenames if from != to) {
-          // a length/precision parameter is dropped with the rename:
-          // CAST(x AS VARCHAR(255)) → CAST(x AS string) — Spark's
-          // string is unbounded, and `string(255)` does not parse
-          out = out.replaceAll(s"(?i)\\bAS\\s+$from\\s*\\(\\s*\\d+\\s*\\)", s"AS $to")
-          out = out.replaceAll(s"(?i)\\bAS\\s+$from\\b", s"AS $to")
-          out = out.replaceAll(s"(?i)\\b$from\\s*'", s"$to '") // typed literals
-        }
+        out = repAll(out, "(?i)\\bAS\\s+CHAR\\s*\\)", "AS GRAFT_CCAST_1)")
+        lowered = out.toLowerCase
+        for ((from, to) <- typeRenames if from != to)
+          if (lowered.contains(from)) {
+            // a length/precision parameter is dropped with the rename:
+            // CAST(x AS VARCHAR(255)) → CAST(x AS string) — Spark's
+            // string is unbounded, and `string(255)` does not parse
+            out = repAll(out, s"(?i)\\bAS\\s+$from\\s*\\(\\s*\\d+\\s*\\)", s"AS $to")
+            out = repAll(out, s"(?i)\\bAS\\s+$from\\b", s"AS $to")
+            out = repAll(out, s"(?i)\\b$from\\s*'", s"$to '") // typed literals
+            lowered = out.toLowerCase
+          }
         // TRY(expr) → try_(...) has no direct generic form; map the
         // common arithmetic case TRY(a / b) → try_divide(a, b). The
         // denominator may be a single parenthesized group. Documented
@@ -610,7 +646,7 @@ object Dialect {
         // no-op (IEEE division never errors, so x/0e0 → ±Infinity/
         // NaN) while try_divide yields NULL; plain `/` on doubles DOES
         // carry the IEEE contract (plans/IeeeDoubleDivide.scala).
-        out = out.replaceAll(
+        out = repAll(out, 
           "(?i)\\bTRY\\s*\\(\\s*([^()/,]+)/\\s*(\\([^()]*\\)|[^(),]+)\\s*\\)",
           "try_divide($1,$2)")
         // Quantified comparison predicates are handled whole-text by
@@ -678,7 +714,7 @@ object Dialect {
     * multi-argument zip and WITH ORDINALITY stay with RelationSql —
     * here they pass through untranslated for Spark to reject loudly. */
   private def unnestJoinPass(canon0: String): String = {
-    val re = "(?i)\\b(CROSS|LEFT(?:\\s+OUTER)?)\\s+JOIN\\s+UNNEST\\s*\\(".r
+    val re = cre("(?i)\\b(CROSS|LEFT(?:\\s+OUTER)?)\\s+JOIN\\s+UNNEST\\s*\\(")
     var out = canon0
     var guard = 0
     var m = re.findFirstMatchIn(out)
@@ -699,9 +735,9 @@ object Dialect {
       require(depth == 0, s"unbalanced UNNEST in: $canon0")
       val args = out.substring(mm.end, i - 1)
       val tail = out.substring(i)
-      val aliasRe = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)\\s*\\(([^)]*)\\)".r
+      val aliasRe = cre("(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)\\s*\\(([^)]*)\\)")
       val am = aliasRe.findFirstMatchIn(tail)
-      val ordinality = "(?is)^\\s*WITH\\s+ORDINALITY".r.findFirstIn(tail).isDefined
+      val ordinality = cre("(?is)^\\s*WITH\\s+ORDINALITY").findFirstIn(tail).isDefined
       // unsupported form (multi-arg zip, WITH ORDINALITY, no alias):
       // stop rewriting — the text passes through and Spark rejects it
       // loudly, same fail-loud posture as the rest of the dialect
@@ -710,7 +746,7 @@ object Dialect {
       // synthesized), or nothing at all (alias and column synthesized —
       // SELECT * consumers see the value under a generated name)
       val bareAliasRe =
-        "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)(?!\\s*\\()(?![\\w])".r
+        cre("(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)(?!\\s*\\()(?![\\w])")
       val keywordish = Set("on", "where", "group", "order", "limit", "join",
         "inner", "left", "right", "full", "cross", "union", "having", "lateral")
       val (alias, cols, aliasEnd) = am match {
@@ -728,7 +764,7 @@ object Dialect {
       }
       var rest = tail.substring(aliasEnd)
       if (outer) {
-        val onRe = "(?is)^\\s*ON\\s+TRUE".r
+        val onRe = cre("(?is)^\\s*ON\\s+TRUE")
         val om = onRe.findFirstIn(rest)
         require(om.isDefined, "LEFT JOIN UNNEST requires ON TRUE")
         rest = rest.substring(om.get.length)
@@ -759,7 +795,7 @@ object Dialect {
     * keyword; SELECT and (GROUP/ORDER) BY are value contexts, WHERE/
     * HAVING/ON/WHEN are filter contexts. */
   private def projectedInPass(canon0: String): String = {
-    val re = "(?i)\\b(NOT\\s+)?IN\\s*\\(\\s*SELECT\\b".r
+    val re = cre("(?i)\\b(NOT\\s+)?IN\\s*\\(\\s*SELECT\\b")
     var out = canon0
     var guard = 0
     var from = 0
@@ -804,7 +840,7 @@ object Dialect {
   }
 
   private def quantifiedPass(canon0: String): String = {
-    val re = "(?i)(<=|>=|<>|!=|=|<|>)\\s*(ALL|ANY|SOME)\\s*\\(".r
+    val re = cre("(?i)(<=|>=|<>|!=|=|<|>)\\s*(ALL|ANY|SOME)\\s*\\(")
     var out = canon0
     var guard = 0
     var m = re.findFirstMatchIn(out)
@@ -910,7 +946,7 @@ object Dialect {
       val constList: Option[Seq[String]] =
         if (sub.matches(s"(?is)^\\s*VALUES\\s+$litTok(\\s*,\\s*$litTok)*\\s*$$"))
           Some(MatchRecognizeSql.splitTopLevel(
-            sub.replaceAll("(?is)^\\s*VALUES", ""), ',').map(_.trim))
+            repAll(sub, "(?is)^\\s*VALUES", ""), ',').map(_.trim))
         else None
       val rep = constList match {
         case Some(items) =>
@@ -964,10 +1000,10 @@ object Dialect {
     * inValuesPass so `IN (VALUES …)` (which Spark handles natively in
     * ON once wrapped) is not swept up. */
   private def innerJoinOnSubqueryPass(canon0: String): String = {
-    val joinRe = "(?i)\\bJOIN\\b".r
-    val inSubRe = "(?is)\\bIN\\s*\\(\\s*SELECT\\b".r
-    val stopRe = ("(?is)^(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|WHERE|GROUP|" +
-      "HAVING|WINDOW|ORDER|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|ON)\\b").r
+    val joinRe = cre("(?i)\\bJOIN\\b")
+    val inSubRe = cre("(?is)\\bIN\\s*\\(\\s*SELECT\\b")
+    val stopRe = cre(("(?is)^(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|WHERE|GROUP|" +
+      "HAVING|WINDOW|ORDER|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|ON)\\b"))
     var out = canon0
     var searchFrom = 0
     var guard = 0
@@ -986,7 +1022,7 @@ object Dialect {
       }
       // outer/cross joins keep their ON
       val before = out.substring(0, jPos)
-      val prevWord = "(?is)([A-Za-z_]+)\\s*$".r.findFirstMatchIn(before)
+      val prevWord = cre("(?is)([A-Za-z_]+)\\s*$").findFirstMatchIn(before)
         .map(_.group(1).toUpperCase).getOrElse("")
       val isInner = !Set("LEFT", "RIGHT", "FULL", "CROSS", "OUTER")(prevWord)
       // find this join's ON at the same depth (before any stop keyword)
@@ -1069,7 +1105,7 @@ object Dialect {
     * function call, so wrap it as the subquery it denotes:
     * `IN (SELECT * FROM (VALUES …))`. */
   private def inValuesPass(canon0: String): String = {
-    val re = "(?i)\\bIN\\s*\\(\\s*VALUES\\b".r
+    val re = cre("(?i)\\bIN\\s*\\(\\s*VALUES\\b")
     var out = canon0
     var m = re.findFirstMatchIn(out)
     var guard = 0
@@ -1093,7 +1129,7 @@ object Dialect {
     * convenience; the scalable partial-aggregating path is the
     * `graft.functions.ReduceAgg` Scala API. */
   private def reduceAggPass(canon0: String): String = {
-    val re = "(?i)\\breduce_agg\\s*\\(".r
+    val re = cre("(?i)\\breduce_agg\\s*\\(")
     var out = canon0
     var m = re.findFirstMatchIn(out)
     var guard = 0
@@ -1109,8 +1145,8 @@ object Dialect {
       // reduce_agg(...) OVER (...)): the OVER belongs to the
       // collect_list, not to the scalar fold — pull it inside
       val afterTxt = out.substring(close + 1)
-      val overM = ("(?is)^\\s*OVER\\s*(\\([^()]*" +
-        "(?:\\([^()]*\\)[^()]*)*\\)|[A-Za-z_][A-Za-z0-9_]*)").r
+      val overM = cre(("(?is)^\\s*OVER\\s*(\\([^()]*" +
+        "(?:\\([^()]*\\)[^()]*)*\\)|[A-Za-z_][A-Za-z0-9_]*)"))
         .findPrefixMatchOf(afterTxt)
       val (collect, restFrom) = overM match {
         case Some(om) =>
@@ -1172,7 +1208,7 @@ object Dialect {
     * constructor rewrite, which would otherwise turn the type into
     * `AS struct(` (the pre-r14 fail-loud posture). */
   private def rowTypePass(canon0: String): String = {
-    val re = "(?i)\\bAS\\s+(ROW|ARRAY|MAP)\\s*\\(".r
+    val re = cre("(?i)\\bAS\\s+(ROW|ARRAY|MAP)\\s*\\(")
     var out = canon0
     var m = re.findFirstMatchIn(out)
     var guard = 0
@@ -1197,7 +1233,7 @@ object Dialect {
     * full grammar; the text passes through untouched for Spark to
     * reject loudly. */
   private def unnestRelationPass(canon0: String): String = {
-    val re = "(?i)\\bFROM\\s+(UNNEST)\\s*\\(".r
+    val re = cre("(?i)\\bFROM\\s+(UNNEST)\\s*\\(")
     var out = canon0
     var guard = 0
     var m = re.findFirstMatchIn(out)
@@ -1219,9 +1255,9 @@ object Dialect {
           else sb2 += c
         }
         acc += sb2.toString
-        acc.toSeq.map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+        acc.toSeq.map(repAll(_, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
       }
-      val ord = "(?is)^\\s*WITH\\s+ORDINALITY".r
+      val ord = cre("(?is)^\\s*WITH\\s+ORDINALITY")
         .findFirstIn(out.substring(close + 1)).isDefined
       if (ord) return out
       // an argument is a ROW array when its canonical text says so —
@@ -1265,8 +1301,8 @@ object Dialect {
     * their default frame from the whole partition to
     * RANGE … CURRENT ROW. */
   private def unorderedRankingPass(canon0: String): String = {
-    val re = ("(?i)\\b(row_number|rank|dense_rank|percent_rank|cume_dist|" +
-      "ntile)\\s*\\([^)]*\\)\\s*OVER\\s*\\(").r
+    val re = cre(("(?i)\\b(row_number|rank|dense_rank|percent_rank|cume_dist|" +
+      "ntile)\\s*\\([^)]*\\)\\s*OVER\\s*\\("))
     var out = canon0
     var guard = 0
     var from = 0
@@ -1277,7 +1313,7 @@ object Dialect {
       val open = from + m.get.end - 1
       val close = closeParen(out, open)
       val body = out.substring(open + 1, close)
-      if (!"(?i)\\bORDER\\s+BY\\b".r.findFirstIn(body).isDefined) {
+      if (!cre("(?i)\\bORDER\\s+BY\\b").findFirstIn(body).isDefined) {
         val sep = if (body.trim.isEmpty) "ORDER BY 1" else " ORDER BY 1"
         out = out.substring(0, close) + sep + out.substring(close)
       }
@@ -1297,12 +1333,12 @@ object Dialect {
     * depth-0 terminator keyword (LIMIT/ROWS/…), an unmatched `)`, or
     * end of text. */
   private val obTermRe =
-    ("(?i)\\A(LIMIT|OFFSET|FETCH|WINDOW|UNION|INTERSECT|EXCEPT|ROWS|" +
-      "RANGE|GROUPS|HAVING|FOR|MEASURES|SEPARATOR)\\b").r
+    cre(("(?i)\\A(LIMIT|OFFSET|FETCH|WINDOW|UNION|INTERSECT|EXCEPT|ROWS|" +
+      "RANGE|GROUPS|HAVING|FOR|MEASURES|SEPARATOR)\\b"))
 
   private def orderByNullsPass(canon0: String): String = {
     var out = canon0
-    val re = "(?i)\\bORDER\\s+BY\\b".r
+    val re = cre("(?i)\\bORDER\\s+BY\\b")
     // right-to-left so inserted suffixes never shift unprocessed spans
     for (m <- re.findAllMatchIn(out).toList.reverse) {
       var i = m.end
@@ -1331,11 +1367,11 @@ object Dialect {
       for ((s, e) <- items) { // right-to-left within the clause too
         val item = out.substring(s, e)
         val body = item.trim
-        val explicit = "(?is)NULLS\\s+(FIRST|LAST)\\s*\\z".r
+        val explicit = cre("(?is)NULLS\\s+(FIRST|LAST)\\s*\\z")
           .findFirstIn(body).isDefined
         if (body.nonEmpty && !explicit) {
           val suffix =
-            if ("(?is)\\bDESC\\s*\\z".r.findFirstIn(body).isDefined) " NULLS FIRST"
+            if (cre("(?is)\\bDESC\\s*\\z").findFirstIn(body).isDefined) " NULLS FIRST"
             else " NULLS LAST"
           val insertAt = s + item.lastIndexWhere(!_.isWhitespace) + 1
           out = out.substring(0, insertAt) + suffix + out.substring(insertAt)
@@ -1353,8 +1389,8 @@ object Dialect {
     * testRows vectors). Strip the ROW token from each top-level list
     * item; nested `ROW(…)` inside an item stays a constructor. */
   private def valuesRowPass(canon0: String): String = {
-    val vre = "(?i)\\bVALUES\\b".r
-    val rowRe = "(?is)\\A(\\s*)ROW\\s*(?=\\()".r
+    val vre = cre("(?i)\\bVALUES\\b")
+    val rowRe = cre("(?is)\\A(\\s*)ROW\\s*(?=\\()")
     var out = canon0
     // reverse order: the pass only deletes characters AFTER each
     // VALUES position, so earlier positions stay valid
@@ -1394,7 +1430,7 @@ object Dialect {
     * VALUES are rewritten — plain ones keep Spark's native inline
     * table (better plans: LocalRelation, not a Union). */
   private def valuesLambdaPass(canon0: String): String = {
-    val re = "(?i)\\(\\s*VALUES\\b".r
+    val re = cre("(?i)\\(\\s*VALUES\\b")
     var out = canon0
     var guard = 0
     var from = 0
@@ -1433,7 +1469,7 @@ object Dialect {
     * vectors pin. Nested applies converge over iterations (outer
     * first; the inner call text survives into the rewritten form). */
   private def applyPass(canon0: String): String = {
-    val re = "(?i)\\bapply\\s*\\(".r
+    val re = cre("(?i)\\bapply\\s*\\(")
     var out = canon0
     var m = re.findFirstMatchIn(out)
     var guard = 0
@@ -1460,7 +1496,7 @@ object Dialect {
           require(!body.contains("->"),
             "apply() with a subquery input supports only non-nested lambdas " +
               "(Spark disallows subqueries in higher-order functions)")
-          body.replaceAll(
+          repAll(body, 
             "(?<![\\w.])" + java.util.regex.Pattern.quote(param) + "(?![\\w])",
             java.util.regex.Matcher.quoteReplacement(s"(${args(0)})"))
         } else
@@ -1499,7 +1535,7 @@ object Dialect {
     * (json_parse output) re-encodes as a quoted JSON string — the
     * reference's identity cast is untypeable once JSON ≡ varchar. */
   private def castAsJsonPass(canon0: String): String = {
-    val re = "(?is)\\bAS\\s+GRAFT_JSON_CAST\\s*\\)".r
+    val re = cre("(?is)\\bAS\\s+GRAFT_JSON_CAST\\s*\\)")
     var out = canon0
     var from = 0
     var guard = 0
@@ -1519,7 +1555,7 @@ object Dialect {
       }
       val pre =
         (if (open > 0) out.substring(0, open) else "")
-          .replaceAll("[ \\t\\r\\n]+$", "")
+          .pipe(repAll(_, "[ \\t\\r\\n]+$", ""))
       val kind =
         if (pre.toUpperCase.endsWith("TRY_CAST")) 8
         else if (pre.toUpperCase.endsWith("CAST")) 4
@@ -1527,7 +1563,7 @@ object Dialect {
       if (open >= 0 && kind > 0) {
         val castStart = pre.length - kind
         val expr = "(" +
-          out.substring(open + 1, mStart).replaceAll("[ \\t\\r\\n]+$", "") + ")"
+          repAll(out.substring(open + 1, mStart), "[ \\t\\r\\n]+$", "") + ")"
         val frag =
           s"substr(to_json(array($expr)), 2, length(to_json(array($expr))) - 2)"
         val repl = s"IF($expr IS NULL, CAST(NULL AS STRING), $frag)"
@@ -1539,7 +1575,7 @@ object Dialect {
     }
     // leftover sentinels were NOT cast positions (e.g. an alias
     // literally named json) — restore the original spelling
-    out.replaceAll("(?i)\\bAS\\s+GRAFT_JSON_CAST\\b", "AS json")
+    repAll(out, "(?i)\\bAS\\s+GRAFT_JSON_CAST\\b", "AS json")
   }
 
   /** `CAST(x AS UUID)` / `CAST(x AS IPADDRESS)` (+ TRY_CAST forms) on
@@ -1556,7 +1592,7 @@ object Dialect {
     for ((sentinel, fn) <- Seq(
       "GRAFT_UUID_CAST" -> "graft_uuid",
       "GRAFT_IP_CAST" -> "graft_ipaddress")) {
-      val re = s"(?is)\\bAS\\s+$sentinel\\s*\\)".r
+      val re = cre(s"(?is)\\bAS\\s+$sentinel\\s*\\)")
       var from = 0
       var guard = 0
       var m = re.findFirstMatchIn(out.substring(from))
@@ -1575,7 +1611,7 @@ object Dialect {
         }
         val pre =
           (if (open > 0) out.substring(0, open) else "")
-            .replaceAll("[ \\t\\r\\n]+$", "")
+            .pipe(repAll(_, "[ \\t\\r\\n]+$", ""))
         val kind =
           if (pre.toUpperCase.endsWith("TRY_CAST")) 8
           else if (pre.toUpperCase.endsWith("CAST")) 4
@@ -1585,9 +1621,9 @@ object Dialect {
           // NOT String.trim: it strips every char <= U+0020, which
           // eats the U+0001/U+0002 literal sentinels
           val expr = out.substring(open + 1, mStart)
-            .replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+            .pipe(repAll(_, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
           val isBinLit =
-            "(?i)^X\\u0001\\d+\\u0002$".r.findFirstIn(expr).isDefined
+            cre("(?i)^X\\u0001\\d+\\u0002$").findFirstIn(expr).isDefined
           val call =
             if (isBinLit) s"${fn}_bin($expr)"
             else if (kind == 8) s"${fn}_try($expr)"
@@ -1598,15 +1634,15 @@ object Dialect {
         m = re.findFirstMatchIn(out.substring(from))
           .map(x => (x.start + from, x.end + from))
       }
-      out = out.replaceAll(s"(?i)\\bAS\\s+$sentinel\\b",
+      out = repAll(out, s"(?i)\\bAS\\s+$sentinel\\b",
         "AS " + (if (sentinel.contains("UUID")) "uuid" else "ipaddress"))
     }
     // value-form VARBINARY casts over UUID/IPADDRESS EXPRESSIONS:
     // `CAST(CAST(x AS UUID) AS VARBINARY)` arrives here (varbinary is
     // already renamed to binary) as `CAST(graft_uuid(x) AS binary)` —
     // route to the 16-byte kernels instead of Spark's text-bytes cast
-    val vbRe = ("(?i)\\b(TRY_)?CAST\\s*\\(\\s*(graft_uuid(?:_try|_bin)?|" +
-      "graft_ipaddress(?:_try|_bin)?)\\s*\\(").r
+    val vbRe = cre(("(?i)\\b(TRY_)?CAST\\s*\\(\\s*(graft_uuid(?:_try|_bin)?|" +
+      "graft_ipaddress(?:_try|_bin)?)\\s*\\("))
     var vfrom = 0
     var vguard = 0
     var vm = vbRe.findFirstMatchIn(out)
@@ -1623,7 +1659,7 @@ object Dialect {
         if (c == '(') depth += 1 else if (c == ')') depth -= 1
         i += 1
       }
-      val tailM = "(?i)^\\s*AS\\s+binary\\s*\\)".r
+      val tailM = cre("(?i)^\\s*AS\\s+binary\\s*\\)")
         .findFirstMatchIn(out.substring(i))
       if (depth == 0 && tailM.isDefined) {
         val innerCall = out.substring(innerStart, i)
@@ -1649,7 +1685,7 @@ object Dialect {
     * failure inner cast. NULL propagates through substr/rpad. */
   private def castCharLenPass(canon0: String): String = {
     var out = canon0
-    val re = "(?is)\\bAS\\s+GRAFT_(V|C)CAST_(\\d+)\\s*\\)".r
+    val re = cre("(?is)\\bAS\\s+GRAFT_(V|C)CAST_(\\d+)\\s*\\)")
     var from = 0
     var guard = 0
     var m = re.findFirstMatchIn(out.substring(from))
@@ -1671,7 +1707,7 @@ object Dialect {
       }
       val pre =
         (if (open > 0) out.substring(0, open) else "")
-          .replaceAll("[ \\t\\r\\n]+$", "")
+          .pipe(repAll(_, "[ \\t\\r\\n]+$", ""))
       val kind =
         if (pre.toUpperCase.endsWith("TRY_CAST")) 8
         else if (pre.toUpperCase.endsWith("CAST")) 4
@@ -1682,7 +1718,7 @@ object Dialect {
         // NOT String.trim: it strips every char <= U+0020, which eats
         // the U+0001/U+0002 literal sentinels
         val expr = out.substring(open + 1, mStart)
-          .replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+          .pipe(repAll(_, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
         // left(), not substr(): the dialect renames substr to the
         // reference-semantics UDF on a later translate, which would
         // break idempotence AND foldability inside VALUES
@@ -1697,12 +1733,12 @@ object Dialect {
         .map(x => (x.start + from, x.end + from, x.group(1).toUpperCase, x.group(2)))
     }
     // leftover sentinels were NOT cast positions — restore spellings
-    out = out.replaceAll("(?i)\\bAS\\s+GRAFT_VCAST_(\\d+)\\b", "AS varchar($1)")
-    out.replaceAll("(?i)\\bAS\\s+GRAFT_CCAST_(\\d+)\\b", "AS char($1)")
+    out = repAll(out, "(?i)\\bAS\\s+GRAFT_VCAST_(\\d+)\\b", "AS varchar($1)")
+    repAll(out, "(?i)\\bAS\\s+GRAFT_CCAST_(\\d+)\\b", "AS char($1)")
   }
 
   private def jsonConstructorPass(canon0: String): String = {
-    val re = "(?i)\\bjson_(object|array)\\s*\\(".r
+    val re = cre("(?i)\\bjson_(object|array)\\s*\\(")
     var out = canon0
     var m = re.findFirstMatchIn(out)
     var guard = 0
@@ -1712,7 +1748,7 @@ object Dialect {
     // \u0001/\u0002 literal sentinels a bare string-literal argument
     // is made of
     def tws(x: String): String =
-      x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+      repAll(x, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
     while (m.isDefined && guard < 32) {
       guard += 1
       val isObject = m.get.group(1).equalsIgnoreCase("object")
@@ -1722,8 +1758,8 @@ object Dialect {
       var returning: Option[String] = None
       var retEncoding: Option[String] = None
       val retRe =
-        ("(?is)\\s+RETURNING\\s+([A-Za-z_]+(\\s*\\(\\s*\\d+\\s*\\))?)" +
-          "(\\s+FORMAT\\s+JSON(\\s+ENCODING\\s+UTF(8|16|32))?)?\\s*$").r
+        cre(("(?is)\\s+RETURNING\\s+([A-Za-z_]+(\\s*\\(\\s*\\d+\\s*\\))?)" +
+          "(\\s+FORMAT\\s+JSON(\\s+ENCODING\\s+UTF(8|16|32))?)?\\s*$"))
       retRe.findFirstMatchIn(body).foreach { r =>
         returning = Some(r.group(1))
         retEncoding = Option(r.group(5))
@@ -1731,19 +1767,19 @@ object Dialect {
       // {WITH | WITHOUT} UNIQUE [KEYS] (grammar order: before RETURNING,
       // after the null treatment — both tails accepted here)
       var uniqueKeys = false
-      val uniqRe = "(?is)\\s+(WITH|WITHOUT)\\s+UNIQUE(\\s+KEYS)?\\s*$".r
+      val uniqRe = cre("(?is)\\s+(WITH|WITHOUT)\\s+UNIQUE(\\s+KEYS)?\\s*$")
       uniqRe.findFirstMatchIn(body).foreach { r =>
         uniqueKeys = r.group(1).equalsIgnoreCase("WITH")
         body = body.substring(0, r.start) }
       var absent = !isObject
-      val onNullRe = "(?is)\\s+(NULL|ABSENT)\\s+ON\\s+NULL\\s*$".r
+      val onNullRe = cre("(?is)\\s+(NULL|ABSENT)\\s+ON\\s+NULL\\s*$")
       onNullRe.findFirstMatchIn(body).foreach { r =>
         absent = r.group(1).equalsIgnoreCase("ABSENT")
         body = body.substring(0, r.start) }
       val rawArgs = if (tws(body).isEmpty) Seq.empty[String]
         else MatchRecognizeSql.splitTopLevel(body, ',').map(tws)
       val fmtRe =
-        "(?is)\\s+FORMAT\\s+JSON(\\s+ENCODING\\s+UTF(8|16|32))?\\s*$".r
+        cre("(?is)\\s+FORMAT\\s+JSON(\\s+ENCODING\\s+UTF(8|16|32))?\\s*$")
       def encCharset(e: String): String = e match {
         case "8" => "UTF-8"
         case "16" => "UTF-16LE"
@@ -1756,7 +1792,7 @@ object Dialect {
       // re-parse through graft_json_norm — the reference validates and
       // minifies them (malformed input raises, duplicate object keys
       // collapse); ENCODING forms decode the binary first.
-      val jsonValued = "(?is)^json_(object|array|query)\\s*\\(.*".r
+      val jsonValued = cre("(?is)^json_(object|array|query)\\s*\\(.*")
       // (expr, raw: implicit splice, fmt: explicit FORMAT JSON [+enc])
       val items = rawArgs.map { a0 =>
         var a = a0
@@ -1779,10 +1815,10 @@ object Dialect {
         else frag(v)
       val rendered =
         if (isObject) {
-          val kvRe = "(?is)^KEY\\s+(.*?)\\s+VALUE\\s+(.*)$".r
+          val kvRe = cre("(?is)^KEY\\s+(.*?)\\s+VALUE\\s+(.*)$")
           // the KEY-less `k VALUE v` spelling (testArgumentPassing
           // Conventions) — only split on a top-level VALUE keyword
-          val kvRe2 = "(?is)^(.*?)\\s+VALUE\\s+(.*)$".r
+          val kvRe2 = cre("(?is)^(.*?)\\s+VALUE\\s+(.*)$")
           val parsed = items.map { case (kv, fmt, enc) =>
             val (k, v) = kvRe.findFirstMatchIn(kv) match {
               case Some(r) => (tws(r.group(1)), tws(r.group(2)))
@@ -1879,8 +1915,8 @@ object Dialect {
       -1
     }
     def ws(x: String): String =
-      x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
-    val re = "(?i)\\bFILTER\\s*\\(".r
+      repAll(x, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+    val re = cre("(?i)\\bFILTER\\s*\\(")
     var out = canon0
     var guard = 0
     var searchFrom = 0
@@ -1891,22 +1927,22 @@ object Dialect {
       val fOpen = out.indexOf('(', searchFrom + m.get.start + 6)
       val fClose = closeParen(out, fOpen)
       val afterFilter = out.substring(fClose + 1)
-      val overM = "(?is)^\\s*OVER\\b".r.findPrefixMatchOf(afterFilter)
+      val overM = cre("(?is)^\\s*OVER\\b").findPrefixMatchOf(afterFilter)
       // the FILTER must trail a call: ...fn(args) FILTER
       val beforeTxt = out.substring(0, searchFrom + m.get.start)
-      val beforeTrim = beforeTxt.replaceAll("[ \\t\\r\\n]+$", "")
+      val beforeTrim = repAll(beforeTxt, "[ \\t\\r\\n]+$", "")
       if (overM.isEmpty || beforeTrim.isEmpty || beforeTrim.last != ')') {
         searchFrom = fClose + 1
       } else {
         val callClose = beforeTrim.length - 1
         val callOpen = openParen(out, callClose)
-        val fnM = "(?i)([a-z_][a-z0-9_]*)\\s*$".r
+        val fnM = cre("(?i)([a-z_][a-z0-9_]*)\\s*$")
           .findFirstMatchIn(out.substring(0, callOpen))
         if (fnM.isEmpty) { searchFrom = fClose + 1 }
         else {
           val fn = fnM.get.group(1).toLowerCase
           val cond = ws(out.substring(fOpen + 1, fClose))
-            .replaceAll("(?is)^WHERE\\b", "")
+            .pipe(repAll(_, "(?is)^WHERE\\b", ""))
           val body = out.substring(callOpen + 1, callClose)
           // top-level ORDER BY inside a FILTERed window agg has no
           // Spark lowering — fail loud rather than silently drop it
@@ -1917,7 +1953,7 @@ object Dialect {
               if (c == '(') depth += 1 else if (c == ')') depth -= 1
               else if (depth == 0 && (c == 'O' || c == 'o') &&
                 (i == 0 || !body.charAt(i - 1).isLetterOrDigit) &&
-                "(?is)^ORDER\\s+BY\\b".r.findPrefixMatchOf(body.substring(i)).isDefined)
+                cre("(?is)^ORDER\\s+BY\\b").findPrefixMatchOf(body.substring(i)).isDefined)
                 found = true
               i += 1
             }
@@ -1925,8 +1961,8 @@ object Dialect {
           }
           require(!hasTopOrderBy,
             "FILTER with an aggregate-level ORDER BY in a window context is unsupported")
-          val isDistinct = "(?is)^\\s*DISTINCT\\b.*".r.matches(body)
-          val inner = ws(if (isDistinct) body.replaceAll("(?is)^\\s*DISTINCT", "") else body)
+          val isDistinct = cre("(?is)^\\s*DISTINCT\\b.*").matches(body)
+          val inner = ws(if (isDistinct) repAll(body, "(?is)^\\s*DISTINCT", "") else body)
           val distinctKw = if (isDistinct) "DISTINCT " else ""
           if (fn == "array_agg") {
             // null-keeping: wrap the value in a struct so a NULL value
@@ -1940,7 +1976,7 @@ object Dialect {
                 // identifier so it stays inside the transform() wrapper
                 val tail = out.substring(fClose + 1 + overM.get.end)
                 val idM =
-                  "(?s)^[ \\t\\r\\n]*(?:[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\")".r
+                  cre("(?s)^[ \\t\\r\\n]*(?:[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\")")
                     .findPrefixMatchOf(tail)
                 fClose + overM.get.end + idM.map(_.end).getOrElse(0)
               }
@@ -1979,11 +2015,11 @@ object Dialect {
     * failing here names the problem. Runs on canonical text (string
     * literals are sentinels, so names inside quotes never count). */
   private def recursiveGuard(canon: String): Unit = {
-    val wrM = "(?is)\\bWITH\\s+RECURSIVE\\b".r.findFirstMatchIn(canon)
+    val wrM = cre("(?is)\\bWITH\\s+RECURSIVE\\b").findFirstMatchIn(canon)
     if (wrM.isEmpty) return
     val names = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val nameRe =
-      "(?is)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^()]*\\))?\\s*AS\\s*\\(".r
+      cre("(?is)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^()]*\\))?\\s*AS\\s*\\(")
     var pos = wrM.get.end
     var cont = true
     while (cont) {
@@ -1992,14 +2028,14 @@ object Dialect {
           val open = pos + m.end - 1
           val close = closeParen(canon, open)
           names += ((m.group(1), canon.substring(open + 1, close)))
-          val comma = "(?s)^\\s*,".r.findPrefixMatchOf(canon.substring(close + 1))
+          val comma = cre("(?s)^\\s*,").findPrefixMatchOf(canon.substring(close + 1))
           if (comma.isDefined) pos = close + 1 + comma.get.end
           else cont = false
         case None => cont = false
       }
     }
     def refs(name: String, txt: String): Int =
-      ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      cre(("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b"))
         .findAllIn(txt).length
     for (((n, body), idx) <- names.zipWithIndex) {
       names.drop(idx + 1).foreach { case (later, laterBody) =>
@@ -2030,11 +2066,11 @@ object Dialect {
   private def listaggOverflowPass(canon0: String,
       newLit: String => String): String = {
     def ws(x: String): String =
-      x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+      repAll(x, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
     var out = canon0
     var from = 0
     var guard = 0
-    val re = "(?i)\\bLISTAGG\\s*\\(".r
+    val re = cre("(?i)\\bLISTAGG\\s*\\(")
     while (guard < 64) {
       guard += 1
       val m = re.findFirstMatchIn(out.substring(from))
@@ -2047,7 +2083,7 @@ object Dialect {
       var ovPos = -1
       var depth = 0
       var i = 0
-      val ovRe = "(?is)^ON\\s+OVERFLOW\\b".r
+      val ovRe = cre("(?is)^ON\\s+OVERFLOW\\b")
       while (i < body.length && ovPos < 0) {
         val c = body.charAt(i)
         if (c == '(') depth += 1
@@ -2060,12 +2096,12 @@ object Dialect {
       if (ovPos < 0) { from = close + 1 }
       else {
         val pre = ws(body.substring(0, ovPos))
-        val beh = ws(body.substring(ovPos).replaceAll("(?is)^ON\\s+OVERFLOW", ""))
+        val beh = ws(repAll(body.substring(ovPos), "(?is)^ON\\s+OVERFLOW", ""))
         val (isError, filler, withCount) =
           if (beh.matches("(?is)^ERROR$")) (true, newLit(""), false)
           else {
-            val tm = ("(?is)^TRUNCATE\\s*(\\u0001\\d+\\u0002)?\\s*" +
-              "(WITH|WITHOUT)\\s+COUNT$").r.findFirstMatchIn(beh).getOrElse(
+            val tm = cre(("(?is)^TRUNCATE\\s*(\\u0001\\d+\\u0002)?\\s*" +
+              "(WITH|WITHOUT)\\s+COUNT$")).findFirstMatchIn(beh).getOrElse(
               throw new IllegalArgumentException(
                 s"LISTAGG ON OVERFLOW: expected ERROR or TRUNCATE " +
                   s"[filler] WITH|WITHOUT COUNT, got '$beh'"))
@@ -2081,7 +2117,7 @@ object Dialect {
           else (parts.mkString(", "), newLit(""))
         // the WITHIN GROUP (ORDER BY ...) tail, when present, moves
         // into the array_agg argument
-        val wgM = "(?is)^\\s*WITHIN\\s+GROUP\\s*\\(".r
+        val wgM = cre("(?is)^\\s*WITHIN\\s+GROUP\\s*\\(")
           .findPrefixMatchOf(out.substring(close + 1))
         var endPos = close + 1
         var orderBy = ""
@@ -2102,11 +2138,11 @@ object Dialect {
   }
 
   private def orderedAggPass(canon0: String): String = {
-    val re = ("(?i)\\b(array_agg|sum|avg|min|max|count|bool_and|bool_or|" +
+    val re = cre(("(?i)\\b(array_agg|sum|avg|min|max|count|bool_and|bool_or|" +
       "every|any_value|arbitrary|geometric_mean|stddev|stddev_samp|" +
-      "stddev_pop|variance|var_samp|var_pop)\\s*\\(").r
+      "stddev_pop|variance|var_samp|var_pop)\\s*\\("))
     def ws(x: String): String =
-      x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+      repAll(x, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
     var out = canon0
     var from = 0
     var guard = 0
@@ -2120,7 +2156,7 @@ object Dialect {
       val close = closeParen(out, open)
       val body = out.substring(open + 1, close)
       // top-level ORDER BY position within the body
-      val obRe = "(?is)\\bORDER\\s+BY\\b".r
+      val obRe = cre("(?is)\\bORDER\\s+BY\\b")
       var obPos = -1
       var depth = 0
       var i = 0
@@ -2139,14 +2175,14 @@ object Dialect {
       // parentheses, so skip past it with closeParen rather than a
       // regex that can't balance.
       val windowed = {
-        val fM = "(?is)^\\s*FILTER\\s*\\(".r
+        val fM = cre("(?is)^\\s*FILTER\\s*\\(")
           .findPrefixMatchOf(out.substring(close + 1))
         val checkFrom = fM match {
           case Some(f) =>
             closeParen(out, out.indexOf('(', close + 1 + f.end - 1)) + 1
           case None => close + 1
         }
-        "(?is)^\\s*OVER\\b".r
+        cre("(?is)^\\s*OVER\\b")
           .findPrefixMatchOf(out.substring(checkFrom)).isDefined
       }
       if (windowed) { from = close + 1 }
@@ -2162,20 +2198,20 @@ object Dialect {
         else {
           val isDistinct = value0.matches("(?is)^DISTINCT\\b.*")
           val valueExpr =
-            ws(if (isDistinct) value0.replaceAll("(?is)^DISTINCT", "") else value0)
+            ws(if (isDistinct) repAll(value0, "(?is)^DISTINCT", "") else value0)
           val parsed: Seq[(String, Boolean, Boolean)] = if (obPos < 0) Seq.empty
           else {
-            val keysTxt = body.substring(obPos).replaceAll("(?is)^ORDER\\s+BY", "")
+            val keysTxt = repAll(body.substring(obPos), "(?is)^ORDER\\s+BY", "")
             MatchRecognizeSql.splitTopLevel(keysTxt, ',').map(ws).map { it0 =>
               var it = it0
               var nulls: Option[Boolean] = None // Some(true) = FIRST
-              "(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$".r
+              cre("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$")
                 .findFirstMatchIn(it).foreach { nm =>
                   nulls = Some(nm.group(1).equalsIgnoreCase("FIRST"))
                   it = it.substring(0, nm.start)
                 }
               var desc = false
-              "(?is)\\s+(ASC|DESC)\\s*$".r.findFirstMatchIn(it).foreach { dm =>
+              cre("(?is)\\s+(ASC|DESC)\\s*$").findFirstMatchIn(it).foreach { dm =>
                 desc = dm.group(1).equalsIgnoreCase("DESC")
                 it = it.substring(0, dm.start)
               }
@@ -2184,7 +2220,7 @@ object Dialect {
           }
           // trailing FILTER (WHERE ...) stays inside the wrap
           var tail = close + 1
-          val fM = "(?is)^\\s*FILTER\\s*\\(".r
+          val fM = cre("(?is)^\\s*FILTER\\s*\\(")
             .findPrefixMatchOf(out.substring(close + 1))
           var filterTxt = ""
           if (fM.isDefined) {
@@ -2235,9 +2271,9 @@ object Dialect {
     * Plain GROUP BY lists and single-element analytics pass through
     * untouched. */
   private def groupByCompositionPass(canon0: String): String = {
-    val re = "(?i)\\bGROUP\\s+BY\\s+(DISTINCT\\s+|ALL\\s+)?".r
-    val stopRe = ("(?is)^(HAVING|ORDER|LIMIT|OFFSET|FETCH|WINDOW|UNION|" +
-      "EXCEPT|INTERSECT)\\b").r
+    val re = cre("(?i)\\bGROUP\\s+BY\\s+(DISTINCT\\s+|ALL\\s+)?")
+    val stopRe = cre(("(?is)^(HAVING|ORDER|LIMIT|OFFSET|FETCH|WINDOW|UNION|" +
+      "EXCEPT|INTERSECT)\\b"))
     var out = canon0
     var from = 0
     var guard = 0
@@ -2264,7 +2300,7 @@ object Dialect {
       if (end < 0) end = out.length
       val listTxt = out.substring(listStart, end)
       val items = MatchRecognizeSql.splitTopLevel(listTxt, ',')
-        .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+        .map(repAll(_, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
         .filter(_.nonEmpty)
       def isAnalytics(it: String): Boolean =
         it.matches("(?is)^(ROLLUP|CUBE|GROUPING\\s+SETS)\\s*\\(.*")
@@ -2278,7 +2314,7 @@ object Dialect {
           val open = it.indexOf('(')
           val close = closeParen(it, open)
           MatchRecognizeSql.splitTopLevel(it.substring(open + 1, close), ',')
-            .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+            .map(repAll(_, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
             .filter(_.nonEmpty)
         }
         // a ROLLUP/CUBE inner argument may itself be a parenthesized
@@ -2288,7 +2324,7 @@ object Dialect {
           if (g.startsWith("(")) {
             val c2 = closeParen(g, 0)
             MatchRecognizeSql.splitTopLevel(g.substring(1, c2), ',')
-              .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+              .map(repAll(_, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
               .filter(_.nonEmpty)
           } else Seq(g)
         }
@@ -2308,7 +2344,7 @@ object Dialect {
               if (g.startsWith("(")) {
                 val c2 = closeParen(g, 0)
                 MatchRecognizeSql.splitTopLevel(g.substring(1, c2), ',')
-                  .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+                  .map(repAll(_, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
                   .filter(_.nonEmpty)
               } else Seq(g)
             }
@@ -2375,7 +2411,7 @@ object Dialect {
         inner = inner.substring(io + 1, closeParen(inner, io))
       }
       val elems = MatchRecognizeSql.splitTopLevel(inner, ',')
-        .map(_.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
+        .map(repAll(_, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", ""))
       val isTuple = head.isEmpty && !parenStruct && elems.length > 1 &&
         !inner.matches("(?is)^\\s*SELECT\\b.*") // a subquery star is not a tuple
       if (!isStruct && !parenStruct && !isTuple) {
@@ -2388,7 +2424,7 @@ object Dialect {
       // optional AS (a, b, ...) alias list
       var tail = idx + 3
       var aliased = elems
-      val aM = "(?is)^\\s*AS\\s*\\(".r.findPrefixMatchOf(out.substring(tail))
+      val aM = cre("(?is)^\\s*AS\\s*\\(").findPrefixMatchOf(out.substring(tail))
       if (aM.isDefined) {
         val ao = out.indexOf('(', tail + aM.get.end - 1)
         val ac = closeParen(out, ao)
@@ -2405,7 +2441,7 @@ object Dialect {
   }
 
   private def ifTwoArgPass(canon0: String): String = {
-    val re = "(?i)\\bif\\s*\\(".r
+    val re = cre("(?i)\\bif\\s*\\(")
     var out = canon0
     var from = 0
     var guard = 0
@@ -2440,10 +2476,10 @@ object Dialect {
     *    space-rtrim.
     */
   private def trimPass(canon0: String): String = {
-    val re = "(?i)\\b(trim|ltrim|rtrim)\\s*\\(".r
-    def ws2(x: String): String = x.replaceAll("^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+    val re = cre("(?i)\\b(trim|ltrim|rtrim)\\s*\\(")
+    def ws2(x: String): String = repAll(x, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
     def isCharCast(src: String): Boolean =
-      "(?is)^CAST\\s*\\(.*\\bAS\\s+(CHAR\\b|GRAFT_CCAST_\\d+).*\\)$".r
+      cre("(?is)^CAST\\s*\\(.*\\bAS\\s+(CHAR\\b|GRAFT_CCAST_\\d+).*\\)$")
         .matches(ws2(src))
     def charWrap(src: String, expr: String): String =
       if (isCharCast(src)) s"rtrim($expr)" else expr
@@ -2472,7 +2508,7 @@ object Dialect {
           replacement = Some(charWrap(args.head,
             s"TRIM($spec ${args(1)} FROM ${args.head})"))
       } else {
-        val specM = "(?is)^(LEADING|TRAILING|BOTH)\\b".r.findPrefixMatchOf(innerT)
+        val specM = cre("(?is)^(LEADING|TRAILING|BOTH)\\b").findPrefixMatchOf(innerT)
         val fromAt = {
           // top-level FROM inside the trim parens
           var depth = 0; var i = 0; var at = -1
@@ -2483,7 +2519,7 @@ object Dialect {
             else if (depth == 0 && (c == 'F' || c == 'f') &&
               (i == 0 || (!inner.charAt(i - 1).isLetterOrDigit &&
                 inner.charAt(i - 1) != '_')) &&
-              "(?is)^FROM\\b".r.findPrefixMatchOf(inner.substring(i)).isDefined)
+              cre("(?is)^FROM\\b").findPrefixMatchOf(inner.substring(i)).isDefined)
               at = i
             i += 1
           }
@@ -2493,7 +2529,7 @@ object Dialect {
           case (Some(sm), at) if at >= 0 =>
             val spec = sm.group(1).toUpperCase
             val lead = inner.length -
-              inner.replaceAll("^[ \\t\\r\\n]+", "").length
+              repAll(inner, "^[ \\t\\r\\n]+", "").length
             val mid = ws2(inner.substring(lead + sm.end, at))
             val src = ws2(inner.substring(at + 4))
             val u = spec match {
@@ -2547,22 +2583,22 @@ object Dialect {
     // literals are ONLY single-quoted, so on canonical text every
     // remaining double quote delimits an identifier) → Spark backticks.
     // testQuotedIdentifiers: SELECT "TOTALPRICE" "my price" FROM "ORDERS".
-    var out = canon.replaceAll("\"([^\"]*)\"", "`$1`")
+    var out = repAll(canon, "\"([^\"]*)\"", "`$1`")
     // map constructor first, so its ARRAY args are still spelled ARRAY
-    out = out.replaceAll("(?i)\\bMAP\\s*\\(\\s*(?=ARRAY\\s*\\[)",
+    out = repAll(out, "(?i)\\bMAP\\s*\\(\\s*(?=ARRAY\\s*\\[)",
       "map_from_arrays(")
     // session pseudo-functions (reference TestSessionFunctions):
     // keyword forms map onto Spark's function spellings; CURRENT_PATH
     // is the reference's empty-path default (no SQL path here), and
     // current_groups() is a registered UDF (no identity groups)
-    out = out.replaceAll("(?i)\\bCURRENT_CATALOG\\b(?!\\s*\\()", "current_catalog()")
-    out = out.replaceAll("(?i)\\bCURRENT_SCHEMA\\b(?!\\s*\\()", "current_schema()")
-    out = out.replaceAll("(?i)\\bCURRENT_USER\\b(?!\\s*\\()", "current_user()")
-    out = out.replaceAll("(?i)\\bCURRENT_PATH\\b", "''")
+    out = repAll(out, "(?i)\\bCURRENT_CATALOG\\b(?!\\s*\\()", "current_catalog()")
+    out = repAll(out, "(?i)\\bCURRENT_SCHEMA\\b(?!\\s*\\()", "current_schema()")
+    out = repAll(out, "(?i)\\bCURRENT_USER\\b(?!\\s*\\()", "current_user()")
+    out = repAll(out, "(?i)\\bCURRENT_PATH\\b", "''")
     recursiveGuard(out)
     out = rowTypePass(out)
     out = valuesRowPass(out)
-    out = out.replaceAll("(?i)\\bROW\\s*\\(", "struct(")
+    out = repAll(out, "(?i)\\bROW\\s*\\(", "struct(")
     out = unnestJoinPass(out)
     out = projectedInPass(out)
     out = quantifiedPass(out)
@@ -2592,20 +2628,20 @@ object Dialect {
     // limit"); Spark requires an INT literal, so clamp. Row counts
     // between 2^31 and 2^63 are indistinguishable from unlimited for
     // any result a driver could fetch.
-    out = "(?i)\\b(LIMIT|FETCH\\s+FIRST)\\s+(\\d{10,})".r
+    out = cre("(?i)\\b(LIMIT|FETCH\\s+FIRST)\\s+(\\d{10,})")
       .replaceAllIn(out, m =>
         if (BigInt(m.group(2)) > Int.MaxValue)
           java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} ${Int.MaxValue}")
         else m.matched)
     // LIMIT ALL (standard, testOrderByLimitAll): explicit no-limit —
     // Spark has no spelling for it, drop the clause.
-    out = out.replaceAll("(?i)\\bLIMIT\\s+ALL\\b", "")
+    out = repAll(out, "(?i)\\bLIMIT\\s+ALL\\b", "")
     // `count()` with no argument is the reference's count(*)
-    out = out.replaceAll("(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
+    out = repAll(out, "(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
 
     val sb = new StringBuilder
     val stack = scala.collection.mutable.Stack[Boolean]()
-    val arrayRe = "(?i)\\AARRAY\\s*\\[".r
+    val arrayRe = cre("(?i)\\AARRAY\\s*\\[")
     var i = 0
     while (i < out.length) {
       val c = out.charAt(i)
@@ -2625,7 +2661,7 @@ object Dialect {
       }
     }
 
-    val litRe = "\u0001(\\d+)\u0002".r
+    val litRe = cre("\u0001(\\d+)\u0002")
     // jsonConstructorPass runs LAST (after the bracket scan and
     // subscript lowering): it emits '[' / ']' STRING LITERALS, which
     // the subscript pass would otherwise read as raw subscript
