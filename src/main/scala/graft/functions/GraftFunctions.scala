@@ -150,6 +150,19 @@ object GraftFunctions {
       FunctionIdentifier("token_weight_sum"),
       new ExpressionInfo(classOf[TokenWeightSum].getName, "token_weight_sum"),
       (children: Seq[Expression]) => TokenWeightSum(children.head)))
+    // reference-contract skewness/kurtosis (CentralMoments.scala):
+    // the dialect renames reference-SQL spellings onto these; Spark's
+    // builtins stay untouched for DataFrame users
+    e.injectFunction((
+      FunctionIdentifier("graft_skewness"),
+      new ExpressionInfo(classOf[CentralMomentsAgg].getName, "graft_skewness"),
+      (children: Seq[Expression]) =>
+        CentralMomentsAgg(children.head, isKurtosis = false)))
+    e.injectFunction((
+      FunctionIdentifier("graft_kurtosis"),
+      new ExpressionInfo(classOf[CentralMomentsAgg].getName, "graft_kurtosis"),
+      (children: Seq[Expression]) =>
+        CentralMomentsAgg(children.head, isKurtosis = true)))
     e.injectFunction((
       FunctionIdentifier("min_by_n"),
       new ExpressionInfo(classOf[MinByN].getName, "min_by_n"),

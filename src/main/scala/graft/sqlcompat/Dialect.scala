@@ -35,6 +35,12 @@ object Dialect {
     "bitwise_right_shift_arithmetic" -> "shiftright",
     "json_array_length" -> "json_array_length", // same
     "arbitrary" -> "any_value",
+    // reference-contract central moments (CentralMoments.scala):
+    // reference kurtosis is SAMPLE-adjusted excess kurtosis (Spark's
+    // builtin is the population form — different value at every n)
+    // and both return NULL below their n thresholds (3 / 4)
+    "skewness" -> "graft_skewness",
+    "kurtosis" -> "graft_kurtosis",
     "listagg" -> "listagg", // Spark 4 native
     "array_join" -> "array_join", // same
     "cardinality" -> "cardinality", // same

@@ -4278,6 +4278,100 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, rpad('a', 1048564, 'a') || ',everything,.....(2)'), (2, 'listagg,string joiner')")
   }
 
+  test("central-moments aggregates: reference output contract (operator/aggregation/CentralMomentsAggregation.java)") {
+    // The reference's skewness = sqrt(n)·M3/M2^1.5 with NULL below
+    // n=3; its kurtosis is the SAMPLE-adjusted excess kurtosis
+    // (n-1)n(n+1)/((n-2)(n-3))·M4/M2² − 3(n-1)²/((n-2)(n-3)) with NULL
+    // below n=4 — Spark's builtin kurtosis is the population form, a
+    // different value at every n, so reference SQL routes to the
+    // graft aggregates. Expected values recomputed here from the
+    // contract formulas; tolerance mirrors the reference harness's
+    // Precision.equals(…, 1e-10) (the streaming state rounds
+    // differently from the two-pass fold).
+    def one(sql: String): Option[Double] = {
+      val r = runQ(sql).head()
+      vectorCount += 1
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    def near(got: Option[Double], want: Option[Double], q: String): Unit =
+      (got, want) match {
+        case (None, None) => ()
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-10, s"$q: $g vs $w")
+        case _ => fail(s"$q: $got vs $want")
+      }
+    def vals(xs: Seq[Double]): String =
+      xs.map(x => s"CAST($x AS DOUBLE)").mkString("(VALUES (", "), (", "))")
+    def skewRef(xs: Seq[Double]): Option[Double] =
+      if (xs.size < 3) None else {
+        val n = xs.size; val mu = xs.sum / n
+        val m2 = xs.map(x => (x - mu) * (x - mu)).sum
+        val m3 = xs.map(x => math.pow(x - mu, 3)).sum
+        Some(math.sqrt(n.toDouble) * m3 / math.pow(m2, 1.5))
+      }
+    def kurtRef(xs: Seq[Double]): Option[Double] =
+      if (xs.size < 4) None else {
+        val n = xs.size.toDouble; val mu = xs.sum / n
+        val m2 = xs.map(x => (x - mu) * (x - mu)).sum
+        val m4 = xs.map(x => math.pow(x - mu, 4)).sum
+        Some(((n - 1) * n * (n + 1)) / ((n - 2) * (n - 3)) * m4 / (m2 * m2)
+          - 3 * (n - 1) * (n - 1) / ((n - 2) * (n - 3)))
+      }
+    val cases = Seq(
+      Seq(1.0), Seq(1.0, 2.0), Seq(1.0, 2.0, 4.0), Seq(1.0, 2.0, 3.0),
+      Seq(1.0, 2.0, 3.0, 4.0), Seq(1.0, 2.0, 4.0, 8.0, 16.0),
+      (1 to 10).map(_.toDouble), (3 to 17).map(x => x * 1.5))
+    cases.foreach { xs =>
+      near(one(s"SELECT skewness(x) FROM ${vals(xs)} t(x)"), skewRef(xs), s"skew $xs")
+      near(one(s"SELECT kurtosis(x) FROM ${vals(xs)} t(x)"), kurtRef(xs), s"kurt $xs")
+    }
+    // nulls are skipped; an all-null feed is NULL
+    near(one("SELECT skewness(x) FROM (VALUES 1e0, NULL, 2e0, NULL, 4e0) t(x)"),
+      skewRef(Seq(1.0, 2.0, 4.0)), "skew with nulls")
+    near(one("SELECT kurtosis(x) FROM (VALUES CAST(NULL AS DOUBLE), NULL) t(x)"),
+      None, "kurt all-null")
+    // grouped: thresholds apply per group
+    val g = runQ("SELECT k, kurtosis(x) FROM (VALUES (1, 1e0), (1, 2e0), (1, 3e0), (1, 4e0), " +
+      "(2, 1e0), (2, 2e0), (2, 3e0)) t(k, x) GROUP BY k ORDER BY k").collect()
+    vectorCount += 1
+    assert(!g(0).isNullAt(1) && math.abs(g(0).getDouble(1) - kurtRef(Seq(1, 2, 3, 4).map(_.toDouble)).get) < 1e-10)
+    assert(g(1).isNullAt(1), "n=3 group must be NULL")
+    // integer inputs widen like the reference's long binding
+    near(one("SELECT kurtosis(x) FROM (VALUES 1, 2, 4, 8, 16) t(x)"),
+      kurtRef(Seq(1.0, 2.0, 4.0, 8.0, 16.0)), "kurt long")
+  }
+
+  test("typed min/max + interval aggregates (operator/aggregation/Test*MaxAggregation et al.)") {
+    // the reference's per-type accumulator tests, reduced to their
+    // SQL-visible contracts: unsigned-lexicographic varbinary order,
+    // boolean max ≡ bool_or / min ≡ bool_and, date ordering, array
+    // lexicographic ordering, all-NULL feeds → NULL (count 0), and
+    // interval sum/avg (TestIntervalDayToSecond/YearToMonth*)
+    assertVector(
+      "SELECT to_hex(max(v)) AS mx, to_hex(min(v)) AS mn FROM (VALUES X'01', X'02', CAST(NULL AS VARBINARY)) t(v)",
+      "VALUES ('02', '01')")
+    assertVector(
+      "SELECT max(v), min(v) FROM (VALUES true, false, NULL) t(v)",
+      "VALUES (true, false)")
+    assertVector(
+      "SELECT max(v), min(v) FROM (VALUES DATE '2001-01-02', DATE '1999-12-31') t(v)",
+      "VALUES (DATE '2001-01-02', DATE '1999-12-31')")
+    assertVector(
+      "SELECT max(v) FROM (VALUES ARRAY[1, 2], ARRAY[1, 3]) t(v)",
+      "VALUES ARRAY[1, 3]")
+    assertVector(
+      "SELECT max(v), min(v), count(v), count(*) FROM (VALUES CAST(NULL AS INTEGER), NULL) t(v)",
+      "VALUES (CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), BIGINT '0', BIGINT '2')")
+    assertVector(
+      "SELECT CAST(sum(v) AS VARCHAR) FROM (VALUES INTERVAL '3' MONTH, INTERVAL '2' MONTH) t(v)",
+      "VALUES 'INTERVAL ''5'' MONTH'")
+    assertVector(
+      "SELECT sum(v) = INTERVAL '6' DAY, avg(v) = INTERVAL '3' DAY FROM (VALUES INTERVAL '2' DAY, INTERVAL '4' DAY) t(v)",
+      "VALUES (true, true)")
+    assertVector(
+      "SELECT geometric_mean(v) FROM (VALUES 2e0, 8e0) t(v)",
+      "VALUES 4e0")
+  }
+
   test("correlated LATERAL aggregation vectors (sql/query/TestCorrelatedAggregation)") {
     assertVector(
       "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT count(DISTINCT value) FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key <= t.key) ON TRUE",
