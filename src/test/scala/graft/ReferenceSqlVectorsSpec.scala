@@ -4372,6 +4372,32 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES 4e0")
   }
 
+  test("aggregates as window functions (operator/window/TestApproxPercentileWindow, TestMapAggFunction, TestAggregateWindowFunction)") {
+    // the sketch/map aggregates run as WINDOW functions with the same
+    // state contract the table form uses (the reference drives each
+    // over its 10-row orders fixture; these reduce the same semantics
+    // to deterministic frames)
+    assertVector(
+      "SELECT x, approx_percentile(x, 0.5) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM (VALUES 1, 2, 3, 4) t(x)",
+      "VALUES (1, BIGINT '1'), (2, BIGINT '1'), (3, BIGINT '2'), (4, BIGINT '2')")
+    assertVector(
+      "SELECT x, approx_percentile(CAST(42 AS DOUBLE), 0.5) OVER () AS p FROM (VALUES 1, 2, 3) t(x)",
+      "VALUES (1, 42e0), (2, 42e0), (3, 42e0)")
+    assertVector(
+      "SELECT x, approx_percentile(12, ARRAY[0.3, 0.7]) OVER () AS p FROM (VALUES 1, 2) t(x)",
+      "VALUES (1, ARRAY[BIGINT '12', BIGINT '12']), (2, ARRAY[BIGINT '12', BIGINT '12'])")
+    assertVector(
+      "SELECT x, CAST(element_at(map_agg(x, x * 2) OVER (ORDER BY x), x) AS BIGINT) AS m, " +
+        "CAST(cardinality(map_agg(x, x * 2) OVER (ORDER BY x)) AS BIGINT) AS n FROM (VALUES 1, 2, 3) t(x)",
+      "VALUES (1, BIGINT '2', BIGINT '1'), (2, BIGINT '4', BIGINT '2'), (3, BIGINT '6', BIGINT '3')")
+    assertVector(
+      "SELECT x, CAST(element_at(histogram(x) OVER (ORDER BY x), x) AS BIGINT) AS h FROM (VALUES 1, 1, 2) t(x)",
+      "VALUES (1, BIGINT '2'), (1, BIGINT '2'), (2, BIGINT '1')")
+    assertVector(
+      "SELECT x, checksum(x) OVER (ORDER BY x) IS NOT NULL AS c FROM (VALUES 1, 2) t(x)",
+      "VALUES (1, true), (2, true)")
+  }
+
   test("correlated LATERAL aggregation vectors (sql/query/TestCorrelatedAggregation)") {
     assertVector(
       "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT count(DISTINCT value) FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key <= t.key) ON TRUE",
