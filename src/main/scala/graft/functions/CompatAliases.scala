@@ -396,6 +396,17 @@ object CompatAliases {
         HyperLogLogPlusPlus(c(0), relativeSD = HyperLogLogPlusPlus.validateDoubleLiteral(c(1)))
       else HyperLogLogPlusPlus(c(0), relativeSD = 0.023))
     fn(e, "arbitrary", c => First(c.head, ignoreNulls = true))
+    // reference greatest/least return NULL when ANY argument is NULL
+    // (AbstractGreatestLeast.java codegen; TestMathFunctions
+    // `greatest(5, 4, NULL, 3)` → NULL) — Spark's builtins SKIP nulls.
+    // Registered under graft_ names and routed by the dialect, so
+    // engine-emitted Spark SQL (frame lowerings) keeps Spark's
+    // null-skipping forms.
+    def nullIfAnyNull(result: Expression, args: Seq[Expression]): Expression =
+      If(args.map(IsNull(_): Expression).reduce(Or(_, _)),
+        Literal.create(null, NullType), result)
+    fn(e, "graft_greatest", c => nullIfAnyNull(Greatest(c), c))
+    fn(e, "graft_least", c => nullIfAnyNull(Least(c), c))
     fn(e, "bitwise_and_agg", c => BitAndAgg(c.head))
     fn(e, "bitwise_or_agg", c => BitOrAgg(c.head))
     fn(e, "geometric_mean", c =>

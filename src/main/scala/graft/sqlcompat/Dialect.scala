@@ -22,7 +22,11 @@ object Dialect {
     * numeric `truncate`) are deliberately absent and pass through
     * untouched so Spark reports them as unresolved. */
   private val renames: Seq[(String, String)] = Seq(
-    "approx_distinct" -> "approx_count_distinct",
+    // keep the reference spelling: the registered approx_distinct
+    // (CompatAliases) carries the reference's 2.3% default standard
+    // error — renaming onto Spark's approx_count_distinct builtin
+    // would silently degrade to its 5% default
+    "approx_distinct" -> "approx_distinct",
     "strpos" -> "instr",
     "split_to_map" -> "str_to_map", // same (text, entryDelim, kvDelim) order
     "codepoint" -> "ascii",
@@ -41,6 +45,10 @@ object Dialect {
     // and both return NULL below their n thresholds (3 / 4)
     "skewness" -> "graft_skewness",
     "kurtosis" -> "graft_kurtosis",
+    // reference NULL contract: any NULL argument → NULL (Spark's
+    // builtins skip nulls) — see CompatAliases graft_greatest
+    "greatest" -> "graft_greatest",
+    "least" -> "graft_least",
     "listagg" -> "listagg", // Spark 4 native
     "array_join" -> "array_join", // same
     "cardinality" -> "cardinality", // same
@@ -196,8 +204,13 @@ object Dialect {
     }
     if (litStart >= 0) masked.append(sql.substring(litStart))
     def isChar(s: String) = charOperandRe.findFirstIn(s.trim).isDefined
+    // coalesce(char_length, 0): this pass runs BEFORE the rename stage,
+    // so the emitted greatest becomes graft_greatest (reference NULL
+    // contract: any NULL argument → NULL) — a NULL operand must not
+    // NULL the other side's pad length (IS DISTINCT FROM is
+    // null-sensitive; rpad(NULL, …) is NULL regardless)
     def pad(a: String, b: String) =
-      s"rpad($a, greatest(char_length($a), char_length($b)))"
+      s"rpad($a, greatest(coalesce(char_length($a), 0), coalesce(char_length($b), 0)))"
     def q(s: String) = java.util.regex.Matcher.quoteReplacement(s)
     var out = masked.toString
     out = charBetweenRe.replaceAllIn(out, m => {

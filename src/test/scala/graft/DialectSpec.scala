@@ -23,7 +23,8 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("CHAR comparison pass: pad-space wrap fires only on true operands") {
     // a CHAR-cast operand in a comparison wraps both sides
     val t1 = Dialect.translate("SELECT CAST('a' AS CHAR(2)) = CAST('a ' AS CHAR(2))")
-    assert(t1.contains("rpad(") && t1.contains("greatest(char_length("), t1)
+    assert(t1.contains("rpad(") &&
+      t1.contains("greatest(coalesce(char_length("), t1)
     // executes to the reference's pad-space result
     assert(spark.sql(t1).head().getBoolean(0))
     // a column source inside the cast is handled too
@@ -150,8 +151,11 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("function renames, preserving string literals") {
+    // approx_distinct KEEPS its spelling: the registered function
+    // carries the reference's 2.3% default error (renaming onto the
+    // approx_count_distinct builtin would degrade to Spark's 5%)
     assert(Dialect.translate("SELECT approx_distinct(x) FROM t") ==
-      "SELECT approx_count_distinct(x) FROM t")
+      "SELECT approx_distinct(x) FROM t")
     assert(Dialect.translate("SELECT strpos(name, 'strpos(') FROM t") ==
       "SELECT instr(name, 'strpos(') FROM t")
     assert(Dialect.translate("SELECT 'approx_distinct(' || x FROM t") ==

@@ -4398,6 +4398,22 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, true), (2, true)")
   }
 
+  test("greatest/least NULL contract (operator/scalar/AbstractGreatestLeast.java, TestMathFunctions)") {
+    // any NULL argument → NULL (Spark's builtins skip nulls, so the
+    // dialect routes the reference spellings to graft_greatest/least)
+    assertVector("SELECT greatest(5, 4, CAST(NULL AS INTEGER), 3)",
+      "VALUES CAST(NULL AS INTEGER)")
+    assertVector("SELECT least(5, 4, CAST(NULL AS INTEGER), 3)",
+      "VALUES CAST(NULL AS INTEGER)")
+    assertVector("SELECT greatest(1, 2), least(1, 2), greatest(1.5E0, 2.5E0)",
+      "VALUES (2, 1, 2.5E0)")
+    assertVector("SELECT greatest(DATE '2013-03-30', DATE '2012-05-23')",
+      "VALUES DATE '2013-03-30'")
+    // NaN orders greatest, like the reference's type ordering
+    assertVector("SELECT is_nan(greatest(nan(), 1e0)), least(nan(), 1e0)",
+      "VALUES (true, 1e0)")
+  }
+
   test("correlated LATERAL aggregation vectors (sql/query/TestCorrelatedAggregation)") {
     assertVector(
       "SELECT * FROM (VALUES 1, 2, 3) t(key) LEFT JOIN LATERAL (SELECT count(DISTINCT value) FROM (VALUES (1, 10), (2, 20), (3, 10)) t2(key, value) WHERE t2.key <= t.key) ON TRUE",
