@@ -471,4 +471,25 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1,
       s"census should shuffle once on source (partial/final agg):\n${plan.take(1500)}")
   }
+
+  test("dx34 listagg-overflow plan: one scan, identical aggregates dedup, bounded exchanges") {
+    // the three LISTAGG calls (two identical big + one small) must
+    // collapse into ONE aggregate pass per distinct expression — a
+    // non-dedup'd plan would collect the megabyte entry arrays twice
+    val df = graft.queries.DialectQueries.queries("dx34_listagg_overflow")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${plan.take(1500)}")
+    // group rollup exchanges only (partial/final agg) — the inflated
+    // entry text must not shuffle more than once
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"listagg census over-shuffles:\n${plan.take(1500)}")
+    // identical LISTAGG calls dedup to one collector per distinct
+    // expression: exactly 2 partial collect_lists (big v + small),
+    // never 3+ (the trunc_len/trunc_tail columns re-read ONE buffer)
+    val collects = "partial_collect_list".r.findAllIn(plan).length
+    assert(collects == 2,
+      s"identical LISTAGG aggregates must dedup (big + small = 2, " +
+        s"got $collects):\n${plan.take(1500)}")
+  }
 }
