@@ -1536,7 +1536,56 @@ object Pipeline {
       |      FROM documents) t
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin
 
+  // ------------------------ p27 incremental dedup admission (bloom)
+  /** Delta-ingestion exact-dedup census: a NEW batch of documents is
+    * admitted against the EXISTING corpus's digest set — the shape
+    * every continuously-ingesting training pipeline runs (admit the
+    * shard's novel docs, reject digests the corpus already holds).
+    *
+    * 100 TB design: the corpus is scanned ONCE to build a compact
+    * Bloom filter over its 16-byte digests (driver-held, ~1 MB at
+    * fpp 3%, shipped in the task closure — never a shuffle); batch
+    * rows the filter EXCLUDES are admitted immediately (Bloom has no
+    * false negatives), and only the bloom-positive slice — dup rate ×
+    * batch + 3% FPs — confirms against the corpus digests with an
+    * exact join, so the expensive exact path touches a sliver of the
+    * batch and the corpus text never shuffles (digests only, the
+    * p1/p2 contract). Results are EXACT regardless of the filter's
+    * false-positive rate; the oracle reproduces the admission with a
+    * plain anti-join. The corpus/batch split uses moduli coprime to
+    * the source stride (source = doc_id % 20), so every source gets
+    * a deterministic mix of admitted and rejected rows. */
+  def p27(s: SparkSession, dir: String): DataFrame = {
+    val digests = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val corpus = digests.filter(col("doc_id") % 7 < 5)
+    val batch = digests.filter(col("doc_id") % 3 === 0)
+    val bf = corpus.stat.bloomFilter("h", expectedNumItems = 1000000L, fpp = 0.03)
+    val mightContain = udf((h: String) => h != null && bf.mightContainString(h))
+    // bloom-positive slice: true dups + ~3% FPs; exact confirm join
+    val maybe = batch.filter(mightContain(col("h")))
+    val confirmed = maybe.join(corpus.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    val verdicts = batch.join(confirmed.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+    verdicts.groupBy(col("source")).agg(
+      count(lit(1)).as("n_batch"),
+      sum(when(col("dup").isNull, 1L).otherwise(0L)).cast("long").as("admitted"),
+      sum(coalesce(col("dup"), lit(0L))).cast("long").as("rejected"))
+  }
+
+  val p27Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(text) AS h FROM documents),
+      |corpus AS (SELECT h FROM d WHERE doc_id % 7 < 5),
+      |batch AS (SELECT doc_id, source, h FROM d WHERE doc_id % 3 = 0)
+      |SELECT source,
+      |  count(*) AS n_batch,
+      |  CAST(count_if(h NOT IN (SELECT h FROM corpus)) AS BIGINT) AS admitted,
+      |  CAST(count_if(h IN (SELECT h FROM corpus)) AS BIGINT) AS rejected
+      |FROM batch GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_incremental_dedup" -> p27 _,
     "p26_vocab_topk" -> ((s: SparkSession, dir: String) => p26(s, dir)),
     "p25_quality_scorer" -> p25 _,
     "p1_exact_dedup" -> p1 _,
@@ -1565,6 +1614,7 @@ object Pipeline {
     "p24_ann_pq" -> p24 _)
 
   val oracle: Map[String, String] = Map(
+    "p27_incremental_dedup" -> p27Sql,
     "p26_vocab_topk" -> p26Sql,
     "p25_quality_scorer" -> p25Sql,
     "p1_exact_dedup" -> p1Sql,

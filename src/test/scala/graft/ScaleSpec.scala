@@ -472,6 +472,33 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"census should shuffle once on source (partial/final agg):\n${plan.take(1500)}")
   }
 
+  test("p27 incremental dedup: bloom prunes scan-side, digests-only joins, one rollup exchange") {
+    val df = graft.queries.Pipeline.p27(spark, sfDir)
+    val rows = df.collect()
+    // count only the FINAL (post-AQE) plan — toString appends the
+    // Initial Plan section, whose pre-broadcast exchanges would
+    // double-count
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the bloom membership UDF evaluates INSIDE the scan filters (the
+    // batch's exact-confirm slice is pruned before any join)
+    assert(plan.contains("UDF(md5"),
+      s"bloom filter must prune scan-side:\n${plan.take(2000)}")
+    // joins carry 16-byte digests / ids only — the single hash
+    // exchange is the per-source rollup; corpus text never shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected only the rollup exchange, got $exchanges:\n${plan.take(2000)}")
+    // non-degenerate census: the coprime split mixes admitted and
+    // rejected within every source
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, a, j) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == a + j, s"$r")
+      assert(a > 0 && j > 0, s"degenerate split for ${r.getString(0)}: $r")
+    }
+  }
+
   test("dx34 listagg-overflow plan: one scan, identical aggregates dedup, bounded exchanges") {
     // the three LISTAGG calls (two identical big + one small) must
     // collapse into ONE aggregate pass per distinct expression — a
