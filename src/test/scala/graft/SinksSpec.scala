@@ -25,6 +25,38 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("binaryFile source ingests raw media assets into probe-able binary columns") {
+    // the multimodal ingest path: raw files on disk → (path, length,
+    // content) rows → container probes, without any decode library.
+    // At corpus scale this is the same reader Spark distributes over
+    // object-store listings; payload bytes stay scan-side.
+    val dir = Files.createTempDirectory("graft_media").toString
+    def hexBytes(h: String): Array[Byte] =
+      h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a 1x1 PNG IHDR prefix, a minimal WAV, and a non-media file
+    Files.write(java.nio.file.Paths.get(dir, "a.png"), hexBytes(
+      "89504E470D0A1A0A0000000D4948445200000001000000010806000000" + "1F15C489"))
+    Files.write(java.nio.file.Paths.get(dir, "b.wav"), hexBytes(
+      "52494646 34000000 57415645 666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800 " +
+        "64617461 10000000" + "00" * 16))
+    Files.write(java.nio.file.Paths.get(dir, "c.txt"),
+      "not media".getBytes("UTF-8"))
+    val rows = spark.read.format("binaryFile").load(dir)
+      .selectExpr(
+        "regexp_extract(path, '([^/]+)$', 1) AS name",
+        "length",
+        "media_probe(content).format AS img",
+        "audio_probe(content).format AS aud",
+        "audio_probe(content).sample_rate AS rate")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), if (r.isNullAt(4)) -1 else r.getInt(4)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("a.png", 33L, "png", "unknown", -1),
+      ("b.wav", 60L, "unknown", "wav", 8000),
+      ("c.txt", 9L, "unknown", "unknown", -1)), rows.toString)
+  }
+
   test("write/read round-trip across parquet, orc, json, csv") {
     val src = graft.engine.Graft.load(spark, sfDir, "customer")
     for (fmt <- Seq("parquet", "orc", "json", "csv")) {
