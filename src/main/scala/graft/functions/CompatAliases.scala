@@ -557,10 +557,16 @@ object CompatAliases {
       if (a == null) null
       else {
         // string-typed specialization of the reference's generic
-        // multimap_from_entries; insertion order per key is preserved
+        // multimap_from_entries (keys/values render as text on the
+        // erased map<string,array<string>> — non-string entry fields
+        // stringify rather than crash); insertion order per key is
+        // preserved
+        def s(x: Any): String = if (x == null) null else String.valueOf(x)
         val m = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
-        a.foreach(r => m.update(r.getString(0),
-          m.getOrElse(r.getString(0), Nil) :+ r.getString(1)))
+        a.foreach { r =>
+          val k = s(r.get(0))
+          m.update(k, m.getOrElse(k, Nil) :+ s(r.get(1)))
+        }
         m.toMap
       })
     spark.udf.register("from_iso8601_timestamp_nanos",

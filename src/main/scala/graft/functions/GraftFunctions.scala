@@ -163,6 +163,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CentralMomentsAgg].getName, "graft_kurtosis"),
       (children: Seq[Expression]) =>
         CentralMomentsAgg(children.head, isKurtosis = true)))
+    // reference map_from_entries raises on NULL entries/keys and
+    // DUPLICATE keys (MapFromEntriesFunction.java) — the session's
+    // LAST_WIN dedup policy (map_concat's last-map-wins contract)
+    // would otherwise silently keep the last value
+    e.injectFunction((
+      FunctionIdentifier("map_from_entries"),
+      new ExpressionInfo(classOf[CheckUniqueKeys].getName, "map_from_entries"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.MapFromEntries(
+          CheckUniqueKeys(children.head))))
     e.injectFunction((
       FunctionIdentifier("min_by_n"),
       new ExpressionInfo(classOf[MinByN].getName, "min_by_n"),

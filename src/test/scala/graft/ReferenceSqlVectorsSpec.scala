@@ -4398,6 +4398,32 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "VALUES (1, true), (2, true)")
   }
 
+  test("map_from_entries contract: duplicate/NULL keys raise; multimap groups (operator/scalar/MapFromEntriesFunction.java)") {
+    assertVector(
+      "SELECT map_from_entries(ARRAY[ROW(1, 'a'), ROW(2, 'b')])",
+      "SELECT MAP(ARRAY[1, 2], ARRAY['a', 'b'])")
+    val dup = intercept[Exception](runQ(
+      "SELECT map_from_entries(ARRAY[ROW(1, 'a'), ROW(1, 'b')])").collect())
+    val dupMsgs = Iterator.iterate(dup: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => String.valueOf(e.getMessage)).mkString("; ")
+    assert(dupMsgs.contains("Duplicate map keys"), dupMsgs)
+    val ne = intercept[Exception](runQ(
+      "SELECT map_from_entries(ARRAY[ROW(1, 'a'), NULL])").collect())
+    val neMsgs = Iterator.iterate(ne: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => String.valueOf(e.getMessage)).mkString("; ")
+    assert(neMsgs.contains("map entry cannot be null"), neMsgs)
+    vectorCount += 2
+    // multimap groups duplicate keys in entry order (string-typed
+    // specialization — non-string fields stringify on the erasure)
+    assertVector(
+      "SELECT CAST(element_at(multimap_from_entries(ARRAY[ROW(1, 'a'), ROW(1, 'b'), ROW(2, 'c')]), '1') AS ARRAY(VARCHAR))",
+      "SELECT ARRAY['a', 'b']")
+    // map_concat keeps the reference's last-map-wins contract
+    assertVector(
+      "SELECT map_concat(MAP(ARRAY[1, 2], ARRAY['a', 'b']), MAP(ARRAY[2, 3], ARRAY['B', 'c']))",
+      "SELECT MAP(ARRAY[1, 2, 3], ARRAY['a', 'B', 'c'])")
+  }
+
   test("greatest/least NULL contract (operator/scalar/AbstractGreatestLeast.java, TestMathFunctions)") {
     // any NULL argument → NULL (Spark's builtins skip nulls, so the
     // dialect routes the reference spellings to graft_greatest/least)
