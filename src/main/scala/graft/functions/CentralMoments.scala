@@ -3,7 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -103,17 +103,24 @@ case class CentralMomentsAgg(
     isKurtosis: Boolean,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[MomentsState] {
+    extends TypedImperativeAggregate[MomentsState] with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(child)
 
+  // decimal/integral inputs coerce to double at analysis (the
+  // reference accepts them via implicit numeric coercion —
+  // `CentralMomentsAggregation.java` takes DOUBLE); non-numeric
+  // inputs fail analysis instead of ClassCastException at runtime.
+  // Declared Seq[DataType] — AbstractDataType is private[sql].
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+
   override def createAggregationBuffer(): MomentsState = new MomentsState
 
   override def update(b: MomentsState, input: InternalRow): MomentsState = {
     val v = child.eval(input)
-    if (v != null) b.add(v.asInstanceOf[Number].doubleValue())
+    if (v != null) b.add(v.asInstanceOf[Double])
     b
   }
 

@@ -51,10 +51,17 @@ object CheckUniqueKeys {
       val row = entries.getStruct(i, 2)
       if (row.isNullAt(0))
         throw new IllegalArgumentException("map key cannot be null")
-      val k = row.get(0, keyType)
+      val k0 = row.get(0, keyType)
+      val k = k0 match {
+        // Array[Byte] hashes/compares by identity — VARBINARY keys
+        // must dedup by CONTENT (reference MapFromEntriesFunction
+        // raises on duplicate varbinary keys)
+        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+        case other => other
+      }
       if (!seen.add(k))
         throw new IllegalArgumentException(
-          s"Duplicate map keys ($k) are not allowed")
+          s"Duplicate map keys ($k0) are not allowed")
       i += 1
     }
     entries

@@ -401,12 +401,11 @@ object CompatAliases {
     // `greatest(5, 4, NULL, 3)` → NULL) — Spark's builtins SKIP nulls.
     // Registered under graft_ names and routed by the dialect, so
     // engine-emitted Spark SQL (frame lowerings) keeps Spark's
-    // null-skipping forms.
-    def nullIfAnyNull(result: Expression, args: Seq[Expression]): Expression =
-      If(args.map(IsNull(_): Expression).reduce(Or(_, _)),
-        Literal.create(null, NullType), result)
-    fn(e, "graft_greatest", c => nullIfAnyNull(Greatest(c), c))
-    fn(e, "graft_least", c => nullIfAnyNull(Least(c), c))
+    // null-skipping forms. StrictGreatestLeast evaluates each
+    // argument exactly once (the earlier If(IsNull…) wrap duplicated
+    // every argument into guard + result).
+    fn(e, "graft_greatest", c => StrictGreatestLeast.build(c, isGreatest = true))
+    fn(e, "graft_least", c => StrictGreatestLeast.build(c, isGreatest = false))
     fn(e, "bitwise_and_agg", c => BitAndAgg(c.head))
     fn(e, "bitwise_or_agg", c => BitOrAgg(c.head))
     fn(e, "geometric_mean", c =>

@@ -1556,11 +1556,27 @@ object Pipeline {
     * the source stride (source = doc_id % 20), so every source gets
     * a deterministic mix of admitted and rejected rows. */
   def p27(s: SparkSession, dir: String): DataFrame = {
+    // text IS NOT NULL on BOTH sides: a NULL text hashes to NULL,
+    // which the Spark semi-join counts "admitted" while the oracle's
+    // count_if(h [NOT] IN …) counts it NEITHER — filter up front so
+    // the two sides agree (same posture as dx34's feed)
     val digests = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
     val corpus = digests.filter(col("doc_id") % 7 < 5)
     val batch = digests.filter(col("doc_id") % 3 === 0)
-    val bf = corpus.stat.bloomFilter("h", expectedNumItems = 1000000L, fpp = 0.03)
+    // Size the filter FROM THE DATA, not a constant: the documents
+    // row count is an upper bound on corpus digest cardinality (one
+    // cheap count job over the scan — no shuffle), so the filter
+    // holds its 3% FP rate at any corpus size up to the cap. The cap
+    // (16M items ≈ 14 MiB at fpp .03) bounds what ships in the task
+    // closure on a 1000-executor cluster; PAST the cap the FP rate
+    // degrades gracefully and results stay EXACT — every
+    // bloom-positive confirms against the corpus digests, so a
+    // saturated filter only degenerates to plain exact dedup.
+    val bfItems = math.min(math.max(t(s, dir, "documents").count(), 1024L),
+      16L * 1024 * 1024)
+    val bf = corpus.stat.bloomFilter("h", expectedNumItems = bfItems, fpp = 0.03)
     val mightContain = udf((h: String) => h != null && bf.mightContainString(h))
     // bloom-positive slice: true dups + ~3% FPs; exact confirm join
     val maybe = batch.filter(mightContain(col("h")))
@@ -1575,7 +1591,8 @@ object Pipeline {
 
   val p27Sql: String =
     """WITH d AS (
-      |  SELECT doc_id, source, md5(text) AS h FROM documents),
+      |  SELECT doc_id, source, md5(text) AS h FROM documents
+      |  WHERE text IS NOT NULL),
       |corpus AS (SELECT h FROM d WHERE doc_id % 7 < 5),
       |batch AS (SELECT doc_id, source, h FROM d WHERE doc_id % 3 = 0)
       |SELECT source,

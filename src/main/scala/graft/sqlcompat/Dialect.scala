@@ -2053,8 +2053,13 @@ object Dialect {
         case None => cont = false
       }
     }
+    // count only RELATION-position references: a qualified column
+    // reference (`t.n`) or a qualified name's tail (`s.t`) is not a
+    // self-reference — `SELECT t.n + 1 FROM t WHERE t.n < 5` is the
+    // canonical LINEAR recursive member and must count exactly 1
     def refs(name: String, txt: String): Int =
-      cre(("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b"))
+      cre(("(?i)(?<!\\.)\\b" + java.util.regex.Pattern.quote(name) +
+        "\\b(?!\\s*\\.)"))
         .findAllIn(txt).length
     for (((n, body), idx) <- names.zipWithIndex) {
       names.drop(idx + 1).foreach { case (later, laterBody) =>

@@ -79,6 +79,19 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH RECURSIVE u(x) AS (SELECT 1 UNION ALL SELECT x + 1 FROM u WHERE x < 3) " +
         "SELECT max(x) AS m FROM u")
     assert(spark.sql(ok).head().getInt(0) == 3)
+    // qualified self-references (t.n) are COLUMN refs, not extra
+    // self-references — the canonical linear member with a qualified
+    // WHERE/SELECT must not trip the non-linear guard
+    val okQ = Dialect.translate(
+      "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL " +
+        "SELECT t.n + 1 FROM t WHERE t.n < 5) SELECT max(n) AS m FROM t")
+    assert(spark.sql(okQ).head().getInt(0) == 5)
+    // a CTE name reused as a qualifier in ANOTHER member is one
+    // reference, not mutual recursion
+    val okA = Dialect.translate(
+      "WITH RECURSIVE p(x) AS (SELECT 1), " +
+        "q(y) AS (SELECT p.x FROM p) SELECT y FROM q")
+    assert(spark.sql(okA).head().getInt(0) == 1)
   }
 
   test("LISTAGG ON OVERFLOW lowers onto the byte-capped finish kernel") {

@@ -4412,7 +4412,14 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val neMsgs = Iterator.iterate(ne: Throwable)(_.getCause)
       .takeWhile(_ != null).map(e => String.valueOf(e.getMessage)).mkString("; ")
     assert(neMsgs.contains("map entry cannot be null"), neMsgs)
-    vectorCount += 2
+    // VARBINARY duplicate keys dedup by CONTENT, not array identity
+    // (two X'6b' literals are distinct Array[Byte] instances)
+    val dupBin = intercept[Exception](runQ(
+      "SELECT map_from_entries(ARRAY[ROW(X'6b', 1), ROW(X'6b', 2)])").collect())
+    val dupBinMsgs = Iterator.iterate(dupBin: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => String.valueOf(e.getMessage)).mkString("; ")
+    assert(dupBinMsgs.contains("Duplicate map keys"), dupBinMsgs)
+    vectorCount += 3
     // multimap groups duplicate keys in entry order (string-typed
     // specialization — non-string fields stringify on the erasure)
     assertVector(
@@ -4438,6 +4445,40 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // NaN orders greatest, like the reference's type ordering
     assertVector("SELECT is_nan(greatest(nan(), 1e0)), least(nan(), 1e0)",
       "VALUES (true, 1e0)")
+    // mixed-width arguments widen (the strict expression coerces its
+    // own children; Catalyst's Greatest-specific rule doesn't apply)
+    assertVector("SELECT greatest(1, 2.5E0), least(BIGINT '7', 3)",
+      "VALUES (2.5E0, BIGINT '3')")
+    assertVector("SELECT greatest('abc', 'abd'), least('abc', 'abd')",
+      "VALUES ('abd', 'abc')")
+    // single evaluation per argument: the pre-r20 If(IsNull…) wrap
+    // duplicated every argument into guard + result (2× evaluations;
+    // different evaluations observed for non-deterministic args)
+    GreatestEvalCounter.n.set(0)
+    spark.udf.register("bump_eval",
+      (x: Long) => { GreatestEvalCounter.n.incrementAndGet(); x })
+    val ones = runQ("SELECT greatest(bump_eval(x), BIGINT '2') FROM " +
+      "(VALUES BIGINT '1', BIGINT '5') t(x)").collect()
+    assert(ones.map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L))
+    assert(GreatestEvalCounter.n.get() == 2L,
+      s"expected 2 evaluations, got ${GreatestEvalCounter.n.get()}")
+    vectorCount += 1
+  }
+
+  test("skewness/kurtosis coerce decimal/integral inputs (reference implicit numeric coercion)") {
+    // decimal columns coerce to double at analysis instead of
+    // ClassCastException at execution (ImplicitCastInputTypes)
+    assertVector(
+      "SELECT skewness(CAST(x AS DECIMAL(10,2))) FROM (VALUES 1, 2, 4) t(x)",
+      "SELECT skewness(CAST(x AS DOUBLE)) FROM (VALUES 1, 2, 4) t(x)")
+    assertVector(
+      "SELECT kurtosis(CAST(x AS DECIMAL(10,2))) FROM (VALUES 1, 2, 4, 9) t(x)",
+      "SELECT kurtosis(CAST(x AS DOUBLE)) FROM (VALUES 1, 2, 4, 9) t(x)")
+    // non-castable input types fail at ANALYSIS, not execution
+    val bad = intercept[Exception](runQ(
+      "SELECT skewness(x) FROM (VALUES true, false) t(x)").collect())
+    assert(bad.getMessage != null, bad.toString)
+    vectorCount += 1
   }
 
   test("correlated LATERAL aggregation vectors (sql/query/TestCorrelatedAggregation)") {
@@ -4919,4 +4960,10 @@ class ReferenceSqlVectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |WHERE r1 >= COALESCE(l1, 0)""".stripMargin,
       "VALUES 5")
   }
+}
+
+/** Shared counter for the greatest/least single-evaluation proof
+  * (same-JVM local mode, so executor-side increments are visible). */
+object GreatestEvalCounter {
+  val n = new java.util.concurrent.atomic.AtomicLong(0)
 }
