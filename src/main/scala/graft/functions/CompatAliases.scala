@@ -406,6 +406,21 @@ object CompatAliases {
     // every argument into guard + result).
     fn(e, "graft_greatest", c => StrictGreatestLeast.build(c, isGreatest = true))
     fn(e, "graft_least", c => StrictGreatestLeast.build(c, isGreatest = false))
+    // LISTAGG ON OVERFLOW: dialect lowers the clause onto this
+    // bounded-state ordered aggregate (functions/ListaggOverflow);
+    // the non-struct arguments are literal tokens on canonical text
+    fn(e, "graft_listagg_capped", c => {
+      def str(x: Expression): String =
+        Option(x.eval()).map(_.toString).getOrElse("")
+      def bool(x: Expression): Boolean = x.eval().asInstanceOf[Boolean]
+      def bools(x: Expression): Seq[Boolean] = x.eval() match {
+        case null => Seq.empty
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map(a.getBoolean)
+      }
+      ListaggCappedAgg(c(0), str(c(1)), bool(c(2)), str(c(3)), bool(c(4)),
+        bools(c(5)), bools(c(6)))
+    })
     fn(e, "bitwise_and_agg", c => BitAndAgg(c.head))
     fn(e, "bitwise_or_agg", c => BitOrAgg(c.head))
     fn(e, "geometric_mean", c =>

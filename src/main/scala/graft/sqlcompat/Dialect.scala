@@ -2082,11 +2082,14 @@ object Dialect {
     * has no overflow clause, so
     * `LISTAGG([DISTINCT] v[, sep] ON OVERFLOW ERROR | TRUNCATE
     * [filler] WITH|WITHOUT COUNT) WITHIN GROUP (ORDER BY k)` lowers
-    * onto `graft_listagg_finish(array_agg([DISTINCT] v ORDER BY k),
-    * sep, isError, filler, withCount)` — functions/ListaggOverflow
-    * replays the reference's byte-capped output walk; the emitted
-    * array_agg rides the ordered-aggregate lowering (this pass runs
-    * first). Plain LISTAGG without the clause stays native. */
+    * onto `graft_listagg_capped([DISTINCT] struct(k AS __o0…,
+    * CAST(v AS STRING) AS __v), sep, isError, filler, withCount,
+    * array(desc…), array(nullsFirst…))` —
+    * functions/ListaggOverflow.ListaggCappedAgg replays the
+    * reference's byte-capped output walk as ONE ordered aggregate
+    * with per-group state bounded at ~the 1 MiB cap (the r19 form
+    * buffered every entry through array_agg before finishing).
+    * Plain LISTAGG without the clause stays native. */
   private def listaggOverflowPass(canon0: String,
       newLit: String => String): String = {
     def ws(x: String): String =
@@ -2151,14 +2154,55 @@ object Dialect {
           orderBy = ws(out.substring(wgOpen + 1, wgClose))
           endPos = wgClose + 1
         }
-        val aggArg = valuePart + (if (orderBy.nonEmpty) " " + orderBy else "")
-        val rewritten = s"graft_listagg_finish(array_agg($aggArg), $sep, " +
-          s"$isError, $filler, $withCount)"
+        // bounded-state lowering (r20): ONE ordered
+        // TypedImperativeAggregate whose per-group state tops out at
+        // ~the 1 MiB output cap, instead of array_agg-buffering every
+        // entry and finishing on the full array
+        val isDistinct = valuePart.matches("(?is)^DISTINCT\\b.*")
+        val valueExpr = ws(
+          if (isDistinct) repAll(valuePart, "(?is)^DISTINCT", "")
+          else valuePart)
+        val parsed: Seq[(String, Boolean, Boolean)] =
+          if (orderBy.isEmpty) Seq.empty
+          else parseOrderKeys(repAll(orderBy, "(?is)^ORDER\\s+BY", ""))
+        val fields = (parsed.zipWithIndex.map { case ((k, _, _), ix) =>
+          s"$k AS __o$ix"
+        } :+ s"CAST($valueExpr AS STRING) AS __v").mkString(", ")
+        val descArr = parsed.map(_._2).mkString("array(", ", ", ")")
+        val nfArr = parsed.map(_._3).mkString("array(", ", ", ")")
+        val distinctKw = if (isDistinct) "DISTINCT " else ""
+        val rewritten = s"graft_listagg_capped(${distinctKw}struct($fields), " +
+          s"$sep, $isError, $filler, $withCount, $descArr, $nfArr)"
         out = out.substring(0, start) + rewritten + out.substring(endPos)
         from = start + rewritten.length
       }
     }
     out
+  }
+
+  /** Parse an ORDER BY key list (`k1 [ASC|DESC] [NULLS FIRST|LAST],
+    * …` — the `ORDER BY` keywords already stripped) into (expr, desc,
+    * nullsFirst) triples; nulls default FIRST iff DESC (the SQL
+    * default). Shared by the ordered-aggregate and LISTAGG-overflow
+    * lowerings. */
+  private def parseOrderKeys(keysTxt: String): Seq[(String, Boolean, Boolean)] = {
+    def ws(x: String): String =
+      repAll(x, "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$", "")
+    MatchRecognizeSql.splitTopLevel(keysTxt, ',').map(ws).map { it0 =>
+      var it = it0
+      var nulls: Option[Boolean] = None // Some(true) = FIRST
+      cre("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$")
+        .findFirstMatchIn(it).foreach { nm =>
+          nulls = Some(nm.group(1).equalsIgnoreCase("FIRST"))
+          it = it.substring(0, nm.start)
+        }
+      var desc = false
+      cre("(?is)\\s+(ASC|DESC)\\s*$").findFirstMatchIn(it).foreach { dm =>
+        desc = dm.group(1).equalsIgnoreCase("DESC")
+        it = it.substring(0, dm.start)
+      }
+      (ws(it), desc, nulls.getOrElse(desc))
+    }
   }
 
   private def orderedAggPass(canon0: String): String = {
@@ -2224,24 +2268,8 @@ object Dialect {
           val valueExpr =
             ws(if (isDistinct) repAll(value0, "(?is)^DISTINCT", "") else value0)
           val parsed: Seq[(String, Boolean, Boolean)] = if (obPos < 0) Seq.empty
-          else {
-            val keysTxt = repAll(body.substring(obPos), "(?is)^ORDER\\s+BY", "")
-            MatchRecognizeSql.splitTopLevel(keysTxt, ',').map(ws).map { it0 =>
-              var it = it0
-              var nulls: Option[Boolean] = None // Some(true) = FIRST
-              cre("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$")
-                .findFirstMatchIn(it).foreach { nm =>
-                  nulls = Some(nm.group(1).equalsIgnoreCase("FIRST"))
-                  it = it.substring(0, nm.start)
-                }
-              var desc = false
-              cre("(?is)\\s+(ASC|DESC)\\s*$").findFirstMatchIn(it).foreach { dm =>
-                desc = dm.group(1).equalsIgnoreCase("DESC")
-                it = it.substring(0, dm.start)
-              }
-              (ws(it), desc, nulls.getOrElse(desc))
-            }
-          }
+          else parseOrderKeys(
+            repAll(body.substring(obPos), "(?is)^ORDER\\s+BY", ""))
           // trailing FILTER (WHERE ...) stays inside the wrap
           var tail = close + 1
           val fM = cre("(?is)^\\s*FILTER\\s*\\(")
@@ -2637,8 +2665,9 @@ object Dialect {
     out = rowStarPass(out)
     out = groupByCompositionPass(out)
     out = windowedFilterPass(out)
-    // listaggOverflowPass emits array_agg(x ORDER BY k) calls, so it
-    // must run BEFORE orderedAggPass lowers the ordered aggregates
+    // listaggOverflowPass consumes the WITHIN GROUP (ORDER BY …)
+    // tail itself, so it must run BEFORE orderedAggPass (which would
+    // otherwise rewrite the inner value expression)
     out = listaggOverflowPass(out, newLit)
     out = orderedAggPass(out)
     out = WindowFrameSql.pass(out, lits.toIndexedSeq)

@@ -94,17 +94,23 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(okA).head().getInt(0) == 1)
   }
 
-  test("LISTAGG ON OVERFLOW lowers onto the byte-capped finish kernel") {
+  test("LISTAGG ON OVERFLOW lowers onto the bounded-state capped aggregate") {
     val t = Dialect.translate(
       "SELECT listagg(v, ',' ON OVERFLOW TRUNCATE '..' WITH COUNT) " +
         "WITHIN GROUP (ORDER BY v) FROM (VALUES 'b', 'a') t(v)")
-    assert(t.contains("graft_listagg_finish("), t)
+    assert(t.contains("graft_listagg_capped("), t)
     assert(spark.sql(t).head().getString(0) == "a,b")
     // plain listagg stays on Spark's native aggregate
     val t2 = Dialect.translate(
       "SELECT listagg(v, ',') WITHIN GROUP (ORDER BY v) FROM (VALUES 'b', 'a') t(v)")
-    assert(!t2.contains("graft_listagg_finish("), t2)
+    assert(!t2.contains("graft_listagg_capped("), t2)
     assert(spark.sql(t2).head().getString(0) == "a,b")
+    // DESC / NULLS directives ride into the aggregate's flag arrays
+    val t3 = Dialect.translate(
+      "SELECT listagg(v, ',' ON OVERFLOW TRUNCATE WITHOUT COUNT) " +
+        "WITHIN GROUP (ORDER BY k DESC NULLS LAST) " +
+        "FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(k, v)")
+    assert(spark.sql(t3).head().getString(0) == "c,b,a", t3)
   }
 
   test("DATE literals with short or zero-padded years canonicalize at translate time") {

@@ -612,4 +612,65 @@ class FunctionsSpec extends AnyFunSuite {
     longSk.add(1L)
     intercept[IllegalArgumentException](sk.mergeDigest(longSk))
   }
+
+  // --------------------------------------------- listagg capped state
+  test("ListaggCappedAgg: bounded state, finish-kernel parity, merge, ERROR raise") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val st = StructType(Seq(StructField("k", IntegerType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def agg(isError: Boolean = false, withCount: Boolean = true) =
+      ListaggCappedAgg(BoundReference(0, st, nullable = false), ",",
+        isError, "#", withCount, Seq(false), Seq(false))
+    def row(k: Int, v: String): InternalRow =
+      new GenericInternalRow(Array[Any](new GenericInternalRow(
+        Array[Any](k, if (v == null) null else UTF8String.fromString(v)))))
+
+    // parity with the reference finish kernel on shuffled input,
+    // including NULL-value invisibility
+    val a1 = agg()
+    val small = Seq(3 -> "ccc", 1 -> "a", 4 -> null, 2 -> "bb", 5 -> "dddd")
+    val b1 = a1.createAggregationBuffer()
+    small.foreach { case (k, v) => a1.update(b1, row(k, v)) }
+    val want = ListaggOverflow.finish(Seq("a", "bb", "ccc", "dddd"), ",",
+      isError = false, "#", withCount = true)
+    assert(a1.eval(b1).toString == want)
+
+    // state stays bounded while 100 x 200KB entries stream in
+    // (un-capped buffering would hold ~20 MB; the cap is 1 MiB)
+    val big = "x" * 200000
+    val a2 = agg()
+    val b2 = a2.createAggregationBuffer()
+    val order = new scala.util.Random(7).shuffle((1 to 100).toList)
+    order.foreach(k => a2.update(b2, row(k, big + k)))
+    assert(b2.keptBytes <= ListaggOverflow.MaxOutputBytes + big.length + 16,
+      s"kept ${b2.keptBytes} bytes")
+    assert(a2.serialize(b2).length <=
+      ListaggOverflow.MaxOutputBytes + 2 * big.length,
+      "serialized partial state must stay ~cap-bounded")
+    val out2 = a2.eval(b2).toString
+    // 5 entries of ~200KB fit under 1 MiB; 95 are counted, not kept
+    assert(out2.endsWith(",#(95)"), out2.takeRight(40))
+    assert(out2.startsWith(big + "1,"), "emission order is the sort order")
+
+    // merge of two partial states == single-state result
+    val a3 = agg()
+    val (left, right) = order.splitAt(40)
+    val bl = a3.createAggregationBuffer()
+    val br = a3.createAggregationBuffer()
+    left.foreach(k => a3.update(bl, row(k, big + k)))
+    right.foreach(k => a3.update(br, row(k, big + k)))
+    val merged = a3.merge(bl, a3.deserialize(a3.serialize(br)))
+    assert(a3.eval(merged).toString == out2)
+
+    // ON OVERFLOW ERROR raises with the reference's message
+    val a4 = agg(isError = true)
+    val b4 = a4.createAggregationBuffer()
+    (1 to 12).foreach(k => a4.update(b4, row(k, big)))
+    val e = intercept[IllegalStateException](a4.eval(b4))
+    assert(e.getMessage.contains("maximum output length"), e.getMessage)
+  }
 }

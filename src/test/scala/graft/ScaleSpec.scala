@@ -511,12 +511,17 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // entry text must not shuffle more than once
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, s"listagg census over-shuffles:\n${plan.take(1500)}")
-    // identical LISTAGG calls dedup to one collector per distinct
-    // expression: exactly 2 partial collect_lists (big v + small),
-    // never 3+ (the trunc_len/trunc_tail columns re-read ONE buffer)
-    val collects = "partial_collect_list".r.findAllIn(plan).length
-    assert(collects == 2,
+    // identical LISTAGG calls dedup to one bounded-state capped
+    // aggregate per distinct expression: exactly 2 partials (big v +
+    // small), never 3+ (the trunc_len/trunc_tail columns re-read ONE
+    // aggregate's output)
+    val capped = "partial_graft_listagg_capped".r.findAllIn(plan).length
+    assert(capped == 2,
       s"identical LISTAGG aggregates must dedup (big + small = 2, " +
-        s"got $collects):\n${plan.take(1500)}")
+        s"got $capped):\n${plan.take(1500)}")
+    // r20 state bound: nothing buffers whole entry arrays anymore —
+    // no collect_list collectors may appear in the plan
+    assert(!plan.contains("collect_list"),
+      s"dx34 must not array-buffer entries:\n${plan.take(1500)}")
   }
 }
