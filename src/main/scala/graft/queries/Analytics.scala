@@ -243,8 +243,19 @@ object Analytics {
           .otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(w))
       .withColumn("part_key", col("user_id") * 100000L + col("sid"))
+    // Diamond dataflow: the sessionized frame feeds BOTH the session
+    // count and the MR conversion pass, and Spark plans the shared
+    // subtree once per consumer. The event_type guard below (never
+    // null by data contract, but nullable by schema, so it can't
+    // fold) keeps THIS branch's pruned scan schema identical to the
+    // MR branch's — the two Exchange(user_id) subtrees then
+    // canonicalize equal and ReuseExchange runs the events scan +
+    // shuffle write ONCE (the r19 plan scanned events twice, the
+    // single most expensive line at 100 TB). Each branch still runs
+    // its own reduce-side sort+window over the shared shuffle files.
     val nSess = sess.groupBy(col("user_id"))
-      .agg(max(col("sid")).as("n_sessions")) // sid is 1-based and dense
+      .agg(max(when(col("event_type").isNotNull, col("sid")))
+        .as("n_sessions")) // sid is 1-based and dense
     def isT(t: String): (Row, Row) => Boolean =
       (_, c) => c.getAs[String]("event_type") == t
     val conv = graft.operators.MatchRecognize.varMeasures(

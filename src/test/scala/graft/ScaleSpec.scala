@@ -499,6 +499,23 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x4 session funnel: events scanned once (AQE reuses the sessionize exchange across the diamond)") {
+    // r19's plan scanned events TWICE (one Sort+Exchange+Window per
+    // consumer of the sessionized frame) — at 100 TB a second full
+    // events scan is the most expensive line in the plan. Both
+    // branches now prune to the same scan schema, so their
+    // Exchange(user_id) subtrees canonicalize equal and AQE's stage
+    // cache runs the scan + shuffle write once.
+    val df = graft.queries.Analytics.queries("x4_session_funnel")(spark, sfDir)
+    df.collect() // AQE reuse materializes in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n${finalPlan.take(2000)}")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"sessionize exchange must be shared:\n${finalPlan.take(2000)}")
+  }
+
   test("dx34 listagg-overflow plan: one scan, identical aggregates dedup, bounded exchanges") {
     // the three LISTAGG calls (two identical big + one small) must
     // collapse into ONE aggregate pass per distinct expression — a
