@@ -99,6 +99,10 @@ object CompatAliases {
     // string — where the reference yields '', so both zero and
     // past-the-front starts route to the empty branch.)
     fn(e, "graft_substr", c => {
+      // reference arity: substr(s, start[, length]) — reject extras
+      // loudly (TestAnalyzer pins wrong-arity calls as errors)
+      require(c.length == 2 || c.length == 3,
+        s"substr expects 2 or 3 arguments, got ${c.length}")
       val start = Cast(c(1), IntegerType)
       val sub =
         if (c.length == 3) Substring(c(0), start, Cast(c(2), IntegerType))

@@ -2033,6 +2033,28 @@ object Dialect {
     * surfaces these as obscure plan-time failures or wrong loops;
     * failing here names the problem. Runs on canonical text (string
     * literals are sentinels, so names inside quotes never count). */
+  /** CTE column-alias lists with DUPLICATE names (`WITH x(a, a) AS
+    * …`) are rejected by the reference (TestAnalyzer
+    * DUPLICATE_COLUMN_NAME) but silently accepted by Spark (duplicate
+    * output names are legal there until referenced) — fail loudly at
+    * translate time. The `name(idents) AS (` shape only occurs for
+    * CTE alias lists on canonical text; lists whose items aren't
+    * plain identifiers are skipped. */
+  private def cteAliasGuard(canon: String): Unit = {
+    val re = cre("(?is)\\b([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^()]*)\\)\\s*AS\\s*\\(")
+    for (m <- re.findAllMatchIn(canon)) {
+      val items = m.group(2).split(",").map(_.trim)
+      if (items.nonEmpty &&
+        items.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))) {
+        val dups = items.groupBy(_.toLowerCase).filter(_._2.length > 1).keys
+        if (dups.nonEmpty)
+          throw new IllegalArgumentException(
+            s"WITH ${m.group(1)}: duplicate column name " +
+              s"'${dups.head}' in the CTE column alias list")
+      }
+    }
+  }
+
   private def recursiveGuard(canon: String): Unit = {
     val wrM = cre("(?is)\\bWITH\\s+RECURSIVE\\b").findFirstMatchIn(canon)
     if (wrM.isEmpty) return
@@ -2648,6 +2670,7 @@ object Dialect {
     out = repAll(out, "(?i)\\bCURRENT_USER\\b(?!\\s*\\()", "current_user()")
     out = repAll(out, "(?i)\\bCURRENT_PATH\\b", "''")
     recursiveGuard(out)
+    cteAliasGuard(out)
     out = rowTypePass(out)
     out = valuesRowPass(out)
     out = repAll(out, "(?i)\\bROW\\s*\\(", "struct(")

@@ -39,6 +39,11 @@ object Statements {
     "(?is)^\\s*EXECUTE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:USING\\s+(.+))?$".r
   private val deallocRe =
     "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  // EXPLAIN with the reference's parenthesized options (grammar
+  // `SqlBase.g4:142-143` — TYPE VALIDATE|LOGICAL|DISTRIBUTED|IO and
+  // FORMAT ...), which Spark's parser cannot read
+  private val explainOptsRe =
+    "(?is)^\\s*EXPLAIN\\s*\\(([^()]*)\\)\\s*(.+)$".r
 
   private def preparedKey(name: String) = s"graft.prepared.$name"
 
@@ -86,6 +91,7 @@ object Statements {
     * as session state) live in the session conf — per-session by
     * construction, no global registry. */
   def execute(s: SparkSession, sql: String): DataFrame = sql match {
+    case explainOptsRe(opts, body) => explainWithOptions(s, opts, body)
     case prepareRe(name, body) =>
       s.conf.set(preparedKey(name), body.trim)
       s.emptyDataFrame
@@ -304,6 +310,63 @@ object Statements {
     * EXTENDED collect per column — N+1 metadata round-trips): the
     * ANALYZE'd `CatalogStatistics` object carries row count and every
     * column's stats together. */
+  /** `EXPLAIN (TYPE VALIDATE|LOGICAL|DISTRIBUTED|IO [, FORMAT …])`
+    * (reference `sql/rewrite/ExplainRewrite.java:100-154`): VALIDATE
+    * is analysis-only and returns the reference's single
+    * `Valid = true` row (an invalid query throws out of analysis —
+    * the rejection contract ReferenceAnalyzerErrorsSpec pins);
+    * LOGICAL renders the optimized logical plan, DISTRIBUTED (the
+    * default) the physical plan, and IO a JSON of the tables the
+    * query reads, mirroring the reference's IO-plan envelope shape.
+    * FORMAT options are accepted and ignored except IO's JSON
+    * default (TEXT plans are already text; GRAPHVIZ is out of
+    * scope). */
+  private def explainWithOptions(s: SparkSession, opts: String,
+      body: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
+    val tpe = "(?i)\\bTYPE\\s+(VALIDATE|LOGICAL|DISTRIBUTED|IO)".r
+      .findFirstMatchIn(opts).map(_.group(1).toUpperCase)
+      .getOrElse {
+        require("(?is)^\\s*(FORMAT\\s+(TEXT|JSON|GRAPHVIZ)\\s*,?\\s*)*$"
+          .r.findFirstIn(opts).isDefined,
+          s"Invalid EXPLAIN option: $opts")
+        "DISTRIBUTED"
+      }
+    // s.sql analyzes eagerly, so constructing the frame IS validation
+    val df = s.sql(Dialect.translate(body))
+    def one(col: String, v: Any, t: org.apache.spark.sql.types.DataType) =
+      s.createDataFrame(Seq(Row(v)).asJava,
+        StructType(Seq(StructField(col, t, nullable = false))))
+    tpe match {
+      case "VALIDATE" => one("Valid", true, BooleanType)
+      case "LOGICAL" =>
+        one("Query Plan", df.queryExecution.optimizedPlan.toString, StringType)
+      case "DISTRIBUTED" =>
+        one("Query Plan", df.queryExecution.executedPlan.toString, StringType)
+      case "IO" =>
+        val tables = df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            r.tableName
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.catalogTable.map(_.identifier.unquotedString)
+              .getOrElse(lr.relation.toString)
+          case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+            h.tableMeta.identifier.unquotedString
+          case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+            v.desc.identifier.unquotedString
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            (r.catalog.map(_.name() + ".").getOrElse("") +
+              r.identifier.map(_.toString).getOrElse(r.table.name()))
+        }.distinct
+        val json = tables.sorted
+          .map(t => s"""{"table":{"table":"${t.replace("\"", "\\\"")}"}}""")
+          .mkString("""{"inputTableColumnInfos":[""", ",", "]}")
+        one("Query Plan", json, StringType)
+    }
+  }
+
   private def showStats(s: SparkSession, tbl: String): DataFrame = {
     import s.implicits._
     val ident = s.sessionState.sqlParser.parseTableIdentifier(tbl)

@@ -542,6 +542,36 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       tables.mkString(","))
   }
 
+  test("EXPLAIN (TYPE VALIDATE | LOGICAL | DISTRIBUTED | IO) statement forms (ExplainRewrite.java:100-154)") {
+    import graft.sqlcompat.Statements
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", "/root/testdata/sf0.001")
+    // VALIDATE: analysis-only, the reference's single Valid=true row
+    val v = Statements.execute(spark,
+      "EXPLAIN (TYPE VALIDATE) SELECT strpos('a-b', '-')").collect()
+    assert(v.length == 1 && v(0).getBoolean(0))
+    // an invalid query throws OUT of validation, never Valid=false
+    assertThrows[Exception](Statements.execute(spark,
+      "EXPLAIN (TYPE VALIDATE) SELECT no_such_col FROM graft.main.nation"))
+    // LOGICAL / DISTRIBUTED: one text plan row named like the reference
+    val lg = Statements.execute(spark,
+      "EXPLAIN (TYPE LOGICAL) SELECT 1 AS x")
+    assert(lg.columns.toSeq == Seq("Query Plan") && lg.head().getString(0).nonEmpty)
+    val ds = Statements.execute(spark,
+      "EXPLAIN (TYPE DISTRIBUTED) SELECT count(*) FROM graft.main.nation")
+    assert(ds.head().getString(0).contains("Scan"), ds.head().getString(0).take(200))
+    // IO: JSON envelope of the input tables
+    val io = Statements.execute(spark,
+      "EXPLAIN (TYPE IO) SELECT * FROM graft.main.nation").head().getString(0)
+    assert(io.startsWith("""{"inputTableColumnInfos":[""") && io.contains("nation"), io)
+    // bare FORMAT options default to DISTRIBUTED; junk raises
+    val fm = Statements.execute(spark, "EXPLAIN (FORMAT TEXT) SELECT 1 AS x")
+    assert(fm.columns.toSeq == Seq("Query Plan"))
+    assertThrows[Exception](Statements.execute(spark,
+      "EXPLAIN (TYPE BOGUS) SELECT 1"))
+  }
+
   test("DESCRIBE INPUT/OUTPUT, SHOW FUNCTIONS, SHOW CREATE TABLE (reference testDescribeInput/Output)") {
     import graft.sqlcompat.Statements
     spark.sql(
