@@ -240,8 +240,58 @@ object Dialect {
   /** Translate a reference-dialect SQL string to Spark SQL. String
     * literals are preserved verbatim; identifiers are rewritten only
     * on whole-word match (case-insensitive) when followed by `(` for
-    * functions, or inside CAST(... AS <type>) for types. */
+    * functions, or inside CAST(... AS <type>) for types.
+    *
+    * Shared lex-and-mask substrate (r20): double-quoted identifiers
+    * are masked to U+E005 <n> U+E006 sentinels BEFORE any pass runs —
+    * a pass can no more rewrite text inside `"a quoted column"` than
+    * inside a string literal (which the segment machinery already
+    * isolates). The sentinels restore as Spark backtick identifiers,
+    * content verbatim, after the last pass. The lexer is
+    * single-quote aware, so a `"` INSIDE a string literal is literal
+    * content, never an identifier delimiter. A ScalaCheck property
+    * (DialectPropertiesSpec) pins that translate() never alters
+    * literal or quoted-identifier content for arbitrary queries. */
   def translate(sql: String): String = {
+    val idents = new scala.collection.mutable.ArrayBuffer[String]
+    val masked = {
+      val sb = new StringBuilder(sql.length)
+      var i = 0
+      var inStr = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (c == '\'') {
+          if (inStr && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            sb ++= "''"; i += 2
+          } else { inStr = !inStr; sb += c; i += 1 }
+        } else if (c == '"' && !inStr) {
+          val close = sql.indexOf('"', i + 1)
+          if (close < 0) { sb += c; i += 1 } // unbalanced: Spark rejects
+          else {
+            idents += sql.substring(i + 1, close)
+            sb ++= "\uE005"; sb ++= (idents.length - 1).toString; sb ++= "\uE006"
+            i = close + 1
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    }
+    // restore runs INSIDE constructorPass, just before the SQL/JSON
+    // clause parser \u2014 SqlJsonClauses binds PASSING/path variable
+    // NAMES, so it needs the real identifiers (it is a structured
+    // parser with its own quote handling, not a regex pass); every
+    // regex pass before that point sees only sentinels. The outer
+    // replaceAllIn is a no-op safety net for texts that bypass the
+    // constructor tail.
+    val restore: String => String = s =>
+      cre("\uE005(\\d+)\uE006").replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          "`" + idents(m.group(1).toInt) + "`"))
+    restore(translateMasked(masked, restore))
+  }
+
+  private def translateMasked(sql: String,
+      restoreIdents: String => String): String = {
     // normalize(): the standard's form argument is a BARE keyword
     // (normalize(x, NFD)) and the one-arg form defaults to NFC — quote
     // / supply it for the registered (string, form) UDF. Runs on the
@@ -678,7 +728,7 @@ object Dialect {
         // CASE rewrite is null-correct in every context.
         (out, false)
     }
-    constructorPass(rendered.toSeq)
+    constructorPass(rendered.toSeq, restoreIdents)
   }
 
   /** Collection-constructor sugar (grammar `SqlBase.g4` primaryExpression
@@ -902,7 +952,8 @@ object Dialect {
         while (s0 > 0 && {
           val c = out.charAt(s0 - 1)
           c.isLetterOrDigit || c == '_' || c == '.' ||
-            c == '\u0001' || c == '\u0002'
+            c == '\u0001' || c == '\u0002' ||
+            c == '\uE005' || c == '\uE006'
         }) s0 -= 1
       }
       // extend the captured operand left over an arithmetic chain
@@ -936,13 +987,14 @@ object Dialect {
             s0 = s1; extend = true
           } else if (p2 > 0 && {
             val c = out.charAt(p2 - 1)
-            c.isLetterOrDigit || c == '_' || c == '.' || c == ''
+            c.isLetterOrDigit || c == '_' || c == '.' || c == '\u0002' || c == '\uE006'
           }) {
             var s1 = p2
             while (s1 > 0 && {
               val c = out.charAt(s1 - 1)
               c.isLetterOrDigit || c == '_' || c == '.' ||
-                c == '' || c == ''
+                c == '\u0001' || c == '\u0002' ||
+                c == '\uE005' || c == '\uE006'
             }) s1 -= 1
             val tok = out.substring(s1, p2).toUpperCase
             if (!kwStop(tok)) { s0 = s1; extend = true }
@@ -961,7 +1013,7 @@ object Dialect {
       // where correlated scalar subqueries are not, e.g. inside a JOIN
       // condition (reference TestJoin
       // testQuantifiedComparisonInJoinCriteria)
-      val litTok = "(?:-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?|\\d+)"
+      val litTok = "(?:-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?|\\u0001\\d+\\u0002|\\uE005\\d+\\uE006)"
       val constList: Option[Seq[String]] =
         if (sub.matches(s"(?is)^\\s*VALUES\\s+$litTok(\\s*,\\s*$litTok)*\\s*$$"))
           Some(MatchRecognizeSql.splitTopLevel(
@@ -2637,7 +2689,8 @@ object Dialect {
     out
   }
 
-  private def constructorPass(segs: Seq[(String, Boolean)]): String = {
+  private def constructorPass(segs: Seq[(String, Boolean)],
+      restoreIdents: String => String): String = {
     // appendable: passes may mint NEW literals (e.g. the LISTAGG
     // overflow filler default '...') without breaking the no-raw-
     // quotes-on-canonical-text invariant
@@ -2653,11 +2706,11 @@ object Dialect {
       case (s, false) => s
     }.mkString
 
-    // Double-quoted identifiers (standard SQL; the reference's string
-    // literals are ONLY single-quoted, so on canonical text every
-    // remaining double quote delimits an identifier) → Spark backticks.
-    // testQuotedIdentifiers: SELECT "TOTALPRICE" "my price" FROM "ORDERS".
-    var out = repAll(canon, "\"([^\"]*)\"", "`$1`")
+    // Double-quoted identifiers were masked to U+0005/U+0006
+    // sentinels at translate() entry (the shared lex-and-mask
+    // substrate) and restore as Spark backticks after the last pass —
+    // no pass here can see or rewrite their content.
+    var out = canon
     // map constructor first, so its ARRAY args are still spelled ARRAY
     out = repAll(out, "(?i)\\bMAP\\s*\\(\\s*(?=ARRAY\\s*\\[)",
       "map_from_arrays(")
@@ -2742,7 +2795,8 @@ object Dialect {
     // subscript lowering): it emits '[' / ']' STRING LITERALS, which
     // the subscript pass would otherwise read as raw subscript
     // brackets
-    litRe.replaceAllIn(jsonConstructorPass(SqlJsonClauses.pass(subscriptPass(sb.toString))),
+    litRe.replaceAllIn(jsonConstructorPass(SqlJsonClauses.pass(
+      restoreIdents(subscriptPass(sb.toString)))),
       m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
   }
 
@@ -2800,7 +2854,8 @@ object Dialect {
           while (s0 > 0 && {
             val c = out.charAt(s0 - 1)
             c.isLetterOrDigit || c == '_' || c == '.' ||
-              c == '\u0001' || c == '\u0002'
+              c == '\u0001' || c == '\u0002' ||
+              c == '\uE005' || c == '\uE006'
           }) s0 -= 1
           if (s0 > 0 && s0 < e && out.charAt(s0) == '.' &&
             out.charAt(s0 - 1) == ')') extend = true

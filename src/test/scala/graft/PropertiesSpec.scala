@@ -299,4 +299,52 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("translate() never alters string-literal or quoted-identifier content") {
+    // The r20 lex-and-mask substrate contract: every dialect pass runs
+    // over sentinel-masked text, so SQL-looking content inside a
+    // string literal or a double-quoted identifier can never be
+    // rewritten. Literal content survives verbatim modulo the ONE
+    // documented transform (backslash doubling — the reference has no
+    // backslash escapes, Spark does); identifier content restores
+    // verbatim inside backticks. Contents are drawn from the nastiest
+    // corpus we know: the exact fragments the dialect's passes rewrite.
+    val sqlish = Gen.oneOf(
+      "CAST(q AS CHAR(2)) = z", "greatest(5, 4, NULL)", "skewness kurtosis",
+      "listagg(v, x ON OVERFLOW ERROR)", "ORDER BY x DESC NULLS FIRST",
+      "ROW(1, 2)", "MAP(ARRAY 1)", "substr(a, 0)", "strpos split repeat",
+      "WITH RECURSIVE t AS", "GROUP BY ()", "date_add 1 day",
+      "AT TIME ZONE", "count() FILTER", "a ,, (( b )) [ 1 ]",
+      "CURRENT_PATH CURRENT_USER", "TRY(a / b)", "x = ANY", "LIMIT ALL",
+      "bitwise_and(a, b)", "from_utf8(x)", "1 BETWEEN 2 AND 3")
+    val junk = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '.', ',', '(', ')', '[', ']', '=', '<', '>',
+        '-', '+', '*', '/', '%', '|', '&', ':', ';', '!', '#', '@'),
+      1 -> Gen.const('\\'))).map(_.mkString)
+    val litGen = Gen.frequency(3 -> sqlish, 2 -> junk)
+    // identifiers: no double quote (delimiter), no backtick (Spark
+    // delimiter on the restored side), nonempty
+    val identGen = Gen.frequency(3 -> sqlish, 2 -> junk)
+      .map(s => ("c" + s).replace("\"", "").replace("`", "").replace("\\", ""))
+    val templates: Seq[(String, String, String, String) => String] = Seq(
+      (l1, l2, i1, i2) =>
+        s"""SELECT '$l1' AS c1, "$i1" FROM (SELECT 1 AS "$i1", '$l2' AS "$i2") t WHERE "$i2" = '$l2'""",
+      (l1, l2, i1, i2) =>
+        s"""SELECT greatest(length('$l1'), 2), "$i1" "$i2" FROM (VALUES ('$l2', 1)) AS "$i1" ("$i2", c2)""",
+      (l1, l2, i1, i2) =>
+        s"""SELECT CASE WHEN '$l1' = '$l2' THEN "$i1" ELSE "$i2" END FROM (SELECT 1 AS "$i1", 2 AS "$i2") t""")
+    val tmplGen = Gen.oneOf(templates)
+    check("translate-preserves-quoted-content",
+      Prop.forAll(litGen, litGen, identGen, identGen, tmplGen) { (l1, l2, i1, i2, t) =>
+        val out = graft.sqlcompat.Dialect.translate(t(l1, l2, i1, i2))
+        val lit1 = "'" + l1.replace("\\", "\\\\") + "'"
+        val lit2 = "'" + l2.replace("\\", "\\\\") + "'"
+        val id1 = "`" + i1 + "`"
+        val id2 = "`" + i2 + "`"
+        val ok = out.contains(lit1) && out.contains(lit2) &&
+          out.contains(id1) && out.contains(id2)
+        if (!ok) println(s"TRANSLATE CORRUPTION:\n  in : ${t(l1, l2, i1, i2)}\n  out: $out")
+        ok
+      })
+  }
 }
