@@ -1601,7 +1601,111 @@ object Pipeline {
       |  CAST(count_if(h IN (SELECT h FROM corpus)) AS BIGINT) AS rejected
       |FROM batch GROUP BY source""".stripMargin
 
+  // ------------------------------- p28 BPE pair-merge (tokenizer)
+  /** BPE tokenizer-training core on top of p26's vocabulary builder:
+    * k rounds of count-adjacent-pairs → pick the global top pair
+    * (deterministic tie-break: count DESC, then pair lexicographic) →
+    * merge it corpus-wide, emitting the merge table `(merge_round,
+    * lhs, rhs, cnt)` — the artifact a BPE trainer persists.
+    *
+    * 100 TB design: the corpus is scanned ONCE for the word-frequency
+    * relation; every BPE round then runs over the VOCABULARY relation
+    * (distinct words — bounded by language, not corpus size), so the
+    * per-round cost is a vocab-sized pair-count aggregate (map-side
+    * partial → one bounded exchange → TakeOrdered(1)) plus a
+    * codegen'd per-row fold for the merge. The only driver traffic is
+    * ONE row per round (the chosen pair). Words are separator-joined
+    * token strings (U+001F never occurs in [a-z] tokens); the merge
+    * is a left-to-right `aggregate` fold with a boundary-guarded
+    * endswith, which reproduces exact greedy BPE on adjacent repeats
+    * (`abab` + pair (ab,ab) merges once per non-overlapping
+    * occurrence) — validated against an independent reference
+    * implementation. For large k, re-materialize the vocab
+    * periodically (localCheckpoint) to bound lineage; k=4 here. */
+  private val p28Sep = "\u001f"
+  private def p28Toks: Column =
+    filter(split(col("s"), java.util.regex.Pattern.quote(p28Sep)),
+      x => x =!= "")
+
+  /** The initial vocabulary relation: distinct word -> count, words as
+    * separator-joined character strings. ONE corpus scan. */
+  private[graft] def p28Vocab0(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        x => x =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("n"))
+      .select(
+        concat(lit(p28Sep), regexp_replace(col("w"), "(.)", "$1" + p28Sep))
+          .as("s"),
+        col("n"))
+
+  /** One round's adjacent-pair counts over the vocab relation --
+    * map-side partial sums collapse each task to its distinct pairs
+    * before the single bounded exchange. */
+  private[graft] def p28Pairs(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("n"), p28Toks.as("toks"))
+      .select(col("n"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+      .select(col("p.0").as("lhs"), col("p.1").as("rhs"), col("n"))
+      .groupBy(col("lhs"), col("rhs")).agg(sum(col("n")).as("cnt"))
+
+  def p28(s: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    var vocab = p28Vocab0(s, dir)
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = p28Pairs(vocab)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect().head // ONE row per round reaches the driver
+      val (a, b) = (best.getString(0), best.getString(1))
+      out += ((r.toLong, a, b, best.getLong(2)))
+      vocab = vocab.select(
+        aggregate(p28Toks, lit(""), (acc, x) =>
+          when(endswith(acc, lit(p28Sep + a)) && (x === lit(b)),
+            concat(acc, x))
+            .otherwise(concat(acc, lit(p28Sep), x))).as("s"),
+        col("n"))
+    }
+    import s.implicits._
+    out.result().toDF("merge_round", "lhs", "rhs", "cnt")
+  }
+
+  val p28Sql: String = {
+    val sep = "chr(31)"
+    def pairs(i: Int) =
+      s"""p$i AS (
+         |  SELECT toks[i] AS lhs, toks[i+1] AS rhs, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT list_filter(string_split(s, $sep), x -> x <> '') AS toks, n FROM v${i - 1}) t,
+         |       LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) g
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+    def merge(i: Int) =
+      s"""v$i AS (
+         |  SELECT list_reduce(list_prepend('', list_filter(string_split(s, $sep), x -> x <> '')),
+         |    (acc, x) -> CASE WHEN ends_with(acc, $sep || b$i.lhs) AND x = b$i.rhs
+         |                     THEN acc || x ELSE acc || $sep || x END) AS s, n
+         |  FROM v${i - 1}, b$i)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+       |    FROM documents WHERE text IS NOT NULL) GROUP BY w),
+       |v0 AS (SELECT $sep || regexp_replace(w, '(.)', '\\1' || $sep, 'g') AS s, n FROM words),
+       |""".stripMargin +
+      (Seq(pairs(1)) ++ (1 to 3).flatMap(i => Seq(merge(i), pairs(i + 1))))
+        .mkString(",\n") +
+      """
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS merge_round, lhs, rhs, cnt FROM b1
+        |  UNION ALL SELECT 2, lhs, rhs, cnt FROM b2
+        |  UNION ALL SELECT 3, lhs, rhs, cnt FROM b3
+        |  UNION ALL SELECT 4, lhs, rhs, cnt FROM b4)
+        |ORDER BY merge_round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p28_bpe_merges" -> ((s: SparkSession, dir: String) => p28(s, dir)),
     "p27_incremental_dedup" -> p27 _,
     "p26_vocab_topk" -> ((s: SparkSession, dir: String) => p26(s, dir)),
     "p25_quality_scorer" -> p25 _,
@@ -1631,6 +1735,7 @@ object Pipeline {
     "p24_ann_pq" -> p24 _)
 
   val oracle: Map[String, String] = Map(
+    "p28_bpe_merges" -> p28Sql,
     "p27_incremental_dedup" -> p27Sql,
     "p26_vocab_topk" -> p26Sql,
     "p25_quality_scorer" -> p25Sql,

@@ -499,6 +499,31 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p28 BPE round: vocab-bounded pair count, map-side partials, one exchange, TakeOrdered(1)") {
+    // each BPE round runs over the VOCABULARY relation, never the
+    // corpus: the pair-count plan must show partial aggregation
+    // collapsing map-side before ONE bounded exchange, and the
+    // best-pair pick must be a TakeOrdered heap, not a global sort
+    import org.apache.spark.sql.functions.col
+    val vocab = graft.queries.Pipeline.p28Vocab0(spark, sfDir)
+    val best = graft.queries.Pipeline.p28Pairs(vocab)
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+    best.collect()
+    val plan = best.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"pair counts must pre-aggregate map-side:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"best-pair pick must be a bounded heap:\n${plan.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"one corpus scan, got $scans")
+    // full k=4 run: merge table is deterministic and well-formed
+    val merges = graft.queries.Pipeline.p28(spark, sfDir).collect()
+    assert(merges.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(merges.forall(r => r.getString(1).nonEmpty &&
+      r.getString(2).nonEmpty && r.getLong(3) > 0))
+  }
+
   test("x4 session funnel: events scanned once (AQE reuses the sessionize exchange across the diamond)") {
     // r19's plan scanned events TWICE (one Sort+Exchange+Window per
     // consumer of the sessionized frame) — at 100 TB a second full
