@@ -65,7 +65,15 @@ class SpillSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val covered =
     (1 to 22).map(i => s"q${i}_") ++ (1 to 8).map(i => s"x${i}_") ++ Seq(
       "w9_moving_agg", "mr1_match_recognize", "srt2_sort_6col",
-      "ag5_ordered_agg", "set3_intersect", "gs1_rollup", "p3_minhash_lsh")
+      "ag5_ordered_agg", "set3_intersect", "gs1_rollup", "p3_minhash_lsh",
+      // r20: the bounded-state capped LISTAGG under sort-based
+      // fallback — exercises ListaggCappedAgg's serialize/merge of
+      // trimmed heaps end-to-end. (p28/p26-shaped explode + string
+      // groupBy is NOT covered: the TungstenAggregate
+      // testFallbackStartsAt=1,3 knob OOMs on that shape even for a
+      // VANILLA word count with no custom aggregates — a test-hook
+      // pathology, reproduced in isolation, not an operator defect.)
+      "dx34_listagg_overflow")
 
   test("headline queries are hash-stable under forced spill") {
     val available = covered.flatMap(p =>
