@@ -170,6 +170,59 @@ class ReferenceAnalyzerErrorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertRejected("WITH x AS (SELECT 1 AS v) SELECT * FROM x(a)") // column aliases on plain CTE ref
   }
 
+  test("named-window errors: duplicates, undefined refs, illegal extension (testWindowSpecification, TestAnalyzer:1196-1459)") {
+    assertRejected( // :1196 duplicate window definition
+      "SELECT * FROM t1 WINDOW w AS (PARTITION BY a), w AS (PARTITION BY a)")
+    assertRejected( // :1199 duplicate with different specs
+      "SELECT * FROM t1 WINDOW w AS (PARTITION BY a), w AS (ORDER BY b)")
+    assertRejected( // :1425 OVER w with only w1 defined
+      "SELECT max(b) OVER w FROM t1 WINDOW w1 AS (PARTITION BY a)")
+    assertRejected( // :1246 window definition scoped to the inner query
+      "SELECT avg(b) OVER w FROM (SELECT * FROM t1 WINDOW w AS (PARTITION BY a))")
+    assertRejected( // :1429 extending a window that has ORDER BY with PARTITION BY
+      "SELECT max(c) OVER (w PARTITION BY a) FROM t1 WINDOW w AS (ORDER BY b)")
+    assertRejected( // :1433 re-specifying ORDER BY on an ordered window
+      "SELECT max(c) OVER (w ORDER BY a) FROM t1 WINDOW w AS (ORDER BY b)")
+  }
+
+  test("frame-bound type and value errors (testWindowFrameTypeRows/Range, TestAnalyzer:1619-1720)") {
+    assertRejected("SELECT rank() OVER (ROWS 5e-1 PRECEDING) FROM t1") // fractional ROWS offset
+    assertRejected("SELECT rank() OVER (ROWS 'foo' PRECEDING) FROM t1") // string ROWS offset
+    assertRejected( // :1629 start after end
+      "SELECT rank() OVER (ROWS BETWEEN 2 FOLLOWING AND 5 PRECEDING) FROM t1")
+    assertRejected( // :1712 RANGE offset over a STRING sort key
+      "SELECT count(*) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM (VALUES 'a') t(x)")
+    assertRejected( // :1716 string-typed RANGE offsets
+      "SELECT count(*) OVER (ORDER BY x RANGE BETWEEN 'a' PRECEDING AND 'z' FOLLOWING) FROM (VALUES 1) t(x)")
+    assertRejected( // :1708 RANGE offset frame needs exactly one sort key
+      "SELECT count(*) OVER (ORDER BY x DESC, x ASC RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM (VALUES 1) t(x)")
+    assertRejected( // :1654 RANGE starting UNBOUNDED FOLLOWING
+      "SELECT count(*) OVER (ORDER BY x RANGE UNBOUNDED FOLLOWING) FROM (VALUES 1) t(x)")
+  }
+
+  test("value-function window constraints (testWindowAttributesForLagLeadFunctions, TestAnalyzer:1601-1612)") {
+    assertRejected( // :1601 lag requires window ORDER BY
+      "SELECT lag(x, 2) OVER () FROM (VALUES 1, 2, 3) t(x)")
+    assertRejected( // :1612 lead outside a window context
+      "SELECT coalesce(lead(a), 0) FROM (VALUES (0)) t(a)")
+    assertRejected( // aggregate over a window function (TestAnalyzer:1548)
+      "SELECT avg(sum(a) OVER ()) FROM t1")
+    // Documented divergence (not asserted): `avg(a) OVER (PARTITION
+    // BY sum(b) OVER ())` raises NESTED_WINDOW in the reference
+    // (:1552); Spark evaluates it as layered Window operators.
+  }
+
+  test("output-alias ambiguity and aliasing shape errors (TestAnalyzer:1129-1189)") {
+    assertRejected("SELECT * FROM t1 u (x, y)") // :1129 alias column count mismatch
+    assertRejected("SELECT * FROM t1 JOIN t2 ON 5") // :1142 non-boolean join criteria
+    assertRejected("SELECT * FROM t1 JOIN t2 ON a = a") // :1149 ambiguous in ON
+    assertRejected("SELECT a x, b x FROM t1 ORDER BY x") // :1171 ambiguous output alias
+    // Documented divergence (not asserted): `HAVING sum(a)` (:1164,
+    // non-boolean HAVING) runs on Spark via implicit bigint→boolean
+    // coercion in HAVING position (WHERE stays strict — asserted in
+    // the type-mismatch battery).
+  }
+
   test("LISTAGG / ordered-aggregate clause misuse (TestListagg analysis rows)") {
     assertRejected( // malformed ON OVERFLOW behavior — dialect raises a named error
       "SELECT listagg(a, ',' ON OVERFLOW EXPLODE) WITHIN GROUP (ORDER BY a) FROM t1")
