@@ -53,9 +53,13 @@ object Bench {
   // p22: connectedComponents materializes eagerly (localCheckpoint per
   // propagation round) at DataFrame-CONSTRUCTION time, so a cached
   // build would leave the whole CC loop outside the timer — rebuild
-  // per sample to time the real work.
+  // per sample to time the real work. Same reasoning (r20): p27's
+  // corpus count + bloom build and p28's four BPE pair-count rounds
+  // run at construction; the comparator SQL does that work per
+  // execution, so a cached build would fabricate the ratio.
   private val rebuildEachRun =
-    Set("p10_write_roundtrip", "p15_format_roundtrip", "p22_neardup_clusters")
+    Set("p10_write_roundtrip", "p15_format_roundtrip", "p22_neardup_clusters",
+      "p27_incremental_dedup", "p28_bpe_merges")
 
   private def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())

@@ -1661,12 +1661,19 @@ object Pipeline {
         .limit(1).collect().head // ONE row per round reaches the driver
       val (a, b) = (best.getString(0), best.getString(1))
       out += ((r.toLong, a, b, best.getLong(2)))
+      // checkpoint the merged vocab per round (LAZY localCheckpoint:
+      // it materializes inside the next round's pair-count job, no
+      // extra job of its own): without it round k
+      // recomputes the word count + all k-1 earlier merge folds
+      // (O(k^2/2) lineage re-execution); with it each round costs
+      // ONE pair-count job whose scan doubles as the merge pass —
+      // the bound that holds at 100 TB vocab cardinality too
       vocab = vocab.select(
         aggregate(p28Toks, lit(""), (acc, x) =>
           when(endswith(acc, lit(p28Sep + a)) && (x === lit(b)),
             concat(acc, x))
             .otherwise(concat(acc, lit(p28Sep), x))).as("s"),
-        col("n"))
+        col("n")).localCheckpoint(eager = false)
     }
     import s.implicits._
     out.result().toDF("merge_round", "lhs", "rhs", "cnt")
