@@ -541,25 +541,34 @@ object Relational {
     // one narrow (orderkey, 3 cols) relation instead of re-shuffling
     // lineitem twice; the (orderkey, suppkey) pre-level collapses
     // duplicate lines map-side before the wide rollup.
+    // r20: the probe side no longer re-scans lineitem either — the
+    // census carries n_lines (per-line multiplicity), so numwait =
+    // SUM(n_lines) over qualifying (order, supplier) census rows,
+    // and the per-order stats (n_supp / nr_supp / r_supp) come from
+    // WINDOW aggregates over the SAME census relation instead of a
+    // second aggregate + self-join. Lineitem is read ONCE by
+    // construction (no diamond to deduplicate); the only extra cost
+    // is re-hashing the narrow |order×supplier| census by order for
+    // the window pass.
     val li = t(s, dir, "lineitem")
     val perSupp = li
       .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
-    val ordStats = perSupp.groupBy(col("ok"))
-      .agg(count(lit(1)).as("n_supp"),
-        sum(col("has_r")).as("nr_supp"),
-        max(when(col("has_r") === 1, col("sk"))).as("r_supp"))
+      .agg(count(lit(1)).as("n_lines"),
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))
+    val census = perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("nr_supp", sum(col("has_r")).over(w))
+      .withColumn("r_supp", max(when(col("has_r") === 1, col("sk"))).over(w))
     val orders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-    t(s, dir, "supplier")
-      .join(li.select(col("l_suppkey"), col("l_orderkey")),
-        col("s_suppkey") === col("l_suppkey"))
-      .join(orders, col("o_orderkey") === col("l_orderkey"))
-      .join(ordStats, col("ok") === col("l_orderkey"))
+    census
       .filter(col("n_supp") >= 2 &&
         (col("nr_supp") === 0 ||
-          (col("nr_supp") === 1 && col("r_supp") === col("l_suppkey"))))
+          (col("nr_supp") === 1 && col("r_supp") === col("sk"))))
+      .join(orders, col("o_orderkey") === col("ok"))
+      .join(t(s, dir, "supplier"), col("s_suppkey") === col("sk"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }

@@ -499,6 +499,19 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q21: lineitem scanned once (census + window stats replace the EXISTS self-joins)") {
+    // the reference shape scans lineitem three times (l1 + EXISTS l2 +
+    // NOT EXISTS l3); the census rewrite reads it ONCE — per-order
+    // stats are window aggregates over the census, numwait reweights
+    // by per-(order, supplier) line counts
+    val df = graft.queries.Relational.queries("q21_waiting_supplier")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val liScans = "lineitem".r.findAllIn(plan).length
+    assert(liScans == 1, s"expected one lineitem scan, got $liScans")
+  }
+
   test("p28 BPE round: vocab-bounded pair count, map-side partials, one exchange, TakeOrdered(1)") {
     // each BPE round runs over the VOCABULARY relation, never the
     // corpus: the pair-count plan must show partial aggregation
