@@ -465,17 +465,25 @@ object Relational {
   // ---------------------------------------------------------------- q18
   /** Large volume customers: IN-subquery over HAVING agg. */
   def q18(s: SparkSession, dir: String): DataFrame = {
-    val line = t(s, dir, "lineitem")
-    val bigOrders = line.groupBy(col("l_orderkey").as("bo_orderkey"))
-      .agg(decSumLong(unscaled2dp(col("l_quantity")), 2).as("total_qty"))
+    // ONE lineitem pass (r20): the HAVING measure and the output
+    // sum_qty are both per-ORDER aggregates (every extra group key —
+    // customer name, order date, total price — is functionally
+    // determined by the order key), so one per-order aggregate serves
+    // the filter AND the output. The r19 shape scanned lineitem twice
+    // (census + main join), shuffled it twice, semi-joined the big
+    // orders back, and re-aggregated after the join — all of that
+    // collapses into a filtered census joined to orders + customer,
+    // with a plain projection on top.
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(decSumLong(unscaled2dp(col("l_quantity")), 2).as("total_qty"),
+        xsum(col("l_quantity")).as("sum_qty"))
       .filter(col("total_qty") > 200)
-      .select(col("bo_orderkey"))
     t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-      .join(line, col("o_orderkey") === col("l_orderkey"))
-      .join(bigOrders, col("o_orderkey") === col("bo_orderkey"), "left_semi")
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-      .agg(xsum(col("l_quantity")).as("sum_qty"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
