@@ -43,6 +43,9 @@ object Explain {
           // timestamp — pure regen noise, never structural.
           .replaceAll("(\\w)@[0-9a-f]{6,10}\\b", "$1@N")
           .replaceAll("runId = [0-9a-f-]{36}", "runId = N")
+          // RDD ids are session-global counters too (checkpointed
+          // scans print MapPartitionsRDD[<id>])
+          .replaceAll("RDD\\[\\d+\\]", "RDD[N]")
           .replaceAll("\\b1[0-9]{12}\\b", "TS")
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), stable)
       } catch {
