@@ -47,6 +47,10 @@ object Explain {
           // scans print MapPartitionsRDD[<id>])
           .replaceAll("RDD\\[\\d+\\]", "RDD[N]")
           .replaceAll("\\b1[0-9]{12}\\b", "TS")
+          // sink/bucketed-table temp names embed path+nanotime hashCodes
+          // (graft_sink/del1_..._fffd59064cf67911, lineitem_bkt_..._fff6...)
+          // — fresh every regen, never structural
+          .replaceAll("fff[0-9a-f]{13}", "PATHHASH")
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), stable)
       } catch {
         case e: Throwable =>
