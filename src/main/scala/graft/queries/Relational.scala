@@ -558,7 +558,22 @@ object Relational {
     // construction (no diamond to deduplicate); the only extra cost
     // is re-hashing the narrow |order×supplier| census by order for
     // the window pass.
+    // r20b: ONE lineitem exchange instead of two. Hash-partitioning by
+    // l_orderkey alone satisfies the clustering required by BOTH the
+    // (ok, sk) aggregate (subset rule: equal (ok, sk) implies equal ok)
+    // and the per-order window, so the census aggregate and the window
+    // pass share the same exchange instead of re-shuffling the census
+    // by ok. The projection before the exchange keeps it to the three
+    // columns the census needs (guide: project before the exchange).
+    // Bytes per row are the raw line (the map-side partial collapse is
+    // lost), but (ok, sk) is nearly distinct per line in this schema so
+    // the partials barely collapsed anyway — raced interleaved at
+    // sf0.1: 1.288 s (two exchanges) vs 1.039 s (this shape), results
+    // identical. repartition() carries no partition count, so AQE still
+    // sizes the exchange from the data.
     val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .repartition(col("l_orderkey"))
     val perSupp = li
       .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .agg(count(lit(1)).as("n_lines"),

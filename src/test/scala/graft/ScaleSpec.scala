@@ -510,6 +510,12 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .split("== Initial Plan ==").head
     val liScans = "lineitem".r.findAllIn(plan).length
     assert(liScans == 1, s"expected one lineitem scan, got $liScans")
+    // r20b: the census aggregate and the per-order window SHARE the
+    // l_orderkey exchange (subset-clustering), so the whole query plans
+    // exactly two shuffle exchanges: lineitem by l_orderkey + the final
+    // per-supplier aggregate (joins are broadcasts)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"expected <=2 shuffle exchanges, got $shuffles")
   }
 
   test("p28 BPE round: vocab-bounded pair count, map-side partials, one exchange, TakeOrdered(1)") {
