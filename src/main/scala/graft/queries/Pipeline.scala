@@ -1653,7 +1653,15 @@ object Pipeline {
       .groupBy(col("lhs"), col("rhs")).agg(sum(col("n")).as("cnt"))
 
   def p28(s: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
-    var vocab = p28Vocab0(s, dir)
+    // LAZY-checkpoint the initial vocabulary too (r20): without it the
+    // corpus scan + word-count shuffle execute TWICE — once inside
+    // round 1's pair-count job and once more when round 2's job
+    // materializes the round-1 merge checkpoint (whose lineage still
+    // reaches back to the documents scan). With it, round 1's
+    // pair-count doubles as the vocab materialization and the corpus
+    // is read exactly once per p28 execution — the invariant the
+    // scaladoc promises, now true by construction.
+    var vocab = p28Vocab0(s, dir).localCheckpoint(eager = false)
     val out = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 1 to rounds) {
       val best = p28Pairs(vocab)
