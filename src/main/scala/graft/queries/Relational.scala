@@ -321,13 +321,23 @@ object Relational {
 
   // ---------------------------------------------------------------- q11 (adapted: supplier value share w/ scalar subquery)
   def q11(s: SparkSession, dir: String): DataFrame = {
-    val line = t(s, dir, "lineitem")
-    val perSupp = line.groupBy(col("l_suppkey"))
-      .agg(decSumLong(unscaled2dp(col("l_extendedprice")), 2).cast("double").as("value"))
-    val total = line.agg((decSumLong(unscaled2dp(col("l_extendedprice")), 2).cast("double") * 0.001).as("threshold"))
-    perSupp.join(broadcast(total))
-      .filter(col("value") > col("threshold"))
-      .select(col("l_suppkey"), col("value"))
+    // r20b: ONE lineitem scan and ONE lineage. The old shape computed
+    // the HAVING threshold with a second full lineitem aggregate (the
+    // final-plan audit showed the branches do NOT share their exchange
+    // at runtime, so lineitem was scanned and aggregated twice). The
+    // threshold is the exact sum of the per-supplier exact decimal
+    // sums — decimal addition is associative, so a window total over
+    // the supplier-bounded census reproduces the whole-table decSumLong
+    // bit-for-bit. The single-partition window pass runs over |supplier|
+    // rows, never the fact table.
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+      .agg(decSumLong(unscaled2dp(col("l_extendedprice")), 2).as("value_dec"))
+      .withColumn("threshold", sum(col("value_dec")).over(w0).cast("double") * 0.001)
+      .filter(col("value_dec").cast("double") > col("threshold"))
+      .select(col("l_suppkey"), col("value_dec").cast("double").as("value"))
   }
 
   val q11Sql: String =
@@ -399,14 +409,24 @@ object Relational {
   // ---------------------------------------------------------------- q15
   /** Top supplier: derived view + scalar-subquery max (EnforceSingleRow). */
   def q15(s: SparkSession, dir: String): DataFrame = {
+    // r20b: the revenue census fed BOTH the max scalar and the join (a
+    // diamond), and the final-plan audit showed the branches do not
+    // share their exchange at runtime — lineitem was scanned and
+    // aggregated twice. The max is now a window total over the
+    // supplier-bounded census (one lineage, one lineitem scan); the
+    // single-partition window pass runs over |supplier| rows, never
+    // the fact table. Same census values, same max, same equality
+    // filter — results identical.
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val rev = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(decSumLong(revenueU(col("l_extendedprice"), col("l_discount")), 4).cast("double").as("total_revenue"))
-    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      .withColumn("max_revenue", max(col("total_revenue")).over(w0))
     t(s, dir, "supplier")
       .join(rev, col("s_suppkey") === col("supplier_no"))
-      .join(broadcast(mx))
       .filter(col("total_revenue") === col("max_revenue"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
@@ -444,12 +464,24 @@ object Relational {
     * reference's TransformCorrelatedScalarSubquery both perform).
     */
   def q17(s: SparkSession, dir: String): DataFrame = {
+    // r20b: ONE lineitem scan instead of two. The old shape built a
+    // per-part average census over ALL of lineitem and joined it back
+    // to a second lineitem pass. But the part-filter join keeps EVERY
+    // line of a surviving part (it only prunes parts), so the per-part
+    // average over the joined rows equals the census average for those
+    // parts — computed here as window aggregates over the pruned join
+    // output, with the identical exact arithmetic (limb sums inside the
+    // window; then the same double division and 0.2 factor). The census
+    // aggregate over the unfiltered table, its exchange, and the join
+    // back all disappear; the one window exchange carries only the
+    // brand's lines.
     val line = t(s, dir, "lineitem")
     val part = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
-    val perPart = line.groupBy(col("l_partkey").as("agg_partkey"))
-      .agg((decSumLong(unscaled2dp(col("l_quantity")), 2).cast("double") / count(col("l_quantity")) * 0.2).as("avg_qty"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
     line.join(part, col("l_partkey") === col("p_partkey"))
-      .join(perPart, col("l_partkey") === col("agg_partkey"))
+      .withColumn("avg_qty",
+        graft.engine.Num.decSumOver2dp(col("l_quantity"), w).cast("double") /
+          count(col("l_quantity")).over(w) * 0.2)
       .filter(col("l_quantity") < col("avg_qty"))
       .agg((decSumLong(unscaled2dp(col("l_extendedprice")), 2).cast("double") / 7.0).as("avg_yearly"))
   }
