@@ -57,6 +57,18 @@ object Bench {
   // corpus count + bloom build and p28's four BPE pair-count rounds
   // run at construction; the comparator SQL does that work per
   // execution, so a cached build would fabricate the ratio.
+  // r20b INVARIANT: every query carrying a localCheckpoint must be in
+  // this set — a lazy checkpoint materializes on the WARM pass and
+  // every timed sample then reads the cached census blocks instead of
+  // re-running the big-table work behind it (the same fabricated-ratio
+  // mechanism, one action later). Rebuilding constructs a fresh
+  // un-materialized checkpoint per sample, so each sample pays the
+  // full computation exactly like the comparator does. This rule
+  // exposed an inherited measurement bug: f6's r20 checkpoint silently
+  // moved its quantile census out of the timer (0.24 s cached vs
+  // 0.78 s honest) — and once timed honestly the checkpoint LOST to
+  // the plain diamond (0.48 s), so f6's checkpoint was reverted rather
+  // than special-cased here.
   private val rebuildEachRun =
     Set("p10_write_roundtrip", "p15_format_roundtrip", "p22_neardup_clusters",
       "p27_incremental_dedup", "p28_bpe_merges")
