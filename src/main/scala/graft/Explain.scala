@@ -51,6 +51,11 @@ object Explain {
           // (graft_sink/del1_..._fffd59064cf67911, lineitem_bkt_..._fff6...)
           // — fresh every regen, never structural
           .replaceAll("fff[0-9a-f]{13}", "PATHHASH")
+          // derived-fixture names embed Graft.srcTag (mtime^size folded
+          // over the source parquet files): re-provisioned testdata gets
+          // a new tag even though the plan is identical — normalize the
+          // tag but keep the sf-dir part, which IS meaningful
+          .replaceAll("(_sf[0-9_.]+_)[0-9a-f]{6,16}\\b", "$1SRCTAG")
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), stable)
       } catch {
         case e: Throwable =>
