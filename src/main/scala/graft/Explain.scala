@@ -46,16 +46,24 @@ object Explain {
           // RDD ids are session-global counters too (checkpointed
           // scans print MapPartitionsRDD[<id>])
           .replaceAll("RDD\\[\\d+\\]", "RDD[N]")
+          // derived-fixture names embed Graft.srcTag (mtime^size folded
+          // over the source parquet files): re-provisioned testdata gets
+          // a new tag even though the plan is identical — normalize the
+          // tag but keep the sf-dir part, which IS meaningful. This rule
+          // runs BEFORE the TS and PATHHASH rules so the sf-dir-prefixed
+          // context always wins: otherwise a tag that happens to start
+          // 'fff' (or be all digits) normalizes to PATHHASH/TS instead,
+          // making the snapshot token value-dependent (regen noise when
+          // re-provisioned testdata changes a tag's leading chars). No
+          // upper bound on the hex run: bucketed-table keys concatenate
+          // two 16-char srcTags into one 32-hex run with no inner word
+          // boundary, which a {6,16} bound can never match.
+          .replaceAll("(_sf[0-9_.]+_)[0-9a-f]{6,}\\b", "$1SRCTAG")
           .replaceAll("\\b1[0-9]{12}\\b", "TS")
           // sink/bucketed-table temp names embed path+nanotime hashCodes
           // (graft_sink/del1_..._fffd59064cf67911, lineitem_bkt_..._fff6...)
           // — fresh every regen, never structural
           .replaceAll("fff[0-9a-f]{13}", "PATHHASH")
-          // derived-fixture names embed Graft.srcTag (mtime^size folded
-          // over the source parquet files): re-provisioned testdata gets
-          // a new tag even though the plan is identical — normalize the
-          // tag but keep the sf-dir part, which IS meaningful
-          .replaceAll("(_sf[0-9_.]+_)[0-9a-f]{6,16}\\b", "$1SRCTAG")
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), stable)
       } catch {
         case e: Throwable =>

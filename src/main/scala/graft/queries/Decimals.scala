@@ -4,18 +4,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.Graft
-import graft.engine.Num.{decSum, decSumLong, unscaledLong}
+import graft.engine.Num.{chargeU, decSumLong, revenueU, unscaled2dp}
 
 /** Decimal-first semantics end-to-end (reference: money is
   * DecimalType ≤ 38 digits throughout — `spi/type/Decimals.java:45`,
   * `operator/aggregation/DecimalSumAggregation.java`,
   * `type/DecimalCasts.java`, division-scale rules in
   * `type/DecimalOperators.java`): the testdata measures land as
-  * doubles (TESTDATA.md), so these queries FIRST cast them to a
-  * decimal-typed shadow schema — lossless for the 2-dp fixture data —
-  * and then keep every aggregate, product, and quotient in DecimalType
-  * through to decimal-typed OUTPUT columns, which the driver's
-  * schema_match verifies against DuckDB's DECIMAL results.
+  * doubles (TESTDATA.md), the queries' declared semantics (the oracle
+  * SQL) cast them to DECIMAL and keep every aggregate, product and
+  * quotient in DECIMAL through to the output boundary.
+  *
+  * Physical execution (r21, guide §4 "eliminate non-codegen work in
+  * the hot path"): the per-row arithmetic runs entirely in UNSCALED
+  * LONG space — the JVM analog of the reference's int128 decimal
+  * kernels (`spi/type/Int128Math.java`), which never materialize a
+  * boxed decimal per row either. `unscaled2dp` recovers each 2-dp
+  * double's exact scale-2 unscaled long (the exactness proof lives on
+  * [[graft.engine.Num.unscaled2dp]]; it is the same integer the
+  * previous shape's `cast(double AS DECIMAL(12,2))` produced via a
+  * per-row BigDecimal allocation), products of unscaled operands are
+  * exact integer products at the summed scale ([[Num.revenueU]] /
+  * [[Num.chargeU]]), sums run as codegen'd long limb sums
+  * ([[Num.decSumLong]]), and min/max compare unscaled longs (order-
+  * isomorphic to the decimal order at fixed scale). Each group's limb
+  * sums reassemble into ONE decimal at the end, so every decimal the
+  * query is contractually required to produce still exists — there is
+  * just never one per row. r20's dc1 plan carried
+  * `cast(l_extendedprice as decimal(12,2))` per row per column (a
+  * BigDecimal allocation each) plus decimal-typed min/max buffers;
+  * r21's carries only long arithmetic below the final projection.
+  * Outputs are bit-identical (DecimalEquivalenceSpec races both
+  * shapes; the oracle hash gate pins all three queries at both SFs).
   *
   * Cross-engine typing contract: Spark and DuckDB WIDEN decimals
   * differently (Spark sum(DECIMAL(12,2)) → (22,2), DuckDB → (38,2);
@@ -26,8 +46,7 @@ import graft.engine.Num.{decSum, decSumLong, unscaledLong}
   * them at 100 TB); the division result is pinned to scale 6 with
   * both engines' intermediates far wider than the target.
   *
-  * Output-boundary contract: ALL arithmetic stays decimal (that is
-  * the point of the suite), but the FINAL output columns are cast to
+  * Output-boundary contract: the FINAL output columns are cast to
   * DOUBLE on both engines. Rationale (round-9 driver gate failure):
   * the gate hashes stringified values, and pyarrow renders a parquet
   * DECIMAL(28,2) as `Decimal('508966.00')` while the DuckDB oracle
@@ -35,32 +54,35 @@ import graft.engine.Num.{decSum, decSumLong, unscaledLong}
   * diverge even when values are exactly equal. Every value here is
   * far below 2^52 in scaled units (sums ≈ 10^10), so the final DOUBLE
   * cast is lossless (PropertiesSpec pins the 2^52 round-trip bound);
-  * the exactness guarantee is carried by the decimal intermediates.
+  * the exactness guarantee is carried by the exact integer/decimal
+  * intermediates.
   */
 object Decimals {
 
-  /** lineitem re-typed as the reference's decimal-first schema. */
-  private def li(s: SparkSession, dir: String): DataFrame =
-    Graft.load(s, dir, "lineitem").select(
-      col("l_returnflag"), col("l_linestatus"),
-      col("l_quantity").cast(DecimalType(12, 2)).as("qty"),
-      col("l_extendedprice").cast(DecimalType(12, 2)).as("price"),
-      col("l_discount").cast(DecimalType(4, 2)).as("disc"),
-      col("l_tax").cast(DecimalType(4, 2)).as("tax"))
+  /** Reassemble an unscaled scale-2 long aggregate (a min/max pick)
+    * into its decimal value. Value-identical to aggregating the
+    * decimal column directly: at fixed scale the unscaled-long order
+    * IS the decimal order, and decimal→double casting depends only on
+    * the value, not the precision it is carried at. */
+  private def dec2(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    u.cast(DecimalType(32, 0)) * lit(java.math.BigDecimal.valueOf(1L, 2))
 
   // ------------------------------------------- dc1 decimal sum/min/max
-  /** Decimal aggregation with decimal-typed outputs: exact sums (any
+  /** Decimal aggregation with decimal-typed semantics: exact sums (any
     * row order, any partitioning — DecimalSumAggregation semantics)
-    * and exact min/max picks. */
-  def dc1(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
+    * and exact min/max picks, executed in unscaled-long space. */
+  def dc1(s: SparkSession, dir: String): DataFrame = {
+    val uq = unscaled2dp(col("l_quantity"))
+    val up = unscaled2dp(col("l_extendedprice"))
+    Graft.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        decSum(col("qty"), 2).cast(DecimalType(28, 2)).cast("double").as("sum_qty"),
-        decSum(col("price"), 2).cast(DecimalType(28, 2)).cast("double").as("sum_price"),
-        min(col("price")).cast("double").as("min_price"),
-        max(col("price")).cast("double").as("max_price"),
+        decSumLong(uq, 2).cast(DecimalType(28, 2)).cast("double").as("sum_qty"),
+        decSumLong(up, 2).cast(DecimalType(28, 2)).cast("double").as("sum_price"),
+        dec2(min(up)).cast("double").as("min_price"),
+        dec2(max(up)).cast("double").as("max_price"),
         count(lit(1)).as("n"))
+  }
 
   val dc1Sql: String =
     """SELECT l_returnflag,
@@ -79,19 +101,22 @@ object Decimals {
     * before the DOUBLE boundary (round-10 advisor finding: charge
     * sums pass 2^52 in scale-6 units at sf0.1, so a scale-6 DOUBLE
     * cast would lean on both engines' decimal->double rounding
-    * agreeing bit-for-bit — a true-today, unguaranteed invariant). */
+    * agreeing bit-for-bit — a true-today, unguaranteed invariant).
+    *
+    * Execution: [[Num.revenueU]] is the exact scale-4 unscaled long of
+    * the declared (18,4) product (integer product of exactly-recovered
+    * unscaled operands — the value the previous shape computed with a
+    * per-row Decimal multiply), [[Num.chargeU]] the exact scale-6
+    * unscaled long of the (22,6) charge, whose VALUE fits a long per
+    * row (≤ ~2.4e11) even though its DECIMAL type is past long-backed
+    * precision 18. Same limb sums as before, zero per-row decimals. */
   def dc2(s: SparkSession, dir: String): DataFrame = {
-    val one = lit(1).cast(DecimalType(4, 2))
-    val rev = (col("price") * (one - col("disc"))).cast(DecimalType(18, 4))
-    // charge's DECIMAL type would be (22,6) — past long-backed 18 — but
-    // its unscaled VALUE (revenue-scale-4 units x (1+tax)-scale-2
-    // units <= ~1.2e13) fits a long per row, so the product runs in
-    // integer space and the sum in limbs.
-    val uCharge = unscaledLong(rev) * unscaledLong(one + col("tax"))
-    li(s, dir)
+    val uRev = revenueU(col("l_extendedprice"), col("l_discount"))
+    val uChg = chargeU(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+    Graft.load(s, dir, "lineitem")
       .groupBy(col("l_linestatus"))
       .agg(
-        decSum(rev, 4)
+        decSumLong(uRev, 4)
           .cast(DecimalType(28, 4)).cast("double").as("revenue"),
         // Output pinned at (28,2), NOT (32,6): per-group charge sums at
         // sf0.1 already exceed 2^52 in scale-6 units, where the final
@@ -104,7 +129,7 @@ object Decimals {
         // engine-independent — note it must be an EXPLICIT round():
         // a bare down-scaling CAST truncates in DuckDB but HALF_UPs
         // in Spark.
-        round(decSumLong(uCharge, 6).cast(DecimalType(32, 6)), 2)
+        round(decSumLong(uChg, 6).cast(DecimalType(32, 6)), 2)
           .cast(DecimalType(28, 2)).cast("double").as("charge"))
   }
 
@@ -125,13 +150,17 @@ object Decimals {
     * (25,6) (overflow-safe at 100 TB sums), quotient pinned to (18,6).
     * Spark divides at its capped (38,13) intermediate then HALF_UPs to
     * 6; DuckDB divides with its own wider intermediate; both carry ≥7
-    * guard digits past the target scale, so the pinned cast agrees. */
+    * guard digits past the target scale, so the pinned cast agrees.
+    * The division itself runs once per GROUP (3 rows) — only the sums
+    * feeding it are per-row work, and they run as long limb sums. */
   def dc3(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
+    Graft.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        decSum(col("price"), 2).cast(DecimalType(25, 6)).as("sp"),
-        decSum(col("qty"), 2).cast(DecimalType(25, 6)).as("sq"))
+        decSumLong(unscaled2dp(col("l_extendedprice")), 2)
+          .cast(DecimalType(25, 6)).as("sp"),
+        decSumLong(unscaled2dp(col("l_quantity")), 2)
+          .cast(DecimalType(25, 6)).as("sq"))
       .select(col("l_returnflag"),
         (col("sp") / col("sq")).cast(DecimalType(18, 6)).cast("double")
           .as("avg_unit_price"),

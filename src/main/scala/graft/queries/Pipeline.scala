@@ -1565,21 +1565,29 @@ object Pipeline {
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
     val corpus = digests.filter(col("doc_id") % 7 < 5)
     val batch = digests.filter(col("doc_id") % 3 === 0)
-    // Size the filter FROM THE DATA, not a constant: the documents
-    // row count is an upper bound on corpus digest cardinality (one
-    // cheap count job over the scan — no shuffle), so the filter
-    // holds its 3% FP rate at any corpus size up to the cap. The cap
-    // (16M items ≈ 14 MiB at fpp .03) bounds what ships in the task
-    // closure on a 1000-executor cluster; PAST the cap the FP rate
-    // degrades gracefully and results stay EXACT — every
-    // bloom-positive confirms against the corpus digests, so a
-    // saturated filter only degenerates to plain exact dedup.
-    val bfItems = math.min(math.max(t(s, dir, "documents").count(), 1024L),
-      16L * 1024 * 1024)
-    val bf = corpus.stat.bloomFilter("h", expectedNumItems = bfItems, fpp = 0.03)
-    val mightContain = udf((h: String) => h != null && bf.mightContainString(h))
-    // bloom-positive slice: true dups + ~3% FPs; exact confirm join
-    val maybe = batch.filter(mightContain(col("h")))
+    // Size the filter FROM THE DATA, not a constant — but from the
+    // scan's PARQUET STATISTICS (optimizedPlan.stats), not a count()
+    // job (r21, VERDICT #8: the sizing count was a whole extra pass
+    // over the corpus per execution). bytes/64 over-estimates the doc
+    // count by design (documents average far more than 64 bytes), and
+    // an over-sized filter only wastes a few bits per absent item; the
+    // cap (16M items ≈ 14 MiB at fpp .03) bounds the broadcast on a
+    // 1000-executor cluster. PAST the cap the FP rate degrades
+    // gracefully and results stay EXACT — every bloom-positive
+    // confirms against the corpus digests, so a saturated filter only
+    // degenerates to plain exact dedup.
+    val srcBytes = t(s, dir, "documents")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val bfItems = (srcBytes / 64).max(1024).min(16L * 1024 * 1024).toLong
+    // Build + probe as Spark's own runtime-filter nodes (r21, VERDICT
+    // #8): bloom_filter_agg in a scalar subquery (ONE distributed
+    // aggregate job inside the query — no separate driver treeAggregate
+    // job, no sizing count() job) probed by codegen'd might_contain
+    // (no per-row UDF). Two fewer jobs per execution; admission
+    // semantics unchanged (h is non-null here, and FPs still confirm
+    // through the exact semi-join below).
+    val maybe = batch.filter(org.apache.spark.sql.graft.RuntimeBloom
+      .preFilter(corpus, col("h"), col("h"), bfItems, 0.03))
     val confirmed = maybe.join(corpus.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"))
     val verdicts = batch.join(confirmed.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
