@@ -480,10 +480,14 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // double-count
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the bloom membership UDF evaluates INSIDE the scan filters (the
-    // batch's exact-confirm slice is pruned before any join)
-    assert(plan.contains("UDF(md5"),
+    // the bloom membership probe evaluates INSIDE the scan filters
+    // (the batch's exact-confirm slice is pruned before any join) —
+    // r21: a codegen'd might_contain over a bloom_filter_agg scalar
+    // subquery (Spark's own runtime-filter nodes), not a UDF
+    assert(plan.contains("might_contain"),
       s"bloom filter must prune scan-side:\n${plan.take(2000)}")
+    assert(!plan.contains("UDF(md5"),
+      s"bloom probe regressed to a non-codegen UDF:\n${plan.take(2000)}")
     // joins carry 16-byte digests / ids only — the single hash
     // exchange is the per-source rollup; corpus text never shuffles
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
