@@ -81,7 +81,16 @@ object ScaleGen {
           df.withColumn(c, col(c) + lit(i * spans(spanGroup(c))))
         }
       }.reduce(_ unionAll _)
-      tiled.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      // Write ≥64 files per fact table: parquet parallelism is bounded
+      // by ROW GROUPS, and the driver testdata ships one row group per
+      // table — the very serial-scan bottleneck the scaling run exists
+      // to escape. A 100 TB table has millions of row groups; 64 files
+      // is the smallest layout where a 32-core scan stage has ≥2 waves
+      // and an 8-vs-32 ratio can reflect data parallelism instead of
+      // file count. (Deterministic: round-robin repartition sorts its
+      // input first — sortBeforeRepartition — so output is stable.)
+      tiled.repartition(math.max(64, k))
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
       System.err.println(s"[scalegen] $t tiled x$k " +
         s"(spans ${keys.map(c => s"$c=${spans(spanGroup(c))}").mkString(",")})")
     }
